@@ -1,0 +1,292 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Compiles the reference's expression trees into Catalyst `Column`s.
+  *
+  * Two grammars share the leaf rules (bare string = column reference,
+  * quoted string = string literal, number = literal;
+  * reference: qcache/qframe/pandas_filter.py:15-25, common.py:27-41):
+  *  - `where` boolean trees (reference: pandas_filter.py:132-163)
+  *  - `select` alias/computed-column expressions (reference: query.py:78-116)
+  *
+  * Everything compiles to built-in Catalyst expressions (whole-stage
+  * codegen'd); there are no UDFs anywhere in the engine.
+  */
+object ExprCompiler {
+
+  /** Hidden ingest-order column carried by server-ingested tables for
+    * pandas-parity row order (see SURVEY.md §7.4). Never user-visible. */
+  val RowId = "__row_id__"
+
+  /** Marker-column prefix used by the in-subquery join rewrite. */
+  val InMarkerOp = "__in_marker__"
+
+  val ComparisonOps = Set("==", "!=", "<", "<=", ">", ">=")
+
+  // --- quoting rules (reference: common.py:27-41) ---
+  def isQuoted(s: String): Boolean =
+    s.length >= 2 &&
+      ((s.head == '\'' && s.last == '\'') || (s.head == '"' && s.last == '"'))
+
+  def unquote(s: String): String = {
+    var r = s
+    if (r.startsWith("'") || r.startsWith("\"")) r = r.substring(1)
+    if (r.endsWith("'") || r.endsWith("\"")) r = r.substring(0, r.length - 1)
+    r
+  }
+
+  def hasColumn(df: DataFrame, name: String): Boolean =
+    df.schema.fieldNames.contains(name)
+
+  def userColumns(df: DataFrame): Array[String] =
+    df.schema.fieldNames.filterNot(n => n == RowId || n.startsWith("__in_"))
+
+  private def fieldOf(df: DataFrame, name: String): Option[StructField] =
+    df.schema.fields.find(_.name == name)
+
+  /** Enum columns are StringType carrying this metadata flag (set at ingest
+    * from the `enum` type hint; reference: app.py:159-160). */
+  def isEnumColumn(df: DataFrame, name: String): Boolean =
+    fieldOf(df, name).exists(f =>
+      f.metadata.contains("qcache_enum") && f.metadata.getBoolean("qcache_enum"))
+
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  private def isFloating(dt: DataType): Boolean = dt match {
+    case FloatType | DoubleType => true
+    case _ => false
+  }
+
+  def colRef(df: DataFrame, name: String): Column =
+    if (hasColumn(df, name)) df(name)
+    else Errors.malformed("Unknown column", name)
+
+  // ---------------------------------------------------------------------
+  // where filter trees (reference: pandas_filter.py:132-163)
+  // ---------------------------------------------------------------------
+
+  /** Leaf: quoted string → literal, bare string → column, number → literal
+    * (reference: pandas_filter.py:15-25). */
+  private def leaf(df: DataFrame, q: Any): Column = q match {
+    case s: String if isQuoted(s) => lit(unquote(s))
+    case s: String                => colRef(df, s)
+    case l: Long                  => lit(l)
+    case d: Double                => lit(d)
+    case b: Boolean               => lit(b)
+    case null                     => lit(null)
+    case other                    => Errors.malformed("Invalid type in argument", other)
+  }
+
+  def compileFilter(df: DataFrame, q: Any): Column = q match {
+    case l: List[Any] @unchecked =>
+      if (l.isEmpty) Errors.malformed("Empty expression not allowed", q)
+      l.head match {
+        case op: String => compileOp(df, op, l)
+        case _          => Errors.malformed("Unknown operator", q)
+      }
+    case other => leaf(df, other)
+  }
+
+  private def compileOp(df: DataFrame, op: String, q: List[Any]): Column = op match {
+    case "all_bits" | "any_bits" => bitwiseFilter(df, op, q)
+    case "!" =>
+      Errors.assertLen(q, 2, "! is a single arity operator, invalid number of arguments")
+      !compileFilter(df, q(1))
+    case "isnull" => isNullFilter(df, q)
+    case op if ComparisonOps.contains(op) => comparison(df, op, q)
+    case "&" | "|" => joinFilter(df, op, q)
+    case "in" => inFilter(df, q)
+    case "like" | "ilike" => likeFilter(df, op, q)
+    case InMarkerOp => // in-subquery rewrite; unmatched rows are null ⇒ false
+      coalesce(col(q(1).asInstanceOf[String]), lit(false))
+    case _ => Errors.malformed("Unknown operator", q)
+  }
+
+  /** all_bits: (col & m) == m; any_bits: (col & m) > 0. Integer column and
+    * integer literal only (reference: pandas_filter.py:28-40). */
+  private def bitwiseFilter(df: DataFrame, op: String, q: List[Any]): Column = {
+    Errors.assertLen(q, 3)
+    val colName = q(1) match {
+      case s: String => s
+      case other     => Errors.malformed("Column is not defined", other)
+    }
+    val mask = q(2) match {
+      case l: Long => l
+      case _ => Errors.malformed("Invalid argument type, must be an integer", q)
+    }
+    val field = fieldOf(df, colName).getOrElse(
+      Errors.malformed("Column is not defined", q))
+    if (!isIntegral(field.dataType))
+      Errors.malformed("Invalid column type, must be an integer", q)
+    val masked = df(colName).bitwiseAND(lit(mask))
+    if (op == "any_bits") masked > 0 else masked === lit(mask)
+  }
+
+  /** Null test; the reference's NaN self-inequality trick means NaN ⇒ true
+    * for float columns (reference: pandas_filter.py:48-52). */
+  private def isNullFilter(df: DataFrame, q: List[Any]): Column = {
+    Errors.assertLen(q, 2, "isnull is a single arity operator, invalid number of arguments")
+    val name = q(1) match {
+      case s: String if hasColumn(df, s) => s
+      case other => Errors.malformed("Column is not defined", other)
+    }
+    val c = df(name)
+    if (isFloating(df.schema(name).dataType)) c.isNull || isnan(c) else c.isNull
+  }
+
+  /** LHS must be a bare column name; RHS may be any nested expression
+    * (reference: pandas_filter.py:55-58). `<`/`>` on enum columns is a type
+    * error, matching pandas unordered categoricals
+    * (reference: test_qframe.py:627-629). */
+  private def comparison(df: DataFrame, op: String, q: List[Any]): Column = {
+    Errors.assertLen(q, 3)
+    val colName = q(1) match {
+      case s: String => s
+      case other     => Errors.malformed("Column is not defined", other)
+    }
+    if (!hasColumn(df, colName)) Errors.malformed("Column is not defined", q)
+    if (isEnumColumn(df, colName) && op != "==" && op != "!=")
+      Errors.malformed("Invalid type in argument", q)
+    val lhs = df(colName)
+    val rhs = compileFilter(df, q(2))
+    op match {
+      case "==" => lhs === rhs
+      case "!=" => lhs =!= rhs
+      case "<"  => lhs < rhs
+      case "<=" => lhs <= rhs
+      case ">"  => lhs > rhs
+      case ">=" => lhs >= rhs
+    }
+  }
+
+  /** Variadic & / |; the single-clause form is legal
+    * (reference: pandas_filter.py:61-72). */
+  private def joinFilter(df: DataFrame, op: String, q: List[Any]): Column = {
+    if (q.length < 2) Errors.malformed("Invalid number of arguments", q)
+    val clauses = q.tail.map(compileFilter(df, _))
+    if (op == "&") clauses.reduce(_ && _) else clauses.reduce(_ || _)
+  }
+
+  /** Literal-list membership. List values are raw literals — no quote
+    * processing, matching the reference (reference: pandas_filter.py:75-101;
+    * sub-query form is rewritten to a marker column before compilation, see
+    * QueryEngine.rewriteInSubqueries). */
+  private def inFilter(df: DataFrame, q: List[Any]): Column = {
+    Errors.assertLen(q, 3)
+    val colName = q(1) match {
+      case s: String if hasColumn(df, s) => s
+      case other => Errors.malformed("Column is not defined", other)
+    }
+    q(2) match {
+      case values: List[Any] @unchecked => df(colName).isin(values: _*)
+      case _ => Errors.malformed("Second argument must be a list", q)
+    }
+  }
+
+  /** SQL-LIKE %-wildcards at the ends plus raw-regex passthrough inside;
+    * translation ports reference: pandas_filter.py:104-129 exactly:
+    * leading/trailing `%` stripped ⇔ `^`/`$` anchors added; match is a
+    * regex *search* (pandas str.contains ≡ Spark rlike); nulls never match.
+    */
+  private def likeFilter(df: DataFrame, op: String, q: List[Any]): Column = {
+    Errors.assertLen(q, 3)
+    val colName = q(1) match {
+      case s: String if hasColumn(df, s) => s
+      case other => Errors.malformed("Column is not defined", other)
+    }
+    if (df.schema(colName).dataType != StringType)
+      Errors.malformed("Invalid column type for (i)like", q)
+    val rawExpr = q(2) match {
+      case s: String if isQuoted(s) => unquote(s)
+      case _ =>
+        Errors.malformed("like expects a quoted string as second argument", q)
+    }
+    var regexp = rawExpr
+    regexp = if (regexp.startsWith("%")) regexp.substring(1) else "^" + regexp
+    regexp = if (regexp.endsWith("%")) regexp.substring(0, regexp.length - 1)
+             else regexp + "$"
+    if (op == "ilike") regexp = "(?i)" + regexp
+    coalesce(df(colName).rlike(regexp), lit(false)) // na=False
+  }
+
+  // ---------------------------------------------------------------------
+  // alias / computed-column expressions (reference: query.py:78-116)
+  // ---------------------------------------------------------------------
+
+  /** Binary ops accepted by pandas `DataFrame.eval` that we support;
+    * `**` → pow, `//` → floor-div (reference: query.py:82-97 compiles to an
+    * infix NumExpr string — we build the Column tree directly). */
+  private def binaryAliasOp(op: String, a: Column, b: Column): Column = op match {
+    case "+"  => a + b
+    case "-"  => a - b
+    case "*"  => a * b
+    // try_* so ÷0 is null rather than an ANSI error regardless of session
+    // config; pandas yields inf/NaN which the reference serializes as JSON
+    // null anyway (reference: test_api.py:109-116).
+    case "/"  => try_divide(a, b)
+    case "%"  => try_mod(a, b)
+    case "**" => pow(a, b)
+    case "//" => floor(try_divide(a, b))
+    case "==" => a === b
+    case "!=" => a =!= b
+    case "<"  => a < b
+    case "<=" => a <= b
+    case ">"  => a > b
+    case ">=" => a >= b
+    case "&"  => a && b
+    case "|"  => a || b
+    case _    => Errors.malformed("Unknown function in alias", op)
+  }
+
+  /** Unary functions mirroring the NumExpr set available to the reference's
+    * `DataFrame.eval` (reference: query.py:100-105, README.rst:139-157). */
+  private def unaryAliasOp(op: String, a: Column): Column = op match {
+    case "-"       => negate(a)
+    case "~"       => !a
+    case "sqrt"    => sqrt(a)
+    case "abs"     => abs(a)
+    case "sin"     => sin(a)
+    case "cos"     => cos(a)
+    case "tan"     => tan(a)
+    case "arcsin"  => asin(a)
+    case "arccos"  => acos(a)
+    case "arctan"  => atan(a)
+    case "sinh"    => sinh(a)
+    case "cosh"    => cosh(a)
+    case "tanh"    => tanh(a)
+    case "log"     => log(a)
+    case "log10"   => log10(a)
+    case "log1p"   => log1p(a)
+    case "exp"     => exp(a)
+    case "expm1"   => expm1(a)
+    case "floor"   => floor(a)
+    case "ceil"    => ceil(a)
+    case _         => Errors.malformed("Unknown function in alias", op)
+  }
+
+  /** Compile an alias source expression. `df` here is the frame the alias is
+    * being added to (earlier aliases in the same select are visible, like
+    * sequential `eval`; reference: query.py:108-116). */
+  def compileAliasExpr(df: DataFrame, expr: Any): Column = expr match {
+    case l: List[Any] @unchecked =>
+      l match {
+        case (op: String) :: a :: b :: Nil =>
+          binaryAliasOp(op, compileAliasExpr(df, a), compileAliasExpr(df, b))
+        case (op: String) :: a :: Nil =>
+          unaryAliasOp(op, compileAliasExpr(df, a))
+        case _ => Errors.malformed("Invalid number of arguments", expr)
+      }
+    case s: String if isQuoted(s) => lit(unquote(s))
+    case s: String                => colRef(df, s)
+    case n: Long                  => lit(n)
+    case d: Double                => lit(d)
+    case b: Boolean               => lit(b)
+    case other => Errors.malformed("Invalid expression in select", other)
+  }
+}

@@ -1,0 +1,323 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.collection.Map
+import scala.collection.mutable
+
+import ExprCompiler._
+
+/** Result of a read query: the sliced frame plus the pre-slice frame whose
+  * count is the reference's `unsliced_df_len` pagination protocol
+  * (reference: qcache/qframe/__init__.py:47-48, app.py:195). The count is a
+  * separate lazy plan — callers pay for it only if they read the header. */
+final case class QueryResult(df: DataFrame, preSlice: DataFrame) {
+  def unslicedLength: Long = preSlice.count()
+}
+
+/** Compiles the JSON query dialect to a lazy DataFrame plan, in the
+  * reference's fixed clause order: from → where → group_by → distinct →
+  * select → order_by → offset/limit (reference: qcache/qframe/query.py:217-226).
+  *
+  * Where the reference eagerly interprets each stage against pandas, we
+  * *declare* the whole pipeline and let Catalyst push filters into scans,
+  * prune columns, and pick join/aggregate strategies — the plan stays lazy
+  * until an action runs.
+  */
+object QueryEngine {
+
+  /** Pandas Series aggregation method → Catalyst aggregate. The effective
+    * set is any Series method name; these are the meaningful ones
+    * (reference: query.py:50-58, SURVEY.md §2.3). */
+  private val AggregateFns: scala.collection.immutable.Map[String, Column => Column] =
+    scala.collection.immutable.Map(
+      "sum"     -> (c => sum(c)),
+      "count"   -> (c => count(c)),
+      "min"     -> (c => min(c)),
+      "max"     -> (c => max(c)),
+      "mean"    -> (c => avg(c)),
+      "median"  -> (c => median(c)),
+      "std"     -> (c => stddev_samp(c)),
+      "var"     -> (c => var_samp(c)),
+      "prod"    -> (c => product(c)),
+      "first"   -> (c => first(c, ignoreNulls = false)),
+      "last"    -> (c => last(c, ignoreNulls = false)),
+      "nunique" -> (c => count_distinct(c)))
+
+  def run(table: DataFrame, q: Query): QueryResult = runInternal(table, q, table)
+
+  def run(table: DataFrame, json: String): QueryResult = {
+    val q = Query.parse(json)
+    if (q.isUpdate)
+      Errors.malformed("Update query not valid here")
+    run(table, q)
+  }
+
+  private def runInternal(table: DataFrame, q: Query, root: DataFrame): QueryResult = {
+    // from: evaluate the nested query first; in-subqueries keep resolving
+    // against the ROOT dataset (reference: query.py:217-218, context.py).
+    val base = q.from.map(f => runInternal(table, f, root).df).getOrElse(table)
+    val filtered = applyWhere(base, q.where, root)
+    val projected = project(filtered, q.groupBy, q.distinct, q.select)
+    val ordered = applyOrderBy(projected, q.orderBy)
+    val sliced = applySlice(ordered, q.offset, q.limit)
+    QueryResult(dropHidden(sliced), dropHidden(ordered))
+  }
+
+  private def dropHidden(df: DataFrame): DataFrame = {
+    val hidden = df.schema.fieldNames.filter(n => n == RowId || n.startsWith("__in_"))
+    if (hidden.isEmpty) df else df.drop(hidden: _*)
+  }
+
+  // -------------------------------------------------------------------
+  // where (reference: pandas_filter.py:166-171)
+  // -------------------------------------------------------------------
+
+  private def applyWhere(df: DataFrame, whereQ: Option[Any], root: DataFrame): DataFrame =
+    whereQ match {
+      case None => df
+      case Some(l: List[Any] @unchecked) =>
+        if (l.isEmpty) df // falsy where is a no-op (reference: pandas_filter.py:167)
+        else {
+          val (joined, rewritten, markers) = rewriteInSubqueries(df, l, root)
+          val filtered = joined.filter(compileFilter(joined, rewritten))
+          if (markers.isEmpty) filtered else filtered.drop(markers: _*)
+        }
+      case Some(other) => Errors.malformed("Invalid format for where", other)
+    }
+
+  /** The reference evaluates `in`-sub-queries eagerly against the current
+    * dataset and materializes a value array (reference: pandas_filter.py:75-96).
+    * Driver-side collect does not scale, so we rewrite each sub-query node
+    * into a distinct-values LEFT JOIN producing a boolean marker column the
+    * filter tree then references — composable under `!`/`&`/`|`, and
+    * Catalyst/AQE broadcast the (small, distinct) value side automatically.
+    */
+  private def rewriteInSubqueries(df: DataFrame, tree: Any, root: DataFrame)
+      : (DataFrame, Any, Seq[String]) = {
+    var current = df
+    val markers = mutable.ArrayBuffer.empty[String]
+
+    def walk(node: Any): Any = node match {
+      case l: List[Any] @unchecked if l.length == 3 && l.head == "in" =>
+        (l(1), l(2)) match {
+          case (colName: String, sub: Map[_, _]) =>
+            if (!hasColumn(current, colName))
+              Errors.malformed("Column is not defined", l)
+            val subQ = Query.fromAny(sub)
+            val subResult = runInternal(root, subQ, root).df
+            if (!hasColumn(subResult, colName))
+              Errors.malformed(s"""Unknown column "$colName"""", l)
+            val k = markers.length
+            val marker = s"__in_m$k"
+            val valCol = s"__in_v$k"
+            val values = subResult.select(col(colName).as(valCol))
+              .distinct().withColumn(marker, lit(true))
+            current = current.join(values,
+              current(colName) <=> values(valCol), "left").drop(valCol)
+            markers += marker
+            List(InMarkerOp, marker)
+          case _ => l.map(walk)
+        }
+      case l: List[Any] @unchecked => l.map(walk)
+      case other => other
+    }
+
+    val rewritten = walk(tree)
+    (current, rewritten, markers.toSeq)
+  }
+
+  // -------------------------------------------------------------------
+  // group_by + distinct + select (reference: query.py:23-164,196-204)
+  // -------------------------------------------------------------------
+
+  private def groupKeys(groupByQ: Option[List[Any]]): Seq[String] =
+    groupByQ.getOrElse(Nil).map {
+      case s: String => s
+      case other => Errors.malformed("Group by column not in table", other)
+    }
+
+  private def isAggregateExpr(e: Any): Boolean =
+    e.isInstanceOf[List[_]] && e.asInstanceOf[List[_]].length == 2
+
+  private def isAliasExpr(e: Any): Boolean = e match {
+    case l: List[Any] @unchecked => l.length == 3 && l.head == "="
+    case _ => false
+  }
+
+  private def project(df: DataFrame, groupByQ: Option[List[Any]],
+                      distinctQ: Option[List[Any]], selectQ: Option[List[Any]]): DataFrame = {
+    val keys = groupKeys(groupByQ)
+    keys.foreach { k =>
+      if (!hasColumn(df, k)) Errors.malformed("Group by column not in table", keys)
+    }
+    if (keys.nonEmpty && distinctQ.isDefined)
+      Errors.malformed("Cannot combine group_by and distinct", distinctQ.get)
+
+    val deduped = applyDistinct(df, distinctQ)
+    val sel = selectQ.getOrElse(Nil)
+
+    if (sel.isEmpty) {
+      if (keys.nonEmpty)
+        Errors.malformed("Aggregate function required when group_by is specified", sel)
+      return deduped
+    }
+
+    // count(*) special case (reference: query.py:139-141). Under group_by the
+    // reference returns the number of groups (len of the GroupBy).
+    if (sel == List(List("count"))) {
+      return if (keys.nonEmpty)
+        deduped.agg(count_distinct(keys.map(col).head, keys.map(col).tail: _*).as("count"))
+      else deduped.agg(count(lit(1)).as("count"))
+    }
+
+    // Classify select items (reference: query.py:119-130). Aggregates form a
+    // dict keyed by source column — duplicates collapse, last wins; we
+    // replicate rather than "fix" (reference: query.py:124, SURVEY.md §7.4).
+    val aggregates = mutable.LinkedHashMap.empty[String, String]
+    val aliases = mutable.ArrayBuffer.empty[List[Any]]
+    sel.foreach {
+      case e if isAliasExpr(e) => aliases += e.asInstanceOf[List[Any]]
+      case e if isAggregateExpr(e) =>
+        val l = e.asInstanceOf[List[Any]]
+        (l(1), l.head) match {
+          case (c: String, fn: String) => aggregates(c) = fn
+          case _ => Errors.malformed("Invalid expression in select", e)
+        }
+      case e: List[_] => Errors.malformed("Invalid expression in select", e)
+      case _ => () // bare column
+    }
+    if (aggregates.nonEmpty && aliases.nonEmpty)
+      Errors.malformed("Cannot mix aliasing and aggregation functions", sel)
+
+    val computed: DataFrame =
+      if (keys.nonEmpty) aggregate(deduped, keys, aggregates.toSeq, sel)
+      else if (aggregates.nonEmpty) aggregateGlobal(deduped, aggregates.toSeq, sel)
+      else applyAliases(deduped, aliases.toSeq)
+
+    // Final projection = select order (reference: query.py:158-164). The
+    // hidden row-order column rides along when still present.
+    val names = sel.map {
+      case s: String => s
+      case l: List[Any] @unchecked => l(1).asInstanceOf[String]
+    }
+    val missing = names.filterNot(hasColumn(computed, _))
+    if (missing.nonEmpty)
+      Errors.malformed("Selected columns not in table", missing.distinct)
+    val withHidden =
+      if (hasColumn(computed, RowId) && !names.contains(RowId)) names :+ RowId
+      else names
+    computed.select(withHidden.map(computed(_)): _*)
+  }
+
+  private def aggFor(fn: String, colName: String, q: Any): Column =
+    AggregateFns.get(fn) match {
+      case Some(f) => f(col(colName)).as(colName) // output keeps SOURCE name
+      case None => Errors.malformed(s"Unknown aggregation function '$fn'", q)
+    }
+
+  /** Grouped aggregation. Output is sorted by the group keys, matching
+    * pandas `groupby(sort=True)` default order (reference: query.py:30). */
+  private def aggregate(df: DataFrame, keys: Seq[String],
+                        aggs: Seq[(String, String)], sel: List[Any]): DataFrame = {
+    if (aggs.isEmpty)
+      Errors.malformed("Aggregate function required when group_by is specified", sel)
+    aggs.foreach { case (c, _) =>
+      if (!hasColumn(df, c)) Errors.malformed("Selected columns not in table", List(c))
+    }
+    val aggCols = aggs.map { case (c, fn) => aggFor(fn, c, sel) }
+    df.groupBy(keys.map(df(_)): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .orderBy(keys.map(col): _*)
+  }
+
+  /** Global aggregation (no group_by): every select item must be an
+    * aggregate — the reference enforces this by comparing dict size to
+    * select length, so duplicate-column aggregates also error
+    * (reference: query.py:61-76). */
+  private def aggregateGlobal(df: DataFrame, aggs: Seq[(String, String)],
+                              sel: List[Any]): DataFrame = {
+    if (aggs.length != sel.length)
+      Errors.malformed("Cannot mix aggregation functions and columns without group_by clause", sel)
+    aggs.foreach { case (c, _) =>
+      if (!hasColumn(df, c)) Errors.malformed("Selected columns not in table", List(c))
+    }
+    val aggCols = aggs.map { case (c, fn) => aggFor(fn, c, sel) }
+    df.agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** Sequential alias application — later aliases see earlier ones, like
+    * chained `DataFrame.eval` (reference: query.py:108-116). */
+  private def applyAliases(df: DataFrame, aliases: Seq[List[Any]]): DataFrame =
+    aliases.foldLeft(df) { (acc, expr) =>
+      val dest = expr(1) match {
+        case s: String => s
+        case _ => Errors.malformed("Invalid alias, must be a string", expr)
+      }
+      if (!dest.matches("^[A-Za-z0-9_-]+$"))
+        Errors.malformed("Invalid alias, must match ^([A-Za-z0-9_-]+)$", expr)
+      acc.withColumn(dest, compileAliasExpr(acc, expr(2)))
+    }
+
+  /** `distinct: []` = dedup on all user columns; subset form keeps the FIRST
+    * row of each duplicate group (pandas drop_duplicates). With the hidden
+    * ingest-order column present, "first" is exact via a window; otherwise
+    * Spark's arbitrary-row dropDuplicates is used
+    * (reference: query.py:196-204, SURVEY.md §7.4). */
+  private def applyDistinct(df: DataFrame, distinctQ: Option[List[Any]]): DataFrame =
+    distinctQ match {
+      case None => df
+      case Some(colsQ) =>
+        val subset =
+          if (colsQ.isEmpty) userColumns(df).toSeq
+          else colsQ.map {
+            case s: String if hasColumn(df, s) => s
+            case other => Errors.malformed("Distinct column not in table", other)
+          }
+        if (hasColumn(df, RowId)) {
+          val w = Window.partitionBy(subset.map(df(_)): _*).orderBy(df(RowId))
+          df.withColumn("__rn__", row_number().over(w))
+            .filter(col("__rn__") === 1).drop("__rn__")
+        } else df.dropDuplicates(subset)
+    }
+
+  // -------------------------------------------------------------------
+  // order_by + slice (reference: query.py:167-193)
+  // -------------------------------------------------------------------
+
+  private def applyOrderBy(df: DataFrame, orderQ: Option[List[Any]]): DataFrame =
+    orderQ.getOrElse(Nil) match {
+      case Nil =>
+        // pandas preserves ingest order implicitly; restore it when the
+        // hidden order column is available (SURVEY.md §7.4).
+        if (hasColumn(df, RowId)) df.orderBy(col(RowId)) else df
+      case items =>
+        val specs = items.map {
+          case s: String =>
+            val (name, asc) = if (s.startsWith("-")) (s.substring(1), false) else (s, true)
+            if (!hasColumn(df, name))
+              Errors.malformed("Order by column not in table", List(name))
+            if (asc) df(name).asc else df(name).desc
+          case _ => Errors.malformed("Invalid order by format", items)
+        }
+        df.orderBy(specs: _*)
+    }
+
+  private def intArg(name: String, v: Any): Long = v match {
+    case l: Long => l
+    case b: Boolean => if (b) 1L else 0L // Python bool is an int
+    case other => Errors.malformed(s"Invalid type for $name", other)
+  }
+
+  /** Falsy offset/limit (0) are no-ops, like the reference's truthiness
+    * checks (reference: query.py:184-193). */
+  private def applySlice(df: DataFrame, offsetQ: Option[Any], limitQ: Option[Any]): DataFrame = {
+    var out = df
+    offsetQ.map(intArg("offset", _)).filter(_ != 0L)
+      .foreach(n => out = out.offset(n.toInt))
+    limitQ.map(intArg("limit", _)).filter(_ != 0L)
+      .foreach(n => out = out.limit(n.toInt))
+    out
+  }
+}

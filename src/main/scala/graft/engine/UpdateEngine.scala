@@ -1,0 +1,143 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import ExprCompiler._
+
+/** The reference's only mutating statement (reference: qcache/qframe/update.py,
+  * spec'd by test_qframe.py:693-749). Spark DataFrames are immutable, so an
+  * update compiles to a chain of `when(filter, …).otherwise(col)` projections
+  * producing a NEW frame; the table cache swaps it in atomically.
+  *
+  * The update filter grammar is deliberately restricted: comparisons,
+  * `in` (literal list), `isnull` — no boolean combinators or like/bitwise
+  * (reference: update.py:15-48).
+  */
+object UpdateEngine {
+
+  /** Scalar operand for update expressions: quoted string → literal, bare
+    * string → column, number → literal (reference: update.py:5-12). */
+  private def prepareArg(df: DataFrame, arg: Any): Column = arg match {
+    case s: String if isQuoted(s) => lit(unquote(s))
+    case s: String                => colRef(df, s)
+    case l: Long                  => lit(l)
+    case d: Double                => lit(d)
+    case b: Boolean               => lit(b)
+    case null                     => lit(null)
+    case other => Errors.malformed("Invalid type in argument", other)
+  }
+
+  private def buildFilter(df: DataFrame, q: Any): Column = q match {
+    case l: List[Any] @unchecked =>
+      if (l.isEmpty) Errors.malformed("Empty expression not allowed", q)
+      l.head match {
+        case "isnull" =>
+          Errors.assertLen(l, 2, "Invalid length of isnull query")
+          l(1) match {
+            case s: String if hasColumn(df, s) =>
+              val c = df(s)
+              df.schema(s).dataType match {
+                case FloatType | DoubleType => c.isNull || isnan(c)
+                case _ => c.isNull
+              }
+            case other => Errors.malformed("Unknown column for 'isnull'", other)
+          }
+        case "in" =>
+          if (l.length != 3) Errors.malformed("Invalid length of 'in' query", l)
+          val colName = l(1) match {
+            case s: String if hasColumn(df, s) => s
+            case _ => Errors.malformed("First argument to 'in' must be a column present in frame", l)
+          }
+          l(2) match {
+            case values: List[Any] @unchecked =>
+              df(colName).isin(values.map {
+                case s: String if isQuoted(s) => unquote(s)
+                case v => v
+              }: _*)
+            case _ => Errors.malformed("Second argument to 'in' must be a list", l)
+          }
+        case op: String if ComparisonOps.contains(op) =>
+          Errors.assertLen(l, 3)
+          val a = prepareArg(df, l(1))
+          val b = prepareArg(df, l(2))
+          op match {
+            case "==" => a === b
+            case "!=" => a =!= b
+            case "<"  => a < b
+            case "<=" => a <= b
+            case ">"  => a > b
+            case ">=" => a >= b
+          }
+        case op => Errors.malformed(s"Unknown operator '$op'", l)
+      }
+    case other => Errors.malformed("Expressions must be lists", other)
+  }
+
+  /** Self-referring operators (reference: update.py:78-103). Integral
+    * columns keep their type under `**` (pandas int**int stays int). */
+  private def selfReferringOp(op: String, current: Column, value: Column,
+                              dt: DataType, q: Any): Column = {
+    val isInt = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    op match {
+      case "+"  => current + value
+      case "-"  => current - value
+      case "*"  => current * value
+      case "/"  => try_divide(current, value)
+      case "&"  => current.bitwiseAND(value)
+      case "|"  => current.bitwiseOR(value)
+      case "^"  => current.bitwiseXOR(value)
+      case "%"  => try_mod(current, value)
+      case "**" => if (isInt) pow(current, value).cast(dt) else pow(current, value)
+      case _    => Errors.malformed("Invalid update operator", q)
+    }
+  }
+
+  /** Apply an update statement, returning the new frame.
+    * The filter is pinned to PRE-update column values by materializing it as
+    * a hidden column before any assignment runs — each `withColumn` is a new
+    * projection layer, so the mask expression stays bound to the original
+    * values even when later assignments replace the columns it reads
+    * (reference builds the mask once up front: update.py:106-110). */
+  def update(df: DataFrame, updates: List[Any], whereQ: Any): DataFrame = {
+    val mask = buildFilter(df, whereQ)
+    val maskCol = "__upd_mask__"
+    var out = df.withColumn(maskCol, coalesce(mask, lit(false)))
+
+    updates.foreach {
+      case u: List[Any] @unchecked if u.length == 2 =>
+        // simple assignment ["col", value] (reference: update.py:51-53)
+        val colName = u.head match {
+          case s: String => s
+          case other => Errors.malformed("Invalid update clause", other)
+        }
+        val value = prepareArg(out, u(1))
+        out = out.withColumn(colName, when(col(maskCol), value).otherwise(col(colName)))
+      case u: List[Any] @unchecked if u.length == 3 =>
+        // self-referring ["op", "col", value] (reference: update.py:56-75)
+        val (op, colName) = (u.head, u(1)) match {
+          case (o: String, c: String) => (o, c)
+          case _ => Errors.malformed("Invalid update clause", u)
+        }
+        if (!hasColumn(out, colName)) Errors.malformed("Unknown column", colName)
+        val dt = out.schema(colName).dataType
+        val value = prepareArg(out, u(2))
+        val updated = op match {
+          case "<<" => call_function("shiftleft", col(colName), value.cast(IntegerType))
+          case ">>" => call_function("shiftright", col(colName), value.cast(IntegerType))
+          case _    => selfReferringOp(op, col(colName), value, dt, u)
+        }
+        out = out.withColumn(colName, when(col(maskCol), updated).otherwise(col(colName)))
+      case u => Errors.malformed("Invalid update clause", u)
+    }
+    out.drop(maskCol)
+  }
+
+  def update(df: DataFrame, q: Query): DataFrame =
+    update(df, q.update.getOrElse(Nil),
+      q.where.getOrElse(Errors.malformed("Update query requires a where clause")))
+}

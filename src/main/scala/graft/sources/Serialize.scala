@@ -1,0 +1,115 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** Result serialization to CSV / JSON record formats matching pandas
+  * `to_csv(index=False)` / `to_json(orient='records')`
+  * (reference: qcache/qframe/__init__.py:82-89).
+  *
+  * Serialization is the one place the pipeline materializes on the driver —
+  * identical to the reference, whose HTTP responses are single strings.
+  * `toLocalIterator` keeps peak driver memory at one partition rather than
+  * the whole result.
+  */
+object Serialize {
+
+  private def visibleFields(df: DataFrame): Array[(StructField, Int)] =
+    df.schema.fields.zipWithIndex
+      .filterNot { case (f, _) => f.name.startsWith("__") }
+
+  /** pandas to_csv: header, no index, empty string for null, minimal
+    * quoting. Floats keep a trailing .0 (pandas float repr). */
+  def toCsv(df: DataFrame): String = {
+    val fields = visibleFields(df)
+    val sb = new StringBuilder
+    sb.append(fields.map { case (f, _) => csvEscape(f.name) }.mkString(",")).append('\n')
+    df.toLocalIterator().asScala.foreach { row =>
+      var first = true
+      fields.foreach { case (f, i) =>
+        if (!first) sb.append(',')
+        first = false
+        sb.append(csvValue(row, i, f.dataType))
+      }
+      sb.append('\n')
+    }
+    sb.toString
+  }
+
+  private def csvValue(row: Row, i: Int, dt: DataType): String =
+    if (row.isNullAt(i)) ""
+    else dt match {
+      case StringType => csvEscape(row.getString(i))
+      case DoubleType => renderDouble(row.getDouble(i))
+      case FloatType  => renderDouble(row.getFloat(i).toDouble)
+      case _          => String.valueOf(row.get(i))
+    }
+
+  private def csvEscape(s: String): String =
+    if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+
+  /** pandas repr: whole floats render with a trailing .0, not scientific
+    * for typical magnitudes. */
+  private def renderDouble(d: Double): String =
+    if (d.isNaN || d.isInfinite) ""
+    else if (d == math.rint(d) && math.abs(d) < 1e16) s"${d.toLong}.0"
+    else String.valueOf(d)
+
+  /** pandas to_json(orient='records'): `[{...},{...}]`, NaN/Inf → null
+    * (reference: test_api.py:109-116 — division-by-zero inf serializes as
+    * JSON null). */
+  def toJson(df: DataFrame): String = {
+    val fields = visibleFields(df)
+    val sb = new StringBuilder
+    sb.append('[')
+    var firstRow = true
+    df.toLocalIterator().asScala.foreach { row =>
+      if (!firstRow) sb.append(',')
+      firstRow = false
+      sb.append('{')
+      var first = true
+      fields.foreach { case (f, i) =>
+        if (!first) sb.append(',')
+        first = false
+        sb.append(jsonString(f.name)).append(':')
+        sb.append(jsonValue(row, i, f.dataType))
+      }
+      sb.append('}')
+    }
+    sb.append(']')
+    sb.toString
+  }
+
+  private def jsonValue(row: Row, i: Int, dt: DataType): String =
+    if (row.isNullAt(i)) "null"
+    else dt match {
+      case StringType => jsonString(row.getString(i))
+      case DoubleType =>
+        val d = row.getDouble(i)
+        if (d.isNaN || d.isInfinite) "null" else String.valueOf(d)
+      case FloatType =>
+        val f = row.getFloat(i)
+        if (f.isNaN || f.isInfinite) "null" else String.valueOf(f)
+      case BooleanType => String.valueOf(row.getBoolean(i))
+      case _: NumericType => String.valueOf(row.get(i))
+      case TimestampType | DateType => jsonString(String.valueOf(row.get(i)))
+      case _ => jsonString(String.valueOf(row.get(i)))
+    }
+
+  private def jsonString(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"'  => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+}
