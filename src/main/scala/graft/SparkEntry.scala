@@ -179,7 +179,108 @@ object SparkEntry {
     "q20_events_agg" -> q("events",
       """{"select": ["event_type", ["mean", "value"], ["count", "event_id"]],
           "group_by": ["event_type"],
-          "order_by": ["event_type"]}""", rounded("value" -> 4)))
+          "order_by": ["event_type"]}""", rounded("value" -> 4)),
+
+    // ================== pipeline extension operators (graft.ops) ==========
+
+    // exact dedup: corpus ∪ shifted copy (deterministic dup injection) →
+    // keep lowest doc_id per normalized-text fingerprint
+    "x1_dedup_exact" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val withDups = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000))
+      graft.ops.Dedup.exactByText(withDups, "text", "doc_id")
+        .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+    }),
+
+    // MinHash LSH near-dup pairs (full-corpus scale path; rows-only check)
+    "x2_dedup_minhash" -> ((s, dir) =>
+      graft.ops.Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.6, shingleSize = 3)
+        .orderBy("id_a", "id_b")),
+
+    // SimHash near-dup pairs (rows-only check)
+    "x3_dedup_simhash" -> ((s, dir) =>
+      graft.ops.Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 10).orderBy("id_a", "id_b")),
+
+    // exact n-gram (3-token shingle) Jaccard within an id-bounded slice —
+    // oracle-checkable quadratic variant of the LSH path
+    "x4_dedup_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val tok = d.filter(col("doc_id") < 300).select(col("doc_id").as("id"),
+        graft.ops.Dedup.shingles(col("text"), 3).as("sh"))
+      val a = tok.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      val b = tok.select(col("id").as("id_b"), col("sh").as("sh_b"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // embedding-cosine near-dup pairs via hyperplane LSH (rows-only check;
+    // synthetic corpus max pairwise cosine ≈ 0.51, so threshold 0.4)
+    "x5_dedup_embcos" -> ((s, dir) =>
+      graft.ops.Similarity.cosineNearDupPairs(
+        t(s, dir, "embeddings").withColumn("embedding", col("embedding").cast("array<double>")),
+        "vec_id", "embedding", threshold = 0.4).orderBy("id_a", "id_b")),
+
+    // brute-force cosine top-k ANN (oracle-checked against DuckDB
+    // list_cosine_similarity)
+    "x6_ann_brute" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      graft.ops.Similarity.bruteForceTopK(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH-bucketed ANN (scale path; rows-only check)
+    "x7_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      graft.ops.Similarity.lshTopK(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // token counting: whitespace + BPE-ish regex
+    "x8_text_tokens" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.TextOps.tokenCount(col("text")).as("n_tokens"),
+        graft.ops.TextOps.bpeTokenCount(col("text")).as("n_bpe"),
+        col("n_chars")).orderBy("doc_id")),
+
+    // quality features (ratios oracle-checked; composite score is ours)
+    "x9_text_quality" -> ((s, dir) =>
+      graft.ops.TextOps.qualityFeatures(t(s, dir, "documents"), "text")
+        .select("doc_id", "n_tokens", "alpha_ratio", "punct_ratio", "stopword_ratio")
+        .orderBy("doc_id")),
+
+    // heuristic language ID (rows-only; accuracy asserted in unit tests)
+    "x10_text_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        graft.ops.TextOps.langId(col("text")).as("lang_pred")).orderBy("doc_id")),
+
+    // document fingerprinting (md5-of-normalized, oracle-checked; the
+    // rolling-hash variant is engine-specific and covered by unit tests)
+    "x11_text_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.TextOps.fingerprintMd5(col("text")).as("fp_md5"))
+        .orderBy("doc_id")),
+
+    // multimodal plumbing: binary assets → stub batch decode → features
+    "x12_mm_decode" -> ((s, dir) => {
+      val assets = graft.ops.Multimodal.assetsFromText(
+        t(s, dir, "documents"), "doc_id", "text")
+      graft.ops.Multimodal.decodeFeatures(s, assets, partitions = 8)
+        .select(col("asset_id"), col("media_type"),
+          element_at(col("features"), 1).cast("long").as("payload_bytes"),
+          size(col("features")).as("n_features"))
+        .orderBy("asset_id")
+    }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -272,5 +373,83 @@ object SparkEntry {
     "q20_events_agg" ->
       """SELECT event_type, round(avg(value), 4) AS value,
                 count(event_id) AS event_id
-         FROM events GROUP BY event_type ORDER BY event_type""")
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "x1_dedup_exact" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+           SELECT *, row_number() OVER (
+               PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+               ORDER BY doc_id) AS rn
+           FROM (SELECT * FROM documents UNION ALL
+                 SELECT doc_id + 1000000, text, lang, source, n_chars FROM documents))
+         WHERE rn = 1 ORDER BY doc_id""",
+    "x4_dedup_jaccard" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+           FROM documents WHERE doc_id < 300),
+         s AS (
+           SELECT doc_id,
+                  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                       ELSE list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                           for i in range(1, len(tk) - 1)])
+                  END AS sh
+           FROM t)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                      len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+         FROM s a, s b
+         WHERE a.doc_id < b.doc_id
+           AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+               len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+         ORDER BY id_a, id_b""",
+    "x6_ann_brute" ->
+      """SELECT query_id, rank, neighbor_id, cos FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                               c.embedding::DOUBLE[]), 6) AS cos,
+                  row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                                      c.embedding::DOUBLE[]) DESC,
+                               c.vec_id) AS rank
+           FROM embeddings q, embeddings c
+           WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    "x8_text_tokens" ->
+      """SELECT doc_id,
+                CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = ''
+                     THEN 0
+                     ELSE len(string_split(
+                            trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+                END AS n_tokens,
+                len(regexp_extract_all(lower(text),
+                    '[a-z]{1,4}|[0-9]|[^a-z0-9\s]')) AS n_bpe,
+                n_chars
+         FROM documents ORDER BY doc_id""",
+    "x9_text_quality" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+           FROM documents)
+         SELECT doc_id,
+                len(tk)::BIGINT AS n_tokens,
+                round(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                      / len(text), 4) AS alpha_ratio,
+                round(len(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g'))::DOUBLE
+                      / len(text), 4) AS punct_ratio,
+                round(len(list_filter(tk, x -> x IN
+                      ('the','a','of','and','to','in','is','that','it','for',
+                       'el','la','de','y','que','en','un','una','es','por',
+                       'le','et','une','est','pour',
+                       'der','die','das','und','zu','ist','ein','eine','mit')))::DOUBLE
+                      / len(tk), 4) AS stopword_ratio
+         FROM t ORDER BY doc_id""",
+    "x11_text_fingerprint" ->
+      """SELECT doc_id,
+                md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
+         FROM documents ORDER BY doc_id""",
+    "x12_mm_decode" ->
+      """SELECT doc_id AS asset_id, 'image' AS media_type,
+                octet_length(encode(text)) AS payload_bytes,
+                8 AS n_features
+         FROM documents ORDER BY asset_id""")
 }

@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale corpus curation: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard. All candidate generation is
+  * bucket-join based (shuffle on bucket keys, never a cross join), so each
+  * operator scales to the full corpus on a real cluster:
+  *
+  *   - exact:      1 shuffle on the content fingerprint
+  *   - MinHash:    map-side signatures → explode bands → self-join on
+  *                 (band, bucket) — candidates only within equal buckets
+  *   - SimHash:    map-side 64-bit signature → 4×16-bit band join →
+  *                 Hamming verify via bit_count(xor)
+  *   - Jaccard:    shared-token-bucket join → exact set Jaccard verify
+  *
+  * Signatures are pure Catalyst expressions (xxhash64 + higher-order
+  * functions) — no UDFs, no driver-side state, no ML pipeline overhead.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-`orderCol` row per fingerprint of the
+    * normalized text. One hash shuffle; with AQE, skewed fingerprints
+    * (boilerplate docs) split automatically. */
+  def exactByText(df: DataFrame, textCol: String, orderCol: String): DataFrame = {
+    val w = Window.partitionBy(TextOps.fingerprintMd5(col(textCol))).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Word n-gram shingles of the normalized text (n tokens per shingle). */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = TextOps.tokens(c)
+    when(size(toks) < n, array(TextOps.normalizeText(c)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
+  }
+
+  /** MinHash signature: for hash seed j, min over shingles of a universal
+    * hash of the shingle. `numHashes` permutations approximate the Jaccard
+    * similarity: P[minhash equal] = J(A,B). */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
+    val p = 2147483647L // 2^31 - 1, Mersenne prime
+    array((0 until numHashes).map { j =>
+      // Deterministic per-j affine transform of xxhash64 keeps the hashes
+      // independent-ish without a UDF or driver-side randomness.
+      val a = 1103515245L * (j + 1) % p
+      val b = 12345L * (j * j + 1) % p
+      array_min(transform(shingleCol,
+        s => pmod(lit(a) * pmod(xxhash64(s), lit(p)) + lit(b), lit(p))))
+    }: _*)
+  }
+
+  /** Near-duplicate PAIRS via MinHash LSH banding: signatures are split
+    * into `bands` bands of r rows; docs sharing any full band land in the
+    * same bucket and become candidates; candidates are verified with the
+    * exact signature agreement rate (an unbiased Jaccard estimate).
+    * Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.7, shingleSize: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigs = df.select(
+      col(idCol).as("id"),
+      minhashSignature(shingles(col(textCol), shingleSize), numHashes).as("sig"))
+
+    // band hash = xxhash64 of the band's slice of the signature
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * lit(r) + 1, lit(r))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+    val l = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val rgt = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    val cand = l.join(rgt, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .dropDuplicates("id_a", "id_b") // same pair can share several bands
+
+    cand.withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
+          x => x)).cast("double") / numHashes.toDouble)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** Drop every doc that has a near-duplicate with a smaller id (the
+    * standard greedy keep-first policy; transitive chains collapse to their
+    * minimum without an iterative connected-components pass). */
+  def dropNearDuplicates(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
+    df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
+  /** 64-bit SimHash of the token multiset: per bit b, the bit is set iff
+    * more token-hashes have bit b set than cleared. Computed with
+    * higher-order functions only. */
+  def simhash(c: Column): Column = {
+    val hashes = transform(TextOps.tokens(c), t => xxhash64(t))
+    val n = size(hashes)
+    val bits = transform(sequence(lit(0), lit(63)), b =>
+      when(size(filter(hashes,
+          h => call_function("shiftright", h, b).bitwiseAND(1) === 1)) * 2 >= n,
+        call_function("shiftleft", lit(1L), b)).otherwise(lit(0L)))
+    aggregate(bits, lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs: 4×16-bit band join for candidates, then
+    * Hamming distance ≤ maxHamming via bit_count(xor). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val banded = sigs.select(col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("sh"), b * lit(16)).bitwiseAND(0xFFFF))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact token-set Jaccard for candidate pairs. `candidates` must have
+    * id_a/id_b; exact similarity is computed from the distinct-token
+    * arrays via array_intersect/array_union sizes. */
+  def jaccardVerify(df: DataFrame, idCol: String, textCol: String,
+                    candidates: DataFrame, threshold: Double): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      array_distinct(TextOps.tokens(col(textCol))).as("toks"))
+    candidates
+      .join(tok.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(tok.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+          size(array_union(col("toks_a"), col("toks_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** All-pairs token-set Jaccard within an id-bounded slice — the
+    * oracle-checkable exact variant (quadratic; bounded by maxId so the
+    * cost is constant in corpus scale). The LSH variants above are the
+    * full-corpus path. */
+  def jaccardPairsExact(df: DataFrame, idCol: String, textCol: String,
+                        maxId: Long, threshold: Double): DataFrame = {
+    val tok = df.filter(col(idCol) < maxId).select(col(idCol).as("id"),
+      array_distinct(TextOps.tokens(col(textCol))).as("toks"))
+    val a = tok.select(col("id").as("id_a"), col("toks").as("toks_a"))
+    val b = tok.select(col("id").as("id_b"), col("toks").as("toks_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+          size(array_union(col("toks_a"), col("toks_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization,
+  * language ID, quality scoring, fingerprinting. Everything is built from
+  * codegen'd Catalyst expressions (no UDFs), so the operators distribute and
+  * pipeline with scans — at 100 TB these run as map-only stages over the
+  * parquet scan with full column pruning.
+  */
+object TextOps {
+
+  /** Lowercase, collapse whitespace, trim — the canonical form used by
+    * dedup and fingerprinting. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normalizeText(c), " ")
+
+  /** Whitespace token count; empty/null-safe. */
+  def tokenCount(c: Column): Column =
+    when(c.isNull || normalizeText(c) === "", lit(0)).otherwise(size(tokens(c)))
+
+  /** BPE-ish sub-word token estimate: word pieces of ≤4 chars, digits and
+    * punctuation as single tokens (a deterministic stand-in for a real BPE
+    * vocab — the regex mirrors common byte-pair segmentation behavior). */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit("[a-z]{1,4}|[0-9]|[^a-z0-9\\s]"), lit(0)))
+
+  /** Stopword lists for the n-gram/stopword language-ID heuristic. Tiny by
+    * design: language ID at pipeline scale wants a cheap, shuffle-free
+    * per-row signal. */
+  val StopWords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "una", "es", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "que", "en", "un", "une", "est", "pour"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "in", "ist", "ein", "eine", "mit"))
+
+  /** Count of tokens that appear in `words` (multiset count — repeated
+    * stopwords count every occurrence). */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /** Heuristic language ID over a fixed candidate set: argmax of stopword
+    * hits, ties broken by language code, "und" (undetermined) when no
+    * stopword matches. Pure expressions → map-only at any scale. */
+  def langId(c: Column, candidates: Seq[String] = Seq("en", "es", "fr", "de")): Column = {
+    val toks = tokens(c)
+    // greatest() over (score, negated-lang-rank) structs = deterministic argmax
+    val scored = candidates.map { lang =>
+      struct(
+        stopwordHits(toks, StopWords(lang)).as("score"),
+        lit(-candidates.indexOf(lang)).as("rank"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") <= 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Document-quality features + a composite score in [0,1]:
+    * length, alpha ratio, punctuation ratio, stopword ratio, mean token
+    * length — the usual cheap pre-training filters. */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val c = col(textCol)
+    val toks = tokens(c)
+    val nChars = length(c).cast("double")
+    val nTok = size(toks).cast("double")
+    val allStop = StopWords.values.flatten.toSeq.distinct
+    df.withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("mean_token_len",
+        round(when(nTok > 0, (length(normalizeText(c)) - (nTok - 1)) / nTok).otherwise(0.0), 4))
+      .withColumn("alpha_ratio",
+        round(when(nChars > 0,
+          length(regexp_replace(c, "[^A-Za-z]", "")) / nChars).otherwise(0.0), 4))
+      .withColumn("punct_ratio",
+        round(when(nChars > 0,
+          length(regexp_replace(c, "[^.,;:!?'\"()\\[\\]-]", "")) / nChars).otherwise(0.0), 4))
+      .withColumn("stopword_ratio",
+        round(when(nTok > 0, size(filter(toks, t => t.isin(allStop: _*))) / nTok)
+          .otherwise(0.0), 4))
+      .withColumn("quality_score",
+        round(least(lit(1.0), greatest(lit(0.0),
+          lit(0.25) * least(nTok / 50.0, lit(1.0)) +
+          lit(0.25) * col("alpha_ratio") +
+          lit(0.25) * least(col("stopword_ratio") * 5.0, lit(1.0)) +
+          lit(0.25) * (lit(1.0) - col("punct_ratio") * 5.0))), 4))
+  }
+
+  /** Stable content fingerprint: md5 of the normalized text. Identical
+    * duplicates collide exactly; used as the exact-dedup key. */
+  def fingerprintMd5(c: Column): Column = md5(normalizeText(c))
+
+  /** Polynomial rolling hash (Rabin-Karp style, base 31 mod 2^61-1) over the
+    * normalized text's characters, computed with the `aggregate`
+    * higher-order function — a cheap order-sensitive fingerprint that,
+    * unlike md5, supports incremental/windowed composition. */
+  def fingerprintRolling(c: Column): Column = {
+    val p = lit(1000000007L) // prime small enough that acc*31+c never overflows
+    val chars = split(normalizeText(c), "")
+    aggregate(chars, lit(0L),
+      (acc, ch) => pmod(acc * 31 + coalesce(ascii(ch).cast("long"), lit(0L)), p))
+  }
+}

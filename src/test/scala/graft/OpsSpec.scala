@@ -1,0 +1,173 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** Unit tests for the large-scale pipeline operators (dedup, similarity,
+  * text analysis, multimodal plumbing). */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ------------------------- text analysis -------------------------
+
+  test("tokenCount and normalization") {
+    val df = Seq((1L, "  The  quick   brown fox "), (2L, ""), (3L, "one")).toDF("id", "text")
+    val got = df.select(col("id"), TextOps.tokenCount(col("text")).as("n"))
+      .orderBy("id").collect().map(_.getInt(1)).toSeq
+    assert(got == Seq(4, 0, 1))
+  }
+
+  test("bpe-ish token count splits long words and symbols") {
+    val df = Seq((1L, "internationalization 42!")).toDF("id", "text")
+    // internationalization → 5 pieces of ≤4 chars, "4","2" digits, "!" symbol
+    val got = df.select(TextOps.bpeTokenCount(col("text"))).collect().head.getInt(0)
+    assert(got == 5 + 2 + 1)
+  }
+
+  test("langId picks the stopword-dominant language deterministically") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and it is happy"),
+      (2L, "el gato es grande y la casa es de madera"),
+      (3L, "zzz qqq www")).toDF("id", "text")
+    val got = df.select(col("id"), TextOps.langId(col("text")).as("lang"))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(got == Seq("en", "es", "und"))
+  }
+
+  test("quality features are bounded and sane") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val row = TextOps.qualityFeatures(df, "text").collect().head
+    val score = row.getAs[Double]("quality_score")
+    assert(score >= 0.0 && score <= 1.0)
+    assert(row.getAs[Long]("n_tokens") == 9L)
+    assert(row.getAs[Double]("punct_ratio") == 0.0)
+    assert(row.getAs[Double]("stopword_ratio") > 0.2) // "the" twice + "over"... of 9
+  }
+
+  test("fingerprints: md5 ignores case/whitespace, rolling hash is order-sensitive") {
+    val df = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "world hello")).toDF("id", "text")
+    val fp = df.select(col("id"), TextOps.fingerprintMd5(col("text")).as("m"),
+      TextOps.fingerprintRolling(col("text")).as("r")).orderBy("id").collect()
+    assert(fp(0).getString(1) == fp(1).getString(1)) // normalization collision
+    assert(fp(0).getString(1) != fp(2).getString(1))
+    assert(fp(0).getLong(2) == fp(1).getLong(2))
+    assert(fp(0).getLong(2) != fp(2).getLong(2)) // order-sensitive
+  }
+
+  // ------------------------- dedup -------------------------
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "THE QUICK  brown fox jumps over the lazy dog again and again today"), // exact dup after norm
+    (3L, "the quick brown fox jumps over the lazy cat again and again today"), // near dup (1 token)
+    (4L, "completely different content about spark query engines and columnar scans"),
+    (5L, "another unrelated short text")).toDF("doc_id", "text")
+
+  test("exactByText keeps the lowest id per normalized text") {
+    val kept = Dedup.exactByText(docs, "text", "doc_id")
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("minhashPairs finds exact and near duplicates, not unrelated docs") {
+    // 32 bands × 2 rows: candidate recall ~1.0 at J≈0.57 (the 1↔3 pair)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      numHashes = 64, bands = 32, threshold = 0.35, shingleSize = 3)
+    val got = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L))) // exact dup: est_jaccard = 1
+    assert(got.contains((1L, 3L)) || got.contains((2L, 3L))) // near dup
+    assert(!got.exists { case (a, b) => b == 4L || b == 5L || a == 4L })
+    val exact = pairs.filter(col("id_a") === 1 && col("id_b") === 2)
+      .select("est_jaccard").collect().head.getDouble(0)
+    assert(exact == 1.0)
+  }
+
+  test("dropNearDuplicates keeps the smallest id of each cluster") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.5, shingleSize = 3)
+    val kept = Dedup.dropNearDuplicates(docs, pairs, "doc_id")
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept.head == 1L)
+    assert(!kept.contains(2L))
+    assert(kept.contains(4L) && kept.contains(5L))
+  }
+
+  test("simhashPairs: identical docs have hamming 0, near dups small hamming") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+    val m = pairs.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(m((1L, 2L)) == 0)
+    assert(m.get((1L, 3L)).exists(_ <= 8))
+    assert(!m.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("jaccardPairsExact computes exact token-set jaccard") {
+    val pairs = Dedup.jaccardPairsExact(docs, "doc_id", "text", maxId = 100, threshold = 0.5)
+    val m = pairs.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(m((1L, 2L)) == 1.0)
+    // docs 1 and 3: tokens differ by {dog}/{cat}: inter=10, union=12
+    assert(m((1L, 3L)) == math.round(10.0 / 12.0 * 10000) / 10000.0)
+  }
+
+  // ------------------------- similarity -------------------------
+
+  val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f)),
+    (3L, Array(0.0f, 1.0f, 0.0f)),
+    (4L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by cosine with deterministic tie-break") {
+    val queries = vecs.filter(col("vec_id") === 1)
+    val got = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", 3)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(got.map(_._2) == Seq(4L, 2L, 3L)) // identical first, then near, then orthogonal
+  }
+
+  test("cosineNearDupPairs finds the identical pair") {
+    val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.99)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(p => (p._1, p._2)).contains((1L, 4L)))
+    assert(got.forall(_._3 >= 0.99))
+  }
+
+  test("lshTopK finds identical vectors (same signature in every band)") {
+    val queries = vecs.filter(col("vec_id") === 1)
+    val got = Similarity.lshTopK(vecs, queries, "vec_id", "embedding", 2)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(got.nonEmpty && got.head == 4L)
+  }
+
+  // ------------------------- multimodal -------------------------
+
+  test("asset schema + stub decode plumbing") {
+    val assets = Multimodal.assetsFromText(
+      docs.withColumnRenamed("doc_id", "id"), "id", "text")
+    assert(assets.schema.fieldNames.toSeq ==
+      Seq("asset_id", "media_type", "payload", "meta"))
+    val feats = Multimodal.decodeFeatures(spark, assets, partitions = 2)
+    val rows = feats.collect()
+    assert(rows.length == 5)
+    val f = rows.head.getAs[scala.collection.Seq[Float]]("features")
+    assert(f.length == 8 && f.head > 0) // byte length in slot 0
+    // determinism: same payload → same features
+    val f1 = feats.filter(col("asset_id") === 1).collect().head
+      .getAs[scala.collection.Seq[Float]]("features")
+    val f1b = Multimodal.decodeFeatures(spark, assets).filter(col("asset_id") === 1)
+      .collect().head.getAs[scala.collection.Seq[Float]]("features")
+    assert(f1 == f1b)
+  }
+
+  test("sampleChunks produces bounded chunk index and sizes") {
+    val assets = Multimodal.assetsFromText(
+      docs.withColumnRenamed("doc_id", "id"), "id", "text")
+    val chunks = Multimodal.sampleChunks(assets, chunkSize = 8, stride = 2)
+    val rows = chunks.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Int]("chunk_bytes") <= 8))
+  }
+}
