@@ -15,8 +15,11 @@ import graft.engine.QueryEngine
   */
 object SparkEntry {
 
+  /** Tables resolve through the in-memory registry — the reference's
+    * store-once-query-many model (datasets live in the cache, not on disk).
+    */
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.sources.TableRegistry.table(s, dir, name)
 
   /** Engine-dialect query runner. */
   private def q(table: String, json: String,
@@ -220,12 +223,19 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // embedding-cosine near-dup pairs via hyperplane LSH (rows-only check;
-    // synthetic corpus max pairwise cosine ≈ 0.51, so threshold 0.4)
-    "x5_dedup_embcos" -> ((s, dir) =>
+    // embedding-cosine near-dup pairs via hyperplane LSH (rows-only check).
+    // The synthetic corpus has no true near-dups (max pairwise cos ≈ 0.51),
+    // so inject perturbed copies — each original must pair with its copy.
+    "x5_dedup_embcos" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val perturbed = e.select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x * (lit(1.0) + (i % 7).cast("double") / 1000)).as("embedding"))
       graft.ops.Similarity.cosineNearDupPairs(
-        t(s, dir, "embeddings").withColumn("embedding", col("embedding").cast("array<double>")),
-        "vec_id", "embedding", threshold = 0.4).orderBy("id_a", "id_b")),
+        e.unionByName(perturbed), "vec_id", "embedding",
+        threshold = 0.95, dim = 64).orderBy("id_a", "id_b")
+    }),
 
     // brute-force cosine top-k ANN (oracle-checked against DuckDB
     // list_cosine_similarity)
@@ -242,7 +252,7 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
         .withColumn("embedding", col("embedding").cast("array<double>"))
       graft.ops.Similarity.lshTopK(
-        e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, dim = 64)
         .orderBy("query_id", "rank")
     }),
 

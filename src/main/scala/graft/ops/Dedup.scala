@@ -38,18 +38,28 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
   }
 
-  /** MinHash signature: for hash seed j, min over shingles of a universal
-    * hash of the shingle. `numHashes` permutations approximate the Jaccard
-    * similarity: P[minhash equal] = J(A,B). */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
-    val p = 2147483647L // 2^31 - 1, Mersenne prime
+  private val MersenneP = 2147483647L // 2^31 - 1
+
+  /** Base hash of each shingle, computed ONCE per row. The signature's 64
+    * permutations are then cheap affine passes over this array. Keeping
+    * this in its own projection matters: higher-order functions are outside
+    * whole-stage codegen's subexpression elimination, so inlining the
+    * shingle tree into every per-seed transform would re-shingle the
+    * document numHashes times. */
+  def shingleHashes(shingleCol: Column): Column =
+    transform(shingleCol, s => pmod(xxhash64(s), lit(MersenneP)))
+
+  /** MinHash signature over precomputed shingle hashes: for seed j, min
+    * over shingles of a per-j affine universal hash. P[minhash equal] =
+    * J(A,B) across seeds. */
+  def minhashSignature(hashesCol: Column, numHashes: Int): Column = {
+    val p = MersenneP
     array((0 until numHashes).map { j =>
-      // Deterministic per-j affine transform of xxhash64 keeps the hashes
+      // Deterministic per-j affine transform keeps the permutations
       // independent-ish without a UDF or driver-side randomness.
       val a = 1103515245L * (j + 1) % p
       val b = 12345L * (j * j + 1) % p
-      array_min(transform(shingleCol,
-        s => pmod(lit(a) * pmod(xxhash64(s), lit(p)) + lit(b), lit(p))))
+      array_min(transform(hashesCol, h => pmod(lit(a) * h + lit(b), lit(p))))
     }: _*)
   }
 
@@ -64,9 +74,13 @@ object Dedup {
                    threshold: Double = 0.7, shingleSize: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sigs = df.select(
-      col(idCol).as("id"),
-      minhashSignature(shingles(col(textCol), shingleSize), numHashes).as("sig"))
+    // Two projection layers on purpose (shingle+hash once, then permute):
+    // CollapseProject keeps them separate because "hs" is a non-cheap
+    // expression referenced numHashes times.
+    val hashed = df.select(col(idCol).as("id"),
+      shingleHashes(shingles(col(textCol), shingleSize)).as("hs"))
+    val sigs = hashed.select(col("id"),
+      minhashSignature(col("hs"), numHashes).as("sig"))
 
     // band hash = xxhash64 of the band's slice of the signature
     val banded = sigs.select(col("id"), col("sig"),
@@ -96,11 +110,10 @@ object Dedup {
   def dropNearDuplicates(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
-  /** 64-bit SimHash of the token multiset: per bit b, the bit is set iff
-    * more token-hashes have bit b set than cleared. Computed with
-    * higher-order functions only. */
-  def simhash(c: Column): Column = {
-    val hashes = transform(TextOps.tokens(c), t => xxhash64(t))
+  /** 64-bit SimHash over precomputed token hashes: per bit b, the bit is
+    * set iff more token-hashes have bit b set than cleared. Pass a
+    * materialized hash-array column (see shingleHashes note on why). */
+  def simhashOfHashes(hashes: Column): Column = {
     val n = size(hashes)
     val bits = transform(sequence(lit(0), lit(63)), b =>
       when(size(filter(hashes,
@@ -109,11 +122,18 @@ object Dedup {
     aggregate(bits, lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
+  /** 64-bit SimHash of the token multiset (single-expression convenience
+    * form; prefer the two-projection shape in pipelines). */
+  def simhash(c: Column): Column =
+    simhashOfHashes(transform(TextOps.tokens(c), t => xxhash64(t)))
+
   /** SimHash near-dup pairs: 4×16-bit band join for candidates, then
     * Hamming distance ≤ maxHamming via bit_count(xor). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val hashed = df.select(col(idCol).as("id"),
+      transform(TextOps.tokens(col(textCol)), t => xxhash64(t)).as("th"))
+    val sigs = hashed.select(col("id"), simhashOfHashes(col("th")).as("sh"))
     val banded = sigs.select(col("id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sh"), b * lit(16)).bitwiseAND(0xFFFF))))

@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Vector dimensionality probe (one tiny job); callers on fixed-dim
+    * corpora should pass dim explicitly instead. */
+  def vecDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head.getInt(0)
+
   /** Dot product of two array<numeric> columns. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
@@ -50,15 +55,26 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
-  /** Random-hyperplane signature: bit j = sign of <v, h_j> where h_j is a
-    * deterministic pseudo-random ±1 hyperplane derived from xxhash64(j, i).
-    * Cheap, reproducible, and entirely map-side. */
-  def hyperplaneSignature(vec: Column, bits: Int): Column =
+  /** Deterministic ±1 hyperplane components from a splitmix64-style mix —
+    * computed once on the driver and shipped as literals, so signature
+    * evaluation is pure multiply-add over the vector (no per-element
+    * hashing at runtime). */
+  private def planeSign(j: Int, i: Int): Double = {
+    var z = j.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= z >>> 31
+    if ((z & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** Random-hyperplane signature: bit j = sign of <v, h_j>. The hyperplanes
+    * are literal ±1 arrays (dim must be known — embeddings have a fixed
+    * dimensionality), making each bit one zip_with/aggregate pass with no
+    * hashing in the row path. */
+  def hyperplaneSignature(vec: Column, bits: Int, dim: Int): Column =
     array((0 until bits).map { j =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          // ±1 component from the parity of a per-(j, index) hash
-          (x, i) => x * when(pmod(xxhash64(lit(j), i), lit(2)) === 0, 1.0).otherwise(-1.0)),
+      val plane = typedLit((0 until dim).map(i => planeSign(j, i)))
+      val proj = aggregate(zip_with(vec, plane, (x, s) => x * s),
         lit(0.0d), (acc, x) => acc + x)
       when(proj >= 0, lit(1)).otherwise(lit(0))
     }: _*)
@@ -68,11 +84,13 @@ object Similarity {
     * Recall < 1 by construction — `bands`×`bitsPerBand` trades recall for
     * candidate volume. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, bands: Int = 8, bitsPerBand: Int = 4): DataFrame = {
+              vecCol: String, k: Int, bands: Int = 8, bitsPerBand: Int = 4,
+              dim: Int = -1): DataFrame = {
     val bits = bands * bitsPerBand
+    val d = if (dim > 0) dim else vecDim(corpus, vecCol)
     def banded(df: DataFrame, side: String) =
       df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec"),
-          hyperplaneSignature(col(vecCol), bits).as("sig"))
+          hyperplaneSignature(col(vecCol), bits, d).as("sig"))
         .select(col(s"${side}_id"), col(s"${side}_vec"),
           posexplode(transform(sequence(lit(0), lit(bands - 1)),
             b => xxhash64(concat_ws(",", slice(col("sig"), b * lit(bitsPerBand) + 1, lit(bitsPerBand)))))))
@@ -97,10 +115,11 @@ object Similarity {
     * LSH bucketing, self-join form. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, bands: Int = 8,
-                         bitsPerBand: Int = 4): DataFrame = {
+                         bitsPerBand: Int = 8, dim: Int = -1): DataFrame = {
     val bits = bands * bitsPerBand
+    val d = if (dim > 0) dim else vecDim(df, vecCol)
     val sigs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-        hyperplaneSignature(col(vecCol), bits).as("sig"))
+        hyperplaneSignature(col(vecCol), bits, d).as("sig"))
       .select(col("id"), col("vec"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",", slice(col("sig"), b * lit(bitsPerBand) + 1, lit(bitsPerBand)))))))
