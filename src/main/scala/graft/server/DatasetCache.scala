@@ -1,0 +1,95 @@
+package graft.server
+
+import scala.collection.mutable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** A cached dataset: the persisted DataFrame plus the bookkeeping the
+  * reference keeps per entry (reference: qcache/dataset_cache.py:4-21). */
+final class CacheItem(val df: DataFrame, val size: Long, val creationTime: Long) {
+  @volatile var lastAccessTime: Long = creationTime
+  @volatile var accessCount: Long = 0
+}
+
+/** Byte-budget LRU + TTL cache of DataFrames, replicating the reference's
+  * eviction rules (reference: qcache/dataset_cache.py):
+  *   - eviction order = least-recently-ACCESSED first
+  *   - a single dataset larger than the whole budget is refused
+  *   - TTL is checked lazily at query time, not by a reaper thread
+  *
+  * DataFrames persist MEMORY_ONLY; eviction unpersists. `clock` is
+  * injectable so TTL behavior is testable without sleeping.
+  */
+final class DatasetCache(val maxSize: Long, val maxAge: Long,
+                         clock: () => Long = () => System.currentTimeMillis()) {
+  private val lock = new Object
+  private val items = mutable.LinkedHashMap.empty[String, CacheItem]
+  private var totalSize: Long = 0
+
+  def size: Long = lock.synchronized(totalSize)
+  def count: Int = lock.synchronized(items.size)
+  def contains(key: String): Boolean = lock.synchronized(items.contains(key))
+
+  /** Access bumps the LRU clock (reference: dataset_cache.py:14-18). */
+  def get(key: String): Option[CacheItem] = lock.synchronized {
+    items.get(key).map { item =>
+      item.lastAccessTime = clock()
+      item.accessCount += 1
+      item
+    }
+  }
+
+  def put(key: String, df: DataFrame, byteSize: Long): Unit = lock.synchronized {
+    items.remove(key).foreach { old => totalSize -= old.size }
+    df.persist(StorageLevel.MEMORY_ONLY)
+    items(key) = new CacheItem(df, byteSize, clock())
+    totalSize += byteSize
+  }
+
+  /** Swap the frame under a key keeping its size/ctime bookkeeping — the
+    * update statement's cache-replace (the reference mutates in place;
+    * immutable DataFrames swap instead, SURVEY.md §7.4). */
+  def replaceFrame(key: String, df: DataFrame): Unit = lock.synchronized {
+    items.get(key).foreach { old =>
+      df.persist(StorageLevel.MEMORY_ONLY)
+      df.count() // materialize before exposing the swapped frame
+      old.df.unpersist()
+      items(key) = new CacheItem(df, old.size, old.creationTime)
+    }
+  }
+
+  def delete(key: String): Boolean = lock.synchronized {
+    items.remove(key) match {
+      case Some(item) => totalSize -= item.size; item.df.unpersist(); true
+      case None => false
+    }
+  }
+
+  def hasExpired(item: CacheItem): Boolean =
+    maxAge > 0 && clock() > item.creationTime + maxAge * 1000
+
+  /** Lazy TTL eviction (reference: dataset_cache.py:28-36). */
+  def evictIfTooOld(key: String): Boolean = lock.synchronized {
+    items.get(key) match {
+      case Some(item) if hasExpired(item) => delete(key)
+      case _ => false
+    }
+  }
+
+  /** Evict least-recently-accessed datasets until `byteCount` fits.
+    * Returns seconds each evicted dataset spent in the cache
+    * (reference: dataset_cache.py:60-81). */
+  def ensureFree(byteCount: Long): Seq[Double] = lock.synchronized {
+    if (byteCount > maxSize)
+      throw new IllegalStateException("Impossible to allocate")
+    if (maxSize - totalSize >= byteCount) return Nil
+    val now = clock()
+    val lru = items.toSeq.sortBy(_._2.lastAccessTime)
+    val durations = mutable.ArrayBuffer.empty[Double]
+    for ((key, item) <- lru if maxSize - totalSize < byteCount) {
+      durations += (now - item.creationTime) / 1000.0
+      delete(key)
+    }
+    durations.toSeq
+  }
+}

@@ -1,0 +1,287 @@
+package graft.server
+
+import java.net.InetSocketAddress
+import java.net.URLDecoder
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.Executors
+import scala.util.matching.Regex
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
+
+import graft.engine._
+import graft.sources.{Ingest, Serialize}
+
+/** HTTP front replicating the reference's API surface
+  * (reference: qcache/app.py): key→table store/query/delete with content
+  * negotiation, type-hint and stand-in headers, pagination header,
+  * LZ4/GZIP codecs, statistics, status. Built on the JDK's HttpServer —
+  * zero extra dependencies.
+  *
+  * Spark notes: each stored body parses into a persisted DataFrame (the
+  * cache is the storage layer); queries compile to lazy plans and
+  * materialize only at serialization. In local mode this races nothing;
+  * across threads the DatasetCache lock serializes metadata while Spark
+  * jobs run concurrently.
+  */
+final class GraftServer(spark: SparkSession, port: Int,
+                        maxCacheSize: Long = 1000000000L, maxAge: Long = 0,
+                        statisticsBufferSize: Int = 1000,
+                        clock: () => Long = () => System.currentTimeMillis()) {
+
+  val stats = new Statistics(statisticsBufferSize)
+  val cache = new DatasetCache(maxCacheSize, maxAge, clock)
+
+  private val DatasetPath: Regex = "^/qcache/dataset/([A-Za-z0-9\\-_]+)(/q)?$".r
+  private val AcceptedTypes = Set("application/json", "text/csv")
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  server.setExecutor(Executors.newFixedThreadPool(8))
+  server.createContext("/", handle _)
+
+  def start(): Unit = server.start()
+  def stop(): Unit = server.stop(0)
+  def boundPort: Int = server.getAddress.getPort
+
+  // ------------------------------------------------------------------
+
+  private final class HttpFail(val status: Int, val message: String = "")
+    extends RuntimeException(message)
+
+  private def handle(exchange: HttpExchange): Unit = {
+    val t0 = clock()
+    var operation: Option[String] = None
+    try {
+      val path = exchange.getRequestURI.getPath
+      (exchange.getRequestMethod, path) match {
+        case ("GET", "/qcache/status") => respond(exchange, 200, "OK".getBytes(UTF_8))
+        case ("GET", "/qcache/statistics") => statistics(exchange)
+        case (method, DatasetPath(key, qSuffix)) =>
+          val hasQ = qSuffix != null
+          method match {
+            case "GET" =>
+              operation = Some("query")
+              if (hasQ) throw new HttpFail(404)
+              query(exchange, key, queryParam(exchange))
+            case "POST" if hasQ =>
+              operation = Some("query")
+              query(exchange, key, new String(decodedBody(exchange), UTF_8))
+            case "POST" =>
+              operation = Some("store")
+              store(exchange, key, t0)
+            case "DELETE" =>
+              if (hasQ) throw new HttpFail(404)
+              cache.delete(key)
+              respond(exchange, 200, Array.emptyByteArray)
+            case _ => throw new HttpFail(405)
+          }
+        case _ => throw new HttpFail(404)
+      }
+    } catch {
+      case f: HttpFail =>
+        respond(exchange, f.status,
+          if (f.message.nonEmpty) f.message.getBytes(UTF_8) else Array.emptyByteArray)
+      case e: IllegalStateException if e.getMessage == "Impossible to allocate" =>
+        respond(exchange, 500, e.getMessage.getBytes(UTF_8))
+      case e: Throwable =>
+        respond(exchange, 500, String.valueOf(e.getMessage).getBytes(UTF_8))
+    } finally {
+      operation.foreach(op =>
+        stats.append(s"${op}_request_durations", (clock() - t0) / 1000.0))
+      exchange.close()
+    }
+  }
+
+  // --- request plumbing -------------------------------------------------
+
+  private def header(exchange: HttpExchange, name: String): Option[String] =
+    Option(exchange.getRequestHeaders.getFirst(name))
+
+  private def decodedBody(exchange: HttpExchange): Array[Byte] = {
+    val raw = exchange.getRequestBody.readAllBytes()
+    try Codec.decodeBody(raw, header(exchange, "Content-Encoding"))
+    catch { case e: IllegalArgumentException => throw new HttpFail(400, e.getMessage) }
+  }
+
+  private def queryParam(exchange: HttpExchange): String =
+    Option(exchange.getRequestURI.getRawQuery).getOrElse("").split('&')
+      .collectFirst { case s if s.startsWith("q=") =>
+        URLDecoder.decode(s.substring(2), UTF_8) }
+      .getOrElse("")
+
+  /** Accept negotiation: json and csv only, json default; anything else
+    * 406 (reference: app.py:116-122). Deviation from the reference: a
+    * `*`/`*` wildcard (what curl and most clients send by default)
+    * resolves to json instead of 406. */
+  private def acceptType(exchange: HttpExchange): String = {
+    val accepted = header(exchange, "Accept").getOrElse("application/json")
+      .split(',').map(_.split(';').head.trim)
+    accepted.collectFirst {
+      case t if AcceptedTypes(t) => t
+      case "*/*"                 => "application/json"
+    }.getOrElse(throw new HttpFail(406))
+  }
+
+  /** Content-Type check: csv default, utf-8 only
+    * (reference: app.py:124-137). */
+  private def contentType(exchange: HttpExchange): String = {
+    val parts = header(exchange, "Content-Type").getOrElse("text/csv").split(';')
+    val ct = parts.head.trim
+    if (!AcceptedTypes(ct))
+      throw new HttpFail(415, s"Content-Type '$ct' not supported")
+    parts.drop(1).map(_.trim).foreach { p =>
+      if (p.toLowerCase.startsWith("charset=") &&
+          p.substring("charset=".length).toLowerCase != "utf-8")
+        throw new HttpFail(415,
+          s"charset=${p.substring("charset=".length)} not supported, only utf-8")
+    }
+    ct
+  }
+
+  private def keyValuesHeader(exchange: HttpExchange, name: String): Seq[(String, String)] =
+    header(exchange, name).filter(_.nonEmpty).map { value =>
+      value.split(';').toSeq.map { kv =>
+        val parts = kv.split('=').map(_.trim)
+        (parts(0), if (parts.length > 1) parts(1) else "")
+      }
+    }.getOrElse(Nil)
+
+  /** Type hints (reference: app.py:150-168); unknown names → 400. */
+  private def typeHints(exchange: HttpExchange): Map[String, String] =
+    keyValuesHeader(exchange, "X-QCache-types").map { case (colName, typeName) =>
+      typeName match {
+        case "string" | "enum" | "float" => colName -> typeName
+        case other => throw new HttpFail(400,
+          s"""Unrecognized type name "$other" for column "$colName"""")
+      }
+    }.toMap
+
+  private def standIns(exchange: HttpExchange): Seq[(String, String)] =
+    keyValuesHeader(exchange, "X-QCache-stand-in-columns")
+
+  // --- operations -------------------------------------------------------
+
+  /** In-memory byte size of a cached frame: a fresh plan picks up the
+    * materialized InMemoryRelation, whose stats are the Tungsten columnar
+    * bytes — the analog of the reference's deep memory_usage
+    * (reference: qframe/__init__.py:98-100). */
+  private def inMemorySize(df: DataFrame): Long = {
+    val size = df.filter(lit(true)).queryExecution.optimizedPlan.stats.sizeInBytes
+    100L + (if (size.isValidLong) size.toLong else 0L)
+  }
+
+  private def store(exchange: HttpExchange, key: String, t0: Long): Unit = {
+    if (cache.contains(key)) {
+      stats.inc("replace_count")
+      cache.delete(key)
+    }
+    val ct = contentType(exchange)
+    val body = decodedBody(exchange)
+    val durations =
+      try cache.ensureFree(if (ct == "text/csv") body.length else body.length / 2)
+      catch { case e: IllegalStateException => throw e }
+    val text = new String(body, UTF_8)
+    val df =
+      try {
+        if (ct == "text/csv")
+          Ingest.fromCsv(spark, text, typeHints(exchange), standIns(exchange))
+        else Ingest.fromJsonRecords(spark, text, typeHints(exchange), standIns(exchange))
+      } catch {
+        case e: MalformedQueryException => throw new HttpFail(400, errorJson(e.getMessage))
+      }
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val rowCount = df.count()
+    cache.put(key, df, inMemorySize(df))
+    stats.inc("size_evict_count", durations.length)
+    stats.inc("store_count")
+    stats.append("store_row_counts", rowCount.toDouble)
+    stats.append("store_durations", (clock() - t0) / 1000.0)
+    stats.extend("durations_until_eviction", durations)
+    respond(exchange, 201, Array.emptyByteArray)
+  }
+
+  private def errorJson(msg: String): String =
+    s"""{"error": ${graft.engine.QueryJson.write(msg)}}"""
+
+  private def query(exchange: HttpExchange, key: String, qJson: String): Unit = {
+    val t0 = clock()
+    val accept = acceptType(exchange)
+    if (!cache.contains(key)) {
+      stats.inc("miss_count")
+      throw new HttpFail(404)
+    }
+    if (cache.evictIfTooOld(key)) {
+      stats.inc("miss_count")
+      stats.inc("age_evict_count")
+      throw new HttpFail(404)
+    }
+    val item = cache.get(key).getOrElse(throw new HttpFail(404))
+    try {
+      val q = Query.parse(qJson)
+      val withStandIns = Ingest.addStandInColumns(item.df, standIns(exchange))
+      if (q.isUpdate) {
+        // The only mutation: build the updated frame and swap it into the
+        // cache atomically (reference mutates in place: update.py:106-114).
+        cache.replaceFrame(key, UpdateEngine.update(withStandIns, q))
+        respond(exchange, 200, Array.emptyByteArray)
+      } else {
+        val result = QueryEngine.run(withStandIns, q)
+        val bytes = (if (accept == "text/csv") Serialize.toCsv(result.df)
+                     else Serialize.toJson(result.df)).getBytes(UTF_8)
+        val headers = Map(
+          "Content-Type" -> s"$accept; charset=utf-8",
+          "X-QCache-unsliced-length" -> result.unslicedLength.toString)
+        stats.inc("hit_count")
+        stats.append("query_durations", (clock() - t0) / 1000.0)
+        respond(exchange, 200, bytes, headers)
+      }
+    } catch {
+      case e: MalformedQueryException =>
+        respond(exchange, 400, errorJson(e.getMessage).getBytes(UTF_8))
+    }
+  }
+
+  private def statistics(exchange: HttpExchange): Unit = {
+    val snapshot = stats.snapshot() ++ Map(
+      "dataset_count" -> cache.count.toLong,
+      "cache_size" -> cache.size)
+    respond(exchange, 200, QueryJson.write(snapshot).getBytes(UTF_8),
+      Map("Content-Type" -> "application/json; charset=utf-8"))
+  }
+
+  /** Response write with optional compression: lz4 preferred, gzip second,
+    * 200-responses only (reference: compression.py:42-67). */
+  private def respond(exchange: HttpExchange, status: Int, body: Array[Byte],
+                      headers: Map[String, String] = Map.empty): Unit = {
+    headers.foreach { case (k, v) => exchange.getResponseHeaders.set(k, v) }
+    val encoding =
+      if (status == 200)
+        Codec.chooseResponseEncoding(header(exchange, "Accept-Encoding").getOrElse(""))
+      else None
+    val payload = Codec.encodeBody(body, encoding)
+    encoding.foreach(e => exchange.getResponseHeaders.set("Content-Encoding", e))
+    exchange.sendResponseHeaders(status, if (payload.isEmpty) -1 else payload.length)
+    if (payload.nonEmpty) exchange.getResponseBody.write(payload)
+  }
+}
+
+/** Standalone entry point: `sbt "runMain graft.server.Main [port]"`. */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val port = args.headOption.map(_.toInt).getOrElse(8888)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val server = new GraftServer(spark, port,
+      maxCacheSize = sys.env.getOrElse("QCACHE_MAX_SIZE", "1000000000").toLong,
+      maxAge = sys.env.getOrElse("QCACHE_MAX_AGE", "0").toLong)
+    server.start()
+    println(s"graft qcache server listening on port ${server.boundPort}")
+    Thread.currentThread().join()
+  }
+}

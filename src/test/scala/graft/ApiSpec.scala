@@ -1,0 +1,261 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.http.HttpRequest.BodyPublishers
+import java.net.http.HttpResponse.BodyHandlers
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.server.{Codec, GraftServer}
+
+/** End-to-end HTTP tests porting the reference's API suite
+  * (reference: test/test_api.py): store/query round trips, negotiation,
+  * headers, status codes, eviction, statistics, compression. */
+class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark = TestSpark.spark
+  var server: GraftServer = _
+  val client: HttpClient = HttpClient.newHttpClient()
+
+  override def beforeAll(): Unit = {
+    server = new GraftServer(spark, 0)
+    server.start()
+  }
+  override def afterAll(): Unit = if (server != null) server.stop()
+
+  def base: String = s"http://localhost:${server.boundPort}/qcache"
+
+  def req(path: String, server: GraftServer = server): HttpRequest.Builder =
+    HttpRequest.newBuilder(URI.create(
+      s"http://localhost:${server.boundPort}/qcache$path"))
+
+  def send(r: HttpRequest): HttpResponse[String] =
+    client.send(r, BodyHandlers.ofString())
+
+  def sendBytes(r: HttpRequest): HttpResponse[Array[Byte]] =
+    client.send(r, BodyHandlers.ofByteArray())
+
+  def storeCsv(key: String, csv: String, headers: (String, String)* ): HttpResponse[String] = {
+    var b = req(s"/dataset/$key").POST(BodyPublishers.ofString(csv))
+      .header("Content-Type", "text/csv")
+    headers.foreach { case (k, v) => b = b.header(k, v) }
+    send(b.build())
+  }
+
+  def query(key: String, q: String, accept: String = "application/json"): HttpResponse[String] =
+    send(req(s"/dataset/$key?q=" +
+      java.net.URLEncoder.encode(q, UTF_8)).GET().header("Accept", accept).build())
+
+  val csvData = "foo,bar\n1,aaa\n2,bbb\n3,ccc\n"
+
+  test("csv upload, json query round trip") {
+    assert(storeCsv("t1", csvData).statusCode() == 201)
+    val r = query("t1", """{"where": [">", "foo", 1]}""")
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").get.startsWith("application/json"))
+    assert(r.body() == """[{"foo":2,"bar":"bbb"},{"foo":3,"bar":"ccc"}]""")
+  }
+
+  test("json upload, csv query round trip") {
+    val body = """[{"foo": 1, "bar": "aaa"}, {"foo": 2, "bar": "bbb"}]"""
+    val r0 = send(req("/dataset/t2").POST(BodyPublishers.ofString(body))
+      .header("Content-Type", "application/json").build())
+    assert(r0.statusCode() == 201)
+    val r = query("t2", """{"where": ["==", "foo", 2]}""", accept = "text/csv")
+    assert(r.statusCode() == 200)
+    assert(r.body() == "foo,bar\n2,bbb\n")
+  }
+
+  test("query via POST /q") {
+    storeCsv("t3", csvData)
+    val r = send(req("/dataset/t3/q")
+      .POST(BodyPublishers.ofString("""{"select": [["count"]]}"""))
+      .header("Accept", "application/json").build())
+    assert(r.statusCode() == 200)
+    assert(r.body() == """[{"count":3}]""")
+  }
+
+  test("pagination: unsliced length header") {
+    storeCsv("t4", csvData)
+    val r = query("t4", """{"offset": 1, "limit": 1}""")
+    assert(r.headers().firstValue("X-QCache-unsliced-length").get == "3")
+    assert(r.body() == """[{"foo":2,"bar":"bbb"}]""")
+  }
+
+  test("GET on /q path is 404; unknown key is 404; counts a miss") {
+    storeCsv("t5", csvData)
+    assert(send(req("/dataset/t5/q").GET().build()).statusCode() == 404)
+    assert(query("no_such_key", "{}").statusCode() == 404)
+  }
+
+  test("malformed query JSON and unknown column are 400 with error body") {
+    storeCsv("t6", csvData)
+    assert(query("t6", "{not json").statusCode() == 400)
+    val r = query("t6", """{"where": ["==", "nope", 1]}""")
+    assert(r.statusCode() == 400)
+    assert(r.body().contains("error"))
+    val r2 = query("t6", """{"where": ["frobnicate", "foo", 1]}""")
+    assert(r2.statusCode() == 400 && r2.body().contains("Unknown operator"))
+  }
+
+  test("delete is idempotent and removes the dataset") {
+    storeCsv("t7", csvData)
+    assert(send(req("/dataset/t7").DELETE().build()).statusCode() == 200)
+    assert(query("t7", "{}").statusCode() == 404)
+    assert(send(req("/dataset/t7").DELETE().build()).statusCode() == 200)
+  }
+
+  test("content negotiation: bad accept 406, bad content type 415, bad charset 415") {
+    storeCsv("t8", csvData)
+    assert(query("t8", "{}", accept = "text/html").statusCode() == 406)
+    val badCt = send(req("/dataset/t8x").POST(BodyPublishers.ofString(csvData))
+      .header("Content-Type", "application/xml").build())
+    assert(badCt.statusCode() == 415)
+    val badCharset = send(req("/dataset/t8y").POST(BodyPublishers.ofString(csvData))
+      .header("Content-Type", "text/csv; charset=iso-8859-1").build())
+    assert(badCharset.statusCode() == 415)
+  }
+
+  test("type hints: string preserved, enum ordering rejected, unknown hint 400") {
+    storeCsv("t9", "foo,bar\n123,1\n456,2\n", "X-QCache-types" -> "foo=string")
+    val r = query("t9", """{"where": ["==", "foo", "'123'"]}""")
+    assert(r.body() == """[{"foo":"123","bar":1}]""")
+
+    storeCsv("t9b", "foo,bar\naaa,1\nbbb,2\n", "X-QCache-types" -> "foo=enum")
+    assert(query("t9b", """{"where": ["==", "foo", "'aaa'"]}""").statusCode() == 200)
+    val lt = query("t9b", """{"where": ["<", "foo", "'bbb'"]}""")
+    assert(lt.statusCode() == 400)
+
+    val bad = storeCsv("t9c", csvData, "X-QCache-types" -> "foo=int128")
+    assert(bad.statusCode() == 400 && bad.body().contains("Unrecognized type"))
+  }
+
+  test("stand-in columns: constant, column copy, chained") {
+    storeCsv("t10", "foo\n1\n2\n",
+      "X-QCache-stand-in-columns" -> "bar=13;baz=bar")
+    val r = query("t10", """{"select": ["foo", "bar", "baz"], "where": ["==", "foo", 1]}""")
+    assert(r.body() == """[{"foo":1,"bar":13,"baz":13}]""")
+  }
+
+  test("query-time stand-in columns") {
+    storeCsv("t11", "foo\n1\n")
+    val r = send(req("/dataset/t11?q=" +
+      java.net.URLEncoder.encode("""{"select": ["foo", "extra"]}""", UTF_8)).GET()
+      .header("X-QCache-stand-in-columns", "extra=42").build())
+    assert(r.body() == """[{"foo":1,"extra":42}]""")
+  }
+
+  test("update statement over HTTP mutates the cached table") {
+    storeCsv("t12", csvData)
+    val u = send(req("/dataset/t12/q").POST(BodyPublishers.ofString(
+      """{"update": [["bar", "'zzz'"]], "where": ["==", "foo", 2]}""")).build())
+    assert(u.statusCode() == 200)
+    val r = query("t12", """{"where": ["==", "foo", 2]}""")
+    assert(r.body() == """[{"foo":2,"bar":"zzz"}]""")
+  }
+
+  test("unicode round trip") {
+    storeCsv("t13", "foo,bar\naaa,Iñtërnâtiônàližætiøn\nbbb,räksmörgås\n")
+    val r = query("t13", """{"where": ["==", "bar", "'räksmörgås'"]}""")
+    assert(r.body() == """[{"foo":"bbb","bar":"räksmörgås"}]""")
+  }
+
+  test("statistics: counters accumulate and snapshot resets") {
+    storeCsv("stats1", csvData)
+    query("stats1", "{}")
+    query("missing_key_xyz", "{}")
+    val r1 = send(req("/statistics").GET().build())
+    assert(r1.statusCode() == 200)
+    assert(r1.body().contains("\"hit_count\""))
+    assert(r1.body().contains("\"miss_count\""))
+    assert(r1.body().contains("\"store_count\""))
+    assert(r1.body().contains("\"dataset_count\""))
+    val r2 = send(req("/statistics").GET().build())
+    assert(!r2.body().contains("\"hit_count\"")) // reset on snapshot
+  }
+
+  test("status endpoint") {
+    val r = send(req("/status").GET().build())
+    assert(r.statusCode() == 200 && r.body() == "OK")
+  }
+
+  test("gzip request and response bodies") {
+    val gz = Codec.gzipCompress(csvData.getBytes(UTF_8))
+    val stored = send(req("/dataset/t14").POST(BodyPublishers.ofByteArray(gz))
+      .header("Content-Type", "text/csv")
+      .header("Content-Encoding", "gzip").build())
+    assert(stored.statusCode() == 201)
+    val r = sendBytes(req("/dataset/t14?q=" +
+      java.net.URLEncoder.encode("""{"select": [["count"]]}""", UTF_8)).GET()
+      .header("Accept-Encoding", "gzip").build())
+    assert(r.headers().firstValue("Content-Encoding").get == "gzip")
+    assert(new String(Codec.gzipDecompress(r.body()), UTF_8) == """[{"count":3}]""")
+  }
+
+  test("lz4 request and response bodies (lz4 preferred over gzip)") {
+    val lz = Codec.lz4Compress(csvData.getBytes(UTF_8))
+    val stored = send(req("/dataset/t15").POST(BodyPublishers.ofByteArray(lz))
+      .header("Content-Type", "text/csv")
+      .header("Content-Encoding", "lz4").build())
+    assert(stored.statusCode() == 201)
+    val r = sendBytes(req("/dataset/t15?q=" +
+      java.net.URLEncoder.encode("""{"select": [["count"]]}""", UTF_8)).GET()
+      .header("Accept-Encoding", "lz4, gzip").build())
+    assert(r.headers().firstValue("Content-Encoding").get == "lz4")
+    assert(new String(Codec.lz4Decompress(r.body()), UTF_8) == """[{"count":3}]""")
+  }
+
+  test("unknown request encoding is 400") {
+    val r = send(req("/dataset/t16").POST(BodyPublishers.ofString(csvData))
+      .header("Content-Type", "text/csv")
+      .header("Content-Encoding", "snappy").build())
+    assert(r.statusCode() == 400)
+  }
+
+  test("size eviction: LRU dataset evicted when budget exceeded") {
+    // Probe the in-memory size of one dataset, then size a cache for 1.5×
+    val probe = new GraftServer(spark, 0)
+    probe.start()
+    try {
+      send(req("/dataset/probe", probe).POST(BodyPublishers.ofString(csvData))
+        .header("Content-Type", "text/csv").build())
+      val one = probe.cache.size
+      // Free headroom after the first store must be smaller than the next
+      // body's byte length for ensure_free to evict (reference semantics:
+      // the request body length is the allocation unit, app.py:248).
+      val small = new GraftServer(spark, 0, maxCacheSize = one + 10)
+      small.start()
+      try {
+        storeAt(small, "a"); storeAt(small, "b")
+        assert(queryAt(small, "a").statusCode() == 404) // LRU-evicted
+        assert(queryAt(small, "b").statusCode() == 200)
+        val s = send(req("/statistics", small).GET().build())
+        assert(s.body().contains("\"size_evict_count\":1"))
+      } finally small.stop()
+    } finally probe.stop()
+  }
+
+  test("age eviction: lazy TTL with injected clock") {
+    @volatile var now = 1000000000L
+    val ttl = new GraftServer(spark, 0, maxAge = 10, clock = () => now)
+    ttl.start()
+    try {
+      storeAt(ttl, "t")
+      assert(queryAt(ttl, "t").statusCode() == 200)
+      now += 11 * 1000
+      assert(queryAt(ttl, "t").statusCode() == 404)
+      val s = send(req("/statistics", ttl).GET().build())
+      assert(s.body().contains("\"age_evict_count\":1"))
+    } finally ttl.stop()
+  }
+
+  private def storeAt(s: GraftServer, key: String) =
+    send(req(s"/dataset/$key", s).POST(BodyPublishers.ofString(csvData))
+      .header("Content-Type", "text/csv").build())
+
+  private def queryAt(s: GraftServer, key: String) =
+    send(req(s"/dataset/$key?q=" +
+      java.net.URLEncoder.encode("{}", UTF_8), s).GET().build())
+}
