@@ -49,10 +49,17 @@ object Dedup {
   def shingleHashes(shingleCol: Column): Column =
     transform(shingleCol, s => pmod(xxhash64(s), lit(MersenneP)))
 
-  /** MinHash signature over precomputed shingle hashes: for seed j, min
-    * over shingles of a per-j affine universal hash. P[minhash equal] =
-    * J(A,B) across seeds. */
-  def minhashSignature(hashesCol: Column, numHashes: Int): Column = {
+  /** MinHash signature over precomputed shingle hashes — the native
+    * codegen'd kernel (see graft.functions.MinHashSignatureExpr). */
+  def minhashSignature(hashesCol: Column, numHashes: Int): Column =
+    org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.MinHashSignatureExpr(
+        org.apache.spark.sql.GraftSqlShims.expression(hashesCol), numHashes))
+
+  /** Pure higher-order-function formulation of the same signature —
+    * bit-identical to the native kernel (asserted in tests), kept as the
+    * reference implementation and codegen cross-check. */
+  def minhashSignatureHof(hashesCol: Column, numHashes: Int): Column = {
     val p = MersenneP
     array((0 until numHashes).map { j =>
       // Deterministic per-j affine transform keeps the permutations
@@ -82,20 +89,23 @@ object Dedup {
     val sigs = hashed.select(col("id"),
       minhashSignature(col("hs"), numHashes).as("sig"))
 
-    // band hash = xxhash64 of the band's slice of the signature
-    val banded = sigs.select(col("id"), col("sig"),
+    // band hash = xxhash64 of the band's slice of the signature. The
+    // candidate join and pair-dedup run on BARE ids — the 64-long signature
+    // payload would otherwise ride through the widest shuffle of the
+    // operator; it joins back afterwards from the (small) sigs relation.
+    val banded = sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * lit(r) + 1, lit(r))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
-    val l = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val rgt = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val rgt = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
     val cand = l.join(rgt, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b") // same pair can share several bands
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
 
     cand.withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
@@ -111,9 +121,15 @@ object Dedup {
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
   /** 64-bit SimHash over precomputed token hashes: per bit b, the bit is
-    * set iff more token-hashes have bit b set than cleared. Pass a
-    * materialized hash-array column (see shingleHashes note on why). */
-  def simhashOfHashes(hashes: Column): Column = {
+    * set iff more token-hashes have bit b set than cleared — the native
+    * codegen kernel (graft.functions.SimHashExpr). */
+  def simhashOfHashes(hashes: Column): Column =
+    org.apache.spark.sql.GraftSqlShims.column(graft.functions.SimHashExpr(
+      org.apache.spark.sql.GraftSqlShims.expression(hashes)))
+
+  /** HOF formulation of the same SimHash — bit-identical to the kernel
+    * (asserted in tests), kept as the reference implementation. */
+  def simhashOfHashesHof(hashes: Column): Column = {
     val n = size(hashes)
     val bits = transform(sequence(lit(0), lit(63)), b =>
       when(size(filter(hashes,

@@ -26,8 +26,15 @@ object Similarity {
   def vecDim(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).head.getInt(0)
 
-  /** Dot product of two array<numeric> columns. */
+  /** Dot product of two array<double> columns — native codegen kernel
+    * (graft.functions.DotProductExpr). */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlShims.column(graft.functions.DotProductExpr(
+      org.apache.spark.sql.GraftSqlShims.expression(a.cast("array<double>")),
+      org.apache.spark.sql.GraftSqlShims.expression(b.cast("array<double>"))))
+
+  /** HOF dot product — bit-identical to the kernel (asserted in tests). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -37,16 +44,26 @@ object Similarity {
     when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
   }
 
+  /** Cosine from a precomputed-norm pair — norms are per-ROW quantities, so
+    * join-heavy operators compute them once per input row instead of once
+    * per candidate pair. Same arithmetic as cosine(). */
+  private def cosineWithNorms(a: Column, na: Column, b: Column, nb: Column): Column = {
+    val d = na * nb
+    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k most similar
     * corpus vectors (excluding self). Query side is broadcast — the corpus
     * is scanned once, map-side, then only (nQueries × corpusRows reduced by
     * window top-k) flows into the shuffle. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      norm(col(vecCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      norm(col(vecCol)).as("cn"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qvec"), col("cvec")))
+      .withColumn("cos", cosineWithNorms(col("qvec"), col("qn"), col("cvec"), col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -55,26 +72,22 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
-  /** Deterministic ±1 hyperplane components from a splitmix64-style mix —
-    * computed once on the driver and shipped as literals, so signature
-    * evaluation is pure multiply-add over the vector (no per-element
-    * hashing at runtime). */
-  private def planeSign(j: Int, i: Int): Double = {
-    var z = j.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^= z >>> 31
-    if ((z & 1L) == 0L) 1.0 else -1.0
-  }
-
-  /** Random-hyperplane signature: bit j = sign of <v, h_j>. The hyperplanes
-    * are literal ±1 arrays (dim must be known — embeddings have a fixed
-    * dimensionality), making each bit one zip_with/aggregate pass with no
-    * hashing in the row path. */
+  /** Random-hyperplane signature: bit j = sign of <v, h_j>, with the ±1
+    * planes precomputed on the driver — the native codegen kernel
+    * (graft.functions.HyperplaneSignatureExpr). */
   def hyperplaneSignature(vec: Column, bits: Int, dim: Int): Column =
+    org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.HyperplaneSignatureExpr(
+        org.apache.spark.sql.GraftSqlShims.expression(vec.cast("array<double>")),
+        bits, dim))
+
+  /** HOF formulation of the same signature — bit-identical to the kernel
+    * (asserted in tests), kept as the reference implementation. */
+  def hyperplaneSignatureHof(vec: Column, bits: Int, dim: Int): Column =
     array((0 until bits).map { j =>
-      val plane = typedLit((0 until dim).map(i => planeSign(j, i)))
-      val proj = aggregate(zip_with(vec, plane, (x, s) => x * s),
+      val plane = typedLit((0 until dim).map(i =>
+        graft.functions.SignatureKernels.planeSign(j, i)))
+      val proj = aggregate(zip_with(vec.cast("array<double>"), plane, (x, s) => x * s),
         lit(0.0d), (acc, x) => acc + x)
       when(proj >= 0, lit(1)).otherwise(lit(0))
     }: _*)
@@ -90,8 +103,9 @@ object Similarity {
     val d = if (dim > 0) dim else vecDim(corpus, vecCol)
     def banded(df: DataFrame, side: String) =
       df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec"),
+          norm(col(vecCol)).as(s"${side}_norm"),
           hyperplaneSignature(col(vecCol), bits, d).as("sig"))
-        .select(col(s"${side}_id"), col(s"${side}_vec"),
+        .select(col(s"${side}_id"), col(s"${side}_vec"), col(s"${side}_norm"),
           posexplode(transform(sequence(lit(0), lit(bands - 1)),
             b => xxhash64(concat_ws(",", slice(col("sig"), b * lit(bitsPerBand) + 1, lit(bitsPerBand)))))))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
@@ -100,9 +114,11 @@ object Similarity {
     val q = banded(queries, "query")
     val cand = q.join(c, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "query_vec", "neighbor_id", "neighbor_vec")
+      .select("query_id", "query_vec", "query_norm",
+        "neighbor_id", "neighbor_vec", "neighbor_norm")
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cos", cosine(col("query_vec"), col("neighbor_vec")))
+      .withColumn("cos", cosineWithNorms(col("query_vec"), col("query_norm"),
+        col("neighbor_vec"), col("neighbor_norm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     cand.withColumn("rank", row_number().over(w))
@@ -118,18 +134,28 @@ object Similarity {
                          bitsPerBand: Int = 8, dim: Int = -1): DataFrame = {
     val bits = bands * bitsPerBand
     val d = if (dim > 0) dim else vecDim(df, vecCol)
-    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-        hyperplaneSignature(col(vecCol), bits, d).as("sig"))
-      .select(col("id"), col("vec"),
+    // Candidate join + pair-dedup on bare ids; the ~0.5 KB vector payload
+    // joins back from the small per-row relation afterwards.
+    val rows = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("nrm"),
+      hyperplaneSignature(col(vecCol), bits, d).as("sig"))
+    val banded = rows
+      .select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",", slice(col("sig"), b * lit(bitsPerBand) + 1, lit(bitsPerBand)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val l = sigs.select(col("band"), col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val r = sigs.select(col("band"), col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val payload = rows.select(col("id"), col("vec"), col("nrm"))
     l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .join(payload.select(col("id").as("id_a"), col("vec").as("vec_a"),
+        col("nrm").as("nrm_a")), "id_a")
+      .join(payload.select(col("id").as("id_b"), col("vec").as("vec_b"),
+        col("nrm").as("nrm_b")), "id_b")
+      .withColumn("cos", cosineWithNorms(col("vec_a"), col("nrm_a"),
+        col("vec_b"), col("nrm_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }

@@ -87,6 +87,37 @@ class OpsSpec extends AnyFunSuite {
     assert(exact == 1.0)
   }
 
+  test("native minhash_signature kernel is bit-identical to the HOF formulation") {
+    val hashed = docs.select(col("doc_id"),
+      Dedup.shingleHashes(Dedup.shingles(col("text"), 3)).as("hs"))
+    val both = hashed.select(col("doc_id"),
+      Dedup.minhashSignature(col("hs"), 64).as("native"),
+      Dedup.minhashSignatureHof(col("hs"), 64).as("hof"))
+    val rows = both.collect()
+    rows.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Long]]("native") ==
+        r.getAs[scala.collection.Seq[Long]]("hof"))
+    }
+  }
+
+  test("native simhash and hyperplane kernels are bit-identical to HOF formulations") {
+    val hashed = docs.select(col("doc_id"),
+      transform(TextOps.tokens(col("text")), t => xxhash64(t)).as("th"))
+    hashed.select(Dedup.simhashOfHashes(col("th")).as("native"),
+        Dedup.simhashOfHashesHof(col("th")).as("hof"))
+      .collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+
+    import spark.implicits._
+    val vecs = Seq((1L, Array(0.3f, -0.2f, 0.9f)), (2L, Array(-1.0f, 0.5f, 0.1f)))
+      .toDF("id", "v")
+    vecs.select(Similarity.hyperplaneSignature(col("v"), 16, 3).as("native"),
+        Similarity.hyperplaneSignatureHof(col("v"), 16, 3).as("hof"))
+      .collect().foreach { r =>
+        assert(r.getAs[scala.collection.Seq[Int]]("native") ==
+          r.getAs[scala.collection.Seq[Int]]("hof"))
+      }
+  }
+
   test("dropNearDuplicates keeps the smallest id of each cluster") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
       numHashes = 64, bands = 16, threshold = 0.5, shingleSize = 3)
