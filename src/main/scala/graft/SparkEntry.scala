@@ -281,6 +281,16 @@ object SparkEntry {
         graft.ops.TextOps.fingerprintMd5(col("text")).as("fp_md5"))
         .orderBy("doc_id")),
 
+    // tumbling-window aggregation over the event stream shape (batch form
+    // of streaming.EventStreams.windowedTypeCounts; oracle = time_bucket)
+    "x13_events_window" -> ((s, dir) =>
+      graft.streaming.EventStreams.eventsFrame(s, dir)
+        .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("total_value"))
+        .orderBy("window_start", "event_type")),
+
     // multimodal plumbing: binary assets → stub batch decode → features
     "x12_mm_decode" -> ((s, dir) => {
       val assets = graft.ops.Multimodal.assetsFromText(
@@ -457,6 +467,11 @@ object SparkEntry {
       """SELECT doc_id,
                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
          FROM documents ORDER BY doc_id""",
+    "x13_events_window" ->
+      """SELECT time_bucket(INTERVAL 1 minute, ts::TIMESTAMP) AS window_start,
+                event_type, count(*) AS n_events,
+                round(sum(value), 2) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
     "x12_mm_decode" ->
       """SELECT doc_id AS asset_id, 'image' AS media_type,
                 octet_length(encode(text)) AS payload_bytes,

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` stream shape
+  * (event_id, ts, user_id, event_type, value). The reference is purely
+  * static-table (SURVEY.md §2.8), so this module is part of the pipeline
+  * extension surface: the same transformations run identically over
+  * `readStream` sources on a cluster — watermarks bound state, and
+  * aggregation state partitions by group key across executors.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class SessionState(start: Long, lastSeen: Long, n: Long, total: Double)
+
+  final case class Session(user_id: Long, session_start: Timestamp,
+                           session_end: Timestamp, n_events: Long, total_value: Double)
+
+  /** Tumbling-window per-type aggregation with a watermark bounding state:
+    * late events beyond `watermark` are dropped, windows finalize once the
+    * watermark passes their end. */
+  def windowedTypeCounts(events: DataFrame, windowLength: String = "1 minute",
+                         watermark: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), round(col("total_value"), 4).as("total_value"))
+
+  /** Gap-based sessionization with explicit state: a user's events belong
+    * to one session until `gapSeconds` of event-time silence. State lives
+    * in the state store partitioned by user — the scale-out form of
+    * per-user sequential logic. Emits a row per CLOSED session (timeout
+    * path) plus finalized sessions on gap-jumps within a batch. */
+  def sessionize(events: Dataset[Event], gapSeconds: Long): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapSeconds * 1000
+
+    events
+      .withWatermark("ts", s"$gapSeconds seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start),
+              new Timestamp(s.lastSeen), s.n, s.total))
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var current = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              current match {
+                case Some(s) if t - s.lastSeen <= gapMs =>
+                  current = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed += Session(userId, new Timestamp(s.start),
+                    new Timestamp(s.lastSeen), s.n, s.total)
+                  current = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  current = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            current.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSeen + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** The static events parquet re-expressed as a bounded stream-shaped
+    * frame (ts arrives as nanos under nanosAsLong). */
+  def eventsFrame(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", (col("ts") / 1000000000L).cast("timestamp"))
+}

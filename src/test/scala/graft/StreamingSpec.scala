@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** Structured Streaming behavior: windowed aggregation under a watermark
+  * (late data dropped, windows finalize) and stateful gap sessionization. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(minute: Int, second: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$second%02d")
+
+  test("windowed counts finalize once the watermark passes, late data dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.windowedTypeCounts(input.toDF(), "1 minute", "2 minutes")
+      .writeStream.format("memory").queryName("windowed")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Event(1, ts(0, 10), 1, "click", 1.0),
+        Event(2, ts(0, 40), 2, "click", 2.0),
+        Event(3, ts(1, 10), 1, "view", 5.0))
+      query.processAllAvailable()
+      // watermark: max(ts)=10:01:10 - 2min => 09:59:10: nothing finalized yet
+      input.addData(Event(4, ts(5, 0), 3, "click", 1.0)) // advances watermark to 10:03
+      query.processAllAvailable()
+      input.addData(Event(5, ts(0, 50), 9, "click", 99.0)) // LATE: before watermark
+      input.addData(Event(6, ts(9, 0), 3, "click", 1.0))   // advances further
+      query.processAllAvailable()
+      val rows = spark.table("windowed")
+        .orderBy("window_start", "event_type").collect()
+      val clicks = rows.filter(_.getAs[String]("event_type") == "click")
+        .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[Long]("n_events"))).toSeq
+      assert(clicks.contains((ts(0), 2L)))       // late event 5 NOT counted
+      assert(rows.exists(r => r.getAs[String]("event_type") == "view" &&
+        r.getAs[Long]("n_events") == 1L))
+    } finally query.stop()
+  }
+
+  test("gap sessionization closes sessions on event-time silence") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.sessionize(input.toDS(), gapSeconds = 60)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 30s apart (one session), then silence
+      input.addData(
+        Event(1, ts(0, 0), 1, "click", 1.0),
+        Event(2, ts(0, 30), 1, "view", 2.0))
+      query.processAllAvailable()
+      // user 1 again after a 5-minute gap: closes the first session in-batch
+      // or via timeout once the watermark passes
+      input.addData(Event(3, ts(5, 0), 1, "click", 3.0))
+      query.processAllAvailable()
+      input.addData(Event(4, ts(20, 0), 2, "click", 1.0)) // push watermark far out
+      query.processAllAvailable()
+      val sessions = spark.table("sessions")
+        .filter($"user_id" === 1).orderBy("session_start").collect()
+      assert(sessions.nonEmpty)
+      val first = sessions.head
+      assert(first.getAs[Long]("n_events") == 2L)
+      assert(first.getAs[Double]("total_value") == 3.0)
+      assert(first.getAs[Timestamp]("session_end") == ts(0, 30))
+    } finally query.stop()
+  }
+}
