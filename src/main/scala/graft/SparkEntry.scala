@@ -126,6 +126,10 @@ object SparkEntry {
       """{"select": ["o_orderpriority", ["std", "o_totalprice"]],
           "group_by": ["o_orderpriority"],
           "order_by": ["o_orderpriority"]}""", rounded("o_totalprice" -> 2)),
+    "q12c_agg_var" -> q("orders",
+      """{"select": ["o_orderstatus", ["var", "o_totalprice"]],
+          "group_by": ["o_orderstatus"],
+          "order_by": ["o_orderstatus"]}""", rounded("o_totalprice" -> 1)),
 
     // --- §2.3: distinct (via from sub-query so dedup follows projection) ---
     "q13_distinct" -> q("lineitem",
@@ -363,6 +367,10 @@ object SparkEntry {
       """SELECT o_orderpriority,
                 round(stddev_samp(o_totalprice), 2) AS o_totalprice
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q12c_agg_var" ->
+      """SELECT o_orderstatus,
+                round(var_samp(o_totalprice), 1) AS o_totalprice
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q13_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus
          FROM lineitem ORDER BY l_returnflag, l_linestatus""",

@@ -6,7 +6,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 import java.util.concurrent.Executors
 import scala.util.matching.Regex
 
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import com.sun.net.httpserver.{HttpExchange, HttpServer, HttpsConfigurator, HttpsServer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.lit
 
@@ -28,7 +28,14 @@ import graft.sources.{Ingest, Serialize}
 final class GraftServer(spark: SparkSession, port: Int,
                         maxCacheSize: Long = 1000000000L, maxAge: Long = 0,
                         statisticsBufferSize: Int = 1000,
-                        clock: () => Long = () => System.currentTimeMillis()) {
+                        clock: () => Long = () => System.currentTimeMillis(),
+                        basicAuth: Option[(String, String)] = None,
+                        ssl: Option[javax.net.ssl.SSLContext] = None,
+                        needClientAuth: Boolean = false) {
+
+  // Basic auth only makes sense over TLS (reference: app.py:348-350).
+  require(basicAuth.isEmpty || ssl.isDefined,
+    "TLS must be enabled to use basic auth")
 
   val stats = new Statistics(statisticsBufferSize)
   val cache = new DatasetCache(maxCacheSize, maxAge, clock)
@@ -36,7 +43,19 @@ final class GraftServer(spark: SparkSession, port: Int,
   private val DatasetPath: Regex = "^/qcache/dataset/([A-Za-z0-9\\-_]+)(/q)?$".r
   private val AcceptedTypes = Set("application/json", "text/csv")
 
-  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  private val server = ssl match {
+    case Some(ctx) =>
+      val s = HttpsServer.create(new InetSocketAddress(port), 0)
+      s.setHttpsConfigurator(new HttpsConfigurator(ctx) {
+        override def configure(params: com.sun.net.httpserver.HttpsParameters): Unit = {
+          val engineParams = ctx.getDefaultSSLParameters
+          if (needClientAuth) engineParams.setNeedClientAuth(true)
+          params.setSSLParameters(engineParams)
+        }
+      })
+      s
+    case None => HttpServer.create(new InetSocketAddress(port), 0)
+  }
   server.setExecutor(Executors.newFixedThreadPool(8))
   server.createContext("/", handle _)
 
@@ -53,6 +72,7 @@ final class GraftServer(spark: SparkSession, port: Int,
     val t0 = clock()
     var operation: Option[String] = None
     try {
+      checkAuth(exchange)
       val path = exchange.getRequestURI.getPath
       (exchange.getRequestMethod, path) match {
         case ("GET", "/qcache/status") => respond(exchange, 200, "OK".getBytes(UTF_8))
@@ -94,6 +114,18 @@ final class GraftServer(spark: SparkSession, port: Int,
   }
 
   // --- request plumbing -------------------------------------------------
+
+  /** HTTP basic auth (reference: app.py:45-62): 401 with a challenge when
+    * credentials are absent or wrong. */
+  private def checkAuth(exchange: HttpExchange): Unit = basicAuth.foreach {
+    case (user, password) =>
+      val expected = "Basic " + java.util.Base64.getEncoder.encodeToString(
+        s"$user:$password".getBytes(UTF_8))
+      if (!header(exchange, "Authorization").contains(expected)) {
+        exchange.getResponseHeaders.set("WWW-Authenticate", "Basic realm=\"qcache\"")
+        throw new HttpFail(401)
+      }
+  }
 
   private def header(exchange: HttpExchange, name: String): Option[String] =
     Option(exchange.getRequestHeaders.getFirst(name))
@@ -227,11 +259,18 @@ final class GraftServer(spark: SparkSession, port: Int,
         respond(exchange, 200, Array.emptyByteArray)
       } else {
         val result = QueryEngine.run(withStandIns, q)
-        val bytes = (if (accept == "text/csv") Serialize.toCsv(result.df)
-                     else Serialize.toJson(result.df)).getBytes(UTF_8)
+        val (text, rowCount) =
+          if (accept == "text/csv") Serialize.toCsvCounted(result.df)
+          else Serialize.toJsonCounted(result.df)
+        val bytes = text.getBytes(UTF_8)
+        // Without offset/limit the serialized row count IS the unsliced
+        // length — the separate count job only runs for sliced queries.
+        val unsliced =
+          if (q.offset.isEmpty && q.limit.isEmpty) rowCount
+          else result.unslicedLength
         val headers = Map(
           "Content-Type" -> s"$accept; charset=utf-8",
-          "X-QCache-unsliced-length" -> result.unslicedLength.toString)
+          "X-QCache-unsliced-length" -> unsliced.toString)
         stats.inc("hit_count")
         stats.append("query_durations", (clock() - t0) / 1000.0)
         respond(exchange, 200, bytes, headers)

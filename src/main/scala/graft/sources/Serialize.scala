@@ -21,11 +21,17 @@ object Serialize {
 
   /** pandas to_csv: header, no index, empty string for null, minimal
     * quoting. Floats keep a trailing .0 (pandas float repr). */
-  def toCsv(df: DataFrame): String = {
+  def toCsv(df: DataFrame): String = toCsvCounted(df)._1
+
+  /** CSV plus the serialized row count — when a query has no offset/limit
+    * the count IS the unsliced length, saving the separate count job. */
+  def toCsvCounted(df: DataFrame): (String, Long) = {
     val fields = visibleFields(df)
     val sb = new StringBuilder
+    var rows = 0L
     sb.append(fields.map { case (f, _) => csvEscape(f.name) }.mkString(",")).append('\n')
     df.toLocalIterator().asScala.foreach { row =>
+      rows += 1
       var first = true
       fields.foreach { case (f, i) =>
         if (!first) sb.append(',')
@@ -34,7 +40,7 @@ object Serialize {
       }
       sb.append('\n')
     }
-    sb.toString
+    (sb.toString, rows)
   }
 
   private def csvValue(row: Row, i: Int, dt: DataType): String =
@@ -61,14 +67,18 @@ object Serialize {
   /** pandas to_json(orient='records'): `[{...},{...}]`, NaN/Inf → null
     * (reference: test_api.py:109-116 — division-by-zero inf serializes as
     * JSON null). */
-  def toJson(df: DataFrame): String = {
+  def toJson(df: DataFrame): String = toJsonCounted(df)._1
+
+  def toJsonCounted(df: DataFrame): (String, Long) = {
     val fields = visibleFields(df)
     val sb = new StringBuilder
+    var rows = 0L
     sb.append('[')
     var firstRow = true
     df.toLocalIterator().asScala.foreach { row =>
       if (!firstRow) sb.append(',')
       firstRow = false
+      rows += 1
       sb.append('{')
       var first = true
       fields.foreach { case (f, i) =>
@@ -80,7 +90,7 @@ object Serialize {
       sb.append('}')
     }
     sb.append(']')
-    sb.toString
+    (sb.toString, rows)
   }
 
   private def jsonValue(row: Row, i: Int, dt: DataType): String =
