@@ -21,6 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Spread a small-file input across cores before heavy per-row compute:
+    * a single-row-group parquet table arrives as ONE partition, which
+    * would serialize signature computation on one thread. No-op when the
+    * input already has enough partitions (the normal cluster case). */
+  private[ops] def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact dedup: keep the lowest-`orderCol` row per fingerprint of the
     * normalized text. One hash shuffle; with AQE, skewed fingerprints
     * (boilerplate docs) split automatically. */
@@ -84,34 +93,54 @@ object Dedup {
     // Two projection layers on purpose (shingle+hash once, then permute):
     // CollapseProject keeps them separate because "hs" is a non-cheap
     // expression referenced numHashes times.
-    val hashed = df.select(col(idCol).as("id"),
+    val hashed = spread(df).select(col(idCol).as("id"),
       shingleHashes(shingles(col(textCol), shingleSize)).as("hs"))
     val sigs = hashed.select(col("id"),
       minhashSignature(col("hs"), numHashes).as("sig"))
 
-    // band hash = xxhash64 of the band's slice of the signature. The
-    // candidate join and pair-dedup run on BARE ids — the 64-long signature
-    // payload would otherwise ride through the widest shuffle of the
-    // operator; it joins back afterwards from the (small) sigs relation.
-    val banded = sigs.select(col("id"),
+    // band hash = xxhash64 of the band's slice of the signature. Candidate
+    // generation groups ids per (band, bucket) and emits in-bucket pairs
+    // directly — ONE shuffle and one signature pass, where a banded
+    // self-join would compute the whole signature lineage once per side.
+    val banded = sigs.select(struct(col("id"), col("sig")).as("p"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * lit(r) + 1, lit(r))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val rgt = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val cand = l.join(rgt, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b") // same pair can share several bands
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
-
-    cand.withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
+    bucketPairsWithPayload(banded)
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
           x => x)).cast("double") / numHashes.toDouble)
       .filter(col("est_jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("est_jaccard"))
+      .dropDuplicates("id_a", "id_b") // same pair can share several bands
+      .withColumn("est_jaccard", round(col("est_jaccard"), 4))
+  }
+
+  /** In-bucket candidate pairs from a (band, bucket, p) relation where `p`
+    * is a payload struct whose FIRST field is the id: group payloads per
+    * bucket, emit (a, b) pairs with a.id < b.id. The payload (signature /
+    * vector) rides through the one groupBy shuffle so similarity verifies
+    * in-bucket — the alternative (joining payloads back by id) re-computes
+    * the whole signature lineage once per join. Callers dedup (id_a, id_b)
+    * AFTER computing their similarity column, when rows are narrow.
+    *
+    * `maxBucket` caps degenerate buckets (boilerplate content hashing
+    * identically) — the standard skew guard: a 10^6-member bucket would
+    * otherwise emit 5·10^11 pairs from one task. Skipped buckets trade
+    * recall on *extremely* common content for bounded work. */
+  private[ops] def bucketPairsWithPayload(banded: DataFrame,
+                                          maxBucket: Int = 1000): DataFrame = {
+    val grouped = banded.groupBy(col("band"), col("bucket"))
+      .agg(array_sort(collect_set(col("p"))).as("ps")) // struct sort ⇒ by id
+      .filter(size(col("ps")).between(2, maxBucket))
+    grouped.select(explode(flatten(transform(
+        sequence(lit(0), size(col("ps")) - 2),
+        i => transform(
+          slice(col("ps"), i + lit(2), size(col("ps")) - i - 1),
+          b => struct(element_at(col("ps"), i + lit(1)).as("a"), b.as("b"))))))
+        .as("pair"))
+      .select(col("pair.a").as("a"), col("pair.b").as("b"))
   }
 
   /** Drop every doc that has a near-duplicate with a smaller id (the
@@ -147,21 +176,18 @@ object Dedup {
     * Hamming distance ≤ maxHamming via bit_count(xor). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val hashed = df.select(col(idCol).as("id"),
+    val hashed = spread(df).select(col(idCol).as("id"),
       transform(TextOps.tokens(col(textCol)), t => xxhash64(t)).as("th"))
     val sigs = hashed.select(col("id"), simhashOfHashes(col("th")).as("sh"))
-    val banded = sigs.select(col("id"), col("sh"),
+    val banded = sigs.select(struct(col("id"), col("sh")).as("p"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sh"), b * lit(16)).bitwiseAND(0xFFFF))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+    bucketPairsWithPayload(banded)
+      .withColumn("hamming", bit_count(col("a.sh").bitwiseXOR(col("b.sh"))))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("hamming"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Exact token-set Jaccard for candidate pairs. `candidates` must have
@@ -187,7 +213,7 @@ object Dedup {
     * full-corpus path. */
   def jaccardPairsExact(df: DataFrame, idCol: String, textCol: String,
                         maxId: Long, threshold: Double): DataFrame = {
-    val tok = df.filter(col(idCol) < maxId).select(col(idCol).as("id"),
+    val tok = spread(df.filter(col(idCol) < maxId)).select(col(idCol).as("id"),
       array_distinct(TextOps.tokens(col(textCol))).as("toks"))
     val a = tok.select(col("id").as("id_a"), col("toks").as("toks_a"))
     val b = tok.select(col("id").as("id_b"), col("toks").as("toks_b"))

@@ -60,7 +60,8 @@ object Similarity {
                      vecCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
       norm(col(vecCol)).as("qn")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+    val c = graft.ops.Dedup.spread(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
       norm(col(vecCol)).as("cn"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosineWithNorms(col("qvec"), col("qn"), col("cvec"), col("cn")))
@@ -134,29 +135,24 @@ object Similarity {
                          bitsPerBand: Int = 8, dim: Int = -1): DataFrame = {
     val bits = bands * bitsPerBand
     val d = if (dim > 0) dim else vecDim(df, vecCol)
-    // Candidate join + pair-dedup on bare ids; the ~0.5 KB vector payload
-    // joins back from the small per-row relation afterwards.
-    val rows = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      norm(col(vecCol)).as("nrm"),
-      hyperplaneSignature(col(vecCol), bits, d).as("sig"))
+    // In-bucket pair generation with the vector riding through the one
+    // groupBy shuffle (see Dedup.bucketPairsWithPayload) — cosine verifies
+    // in-bucket, pairs dedup after, when rows are narrow.
+    val rows = graft.ops.Dedup.spread(df)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        norm(col(vecCol)).as("nrm"),
+        hyperplaneSignature(col(vecCol), bits, d).as("sig"))
     val banded = rows
-      .select(col("id"),
+      .select(struct(col("id"), col("vec"), col("nrm")).as("p"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",", slice(col("sig"), b * lit(bitsPerBand) + 1, lit(bitsPerBand)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val payload = rows.select(col("id"), col("vec"), col("nrm"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .join(payload.select(col("id").as("id_a"), col("vec").as("vec_a"),
-        col("nrm").as("nrm_a")), "id_a")
-      .join(payload.select(col("id").as("id_b"), col("vec").as("vec_b"),
-        col("nrm").as("nrm_b")), "id_b")
-      .withColumn("cos", cosineWithNorms(col("vec_a"), col("nrm_a"),
-        col("vec_b"), col("nrm_b")))
+    graft.ops.Dedup.bucketPairsWithPayload(banded)
+      .withColumn("cos", cosineWithNorms(col("a.vec"), col("a.nrm"),
+        col("b.vec"), col("b.nrm")))
       .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("cos"), 6).as("cos"))
+      .dropDuplicates("id_a", "id_b")
   }
 }
