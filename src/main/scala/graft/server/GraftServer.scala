@@ -214,7 +214,7 @@ final class GraftServer(spark: SparkSession, port: Int,
       try cache.ensureFree(if (ct == "text/csv") body.length else body.length / 2)
       catch { case e: IllegalStateException => throw e }
     val text = new String(body, UTF_8)
-    val df =
+    val parsed =
       try {
         if (ct == "text/csv")
           Ingest.fromCsv(spark, text, typeHints(exchange), standIns(exchange))
@@ -222,8 +222,15 @@ final class GraftServer(spark: SparkSession, port: Int,
       } catch {
         case e: MalformedQueryException => throw new HttpFail(400, errorJson(e.getMessage))
       }
+    val rowCount = parsed.count()
+    // Ingest is single-partition (sequential __row_id__); large tables
+    // re-spread across cores before caching so queries parallelize. Row
+    // order lives in the __row_id__ COLUMN, so physical layout is free.
+    val parts = math.min(spark.sparkContext.defaultParallelism,
+      (rowCount / 50000L).toInt).toInt
+    val df = if (parts > 1) parsed.repartition(parts) else parsed
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    val rowCount = df.count()
+    df.count()
     cache.put(key, df, inMemorySize(df))
     stats.inc("size_evict_count", durations.length)
     stats.inc("store_count")
@@ -314,6 +321,8 @@ object Main {
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val server = new GraftServer(spark, port,

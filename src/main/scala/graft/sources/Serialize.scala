@@ -10,8 +10,9 @@ import scala.jdk.CollectionConverters._
   *
   * Serialization is the one place the pipeline materializes on the driver —
   * identical to the reference, whose HTTP responses are single strings.
-  * `toLocalIterator` keeps peak driver memory at one partition rather than
-  * the whole result.
+  * `collect()` (not `toLocalIterator`) on purpose: the response string must
+  * be fully held anyway, and toLocalIterator launches one sequential job
+  * PER PARTITION — a measured ~10× latency hit on small cached tables.
   */
 object Serialize {
 
@@ -30,7 +31,7 @@ object Serialize {
     val sb = new StringBuilder
     var rows = 0L
     sb.append(fields.map { case (f, _) => csvEscape(f.name) }.mkString(",")).append('\n')
-    df.toLocalIterator().asScala.foreach { row =>
+    df.collect().foreach { row =>
       rows += 1
       var first = true
       fields.foreach { case (f, i) =>
@@ -75,7 +76,7 @@ object Serialize {
     var rows = 0L
     sb.append('[')
     var firstRow = true
-    df.toLocalIterator().asScala.foreach { row =>
+    df.collect().foreach { row =>
       if (!firstRow) sb.append(',')
       firstRow = false
       rows += 1
