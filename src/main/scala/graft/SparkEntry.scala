@@ -260,6 +260,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF (coarse-quantizer cells + probe) ANN — the other scale path
+    // (rows-only; recall < 1 by design vs x6's exact ranking)
+    "x14_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      graft.ops.Similarity.ivfTopK(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nCells = 32, nProbe = 8, dim = 64)
+        .orderBy("query_id", "rank")
+    }),
+
     // token counting: whitespace + BPE-ish regex
     "x8_text_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),

@@ -128,6 +128,68 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer assigns every corpus
+    * vector to its nearest of `nCells` centroid cells (one map-side pass);
+    * each query probes its `nProbe` nearest cells and ranks only those
+    * cells' members by exact cosine. The index is embarrassingly
+    * partitionable: cell assignment is stateless per row, and the probe
+    * join shuffles on cell id. Centroids are a deterministic hash-ordered
+    * sample of the corpus (no training iterations — a k-means refinement
+    * drops in without changing the query path).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCells: Int = 64, nProbe: Int = 4,
+              dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else vecDim(corpus, vecCol)
+    // Deterministic sample: the nCells corpus vectors with smallest id-hash.
+    val centroids: Array[(Int, Seq[Double])] = corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .orderBy(xxhash64(col(idCol)))
+      .limit(nCells)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getAs[scala.collection.Seq[Double]]("v").toSeq) }
+
+    val centroidLit = typedLit(centroids.map(_._2))
+    // cell scores: cosine-proportional similarity to each centroid
+    def cellScores(vec: Column): Column =
+      transform(centroidLit, c =>
+        dotHof(vec.cast("array<double>"), c) / (norm(vec) + lit(1e-12)))
+
+    def bestCell(vec: Column): Column = {
+      val scores = cellScores(vec)
+      (array_position(scores, array_max(scores)) - 1).cast("int")
+    }
+
+    val c = graft.ops.Dedup.spread(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+        norm(col(vecCol)).as("cn"))
+      .withColumn("cell", bestCell(col("cvec")))
+
+    // probe cells: indices of the nProbe highest scores
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        norm(col(vecCol)).as("qn"))
+      .withColumn("__scores", cellScores(col("qvec")))
+      .withColumn("cell", explode(slice(
+        transform(array_sort(zip_with(col("__scores"),
+            sequence(lit(0), lit(nCells - 1)),
+            (s, i) => struct((-s).as("neg"), i.as("cell")))),
+          s => s.getField("cell")),
+        1, nProbe)))
+      .drop("__scores")
+
+    val cand = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosineWithNorms(col("qvec"), col("qn"), col("cvec"), col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (cos ≥ threshold) via the same
     * LSH bucketing, self-join form. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,

@@ -173,6 +173,24 @@ class OpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.head == 4L)
   }
 
+  test("ivfTopK finds the identical vector through its probed cell") {
+    val queries = vecs.filter(col("vec_id") === 1)
+    val got = Similarity.ivfTopK(vecs, queries, "vec_id", "embedding",
+      k = 3, nCells = 2, nProbe = 2)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(got.nonEmpty && got.head == 4L)
+  }
+
+  test("ivfTopK with full probe matches brute force") {
+    val queries = vecs.filter(col("vec_id") === 1)
+    val brute = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", 3)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    val ivf = Similarity.ivfTopK(vecs, queries, "vec_id", "embedding",
+      k = 3, nCells = 2, nProbe = 2) // nProbe == nCells: exhaustive
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(ivf == brute)
+  }
+
   // ------------------------- multimodal -------------------------
 
   test("asset schema + stub decode plumbing") {
