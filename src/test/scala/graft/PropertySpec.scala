@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.DataFrame
+
+import graft.engine.QueryEngine
+import graft.sources.Ingest
+
+/** Algebraic properties of the query dialect (SURVEY.md §5 plan):
+  * filter composition, slice algebra, in-list ≡ disjunction, distinct
+  * idempotence. Each case runs real Spark jobs, so counts are kept small.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Run a ScalaCheck property with a small case count (each case runs
+    * real Spark jobs). */
+  private def checkProp(prop: Prop): Unit = {
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8).withMaxSize(12), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  // Frames: 1-12 rows of (a: int, b: double-with-nulls, c: string)
+  private val rowGen = for {
+    a <- Gen.chooseNum(-5, 5)
+    b <- Gen.option(Gen.chooseNum(-3.0, 3.0))
+    c <- Gen.oneOf("x", "y", "z", "xy")
+  } yield s"$a,${b.map(v => f"$v%.2f").getOrElse("")},$c"
+
+  private val frameGen: Gen[DataFrame] = Gen.nonEmptyListOf(rowGen)
+    .map(rows => Ingest.fromCsv(spark, ("a,b,c" :: rows).mkString("\n")))
+
+  private val predGen: Gen[String] = Gen.oneOf(
+    Gen.chooseNum(-5, 5).map(v => s"""[">", "a", $v]"""),
+    Gen.chooseNum(-3.0, 3.0).map(v => s"""["<=", "b", ${f"$v%.2f"}]"""),
+    Gen.oneOf("x", "y", "z").map(v => s"""["==", "c", "'$v'"]"""),
+    Gen.const("""["isnull", "b"]"""),
+    Gen.oneOf("x", "y").map(v => s"""["!", ["==", "c", "'$v'"]]"""))
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.selectExpr("a", "b", "c").collect()
+      .map(r => s"${r.get(0)}|${r.get(1)}|${r.get(2)}").toSeq
+
+  test("filter composition: where p1 then where p2 == where [&, p1, p2]") {
+    checkProp(Prop.forAll(frameGen, predGen, predGen) { (df, p1, p2) =>
+      val chained = QueryEngine.run(
+        QueryEngine.run(df, s"""{"where": $p1}""").df, s"""{"where": $p2}""").df
+      val combined = QueryEngine.run(df, s"""{"where": ["&", $p1, $p2]}""").df
+      rows(chained).sorted == rows(combined).sorted
+    })
+  }
+
+  test("slice algebra: offset o + limit l == rows [o, o+l) of the ordered frame") {
+    checkProp(Prop.forAll(frameGen, Gen.chooseNum(0, 6), Gen.chooseNum(1, 6)) { (df, o, l) =>
+      val all = rows(QueryEngine.run(df, """{"order_by": ["a", "b", "c"]}""").df)
+      val sliced = rows(QueryEngine.run(df,
+        s"""{"order_by": ["a", "b", "c"], "offset": $o, "limit": $l}""").df)
+      sliced == all.slice(o, o + l)
+    })
+  }
+
+  test("in-list == disjunction of equalities") {
+    checkProp(Prop.forAll(frameGen, Gen.nonEmptyListOf(Gen.chooseNum(-5, 5))) { (df, vals) =>
+      val inQ = QueryEngine.run(df,
+        s"""{"where": ["in", "a", [${vals.mkString(", ")}]]}""").df
+      val orQ = QueryEngine.run(df,
+        s"""{"where": ["|", ${vals.map(v => s"""["==", "a", $v]""").mkString(", ")}]}""").df
+      rows(inQ).sorted == rows(orQ).sorted
+    })
+  }
+
+  test("distinct [] is idempotent and a subset of the input") {
+    checkProp(Prop.forAll(frameGen) { df =>
+      val once = QueryEngine.run(df, """{"distinct": []}""").df
+      val twice = QueryEngine.run(once, """{"distinct": []}""").df
+      val onceRows = rows(once)
+      onceRows.sorted == rows(twice).sorted &&
+        onceRows.distinct.length == onceRows.length &&
+        onceRows.toSet.subsetOf(rows(df).toSet)
+    })
+  }
+
+  test("unsliced length equals pre-slice row count") {
+    checkProp(Prop.forAll(frameGen, Gen.chooseNum(0, 4), Gen.chooseNum(1, 4)) { (df, o, l) =>
+      val r = QueryEngine.run(df,
+        s"""{"where": [">", "a", 0], "offset": $o, "limit": $l}""")
+      val full = QueryEngine.run(df, """{"where": [">", "a", 0]}""").df.count()
+      r.unslicedLength == full
+    })
+  }
+}
