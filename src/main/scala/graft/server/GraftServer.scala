@@ -222,15 +222,24 @@ final class GraftServer(spark: SparkSession, port: Int,
       } catch {
         case e: MalformedQueryException => throw new HttpFail(400, errorJson(e.getMessage))
       }
+    // Persist the parsed frame BEFORE counting so the CSV body parses at
+    // most twice (schema inference + one data pass) instead of once per
+    // downstream action.
+    parsed.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val rowCount = parsed.count()
     // Ingest is single-partition (sequential __row_id__); large tables
     // re-spread across cores before caching so queries parallelize. Row
     // order lives in the __row_id__ COLUMN, so physical layout is free.
     val parts = math.min(spark.sparkContext.defaultParallelism,
       (rowCount / 50000L).toInt).toInt
-    val df = if (parts > 1) parsed.repartition(parts) else parsed
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    df.count()
+    val df =
+      if (parts > 1) {
+        val spread = parsed.repartition(parts)
+        spread.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        spread.count() // materialize from the parsed cache, then drop it
+        parsed.unpersist()
+        spread
+      } else parsed
     cache.put(key, df, inMemorySize(df))
     stats.inc("size_evict_count", durations.length)
     stats.inc("store_count")
