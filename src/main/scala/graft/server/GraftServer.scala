@@ -194,13 +194,16 @@ final class GraftServer(spark: SparkSession, port: Int,
 
   // --- operations -------------------------------------------------------
 
-  /** In-memory byte size of a cached frame: a fresh plan picks up the
-    * materialized InMemoryRelation, whose stats are the Tungsten columnar
-    * bytes — the analog of the reference's deep memory_usage
-    * (reference: qframe/__init__.py:98-100). */
+  /** In-memory byte size of a cached frame: the materialized
+    * InMemoryRelation's accumulated stats — the analog of the reference's
+    * deep memory_usage (reference: qframe/__init__.py:98-100). Falls back
+    * to plan stats if the cache lookup misses. */
   private def inMemorySize(df: DataFrame): Long = {
-    val size = df.filter(lit(true)).queryExecution.optimizedPlan.stats.sizeInBytes
-    100L + (if (size.isValidLong) size.toLong else 0L)
+    val size = org.apache.spark.sql.GraftSqlShims.cachedSizeOf(df).getOrElse {
+      val s = df.filter(lit(true)).queryExecution.optimizedPlan.stats.sizeInBytes
+      if (s.isValidLong) s.toLong else 0L
+    }
+    100L + size
   }
 
   private def store(exchange: HttpExchange, key: String, t0: Long): Unit = {
