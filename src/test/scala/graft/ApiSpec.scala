@@ -251,6 +251,37 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally ttl.stop()
   }
 
+  test("concurrent stores, queries, updates and deletes stay consistent") {
+    import java.util.concurrent.{Executors, TimeUnit}
+    import scala.util.Try
+    val pool = Executors.newFixedThreadPool(8)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val tasks: Seq[Runnable] = (0 until 24).map { i =>
+      () => Try {
+        val key = s"conc${i % 4}"
+        i % 4 match {
+          case 0 => assert(storeAt(server, key).statusCode() == 201)
+          case 1 =>
+            val r = queryAt(server, key)
+            assert(r.statusCode() == 200 || r.statusCode() == 404)
+          case 2 =>
+            val r = send(req(s"/dataset/$key/q").POST(BodyPublishers.ofString(
+              """{"update": [["foo", 99]], "where": ["==", "foo", 1]}""")).build())
+            assert(r.statusCode() == 200 || r.statusCode() == 404)
+          case 3 => assert(send(req(s"/dataset/$key").DELETE().build()).statusCode() == 200)
+        }
+      }.failed.foreach(e => errors.add(s"task $i: $e"))
+    }
+    tasks.foreach(pool.execute)
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(errors.isEmpty, errors.toString)
+    // server still healthy afterwards
+    assert(send(req("/status").GET().build()).body() == "OK")
+    storeAt(server, "conc_final")
+    assert(queryAt(server, "conc_final").statusCode() == 200)
+  }
+
   private def storeAt(s: GraftServer, key: String) =
     send(req(s"/dataset/$key", s).POST(BodyPublishers.ofString(csvData))
       .header("Content-Type", "text/csv").build())
