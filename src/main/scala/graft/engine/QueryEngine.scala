@@ -45,7 +45,18 @@ object QueryEngine {
       "last"    -> (c => last(c, ignoreNulls = false)),
       "nunique" -> (c => count_distinct(c)))
 
-  def run(table: DataFrame, q: Query): QueryResult = runInternal(table, q, table)
+  /** Catalyst analysis errors (type mismatches the dialect validator can't
+    * see, e.g. filtering on a null literal) become MalformedQueryException —
+    * the client's 400, not a server 500. The Dataset API analyzes eagerly,
+    * so these surface here at plan-build time. (The reference mostly 500s
+    * on these shapes — an uncaught KeyError/TypeError; a 400 is the
+    * deliberate improvement.) */
+  def run(table: DataFrame, q: Query): QueryResult =
+    try runInternal(table, q, table)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        Errors.malformed(s"Invalid type in argument: ${e.getSimpleMessage}")
+    }
 
   def run(table: DataFrame, json: String): QueryResult = {
     val q = Query.parse(json)
@@ -311,13 +322,23 @@ object QueryEngine {
   }
 
   /** Falsy offset/limit (0) are no-ops, like the reference's truthiness
-    * checks (reference: query.py:184-193). */
+    * checks, and NEGATIVE values follow Python slice semantics — the
+    * reference slices with `df[offset:][:limit]`, so offset -k means "the
+    * last k rows" and limit -k "all but the last k"
+    * (reference: query.py:184-193). Negative values cost one count job to
+    * translate into a non-negative skip/cap. */
   private def applySlice(df: DataFrame, offsetQ: Option[Any], limitQ: Option[Any]): DataFrame = {
     var out = df
-    offsetQ.map(intArg("offset", _)).filter(_ != 0L)
-      .foreach(n => out = out.offset(n.toInt))
-    limitQ.map(intArg("limit", _)).filter(_ != 0L)
-      .foreach(n => out = out.limit(n.toInt))
+    offsetQ.map(intArg("offset", _)).filter(_ != 0L).foreach { n =>
+      out =
+        if (n > 0) out.offset(n.toInt)
+        else out.offset(math.max(0L, out.count() + n).toInt)
+    }
+    limitQ.map(intArg("limit", _)).filter(_ != 0L).foreach { n =>
+      out =
+        if (n > 0) out.limit(n.toInt)
+        else out.limit(math.max(0L, out.count() + n).toInt)
+    }
     out
   }
 }

@@ -103,7 +103,14 @@ object UpdateEngine {
     * projection layer, so the mask expression stays bound to the original
     * values even when later assignments replace the columns it reads
     * (reference builds the mask once up front: update.py:106-110). */
-  def update(df: DataFrame, updates: List[Any], whereQ: Any): DataFrame = {
+  def update(df: DataFrame, updates: List[Any], whereQ: Any): DataFrame =
+    try updateInternal(df, updates, whereQ)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        Errors.malformed(s"Invalid type in argument: ${e.getSimpleMessage}")
+    }
+
+  private def updateInternal(df: DataFrame, updates: List[Any], whereQ: Any): DataFrame = {
     val mask = buildFilter(df, whereQ)
     val maskCol = "__upd_mask__"
     var out = df.withColumn(maskCol, coalesce(mask, lit(false)))

@@ -138,6 +138,14 @@ class EngineProjectSpec extends AnyFunSuite {
     assert(r.unslicedLength == 3L)
   }
 
+  test("negative offset and limit follow Python slice semantics") {
+    // reference slices df[offset:][:limit]
+    assert(rows(runQ(basicFrame, """{"offset": -2}""").df) == Seq("aaa", "ccc"))
+    assert(rows(runQ(basicFrame, """{"limit": -1}""").df) == Seq("bbb", "aaa"))
+    assert(rows(runQ(basicFrame, """{"offset": -2, "limit": -1}""").df) == Seq("aaa"))
+    assert(rows(runQ(basicFrame, """{"limit": -5}""").df) == Nil)
+  }
+
   // --- calculations / aliasing (test_qframe.py:417-555) ---
   test("column aliasing") {
     assert(rows(runQ(calculationFrame, """{"select": [["=", "baz", "foo"]]}""").df, "baz") ==

@@ -82,6 +82,55 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("fuzz: arbitrary query trees either run or raise MalformedQueryException") {
+    import graft.engine.MalformedQueryException
+    val leafGen: Gen[String] = Gen.oneOf(
+      Gen.const("\"a\""), Gen.const("\"b\""), Gen.const("\"c\""),
+      Gen.const("\"nope\""), Gen.const("\"'x'\""),
+      Gen.chooseNum(-9, 9).map(_.toString), Gen.const("1.5"), Gen.const("null"))
+    val opGen = Gen.oneOf("==", "!=", "<", ">", "&", "|", "!", "isnull",
+      "in", "like", "ilike", "all_bits", "any_bits", "zap", "=", "sum", "+")
+    def exprGen(depth: Int): Gen[String] =
+      if (depth <= 0) leafGen
+      else Gen.frequency(
+        2 -> leafGen,
+        3 -> (for {
+          op <- opGen
+          n <- Gen.chooseNum(0, 3)
+          args <- Gen.listOfN(n, exprGen(depth - 1))
+        } yield (s""""$op"""" :: args).mkString("[", ", ", "]")))
+    val clauseGen: Gen[String] = for {
+      where <- Gen.option(exprGen(3))
+      sel <- Gen.option(Gen.listOf(exprGen(2)).map(_.mkString("[", ", ", "]")))
+      grp <- Gen.option(Gen.someOf(Seq("\"a\"", "\"c\"", "\"zz\""))
+        .map(_.mkString("[", ", ", "]")))
+      ord <- Gen.option(Gen.someOf(Seq("\"a\"", "\"-c\"", "\"q\""))
+        .map(_.mkString("[", ", ", "]")))
+      off <- Gen.option(Gen.chooseNum(-2, 5))
+      lim <- Gen.option(Gen.chooseNum(-2, 5))
+    } yield Seq(
+      where.map(w => s""""where": $w"""),
+      sel.map(s => s""""select": $s"""),
+      grp.map(g => s""""group_by": $g"""),
+      ord.map(o => s""""order_by": $o"""),
+      off.map(o => s""""offset": $o"""),
+      lim.map(l => s""""limit": $l""")).flatten.mkString("{", ", ", "}")
+
+    val fixed = Ingest.fromCsv(spark, "a,b,c\n1,1.5,x\n2,,y\n3,0.5,z")
+    val prop = Prop.forAll(clauseGen) { q =>
+      try { QueryEngine.run(fixed, q).df.collect(); true }
+      catch {
+        case _: MalformedQueryException => true // the 400 path — fine
+        case _: org.apache.spark.sql.AnalysisException => false
+        case _: scala.MatchError => false
+        case _: ClassCastException => false
+      }
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(40).withMaxSize(14), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("unsliced length equals pre-slice row count") {
     checkProp(Prop.forAll(frameGen, Gen.chooseNum(0, 4), Gen.chooseNum(1, 4)) { (df, o, l) =>
       val r = QueryEngine.run(df,
