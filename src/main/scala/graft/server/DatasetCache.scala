@@ -48,13 +48,23 @@ final class DatasetCache(val maxSize: Long, val maxAge: Long,
 
   /** Swap the frame under a key keeping its size/ctime bookkeeping — the
     * update statement's cache-replace (the reference mutates in place;
-    * immutable DataFrames swap instead, SURVEY.md §7.4). */
-  def replaceFrame(key: String, df: DataFrame): Unit = lock.synchronized {
-    items.get(key).foreach { old =>
-      df.persist(StorageLevel.MEMORY_ONLY)
-      df.count() // materialize before exposing the swapped frame
-      old.df.unpersist()
-      items(key) = new CacheItem(df, old.size, old.creationTime)
+    * immutable DataFrames swap instead, SURVEY.md §7.4). The new frame
+    * materializes OUTSIDE the lock — a Spark job must never run while
+    * holding the cache mutex — and only the pointer swap synchronizes. */
+  def replaceFrame(key: String, df: DataFrame): Unit = {
+    df.persist(StorageLevel.MEMORY_ONLY)
+    df.count() // materialize before exposing the swapped frame
+    val swapped = lock.synchronized {
+      items.get(key) match {
+        case Some(old) =>
+          items(key) = new CacheItem(df, old.size, old.creationTime)
+          Some(old.df)
+        case None => None
+      }
+    }
+    swapped match {
+      case Some(oldDf) => oldDf.unpersist()
+      case None => df.unpersist() // key deleted concurrently; drop our copy
     }
   }
 
