@@ -211,7 +211,13 @@ object QueryEngine {
     // hidden row-order column rides along when still present.
     val names = sel.map {
       case s: String => s
-      case l: List[Any] @unchecked => l(1).asInstanceOf[String]
+      case l: List[Any] @unchecked => l(1) match {
+        case s: String => s
+        case other => Errors.malformed("Selected columns not in table", List(other))
+      }
+      // non-string, non-list items (null, numbers) — the reference indexes
+      // pandas with them and raises via KeyError (query.py:158-164)
+      case other => Errors.malformed("Selected columns not in table", List(other))
     }
     val missing = names.filterNot(hasColumn(computed, _))
     if (missing.nonEmpty)

@@ -127,7 +127,7 @@ class PropertySpec extends AnyFunSuite {
       }
     }
     val result = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(40).withMaxSize(14), prop)
+      SCTest.Parameters.default.withMinSuccessfulTests(200).withMaxSize(14), prop)
     assert(result.passed, result.status.toString)
   }
 
