@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native codegen kernels for the remaining signature hot loops (see
   * MinHashSignatureExpr for the rationale: higher-order functions run
@@ -177,6 +178,156 @@ case class DotProductExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** Fused word-shingle hashing: from the token array (and the normalized
+  * full text, the < n-token fallback shingle) straight to the distinct
+  * `pmod(xxhash64(shingle), 2^31-1)` base-hash array that MinHash consumes —
+  * value-identical to the HOF pipeline
+  * `shingleHashes(shingles(text, n))` (asserted in tests; ordering/dedup
+  * differences are irrelevant to the downstream min-reduction).
+  *
+  * Why: the HOF pipeline evaluates ~(tokens × 3) interpreted lambdas per
+  * row (slice + concat_ws + hash per shingle), the dominant per-row cost of
+  * minhashPairs AND the main victim of session-wide megamorphic-call-site
+  * pollution (its in-bench cost grew 5× once 30+ other plans had run). This
+  * kernel does one monomorphic native loop per row. Hashes match Spark's
+  * `xxhash64` (seed 42) exactly via XxHash64Function. */
+case class ShingleHashesExpr(tokens: Expression, normText: Expression, n: Int)
+    extends BinaryExpression {
+
+  override def left: Expression = tokens
+  override def right: Expression = normText
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (tokens.dataType, normText.dataType) match {
+      case (ArrayType(StringType, _), StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"shingle_hashes requires (array<string>, string), got ${l.catalogString}, ${r.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  private val P = MinHashSignatureExpr.P
+  private def pmodP(h: Long): Long = { val r = h % P; if (r < 0) r + P else r }
+
+  /** Native per-row loop shared by eval and codegen. */
+  def hashRow(arr: ArrayData, full: UTF8String): ArrayData = {
+    val m = arr.numElements()
+    if (m < n) {
+      new GenericArrayData(Array(pmodP(
+        XxHash64Function.hash(full, StringType, 42L))))
+    } else {
+      val space = UTF8String.fromString(" ")
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      val buf = new Array[UTF8String](n)
+      var i = 0
+      while (i <= m - n) {
+        var j = 0
+        while (j < n) { buf(j) = arr.getUTF8String(i + j); j += 1 }
+        val s = UTF8String.concatWs(space, buf: _*)
+        seen.add(pmodP(XxHash64Function.hash(s, StringType, 42L)))
+        i += 1
+      }
+      val out = new Array[Long](seen.size())
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = it.next(); k += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    hashRow(a.asInstanceOf[ArrayData], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // Call back into this instance's native loop from generated code — the
+    // loop is one monomorphic JIT-compiled method, and the surrounding
+    // whole-stage-codegen span stays intact.
+    val self = ctx.addReferenceObj("shingleHasher", this,
+      classOf[ShingleHashesExpr].getName)
+    nullSafeCodeGen(ctx, ev, (arr, full) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.hashRow($arr, $full);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShingleHashesExpr =
+    copy(tokens = newLeft, normText = newRight)
+}
+
+/** Dot products of a vector against a fixed centroid matrix, fused into a
+  * single codegen pass: output(j) = <v, centroid_j>. The IVF coarse
+  * quantizer's hot loop — the HOF formulation (`transform(centroidLit,
+  * c => aggregate(zip_with(...)))`) runs k interpreted lambda passes per
+  * row; this runs the k×dim loop nest in generated Java. Centroids are
+  * captured at construction (driver side) and shipped as one flattened
+  * reference array. */
+case class CentroidDotsExpr(child: Expression, centroids: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"centroid_dots requires array<double>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "centroid_dots"
+
+  private lazy val k = centroids.length
+  private lazy val dim = if (centroids.isEmpty) 0 else centroids.head.length
+  // flattened [k × dim] centroid matrix
+  private lazy val flat: Array[Double] = {
+    val out = new Array[Double](k * dim)
+    var j = 0
+    while (j < k) {
+      val c = centroids(j)
+      var i = 0
+      while (i < dim) { out(j * dim + i) = c(i); i += 1 }
+      j += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), dim)
+    val out = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += arr.getDouble(i) * flat(j * dim + i); i += 1 }
+      out(j) = acc
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroidsFlat", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = java.lang.Math.min($arr.numElements(), $dim);
+         |double[] $out = new double[$k];
+         |for (int $j = 0; $j < $k; $j++) {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $arr.getDouble($i) * $cRef[$j * $dim + $i];
+         |  }
+         |  $out[$j] = $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidDotsExpr =
+    copy(child = newChild)
 }
 
 object SignatureKernels {

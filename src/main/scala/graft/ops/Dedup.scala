@@ -25,7 +25,7 @@ object Dedup {
     * a single-row-group parquet table arrives as ONE partition, which
     * would serialize signature computation on one thread. No-op when the
     * input already has enough partitions (the normal cluster case). */
-  private[ops] def spread(df: DataFrame): DataFrame = {
+  private[graft] def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
@@ -57,6 +57,16 @@ object Dedup {
     * document numHashes times. */
   def shingleHashes(shingleCol: Column): Column =
     transform(shingleCol, s => pmod(xxhash64(s), lit(MersenneP)))
+
+  /** Fused shingle-hash kernel: text column → distinct base-hash array in
+    * one native pass (graft.functions.ShingleHashesExpr) — value-identical
+    * to `shingleHashes(shingles(c, n))` (asserted in tests), minus ~3
+    * interpreted lambda evals per shingle. */
+  def shingleHashesFused(c: Column, n: Int): Column =
+    org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.ShingleHashesExpr(
+        org.apache.spark.sql.GraftSqlShims.expression(TextOps.tokens(c)),
+        org.apache.spark.sql.GraftSqlShims.expression(TextOps.normalizeText(c)), n))
 
   /** MinHash signature over precomputed shingle hashes — the native
     * codegen'd kernel (see graft.functions.MinHashSignatureExpr). */
@@ -94,7 +104,7 @@ object Dedup {
     // CollapseProject keeps them separate because "hs" is a non-cheap
     // expression referenced numHashes times.
     val hashed = spread(df).select(col(idCol).as("id"),
-      shingleHashes(shingles(col(textCol), shingleSize)).as("hs"))
+      shingleHashesFused(col(textCol), shingleSize).as("hs"))
     val sigs = hashed.select(col("id"),
       minhashSignature(col("hs"), numHashes).as("sig"))
 
@@ -129,18 +139,24 @@ object Dedup {
     * identically) — the standard skew guard: a 10^6-member bucket would
     * otherwise emit 5·10^11 pairs from one task. Skipped buckets trade
     * recall on *extremely* common content for bounded work. */
-  private[ops] def bucketPairsWithPayload(banded: DataFrame,
+  private[graft] def bucketPairsWithPayload(banded: DataFrame,
                                           maxBucket: Int = 1000): DataFrame = {
     val grouped = banded.groupBy(col("band"), col("bucket"))
       .agg(array_sort(collect_set(col("p"))).as("ps")) // struct sort ⇒ by id
       .filter(size(col("ps")).between(2, maxBucket))
-    grouped.select(explode(flatten(transform(
-        sequence(lit(0), size(col("ps")) - 2),
-        i => transform(
-          slice(col("ps"), i + lit(2), size(col("ps")) - i - 1),
-          b => struct(element_at(col("ps"), i + lit(1)).as("a"), b.as("b"))))))
-        .as("pair"))
-      .select(col("pair.a").as("a"), col("pair.b").as("b"))
+    // Pair generation as TWO codegen'd explodes (posexplode each member,
+    // then explode the tail slice) instead of one nested interpreted
+    // transform: higher-order functions are CodegenFallback, and the
+    // original nested-lambda form burned ~30 µs of interpreted eval per
+    // pair — the dominant CPU cost of every LSH operator, and the part
+    // that degraded further as the session accumulated distinct plans
+    // (megamorphic interpreted call sites defeat JIT inlining). Slice and
+    // the generators run inside whole-stage codegen; the quadratic copy is
+    // generated Java over struct references.
+    grouped
+      .select(col("ps"), posexplode(col("ps")))
+      .select(col("col").as("a"), explode(slice(col("ps"), col("pos") + lit(2),
+        size(col("ps")) - col("pos") - 1)).as("b"))
   }
 
   /** Drop every doc that has a near-duplicate with a smaller id (the

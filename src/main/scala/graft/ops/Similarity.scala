@@ -141,39 +141,51 @@ object Similarity {
               vecCol: String, k: Int, nCells: Int = 64, nProbe: Int = 4,
               dim: Int = -1): DataFrame = {
     val d = if (dim > 0) dim else vecDim(corpus, vecCol)
-    // Deterministic sample: the nCells corpus vectors with smallest id-hash.
-    val centroids: Array[(Int, Seq[Double])] = corpus
-      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
-      .orderBy(xxhash64(col(idCol)))
-      .limit(nCells)
+    // Deterministic sample without a corpus sort: hash every id into one of
+    // nCells slots and keep the min-hash vector per slot — partial (map-side)
+    // aggregation reduces each partition to ≤ nCells rows before the one tiny
+    // shuffle, so centroid selection is O(corpus) map work + O(nCells)
+    // shuffle, never a global ordering of 100 TB to pick 64 rows.
+    val centroids: Seq[Seq[Double]] = corpus
+      .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+      .groupBy(pmod(xxhash64(col("__id")), lit(nCells)).as("__slot"))
+      .agg(min_by(col("__v"), struct(xxhash64(col("__id")), col("__id"))).as("__v"))
+      .orderBy("__slot")
       .collect()
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getAs[scala.collection.Seq[Double]]("v").toSeq) }
+      .map(r => r.getAs[scala.collection.Seq[Double]]("__v").toSeq)
+      .toSeq
+    val nActual = centroids.length
 
-    val centroidLit = typedLit(centroids.map(_._2))
-    // cell scores: cosine-proportional similarity to each centroid
+    // cell scores: dot product against every centroid, one fused codegen
+    // pass (graft.functions.CentroidDotsExpr). Per-row norm divisors are
+    // constant within a row, so argmax / probe order are unchanged by
+    // using raw dots instead of cosine.
     def cellScores(vec: Column): Column =
-      transform(centroidLit, c =>
-        dotHof(vec.cast("array<double>"), c) / (norm(vec) + lit(1e-12)))
+      org.apache.spark.sql.GraftSqlShims.column(graft.functions.CentroidDotsExpr(
+        org.apache.spark.sql.GraftSqlShims.expression(vec.cast("array<double>")),
+        centroids))
 
-    def bestCell(vec: Column): Column = {
-      val scores = cellScores(vec)
-      (array_position(scores, array_max(scores)) - 1).cast("int")
-    }
-
+    // __scores is materialized in its own projection and read twice by the
+    // argmax — CollapseProject keeps a non-cheap alias referenced more than
+    // once in its own layer, so the kernel runs exactly once per row (the
+    // MinHash lesson: never inline a heavy expression into two consumers).
     val c = graft.ops.Dedup.spread(corpus)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
         norm(col(vecCol)).as("cn"))
-      .withColumn("cell", bestCell(col("cvec")))
+      .withColumn("__scores", cellScores(col("cvec")))
+      .withColumn("cell", (array_position(col("__scores"),
+        array_max(col("__scores"))) - 1).cast("int"))
+      .drop("__scores")
 
-    // probe cells: indices of the nProbe highest scores
+    // probe cells: indices of the nProbe highest scores (query side is tiny
+    // and broadcast, so the HOF sort-struct trick is fine here)
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
         norm(col(vecCol)).as("qn"))
       .withColumn("__scores", cellScores(col("qvec")))
       .withColumn("cell", explode(slice(
         transform(array_sort(zip_with(col("__scores"),
-            sequence(lit(0), lit(nCells - 1)),
+            sequence(lit(0), lit(nActual - 1)),
             (s, i) => struct((-s).as("neg"), i.as("cell")))),
           s => s.getField("cell")),
         1, nProbe)))
@@ -191,11 +203,24 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs (cos ≥ threshold) via the same
-    * LSH bucketing, self-join form. */
+    * LSH bucketing, self-join form.
+    *
+    * `bitsPerBand <= 0` (the default) sizes the band width to the corpus:
+    * `ceil(log2(n / 16))` clamped to [8, 24], so expected bucket occupancy
+    * stays O(1) as the corpus grows — a fixed width makes occupancy (and
+    * the quadratic in-bucket pair cost) grow linearly with rows until the
+    * maxBucket skew guard silently truncates recall. The trade is explicit:
+    * per-band match probability is p^bits with p = 1 - acos(threshold)/π,
+    * so recall = 1 - (1 - p^bits)^bands falls as bits rise; callers who
+    * need high recall on huge corpora should raise `bands` alongside. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, bands: Int = 8,
-                         bitsPerBand: Int = 8, dim: Int = -1): DataFrame = {
-    val bits = bands * bitsPerBand
+                         bitsPerBand: Int = 0, dim: Int = -1): DataFrame = {
+    val bpb = if (bitsPerBand > 0) bitsPerBand else {
+      val n = math.max(df.count(), 1L) // cheap: metadata-only on parquet
+      math.min(24, math.max(8, math.ceil(math.log(n / 16.0) / math.log(2)).toInt))
+    }
+    val bits = bands * bpb
     val d = if (dim > 0) dim else vecDim(df, vecCol)
     // In-bucket pair generation with the vector riding through the one
     // groupBy shuffle (see Dedup.bucketPairsWithPayload) — cosine verifies
@@ -207,7 +232,7 @@ object Similarity {
     val banded = rows
       .select(struct(col("id"), col("vec"), col("nrm")).as("p"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",", slice(col("sig"), b * lit(bitsPerBand) + 1, lit(bitsPerBand)))))))
+          b => xxhash64(concat_ws(",", slice(col("sig"), b * lit(bpb) + 1, lit(bpb)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     graft.ops.Dedup.bucketPairsWithPayload(banded)
       .withColumn("cos", cosineWithNorms(col("a.vec"), col("a.nrm"),

@@ -100,6 +100,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("fused shingle_hashes kernel matches the HOF shingle pipeline as a set") {
+    val both = docs.select(col("doc_id"),
+      Dedup.shingleHashes(Dedup.shingles(col("text"), 3)).as("hof"),
+      Dedup.shingleHashesFused(col("text"), 3).as("fused"))
+    both.collect().foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Long]]("fused").toSet ==
+        r.getAs[scala.collection.Seq[Long]]("hof").toSet,
+        s"doc ${r.getLong(0)}")
+    }
+    // short-text fallback (< n tokens) goes through the normText branch
+    import spark.implicits._
+    val short = Seq((1L, "one two"), (2L, ""), (3L, "  Spaced   OUT  ")).toDF("id", "text")
+    short.select(col("id"),
+        Dedup.shingleHashes(Dedup.shingles(col("text"), 3)).as("hof"),
+        Dedup.shingleHashesFused(col("text"), 3).as("fused"))
+      .collect().foreach { r =>
+        assert(r.getAs[scala.collection.Seq[Long]]("fused").toSet ==
+          r.getAs[scala.collection.Seq[Long]]("hof").toSet, s"id ${r.getLong(0)}")
+      }
+  }
+
   test("native simhash and hyperplane kernels are bit-identical to HOF formulations") {
     val hashed = docs.select(col("doc_id"),
       transform(TextOps.tokens(col("text")), t => xxhash64(t)).as("th"))
