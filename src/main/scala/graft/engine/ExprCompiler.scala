@@ -58,7 +58,7 @@ object ExprCompiler {
     case _ => false
   }
 
-  private def isFloating(dt: DataType): Boolean = dt match {
+  private[engine] def isFloating(dt: DataType): Boolean = dt match {
     case FloatType | DoubleType => true
     case _ => false
   }
@@ -97,7 +97,11 @@ object ExprCompiler {
     case "all_bits" | "any_bits" => bitwiseFilter(df, op, q)
     case "!" =>
       Errors.assertLen(q, 2, "! is a single arity operator, invalid number of arguments")
-      !compileFilter(df, q(1))
+      // pandas negates a null-free boolean mask (~False = True), so rows
+      // where the inner predicate is unknown must be INCLUDED by the
+      // negation — coalesce to false before negating, or Spark's
+      // three-valued NOT null would silently drop them.
+      !coalesce(compileFilter(df, q(1)), lit(false))
     case "isnull" => isNullFilter(df, q)
     case op if ComparisonOps.contains(op) => comparison(df, op, q)
     case "&" | "|" => joinFilter(df, op, q)
@@ -125,7 +129,9 @@ object ExprCompiler {
     if (!isIntegral(field.dataType))
       Errors.malformed("Invalid column type, must be an integer", q)
     val masked = df(colName).bitwiseAND(lit(mask))
-    if (op == "any_bits") masked > 0 else masked === lit(mask)
+    // null-free mask (pandas int columns can't hold null; a null here can
+    // only come from a stand-in column — treat as no-bits-set)
+    coalesce(if (op == "any_bits") masked > 0 else masked === lit(mask), lit(false))
   }
 
   /** Null test; the reference's NaN self-inequality trick means NaN ⇒ true
@@ -155,13 +161,39 @@ object ExprCompiler {
       Errors.malformed("Invalid type in argument", q)
     val lhs = df(colName)
     val rhs = compileFilter(df, q(2))
+
+    // pandas comparison semantics for null/NaN (the reference filters a
+    // pandas boolean mask, which is always null-free):
+    //   - NaN compares unequal to EVERYTHING including itself, so `==`,
+    //     `<` … are False and `!=` is True on NaN rows. Spark instead
+    //     treats NaN as equal-to-NaN and greater-than-everything, so
+    //     float-typed sides need an explicit !isnan guard.
+    //   - null rows: `!=` must be True (None != x in pandas), the others
+    //     False. Spark's null-propagating =!= would DROP them.
+    // NaN guards apply only to statically float-typed sides: the lhs
+    // column, and a bare-column rhs. Literals parsed from JSON can never
+    // be NaN.
+    val nanSides: Seq[Column] = {
+      val l = if (isFloating(df.schema(colName).dataType)) Seq(isnan(lhs)) else Nil
+      val r = q(2) match {
+        case s: String if !isQuoted(s) && hasColumn(df, s) &&
+          isFloating(df.schema(s).dataType) => Seq(isnan(df(s)))
+        case _ => Nil
+      }
+      l ++ r
+    }
+    val eitherNan = nanSides.reduceOption(_ || _)
+    def guarded(c: Column): Column =
+      eitherNan.map(n => c && !n).getOrElse(c)
     op match {
-      case "==" => lhs === rhs
-      case "!=" => lhs =!= rhs
-      case "<"  => lhs < rhs
-      case "<=" => lhs <= rhs
-      case ">"  => lhs > rhs
-      case ">=" => lhs >= rhs
+      case "==" => guarded(lhs === rhs)
+      case "!=" =>
+        val neq = !coalesce(lhs === rhs, lit(false))
+        eitherNan.map(n => neq || n).getOrElse(neq)
+      case "<"  => guarded(lhs < rhs)
+      case "<=" => guarded(lhs <= rhs)
+      case ">"  => guarded(lhs > rhs)
+      case ">=" => guarded(lhs >= rhs)
     }
   }
 
@@ -184,7 +216,10 @@ object ExprCompiler {
       case other => Errors.malformed("Column is not defined", other)
     }
     q(2) match {
-      case values: List[Any] @unchecked => df(colName).isin(values: _*)
+      case values: List[Any] @unchecked =>
+        // pandas isin yields False for null rows — null-free so `!`
+        // composes correctly
+        coalesce(df(colName).isin(values: _*), lit(false))
       case _ => Errors.malformed("Second argument must be a list", q)
     }
   }

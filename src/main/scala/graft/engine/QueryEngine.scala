@@ -166,7 +166,15 @@ object QueryEngine {
     if (keys.nonEmpty && distinctQ.isDefined)
       Errors.malformed("Cannot combine group_by and distinct", distinctQ.get)
 
-    val deduped = applyDistinct(df, distinctQ)
+    // pandas groupby(dropna=True) default: rows whose key is null (or NaN
+    // for float keys) never form a group.
+    val keyFiltered = keys.foldLeft(df) { (acc, k) =>
+      val c = acc(k)
+      acc.filter(
+        if (ExprCompiler.isFloating(acc.schema(k).dataType)) c.isNotNull && !isnan(c)
+        else c.isNotNull)
+    }
+    val deduped = applyDistinct(keyFiltered, distinctQ)
     val sel = selectQ.getOrElse(Nil)
 
     if (sel.isEmpty) {
@@ -315,7 +323,15 @@ object QueryEngine {
             val (name, asc) = if (s.startsWith("-")) (s.substring(1), false) else (s, true)
             if (!hasColumn(df, name))
               Errors.malformed("Order by column not in table", List(name))
-            if (asc) df(name).asc else df(name).desc
+            // pandas sort_values: na_position='last' in BOTH directions,
+            // and NaN sorts with the missing values (Spark would instead
+            // put nulls first on asc and NaN greatest always) — sort float
+            // keys through a NaN→null view so NaN/null land last together.
+            val key =
+              if (ExprCompiler.isFloating(df.schema(name).dataType))
+                when(isnan(df(name)), lit(null)).otherwise(df(name))
+              else df(name)
+            if (asc) key.asc_nulls_last else key.desc_nulls_last
           case _ => Errors.malformed("Invalid order by format", items)
         }
         df.orderBy(specs: _*)
