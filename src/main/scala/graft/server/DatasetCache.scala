@@ -40,7 +40,10 @@ final class DatasetCache(val maxSize: Long, val maxAge: Long,
   }
 
   def put(key: String, df: DataFrame, byteSize: Long): Unit = lock.synchronized {
-    items.remove(key).foreach { old => totalSize -= old.size }
+    // unpersist a survivor of concurrent same-key stores (store() deletes
+    // first, but two racing POSTs can both pass that check) — without this
+    // the loser's blocks leak until session end
+    items.remove(key).foreach { old => totalSize -= old.size; old.df.unpersist() }
     df.persist(StorageLevel.MEMORY_ONLY)
     items(key) = new CacheItem(df, byteSize, clock())
     totalSize += byteSize

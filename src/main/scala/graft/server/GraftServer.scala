@@ -221,28 +221,29 @@ final class GraftServer(spark: SparkSession, port: Int,
       try {
         if (ct == "text/csv")
           Ingest.fromCsv(spark, text, typeHints(exchange), standIns(exchange))
-        else Ingest.fromJsonRecords(spark, text, typeHints(exchange), standIns(exchange))
+        // The reference passes column_types only to from_csv — JSON stores
+        // ignore the X-QCache-types header (reference: app.py:252-257);
+        // the header is still VALIDATED above (unknown type names 400).
+        else Ingest.fromJsonRecords(spark, text, Map.empty, standIns(exchange))
       } catch {
         case e: MalformedQueryException => throw new HttpFail(400, errorJson(e.getMessage))
       }
-    // Persist the parsed frame BEFORE counting so the CSV body parses at
-    // most twice (schema inference + one data pass) instead of once per
-    // downstream action.
-    parsed.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    val rowCount = parsed.count()
-    // Ingest is single-partition (sequential __row_id__); large tables
-    // re-spread across cores before caching so queries parallelize. Row
-    // order lives in the __row_id__ COLUMN, so physical layout is free.
-    val parts = math.min(spark.sparkContext.defaultParallelism,
-      (rowCount / 50000L).toInt).toInt
-    val df =
-      if (parts > 1) {
-        val spread = parsed.repartition(parts)
-        spread.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-        spread.count() // materialize from the parsed cache, then drop it
-        parsed.unpersist()
-        spread
-      } else parsed
+    // Cache layout: RANGE-partitioned and in-partition-sorted on the hidden
+    // ingest-order column. The InMemoryRelation then advertises
+    // RangePartitioning + [__row_id__ ASC] ordering, so the pandas-order
+    // sort every unordered query issues is elided by the physical planner
+    // (no exchange, no sort — collect() preserves partition order). The
+    // range shuffle is a one-off at store time; partition count is sized
+    // from a driver-side newline count, not an extra Spark job.
+    val estRows =
+      (if (ct == "text/csv") text.count(_ == '\n') else text.count(_ == '{')).toLong max 1L
+    val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      (estRows / 50000L).toInt))
+    val df = parsed
+      .repartitionByRange(parts, parsed(graft.engine.ExprCompiler.RowId))
+      .sortWithinPartitions(graft.engine.ExprCompiler.RowId)
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val rowCount = df.count()
     cache.put(key, df, inMemorySize(df))
     stats.inc("size_evict_count", durations.length)
     stats.inc("store_count")
@@ -274,7 +275,15 @@ final class GraftServer(spark: SparkSession, port: Int,
       if (q.isUpdate) {
         // The only mutation: build the updated frame and swap it into the
         // cache atomically (reference mutates in place: update.py:106-114).
-        cache.replaceFrame(key, UpdateEngine.update(withStandIns, q))
+        // Deliberate deviation: the reference persists QUERY-time stand-in
+        // columns into the cached frame (qframe/__init__.py:75 mutates
+        // self.df); here stand-ins are per-request on BOTH the read and
+        // update paths, so columns added only by this request's header are
+        // stripped before the swap — consistent, and no hidden cache growth.
+        val requestOnly = standIns(exchange).map(_._1)
+          .filterNot(item.df.columns.contains)
+        cache.replaceFrame(key,
+          UpdateEngine.update(withStandIns, q).drop(requestOnly: _*))
         respond(exchange, 200, Array.emptyByteArray)
       } else {
         val result = QueryEngine.run(withStandIns, q)

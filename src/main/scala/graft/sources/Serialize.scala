@@ -16,9 +16,17 @@ import scala.jdk.CollectionConverters._
   */
 object Serialize {
 
+  /** Only the engine's OWN hidden columns are stripped — a user column or
+    * alias that happens to start with "__" serializes like any other
+    * (the reference has no hidden columns at all, so everything it stores
+    * it also returns). */
+  private def isHidden(name: String): Boolean =
+    name == graft.engine.ExprCompiler.RowId ||
+      name.startsWith("__in_") || name == "__upd_mask__"
+
   private def visibleFields(df: DataFrame): Array[(StructField, Int)] =
     df.schema.fields.zipWithIndex
-      .filterNot { case (f, _) => f.name.startsWith("__") }
+      .filterNot { case (f, _) => isHidden(f.name) }
 
   /** pandas to_csv: header, no index, empty string for null, minimal
     * quoting. Floats keep a trailing .0 (pandas float repr). */
