@@ -188,6 +188,24 @@ object SparkEntry {
           "group_by": ["event_type"],
           "order_by": ["event_type"]}""", rounded("value" -> 4)),
 
+    // --- §2.3: first/last aggregates (pandas GroupBy.first/last = first/
+    // last NON-NULL value in insertion order). Parquet tables carry no
+    // ingest order, so one is pinned: sort by the table's unique key and
+    // attach the hidden __row_id__ the engine's min_by/max_by path uses.
+    "q21_agg_firstlast" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .orderBy("l_orderkey", "l_linenumber")
+        .withColumn(graft.engine.ExprCompiler.RowId, monotonically_increasing_id())
+      QueryEngine.run(li,
+        """{"select": ["l_returnflag", ["first", "l_linestatus"], ["last", "l_quantity"]],
+            "group_by": ["l_returnflag"]}""").df
+    }),
+
+    // --- §2.3: prod aggregate (pandas Series.prod; exact on small ints) ---
+    "q22_agg_prod" -> q("nation",
+      """{"select": ["n_regionkey", ["prod", "n_nationkey"]],
+          "group_by": ["n_regionkey"]}"""),
+
     // ================== pipeline extension operators (graft.ops) ==========
 
     // exact dedup: corpus ∪ shifted copy (deterministic dup injection) →
@@ -413,6 +431,14 @@ object SparkEntry {
       """SELECT event_type, round(avg(value), 4) AS value,
                 count(event_id) AS event_id
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q21_agg_firstlast" ->
+      """SELECT l_returnflag,
+                first(l_linestatus ORDER BY l_orderkey, l_linenumber) AS l_linestatus,
+                last(l_quantity ORDER BY l_orderkey, l_linenumber) AS l_quantity
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q22_agg_prod" ->
+      """SELECT n_regionkey, product(n_nationkey) AS n_nationkey
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
     "x1_dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars FROM (
            SELECT *, row_number() OVER (

@@ -41,8 +41,6 @@ object QueryEngine {
       "std"     -> (c => stddev_samp(c)),
       "var"     -> (c => var_samp(c)),
       "prod"    -> (c => product(c)),
-      "first"   -> (c => first(c, ignoreNulls = false)),
-      "last"    -> (c => last(c, ignoreNulls = false)),
       "nunique" -> (c => count_distinct(c)))
 
   /** Catalyst analysis errors (type mismatches the dialect validator can't
@@ -236,11 +234,25 @@ object QueryEngine {
     computed.select(withHidden.map(computed(_)): _*)
   }
 
-  private def aggFor(fn: String, colName: String, q: Any): Column =
-    AggregateFns.get(fn) match {
-      case Some(f) => f(col(colName)).as(colName) // output keeps SOURCE name
-      case None => Errors.malformed(s"Unknown aggregation function '$fn'", q)
-    }
+  private def aggFor(df: DataFrame, fn: String, colName: String, q: Any): Column =
+    (fn match {
+      // pandas GroupBy.first/last: the first/last NON-NULL value in
+      // insertion order. With the hidden ingest-order column this is exact
+      // and shuffle-safe: min_by/max_by over the row id, with null values'
+      // ordering key nulled out so they're skipped (min/max ignore null
+      // keys). Without it (library use on unordered tables) Spark's
+      // any-value first/last is the documented best effort.
+      case "first" if hasColumn(df, RowId) =>
+        min_by(col(colName), when(col(colName).isNotNull, col(RowId)))
+      case "last" if hasColumn(df, RowId) =>
+        max_by(col(colName), when(col(colName).isNotNull, col(RowId)))
+      case "first" => first(col(colName), ignoreNulls = true)
+      case "last"  => last(col(colName), ignoreNulls = true)
+      case _ => AggregateFns.get(fn) match {
+        case Some(f) => f(col(colName))
+        case None => Errors.malformed(s"Unknown aggregation function '$fn'", q)
+      }
+    }).as(colName) // output keeps SOURCE name
 
   /** Grouped aggregation. Output is sorted by the group keys, matching
     * pandas `groupby(sort=True)` default order (reference: query.py:30). */
@@ -251,7 +263,7 @@ object QueryEngine {
     aggs.foreach { case (c, _) =>
       if (!hasColumn(df, c)) Errors.malformed("Selected columns not in table", List(c))
     }
-    val aggCols = aggs.map { case (c, fn) => aggFor(fn, c, sel) }
+    val aggCols = aggs.map { case (c, fn) => aggFor(df, fn, c, sel) }
     df.groupBy(keys.map(df(_)): _*)
       .agg(aggCols.head, aggCols.tail: _*)
       .orderBy(keys.map(col): _*)
@@ -268,7 +280,7 @@ object QueryEngine {
     aggs.foreach { case (c, _) =>
       if (!hasColumn(df, c)) Errors.malformed("Selected columns not in table", List(c))
     }
-    val aggCols = aggs.map { case (c, fn) => aggFor(fn, c, sel) }
+    val aggCols = aggs.map { case (c, fn) => aggFor(df, fn, c, sel) }
     df.agg(aggCols.head, aggCols.tail: _*)
   }
 

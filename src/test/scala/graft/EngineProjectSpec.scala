@@ -103,6 +103,17 @@ class EngineProjectSpec extends AnyFunSuite {
     assertMalformed(runQ(calculationFrame, """{"select": [["max", "bar"], "foo"]}"""))
   }
 
+  test("first/last aggregates: insertion order, nulls skipped (pandas GroupBy)") {
+    val f = csvFrame("k,v\na,1\na,\na,3\nb,\nb,5")
+    def vals(json: String): Seq[(String, Int)] =
+      runQ(f, json).df.collect().toSeq
+        .map(r => (r.getString(0), r.getAs[Number](1).intValue))
+    assert(vals("""{"select": ["k", ["first", "v"]], "group_by": ["k"]}""") ==
+      Seq(("a", 1), ("b", 5)))
+    assert(vals("""{"select": ["k", ["last", "v"]], "group_by": ["k"]}""") ==
+      Seq(("a", 3), ("b", 5)))
+  }
+
   test("extended aggregate functions: mean/median/std/var/prod/nunique") {
     val f = csvFrame("k,v\na,1\na,2\na,3\nb,4\nb,6")
     val d = runQ(f,
