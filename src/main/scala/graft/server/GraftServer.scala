@@ -40,7 +40,9 @@ final class GraftServer(spark: SparkSession, port: Int,
   val stats = new Statistics(statisticsBufferSize)
   val cache = new DatasetCache(maxCacheSize, maxAge, clock)
 
-  private val DatasetPath: Regex = "^/qcache/dataset/([A-Za-z0-9\\-_]+)(/q)?$".r
+  // Trailing slash optional before the q suffix, like the reference's
+  // tornado route (reference: app.py:308: `([A-Za-z0-9\-_]+)/?(q)?`).
+  private val DatasetPath: Regex = "^/qcache/dataset/([A-Za-z0-9\\-_]+)/?(q)?$".r
   private val AcceptedTypes = Set("application/json", "text/csv")
 
   private val server = ssl match {
@@ -78,7 +80,7 @@ final class GraftServer(spark: SparkSession, port: Int,
         case ("GET", "/qcache/status") => respond(exchange, 200, "OK".getBytes(UTF_8))
         case ("GET", "/qcache/statistics") => statistics(exchange)
         case (method, DatasetPath(key, qSuffix)) =>
-          val hasQ = qSuffix != null
+          val hasQ = qSuffix != null && qSuffix.nonEmpty
           method match {
             case "GET" =>
               operation = Some("query")
@@ -333,10 +335,57 @@ final class GraftServer(spark: SparkSession, port: Int,
   }
 }
 
-/** Standalone entry point: `sbt "runMain graft.server.Main [port]"`. */
+/** Standalone entry point mirroring the reference CLI
+  * (reference: qcache/__init__.py:5-20):
+  *
+  * {{{
+  * sbt "runMain graft.server.Main [port] [--port=N] [--size=BYTES]
+  *   [--age=SECONDS] [--statistics-buffer-size=N]
+  *   [--cert-file=server.pem] [--ca-file=ca.pem]
+  *   [--basic-auth=user:password]"
+  * }}}
+  *
+  * A bare leading number is accepted as the port (back-compat). TLS comes
+  * from a PEM bundle (key + cert); `--ca-file` additionally requires and
+  * verifies client certificates; `--basic-auth` requires TLS, as in the
+  * reference.
+  */
 object Main {
+  private def flag(args: Array[String], name: String): Option[String] = {
+    val eq = s"--$name="
+    args.zipWithIndex.collectFirst {
+      case (a, _) if a.startsWith(eq) => a.substring(eq.length)
+      case (a, i) if a == s"--$name" && i + 1 < args.length => args(i + 1)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    val port = args.headOption.map(_.toInt).getOrElse(8888)
+    val port = flag(args, "port").orElse(args.headOption.filter(_.forall(_.isDigit)))
+      .map(_.toInt).getOrElse(8888)
+    val maxSize = flag(args, "size")
+      .getOrElse(sys.env.getOrElse("QCACHE_MAX_SIZE", "1000000000")).toLong
+    val maxAge = flag(args, "age")
+      .getOrElse(sys.env.getOrElse("QCACHE_MAX_AGE", "0")).toLong
+    val statsBuf = flag(args, "statistics-buffer-size").map(_.toInt).getOrElse(1000)
+    val certFile = flag(args, "cert-file")
+    val caFile = flag(args, "ca-file")
+    val basicAuth = flag(args, "basic-auth").map { v =>
+      v.split(":", 2) match {
+        case Array(u, p) => (u, p)
+        case _ => sys.error("--basic-auth must be <user>:<password>")
+      }
+    }
+    if (basicAuth.isDefined && certFile.isEmpty) {
+      // reference: app.py:338-340 refuses to start
+      System.err.println("TLS must be enabled to use basic auth!")
+      sys.exit(1)
+    }
+    val ssl = certFile.map { cf =>
+      println("Enabling TLS")
+      if (caFile.isDefined) println("Enabling client certificate verification")
+      Tls.contextFromPem(cf, caFile)
+    }
+
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
@@ -347,8 +396,10 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val server = new GraftServer(spark, port,
-      maxCacheSize = sys.env.getOrElse("QCACHE_MAX_SIZE", "1000000000").toLong,
-      maxAge = sys.env.getOrElse("QCACHE_MAX_AGE", "0").toLong)
+      maxCacheSize = maxSize, maxAge = maxAge,
+      statisticsBufferSize = statsBuf,
+      basicAuth = basicAuth, ssl = ssl,
+      needClientAuth = caFile.isDefined)
     server.start()
     println(s"graft qcache server listening on port ${server.boundPort}")
     Thread.currentThread().join()

@@ -68,6 +68,21 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.body() == "foo,bar\n2,bbb\n")
   }
 
+  test("trailing-slash routes match like the reference's tornado regex") {
+    storeCsv("tslash", csvData)
+    // GET /dataset/<key>/?q= (reference: app.py:308 `([A-Za-z0-9\-_]+)/?(q)?`)
+    val r = send(req("/dataset/tslash/?q=" +
+      java.net.URLEncoder.encode("""{"select": [["count"]]}""", UTF_8)).GET().build())
+    assert(r.statusCode() == 200 && r.body() == """[{"count":3}]""")
+    // POST /dataset/<key>/q with the slash before q
+    val r2 = send(req("/dataset/tslash/q")
+      .POST(BodyPublishers.ofString("""{"select": [["count"]]}""")).build())
+    assert(r2.statusCode() == 200)
+    // DELETE with trailing slash
+    assert(send(req("/dataset/tslash/").DELETE().build()).statusCode() == 200)
+    assert(query("tslash", "{}").statusCode() == 404)
+  }
+
   test("query via POST /q") {
     storeCsv("t3", csvData)
     val r = send(req("/dataset/t3/q")
