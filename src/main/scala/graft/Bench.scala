@@ -22,6 +22,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // The default 100-entry codegen cache can't hold one full pass over
+      // all bench queries (~300+ codegen units), so every pass silently
+      // re-janino-compiles everything — the source of seconds-level
+      // run-to-run noise on whichever query raced the compiler. Sized so
+      // the whole suite stays resident.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -30,11 +36,19 @@ object Bench {
       "documents", "embeddings"))
 
     // Steady-state timing, matching the reference's methodology (its 7-70ms
-    // envelope is warm queries against a RAM cache): first execution of each
-    // query pays one-off codegen compilation + JIT (measured 5x on the
-    // heaviest operator); the timed pass is the second run.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // envelope is warm queries against a RAM cache). Two UNTIMED passes over
+    // every query run first: the first pays per-plan codegen compilation,
+    // the second gives HotSpot's background C2 queue time to drain — timing
+    // the second run per query (the round-1 shape) still raced the timed
+    // run against C2 compiling that query's own generated classes, which
+    // randomly inflated whichever query was unlucky by seconds. Only after
+    // the JIT settles does the timed pass run.
+    def passOver(): Unit = SparkEntry.queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+    }
+    passOver(); passOver()
+    System.gc() // start the timed pass from a clean heap
+    val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -230,20 +230,10 @@ object SparkEntry {
 
     // exact n-gram (3-token shingle) Jaccard within an id-bounded slice —
     // oracle-checkable quadratic variant of the LSH path
-    "x4_dedup_jaccard" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val tok = d.filter(col("doc_id") < 300).select(col("doc_id").as("id"),
-        graft.ops.Dedup.shingles(col("text"), 3).as("sh"))
-      val a = tok.select(col("id").as("id_a"), col("sh").as("sh_a"))
-      val b = tok.select(col("id").as("id_b"), col("sh").as("sh_b"))
-      a.crossJoin(b).filter(col("id_a") < col("id_b"))
-        .withColumn("jaccard",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-        .orderBy("id_a", "id_b")
-    }),
+    "x4_dedup_jaccard" -> ((s, dir) =>
+      graft.ops.Dedup.shingleJaccardPairsExact(t(s, dir, "documents"),
+        "doc_id", "text", maxId = 300, threshold = 0.5, shingleSize = 3)
+        .orderBy("id_a", "id_b")),
 
     // embedding-cosine near-dup pairs via hyperplane LSH (rows-only check).
     // The synthetic corpus has no true near-dups (max pairwise cos ≈ 0.51),

@@ -206,19 +206,52 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Per-doc sorted distinct token-HASH array: the pair-stage Jaccard
+    * operand. Token identity moves from strings to xxhash64 longs once per
+    * DOCUMENT, so the quadratic pair stage compares primitive arrays with
+    * the zero-allocation merge kernel instead of building per-pair string
+    * hash sets (the measured dominant cost). 64-bit collisions would
+    * perturb a count by 1 in ~10^-15 of pairs — far below the oracle's
+    * rounding. */
+  private def sortedTokenHashes(textCol: Column): Column =
+    array_sort(array_distinct(transform(TextOps.tokens(textCol), t => xxhash64(t))))
+
+  /** |a ∩ b| via graft.functions.SortedIntersectCountExpr (merge loop). */
+  private def intersectCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.SortedIntersectCountExpr(
+        org.apache.spark.sql.GraftSqlShims.expression(a),
+        org.apache.spark.sql.GraftSqlShims.expression(b)))
+
+  private def jaccardOf(interCol: Column, na: Column, nb: Column): Column =
+    interCol.cast("double") / (na + nb - interCol).cast("double")
+
   /** Exact token-set Jaccard for candidate pairs. `candidates` must have
-    * id_a/id_b; exact similarity is computed from the distinct-token
-    * arrays via array_intersect/array_union sizes. */
+    * id_a/id_b; |union| is derived as n_a + n_b − |intersect| so only one
+    * merge pass runs per pair. */
   def jaccardVerify(df: DataFrame, idCol: String, textCol: String,
                     candidates: DataFrame, threshold: Double): DataFrame = {
     val tok = df.select(col(idCol).as("id"),
-      array_distinct(TextOps.tokens(col(textCol))).as("toks"))
+      sortedTokenHashes(col(textCol)).as("hs"))
+      .withColumn("n", size(col("hs")))
     candidates
-      .join(tok.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
-      .join(tok.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
-          size(array_union(col("toks_a"), col("toks_b"))).cast("double"))
+      .join(tok.select(col("id").as("id_a"), col("hs").as("hs_a"), col("n").as("n_a")), "id_a")
+      .join(tok.select(col("id").as("id_b"), col("hs").as("hs_b"), col("n").as("n_b")), "id_b")
+      .withColumn("__i", intersectCount(col("hs_a"), col("hs_b")))
+      .withColumn("jaccard", jaccardOf(col("__i"), col("n_a"), col("n_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** All-pairs Jaccard within an id-bounded slice over a prepared
+    * (id, sorted-distinct-hash-array) relation. */
+  private def pairwiseJaccard(tok: DataFrame, threshold: Double): DataFrame = {
+    val t = tok.withColumn("n", size(col("hs")))
+    val a = t.select(col("id").as("id_a"), col("hs").as("hs_a"), col("n").as("n_a"))
+    val b = t.select(col("id").as("id_b"), col("hs").as("hs_b"), col("n").as("n_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("__i", intersectCount(col("hs_a"), col("hs_b")))
+      .withColumn("jaccard", jaccardOf(col("__i"), col("n_a"), col("n_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -228,16 +261,22 @@ object Dedup {
     * cost is constant in corpus scale). The LSH variants above are the
     * full-corpus path. */
   def jaccardPairsExact(df: DataFrame, idCol: String, textCol: String,
-                        maxId: Long, threshold: Double): DataFrame = {
-    val tok = spread(df.filter(col(idCol) < maxId)).select(col(idCol).as("id"),
-      array_distinct(TextOps.tokens(col(textCol))).as("toks"))
-    val a = tok.select(col("id").as("id_a"), col("toks").as("toks_a"))
-    val b = tok.select(col("id").as("id_b"), col("toks").as("toks_b"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
-          size(array_union(col("toks_a"), col("toks_b"))).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-  }
+                        maxId: Long, threshold: Double): DataFrame =
+    pairwiseJaccard(
+      spread(df.filter(col(idCol) < maxId)).select(col(idCol).as("id"),
+        sortedTokenHashes(col(textCol)).as("hs")),
+      threshold)
+
+  /** Same exact-pairs form over word n-gram SHINGLE sets (the MinHash
+    * pipeline's set definition) — one fused kernel pass per document to
+    * sorted distinct shingle hashes, then the merge-count kernel per pair.
+    * Replaces per-pair array_intersect/array_union on shingle STRINGS,
+    * whose per-pair hash-set builds dominated the whole bench. */
+  def shingleJaccardPairsExact(df: DataFrame, idCol: String, textCol: String,
+                               maxId: Long, threshold: Double,
+                               shingleSize: Int = 3): DataFrame =
+    pairwiseJaccard(
+      spread(df.filter(col(idCol) < maxId)).select(col(idCol).as("id"),
+        array_sort(shingleHashesFused(col(textCol), shingleSize)).as("hs")),
+      threshold)
 }
