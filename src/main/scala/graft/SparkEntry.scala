@@ -314,6 +314,13 @@ object SparkEntry {
           col("n_events"), col("total_value"))
         .orderBy("window_start", "event_type")),
 
+    // gap sessionization, batch form (same semantics as the streaming
+    // flatMapGroupsWithState operator; one user_id shuffle + window funcs)
+    "x15_events_sessions" -> ((s, dir) =>
+      graft.streaming.EventStreams.sessionizeBatch(
+        graft.streaming.EventStreams.eventsFrame(s, dir), gapSeconds = 21600)
+        .orderBy("user_id", "session_start")),
+
     // multimodal plumbing: binary assets → stub batch decode → features
     "x12_mm_decode" -> ((s, dir) => {
       val assets = graft.ops.Multimodal.assetsFromText(
@@ -511,5 +518,24 @@ object SparkEntry {
       """SELECT doc_id AS asset_id, 'image' AS media_type,
                 octet_length(encode(text)) AS payload_bytes,
                 8 AS n_features
-         FROM documents ORDER BY asset_id""")
+         FROM documents ORDER BY asset_id""",
+    "x15_events_sessions" ->
+      // ts arrives TIMESTAMP_NS in DuckDB; truncate to whole seconds the
+      // same way the Spark side does (nanos integer-div) before gap logic
+      """WITH e AS (
+           SELECT user_id, date_trunc('second', ts::TIMESTAMP) AS ts, value
+           FROM events),
+         m AS (
+           SELECT *, CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts)) <= 21600
+                     THEN 0 ELSE 1 END AS brk
+           FROM e),
+         s AS (
+           SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+           FROM m)
+         SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                count(*) AS n_events, round(sum(value), 4) AS total_value
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id, session_start""")
 }

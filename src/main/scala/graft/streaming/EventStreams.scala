@@ -82,9 +82,38 @@ object EventStreams {
       }
   }
 
+  /** Batch form of gap sessionization over a static table — identical
+    * session semantics to `sessionize` (a session ends after `gapSeconds`
+    * of event-time silence), expressed with window functions so Catalyst
+    * plans it as ONE shuffle on user_id + an in-partition sort: the
+    * session id is the running count of gap-breaks per user. At 100 TB
+    * this is the standard scale shape — state never leaves the executor
+    * that owns the user's partition. Tie-ordering of equal timestamps is
+    * irrelevant to the result (a zero gap never breaks a session).
+    */
+  def sessionizeBatch(events: DataFrame, gapSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val prev = lag(col("ts"), 1).over(byUser)
+    val brk = when(prev.isNull
+        .or(col("ts").cast("long") - prev.cast("long") > gapSeconds), 1L)
+      .otherwise(0L)
+    events
+      .withColumn("__brk", brk)
+      .withColumn("__sid", sum(col("__brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("total_value"))
+      .drop("__sid")
+  }
+
   /** The static events parquet re-expressed as a bounded stream-shaped
     * frame (ts arrives as nanos under nanosAsLong). */
   def eventsFrame(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", (col("ts") / 1000000000L).cast("timestamp"))
+      // integer nanos → WHOLE seconds (a double division would carry the
+      // fractional second through the timestamp cast)
+      .withColumn("ts", (col("ts") / 1000000000L).cast("long").cast("timestamp"))
 }

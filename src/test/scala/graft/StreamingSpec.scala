@@ -74,4 +74,19 @@ class StreamingSpec extends AnyFunSuite {
       assert(first.getAs[Timestamp]("session_end") == ts(0, 30))
     } finally query.stop()
   }
+
+  test("batch sessionization matches the streaming operator's semantics") {
+    import spark.implicits._
+    val events = Seq(
+      Event(1, ts(0, 0), 1, "click", 1.0),
+      Event(2, ts(0, 30), 1, "view", 2.0),
+      Event(3, ts(5, 0), 1, "click", 3.0),  // > 60s gap ⇒ new session
+      Event(4, ts(0, 10), 2, "click", 4.0)
+    ).toDF()
+    val out = EventStreams.sessionizeBatch(events, gapSeconds = 60)
+      .orderBy("user_id", "session_start").collect()
+    assert(out.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+      r.getAs[Double]("total_value"), r.getAs[Timestamp]("session_end"))).toSeq ==
+      Seq((1L, 2L, 3.0, ts(0, 30)), (1L, 1L, 3.0, ts(5, 0)), (2L, 1L, 4.0, ts(0, 10))))
+  }
 }
