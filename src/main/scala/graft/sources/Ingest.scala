@@ -19,9 +19,10 @@ import graft.engine.{Errors, ExprCompiler}
   * Every ingested frame carries a hidden `__row_id__` ingest-order column:
   * pandas row order is part of the reference's observable semantics
   * (pagination, distinct-keeps-first, serialization order) while Spark has
-  * no implicit order — see SURVEY.md §7.4. Bodies arrive as single in-memory
-  * strings, so a one-partition read makes `monotonically_increasing_id`
-  * sequential from 0.
+  * no implicit order — see SURVEY.md §7.4. Bodies are split driver-side
+  * (CSV lines / lexed JSON records) and parallelized in contiguous slices,
+  * so `monotonically_increasing_id` stays order-isomorphic to ingest order
+  * while inference and parsing use every core.
   */
 object Ingest {
   import ExprCompiler.RowId
@@ -93,17 +94,62 @@ object Ingest {
     withRowId(addStandInColumns(applyTypeHints(raw, types), standIns))
   }
 
+  /** Split a top-level JSON array body into its record substrings — a
+    * single quote/escape-aware, depth-tracked lexical pass. Purely
+    * syntactic: semantic validation stays with QueryJson.parse. Returns
+    * None when the body is not a flat array of objects. */
+  private[graft] def splitTopLevelRecords(body: String): Option[Seq[String]] = {
+    val out = Seq.newBuilder[String]
+    var i = 0; val n = body.length
+    var depth = 0; var inStr = false; var esc = false
+    var start = -1; var sawArray = false
+    while (i < n) {
+      val c = body.charAt(i)
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '[' => depth += 1; if (depth == 1) sawArray = true
+        case ']' => depth -= 1
+        case '{' =>
+          depth += 1
+          if (depth == 2 && sawArray && start < 0) start = i
+        case '}' =>
+          depth -= 1
+          if (depth == 1 && start >= 0) { out += body.substring(start, i + 1); start = -1 }
+        case _ => ()
+      }
+      i += 1
+    }
+    if (sawArray && depth == 0) Some(out.result()) else None
+  }
+
   def fromJsonRecords(spark: SparkSession, body: String,
                       types: Map[String, String] = Map.empty,
                       standIns: Seq[(String, String)] = Nil): DataFrame = {
     import graft.engine.QueryJson
-    // Spark's JSON reader explodes a top-level array string into rows; field
-    // order in the inferred schema is alphabetical, so restore the first
-    // record's key order for serialization parity with pandas from_records.
-    val ds = spark.createDataset(Seq(body))(
-      org.apache.spark.sql.Encoders.STRING).coalesce(1)
+    // One driver-side parse validates the body and pins the first record's
+    // key order (Spark infers an alphabetical schema; serialization parity
+    // with pandas from_records needs insertion order).
+    val parsed = QueryJson.parse(body)
+    // Parallel parse path: lex the array into record strings and spread
+    // them in CONTIGUOUS slices (same order-isomorphism argument as
+    // fromCsv) so Spark's schema inference AND data parse run multi-core
+    // instead of single-partition on the whole body string.
+    val ds = splitTopLevelRecords(body) match {
+      case Some(records) if records.nonEmpty =>
+        val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+          records.length / 20000))
+        spark.createDataset(spark.sparkContext.parallelize(records, parts))(
+          org.apache.spark.sql.Encoders.STRING)
+      case _ =>
+        spark.createDataset(Seq(body))(
+          org.apache.spark.sql.Encoders.STRING).coalesce(1)
+    }
     val raw = spark.read.json(ds)
-    val ordered = QueryJson.parse(body) match {
+    val ordered = parsed match {
       case (first: scala.collection.Map[_, _]) :: _ =>
         val keys = first.keys.map(String.valueOf).toSeq
           .filter(raw.columns.contains)

@@ -46,6 +46,26 @@ object ProfileStore2 {
       last = df
     }
 
+    // JSON path: same 200k rows as a records array
+    val jsonBody = {
+      val jb = new StringBuilder("[")
+      var k = 0
+      while (k < 200000) {
+        if (k > 0) jb.append(',')
+        jb.append(s"""{"id":$k,"name":"name_${k % 997}","price":${(k % 10000) / 100.0},"qty":${k % 50}}""")
+        k += 1
+      }
+      jb.append(']').toString
+    }
+    for (r <- 1 to 3) {
+      val t0 = System.nanoTime()
+      val df = graft.sources.Ingest.fromJsonRecords(spark, jsonBody)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      df.count()
+      println(f"json store round $r: ${(System.nanoTime() - t0) / 1e9}%5.2f s")
+      df.unpersist()
+    }
+
     // unordered query = engine's pandas-order path
     val q = graft.engine.QueryEngine.run(last, """{"where": [">", "qty", 25]}""").df
     println("== physical plan of unordered filter query ==")

@@ -224,6 +224,25 @@ class EngineFilterSpec extends AnyFunSuite {
     assertRows(runQ(f, """{"where": ["==", "bar", "'räksmörgås'"]}"""), Seq("bbb"))
   }
 
+  test("json record splitter handles nesting, braces in strings, escapes") {
+    import graft.sources.Ingest.splitTopLevelRecords
+    assert(splitTopLevelRecords("""[{"a": 1}, {"a": 2}]""") ==
+      Some(Seq("""{"a": 1}""", """{"a": 2}""")))
+    // braces and quotes inside string values must not confuse the lexer
+    assert(splitTopLevelRecords("""[{"a": "x}{\"y"}, {"a": {"n": [1, 2]}}]""") ==
+      Some(Seq("""{"a": "x}{\"y"}""", """{"a": {"n": [1, 2]}}""")))
+    assert(splitTopLevelRecords("""{"not": "array"}""").isEmpty)
+    assert(splitTopLevelRecords("""[]""") == Some(Nil))
+  }
+
+  test("json ingest preserves record order through the parallel parse") {
+    val body = (0 until 5000).map(i => s"""{"i": $i, "s": "v$i"}""")
+      .mkString("[", ",", "]")
+    val f = Ingest.fromJsonRecords(spark, body)
+    val got = runQ(f, """{"select": ["i"]}""").collect().map(_.getLong(0)).toSeq
+    assert(got == (0L until 5000L))
+  }
+
   // --- NaN rules (test_qframe.py:649-683) ---
   test("only the empty string is null") {
     val f = csvFrame(
