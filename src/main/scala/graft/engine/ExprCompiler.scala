@@ -218,8 +218,19 @@ object ExprCompiler {
     q(2) match {
       case values: List[Any] @unchecked =>
         // pandas isin yields False for null rows — null-free so `!`
-        // composes correctly
-        coalesce(df(colName).isin(values: _*), lit(false))
+        // composes correctly. EXCEPT when the list itself contains null:
+        // pandas Series.isin([None]) matches the missing values (None on
+        // object columns, and NaN on float columns via None→NaN
+        // coercion), where SQL IN (NULL) would never match.
+        val nonNull = values.filterNot(_ == null)
+        val base =
+          if (nonNull.isEmpty) lit(false)
+          else coalesce(df(colName).isin(nonNull: _*), lit(false))
+        if (values.contains(null)) {
+          val c = df(colName)
+          base || (if (isFloating(df.schema(colName).dataType))
+            c.isNull || isnan(c) else c.isNull)
+        } else base
       case _ => Errors.malformed("Second argument must be a list", q)
     }
   }

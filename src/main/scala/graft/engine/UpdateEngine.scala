@@ -147,4 +147,16 @@ object UpdateEngine {
   def update(df: DataFrame, q: Query): DataFrame =
     update(df, q.update.getOrElse(Nil),
       q.where.getOrElse(Errors.malformed("Update query requires a where clause")))
+
+  /** Columns an update statement assigns to — callers deciding which
+    * transient columns must survive a cache swap need this. */
+  def targetColumns(updates: List[Any]): Seq[String] = updates.flatMap {
+    case u: List[Any] @unchecked if u.length == 2 => u.head match {
+      case s: String => Some(s); case _ => None
+    }
+    case u: List[Any] @unchecked if u.length == 3 => u(1) match {
+      case s: String => Some(s); case _ => None
+    }
+    case _ => None
+  }
 }

@@ -217,7 +217,10 @@ object Similarity {
                          threshold: Double, bands: Int = 8,
                          bitsPerBand: Int = 0, dim: Int = -1): DataFrame = {
     val bpb = if (bitsPerBand > 0) bitsPerBand else {
-      val n = math.max(df.count(), 1L) // cheap: metadata-only on parquet
+      // one count job over the input plan (full plan execution when df is
+      // derived, not a parquet metadata read) — callers that already know
+      // the corpus size should pass bitsPerBand explicitly to skip it
+      val n = math.max(df.count(), 1L)
       math.min(24, math.max(8, math.ceil(math.log(n / 16.0) / math.log(2)).toInt))
     }
     val bits = bands * bpb

@@ -214,6 +214,11 @@ final class GraftServer(spark: SparkSession, port: Int,
       cache.delete(key)
     }
     val ct = contentType(exchange)
+    // The reference parses (and so VALIDATES) the types header before
+    // branching on content type — an unknown type name 400s for JSON
+    // stores too, even though the hints are only APPLIED to CSV
+    // (reference: app.py:150-168, 252-257).
+    val hints = typeHints(exchange)
     val body = decodedBody(exchange)
     val durations =
       try cache.ensureFree(if (ct == "text/csv") body.length else body.length / 2)
@@ -221,11 +226,7 @@ final class GraftServer(spark: SparkSession, port: Int,
     val text = new String(body, UTF_8)
     val parsed =
       try {
-        if (ct == "text/csv")
-          Ingest.fromCsv(spark, text, typeHints(exchange), standIns(exchange))
-        // The reference passes column_types only to from_csv — JSON stores
-        // ignore the X-QCache-types header (reference: app.py:252-257);
-        // the header is still VALIDATED above (unknown type names 400).
+        if (ct == "text/csv") Ingest.fromCsv(spark, text, hints, standIns(exchange))
         else Ingest.fromJsonRecords(spark, text, Map.empty, standIns(exchange))
       } catch {
         case e: MalformedQueryException => throw new HttpFail(400, errorJson(e.getMessage))
@@ -236,16 +237,21 @@ final class GraftServer(spark: SparkSession, port: Int,
     // sort every unordered query issues is elided by the physical planner
     // (no exchange, no sort — collect() preserves partition order). The
     // range shuffle is a one-off at store time; partition count is sized
-    // from a driver-side newline count, not an extra Spark job.
+    // from a driver-side newline count, not an extra Spark job. The parse
+    // output is persisted FIRST so the range partitioner's bounds-sampling
+    // job and the shuffle read the parsed cache instead of each re-running
+    // the body parse lineage.
     val estRows =
       (if (ct == "text/csv") text.count(_ == '\n') else text.count(_ == '{')).toLong max 1L
     val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
       (estRows / 50000L).toInt))
+    parsed.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val df = parsed
       .repartitionByRange(parts, parsed(graft.engine.ExprCompiler.RowId))
       .sortWithinPartitions(graft.engine.ExprCompiler.RowId)
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val rowCount = df.count()
+    parsed.unpersist()
     cache.put(key, df, inMemorySize(df))
     stats.inc("size_evict_count", durations.length)
     stats.inc("store_count")
@@ -281,9 +287,14 @@ final class GraftServer(spark: SparkSession, port: Int,
         // columns into the cached frame (qframe/__init__.py:75 mutates
         // self.df); here stand-ins are per-request on BOTH the read and
         // update paths, so columns added only by this request's header are
-        // stripped before the swap — consistent, and no hidden cache growth.
+        // stripped before the swap — consistent, and no hidden cache
+        // growth. EXCEPT columns the update statement itself assigns to:
+        // an acknowledged write must never vanish, so those persist (as
+        // they would in the reference).
+        val written = UpdateEngine.targetColumns(q.update.getOrElse(Nil)).toSet
         val requestOnly = standIns(exchange).map(_._1)
           .filterNot(item.df.columns.contains)
+          .filterNot(written.contains)
         cache.replaceFrame(key,
           UpdateEngine.update(withStandIns, q).drop(requestOnly: _*))
         respond(exchange, 200, Array.emptyByteArray)

@@ -138,8 +138,13 @@ object Ingest {
     // them in CONTIGUOUS slices (same order-isomorphism argument as
     // fromCsv) so Spark's schema inference AND data parse run multi-core
     // instead of single-partition on the whole body string.
+    // Guard: the lexer only captures OBJECT elements, so a mixed array
+    // ([{...}, 5, {...}]) would silently drop rows — require the lexed
+    // record count to match the parsed element count, else fall back to
+    // the single-string path whose row semantics are unchanged.
+    val parsedLen = parsed match { case l: List[_] => l.length; case _ => -1 }
     val ds = splitTopLevelRecords(body) match {
-      case Some(records) if records.nonEmpty =>
+      case Some(records) if records.nonEmpty && records.length == parsedLen =>
         val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
           records.length / 20000))
         spark.createDataset(spark.sparkContext.parallelize(records, parts))(

@@ -113,7 +113,10 @@ object EventStreams {
     * frame (ts arrives as nanos under nanosAsLong). */
   def eventsFrame(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/events.parquet")
-      // integer nanos → WHOLE seconds (a double division would carry the
-      // fractional second through the timestamp cast)
-      .withColumn("ts", (col("ts") / 1000000000L).cast("long").cast("timestamp"))
+      // integer nanos → WHOLE seconds with an INTEGRAL divide: `/` on
+      // longs is double division, which both carries the fractional
+      // second through the cast and can round UP across a second
+      // boundary for nanos within ~128 ns of it (doubles have 53-bit
+      // mantissas; 1.7e18 is representable only to multiples of 256)
+      .withColumn("ts", expr("ts div 1000000000").cast("timestamp"))
 }

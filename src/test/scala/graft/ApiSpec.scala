@@ -162,6 +162,37 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.body() == """[{"foo":1,"extra":42}]""")
   }
 
+  test("json store: bad type-hint name still 400s, valid hints are not applied") {
+    // reference parses the header (400 on unknown names) before branching
+    // on content type, but applies hints only to CSV (app.py:150-168,252-257)
+    val bad = send(req("/dataset/t11b").POST(BodyPublishers.ofString("""[{"a": 1}]"""))
+      .header("Content-Type", "application/json")
+      .header("X-QCache-types", "a=int128").build())
+    assert(bad.statusCode() == 400)
+    val ok = send(req("/dataset/t11b").POST(BodyPublishers.ofString("""[{"a": 1}]"""))
+      .header("Content-Type", "application/json")
+      .header("X-QCache-types", "a=string").build())
+    assert(ok.statusCode() == 201)
+    assert(query("t11b", "{}").body() == """[{"a":1}]""") // number, not "1"
+  }
+
+  test("update writing to a request-only stand-in column persists it") {
+    storeCsv("t11c", "foo\n1\n2\n")
+    val u = send(req("/dataset/t11c/q").POST(BodyPublishers.ofString(
+      """{"update": [["extra", 99]], "where": ["==", "foo", 2]}"""))
+      .header("X-QCache-stand-in-columns", "extra=42").build())
+    assert(u.statusCode() == 200)
+    // the acknowledged write survives: no header on the follow-up query
+    assert(query("t11c", "{}").body() ==
+      """[{"foo":1,"extra":42},{"foo":2,"extra":99}]""")
+    // ...but a stand-in the update did NOT touch stays per-request
+    val u2 = send(req("/dataset/t11c/q").POST(BodyPublishers.ofString(
+      """{"update": [["foo", 7]], "where": ["==", "foo", 1]}"""))
+      .header("X-QCache-stand-in-columns", "ghost=1").build())
+    assert(u2.statusCode() == 200)
+    assert(!query("t11c", "{}").body().contains("ghost"))
+  }
+
   test("update statement over HTTP mutates the cached table") {
     storeCsv("t12", csvData)
     val u = send(req("/dataset/t12/q").POST(BodyPublishers.ofString(

@@ -235,6 +235,19 @@ class EngineFilterSpec extends AnyFunSuite {
     assert(splitTopLevelRecords("""[]""") == Some(Nil))
   }
 
+  test("json array with non-object elements falls back to whole-body semantics") {
+    // The record lexer captures only object elements; on a mixed array it
+    // must NOT run (it would silently store 2 rows). The fallback is the
+    // single-string reader, whose behavior for a non-uniform array is one
+    // corrupt-record row — same as before the parallel path existed (the
+    // reference's pandas from_records errors on such bodies entirely).
+    val f = Ingest.fromJsonRecords(spark, """[{"a": 1}, 5, {"a": 2}]""")
+    val whole = spark.read.json(
+      spark.createDataset(Seq("""[{"a": 1}, 5, {"a": 2}]"""))(
+        org.apache.spark.sql.Encoders.STRING))
+    assert(QueryEngine.run(f, "{}").df.count() == whole.count())
+  }
+
   test("json ingest preserves record order through the parallel parse") {
     val body = (0 until 5000).map(i => s"""{"i": $i, "s": "v$i"}""")
       .mkString("[", ",", "]")

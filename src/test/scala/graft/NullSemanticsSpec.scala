@@ -47,6 +47,17 @@ class NullSemanticsSpec extends AnyFunSuite {
     assert(foos(runQ(frame, """{"where": ["!", ["in", "bar", [1.25]]]}""")) == Seq("aaa", "ccc"))
   }
 
+  test("in-list containing null matches missing values (pandas isin([None]))") {
+    assert(foos(runQ(frame, """{"where": ["in", "bar", [null]]}""")) == Seq("ccc"))
+    assert(foos(runQ(frame, """{"where": ["in", "bar", [1.25, null]]}""")) ==
+      Seq("bbb", "ccc"))
+    assert(foos(runQ(frame, """{"where": ["!", ["in", "bar", [null]]]}""")) ==
+      Seq("bbb", "aaa"))
+    // NaN counts as missing on float columns (None→NaN coercion in pandas)
+    assert(foos(runQ(nanFrame, """{"where": ["in", "v", [null]]}"""), "k") ==
+      Seq("b", "d"))
+  }
+
   test("negated ordered comparison includes null rows") {
     assert(foos(runQ(frame, """{"where": ["!", ["<", "bar", 2]]}""")) == Seq("aaa", "ccc"))
   }
