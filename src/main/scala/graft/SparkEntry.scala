@@ -314,6 +314,18 @@ object SparkEntry {
           col("n_events"), col("total_value"))
         .orderBy("window_start", "event_type")),
 
+    // deterministic stratified sample: 20 hash-smallest docs per language
+    // (WindowGroupLimit keeps map-side top-k before the one shuffle)
+    "x16_sample_stratified" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedTopK(t(s, dir, "documents"),
+        "lang", "doc_id", k = 20)
+        .select("doc_id", "lang", "n_chars").orderBy("lang", "doc_id")),
+
+    // deterministic hash-fraction sample: map-only, no RNG state
+    "x17_sample_fraction" -> ((s, dir) =>
+      graft.ops.Sampling.fractionByHash(t(s, dir, "documents"), "doc_id", 0.1)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
     // gap sessionization, batch form (same semantics as the streaming
     // flatMapGroupsWithState operator; one user_id shuffle + window funcs)
     "x15_events_sessions" -> ((s, dir) =>
@@ -519,6 +531,18 @@ object SparkEntry {
                 octet_length(encode(text)) AS payload_bytes,
                 8 AS n_features
          FROM documents ORDER BY asset_id""",
+    "x16_sample_stratified" ->
+      """SELECT doc_id, lang, n_chars FROM (
+           SELECT doc_id, lang, n_chars, row_number() OVER (
+               PARTITION BY lang
+               ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rk
+           FROM documents)
+         WHERE rk <= 20 ORDER BY lang, doc_id""",
+    "x17_sample_fraction" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE (doc_id * 2654435761) % 1000000007 <
+               CAST(1000000007 * 0.1 AS BIGINT)
+         ORDER BY doc_id""",
     "x15_events_sessions" ->
       // ts arrives TIMESTAMP_NS in DuckDB; truncate to whole seconds the
       // same way the Spark side does (nanos integer-div) before gap logic

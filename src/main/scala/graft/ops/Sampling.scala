@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for corpus curation. Randomness comes
+  * from arithmetic hashes of a key column, never from RNG state, so
+  * samples are reproducible across runs, partitionings, and engines —
+  * a training-data pipeline requirement (the sample IS the dataset
+  * definition) and what makes the operators oracle-checkable.
+  */
+object Sampling {
+
+  /** Multiplicative hash (Knuth constant, mod a prime) — expressible
+    * identically in any SQL engine, unlike xxhash64. Uniform enough for
+    * sampling; NOT for adversarial inputs. */
+  private def orderHash(id: Column): Column =
+    pmod(id.cast("long") * lit(2654435761L), lit(1000000007L))
+
+  /** Keep the `k` hash-smallest rows per stratum — a deterministic uniform
+    * sample without replacement, stratified by `stratumCol`. Plans as
+    * row_number over (stratum, hash) bounded by k, which Spark executes
+    * with WindowGroupLimit: each map task keeps only its local top-k per
+    * stratum BEFORE the shuffle, so the exchange carries O(k × strata ×
+    * tasks) rows, not the corpus. */
+  def stratifiedTopK(df: DataFrame, stratumCol: String, idCol: String,
+                     k: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(orderHash(col(idCol)), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
+  /** Keep ~`fraction` of rows, deterministically: hash(id) mod D < D·p.
+    * Map-only — no shuffle, no RNG; the same row set survives any
+    * re-partitioning or re-run. */
+  def fractionByHash(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
+    df.filter(orderHash(col(idCol)) < (lit(1000000007L) * fraction).cast("long"))
+  }
+}

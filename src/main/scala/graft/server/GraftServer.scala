@@ -37,7 +37,7 @@ final class GraftServer(spark: SparkSession, port: Int,
   require(basicAuth.isEmpty || ssl.isDefined,
     "TLS must be enabled to use basic auth")
 
-  val stats = new Statistics(statisticsBufferSize)
+  val stats = new Statistics(statisticsBufferSize, clock)
   val cache = new DatasetCache(maxCacheSize, maxAge, clock)
 
   // Trailing slash optional before the q suffix, like the reference's

@@ -6,11 +6,12 @@ import scala.collection.mutable
   * (reference: qcache/statistics.py). Counters accumulate; append/extend
   * feed fixed-size ring buffers; `snapshot()` returns everything plus
   * `statistics_duration` and resets. */
-final class Statistics(bufferSize: Int) {
+final class Statistics(bufferSize: Int,
+                       clock: () => Long = () => System.currentTimeMillis()) {
   private val lock = new Object
   private var counters = mutable.LinkedHashMap.empty[String, Long]
   private var buffers = mutable.LinkedHashMap.empty[String, mutable.ArrayDeque[Double]]
-  private var since: Long = System.currentTimeMillis()
+  private var since: Long = clock()
 
   def inc(name: String, count: Long = 1): Unit = lock.synchronized {
     counters(name) = counters.getOrElse(name, 0L) + count
@@ -26,7 +27,7 @@ final class Statistics(bufferSize: Int) {
 
   /** Snapshot resets all state (reference: statistics.py:33-48). */
   def snapshot(): Map[String, Any] = lock.synchronized {
-    val now = System.currentTimeMillis()
+    val now = clock()
     val result = mutable.LinkedHashMap.empty[String, Any]
     result("statistics_buffer_size") = bufferSize.toLong
     counters.foreach { case (k, v) => result(k) = v }

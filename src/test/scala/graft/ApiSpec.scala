@@ -294,6 +294,10 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(queryAt(ttl, "t").statusCode() == 404)
       val s = send(req("/statistics", ttl).GET().build())
       assert(s.body().contains("\"age_evict_count\":1"))
+      // statistics_duration runs on the same injected clock
+      now += 5 * 1000
+      val s2 = send(req("/statistics", ttl).GET().build())
+      assert(s2.body().contains("\"statistics_duration\":5.0"))
     } finally ttl.stop()
   }
 

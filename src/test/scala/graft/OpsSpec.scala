@@ -139,6 +139,28 @@ class OpsSpec extends AnyFunSuite {
       }
   }
 
+  test("deterministic sampling: stratified top-k and hash fraction") {
+    import spark.implicits._
+    val df = (0L until 500L).map(i => (i, if (i % 3 == 0) "en" else "es"))
+      .toDF("id", "lang")
+    val s1 = Sampling.stratifiedTopK(df, "lang", "id", 10)
+    // exactly k per stratum, and identical across runs/partitionings
+    assert(s1.groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap == Map("en" -> 10L, "es" -> 10L))
+    val ids1 = s1.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.stratifiedTopK(df.repartition(7), "lang", "id", 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+
+    val f = Sampling.fractionByHash(df, "id", 0.2)
+    val n = f.count()
+    assert(n > 50 && n < 150) // ~100 expected, loose uniformity bound
+    // smaller fraction is a SUBSET of the larger (nested samples)
+    val small = Sampling.fractionByHash(df, "id", 0.05)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(f.select("id").collect().map(_.getLong(0)).toSet))
+  }
+
   test("dropNearDuplicates keeps the smallest id of each cluster") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
       numHashes = 64, bands = 16, threshold = 0.5, shingleSize = 3)
