@@ -52,6 +52,26 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("negation partitions the frame: rows(p) ⊎ rows(!p) == all rows") {
+    // pandas filters null-free boolean masks, so p and ~p are exact
+    // complements even on null rows — the invariant Spark's three-valued
+    // logic would break (null predicate ⇒ row dropped by BOTH p and !p).
+    checkProp(Prop.forAll(frameGen, predGen) { (df, p) =>
+      val pos = rows(QueryEngine.run(df, s"""{"where": $p}""").df)
+      val neg = rows(QueryEngine.run(df, s"""{"where": ["!", $p]}""").df)
+      (pos ++ neg).sorted == rows(df).sorted
+    })
+  }
+
+  test("!= is the exact complement of ==, including null rows") {
+    checkProp(Prop.forAll(frameGen, Gen.chooseNum(-3.0, 3.0)) { (df, v) =>
+      val lit = f"$v%.2f"
+      val eq = rows(QueryEngine.run(df, s"""{"where": ["==", "b", $lit]}""").df)
+      val ne = rows(QueryEngine.run(df, s"""{"where": ["!=", "b", $lit]}""").df)
+      (eq ++ ne).sorted == rows(df).sorted
+    })
+  }
+
   test("slice algebra: offset o + limit l == rows [o, o+l) of the ordered frame") {
     checkProp(Prop.forAll(frameGen, Gen.chooseNum(0, 6), Gen.chooseNum(1, 6)) { (df, o, l) =>
       val all = rows(QueryEngine.run(df, """{"order_by": ["a", "b", "c"]}""").df)
