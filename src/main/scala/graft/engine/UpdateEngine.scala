@@ -52,23 +52,47 @@ object UpdateEngine {
           }
           l(2) match {
             case values: List[Any] @unchecked =>
-              df(colName).isin(values.map {
+              // same pandas isin semantics as ExprCompiler.inFilter:
+              // null-free mask, and a null IN-list entry matches missing
+              val unquoted = values.map {
                 case s: String if isQuoted(s) => unquote(s)
                 case v => v
-              }: _*)
+              }
+              val nonNull = unquoted.filterNot(_ == null)
+              val base =
+                if (nonNull.isEmpty) lit(false)
+                else coalesce(df(colName).isin(nonNull: _*), lit(false))
+              if (unquoted.contains(null)) {
+                val c = df(colName)
+                base || (if (isFloating(df.schema(colName).dataType))
+                  c.isNull || isnan(c) else c.isNull)
+              } else base
             case _ => Errors.malformed("Second argument to 'in' must be a list", l)
           }
         case op: String if ComparisonOps.contains(op) =>
           Errors.assertLen(l, 3)
           val a = prepareArg(df, l(1))
           val b = prepareArg(df, l(2))
+          // pandas mask semantics on null/NaN, mirroring
+          // ExprCompiler.comparison: '!=' is True on null/NaN rows (they
+          // get UPDATED), every other comparison is False there.
+          def nanOf(arg: Any): Option[Column] = arg match {
+            case s: String if !isQuoted(s) && hasColumn(df, s) &&
+              isFloating(df.schema(s).dataType) => Some(isnan(df(s)))
+            case _ => None
+          }
+          val eitherNan = Seq(l(1), l(2)).flatMap(nanOf).reduceOption(_ || _)
+          def guarded(c: Column): Column =
+            eitherNan.map(n => c && !n).getOrElse(c)
           op match {
-            case "==" => a === b
-            case "!=" => a =!= b
-            case "<"  => a < b
-            case "<=" => a <= b
-            case ">"  => a > b
-            case ">=" => a >= b
+            case "==" => guarded(a === b)
+            case "!=" =>
+              val neq = !coalesce(a === b, lit(false))
+              eitherNan.map(n => neq || n).getOrElse(neq)
+            case "<"  => guarded(a < b)
+            case "<=" => guarded(a <= b)
+            case ">"  => guarded(a > b)
+            case ">=" => guarded(a >= b)
           }
         case op => Errors.malformed(s"Unknown operator '$op'", l)
       }

@@ -75,6 +75,21 @@ class NullSemanticsSpec extends AnyFunSuite {
     assert(out.select("bar").collect().map(_.get(0)).toSeq == Seq(1.25, 3.25))
   }
 
+  test("update filter: != updates null rows, ordered comparisons never match NaN") {
+    import graft.engine.{Query, UpdateEngine}
+    // bar is null on ccc — pandas' mask for bar != 1.25 includes it
+    val updated = UpdateEngine.update(frame, Query.parse(
+      """{"update": [["baz", 0]], "where": ["!=", "bar", 1.25]}"""))
+    assert(updated.select("foo", "baz").collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).intValue)).toSeq ==
+      Seq(("bbb", 5), ("aaa", 0), ("ccc", 0)))
+    // NaN rows must NOT match "> 2" (Spark alone treats NaN as greatest)
+    val nanUpd = UpdateEngine.update(nanFrame, Query.parse(
+      """{"update": [["v", 0.0]], "where": [">", "v", 2.0]}"""))
+    assert(nanUpd.filter("k = 'b'").select("v").head.getDouble(0).isNaN)
+    assert(nanUpd.filter("k = 'c'").select("v").head.getDouble(0) == 0.0)
+  }
+
   test("NaN rows: != keeps them, == and ordered comparisons never match") {
     assert(foos(runQ(nanFrame, """{"where": ["!=", "v", 1.0]}"""), "k") ==
       Seq("b", "c", "d"))
