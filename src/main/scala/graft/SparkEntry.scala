@@ -314,6 +314,14 @@ object SparkEntry {
           col("n_events"), col("total_value"))
         .orderBy("window_start", "event_type")),
 
+    // connected-components collapse of the exact-Jaccard pair graph:
+    // min reachable id per doc (iterative label propagation)
+    "x18_dedup_clusters" -> ((s, dir) =>
+      graft.ops.Dedup.duplicateClusters(
+        graft.ops.Dedup.shingleJaccardPairsExact(t(s, dir, "documents"),
+          "doc_id", "text", maxId = 300, threshold = 0.5, shingleSize = 3))
+        .orderBy("id")),
+
     // deterministic stratified sample: 20 hash-smallest docs per language
     // (WindowGroupLimit keeps map-side top-k before the one shuffle)
     "x16_sample_stratified" -> ((s, dir) =>
@@ -531,6 +539,33 @@ object SparkEntry {
                 octet_length(encode(text)) AS payload_bytes,
                 8 AS n_features
          FROM documents ORDER BY asset_id""",
+    "x18_dedup_clusters" ->
+      // same pair CTEs as x4, then min-reachable-id per vertex via a
+      // recursive reachability closure (DuckDB's CC idiom)
+      """WITH RECURSIVE t AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+           FROM documents WHERE doc_id < 300),
+         s AS (
+           SELECT doc_id,
+                  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                       ELSE list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                           for i in range(1, len(tk) - 1)])
+                  END AS sh
+           FROM t),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM s a, s b
+           WHERE a.doc_id < b.doc_id
+             AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(id, lab) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+         SELECT id, min(lab) AS cluster FROM reach GROUP BY id ORDER BY id""",
     "x16_sample_stratified" ->
       """SELECT doc_id, lang, n_chars FROM (
            SELECT doc_id, lang, n_chars, row_number() OVER (

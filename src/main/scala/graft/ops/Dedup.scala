@@ -165,6 +165,54 @@ object Dedup {
   def dropNearDuplicates(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  /** Collapse near-duplicate pairs into connected components: every id
+    * that appears in a pair is labeled with the MINIMUM id reachable
+    * through the undirected pair graph. Iterative neighbor-min label
+    * propagation — each round is one join + one aggregate (both shuffling
+    * on id), and the loop runs until a round changes nothing, i.e.
+    * O(component diameter) rounds. Near-dup components are shallow (a dup
+    * cluster's diameter is a few hops), so this converges in a handful of
+    * distributed rounds at any corpus size; only the per-round converged?
+    * check touches the driver. Returns (id, cluster). */
+  def duplicateClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+    edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+    labels.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster").as("c")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("c")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
+          col("cluster").as("__old"))
+      next.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      changed = next.filter(col("cluster") < col("__old")).count()
+      val prev = labels
+      labels = next.select("id", "cluster")
+      prev.unpersist()
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Keep exactly ONE doc (the min id) per near-duplicate component —
+    * the clustered version of dropNearDuplicates, which over-deletes on
+    * chains (A~B, B~C without A~C greedily drops both B and C even though
+    * C's only duplicate is already gone). Docs in no pair are kept. */
+  def dropNearDuplicatesClustered(df: DataFrame, pairs: DataFrame,
+                                  idCol: String): DataFrame = {
+    val doomed = duplicateClusters(pairs)
+      .filter(col("cluster") < col("id")).select(col("id").as(idCol))
+    df.join(doomed, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash over precomputed token hashes: per bit b, the bit is
     * set iff more token-hashes have bit b set than cleared — the native
     * codegen kernel (graft.functions.SimHashExpr). */

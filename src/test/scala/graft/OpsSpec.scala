@@ -161,6 +161,24 @@ class OpsSpec extends AnyFunSuite {
     assert(small.subsetOf(f.select("id").collect().map(_.getLong(0)).toSet))
   }
 
+  test("duplicateClusters collapses chains; clustered drop keeps one per component") {
+    import spark.implicits._
+    // chain 1-2, 2-3 (no 1-3 edge) + separate pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val clusters = Dedup.duplicateClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+
+    val docs = Seq(1L, 2L, 3L, 7L, 10L, 11L).toDF("id")
+    val kept = Dedup.dropNearDuplicatesClustered(docs, pairs, "id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 7L, 10L)) // one per component + untouched 7
+    // greedy policy over-deletes nothing here but would keep the same min
+    val greedy = Dedup.dropNearDuplicates(docs, pairs, "id")
+      .collect().map(_.getLong(0)).toSet
+    assert(greedy == Set(1L, 7L, 10L))
+  }
+
   test("dropNearDuplicates keeps the smallest id of each cluster") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
       numHashes = 64, bands = 16, threshold = 0.5, shingleSize = 3)
