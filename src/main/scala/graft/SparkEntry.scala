@@ -314,6 +314,11 @@ object SparkEntry {
           col("n_events"), col("total_value"))
         .orderBy("window_start", "event_type")),
 
+    // corpus vocabulary: top-100 token frequencies (explode → partial agg
+    // → one token shuffle → TakeOrdered; no full sort anywhere)
+    "x19_text_vocab" -> ((s, dir) =>
+      graft.ops.TextOps.topTokens(t(s, dir, "documents"), "text", k = 100)),
+
     // connected-components collapse of the exact-Jaccard pair graph:
     // min reachable id per doc (iterative label propagation)
     "x18_dedup_clusters" -> ((s, dir) =>
@@ -539,6 +544,13 @@ object SparkEntry {
                 octet_length(encode(text)) AS payload_bytes,
                 8 AS n_features
          FROM documents ORDER BY asset_id""",
+    "x19_text_vocab" ->
+      """SELECT token, count(*) AS n FROM (
+           SELECT unnest(string_split(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+           FROM documents)
+         WHERE token <> ''
+         GROUP BY token ORDER BY n DESC, token LIMIT 100""",
     "x18_dedup_clusters" ->
       // same pair CTEs as x4, then min-reachable-id per vertex via a
       // recursive reachability closure (DuckDB's CC idiom)

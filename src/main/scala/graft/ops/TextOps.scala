@@ -88,6 +88,17 @@ object TextOps {
           lit(0.25) * (lit(1.0) - col("punct_ratio") * 5.0))), 4))
   }
 
+  /** Corpus token frequency, top `k` by (count desc, token asc): the
+    * vocabulary-building primitive. Plans as explode → partial (map-side)
+    * count aggregation → one shuffle on token → TakeOrdered top-k, so the
+    * full corpus never sorts and the driver receives exactly k rows. */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
   /** Stable content fingerprint: md5 of the normalized text. Identical
     * duplicates collide exactly; used as the exact-dedup key. */
   def fingerprintMd5(c: Column): Column = md5(normalizeText(c))

@@ -139,6 +139,14 @@ class OpsSpec extends AnyFunSuite {
       }
   }
 
+  test("topTokens counts the corpus vocabulary with a deterministic order") {
+    import spark.implicits._
+    val df = Seq("the cat sat", "the cat", "THE  dog").toDF("text")
+    val top = graft.ops.TextOps.topTokens(df, "text", 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top == Seq(("the", 3L), ("cat", 2L), ("dog", 1L))) // tie: asc token
+  }
+
   test("deterministic sampling: stratified top-k and hash fraction") {
     import spark.implicits._
     val df = (0L until 500L).map(i => (i, if (i % 3 == 0) "en" else "es"))
