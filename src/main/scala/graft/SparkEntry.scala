@@ -314,6 +314,17 @@ object SparkEntry {
           col("n_events"), col("total_value"))
         .orderBy("window_start", "event_type")),
 
+    // sequence packing: docs → fixed token-budget bins in doc_id order
+    // (two-level distributed prefix sum; shard windows + tiny offset frame)
+    "x20_seq_packing" -> ((s, dir) => {
+      val withTokens = t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.ops.Packing.packSequences(withTokens, "doc_id", "n_tokens",
+        budget = 4096, shardSize = 100)
+        .select("doc_id", "n_tokens", "tokens_before", "bin")
+        .orderBy("doc_id")
+    }),
+
     // corpus vocabulary: top-100 token frequencies (explode → partial agg
     // → one token shuffle → TakeOrdered; no full sort anywhere)
     "x19_text_vocab" -> ((s, dir) =>
@@ -544,6 +555,22 @@ object SparkEntry {
                 octet_length(encode(text)) AS payload_bytes,
                 8 AS n_features
          FROM documents ORDER BY asset_id""",
+    "x20_seq_packing" ->
+      // the two-level prefix sum collapses to a plain running sum in SQL
+      """WITH tok AS (
+           SELECT doc_id,
+                  CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = ''
+                       THEN 0
+                       ELSE len(string_split(
+                         trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+                  END::BIGINT AS n_tokens
+           FROM documents)
+         SELECT doc_id, n_tokens,
+                coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before,
+                coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096 AS bin
+         FROM tok ORDER BY doc_id""",
     "x19_text_vocab" ->
       """SELECT token, count(*) AS n FROM (
            SELECT unnest(string_split(

@@ -139,6 +139,21 @@ class OpsSpec extends AnyFunSuite {
       }
   }
 
+  test("packSequences: two-level prefix sum equals a serial running sum") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, (i % 7) + 1)).toDF("id", "n")
+    // shardSize 8 forces multiple shards and non-trivial offsets
+    val packed = graft.ops.Packing.packSequences(docs, "id", "n",
+      budget = 10, shardSize = 8)
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("tokens_before"), r.getAs[Long]("bin")))
+    var cum = 0L
+    val expected = (1L to 50L).map { i =>
+      val before = cum; cum += (i % 7) + 1; (i, before, before / 10)
+    }
+    assert(packed.toSeq == expected)
+  }
+
   test("topTokens counts the corpus vocabulary with a deterministic order") {
     import spark.implicits._
     val df = Seq("the cat sat", "the cat", "THE  dog").toDF("text")
