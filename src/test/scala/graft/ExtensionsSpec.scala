@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** The SQL-surface registration of the native kernels
+  * (spark.sql.extensions=graft.plans.GraftExtensions): every function must
+  * resolve in plain SQL and return the same values as the DataFrame path. */
+class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("graft_dot and graft_sorted_intersect resolve and compute in SQL") {
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d,
+                graft_sorted_intersect(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS i""").head()
+    assert(r.getDouble(0) == 32.0 && r.getInt(1) == 2)
+  }
+
+  test("graft_minhash/simhash/hyperplane_sig/shingle_hashes match the operator path") {
+    val r = spark.sql(
+      """SELECT graft_minhash(array(17L, 99L, 1234L), 8) AS mh,
+                graft_simhash(array(1L, 3L, 3L)) AS sh,
+                graft_hyperplane_sig(array(0.5d, -1.0d), 4, 2) AS hp,
+                graft_shingle_hashes(array('a', 'b', 'c'), 'a b c', 2) AS sg""").head()
+    // cross-check against the DataFrame/Column formulations
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1).select(
+      graft.ops.Dedup.minhashSignature(typedLit(Seq(17L, 99L, 1234L)), 8).as("mh"),
+      graft.ops.Dedup.simhashOfHashes(typedLit(Seq(1L, 3L, 3L))).as("sh"),
+      graft.ops.Similarity.hyperplaneSignature(typedLit(Seq(0.5, -1.0)), 4, 2).as("hp"),
+      graft.ops.Dedup.shingleHashesFused(lit("a b c"), 2).as("sg")).head()
+    assert(r.getAs[scala.collection.Seq[Long]]("mh") == df.getAs[scala.collection.Seq[Long]]("mh"))
+    assert(r.getAs[Long]("sh") == df.getAs[Long]("sh"))
+    assert(r.getAs[scala.collection.Seq[Int]]("hp") == df.getAs[scala.collection.Seq[Int]]("hp"))
+    assert(r.getAs[scala.collection.Seq[Long]]("sg").toSet == df.getAs[scala.collection.Seq[Long]]("sg").toSet)
+  }
+}
