@@ -96,11 +96,21 @@ object Similarity {
   /** LSH-bucketed ANN: candidates must share one full band of the
     * hyperplane signature; exact cosine ranks candidates per query.
     * Recall < 1 by construction — `bands`×`bitsPerBand` trades recall for
-    * candidate volume. */
+    * candidate volume.
+    *
+    * `bitsPerBand <= 0` (the default) scales the band width with the
+    * corpus, `ceil(log2(n/16))` clamped to [4, 24] — a fixed width makes
+    * bucket occupancy (and the per-query candidate count) grow linearly
+    * with corpus size. Costs one count job; pass it explicitly when the
+    * corpus size is known. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, bands: Int = 8, bitsPerBand: Int = 4,
+              vecCol: String, k: Int, bands: Int = 8, bitsPerBand: Int = 0,
               dim: Int = -1): DataFrame = {
-    val bits = bands * bitsPerBand
+    val bpb = if (bitsPerBand > 0) bitsPerBand else {
+      val n = math.max(corpus.count(), 1L)
+      math.min(24, math.max(4, math.ceil(math.log(n / 16.0) / math.log(2)).toInt))
+    }
+    val bits = bands * bpb
     val d = if (dim > 0) dim else vecDim(corpus, vecCol)
     def banded(df: DataFrame, side: String) =
       df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec"),
@@ -108,7 +118,7 @@ object Similarity {
           hyperplaneSignature(col(vecCol), bits, d).as("sig"))
         .select(col(s"${side}_id"), col(s"${side}_vec"), col(s"${side}_norm"),
           posexplode(transform(sequence(lit(0), lit(bands - 1)),
-            b => xxhash64(concat_ws(",", slice(col("sig"), b * lit(bitsPerBand) + 1, lit(bitsPerBand)))))))
+            b => xxhash64(concat_ws(",", slice(col("sig"), b * lit(bpb) + 1, lit(bpb)))))))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
     val c = banded(corpus, "neighbor")
