@@ -260,6 +260,30 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.statusCode() == 400)
   }
 
+  test("unknown Accept-Encoding: 200 uncompressed (reference: test_api.py:605)") {
+    storeCsv("t16b", csvData)
+    val r = send(req("/dataset/t16b?q=" +
+      java.net.URLEncoder.encode("""{"select": [["count"]]}""", UTF_8)).GET()
+      .header("Accept-Encoding", "br").build())
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Encoding").isEmpty)
+    assert(r.body() == """[{"count":3}]""")
+  }
+
+  test("non-200 responses are never compressed (reference: test_api.py:618)") {
+    val r = send(req("/dataset/no_such_key?q=%7B%7D").GET()
+      .header("Accept-Encoding", "gzip, lz4").build())
+    assert(r.statusCode() == 404)
+    assert(r.headers().firstValue("Content-Encoding").isEmpty)
+  }
+
+  test("query body that is a list, not a dict, is 400 (reference: test_api.py:229)") {
+    storeCsv("t16c", csvData)
+    val r = send(req("/dataset/t16c/q")
+      .POST(BodyPublishers.ofString("""[{"where": ["==", "foo", 1]}]""")).build())
+    assert(r.statusCode() == 400)
+  }
+
   test("size eviction: LRU dataset evicted when budget exceeded") {
     // Probe the in-memory size of one dataset, then size a cache for 1.5×
     val probe = new GraftServer(spark, 0)
