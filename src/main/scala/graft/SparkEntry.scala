@@ -275,7 +275,7 @@ object SparkEntry {
         .withColumn("embedding", col("embedding").cast("array<double>"))
       graft.ops.Similarity.ivfTopK(
         e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, nCells = 32, nProbe = 8, dim = 64)
+        k = 5, nCells = 32, nProbe = 8, dim = 64, kmeansIters = 2)
         .orderBy("query_id", "rank")
     }),
 

@@ -217,6 +217,13 @@ object ExprCompiler {
     }
     q(2) match {
       case values: List[Any] @unchecked =>
+        // elements must be scalars — a nested list would otherwise surface
+        // as an unsupported-literal runtime error instead of a 400 (the
+        // reference crashes on unhashable elements; fuzz-found)
+        values.foreach {
+          case null | _: String | _: Long | _: Double | _: Boolean => ()
+          case other => Errors.malformed("Invalid type in argument", other)
+        }
         // pandas isin yields False for null rows — null-free so `!`
         // composes correctly. EXCEPT when the list itself contains null:
         // pandas Series.isin([None]) matches the missing values (None on

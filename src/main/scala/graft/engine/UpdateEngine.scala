@@ -53,7 +53,12 @@ object UpdateEngine {
           l(2) match {
             case values: List[Any] @unchecked =>
               // same pandas isin semantics as ExprCompiler.inFilter:
-              // null-free mask, and a null IN-list entry matches missing
+              // null-free mask, scalar-only elements, and a null IN-list
+              // entry matches missing
+              values.foreach {
+                case null | _: String | _: Long | _: Double | _: Boolean => ()
+                case other => Errors.malformed("Invalid type in argument", other)
+              }
               val unquoted = values.map {
                 case s: String if isQuoted(s) => unquote(s)
                 case v => v

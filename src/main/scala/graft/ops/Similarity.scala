@@ -138,6 +138,50 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** L2-normalize an embedding column (zero vectors pass through). */
+  def l2Normalize(vec: Column): Column = {
+    val n = norm(vec)
+    when(n === 0, vec.cast("array<double>"))
+      .otherwise(transform(vec.cast("array<double>"), x => x / n))
+  }
+
+  /** Distributed Lloyd refinement of IVF centroids: `iters` rounds of
+    * assign (fused CentroidDotsExpr argmax, map-only) → element-wise mean
+    * per cell (posexplode to (cell, dim) pairs → one partial-aggregating
+    * shuffle of ≤ nCells×dim groups). Empty cells keep their previous
+    * centroid. Each round is one pass over the corpus; the result plugs
+    * into ivfTopK's query path unchanged. */
+  def kmeansRefine(corpus: DataFrame, vecCol: String,
+                   initial: Seq[Seq[Double]], iters: Int): Seq[Seq[Double]] = {
+    var centroids = initial
+    val d = if (initial.nonEmpty) initial.head.length else 0
+    for (_ <- 0 until iters) {
+      val dots = org.apache.spark.sql.GraftSqlShims.column(
+        graft.functions.CentroidDotsExpr(
+          org.apache.spark.sql.GraftSqlShims.expression(col("__v")), centroids))
+      // nearest centroid by cosine ∝ dot/|v| — |v| constant per row
+      val assigned = corpus
+        .select(col(vecCol).cast("array<double>").as("__v"))
+        .withColumn("__scores", dots)
+        .withColumn("__cell", (array_position(col("__scores"),
+          array_max(col("__scores"))) - 1).cast("int"))
+      val means = assigned
+        .select(col("__cell"), posexplode(col("__v")))
+        .groupBy(col("__cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("__cell"))
+        .agg(map_from_arrays(collect_list(col("pos")),
+          collect_list(col("m"))).as("mm"))
+        .collect()
+        .map { r =>
+          val mm = r.getAs[Map[Int, Double]]("mm")
+          r.getInt(0) -> Seq.tabulate(d)(i => mm.getOrElse(i, 0.0))
+        }.toMap
+      centroids = centroids.zipWithIndex.map { case (c, i) => means.getOrElse(i, c) }
+    }
+    centroids
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer assigns every corpus
     * vector to its nearest of `nCells` centroid cells (one map-side pass);
     * each query probes its `nProbe` nearest cells and ranks only those
@@ -149,14 +193,14 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 64, nProbe: Int = 4,
-              dim: Int = -1): DataFrame = {
+              dim: Int = -1, kmeansIters: Int = 0): DataFrame = {
     val d = if (dim > 0) dim else vecDim(corpus, vecCol)
     // Deterministic sample without a corpus sort: hash every id into one of
     // nCells slots and keep the min-hash vector per slot — partial (map-side)
     // aggregation reduces each partition to ≤ nCells rows before the one tiny
     // shuffle, so centroid selection is O(corpus) map work + O(nCells)
     // shuffle, never a global ordering of 100 TB to pick 64 rows.
-    val centroids: Seq[Seq[Double]] = corpus
+    val sampled: Seq[Seq[Double]] = corpus
       .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
       .groupBy(pmod(xxhash64(col("__id")), lit(nCells)).as("__slot"))
       .agg(min_by(col("__v"), struct(xxhash64(col("__id")), col("__id"))).as("__v"))
@@ -164,6 +208,9 @@ object Similarity {
       .collect()
       .map(r => r.getAs[scala.collection.Seq[Double]]("__v").toSeq)
       .toSeq
+    val centroids =
+      if (kmeansIters > 0) kmeansRefine(corpus, vecCol, sampled, kmeansIters)
+      else sampled
     val nActual = centroids.length
 
     // cell scores: dot product against every centroid, one fused codegen

@@ -275,6 +275,33 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("kmeans-refined IVF: full probe still matches brute force; centroids move") {
+    val queries = vecs.filter(col("vec_id") === 1)
+    val brute = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", 3)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    val ivf = Similarity.ivfTopK(vecs, queries, "vec_id", "embedding",
+      k = 3, nCells = 2, nProbe = 2, kmeansIters = 2)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(ivf == brute) // exhaustive probe is centroid-independent
+
+    // refinement converges to cluster means: with two clear clusters
+    // ({e1-ish}, {e2}), one refined centroid is the mean of the e1 group
+    val initial = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0))
+    val refined = Similarity.kmeansRefine(vecs, "embedding", initial, 2)
+    assert(refined.length == 2)
+    val e1Mean = refined.minBy(c => math.abs(c.head - 1.0))
+    assert(math.abs(e1Mean.head - (1.0 + 0.9 + 1.0) / 3) < 1e-6)
+    assert(refined.exists(c => math.abs(c(1) - 1.0) < 1e-6)) // e2 cluster kept
+  }
+
+  test("l2Normalize produces unit vectors and passes zero vectors through") {
+    val df = Seq((1L, Array(3.0f, 4.0f)), (2L, Array(0.0f, 0.0f)))
+      .toDF("id", "v")
+      .withColumn("n", Similarity.norm(Similarity.l2Normalize(col("v"))))
+    val norms = df.orderBy("id").collect().map(_.getDouble(2))
+    assert(math.abs(norms(0) - 1.0) < 1e-12 && norms(1) == 0.0)
+  }
+
   // ------------------------- multimodal -------------------------
 
   test("asset schema + stub decode plumbing") {
