@@ -151,6 +151,44 @@ class PropertySpec extends AnyFunSuite {
     assert(result.passed, result.status.toString)
   }
 
+  test("fuzz: arbitrary update statements either run or raise MalformedQueryException") {
+    import graft.engine.{MalformedQueryException, Query, UpdateEngine}
+    val argGen: Gen[String] = Gen.oneOf(
+      Gen.const("\"a\""), Gen.const("\"b\""), Gen.const("\"c\""),
+      Gen.const("\"nope\""), Gen.const("\"'x'\""),
+      Gen.chooseNum(-9, 9).map(_.toString), Gen.const("1.5"), Gen.const("null"))
+    val updOp = Gen.oneOf("+", "-", "*", "/", "<<", ">>", "&", "|", "^",
+      "%", "**", "zap", "==")
+    val clause = Gen.oneOf(
+      for { a <- argGen; b <- argGen } yield s"[$a, $b]",
+      for { op <- updOp; a <- argGen; b <- argGen } yield s"""["$op", $a, $b]""")
+    val updGen = Gen.listOf(clause).map(_.mkString("[", ", ", "]"))
+    val whereOp = Gen.oneOf("==", "!=", "<", ">", "in", "isnull", "&", "like", "zap")
+    val whereGen: Gen[String] = for {
+      op <- whereOp
+      n <- Gen.chooseNum(0, 3)
+      args <- Gen.listOfN(n, Gen.oneOf(argGen,
+        Gen.listOf(argGen).map(_.mkString("[", ", ", "]"))))
+    } yield (s""""$op"""" :: args).mkString("[", ", ", "]")
+
+    val fixed = Ingest.fromCsv(spark, "a,b,c\n1,1.5,x\n2,,y\n3,0.5,z")
+    val prop = Prop.forAll(updGen, whereGen) { (u, w) =>
+      try {
+        UpdateEngine.update(fixed,
+          Query.parse(s"""{"update": $u, "where": $w}""")).collect()
+        true
+      } catch {
+        case _: MalformedQueryException => true // the 400 path — fine
+        case _: org.apache.spark.sql.AnalysisException => false
+        case _: scala.MatchError => false
+        case _: ClassCastException => false
+      }
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200).withMaxSize(12), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("unsliced length equals pre-slice row count") {
     checkProp(Prop.forAll(frameGen, Gen.chooseNum(0, 4), Gen.chooseNum(1, 4)) { (df, o, l) =>
       val r = QueryEngine.run(df,
