@@ -559,7 +559,8 @@ object SparkEntry {
       // the two-level prefix sum collapses to a plain running sum in SQL
       """WITH tok AS (
            SELECT doc_id,
-                  CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = ''
+                  CASE WHEN text IS NULL
+                         OR trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = ''
                        THEN 0
                        ELSE len(string_split(
                          trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
@@ -605,17 +606,19 @@ object SparkEntry {
            UNION
            SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
          SELECT id, min(lab) AS cluster FROM reach GROUP BY id ORDER BY id""",
+    // hash arithmetic mirrors Sampling.orderHash exactly: pre-reduced
+    // multiplier (no int64 overflow on any id) and a driver-computed
+    // integer threshold (engines disagree on double→int cast rounding)
     "x16_sample_stratified" ->
       """SELECT doc_id, lang, n_chars FROM (
            SELECT doc_id, lang, n_chars, row_number() OVER (
                PARTITION BY lang
-               ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rk
+               ORDER BY ((doc_id % 1000000007) * 654435747) % 1000000007, doc_id) AS rk
            FROM documents)
          WHERE rk <= 20 ORDER BY lang, doc_id""",
     "x17_sample_fraction" ->
       """SELECT doc_id, lang FROM documents
-         WHERE (doc_id * 2654435761) % 1000000007 <
-               CAST(1000000007 * 0.1 AS BIGINT)
+         WHERE ((doc_id % 1000000007) * 654435747) % 1000000007 < 100000000
          ORDER BY doc_id""",
     "x15_events_sessions" ->
       // ts arrives TIMESTAMP_NS in DuckDB; truncate to whole seconds the

@@ -179,9 +179,10 @@ object Dedup {
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
     edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    var labels = edges.select(col("src").as("id")).distinct()
+    var persisted = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
-    labels.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    persisted.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    var labels = persisted
     var changed = 1L
     while (changed > 0) {
       val neighborMin = edges
@@ -194,11 +195,17 @@ object Dedup {
           col("cluster").as("__old"))
       next.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       changed = next.filter(col("cluster") < col("__old")).count()
-      val prev = labels
+      // unpersist the frame that was CACHED last round — not a projection
+      // of it, which would make the release a silent no-op and pin one
+      // full label table per iteration until session end
+      persisted.unpersist()
+      persisted = next
       labels = next.select("id", "cluster")
-      prev.unpersist()
     }
     edges.unpersist()
+    // the final round's cache stays pinned: it backs the returned frame's
+    // lineage (releasing it would re-run every iteration on evaluation)
+    // and is O(paired ids) — the size of the result itself
     labels
   }
 

@@ -32,9 +32,13 @@ object Packing {
         Window.partitionBy(col("__shard")).orderBy(col(orderCol))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
 
-    // shard totals → exclusive running offsets (tiny frame, one task)
-    val offsets = withLocal.groupBy("__shard")
-      .agg(max(col("__local")).as("__total"))
+    // shard totals → exclusive running offsets (tiny frame, one task);
+    // computed from the RAW input with a plain sum, not max(__local) over
+    // the windowed frame, which would evaluate the per-shard window sort
+    // a second time under the aggregate
+    val offsets = df
+      .groupBy(shard.as("__shard"))
+      .agg(sum(col(tokenCol)).as("__total"))
       .withColumn("__offset",
         coalesce(sum(col("__total")).over(
           Window.orderBy(col("__shard"))

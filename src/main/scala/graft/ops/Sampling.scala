@@ -14,9 +14,14 @@ object Sampling {
 
   /** Multiplicative hash (Knuth constant, mod a prime) — expressible
     * identically in any SQL engine, unlike xxhash64. Uniform enough for
-    * sampling; NOT for adversarial inputs. */
+    * sampling; NOT for adversarial inputs. The id is reduced mod p BEFORE
+    * the multiply and the multiplier is pre-reduced (2654435761 ≡
+    * 654435747 mod p), keeping the product under 2^63 for ANY 64-bit id —
+    * the congruence gives identical values to the unreduced form, without
+    * Spark's silent wraparound or DuckDB's overflow error. */
+  private val P = 1000000007L
   private def orderHash(id: Column): Column =
-    pmod(id.cast("long") * lit(2654435761L), lit(1000000007L))
+    pmod(pmod(id.cast("long"), lit(P)) * lit(2654435761L % P), lit(P))
 
   /** Keep the `k` hash-smallest rows per stratum — a deterministic uniform
     * sample without replacement, stratified by `stratumCol`. Plans as
@@ -38,6 +43,8 @@ object Sampling {
     * re-partitioning or re-run. */
   def fractionByHash(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
-    df.filter(orderHash(col(idCol)) < (lit(1000000007L) * fraction).cast("long"))
+    // threshold computed driver-side so the boundary is one exact integer
+    // literal in the plan (engines disagree on double→int cast rounding)
+    df.filter(orderHash(col(idCol)) < lit(math.floor(P * fraction).toLong))
   }
 }

@@ -145,15 +145,23 @@ object Similarity {
       .otherwise(transform(vec.cast("array<double>"), x => x / n))
   }
 
-  /** Distributed Lloyd refinement of IVF centroids: `iters` rounds of
-    * assign (fused CentroidDotsExpr argmax, map-only) → element-wise mean
-    * per cell (posexplode to (cell, dim) pairs → one partial-aggregating
-    * shuffle of ≤ nCells×dim groups). Empty cells keep their previous
-    * centroid. Each round is one pass over the corpus; the result plugs
-    * into ivfTopK's query path unchanged. */
+  /** Distributed SPHERICAL-k-means refinement of IVF centroids: `iters`
+    * rounds of assign (fused CentroidDotsExpr argmax, map-only) →
+    * element-wise mean per cell (posexplode to (cell, dim) pairs → one
+    * partial-aggregating shuffle of ≤ nCells×dim groups) → L2-normalize
+    * the mean (driver-side, nCells×dim scalars). Normalization keeps the
+    * dot-product argmax equal to the COSINE argmax — with raw means,
+    * centroid norms shrink with cell spread and the assignment drifts
+    * toward large-norm cells. Empty cells keep their previous centroid.
+    * Each round is one pass over the corpus; the result plugs into
+    * ivfTopK's query path unchanged. */
   def kmeansRefine(corpus: DataFrame, vecCol: String,
                    initial: Seq[Seq[Double]], iters: Int): Seq[Seq[Double]] = {
-    var centroids = initial
+    def normalize(c: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0) c else c.map(_ / n)
+    }
+    var centroids = initial.map(normalize)
     val d = if (initial.nonEmpty) initial.head.length else 0
     for (_ <- 0 until iters) {
       val dots = org.apache.spark.sql.GraftSqlShims.column(
@@ -177,7 +185,9 @@ object Similarity {
           val mm = r.getAs[Map[Int, Double]]("mm")
           r.getInt(0) -> Seq.tabulate(d)(i => mm.getOrElse(i, 0.0))
         }.toMap
-      centroids = centroids.zipWithIndex.map { case (c, i) => means.getOrElse(i, c) }
+      centroids = centroids.zipWithIndex.map { case (c, i) =>
+        means.get(i).map(normalize).getOrElse(c)
+      }
     }
     centroids
   }

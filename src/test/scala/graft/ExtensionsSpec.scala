@@ -10,18 +10,34 @@ import org.apache.spark.sql.SparkSession
 class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var spark: SparkSession = _
+  private var base: SparkSession = _
 
   override def beforeAll(): Unit = {
+    // getOrCreate silently returns any existing session (ignoring the
+    // extensions conf), and spark.sql.extensions is a STATIC conf read
+    // from the SparkContext — unusable once a context exists. So: force
+    // the shared test session into existence, clear the active/default
+    // registration, and build a sibling session over the same context
+    // with the extensions applied through the builder API (the same
+    // GraftExtensions class the conf would instantiate).
+    base = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     spark = SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-ext-test")
       .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .withExtensions(new graft.plans.GraftExtensions())
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
   }
-  override def afterAll(): Unit = if (spark != null) spark.stop()
+  override def afterAll(): Unit = {
+    // never stop(): the SparkContext is shared with every other suite —
+    // just restore the shared session as active/default
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    if (base != null) {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
 
   test("graft_dot and graft_sorted_intersect resolve and compute in SQL") {
     val r = spark.sql(

@@ -284,13 +284,18 @@ class OpsSpec extends AnyFunSuite {
       .orderBy("rank").collect().map(_.getLong(2)).toSeq
     assert(ivf == brute) // exhaustive probe is centroid-independent
 
-    // refinement converges to cluster means: with two clear clusters
-    // ({e1-ish}, {e2}), one refined centroid is the mean of the e1 group
+    // spherical refinement converges to NORMALIZED cluster means: with two
+    // clear clusters ({e1-ish}, {e2}), one refined centroid is the unit
+    // vector of the e1 group's mean
     val initial = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0))
     val refined = Similarity.kmeansRefine(vecs, "embedding", initial, 2)
     assert(refined.length == 2)
-    val e1Mean = refined.minBy(c => math.abs(c.head - 1.0))
-    assert(math.abs(e1Mean.head - (1.0 + 0.9 + 1.0) / 3) < 1e-6)
+    refined.foreach(c =>
+      assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9)) // unit norms
+    val m = Seq((1.0 + 0.9 + 1.0) / 3, (0.0 + 0.1 + 0.0) / 3, 0.0)
+    val mUnit = { val n = math.sqrt(m.map(x => x * x).sum); m.map(_ / n) }
+    val e1 = refined.minBy(c => math.abs(c.head - 1.0))
+    assert(e1.zip(mUnit).forall { case (a, b) => math.abs(a - b) < 1e-6 })
     assert(refined.exists(c => math.abs(c(1) - 1.0) < 1e-6)) // e2 cluster kept
   }
 
