@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** Measured recall@k of the approximate ANN paths against brute force on
+  * the real embeddings fixture — the approximate operators' quality gate.
+  * Everything is deterministic (hash-based signatures, fixed centroids),
+  * so recall is a stable number, pinned here with headroom.
+  */
+class AnnRecallSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.01/embeddings.parquet")
+    .withColumn("embedding", col("embedding").cast("array<double>"))
+  private lazy val queries = emb.filter(col("vec_id") < 20)
+
+  private def topSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  private lazy val brute = topSet(
+    Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10))
+
+  private def recallOf(approx: Map[Long, Set[Long]]): Double = {
+    val hits = brute.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).count(truth.contains).toDouble / truth.size
+    }
+    hits.sum / hits.size
+  }
+
+  test("IVF recall@10 at nProbe=8/32 clears the pinned floor") {
+    val ivf = topSet(Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 10, nCells = 32, nProbe = 8, dim = 64))
+    val r = recallOf(ivf)
+    info(f"ivf recall@10 = $r%.3f")
+    assert(r >= 0.35, f"IVF recall degraded: $r%.3f")
+  }
+
+  test("k-means refinement does not reduce IVF recall") {
+    val plain = recallOf(topSet(Similarity.ivfTopK(emb, queries, "vec_id",
+      "embedding", k = 10, nCells = 32, nProbe = 8, dim = 64)))
+    val refined = recallOf(topSet(Similarity.ivfTopK(emb, queries, "vec_id",
+      "embedding", k = 10, nCells = 32, nProbe = 8, dim = 64, kmeansIters = 2)))
+    info(f"ivf recall plain=$plain%.3f refined=$refined%.3f")
+    assert(refined >= plain - 0.05,
+      f"refinement hurt recall: $plain%.3f -> $refined%.3f")
+  }
+
+  test("LSH recall@10 clears the pinned floor") {
+    val lsh = topSet(Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+      k = 10, dim = 64))
+    val r = recallOf(lsh)
+    info(f"lsh recall@10 = $r%.3f")
+    assert(r >= 0.25, f"LSH recall degraded: $r%.3f")
+  }
+}
