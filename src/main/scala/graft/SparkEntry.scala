@@ -567,10 +567,13 @@ object SparkEntry {
                   END::BIGINT AS n_tokens
            FROM documents)
          SELECT doc_id, n_tokens,
+                -- ::BIGINT: DuckDB sum(BIGINT) yields HUGEINT, which pandas
+                -- widens to float64 and the driver then hashes as "123.0"
+                -- vs Spark's int64 "123" (CORRECTNESS_r02 x20 hash miss)
                 coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before,
-                coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096 AS bin
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tokens_before,
+                (coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096)::BIGINT AS bin
          FROM tok ORDER BY doc_id""",
     "x19_text_vocab" ->
       """SELECT token, count(*) AS n FROM (
