@@ -25,7 +25,10 @@ object Packing {
   def packSequences(df: DataFrame, orderCol: String, tokenCol: String,
                     budget: Long, shardSize: Long = 100000L): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val shard: Column = (col(orderCol).cast("long") / shardSize).cast("long")
+    require(shardSize > 0, "shardSize must be positive")
+    // `div` (integral) — `/` is double division, which mis-shards order
+    // keys beyond 2^53
+    val shard: Column = expr(s"CAST(`$orderCol` AS BIGINT) div ${shardSize}L")
     val withLocal = df
       .withColumn("__shard", shard)
       .withColumn("__local", sum(col(tokenCol)).over(
@@ -48,7 +51,7 @@ object Packing {
     withLocal.join(broadcast(offsets), Seq("__shard"))
       .withColumn("tokens_before",
         col("__offset") + col("__local") - col(tokenCol))
-      .withColumn("bin", (col("tokens_before") / budget).cast("long"))
+      .withColumn("bin", expr(s"tokens_before div ${budget}L"))
       .drop("__shard", "__local", "__offset")
   }
 }

@@ -26,6 +26,15 @@ object Similarity {
   def vecDim(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).head.getInt(0)
 
+  /** Row-count estimate for sizing LSH bucket width: reads the optimized
+    * plan's statistics when they carry a row count (free — e.g. a
+    * materialized cached relation), else pays one count job. Only the
+    * order of magnitude matters (consumers take a log2). */
+  private[ops] def approxRows(df: DataFrame): Long =
+    df.queryExecution.optimizedPlan.stats.rowCount
+      .map(c => math.max(c.toLong, 1L))
+      .getOrElse(math.max(df.count(), 1L))
+
   /** Dot product of two array<double> columns — native codegen kernel
     * (graft.functions.DotProductExpr). */
   def dot(a: Column, b: Column): Column =
@@ -107,7 +116,7 @@ object Similarity {
               vecCol: String, k: Int, bands: Int = 8, bitsPerBand: Int = 0,
               dim: Int = -1): DataFrame = {
     val bpb = if (bitsPerBand > 0) bitsPerBand else {
-      val n = math.max(corpus.count(), 1L)
+      val n = approxRows(corpus) // plan stats when cached, else one count job
       math.min(24, math.max(4, math.ceil(math.log(n / 16.0) / math.log(2)).toInt))
     }
     val bits = bands * bpb
@@ -284,10 +293,10 @@ object Similarity {
                          threshold: Double, bands: Int = 8,
                          bitsPerBand: Int = 0, dim: Int = -1): DataFrame = {
     val bpb = if (bitsPerBand > 0) bitsPerBand else {
-      // one count job over the input plan (full plan execution when df is
-      // derived, not a parquet metadata read) — callers that already know
-      // the corpus size should pass bitsPerBand explicitly to skip it
-      val n = math.max(df.count(), 1L)
+      // plan stats when available (cached relation), else one count job
+      // over the input plan — callers that already know the corpus size
+      // should pass bitsPerBand explicitly to skip it
+      val n = approxRows(df)
       math.min(24, math.max(8, math.ceil(math.log(n / 16.0) / math.log(2)).toInt))
     }
     val bits = bands * bpb

@@ -214,11 +214,6 @@ final class GraftServer(spark: SparkSession, port: Int,
       cache.delete(key)
     }
     val ct = contentType(exchange)
-    // The reference parses (and so VALIDATES) the types header before
-    // branching on content type — an unknown type name 400s for JSON
-    // stores too, even though the hints are only APPLIED to CSV
-    // (reference: app.py:150-168, 252-257).
-    val hints = typeHints(exchange)
     val body = decodedBody(exchange)
     val durations =
       try cache.ensureFree(if (ct == "text/csv") body.length else body.length / 2)
@@ -226,7 +221,11 @@ final class GraftServer(spark: SparkSession, port: Int,
     val text = new String(body, UTF_8)
     val parsed =
       try {
-        if (ct == "text/csv") Ingest.fromCsv(spark, text, hints, standIns(exchange))
+        // The reference parses (and so validates) the types header only in
+        // the CSV branch — a JSON store with an unknown type name is a 201
+        // and the header is ignored (reference: app.py:249-257).
+        if (ct == "text/csv")
+          Ingest.fromCsv(spark, text, typeHints(exchange), standIns(exchange))
         else Ingest.fromJsonRecords(spark, text, Map.empty, standIns(exchange))
       } catch {
         case e: MalformedQueryException => throw new HttpFail(400, errorJson(e.getMessage))

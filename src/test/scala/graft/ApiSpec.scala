@@ -162,13 +162,14 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.body() == """[{"foo":1,"extra":42}]""")
   }
 
-  test("json store: bad type-hint name still 400s, valid hints are not applied") {
-    // reference parses the header (400 on unknown names) before branching
-    // on content type, but applies hints only to CSV (app.py:150-168,252-257)
-    val bad = send(req("/dataset/t11b").POST(BodyPublishers.ofString("""[{"a": 1}]"""))
+  test("json store: type-hint header is ignored, even with an unknown name") {
+    // reference parses (and validates) the header only in the CSV branch
+    // (app.py:249-257) — a JSON store never touches it, so an unknown
+    // type name is still a 201 and valid hints are not applied
+    val bad = send(req("/dataset/t11b0").POST(BodyPublishers.ofString("""[{"a": 1}]"""))
       .header("Content-Type", "application/json")
       .header("X-QCache-types", "a=int128").build())
-    assert(bad.statusCode() == 400)
+    assert(bad.statusCode() == 201)
     val ok = send(req("/dataset/t11b").POST(BodyPublishers.ofString("""[{"a": 1}]"""))
       .header("Content-Type", "application/json")
       .header("X-QCache-types", "a=string").build())
