@@ -292,10 +292,36 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "alpha_ratio", "punct_ratio", "stopword_ratio")
         .orderBy("doc_id")),
 
-    // heuristic language ID (rows-only; accuracy asserted in unit tests)
+    // heuristic language ID (stopword argmax — the oracle replays the
+    // same scoring + tie-break cascade in SQL)
     "x10_text_langid" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), col("lang"),
         graft.ops.TextOps.langId(col("text")).as("lang_pred")).orderBy("doc_id")),
+
+    // benchmark decontamination: train docs sharing an 8-word gram with
+    // the eval slice (source=src7) — hash-keyed join, eval side broadcast
+    // by AQE once its distinct aggregate reveals a small size
+    "x21_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Decontaminate.contaminated(
+        docs.filter(col("source") =!= "src7"),
+        docs.filter(col("source") === "src7"),
+        "doc_id", "text", n = 8).orderBy("id")
+    }),
+
+    // repetition quality rules (Gopher-style): duplicate-word fraction
+    // map-only; top-bigram fraction via explode → count → max/sum
+    "x22_text_repetition" -> ((s, dir) =>
+      graft.ops.TextOps.repetitionFeatures(
+        t(s, dir, "documents"), "doc_id", "text").orderBy("id")),
+
+    // training-mix sampling: per-source keep fractions off one shared id
+    // hash (nested, reproducible samples; map-only CASE chain)
+    "x23_mixture_sample" -> ((s, dir) =>
+      graft.ops.Sampling.mixtureByHash(t(s, dir, "documents"), "doc_id",
+        "source", Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+        default = 0.1)
+        .select("doc_id", "source").orderBy("doc_id")),
 
     // document fingerprinting (md5-of-normalized, oracle-checked; the
     // rolling-hash variant is engine-specific and covered by unit tests)
@@ -541,6 +567,81 @@ object SparkEntry {
                        'der','die','das','und','zu','ist','ein','eine','mit')))::DOUBLE
                       / len(tk), 4) AS stopword_ratio
          FROM t ORDER BY doc_id""",
+    "x10_text_langid" ->
+      // same stopword lists and argmax tie-break cascade as TextOps.langId
+      // (candidate order en, es, fr, de; score <= 0 → 'und')
+      """WITH t AS (
+           SELECT doc_id, lang,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+           FROM documents),
+         s AS (
+           SELECT doc_id, lang,
+             len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS s_en,
+             len(list_filter(tk, x -> x IN ('el','la','de','y','que','en','un','una','es','por'))) AS s_es,
+             len(list_filter(tk, x -> x IN ('le','la','de','et','que','en','un','une','est','pour'))) AS s_fr,
+             len(list_filter(tk, x -> x IN ('der','die','das','und','zu','in','ist','ein','eine','mit'))) AS s_de
+           FROM t)
+         SELECT doc_id, lang,
+                CASE WHEN greatest(s_en, s_es, s_fr, s_de) <= 0 THEN 'und'
+                     WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                     WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                     WHEN s_fr >= s_de THEN 'fr'
+                     ELSE 'de' END AS lang_pred
+         FROM s ORDER BY doc_id""",
+    "x21_decontam" ->
+      """WITH tok AS (
+           SELECT doc_id, source,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+           FROM documents),
+         grams AS (
+           SELECT doc_id, source,
+                  unnest(list_distinct([list_aggregate(tk[i+1:i+8], 'string_agg', ' ')
+                                        for i in range(len(tk) - 7)])) AS gram
+           FROM tok WHERE len(tk) >= 8),
+         ev AS (SELECT DISTINCT gram FROM grams WHERE source = 'src7')
+         SELECT g.doc_id AS id, count(*)::BIGINT AS n_shared_grams
+         FROM grams g JOIN ev USING (gram)
+         WHERE g.source <> 'src7'
+         GROUP BY 1 ORDER BY 1""",
+    "x22_text_repetition" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  CASE WHEN text IS NULL
+                         OR trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = ''
+                       THEN []::VARCHAR[]
+                       ELSE string_split(
+                         trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+                  END AS tk
+           FROM documents),
+         base AS (
+           SELECT doc_id AS id, len(tk)::BIGINT AS n_tokens,
+                  CASE WHEN len(tk) > 0
+                       THEN round((len(tk) - len(list_distinct(tk)))::DOUBLE / len(tk), 4)
+                       ELSE 0.0 END AS dup_word_frac,
+                  tk
+           FROM tok),
+         bg AS (
+           SELECT id, gram, count(*) AS c FROM (
+             SELECT id, unnest([list_aggregate(tk[i+1:i+2], 'string_agg', ' ')
+                                for i in range(len(tk) - 1)]) AS gram
+             FROM base WHERE len(tk) >= 2)
+           GROUP BY 1, 2),
+         top AS (
+           SELECT id, round(max(c)::DOUBLE / sum(c), 4) AS top_bigram_frac
+           FROM bg GROUP BY 1)
+         SELECT b.id, b.n_tokens, b.dup_word_frac,
+                coalesce(t.top_bigram_frac, 0.0) AS top_bigram_frac
+         FROM base b LEFT JOIN top t USING (id) ORDER BY b.id""",
+    "x23_mixture_sample" ->
+      // thresholds are floor(1000000007 * w), same literals the Spark
+      // side computes driver-side; hash identical to x17's
+      """SELECT doc_id, source FROM documents
+         WHERE ((doc_id % 1000000007) * 654435747) % 1000000007 <
+               CASE source WHEN 'src0' THEN 1000000007
+                           WHEN 'src1' THEN 500000003
+                           WHEN 'src2' THEN 250000001
+                           ELSE 100000000 END
+         ORDER BY doc_id""",
     "x11_text_fingerprint" ->
       """SELECT doc_id,
                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for training pipelines: find (and drop)
+  * training documents that share a long word n-gram with an evaluation
+  * set — the standard contamination test (an n-gram of 8–13 words
+  * appearing verbatim in both a training document and a benchmark item).
+  *
+  * Shape at scale: both sides explode to (doc, gram) with per-document
+  * gram dedup BEFORE the explode (bounds the blowup at one row per
+  * distinct gram), then one equi-join keyed on the 64-bit gram hash WITH
+  * the gram string as a second key — the hash keeps the shuffle keys
+  * narrow and uniformly distributed, the string equality keeps the result
+  * exact. The eval side is an aggregated (distinct) relation, so AQE sees
+  * its true size after the distinct and converts the join to broadcast
+  * whenever the benchmark set is small — the common case: a few thousand
+  * eval items vs a 100 TB train corpus never shuffles the train grams.
+  */
+object Decontaminate {
+
+  /** All word `n`-grams of the normalized text, as space-joined strings;
+    * empty array when the document has fewer than `n` tokens. */
+  def wordNgrams(c: Column, n: Int): Column = {
+    require(n > 0, "n must be positive")
+    val tk = TextOps.tokens(c)
+    when(c.isNull || TextOps.normalizeText(c) === "" || size(tk) < n,
+      array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(tk) - n),
+        i => concat_ws(" ", slice(tk, i + lit(1), lit(n)))))
+  }
+
+  /** Contaminated training documents: (id, n_shared_grams) for every
+    * train document sharing ≥1 distinct word n-gram with `eval`. */
+  def contaminated(train: DataFrame, eval: DataFrame, idCol: String,
+                   textCol: String, n: Int = 8): DataFrame = {
+    def grams(df: DataFrame, cols: Column*) =
+      df.select(cols :+ explode(array_distinct(
+        wordNgrams(col(textCol), n))).as("gram"): _*)
+        .withColumn("__gh", xxhash64(col("gram")))
+    val evalGrams = grams(eval).dropDuplicates("__gh", "gram")
+    grams(train, col(idCol).as("id"))
+      .join(evalGrams, Seq("__gh", "gram"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  /** The decontaminated training set: `train` minus every document
+    * `contaminated` flags (one extra anti-join on the id). */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8): DataFrame =
+    train.join(
+      contaminated(train, eval, idCol, textCol, n)
+        .select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+}

@@ -47,4 +47,23 @@ object Sampling {
     // literal in the plan (engines disagree on double→int cast rounding)
     df.filter(orderHash(col(idCol)) < lit(math.floor(P * fraction).toLong))
   }
+
+  /** Source-mixture sampling: keep a per-source fraction of rows
+    * (`weights(source)`, `default` for unlisted sources) — how a training
+    * mix up/down-weights corpora. The same id hash gates every source, so
+    * raising a weight strictly grows that source's sample (nested samples:
+    * the 10% set is a subset of the 50% set) and the mix stays
+    * reproducible under re-partitioning and re-runs. Map-only: the
+    * weights become a literal CASE chain, no shuffle, no RNG. */
+  def mixtureByHash(df: DataFrame, idCol: String, sourceCol: String,
+                    weights: Map[String, Double],
+                    default: Double = 0.0): DataFrame = {
+    require((weights.values ++ Seq(default)).forall(w => w >= 0 && w <= 1),
+      "weights must be in [0,1]")
+    val threshold = weights.toSeq.sortBy(_._1).foldLeft(
+      lit(math.floor(P * default).toLong)) { case (acc, (s, w)) =>
+      when(col(sourceCol) === s, lit(math.floor(P * w).toLong)).otherwise(acc)
+    }
+    df.filter(orderHash(col(idCol)) < threshold)
+  }
 }

@@ -88,6 +88,40 @@ object TextOps {
           lit(0.25) * (lit(1.0) - col("punct_ratio") * 5.0))), 4))
   }
 
+  /** Repetition features (Gopher-style quality rules): per-document
+    * duplicate-word fraction and top-bigram fraction — the cheap signals
+    * that catch degenerate/boilerplate text before training.
+    *
+    *   - `dup_word_frac` = 1 − distinct/total tokens: map-only (array ops
+    *     on the row), no shuffle.
+    *   - `top_bigram_frac` = occurrences of the most frequent word bigram
+    *     over total bigrams. Counting the mode of a per-row collection is
+    *     NOT done with a per-row higher-order fold (interpreted, O(d²));
+    *     it plans as explode → partial-aggregated count per (doc, bigram)
+    *     → max/sum per doc: two narrow shuffles that scale out, with the
+    *     combiner absorbing the in-document repetition that is the signal
+    *     itself.
+    *
+    * Fractions round to 4 like the other quality features. Documents with
+    * no bigrams (fewer than 2 tokens) report 0.0. */
+  def repetitionFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = tokenCount(col(textCol)).cast("double")
+    val base = df.select(col(idCol).as("id"),
+      nTok.cast("long").as("n_tokens"),
+      round(when(nTok > 0, (nTok - size(array_distinct(toks))) / nTok)
+        .otherwise(0.0), 4).as("dup_word_frac"))
+    val bigramTop = df
+      .select(col(idCol).as("id"),
+        explode(Decontaminate.wordNgrams(col(textCol), 2)).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(
+        round(max(col("c")).cast("double") / sum(col("c")), 4)
+          .as("top_bigram_frac"))
+    base.join(bigramTop, Seq("id"), "left")
+      .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
+  }
+
   /** Corpus token frequency, top `k` by (count desc, token asc): the
     * vocabulary-building primitive. Plans as explode → partial (map-side)
     * count aggregation → one shuffle on token → TakeOrdered top-k, so the

@@ -335,4 +335,75 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     assert(rows.forall(_.getAs[Int]("chunk_bytes") <= 8))
   }
+
+  // ------------------------- decontamination -------------------------
+
+  test("wordNgrams emits space-joined grams and empty array under n tokens") {
+    val df = Seq((1L, "a b c d"), (2L, "a b"), (3L, ""), (4L, null))
+      .toDF("id", "text")
+    val got = df.select(col("id"),
+        Decontaminate.wordNgrams(col("text"), 3).as("g"))
+      .orderBy("id").collect()
+      .map(_.getAs[scala.collection.Seq[String]]("g").toSeq)
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1).isEmpty && got(2).isEmpty && got(3).isEmpty)
+  }
+
+  test("contaminated flags shared n-grams; decontaminate drops them") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated text with no benchmark overlap at all"),
+      (3L, "prefix words then the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "question: the quick brown fox jumps over the lazy dog ?")
+    ).toDF("doc_id", "text")
+    val hits = Decontaminate.contaminated(train, eval, "doc_id", "text", n = 8)
+      .orderBy("id").collect()
+    // docs 1 and 3 share ≥1 distinct 8-gram with eval; doc 2 doesn't
+    assert(hits.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(hits.forall(_.getLong(1) >= 1L))
+    val clean = Decontaminate.decontaminate(train, eval, "doc_id", "text", n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(clean == Seq(2L))
+  }
+
+  // ------------------------- repetition features -------------------------
+
+  test("repetitionFeatures computes dup-word and top-bigram fractions") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),        // 4 tokens, 1 distinct; bigram "spam spam" 3/3
+      (2L, "all words here are distinct"),// no repetition
+      (3L, "x"),                          // no bigrams → 0.0
+      (4L, "")                            // empty → 0 tokens, all zero
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionFeatures(df, "doc_id", "text")
+      .orderBy("id").collect()
+    def row(i: Int) = (got(i).getLong(1), got(i).getDouble(2), got(i).getDouble(3))
+    assert(row(0) == ((4L, 0.75, 1.0)))
+    assert(row(1) == ((5L, 0.0, 0.25)))  // 4 bigrams each once → 1/4
+    assert(row(2) == ((1L, 0.0, 0.0)))
+    assert(row(3) == ((0L, 0.0, 0.0)))
+  }
+
+  // ------------------------- mixture sampling -------------------------
+
+  test("mixtureByHash keeps per-source fractions and nests samples") {
+    val df = (0L until 4000L).map(i => (i, s"src${i % 4}")).toDF("id", "source")
+    val w = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0)
+    val got = Sampling.mixtureByHash(df, "id", "source", w, default = 0.2)
+    val bySrc = got.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == 1000L)                        // w=1 keeps all
+    assert(!bySrc.contains("src2"))                       // w=0 keeps none
+    assert(math.abs(bySrc("src1") - 500L) < 120)          // ≈ half
+    assert(math.abs(bySrc.getOrElse("src3", 0L) - 200L) < 80) // default 0.2
+    // nesting: the 0.25 sample of src1 is a subset of the 0.5 sample
+    val small = Sampling.mixtureByHash(df, "id", "source",
+      Map("src1" -> 0.25), default = 0.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val large = got.filter(col("source") === "src1")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(large))
+  }
 }
