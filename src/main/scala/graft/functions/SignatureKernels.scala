@@ -387,6 +387,60 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Word n-gram strings from a token array: space-joined sliding windows,
+  * in order (`distinct=false`) or first-seen-deduped (`distinct=true`);
+  * empty array when the document has fewer than `n` tokens.
+  * Value-identical to the HOF formulation
+  * `transform(sequence(0, size(tk)-n), i => concat_ws(" ", slice(tk, i+1, n)))`
+  * (asserted in tests). Same rationale as ShingleHashesExpr: the HOF form
+  * pays ~(tokens × 3) interpreted lambda evaluations per row — the
+  * dominant cost of decontamination and repetition scoring — where this
+  * is one monomorphic native loop inside the codegen span. */
+case class WordNgramsExpr(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+  require(n > 0, "n must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  /** Native per-row loop shared by eval and codegen. */
+  def gramsRow(arr: ArrayData): ArrayData = {
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val space = UTF8String.fromString(" ")
+    val buf = new Array[UTF8String](n)
+    val out = new java.util.ArrayList[UTF8String](m - n + 1)
+    val seen = if (distinct) new java.util.HashSet[UTF8String]() else null
+    var i = 0
+    while (i <= m - n) {
+      var j = 0
+      while (j < n) { buf(j) = arr.getUTF8String(i + j); j += 1 }
+      val s = UTF8String.concatWs(space, buf: _*)
+      if (seen == null || seen.add(s)) out.add(s)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    gramsRow(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("wordNgrams", this,
+      classOf[WordNgramsExpr].getName)
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.gramsRow($arr);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgramsExpr =
+    copy(child = newChild)
+}
+
 object SignatureKernels {
   /** Deterministic ±1 hyperplane components (splitmix64-style mix) shared
     * by the native kernel and the HOF cross-check formulation. */

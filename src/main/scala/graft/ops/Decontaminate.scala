@@ -21,8 +21,25 @@ import org.apache.spark.sql.functions._
 object Decontaminate {
 
   /** All word `n`-grams of the normalized text, as space-joined strings;
-    * empty array when the document has fewer than `n` tokens. */
-  def wordNgrams(c: Column, n: Int): Column = {
+    * empty array when the document has fewer than `n` tokens. Runs as the
+    * native WordNgramsExpr kernel — one codegen'd loop per row where the
+    * HOF formulation (kept below as the cross-check) pays ~3 interpreted
+    * lambda evaluations per gram. `distinct=true` dedups first-seen inside
+    * the same loop, replacing an `array_distinct` pass over the output. */
+  def wordNgrams(c: Column, n: Int, distinct: Boolean = false): Column = {
+    require(n > 0, "n must be positive")
+    val kernel = org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.WordNgramsExpr(
+        org.apache.spark.sql.GraftSqlShims.expression(TextOps.tokens(c)),
+        n, distinct))
+    when(c.isNull || TextOps.normalizeText(c) === "",
+      array().cast("array<string>")).otherwise(kernel)
+  }
+
+  /** Pure higher-order-function formulation of `wordNgrams` —
+    * value-identical to the native kernel (asserted in tests), kept as the
+    * reference implementation and codegen cross-check. */
+  private[graft] def wordNgramsHof(c: Column, n: Int): Column = {
     require(n > 0, "n must be positive")
     val tk = TextOps.tokens(c)
     when(c.isNull || TextOps.normalizeText(c) === "" || size(tk) < n,
@@ -36,8 +53,8 @@ object Decontaminate {
   def contaminated(train: DataFrame, eval: DataFrame, idCol: String,
                    textCol: String, n: Int = 8): DataFrame = {
     def grams(df: DataFrame, cols: Column*) =
-      df.select(cols :+ explode(array_distinct(
-        wordNgrams(col(textCol), n))).as("gram"): _*)
+      df.select(cols :+ explode(
+        wordNgrams(col(textCol), n, distinct = true)).as("gram"): _*)
         .withColumn("__gh", xxhash64(col("gram")))
     val evalGrams = grams(eval).dropDuplicates("__gh", "gram")
     grams(train, col(idCol).as("id"))

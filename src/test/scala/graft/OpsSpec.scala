@@ -349,6 +349,23 @@ class OpsSpec extends AnyFunSuite {
     assert(got(1).isEmpty && got(2).isEmpty && got(3).isEmpty)
   }
 
+  test("wordNgrams kernel is value-identical to the HOF formulation") {
+    val df = docs.select(col("text"))
+      .union(Seq("", "a b a b a b", "one two").toDF("text"))
+    for (n <- Seq(2, 3, 8)) {
+      val mismatches = df.select(
+        Decontaminate.wordNgrams(col("text"), n).as("k"),
+        Decontaminate.wordNgramsHof(col("text"), n).as("h"))
+        .filter(not(col("k") === col("h"))).count()
+      assert(mismatches == 0, s"kernel != HOF for n=$n")
+      val dMism = df.select(
+        Decontaminate.wordNgrams(col("text"), n, distinct = true).as("k"),
+        array_distinct(Decontaminate.wordNgramsHof(col("text"), n)).as("h"))
+        .filter(not(col("k") === col("h"))).count()
+      assert(dMism == 0, s"distinct kernel != array_distinct(HOF) for n=$n")
+    }
+  }
+
   test("contaminated flags shared n-grams; decontaminate drops them") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
