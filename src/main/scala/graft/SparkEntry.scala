@@ -356,6 +356,41 @@ object SparkEntry {
     "x19_text_vocab" -> ((s, dir) =>
       graft.ops.TextOps.topTokens(t(s, dir, "documents"), "text", k = 100)),
 
+    // int8 embedding quantization: map-only, floor-based round-half-up
+    // (engine-portable), 4x storage cut for a float corpus
+    // int8 quantization; q serialized to CSV for the compare layer (the
+    // row-hash compare handles scalars, not list cells — exactness kept:
+    // the string is the full element sequence)
+    "x24_emb_quantize" -> ((s, dir) =>
+      graft.ops.Embeddings.quantizeInt8(t(s, dir, "embeddings"),
+        "vec_id", "embedding")
+        .select(col("id"), col("scale"),
+          concat_ws(",", col("q").cast("array<string>")).as("q_csv"))
+        .orderBy("id")),
+
+    // class-conditional outliers: cosine distance to the label centroid,
+    // 5 farthest per label (centroid agg is O(labels x dim) post-combine;
+    // centroids broadcast back; WindowGroupLimit per-label top-k)
+    "x25_emb_outliers" -> ((s, dir) =>
+      graft.ops.Embeddings.labelOutliers(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", k = 5).orderBy("label", "id")),
+
+    // semi-structured props: declared-schema JSON parse + per-type rollup
+    "x26_events_props" -> ((s, dir) =>
+      graft.streaming.EventStreams.propsRollup(
+        graft.streaming.EventStreams.eventsFrame(s, dir))
+        .orderBy("event_type")),
+
+    // token-budget curriculum: per-source docs in hash order until the
+    // running token total passes the budget (one windowed shuffle)
+    "x27_token_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Sampling.tokenBudgetByHash(docs, "doc_id", "source",
+        graft.ops.TextOps.tokenCount(col("text")), budget = 2000)
+        .select(col("doc_id"), col("source"), col("__cum_tokens").as("cum_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // connected-components collapse of the exact-Jaccard pair graph:
     // min reachable id per doc (iterative label propagation)
     "x18_dedup_clusters" -> ((s, dir) =>
@@ -656,6 +691,74 @@ object SparkEntry {
                 octet_length(encode(text)) AS payload_bytes,
                 8 AS n_features
          FROM documents ORDER BY asset_id""",
+    "x24_emb_quantize" ->
+      // floor(x/s + 0.5) is the round-half-up both engines agree on;
+      // round()'s half-tie behavior on binary floats is engine-specific
+      """WITH e AS (
+           SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+                  list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS s
+           FROM embeddings)
+         SELECT id, round(s, 9) AS scale,
+                array_to_string(CASE WHEN s = 0 THEN list_transform(v, x -> 0)
+                     ELSE list_transform(v, x ->
+                       greatest(-127, least(127, floor(x / s + 0.5)))::INT)
+                END, ',') AS q_csv
+         FROM e ORDER BY id""",
+    "x25_emb_outliers" ->
+      // centroid = per-position avg (unrounded on both sides); ranking
+      // uses the ROUNDED distance + id tie-break so last-ulp differences
+      // can't decide top-k membership
+      """WITH e AS (
+           SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         pos AS (
+           SELECT label, generate_subscripts(v, 1) AS p, unnest(v) AS x FROM e),
+         agg AS (SELECT label, p, avg(x) AS m FROM pos GROUP BY 1, 2),
+         cent AS (
+           SELECT label, list(m ORDER BY p) AS centroid FROM agg GROUP BY 1),
+         scored AS (
+           SELECT e.vec_id AS id, e.label,
+                  round(1.0 - CASE
+                      WHEN sqrt(list_inner_product(e.v, e.v)) *
+                           sqrt(list_inner_product(c.centroid, c.centroid)) = 0
+                      THEN 0.0
+                      ELSE list_inner_product(e.v, c.centroid) /
+                           (sqrt(list_inner_product(e.v, e.v)) *
+                            sqrt(list_inner_product(c.centroid, c.centroid)))
+                  END, 6) AS dist
+           FROM e JOIN cent c USING (label)),
+         ranked AS (
+           SELECT id, label, dist,
+                  row_number() OVER (PARTITION BY label
+                                     ORDER BY dist DESC, id) AS rn
+           FROM scored)
+         SELECT id, label, dist FROM ranked WHERE rn <= 5
+         ORDER BY label, id""",
+    "x26_events_props" ->
+      """SELECT event_type, count(*) AS n_events,
+                count(try_cast(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
+                sum(try_cast(json_extract_string(props, '$.k') AS INTEGER))::BIGINT AS sum_k,
+                round(avg(try_cast(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k,
+                round(sum(value), 4) AS total_value
+         FROM events GROUP BY 1 ORDER BY event_type""",
+    "x27_token_budget" ->
+      // same multiplicative hash as x17/x23; window sum of exact longs
+      """WITH d AS (
+           SELECT doc_id, source,
+                  CASE WHEN text IS NULL
+                         OR trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = ''
+                       THEN 0
+                       ELSE len(string_split(
+                              trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+                  END AS n_tokens,
+                  ((doc_id % 1000000007) * 654435747) % 1000000007 AS h
+           FROM documents),
+         c AS (
+           SELECT doc_id, source,
+                  sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM d)
+         SELECT doc_id, source, cum::BIGINT AS cum_tokens
+         FROM c WHERE cum <= 2000 ORDER BY doc_id""",
     "x20_seq_packing" ->
       // the two-level prefix sum collapses to a plain running sum in SQL
       """WITH tok AS (

@@ -55,6 +55,25 @@ object Sampling {
     * the 10% set is a subset of the 50% set) and the mix stays
     * reproducible under re-partitioning and re-runs. Map-only: the
     * weights become a literal CASE chain, no shuffle, no RNG. */
+  /** Token-budget sampling: within each source, take documents in hash
+    * order until the running token total exceeds `budget` — how a
+    * training mix caps each corpus at a token (not document) quota while
+    * staying reproducible (the hash order is the dataset definition, so
+    * a bigger budget strictly extends the sample it took at a smaller
+    * one). One shuffle: the cumulative sum is a rows-frame window
+    * partitioned by source; token counts are exact longs, so the
+    * cut-off is engine-portable. Sources are independent partitions —
+    * the sequential scan a running total forces is per-source, not
+    * global. */
+  def tokenBudgetByHash(df: DataFrame, idCol: String, sourceCol: String,
+                        tokensCol: Column, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(orderHash(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum_tokens", sum(tokensCol.cast("long")).over(w))
+      .filter(col("__cum_tokens") <= budget)
+  }
+
   def mixtureByHash(df: DataFrame, idCol: String, sourceCol: String,
                     weights: Map[String, Double],
                     default: Double = 0.0): DataFrame = {

@@ -109,6 +109,25 @@ object EventStreams {
       .drop("__sid")
   }
 
+  /** Semi-structured property extraction + per-type rollup: parse the
+    * JSON `props` string into typed fields (the schema is DECLARED, not
+    * inferred — inference would scan the corpus twice and produce an
+    * unstable contract at 100 TB), then aggregate per event type. The
+    * parse is map-only; the aggregate combines partially map-side, so the
+    * exchange carries one row per (partition × type). Unparsable or null
+    * props surface as null fields (count distinguishes them), matching
+    * from_json's PERMISSIVE mode. */
+  def propsRollup(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 6).as("avg_k"),
+        round(sum(col("value")), 4).as("total_value"))
+
   /** The static events parquet re-expressed as a bounded stream-shaped
     * frame (ts arrives as nanos under nanosAsLong). */
   def eventsFrame(spark: SparkSession, dir: String): DataFrame =

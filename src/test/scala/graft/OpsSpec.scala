@@ -403,6 +403,74 @@ class OpsSpec extends AnyFunSuite {
     assert(row(3) == ((0L, 0.0, 0.0)))
   }
 
+  // ------------------------- embeddings -------------------------
+
+  test("quantizeInt8 round-trips within one quantization step") {
+    val df = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "v")
+    val rows = Embeddings.quantizeInt8(df, "vec_id", "v").orderBy("id").collect()
+    val q1 = rows(0).getAs[scala.collection.Seq[Int]]("q")
+    val s1 = rows(0).getDouble(1)
+    assert(q1 == Seq(127, -63, 32, 0)) // scale = 1/127; -63.5 rounds half-UP (toward +inf) → -63
+    assert(math.abs(s1 - 1.0 / 127) < 1e-9)
+    assert(rows(1).getDouble(1) == 0.0 &&
+      rows(1).getAs[scala.collection.Seq[Int]]("q").forall(_ == 0))
+    // reconstruction error bounded by scale/2 per element
+    assert(q1.zip(Seq(1.0, -0.5, 0.25, 0.0)).forall { case (q, v) =>
+      math.abs(q * s1 - v) <= s1 / 2 + 1e-12 })
+  }
+
+  test("labelOutliers ranks the planted outlier first") {
+    // label 0: tight cluster around (1,0) plus one vector near (0,1)
+    val vecs = (1L to 9L).map(i =>
+      (i, 0, Array(1.0f, (i * 0.01).toFloat))) :+ ((10L, 0, Array(0.05f, 1.0f)))
+    val df = vecs.toDF("vec_id", "label", "v")
+    val top = Embeddings.labelOutliers(df, "vec_id", "v", "label", k = 3)
+      .orderBy(col("dist").desc).collect()
+    assert(top.length == 3)
+    assert(top.head.getLong(0) == 10L) // the planted outlier is farthest
+    assert(top.head.getDouble(2) > 0.2 && top(1).getDouble(2) < 0.05)
+  }
+
+  // ------------------------- events props -------------------------
+
+  test("propsRollup parses declared-schema JSON and counts nulls apart") {
+    val df = Seq(
+      (1L, "click", 2.0, """{"k": 5}"""),
+      (2L, "click", 3.0, """{"k": 7}"""),
+      (3L, "click", 1.0, """{"other": 1}"""),   // k absent → null
+      (4L, "view", 4.0, "not json"),            // unparsable → null
+      (5L, "view", 6.0, null)                   // null props → null
+    ).toDF("event_id", "event_type", "value", "props")
+    val got = graft.streaming.EventStreams.propsRollup(df)
+      .orderBy("event_type").collect()
+    assert(got(0).getString(0) == "click" && got(0).getLong(1) == 3 &&
+      got(0).getLong(2) == 2 && got(0).getLong(3) == 12 &&
+      got(0).getDouble(4) == 6.0)
+    assert(got(1).getString(0) == "view" && got(1).getLong(2) == 0 &&
+      got(1).isNullAt(3))
+  }
+
+  // ------------------------- token budget -------------------------
+
+  test("tokenBudgetByHash caps each source at the budget and nests") {
+    val df = (1L to 100L).map(i => (i, s"s${i % 2}", "five words of text here"))
+      .toDF("id", "source", "text")
+    val nTok = TextOps.tokenCount(col("text"))
+    val got = Sampling.tokenBudgetByHash(df, "id", "source", nTok, budget = 25)
+    val bySrc = got.groupBy("source").agg(
+        count(lit(1)).as("n"), max("__cum_tokens").as("mx")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 5 tokens/doc → exactly 5 docs per source fit a 25-token budget
+    assert(bySrc.values.forall { case (n, mx) => n == 5 && mx == 25 })
+    // a bigger budget strictly extends the smaller sample
+    val ids25 = got.select("id").collect().map(_.getLong(0)).toSet
+    val ids50 = Sampling.tokenBudgetByHash(df, "id", "source", nTok, budget = 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids25.subsetOf(ids50))
+  }
+
   // ------------------------- mixture sampling -------------------------
 
   test("mixtureByHash keeps per-source fractions and nests samples") {
