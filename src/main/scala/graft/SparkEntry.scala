@@ -358,6 +358,16 @@ object SparkEntry {
 
     // int8 embedding quantization: map-only, floor-based round-half-up
     // (engine-portable), 4x storage cut for a float corpus
+    // exact id exclusion through a Bloom sketch: map-only probe over the
+    // corpus; only probe-positive rows pay the verifying anti-join
+    "x28_bloom_exclude" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Dedup.excludeByBloom(docs, "doc_id",
+        docs.filter(col("source") === "src7").select("doc_id"), "doc_id",
+        fpp = 0.05)
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+
     // int8 quantization; q serialized to CSV for the compare layer (the
     // row-hash compare handles scalars, not list cells — exactness kept:
     // the string is the full element sequence)
@@ -691,6 +701,12 @@ object SparkEntry {
                 octet_length(encode(text)) AS payload_bytes,
                 8 AS n_features
          FROM documents ORDER BY asset_id""",
+    "x28_bloom_exclude" ->
+      // the sketch+rescue construction is EXACT, so the oracle is the
+      // plain anti-join it replaces at scale
+      """SELECT doc_id, source FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE source = 'src7')
+         ORDER BY doc_id""",
     "x24_emb_quantize" ->
       // floor(x/s + 0.5) is the round-half-up both engines agree on;
       // round()'s half-tie behavior on binary floats is engine-specific

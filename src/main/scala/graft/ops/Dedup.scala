@@ -165,6 +165,31 @@ object Dedup {
   def dropNearDuplicates(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  /** Exact id-exclusion through a Bloom sketch — the scale path for
+    * "drop every row on this seen/eval/opt-out list". A plain anti-join
+    * shuffles the corpus on id; here the exclusion list tree-aggregates
+    * into a KB-MB Bloom filter (driver-merged sketch, NOT collected data —
+    * the same order as a broadcast relation's key set), the corpus is
+    * probed map-only inside codegen, and only the probe-POSITIVE rows
+    * (|exclude| + fpp·N of them) pay the verifying anti-join that rescues
+    * false positives. Result is exactly `df MINUS exclude-ids`, with the
+    * shuffle shrunk by ~1/fpp on the non-excluded mass.
+    */
+  def excludeByBloom(df: DataFrame, idCol: String, exclude: DataFrame,
+                     excludeIdCol: String, fpp: Double = 0.01): DataFrame = {
+    val nItems = math.max(Similarity.approxRows(exclude), 1L)
+    val bf = exclude.stat.bloomFilter(excludeIdCol, nItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val probe = org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.BloomContainsExpr(
+        org.apache.spark.sql.GraftSqlShims.expression(col(idCol).cast("long")),
+        bos.toByteArray))
+    val excludeIds = exclude.select(col(excludeIdCol).as(idCol)).distinct()
+    df.filter(!probe).unionByName(
+      df.filter(probe).join(excludeIds, Seq(idCol), "left_anti"))
+  }
+
   /** Collapse near-duplicate pairs into connected components: every id
     * that appears in a pair is labeled with the MINIMUM id reachable
     * through the undirected pair graph. Iterative neighbor-min label

@@ -109,6 +109,17 @@ object EventStreams {
       .drop("__sid")
   }
 
+  /** Streaming exact dedup by id under bounded state: duplicates arriving
+    * within `watermarkDelay` of each other collapse to the first; the
+    * seen-id state expires as event time passes (the unbounded-state
+    * version of dropDuplicates would OOM on an infinite stream). This is
+    * the at-least-once → effectively-once repair stage in front of a
+    * training-event feed. State partitions by id hash across executors. */
+  def dedupStream(events: DataFrame, idCol: String = "event_id",
+                  watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Semi-structured property extraction + per-type rollup: parse the
     * JSON `props` string into typed fields (the schema is DECLARED, not
     * inferred — inference would scan the corpus twice and produce an

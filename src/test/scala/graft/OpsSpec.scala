@@ -336,6 +336,42 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Int]("chunk_bytes") <= 8))
   }
 
+  // ------------------------- bucketed layout -------------------------
+
+  test("bucketed tables join without any shuffle exchange") {
+    import graft.sources.Bucketing
+    val left = (1L to 500L).map(i => (i, s"l$i")).toDF("k", "lv")
+    val right = (1L to 500L).map(i => (i, i * 2.0)).toDF("k", "rv")
+    Bucketing.writeBucketed(left, "bkt_left", "k", 4)
+    Bucketing.writeBucketed(right, "bkt_right", "k", 4)
+    // auto-broadcast off for both checks: tiny test frames would
+    // broadcast-join either way, proving nothing about co-location
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.colocatedJoin(spark, "bkt_left", "bkt_right", "k")
+      assert(joined.count() == 500)
+      assert(!Bucketing.hasExchange(joined),
+        "co-located bucketed join must plan without Exchange")
+      // contrast: the same join on plain (unbucketed) frames shuffles
+      assert(Bucketing.hasExchange(left.join(right, Seq("k"))))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    spark.sql("DROP TABLE IF EXISTS bkt_left")
+    spark.sql("DROP TABLE IF EXISTS bkt_right")
+  }
+
+  // ------------------------- bloom exclusion -------------------------
+
+  test("excludeByBloom equals the exact anti-join even at high fpp") {
+    val corpus = (1L to 2000L).map(i => (i, s"doc$i")).toDF("id", "payload")
+    val exclude = (1L to 2000L by 7).map(Tuple1(_)).toDF("xid")
+    // fpp=0.3 forces false positives; the rescue join must absorb them
+    val got = Dedup.excludeByBloom(corpus, "id", exclude, "xid", fpp = 0.3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val want = (1L to 2000L).toSet -- (1L to 2000L by 7).toSet
+    assert(got == want)
+  }
+
   // ------------------------- decontamination -------------------------
 
   test("wordNgrams emits space-joined grams and empty array under n tokens") {

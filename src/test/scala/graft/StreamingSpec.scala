@@ -75,6 +75,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("dedupStream drops in-watermark duplicate ids, state stays bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.dedupStream(input.toDF(), "event_id", "2 minutes")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Event(1, ts(0, 0), 1, "click", 1.0),
+        Event(2, ts(0, 10), 2, "view", 2.0),
+        Event(1, ts(0, 5), 1, "click", 1.0)) // duplicate id in-batch
+      query.processAllAvailable()
+      input.addData(Event(1, ts(0, 20), 1, "click", 1.0)) // dup, later batch
+      input.addData(Event(3, ts(9, 0), 3, "click", 3.0))  // watermark forward
+      query.processAllAvailable()
+      val ids = spark.table("deduped").select("event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.count(_ == 1L) == 1, s"id 1 emitted once, got $ids")
+      assert(ids.toSet == Set(1L, 2L, 3L))
+    } finally query.stop()
+  }
+
+  test("propsRollup runs on a stream (map-only parse + streaming agg)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, Double, String)]
+    val query = EventStreams.propsRollup(
+        input.toDF().toDF("event_id", "ts", "event_type", "value", "props"))
+      .writeStream.format("memory").queryName("props_rollup")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(
+        (1L, ts(0, 0), "click", 1.5, """{"k": 4}"""),
+        (2L, ts(0, 10), "click", 2.5, """{"k": 6}"""),
+        (3L, ts(0, 20), "view", 1.0, "oops"))
+      query.processAllAvailable()
+      val rows = spark.table("props_rollup").orderBy("event_type").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Long]("sum_k") == 10L &&
+        rows(0).getAs[Double]("avg_k") == 5.0)
+      assert(rows(1).getAs[Long]("n_with_k") == 0L)
+    } finally query.stop()
+  }
+
   test("batch sessionization matches the streaming operator's semantics") {
     import spark.implicits._
     val events = Seq(
