@@ -18,6 +18,7 @@ import graft.functions._
   * SELECT graft_hyperplane_sig(vec, 64, 128) -- sign-bit LSH signature
   * SELECT graft_shingle_hashes(toks, txt, 3) -- distinct shingle hashes
   * SELECT graft_sorted_intersect(a, b)       -- |a ∩ b| on sorted arrays
+  * SELECT graft_word_ngrams(toks, 8, true)   -- (distinct) word n-grams
   * }}}
   *
   * Each function resolves to the SAME Expression class the DataFrame
@@ -70,6 +71,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_sorted_intersect takes (array, array)")
         SortedIntersectCountExpr(args(0), args(1))
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_word_ngrams"),
+      info("graft_word_ngrams", "_FUNC_(tokens, n, distinct) - space-joined word n-grams"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_word_ngrams takes (array<string>, n, distinct)")
+        val dist = args(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(b: Boolean, _) => b
+          case _ => throw new IllegalArgumentException("distinct must be a boolean literal")
+        }
+        WordNgramsExpr(args(0), intLit(args(1), "n"), dist)
       }))
   }
 }

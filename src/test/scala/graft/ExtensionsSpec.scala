@@ -64,4 +64,12 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[scala.collection.Seq[Int]]("hp") == df.getAs[scala.collection.Seq[Int]]("hp"))
     assert(r.getAs[scala.collection.Seq[Long]]("sg").toSet == df.getAs[scala.collection.Seq[Long]]("sg").toSet)
   }
+
+  test("graft_word_ngrams resolves and dedups when asked") {
+    val r = spark.sql(
+      """SELECT graft_word_ngrams(array('a', 'b', 'a', 'b'), 2, false) AS g,
+                graft_word_ngrams(array('a', 'b', 'a', 'b'), 2, true) AS gd""").head()
+    assert(r.getAs[scala.collection.Seq[String]]("g") == Seq("a b", "b a", "a b"))
+    assert(r.getAs[scala.collection.Seq[String]]("gd") == Seq("a b", "b a"))
+  }
 }
