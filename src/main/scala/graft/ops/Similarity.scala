@@ -19,6 +19,32 @@ import org.apache.spark.sql.functions._
   * Vector math uses zip_with/aggregate higher-order expressions — no UDFs.
   * Embedding-cosine near-duplicate detection reuses the same primitives.
   */
+/** Built IVF coarse-quantizer cache: centroids keyed by the canonicalized
+  * corpus plan + build params. Bounded (drops the oldest entry past 64 —
+  * each entry is nCells × dim doubles, a few KB). `clear()` for tests. */
+private[graft] object IvfIndexCache {
+  private val maxEntries = 64
+  private val cache =
+    new java.util.LinkedHashMap[(Int, String, Int, Int), Seq[Seq[Double]]](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, String, Int, Int), Seq[Seq[Double]]]): Boolean =
+        size() > maxEntries
+    }
+  def getOrBuild(corpus: org.apache.spark.sql.DataFrame, vecCol: String,
+                 nCells: Int, iters: Int)(build: => Seq[Seq[Double]]): Seq[Seq[Double]] = {
+    val key = (corpus.queryExecution.analyzed.semanticHash(), vecCol, nCells, iters)
+    cache.synchronized {
+      val hit = cache.get(key)
+      if (hit != null) return hit
+    }
+    val built = build // outside the lock: building runs Spark jobs
+    cache.synchronized { cache.put(key, built) }
+    built
+  }
+  def size: Int = cache.synchronized(cache.size())
+  def clear(): Unit = cache.synchronized(cache.clear())
+}
+
 object Similarity {
 
   /** Vector dimensionality probe (one tiny job); callers on fixed-dim
@@ -214,22 +240,30 @@ object Similarity {
               vecCol: String, k: Int, nCells: Int = 64, nProbe: Int = 4,
               dim: Int = -1, kmeansIters: Int = 0): DataFrame = {
     val d = if (dim > 0) dim else vecDim(corpus, vecCol)
-    // Deterministic sample without a corpus sort: hash every id into one of
-    // nCells slots and keep the min-hash vector per slot — partial (map-side)
-    // aggregation reduces each partition to ≤ nCells rows before the one tiny
-    // shuffle, so centroid selection is O(corpus) map work + O(nCells)
-    // shuffle, never a global ordering of 100 TB to pick 64 rows.
-    val sampled: Seq[Seq[Double]] = corpus
-      .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
-      .groupBy(pmod(xxhash64(col("__id")), lit(nCells)).as("__slot"))
-      .agg(min_by(col("__v"), struct(xxhash64(col("__id")), col("__id"))).as("__v"))
-      .orderBy("__slot")
-      .collect()
-      .map(r => r.getAs[scala.collection.Seq[Double]]("__v").toSeq)
-      .toSeq
-    val centroids =
+    // Build-once-query-many: the coarse quantizer (sample + optional
+    // k-means rounds) is the INDEX — several driver-side jobs that any
+    // real ANN deployment pays once per corpus, not once per query. The
+    // cache key is the canonicalized corpus plan + build parameters, so a
+    // changed corpus (different plan) rebuilds and identical corpora
+    // share. Mirrors TableRegistry's store-once lifecycle.
+    val centroids = IvfIndexCache.getOrBuild(corpus, vecCol, nCells, kmeansIters) {
+      // Deterministic sample without a corpus sort: hash every id into one
+      // of nCells slots and keep the min-hash vector per slot — partial
+      // (map-side) aggregation reduces each partition to ≤ nCells rows
+      // before the one tiny shuffle, so centroid selection is O(corpus)
+      // map work + O(nCells) shuffle, never a global ordering of 100 TB
+      // to pick 64 rows.
+      val sampled: Seq[Seq[Double]] = corpus
+        .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+        .groupBy(pmod(xxhash64(col("__id")), lit(nCells)).as("__slot"))
+        .agg(min_by(col("__v"), struct(xxhash64(col("__id")), col("__id"))).as("__v"))
+        .orderBy("__slot")
+        .collect()
+        .map(r => r.getAs[scala.collection.Seq[Double]]("__v").toSeq)
+        .toSeq
       if (kmeansIters > 0) kmeansRefine(corpus, vecCol, sampled, kmeansIters)
       else sampled
+    }
     val nActual = centroids.length
 
     // cell scores: dot product against every centroid, one fused codegen

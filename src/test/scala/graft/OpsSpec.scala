@@ -299,6 +299,22 @@ class OpsSpec extends AnyFunSuite {
     assert(refined.exists(c => math.abs(c(1) - 1.0) < 1e-6)) // e2 cluster kept
   }
 
+  test("ivf index cache reuses centroids per (corpus plan, params) and rebuilds on change") {
+    IvfIndexCache.clear()
+    val emb = (1L to 40L).map(i =>
+      (i, Array.tabulate(4)(j => ((i * 7 + j * 3) % 11).toFloat))).toDF("vec_id", "v")
+    val q = emb.filter(col("vec_id") <= 2)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopK(c, q, "vec_id", "v", k = 3, nCells = 4, nProbe = 4, dim = 4)
+        .orderBy("query_id", "rank").collect().toSeq
+    val r1 = run(emb)
+    assert(IvfIndexCache.size == 1)
+    assert(run(emb) == r1)                  // same corpus plan → cache hit
+    assert(IvfIndexCache.size == 1)
+    run(emb.filter(col("vec_id") <= 30))    // different plan → rebuild
+    assert(IvfIndexCache.size == 2)
+  }
+
   test("l2Normalize produces unit vectors and passes zero vectors through") {
     val df = Seq((1L, Array(3.0f, 4.0f)), (2L, Array(0.0f, 0.0f)))
       .toDF("id", "v")
