@@ -186,8 +186,12 @@ object Dedup {
         org.apache.spark.sql.GraftSqlShims.expression(col(idCol).cast("long")),
         bos.toByteArray))
     val excludeIds = exclude.select(col(excludeIdCol).as(idCol)).distinct()
-    df.filter(!probe).unionByName(
-      df.filter(probe).join(excludeIds, Seq(idCol), "left_anti"))
+    // null ids probe to null; coalesce keeps them on the clean side — the
+    // anti-join this construction must equal KEEPS null-key rows (they
+    // match nothing), so dropping them here would deviate
+    val hit = coalesce(probe, lit(false))
+    df.filter(!hit).unionByName(
+      df.filter(hit).join(excludeIds, Seq(idCol), "left_anti"))
   }
 
   /** Collapse near-duplicate pairs into connected components: every id

@@ -23,22 +23,26 @@ import org.apache.spark.sql.functions._
   * corpus plan + build params. Bounded (drops the oldest entry past 64 —
   * each entry is nCells × dim doubles, a few KB). `clear()` for tests. */
 private[graft] object IvfIndexCache {
+  private type Key = (Int, String, Int, Int)
+  private type Entry = (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    Seq[Seq[Double]])
   private val maxEntries = 64
-  private val cache =
-    new java.util.LinkedHashMap[(Int, String, Int, Int), Seq[Seq[Double]]](16, 0.75f, false) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, String, Int, Int), Seq[Seq[Double]]]): Boolean =
-        size() > maxEntries
-    }
+  private val cache = new java.util.LinkedHashMap[Key, Entry](16, 0.75f, false) {
+    override def removeEldestEntry(e: java.util.Map.Entry[Key, Entry]): Boolean =
+      size() > maxEntries
+  }
   def getOrBuild(corpus: org.apache.spark.sql.DataFrame, vecCol: String,
                  nCells: Int, iters: Int)(build: => Seq[Seq[Double]]): Seq[Seq[Double]] = {
-    val key = (corpus.queryExecution.analyzed.semanticHash(), vecCol, nCells, iters)
+    val plan = corpus.queryExecution.analyzed
+    val key = (plan.semanticHash(), vecCol, nCells, iters)
     cache.synchronized {
       val hit = cache.get(key)
-      if (hit != null) return hit
+      // the Int hash can collide across corpora; sameResult is the
+      // ground truth, a hash collision is just a rebuild
+      if (hit != null && hit._1.sameResult(plan)) return hit._2
     }
     val built = build // outside the lock: building runs Spark jobs
-    cache.synchronized { cache.put(key, built) }
+    cache.synchronized { cache.put(key, (plan, built)) }
     built
   }
   def size: Int = cache.synchronized(cache.size())

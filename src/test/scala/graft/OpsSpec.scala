@@ -379,13 +379,15 @@ class OpsSpec extends AnyFunSuite {
   // ------------------------- bloom exclusion -------------------------
 
   test("excludeByBloom equals the exact anti-join even at high fpp") {
-    val corpus = (1L to 2000L).map(i => (i, s"doc$i")).toDF("id", "payload")
+    val corpus = ((1L to 2000L).map(i => (Some(i), s"doc$i")) :+
+      ((None: Option[Long], "nullid"))).toDF("id", "payload")
     val exclude = (1L to 2000L by 7).map(Tuple1(_)).toDF("xid")
     // fpp=0.3 forces false positives; the rescue join must absorb them
     val got = Dedup.excludeByBloom(corpus, "id", exclude, "xid", fpp = 0.3)
-      .select("id").collect().map(_.getLong(0)).toSet
-    val want = (1L to 2000L).toSet -- (1L to 2000L by 7).toSet
-    assert(got == want)
+    val want = corpus.join(exclude.select(col("xid").as("id")), Seq("id"), "left_anti")
+    assert(got.count() == want.count()) // null-id row kept, like the anti-join
+    assert(got.select("payload").collect().map(_.getString(0)).toSet ==
+      want.select("payload").collect().map(_.getString(0)).toSet)
   }
 
   // ------------------------- decontamination -------------------------
