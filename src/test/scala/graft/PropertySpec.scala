@@ -197,4 +197,26 @@ class PropertySpec extends AnyFunSuite {
       r.unslicedLength == full
     })
   }
+
+  test("word n-gram kernel ≡ HOF formulation on arbitrary texts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // texts with repeated tokens, odd whitespace, empties
+    val tokGen = Gen.oneOf("a", "b", "ab", "ba", "x", "")
+    val textGen = for {
+      toks <- Gen.listOf(tokGen)
+      sep <- Gen.oneOf(" ", "  ", "\t")
+    } yield toks.mkString(sep)
+    checkProp(Prop.forAll(Gen.nonEmptyListOf(textGen), Gen.chooseNum(1, 4)) {
+      (texts, n) =>
+        val df = texts.toDF("text")
+        df.select(
+            graft.ops.Decontaminate.wordNgrams(col("text"), n).as("k"),
+            graft.ops.Decontaminate.wordNgramsHof(col("text"), n).as("h"),
+            graft.ops.Decontaminate.wordNgrams(col("text"), n, distinct = true).as("kd"),
+            array_distinct(graft.ops.Decontaminate.wordNgramsHof(col("text"), n)).as("hd"))
+          .filter(not(col("k") === col("h")) || not(col("kd") === col("hd")))
+          .count() == 0L
+    })
+  }
 }
