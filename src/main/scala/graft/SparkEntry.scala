@@ -358,6 +358,11 @@ object SparkEntry {
 
     // int8 embedding quantization: map-only, floor-based round-half-up
     // (engine-portable), 4x storage cut for a float corpus
+    // one-pass data audit: per-column nulls/distincts/ranges, single
+    // aggregate job + driver unpivot of its one output row
+    "x29_profile" -> ((s, dir) =>
+      graft.ops.Profile.profile(t(s, dir, "documents")).orderBy("column")),
+
     // exact id exclusion through a Bloom sketch: map-only probe over the
     // corpus; only probe-positive rows pay the verifying anti-join
     "x28_bloom_exclude" -> ((s, dir) => {
@@ -701,6 +706,27 @@ object SparkEntry {
                 octet_length(encode(text)) AS payload_bytes,
                 8 AS n_features
          FROM documents ORDER BY asset_id""",
+    "x29_profile" ->
+      """SELECT * FROM (
+           SELECT 'doc_id' AS "column", count(*)::BIGINT AS n_rows,
+                  (count(*) - count(doc_id))::BIGINT AS n_null,
+                  count(DISTINCT doc_id)::BIGINT AS n_distinct,
+                  min(doc_id)::VARCHAR AS min_value, max(doc_id)::VARCHAR AS max_value
+           FROM documents
+           UNION ALL
+           SELECT 'text', count(*)::BIGINT, (count(*) - count(text))::BIGINT,
+                  count(DISTINCT text)::BIGINT, min(text), max(text) FROM documents
+           UNION ALL
+           SELECT 'lang', count(*)::BIGINT, (count(*) - count(lang))::BIGINT,
+                  count(DISTINCT lang)::BIGINT, min(lang), max(lang) FROM documents
+           UNION ALL
+           SELECT 'source', count(*)::BIGINT, (count(*) - count(source))::BIGINT,
+                  count(DISTINCT source)::BIGINT, min(source), max(source) FROM documents
+           UNION ALL
+           SELECT 'n_chars', count(*)::BIGINT, (count(*) - count(n_chars))::BIGINT,
+                  count(DISTINCT n_chars)::BIGINT,
+                  min(n_chars)::VARCHAR, max(n_chars)::VARCHAR FROM documents)
+         ORDER BY "column"""",
     "x28_bloom_exclude" ->
       // the sketch+rescue construction is EXACT, so the oracle is the
       // plain anti-join it replaces at scale

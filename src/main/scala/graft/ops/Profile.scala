@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-pass data audit: per-column row/null/distinct counts and value
+  * ranges — the pre-flight check every training-data refresh runs before
+  * anything expensive touches the corpus.
+  *
+  * All columns aggregate in a SINGLE job: one global aggregate row (the
+  * per-column expressions fold into the same partial-aggregation pass, so
+  * the exchange carries one row per partition), then a driver-side unpivot
+  * of that single row into (column, stats) rows — constant-size work, not
+  * a per-column scan. Exact `count(distinct)` is the oracle-checkable
+  * default and plans through Spark's Expand (rows × audited columns in
+  * the map stage, partially aggregated before the shuffle); pass
+  * `approx = true` at 100 TB to swap in HyperLogLog sketches
+  * (`approx_count_distinct`), which collapses the Expand back to one row
+  * per partition per column.
+  *
+  * Ranges are reported as strings (min/max of the column's own type, cast
+  * after the fact) so mixed-type frames profile into one uniform shape.
+  */
+object Profile {
+
+  def profile(df: DataFrame, approx: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cols = df.schema.fields.map(_.name).toSeq
+    def nd(c: String): Column =
+      if (approx) approx_count_distinct(col(c)) else countDistinct(col(c))
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__n_$c"),
+        nd(c).as(s"__d_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val row = df.agg(count(lit(1)).as("__rows"), aggs: _*).head()
+    val total = row.getAs[Long]("__rows")
+    cols.map { c =>
+      (c, total,
+        total - row.getAs[Long](s"__n_$c"),
+        row.getAs[Long](s"__d_$c"),
+        Option(row.getAs[String](s"__min_$c")),
+        Option(row.getAs[String](s"__max_$c")))
+    }.toDF("column", "n_rows", "n_null", "n_distinct", "min_value", "max_value")
+  }
+}

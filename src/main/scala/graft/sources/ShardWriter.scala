@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Train-ready shard export: write a corpus partitioned by a shard/bin
+  * column (e.g. `Packing.packSequences`' `bin`) and return the manifest
+  * the training job reads instead of listing 100 TB of files.
+  *
+  * The write is `partitionBy(shardCol)` parquet: one directory per shard,
+  * pruned scans for any consumer that filters on it. `repartition` on the
+  * shard column first, so each shard's rows co-locate and every shard
+  * directory holds ONE file per shuffle partition that owns it — without
+  * it, every executor appends a sliver file to every shard and the
+  * filesystem drowns in small files at scale (the classic partitioned-
+  * write mistake). The manifest aggregates (rows, token sum) per shard in
+  * the same pass shape as any grouped count.
+  */
+object ShardWriter {
+
+  def writeShards(df: DataFrame, shardCol: String, tokenCol: String,
+                  path: String): DataFrame = {
+    df.repartition(col(shardCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(shardCol)
+      .parquet(path)
+    df.sparkSession.read.parquet(path)
+      .groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(tokenCol)).cast("long").as("n_tokens"))
+      .orderBy(col(shardCol))
+  }
+}

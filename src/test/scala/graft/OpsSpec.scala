@@ -352,6 +352,38 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Int]("chunk_bytes") <= 8))
   }
 
+  // ------------------------- profiling + shards -------------------------
+
+  test("profile audits nulls, distincts, and ranges in one shape") {
+    val df = Seq((1L, Some("a"), 10.5), (2L, None, 2.0), (3L, Some("a"), 2.0))
+      .toDF("id", "s", "v")
+    val p = Profile.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("id").getLong(1) == 3 && p("id").getLong(2) == 0 &&
+      p("id").getLong(3) == 3 && p("id").getString(4) == "1")
+    assert(p("s").getLong(2) == 1 && p("s").getLong(3) == 1 &&
+      p("s").getString(5) == "a")
+    assert(p("v").getLong(3) == 2 && p("v").getString(4) == "2.0")
+    // approx mode: same shape, sketched distincts within HLL error
+    val a = Profile.profile(df, approx = true).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(a("id") >= 2 && a("id") <= 4)
+  }
+
+  test("writeShards partitions by bin and returns an accurate manifest") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val df = (1L to 100L).map(i => (i, i % 4, 10L)).toDF("id", "bin", "n_tok")
+    val manifest = graft.sources.ShardWriter.writeShards(df, "bin", "n_tok", tmp)
+      .collect()
+    assert(manifest.length == 4)
+    assert(manifest.forall(r => r.getLong(1) == 25 && r.getLong(2) == 250))
+    // one directory per shard, readable back with partition pruning
+    val dirs = new java.io.File(tmp).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.toSet == Set("bin=0", "bin=1", "bin=2", "bin=3"))
+    val pruned = spark.read.parquet(tmp).filter(col("bin") === 2)
+    assert(pruned.count() == 25)
+  }
+
   // ------------------------- bucketed layout -------------------------
 
   test("bucketed tables join without any shuffle exchange") {
