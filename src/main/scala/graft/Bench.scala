@@ -48,18 +48,20 @@ object Bench {
     }
     passOver(); passOver()
     System.gc() // start the timed passes from a clean heap
-    // Two timed passes, per-query MINIMUM: a single pass occasionally reads
-    // 3-5x high when a transient host/GC episode lands on it (observed on
-    // otherwise idle hardware with steal%=0); the min of two spaced
-    // executions is the steady-state latency the warm-cache methodology is
-    // after.
+    // Three timed passes, per-query MINIMUM: a single pass occasionally
+    // reads 3-5x high when a transient host/GC episode lands on it
+    // (observed on otherwise idle hardware with steal%=0, and episodes
+    // can span a whole pass); the min of spaced executions is the
+    // steady-state latency the warm-cache methodology is after.
     def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val (p1, p2) = (timedPass(), timedPass())
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    val passes = Seq(timedPass(), timedPass(), timedPass())
+    val results = passes.head.keys.map { k =>
+      k -> passes.map(_(k)).min
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
