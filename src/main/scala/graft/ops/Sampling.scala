@@ -60,18 +60,41 @@ object Sampling {
     * training mix caps each corpus at a token (not document) quota while
     * staying reproducible (the hash order is the dataset definition, so
     * a bigger budget strictly extends the sample it took at a smaller
-    * one). One shuffle: the cumulative sum is a rows-frame window
-    * partitioned by source; token counts are exact longs, so the
-    * cut-off is engine-portable. Sources are independent partitions —
-    * the sequential scan a running total forces is per-source, not
-    * global. */
+    * one). Token counts are exact longs, so the cut-off is
+    * engine-portable.
+    *
+    * The per-source running total is a DISTRIBUTED two-level prefix sum
+    * (the Packing.packSequences shape): a window partitioned by SOURCE
+    * alone funnels each source — possibly most of a 100 TB corpus —
+    * through one task. Instead the hash range splits into coarse shards
+    * (hash div shardSize, monotone in the hash order), per-(source,
+    * shard) windows run in parallel, and shard totals roll up in a tiny
+    * per-source window whose offsets broadcast back. Null-safe join keys:
+    * a null source is a legal group. */
   def tokenBudgetByHash(df: DataFrame, idCol: String, sourceCol: String,
-                        tokensCol: Column, budget: Long): DataFrame = {
-    val w = Window.partitionBy(col(sourceCol))
-      .orderBy(orderHash(col(idCol)), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__cum_tokens", sum(tokensCol.cast("long")).over(w))
+                        tokensCol: Column, budget: Long,
+                        shardSize: Long = 1000000L): DataFrame = {
+    require(shardSize > 0, "shardSize must be positive")
+    val base = df
+      .withColumn("__h", orderHash(col(idCol)))
+      .withColumn("__shard", expr(s"__h div ${shardSize}L"))
+      .withColumn("__tok", tokensCol.cast("long"))
+    val local = base.withColumn("__local", sum(col("__tok")).over(
+      Window.partitionBy(col(sourceCol), col("__shard"))
+        .orderBy(col("__h"), col(idCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = base.groupBy(col(sourceCol).as("__osrc"), col("__shard").as("__oshard"))
+      .agg(sum(col("__tok")).as("__total"))
+      .withColumn("__offset",
+        coalesce(sum(col("__total")).over(
+          Window.partitionBy(col("__osrc")).orderBy(col("__oshard"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__osrc"), col("__oshard"), col("__offset"))
+    local.join(broadcast(offsets),
+        col(sourceCol) <=> col("__osrc") && col("__shard") === col("__oshard"))
+      .withColumn("__cum_tokens", col("__offset") + col("__local"))
       .filter(col("__cum_tokens") <= budget)
+      .drop("__h", "__shard", "__tok", "__local", "__osrc", "__oshard", "__offset")
   }
 
   def mixtureByHash(df: DataFrame, idCol: String, sourceCol: String,

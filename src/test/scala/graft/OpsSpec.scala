@@ -557,6 +557,30 @@ class OpsSpec extends AnyFunSuite {
     assert(ids25.subsetOf(ids50))
   }
 
+  test("two-level token-budget prefix sum equals the single global window") {
+    import org.apache.spark.sql.expressions.Window
+    // variable token counts, a null source, and a tiny shard size so the
+    // two-level path crosses many shard boundaries
+    val df = ((1L to 300L).map(i =>
+      (i, if (i % 5 == 0) null else s"s${i % 3}", (i % 7 + 1).toString)))
+      .toDF("id", "source", "toks")
+    val nTok = col("toks").cast("int")
+    val sharded = Sampling.tokenBudgetByHash(df, "id", "source", nTok,
+        budget = 60, shardSize = 1000L) // hash space 1e9 → ~1e6 shards hit
+      .select(col("id"), col("__cum_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: one global window per source (fine at test scale)
+    val h = pmod(pmod(col("id"), lit(1000000007L)) * lit(654435747L), lit(1000000007L))
+    val w = Window.partitionBy(col("source")).orderBy(h, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val global = df.withColumn("__cum", sum(nTok.cast("long")).over(w))
+      .filter(col("__cum") <= 60)
+      .select(col("id"), col("__cum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sharded == global)
+    assert(global.nonEmpty)
+  }
+
   // ------------------------- mixture sampling -------------------------
 
   test("mixtureByHash keeps per-source fractions and nests samples") {
