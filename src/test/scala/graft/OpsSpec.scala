@@ -212,6 +212,28 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.contains(4L) && kept.contains(5L))
   }
 
+  test("minhash maxBucket skew guard bounds degenerate buckets, keeps normal pairs") {
+    import spark.implicits._
+    // 3000 copies of the same boilerplate: one bucket per band of size
+    // 3000 — unguarded that's 16 × 4.5M pair emissions from one task
+    val boiler = (1L to 3000L).map(i =>
+      (i, "identical boilerplate text repeated across the whole corpus"))
+    // plus one genuine near-dup pair with distinct ids
+    val pair = Seq(
+      (9001L, "a rare document about spark catalyst optimizer internals today"),
+      (9002L, "a rare document about spark catalyst optimizer internals tonight"))
+    val df = (boiler ++ pair).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val pairs = Dedup.minhashPairs(df, "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.5, shingleSize = 3).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // the guard drops the mega-bucket (documented recall trade: exact
+    // dedup is the tool for identical text), the real pair survives
+    assert(pairs.exists(r => r.getLong(0) == 9001L && r.getLong(1) == 9002L))
+    assert(!pairs.exists(r => r.getLong(0) <= 3000L && r.getLong(1) <= 3000L))
+    assert(secs < 60, s"skew guard failed to bound work: ${secs}s")
+  }
+
   test("simhashPairs: identical docs have hamming 0, near dups small hamming") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
     val m = pairs.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
