@@ -358,6 +358,13 @@ object SparkEntry {
 
     // int8 embedding quantization: map-only, floor-based round-half-up
     // (engine-portable), 4x storage cut for a float corpus
+    // passage-level dedup: first corpus-wide occurrence of each 16-token
+    // chunk survives; docs reassemble from surviving chunks (C4-style
+    // boilerplate strip). One chunk-hash shuffle + one id shuffle.
+    "x30_chunk_dedup" -> ((s, dir) =>
+      graft.ops.Dedup.dedupChunks(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 16).orderBy("id")),
+
     // one-pass data audit: per-column nulls/distincts/ranges, single
     // aggregate job + driver unpivot of its one output row
     "x29_profile" -> ((s, dir) =>
@@ -706,6 +713,38 @@ object SparkEntry {
                 octet_length(encode(text)) AS payload_bytes,
                 8 AS n_features
          FROM documents ORDER BY asset_id""",
+    "x30_chunk_dedup" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  CASE WHEN text IS NULL
+                         OR trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = ''
+                       THEN []::VARCHAR[]
+                       ELSE string_split(
+                         trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+                  END AS tk
+           FROM documents),
+         ch AS (
+           SELECT doc_id,
+                  [list_aggregate(tk[i*16+1 : (i+1)*16], 'string_agg', ' ')
+                   for i in range(CAST(ceil(len(tk) / 16.0) AS INT))] AS chunks
+           FROM tok),
+         ex AS (
+           SELECT doc_id, generate_subscripts(chunks, 1) - 1 AS idx,
+                  unnest(chunks) AS chunk
+           FROM ch),
+         kept AS (
+           SELECT doc_id, idx, chunk,
+                  row_number() OVER (PARTITION BY chunk
+                                     ORDER BY doc_id, idx) AS rn
+           FROM ex),
+         reb AS (
+           SELECT doc_id, count(*)::BIGINT AS n_kept,
+                  string_agg(chunk, ' ' ORDER BY idx) AS clean_text
+           FROM kept WHERE rn = 1 GROUP BY doc_id)
+         SELECT c.doc_id AS id, coalesce(r.clean_text, '') AS clean_text,
+                coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+                len(c.chunks)::BIGINT AS n_chunks
+         FROM ch c LEFT JOIN reb r USING (doc_id) ORDER BY c.doc_id""",
     "x29_profile" ->
       """SELECT * FROM (
            SELECT 'doc_id' AS "column", count(*)::BIGINT AS n_rows,

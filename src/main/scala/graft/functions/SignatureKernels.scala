@@ -387,18 +387,22 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Word n-gram strings from a token array: space-joined sliding windows,
-  * in order (`distinct=false`) or first-seen-deduped (`distinct=true`);
-  * empty array when the document has fewer than `n` tokens.
+/** Word n-gram strings from a token array: space-joined windows advancing
+  * by `stride` (1 = sliding grams; `stride = n` = non-overlapping chunks,
+  * keeping a final partial chunk), in order (`distinct=false`) or
+  * first-seen-deduped (`distinct=true`); empty array when the document
+  * has fewer than `n` tokens (stride 1) / no tokens (chunking).
   * Value-identical to the HOF formulation
   * `transform(sequence(0, size(tk)-n), i => concat_ws(" ", slice(tk, i+1, n)))`
-  * (asserted in tests). Same rationale as ShingleHashesExpr: the HOF form
-  * pays ~(tokens × 3) interpreted lambda evaluations per row — the
-  * dominant cost of decontamination and repetition scoring — where this
-  * is one monomorphic native loop inside the codegen span. */
-case class WordNgramsExpr(child: Expression, n: Int, distinct: Boolean)
+  * at stride 1 (asserted in tests). Same rationale as ShingleHashesExpr:
+  * the HOF form pays ~(tokens × 3) interpreted lambda evaluations per
+  * row — the dominant cost of decontamination and repetition scoring —
+  * where this is one monomorphic native loop inside the codegen span. */
+case class WordNgramsExpr(child: Expression, n: Int, distinct: Boolean,
+                          stride: Int = 1)
     extends UnaryExpression {
   require(n > 0, "n must be positive")
+  require(stride > 0, "stride must be positive")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -411,18 +415,21 @@ case class WordNgramsExpr(child: Expression, n: Int, distinct: Boolean)
   /** Native per-row loop shared by eval and codegen. */
   def gramsRow(arr: ArrayData): ArrayData = {
     val m = arr.numElements()
-    if (m < n) return new GenericArrayData(Array.empty[Any])
+    // stride 1 = sliding grams (need a full window); stride > 1 =
+    // chunking (a final partial window is a legal chunk)
+    if (m == 0 || (stride == 1 && m < n)) return new GenericArrayData(Array.empty[Any])
     val space = UTF8String.fromString(" ")
-    val buf = new Array[UTF8String](n)
-    val out = new java.util.ArrayList[UTF8String](m - n + 1)
+    val out = new java.util.ArrayList[UTF8String](m / stride + 1)
     val seen = if (distinct) new java.util.HashSet[UTF8String]() else null
     var i = 0
-    while (i <= m - n) {
+    while (i < m && (stride > 1 || i <= m - n)) {
+      val w = math.min(n, m - i)
+      val buf = new Array[UTF8String](w)
       var j = 0
-      while (j < n) { buf(j) = arr.getUTF8String(i + j); j += 1 }
+      while (j < w) { buf(j) = arr.getUTF8String(i + j); j += 1 }
       val s = UTF8String.concatWs(space, buf: _*)
       if (seen == null || seen.add(s)) out.add(s)
-      i += 1
+      i += stride
     }
     new GenericArrayData(out.toArray)
   }

@@ -36,6 +36,19 @@ object Decontaminate {
       array().cast("array<string>")).otherwise(kernel)
   }
 
+  /** Non-overlapping `n`-token chunks of the normalized text (the final
+    * partial chunk included) — the unit for passage-level dedup. Same
+    * native kernel, stride = n. */
+  def tokenChunks(c: Column, n: Int): Column = {
+    require(n > 0, "n must be positive")
+    val kernel = org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.WordNgramsExpr(
+        org.apache.spark.sql.GraftSqlShims.expression(TextOps.tokens(c)),
+        n, distinct = false, stride = n))
+    when(c.isNull || TextOps.normalizeText(c) === "",
+      array().cast("array<string>")).otherwise(kernel)
+  }
+
   /** Pure higher-order-function formulation of `wordNgrams` —
     * value-identical to the native kernel (asserted in tests), kept as the
     * reference implementation and codegen cross-check. */

@@ -165,6 +165,44 @@ object Dedup {
   def dropNearDuplicates(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  /** Passage-level (chunk) dedup: split every document into
+    * non-overlapping `chunkTokens`-token chunks, keep only the FIRST
+    * corpus-wide occurrence of each distinct chunk (first = lowest
+    * (id, position)), and reassemble documents from their surviving
+    * chunks — the C4-style stage that strips boilerplate passages
+    * repeated ACROSS documents without dropping whole documents.
+    *
+    * Shape at scale: explode to (id, idx, chunk) — ~tokens/chunkTokens
+    * rows per doc, chunked by the native kernel — then ONE shuffle on the
+    * chunk hash for the keep-first window (WindowGroupLimit prunes
+    * map-side; the hash key, not the string, drives the exchange), one
+    * id shuffle to reassemble in chunk order. Documents emptied entirely
+    * survive with clean_text = '' (the caller decides to drop).
+    *
+    * Returns (id, clean_text, n_kept, n_chunks).
+    */
+  def dedupChunks(df: DataFrame, idCol: String, textCol: String,
+                  chunkTokens: Int = 16): DataFrame = {
+    val chunks = spread(df).select(col(idCol).as("id"),
+        posexplode(Decontaminate.tokenChunks(col(textCol), chunkTokens)))
+      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "chunk")
+    val w = Window.partitionBy(xxhash64(col("chunk")), col("chunk"))
+      .orderBy(col("id"), col("idx"))
+    val kept = chunks.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("idx"), col("chunk")))),
+          s => s.getField("chunk"))).as("clean_text"))
+    df.select(col(idCol).as("id"),
+        size(Decontaminate.tokenChunks(col(textCol), chunkTokens)).as("n_chunks"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("n_chunks").cast("long").as("n_chunks"))
+  }
+
   /** Exact id-exclusion through a Bloom sketch — the scale path for
     * "drop every row on this seen/eval/opt-out list". A plain anti-join
     * shuffles the corpus on id; here the exclusion list tree-aggregates

@@ -474,6 +474,30 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenChunks emits non-overlapping chunks with a final partial") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b"), (3L, "")).toDF("id", "text")
+    val got = df.select(col("id"),
+        Decontaminate.tokenChunks(col("text"), 2).as("c"))
+      .orderBy("id").collect()
+      .map(_.getAs[scala.collection.Seq[String]]("c").toSeq)
+    assert(got(0) == Seq("a b", "c d", "e"))
+    assert(got(1) == Seq("a b") && got(2).isEmpty)
+  }
+
+  test("dedupChunks keeps first corpus-wide chunk occurrence, rebuilds docs") {
+    val df = Seq(
+      (1L, "one two three four unique first tail piece"),  // chunks: 2x4 tokens
+      (2L, "one two three four second doc own words"),     // first chunk dups doc 1
+      (3L, "one two three four")                           // entirely duplicate
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupChunks(df, "doc_id", "text", chunkTokens = 4)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got(0) == ((1L, "one two three four unique first tail piece", 2L, 2L)))
+    assert(got(1) == ((2L, "second doc own words", 1L, 2L)))
+    assert(got(2) == ((3L, "", 0L, 1L)))
+  }
+
   test("contaminated flags shared n-grams; decontaminate drops them") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
