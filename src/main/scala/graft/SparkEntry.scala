@@ -173,6 +173,17 @@ object SparkEntry {
           .orderBy("l_orderkey", "l_linenumber"))
     }),
 
+    // --- §2.6: cross-type update — numeric literal assigned into a string
+    // column (stored as its repr, the round-3 fuzz crash), then a string
+    // concat self-op layered on the same column in declaration order ---
+    "q18b_update_crosstype" -> ((s, dir) => {
+      import graft.engine.{Query, UpdateEngine}
+      val updated = UpdateEngine.update(t(s, dir, "events"), Query.parse(
+        """{"update": [["event_type", 7], ["+", "event_type", "'!'"]],
+            "where": [">", "value", 90.0]}"""))
+      updated.select("event_id", "event_type").orderBy("event_id")
+    }),
+
     // --- §2.6: update with shift operator + in-list filter ---
     "q19_update_shift" -> ((s, dir) => {
       import graft.engine.{Query, UpdateEngine}
@@ -537,6 +548,10 @@ object SparkEntry {
                            ELSE l_quantity END, 2) AS l_quantity,
                 CASE WHEN l_discount < 0.03 THEN 0.0 ELSE l_tax END AS l_tax
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q18b_update_crosstype" ->
+      """SELECT event_id,
+                CASE WHEN value > 90.0 THEN '7!' ELSE event_type END AS event_type
+         FROM events ORDER BY event_id""",
     "q19_update_shift" ->
       """SELECT event_id,
                 CASE WHEN event_type IN ('click', 'error') THEN user_id * 4

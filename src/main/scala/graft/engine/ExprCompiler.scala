@@ -68,6 +68,92 @@ object ExprCompiler {
     else Errors.malformed("Unknown column", name)
 
   // ---------------------------------------------------------------------
+  // static type categories — cross-type guards
+  //
+  // Under ANSI (the session default) a string↔numeric coercion that
+  // survives analysis crashes PER-ROW at runtime (CAST_INVALID_INPUT), so
+  // the server would 500 where the reference's pandas either returns a
+  // constant mask (Python 2 cross-type comparison) or raises cleanly.
+  // Every place the two grammars can mix a statically-string operand with
+  // a statically-numeric one is guarded here at compile time.
+  // ---------------------------------------------------------------------
+
+  private[engine] sealed trait TCat
+  private[engine] object TCat {
+    case object Str  extends TCat
+    case object Num  extends TCat
+    case object Bool extends TCat
+  }
+
+  private[engine] def catOf(dt: DataType): Option[TCat] = dt match {
+    case StringType     => Some(TCat.Str)
+    case _: NumericType => Some(TCat.Num)
+    case BooleanType    => Some(TCat.Bool)
+    case _              => None
+  }
+
+  /** Static category of a grammar leaf: quoted string → Str literal, bare
+    * string → column's type (if present), JSON number → Num, bool → Bool.
+    * None when the type can't be determined statically (null, unknown
+    * column — those error elsewhere). */
+  private[engine] def leafCat(df: DataFrame, arg: Any): Option[TCat] = arg match {
+    case s: String if isQuoted(s)      => Some(TCat.Str)
+    case s: String if hasColumn(df, s) => catOf(df.schema(s).dataType)
+    case _: Long | _: Double           => Some(TCat.Num)
+    case _: Boolean                    => Some(TCat.Bool)
+    case _                             => None
+  }
+
+  /** True when exactly one side is a string and the other is numeric or
+    * boolean — the combination pandas compares by Python 2 type ordering
+    * and Spark/ANSI would instead runtime-crash on. */
+  private[engine] def isMixedStrNum(a: Option[TCat], b: Option[TCat]): Boolean =
+    (a, b) match {
+      case (Some(TCat.Str), Some(TCat.Num)) | (Some(TCat.Str), Some(TCat.Bool)) => true
+      case (Some(TCat.Num), Some(TCat.Str)) | (Some(TCat.Bool), Some(TCat.Str)) => true
+      case _ => false
+    }
+
+  /** Python 2 cross-type comparison result: numbers (and bools, which are
+    * ints in Python) sort BEFORE strings, so a string/numeric comparison is
+    * a row-independent constant. pandas applies it elementwise over the
+    * object column; the reference therefore returns 200 with an all-or-
+    * nothing match where a naive Spark plan would throw per-row. */
+  private[engine] def py2MixedCompare(op: String, stringOnLeft: Boolean): Column =
+    lit(op match {
+      case "==" => false
+      case "!=" => true
+      case "<" | "<=" => !stringOnLeft // num < str, never str < num
+      case ">" | ">=" => stringOnLeft
+      case _ => false
+    })
+
+  /** Membership-list values that can never equal a cell of category
+    * `colCat` are dropped (pandas isin compares with Python 2 `==`:
+    * numbers never equal strings; True/False equal their 1/0 numerics).
+    * Returned values are rewritten where needed (bool ⇄ 0/1). */
+  private[engine] def compatibleInValues(colCat: Option[TCat], values: List[Any]): List[Any] =
+    colCat match {
+      case None => values
+      case Some(cat) => values.flatMap { v =>
+        (cat, v) match {
+          case (TCat.Str, s: String)             => Some(s)
+          case (TCat.Str, _)                     => None
+          case (TCat.Num, _: Long | _: Double)   => Some(v)
+          case (TCat.Num, b: Boolean)            => Some(if (b) 1L else 0L)
+          case (TCat.Num, _: String)             => None
+          case (TCat.Bool, b: Boolean)           => Some(b)
+          case (TCat.Bool, l: Long)              =>
+            if (l == 1L) Some(true) else if (l == 0L) Some(false) else None
+          case (TCat.Bool, d: Double)            =>
+            if (d == 1.0) Some(true) else if (d == 0.0) Some(false) else None
+          case (TCat.Bool, _: String)            => None
+          case _                                 => Some(v)
+        }
+      }
+    }
+
+  // ---------------------------------------------------------------------
   // where filter trees (reference: pandas_filter.py:132-163)
   // ---------------------------------------------------------------------
 
@@ -97,6 +183,11 @@ object ExprCompiler {
     case "all_bits" | "any_bits" => bitwiseFilter(df, op, q)
     case "!" =>
       Errors.assertLen(q, 2, "! is a single arity operator, invalid number of arguments")
+      // ~ on a string operand: coalesce would coerce the false branch to
+      // string and defer a cast-to-boolean crash to runtime — reject at
+      // compile time instead (pandas raises TypeError on ~object).
+      if (leafCat(df, q(1)).contains(TCat.Str))
+        Errors.malformed("Invalid type in argument", q)
       // pandas negates a null-free boolean mask (~False = True), so rows
       // where the inner predicate is unknown must be INCLUDED by the
       // negation — coalesce to false before negating, or Spark's
@@ -159,6 +250,16 @@ object ExprCompiler {
     if (!hasColumn(df, colName)) Errors.malformed("Column is not defined", q)
     if (isEnumColumn(df, colName) && op != "==" && op != "!=")
       Errors.malformed("Invalid type in argument", q)
+    // Cross-type string/numeric comparison: constant by Python 2 type
+    // ordering (see py2MixedCompare). A nested RHS expression is a boolean
+    // mask by construction, so it counts as the numeric side.
+    val lhsCat = catOf(df.schema(colName).dataType)
+    val rhsCat = q(2) match {
+      case _: List[Any] @unchecked => Some(TCat.Bool)
+      case other                   => leafCat(df, other)
+    }
+    if (isMixedStrNum(lhsCat, rhsCat))
+      return py2MixedCompare(op, lhsCat.contains(TCat.Str))
     val lhs = df(colName)
     val rhs = compileFilter(df, q(2))
 
@@ -229,7 +330,11 @@ object ExprCompiler {
         // pandas Series.isin([None]) matches the missing values (None on
         // object columns, and NaN on float columns via None→NaN
         // coercion), where SQL IN (NULL) would never match.
-        val nonNull = values.filterNot(_ == null)
+        // values of a category the column can never equal are dropped up
+        // front — pandas isin yields False for them, while Spark's IN
+        // coercion would runtime-crash casting the column.
+        val nonNull = compatibleInValues(catOf(df.schema(colName).dataType),
+          values.filterNot(_ == null))
         val base =
           if (nonNull.isEmpty) lit(false)
           else coalesce(df(colName).isin(nonNull: _*), lit(false))
@@ -323,16 +428,56 @@ object ExprCompiler {
     case _         => Errors.malformed("Unknown function in alias", op)
   }
 
+  private val ArithAliasOps = Set("+", "-", "*", "/", "%", "**", "//")
+
+  /** Static category of an alias expression tree: comparisons and boolean
+    * combinators produce Bool, `+` over two strings concatenates (Str),
+    * every other operator produces a number. */
+  private def aliasCat(df: DataFrame, expr: Any): Option[TCat] = expr match {
+    case l: List[Any] @unchecked => l match {
+      case (op: String) :: a :: b :: Nil =>
+        if (ComparisonOps.contains(op) || op == "&" || op == "|") Some(TCat.Bool)
+        else if (op == "+" && aliasCat(df, a).contains(TCat.Str) &&
+          aliasCat(df, b).contains(TCat.Str)) Some(TCat.Str)
+        else Some(TCat.Num)
+      case (op: String) :: a :: Nil =>
+        if (op == "~") aliasCat(df, a) else Some(TCat.Num)
+      case _ => None
+    }
+    case other => leafCat(df, other)
+  }
+
   /** Compile an alias source expression. `df` here is the frame the alias is
     * being added to (earlier aliases in the same select are visible, like
-    * sequential `eval`; reference: query.py:108-116). */
+    * sequential `eval`; reference: query.py:108-116).
+    *
+    * Cross-type guards (see the TCat helpers): string operands under
+    * arithmetic / numeric unary functions are rejected with a 400 (pandas
+    * eval raises TypeError there), `+` over two strings concatenates
+    * (pandas eval falls back to the python engine and concatenates), and
+    * string/numeric comparisons fold to the Python 2 constant. */
   def compileAliasExpr(df: DataFrame, expr: Any): Column = expr match {
     case l: List[Any] @unchecked =>
       l match {
         case (op: String) :: a :: b :: Nil =>
-          binaryAliasOp(op, compileAliasExpr(df, a), compileAliasExpr(df, b))
+          val (ca, cb) = (aliasCat(df, a), aliasCat(df, b))
+          if (ComparisonOps.contains(op) && isMixedStrNum(ca, cb))
+            py2MixedCompare(op, ca.contains(TCat.Str))
+          else if (op == "+" && ca.contains(TCat.Str) && cb.contains(TCat.Str))
+            concat(compileAliasExpr(df, a), compileAliasExpr(df, b))
+          else if (ArithAliasOps.contains(op) &&
+            (ca.contains(TCat.Str) || cb.contains(TCat.Str)))
+            Errors.malformed("Invalid types in argument", expr)
+          else
+            binaryAliasOp(op, compileAliasExpr(df, a), compileAliasExpr(df, b))
         case (op: String) :: a :: Nil =>
-          unaryAliasOp(op, compileAliasExpr(df, a))
+          val cat = aliasCat(df, a)
+          if (cat.contains(TCat.Str))
+            Errors.malformed("Invalid types in argument", expr)
+          // pandas ~int is bitwise complement; Spark's ! wants a boolean
+          else if (op == "~" && cat.contains(TCat.Num))
+            bitwise_not(compileAliasExpr(df, a))
+          else unaryAliasOp(op, compileAliasExpr(df, a))
         case _ => Errors.malformed("Invalid number of arguments", expr)
       }
     case s: String if isQuoted(s) => lit(unquote(s))

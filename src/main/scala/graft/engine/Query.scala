@@ -15,13 +15,14 @@ final case class Query(
     offset: Option[Any] = None,
     limit: Option[Any] = None,
     from: Option[Query] = None,
-    update: Option[List[Any]] = None) {
+    update: Option[List[Any]] = None,
+    xop: Option[Any] = None) {
   def isUpdate: Boolean = update.isDefined
 }
 
 object Query {
   private val Clauses = Set("select", "where", "group_by", "distinct",
-    "order_by", "offset", "limit", "from", "update")
+    "order_by", "offset", "limit", "from", "update", "xop")
 
   def parse(json: String): Query = fromAny(QueryJson.parse(json))
 
@@ -46,6 +47,12 @@ object Query {
           case Some(l: List[Any] @unchecked) => Some(l)
           case Some(other) => Errors.malformed("Invalid update clause", other)
           case None => None
+        },
+        xop = {
+          val x = q.get("xop").filter(_ != null)
+          if (x.isDefined && q.contains("update"))
+            Errors.malformed("xop cannot be combined with update")
+          x
         })
     case other =>
       Errors.malformed(s"""Query must be a dictionary, not "$other"""")

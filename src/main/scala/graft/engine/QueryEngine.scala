@@ -66,7 +66,10 @@ object QueryEngine {
   private def runInternal(table: DataFrame, q: Query, root: DataFrame): QueryResult = {
     // from: evaluate the nested query first; in-subqueries keep resolving
     // against the ROOT dataset (reference: query.py:217-218, context.py).
-    val base = q.from.map(f => runInternal(table, f, root).df).getOrElse(table)
+    val base0 = q.from.map(f => runInternal(table, f, root).df).getOrElse(table)
+    // xop: extension operator runs next, deriving the frame the remaining
+    // reference clauses apply to (SURVEY §7.5; see XopEngine).
+    val base = q.xop.map(x => XopEngine.run(base0, x)).getOrElse(base0)
     val filtered = applyWhere(base, q.where, root)
     val projected = project(filtered, q.groupBy, q.distinct, q.select)
     val ordered = applyOrderBy(projected, q.orderBy)
@@ -121,10 +124,21 @@ object QueryEngine {
             val k = markers.length
             val marker = s"__in_m$k"
             val valCol = s"__in_v$k"
-            val values = subResult.select(col(colName).as(valCol))
-              .distinct().withColumn(marker, lit(true))
-            current = current.join(values,
-              current(colName) <=> values(valCol), "left").drop(valCol)
+            // string column against numeric sub-query values (or vice
+            // versa) can never match (pandas isin across types → False)
+            // and a `<=>` join key would ANSI-crash per row — constant-
+            // false marker instead of the join.
+            val mixed = ExprCompiler.isMixedStrNum(
+              ExprCompiler.catOf(current.schema(colName).dataType),
+              ExprCompiler.catOf(subResult.schema(colName).dataType))
+            if (mixed) {
+              current = current.withColumn(marker, lit(false))
+            } else {
+              val values = subResult.select(col(colName).as(valCol))
+                .distinct().withColumn(marker, lit(true))
+              current = current.join(values,
+                current(colName) <=> values(valCol), "left").drop(valCol)
+            }
             markers += marker
             List(InMarkerOp, marker)
           case _ => l.map(walk)
@@ -312,11 +326,18 @@ object QueryEngine {
             case s: String if hasColumn(df, s) => s
             case other => Errors.malformed("Distinct column not in table", other)
           }
-        if (hasColumn(df, RowId)) {
-          val w = Window.partitionBy(subset.map(df(_)): _*).orderBy(df(RowId))
-          df.withColumn("__rn__", row_number().over(w))
-            .filter(col("__rn__") === 1).drop("__rn__")
-        } else df.dropDuplicates(subset)
+        // Both paths dedup through a window, NOT dropDuplicates: the
+        // aggregate under dropDuplicates rewrites float values through
+        // NormalizeFloatingNumbers (-0.0 → 0.0), so repeated distinct
+        // would not be idempotent at the value level. A window normalizes
+        // only its PARTITION keys and returns the original rows — value-
+        // preserving like pandas drop_duplicates (fuzz-found).
+        val withOrd =
+          if (hasColumn(df, RowId)) df.withColumn("__ord__", df(RowId))
+          else df.withColumn("__ord__", monotonically_increasing_id())
+        val w = Window.partitionBy(subset.map(withOrd(_)): _*).orderBy(col("__ord__"))
+        withOrd.withColumn("__rn__", row_number().over(w))
+          .filter(col("__rn__") === 1).drop("__rn__", "__ord__")
     }
 
   // -------------------------------------------------------------------

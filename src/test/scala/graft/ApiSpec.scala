@@ -92,6 +92,52 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.body() == """[{"count":3}]""")
   }
 
+  test("xop operators run through GET ?q= and POST /q") {
+    val docs = "id,src,text\n" +
+      "1,web,aa bb cc dd\n2,web,aa bb cc dd\n3,book,ee ff gg hh\n"
+    storeCsv("tx1", docs)
+    // dedup_exact via GET — keeps first ingest row per duplicate text
+    val r1 = query("tx1",
+      """{"xop": {"name": "dedup_exact", "args": {"column": "text"}},
+          "select": ["id"]}""")
+    assert(r1.statusCode() == 200)
+    assert(r1.body() == """[{"id":1},{"id":3}]""")
+    // text_tokens composes with where via POST /q
+    val r2 = send(req("/dataset/tx1/q").POST(BodyPublishers.ofString(
+      """{"xop": {"name": "text_tokens", "args": {"column": "text"}},
+          "where": ["==", "id", 1], "select": ["id", "n_tokens"]}"""))
+      .header("Accept", "application/json").build())
+    assert(r2.statusCode() == 200)
+    assert(r2.body() == """[{"id":1,"n_tokens":4}]""")
+    // sample_stratified via GET
+    val r3 = query("tx1",
+      """{"xop": {"name": "sample_stratified",
+                  "args": {"id": "id", "strata": "src", "k": 1}},
+          "select": [["count"]]}""")
+    assert(r3.statusCode() == 200 && r3.body() == """[{"count":2}]""")
+    // profile via GET
+    val r4 = query("tx1", """{"xop": {"name": "profile"}, "select": [["count"]]}""")
+    assert(r4.statusCode() == 200 && r4.body() == """[{"count":3}]""")
+    // text_fingerprint via POST, grouped
+    val r5 = send(req("/dataset/tx1/q").POST(BodyPublishers.ofString(
+      """{"xop": {"name": "text_fingerprint", "args": {"column": "text"}},
+          "select": ["fingerprint", ["count", "id"]], "group_by": ["fingerprint"],
+          "order_by": ["-id"], "limit": 1}"""))
+      .header("Accept", "application/json").build())
+    assert(r5.statusCode() == 200 && r5.body().contains("\"id\":2"))
+  }
+
+  test("xop errors land in the 400 taxonomy over HTTP") {
+    storeCsv("tx2", csvData)
+    val r = query("tx2", """{"xop": {"name": "frobnicate"}}""")
+    assert(r.statusCode() == 400 && r.body().contains("Unknown xop"))
+    val r2 = query("tx2", """{"xop": {"name": "dedup_exact", "args": {"column": "zz"}}}""")
+    assert(r2.statusCode() == 400)
+    val r3 = query("tx2",
+      """{"xop": {"name": "profile"}, "update": [["foo", 0]], "where": ["==", "foo", 1]}""")
+    assert(r3.statusCode() == 400)
+  }
+
   test("pagination: unsliced length header") {
     storeCsv("t4", csvData)
     val r = query("t4", """{"offset": 1, "limit": 1}""")
