@@ -118,15 +118,35 @@ object ExprCompiler {
     * ints in Python) sort BEFORE strings, so a string/numeric comparison is
     * a row-independent constant. pandas applies it elementwise over the
     * object column; the reference therefore returns 200 with an all-or-
-    * nothing match where a naive Spark plan would throw per-row. */
-  private[engine] def py2MixedCompare(op: String, stringOnLeft: Boolean): Column =
-    lit(op match {
+    * nothing match where a naive Spark plan would throw per-row.
+    *
+    * Null cells are the one per-row exception: nulls match only `!=`
+    * (the engine's null convention, matching pandas None != x), so the
+    * true-side orderings carry a null guard (isNotNull, and !isnan for
+    * floats) on any bare-column operand instead of folding to lit(true).
+    * `==` (false) and the false-side orderings stay constants. */
+  private[engine] def py2MixedCompare(df: DataFrame, op: String,
+                                      stringOnLeft: Boolean,
+                                      lhsArg: Any, rhsArg: Any): Column = {
+    val matches = op match {
       case "==" => false
       case "!=" => true
       case "<" | "<=" => !stringOnLeft // num < str, never str < num
       case ">" | ">=" => stringOnLeft
       case _ => false
-    })
+    }
+    def guard(arg: Any): Option[Column] = arg match {
+      case s: String if !isQuoted(s) && hasColumn(df, s) =>
+        val c = df(s)
+        Some(if (isFloating(df.schema(s).dataType)) c.isNotNull && !isnan(c)
+             else c.isNotNull)
+      case _ => None
+    }
+    if (!matches) lit(false)
+    else if (op == "!=") lit(true) // nulls match != — constant already right
+    else Seq(guard(lhsArg), guard(rhsArg)).flatten
+      .reduceOption(_ && _).getOrElse(lit(true))
+  }
 
   /** Membership-list values that can never equal a cell of category
     * `colCat` are dropped (pandas isin compares with Python 2 `==`:
@@ -259,7 +279,7 @@ object ExprCompiler {
       case other                   => leafCat(df, other)
     }
     if (isMixedStrNum(lhsCat, rhsCat))
-      return py2MixedCompare(op, lhsCat.contains(TCat.Str))
+      return py2MixedCompare(df, op, lhsCat.contains(TCat.Str), q(1), q(2))
     val lhs = df(colName)
     val rhs = compileFilter(df, q(2))
 
@@ -462,7 +482,7 @@ object ExprCompiler {
         case (op: String) :: a :: b :: Nil =>
           val (ca, cb) = (aliasCat(df, a), aliasCat(df, b))
           if (ComparisonOps.contains(op) && isMixedStrNum(ca, cb))
-            py2MixedCompare(op, ca.contains(TCat.Str))
+            py2MixedCompare(df, op, ca.contains(TCat.Str), a, b)
           else if (op == "+" && ca.contains(TCat.Str) && cb.contains(TCat.Str))
             concat(compileAliasExpr(df, a), compileAliasExpr(df, b))
           else if (ArithAliasOps.contains(op) &&
