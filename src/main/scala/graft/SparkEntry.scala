@@ -193,6 +193,28 @@ object SparkEntry {
       updated.select("event_id", "user_id", "event_type").orderBy("event_id")
     }),
 
+    // --- §2.2 × §2.6: mixed-type comparison over MISSING cells (py2: a
+    // missing cell is NaN — a float — so string-side nulls compare
+    // numerically and drop from true-side orderings, while numeric-side
+    // nulls keep the numbers-before-strings constant). The string nulls
+    // come from update's create-absent-column path; the float nulls from
+    // a ÷0 alias in a from-subquery. ---
+    "q23_mixed_null_str" -> ((s, dir) => {
+      import graft.engine.{Query, UpdateEngine}
+      val updated = UpdateEngine.update(t(s, dir, "events"), Query.parse(
+        """{"update": [["tag", "'hi'"]], "where": ["<", "value", 50.0]}"""))
+      QueryEngine.run(updated,
+        """{"select": ["event_id", "tag"],
+            "where": [">", "tag", 1],
+            "order_by": ["event_id"]}""").df
+    }),
+    "q23b_mixed_null_num" -> q("events",
+      """{"select": ["event_id"],
+          "from": {"select": ["event_id",
+                              ["=", "nulled", ["/", "value", ["%", "event_id", 3]]]]},
+          "where": ["<", "nulled", "'x'"],
+          "order_by": ["event_id"]}"""),
+
     // --- events table: grouped aggregation over the stream-shaped table ---
     "q20_events_agg" -> q("events",
       """{"select": ["event_type", ["mean", "value"], ["count", "event_id"]],
@@ -558,6 +580,11 @@ object SparkEntry {
                      ELSE user_id END AS user_id,
                 event_type
          FROM events ORDER BY event_id""",
+    "q23_mixed_null_str" ->
+      """SELECT event_id, 'hi' AS tag FROM events
+         WHERE value < 50.0 ORDER BY event_id""",
+    "q23b_mixed_null_num" ->
+      """SELECT event_id FROM events ORDER BY event_id""",
     "q20_events_agg" ->
       """SELECT event_type, round(avg(value), 4) AS value,
                 count(event_id) AS event_id

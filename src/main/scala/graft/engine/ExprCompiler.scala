@@ -120,14 +120,18 @@ object ExprCompiler {
     * object column; the reference therefore returns 200 with an all-or-
     * nothing match where a naive Spark plan would throw per-row.
     *
-    * Null cells are the one per-row exception: nulls match only `!=`
-    * (the engine's null convention, matching pandas None != x), so the
-    * true-side orderings carry a null guard (isNotNull, and !isnan for
-    * floats) on any bare-column operand instead of folding to lit(true).
-    * `==` (false) and the false-side orderings stay constants. */
-  private[engine] def py2MixedCompare(df: DataFrame, op: String,
-                                      stringOnLeft: Boolean,
-                                      lhsArg: Any, rhsArg: Any): Column = {
+    * Missing cells are the one per-row exception, and only on the STRING
+    * side: a missing cell of a pandas object column is NaN — a float — so
+    * it compares NUMERICALLY against the numeric operand (NaN < x / > x /
+    * == x are all False; only != is True). A missing cell of the numeric
+    * side is also NaN — still a number — so it KEEPS the constant (numbers
+    * sort before strings) and must not be guarded. Hence the true-side
+    * orderings null-guard the string operand only; `==` (false), `!=`
+    * (true) and the false-side orderings stay constants for every row.
+    * The guard is the compiled operand's own nullability, so nested string
+    * expressions (e.g. a concat over a nullable column) are covered too. */
+  private[engine] def py2MixedCompare(op: String, stringOnLeft: Boolean,
+                                      strOperand: => Column): Column = {
     val matches = op match {
       case "==" => false
       case "!=" => true
@@ -135,17 +139,9 @@ object ExprCompiler {
       case ">" | ">=" => stringOnLeft
       case _ => false
     }
-    def guard(arg: Any): Option[Column] = arg match {
-      case s: String if !isQuoted(s) && hasColumn(df, s) =>
-        val c = df(s)
-        Some(if (isFloating(df.schema(s).dataType)) c.isNotNull && !isnan(c)
-             else c.isNotNull)
-      case _ => None
-    }
     if (!matches) lit(false)
-    else if (op == "!=") lit(true) // nulls match != — constant already right
-    else Seq(guard(lhsArg), guard(rhsArg)).flatten
-      .reduceOption(_ && _).getOrElse(lit(true))
+    else if (op == "!=") lit(true) // NaN != x is True — constant already right
+    else strOperand.isNotNull
   }
 
   /** Membership-list values that can never equal a cell of category
@@ -279,7 +275,8 @@ object ExprCompiler {
       case other                   => leafCat(df, other)
     }
     if (isMixedStrNum(lhsCat, rhsCat))
-      return py2MixedCompare(df, op, lhsCat.contains(TCat.Str), q(1), q(2))
+      return py2MixedCompare(op, lhsCat.contains(TCat.Str),
+        if (lhsCat.contains(TCat.Str)) df(colName) else compileFilter(df, q(2)))
     val lhs = df(colName)
     val rhs = compileFilter(df, q(2))
 
@@ -482,7 +479,8 @@ object ExprCompiler {
         case (op: String) :: a :: b :: Nil =>
           val (ca, cb) = (aliasCat(df, a), aliasCat(df, b))
           if (ComparisonOps.contains(op) && isMixedStrNum(ca, cb))
-            py2MixedCompare(df, op, ca.contains(TCat.Str), a, b)
+            py2MixedCompare(op, ca.contains(TCat.Str),
+              compileAliasExpr(df, if (ca.contains(TCat.Str)) a else b))
           else if (op == "+" && ca.contains(TCat.Str) && cb.contains(TCat.Str))
             concat(compileAliasExpr(df, a), compileAliasExpr(df, b))
           else if (ArithAliasOps.contains(op) &&

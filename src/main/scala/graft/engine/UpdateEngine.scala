@@ -86,7 +86,8 @@ object UpdateEngine {
           // ANSI-crash per row instead of matching all-or-nothing.
           val (ca, cb) = (leafCat(df, l(1)), leafCat(df, l(2)))
           if (isMixedStrNum(ca, cb))
-            return py2MixedCompare(df, op, ca.contains(TCat.Str), l(1), l(2))
+            return py2MixedCompare(op, ca.contains(TCat.Str),
+              prepareArg(df, if (ca.contains(TCat.Str)) l(1) else l(2)))
           val a = prepareArg(df, l(1))
           val b = prepareArg(df, l(2))
           // pandas mask semantics on null/NaN, mirroring

@@ -65,6 +65,68 @@ class CrossTypeSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // mixed-type comparison over missing cells (py2: a missing cell is NaN
+  // — a float — regardless of the column's dtype, so string-side nulls
+  // compare NUMERICALLY while numeric-side nulls/NaN keep the constant)
+  // ------------------------------------------------------------------
+
+  lazy val nullFrame: DataFrame = {
+    import spark.implicits._
+    Seq((1L, Option(1.5), Option("x")),
+        (2L, Option.empty[Double], Option.empty[String]),
+        (3L, Option(Double.NaN), Option("z")))
+      .toDF("a", "b", "c")
+  }
+  def runN(json: String): DataFrame = QueryEngine.run(nullFrame, json).df
+  def asN(df: DataFrame, c: String = "a"): Seq[Any] =
+    df.select(c).collect().map(_.get(0)).toSeq
+
+  test("null string cells are excluded from true-side orderings, kept by !=") {
+    // NaN > 1 is False (numeric compare), so the null-c row drops out
+    assert(asN(runN("""{"where": [">", "c", 1]}""")) == Seq(1L, 3L))
+    assert(asN(runN("""{"where": [">=", "c", 1]}""")) == Seq(1L, 3L))
+    // NaN != 1 is True — null rows stay in
+    assert(asN(runN("""{"where": ["!=", "c", 1]}""")) == Seq(1L, 2L, 3L))
+    // false-side stays constant (NaN < 1 is also False)
+    assert(asN(runN("""{"where": ["<", "c", 1]}""")) == Seq())
+    assert(asN(runN("""{"where": ["==", "c", 1]}""")) == Seq())
+  }
+
+  test("null/NaN float cells keep the py2 constant vs a string literal") {
+    // NaN is a number; numbers sort before strings — ALL rows match `<`
+    assert(asN(runN("""{"where": ["<", "b", "'x'"]}""")) == Seq(1L, 2L, 3L))
+    assert(asN(runN("""{"where": ["!=", "b", "'x'"]}""")) == Seq(1L, 2L, 3L))
+    assert(asN(runN("""{"where": [">", "b", "'x'"]}""")) == Seq())
+    assert(asN(runN("""{"where": ["==", "b", "'x'"]}""")) == Seq())
+  }
+
+  test("str-col vs num-col elementwise: only string-side nulls drop out") {
+    // numeric-side null/NaN rows (2, 3) keep the constant; string-side
+    // null (row 2) drops from the true side
+    assert(asN(runN("""{"where": [">", "c", "b"]}""")) == Seq(1L, 3L))
+    assert(asN(runN("""{"where": ["<", "c", "b"]}""")) == Seq())
+    assert(asN(runN("""{"where": ["!=", "c", "b"]}""")) == Seq(1L, 2L, 3L))
+  }
+
+  test("nested string expression carries the null guard (alias grammar)") {
+    // ['+','c','!'] is Str-category; its null row must behave like a
+    // missing string cell, not fold to the constant
+    val out = runN("""{"select": [["=", "d", [">", ["+", "c", "'!'"], 1]]]}""")
+    assert(asN(out, "d") == Seq(true, false, true))
+    val out2 = runN("""{"select": [["=", "d", ["<", ["+", "c", "'!'"], 1]]]}""")
+    assert(asN(out2, "d") == Seq(false, false, false))
+  }
+
+  test("update where-filter: string-side nulls drop from true-side orderings") {
+    val out = UpdateEngine.update(nullFrame,
+      Query.parse("""{"update": [["a", 0]], "where": [">", "c", 1]}"""))
+    assert(asN(out) == Seq(0L, 2L, 0L))
+    val out2 = UpdateEngine.update(nullFrame,
+      Query.parse("""{"update": [["a", 0]], "where": ["<", "b", "'x'"]}"""))
+    assert(asN(out2) == Seq(0L, 0L, 0L))
+  }
+
+  // ------------------------------------------------------------------
   // in-lists: incompatible values can never match, never crash
   // ------------------------------------------------------------------
 
