@@ -352,7 +352,7 @@ final class GraftServer(spark: SparkSession, port: Int,
   * sbt "runMain graft.server.Main [port] [--port=N] [--size=BYTES]
   *   [--age=SECONDS] [--statistics-buffer-size=N]
   *   [--cert-file=server.pem] [--ca-file=ca.pem]
-  *   [--basic-auth=user:password]"
+  *   [--basic-auth=user:password] [-d|--debug]"
   * }}}
   *
   * A bare leading number is accepted as the port (back-compat). TLS comes
@@ -395,6 +395,10 @@ object Main {
       if (caFile.isDefined) println("Enabling client certificate verification")
       Tls.contextFromPem(cf, caFile)
     }
+    // reference: __init__.py:18 / app.py:338-349 — Tornado debug mode. The
+    // JVM analog is verbose engine logging (Spark INFO instead of WARN);
+    // there is no auto-reload to mirror.
+    val debug = args.contains("--debug") || args.contains("-d")
 
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
@@ -407,7 +411,9 @@ object Main {
       // classes resident (default cache is 100 entries — see Bench.scala)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(if (debug) "INFO" else "WARN")
+    println(s"Starting qcache, maxCacheSize=$maxSize, maxAge=$maxAge, " +
+      s"statisticsBufferSize=$statsBuf, debug=$debug")
     val server = new GraftServer(spark, port,
       maxCacheSize = maxSize, maxAge = maxAge,
       statisticsBufferSize = statsBuf,

@@ -75,6 +75,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("session emitted via the timeout branch equals the batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 1 gets NO events after their session, so the session can only
+    // close through the state-timeout branch (state.hasTimedOut) once
+    // user 2's event advances the watermark past lastSeen + gap.
+    val user1 = Seq(
+      Event(1, ts(0, 0), 1, "click", 1.0),
+      Event(2, ts(0, 45), 1, "view", 2.5))
+    val pusher = Event(9, ts(30, 0), 2, "click", 0.5)
+    val input = MemoryStream[Event]
+    val query = EventStreams.sessionize(input.toDS(), gapSeconds = 60)
+      .writeStream.format("memory").queryName("timeout_sessions")
+      .outputMode(OutputMode.Append).start()
+    val streamed = try {
+      input.addData(user1: _*)
+      query.processAllAvailable()
+      // nothing emitted yet: no gap-jump and the watermark hasn't moved
+      assert(spark.table("timeout_sessions").isEmpty)
+      input.addData(pusher)
+      query.processAllAvailable()
+      spark.table("timeout_sessions").filter($"user_id" === 1).collect()
+    } finally query.stop()
+    assert(streamed.length == 1, "session must be emitted by the timeout path")
+    // oracle: the batch operator over the same events
+    val batch = EventStreams.sessionizeBatch((user1 :+ pusher).toDF(), 60)
+      .filter($"user_id" === 1).collect()
+    assert(batch.length == 1)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Timestamp]("session_start"), r.getAs[Timestamp]("session_end"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))
+    assert(key(streamed.head) == key(batch.head))
+  }
+
   test("dedupStream drops in-watermark duplicate ids, state stays bounded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
