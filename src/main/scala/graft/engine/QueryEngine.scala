@@ -13,7 +13,9 @@ import ExprCompiler._
   * (reference: qcache/qframe/__init__.py:47-48, app.py:195). The count is a
   * separate lazy plan — callers pay for it only if they read the header. */
 final case class QueryResult(df: DataFrame, preSlice: DataFrame) {
-  def unslicedLength: Long = preSlice.count()
+  /** lazy val, not def: a memoized plan (CacheItem.memoizedPlan) serves
+    * repeat requests from the same QueryResult — the count job runs once. */
+  lazy val unslicedLength: Long = preSlice.count()
 }
 
 /** Compiles the JSON query dialect to a lazy DataFrame plan, in the

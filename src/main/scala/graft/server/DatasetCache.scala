@@ -9,6 +9,33 @@ import org.apache.spark.storage.StorageLevel
 final class CacheItem(val df: DataFrame, val size: Long, val creationTime: Long) {
   @volatile var lastAccessTime: Long = creationTime
   @volatile var accessCount: Long = 0
+
+  /** Planned-read-query memo. The reference's lifecycle is store-once-
+    * query-many, so identical (stand-ins, query) requests reuse the SAME
+    * lazy plan object: Catalyst keeps its finalized adaptive physical plan
+    * and already-materialized shuffle stages, so a repeat grouped query
+    * skips planning + codegen + the map stage and goes straight to the
+    * reduce-side read. Invalidation is structural — the memo lives on the
+    * item, and every mutation path (update swap, re-store, delete, TTL/LRU
+    * eviction) replaces or drops the item, so a stale hit is impossible.
+    * The lock is held only while BUILDING the lazy plan (~ms, no Spark
+    * job); execution happens outside. */
+  private val planMemo = new java.util.LinkedHashMap[String, AnyRef](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, AnyRef]): Boolean =
+      size() > CacheItem.MaxMemoizedPlans
+  }
+  def memoizedPlan[A <: AnyRef](key: String)(build: => A): A = planMemo.synchronized {
+    planMemo.get(key) match {
+      case null => val v = build; planMemo.put(key, v); v
+      case hit  => hit.asInstanceOf[A]
+    }
+  }
+}
+
+object CacheItem {
+  /** Per-dataset LRU bound on memoized plans; each entry pins its lazy
+    * DataFrame (and any shuffle files its finalized plan references). */
+  val MaxMemoizedPlans = 64
 }
 
 /** Byte-budget LRU + TTL cache of DataFrames, replicating the reference's

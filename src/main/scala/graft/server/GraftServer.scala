@@ -278,7 +278,8 @@ final class GraftServer(spark: SparkSession, port: Int,
     val item = cache.get(key).getOrElse(throw new HttpFail(404))
     try {
       val q = Query.parse(qJson)
-      val withStandIns = Ingest.addStandInColumns(item.df, standIns(exchange))
+      val requestStandIns = standIns(exchange)
+      lazy val withStandIns = Ingest.addStandInColumns(item.df, requestStandIns)
       if (q.isUpdate) {
         // The only mutation: build the updated frame and swap it into the
         // cache atomically (reference mutates in place: update.py:106-114).
@@ -298,7 +299,12 @@ final class GraftServer(spark: SparkSession, port: Int,
           UpdateEngine.update(withStandIns, q).drop(requestOnly: _*))
         respond(exchange, 200, Array.emptyByteArray)
       } else {
-        val result = QueryEngine.run(withStandIns, q)
+        // Identical (stand-ins, query) requests reuse the same lazy plan —
+        // see CacheItem.memoizedPlan. The key is the raw query text plus
+        // the stand-in header canonicalized in declaration order.
+        val memoKey = requestStandIns.map { case (n, v) => s"$n=$v" }
+          .mkString("", ";", " ") + qJson
+        val result = item.memoizedPlan(memoKey)(QueryEngine.run(withStandIns, q))
         val (text, rowCount) =
           if (accept == "text/csv") Serialize.toCsvCounted(result.df)
           else Serialize.toJsonCounted(result.df)

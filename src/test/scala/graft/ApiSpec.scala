@@ -83,6 +83,33 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(query("tslash", "{}").statusCode() == 404)
   }
 
+  test("memoized repeat queries stay correct across update and re-store") {
+    assert(storeCsv("tmemo", csvData).statusCode() == 201)
+    val q = """{"select": ["bar", ["sum", "foo"]], "group_by": ["bar"], "order_by": ["bar"]}"""
+    val r1 = query("tmemo", q)
+    // repeat of the identical query hits the plan memo — same bytes
+    assert(query("tmemo", q).body() == r1.body())
+    // an update swaps the CacheItem, killing the memo: the same query
+    // text must now see the new data
+    val upd = send(req("/dataset/tmemo/q").POST(BodyPublishers.ofString(
+      """{"update": [["*", "foo", 10]], "where": [">", "foo", 1]}"""))
+      .header("Content-Type", "application/json").build())
+    assert(upd.statusCode() == 200)
+    val r2 = query("tmemo", q)
+    assert(r2.body() != r1.body())
+    assert(r2.body().contains("\"foo\":20"))
+    // a re-store replaces the item outright — fresh memo again
+    assert(storeCsv("tmemo", "foo,bar\n7,aaa\n").statusCode() == 201)
+    assert(query("tmemo", q).body() == """[{"bar":"aaa","foo":7}]""")
+    // sliced repeat: the unsliced-length header survives memoization
+    val sliced = """{"order_by": ["foo"], "limit": 1}"""
+    val s1 = query("tmemo", sliced)
+    val s2 = query("tmemo", sliced)
+    assert(s1.headers().firstValue("X-QCache-unsliced-length").get == "1")
+    assert(s2.headers().firstValue("X-QCache-unsliced-length").get == "1")
+    assert(s1.body() == s2.body())
+  }
+
   test("query via POST /q") {
     storeCsv("t3", csvData)
     val r = send(req("/dataset/t3/q")
