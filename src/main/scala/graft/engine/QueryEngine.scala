@@ -52,27 +52,39 @@ object QueryEngine {
     * on these shapes — an uncaught KeyError/TypeError; a 400 is the
     * deliberate improvement.) */
   def run(table: DataFrame, q: Query): QueryResult =
-    try runInternal(table, q, table)
+    run(table, q, XopEngine.NoResolver)
+
+  /** `resolve` lets xop clauses reference OTHER stored datasets by name
+    * (decontamination eval sets, exclusion lists, ANN query sets) — the
+    * server passes its dataset cache; the bare overloads resolve nothing. */
+  def run(table: DataFrame, q: Query,
+          resolve: String => Option[DataFrame]): QueryResult =
+    try runInternal(table, q, table, resolve)
     catch {
       case e: org.apache.spark.sql.AnalysisException =>
         Errors.malformed(s"Invalid type in argument: ${e.getSimpleMessage}")
     }
 
-  def run(table: DataFrame, json: String): QueryResult = {
+  def run(table: DataFrame, json: String): QueryResult =
+    run(table, json, XopEngine.NoResolver)
+
+  def run(table: DataFrame, json: String,
+          resolve: String => Option[DataFrame]): QueryResult = {
     val q = Query.parse(json)
     if (q.isUpdate)
       Errors.malformed("Update query not valid here")
-    run(table, q)
+    run(table, q, resolve)
   }
 
-  private def runInternal(table: DataFrame, q: Query, root: DataFrame): QueryResult = {
+  private def runInternal(table: DataFrame, q: Query, root: DataFrame,
+                          resolve: String => Option[DataFrame]): QueryResult = {
     // from: evaluate the nested query first; in-subqueries keep resolving
     // against the ROOT dataset (reference: query.py:217-218, context.py).
-    val base0 = q.from.map(f => runInternal(table, f, root).df).getOrElse(table)
+    val base0 = q.from.map(f => runInternal(table, f, root, resolve).df).getOrElse(table)
     // xop: extension operator runs next, deriving the frame the remaining
     // reference clauses apply to (SURVEY §7.5; see XopEngine).
-    val base = q.xop.map(x => XopEngine.run(base0, x)).getOrElse(base0)
-    val filtered = applyWhere(base, q.where, root)
+    val base = q.xop.map(x => XopEngine.run(base0, x, resolve)).getOrElse(base0)
+    val filtered = applyWhere(base, q.where, root, resolve)
     val projected = project(filtered, q.groupBy, q.distinct, q.select)
     val ordered = applyOrderBy(projected, q.orderBy)
     val sliced = applySlice(ordered, q.offset, q.limit)
@@ -88,13 +100,14 @@ object QueryEngine {
   // where (reference: pandas_filter.py:166-171)
   // -------------------------------------------------------------------
 
-  private def applyWhere(df: DataFrame, whereQ: Option[Any], root: DataFrame): DataFrame =
+  private def applyWhere(df: DataFrame, whereQ: Option[Any], root: DataFrame,
+                         resolve: String => Option[DataFrame]): DataFrame =
     whereQ match {
       case None => df
       case Some(l: List[Any] @unchecked) =>
         if (l.isEmpty) df // falsy where is a no-op (reference: pandas_filter.py:167)
         else {
-          val (joined, rewritten, markers) = rewriteInSubqueries(df, l, root)
+          val (joined, rewritten, markers) = rewriteInSubqueries(df, l, root, resolve)
           val filtered = joined.filter(compileFilter(joined, rewritten))
           if (markers.isEmpty) filtered else filtered.drop(markers: _*)
         }
@@ -108,7 +121,8 @@ object QueryEngine {
     * filter tree then references — composable under `!`/`&`/`|`, and
     * Catalyst/AQE broadcast the (small, distinct) value side automatically.
     */
-  private def rewriteInSubqueries(df: DataFrame, tree: Any, root: DataFrame)
+  private def rewriteInSubqueries(df: DataFrame, tree: Any, root: DataFrame,
+                                  resolve: String => Option[DataFrame])
       : (DataFrame, Any, Seq[String]) = {
     var current = df
     val markers = mutable.ArrayBuffer.empty[String]
@@ -120,7 +134,7 @@ object QueryEngine {
             if (!hasColumn(current, colName))
               Errors.malformed("Column is not defined", l)
             val subQ = Query.fromAny(sub)
-            val subResult = runInternal(root, subQ, root).df
+            val subResult = runInternal(root, subQ, root, resolve).df
             if (!hasColumn(subResult, colName))
               Errors.malformed(s"""Unknown column "$colName"""", l)
             val k = markers.length

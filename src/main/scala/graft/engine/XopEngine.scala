@@ -5,7 +5,9 @@ import scala.collection.Map
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Profile, Sampling, TextOps}
+import graft.ops.{Dedup, Decontaminate, Embeddings, Multimodal, Packing,
+  Profile, Sampling, Similarity, TextOps}
+import graft.streaming.EventStreams
 
 /** Extension-operator clause of the JSON dialect (SURVEY §7.5: extensions
   * are "additional operators in the same JSON dialect").
@@ -20,14 +22,40 @@ import graft.ops.{Dedup, Profile, Sampling, TextOps}
   *
   * Errors follow the reference's 400 taxonomy (MalformedQueryException →
   * HTTP 400): unknown operator name, missing/ill-typed args, absent
-  * columns. Only the deterministic single-frame operators are exposed
-  * here — pair-generation and ANN operators whose output is seed- or
-  * index-shaped stay Scala-API (their results are not meaningfully
-  * composable with the row-oriented clause set).
+  * columns.
+  *
+  * Operators that consume a SECOND relation (a decontamination eval set,
+  * an id-exclusion list, an ANN query set) name it with a dataset arg
+  * resolved through the caller's resolver — on the server that is the
+  * dataset cache, so `{"xop": {"name": "decontaminate", "args":
+  * {"eval": "evalset", ...}}}` joins two stored tables. ANN queries can
+  * alternatively be inlined as literal vectors (`"query_vectors"`), the
+  * natural HTTP shape for "find neighbors of THIS embedding".
   */
 object XopEngine {
 
   import ExprCompiler.RowId
+
+  /** Resolver used where no named-dataset context exists (Scala API
+    * callers that pass none): every dataset reference is a 400. */
+  val NoResolver: String => Option[DataFrame] = _ => None
+
+  /** Arg keys whose (string) value names ANOTHER stored dataset. */
+  private val DatasetArgKeys = Set("eval", "exclude", "queries")
+
+  /** True when any xop clause in the query tree names another stored
+    * dataset. The server's plan memo lives on ONE CacheItem and dies with
+    * it, which can't see mutations of a second dataset — such queries are
+    * correct only un-memoized. */
+  def referencesDatasets(q: Query): Boolean = {
+    def specRefs(spec: Any): Boolean = spec match {
+      case m: Map[_, _] =>
+        argMap(m.asInstanceOf[Map[String, Any]], "args")
+          .exists { case (k, v) => DatasetArgKeys(k) && v.isInstanceOf[String] }
+      case _ => false
+    }
+    q.xop.exists(specRefs) || q.from.exists(referencesDatasets)
+  }
 
   // ---------------------------------------------------------------- args
 
@@ -91,9 +119,28 @@ object XopEngine {
           s"xop '$op': table has no ingest order — pass an 'order' column")
     }
 
+  /** Optional double with default. */
+  private def doubleArgOpt(args: Map[String, Any], key: String,
+                           default: Double, op: String): Double =
+    if (args.contains(key)) doubleArg(args, key, op) else default
+
+  /** Near-dup family post-step: emit the pair relation itself or drop the
+    * keep-latest side of every pair from the input frame. */
+  private def pairsOrDrop(df: DataFrame, pairs: DataFrame, idCol: String,
+                          args: Map[String, Any], op: String): DataFrame =
+    args.get("action") match {
+      case None | Some("pairs") => pairs
+      case Some("drop") => Dedup.dropNearDuplicates(df, pairs, idCol)
+      case Some(other) =>
+        Errors.malformed(s"xop '$op': action must be 'pairs' or 'drop'", other)
+    }
+
   // ----------------------------------------------------------------- run
 
-  def run(df: DataFrame, spec: Any): DataFrame = {
+  def run(df: DataFrame, spec: Any): DataFrame = run(df, spec, NoResolver)
+
+  def run(df: DataFrame, spec: Any,
+          resolve: String => Option[DataFrame]): DataFrame = {
     val m = spec match {
       case mm: Map[_, _] => mm.asInstanceOf[Map[String, Any]]
       case other => Errors.malformed("Invalid format for xop", other)
@@ -113,6 +160,45 @@ object XopEngine {
       if (extra.nonEmpty)
         Errors.malformed(s"xop '$name': unknown arguments: ${extra.mkString(", ")}")
     }
+
+    /** A second stored dataset named by `key`, through the caller's
+      * resolver (the server's dataset cache). */
+    def dataset(key: String): DataFrame = {
+      val dsName = reqStr(args, key, name)
+      resolve(dsName).getOrElse(
+        Errors.malformed(s"xop '$name': unknown dataset", dsName))
+    }
+
+    /** ANN query relation: `queries` (a stored dataset, id/vector columns
+      * matching the corpus) or inline `query_vectors` (ids -1, -2, … so
+      * they can never collide with corpus ids). */
+    def annQueries(idCol: String, vecCol: String): DataFrame =
+      (args.get("queries"), args.get("query_vectors")) match {
+        case (Some(_), None) => dataset("queries")
+        case (None, Some(vs: List[Any] @unchecked)) =>
+          val vecs: List[List[Double]] = vs.map {
+            case v: List[Any] @unchecked => v.map {
+              case d: Double => d
+              case l: Long => l.toDouble
+              case other =>
+                Errors.malformed(s"xop '$name': query vector values must be numbers", other)
+            }
+            case other =>
+              Errors.malformed(s"xop '$name': query_vectors must be a list of vectors", other)
+          }
+          if (vecs.isEmpty)
+            Errors.malformed(s"xop '$name': query_vectors must not be empty")
+          val spark = df.sparkSession
+          import spark.implicits._
+          vecs.zipWithIndex.map { case (v, i) => (-(i + 1).toLong, v) }
+            .toDF(idCol, vecCol)
+            .select(col(idCol).cast(df.schema(idCol).dataType),
+              col(vecCol).cast(df.schema(vecCol).dataType))
+        case (None, None) =>
+          Errors.malformed(s"xop '$name': pass 'queries' (a stored dataset) or 'query_vectors'")
+        case _ =>
+          Errors.malformed(s"xop '$name': 'queries' and 'query_vectors' are mutually exclusive")
+      }
 
     name match {
       // keep the first row (ingest/order position) per normalized-text
@@ -201,6 +287,191 @@ object XopEngine {
       case "profile" =>
         knownArgs("approx")
         Profile.profile(df.drop(RowId), boolArg(args, "approx", default = false, name))
+
+      // ---- near-duplicate family: pair relations, or drop-survivors ----
+
+      // MinHash LSH near-dup (Dedup.minhashPairs): one (band,bucket)
+      // shuffle, codegen'd signature + pair kernels
+      case "dedup_minhash" =>
+        knownArgs("id", "column", "num_hashes", "bands", "threshold", "shingle", "action")
+        val id = column(df, args, "id", name)
+        val numHashes = intArg(args, "num_hashes", 64, name).toInt
+        val bands = intArg(args, "bands", 16, name).toInt
+        if (bands <= 0 || numHashes <= 0 || numHashes % bands != 0)
+          Errors.malformed(s"xop '$name': bands must divide num_hashes")
+        pairsOrDrop(df, Dedup.minhashPairs(df, id, column(df, args, "column", name),
+          numHashes, bands, doubleArgOpt(args, "threshold", 0.7, name),
+          intArg(args, "shingle", 3, name).toInt), id, args, name)
+
+      // SimHash near-dup: 4×16-bit band join + bit_count verify
+      case "dedup_simhash" =>
+        knownArgs("id", "column", "max_hamming", "action")
+        val id = column(df, args, "id", name)
+        pairsOrDrop(df, Dedup.simhashPairs(df, id, column(df, args, "column", name),
+          intArg(args, "max_hamming", 3, name).toInt), id, args, name)
+
+      // exact shingle-Jaccard pairs over an id-bounded slice (the
+      // oracle-checkable quadratic variant; LSH is the full-corpus path)
+      case "dedup_jaccard" =>
+        knownArgs("id", "column", "max_id", "threshold", "shingle")
+        Dedup.shingleJaccardPairsExact(df, column(df, args, "id", name),
+          column(df, args, "column", name),
+          intArg(args, "max_id", Long.MaxValue, name),
+          doubleArg(args, "threshold", name),
+          intArg(args, "shingle", 3, name).toInt)
+
+      // embedding-cosine near-dup (hyperplane LSH buckets + exact verify)
+      case "dedup_embcos" =>
+        knownArgs("id", "column", "threshold", "bands", "action")
+        val id = column(df, args, "id", name)
+        pairsOrDrop(df, Similarity.cosineNearDupPairs(df, id,
+          column(df, args, "column", name), doubleArg(args, "threshold", name),
+          intArg(args, "bands", 8, name).toInt), id, args, name)
+
+      // connected components over a pair relation (label propagation);
+      // runs on a pairs-shaped frame (id_a, id_b by default)
+      case "dedup_clusters" =>
+        knownArgs("src", "dst")
+        val src = args.get("src").map(_ => column(df, args, "src", name)).getOrElse {
+          if (!ExprCompiler.hasColumn(df, "id_a"))
+            Errors.malformed(s"xop '$name': frame has no id_a — pass 'src'")
+          "id_a"
+        }
+        val dst = args.get("dst").map(_ => column(df, args, "dst", name)).getOrElse {
+          if (!ExprCompiler.hasColumn(df, "id_b"))
+            Errors.malformed(s"xop '$name': frame has no id_b — pass 'dst'")
+          "id_b"
+        }
+        Dedup.duplicateClusters(
+          df.select(col(src).as("id_a"), col(dst).as("id_b")))
+
+      // ---- text / embedding features ----
+
+      // word-repetition features (dup-word fraction, top-bigram share)
+      case "text_repetition" =>
+        knownArgs("id", "column")
+        TextOps.repetitionFeatures(df, column(df, args, "id", name),
+          column(df, args, "column", name))
+
+      // int8 embedding quantization with per-row scale
+      case "emb_quantize" =>
+        knownArgs("id", "column")
+        Embeddings.quantizeInt8(df, column(df, args, "id", name),
+          column(df, args, "column", name))
+
+      // class-conditional outliers: k farthest-from-centroid per label
+      case "emb_outliers" =>
+        knownArgs("id", "column", "label", "k")
+        Embeddings.labelOutliers(df, column(df, args, "id", name),
+          column(df, args, "column", name), column(df, args, "label", name),
+          intArg(args, "k", 10, name).toInt)
+
+      // ---- sampling / packing ----
+
+      // hash-ordered per-source token budget (two-level prefix sum)
+      case "sample_tokens" =>
+        knownArgs("id", "source", "tokens", "budget")
+        val budget = intArg(args, "budget", -1, name)
+        if (budget <= 0)
+          Errors.malformed(s"xop '$name': missing required argument 'budget'")
+        Sampling.tokenBudgetByHash(df, column(df, args, "id", name),
+          column(df, args, "source", name),
+          col(column(df, args, "tokens", name)), budget)
+
+      // greedy sequence packing into fixed token bins (prefix sum)
+      case "seq_pack" =>
+        knownArgs("order", "tokens", "budget")
+        val budget = intArg(args, "budget", -1, name)
+        if (budget <= 0)
+          Errors.malformed(s"xop '$name': missing required argument 'budget'")
+        Packing.packSequences(df, column(df, args, "order", name),
+          column(df, args, "tokens", name), budget)
+
+      // ---- ANN: corpus = this frame, queries named or inline ----
+
+      case "ann_brute" | "ann_lsh" | "ann_ivf" =>
+        knownArgs("id", "column", "k", "queries", "query_vectors",
+          "bands", "cells", "probe")
+        val id = column(df, args, "id", name)
+        val vec = column(df, args, "column", name)
+        val k = intArg(args, "k", 10, name).toInt
+        val queries = annQueries(id, vec)
+        name match {
+          case "ann_brute" => Similarity.bruteForceTopK(df, queries, id, vec, k)
+          case "ann_lsh" => Similarity.lshTopK(df, queries, id, vec, k,
+            bands = intArg(args, "bands", 8, name).toInt)
+          case _ => Similarity.ivfTopK(df, queries, id, vec, k,
+            nCells = intArg(args, "cells", 64, name).toInt,
+            nProbe = intArg(args, "probe", 4, name).toInt)
+        }
+
+      // ---- events ----
+
+      // gap-based sessionization, batch form (user_id/ts/value shape)
+      case "sessionize" =>
+        knownArgs("gap_seconds")
+        for (c <- Seq("user_id", "ts", "value") if !ExprCompiler.hasColumn(df, c))
+          Errors.malformed(s"xop '$name': frame has no '$c' column")
+        EventStreams.sessionizeBatch(df, intArg(args, "gap_seconds", 1800, name))
+
+      // semi-structured props parse + per-type rollup
+      case "props_rollup" =>
+        knownArgs()
+        for (c <- Seq("event_type", "value", "props") if !ExprCompiler.hasColumn(df, c))
+          Errors.malformed(s"xop '$name': frame has no '$c' column")
+        EventStreams.propsRollup(df)
+
+      // ---- multimodal ----
+
+      // wrap a text table as binary assets (id, media_type, payload, meta)
+      case "mm_assets" =>
+        knownArgs("id", "column")
+        Multimodal.assetsFromText(df, column(df, args, "id", name),
+          column(df, args, "column", name))
+
+      // strided chunk sampling over asset payloads (frame-sampling shape)
+      case "mm_chunks" =>
+        knownArgs("chunk_size", "stride")
+        for (c <- Seq("asset_id", "payload") if !ExprCompiler.hasColumn(df, c))
+          Errors.malformed(s"xop '$name': frame has no '$c' column")
+        Multimodal.sampleChunks(df,
+          intArg(args, "chunk_size", 64, name).toInt,
+          intArg(args, "stride", 4, name).toInt)
+
+      // ---- two-dataset operators (resolver-named second relation) ----
+
+      // benchmark decontamination vs a stored eval set: flag overlapping
+      // docs ('flag') or emit the clean training set ('drop', default)
+      case "decontaminate" =>
+        knownArgs("id", "column", "eval", "eval_column", "n", "action")
+        val id = column(df, args, "id", name)
+        val textCol = column(df, args, "column", name)
+        val evalDf0 = dataset("eval")
+        val evalCol = args.get("eval_column")
+          .map(_ => reqStr(args, "eval_column", name)).getOrElse(textCol)
+        if (!ExprCompiler.hasColumn(evalDf0, evalCol))
+          Errors.malformed(s"xop '$name': eval dataset has no column", evalCol)
+        val evalDf = evalDf0.withColumnRenamed(evalCol, textCol)
+        val n = intArg(args, "n", 8, name).toInt
+        args.get("action") match {
+          case Some("flag") => Decontaminate.contaminated(df, evalDf, id, textCol, n)
+          case None | Some("drop") => Decontaminate.decontaminate(df, evalDf, id, textCol, n)
+          case Some(other) =>
+            Errors.malformed(s"xop '$name': action must be 'flag' or 'drop'", other)
+        }
+
+      // exact id-exclusion against a stored list via a Bloom sketch +
+      // rescue anti-join (map-only probe on the corpus side)
+      case "exclude_ids" =>
+        knownArgs("id", "exclude", "exclude_id", "fpp")
+        val id = column(df, args, "id", name)
+        val excl = dataset("exclude")
+        val exclId = args.get("exclude_id")
+          .map(_ => reqStr(args, "exclude_id", name)).getOrElse(id)
+        if (!ExprCompiler.hasColumn(excl, exclId))
+          Errors.malformed(s"xop '$name': exclude dataset has no column", exclId)
+        Dedup.excludeByBloom(df, id, excl, exclId,
+          doubleArgOpt(args, "fpp", 0.01, name))
 
       case other =>
         Errors.malformed("Unknown xop", other)

@@ -299,12 +299,20 @@ final class GraftServer(spark: SparkSession, port: Int,
           UpdateEngine.update(withStandIns, q).drop(requestOnly: _*))
         respond(exchange, 200, Array.emptyByteArray)
       } else {
+        // xop clauses may name OTHER stored datasets; resolve them from
+        // this cache (a read access — bumps their LRU clock like any hit).
+        val resolver: String => Option[DataFrame] =
+          dsName => cache.get(dsName).map(_.df)
         // Identical (stand-ins, query) requests reuse the same lazy plan —
         // see CacheItem.memoizedPlan. The key is the raw query text plus
-        // the stand-in header canonicalized in declaration order.
+        // the stand-in header canonicalized in declaration order. Queries
+        // naming a SECOND dataset are never memoized: the memo dies with
+        // THIS item and cannot see the other dataset's mutations.
         val memoKey = requestStandIns.map { case (n, v) => s"$n=$v" }
-          .mkString("", ";", " ") + qJson
-        val result = item.memoizedPlan(memoKey)(QueryEngine.run(withStandIns, q))
+          .mkString("", ";", "|") + qJson
+        val result =
+          if (XopEngine.referencesDatasets(q)) QueryEngine.run(withStandIns, q, resolver)
+          else item.memoizedPlan(memoKey)(QueryEngine.run(withStandIns, q, resolver))
         val (text, rowCount) =
           if (accept == "text/csv") Serialize.toCsvCounted(result.df)
           else Serialize.toJsonCounted(result.df)

@@ -110,6 +110,24 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s1.body() == s2.body())
   }
 
+  test("two-dataset xop over HTTP sees mutations of the second dataset") {
+    val train = "id,text\n1,alpha beta gamma delta\n2,epsilon zeta eta theta\n"
+    assert(storeCsv("xtrain", train).statusCode() == 201)
+    assert(storeCsv("xeval", "id,text\nn9,alpha beta gamma delta\n").statusCode() == 201)
+    val q = """{"xop": {"name": "decontaminate",
+                        "args": {"id": "id", "column": "text",
+                                 "eval": "xeval", "n": 4}},
+                "select": ["id"], "order_by": ["id"]}"""
+    assert(query("xtrain", q).body() == """[{"id":2}]""")
+    // unknown eval dataset is a 400, not a 500
+    val bad = query("xtrain", q.replace("xeval", "nosuch"))
+    assert(bad.statusCode() == 400)
+    // re-store the eval set with different text: the SAME query text must
+    // see it (dataset-referencing queries bypass the plan memo)
+    assert(storeCsv("xeval", "id,text\nn9,epsilon zeta eta theta\n").statusCode() == 201)
+    assert(query("xtrain", q).body() == """[{"id":1}]""")
+  }
+
   test("query via POST /q") {
     storeCsv("t3", csvData)
     val r = send(req("/dataset/t3/q")

@@ -123,6 +123,235 @@ class XopSpec extends AnyFunSuite {
     assert(out.count() == 3) // id, src, text — hidden row id excluded
   }
 
+  // ------------------------------------------------------------------
+  // near-dup family
+  // ------------------------------------------------------------------
+
+  def pairs(df: DataFrame): Seq[(Long, Long)] =
+    df.select("id_a", "id_b").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+      .toSeq.sorted
+
+  test("dedup_minhash emits duplicate pairs; action=drop keeps survivors") {
+    val p = run(
+      """{"xop": {"name": "dedup_minhash", "args": {"id": "id", "column": "text"}}}""")
+    assert(pairs(p) == Seq((1L, 3L), (2L, 6L)))
+    val d = run(
+      """{"xop": {"name": "dedup_minhash",
+                  "args": {"id": "id", "column": "text", "action": "drop"}},
+          "order_by": ["id"]}""")
+    assert(ids(d) == Seq(1L, 2L, 4L, 5L))
+  }
+
+  test("dedup_simhash finds the exact-duplicate pairs at hamming 0") {
+    val p = run(
+      """{"xop": {"name": "dedup_simhash",
+                  "args": {"id": "id", "column": "text", "max_hamming": 0}}}""")
+    assert(pairs(p) == Seq((1L, 3L), (2L, 6L)))
+  }
+
+  test("dedup_jaccard emits exact shingle-jaccard pairs") {
+    val p = run(
+      """{"xop": {"name": "dedup_jaccard",
+                  "args": {"id": "id", "column": "text", "threshold": 0.9}}}""")
+    assert(pairs(p) == Seq((1L, 3L), (2L, 6L)))
+  }
+
+  test("dedup_clusters labels components of a pair relation (composes via from)") {
+    val out = run(
+      """{"xop": {"name": "dedup_clusters"},
+          "from": {"xop": {"name": "dedup_minhash",
+                           "args": {"id": "id", "column": "text"}}},
+          "order_by": ["id"]}""")
+    val labels = out.collect().map(r =>
+      (r.getAs[Number]("id").longValue, r.getAs[Number]("cluster").longValue)).toSeq
+    assert(labels == Seq((1L, 1L), (2L, 2L), (3L, 1L), (6L, 2L)))
+  }
+
+  // ------------------------------------------------------------------
+  // embeddings + ANN (vector-typed fixture, Scala-built frame)
+  // ------------------------------------------------------------------
+
+  lazy val vecs: DataFrame = {
+    import spark.implicits._
+    Seq((1L, Seq(1.0, 0.0), "a"), (2L, Seq(0.999, 0.01), "a"),
+        (3L, Seq(0.0, 1.0), "b"), (4L, Seq(0.01, 0.999), "b"),
+        (5L, Seq(-1.0, 0.0), "a"))
+      .toDF("id", "vec", "label")
+  }
+  def runV(json: String): DataFrame = QueryEngine.run(vecs, json).df
+
+  test("dedup_embcos pairs near-identical vectors") {
+    val p = runV(
+      """{"xop": {"name": "dedup_embcos",
+                  "args": {"id": "id", "column": "vec", "threshold": 0.99}}}""")
+    assert(pairs(p) == Seq((1L, 2L), (3L, 4L)))
+  }
+
+  test("emb_quantize emits int8 vectors with per-row scale") {
+    val out = runV("""{"xop": {"name": "emb_quantize", "args": {"id": "id", "column": "vec"}}}""")
+    assert(out.columns.contains("q") && out.columns.contains("scale"))
+    assert(out.count() == 5)
+  }
+
+  test("emb_outliers keeps the k farthest per label") {
+    val out = runV(
+      """{"xop": {"name": "emb_outliers",
+                  "args": {"id": "id", "column": "vec", "label": "label", "k": 1}}}""")
+    val byLabel = out.collect().map(r =>
+      (r.getAs[String]("label"), r.getAs[Number]("id").longValue)).toMap
+    assert(byLabel("a") == 5L) // -1,0 is farthest from label-a centroid
+  }
+
+  test("ann_brute answers inline query_vectors (ids never collide)") {
+    val out = runV(
+      """{"xop": {"name": "ann_brute",
+                  "args": {"id": "id", "column": "vec", "k": 2,
+                           "query_vectors": [[1.0, 0.0]]}},
+          "order_by": ["rank"]}""")
+    val neigh = out.select("neighbor_id").collect().map(_.getAs[Number](0).longValue).toSeq
+    assert(neigh == Seq(1L, 2L))
+    assert(out.select("query_id").head().getAs[Number](0).longValue == -1L)
+  }
+
+  test("ann queries can come from a stored dataset via the resolver") {
+    import spark.implicits._
+    val queries = Seq((100L, Seq(0.0, 1.0), "q")).toDF("id", "vec", "label")
+    val out = QueryEngine.run(vecs,
+      """{"xop": {"name": "ann_brute",
+                  "args": {"id": "id", "column": "vec", "k": 1,
+                           "queries": "qset"}}}""",
+      name => if (name == "qset") Some(queries) else None).df
+    val row = out.head()
+    assert(row.getAs[Number]("query_id").longValue == 100L)
+    assert(row.getAs[Number]("neighbor_id").longValue == 3L)
+  }
+
+  // ------------------------------------------------------------------
+  // sampling / packing (compose: text_tokens feeds the token column)
+  // ------------------------------------------------------------------
+
+  test("sample_tokens caps each source at a token budget (composes via from)") {
+    val out = run(
+      """{"xop": {"name": "sample_tokens",
+                  "args": {"id": "id", "source": "src", "tokens": "n_tokens",
+                           "budget": 10}},
+          "from": {"xop": {"name": "text_tokens", "args": {"column": "text"}}},
+          "order_by": ["id"]}""")
+    // every kept row's cumulative per-source tokens <= 10
+    assert(out.count() >= 1 && out.count() < 6)
+  }
+
+  test("seq_pack assigns bins under the token budget (composes via from)") {
+    val out = run(
+      """{"xop": {"name": "seq_pack",
+                  "args": {"order": "id", "tokens": "n_tokens", "budget": 16}},
+          "from": {"xop": {"name": "text_tokens", "args": {"column": "text"}}},
+          "order_by": ["id"]}""")
+    assert(out.columns.contains("bin") && out.columns.contains("tokens_before"))
+    assert(out.count() == 6)
+  }
+
+  // ------------------------------------------------------------------
+  // events
+  // ------------------------------------------------------------------
+
+  lazy val events: DataFrame = {
+    import spark.implicits._
+    def t(m: Int, s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:$s%02d")
+    Seq((1L, t(0, 0), 1L, "click", 1.0, """{"k": 4}"""),
+        (2L, t(0, 30), 1L, "view", 2.0, """{"k": 6}"""),
+        (3L, t(5, 0), 1L, "click", 3.0, "oops"),
+        (4L, t(0, 10), 2L, "click", 4.0, null))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  test("sessionize xop runs the batch gap sessionization") {
+    val out = QueryEngine.run(events,
+      """{"xop": {"name": "sessionize", "args": {"gap_seconds": 60}},
+          "order_by": ["user_id", "session_start"]}""").df
+    assert(out.count() == 3) // user1 x2 sessions, user2 x1
+    assert(out.columns.contains("n_events"))
+  }
+
+  test("props_rollup xop parses and aggregates per type") {
+    val out = QueryEngine.run(events,
+      """{"xop": {"name": "props_rollup"}, "order_by": ["event_type"]}""").df
+    val click = out.filter("event_type = 'click'").head()
+    assert(click.getAs[Long]("n_events") == 3L)
+    assert(click.getAs[Long]("n_with_k") == 1L)
+  }
+
+  // ------------------------------------------------------------------
+  // multimodal
+  // ------------------------------------------------------------------
+
+  test("mm_assets wraps text as binary assets; mm_chunks samples payload") {
+    val out = run(
+      """{"xop": {"name": "mm_chunks", "args": {"chunk_size": 4, "stride": 2}},
+          "from": {"xop": {"name": "mm_assets", "args": {"id": "id", "column": "text"}}},
+          "order_by": ["asset_id", "chunk_index"]}""")
+    assert(out.columns.toSeq == Seq("asset_id", "chunk_index", "chunk_bytes"))
+    assert(out.count() > 6) // several chunks per doc
+  }
+
+  // ------------------------------------------------------------------
+  // two-dataset operators through the resolver
+  // ------------------------------------------------------------------
+
+  lazy val evalSet: DataFrame = Ingest.fromCsv(spark,
+    """eid,text
+      |900,the quick brown fox jumps over the lazy dog
+      |""".stripMargin)
+
+  def resolver(name: String): Option[DataFrame] = name match {
+    case "evalset" => Some(evalSet)
+    case "xids" =>
+      import spark.implicits._
+      Some(Seq(2L, 4L).toDF("id"))
+    case _ => None
+  }
+
+  test("decontaminate drops train docs sharing n-grams with a stored eval set") {
+    val out = QueryEngine.run(docs,
+      """{"xop": {"name": "decontaminate",
+                  "args": {"id": "id", "column": "text", "eval": "evalset"}},
+          "order_by": ["id"]}""", resolver).df
+    assert(ids(out) == Seq(2L, 4L, 5L, 6L))
+    val flagged = QueryEngine.run(docs,
+      """{"xop": {"name": "decontaminate",
+                  "args": {"id": "id", "column": "text", "eval": "evalset",
+                           "action": "flag"}},
+          "order_by": ["id"]}""", resolver).df
+    assert(ids(flagged) == Seq(1L, 3L))
+  }
+
+  test("exclude_ids removes rows on a stored exclusion list") {
+    val out = QueryEngine.run(docs,
+      """{"xop": {"name": "exclude_ids",
+                  "args": {"id": "id", "exclude": "xids"}},
+          "order_by": ["id"]}""", resolver).df
+    assert(ids(out) == Seq(1L, 3L, 5L, 6L))
+  }
+
+  test("dataset references 400 without a resolver, and are detected for memo bypass") {
+    intercept[MalformedQueryException] {
+      run("""{"xop": {"name": "decontaminate",
+                      "args": {"id": "id", "column": "text", "eval": "evalset"}}}""")
+        .collect()
+    }
+    import graft.engine.{Query, XopEngine}
+    assert(XopEngine.referencesDatasets(Query.parse(
+      """{"xop": {"name": "decontaminate",
+                  "args": {"id": "id", "column": "text", "eval": "evalset"}}}""")))
+    assert(XopEngine.referencesDatasets(Query.parse(
+      """{"select": ["id"],
+          "from": {"xop": {"name": "exclude_ids", "args": {"id": "id", "exclude": "x"}}}}""")))
+    assert(!XopEngine.referencesDatasets(Query.parse(
+      """{"xop": {"name": "ann_brute",
+                  "args": {"id": "id", "column": "vec", "query_vectors": [[1.0]]}}}""")))
+  }
+
   test("error taxonomy: unknown name, missing arg, bad types, unknown column") {
     intercept[MalformedQueryException] { run("""{"xop": {"name": "nope"}}""") }
     intercept[MalformedQueryException] { run("""{"xop": {"name": "dedup_exact"}}""") }
