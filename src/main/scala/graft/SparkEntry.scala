@@ -403,6 +403,49 @@ object SparkEntry {
     "x29_profile" -> ((s, dir) =>
       graft.ops.Profile.profile(t(s, dir, "documents")).orderBy("column")),
 
+    // as-of join: each error event picks the latest click at-or-before
+    // it by the same user — union + one key shuffle + running window
+    // (Joins.asOfJoin); the oracle is DuckDB's native ASOF LEFT JOIN
+    "x31_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("click_value"))
+      graft.ops.Joins.asOfJoin(errors, clicks, "user_id", "ts", Seq("click_value"))
+        .select("event_id", "user_id", "value", "click_value")
+        .orderBy("event_id")
+    }),
+
+    // PII scrub: deterministic synthetic PII spiked into the corpus in
+    // the query itself (the fixture has none), then the map-only
+    // redaction pass; counts + redacted text are exact strings
+    "x32_pii" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val spiked = docs.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" reach user"), col("doc_id").cast("string"),
+            lit("@mail.example.com")))
+        .when(col("doc_id") % 3 === 1,
+          concat(col("text"), lit(" call +1 555-123-4567 from 10.0.0."),
+            (col("doc_id") % 200).cast("string")))
+        .otherwise(col("text")).as("text"))
+      graft.ops.TextOps.redactPii(spiked, "text")
+        .select(col("doc_id"), col("n_emails").cast("long").as("n_emails"),
+          col("n_phones").cast("long").as("n_phones"),
+          col("n_ips").cast("long").as("n_ips"), col("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    // per-source quality curation: keep the 10 highest-quality docs per
+    // source (rounded-score rank + id tie-break, WindowGroupLimit)
+    "x33_quality_topk" -> ((s, dir) => {
+      val feats = graft.ops.TextOps.qualityFeatures(t(s, dir, "documents"), "text")
+      graft.ops.Sampling.topKByScore(feats, "source", "doc_id", "quality_score", 10)
+        .select("doc_id", "source", "quality_score")
+        .orderBy("source", "doc_id")
+    }),
+
     // exact id exclusion through a Bloom sketch: map-only probe over the
     // corpus; only probe-positive rows pay the verifying anti-join
     "x28_bloom_exclude" -> ((s, dir) => {
@@ -666,6 +709,70 @@ object SparkEntry {
                        'der','die','das','und','zu','ist','ein','eine','mit')))::DOUBLE
                       / len(tk), 4) AS stopword_ratio
          FROM t ORDER BY doc_id""",
+    "x31_asof" ->
+      """SELECT e.event_id, e.user_id, e.value, c.click_value
+         FROM (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'error') e
+         ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS click_value
+                         FROM events WHERE event_type = 'click'
+                         GROUP BY 1, 2) c
+           ON e.user_id = c.user_id AND e.ts >= c.ts
+         ORDER BY e.event_id""",
+    "x32_pii" ->
+      """WITH spiked AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0
+                         THEN text || ' reach user' || doc_id || '@mail.example.com'
+                       WHEN doc_id % 3 = 1
+                         THEN text || ' call +1 555-123-4567 from 10.0.0.' || (doc_id % 200)
+                       ELSE text END AS text
+           FROM documents)
+         SELECT doc_id,
+                len(regexp_extract_all(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+                len(regexp_extract_all(text,
+                    '\+\d{1,2} \d{3}-\d{3}-\d{4}'))::BIGINT AS n_phones,
+                len(regexp_extract_all(text,
+                    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}'))::BIGINT AS n_ips,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(text,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '\+\d{1,2} \d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+                  '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS redacted
+         FROM spiked ORDER BY doc_id""",
+    "x33_quality_topk" ->
+      """WITH t AS (
+           SELECT doc_id, source, text,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+           FROM documents),
+         f AS (
+           SELECT doc_id, source,
+                  len(tk)::DOUBLE AS n_tokens,
+                  round(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                        / len(text), 4) AS alpha_ratio,
+                  round(len(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g'))::DOUBLE
+                        / len(text), 4) AS punct_ratio,
+                  round(len(list_filter(tk, x -> x IN
+                        ('the','a','of','and','to','in','is','that','it','for',
+                         'el','la','de','y','que','en','un','una','es','por',
+                         'le','et','une','est','pour',
+                         'der','die','das','und','zu','ist','ein','eine','mit')))::DOUBLE
+                        / len(tk), 4) AS stopword_ratio
+           FROM t),
+         s AS (
+           SELECT doc_id, source,
+                  floor(least(1.0, greatest(0.0,
+                    0.25 * least(n_tokens / 50.0, 1.0) +
+                    0.25 * alpha_ratio +
+                    0.25 * least(stopword_ratio * 5.0, 1.0) +
+                    0.25 * (1.0 - punct_ratio * 5.0))) * 10000.0 + 0.5)
+                    / 10000.0 AS quality_score
+           FROM f)
+         SELECT doc_id, source, quality_score FROM s
+         QUALIFY row_number() OVER (PARTITION BY source
+                                    ORDER BY round(quality_score, 6) DESC, doc_id) <= 10
+         ORDER BY source, doc_id""",
     "x10_text_langid" ->
       // same stopword lists and argmax tie-break cascade as TextOps.langId
       // (candidate order en, es, fr, de; score <= 0 → 'und')

@@ -41,7 +41,7 @@ object XopEngine {
   val NoResolver: String => Option[DataFrame] = _ => None
 
   /** Arg keys whose (string) value names ANOTHER stored dataset. */
-  private val DatasetArgKeys = Set("eval", "exclude", "queries")
+  private val DatasetArgKeys = Set("eval", "exclude", "queries", "right")
 
   /** True when any xop clause in the query tree names another stored
     * dataset. The server's plan memo lives on ONE CacheItem and dies with
@@ -459,6 +459,42 @@ object XopEngine {
           case Some(other) =>
             Errors.malformed(s"xop '$name': action must be 'flag' or 'drop'", other)
         }
+
+      // PII scrub: redact emails/phones/IPv4 and count each kind
+      case "pii_redact" =>
+        knownArgs("column")
+        TextOps.redactPii(df, column(df, args, "column", name))
+
+      // keep the k best rows per group by a score column
+      case "sample_topk" =>
+        knownArgs("group", "id", "score", "k")
+        Sampling.topKByScore(df, column(df, args, "group", name),
+          column(df, args, "id", name), column(df, args, "score", name),
+          intArg(args, "k", 10, name).toInt)
+
+      // as-of join: latest right row at or before each left row's time,
+      // per key; the right side is another stored dataset
+      case "asof" =>
+        knownArgs("right", "key", "time", "payload")
+        val rightDf = dataset("right")
+        val key = column(df, args, "key", name)
+        val time = column(df, args, "time", name)
+        for (c <- Seq(key, time) if !ExprCompiler.hasColumn(rightDf, c))
+          Errors.malformed(s"xop '$name': right dataset has no column", c)
+        val payload = args.get("payload") match {
+          case Some(l: List[Any] @unchecked) => l.map {
+            case s: String => s
+            case other =>
+              Errors.malformed(s"xop '$name': payload entries must be column names", other)
+          }
+          case Some(s: String) => List(s)
+          case Some(other) =>
+            Errors.malformed(s"xop '$name': payload must be a column list", other)
+          case None => Errors.malformed(s"xop '$name': missing required argument 'payload'")
+        }
+        for (c <- payload if !ExprCompiler.hasColumn(rightDf, c))
+          Errors.malformed(s"xop '$name': right dataset has no column", c)
+        graft.ops.Joins.asOfJoin(df.drop(RowId), rightDf.drop(RowId), key, time, payload)
 
       // exact id-exclusion against a stored list via a Bloom sketch +
       // rescue anti-join (map-only probe on the corpus side)

@@ -38,6 +38,21 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Keep the `k` BEST rows per group by a score column — the curation
+    * stage that keeps the highest-quality N documents per domain/source.
+    * Same WindowGroupLimit shape as stratifiedTopK (map tasks keep their
+    * local top-k per group before the shuffle). The rank key is the score
+    * ROUNDED to 6 with an id tie-break, so last-ulp float differences
+    * between engines or aggregation orders never decide membership. */
+  def topKByScore(df: DataFrame, groupCol: String, idCol: String,
+                  scoreCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(round(col(scoreCol), 6).desc, col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Keep ~`fraction` of rows, deterministically: hash(id) mod D < D·p.
     * Map-only — no shuffle, no RNG; the same row set survives any
     * re-partitioning or re-run. */

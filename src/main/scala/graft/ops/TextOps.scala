@@ -81,11 +81,14 @@ object TextOps {
         round(when(nTok > 0, size(filter(toks, t => t.isin(allStop: _*))) / nTok)
           .otherwise(0.0), 4))
       .withColumn("quality_score",
-        round(least(lit(1.0), greatest(lit(0.0),
+        // floor(x·10⁴ + ½)/10⁴, not round(…, 4): engines disagree on
+        // round-half ties of a composite double, while floor of the
+        // identical IEEE value is bit-portable (see x33's oracle)
+        floor((least(lit(1.0), greatest(lit(0.0),
           lit(0.25) * least(nTok / 50.0, lit(1.0)) +
           lit(0.25) * col("alpha_ratio") +
           lit(0.25) * least(col("stopword_ratio") * 5.0, lit(1.0)) +
-          lit(0.25) * (lit(1.0) - col("punct_ratio") * 5.0))), 4))
+          lit(0.25) * (lit(1.0) - col("punct_ratio") * 5.0))) * 10000.0) + lit(0.5)) / 10000.0)
   }
 
   /** Repetition features (Gopher-style quality rules): per-document
@@ -132,6 +135,33 @@ object TextOps {
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(k)
+
+  /** PII patterns, written in the regex subset Java (Spark codegen) and
+    * RE2 (DuckDB, the oracle) interpret identically — no backrefs, no
+    * lookaround. Conservative on purpose: a redaction stage prefers
+    * false negatives over eating ordinary text. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+\\d{1,2} \\d{3}-\\d{3}-\\d{4}"
+  val Ipv4Re  = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+  /** PII scrub — the pre-training redaction pass: replace emails, phone
+    * numbers and IPv4 literals with typed placeholders and count each
+    * kind per document. Map-only (three regex passes per row inside
+    * whole-stage codegen), so it scales with the scan and shuffles
+    * nothing. Emails redact first so their host part is no longer
+    * visible when the IP pattern runs. */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val c = col(textCol)
+    df.withColumn("n_emails", regexp_count(c, lit(EmailRe)))
+      .withColumn("n_phones", regexp_count(c, lit(PhoneRe)))
+      .withColumn("n_ips", regexp_count(c, lit(Ipv4Re)))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(c, EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          Ipv4Re, "<IP>"))
+  }
 
   /** Stable content fingerprint: md5 of the normalized text. Identical
     * duplicates collide exactly; used as the exact-dedup key. */

@@ -647,4 +647,51 @@ class OpsSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(small.subsetOf(large))
   }
+
+  test("asOfJoin picks the latest right row at-or-before each left time") {
+    val left = Seq((1L, 5L, "l5"), (1L, 10L, "l10"), (1L, 25L, "l25"),
+                   (2L, 50L, "l50")).toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100.0), (1L, 20L, 200.0), (3L, 1L, 999.0))
+      .toDF("k", "t", "v")
+    val out = Joins.asOfJoin(left, right, "k", "t", Seq("v"))
+      .orderBy("k", "t").collect()
+      .map(r => (r.getAs[String]("tag"), Option(r.get(r.fieldIndex("v")))))
+    assert(out.toSeq == Seq(
+      ("l5", None),          // nothing at or before t=5
+      ("l10", Some(100.0)),  // tie at t=10 matches (<=)
+      ("l25", Some(200.0)),  // latest of 10, 20
+      ("l50", None)))        // key 2 has no right rows
+  }
+
+  test("asOfJoin keeps every left column and handles duplicate left times") {
+    val left = Seq((1L, 10L, "a"), (1L, 10L, "b")).toDF("k", "t", "tag")
+    val right = Seq((1L, 9L, 7.0)).toDF("k", "t", "v")
+    val out = Joins.asOfJoin(left, right, "k", "t", Seq("v"))
+    assert(out.columns.toSeq == Seq("k", "t", "tag", "v"))
+    assert(out.count() == 2)
+    assert(out.select("v").collect().forall(_.getDouble(0) == 7.0))
+  }
+
+  test("redactPii counts and replaces emails, phones, ips") {
+    val df = Seq(
+      (1L, "mail me at jo.doe+x@sub.example.org or call +1 555-123-4567"),
+      (2L, "server at 192.168.0.1 and 10.0.0.7"),
+      (3L, "nothing here")).toDF("id", "text")
+    val out = TextOps.redactPii(df, "text").orderBy("id").collect()
+    assert(out(0).getAs[Number]("n_emails").intValue == 1)
+    assert(out(0).getAs[Number]("n_phones").intValue == 1)
+    assert(out(0).getAs[String]("redacted") ==
+      "mail me at <EMAIL> or call <PHONE>")
+    assert(out(1).getAs[Number]("n_ips").intValue == 2)
+    assert(out(1).getAs[String]("redacted") == "server at <IP> and <IP>")
+    assert(out(2).getAs[String]("redacted") == "nothing here")
+  }
+
+  test("topKByScore keeps k best per group with id tie-break") {
+    val df = Seq((1L, "g1", 0.9), (2L, "g1", 0.9), (3L, "g1", 0.5),
+                 (4L, "g2", 0.1)).toDF("id", "grp", "score")
+    val out = Sampling.topKByScore(df, "grp", "id", "score", 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L, 4L)) // tie at 0.9 → lower ids win; g2 keeps its 1
+  }
 }

@@ -326,6 +326,38 @@ class XopSpec extends AnyFunSuite {
     assert(ids(flagged) == Seq(1L, 3L))
   }
 
+  test("pii_redact xop scrubs and counts") {
+    import spark.implicits._
+    val msgs = Seq((1L, "write to a@b.example.com now")).toDF("id", "text")
+    val out = QueryEngine.run(msgs,
+      """{"xop": {"name": "pii_redact", "args": {"column": "text"}}}""").df.head()
+    assert(out.getAs[Number]("n_emails").intValue == 1)
+    assert(out.getAs[String]("redacted") == "write to <EMAIL> now")
+  }
+
+  test("sample_topk xop keeps the best k per group (composes with quality)") {
+    val out = run(
+      """{"xop": {"name": "sample_topk",
+                  "args": {"group": "src", "id": "id", "score": "quality_score", "k": 1}},
+          "from": {"xop": {"name": "text_quality", "args": {"column": "text"}}},
+          "select": ["id", "src"], "order_by": ["src", "id"]}""")
+    assert(out.count() == 2) // one winner per source
+  }
+
+  test("asof xop joins the latest right row from a stored dataset") {
+    import spark.implicits._
+    val lefts = Seq((1L, 10L, "q1"), (1L, 3L, "q2")).toDF("k", "t", "tag")
+    val rights = Seq((1L, 5L, 1.5), (1L, 9L, 2.5)).toDF("k", "t", "price")
+    val out = QueryEngine.run(lefts,
+      """{"xop": {"name": "asof",
+                  "args": {"right": "prices", "key": "k", "time": "t",
+                           "payload": ["price"]}},
+          "order_by": ["t"]}""",
+      n => if (n == "prices") Some(rights) else None).df.collect()
+    assert(Option(out(0).get(out(0).fieldIndex("price"))).isEmpty) // t=3: none before
+    assert(out(1).getAs[Double]("price") == 2.5)                   // t=10: latest is 9
+  }
+
   test("exclude_ids removes rows on a stored exclusion list") {
     val out = QueryEngine.run(docs,
       """{"xop": {"name": "exclude_ids",
