@@ -81,6 +81,30 @@ object XopEngine {
     name
   }
 
+  /** Column that must be statically numeric — operators that cast the
+    * column to long/double would otherwise ANSI-crash per ROW at runtime
+    * (a 500) instead of failing the request with a 400. */
+  private def numericColumn(df: DataFrame, args: Map[String, Any], key: String,
+                            op: String): String = {
+    val c = column(df, args, key, op)
+    df.schema(c).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => c
+      case _ => Errors.malformed(s"xop '$op': '$key' must be a numeric column", c)
+    }
+  }
+
+  /** Column that must be a numeric array (an embedding). */
+  private def vectorColumn(df: DataFrame, args: Map[String, Any], key: String,
+                           op: String): String = {
+    val c = column(df, args, key, op)
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        _: org.apache.spark.sql.types.NumericType, _) => c
+      case _ =>
+        Errors.malformed(s"xop '$op': '$key' must be a numeric array column", c)
+    }
+  }
+
   private def intArg(args: Map[String, Any], key: String, default: Long,
                      op: String): Long = args.get(key) match {
     case Some(l: Long) => l
@@ -325,7 +349,7 @@ object XopEngine {
         knownArgs("id", "column", "threshold", "bands", "action")
         val id = column(df, args, "id", name)
         pairsOrDrop(df, Similarity.cosineNearDupPairs(df, id,
-          column(df, args, "column", name), doubleArg(args, "threshold", name),
+          vectorColumn(df, args, "column", name), doubleArg(args, "threshold", name),
           intArg(args, "bands", 8, name).toInt), id, args, name)
 
       // connected components over a pair relation (label propagation);
@@ -357,13 +381,13 @@ object XopEngine {
       case "emb_quantize" =>
         knownArgs("id", "column")
         Embeddings.quantizeInt8(df, column(df, args, "id", name),
-          column(df, args, "column", name))
+          vectorColumn(df, args, "column", name))
 
       // class-conditional outliers: k farthest-from-centroid per label
       case "emb_outliers" =>
         knownArgs("id", "column", "label", "k")
         Embeddings.labelOutliers(df, column(df, args, "id", name),
-          column(df, args, "column", name), column(df, args, "label", name),
+          vectorColumn(df, args, "column", name), column(df, args, "label", name),
           intArg(args, "k", 10, name).toInt)
 
       // ---- sampling / packing ----
@@ -376,7 +400,7 @@ object XopEngine {
           Errors.malformed(s"xop '$name': missing required argument 'budget'")
         Sampling.tokenBudgetByHash(df, column(df, args, "id", name),
           column(df, args, "source", name),
-          col(column(df, args, "tokens", name)), budget)
+          col(numericColumn(df, args, "tokens", name)), budget)
 
       // greedy sequence packing into fixed token bins (prefix sum)
       case "seq_pack" =>
@@ -384,8 +408,8 @@ object XopEngine {
         val budget = intArg(args, "budget", -1, name)
         if (budget <= 0)
           Errors.malformed(s"xop '$name': missing required argument 'budget'")
-        Packing.packSequences(df, column(df, args, "order", name),
-          column(df, args, "tokens", name), budget)
+        Packing.packSequences(df, numericColumn(df, args, "order", name),
+          numericColumn(df, args, "tokens", name), budget)
 
       // ---- ANN: corpus = this frame, queries named or inline ----
 
@@ -393,7 +417,7 @@ object XopEngine {
         knownArgs("id", "column", "k", "queries", "query_vectors",
           "bands", "cells", "probe")
         val id = column(df, args, "id", name)
-        val vec = column(df, args, "column", name)
+        val vec = vectorColumn(df, args, "column", name)
         val k = intArg(args, "k", 10, name).toInt
         val queries = annQueries(id, vec)
         name match {
@@ -412,6 +436,14 @@ object XopEngine {
         knownArgs("gap_seconds")
         for (c <- Seq("user_id", "ts", "value") if !ExprCompiler.hasColumn(df, c))
           Errors.malformed(s"xop '$name': frame has no '$c' column")
+        // the gap math casts ts to long — a string ts would ANSI-crash
+        // per row at runtime (500) instead of 400ing here
+        df.schema("ts").dataType match {
+          case _: org.apache.spark.sql.types.NumericType => ()
+          case org.apache.spark.sql.types.TimestampType => ()
+          case other =>
+            Errors.malformed(s"xop '$name': 'ts' must be numeric or timestamp", other)
+        }
         EventStreams.sessionizeBatch(df, intArg(args, "gap_seconds", 1800, name))
 
       // semi-structured props parse + per-type rollup
@@ -469,7 +501,7 @@ object XopEngine {
       case "sample_topk" =>
         knownArgs("group", "id", "score", "k")
         Sampling.topKByScore(df, column(df, args, "group", name),
-          column(df, args, "id", name), column(df, args, "score", name),
+          column(df, args, "id", name), numericColumn(df, args, "score", name),
           intArg(args, "k", 10, name).toInt)
 
       // as-of join: latest right row at or before each left row's time,

@@ -151,6 +151,53 @@ class PropertySpec extends AnyFunSuite {
     assert(result.passed, result.status.toString)
   }
 
+  test("fuzz: arbitrary xop specs either run or raise MalformedQueryException") {
+    import graft.engine.MalformedQueryException
+    val xopNames = Seq("dedup_exact", "chunk_dedup", "dedup_minhash",
+      "dedup_simhash", "dedup_jaccard", "dedup_embcos", "dedup_clusters",
+      "text_tokens", "text_quality", "text_langid", "text_fingerprint",
+      "text_vocab", "text_repetition", "pii_redact", "sample_fraction",
+      "sample_stratified", "sample_mixture", "sample_tokens", "sample_topk",
+      "seq_pack", "emb_quantize", "emb_outliers", "ann_brute", "ann_lsh",
+      "ann_ivf", "sessionize", "props_rollup", "mm_assets", "mm_chunks",
+      "profile", "decontaminate", "exclude_ids", "asof", "zap")
+    val argKeys = Seq("id", "column", "order", "chunk_tokens", "k",
+      "fraction", "strata", "source", "weights", "default", "approx",
+      "num_hashes", "bands", "threshold", "shingle", "action",
+      "max_hamming", "max_id", "src", "dst", "label", "budget", "tokens",
+      "group", "score", "gap_seconds", "chunk_size", "stride", "eval",
+      "eval_column", "n", "exclude", "exclude_id", "fpp", "right", "key",
+      "time", "payload", "queries", "query_vectors", "probe", "cells", "zap")
+    val valGen: Gen[String] = Gen.oneOf(
+      Gen.oneOf("id", "src", "text", "zz", "ds", "pairs", "drop", "flag")
+        .map(s => s""""$s""""),
+      Gen.chooseNum(-4, 64).map(_.toString),
+      Gen.oneOf("0.7", "1.5", "-0.1", "true", "null",
+        "[[1.0, 2.0]]", "[\"text\"]", "[]", """{"web": 0.5}"""))
+    val specGen: Gen[String] = for {
+      name <- Gen.oneOf(xopNames)
+      n <- Gen.chooseNum(0, 5)
+      kvs <- Gen.listOfN(n, Gen.zip(Gen.oneOf(argKeys), valGen))
+    } yield {
+      val args = kvs.map { case (k, v) => s""""$k": $v""" }.mkString(", ")
+      s"""{"xop": {"name": "$name", "args": {$args}}, "limit": 5}"""
+    }
+    val fixed = Ingest.fromCsv(spark,
+      "id,src,text\n1,web,alpha beta gamma\n2,web,delta beta\n3,book,alpha beta gamma\n")
+    val resolver: String => Option[DataFrame] =
+      n => if (n == "ds") Some(fixed) else None
+    val prop = Prop.forAll(specGen) { q =>
+      try { QueryEngine.run(fixed, q, resolver).df.collect(); true }
+      catch {
+        case _: MalformedQueryException => true // the 400 path — fine
+        case _: Throwable => false              // anything else is a 500
+      }
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(150).withMaxSize(10), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("fuzz: arbitrary update statements either run or raise MalformedQueryException") {
     import graft.engine.{MalformedQueryException, Query, UpdateEngine}
     val argGen: Gen[String] = Gen.oneOf(
