@@ -437,6 +437,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // per-source length distribution: exact interpolated quantiles in one
+    // aggregate job (value→count map per group, not a sort)
+    "x34_len_quantiles" -> ((s, dir) =>
+      graft.ops.Profile.groupQuantiles(t(s, dir, "documents"),
+        "source", "n_chars", Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+        .orderBy("source", "quantile")),
+
+    // char-entropy quality signal: native codegen kernel, map-only
+    "x35_char_entropy" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.TextOps.charEntropy(col("text")).as("entropy"))
+        .orderBy("doc_id")),
+
     // per-source quality curation: keep the 10 highest-quality docs per
     // source (rounded-score rank + id tie-break, WindowGroupLimit)
     "x33_quality_topk" -> ((s, dir) => {
@@ -741,6 +754,28 @@ object SparkEntry {
                     '\+\d{1,2} \d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
                   '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS redacted
          FROM spiked ORDER BY doc_id""",
+    "x34_len_quantiles" ->
+      """WITH q AS (
+           SELECT source,
+                  quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.9, 0.99]) AS vals
+           FROM documents GROUP BY source)
+         SELECT source,
+                unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS quantile,
+                unnest(list_transform(vals,
+                  v -> floor(v * 10000.0 + 0.5) / 10000.0)) AS value
+         FROM q ORDER BY source, quantile""",
+    "x35_char_entropy" ->
+      """WITH ch AS (
+           SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+         cnt AS (
+           SELECT doc_id, c, count(*)::DOUBLE AS k FROM ch GROUP BY doc_id, c),
+         tot AS (
+           SELECT doc_id, sum(k) AS n FROM cnt GROUP BY doc_id)
+         SELECT doc_id,
+                floor((-sum((k / n) * log2(k / n))) * 10000.0 + 0.5)
+                  / 10000.0 AS entropy
+         FROM cnt JOIN tot USING (doc_id)
+         GROUP BY doc_id, n ORDER BY doc_id""",
     "x33_quality_topk" ->
       """WITH t AS (
            SELECT doc_id, source, text,

@@ -492,6 +492,33 @@ object XopEngine {
             Errors.malformed(s"xop '$name': action must be 'flag' or 'drop'", other)
         }
 
+      // char-entropy quality signal appended as `entropy` (codegen kernel)
+      case "char_entropy" =>
+        knownArgs("column")
+        val c = column(df, args, "column", name)
+        if (df.schema(c).dataType != org.apache.spark.sql.types.StringType)
+          Errors.malformed(s"xop '$name': 'column' must be a string column", c)
+        df.withColumn("entropy", TextOps.charEntropy(col(c)))
+
+      // per-group exact quantiles of a numeric column, long-form output
+      case "quantiles" =>
+        knownArgs("group", "column", "qs")
+        val qs = args.get("qs") match {
+          case None => Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+          case Some(l: List[Any] @unchecked) => l.map {
+            case d: Double => d
+            case n: Long => n.toDouble
+            case other =>
+              Errors.malformed(s"xop '$name': quantiles must be numbers", other)
+          }
+          case Some(other) =>
+            Errors.malformed(s"xop '$name': 'qs' must be a list", other)
+        }
+        if (qs.isEmpty || qs.exists(q => q < 0 || q > 1))
+          Errors.malformed(s"xop '$name': quantiles must be in [0,1]")
+        Profile.groupQuantiles(df, column(df, args, "group", name),
+          numericColumn(df, args, "column", name), qs)
+
       // PII scrub: redact emails/phones/IPv4 and count each kind
       case "pii_redact" =>
         knownArgs("column")

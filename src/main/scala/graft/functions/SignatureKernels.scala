@@ -459,3 +459,68 @@ object SignatureKernels {
     if ((z & 1L) == 0L) 1.0 else -1.0
   }
 }
+
+/** Shannon entropy over a string's characters (bits/char): sort the char
+  * array, count equal runs, accumulate -p·log2(p) in ASCENDING char order
+  * — a fixed summation order any re-implementation (and the DuckDB
+  * oracle, modulo last-ulp libm differences the caller rounds away) can
+  * reproduce. Map-only and codegen'd; the per-row cost is the sort
+  * (O(len log len)), which beats the explode → groupBy(doc, char) →
+  * re-join shape by two shuffles at any scale. Empty string → 0.0. */
+case class CharEntropyExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_entropy requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "char_entropy"
+
+  override def nullSafeEval(input: Any): Any = {
+    val cs = input.asInstanceOf[UTF8String].toString.toCharArray
+    java.util.Arrays.sort(cs)
+    val n = cs.length
+    if (n == 0) 0.0
+    else {
+      var ent = 0.0
+      var i = 0
+      while (i < n) {
+        var j = i
+        while (j < n && cs(j) == cs(i)) j += 1
+        val p = (j - i).toDouble / n
+        ent -= p * (Math.log(p) / Math.log(2.0))
+        i = j
+      }
+      ent
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      val cs = ctx.freshName("cs")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val p = ctx.freshName("p")
+      val ent = ctx.freshName("ent")
+      s"""
+         |char[] $cs = $str.toString().toCharArray();
+         |java.util.Arrays.sort($cs);
+         |int $n = $cs.length;
+         |double $ent = 0.0;
+         |int $i = 0;
+         |while ($i < $n) {
+         |  int $j = $i;
+         |  while ($j < $n && $cs[$j] == $cs[$i]) $j++;
+         |  double $p = (double) ($j - $i) / $n;
+         |  $ent -= $p * (Math.log($p) / Math.log(2.0));
+         |  $i = $j;
+         |}
+         |${ev.value} = $ent;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyExpr =
+    copy(child = newChild)
+}

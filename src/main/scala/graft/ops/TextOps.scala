@@ -163,6 +163,18 @@ object TextOps {
           Ipv4Re, "<IP>"))
   }
 
+  /** Shannon entropy over a string's characters, bits/char — the cheap
+    * degenerate-text detector (all-same-char spam scores ~0, natural text
+    * ~4-4.5). Native codegen kernel, map-only; the result is rounded with
+    * the engine-portable floor(x·10⁴+½)/10⁴ so the DuckDB oracle's libm
+    * last-ulp differences cannot flip a rounding. */
+  def charEntropy(c: Column): Column = {
+    val raw = org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.CharEntropyExpr(
+        org.apache.spark.sql.GraftSqlShims.expression(c)))
+    floor(raw * 10000.0 + lit(0.5)) / 10000.0
+  }
+
   /** Stable content fingerprint: md5 of the normalized text. Identical
     * duplicates collide exactly; used as the exact-dedup key. */
   def fingerprintMd5(c: Column): Column = md5(normalizeText(c))

@@ -72,6 +72,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "graft_sorted_intersect takes (array, array)")
         SortedIntersectCountExpr(args(0), args(1))
       }))
+    ext.injectFunction((FunctionIdentifier("graft_char_entropy"),
+      info("graft_char_entropy", "_FUNC_(text) - Shannon entropy over characters, bits/char"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_char_entropy takes (string)")
+        CharEntropyExpr(args(0))
+      }))
     ext.injectFunction((FunctionIdentifier("graft_word_ngrams"),
       info("graft_word_ngrams", "_FUNC_(tokens, n, distinct) - space-joined word n-grams"),
       (args: Seq[Expression]) => {

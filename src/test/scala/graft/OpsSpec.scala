@@ -687,6 +687,37 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2).getAs[String]("redacted") == "nothing here")
   }
 
+  test("charEntropy matches a driver-side reference and handles edges") {
+    def ref(s: String): Double = {
+      if (s.isEmpty) 0.0
+      else {
+        val n = s.length.toDouble
+        val e = s.groupBy(identity).values
+          .map(g => g.length / n).toSeq.sorted
+          .map(p => -p * (math.log(p) / math.log(2.0))).sum
+        math.floor(e * 10000.0 + 0.5) / 10000.0
+      }
+    }
+    val texts = Seq("", "aaaa", "ab", "abcd", "hello world", "aabbccdd!? ")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val got = df.select(col("id"), TextOps.charEntropy(col("t")).as("e"))
+      .orderBy("id").collect().map(_.getDouble(1)).toSeq
+    val expect = texts.map(ref)
+    got.zip(expect).foreach { case (g, e) => assert(math.abs(g - e) < 1e-9, s"$g vs $e") }
+    assert(got(0) == 0.0 && got(1) == 0.0) // empty and single-char → 0
+    assert(got(2) == 1.0 && got(3) == 2.0) // uniform 2 and 4 symbols
+  }
+
+  test("groupQuantiles: exact interpolated quantiles per group") {
+    val df = (1L to 100L).map(i => (if (i <= 40) "a" else "b", i)).toDF("g", "v")
+    val out = Profile.groupQuantiles(df, "g", "v", Seq(0.0, 0.5, 1.0))
+      .orderBy("g", "quantile").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(out == Seq(
+      ("a", 0.0, 1.0), ("a", 0.5, 20.5), ("a", 1.0, 40.0),
+      ("b", 0.0, 41.0), ("b", 0.5, 70.5), ("b", 1.0, 100.0)))
+  }
+
   test("topKByScore keeps k best per group with id tie-break") {
     val df = Seq((1L, "g1", 0.9), (2L, "g1", 0.9), (3L, "g1", 0.5),
                  (4L, "g2", 0.1)).toDF("id", "grp", "score")

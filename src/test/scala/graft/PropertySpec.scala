@@ -160,14 +160,15 @@ class PropertySpec extends AnyFunSuite {
       "sample_stratified", "sample_mixture", "sample_tokens", "sample_topk",
       "seq_pack", "emb_quantize", "emb_outliers", "ann_brute", "ann_lsh",
       "ann_ivf", "sessionize", "props_rollup", "mm_assets", "mm_chunks",
-      "profile", "decontaminate", "exclude_ids", "asof", "zap")
+      "profile", "decontaminate", "exclude_ids", "asof", "char_entropy",
+      "quantiles", "zap")
     val argKeys = Seq("id", "column", "order", "chunk_tokens", "k",
       "fraction", "strata", "source", "weights", "default", "approx",
       "num_hashes", "bands", "threshold", "shingle", "action",
       "max_hamming", "max_id", "src", "dst", "label", "budget", "tokens",
       "group", "score", "gap_seconds", "chunk_size", "stride", "eval",
       "eval_column", "n", "exclude", "exclude_id", "fpp", "right", "key",
-      "time", "payload", "queries", "query_vectors", "probe", "cells", "zap")
+      "time", "payload", "queries", "query_vectors", "probe", "cells", "qs", "zap")
     val valGen: Gen[String] = Gen.oneOf(
       Gen.oneOf("id", "src", "text", "zz", "ds", "pairs", "drop", "flag")
         .map(s => s""""$s""""),

@@ -326,6 +326,25 @@ class XopSpec extends AnyFunSuite {
     assert(ids(flagged) == Seq(1L, 3L))
   }
 
+  test("char_entropy xop appends the entropy signal") {
+    val out = run(
+      """{"xop": {"name": "char_entropy", "args": {"column": "text"}},
+          "where": [">", "entropy", 0.5], "order_by": ["id"]}""")
+    assert(out.columns.contains("entropy"))
+    assert(out.count() >= 5) // only the degenerate "a a a..." row can score low
+  }
+
+  test("quantiles xop emits per-group long-form quantiles") {
+    val out = run(
+      """{"xop": {"name": "quantiles",
+                  "args": {"group": "src", "column": "id", "qs": [0.5]}},
+          "order_by": ["src"]}""")
+    val rows = out.collect().map(r =>
+      (r.getAs[String]("src"), r.getAs[Double]("quantile"), r.getAs[Double]("value")))
+    assert(rows.length == 2)
+    assert(rows.forall(_._2 == 0.5))
+  }
+
   test("pii_redact xop scrubs and counts") {
     import spark.implicits._
     val msgs = Seq((1L, "write to a@b.example.com now")).toDF("id", "text")
