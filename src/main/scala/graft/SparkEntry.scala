@@ -437,6 +437,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // incremental exact dedup vs an existing corpus: the new batch
+    // (src1 docs + re-spiked copies of src0 docs) keeps only texts whose
+    // fingerprint is NOT already in the src0 corpus — one anti-join,
+    // seen side distinct-reduced then broadcast by AQE
+    "x36_dedup_against" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("source") === "src0")
+      val batch = docs.filter(col("source") === "src1")
+        .unionByName(corpus.filter(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000))
+      graft.ops.Dedup.dedupAgainst(batch, "text", corpus, "text")
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+
+    // deterministic train/val/test assignment by id hash — map-only,
+    // consistent with the fraction/stratified samples' hash order
+    "x37_hash_split" -> ((s, dir) =>
+      graft.ops.Sampling.splitByHash(t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split").orderBy("doc_id")),
+
     // per-source length distribution: exact interpolated quantiles in one
     // aggregate job (value→count map per group, not a sort)
     "x34_len_quantiles" -> ((s, dir) =>
@@ -754,6 +775,26 @@ object SparkEntry {
                     '\+\d{1,2} \d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
                   '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS redacted
          FROM spiked ORDER BY doc_id""",
+    "x36_dedup_against" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE source = 'src0'),
+         batch AS (
+           SELECT doc_id, text, source FROM documents WHERE source = 'src1'
+           UNION ALL
+           SELECT doc_id + 100000, text, source FROM corpus WHERE doc_id % 5 = 0)
+         SELECT doc_id, source FROM batch
+         WHERE md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) NOT IN (
+           SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+           FROM corpus)
+         ORDER BY doc_id""",
+    "x37_hash_split" ->
+      """SELECT doc_id,
+                CASE WHEN h <  800000005 THEN 'train'
+                     WHEN h <  900000006 THEN 'val'
+                     WHEN h < 1000000007 THEN 'test' END AS split
+         FROM (SELECT doc_id,
+                      ((doc_id % 1000000007) * 654435747) % 1000000007 AS h
+               FROM documents)
+         ORDER BY doc_id""",
     "x34_len_quantiles" ->
       """WITH q AS (
            SELECT source,

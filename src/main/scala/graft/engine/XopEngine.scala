@@ -41,7 +41,7 @@ object XopEngine {
   val NoResolver: String => Option[DataFrame] = _ => None
 
   /** Arg keys whose (string) value names ANOTHER stored dataset. */
-  private val DatasetArgKeys = Set("eval", "exclude", "queries", "right")
+  private val DatasetArgKeys = Set("eval", "exclude", "queries", "right", "corpus")
 
   /** True when any xop clause in the query tree names another stored
     * dataset. The server's plan memo lives on ONE CacheItem and dies with
@@ -554,6 +554,39 @@ object XopEngine {
         for (c <- payload if !ExprCompiler.hasColumn(rightDf, c))
           Errors.malformed(s"xop '$name': right dataset has no column", c)
         graft.ops.Joins.asOfJoin(df.drop(RowId), rightDf.drop(RowId), key, time, payload)
+
+      // incremental exact dedup: drop rows whose content fingerprint
+      // already exists in a stored corpus dataset
+      case "dedup_against" =>
+        knownArgs("column", "corpus", "corpus_column")
+        val textCol = column(df, args, "column", name)
+        val corpus = dataset("corpus")
+        val cc = args.get("corpus_column")
+          .map(_ => reqStr(args, "corpus_column", name)).getOrElse(textCol)
+        if (!ExprCompiler.hasColumn(corpus, cc))
+          Errors.malformed(s"xop '$name': corpus dataset has no column", cc)
+        Dedup.dedupAgainst(df, textCol, corpus, cc)
+
+      // deterministic named splits by id hash: ordered [name, weight] pairs
+      case "split" =>
+        knownArgs("id", "splits")
+        val splits: Seq[(String, Double)] = args.get("splits") match {
+          case Some(l: List[Any] @unchecked) if l.nonEmpty => l.map {
+            case p: List[Any] @unchecked if p.length == 2 => (p(0), p(1)) match {
+              case (n: String, w: Double) => n -> w
+              case (n: String, w: Long) => n -> w.toDouble
+              case _ =>
+                Errors.malformed(s"xop '$name': splits entries must be [name, weight]", p)
+            }
+            case other =>
+              Errors.malformed(s"xop '$name': splits entries must be [name, weight]", other)
+          }
+          case _ =>
+            Errors.malformed(s"xop '$name': 'splits' must be a non-empty list of [name, weight] pairs")
+        }
+        if (splits.exists(_._2 < 0) || splits.map(_._2).sum > 1.0 + 1e-9)
+          Errors.malformed(s"xop '$name': weights must be >= 0 and sum to <= 1")
+        Sampling.splitByHash(df, column(df, args, "id", name), splits)
 
       // exact id-exclusion against a stored list via a Bloom sketch +
       // rescue anti-join (map-only probe on the corpus side)

@@ -165,6 +165,19 @@ object Dedup {
   def dropNearDuplicates(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  /** Incremental exact dedup against an EXISTING corpus: drop rows whose
+    * normalized-content fingerprint already appears in `corpus` — the
+    * refresh-time stage that admits only genuinely NEW documents into a
+    * training set. One anti-join on the md5 key; the seen side reduces to
+    * distinct fingerprints first, so AQE broadcasts it when it is small,
+    * and at equal scale it is one hash shuffle per side. (excludeByBloom
+    * is the sketch-probe variant when the exclusion KEY set is ids.) */
+  def dedupAgainst(df: DataFrame, textCol: String,
+                   corpus: DataFrame, corpusTextCol: String): DataFrame =
+    df.join(
+      corpus.select(TextOps.fingerprintMd5(col(corpusTextCol)).as("__fp")).distinct(),
+      TextOps.fingerprintMd5(col(textCol)) === col("__fp"), "left_anti")
+
   /** Passage-level (chunk) dedup: split every document into
     * non-overlapping `chunkTokens`-token chunks, keep only the FIRST
     * corpus-wide occurrence of each distinct chunk (first = lowest

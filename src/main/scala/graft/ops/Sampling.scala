@@ -53,6 +53,29 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Deterministic named splits (train/val/test) by id hash: a row lands
+    * in split i iff hash(id) falls in [P·cum_{i-1}, P·cum_i). Map-only, no
+    * RNG, and CONSISTENT with fractionByHash — a fraction-f sample is
+    * exactly the union of the leading splits up to weight f, so a sample
+    * drawn for evaluation can never straddle a later split of the same
+    * table. Weights may sum below 1; leftover rows get a null split
+    * (deliberately unassigned). */
+  def splitByHash(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    require(splits.forall(_._2 >= 0), "split weights must be >= 0")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9, "split weights must sum to <= 1")
+    // cumulative thresholds as exact integer literals in the plan (engines
+    // disagree on double→int cast rounding — same rule as fractionByHash)
+    val bounds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(f => math.floor(P * math.min(f, 1.0)).toLong)
+    val h = orderHash(col(idCol))
+    val assigned = splits.zip(bounds).foldRight(lit(null).cast("string")) {
+      case (((name, _), bound), els) => when(h < lit(bound), lit(name)).otherwise(els)
+    }
+    df.withColumn("split", assigned)
+  }
+
   /** Keep ~`fraction` of rows, deterministically: hash(id) mod D < D·p.
     * Map-only — no shuffle, no RNG; the same row set survives any
     * re-partitioning or re-run. */

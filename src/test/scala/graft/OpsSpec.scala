@@ -718,6 +718,37 @@ class OpsSpec extends AnyFunSuite {
       ("b", 0.0, 41.0), ("b", 0.5, 70.5), ("b", 1.0, 100.0)))
   }
 
+  test("dedupAgainst drops rows whose fingerprint exists in the corpus") {
+    val corpus = Seq((1L, "The Quick  Brown fox"), (2L, "something else"))
+      .toDF("id", "text")
+    val batch = Seq((10L, "the quick brown fox"),  // dup modulo normalization
+                    (11L, "a new document"),
+                    (12L, "SOMETHING ELSE")).toDF("id", "text")
+    val out = Dedup.dedupAgainst(batch, "text", corpus, "text")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(11L))
+  }
+
+  test("splitByHash is exhaustive, disjoint, and nests with fractionByHash") {
+    val df = (0L until 2000L).map(i => (i, i)).toDF("id", "v")
+    val out = Sampling.splitByHash(df, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test")) // no null split
+    assert(counts.values.sum == 2000L)
+    assert(math.abs(counts("train") - 1600L) < 120)
+    // consistency: the 0.8 fraction sample IS the train split
+    val frac = Sampling.fractionByHash(df, "id", 0.8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val train = out.filter(col("split") === "train")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(frac == train)
+    // under-allocated weights leave rows unassigned (null split)
+    val partial = Sampling.splitByHash(df, "id", Seq("train" -> 0.5))
+    assert(partial.filter(col("split").isNull).count() > 0)
+  }
+
   test("topKByScore keeps k best per group with id tie-break") {
     val df = Seq((1L, "g1", 0.9), (2L, "g1", 0.9), (3L, "g1", 0.5),
                  (4L, "g2", 0.1)).toDF("id", "grp", "score")

@@ -377,6 +377,34 @@ class XopSpec extends AnyFunSuite {
     assert(out(1).getAs[Double]("price") == 2.5)                   // t=10: latest is 9
   }
 
+  test("dedup_against xop drops texts already in a stored corpus") {
+    import spark.implicits._
+    val corpus = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("cid", "body")
+    val out = QueryEngine.run(docs,
+      """{"xop": {"name": "dedup_against",
+                  "args": {"column": "text", "corpus": "corp",
+                           "corpus_column": "body"}},
+          "order_by": ["id"]}""",
+      n => if (n == "corp") Some(corpus) else None).df
+    assert(ids(out) == Seq(2L, 4L, 5L, 6L)) // 1 and 3 match the corpus text
+  }
+
+  test("split xop assigns ordered named splits") {
+    val out = run(
+      """{"xop": {"name": "split",
+                  "args": {"id": "id",
+                           "splits": [["train", 0.5], ["test", 0.5]]}},
+          "order_by": ["id"]}""")
+    assert(out.columns.contains("split"))
+    val splits = out.select("split").collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "test")))
+    intercept[MalformedQueryException] {
+      run("""{"xop": {"name": "split",
+                      "args": {"id": "id", "splits": [["a", 0.9], ["b", 0.9]]}}}""")
+    }
+  }
+
   test("exclude_ids removes rows on a stored exclusion list") {
     val out = QueryEngine.run(docs,
       """{"xop": {"name": "exclude_ids",
