@@ -458,6 +458,31 @@ object SparkEntry {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split").orderBy("doc_id")),
 
+    // BM25 keyword search: top-20 docs for a 3-term query — per-term tf
+    // via codegen'd array filters (no explode), one-row stats broadcast,
+    // TakeOrderedAndProject top-k; rounded scores + id tie-break keep it
+    // engine-portable (oracle replays the identical float op sequence)
+    "x38_bm25" -> ((s, dir) =>
+      graft.ops.Search.bm25(t(s, dir, "documents"), "doc_id", "text",
+        "hash join filter", k = 20)),
+
+    // enrichment equi-join as a first-class dialect operator: orders
+    // enriched with customer name/segment — AQE/broadcast decides the
+    // physical join (right side is a dimension table)
+    "x39_join" -> ((s, dir) =>
+      graft.ops.Joins.equiJoin(t(s, dir, "orders"), t(s, dir, "customer"),
+        Seq("o_custkey" -> "c_custkey"), "left",
+        Seq("c_name", "c_mktsegment"), broadcastRight = true)
+        .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment")
+        .orderBy("o_orderkey")),
+
+    // duplicated-span statistics (substring-dedup signal, Lee et al.):
+    // per-doc fraction of distinct 5-grams appearing in >= 2 documents —
+    // kernel-deduped grams, one (hash, gram) window shuffle, one id agg
+    "x40_dup_grams" -> ((s, dir) =>
+      graft.ops.Dedup.dupGramStats(t(s, dir, "documents"), "doc_id", "text",
+        n = 5).orderBy("id")),
+
     // per-source length distribution: exact interpolated quantiles in one
     // aggregate job (value→count map per group, not a sort)
     "x34_len_quantiles" -> ((s, dir) =>
@@ -795,6 +820,70 @@ object SparkEntry {
                       ((doc_id % 1000000007) * 654435747) % 1000000007 AS h
                FROM documents)
          ORDER BY doc_id""",
+    // BM25 replayed with the identical float op sequence (left-assoc *,/,
+    // left-fold +; exact-integer tf/df/N/Σdl so avgdl is the same double);
+    // floor(x*1e4+0.5)/1e4 emulates Spark's HALF_UP round, x34 precedent
+    "x38_bm25" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+           FROM documents),
+         f AS (
+           SELECT doc_id,
+                  CAST(len(tk) AS DOUBLE) AS dl,
+                  CAST(len(list_filter(tk, x -> x = 'hash')) AS DOUBLE) AS tf0,
+                  CAST(len(list_filter(tk, x -> x = 'join')) AS DOUBLE) AS tf1,
+                  CAST(len(list_filter(tk, x -> x = 'filter')) AS DOUBLE) AS tf2
+           FROM d),
+         s AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n,
+                  CAST(CAST(sum(CAST(dl AS BIGINT)) AS BIGINT) AS DOUBLE) AS sumdl,
+                  CAST(CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) AS df0,
+                  CAST(CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) AS df1,
+                  CAST(CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) AS df2
+           FROM f)
+         SELECT doc_id, score FROM (
+           SELECT doc_id,
+                  floor((
+                      ln((n - df0 + 0.5) / (df0 + 0.5) + 1) * tf0 * (1.2 + 1)
+                        / (tf0 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
+                    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1) * tf1 * (1.2 + 1)
+                        / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
+                    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1) * tf2 * (1.2 + 1)
+                        / (tf2 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
+                  ) * 10000.0 + 0.5) / 10000.0 AS score
+           FROM f, s)
+         WHERE score > 0
+         ORDER BY score DESC, doc_id LIMIT 20""",
+    "x39_join" ->
+      """SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+         FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+    "x40_dup_grams" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  unnest(CASE WHEN len(tk) < 5 THEN CAST([] AS VARCHAR[])
+                         ELSE list_distinct([array_to_string(tk[i:i+4], ' ')
+                                             for i in range(1, len(tk) - 3)])
+                         END) AS gram
+           FROM t),
+         c AS (SELECT gram, count(*) AS nd FROM g GROUP BY gram),
+         p AS (SELECT doc_id, count(*) AS n_grams,
+                      CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams
+               FROM g JOIN c USING (gram) GROUP BY doc_id)
+         SELECT d.doc_id AS id,
+                coalesce(p.n_grams, 0) AS n_grams,
+                coalesce(p.n_dup_grams, 0) AS n_dup_grams,
+                CASE WHEN coalesce(p.n_grams, 0) = 0 THEN 0.0
+                     ELSE floor(CAST(p.n_dup_grams AS DOUBLE) / p.n_grams
+                                * 10000.0 + 0.5) / 10000.0
+                END AS dup_frac
+         FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+         ORDER BY id""",
     "x34_len_quantiles" ->
       """WITH q AS (
            SELECT source,

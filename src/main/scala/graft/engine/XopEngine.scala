@@ -6,7 +6,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Dedup, Decontaminate, Embeddings, Multimodal, Packing,
-  Profile, Sampling, Similarity, TextOps}
+  Profile, Sampling, Search, Similarity, TextOps}
 import graft.streaming.EventStreams
 
 /** Extension-operator clause of the JSON dialect (SURVEY §7.5: extensions
@@ -600,6 +600,82 @@ object XopEngine {
           Errors.malformed(s"xop '$name': exclude dataset has no column", exclId)
         Dedup.excludeByBloom(df, id, excl, exclId,
           doubleArgOpt(args, "fpp", 0.01, name))
+
+      // BM25 keyword retrieval: top-k docs for a literal query string —
+      // map-only tf/stats passes, no inverted-index shuffle
+      case "search_bm25" =>
+        knownArgs("id", "column", "query", "k", "k1", "b")
+        val q = reqStr(args, "query", name)
+        if (q.trim.isEmpty)
+          Errors.malformed(s"xop '$name': query must contain at least one term")
+        val k = intArg(args, "k", 10, name).toInt
+        if (k <= 0) Errors.malformed(s"xop '$name': k must be positive")
+        Search.bm25(df, column(df, args, "id", name),
+          column(df, args, "column", name), q, k,
+          doubleArgOpt(args, "k1", 1.2, name),
+          doubleArgOpt(args, "b", 0.75, name))
+
+      // per-doc duplicated n-gram span statistics (substring-dedup signal)
+      case "dup_grams" =>
+        knownArgs("id", "column", "n")
+        val n = intArg(args, "n", 8, name).toInt
+        if (n <= 0) Errors.malformed(s"xop '$name': n must be positive")
+        Dedup.dupGramStats(df, column(df, args, "id", name),
+          column(df, args, "column", name), n)
+
+      // enrichment equi-join against a stored dataset
+      case "join" =>
+        knownArgs("right", "on", "how", "columns", "broadcast")
+        val rightDf = dataset("right").drop(RowId)
+        val on: Seq[(String, String)] = args.get("on") match {
+          case Some(l: List[Any] @unchecked) if l.nonEmpty => l.map {
+            case s: String => (s, s)
+            case p: List[Any] @unchecked => p match {
+              case (a: String) :: (bb: String) :: Nil => (a, bb)
+              case _ =>
+                Errors.malformed(s"xop '$name': 'on' entries must be a column or [left, right] pair", p)
+            }
+            case other =>
+              Errors.malformed(s"xop '$name': 'on' entries must be a column or [left, right] pair", other)
+          }
+          case _ =>
+            Errors.malformed(s"xop '$name': 'on' must be a non-empty list of keys")
+        }
+        for ((lc, _) <- on if !ExprCompiler.hasColumn(df, lc))
+          Errors.malformed(s"xop '$name': unknown column", lc)
+        for ((_, rc) <- on if !ExprCompiler.hasColumn(rightDf, rc))
+          Errors.malformed(s"xop '$name': right dataset has no column", rc)
+        val how = args.get("how") match {
+          case None => "inner"
+          case Some(s: String) if Set("inner", "left", "semi", "anti")(s) => s
+          case Some(other) =>
+            Errors.malformed(s"xop '$name': how must be inner, left, semi or anti", other)
+        }
+        val payload: Seq[String] = args.get("columns") match {
+          case None =>
+            if (how == "semi" || how == "anti") Seq.empty
+            else rightDf.columns.toSeq
+              .filterNot(on.map(_._2).toSet)
+              .filterNot(c => ExprCompiler.hasColumn(df, c))
+          case Some(l: List[Any] @unchecked) => l.map {
+            case s: String => s
+            case other =>
+              Errors.malformed(s"xop '$name': 'columns' entries must be column names", other)
+          }
+          case Some(other) =>
+            Errors.malformed(s"xop '$name': 'columns' must be a list", other)
+        }
+        if (how == "semi" || how == "anti") {
+          if (payload.nonEmpty)
+            Errors.malformed(s"xop '$name': 'columns' is invalid for semi/anti joins")
+        } else {
+          for (c <- payload if !ExprCompiler.hasColumn(rightDf, c))
+            Errors.malformed(s"xop '$name': right dataset has no column", c)
+          for (c <- payload if ExprCompiler.hasColumn(df, c))
+            Errors.malformed(s"xop '$name': payload column collides with the left table", c)
+        }
+        graft.ops.Joins.equiJoin(df, rightDf, on, how, payload,
+          boolArg(args, "broadcast", default = false, name))
 
       case other =>
         Errors.malformed("Unknown xop", other)

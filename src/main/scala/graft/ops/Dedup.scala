@@ -178,6 +178,45 @@ object Dedup {
       corpus.select(TextOps.fingerprintMd5(col(corpusTextCol)).as("__fp")).distinct(),
       TextOps.fingerprintMd5(col(textCol)) === col("__fp"), "left_anti")
 
+  /** Per-document duplicated-span statistics — the diagnostic behind
+    * substring-level dedup (Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better"): for every document, how many of its
+    * distinct word `n`-grams occur anywhere ELSE in the corpus (another
+    * document, or again elsewhere after the per-doc dedup — i.e. the gram
+    * is held by ≥2 documents). High `dup_frac` marks boilerplate-heavy
+    * documents worth chunk-dedup ([[dedupChunks]]) or dropping.
+    *
+    * Shape at scale: grams are deduplicated PER DOCUMENT inside the
+    * native kernel before the explode (one row per distinct gram), then
+    * ONE shuffle keyed on (gram hash, gram) computes each gram's corpus
+    * document-count as a whole-partition window, and one id shuffle
+    * re-aggregates per document. No gram dictionary is collected and no
+    * self-join materializes pairs.
+    *
+    * Returns (id, n_grams, n_dup_grams, dup_frac) for every input row;
+    * documents shorter than `n` tokens have zero grams and dup_frac 0.
+    */
+  def dupGramStats(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 8): DataFrame = {
+    val grams = spread(df).select(col(idCol).as("id"),
+      explode(Decontaminate.wordNgrams(col(textCol), n, distinct = true)).as("gram"))
+    // hash routes the exchange (narrow uniform key), gram string keeps
+    // colliding grams distinct in the window partition
+    val w = Window.partitionBy(xxhash64(col("gram")), col("gram"))
+    val perDoc = grams
+      .withColumn("__docs", count(lit(1)).over(w))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("__docs") > 1).cast("long")).as("n_dup_grams"))
+    df.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
+      .withColumn("dup_frac",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(round(col("n_dup_grams").cast("double") / col("n_grams"), 4)))
+  }
+
   /** Passage-level (chunk) dedup: split every document into
     * non-overlapping `chunkTokens`-token chunks, keep only the FIRST
     * corpus-wide occurrence of each distinct chunk (first = lowest

@@ -4,8 +4,43 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Temporal joins Spark has no native operator for. */
+/** Temporal joins Spark has no native operator for, plus the plain
+  * enrichment equi-join the JSON dialect exposes. */
 object Joins {
+
+  /** Enrichment equi-join between two tables — the dialect-level join the
+    * single-table reference never had. `on` pairs (leftCol, rightCol);
+    * `how` is inner | left | semi | anti (left-row-preserving variants
+    * only — the output keeps the left table's identity, which is what a
+    * pipeline enrichment step means). For inner/left, `rightCols` name
+    * the right-side payload to append; they must not collide with a left
+    * column. Keys compare with SQL equality (nulls never match).
+    *
+    * Scale: a plain declarative join — Catalyst/AQE pick broadcast vs
+    * shuffled hash from observed sizes; `broadcastRight` forces the hint
+    * when the caller KNOWS the right side is a dimension table (the
+    * planner's size estimate can be unavailable for freshly-ingested
+    * HTTP datasets). */
+  def equiJoin(left: DataFrame, right: DataFrame, on: Seq[(String, String)],
+               how: String, rightCols: Seq[String] = Seq.empty,
+               broadcastRight: Boolean = false): DataFrame = {
+    require(on.nonEmpty, "equiJoin needs at least one key pair")
+    val sparkHow = how match {
+      case "inner" => "inner"
+      case "left"  => "left_outer"
+      case "semi"  => "left_semi"
+      case "anti"  => "left_anti"
+      case other   => throw new IllegalArgumentException(s"unknown join how: $other")
+    }
+    val r0 = if (broadcastRight) broadcast(right) else right
+    val cond = on.map { case (l, rr) => left(l) === r0(rr) }.reduce(_ && _)
+    val joined = left.join(r0, cond, sparkHow)
+    if (sparkHow == "left_semi" || sparkHow == "left_anti") joined
+    else {
+      val payload = rightCols.map(c => r0(c))
+      joined.select(left.columns.map(left(_)) ++ payload: _*)
+    }
+  }
 
   /** As-of join: for every left row, attach the payload of the single
     * right row with the LARGEST `right.timeCol <= left.timeCol` within

@@ -756,4 +756,66 @@ class OpsSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(out == Set(1L, 2L, 4L)) // tie at 0.9 → lower ids win; g2 keeps its 1
   }
+
+  test("bm25 ranks term-dense docs first and drops non-matching docs") {
+    val df = Seq(
+      (1L, "hash join hash join hash"),
+      (2L, "hash table scan with a long tail of other words diluting it"),
+      (3L, "nothing relevant here"),
+      (4L, "join")).toDF("id", "text")
+    val out = Search.bm25(df, "id", "text", "hash join", k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(!out.map(_._1).contains(3L)) // no query term → dropped
+    assert(out.head._1 == 1L)           // both terms, dense, short
+    assert(out.forall(_._2 > 0))
+    // already sorted score desc, id asc
+    assert(out == out.sortBy(t => (-t._2, t._1)))
+    // k truncates
+    assert(Search.bm25(df, "id", "text", "hash join", k = 2).count() == 2)
+    // repeated query terms dedup: identical result
+    val dup = Search.bm25(df, "id", "text", "join hash join", k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(dup == out)
+  }
+
+  test("equiJoin how variants preserve left identity; nulls never match") {
+    val l = Seq((1L, Some("a")), (2L, Some("b")), (3L, None))
+      .map { case (i, k) => (i, k.orNull) }.toDF("id", "k")
+    val r = Seq(("a", 10L), ("a", 11L), ("c", 12L)).toDF("rk", "v")
+    val inner = Joins.equiJoin(l, r, Seq("k" -> "rk"), "inner", Seq("v"))
+    assert(inner.columns.toSeq == Seq("id", "k", "v"))
+    assert(inner.select("id").collect().map(_.getLong(0)).toSeq.sorted
+      == Seq(1L, 1L)) // two matches for 'a'
+    val left = Joins.equiJoin(l, r, Seq("k" -> "rk"), "left", Seq("v"))
+    assert(left.count() == 4) // 1 twice, 2 and 3 once with null v
+    assert(left.filter(col("id") === 3L).collect().head.isNullAt(2))
+    val semi = Joins.equiJoin(l, r, Seq("k" -> "rk"), "semi")
+    assert(semi.columns.toSeq == Seq("id", "k"))
+    assert(semi.select("id").collect().map(_.getLong(0)).toSet == Set(1L))
+    val anti = Joins.equiJoin(l, r, Seq("k" -> "rk"), "anti")
+    assert(anti.select("id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+
+  test("dupGramStats counts corpus-shared n-grams per doc") {
+    val df = Seq(
+      (1L, "a b c d e f"), // 3-grams: abc bcd cde def
+      (2L, "a b c d x y"), // shares abc, bcd with doc 1
+      (3L, "zz"))          // < n tokens → no grams
+      .toDF("id", "text")
+    val rows = Dedup.dupGramStats(df, "id", "text", n = 3)
+      .orderBy("id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      == Seq((1L, 4L, 2L, 0.5), (2L, 4L, 2L, 0.5), (3L, 0L, 0L, 0.0)))
+  }
+
+  test("dupGramStats counts within-doc repeats only once (distinct grams)") {
+    // "p q r p q r p q r" has distinct 3-grams {pqr, qrp, rpq} — repeated
+    // inside ONE doc they are still a single distinct gram, held by one
+    // doc, so nothing is corpus-duplicated
+    val df = Seq((1L, "p q r p q r p q r"), (2L, "totally different text here"))
+      .toDF("id", "text")
+    val r1 = Dedup.dupGramStats(df, "id", "text", n = 3)
+      .filter(col("id") === 1L).collect().head
+    assert(r1.getLong(1) == 3L && r1.getLong(2) == 0L)
+  }
 }

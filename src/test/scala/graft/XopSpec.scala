@@ -309,6 +309,9 @@ class XopSpec extends AnyFunSuite {
     case "xids" =>
       import spark.implicits._
       Some(Seq(2L, 4L).toDF("id"))
+    case "dims" =>
+      import spark.implicits._
+      Some(Seq(("web", "crawl"), ("book", "curated")).toDF("src", "label"))
     case _ => None
   }
 
@@ -411,6 +414,73 @@ class XopSpec extends AnyFunSuite {
                   "args": {"id": "id", "exclude": "xids"}},
           "order_by": ["id"]}""", resolver).df
     assert(ids(out) == Seq(1L, 3L, 5L, 6L))
+  }
+
+  test("search_bm25 xop returns ranked matches and composes with where") {
+    val out = run(
+      """{"xop": {"name": "search_bm25",
+                  "args": {"id": "id", "column": "text", "query": "quick fox", "k": 10}}}""")
+    assert(out.columns.toSeq == Seq("id", "score"))
+    val got = out.collect().map(r =>
+      r.getAs[Number](0).longValue -> r.getDouble(1)).toSeq
+    assert(got.map(_._1).toSet == Set(1L, 3L)) // only the fox docs match
+    assert(got == got.sortBy(t => (-t._2, t._1)))
+    // identical texts, identical score — ids break the tie
+    assert(got.map(_._1) == Seq(1L, 3L))
+    val filtered = run(
+      """{"xop": {"name": "search_bm25",
+                  "args": {"id": "id", "column": "text", "query": "quick fox"}},
+          "where": [">", "id", 1]}""")
+    assert(ids(filtered) == Seq(3L))
+    intercept[MalformedQueryException] { run(
+      """{"xop": {"name": "search_bm25",
+                  "args": {"id": "id", "column": "text", "query": "   "}}}""") }
+    intercept[MalformedQueryException] { run(
+      """{"xop": {"name": "search_bm25",
+                  "args": {"id": "id", "column": "text", "query": "fox", "k": 0}}}""") }
+  }
+
+  test("dup_grams xop reports corpus-duplicated n-gram fractions") {
+    val out = QueryEngine.run(docs,
+      """{"xop": {"name": "dup_grams", "args": {"id": "id", "column": "text", "n": 3}},
+          "order_by": ["id"]}""").df
+    assert(out.columns.toSeq == Seq("id", "n_grams", "n_dup_grams", "dup_frac"))
+    val frac = out.collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getDouble(3)).toMap
+    // docs 1/3 and 2/6 are exact duplicates → every gram shared; doc 5
+    // (the only Spanish doc) shares nothing
+    assert(frac(1L) == 1.0 && frac(3L) == 1.0 && frac(2L) == 1.0 && frac(6L) == 1.0)
+    assert(frac(5L) == 0.0)
+  }
+
+  test("join xop enriches from a stored dataset and errors on collisions") {
+    val out = QueryEngine.run(docs,
+      """{"xop": {"name": "join",
+                  "args": {"right": "dims", "on": ["src"], "how": "left",
+                           "columns": ["label"], "broadcast": true}},
+          "select": ["id", "src", "label"], "order_by": ["id"]}""", resolver).df
+    val got = out.collect().map(r => (r.getAs[Number](0).longValue, r.getString(2))).toMap
+    assert(got(1L) == "crawl" && got(4L) == "curated")
+    assert(out.count() == 6) // left join preserves every doc
+    // semi keeps only left columns; anti is its complement
+    val semi = QueryEngine.run(docs,
+      """{"xop": {"name": "join", "args": {"right": "dims", "on": ["src"], "how": "semi"}},
+          "order_by": ["id"]}""", resolver).df
+    assert(semi.columns.toSeq == docs.drop(graft.engine.ExprCompiler.RowId).columns.toSeq)
+    assert(ids(semi) == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // payload colliding with a left column → 400
+    intercept[MalformedQueryException] { QueryEngine.run(docs,
+      """{"xop": {"name": "join",
+                  "args": {"right": "dims", "on": ["src"], "columns": ["src"]}}}""",
+      resolver) }
+    // unknown key pair shape → 400
+    intercept[MalformedQueryException] { QueryEngine.run(docs,
+      """{"xop": {"name": "join", "args": {"right": "dims", "on": [1], "how": "left"}}}""",
+      resolver) }
+    // 'how' outside the taxonomy → 400
+    intercept[MalformedQueryException] { QueryEngine.run(docs,
+      """{"xop": {"name": "join", "args": {"right": "dims", "on": ["src"], "how": "cross"}}}""",
+      resolver) }
   }
 
   test("dataset references 400 without a resolver, and are detected for memo bypass") {
