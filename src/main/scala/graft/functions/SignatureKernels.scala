@@ -524,3 +524,62 @@ case class CharEntropyExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): CharEntropyExpr =
     copy(child = newChild)
 }
+
+/** Fused document-length + per-term frequency kernel for BM25 scoring:
+  * ONE pass over the token array produces [dl, tf(term0), tf(term1), …]
+  * as array<int>. The HOF formulation (one `filter` lambda per query
+  * term) re-walks the tokens q times INTERPRETED — per-lambda eval
+  * outside whole-stage codegen; this loop runs fused inside the scan's
+  * codegen stage and touches each token once, comparing against the
+  * (small, literal) term list. The [""] single-empty-token artifact of
+  * splitting an empty normalized string counts as dl = 0, matching
+  * TextOps.tokenCount. */
+case class TermFreqsExpr(child: Expression, terms: Seq[String])
+    extends UnaryExpression {
+  require(terms.nonEmpty, "terms must be non-empty")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"term_freqs requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "term_freqs"
+
+  @transient private lazy val termBytes: Array[UTF8String] =
+    terms.map(UTF8String.fromString).toArray
+
+  /** Native per-row loop shared by eval and codegen. */
+  def freqsRow(arr: ArrayData): ArrayData = {
+    val m = arr.numElements()
+    val out = new Array[Int](termBytes.length + 1)
+    val empty = m == 1 && arr.getUTF8String(0).numBytes() == 0
+    out(0) = if (empty) 0 else m
+    if (!empty) {
+      var i = 0
+      while (i < m) {
+        val tok = arr.getUTF8String(i)
+        var t = 0
+        while (t < termBytes.length) {
+          if (termBytes(t).equals(tok)) out(t + 1) += 1
+          t += 1
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    freqsRow(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("termFreqs", this,
+      classOf[TermFreqsExpr].getName)
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.freqsRow($arr);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TermFreqsExpr =
+    copy(child = newChild)
+}

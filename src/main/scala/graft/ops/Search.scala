@@ -33,12 +33,17 @@ object Search {
       queryText.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
     require(terms.nonEmpty, "query must contain at least one term")
 
-    val toks = TextOps.tokens(col(textCol))
-    val tfCols = terms.zipWithIndex.map { case (t, i) =>
-      size(filter(toks, x => x === lit(t))).as(s"__tf$i")
-    }
-    val base = docs.select(
-      col(idCol) +: TextOps.tokenCount(col(textCol)).as("__dl") +: tfCols: _*)
+    // fused [dl, tf…] kernel: one codegen'd pass over the tokens — the
+    // HOF form (kept below as the cross-check) re-walks the array once
+    // per term through interpreted lambdas
+    val tfs = org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.TermFreqsExpr(
+        org.apache.spark.sql.GraftSqlShims.expression(
+          TextOps.tokens(col(textCol))), terms))
+    val base = docs.select(col(idCol), tfs.as("__tfs"))
+      .select(col(idCol) +: element_at(col("__tfs"), 1).as("__dl") +:
+        terms.indices.map(i =>
+          element_at(col("__tfs"), i + 2).as(s"__tf$i")): _*)
 
     // one-row corpus statistics: N, Σdl (ints — exact, so avgdl is the
     // same double on any engine), and per-term document frequencies
@@ -66,5 +71,15 @@ object Search {
       .select(col(idCol), col("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Pure higher-order-function formulation of the [dl, tf…] vector —
+    * value-identical to the native TermFreqsExpr kernel (asserted in
+    * tests), kept as the reference implementation and codegen
+    * cross-check. */
+  private[graft] def termFreqsHof(c: Column, terms: Seq[String]): Column = {
+    val toks = TextOps.tokens(c)
+    array(TextOps.tokenCount(c) +:
+      terms.map(t => size(filter(toks, x => x === lit(t)))): _*)
   }
 }

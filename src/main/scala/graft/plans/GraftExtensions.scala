@@ -19,6 +19,7 @@ import graft.functions._
   * SELECT graft_shingle_hashes(toks, txt, 3) -- distinct shingle hashes
   * SELECT graft_sorted_intersect(a, b)       -- |a ∩ b| on sorted arrays
   * SELECT graft_word_ngrams(toks, 8, true)   -- (distinct) word n-grams
+  * SELECT graft_term_freqs(toks, 'a b c')    -- [token_count, tf(a), tf(b), tf(c)]
   * }}}
   *
   * Each function resolves to the SAME Expression class the DataFrame
@@ -87,6 +88,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case _ => throw new IllegalArgumentException("distinct must be a boolean literal")
         }
         WordNgramsExpr(args(0), intLit(args(1), "n"), dist)
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_term_freqs"),
+      info("graft_term_freqs",
+        "_FUNC_(tokens, terms) - one-pass [token_count, tf(term)...] for a whitespace term list"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_term_freqs takes (array<string>, terms-string)")
+        val ts = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+            s: org.apache.spark.unsafe.types.UTF8String, _) =>
+            s.toString.split("\\s+").toSeq.filter(_.nonEmpty)
+          case _ => throw new IllegalArgumentException("terms must be a string literal")
+        }
+        require(ts.nonEmpty, "terms must contain at least one term")
+        TermFreqsExpr(args(0), ts)
       }))
   }
 }

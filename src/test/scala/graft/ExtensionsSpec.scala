@@ -72,4 +72,13 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[scala.collection.Seq[String]]("g") == Seq("a b", "b a", "a b"))
     assert(r.getAs[scala.collection.Seq[String]]("gd") == Seq("a b", "b a"))
   }
+
+  test("graft_term_freqs counts dl and per-term tf in one pass") {
+    val r = spark.sql(
+      """SELECT graft_term_freqs(array('a', 'b', 'a', 'c'), 'a c zz') AS f,
+                graft_term_freqs(array(''), 'a') AS e""").head()
+    assert(r.getAs[scala.collection.Seq[Int]]("f") == Seq(4, 2, 1, 0))
+    // the [''] empty-split artifact counts as zero tokens
+    assert(r.getAs[scala.collection.Seq[Int]]("e") == Seq(0, 0))
+  }
 }

@@ -269,4 +269,27 @@ class PropertySpec extends AnyFunSuite {
           .count() == 0L
     })
   }
+
+  test("term-freqs kernel ≡ HOF formulation on arbitrary texts and terms") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tokGen = Gen.oneOf("a", "b", "ab", "ba", "x", "")
+    val textGen = for {
+      toks <- Gen.listOf(tokGen)
+      sep <- Gen.oneOf(" ", "  ", "\t")
+    } yield toks.mkString(sep)
+    val termsGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "ab", "zz"))
+      .map(_.distinct)
+    checkProp(Prop.forAll(Gen.nonEmptyListOf(textGen), termsGen) {
+      (texts, terms) =>
+        val df = texts.toDF("text")
+        val kernel = org.apache.spark.sql.GraftSqlShims.column(
+          graft.functions.TermFreqsExpr(
+            org.apache.spark.sql.GraftSqlShims.expression(
+              graft.ops.TextOps.tokens(col("text"))), terms))
+        df.select(kernel.as("k"),
+            graft.ops.Search.termFreqsHof(col("text"), terms).as("h"))
+          .filter(not(col("k") === col("h"))).count() == 0L
+    })
+  }
 }
