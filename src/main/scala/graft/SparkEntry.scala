@@ -483,6 +483,18 @@ object SparkEntry {
       graft.ops.Dedup.dupGramStats(t(s, dir, "documents"), "doc_id", "text",
         n = 5).orderBy("id")),
 
+    // batch BM25: one corpus pass answers a query TABLE — broadcast
+    // term-set prefilter before the single (term, doc) shuffle, per-query
+    // WindowGroupLimit top-k; no per-query scan
+    "x41_bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((1L, "hash join filter"), (2L, "customer order data"),
+        (3L, "stream window batch")).toDF("query_id", "query_text")
+      graft.ops.Search.bm25Batch(t(s, dir, "documents"), "doc_id", "text",
+        qs, "query_id", "query_text", k = 10)
+        .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+    }),
+
     // per-source length distribution: exact interpolated quantiles in one
     // aggregate job (value→count map per group, not a sort)
     "x34_len_quantiles" -> ((s, dir) =>
@@ -859,6 +871,45 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, c_name, c_mktsegment
          FROM orders LEFT JOIN customer ON o_custkey = c_custkey
          ORDER BY o_orderkey""",
+    "x41_bm25_batch" ->
+      """WITH queries(query_id, query_text) AS (
+           VALUES (1, 'hash join filter'), (2, 'customer order data'),
+                  (3, 'stream window batch')),
+         qt AS (
+           SELECT query_id,
+                  unnest(list_distinct(string_split(
+                    trim(regexp_replace(lower(query_text), '\s+', ' ', 'g')), ' '))) AS term
+           FROM queries),
+         d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+           FROM documents),
+         post AS (
+           SELECT term, doc_id, max(dl) AS dl, count(*) AS tf
+           FROM (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM d)
+           WHERE term IN (SELECT term FROM qt)
+           GROUP BY term, doc_id),
+         s AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n,
+                  CAST(CAST(sum(len(tk)) AS BIGINT) AS DOUBLE) AS sumdl
+           FROM d),
+         dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS dfc FROM post GROUP BY term),
+         sc AS (
+           SELECT qt.query_id, post.doc_id,
+                  floor(sum(
+                      ln((n - dfc + 0.5) / (dfc + 0.5) + 1) * CAST(tf AS DOUBLE) * (1.2 + 1)
+                        / (CAST(tf AS DOUBLE)
+                           + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (sumdl / n)))
+                  ) * 10000.0 + 0.5) / 10000.0 AS score
+           FROM post JOIN dft USING (term) JOIN qt USING (term) CROSS JOIN s
+           GROUP BY qt.query_id, post.doc_id, n, sumdl)
+         SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score FROM (
+           SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS rn
+           FROM sc WHERE score > 0)
+         WHERE rn <= 10
+         ORDER BY query_id, score DESC, doc_id""",
     "x40_dup_grams" ->
       """WITH t AS (
            SELECT doc_id,

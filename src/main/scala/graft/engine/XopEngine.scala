@@ -601,19 +601,39 @@ object XopEngine {
         Dedup.excludeByBloom(df, id, excl, exclId,
           doubleArgOpt(args, "fpp", 0.01, name))
 
-      // BM25 keyword retrieval: top-k docs for a literal query string —
-      // map-only tf/stats passes, no inverted-index shuffle
+      // BM25 keyword retrieval: `query` (a literal string) scores top-k
+      // docs with map-only tf/stats passes; `queries` (a stored dataset)
+      // runs the batch plan — broadcast term-set prefilter, one
+      // (term, doc) shuffle, per-query WindowGroupLimit top-k
       case "search_bm25" =>
-        knownArgs("id", "column", "query", "k", "k1", "b")
-        val q = reqStr(args, "query", name)
-        if (q.trim.isEmpty)
-          Errors.malformed(s"xop '$name': query must contain at least one term")
+        knownArgs("id", "column", "query", "queries", "query_id",
+          "query_text", "k", "k1", "b")
         val k = intArg(args, "k", 10, name).toInt
         if (k <= 0) Errors.malformed(s"xop '$name': k must be positive")
-        Search.bm25(df, column(df, args, "id", name),
-          column(df, args, "column", name), q, k,
-          doubleArgOpt(args, "k1", 1.2, name),
+        val (k1v, bv) = (doubleArgOpt(args, "k1", 1.2, name),
           doubleArgOpt(args, "b", 0.75, name))
+        val id = column(df, args, "id", name)
+        val text = column(df, args, "column", name)
+        (args.get("query"), args.get("queries")) match {
+          case (Some(_), None) =>
+            val q = reqStr(args, "query", name)
+            if (q.trim.isEmpty)
+              Errors.malformed(s"xop '$name': query must contain at least one term")
+            Search.bm25(df, id, text, q, k, k1v, bv)
+          case (None, Some(_)) =>
+            val qDf = dataset("queries")
+            val qId = args.get("query_id")
+              .map(_ => reqStr(args, "query_id", name)).getOrElse("query_id")
+            val qText = args.get("query_text")
+              .map(_ => reqStr(args, "query_text", name)).getOrElse("query_text")
+            for (c <- Seq(qId, qText) if !ExprCompiler.hasColumn(qDf, c))
+              Errors.malformed(s"xop '$name': queries dataset has no column", c)
+            Search.bm25Batch(df, id, text, qDf, qId, qText, k, k1v, bv)
+          case (None, None) =>
+            Errors.malformed(s"xop '$name': pass 'query' (a string) or 'queries' (a stored dataset)")
+          case _ =>
+            Errors.malformed(s"xop '$name': 'query' and 'queries' are mutually exclusive")
+        }
 
       // per-doc duplicated n-gram span statistics (substring-dedup signal)
       case "dup_grams" =>

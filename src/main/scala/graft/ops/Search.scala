@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Keyword retrieval over a document corpus — the lexical counterpart to
@@ -71,6 +72,67 @@ object Search {
       .select(col(idCol), col("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Batch BM25: top-`k` documents per query for a whole QUERY TABLE —
+    * the store-once-search-many shape (mirrors the ANN family's stored
+    * `queries` dataset). One query would waste this plan; a batch
+    * amortizes the corpus pass across all of them.
+    *
+    * Shape at scale: the distinct term set of the whole batch is tiny, so
+    * it broadcasts; the corpus token explode is FILTERED by that
+    * broadcast before anything shuffles — only tokens matching some
+    * query term survive to the single (term, doc) aggregation. Document
+    * frequencies and corpus stats are small aggregates broadcast back,
+    * query terms broadcast onto the postings, and the per-query top-k is
+    * a rank window partitioned by query (WindowGroupLimit prunes to k
+    * rows per query map-side). No per-query corpus scan, no cartesian.
+    *
+    * Scores round to 4 decimals with a doc-id tie-break, like [[bm25]].
+    * Returns (qIdCol, idCol, score).
+    */
+  def bm25Batch(docs: DataFrame, idCol: String, textCol: String,
+                queries: DataFrame, qIdCol: String, qTextCol: String,
+                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    val qTerms = queries.select(col(qIdCol).as("__qid"),
+        explode(array_distinct(TextOps.tokens(col(qTextCol)))).as("__term"))
+      .filter(col("__term") =!= "")
+    val termSet = qTerms.select("__term").distinct()
+
+    val exploded = docs.select(col(idCol).as("__doc"),
+        TextOps.tokenCount(col(textCol)).as("__dl"),
+        explode(TextOps.tokens(col(textCol))).as("__term"))
+      .join(broadcast(termSet), Seq("__term")) // drop non-query tokens pre-shuffle
+    val postings = exploded.groupBy("__term", "__doc")
+      .agg(first(col("__dl")).as("__dl"), count(lit(1)).as("__tf"))
+
+    val stats = docs.agg(count(lit(1)).as("__n"),
+      sum(TextOps.tokenCount(col(textCol))).as("__sumdl"))
+    // (term, doc) is unique in postings, so df(term) = row count per term;
+    // bounded by the batch's distinct terms — broadcasts back
+    val dfT = postings.groupBy("__term").agg(count(lit(1)).as("__dfc"))
+
+    val n = col("__n").cast("double")
+    val avgdl = col("__sumdl").cast("double") / n
+    val tf = col("__tf").cast("double")
+    val dfDouble = col("__dfc").cast("double")
+    val idf = log((n - dfDouble + lit(0.5)) / (dfDouble + lit(0.5)) + lit(1.0))
+    val contrib = idf * tf * lit(k1 + 1.0) /
+      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl").cast("double") / avgdl))
+
+    val scored = postings
+      .join(broadcast(dfT), Seq("__term"))
+      .join(broadcast(qTerms), Seq("__term"))
+      .crossJoin(broadcast(stats))
+      .groupBy("__qid", "__doc")
+      .agg(round(sum(contrib), 4).as("score"))
+      .filter(col("score") > 0)
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("score").desc, col("__doc"))
+    scored.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col("__qid").as(qIdCol), col("__doc").as(idCol), col("score"))
   }
 
   /** Pure higher-order-function formulation of the [dl, tf…] vector —

@@ -778,6 +778,30 @@ class OpsSpec extends AnyFunSuite {
     assert(dup == out)
   }
 
+  test("bm25Batch with a single query equals single-query bm25") {
+    val docs = Seq((1L, "hash join hash"), (2L, "hash scan"),
+      (3L, "nothing relevant"), (4L, "join join hash and more words"))
+      .toDF("id", "text")
+    // 2-term query: double addition is commutative, so the batch plan's
+    // arbitrary sum order must yield bit-identical rounded scores
+    val qs = Seq((7L, "hash join")).toDF("qid", "qtext")
+    val batch = Search.bm25Batch(docs, "id", "text", qs, "qid", "qtext", k = 10)
+      .select("id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val single = Search.bm25(docs, "id", "text", "hash join", k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(batch == single && batch.nonEmpty)
+  }
+
+  test("bm25Batch keeps k per query independently") {
+    val docs = Seq((1L, "alpha alpha"), (2L, "alpha"), (3L, "beta beta"),
+      (4L, "beta")).toDF("id", "text")
+    val qs = Seq((1L, "alpha"), (2L, "beta")).toDF("qid", "qtext")
+    val out = Search.bm25Batch(docs, "id", "text", qs, "qid", "qtext", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 3L)) // densest doc per query
+  }
+
   test("equiJoin how variants preserve left identity; nulls never match") {
     val l = Seq((1L, Some("a")), (2L, Some("b")), (3L, None))
       .map { case (i, k) => (i, k.orNull) }.toDF("id", "k")

@@ -312,6 +312,10 @@ class XopSpec extends AnyFunSuite {
     case "dims" =>
       import spark.implicits._
       Some(Seq(("web", "crawl"), ("book", "curated")).toDF("src", "label"))
+    case "qset" =>
+      import spark.implicits._
+      Some(Seq((1L, "quick fox"), (2L, "liquor jugs"))
+        .toDF("query_id", "query_text"))
     case _ => None
   }
 
@@ -438,6 +442,28 @@ class XopSpec extends AnyFunSuite {
     intercept[MalformedQueryException] { run(
       """{"xop": {"name": "search_bm25",
                   "args": {"id": "id", "column": "text", "query": "fox", "k": 0}}}""") }
+  }
+
+  test("search_bm25 with a stored query set answers every query at once") {
+    val out = QueryEngine.run(docs,
+      """{"xop": {"name": "search_bm25",
+                  "args": {"id": "id", "column": "text", "queries": "qset", "k": 5}},
+          "order_by": ["query_id", "-score", "id"]}""", resolver).df
+    assert(out.columns.toSeq == Seq("query_id", "id", "score"))
+    val byQuery = out.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getAs[Number](1).longValue).toSet).toMap
+    assert(byQuery(1L) == Set(1L, 3L)) // the fox docs
+    assert(byQuery(2L) == Set(2L, 6L)) // the liquor docs
+    // query and queries are mutually exclusive
+    intercept[MalformedQueryException] { QueryEngine.run(docs,
+      """{"xop": {"name": "search_bm25",
+                  "args": {"id": "id", "column": "text", "query": "fox",
+                           "queries": "qset"}}}""", resolver) }
+    // missing query-text column in the stored set → 400
+    intercept[MalformedQueryException] { QueryEngine.run(docs,
+      """{"xop": {"name": "search_bm25",
+                  "args": {"id": "id", "column": "text", "queries": "qset",
+                           "query_text": "nope"}}}""", resolver) }
   }
 
   test("dup_grams xop reports corpus-duplicated n-gram fractions") {
