@@ -483,6 +483,15 @@ object SparkEntry {
       graft.ops.Dedup.dupGramStats(t(s, dir, "documents"), "doc_id", "text",
         n = 5).orderBy("id")),
 
+    // spherical k-means clustering: semantic buckets for topic balancing
+    // / cluster-scoped dedup — cached quantizer build (shared with IVF),
+    // then a map-only fused-kernel assignment pass; rows-only by design
+    // (cluster labels are seed-defined), pinned by unit invariants
+    "x42_emb_cluster" -> ((s, dir) =>
+      graft.ops.Similarity.clusterAssign(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 2)
+        .select("vec_id", "cluster", "cohesion").orderBy("vec_id")),
+
     // batch BM25: one corpus pass answers a query TABLE — broadcast
     // term-set prefilter before the single (term, doc) shuffle, per-query
     // WindowGroupLimit top-k; no per-query scan

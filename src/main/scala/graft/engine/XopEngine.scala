@@ -635,6 +635,17 @@ object XopEngine {
             Errors.malformed(s"xop '$name': 'query' and 'queries' are mutually exclusive")
         }
 
+      // spherical k-means cluster assignment (map-only once the cached
+      // quantizer is built; shares the IVF index cache)
+      case "emb_cluster" =>
+        knownArgs("id", "column", "k", "iters")
+        val k = intArg(args, "k", 16, name).toInt
+        if (k <= 0) Errors.malformed(s"xop '$name': k must be positive")
+        val iters = intArg(args, "iters", 3, name).toInt
+        if (iters < 0) Errors.malformed(s"xop '$name': iters must be >= 0")
+        Similarity.clusterAssign(df, column(df, args, "id", name),
+          vectorColumn(df, args, "column", name), k, iters)
+
       // per-doc duplicated n-gram span statistics (substring-dedup signal)
       case "dup_grams" =>
         knownArgs("id", "column", "n")

@@ -231,6 +231,52 @@ object Similarity {
     centroids
   }
 
+  /** Spherical k-means cluster assignment — the semantic-bucketing stage
+    * of a training pipeline (topic balancing, per-cluster sampling caps,
+    * cluster-scoped near-dup). Reuses the IVF coarse-quantizer build
+    * (deterministic min-hash-per-slot centroid sample + distributed
+    * k-means refinement) through the SAME index cache — the cached value
+    * is identical to [[ivfTopK]]'s, so an ANN index and a clustering over
+    * one corpus share a single build; normalization for the cosine
+    * argmax happens on the retrieved copy, driver-side, O(k·dim).
+    *
+    * The assignment itself is map-only: one fused CentroidDotsExpr pass
+    * per row (centroids normalized ⇒ dot argmax = cosine argmax), no
+    * shuffle at any corpus size. Returns every input column plus
+    * `cluster` (0-based) and `cohesion` (cosine to the assigned
+    * centroid, rounded to 4 decimals). */
+  def clusterAssign(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                    iters: Int = 3, dim: Int = -1): DataFrame = {
+    require(k > 0, "k must be positive")
+    val built = IvfIndexCache.getOrBuild(df, vecCol, k, iters) {
+      val sampled: Seq[Seq[Double]] = df
+        .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+        .groupBy(pmod(xxhash64(col("__id")), lit(k)).as("__slot"))
+        .agg(min_by(col("__v"), struct(xxhash64(col("__id")), col("__id"))).as("__v"))
+        .orderBy("__slot")
+        .collect()
+        .map(r => r.getAs[scala.collection.Seq[Double]]("__v").toSeq)
+        .toSeq
+      if (iters > 0) kmeansRefine(df, vecCol, sampled, iters) else sampled
+    }
+    val centroids = built.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0) c else c.map(_ / n)
+    }
+    val dots = org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.CentroidDotsExpr(
+        org.apache.spark.sql.GraftSqlShims.expression(
+          col(vecCol).cast("array<double>")), centroids))
+    // __scores in its own projection: argmax + max read it twice (the
+    // CollapseProject rule keeps a non-cheap multiply-referenced alias)
+    df.withColumn("__scores", dots)
+      .withColumn("cluster",
+        (array_position(col("__scores"), array_max(col("__scores"))) - 1).cast("int"))
+      .withColumn("cohesion",
+        round(array_max(col("__scores")) / norm(col(vecCol)), 4))
+      .drop("__scores")
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer assigns every corpus
     * vector to its nearest of `nCells` centroid cells (one map-side pass);
     * each query probes its `nProbe` nearest cells and ranks only those

@@ -297,6 +297,28 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("clusterAssign separates well-separated groups, map-only invariants hold") {
+    val rows = Similarity.clusterAssign(vecs, "vec_id", "embedding",
+      k = 2, iters = 2)
+      .select("vec_id", "cluster", "cohesion").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(rows.length == 4) // every row assigned
+    val byId = rows.map(t => t._1 -> t).toMap
+    // e1-ish group {1, 2, 4} together; e2 vector {3} apart
+    assert(byId(1L)._2 == byId(2L)._2 && byId(1L)._2 == byId(4L)._2)
+    assert(byId(3L)._2 != byId(1L)._2)
+    assert(rows.forall { case (_, c, coh) =>
+      c >= 0 && c < 2 && coh >= -1.0001 && coh <= 1.0001 })
+    // identical vectors to a converged centroid have cohesion 1
+    assert(byId(3L)._3 == 1.0)
+    // deterministic across physical layout
+    val again = Similarity.clusterAssign(vecs.repartition(7), "vec_id",
+      "embedding", k = 2, iters = 2)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again == rows.map(t => t._1 -> t._2).toMap)
+  }
+
   test("kmeans-refined IVF: full probe still matches brute force; centroids move") {
     val queries = vecs.filter(col("vec_id") === 1)
     val brute = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", 3)

@@ -203,6 +203,18 @@ class XopSpec extends AnyFunSuite {
     assert(byLabel("a") == 5L) // -1,0 is farthest from label-a centroid
   }
 
+  test("emb_cluster assigns every vector a cluster and cohesion") {
+    val out = runV(
+      """{"xop": {"name": "emb_cluster", "args": {"id": "id", "column": "vec", "k": 2, "iters": 2}}}""")
+    assert(out.columns.contains("cluster") && out.columns.contains("cohesion"))
+    val rows = out.collect().map(r =>
+      (r.getAs[Number]("id").longValue, r.getAs[Int]("cluster")))
+    assert(rows.length == 5 && rows.forall { case (_, c) => c >= 0 && c < 2 })
+    // the vector column must be a numeric array — strings 400
+    intercept[MalformedQueryException] { runV(
+      """{"xop": {"name": "emb_cluster", "args": {"id": "id", "column": "id", "k": 2}}}""") }
+  }
+
   test("ann_brute answers inline query_vectors (ids never collide)") {
     val out = runV(
       """{"xop": {"name": "ann_brute",
