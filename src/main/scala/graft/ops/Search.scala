@@ -100,18 +100,28 @@ object Search {
       .filter(col("__term") =!= "")
     val termSet = qTerms.select("__term").distinct()
 
-    val exploded = docs.select(col(idCol).as("__doc"),
-        TextOps.tokenCount(col(textCol)).as("__dl"),
-        explode(TextOps.tokens(col(textCol))).as("__term"))
+    // tokenize ONCE into an array column, then derive both dl and the
+    // explode from it — inlining tokens() into two consumers around a
+    // Generate lets the optimizer hoist the projection ABOVE the explode,
+    // re-running the tokenization regex once per TOKEN instead of once
+    // per document (stack-sampled: that regex was ~80% of the query)
+    val exploded = docs
+      .select(col(idCol).as("__doc"), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col("__doc"), size(col("__toks")).as("__dl"),
+        explode(col("__toks")).as("__term"))
       .join(broadcast(termSet), Seq("__term")) // drop non-query tokens pre-shuffle
     val postings = exploded.groupBy("__term", "__doc")
       .agg(first(col("__dl")).as("__dl"), count(lit(1)).as("__tf"))
 
     val stats = docs.agg(count(lit(1)).as("__n"),
       sum(TextOps.tokenCount(col(textCol))).as("__sumdl"))
-    // (term, doc) is unique in postings, so df(term) = row count per term;
-    // bounded by the batch's distinct terms — broadcasts back
-    val dfT = postings.groupBy("__term").agg(count(lit(1)).as("__dfc"))
+    // (term, doc) is unique in postings, so df(term) = the term's row
+    // count — computed as a window over the SAME postings lineage (one
+    // extra exchange of the already-tiny postings relation) rather than
+    // a second aggregation branch, which would re-run the whole corpus
+    // explode subtree when exchange reuse fails to match it
+    val withDf = postings.withColumn("__dfc",
+      count(lit(1)).over(Window.partitionBy(col("__term"))))
 
     val n = col("__n").cast("double")
     val avgdl = col("__sumdl").cast("double") / n
@@ -121,8 +131,7 @@ object Search {
     val contrib = idf * tf * lit(k1 + 1.0) /
       (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl").cast("double") / avgdl))
 
-    val scored = postings
-      .join(broadcast(dfT), Seq("__term"))
+    val scored = withDf
       .join(broadcast(qTerms), Seq("__term"))
       .crossJoin(broadcast(stats))
       .groupBy("__qid", "__doc")

@@ -110,4 +110,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.filter(col("id") === 7).head().getAs[String]("redacted")
       .contains("<EMAIL>"))
   }
+
+  test("retrieval chain: join → search_bm25 → split compose in the dialect") {
+    import spark.implicits._
+    val dims = Seq(("web", "crawl"), ("book", "curated")).toDF("src", "label")
+    val resolver: String => Option[DataFrame] =
+      n => if (n == "dims") Some(dims) else None
+    // innermost → outermost: enrich with source labels, rank by BM25,
+    // assign deterministic splits to the hits
+    val out = QueryEngine.run(corpus,
+      """{"xop": {"name": "split",
+                  "args": {"id": "id", "splits": [["train", 0.5], ["eval", 0.5]]}},
+          "from": {
+            "xop": {"name": "search_bm25",
+                    "args": {"id": "id", "column": "text",
+                             "query": "quick fox", "k": 3}},
+            "from": {"xop": {"name": "join",
+                             "args": {"right": "dims", "on": ["src"],
+                                      "how": "left", "columns": ["label"]}}}},
+          "order_by": ["id"]}""", resolver).df
+    assert(out.columns.toSeq == Seq("id", "score", "split"))
+    val rows = out.collect().map(r =>
+      (r.getAs[Number]("id").longValue, r.getAs[String]("split"))).toSeq
+    // quick+fox docs 1, 3, 4 outrank quick-only doc 6 at k=3
+    assert(rows.map(_._1) == Seq(1L, 3L, 4L))
+    assert(rows.forall(_._2 != null)) // 0.5+0.5 weights are exhaustive
+  }
 }
