@@ -483,6 +483,23 @@ object SparkEntry {
       graft.ops.Dedup.dupGramStats(t(s, dir, "documents"), "doc_id", "text",
         n = 5).orderBy("id")),
 
+    // incremental NEAR-dup admission: batch docs minus MinHash
+    // near-duplicates of the existing corpus — one union + one
+    // (band, bucket) shuffle, cross-side pairs only; rows-only by design
+    // (signature-estimated jaccard), pinned by unit tests
+    "x43_minhash_against" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("source") === "src0")
+      val batch = docs.filter(col("source") === "src1")
+        .unionByName(corpus.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" extra token")).as("text"),
+            col("lang"), col("source"), col("n_chars")))
+      graft.ops.Dedup.dropNearDuplicatesAgainst(batch, "doc_id", "text",
+        corpus, "doc_id", "text", threshold = 0.8)
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+
     // spherical k-means clustering: semantic buckets for topic balancing
     // / cluster-scoped dedup — cached quantizer build (shared with IVF),
     // then a map-only fused-kernel assignment pass; rows-only by design

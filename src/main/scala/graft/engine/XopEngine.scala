@@ -567,6 +567,38 @@ object XopEngine {
           Errors.malformed(s"xop '$name': corpus dataset has no column", cc)
         Dedup.dedupAgainst(df, textCol, corpus, cc)
 
+      // incremental NEAR-dup vs a stored corpus: MinHash banding over the
+      // union of both sides, cross-side pairs only
+      case "minhash_against" =>
+        knownArgs("id", "column", "corpus", "corpus_id", "corpus_column",
+          "num_hashes", "bands", "threshold", "shingle", "action")
+        val id = column(df, args, "id", name)
+        val textCol = column(df, args, "column", name)
+        val corpus = dataset("corpus")
+        val cid = args.get("corpus_id")
+          .map(_ => reqStr(args, "corpus_id", name)).getOrElse(id)
+        val ccol = args.get("corpus_column")
+          .map(_ => reqStr(args, "corpus_column", name)).getOrElse(textCol)
+        for (c <- Seq(cid, ccol) if !ExprCompiler.hasColumn(corpus, c))
+          Errors.malformed(s"xop '$name': corpus dataset has no column", c)
+        val nh = intArg(args, "num_hashes", 64, name).toInt
+        val nb = intArg(args, "bands", 16, name).toInt
+        if (nh <= 0 || nb <= 0 || nh % nb != 0)
+          Errors.malformed(s"xop '$name': bands must divide num_hashes")
+        val thr = doubleArgOpt(args, "threshold", 0.7, name)
+        val sh = intArg(args, "shingle", 3, name).toInt
+        if (sh <= 0) Errors.malformed(s"xop '$name': shingle must be positive")
+        args.get("action") match {
+          case None | Some("pairs") =>
+            Dedup.minhashPairsAgainst(df, id, textCol, corpus, cid, ccol,
+              nh, nb, thr, sh)
+          case Some("drop") =>
+            Dedup.dropNearDuplicatesAgainst(df, id, textCol, corpus, cid, ccol,
+              nh, nb, thr, sh)
+          case Some(other) =>
+            Errors.malformed(s"xop '$name': action must be 'pairs' or 'drop'", other)
+        }
+
       // deterministic named splits by id hash: ordered [name, weight] pairs
       case "split" =>
         knownArgs("id", "splits")

@@ -127,6 +127,67 @@ object Dedup {
       .withColumn("est_jaccard", round(col("est_jaccard"), 4))
   }
 
+  /** Incremental NEAR-dup detection against an existing corpus — the
+    * fuzzy counterpart of [[dedupAgainst]]: which documents of a new
+    * batch are MinHash-near-duplicates of anything already in the
+    * corpus. Both sides band identically, a side tag rides in the bucket
+    * payload, and only CROSS-side pairs are emitted, so intra-corpus and
+    * intra-batch duplicates (already handled at corpus build time /
+    * by [[minhashPairs]] on the batch) cost nothing.
+    *
+    * Shape at scale: one union and ONE (band, bucket) shuffle, exactly
+    * [[minhashPairs]]'s plan. The corpus side re-signatures per refresh
+    * here; a production deployment would persist the corpus's banded
+    * signature relation once and union the (tiny) batch against it —
+    * the plan downstream of the union is unchanged.
+    *
+    * Returns (batch_id, corpus_id, est_jaccard), thresholded and
+    * dedup'd. */
+  def minhashPairsAgainst(batch: DataFrame, batchIdCol: String, batchTextCol: String,
+                          corpus: DataFrame, corpusIdCol: String, corpusTextCol: String,
+                          numHashes: Int = 64, bands: Int = 16,
+                          threshold: Double = 0.7, shingleSize: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    def banded(df: DataFrame, idCol: String, textCol: String, side: Int) = {
+      val hashed = spread(df).select(col(idCol).as("id"),
+        shingleHashesFused(col(textCol), shingleSize).as("hs"))
+      val sigs = hashed.select(col("id"),
+        minhashSignature(col("hs"), numHashes).as("sig"))
+      sigs.select(struct(col("id"), lit(side).as("side"), col("sig")).as("p"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * lit(r) + 1, lit(r))))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    }
+    val both = banded(corpus, corpusIdCol, corpusTextCol, 0)
+      .unionByName(banded(batch, batchIdCol, batchTextCol, 1))
+    bucketPairsWithPayload(both)
+      .filter(col("a.side") =!= col("b.side"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
+          x => x)).cast("double") / numHashes.toDouble)
+      .filter(col("est_jaccard") >= threshold)
+      .select(
+        when(col("a.side") === 1, col("a.id")).otherwise(col("b.id")).as("batch_id"),
+        when(col("a.side") === 1, col("b.id")).otherwise(col("a.id")).as("corpus_id"),
+        col("est_jaccard"))
+      .dropDuplicates("batch_id", "corpus_id")
+      .withColumn("est_jaccard", round(col("est_jaccard"), 4))
+  }
+
+  /** The admitted batch: `batch` minus every document
+    * [[minhashPairsAgainst]] flags as near-duplicating the corpus (one
+    * anti-join on the batch id). */
+  def dropNearDuplicatesAgainst(batch: DataFrame, batchIdCol: String, batchTextCol: String,
+                                corpus: DataFrame, corpusIdCol: String, corpusTextCol: String,
+                                numHashes: Int = 64, bands: Int = 16,
+                                threshold: Double = 0.7, shingleSize: Int = 3): DataFrame = {
+    val doomed = minhashPairsAgainst(batch, batchIdCol, batchTextCol,
+      corpus, corpusIdCol, corpusTextCol, numHashes, bands, threshold, shingleSize)
+      .select(col("batch_id").as(batchIdCol)).distinct()
+    batch.join(doomed, Seq(batchIdCol), "left_anti")
+  }
+
   /** In-bucket candidate pairs from a (band, bucket, p) relation where `p`
     * is a payload struct whose FIRST field is the id: group payloads per
     * bucket, emit (a, b) pairs with a.id < b.id. The payload (signature /

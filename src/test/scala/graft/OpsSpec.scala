@@ -751,6 +751,29 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Set(11L))
   }
 
+  test("minhashPairsAgainst flags only cross-side near-dups; drop admits the rest") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and keeps on running all day long"),
+      (2L, "pack my box with five dozen liquor jugs for the long journey back home"))
+      .toDF("id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog and keeps on running all day long tonight"),
+      (11L, "completely unrelated words about spark shuffles and broadcast joins at scale"),
+      (12L, "pack my box with five dozen liquor jugs for the long journey back home"))
+      .toDF("id", "text")
+    val pairs = Dedup.minhashPairsAgainst(batch, "id", "text",
+      corpus, "id", "text", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.keySet == Set(10L, 12L))
+    assert(pairs(10L) == 1L && pairs(12L) == 2L)
+    // corpus-internal near-dups are never emitted: both sides in one
+    // bucket but same-side pairs filtered (corpus has none here anyway)
+    val admitted = Dedup.dropNearDuplicatesAgainst(batch, "id", "text",
+      corpus, "id", "text", threshold = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(11L))
+  }
+
   test("splitByHash is exhaustive, disjoint, and nests with fractionByHash") {
     val df = (0L until 2000L).map(i => (i, i)).toDF("id", "v")
     val out = Sampling.splitByHash(df, "id",

@@ -161,7 +161,8 @@ class PropertySpec extends AnyFunSuite {
       "seq_pack", "emb_quantize", "emb_outliers", "ann_brute", "ann_lsh",
       "ann_ivf", "sessionize", "props_rollup", "mm_assets", "mm_chunks",
       "profile", "decontaminate", "exclude_ids", "asof", "char_entropy",
-      "quantiles", "dedup_against", "split", "zap")
+      "quantiles", "dedup_against", "split", "search_bm25", "dup_grams",
+      "join", "emb_cluster", "minhash_against", "zap")
     val argKeys = Seq("id", "column", "order", "chunk_tokens", "k",
       "fraction", "strata", "source", "weights", "default", "approx",
       "num_hashes", "bands", "threshold", "shingle", "action",
@@ -169,14 +170,17 @@ class PropertySpec extends AnyFunSuite {
       "group", "score", "gap_seconds", "chunk_size", "stride", "eval",
       "eval_column", "n", "exclude", "exclude_id", "fpp", "right", "key",
       "time", "payload", "queries", "query_vectors", "probe", "cells", "qs",
-      "corpus", "corpus_column", "splits", "zap")
+      "corpus", "corpus_column", "splits", "query", "query_id",
+      "query_text", "k1", "b", "on", "how", "columns", "broadcast",
+      "iters", "zap")
     val valGen: Gen[String] = Gen.oneOf(
       Gen.oneOf("id", "src", "text", "zz", "ds", "pairs", "drop", "flag")
         .map(s => s""""$s""""),
       Gen.chooseNum(-4, 64).map(_.toString),
       Gen.oneOf("0.7", "1.5", "-0.1", "true", "null",
         "[[1.0, 2.0]]", "[\"text\"]", "[]", """{"web": 0.5}""",
-        """[["train", 0.5], ["test", 0.5]]"""))
+        """[["train", 0.5], ["test", 0.5]]""",
+        "\"inner\"", "\"anti\"", "[\"src\"]", """[["id", "id"]]"""))
     val specGen: Gen[String] = for {
       name <- Gen.oneOf(xopNames)
       n <- Gen.chooseNum(0, 5)

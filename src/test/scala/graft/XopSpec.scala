@@ -396,6 +396,29 @@ class XopSpec extends AnyFunSuite {
     assert(out(1).getAs[Double]("price") == 2.5)                   // t=10: latest is 9
   }
 
+  test("minhash_against xop flags/drops near-dups of a stored corpus") {
+    // evalset holds the fox sentence — docs 1 and 3 near-duplicate it
+    val pairs = QueryEngine.run(docs,
+      """{"xop": {"name": "minhash_against",
+                  "args": {"id": "id", "column": "text", "corpus": "evalset",
+                           "corpus_id": "eid", "corpus_column": "text",
+                           "threshold": 0.5}},
+          "order_by": ["batch_id"]}""", resolver).df
+    assert(pairs.columns.toSeq == Seq("batch_id", "corpus_id", "est_jaccard"))
+    assert(pairs.collect().map(_.getAs[Number](0).longValue).toSeq == Seq(1L, 3L))
+    val admitted = QueryEngine.run(docs,
+      """{"xop": {"name": "minhash_against",
+                  "args": {"id": "id", "column": "text", "corpus": "evalset",
+                           "corpus_id": "eid", "corpus_column": "text",
+                           "threshold": 0.5, "action": "drop"}},
+          "order_by": ["id"]}""", resolver).df
+    assert(ids(admitted) == Seq(2L, 4L, 5L, 6L))
+    intercept[MalformedQueryException] { QueryEngine.run(docs,
+      """{"xop": {"name": "minhash_against",
+                  "args": {"id": "id", "column": "text", "corpus": "evalset",
+                           "corpus_id": "eid", "bands": 7}}}""", resolver) }
+  }
+
   test("dedup_against xop drops texts already in a stored corpus") {
     import spark.implicits._
     val corpus = Seq((100L, "the quick brown fox jumps over the lazy dog"))
