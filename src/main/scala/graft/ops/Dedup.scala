@@ -23,10 +23,17 @@ object Dedup {
 
   /** Spread a small-file input across cores before heavy per-row compute:
     * a single-row-group parquet table arrives as ONE partition, which
-    * would serialize signature computation on one thread. No-op when the
-    * input already has enough partitions (the normal cluster case). */
+    * would serialize signature computation on one thread. The target is
+    * bounded by ~1k rows per partition (plan-stats estimate, free on
+    * cached relations): full parallelism for a tiny input just multiplies
+    * shuffle FILES — stack-sampled at 60-80% of an LSH operator's wall
+    * time at small scale — without adding useful concurrency. No-op when
+    * the input already has enough partitions (the normal cluster case,
+    * where every partition holds far more than 1k rows). */
   private[graft] def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
+    val target = math.min(
+      df.sparkSession.sparkContext.defaultParallelism.toLong,
+      math.max(1L, Similarity.approxRows(df) / 1000L)).toInt
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 

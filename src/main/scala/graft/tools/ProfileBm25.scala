@@ -37,8 +37,9 @@ object ProfileBm25 {
       println(f"$label%-24s min=${runs.min}%.3f runs=${runs.map(r => f"$r%.3f").mkString(",")}")
     }
 
-    val fn = graft.SparkEntry.queries("x41_bm25_batch")
-    time("x41 full")(fn(spark, sfDir).count())
+    val qname = args.headOption.getOrElse("x41_bm25_batch")
+    val fn = graft.SparkEntry.queries(qname)
+    time(s"$qname full")(fn(spark, sfDir).count())
     verbose = true
     fn(spark, sfDir).count()
     verbose = false
