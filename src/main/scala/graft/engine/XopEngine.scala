@@ -736,6 +736,8 @@ object XopEngine {
             Errors.malformed(s"xop '$name': right dataset has no column", c)
           for (c <- payload if ExprCompiler.hasColumn(df, c))
             Errors.malformed(s"xop '$name': payload column collides with the left table", c)
+          if (payload.distinct.length != payload.length)
+            Errors.malformed(s"xop '$name': duplicate payload columns")
         }
         graft.ops.Joins.equiJoin(df, rightDf, on, how, payload,
           boolArg(args, "broadcast", default = false, name))

@@ -10,11 +10,12 @@ import org.apache.spark.sql.functions._
   * Zaragoza 2009, with the +1 idf flooring Lucene uses so scores stay
   * non-negative at any document frequency).
   *
-  * Shape at scale: the query is a handful of literal terms, so per-doc
-  * term frequencies come from q codegen'd `filter` passes over the token
-  * array — a map-only projection with NO explode and NO (term, doc)
-  * shuffle; an inverted-index build would shuffle the whole corpus to
-  * answer one query. Corpus statistics (N, Σdl, per-term df) reduce to a
+  * Shape at scale: the query is a handful of literal terms, so the
+  * per-doc [dl, tf…] vector comes from ONE pass of the fused
+  * TermFreqsExpr kernel over the token array — a map-only projection
+  * with NO explode and NO (term, doc) shuffle; an inverted-index build
+  * would shuffle the whole corpus to answer one query. Corpus
+  * statistics (N, Σdl, per-term df) reduce to a
   * single one-row aggregate that broadcasts back over the scoring scan,
   * and the top-k collapses to TakeOrderedAndProject (per-partition
   * partial top-k, only k rows per partition reach the driver). Two
