@@ -215,6 +215,22 @@ class XopSpec extends AnyFunSuite {
       """{"xop": {"name": "emb_cluster", "args": {"id": "id", "column": "id", "k": 2}}}""") }
   }
 
+  test("cluster-balanced sampling: emb_cluster nests into sample_stratified") {
+    // the semantic-balancing chain: assign clusters, then keep k per
+    // cluster — one nested-from query, strata = the derived column
+    val out = runV(
+      """{"xop": {"name": "sample_stratified",
+                  "args": {"id": "id", "strata": "cluster", "k": 1}},
+          "from": {"xop": {"name": "emb_cluster",
+                           "args": {"id": "id", "column": "vec",
+                                    "k": 2, "iters": 2}}},
+          "order_by": ["id"]}""")
+    val picked = out.collect().map(r =>
+      (r.getAs[Number]("id").longValue, r.getAs[Int]("cluster")))
+    assert(picked.length == 2)                  // one per cluster
+    assert(picked.map(_._2).distinct.length == 2) // both clusters present
+  }
+
   test("ann_brute answers inline query_vectors (ids never collide)") {
     val out = runV(
       """{"xop": {"name": "ann_brute",
