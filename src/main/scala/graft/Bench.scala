@@ -62,10 +62,18 @@ object Bench {
     val results = passes.head.keys.map { k =>
       k -> passes.map(_(k)).min
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The harness that collects this line keeps only a bounded tail of the
+    // process output (observed: 2000 chars including sbt's trailing
+    // "[success] Total time" line); at 9-decimal precision a 69-query map
+    // overflows that window and the line's head gets cut off, so the round-6
+    // line failed to parse. 3 decimals (1 ms) is ample for 30-600 ms
+    // queries and keeps ~10 queries of growth headroom; full-precision
+    // numbers live in the local BENCH_NOTES runs.
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

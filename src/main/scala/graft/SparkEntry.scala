@@ -868,7 +868,7 @@ object SparkEntry {
            FROM documents),
          f AS (
            SELECT doc_id,
-                  CAST(len(tk) AS DOUBLE) AS dl,
+                  CAST(CASE WHEN tk = [''] THEN 0 ELSE len(tk) END AS DOUBLE) AS dl,
                   CAST(len(list_filter(tk, x -> x = 'hash')) AS DOUBLE) AS tf0,
                   CAST(len(list_filter(tk, x -> x = 'join')) AS DOUBLE) AS tf1,
                   CAST(len(list_filter(tk, x -> x = 'filter')) AS DOUBLE) AS tf2
@@ -912,21 +912,24 @@ object SparkEntry {
            FROM documents),
          post AS (
            SELECT term, doc_id, max(dl) AS dl, count(*) AS tf
-           FROM (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM d)
+           FROM (SELECT doc_id,
+                        CASE WHEN tk = [''] THEN 0 ELSE len(tk) END AS dl,
+                        unnest(tk) AS term FROM d)
            WHERE term IN (SELECT term FROM qt)
            GROUP BY term, doc_id),
          s AS (
            SELECT CAST(count(*) AS DOUBLE) AS n,
-                  CAST(CAST(sum(len(tk)) AS BIGINT) AS DOUBLE) AS sumdl
+                  CAST(CAST(sum(CASE WHEN tk = [''] THEN 0 ELSE len(tk) END)
+                       AS BIGINT) AS DOUBLE) AS sumdl
            FROM d),
          dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS dfc FROM post GROUP BY term),
          sc AS (
            SELECT qt.query_id, post.doc_id,
-                  floor(sum(
+                  floor(list_aggregate(list(
                       ln((n - dfc + 0.5) / (dfc + 0.5) + 1) * CAST(tf AS DOUBLE) * (1.2 + 1)
                         / (CAST(tf AS DOUBLE)
                            + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (sumdl / n)))
-                  ) * 10000.0 + 0.5) / 10000.0 AS score
+                      ORDER BY term), 'sum') * 10000.0 + 0.5) / 10000.0 AS score
            FROM post JOIN dft USING (term) JOIN qt USING (term) CROSS JOIN s
            GROUP BY qt.query_id, post.doc_id, n, sumdl)
          SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score FROM (

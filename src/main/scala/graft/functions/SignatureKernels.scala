@@ -533,7 +533,10 @@ case class CharEntropyExpr(child: Expression) extends UnaryExpression {
   * codegen stage and touches each token once, comparing against the
   * (small, literal) term list. The [""] single-empty-token artifact of
   * splitting an empty normalized string counts as dl = 0, matching
-  * TextOps.tokenCount. */
+  * TextOps.tokenCount. Null ELEMENTS (possible via the user-exposed SQL
+  * function, never from TextOps.tokens) count toward dl but match no
+  * term — the same result the HOF cross-check's `x === term` filter
+  * yields, instead of an executor NPE. */
 case class TermFreqsExpr(child: Expression, terms: Seq[String])
     extends UnaryExpression {
   require(terms.nonEmpty, "terms must be non-empty")
@@ -553,16 +556,18 @@ case class TermFreqsExpr(child: Expression, terms: Seq[String])
   def freqsRow(arr: ArrayData): ArrayData = {
     val m = arr.numElements()
     val out = new Array[Int](termBytes.length + 1)
-    val empty = m == 1 && arr.getUTF8String(0).numBytes() == 0
+    val empty = m == 1 && !arr.isNullAt(0) && arr.getUTF8String(0).numBytes() == 0
     out(0) = if (empty) 0 else m
     if (!empty) {
       var i = 0
       while (i < m) {
-        val tok = arr.getUTF8String(i)
-        var t = 0
-        while (t < termBytes.length) {
-          if (termBytes(t).equals(tok)) out(t + 1) += 1
-          t += 1
+        if (!arr.isNullAt(i)) {
+          val tok = arr.getUTF8String(i)
+          var t = 0
+          while (t < termBytes.length) {
+            if (termBytes(t).equals(tok)) out(t + 1) += 1
+            t += 1
+          }
         }
         i += 1
       }

@@ -132,11 +132,22 @@ object Search {
     val contrib = idf * tf * lit(k1 + 1.0) /
       (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl").cast("double") / avgdl))
 
+    // Per-term contributions are summed in TERM order, not partial-agg
+    // arrival order: collect the (term, contrib) pairs, sort, left-fold.
+    // A plain sum() leaves the double addition order up to the shuffle,
+    // so a score landing exactly on a 4th-decimal rounding boundary
+    // could flip between runs (and against the oracle, which replays the
+    // same ordered fold). The arrays are query-term-sized (a handful of
+    // elements), so the interpreted HOF fold is noise.
     val scored = withDf
       .join(broadcast(qTerms), Seq("__term"))
       .crossJoin(broadcast(stats))
       .groupBy("__qid", "__doc")
-      .agg(round(sum(contrib), 4).as("score"))
+      .agg(collect_list(struct(col("__term").as("t"), contrib.as("c"))).as("__cs"))
+      .withColumn("score", round(
+        aggregate(array_sort(col("__cs")), lit(0.0d),
+          (acc, x) => acc + x.getField("c")), 4))
+      .drop("__cs")
       .filter(col("score") > 0)
     val w = Window.partitionBy(col("__qid"))
       .orderBy(col("score").desc, col("__doc"))

@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   * corpus plan + build params. Bounded (drops the oldest entry past 64 —
   * each entry is nCells × dim doubles, a few KB). `clear()` for tests. */
 private[graft] object IvfIndexCache {
-  private type Key = (Int, String, Int, Int)
+  private type Key = (Int, String, String, Int, Int)
   private type Entry = (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
     Seq[Seq[Double]])
   private val maxEntries = 64
@@ -31,10 +31,14 @@ private[graft] object IvfIndexCache {
     override def removeEldestEntry(e: java.util.Map.Entry[Key, Entry]): Boolean =
       size() > maxEntries
   }
-  def getOrBuild(corpus: org.apache.spark.sql.DataFrame, vecCol: String,
-                 nCells: Int, iters: Int)(build: => Seq[Seq[Double]]): Seq[Seq[Double]] = {
+  /** `idCol` is part of the key because the deterministic centroid sample
+    * hashes ids — two builds over the same plan with different id columns
+    * select different centroids and must not share an entry. */
+  def getOrBuild(corpus: org.apache.spark.sql.DataFrame, idCol: String,
+                 vecCol: String, nCells: Int, iters: Int)
+                (build: => Seq[Seq[Double]]): Seq[Seq[Double]] = {
     val plan = corpus.queryExecution.analyzed
-    val key = (plan.semanticHash(), vecCol, nCells, iters)
+    val key = (plan.semanticHash(), idCol, vecCol, nCells, iters)
     cache.synchronized {
       val hit = cache.get(key)
       // the Int hash can collide across corpora; sameResult is the
@@ -56,14 +60,35 @@ object Similarity {
   def vecDim(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).head.getInt(0)
 
-  /** Row-count estimate for sizing LSH bucket width: reads the optimized
-    * plan's statistics when they carry a row count (free — e.g. a
-    * materialized cached relation), else pays one count job. Only the
-    * order of magnitude matters (consumers take a log2). */
-  private[ops] def approxRows(df: DataFrame): Long =
-    df.queryExecution.optimizedPlan.stats.rowCount
-      .map(c => math.max(c.toLong, 1L))
-      .getOrElse(math.max(df.count(), 1L))
+  /** Row-count estimate for sizing LSH bucket widths and partition
+    * spreads. Statistics-only — NEVER runs a job: the previous count()
+    * fallback re-executed the operator's whole upstream plan just to pick
+    * a hash width or a partition count, and rowCount does not propagate
+    * through Filter/Project without CBO, so any derived input paid it.
+    * Only the order of magnitude matters (consumers take a log2 or cap at
+    * defaultParallelism), so the estimate cascades:
+    *
+    *   1. top-level stats rowCount (free and exact on a materialized
+    *      cached relation — the store-once-query-many hot path);
+    *   2. the nearest descendant node carrying a rowCount — an upper
+    *      bound for the filter/project-only derivations these operators
+    *      see, and an upper bound only narrows LSH buckets;
+    *   3. sizeInBytes / 256 — order-of-magnitude for the text/embedding
+    *      tables involved (unknown sizes report Long.MaxValue, mapped to
+    *      a 1M-row guess rather than a nonsense 2^55). */
+  private[graft] def approxRows(df: DataFrame): Long = {
+    val plan = df.queryExecution.optimizedPlan
+    plan.stats.rowCount.map(c => math.max(c.toLong, 1L)).getOrElse {
+      plan.collectFirst {
+        case p if p.stats.rowCount.isDefined =>
+          math.max(p.stats.rowCount.get.toLong, 1L)
+      }.getOrElse {
+        val bytes = plan.stats.sizeInBytes
+        if (bytes >= BigInt(Long.MaxValue) / 4) 1L << 20
+        else math.max(bytes.toLong / 256L, 1L)
+      }
+    }
+  }
 
   /** Dot product of two array<double> columns — native codegen kernel
     * (graft.functions.DotProductExpr). */
@@ -140,13 +165,13 @@ object Similarity {
     * `bitsPerBand <= 0` (the default) scales the band width with the
     * corpus, `ceil(log2(n/16))` clamped to [4, 24] — a fixed width makes
     * bucket occupancy (and the per-query candidate count) grow linearly
-    * with corpus size. Costs one count job; pass it explicitly when the
-    * corpus size is known. */
+    * with corpus size. Sized from plan statistics (no job); pass it
+    * explicitly when the corpus size is known. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, bands: Int = 8, bitsPerBand: Int = 0,
               dim: Int = -1): DataFrame = {
     val bpb = if (bitsPerBand > 0) bitsPerBand else {
-      val n = approxRows(corpus) // plan stats when cached, else one count job
+      val n = approxRows(corpus) // stats-only estimate, never a job
       math.min(24, math.max(4, math.ceil(math.log(n / 16.0) / math.log(2)).toInt))
     }
     val bits = bands * bpb
@@ -246,9 +271,9 @@ object Similarity {
     * `cluster` (0-based) and `cohesion` (cosine to the assigned
     * centroid, rounded to 4 decimals). */
   def clusterAssign(df: DataFrame, idCol: String, vecCol: String, k: Int,
-                    iters: Int = 3, dim: Int = -1): DataFrame = {
+                    iters: Int = 3): DataFrame = {
     require(k > 0, "k must be positive")
-    val built = IvfIndexCache.getOrBuild(df, vecCol, k, iters) {
+    val built = IvfIndexCache.getOrBuild(df, idCol, vecCol, k, iters) {
       val sampled: Seq[Seq[Double]] = df
         .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
         .groupBy(pmod(xxhash64(col("__id")), lit(k)).as("__slot"))
@@ -273,7 +298,10 @@ object Similarity {
       .withColumn("cluster",
         (array_position(col("__scores"), array_max(col("__scores"))) - 1).cast("int"))
       .withColumn("cohesion",
-        round(array_max(col("__scores")) / norm(col(vecCol)), 4))
+        // an all-zero vector has norm 0 (and all-zero dots): define its
+        // cosine cohesion as 0 instead of NaN, matching cosine()'s guard
+        when(norm(col(vecCol)) === 0, lit(0.0))
+          .otherwise(round(array_max(col("__scores")) / norm(col(vecCol)), 4)))
       .drop("__scores")
   }
 
@@ -296,7 +324,7 @@ object Similarity {
     // cache key is the canonicalized corpus plan + build parameters, so a
     // changed corpus (different plan) rebuilds and identical corpora
     // share. Mirrors TableRegistry's store-once lifecycle.
-    val centroids = IvfIndexCache.getOrBuild(corpus, vecCol, nCells, kmeansIters) {
+    val centroids = IvfIndexCache.getOrBuild(corpus, idCol, vecCol, nCells, kmeansIters) {
       // Deterministic sample without a corpus sort: hash every id into one
       // of nCells slots and keep the min-hash vector per slot — partial
       // (map-side) aggregation reduces each partition to ≤ nCells rows
@@ -377,9 +405,9 @@ object Similarity {
                          threshold: Double, bands: Int = 8,
                          bitsPerBand: Int = 0, dim: Int = -1): DataFrame = {
     val bpb = if (bitsPerBand > 0) bitsPerBand else {
-      // plan stats when available (cached relation), else one count job
-      // over the input plan — callers that already know the corpus size
-      // should pass bitsPerBand explicitly to skip it
+      // stats-only estimate (exact on cached relations, bounded above
+      // on derived plans) — callers that already know the corpus size
+      // can pass bitsPerBand explicitly
       val n = approxRows(df)
       math.min(24, math.max(8, math.ceil(math.log(n / 16.0) / math.log(2)).toInt))
     }

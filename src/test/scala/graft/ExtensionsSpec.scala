@@ -81,4 +81,15 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the [''] empty-split artifact counts as zero tokens
     assert(r.getAs[scala.collection.Seq[Int]]("e") == Seq(0, 0))
   }
+
+  test("graft_term_freqs tolerates null array elements (count dl, match nothing)") {
+    // user-exposed SQL surface: arbitrary arrays can carry nulls, which
+    // must not NPE the executor — they count toward dl (like the HOF
+    // cross-check, where null === term filters out) but match no term
+    val r = spark.sql(
+      """SELECT graft_term_freqs(array(CAST(NULL AS STRING)), 'a') AS n1,
+                graft_term_freqs(array('a', CAST(NULL AS STRING), 'a'), 'a') AS n2""").head()
+    assert(r.getAs[scala.collection.Seq[Int]]("n1") == Seq(1, 0))
+    assert(r.getAs[scala.collection.Seq[Int]]("n2") == Seq(3, 2))
+  }
 }

@@ -319,6 +319,43 @@ class OpsSpec extends AnyFunSuite {
     assert(again == rows.map(t => t._1 -> t._2).toMap)
   }
 
+  test("clusterAssign: all-zero vector gets cohesion 0, not NaN") {
+    val z = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)), (3L, Seq(0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.clusterAssign(z, "vec_id", "embedding", k = 2, iters = 1)
+      .select("vec_id", "cohesion").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(3L) == 0.0)
+    assert(got.values.forall(c => !c.isNaN))
+  }
+
+  test("IVF index cache keys on the id column (different ids, different sample)") {
+    // same corpus plan, two id columns: the deterministic centroid sample
+    // hashes ids, so the builds must not share one cache entry
+    val two = Seq((1L, 100L, Seq(1.0, 0.0)), (2L, 50L, Seq(0.0, 1.0)),
+      (3L, 75L, Seq(1.0, 1.0)), (4L, 25L, Seq(-1.0, 0.5)))
+      .toDF("id_a", "id_b", "embedding").cache()
+    two.count()
+    IvfIndexCache.clear()
+    Similarity.clusterAssign(two, "id_a", "embedding", k = 2, iters = 0).collect()
+    val afterFirst = IvfIndexCache.size
+    Similarity.clusterAssign(two, "id_b", "embedding", k = 2, iters = 0).collect()
+    assert(afterFirst == 1 && IvfIndexCache.size == 2)
+    two.unpersist()
+  }
+
+  test("approxRows is stats-only on derived plans (no count job)") {
+    val base = spark.range(0, 1000).toDF("id").cache()
+    base.count() // materialize so the cached relation carries a rowCount
+    val derived = base.filter(col("id") < 10).select(col("id"))
+    // rowCount does not propagate through Filter/Project without CBO; the
+    // stats-only estimate is the cached child's upper bound (1000), NOT an
+    // executed count (10) — paying a count() here would re-run the whole
+    // upstream plan just to size a partition spread or an LSH band
+    assert(Similarity.approxRows(derived) == 1000L)
+    base.unpersist()
+  }
+
   test("kmeans-refined IVF: full probe still matches brute force; centroids move") {
     val queries = vecs.filter(col("vec_id") === 1)
     val brute = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", 3)
@@ -836,6 +873,43 @@ class OpsSpec extends AnyFunSuite {
     val single = Search.bm25(docs, "id", "text", "hash join", k = 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
     assert(batch == single && batch.nonEmpty)
+  }
+
+  test("bm25Batch 3-term scores use the sorted-term fold (layout-deterministic)") {
+    val docs = Seq((1L, "hash join filter hash"), (2L, "hash scan filter"),
+      (3L, "join filter join"), (4L, "hash join filter join hash filter"))
+      .toDF("id", "text")
+    val qs = Seq((9L, "hash join filter")).toDF("qid", "qtext")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Search.bm25Batch(d, "id", "text", qs, "qid", "qtext", k = 10)
+        .select("id", "score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val a = run(docs)
+    // physical layout must not change a single bit: contributions fold in
+    // sorted-term order regardless of partial-aggregation arrival order
+    assert(run(docs.repartition(13)) == a)
+    // pin the fold to the exact ordered float sequence the oracle replays:
+    // per (doc): fold over terms sorted lexicographically (filter<hash<join)
+    val toks = Map(1L -> Seq("hash", "join", "filter", "hash"),
+      2L -> Seq("hash", "scan", "filter"), 3L -> Seq("join", "filter", "join"),
+      4L -> Seq("hash", "join", "filter", "join", "hash", "filter"))
+    val n = toks.size.toDouble
+    val sumdl = toks.values.map(_.length).sum.toDouble
+    val avgdl = sumdl / n
+    val terms = Seq("filter", "hash", "join") // sorted
+    val df = terms.map(t => t -> toks.values.count(_.contains(t)).toDouble).toMap
+    val expected = toks.map { case (id, tk) =>
+      val score = terms.foldLeft(0.0) { (acc, t) =>
+        val tf = tk.count(_ == t).toDouble
+        if (tf == 0) acc else {
+          val idf = math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0)
+          acc + idf * tf * (1.2 + 1) /
+            (tf + 1.2 * (0.25 + 0.75 * tk.length.toDouble / avgdl))
+        }
+      }
+      id -> math.floor(score * 10000.0 + 0.5) / 10000.0
+    }.filter(_._2 > 0).toSeq.sortBy(_._1)
+    assert(a == expected)
   }
 
   test("bm25Batch keeps k per query independently") {
