@@ -622,6 +622,47 @@ object SparkEntry {
           element_at(col("features"), 1).cast("long").as("payload_bytes"),
           size(col("features")).as("n_features"))
         .orderBy("asset_id")
+    }),
+
+    // TF-IDF keywords: one (doc, term) shuffle with map-side combine,
+    // postings-window document frequency, per-doc WindowGroupLimit top-k
+    "x44_tfidf_keywords" -> ((s, dir) =>
+      graft.ops.Search.tfidfKeywords(t(s, dir, "documents"),
+        "doc_id", "text", k = 5)
+        .orderBy("doc_id", "rank")),
+
+    // Gopher-style rule filter with an audit trail: map-only; thresholds
+    // here are calibrated so the synthetic corpus splits on every rule
+    // (operator defaults are the real-world Gopher-ish values)
+    "x45_quality_rules" -> ((s, dir) =>
+      graft.ops.TextOps.qualityRules(t(s, dir, "documents"), "doc_id", "text",
+        minTokens = 20, maxTokens = 80, minMeanLen = 3.0, maxMeanLen = 4.8,
+        maxDupWordFrac = 0.6, minStopwordRatio = 0.02, minAlphaRatio = 0.7)
+        .select("doc_id", "n_tokens", "pass", "reasons").orderBy("doc_id")),
+
+    // corpus-self unigram LM fluency scoring: one token shuffle to the
+    // vocabulary join, per-doc ordered log fold (bit-stable)
+    "x46_unigram_nll" -> ((s, dir) =>
+      graft.ops.Search.unigramNll(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // granule-bucketed range join: events into literal time windows
+    // (w5 overlaps w1/w3, proving many-to-many pairs survive exactly once)
+    "x47_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val dayNs = 86400L * 1000000000L
+      def ns(day: Int): Long =
+        java.time.LocalDate.of(2024, 1, day)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond * 1000000000L
+      val windows = Seq(
+        ("w1", ns(3), ns(7)), ("w2", ns(10), ns(11)), ("w3", ns(15), ns(22)),
+        ("w4", ns(25), ns(26)), ("w5", ns(5), ns(16)))
+        .toDF("window_name", "w_start", "w_end")
+      graft.ops.Joins.rangeJoin(
+        t(s, dir, "events").select("event_id", "ts", "event_type"),
+        windows, "ts", "w_start", "w_end", Seq("window_name"),
+        granule = dayNs)
+        .select("event_id", "window_name").orderBy("event_id", "window_name")
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1320,5 +1361,107 @@ object SparkEntry {
          SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
                 count(*) AS n_events, round(sum(value), 4) AS total_value
          FROM s GROUP BY user_id, sid
-         ORDER BY user_id, session_start""")
+         ORDER BY user_id, session_start""",
+    // smooth-idf TF-IDF (sklearn formulation); floor(x·1e4+½)/1e4
+    // emulates Spark HALF_UP round (x34/x38 precedent)
+    "x44_tfidf_keywords" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+           FROM documents),
+         post AS (
+           SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(tk) AS term FROM d)
+           WHERE term <> '' GROUP BY doc_id, term),
+         s AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
+         dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS dfc FROM post GROUP BY term)
+         SELECT doc_id, term, score, rank FROM (
+           SELECT post.doc_id, post.term,
+                  floor(CAST(tf AS DOUBLE) * (ln((1.0 + n) / (1.0 + dfc)) + 1.0)
+                        * 10000.0 + 0.5) / 10000.0 AS score,
+                  row_number() OVER (PARTITION BY post.doc_id
+                    ORDER BY floor(CAST(tf AS DOUBLE) * (ln((1.0 + n) / (1.0 + dfc)) + 1.0)
+                        * 10000.0 + 0.5) / 10000.0 DESC, post.term) AS rank
+           FROM post JOIN dft USING (term) CROSS JOIN s)
+         WHERE rank <= 5
+         ORDER BY doc_id, rank""",
+    // every ratio is ONE IEEE division of exact integers compared raw, so
+    // the flags agree bit-for-bit with the Spark side with no rounding
+    "x45_quality_rules" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk,
+                  len(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS nl
+           FROM documents),
+         f AS (
+           SELECT doc_id,
+                  CASE WHEN tk = [''] THEN 0 ELSE len(tk) END AS n,
+                  CASE WHEN tk = [''] THEN 0.0
+                       ELSE (CAST(nl AS DOUBLE) - (CAST(len(tk) AS DOUBLE) - 1))
+                            / CAST(len(tk) AS DOUBLE) END AS mwl,
+                  CASE WHEN tk = [''] THEN 0.0
+                       ELSE (CAST(len(tk) AS DOUBLE) - len(list_distinct(tk)))
+                            / CAST(len(tk) AS DOUBLE) END AS dupf,
+                  CASE WHEN tk = [''] THEN 0.0
+                       ELSE CAST(len(list_filter(tk, x -> x IN
+                      ('the','a','of','and','to','in','is','that','it','for',
+                       'el','la','de','y','que','en','un','una','es','por',
+                       'le','et','une','est','pour',
+                       'der','die','das','und','zu','ist','ein','eine','mit'))) AS DOUBLE)
+                            / CAST(len(tk) AS DOUBLE) END AS stopr,
+                  CASE WHEN len(text) = 0 THEN 0.0
+                       ELSE CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                            / len(text) END AS alphar
+           FROM t),
+         r AS (
+           SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                  -- array_to_string of an EMPTY list is NULL in DuckDB
+                  -- (Spark array_join gives ''): coalesce
+                  coalesce(array_to_string(list_filter([
+                    CASE WHEN alphar < 0.7 THEN 'alpha_ratio' END,
+                    CASE WHEN dupf > 0.6 THEN 'dup_word_frac' END,
+                    CASE WHEN mwl < 3.0 OR mwl > 4.8 THEN 'mean_token_len' END,
+                    CASE WHEN stopr < 0.02 THEN 'stopword_ratio' END,
+                    CASE WHEN n < 20 OR n > 80 THEN 'word_count' END],
+                    x -> x IS NOT NULL), ','), '') AS reasons
+           FROM f)
+         SELECT doc_id, n_tokens, reasons = '' AS pass, reasons
+         FROM r ORDER BY doc_id""",
+    // per-token ln folds in POSITION order (list ... ORDER BY pos +
+    // list_aggregate = the same left fold as the Spark side's
+    // collect/sort/aggregate), mean negated to stay positive
+    "x46_unigram_nll" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+           FROM documents),
+         tok AS (
+           SELECT doc_id, term, pos FROM (
+             SELECT doc_id, unnest(tk) AS term,
+                    unnest(range(1, len(tk) + 1)) AS pos
+             FROM d)
+           WHERE term <> ''),
+         v AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+         s AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM tok),
+         per AS (
+           SELECT doc_id,
+                  list(ln(CAST(c AS DOUBLE) / tot) ORDER BY pos) AS lps
+           FROM tok JOIN v USING (term) CROSS JOIN s
+           GROUP BY doc_id)
+         SELECT doc_id, CAST(len(lps) AS BIGINT) AS n_tokens,
+                floor(-(list_aggregate(lps, 'sum') / len(lps)) * 10000.0 + 0.5)
+                  / 10000.0 AS nll
+         FROM per ORDER BY doc_id""",
+    // exact point-in-interval semantics; the granule bucketing is a plan
+    // detail the oracle need not replay
+    "x47_range_join" ->
+      """WITH w(window_name, w_start, w_end) AS (
+           VALUES ('w1', TIMESTAMP '2024-01-03 00:00:00', TIMESTAMP '2024-01-07 00:00:00'),
+                  ('w2', TIMESTAMP '2024-01-10 00:00:00', TIMESTAMP '2024-01-11 00:00:00'),
+                  ('w3', TIMESTAMP '2024-01-15 00:00:00', TIMESTAMP '2024-01-22 00:00:00'),
+                  ('w4', TIMESTAMP '2024-01-25 00:00:00', TIMESTAMP '2024-01-26 00:00:00'),
+                  ('w5', TIMESTAMP '2024-01-05 00:00:00', TIMESTAMP '2024-01-16 00:00:00'))
+         SELECT event_id, window_name
+         FROM events e JOIN w ON e.ts >= w.w_start AND e.ts <= w.w_end
+         ORDER BY event_id, window_name""")
 }

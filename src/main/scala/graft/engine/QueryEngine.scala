@@ -342,18 +342,44 @@ object QueryEngine {
             case s: String if hasColumn(df, s) => s
             case other => Errors.malformed("Distinct column not in table", other)
           }
-        // Both paths dedup through a window, NOT dropDuplicates: the
-        // aggregate under dropDuplicates rewrites float values through
-        // NormalizeFloatingNumbers (-0.0 → 0.0), so repeated distinct
-        // would not be idempotent at the value level. A window normalizes
-        // only its PARTITION keys and returns the original rows — value-
-        // preserving like pandas drop_duplicates (fuzz-found).
-        val withOrd =
-          if (hasColumn(df, RowId)) df.withColumn("__ord__", df(RowId))
-          else df.withColumn("__ord__", monotonically_increasing_id())
-        val w = Window.partitionBy(subset.map(withOrd(_)): _*).orderBy(col("__ord__"))
-        withOrd.withColumn("__rn__", row_number().over(w))
-          .filter(col("__rn__") === 1).drop("__rn__", "__ord__")
+        // Dedup shape choice. The general path is a window, NOT
+        // dropDuplicates: the aggregate under dropDuplicates rewrites
+        // float values through NormalizeFloatingNumbers (-0.0 → 0.0), so
+        // repeated distinct would not be idempotent at the value level. A
+        // window normalizes only its PARTITION keys and returns the
+        // original rows — value-preserving like pandas drop_duplicates
+        // (fuzz-found). But the window shuffles EVERY row into
+        // |distinct-combinations| partitions — with few combinations
+        // (the typical distinct-[] target) that is a full-data exchange
+        // into heavily skewed partitions, each sorted. When the subset
+        // covers ALL user columns, the kept "first" row is fully
+        // determined by its keys plus the minimum ingest order, so a hash
+        // AGGREGATE computes it with map-side partial combine: each task
+        // reduces to ≤ |combinations| rows before the exchange, the scale
+        // shape for a 100 TB distinct. Gated on no float/double key so
+        // the aggregate's key normalization can't alter returned values.
+        val floatKey = subset.exists(c => df.schema(c).dataType match {
+          case org.apache.spark.sql.types.FloatType |
+               org.apache.spark.sql.types.DoubleType => true
+          case _ => false
+        })
+        val onlySubsetAndRowId =
+          df.columns.forall(c => c == RowId || subset.contains(c)) &&
+            subset.forall(df.columns.contains)
+        if (onlySubsetAndRowId && !floatKey) {
+          if (hasColumn(df, RowId)) {
+            val agg = df.groupBy(subset.map(df(_)): _*)
+              .agg(min(df(RowId)).as(RowId))
+            agg.select(df.columns.toSeq.map(col): _*) // original column order
+          } else df.distinct()
+        } else {
+          val withOrd =
+            if (hasColumn(df, RowId)) df.withColumn("__ord__", df(RowId))
+            else df.withColumn("__ord__", monotonically_increasing_id())
+          val w = Window.partitionBy(subset.map(withOrd(_)): _*).orderBy(col("__ord__"))
+          withOrd.withColumn("__rn__", row_number().over(w))
+            .filter(col("__rn__") === 1).drop("__rn__", "__ord__")
+        }
     }
 
   // -------------------------------------------------------------------

@@ -5,8 +5,8 @@ import scala.collection.Map
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Decontaminate, Embeddings, Multimodal, Packing,
-  Profile, Sampling, Search, Similarity, TextOps}
+import graft.ops.{Dedup, Decontaminate, Embeddings, Joins, Multimodal,
+  Packing, Profile, Sampling, Search, Similarity, TextOps}
 import graft.streaming.EventStreams
 
 /** Extension-operator clause of the JSON dialect (SURVEY §7.5: extensions
@@ -741,6 +741,102 @@ object XopEngine {
         }
         graft.ops.Joins.equiJoin(df, rightDf, on, how, payload,
           boolArg(args, "broadcast", default = false, name))
+
+      // per-document TF-IDF keywords (smooth idf, top-k per doc)
+      case "tfidf_keywords" =>
+        knownArgs("id", "column", "k")
+        val k = intArg(args, "k", 5, name).toInt
+        if (k <= 0) Errors.malformed(s"xop '$name': k must be positive")
+        Search.tfidfKeywords(df, column(df, args, "id", name),
+          column(df, args, "column", name), k)
+
+      // Gopher-style quality rule audit (pass + failed-rule reasons)
+      case "quality_rules" =>
+        knownArgs("id", "column", "min_tokens", "max_tokens", "min_mean_len",
+          "max_mean_len", "max_dup_word_frac", "min_stopword_ratio",
+          "min_alpha_ratio")
+        TextOps.qualityRules(df, column(df, args, "id", name),
+          column(df, args, "column", name),
+          minTokens = intArg(args, "min_tokens", 50, name),
+          maxTokens = intArg(args, "max_tokens", 100000, name),
+          minMeanLen = doubleArgOpt(args, "min_mean_len", 3.0, name),
+          maxMeanLen = doubleArgOpt(args, "max_mean_len", 10.0, name),
+          maxDupWordFrac = doubleArgOpt(args, "max_dup_word_frac", 0.6, name),
+          minStopwordRatio = doubleArgOpt(args, "min_stopword_ratio", 0.02, name),
+          minAlphaRatio = doubleArgOpt(args, "min_alpha_ratio", 0.7, name))
+
+      // corpus-self unigram LM mean surprisal (fluency signal)
+      case "unigram_nll" =>
+        knownArgs("id", "column")
+        Search.unigramNll(df, column(df, args, "id", name),
+          column(df, args, "column", name))
+
+      // point-in-interval range join against a stored interval dataset
+      case "range_join" =>
+        knownArgs("right", "ts", "start", "end", "payload", "granule",
+          "on", "how")
+        val rightDf = dataset("right").drop(RowId)
+        // the operator casts time columns to long: statically reject types
+        // the ANSI cast would crash on per row (a 500 instead of a 400)
+        def timeLike(d: DataFrame, c: String): Unit = d.schema(c).dataType match {
+          case _: org.apache.spark.sql.types.NumericType => ()
+          case org.apache.spark.sql.types.TimestampType => ()
+          case _ => Errors.malformed(
+            s"xop '$name': time column must be numeric or timestamp", c)
+        }
+        val ts = column(df, args, "ts", name)
+        timeLike(df, ts)
+        val startC = reqStr(args, "start", name)
+        val endC = reqStr(args, "end", name)
+        for (c <- Seq(startC, endC)) {
+          if (!ExprCompiler.hasColumn(rightDf, c))
+            Errors.malformed(s"xop '$name': right dataset has no column", c)
+          timeLike(rightDf, c)
+        }
+        val granule = intArg(args, "granule", 0, name)
+        if (granule <= 0)
+          Errors.malformed(s"xop '$name': 'granule' must be a positive integer")
+        val payload = args.get("payload") match {
+          case Some(l: List[Any] @unchecked) if l.nonEmpty => l.map {
+            case s: String => s
+            case other =>
+              Errors.malformed(s"xop '$name': payload entries must be column names", other)
+          }
+          case Some(s: String) => List(s)
+          case _ =>
+            Errors.malformed(s"xop '$name': 'payload' must be a non-empty column list")
+        }
+        for (c <- payload if !ExprCompiler.hasColumn(rightDf, c))
+          Errors.malformed(s"xop '$name': right dataset has no column", c)
+        for (c <- payload if ExprCompiler.hasColumn(df, c))
+          Errors.malformed(s"xop '$name': payload column collides with the left table", c)
+        val on: Seq[(String, String)] = args.get("on") match {
+          case None => Seq.empty
+          case Some(l: List[Any] @unchecked) => l.map {
+            case s: String => (s, s)
+            case p: List[Any] @unchecked => p match {
+              case (a: String) :: (bb: String) :: Nil => (a, bb)
+              case _ =>
+                Errors.malformed(s"xop '$name': 'on' entries must be a column or [left, right] pair", p)
+            }
+            case other =>
+              Errors.malformed(s"xop '$name': 'on' entries must be a column or [left, right] pair", other)
+          }
+          case Some(other) =>
+            Errors.malformed(s"xop '$name': 'on' must be a list of keys", other)
+        }
+        for ((lc, _) <- on if !ExprCompiler.hasColumn(df, lc))
+          Errors.malformed(s"xop '$name': unknown column", lc)
+        for ((_, rc) <- on if !ExprCompiler.hasColumn(rightDf, rc))
+          Errors.malformed(s"xop '$name': right dataset has no column", rc)
+        val how = args.get("how") match {
+          case None => "inner"
+          case Some(s: String) if Set("inner", "left")(s) => s
+          case Some(other) =>
+            Errors.malformed(s"xop '$name': how must be inner or left", other)
+        }
+        Joins.rangeJoin(df.drop(RowId), rightDf, ts, startC, endC, payload,
+          granule, on, how)
 
       case other =>
         Errors.malformed("Unknown xop", other)

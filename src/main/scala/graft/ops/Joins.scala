@@ -42,6 +42,77 @@ object Joins {
     }
   }
 
+  /** Point-in-interval range join: each left row (at `tsCol`) matches
+    * every right interval with `startCol <= ts <= endCol` (inclusive),
+    * optionally also equi-matched on `on` key pairs. `how` is inner |
+    * left. Time columns are integral (longs; timestamps cast to epoch
+    * seconds — pass raw nanos for sub-second precision).
+    *
+    * Shape at scale: Spark's native plan for a pure range predicate is a
+    * broadcast-nested-loop — fine only while one side broadcasts. This
+    * operator GRANULATES time instead: each left row computes one bucket
+    * id `floor(ts / granule)`, each interval explodes to the granules it
+    * overlaps, and the join becomes a plain EQUI-join on
+    * (granule, keys…) with the exact range predicate alongside — hash
+    * shuffle on both sides, no nested loop, AQE still free to broadcast
+    * a small exploded side. Each matching pair meets in exactly one
+    * granule (the left row's), so no post-join dedup is needed. Pick
+    * `granule` near the typical interval length: the explode factor is
+    * ~(interval span / granule) per interval, and a granule far smaller
+    * than intervals multiplies the right side, while one far larger
+    * makes every bucket a mini nested-loop. Intervals spanning ≥ 100k
+    * granules fail fast rather than exploding silently; intervals with
+    * end < start match nothing.
+    *
+    * Returns every left column plus `payloadCols` from the right. */
+  def rangeJoin(left: DataFrame, right: DataFrame, tsCol: String,
+                startCol: String, endCol: String, payloadCols: Seq[String],
+                granule: Long, on: Seq[(String, String)] = Seq.empty,
+                how: String = "inner"): DataFrame = {
+    require(granule > 0, "granule must be positive")
+    require(payloadCols.nonEmpty, "rangeJoin needs at least one payload column")
+    val sparkHow = how match {
+      case "inner" => "inner"
+      case "left"  => "left_outer"
+      case other   => throw new IllegalArgumentException(s"unknown join how: $other")
+    }
+    payloadCols.find(left.columns.contains).foreach { c =>
+      throw new IllegalArgumentException(s"payload column collides with left: $c") }
+
+    // floor(ts / granule) in EXACT integer arithmetic: subtracting the
+    // non-negative pmod makes the numerator an exact multiple, so SQL
+    // `div` (truncating) equals floor even for negative epochs — a
+    // double-typed division of ns-scale longs (2^60) would round the
+    // quotient across bucket boundaries (53-bit mantissa).
+    def bucket(c: Column): Column =
+      ((c - pmod(c, lit(granule))).cast("decimal(38,0)") / lit(granule))
+        .cast("long")
+
+    val lt = left.withColumn("__rj_ts", left(tsCol).cast("long"))
+      .withColumn("__rj_g", bucket(col("__rj_ts")))
+    val maxSpan = 100000L
+    val rt = right
+      .withColumn("__rj_s", right(startCol).cast("long"))
+      .withColumn("__rj_e", right(endCol).cast("long"))
+      .filter(col("__rj_e") >= col("__rj_s")) // sequence() would count DOWN
+      .withColumn("__rj_g", explode(sequence(
+        bucket(col("__rj_s")),
+        // assert_true yields null when the guard holds: coalesce keeps the
+        // bound inside the sequence argument so column pruning can't drop it
+        bucket(col("__rj_e")) + coalesce(
+          assert_true(bucket(col("__rj_e")) - bucket(col("__rj_s")) < lit(maxSpan),
+            lit(s"rangeJoin: an interval spans >= $maxSpan granules; " +
+              "raise `granule` toward the typical interval length")).cast("long"),
+          lit(0L)))))
+
+    val keyCond = on.map { case (l, r) => lt(l) === rt(r) }
+    val cond = (Seq(lt("__rj_g") === rt("__rj_g"),
+      lt("__rj_ts") >= rt("__rj_s"), lt("__rj_ts") <= rt("__rj_e")) ++ keyCond)
+      .reduce(_ && _)
+    lt.join(rt, cond, sparkHow)
+      .select(left.columns.toSeq.map(lt(_)) ++ payloadCols.map(rt(_)): _*)
+  }
+
   /** As-of join: for every left row, attach the payload of the single
     * right row with the LARGEST `right.timeCol <= left.timeCol` within
     * the same key — "the latest reading at or before this event" (the

@@ -156,6 +156,80 @@ object Search {
       .select(col("__qid").as(qIdCol), col("__doc").as(idCol), col("score"))
   }
 
+  /** Top-`k` characteristic terms per document by TF-IDF — the keyword /
+    * topic-signal extraction stage of a corpus pipeline. Smooth-idf
+    * weighting (`tf · (ln((1+N)/(1+df)) + 1)`, the sklearn formulation,
+    * public-standard), scores rounded to 4 decimals, ties broken on
+    * ascending term so output is engine-portable.
+    *
+    * Shape at scale: one explode of the token stream into a single
+    * (doc, term) count aggregation — map-side combine absorbs in-document
+    * repetition before the one full shuffle exact TF-IDF cannot avoid.
+    * Per-term document frequency is a window over the SAME postings
+    * lineage (tiny second exchange, no re-scan of the corpus subtree —
+    * the bm25Batch lesson), the one-row corpus count broadcasts back,
+    * and the per-doc top-k rank window prunes to k rows per doc map-side
+    * (WindowGroupLimit). Returns (idCol, term, score, rank). */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val postings = docs
+      .select(col(idCol).as("__doc"), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col("__doc"), explode(col("__toks")).as("__term"))
+      .filter(col("__term") =!= "")
+      .groupBy("__doc", "__term").agg(count(lit(1)).as("__tf"))
+    // (doc, term) is unique ⇒ df(term) = the term's postings row count
+    val withDf = postings.withColumn("__dfc",
+      count(lit(1)).over(Window.partitionBy(col("__term"))))
+    val stats = docs.agg(count(lit(1)).as("__n"))
+    val score = round(col("__tf").cast("double") *
+      (log((lit(1.0) + col("__n").cast("double")) /
+           (lit(1.0) + col("__dfc").cast("double"))) + lit(1.0)), 4)
+    val w = Window.partitionBy(col("__doc"))
+      .orderBy(col("score").desc, col("__term"))
+    withDf.crossJoin(broadcast(stats))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__doc").as(idCol), col("__term").as("term"),
+        col("score"), col("rank"))
+  }
+
+  /** Per-document mean token surprisal (negative log-likelihood) under
+    * the corpus's own unigram language model — the cheap
+    * fluency/gibberish signal (a CCNet-style perplexity filter with the
+    * n=1 model that needs no external artifact: p(t) = count(t)/Σcounts
+    * over this corpus). LOWER = more typical; rare-token soup scores
+    * high. Kept positive so the 4-decimal rounding emulation stays exact
+    * on every engine. Documents with zero tokens are omitted.
+    *
+    * Shape at scale: one posexplode of the token stream, one shuffle
+    * joining tokens to the aggregated vocabulary (the vocab can exceed
+    * broadcast size at corpus scale, so it stays a shuffled hash join —
+    * AQE downgrades to broadcast when it fits), the one-row total
+    * broadcasts, and the per-doc mean folds the per-token logs in token
+    * POSITION order (collect/sort/fold like [[bm25Batch]]) so the score
+    * is bit-stable across physical layouts and replayable by the SQL
+    * oracle. Returns (idCol, n_tokens, nll). */
+  def unigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("__doc"), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col("__doc"), posexplode(col("__toks")).as(Seq("__pos", "__term")))
+      .filter(col("__term") =!= "")
+    val vocab = toks.groupBy("__term").agg(count(lit(1)).as("__cnt"))
+    val total = toks.agg(count(lit(1)).as("__tot"))
+    val logp = log(col("__cnt").cast("double") / col("__tot").cast("double"))
+    toks.join(vocab, Seq("__term"))
+      .crossJoin(broadcast(total))
+      .groupBy("__doc")
+      .agg(collect_list(struct(col("__pos").as("p"), logp.as("lp"))).as("__ls"))
+      .select(col("__doc").as(idCol),
+        size(col("__ls")).cast("long").as("n_tokens"),
+        round(-(aggregate(array_sort(col("__ls")), lit(0.0d),
+          (acc, x) => acc + x.getField("lp")) / size(col("__ls"))), 4)
+          .as("nll"))
+  }
+
   /** Pure higher-order-function formulation of the [dl, tf…] vector —
     * value-identical to the native TermFreqsExpr kernel (asserted in
     * tests), kept as the reference implementation and codegen

@@ -91,6 +91,58 @@ object TextOps {
           lit(0.25) * (lit(1.0) - col("punct_ratio") * 5.0))) * 10000.0) + lit(0.5)) / 10000.0)
   }
 
+  /** Gopher-style quality RULE evaluation (Rae et al. 2021's filter
+    * family, public-standard): each document is checked against a set of
+    * threshold rules and annotated with `pass` plus the comma-joined,
+    * alphabetically-ordered list of failed-rule names — the audit trail a
+    * curation pipeline keeps so filtered data can be re-admitted when
+    * thresholds move.
+    *
+    * Rules (all tunable):
+    *   - `word_count`:      minTokens ≤ n ≤ maxTokens
+    *   - `mean_token_len`:  minMeanLen ≤ mean token length ≤ maxMeanLen
+    *   - `dup_word_frac`:   1 − distinct/total tokens ≤ maxDupWordFrac
+    *   - `stopword_ratio`:  stopword fraction ≥ minStopwordRatio
+    *   - `alpha_ratio`:     alphabetic-char fraction ≥ minAlphaRatio
+    *
+    * Engine-portable BY CONSTRUCTION: every ratio is one IEEE division of
+    * two exact integers (correctly rounded on any engine), compared raw —
+    * no float accumulation, no rounding step whose half-ties engines
+    * could disagree on. Map-only: one projection, the token array and
+    * normalized text computed once per row (multi-referenced non-cheap
+    * aliases survive CollapseProject), no shuffle at any corpus size. */
+  def qualityRules(df: DataFrame, idCol: String, textCol: String,
+                   minTokens: Long = 50, maxTokens: Long = 100000,
+                   minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                   maxDupWordFrac: Double = 0.6,
+                   minStopwordRatio: Double = 0.02,
+                   minAlphaRatio: Double = 0.7): DataFrame = {
+    val allStop = StopWords.values.flatten.toSeq.distinct
+    val base = df.select(col(idCol), col(textCol).as("__text"),
+      tokens(col(textCol)).as("__tk"),
+      normalizeText(col(textCol)).as("__norm"),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val n = col("n_tokens")
+    val nD = n.cast("double")
+    val meanLen = when(n > 0, (length(col("__norm")) - (nD - 1)) / nD).otherwise(0.0)
+    val dupFrac = when(n > 0, (nD - size(array_distinct(col("__tk")))) / nD).otherwise(0.0)
+    val stopRatio = when(n > 0,
+      stopwordHits(col("__tk"), allStop) / nD).otherwise(0.0)
+    val alphaRatio = when(length(col("__text")) > 0,
+      length(regexp_replace(col("__text"), "[^A-Za-z]", "")).cast("double") /
+        length(col("__text"))).otherwise(0.0)
+    val failed = array( // alphabetical, so `reasons` needs no sort
+      when(alphaRatio < minAlphaRatio, lit("alpha_ratio")),
+      when(dupFrac > maxDupWordFrac, lit("dup_word_frac")),
+      when(meanLen < minMeanLen || meanLen > maxMeanLen, lit("mean_token_len")),
+      when(stopRatio < minStopwordRatio, lit("stopword_ratio")),
+      when(n < minTokens || n > maxTokens, lit("word_count")))
+    base
+      .withColumn("reasons", array_join(filter(failed, x => x.isNotNull), ","))
+      .withColumn("pass", col("reasons") === "")
+      .drop("__text", "__tk", "__norm")
+  }
+
   /** Repetition features (Gopher-style quality rules): per-document
     * duplicate-word fraction and top-bigram fraction — the cheap signals
     * that catch degenerate/boilerplate text before training.

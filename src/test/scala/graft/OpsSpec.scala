@@ -921,6 +921,96 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 3L)) // densest doc per query
   }
 
+  test("tfidfKeywords surfaces document-distinctive terms, k-bounded ranks") {
+    val docs = Seq(
+      (1L, "spark spark spark unique1"),
+      (2L, "spark common unique2 unique2"),
+      (3L, "spark common other")).toDF("id", "text")
+    val out = Search.tfidfKeywords(docs, "id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.values.forall(rows => rows.map(_._4).sorted.toSeq == (1 to rows.length)))
+    assert(byDoc.values.forall(_.length <= 2))
+    // a term appearing only in doc 2 (twice) outranks corpus-wide 'spark'
+    assert(byDoc(2L).minBy(_._4)._2 == "unique2")
+    // idf floor: a term in EVERY doc still scores > 0 (smooth idf + 1)
+    assert(out.forall(_._3 > 0))
+  }
+
+  test("qualityRules: each rule fires on its crafted document") {
+    val good = ("good " * 30).trim // 30 tokens of 4 chars, but all dup...
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog " * 3), // pass-ish
+      (2L, "a b"),                                      // word_count (short)
+      (3L, ("internationalization " * 25).trim),        // mean_token_len + dup
+      (4L, ""),                                         // everything length-ish
+      (5L, ("7 ! " * 20).trim))                         // alpha_ratio
+      .toDF("id", "text")
+    val out = TextOps.qualityRules(docs, "id", "text",
+      minTokens = 5, maxTokens = 100, minMeanLen = 3.0, maxMeanLen = 8.0,
+      maxDupWordFrac = 0.8, minStopwordRatio = 0.0, minAlphaRatio = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(r.fieldIndex("pass")), r.getString(r.fieldIndex("reasons"))))
+      .toMap
+    assert(out(1L)._1, out(1L)._2)
+    assert(!out(2L)._1 && out(2L)._2.contains("word_count"))
+    assert(out(3L)._2.contains("mean_token_len"))
+    assert(out(3L)._2.contains("dup_word_frac"))
+    assert(!out(4L)._1 && out(4L)._2.contains("word_count"))
+    assert(out(5L)._2.contains("alpha_ratio"))
+    // reasons are comma-joined in fixed alphabetical order
+    assert(out.values.forall { case (_, rs) =>
+      rs.isEmpty || rs.split(",").toSeq == rs.split(",").toSeq.sorted })
+  }
+
+  test("unigramNll matches the hand-computed ordered fold") {
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "")).toDF("id", "text")
+    val out = Search.unigramNll(docs, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // counts: a=3, b=1, c=1, tot=5; zero-token doc 3 omitted
+    assert(out.map(_._1).sorted.toSeq == Seq(1L, 2L))
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(1L)._2 == 3 && byId(2L)._2 == 2)
+    val ln = (x: Double) => math.log(x)
+    val exp1 = -(((0.0 + ln(3.0 / 5)) + ln(3.0 / 5) + ln(1.0 / 5)) / 3)
+    val exp2 = -(((0.0 + ln(3.0 / 5)) + ln(1.0 / 5)) / 2)
+    assert(byId(1L)._3 == math.floor(exp1 * 10000.0 + 0.5) / 10000.0)
+    assert(byId(2L)._3 == math.floor(exp2 * 10000.0 + 0.5) / 10000.0)
+  }
+
+  test("rangeJoin: inclusive bounds, multi-granule intervals, keys, left how") {
+    val left = Seq(
+      (1L, 100L, "k1"), (2L, 250L, "k1"), (3L, 400L, "k2"),
+      (4L, 100L, "k2"), (5L, 999L, "k1")).toDF("eid", "ts", "key")
+    val right = Seq(
+      ("iv1", 100L, 400L, "k1"),  // spans granules 1..4 at granule=100
+      ("iv2", 380L, 420L, "k2"),  // straddles a granule boundary
+      ("iv3", 500L, 400L, "k1"))  // end < start: matches nothing
+      .toDF("name", "s", "e", "rkey")
+    val inner = Joins.rangeJoin(left, right, "ts", "s", "e", Seq("name"),
+      granule = 100L, on = Seq(("key", "rkey")))
+      .collect().map(r => (r.getLong(0), r.getString(3))).sorted.toSeq
+    // ts==start and ts==end both match (inclusive); key gates iv1 to k1
+    assert(inner == Seq((1L, "iv1"), (2L, "iv1"), (3L, "iv2")))
+    val lj = Joins.rangeJoin(left, right, "ts", "s", "e", Seq("name"),
+      granule = 100L, on = Seq(("key", "rkey")), how = "left")
+      .collect().map(r => (r.getLong(0), Option(r.getString(3)))).sorted.toSeq
+    assert(lj.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(lj.filter(_._2.isEmpty).map(_._1) == Seq(4L, 5L))
+  }
+
+  test("rangeJoin bucketing is exact at ns-epoch magnitudes") {
+    // 2^60-scale longs: a double-typed quotient would misbucket values
+    // within ~128 ns of a boundary; the decimal floor-div must not
+    val g = 86400L * 1000000000L
+    val b = 19700L * g // a day boundary near 1.7e18
+    val left = Seq((1L, b), (2L, b - 1L), (3L, b + 1L)).toDF("eid", "ts")
+    val right = Seq(("w", b, b + g - 1L)).toDF("name", "s", "e")
+    val out = Joins.rangeJoin(left, right, "ts", "s", "e", Seq("name"), granule = g)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 3L)) // b-1 falls in the previous day
+  }
+
   test("equiJoin how variants preserve left identity; nulls never match") {
     val l = Seq((1L, Some("a")), (2L, Some("b")), (3L, None))
       .map { case (i, k) => (i, k.orNull) }.toDF("id", "k")

@@ -162,7 +162,8 @@ class PropertySpec extends AnyFunSuite {
       "ann_ivf", "sessionize", "props_rollup", "mm_assets", "mm_chunks",
       "profile", "decontaminate", "exclude_ids", "asof", "char_entropy",
       "quantiles", "dedup_against", "split", "search_bm25", "dup_grams",
-      "join", "emb_cluster", "minhash_against", "zap")
+      "join", "emb_cluster", "minhash_against", "tfidf_keywords",
+      "quality_rules", "unigram_nll", "range_join", "zap")
     val argKeys = Seq("id", "column", "order", "chunk_tokens", "k",
       "fraction", "strata", "source", "weights", "default", "approx",
       "num_hashes", "bands", "threshold", "shingle", "action",
@@ -172,7 +173,9 @@ class PropertySpec extends AnyFunSuite {
       "time", "payload", "queries", "query_vectors", "probe", "cells", "qs",
       "corpus", "corpus_column", "splits", "query", "query_id",
       "query_text", "k1", "b", "on", "how", "columns", "broadcast",
-      "iters", "zap")
+      "iters", "ts", "start", "end", "granule", "min_tokens", "max_tokens",
+      "min_mean_len", "max_mean_len", "max_dup_word_frac",
+      "min_stopword_ratio", "min_alpha_ratio", "zap")
     val valGen: Gen[String] = Gen.oneOf(
       Gen.oneOf("id", "src", "text", "zz", "ds", "pairs", "drop", "flag")
         .map(s => s""""$s""""),
