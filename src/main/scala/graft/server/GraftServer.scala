@@ -43,7 +43,10 @@ final class GraftServer(spark: SparkSession, port: Int,
   // Trailing slash optional before the q suffix, like the reference's
   // tornado route (reference: app.py:308: `([A-Za-z0-9\-_]+)/?(q)?`).
   private val DatasetPath: Regex = "^/qcache/dataset/([A-Za-z0-9\\-_]+)/?(q)?$".r
-  private val AcceptedTypes = Set("application/json", "text/csv")
+  // json + csv are reference parity; x-ndjson is the graft extension for
+  // JSONL corpora (one record per line) on both store and query paths
+  private val AcceptedTypes =
+    Set("application/json", "text/csv", "application/x-ndjson")
 
   private val server = ssl match {
     case Some(ctx) =>
@@ -144,10 +147,10 @@ final class GraftServer(spark: SparkSession, port: Int,
         URLDecoder.decode(s.substring(2), UTF_8) }
       .getOrElse("")
 
-  /** Accept negotiation: json and csv only, json default; anything else
-    * 406 (reference: app.py:116-122). Deviation from the reference: a
-    * `*`/`*` wildcard (what curl and most clients send by default)
-    * resolves to json instead of 406. */
+  /** Accept negotiation: json, csv and ndjson (extension), json default;
+    * anything else 406 (reference: app.py:116-122). Deviation from the
+    * reference: a `*`/`*` wildcard (what curl and most clients send by
+    * default) resolves to json instead of 406. */
   private def acceptType(exchange: HttpExchange): String = {
     val accepted = header(exchange, "Accept").getOrElse("application/json")
       .split(',').map(_.split(';').head.trim)
@@ -226,6 +229,8 @@ final class GraftServer(spark: SparkSession, port: Int,
         // and the header is ignored (reference: app.py:249-257).
         if (ct == "text/csv")
           Ingest.fromCsv(spark, text, typeHints(exchange), standIns(exchange))
+        else if (ct == "application/x-ndjson")
+          Ingest.fromJsonLines(spark, text, Map.empty, standIns(exchange))
         else Ingest.fromJsonRecords(spark, text, Map.empty, standIns(exchange))
       } catch {
         case e: MalformedQueryException => throw new HttpFail(400, errorJson(e.getMessage))
@@ -241,7 +246,8 @@ final class GraftServer(spark: SparkSession, port: Int,
     // job and the shuffle read the parsed cache instead of each re-running
     // the body parse lineage.
     val estRows =
-      (if (ct == "text/csv") text.count(_ == '\n') else text.count(_ == '{')).toLong max 1L
+      (if (ct == "application/json") text.count(_ == '{')
+       else text.count(_ == '\n')).toLong max 1L
     val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
       (estRows / 50000L).toInt))
     parsed.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
@@ -315,6 +321,8 @@ final class GraftServer(spark: SparkSession, port: Int,
           else item.memoizedPlan(memoKey)(QueryEngine.run(withStandIns, q, resolver))
         val (text, rowCount) =
           if (accept == "text/csv") Serialize.toCsvCounted(result.df)
+          else if (accept == "application/x-ndjson")
+            Serialize.toJsonLinesCounted(result.df)
           else Serialize.toJsonCounted(result.df)
         val bytes = text.getBytes(UTF_8)
         // Without offset/limit the serialized row count IS the unsliced

@@ -164,4 +164,46 @@ object Ingest {
     }
     withRowId(addStandInColumns(applyTypeHints(ordered, types), standIns))
   }
+
+  /** Newline-delimited JSON (NDJSON / JSONL) — the de-facto LLM corpus
+    * interchange format; an extension beyond the reference's CSV +
+    * JSON-array surface. One JSON object per non-blank line (CRLF
+    * tolerated). The line split IS the record lexer, so the parallel
+    * parse needs no array scanning: lines spread in contiguous slices
+    * (the fromCsv order-isomorphism argument) and Spark's JSON reader
+    * infers + parses multi-core. Column order pins to the FIRST line's
+    * key order like fromJsonRecords; unparseable lines are a 400, not
+    * silent nulls. */
+  def fromJsonLines(spark: SparkSession, body: String,
+                    types: Map[String, String] = Map.empty,
+                    standIns: Seq[(String, String)] = Nil): DataFrame = {
+    import graft.engine.QueryJson
+    val lines = body.split('\n').iterator.map(_.trim).filter(_.nonEmpty).toSeq
+    val firstKeys: Seq[String] = lines.headOption match {
+      case None => Seq.empty
+      case Some(l) =>
+        val parsed = try QueryJson.parse(l) catch {
+          case _: Exception =>
+            Errors.malformed("NDJSON lines must be JSON objects", l.take(80))
+        }
+        parsed match {
+          case m: scala.collection.Map[_, _] => m.keys.map(String.valueOf).toSeq
+          case _ =>
+            Errors.malformed("NDJSON lines must be JSON objects", l.take(80))
+        }
+    }
+    val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      lines.length / 20000))
+    val ds = spark.createDataset(spark.sparkContext.parallelize(lines, parts))(
+      org.apache.spark.sql.Encoders.STRING)
+    val raw = spark.read.json(ds)
+    // a failed line surfaces as the corrupt-record column at inference
+    // time — reject the whole body (the reference 400s malformed bodies)
+    if (raw.columns.contains("_corrupt_record"))
+      Errors.malformed("NDJSON body contains unparseable lines")
+    val keys = firstKeys.filter(raw.columns.contains)
+    val ordered = raw.select(
+      (keys ++ raw.columns.filterNot(keys.contains)).map(col): _*)
+    withRowId(addStandInColumns(applyTypeHints(ordered, types), standIns))
+  }
 }

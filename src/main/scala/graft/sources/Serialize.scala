@@ -102,6 +102,31 @@ object Serialize {
     (sb.toString, rows)
   }
 
+  /** NDJSON output: one record object per line, no trailing newline
+    * (pandas `to_json(orient="records", lines=True)` shape); same value
+    * formatting as [[toJson]] (NaN/inf → null, utf-8). */
+  def toJsonLines(df: DataFrame): String = toJsonLinesCounted(df)._1
+
+  def toJsonLinesCounted(df: DataFrame): (String, Long) = {
+    val fields = visibleFields(df)
+    val sb = new StringBuilder
+    var rows = 0L
+    df.collect().foreach { row =>
+      if (rows > 0) sb.append('\n')
+      rows += 1
+      sb.append('{')
+      var first = true
+      fields.foreach { case (f, i) =>
+        if (!first) sb.append(',')
+        first = false
+        sb.append(jsonString(f.name)).append(':')
+        sb.append(jsonValue(row, i, f.dataType))
+      }
+      sb.append('}')
+    }
+    (sb.toString, rows)
+  }
+
   private def jsonValue(row: Row, i: Int, dt: DataType): String =
     if (row.isNullAt(i)) "null"
     else dt match {

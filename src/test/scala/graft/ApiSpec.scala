@@ -68,6 +68,27 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.body() == "foo,bar\n2,bbb\n")
   }
 
+  test("ndjson upload, ndjson query round trip (JSONL extension)") {
+    val body = "{\"foo\": 1, \"bar\": \"aaa\"}\n{\"foo\": 2, \"bar\": \"bbb\"}\n{\"foo\": 3, \"bar\": \"ccc\"}\n"
+    val r0 = send(req("/dataset/tnd").POST(BodyPublishers.ofString(body))
+      .header("Content-Type", "application/x-ndjson").build())
+    assert(r0.statusCode() == 201)
+    // ndjson out: one record per line, first-record key order, no trailer
+    val r = query("tnd", """{"where": [">", "foo", 1]}""",
+      accept = "application/x-ndjson")
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").get.startsWith("application/x-ndjson"))
+    assert(r.body() == "{\"foo\":2,\"bar\":\"bbb\"}\n{\"foo\":3,\"bar\":\"ccc\"}")
+    // and the stored table serves the parity formats too
+    val rj = query("tnd", """{"select": [["count"]]}""")
+    assert(rj.body() == """[{"count":3}]""")
+    // malformed line → 400, not a silent null row
+    val bad = send(req("/dataset/tnd2").POST(
+        BodyPublishers.ofString("{\"a\": 1}\nnot json\n"))
+      .header("Content-Type", "application/x-ndjson").build())
+    assert(bad.statusCode() == 400)
+  }
+
   test("trailing-slash routes match like the reference's tornado regex") {
     storeCsv("tslash", csvData)
     // GET /dataset/<key>/?q= (reference: app.py:308 `([A-Za-z0-9\-_]+)/?(q)?`)

@@ -256,6 +256,21 @@ class EngineFilterSpec extends AnyFunSuite {
     assert(got == (0L until 5000L))
   }
 
+  test("ndjson ingest preserves line order, key order, blank-line tolerance") {
+    val body = (0 until 3000).map(i => s"""{"i": $i, "s": "v$i"}""")
+      .mkString("", "\n", "\n") + "\n\r\n"
+    val f = Ingest.fromJsonLines(spark, body)
+    assert(QueryEngine.run(f, "{}").df.columns.take(2).toSeq == Seq("i", "s"))
+    val got = runQ(f, """{"select": ["i"]}""").collect().map(_.getLong(0)).toSeq
+    assert(got == (0L until 3000L))
+    intercept[graft.engine.MalformedQueryException] {
+      Ingest.fromJsonLines(spark, "{\"a\": 1}\n[1, 2]\n")
+    }
+    intercept[graft.engine.MalformedQueryException] {
+      Ingest.fromJsonLines(spark, "nope")
+    }
+  }
+
   // --- NaN rules (test_qframe.py:649-683) ---
   test("only the empty string is null") {
     val f = csvFrame(

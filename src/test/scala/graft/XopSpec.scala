@@ -560,6 +560,82 @@ class XopSpec extends AnyFunSuite {
       resolver) }
   }
 
+  test("tfidf_keywords xop ranks terms per doc and composes with where") {
+    val out = run(
+      """{"xop": {"name": "tfidf_keywords", "args": {"id": "id", "column": "text", "k": 2}},
+          "where": ["==", "rank", 1],
+          "order_by": ["id"]}""")
+    assert(out.columns.toSeq == Seq("id", "term", "score", "rank"))
+    assert(out.count() == 6) // one rank-1 term per doc
+    intercept[MalformedQueryException] {
+      run("""{"xop": {"name": "tfidf_keywords", "args": {"id": "id", "column": "text", "k": 0}}}""")
+    }
+  }
+
+  test("quality_rules xop audits documents; thresholds reachable from args") {
+    val out = run(
+      """{"xop": {"name": "quality_rules",
+                  "args": {"id": "id", "column": "text", "min_tokens": 9,
+                           "min_stopword_ratio": 0.0}},
+          "order_by": ["id"]}""").collect()
+    // doc 4 ("a a a a a a a a"): 8 tokens < 9 AND maximally duplicated
+    val d4 = out.find(_.getAs[Number]("id").longValue == 4L).get
+    assert(!d4.getAs[Boolean]("pass"))
+    assert(d4.getAs[String]("reasons").split(",").contains("word_count"))
+    assert(d4.getAs[String]("reasons").split(",").contains("dup_word_frac"))
+  }
+
+  test("unigram_nll xop scores every non-empty doc") {
+    val out = run(
+      """{"xop": {"name": "unigram_nll", "args": {"id": "id", "column": "text"}},
+          "order_by": ["id"]}""")
+    assert(out.columns.toSeq == Seq("id", "n_tokens", "nll"))
+    val rows = out.collect()
+    assert(rows.length == 6)
+    assert(rows.forall(_.getAs[Double]("nll") > 0))
+    // repeat-run determinism (ordered fold, no arrival-order float sums)
+    val again = run(
+      """{"xop": {"name": "unigram_nll", "args": {"id": "id", "column": "text"}},
+          "order_by": ["id"]}""").collect()
+    assert(rows.map(_.getAs[Double]("nll")).toSeq ==
+      again.map(_.getAs[Double]("nll")).toSeq)
+  }
+
+  test("range_join xop buckets intervals from a stored dataset") {
+    import spark.implicits._
+    val lefts = Seq((1L, 150L), (2L, 450L), (3L, 999L)).toDF("eid", "t")
+    val ivs = Seq(("w1", 100L, 200L), ("w2", 400L, 500L)).toDF("name", "s", "e")
+    val res: String => Option[DataFrame] =
+      n => if (n == "ivs") Some(ivs) else None
+    val out = QueryEngine.run(lefts,
+      """{"xop": {"name": "range_join",
+                  "args": {"right": "ivs", "ts": "t", "start": "s", "end": "e",
+                           "payload": ["name"], "granule": 100}},
+          "order_by": ["eid"]}""", res).df.collect()
+    assert(out.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((1L, "w1"), (2L, "w2")))
+    // left how keeps unmatched rows with null payload
+    val lj = QueryEngine.run(lefts,
+      """{"xop": {"name": "range_join",
+                  "args": {"right": "ivs", "ts": "t", "start": "s", "end": "e",
+                           "payload": ["name"], "granule": 100, "how": "left"}},
+          "order_by": ["eid"]}""", res).df.collect()
+    assert(lj.length == 3 && lj.last.isNullAt(lj.last.fieldIndex("name")))
+    // 400s: string time column, missing granule, bad how
+    intercept[MalformedQueryException] { QueryEngine.run(lefts,
+      """{"xop": {"name": "range_join",
+                  "args": {"right": "ivs", "ts": "t", "start": "name", "end": "e",
+                           "payload": ["name"], "granule": 100}}}""", res) }
+    intercept[MalformedQueryException] { QueryEngine.run(lefts,
+      """{"xop": {"name": "range_join",
+                  "args": {"right": "ivs", "ts": "t", "start": "s", "end": "e",
+                           "payload": ["name"]}}}""", res) }
+    intercept[MalformedQueryException] { QueryEngine.run(lefts,
+      """{"xop": {"name": "range_join",
+                  "args": {"right": "ivs", "ts": "t", "start": "s", "end": "e",
+                           "payload": ["name"], "granule": 100, "how": "anti"}}}""", res) }
+  }
+
   test("dataset references 400 without a resolver, and are detected for memo bypass") {
     intercept[MalformedQueryException] {
       run("""{"xop": {"name": "decontaminate",
