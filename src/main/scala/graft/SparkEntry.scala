@@ -663,7 +663,15 @@ object SparkEntry {
         windows, "ts", "w_start", "w_end", Seq("window_name"),
         granule = dayNs)
         .select("event_id", "window_name").orderBy("event_id", "window_name")
-    }))
+    }),
+
+    // exact duplicated-span scrub: excise every token covered by a
+    // corpus-duplicated 6-gram occurrence (one gram exchange via the
+    // postings window, dup-only rollup, map-side rewrite)
+    "x48_span_scrub" -> ((s, dir) =>
+      graft.ops.Dedup.scrubDuplicatedSpans(t(s, dir, "documents"),
+        "doc_id", "text", n = 6)
+        .orderBy("doc_id")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1463,5 +1471,38 @@ object SparkEntry {
                   ('w5', TIMESTAMP '2024-01-05 00:00:00', TIMESTAMP '2024-01-16 00:00:00'))
          SELECT event_id, window_name
          FROM events e JOIN w ON e.ts >= w.w_start AND e.ts <= w.w_end
-         ORDER BY event_id, window_name""")
+         ORDER BY event_id, window_name""",
+    // duplicated = >= 2 OCCURRENCES corpus-wide (within-doc repeats
+    // count); positions are 1-based here, 0-based on the Spark side —
+    // the covered-set arithmetic shifts identically
+    "x48_span_scrub" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+           FROM documents),
+         g AS (
+           SELECT doc_id, gram, s FROM (
+             SELECT doc_id,
+                    unnest(CASE WHEN len(tk) < 6 THEN CAST([] AS VARCHAR[])
+                           ELSE [array_to_string(tk[i:i+5], ' ')
+                                 for i in range(1, len(tk) - 4)] END) AS gram,
+                    unnest(CASE WHEN len(tk) < 6 THEN CAST([] AS BIGINT[])
+                           ELSE range(1, len(tk) - 4) END) AS s
+             FROM d)),
+         c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram),
+         st AS (
+           SELECT doc_id, list(s) AS starts
+           FROM g JOIN c USING (gram) WHERE cnt >= 2 GROUP BY doc_id),
+         k AS (
+           SELECT d.doc_id, tk,
+                  [tk[p] for p in range(1, len(tk) + 1)
+                   if len(list_filter(coalesce(st.starts, CAST([] AS BIGINT[])),
+                          s -> s <= p AND p <= s + 5)) = 0] AS kept
+           FROM d LEFT JOIN st USING (doc_id))
+         SELECT doc_id,
+                -- empty-list array_to_string is NULL in DuckDB; a fully
+                -- scrubbed doc must read '' like Spark's array_join
+                coalesce(array_to_string(kept, ' '), '') AS clean_text,
+                CAST(len(tk) - len(kept) AS BIGINT) AS n_tokens_removed
+         FROM k ORDER BY doc_id""")
 }

@@ -742,6 +742,14 @@ object XopEngine {
         graft.ops.Joins.equiJoin(df, rightDf, on, how, payload,
           boolArg(args, "broadcast", default = false, name))
 
+      // exact duplicated-span scrub (excise corpus-duplicated n-grams)
+      case "span_scrub" =>
+        knownArgs("id", "column", "n")
+        val n = intArg(args, "n", 8, name).toInt
+        if (n <= 0) Errors.malformed(s"xop '$name': n must be positive")
+        Dedup.scrubDuplicatedSpans(df, column(df, args, "id", name),
+          column(df, args, "column", name), n)
+
       // per-document TF-IDF keywords (smooth idf, top-k per doc)
       case "tfidf_keywords" =>
         knownArgs("id", "column", "k")

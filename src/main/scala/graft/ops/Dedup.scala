@@ -285,6 +285,47 @@ object Dedup {
           .otherwise(round(col("n_dup_grams").cast("double") / col("n_grams"), 4)))
   }
 
+  /** Exact duplicated-span SCRUB — the REWRITE counterpart to
+    * [[dupGramStats]]'s measurement (Lee et al. 2022 substring dedup,
+    * reference: arXiv 2107.06499): every token covered by a word
+    * `n`-gram whose exact token sequence occurs ≥ 2 times corpus-wide
+    * (across documents or repeated within one) is excised; the survivors
+    * re-join with single spaces (a normalized reconstruction). Returns
+    * (idCol, clean_text, n_tokens_removed).
+    *
+    * Shape at scale: positional grams explode once from a materialized
+    * gram array (never re-tokenizing per exploded row); the occurrence
+    * count is a WINDOW over the same gram lineage (one exchange, no
+    * second scan of the corpus subtree — the postings-window pattern);
+    * only DUPLICATED occurrences survive to the per-doc start-position
+    * collect, so the rollup is sized by duplication density, not corpus
+    * length; and the rewrite is a map-side two-arg filter over the token
+    * array. The collected start list is bounded by tokens-per-doc. */
+  def scrubDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 8): DataFrame = {
+    require(n > 0, "n must be positive")
+    val g = spread(df)
+      .select(col(idCol).as("__id"),
+        Decontaminate.wordNgrams(col(textCol), n).as("__g"))
+      .select(col("__id"), posexplode(col("__g")).as(Seq("__s", "__gram")))
+    // same hash-routed window as dupGramStats: narrow uniform exchange
+    // key, gram string keeps colliding grams apart inside the partition
+    val w = Window.partitionBy(xxhash64(col("__gram")), col("__gram"))
+    val dupStarts = g
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .filter(col("__cnt") >= 2)
+      .groupBy("__id").agg(collect_list(col("__s")).as("__starts"))
+    df.join(dupStarts, df(idCol) === dupStarts("__id"), "left")
+      .withColumn("__tk", TextOps.tokens(col(textCol)))
+      .withColumn("__kept", filter(col("__tk"), (t, p) =>
+        !exists(coalesce(col("__starts"), array().cast("array<int>")),
+          s => s <= p && p <= s + lit(n - 1))))
+      .select(df(idCol),
+        array_join(col("__kept"), " ").as("clean_text"),
+        (size(col("__tk")) - size(col("__kept"))).cast("long")
+          .as("n_tokens_removed"))
+  }
+
   /** Passage-level (chunk) dedup: split every document into
     * non-overlapping `chunkTokens`-token chunks, keep only the FIRST
     * corpus-wide occurrence of each distinct chunk (first = lowest

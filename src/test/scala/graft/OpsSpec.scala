@@ -921,6 +921,29 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 3L)) // densest doc per query
   }
 
+  test("scrubDuplicatedSpans excises covered tokens; unique docs untouched") {
+    // the 3-gram "x y z" appears in docs 1 and 2; "p q r" only in doc 3
+    val docs = Seq(
+      (1L, "a b x y z c"),
+      (2L, "x y z d e f"),
+      (3L, "p q r s t u"),
+      (4L, "m x y z x y z w")) // within-doc repeat also scrubs
+      .toDF("id", "text")
+    val out = Dedup.scrubDuplicatedSpans(docs, "id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("a b c", 3L))
+    assert(out(2L) == ("d e f", 3L))
+    assert(out(3L) == ("p q r s t u", 0L))
+    // doc 4: dup 3-grams "x y z" (twice, overlapping family with
+    // "y z x"/"z x y" single-occurrence grams kept out) cover positions
+    // of both occurrences; "m" and "w" survive
+    assert(out(4L)._1 == "m w" && out(4L)._2 == 6L)
+    // layout determinism
+    val again = Dedup.scrubDuplicatedSpans(docs.repartition(7), "id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(again == out)
+  }
+
   test("tfidfKeywords surfaces document-distinctive terms, k-bounded ranks") {
     val docs = Seq(
       (1L, "spark spark spark unique1"),

@@ -560,6 +560,17 @@ class XopSpec extends AnyFunSuite {
       resolver) }
   }
 
+  test("span_scrub xop rewrites corpus-duplicated spans away") {
+    // docs 1 and 3 share the fox sentence: their 3-gram spans all scrub
+    val out = run(
+      """{"xop": {"name": "span_scrub", "args": {"id": "id", "column": "text", "n": 3}},
+          "order_by": ["id"]}""").collect()
+    val byId = out.map(r => r.getAs[Number]("id").longValue ->
+      r.getAs[Long]("n_tokens_removed")).toMap
+    assert(byId(1L) == 9L && byId(3L) == 9L) // whole sentence covered
+    assert(byId(5L) == 0L)                   // unique doc untouched
+  }
+
   test("tfidf_keywords xop ranks terms per doc and composes with where") {
     val out = run(
       """{"xop": {"name": "tfidf_keywords", "args": {"id": "id", "column": "text", "k": 2}},
