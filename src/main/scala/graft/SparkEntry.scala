@@ -635,7 +635,7 @@ object SparkEntry {
     // here are calibrated so the synthetic corpus splits on every rule
     // (operator defaults are the real-world Gopher-ish values)
     "x45_quality_rules" -> ((s, dir) =>
-      graft.ops.TextOps.qualityRules(t(s, dir, "documents"), "doc_id", "text",
+      graft.ops.TextOps.qualityRules(t(s, dir, "documents"), "text",
         minTokens = 20, maxTokens = 80, minMeanLen = 3.0, maxMeanLen = 4.8,
         maxDupWordFrac = 0.6, minStopwordRatio = 0.02, minAlphaRatio = 0.7)
         .select("doc_id", "n_tokens", "pass", "reasons").orderBy("doc_id")),

@@ -758,13 +758,12 @@ object XopEngine {
         Search.tfidfKeywords(df, column(df, args, "id", name),
           column(df, args, "column", name), k)
 
-      // Gopher-style quality rule audit (pass + failed-rule reasons)
+      // Gopher-style quality rule audit (appends n_tokens/reasons/pass)
       case "quality_rules" =>
-        knownArgs("id", "column", "min_tokens", "max_tokens", "min_mean_len",
+        knownArgs("column", "min_tokens", "max_tokens", "min_mean_len",
           "max_mean_len", "max_dup_word_frac", "min_stopword_ratio",
           "min_alpha_ratio")
-        TextOps.qualityRules(df, column(df, args, "id", name),
-          column(df, args, "column", name),
+        TextOps.qualityRules(df, column(df, args, "column", name),
           minTokens = intArg(args, "min_tokens", 50, name),
           maxTokens = intArg(args, "max_tokens", 100000, name),
           minMeanLen = doubleArgOpt(args, "min_mean_len", 3.0, name),

@@ -110,27 +110,32 @@ object TextOps {
     * no float accumulation, no rounding step whose half-ties engines
     * could disagree on. Map-only: one projection, the token array and
     * normalized text computed once per row (multi-referenced non-cheap
-    * aliases survive CollapseProject), no shuffle at any corpus size. */
-  def qualityRules(df: DataFrame, idCol: String, textCol: String,
+    * aliases survive CollapseProject), no shuffle at any corpus size.
+    *
+    * APPENDS `n_tokens`, `reasons` and `pass` to every input column
+    * (overwriting same-named ones), so the audited text flows to
+    * downstream pipeline stages — a gate that eats its input can't
+    * compose. */
+  def qualityRules(df: DataFrame, textCol: String,
                    minTokens: Long = 50, maxTokens: Long = 100000,
                    minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
                    maxDupWordFrac: Double = 0.6,
                    minStopwordRatio: Double = 0.02,
                    minAlphaRatio: Double = 0.7): DataFrame = {
     val allStop = StopWords.values.flatten.toSeq.distinct
-    val base = df.select(col(idCol), col(textCol).as("__text"),
-      tokens(col(textCol)).as("__tk"),
-      normalizeText(col(textCol)).as("__norm"),
-      tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val base = df
+      .withColumn("__qr_tk", tokens(col(textCol)))
+      .withColumn("__qr_norm", normalizeText(col(textCol)))
+      .withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))
     val n = col("n_tokens")
     val nD = n.cast("double")
-    val meanLen = when(n > 0, (length(col("__norm")) - (nD - 1)) / nD).otherwise(0.0)
-    val dupFrac = when(n > 0, (nD - size(array_distinct(col("__tk")))) / nD).otherwise(0.0)
+    val meanLen = when(n > 0, (length(col("__qr_norm")) - (nD - 1)) / nD).otherwise(0.0)
+    val dupFrac = when(n > 0, (nD - size(array_distinct(col("__qr_tk")))) / nD).otherwise(0.0)
     val stopRatio = when(n > 0,
-      stopwordHits(col("__tk"), allStop) / nD).otherwise(0.0)
-    val alphaRatio = when(length(col("__text")) > 0,
-      length(regexp_replace(col("__text"), "[^A-Za-z]", "")).cast("double") /
-        length(col("__text"))).otherwise(0.0)
+      stopwordHits(col("__qr_tk"), allStop) / nD).otherwise(0.0)
+    val alphaRatio = when(length(col(textCol)) > 0,
+      length(regexp_replace(col(textCol), "[^A-Za-z]", "")).cast("double") /
+        length(col(textCol))).otherwise(0.0)
     val failed = array( // alphabetical, so `reasons` needs no sort
       when(alphaRatio < minAlphaRatio, lit("alpha_ratio")),
       when(dupFrac > maxDupWordFrac, lit("dup_word_frac")),
@@ -140,7 +145,7 @@ object TextOps {
     base
       .withColumn("reasons", array_join(filter(failed, x => x.isNotNull), ","))
       .withColumn("pass", col("reasons") === "")
-      .drop("__text", "__tk", "__norm")
+      .drop("__qr_tk", "__qr_norm")
   }
 
   /** Repetition features (Gopher-style quality rules): per-document

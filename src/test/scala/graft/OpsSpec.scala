@@ -969,7 +969,7 @@ class OpsSpec extends AnyFunSuite {
       (4L, ""),                                         // everything length-ish
       (5L, ("7 ! " * 20).trim))                         // alpha_ratio
       .toDF("id", "text")
-    val out = TextOps.qualityRules(docs, "id", "text",
+    val out = TextOps.qualityRules(docs, "text",
       minTokens = 5, maxTokens = 100, minMeanLen = 3.0, maxMeanLen = 8.0,
       maxDupWordFrac = 0.8, minStopwordRatio = 0.0, minAlphaRatio = 0.5)
       .collect().map(r => r.getLong(0) ->

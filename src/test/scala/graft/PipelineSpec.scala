@@ -136,4 +136,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_._1) == Seq(1L, 3L, 4L))
     assert(rows.forall(_._2 != null)) // 0.5+0.5 weights are exhaustive
   }
+
+  test("curation chain: span_scrub → quality_rules gate → tfidf compose in the dialect") {
+    // innermost → outermost: excise corpus-duplicated 4-gram spans
+    // (guts the exact/near-dup trio 1/3/4), gate on the rewritten text
+    // with rule audit, then keyword-extract the survivors — the rewrite
+    // feeding downstream stages is the point: schemas and the rewritten
+    // column line up across xop boundaries
+    val out = QueryEngine.run(corpus,
+      """{"xop": {"name": "tfidf_keywords",
+                  "args": {"id": "id", "column": "clean_text", "k": 2}},
+          "from": {
+            "where": ["==", "pass", true],
+            "xop": {"name": "quality_rules",
+                    "args": {"column": "clean_text",
+                             "min_tokens": 5, "min_stopword_ratio": 0.0,
+                             "max_dup_word_frac": 0.9, "min_mean_len": 2.0,
+                             "max_mean_len": 10.0}},
+            "from": {
+              "select": ["id", "clean_text"],
+              "xop": {"name": "span_scrub",
+                      "args": {"id": "id", "column": "text", "n": 4}}}},
+          "order_by": ["id", "rank"]}""").df
+    assert(out.columns.toSeq == Seq("id", "term", "score", "rank"))
+    val byDoc = out.collect().groupBy(_.getAs[Number]("id").longValue)
+    // docs 1/3/4 lost their shared spans to the scrub (below min_tokens)
+    // and the all-'a' doc 5 scrubs to empty; unique docs 2/6/7/8 survive
+    // the gate and produce ranked keywords
+    assert(byDoc.keySet == Set(2L, 6L, 7L, 8L))
+    assert(byDoc.values.forall(_.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2)))
+  }
 }

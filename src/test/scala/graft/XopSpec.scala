@@ -586,7 +586,7 @@ class XopSpec extends AnyFunSuite {
   test("quality_rules xop audits documents; thresholds reachable from args") {
     val out = run(
       """{"xop": {"name": "quality_rules",
-                  "args": {"id": "id", "column": "text", "min_tokens": 9,
+                  "args": {"column": "text", "min_tokens": 9,
                            "min_stopword_ratio": 0.0}},
           "order_by": ["id"]}""").collect()
     // doc 4 ("a a a a a a a a"): 8 tokens < 9 AND maximally duplicated
