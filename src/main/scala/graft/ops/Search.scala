@@ -42,7 +42,10 @@ object Search {
       graft.functions.TermFreqsExpr(
         org.apache.spark.sql.GraftSqlShims.expression(
           TextOps.tokens(col(textCol))), terms))
-    val base = docs.select(col(idCol), tfs.as("__tfs"))
+    // spread before the per-row kernel scan: a single-row-group parquet
+    // corpus arrives as ONE partition and serializes tokenization on one
+    // thread (stack-sampled; no-op on real multi-partition inputs)
+    val base = Dedup.spread(docs).select(col(idCol), tfs.as("__tfs"))
       .select(col(idCol) +: element_at(col("__tfs"), 1).as("__dl") +:
         terms.indices.map(i =>
           element_at(col("__tfs"), i + 2).as(s"__tf$i")): _*)
@@ -106,7 +109,11 @@ object Search {
     // Generate lets the optimizer hoist the projection ABOVE the explode,
     // re-running the tokenization regex once per TOKEN instead of once
     // per document (stack-sampled: that regex was ~80% of the query)
-    val exploded = docs
+    // spread before BOTH tokenizing corpus scans: a single-row-group
+    // parquet corpus arrives as one partition and would serialize the
+    // regex work on one thread (no-op on real multi-partition inputs)
+    val spreadDocs = Dedup.spread(docs)
+    val exploded = spreadDocs
       .select(col(idCol).as("__doc"), TextOps.tokens(col(textCol)).as("__toks"))
       .select(col("__doc"), size(col("__toks")).as("__dl"),
         explode(col("__toks")).as("__term"))
@@ -114,7 +121,7 @@ object Search {
     val postings = exploded.groupBy("__term", "__doc")
       .agg(first(col("__dl")).as("__dl"), count(lit(1)).as("__tf"))
 
-    val stats = docs.agg(count(lit(1)).as("__n"),
+    val stats = spreadDocs.agg(count(lit(1)).as("__n"),
       sum(TextOps.tokenCount(col(textCol))).as("__sumdl"))
     // (term, doc) is unique in postings, so df(term) = the term's row
     // count — computed as a window over the SAME postings lineage (one
@@ -173,7 +180,7 @@ object Search {
   def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val postings = docs
+    val postings = Dedup.spread(docs)
       .select(col(idCol).as("__doc"), TextOps.tokens(col(textCol)).as("__toks"))
       .select(col("__doc"), explode(col("__toks")).as("__term"))
       .filter(col("__term") =!= "")
@@ -212,7 +219,7 @@ object Search {
     * is bit-stable across physical layouts and replayable by the SQL
     * oracle. Returns (idCol, n_tokens, nll). */
   def unigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs
+    val toks = Dedup.spread(docs)
       .select(col(idCol).as("__doc"), TextOps.tokens(col(textCol)).as("__toks"))
       .select(col("__doc"), posexplode(col("__toks")).as(Seq("__pos", "__term")))
       .filter(col("__term") =!= "")
