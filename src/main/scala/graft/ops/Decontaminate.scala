@@ -70,7 +70,10 @@ object Decontaminate {
         wordNgrams(col(textCol), n, distinct = true)).as("gram"): _*)
         .withColumn("__gh", xxhash64(col("gram")))
     val evalGrams = grams(eval).dropDuplicates("__gh", "gram")
-    grams(train, col(idCol).as("id"))
+    // spread the train side before its gram kernel scan: a single-row-
+    // group parquet corpus arrives as ONE partition and would serialize
+    // the n-gram work on one thread (no-op on multi-partition inputs)
+    grams(Dedup.spread(train), col(idCol).as("id"))
       .join(evalGrams, Seq("__gh", "gram"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_shared_grams"))

@@ -24,10 +24,28 @@ object ShardWriter {
       .write.mode(SaveMode.Overwrite)
       .partitionBy(shardCol)
       .parquet(path)
-    df.sparkSession.read.parquet(path)
-      .groupBy(col(shardCol))
+    manifest(df.sparkSession.read.parquet(path), shardCol, tokenCol)
+  }
+
+  /** The same export as line-delimited JSON (JSONL) — what most training
+    * loaders consume directly. Spark's json writer IS one-object-per-line,
+    * so each shard directory holds ready-to-stream JSONL part files;
+    * `codec` ("gzip", "zstd", …) compresses them when the loader reads
+    * compressed shards. The manifest is read back from what actually
+    * landed, like [[writeShards]]. */
+  def writeShardsJsonl(df: DataFrame, shardCol: String, tokenCol: String,
+                       path: String, codec: Option[String] = None): DataFrame = {
+    val w = df.repartition(col(shardCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(shardCol)
+    codec.fold(w)(c => w.option("compression", c)).json(path)
+    manifest(df.sparkSession.read.json(path), shardCol, tokenCol)
+  }
+
+  private def manifest(written: DataFrame, shardCol: String,
+                       tokenCol: String): DataFrame =
+    written.groupBy(col(shardCol))
       .agg(count(lit(1)).as("n_rows"),
         sum(col(tokenCol)).cast("long").as("n_tokens"))
       .orderBy(col(shardCol))
-  }
 }

@@ -465,6 +465,24 @@ class OpsSpec extends AnyFunSuite {
     assert(pruned.count() == 25)
   }
 
+  test("writeShardsJsonl emits per-shard JSONL files and the same manifest") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val df = (1L to 60L).map(i => (i, i % 3, 5L, s"doc $i")).toDF("id", "bin", "n_tok", "text")
+    val manifest = graft.sources.ShardWriter.writeShardsJsonl(df, "bin", "n_tok", tmp)
+      .collect()
+    assert(manifest.length == 3)
+    assert(manifest.forall(r => r.getLong(1) == 20 && r.getLong(2) == 100))
+    // the shard files ARE line-delimited JSON objects
+    val shard0 = new java.io.File(s"$tmp/bin=0").listFiles()
+      .filter(_.getName.endsWith(".json"))
+    assert(shard0.nonEmpty)
+    val lines = scala.io.Source.fromFile(shard0.head).getLines().toSeq
+    assert(lines.nonEmpty && lines.forall(l => l.startsWith("{") && l.endsWith("}")))
+    // round-trips through the NDJSON ingest path
+    val back = graft.sources.Ingest.fromJsonLines(spark, lines.mkString("\n"))
+    assert(back.count() == lines.length)
+  }
+
   // ------------------------- bucketed layout -------------------------
 
   test("bucketed tables join without any shuffle exchange") {
