@@ -671,7 +671,21 @@ object SparkEntry {
     "x48_span_scrub" -> ((s, dir) =>
       graft.ops.Dedup.scrubDuplicatedSpans(t(s, dir, "documents"),
         "doc_id", "text", n = 6)
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // n-gram novelty: fraction of a doc's distinct 5-grams first seen in
+    // it (min-id window over the gram lineage — data-valuation signal)
+    "x49_gram_novelty" -> ((s, dir) =>
+      graft.ops.Dedup.gramNovelty(t(s, dir, "documents"),
+        "doc_id", "text", n = 5)
+        .orderBy("id")),
+
+    // per-source unigram KL divergence vs the corpus (domain-drift
+    // monitor; token-ordered fold, engine-portable)
+    "x50_token_divergence" -> ((s, dir) =>
+      graft.ops.Profile.tokenDivergence(t(s, dir, "documents"),
+        "source", "text")
+        .orderBy("source")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1504,5 +1518,52 @@ object SparkEntry {
                 -- scrubbed doc must read '' like Spark's array_join
                 coalesce(array_to_string(kept, ' '), '') AS clean_text,
                 CAST(len(tk) - len(kept) AS BIGINT) AS n_tokens_removed
-         FROM k ORDER BY doc_id""")
+         FROM k ORDER BY doc_id""",
+    "x49_gram_novelty" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  unnest(CASE WHEN len(tk) < 5 THEN CAST([] AS VARCHAR[])
+                         ELSE list_distinct([array_to_string(tk[i:i+4], ' ')
+                                             for i in range(1, len(tk) - 3)])
+                         END) AS gram
+           FROM t),
+         f AS (SELECT gram, min(doc_id) AS first_id FROM g GROUP BY gram),
+         p AS (SELECT doc_id, count(*) AS n_grams,
+                      CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_novel
+               FROM g JOIN f USING (gram) GROUP BY doc_id)
+         SELECT t.doc_id AS id,
+                coalesce(p.n_grams, 0) AS n_grams,
+                coalesce(p.n_novel, 0) AS n_novel,
+                CASE WHEN coalesce(p.n_grams, 0) = 0 THEN 0.0
+                     ELSE floor(CAST(p.n_novel AS DOUBLE) / p.n_grams
+                                * 10000.0 + 0.5) / 10000.0 END AS novelty
+         FROM t LEFT JOIN p USING (doc_id) ORDER BY id""",
+    // KL(source || corpus): identical per-token float ops, summed via
+    // the token-ordered list fold (the x41/x46 pattern)
+    "x50_token_divergence" ->
+      """WITH t AS (
+           SELECT source,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+           FROM documents),
+         tok AS (
+           SELECT source, term FROM (SELECT source, unnest(tk) AS term FROM t)
+           WHERE term <> ''),
+         c AS (SELECT source, term, count(*) AS c FROM tok GROUP BY source, term),
+         m AS (SELECT term, CAST(sum(c) AS BIGINT) AS ct FROM c GROUP BY term),
+         gs AS (SELECT source, CAST(sum(c) AS BIGINT) AS ng FROM c GROUP BY source),
+         s AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM c)
+         SELECT source, CAST(ng AS BIGINT) AS n_tokens,
+                floor(list_aggregate(list(
+                    (CAST(c AS DOUBLE) / CAST(ng AS DOUBLE))
+                      * ln((CAST(c AS DOUBLE) / CAST(ng AS DOUBLE))
+                           / (CAST(ct AS DOUBLE) / CAST(tot AS DOUBLE)))
+                    ORDER BY term), 'sum') * 10000.0 + 0.5) / 10000.0 AS kl
+         FROM c JOIN m USING (term) JOIN gs USING (source) CROSS JOIN s
+         GROUP BY source, ng, tot
+         ORDER BY source""")
 }

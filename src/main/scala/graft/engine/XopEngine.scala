@@ -742,6 +742,20 @@ object XopEngine {
         graft.ops.Joins.equiJoin(df, rightDf, on, how, payload,
           boolArg(args, "broadcast", default = false, name))
 
+      // per-doc n-gram novelty (first-corpus-occurrence fraction)
+      case "gram_novelty" =>
+        knownArgs("id", "column", "n")
+        val n = intArg(args, "n", 8, name).toInt
+        if (n <= 0) Errors.malformed(s"xop '$name': n must be positive")
+        Dedup.gramNovelty(df, column(df, args, "id", name),
+          column(df, args, "column", name), n)
+
+      // per-group token-distribution KL divergence vs the corpus
+      case "token_divergence" =>
+        knownArgs("group", "column")
+        Profile.tokenDivergence(df, column(df, args, "group", name),
+          column(df, args, "column", name))
+
       // exact duplicated-span scrub (excise corpus-duplicated n-grams)
       case "span_scrub" =>
         knownArgs("id", "column", "n")

@@ -285,6 +285,37 @@ object Dedup {
           .otherwise(round(col("n_dup_grams").cast("double") / col("n_grams"), 4)))
   }
 
+  /** Per-document n-gram NOVELTY — the data-valuation signal dual to
+    * [[dupGramStats]]: the fraction of a document's distinct word
+    * n-grams whose FIRST corpus occurrence (lowest id) is this document.
+    * A crawl refresh scores newly-fetched pages by how much genuinely
+    * new text they contribute; boilerplate re-crawls score ~0.
+    *
+    * Shape at scale: distinct grams explode once; the first-owner id is
+    * a min-window over the same gram lineage (one exchange, hash-routed
+    * like dupGramStats); the per-doc rollup and the left join back are
+    * id-keyed. Docs shorter than `n` tokens have no grams and report
+    * novelty 0. */
+  def gramNovelty(df: DataFrame, idCol: String, textCol: String,
+                  n: Int = 8): DataFrame = {
+    require(n > 0, "n must be positive")
+    val grams = spread(df).select(col(idCol).as("id"),
+      explode(Decontaminate.wordNgrams(col(textCol), n, distinct = true)).as("gram"))
+    val w = Window.partitionBy(xxhash64(col("gram")), col("gram"))
+    val perDoc = grams
+      .withColumn("__first", min(col("id")).over(w))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("__first") === col("id")).cast("long")).as("n_novel"))
+    df.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(round(col("n_novel").cast("double") / col("n_grams"), 4)))
+  }
+
   /** Exact duplicated-span SCRUB — the REWRITE counterpart to
     * [[dupGramStats]]'s measurement (Lee et al. 2022 substring dedup,
     * reference: arXiv 2107.06499): every token covered by a word

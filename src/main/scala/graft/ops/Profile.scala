@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** One-pass data audit: per-column row/null/distinct counts and value
@@ -66,5 +67,43 @@ object Profile {
       .select(col(groupCol),
         element_at(typedLit(qs), col("pos") + 1).as("quantile"),
         (floor(col("col") * 10000.0 + lit(0.5)) / 10000.0).as("value"))
+  }
+
+  /** Per-group token-distribution drift: KL(group ‖ corpus) over the
+    * word-token unigram distributions — the domain-shift monitor a
+    * mixture pipeline watches per source/snapshot (every group token
+    * also occurs in the corpus, so no smoothing is needed and the KL is
+    * finite by construction).
+    *
+    * Shape at scale: one (group, token) count aggregation (map-side
+    * combine), corpus marginals as a window over the same lineage, the
+    * two one-row totals broadcast back, and the per-group Σ p·ln(p/q)
+    * folds in TOKEN order (collect/sort/fold) so the score is bit-stable
+    * and oracle-replayable. The fold materializes each group's vocab as
+    * one array — exact engine-portable divergence pays group-vocab
+    * memory; a monitoring-only consumer can swap the fold for a plain
+    * sum. Returns (groupCol, n_tokens, kl). */
+  def tokenDivergence(df: DataFrame, groupCol: String,
+                      textCol: String): DataFrame = {
+    val toks = graft.ops.Dedup.spread(df)
+      .select(col(groupCol).as("__grp"),
+        explode(TextOps.tokens(col(textCol))).as("__term"))
+      .filter(col("__term") =!= "")
+    val counts = toks.groupBy("__grp", "__term").agg(count(lit(1)).as("__c"))
+    val withMarginals = counts
+      .withColumn("__ct", sum(col("__c")).over(Window.partitionBy(col("__term"))))
+      .withColumn("__ng", sum(col("__c")).over(Window.partitionBy(col("__grp"))))
+    val total = counts.agg(sum(col("__c")).as("__tot"))
+    val p = col("__c").cast("double") / col("__ng").cast("double")
+    val q = col("__ct").cast("double") / col("__tot").cast("double")
+    val contrib = p * log(p / q)
+    withMarginals.crossJoin(broadcast(total))
+      .groupBy("__grp")
+      .agg(first(col("__ng")).as("n_tokens"),
+        collect_list(struct(col("__term").as("t"), contrib.as("c"))).as("__cs"))
+      .select(col("__grp").as(groupCol),
+        col("n_tokens").cast("long").as("n_tokens"),
+        round(aggregate(array_sort(col("__cs")), lit(0.0d),
+          (acc, x) => acc + x.getField("c")), 4).as("kl"))
   }
 }

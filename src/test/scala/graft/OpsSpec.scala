@@ -939,6 +939,41 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 3L)) // densest doc per query
   }
 
+  test("gramNovelty credits the lowest-id owner of each gram") {
+    val docs = Seq(
+      (1L, "a b c d"),   // grams (n=3): "a b c", "b c d" — both first here
+      (2L, "a b c d"),   // same grams, later id → novelty 0
+      (3L, "x y z w"),   // unique → novelty 1
+      (4L, "ab"))        // too short for grams → 0 grams, novelty 0
+      .toDF("id", "text")
+    val got = Dedup.gramNovelty(docs, "id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got(1L) == ((2L, 2L, 1.0)))
+    assert(got(2L) == ((2L, 0L, 0.0)))
+    assert(got(3L) == ((2L, 2L, 1.0)))
+    assert(got(4L) == ((0L, 0L, 0.0)))
+  }
+
+  test("tokenDivergence: identical groups diverge 0, skewed group > 0") {
+    val docs = Seq(
+      (1L, "s1", "a b a b"), (2L, "s1", "a b a b"),
+      (3L, "s2", "a b a b"),            // s1 == s2 == corpus-ish
+      (4L, "s3", "z z z z z z z z"))    // s3 far from corpus
+      .toDF("id", "src", "text")
+    val got = Profile.tokenDivergence(docs, "src", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got("s1")._1 == 8 && got("s2")._1 == 4 && got("s3")._1 == 8)
+    // s1/s2 share the corpus a:b ratio exactly except for s3's z mass —
+    // their kl is small but positive; s3's is much larger
+    assert(got("s3")._2 > got("s1")._2 && got("s3")._2 > 0.5)
+    assert(got("s1")._2 == got("s2")._2) // identical distributions
+    // deterministic across layout
+    val again = Profile.tokenDivergence(docs.repartition(7), "src", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(again == got.map { case (k, v) => k -> v._2 })
+  }
+
   test("scrubDuplicatedSpans excises covered tokens; unique docs untouched") {
     // the 3-gram "x y z" appears in docs 1 and 2; "p q r" only in doc 3
     val docs = Seq(

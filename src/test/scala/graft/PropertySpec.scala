@@ -163,7 +163,8 @@ class PropertySpec extends AnyFunSuite {
       "profile", "decontaminate", "exclude_ids", "asof", "char_entropy",
       "quantiles", "dedup_against", "split", "search_bm25", "dup_grams",
       "join", "emb_cluster", "minhash_against", "tfidf_keywords",
-      "quality_rules", "unigram_nll", "range_join", "span_scrub", "zap")
+      "quality_rules", "unigram_nll", "range_join", "span_scrub",
+      "gram_novelty", "token_divergence", "zap")
     val argKeys = Seq("id", "column", "order", "chunk_tokens", "k",
       "fraction", "strata", "source", "weights", "default", "approx",
       "num_hashes", "bands", "threshold", "shingle", "action",
