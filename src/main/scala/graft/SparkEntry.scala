@@ -685,7 +685,13 @@ object SparkEntry {
     "x50_token_divergence" -> ((s, dir) =>
       graft.ops.Profile.tokenDivergence(t(s, dir, "documents"),
         "source", "text")
-        .orderBy("source")))
+        .orderBy("source")),
+
+    // PMI collocations: map-side per-doc pair expansion (no token
+    // self-join), partial-combine pair counts, TakeOrdered top-k
+    "x51_pmi_pairs" -> ((s, dir) =>
+      graft.ops.TextOps.pmiCollocations(t(s, dir, "documents"),
+        "text", k = 25)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1565,5 +1571,30 @@ object SparkEntry {
                     ORDER BY term), 'sum') * 10000.0 + 0.5) / 10000.0 AS kl
          FROM c JOIN m USING (term) JOIN gs USING (source) CROSS JOIN s
          GROUP BY source, ng, tot
-         ORDER BY source""")
+         ORDER BY source""",
+    // PMI over document-level presence; the oracle may self-join freely
+    // (the granule/map-side pair generation is a plan concern only)
+    "x51_pmi_pairs" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  list_filter(list_sort(list_distinct(
+                    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))),
+                    x -> x <> '') AS ts
+           FROM documents),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM d),
+         tokd AS (SELECT doc_id, unnest(ts) AS term FROM d),
+         tc AS (SELECT term, count(*) AS nt FROM tokd GROUP BY term),
+         pr AS (
+           SELECT x.term AS term_a, y.term AS term_b, count(*) AS n_pair
+           FROM tokd x JOIN tokd y
+             ON x.doc_id = y.doc_id AND x.term < y.term
+           GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT term_a, term_b, n_pair,
+                floor(ln(CAST(n_pair AS DOUBLE) * nd
+                         / (CAST(ta.nt AS DOUBLE) * CAST(tb.nt AS DOUBLE)))
+                      * 10000.0 + 0.5) / 10000.0 AS pmi
+         FROM pr JOIN tc ta ON pr.term_a = ta.term
+                 JOIN tc tb ON pr.term_b = tb.term
+                 CROSS JOIN n
+         ORDER BY pmi DESC, term_a, term_b LIMIT 25""")
 }

@@ -742,6 +742,14 @@ object XopEngine {
         graft.ops.Joins.equiJoin(df, rightDf, on, how, payload,
           boolArg(args, "broadcast", default = false, name))
 
+      // top-k PMI collocations over document-level co-occurrence
+      case "pmi_pairs" =>
+        knownArgs("column", "k", "min_pair_docs")
+        val k = intArg(args, "k", 25, name).toInt
+        if (k <= 0) Errors.malformed(s"xop '$name': k must be positive")
+        TextOps.pmiCollocations(df, column(df, args, "column", name), k,
+          intArg(args, "min_pair_docs", 2, name))
+
       // per-doc n-gram novelty (first-corpus-occurrence fraction)
       case "gram_novelty" =>
         knownArgs("id", "column", "n")

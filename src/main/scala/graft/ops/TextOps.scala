@@ -193,6 +193,53 @@ object TextOps {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Top-`k` PMI collocations: the token pairs that co-occur in
+    * documents far more than chance — the collocation-mining primitive
+    * behind vocabulary/tokenizer curation and phrase detection
+    * (pointwise mutual information over document-level presence,
+    * Church & Hanks 1990). `PMI(a,b) = ln(n_ab·N / (n_a·n_b))` with
+    * document counts; pairs in fewer than `minPairDocs` documents are
+    * noise and drop. Ties order by (term_a, term_b); scores round to 4.
+    *
+    * Shape at scale: pair generation is MAP-SIDE — each doc's sorted
+    * distinct-token array expands to its own O(d²) pairs via nested
+    * array transforms (no self-join of an exploded token relation, which
+    * would shuffle the corpus and explode skew on common tokens); the
+    * pair counts aggregate with map-side combine, per-term document
+    * frequencies join on term, the one-row N broadcasts, and the top-k
+    * collapses to TakeOrderedAndProject. Two tokenizing corpus scans
+    * total (pairs + term frequencies). */
+  def pmiCollocations(df: DataFrame, textCol: String, k: Int,
+                      minPairDocs: Long = 2): DataFrame = {
+    require(k > 0, "k must be positive")
+    val base = graft.ops.Dedup.spread(df).select(
+      filter(array_sort(array_distinct(tokens(col(textCol)))),
+        t => t =!= "").as("__ts"))
+    val nDocs = base.agg(count(lit(1)).as("__n"))
+    val pairs = base
+      .select(explode(flatten(transform(col("__ts"), a =>
+        transform(filter(col("__ts"), b => b > a),
+          b => struct(a.as("a"), b.as("b")))))).as("__p"))
+      .select(col("__p.a").as("term_a"), col("__p.b").as("term_b"))
+      .groupBy("term_a", "term_b").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPairDocs)
+    val termDocs = base.select(explode(col("__ts")).as("__t"))
+      .groupBy("__t").agg(count(lit(1)).as("__nt"))
+    val joined = pairs
+      .join(termDocs.select(col("__t").as("term_a"), col("__nt").as("__na")),
+        Seq("term_a"))
+      .join(termDocs.select(col("__t").as("term_b"), col("__nt").as("__nb")),
+        Seq("term_b"))
+      .crossJoin(broadcast(nDocs))
+    joined
+      .withColumn("pmi", round(
+        log(col("n_pair").cast("double") * col("__n").cast("double") /
+          (col("__na").cast("double") * col("__nb").cast("double"))), 4))
+      .select(col("term_a"), col("term_b"), col("n_pair"), col("pmi"))
+      .orderBy(col("pmi").desc, col("term_a"), col("term_b"))
+      .limit(k)
+  }
+
   /** PII patterns, written in the regex subset Java (Spark codegen) and
     * RE2 (DuckDB, the oracle) interpret identically — no backrefs, no
     * lookaround. Conservative on purpose: a redaction stage prefers

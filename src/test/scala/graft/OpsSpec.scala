@@ -939,6 +939,22 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 3L)) // densest doc per query
   }
 
+  test("pmiCollocations ranks exclusive pairs above anti-correlated ones") {
+    // a+b and c+d are exclusive partners; a+c co-occur BELOW chance
+    val docs = Seq(
+      (1L, "a b x"), (2L, "a b y"), (3L, "c d x"),
+      (4L, "c d y"), (5L, "a c"), (6L, "a c"))
+      .toDF("id", "text")
+    val out = TextOps.pmiCollocations(docs, "text", k = 10, minPairDocs = 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+    // N=6, n_a=4 n_b=2 n_c=4 n_d=2: pmi(a,b)=pmi(c,d)=ln(2·6/8)=0.4055,
+    // pmi(a,c)=ln(2·6/16)=-0.2877; singleton pairs (a,x) etc. drop
+    assert(out.map(_._1).toSeq == Seq(("a", "b"), ("c", "d"), ("a", "c")))
+    val m = out.toMap
+    assert(m(("a", "b")) == ((2L, 0.4055)))
+    assert(m(("a", "c")) == ((2L, -0.2877)))
+  }
+
   test("gramNovelty credits the lowest-id owner of each gram") {
     val docs = Seq(
       (1L, "a b c d"),   // grams (n=3): "a b c", "b c d" — both first here
