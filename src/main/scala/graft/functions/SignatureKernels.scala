@@ -525,6 +525,67 @@ case class CharEntropyExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Unordered-pair expansion kernel for collocation mining: a SORTED
+  * DISTINCT token array expands to every (a, b) pair with a before b —
+  * array<struct<a, b>> in one native O(d²) loop. The HOF formulation
+  * (`flatten(transform(ts, a => transform(filter(ts, b => b > a), …)))`,
+  * kept as the cross-check) walks the array d times through interpreted
+  * lambdas and allocates a nested array per element; this runs fused
+  * inside the scan's codegen stage. Positional order implies the a < b
+  * invariant because the INPUT is sorted — the kernel does not re-sort. */
+case class TokenPairsExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_pairs requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("a", StringType, nullable = false),
+    StructField("b", StringType, nullable = false))), containsNull = false)
+  override def prettyName: String = "token_pairs"
+
+  /** Native per-row loop shared by eval and codegen. Null elements
+    * (possible via the SQL surface) are skipped. */
+  def pairsRow(arr: ArrayData): ArrayData = {
+    val m = arr.numElements()
+    val toks = new java.util.ArrayList[UTF8String](m)
+    var i = 0
+    while (i < m) {
+      if (!arr.isNullAt(i)) toks.add(arr.getUTF8String(i))
+      i += 1
+    }
+    val d = toks.size()
+    if (d < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](d * (d - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < d) {
+      var j = i + 1
+      while (j < d) {
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(toks.get(i), toks.get(j))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    pairsRow(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("tokenPairs", this,
+      classOf[TokenPairsExpr].getName)
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.pairsRow($arr);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenPairsExpr =
+    copy(child = newChild)
+}
+
 /** Fused document-length + per-term frequency kernel for BM25 scoring:
   * ONE pass over the token array produces [dl, tf(term0), tf(term1), …]
   * as array<int>. The HOF formulation (one `filter` lambda per query

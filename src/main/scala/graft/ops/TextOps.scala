@@ -208,7 +208,9 @@ object TextOps {
     * pair counts aggregate with map-side combine, per-term document
     * frequencies join on term, the one-row N broadcasts, and the top-k
     * collapses to TakeOrderedAndProject. Two tokenizing corpus scans
-    * total (pairs + term frequencies). */
+    * total (pairs + term frequencies). Pair expansion is the native
+    * TokenPairsExpr kernel (the HOF formulation is kept in
+    * [[tokenPairsHof]] as the cross-check). */
   def pmiCollocations(df: DataFrame, textCol: String, k: Int,
                       minPairDocs: Long = 2): DataFrame = {
     require(k > 0, "k must be positive")
@@ -216,10 +218,11 @@ object TextOps {
       filter(array_sort(array_distinct(tokens(col(textCol)))),
         t => t =!= "").as("__ts"))
     val nDocs = base.agg(count(lit(1)).as("__n"))
+    val pairCol = org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.TokenPairsExpr(
+        org.apache.spark.sql.GraftSqlShims.expression(col("__ts"))))
     val pairs = base
-      .select(explode(flatten(transform(col("__ts"), a =>
-        transform(filter(col("__ts"), b => b > a),
-          b => struct(a.as("a"), b.as("b")))))).as("__p"))
+      .select(explode(pairCol).as("__p"))
       .select(col("__p.a").as("term_a"), col("__p.b").as("term_b"))
       .groupBy("term_a", "term_b").agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minPairDocs)
@@ -239,6 +242,13 @@ object TextOps {
       .orderBy(col("pmi").desc, col("term_a"), col("term_b"))
       .limit(k)
   }
+
+  /** Pure HOF formulation of the pair expansion — value-identical to the
+    * native TokenPairsExpr kernel (asserted in tests), kept as the
+    * reference implementation and codegen cross-check. */
+  private[graft] def tokenPairsHof(ts: Column): Column =
+    flatten(transform(ts, a =>
+      transform(filter(ts, b => b > a), b => struct(a.as("a"), b.as("b")))))
 
   /** PII patterns, written in the regex subset Java (Spark codegen) and
     * RE2 (DuckDB, the oracle) interpret identically — no backrefs, no

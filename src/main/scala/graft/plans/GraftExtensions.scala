@@ -67,6 +67,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 3, "graft_shingle_hashes takes (array<string>, string, n)")
         ShingleHashesExpr(args(0), args(1), intLit(args(2), "n"))
       }))
+    ext.injectFunction((FunctionIdentifier("graft_token_pairs"),
+      info("graft_token_pairs", "_FUNC_(tokens) - all (a, b) pairs of a sorted distinct token array"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_token_pairs takes (array<string>)")
+        TokenPairsExpr(args(0))
+      }))
     ext.injectFunction((FunctionIdentifier("graft_sorted_intersect"),
       info("graft_sorted_intersect", "_FUNC_(a, b) - intersection count of sorted array<bigint>"),
       (args: Seq[Expression]) => {

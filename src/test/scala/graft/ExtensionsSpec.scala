@@ -82,6 +82,32 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[scala.collection.Seq[Int]]("e") == Seq(0, 0))
   }
 
+  test("graft_token_pairs expands sorted arrays; kernel equals the HOF form") {
+    val r = spark.sql(
+      """SELECT graft_token_pairs(array('a', 'b', 'c')) AS p,
+                graft_token_pairs(array('x')) AS one,
+                graft_token_pairs(array(CAST(NULL AS STRING), 'a', 'b')) AS n""").head()
+    val p = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("p")
+      .map(x => (x.getString(0), x.getString(1)))
+    assert(p == Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(r.getAs[scala.collection.Seq[Any]]("one").isEmpty)
+    assert(r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("n")
+      .map(x => (x.getString(0), x.getString(1))) == Seq(("a", "b")))
+    // bit-identical to the interpreted HOF cross-check on real text
+    import org.apache.spark.sql.functions._
+    val docs = spark.createDataset(Seq("the quick brown fox the end", "one two", ""))(
+      org.apache.spark.sql.Encoders.STRING).toDF("text")
+      .select(filter(array_sort(array_distinct(
+        graft.ops.TextOps.tokens(col("text")))), t => t =!= "").as("ts"))
+    val kernel = docs.select(org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.TokenPairsExpr(
+        org.apache.spark.sql.GraftSqlShims.expression(col("ts")))).as("p"))
+      .collect().map(_.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("p").toSeq)
+    val hof = docs.select(graft.ops.TextOps.tokenPairsHof(col("ts")).as("p"))
+      .collect().map(_.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("p").toSeq)
+    assert(kernel.toSeq == hof.toSeq)
+  }
+
   test("graft_term_freqs tolerates null array elements (count dl, match nothing)") {
     // user-exposed SQL surface: arbitrary arrays can carry nulls, which
     // must not NPE the executor — they count toward dl (like the HOF
