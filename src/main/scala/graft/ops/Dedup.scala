@@ -347,7 +347,10 @@ object Dedup {
       .filter(col("__cnt") >= 2)
       .groupBy("__id").agg(collect_list(col("__s")).as("__starts"))
     df.join(dupStarts, df(idCol) === dupStarts("__id"), "left")
-      .withColumn("__tk", TextOps.tokens(col(textCol)))
+      // null text tokenizes to null: coalesce so the rewrite yields
+      // ('', 0) instead of propagating nulls through size/array_join
+      .withColumn("__tk", coalesce(TextOps.tokens(col(textCol)),
+        array().cast("array<string>")))
       .withColumn("__kept", filter(col("__tk"), (t, p) =>
         !exists(coalesce(col("__starts"), array().cast("array<int>")),
           s => s <= p && p <= s + lit(n - 1))))

@@ -78,6 +78,9 @@ object Joins {
     }
     payloadCols.find(left.columns.contains).foreach { c =>
       throw new IllegalArgumentException(s"payload column collides with left: $c") }
+    (left.columns ++ right.columns).find(_.startsWith("__rj_")).foreach { c =>
+      throw new IllegalArgumentException(
+        s"rangeJoin reserves the __rj_ prefix for internal columns: $c") }
 
     // floor(ts / granule) in EXACT integer arithmetic: subtracting the
     // non-negative pmod makes the numerator an exact multiple, so SQL
