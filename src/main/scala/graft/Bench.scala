@@ -76,10 +76,14 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
-    val line3 = render(v => f"$v%.3f")
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma-decimal locale would emit invalid JSON
+    def fmt(pattern: String)(v: Double): String =
+      String.format(java.util.Locale.ROOT, pattern, Double.box(v))
+    val line3 = render(fmt("%.3f"))
     // auto-degrade to centisecond precision if the suite ever grows the
     // line toward the window again (trailing sbt output eats ~100 chars)
-    println(if (line3.length <= 1870) line3 else render(v => f"$v%.2f"))
+    println(if (line3.length <= 1870) line3 else render(fmt("%.2f")))
     spark.stop()
   }
 }

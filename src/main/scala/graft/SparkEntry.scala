@@ -1422,22 +1422,24 @@ object SparkEntry {
                   len(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS nl
            FROM documents),
          f AS (
+           -- `text IS NULL` arms mirror the Spark side's null-safe
+           -- tokenCount/ratio guards (null text = 0 tokens, 0.0 ratios)
            SELECT doc_id,
-                  CASE WHEN tk = [''] THEN 0 ELSE len(tk) END AS n,
-                  CASE WHEN tk = [''] THEN 0.0
+                  CASE WHEN text IS NULL OR tk = [''] THEN 0 ELSE len(tk) END AS n,
+                  CASE WHEN text IS NULL OR tk = [''] THEN 0.0
                        ELSE (CAST(nl AS DOUBLE) - (CAST(len(tk) AS DOUBLE) - 1))
                             / CAST(len(tk) AS DOUBLE) END AS mwl,
-                  CASE WHEN tk = [''] THEN 0.0
+                  CASE WHEN text IS NULL OR tk = [''] THEN 0.0
                        ELSE (CAST(len(tk) AS DOUBLE) - len(list_distinct(tk)))
                             / CAST(len(tk) AS DOUBLE) END AS dupf,
-                  CASE WHEN tk = [''] THEN 0.0
+                  CASE WHEN text IS NULL OR tk = [''] THEN 0.0
                        ELSE CAST(len(list_filter(tk, x -> x IN
                       ('the','a','of','and','to','in','is','that','it','for',
                        'el','la','de','y','que','en','un','una','es','por',
                        'le','et','une','est','pour',
                        'der','die','das','und','zu','ist','ein','eine','mit'))) AS DOUBLE)
                             / CAST(len(tk) AS DOUBLE) END AS stopr,
-                  CASE WHEN len(text) = 0 THEN 0.0
+                  CASE WHEN text IS NULL OR len(text) = 0 THEN 0.0
                        ELSE CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
                             / len(text) END AS alphar
            FROM t),
@@ -1523,7 +1525,8 @@ object SparkEntry {
                 -- empty-list array_to_string is NULL in DuckDB; a fully
                 -- scrubbed doc must read '' like Spark's array_join
                 coalesce(array_to_string(kept, ' '), '') AS clean_text,
-                CAST(len(tk) - len(kept) AS BIGINT) AS n_tokens_removed
+                -- null text: tk is NULL end-to-end; Spark emits ('', 0)
+                coalesce(CAST(len(tk) - len(kept) AS BIGINT), 0) AS n_tokens_removed
          FROM k ORDER BY doc_id""",
     "x49_gram_novelty" ->
       """WITH t AS (

@@ -358,11 +358,19 @@ object QueryEngine {
         // reduces to ≤ |combinations| rows before the exchange, the scale
         // shape for a 100 TB distinct. Gated on no float/double key so
         // the aggregate's key normalization can't alter returned values.
-        val floatKey = subset.exists(c => df.schema(c).dataType match {
+        // NESTED floats count too: the aggregate's NormalizeFloatingNumbers
+        // rewrites -0.0/NaN inside arrays and structs as well
+        def hasFloat(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
           case org.apache.spark.sql.types.FloatType |
                org.apache.spark.sql.types.DoubleType => true
+          case org.apache.spark.sql.types.ArrayType(et, _) => hasFloat(et)
+          case s: org.apache.spark.sql.types.StructType =>
+            s.fields.exists(f => hasFloat(f.dataType))
+          case m: org.apache.spark.sql.types.MapType =>
+            hasFloat(m.keyType) || hasFloat(m.valueType)
           case _ => false
-        })
+        }
+        val floatKey = subset.exists(c => hasFloat(df.schema(c).dataType))
         val onlySubsetAndRowId =
           df.columns.forall(c => c == RowId || subset.contains(c)) &&
             subset.forall(df.columns.contains)

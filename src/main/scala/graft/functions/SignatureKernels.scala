@@ -557,6 +557,14 @@ case class TokenPairsExpr(child: Expression) extends UnaryExpression {
     }
     val d = toks.size()
     if (d < 2) return new GenericArrayData(Array.empty[Any])
+    // O(d²) expansion needs an explicit guard: past ~46k distinct tokens
+    // the Int size arithmetic would wrap negative, and well before that a
+    // single row's pair array exhausts executor memory. Fail with a
+    // actionable message instead of a NegativeArraySizeException/OOM.
+    if (d > 16384) throw new IllegalStateException(
+      s"token_pairs: $d distinct tokens expand to ${d.toLong * (d - 1) / 2} " +
+        "pairs in one row; cap or pre-filter documents (e.g. top-k tokens " +
+        "per doc) before pair expansion")
     val out = new Array[Any](d * (d - 1) / 2)
     var k = 0
     i = 0

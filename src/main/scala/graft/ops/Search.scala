@@ -224,7 +224,10 @@ object Search {
       .select(col("__doc"), posexplode(col("__toks")).as(Seq("__pos", "__term")))
       .filter(col("__term") =!= "")
     val vocab = toks.groupBy("__term").agg(count(lit(1)).as("__cnt"))
-    val total = toks.agg(count(lit(1)).as("__tot"))
+    // total token count from the VOCAB aggregate, not a third corpus
+    // scan: Σ counts ≡ token count, and the vocab exchange already
+    // exists in the plan (ReuseExchange dedupes it)
+    val total = vocab.agg(sum(col("__cnt")).as("__tot"))
     val logp = log(col("__cnt").cast("double") / col("__tot").cast("double"))
     toks.join(vocab, Seq("__term"))
       .crossJoin(broadcast(total))

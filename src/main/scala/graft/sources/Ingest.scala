@@ -179,6 +179,13 @@ object Ingest {
                     standIns: Seq[(String, String)] = Nil): DataFrame = {
     import graft.engine.QueryJson
     val lines = body.split('\n').iterator.map(_.trim).filter(_.nonEmpty).toSeq
+    // every line must be an OBJECT: a line holding a JSON array is valid
+    // JSON (no corrupt-record flag) but spark.read.json would explode it
+    // into several rows, silently breaking the one-record-per-line
+    // contract (fromJsonRecords guards the same hazard via lexer counts)
+    lines.find(l => !l.startsWith("{")).foreach { l =>
+      Errors.malformed("NDJSON lines must be JSON objects", l.take(80))
+    }
     val firstKeys: Seq[String] = lines.headOption match {
       case None => Seq.empty
       case Some(l) =>

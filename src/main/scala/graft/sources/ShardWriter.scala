@@ -39,7 +39,12 @@ object ShardWriter {
       .write.mode(SaveMode.Overwrite)
       .partitionBy(shardCol)
     codec.fold(w)(c => w.option("compression", c)).json(path)
-    manifest(df.sparkSession.read.json(path), shardCol, tokenCol)
+    // read back with the WRITER's schema: inference would re-read the
+    // whole export once just to guess types, and an all-null column never
+    // lands in JSON at all (null fields are omitted), which would make
+    // the manifest's token sum an unresolved-column error
+    manifest(df.sparkSession.read.schema(df.schema).json(path),
+      shardCol, tokenCol)
   }
 
   private def manifest(written: DataFrame, shardCol: String,

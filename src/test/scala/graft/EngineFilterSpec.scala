@@ -267,6 +267,11 @@ class EngineFilterSpec extends AnyFunSuite {
       Ingest.fromJsonLines(spark, "{\"a\": 1}\n[1, 2]\n")
     }
     intercept[graft.engine.MalformedQueryException] {
+      // a later array-of-objects line is valid JSON that spark.read.json
+      // would silently EXPLODE into rows — must 400, like line 1 would
+      Ingest.fromJsonLines(spark, "{\"a\": 1}\n[{\"a\": 2}, {\"a\": 3}]\n")
+    }
+    intercept[graft.engine.MalformedQueryException] {
       Ingest.fromJsonLines(spark, "nope")
     }
   }

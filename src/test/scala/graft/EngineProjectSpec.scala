@@ -54,6 +54,16 @@ class EngineProjectSpec extends AnyFunSuite {
     assert(rows(runQ(basicFrame, """{"distinct": []}""").df) == Seq("bbb", "aaa", "ccc"))
   }
 
+  test("distinct [] preserves -0.0 inside nested array columns") {
+    // the fast aggregate path must NOT fire when a float hides inside an
+    // array/struct: grouping-key normalization would rewrite -0.0 → 0.0
+    val f = Ingest.fromJsonRecords(spark, """[{"v": [-0.0]}, {"v": [-0.0]}]""")
+    val out = QueryEngine.run(f, """{"distinct": []}""").df.collect()
+    assert(out.length == 1)
+    val v = out.head.getSeq[Double](out.head.fieldIndex("v"))
+    assert(1.0 / v.head == Double.NegativeInfinity) // sign survived
+  }
+
   test("distinct with columns keeps first row") {
     assert(rows(runQ(basicFrame, """{"distinct": ["qux"]}""").df) == Seq("bbb", "ccc"))
   }

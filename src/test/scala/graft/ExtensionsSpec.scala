@@ -106,6 +106,15 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val hof = docs.select(graft.ops.TextOps.tokenPairsHof(col("ts")).as("p"))
       .collect().map(_.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("p").toSeq)
     assert(kernel.toSeq == hof.toSeq)
+    // the O(d²) guard fails actionably instead of wrapping Int arithmetic
+    val big = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.tabulate[Any](16385)(i =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"t$i")))
+    val e = intercept[IllegalStateException] {
+      graft.functions.TokenPairsExpr(
+        org.apache.spark.sql.GraftSqlShims.expression(col("ts"))).pairsRow(big)
+    }
+    assert(e.getMessage.contains("distinct tokens"))
   }
 
   test("graft_term_freqs tolerates null array elements (count dl, match nothing)") {

@@ -481,6 +481,14 @@ class OpsSpec extends AnyFunSuite {
     // round-trips through the NDJSON ingest path
     val back = graft.sources.Ingest.fromJsonLines(spark, lines.mkString("\n"))
     assert(back.count() == lines.length)
+    // all-null token column: JSON omits null fields entirely on disk; the
+    // writer-schema read-back must still resolve the manifest's sum
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft-jsonl2").toString
+    val nulls = (1L to 6L).map(i => (i, i % 2, None: Option[Long]))
+      .toDF("id", "bin", "n_tok")
+    val m2 = graft.sources.ShardWriter.writeShardsJsonl(nulls, "bin", "n_tok", tmp2)
+      .collect()
+    assert(m2.length == 2 && m2.forall(r => r.isNullAt(2)))
   }
 
   // ------------------------- bucketed layout -------------------------
