@@ -691,7 +691,15 @@ object SparkEntry {
     // self-join), partial-combine pair counts, TakeOrdered top-k
     "x51_pmi_pairs" -> ((s, dir) =>
       graft.ops.TextOps.pmiCollocations(t(s, dir, "documents"),
-        "text", k = 25)))
+        "text", k = 25)),
+
+    // adaptive per-source outlier filter: keep docs inside their OWN
+    // source's [p10, p90] length band (tiny bounds relation broadcast
+    // back; the corpus never shuffles)
+    "x52_len_band" -> ((s, dir) =>
+      graft.ops.Sampling.quantileBandFilter(t(s, dir, "documents"),
+        "source", "n_chars", 0.1, 0.9)
+        .select("doc_id", "source", "n_chars").orderBy("doc_id")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1599,5 +1607,16 @@ object SparkEntry {
          FROM pr JOIN tc ta ON pr.term_a = ta.term
                  JOIN tc tb ON pr.term_b = tb.term
                  CROSS JOIN n
-         ORDER BY pmi DESC, term_a, term_b LIMIT 25""")
+         ORDER BY pmi DESC, term_a, term_b LIMIT 25""",
+    // integral n_chars vs interpolated bounds: membership is engine-
+    // portable (a non-integer bound can't equal an integer value)
+    "x52_len_band" ->
+      """WITH b AS (
+           SELECT source, quantile_cont(n_chars, 0.1) AS lo,
+                  quantile_cont(n_chars, 0.9) AS hi
+           FROM documents GROUP BY source)
+         SELECT doc_id, source, n_chars
+         FROM documents JOIN b USING (source)
+         WHERE n_chars >= lo AND n_chars <= hi
+         ORDER BY doc_id""")
 }

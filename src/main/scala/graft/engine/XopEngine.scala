@@ -742,6 +742,16 @@ object XopEngine {
         graft.ops.Joins.equiJoin(df, rightDf, on, how, payload,
           boolArg(args, "broadcast", default = false, name))
 
+      // per-group adaptive quantile band filter
+      case "quantile_band" =>
+        knownArgs("group", "column", "lo", "hi")
+        val lo = doubleArgOpt(args, "lo", 0.05, name)
+        val hi = doubleArgOpt(args, "hi", 0.95, name)
+        if (!(lo >= 0 && hi <= 1 && lo <= hi))
+          Errors.malformed(s"xop '$name': band must satisfy 0 <= lo <= hi <= 1")
+        Sampling.quantileBandFilter(df, column(df, args, "group", name),
+          numericColumn(df, args, "column", name), lo, hi)
+
       // top-k PMI collocations over document-level co-occurrence
       case "pmi_pairs" =>
         knownArgs("column", "k", "min_pair_docs")

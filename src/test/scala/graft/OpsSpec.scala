@@ -947,6 +947,23 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 3L)) // densest doc per query
   }
 
+  test("quantileBandFilter keeps per-group bands, not a global one") {
+    // group g1: values 1..10 → [p10,p90] keeps 2..9-ish; group g2 is
+    // 100..1000 — a global band would drop all of one group
+    val rows = (1 to 10).map(i => (i.toLong, "g1", i.toLong * 10)) ++
+      (1 to 10).map(i => (100L + i, "g2", i.toLong * 1000))
+    val df = rows.toDF("id", "grp", "v")
+    val out = Sampling.quantileBandFilter(df, "grp", "v", 0.1, 0.9)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    val byGrp = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // p10 of 10..100 step 10 = 19, p90 = 91 (interpolated) → keep 20..90
+    assert(byGrp("g1") == (2 to 9).map(_ * 10L))
+    assert(byGrp("g2") == (2 to 9).map(_ * 1000L))
+    // column order preserved
+    assert(Sampling.quantileBandFilter(df, "grp", "v", 0.1, 0.9)
+      .columns.toSeq == Seq("id", "grp", "v"))
+  }
+
   test("pmiCollocations ranks exclusive pairs above anti-correlated ones") {
     // a+b and c+d are exclusive partners; a+c co-occur BELOW chance
     val docs = Seq(

@@ -164,7 +164,7 @@ class PropertySpec extends AnyFunSuite {
       "quantiles", "dedup_against", "split", "search_bm25", "dup_grams",
       "join", "emb_cluster", "minhash_against", "tfidf_keywords",
       "quality_rules", "unigram_nll", "range_join", "span_scrub",
-      "gram_novelty", "token_divergence", "pmi_pairs", "zap")
+      "gram_novelty", "token_divergence", "pmi_pairs", "quantile_band", "zap")
     val argKeys = Seq("id", "column", "order", "chunk_tokens", "k",
       "fraction", "strata", "source", "weights", "default", "approx",
       "num_hashes", "bands", "threshold", "shingle", "action",
@@ -176,7 +176,7 @@ class PropertySpec extends AnyFunSuite {
       "query_text", "k1", "b", "on", "how", "columns", "broadcast",
       "iters", "ts", "start", "end", "granule", "min_tokens", "max_tokens",
       "min_mean_len", "max_mean_len", "max_dup_word_frac",
-      "min_stopword_ratio", "min_alpha_ratio", "zap")
+      "min_stopword_ratio", "min_alpha_ratio", "lo", "hi", "zap")
     val valGen: Gen[String] = Gen.oneOf(
       Gen.oneOf("id", "src", "text", "zz", "ds", "pairs", "drop", "flag")
         .map(s => s""""$s""""),
