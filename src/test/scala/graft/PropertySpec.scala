@@ -91,6 +91,30 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("rangeJoin equals the naive nested-loop join for any granule (negative epochs too)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val caseGen = for {
+      n <- Gen.chooseNum(1, 12)
+      ts <- Gen.listOfN(n, Gen.chooseNum(-500L, 500L))
+      m <- Gen.chooseNum(1, 6)
+      ivs <- Gen.listOfN(m, Gen.zip(Gen.chooseNum(-500L, 500L), Gen.chooseNum(0L, 300L)))
+      g <- Gen.chooseNum(1L, 137L)
+    } yield (ts, ivs, g)
+    checkProp(Prop.forAll(caseGen) { case (ts, ivs, g) =>
+      val left = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("lid", "t")
+      val right = ivs.zipWithIndex.map { case ((s, len), i) =>
+        (s"iv$i", s, s + len) }.toDF("nm", "s", "e")
+      val got = graft.ops.Joins.rangeJoin(left, right, "t", "s", "e",
+          Seq("nm"), granule = g)
+        .collect().map(r => (r.getLong(0), r.getString(2))).sorted.toSeq
+      val want = left.crossJoin(right)
+        .filter(col("t") >= col("s") && col("t") <= col("e"))
+        .collect().map(r => (r.getLong(0), r.getString(2))).sorted.toSeq
+      got == want
+    })
+  }
+
   test("distinct [] is idempotent and a subset of the input") {
     checkProp(Prop.forAll(frameGen) { df =>
       val once = QueryEngine.run(df, """{"distinct": []}""").df
