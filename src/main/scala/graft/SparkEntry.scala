@@ -699,7 +699,13 @@ object SparkEntry {
     "x52_len_band" -> ((s, dir) =>
       graft.ops.Sampling.quantileBandFilter(t(s, dir, "documents"),
         "source", "n_chars", 0.1, 0.9)
-        .select("doc_id", "source", "n_chars").orderBy("doc_id")))
+        .select("doc_id", "source", "n_chars").orderBy("doc_id")),
+
+    // bigram LM fluency: map-side bigram zip, one (prev, cur) shuffle,
+    // unigram-context join, position-ordered per-doc fold
+    "x53_bigram_nll" -> ((s, dir) =>
+      graft.ops.Search.bigramNll(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1618,5 +1624,34 @@ object SparkEntry {
          SELECT doc_id, source, n_chars
          FROM documents JOIN b USING (source)
          WHERE n_chars >= lo AND n_chars <= hi
-         ORDER BY doc_id""")
+         ORDER BY doc_id""",
+    // bigram MLE p(cur|prev) = c2/c1; per-token ln folds in bigram
+    // POSITION order (the x46 pattern), mean negated to stay positive
+    "x53_bigram_nll" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+           FROM documents),
+         bg AS (
+           SELECT doc_id, prev, cur, pos FROM (
+             SELECT doc_id,
+                    unnest(tk[1:len(tk)-1]) AS prev,
+                    unnest(tk[2:len(tk)])   AS cur,
+                    unnest(range(1, len(tk))) AS pos
+             FROM d)
+           WHERE prev <> '' AND cur <> ''),
+         c2 AS (SELECT prev, cur, count(*) AS c2 FROM bg GROUP BY prev, cur),
+         c1 AS (
+           SELECT term AS prev, count(*) AS c1 FROM (
+             SELECT unnest(tk) AS term FROM d)
+           WHERE term <> '' GROUP BY term),
+         per AS (
+           SELECT doc_id,
+                  list(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) ORDER BY pos) AS lps
+           FROM bg JOIN c2 USING (prev, cur) JOIN c1 USING (prev)
+           GROUP BY doc_id)
+         SELECT doc_id, CAST(len(lps) AS BIGINT) AS n_bigrams,
+                floor(-(list_aggregate(lps, 'sum') / len(lps)) * 10000.0 + 0.5)
+                  / 10000.0 AS nll
+         FROM per ORDER BY doc_id""")
 }

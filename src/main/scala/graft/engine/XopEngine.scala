@@ -810,6 +810,12 @@ object XopEngine {
         Search.unigramNll(df, column(df, args, "id", name),
           column(df, args, "column", name))
 
+      // corpus-self bigram LM mean surprisal (order-sensitive fluency)
+      case "bigram_nll" =>
+        knownArgs("id", "column")
+        Search.bigramNll(df, column(df, args, "id", name),
+          column(df, args, "column", name))
+
       // point-in-interval range join against a stored interval dataset
       case "range_join" =>
         knownArgs("right", "ts", "start", "end", "payload", "granule",

@@ -240,6 +240,49 @@ object Search {
           .as("nll"))
   }
 
+  /** Per-document mean BIGRAM surprisal under the corpus's own bigram
+    * model — [[unigramNll]]'s sharper sibling: `p(cur|prev) =
+    * c(prev,cur) / c(prev)` (MLE, no smoothing needed because every
+    * in-document bigram exists in the corpus by construction), scored as
+    * the mean −ln p over a document's bigram positions. Word-salad that
+    * sneaks past unigram frequencies (common words in impossible orders)
+    * scores high here. Documents with fewer than 2 tokens are omitted.
+    *
+    * Shape at scale: bigrams zip map-side from the materialized token
+    * array (no self-join), one (prev, cur) count shuffle with map-side
+    * combine, a unigram-context join on prev, and the per-doc fold runs
+    * in bigram POSITION order (the [[bm25Batch]] pattern) so scores are
+    * bit-stable and oracle-replayable. Returns (idCol, n_bigrams, nll). */
+  def bigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = Dedup.spread(docs)
+      .select(col(idCol).as("__doc"), TextOps.tokens(col(textCol)).as("__toks"))
+    val bigrams = base
+      .select(col("__doc"), posexplode(zip_with(
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+        slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+        (a, b) => struct(a.as("p"), b.as("c")))).as(Seq("__pos", "__bg")))
+      .select(col("__doc"), col("__pos"),
+        col("__bg.p").as("__prev"), col("__bg.c").as("__cur"))
+      .filter(col("__prev") =!= "" && col("__cur") =!= "")
+    val bigramCounts = bigrams.groupBy("__prev", "__cur")
+      .agg(count(lit(1)).as("__c2"))
+    val uniCounts = base
+      .select(explode(col("__toks")).as("__prev"))
+      .filter(col("__prev") =!= "")
+      .groupBy("__prev").agg(count(lit(1)).as("__c1"))
+    val logp = log(col("__c2").cast("double") / col("__c1").cast("double"))
+    bigrams
+      .join(bigramCounts, Seq("__prev", "__cur"))
+      .join(uniCounts, Seq("__prev"))
+      .groupBy("__doc")
+      .agg(collect_list(struct(col("__pos").as("p"), logp.as("lp"))).as("__ls"))
+      .select(col("__doc").as(idCol),
+        size(col("__ls")).cast("long").as("n_bigrams"),
+        round(-(aggregate(array_sort(col("__ls")), lit(0.0d),
+          (acc, x) => acc + x.getField("lp")) / size(col("__ls"))), 4)
+          .as("nll"))
+  }
+
   /** Pure higher-order-function formulation of the [dl, tf…] vector —
     * value-identical to the native TermFreqsExpr kernel (asserted in
     * tests), kept as the reference implementation and codegen

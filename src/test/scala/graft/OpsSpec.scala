@@ -1095,6 +1095,28 @@ class OpsSpec extends AnyFunSuite {
     assert(byId(2L)._3 == math.floor(exp2 * 10000.0 + 0.5) / 10000.0)
   }
 
+  test("bigramNll matches the hand-computed conditional fold") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo"), (4L, ""))
+      .toDF("id", "text")
+    val out = Search.bigramNll(docs, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // c2: (a,b)=3 (b,a)=1 (b,c)=1; c1: a=3 b=3 c=1; <2-token docs omitted
+    assert(out.map(_._1).sorted.toSeq == Seq(1L, 2L))
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(1L)._2 == 3 && byId(2L)._2 == 2)
+    val ln = (x: Double) => math.log(x)
+    val exp1 = -((((0.0 + ln(3.0 / 3)) + ln(1.0 / 3)) + ln(3.0 / 3)) / 3)
+    val exp2 = -(((0.0 + ln(3.0 / 3)) + ln(1.0 / 3)) / 2)
+    assert(byId(1L)._3 == math.floor(exp1 * 10000.0 + 0.5) / 10000.0)
+    assert(byId(2L)._3 == math.floor(exp2 * 10000.0 + 0.5) / 10000.0)
+    // common words in an impossible order score higher than fluent text
+    val salad = Seq((1L, "the cat sat"), (2L, "the cat sat"), (3L, "sat the cat"),
+      (4L, "cat sat the")).toDF("id", "text")
+    val s = Search.bigramNll(salad, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(3L) > s(1L) && s(4L) > s(1L))
+  }
+
   test("rangeJoin: inclusive bounds, multi-granule intervals, keys, left how") {
     val left = Seq(
       (1L, 100L, "k1"), (2L, 250L, "k1"), (3L, 400L, "k2"),
