@@ -1614,15 +1614,17 @@ object SparkEntry {
                  JOIN tc tb ON pr.term_b = tb.term
                  CROSS JOIN n
          ORDER BY pmi DESC, term_a, term_b LIMIT 25""",
-    // integral n_chars vs interpolated bounds: membership is engine-
-    // portable (a non-integer bound can't equal an integer value)
+    // bounds floor-rounded to 4 decimals on BOTH sides before comparing
+    // (quantile interpolation can differ by an ulp across engines);
+    // null-safe join mirrors the operator's null-group semantics
     "x52_len_band" ->
       """WITH b AS (
-           SELECT source, quantile_cont(n_chars, 0.1) AS lo,
-                  quantile_cont(n_chars, 0.9) AS hi
+           SELECT source,
+                  floor(quantile_cont(n_chars, 0.1) * 10000.0 + 0.5) / 10000.0 AS lo,
+                  floor(quantile_cont(n_chars, 0.9) * 10000.0 + 0.5) / 10000.0 AS hi
            FROM documents GROUP BY source)
-         SELECT doc_id, source, n_chars
-         FROM documents JOIN b USING (source)
+         SELECT doc_id, d.source, n_chars
+         FROM documents d JOIN b ON d.source IS NOT DISTINCT FROM b.source
          WHERE n_chars >= lo AND n_chars <= hi
          ORDER BY doc_id""",
     // bigram MLE p(cur|prev) = c2/c1; per-token ln folds in bigram

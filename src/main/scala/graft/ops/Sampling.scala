@@ -109,32 +109,6 @@ object Sampling {
     * shard) windows run in parallel, and shard totals roll up in a tiny
     * per-source window whose offsets broadcast back. Null-safe join keys:
     * a null source is a legal group. */
-  /** Per-group adaptive quantile band filter: keep rows whose `valueCol`
-    * lies inside their OWN group's [lo, hi] interpolated quantile band —
-    * the outlier filter that adapts to each source/domain instead of one
-    * global threshold (a 10 kB doc is normal for books, anomalous for
-    * chat logs). Inclusive bounds.
-    *
-    * Shape at scale: one per-group percentile aggregate (groups ≪ rows —
-    * the bounds relation is group-count-sized, so AQE broadcasts it) and
-    * a map-side band comparison on the join back; the corpus itself
-    * never shuffles. With an INTEGRAL valueCol the band membership is
-    * engine-portable: interpolated bounds are either exact (f = 0) or
-    * non-integer, so a ±1-ulp engine difference cannot flip a
-    * comparison against an integer value. */
-  def quantileBandFilter(df: DataFrame, groupCol: String, valueCol: String,
-                         lo: Double, hi: Double): DataFrame = {
-    require(lo >= 0 && hi <= 1 && lo <= hi, "band must satisfy 0 <= lo <= hi <= 1")
-    val bounds = df.groupBy(col(groupCol))
-      .agg(percentile(col(valueCol), typedLit(Seq(lo, hi))).as("__b"))
-      .select(col(groupCol), element_at(col("__b"), 1).as("__lo"),
-        element_at(col("__b"), 2).as("__hi"))
-    df.join(bounds, Seq(groupCol))
-      .filter(col(valueCol) >= col("__lo") && col(valueCol) <= col("__hi"))
-      .drop("__lo", "__hi")
-      .select(df.columns.head, df.columns.tail: _*) // original column order
-  }
-
   def tokenBudgetByHash(df: DataFrame, idCol: String, sourceCol: String,
                         tokensCol: Column, budget: Long,
                         shardSize: Long = 1000000L): DataFrame = {
@@ -171,5 +145,39 @@ object Sampling {
       when(col(sourceCol) === s, lit(math.floor(P * w).toLong)).otherwise(acc)
     }
     df.filter(orderHash(col(idCol)) < threshold)
+  }
+
+  /** Per-group adaptive quantile band filter: keep rows whose `valueCol`
+    * lies inside their OWN group's [lo, hi] interpolated quantile band —
+    * the outlier filter that adapts to each source/domain instead of one
+    * global threshold (a 10 kB doc is normal for books, anomalous for
+    * chat logs). Inclusive bounds; a NULL group is a legal group (module
+    * convention — the join back is null-safe).
+    *
+    * Shape at scale: one per-group percentile aggregate (groups ≪ rows —
+    * the bounds relation is group-count-sized, so AQE broadcasts it) and
+    * a map-side band comparison on the join back; the corpus itself
+    * never shuffles. Like [[Profile.groupQuantiles]], the exact
+    * percentile buffers each group's value multiset — fine for the
+    * bounded-cardinality columns outlier bands are cut on (lengths,
+    * counts); swap approx_percentile in for unbounded doubles.
+    *
+    * Bounds are floor-rounded to 4 decimals BEFORE comparing, on both
+    * this side and the oracle: engines interpolate quantiles with
+    * different-but-equivalent formulas whose last ulp can differ, and a
+    * raw-double bound one ulp either side of an integer order statistic
+    * would flip that integer's membership per engine. After identical
+    * rounding the bound is the same number everywhere. */
+  def quantileBandFilter(df: DataFrame, groupCol: String, valueCol: String,
+                         lo: Double, hi: Double): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo <= hi, "band must satisfy 0 <= lo <= hi <= 1")
+    def snap(c: Column): Column = floor(c * 10000.0 + lit(0.5)) / 10000.0
+    val bounds = df.groupBy(col(groupCol).as("__g"))
+      .agg(percentile(col(valueCol), typedLit(Seq(lo, hi))).as("__b"))
+      .select(col("__g"), snap(element_at(col("__b"), 1)).as("__lo"),
+        snap(element_at(col("__b"), 2)).as("__hi"))
+    df.join(bounds, df(groupCol) <=> bounds("__g"))
+      .filter(col(valueCol) >= col("__lo") && col(valueCol) <= col("__hi"))
+      .select(df.columns.toSeq.map(df(_)): _*) // original columns and order
   }
 }

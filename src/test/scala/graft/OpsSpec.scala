@@ -962,6 +962,13 @@ class OpsSpec extends AnyFunSuite {
     // column order preserved
     assert(Sampling.quantileBandFilter(df, "grp", "v", 0.1, 0.9)
       .columns.toSeq == Seq("id", "grp", "v"))
+    // a NULL group is a legal group: its rows filter against their own
+    // band instead of vanishing in the join back
+    val withNull = rows ++ (1 to 10).map(i => (200L + i, null: String, i.toLong * 7))
+    val nOut = Sampling.quantileBandFilter(withNull.toDF("id", "grp", "v"),
+      "grp", "v", 0.1, 0.9)
+      .filter(col("grp").isNull).collect().map(_.getLong(2)).sorted.toSeq
+    assert(nOut == (2 to 9).map(_ * 7L))
   }
 
   test("pmiCollocations ranks exclusive pairs above anti-correlated ones") {
