@@ -647,6 +647,41 @@ class XopSpec extends AnyFunSuite {
                            "payload": ["name"], "granule": 100, "how": "anti"}}}""", res) }
   }
 
+  test("round-7 analysis xops run through the dialect with sane shapes") {
+    // gram_novelty: duplicate docs 3/6 contribute nothing new
+    val nov = run(
+      """{"xop": {"name": "gram_novelty", "args": {"id": "id", "column": "text", "n": 3}},
+          "order_by": ["id"]}""").collect()
+      .map(r => r.getAs[Number]("id").longValue -> r.getAs[Double]("novelty")).toMap
+    assert(nov(1L) == 1.0 && nov(3L) == 0.0 && nov(2L) == 1.0 && nov(6L) == 0.0)
+    // token_divergence: one row per source, kl >= 0 (within rounding)
+    val kl = run(
+      """{"xop": {"name": "token_divergence", "args": {"group": "src", "column": "text"}},
+          "order_by": ["src"]}""").collect()
+    assert(kl.map(_.getString(0)).toSeq == Seq("book", "web"))
+    assert(kl.forall(_.getDouble(2) >= -0.0001))
+    // pmi_pairs: k bounds the output, scores ranked desc
+    val pmi = run(
+      """{"xop": {"name": "pmi_pairs", "args": {"column": "text", "k": 5}}}""").collect()
+    assert(pmi.length <= 5)
+    assert(pmi.map(_.getAs[Double]("pmi")).toSeq ==
+      pmi.map(_.getAs[Double]("pmi")).sortBy(-_).toSeq)
+    // quantile_band: full [0,1] band keeps everything; bad band 400s
+    val band = run(
+      """{"xop": {"name": "quantile_band",
+                  "args": {"group": "src", "column": "id", "lo": 0.0, "hi": 1.0}}}""")
+    assert(band.count() == 6)
+    intercept[MalformedQueryException] { run(
+      """{"xop": {"name": "quantile_band",
+                  "args": {"group": "src", "column": "id", "lo": 0.9, "hi": 0.1}}}""") }
+    // bigram_nll: every multi-token doc scored, duplicates tie exactly
+    val bnll = run(
+      """{"xop": {"name": "bigram_nll", "args": {"id": "id", "column": "text"}},
+          "order_by": ["id"]}""").collect()
+      .map(r => r.getAs[Number]("id").longValue -> r.getAs[Double]("nll")).toMap
+    assert(bnll.size == 6 && bnll(1L) == bnll(3L) && bnll(2L) == bnll(6L))
+  }
+
   test("dataset references 400 without a resolver, and are detected for memo bypass") {
     intercept[MalformedQueryException] {
       run("""{"xop": {"name": "decontaminate",
