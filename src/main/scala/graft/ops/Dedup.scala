@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale corpus curation: exact,
@@ -27,22 +26,55 @@ object Dedup {
     * bounded by ~1k rows per partition (plan-stats estimate, free on
     * cached relations): full parallelism for a tiny input just multiplies
     * shuffle FILES — stack-sampled at 60-80% of an LSH operator's wall
-    * time at small scale — without adding useful concurrency. No-op when
-    * the input already has enough partitions (the normal cluster case,
-    * where every partition holds far more than 1k rows). */
+    * time at small scale — without adding useful concurrency. Stats-ONLY:
+    * no partition-count probe (`df.rdd` would force full physical
+    * planning on the driver once per spread per query). An input whose
+    * row estimate reaches 1k × cores is left alone — a scan that size
+    * arrives pre-split by the file source / an upstream exchange, and
+    * repartitioning it would shuffle the whole corpus; a provably-small
+    * input is repartitioned unconditionally (the shuffle moves at most
+    * ~1k rows per core by construction). */
   private[graft] def spread(df: DataFrame): DataFrame = {
-    val target = math.min(
-      df.sparkSession.sparkContext.defaultParallelism.toLong,
+    val dp = df.sparkSession.sparkContext.defaultParallelism
+    val target = math.min(dp.toLong,
       math.max(1L, Similarity.approxRows(df) / 1000L)).toInt
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (target > 1 && target < dp) df.repartition(target) else df
   }
 
+  /** Per-key aggregate joined back onto its occurrence relation — the
+    * skew-safe replacement for `f(...).over(Window.partitionBy(key))` on
+    * occurrence lineages (grams, chunks, terms, fingerprints). The
+    * groupBy gets map-side partial combine, so each task contributes one
+    * row per DISTINCT key it holds — a Zipf-head key (a boilerplate
+    * 8-gram, "the" in a df count) costs one row per mapper instead of
+    * funneling its whole occurrence set into a single reduce task. The
+    * join back is a plain equi-join that AQE can broadcast (the keyed
+    * aggregate is vocabulary-sized) or skew-split. Window aggregation
+    * has neither escape: it does NO partial combine, and AQE's skew
+    * handling covers JOINS only — it cannot split a skewed window
+    * partition. `agg` must be pre-aliased; predicates on its output
+    * columns push below the join into the aggregate side. */
+  private[graft] def withKeyAgg(occ: DataFrame, key: String, agg: Column): DataFrame =
+    occ.join(occ.groupBy(col(key)).agg(agg), Seq(key))
+
   /** Exact dedup: keep the lowest-`orderCol` row per fingerprint of the
-    * normalized text. One hash shuffle; with AQE, skewed fingerprints
-    * (boilerplate docs) split automatically. */
+    * normalized text. ONE aggregation with map-side partial combine: each
+    * task collapses its slice of a duplicate class to a single candidate
+    * row before the shuffle, so a mass-duplicated document (the corpus
+    * norm, not the exception) costs one row per mapper. The previous
+    * `row_number over Window.partitionBy(fingerprint)` form funneled a
+    * hot fingerprint's entire class into one reduce task — AQE cannot
+    * split a skewed window partition (its skew handling covers joins
+    * only). Ties on `orderCol` are broken arbitrarily-but-one, like the
+    * window form; callers pass a unique ordering column. */
   def exactByText(df: DataFrame, textCol: String, orderCol: String): DataFrame = {
-    val w = Window.partitionBy(TextOps.fingerprintMd5(col(textCol))).orderBy(col(orderCol))
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val payload = struct(df.columns.map(col): _*)
+    // struct-wrapped order key: min_by DROPS rows whose ordering is null,
+    // while struct(null) stays non-null and sorts first — matching the
+    // window form's nulls-first orderBy
+    df.groupBy(TextOps.fingerprintMd5(col(textCol)).as("__fp"))
+      .agg(min_by(payload, struct(col(orderCol))).as("__keep"))
+      .select(df.columns.map(c => col(s"__keep.$c").as(c)): _*)
   }
 
   /** Word n-gram shingles of the normalized text (n tokens per shingle). */
@@ -255,11 +287,14 @@ object Dedup {
     * documents worth chunk-dedup ([[dedupChunks]]) or dropping.
     *
     * Shape at scale: grams are deduplicated PER DOCUMENT inside the
-    * native kernel before the explode (one row per distinct gram), then
-    * ONE shuffle keyed on (gram hash, gram) computes each gram's corpus
-    * document-count as a whole-partition window, and one id shuffle
-    * re-aggregates per document. No gram dictionary is collected and no
-    * self-join materializes pairs.
+    * native kernel before the explode (one row per distinct gram), the
+    * per-gram corpus document-count aggregates with map-side combine
+    * (each task emits its distinct grams once — a boilerplate gram costs
+    * one row per mapper, where the previous gram-window funneled its
+    * whole occurrence lineage into a single task), the count joins back
+    * onto the occurrences (AQE-broadcastable/skew-splittable), and one
+    * id shuffle re-aggregates per document. No gram dictionary is
+    * collected and no self-join materializes pairs.
     *
     * Returns (id, n_grams, n_dup_grams, dup_frac) for every input row;
     * documents shorter than `n` tokens have zero grams and dup_frac 0.
@@ -268,11 +303,7 @@ object Dedup {
                    n: Int = 8): DataFrame = {
     val grams = spread(df).select(col(idCol).as("id"),
       explode(Decontaminate.wordNgrams(col(textCol), n, distinct = true)).as("gram"))
-    // hash routes the exchange (narrow uniform key), gram string keeps
-    // colliding grams distinct in the window partition
-    val w = Window.partitionBy(xxhash64(col("gram")), col("gram"))
-    val perDoc = grams
-      .withColumn("__docs", count(lit(1)).over(w))
+    val perDoc = withKeyAgg(grams, "gram", count(lit(1)).as("__docs"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_grams"),
         sum((col("__docs") > 1).cast("long")).as("n_dup_grams"))
@@ -292,18 +323,18 @@ object Dedup {
     * new text they contribute; boilerplate re-crawls score ~0.
     *
     * Shape at scale: distinct grams explode once; the first-owner id is
-    * a min-window over the same gram lineage (one exchange, hash-routed
-    * like dupGramStats); the per-doc rollup and the left join back are
-    * id-keyed. Docs shorter than `n` tokens have no grams and report
-    * novelty 0. */
+    * a per-gram min AGGREGATE (map-side combine — one row per distinct
+    * gram per task) joined back onto the occurrences, the skew-safe
+    * [[withKeyAgg]] shape (a min-window over the gram lineage would put
+    * a boilerplate gram's whole occurrence set in one task); the per-doc
+    * rollup and the left join back are id-keyed. Docs shorter than `n`
+    * tokens have no grams and report novelty 0. */
   def gramNovelty(df: DataFrame, idCol: String, textCol: String,
                   n: Int = 8): DataFrame = {
     require(n > 0, "n must be positive")
     val grams = spread(df).select(col(idCol).as("id"),
       explode(Decontaminate.wordNgrams(col(textCol), n, distinct = true)).as("gram"))
-    val w = Window.partitionBy(xxhash64(col("gram")), col("gram"))
-    val perDoc = grams
-      .withColumn("__first", min(col("id")).over(w))
+    val perDoc = withKeyAgg(grams, "gram", min(col("id")).as("__first"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_grams"),
         sum((col("__first") === col("id")).cast("long")).as("n_novel"))
@@ -326,12 +357,14 @@ object Dedup {
     *
     * Shape at scale: positional grams explode once from a materialized
     * gram array (never re-tokenizing per exploded row); the occurrence
-    * count is a WINDOW over the same gram lineage (one exchange, no
-    * second scan of the corpus subtree — the postings-window pattern);
-    * only DUPLICATED occurrences survive to the per-doc start-position
-    * collect, so the rollup is sized by duplication density, not corpus
-    * length; and the rewrite is a map-side two-arg filter over the token
-    * array. The collected start list is bounded by tokens-per-doc. */
+    * count is a per-gram AGGREGATE with map-side combine joined back
+    * onto the occurrences (the skew-safe [[withKeyAgg]] shape — the
+    * previous gram-window put a boilerplate gram's whole occurrence
+    * lineage into one task); only DUPLICATED occurrences survive to the
+    * per-doc start-position collect, so the rollup is sized by
+    * duplication density, not corpus length; and the rewrite is a
+    * map-side two-arg filter over the token array. The collected start
+    * list is bounded by tokens-per-doc. */
   def scrubDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                            n: Int = 8): DataFrame = {
     require(n > 0, "n must be positive")
@@ -339,11 +372,9 @@ object Dedup {
       .select(col(idCol).as("__id"),
         Decontaminate.wordNgrams(col(textCol), n).as("__g"))
       .select(col("__id"), posexplode(col("__g")).as(Seq("__s", "__gram")))
-    // same hash-routed window as dupGramStats: narrow uniform exchange
-    // key, gram string keeps colliding grams apart inside the partition
-    val w = Window.partitionBy(xxhash64(col("__gram")), col("__gram"))
-    val dupStarts = g
-      .withColumn("__cnt", count(lit(1)).over(w))
+    // the >= 2 predicate pushes below the join into the aggregate side,
+    // so only duplicated grams' occurrences flow into the doc rollup
+    val dupStarts = withKeyAgg(g, "__gram", count(lit(1)).as("__cnt"))
       .filter(col("__cnt") >= 2)
       .groupBy("__id").agg(collect_list(col("__s")).as("__starts"))
     df.join(dupStarts, df(idCol) === dupStarts("__id"), "left")
@@ -368,11 +399,15 @@ object Dedup {
     * repeated ACROSS documents without dropping whole documents.
     *
     * Shape at scale: explode to (id, idx, chunk) — ~tokens/chunkTokens
-    * rows per doc, chunked by the native kernel — then ONE shuffle on the
-    * chunk hash for the keep-first window (WindowGroupLimit prunes
-    * map-side; the hash key, not the string, drives the exchange), one
-    * id shuffle to reassemble in chunk order. Documents emptied entirely
-    * survive with clean_text = '' (the caller decides to drop).
+    * rows per doc, chunked by the native kernel — then ONE per-chunk
+    * min-aggregate with map-side partial combine: each task collapses
+    * its slice of a repeated chunk to one (chunk, first-occurrence) row
+    * before the shuffle, so a chunk repeated across millions of
+    * documents costs one row per mapper (the previous keep-first window
+    * funneled the whole repetition class into a single task — AQE splits
+    * skewed joins, not skewed window partitions). One id shuffle
+    * reassembles in chunk order. Documents emptied entirely survive with
+    * clean_text = '' (the caller decides to drop).
     *
     * Returns (id, clean_text, n_kept, n_chunks).
     */
@@ -381,10 +416,11 @@ object Dedup {
     val chunks = spread(df).select(col(idCol).as("id"),
         posexplode(Decontaminate.tokenChunks(col(textCol), chunkTokens)))
       .withColumnRenamed("pos", "idx").withColumnRenamed("col", "chunk")
-    val w = Window.partitionBy(xxhash64(col("chunk")), col("chunk"))
-      .orderBy(col("id"), col("idx"))
-    val kept = chunks.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    // first occurrence = lexicographic min of (id, idx) — exact and
+    // deterministic because (id, idx) is unique per occurrence
+    val kept = chunks.groupBy(col("chunk"))
+      .agg(min(struct(col("id"), col("idx"))).as("__f"))
+      .select(col("__f.id").as("id"), col("__f.idx").as("idx"), col("chunk"))
     val rebuilt = kept.groupBy(col("id"))
       .agg(count(lit(1)).as("n_kept"),
         concat_ws(" ", transform(

@@ -172,11 +172,17 @@ object Search {
     * Shape at scale: one explode of the token stream into a single
     * (doc, term) count aggregation — map-side combine absorbs in-document
     * repetition before the one full shuffle exact TF-IDF cannot avoid.
-    * Per-term document frequency is a window over the SAME postings
-    * lineage (tiny second exchange, no re-scan of the corpus subtree —
-    * the bm25Batch lesson), the one-row corpus count broadcasts back,
-    * and the per-doc top-k rank window prunes to k rows per doc map-side
-    * (WindowGroupLimit). Returns (idCol, term, score, rank). */
+    * Per-term document frequency is a per-term AGGREGATE of the postings
+    * joined back on term (the skew-safe [[graft.ops.Dedup.withKeyAgg]]
+    * shape: map-side combine collapses each task to its distinct terms,
+    * and the join is AQE-broadcastable/skew-splittable — a df WINDOW over
+    * raw terms would put a Zipf-head term's entire posting list into one
+    * task, with no partial combine and no AQE escape). Both branches
+    * share the postings subtree below its (doc, term) exchange, so the
+    * corpus scan is not repeated (ReuseExchange / AQE stage reuse). The
+    * one-row corpus count broadcasts back, and the per-doc top-k rank
+    * window prunes to k rows per doc map-side (WindowGroupLimit).
+    * Returns (idCol, term, score, rank). */
   def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
     require(k > 0, "k must be positive")
@@ -186,8 +192,8 @@ object Search {
       .filter(col("__term") =!= "")
       .groupBy("__doc", "__term").agg(count(lit(1)).as("__tf"))
     // (doc, term) is unique ⇒ df(term) = the term's postings row count
-    val withDf = postings.withColumn("__dfc",
-      count(lit(1)).over(Window.partitionBy(col("__term"))))
+    val withDf = Dedup.withKeyAgg(postings, "__term",
+      count(lit(1)).as("__dfc"))
     val stats = docs.agg(count(lit(1)).as("__n"))
     val score = round(col("__tf").cast("double") *
       (log((lit(1.0) + col("__n").cast("double")) /

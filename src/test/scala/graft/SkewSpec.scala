@@ -1,0 +1,128 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** Skew-safety suite for the occurrence-lineage operators (x1, x30, x40,
+  * x44, x48, x49): a fixture where ONE key holds 50% of all rows — the
+  * mass-duplicated-boilerplate shape of a real crawl corpus — must (a)
+  * produce the exact keep-first/count semantics, and (b) plan WITHOUT a
+  * window partitioned by the occurrence key. Window aggregation has no
+  * map-side partial combine and AQE cannot split a skewed window
+  * partition (its skew handling covers joins only), so any such window
+  * is a guaranteed one-task straggler at scale; the groupBy-aggregate +
+  * join shape these operators now use partial-combines the hot key to
+  * one row per mapper and leaves the residual join AQE-splittable. */
+class SkewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 400 docs: ids 1-200 share ONE text (the hot duplicate class, 50% of
+  // the corpus); ids 201-400 are each globally unique (every token is
+  // id-indexed, so none of their grams/chunks collide).
+  private val hotText = "aa bb cc dd ee ff gg hh"
+  private lazy val docs = (
+    (1 to 200).map(i => (i.toLong, hotText)) ++
+      (201 to 400).map(i => (i.toLong,
+        s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g u${i}h"))
+  ).toDF("doc_id", "text")
+
+  /** Column names referenced by any Window partition spec in the
+    * optimized logical plan. */
+  private def windowKeys(df: DataFrame): Set[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec.flatMap(_.references.map(_.name))
+    }.flatten.toSet
+
+  test("exactByText: hot duplicate class collapses via aggregate, not a window") {
+    val got = Dedup.exactByText(docs, "text", "doc_id")
+    assert(windowKeys(got).isEmpty, "no window may partition on the fingerprint")
+    val ids = got.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids.length == 201)           // 1 survivor of the hot class + 200 unique
+    assert(ids.head == 1L)              // keep-first = lowest doc_id
+    assert(ids.tail.toSeq == (201L to 400L))
+  }
+
+  test("dedupChunks: repeated chunks keep-first via min-aggregate, no chunk window") {
+    val got = Dedup.dedupChunks(docs, "doc_id", "text", chunkTokens = 4)
+    assert(windowKeys(got).isEmpty, "no window may partition on the chunk")
+    val rows = got.collect().map(r =>
+      r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows(1L) == (("aa bb cc dd ee ff gg hh", 2L, 2L))) // first owner keeps all
+    (2L to 200L).foreach(i => assert(rows(i) == (("", 0L, 2L)))) // later dups emptied
+    (201L to 400L).foreach(i => assert(rows(i)._2 == 2L))        // unique docs intact
+  }
+
+  test("dupGramStats: hot-gram counts come from groupBy+join, no gram window") {
+    val got = Dedup.dupGramStats(docs, "doc_id", "text", n = 3)
+    assert(windowKeys(got).isEmpty, "no window may partition on the gram")
+    val frac = got.collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    (1L to 200L).foreach(i => assert(frac(i) == 1.0))   // every gram corpus-shared
+    (201L to 400L).foreach(i => assert(frac(i) == 0.0)) // every gram unique
+  }
+
+  test("gramNovelty: first-owner min comes from groupBy+join, no gram window") {
+    val got = Dedup.gramNovelty(docs, "doc_id", "text", n = 3)
+    assert(windowKeys(got).isEmpty, "no window may partition on the gram")
+    val nov = got.collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(nov(1L) == 1.0)                             // hot text first seen here
+    (2L to 200L).foreach(i => assert(nov(i) == 0.0))   // re-crawls contribute nothing
+    (201L to 400L).foreach(i => assert(nov(i) == 1.0)) // unique docs all novel
+  }
+
+  test("scrubDuplicatedSpans: duplicated-gram set via groupBy+join, no gram window") {
+    val got = Dedup.scrubDuplicatedSpans(docs, "doc_id", "text", n = 3)
+    assert(windowKeys(got).isEmpty, "no window may partition on the gram")
+    val rows = got.collect().map(r =>
+      r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    (1L to 200L).foreach(i => assert(rows(i) == (("", 8L)))) // hot docs fully excised
+    (201L to 400L).foreach(i => assert(rows(i)._2 == 0L))    // unique docs untouched
+  }
+
+  test("tfidfKeywords: df of a 50%-hot term via groupBy+join; only the doc top-k window remains") {
+    val got = Search.tfidfKeywords(docs, "doc_id", "text", k = 3)
+    // the per-doc rank window is k-bounded (WindowGroupLimit) and fine;
+    // the TERM key — "aa" appears in half the corpus — must not be one
+    assert(windowKeys(got).subsetOf(Set("__doc")),
+      s"only the per-doc rank window may remain, got ${windowKeys(got)}")
+    assert(got.count() == 400L * 3)
+    // the boilerplate term scores below unique terms for unique docs
+    val doc300 = got.filter(col("doc_id") === 300).select("term").collect()
+      .map(_.getString(0)).toSet
+    assert(doc300.forall(_.startsWith("u300")))
+  }
+
+  /** spread() must size its decision from plan statistics alone — probing
+    * df.rdd (the previous form) forces full physical planning once per
+    * spread per query on the driver. The LazyTry slots of QueryExecution
+    * record whether planning was ever forced. */
+  test("spread decides from stats only: no physical planning, no RDD materialization") {
+    def planned(df: DataFrame, slot: String): Boolean = {
+      val qe = df.queryExecution
+      val f = qe.getClass.getDeclaredField(slot)
+      f.setAccessible(true)
+      val lazyTry = f.get(qe)
+      val b = lazyTry.getClass.getDeclaredField("bitmap$0")
+      b.setAccessible(true)
+      b.getBoolean(lazyTry)
+    }
+    val df = docs.filter(col("doc_id") > 0) // fresh plan, fresh QueryExecution
+    Dedup.spread(df)
+    assert(!planned(df, "lazySparkPlan"), "spread must not force physical planning")
+    assert(!planned(df, "lazyToRdd"), "spread must not materialize the RDD lineage")
+  }
+
+  test("spread fans small inputs out, leaves estimated-large inputs untouched") {
+    // ~2.5k-row estimate at 4 test cores → target 2, repartitioned
+    val small = (1 to 2500).map(i => (i.toLong, s"t$i")).toDF("id", "text").coalesce(1)
+    assert(Dedup.spread(small).rdd.getNumPartitions > 1)
+    // estimate at/above 1k rows × cores → returned AS-IS (reference-equal:
+    // no repartition of a corpus-sized input, which pre-splits at the scan)
+    val large = (1 to 50000).map(i => (i.toLong, s"t$i")).toDF("id", "text")
+    assert(Dedup.spread(large) eq large)
+  }
+}
