@@ -500,9 +500,10 @@ object XopEngine {
           Errors.malformed(s"xop '$name': 'column' must be a string column", c)
         df.withColumn("entropy", TextOps.charEntropy(col(c)))
 
-      // per-group exact quantiles of a numeric column, long-form output
+      // per-group quantiles of a numeric column, long-form output
+      // (approx=true → approx_percentile sketch, bounded group memory)
       case "quantiles" =>
-        knownArgs("group", "column", "qs")
+        knownArgs("group", "column", "qs", "approx")
         val qs = args.get("qs") match {
           case None => Seq(0.25, 0.5, 0.75, 0.9, 0.99)
           case Some(l: List[Any] @unchecked) => l.map {
@@ -517,7 +518,8 @@ object XopEngine {
         if (qs.isEmpty || qs.exists(q => q < 0 || q > 1))
           Errors.malformed(s"xop '$name': quantiles must be in [0,1]")
         Profile.groupQuantiles(df, column(df, args, "group", name),
-          numericColumn(df, args, "column", name), qs)
+          numericColumn(df, args, "column", name), qs,
+          boolArg(args, "approx", default = false, name))
 
       // PII scrub: redact emails/phones/IPv4 and count each kind
       case "pii_redact" =>
@@ -743,22 +745,27 @@ object XopEngine {
           boolArg(args, "broadcast", default = false, name))
 
       // per-group adaptive quantile band filter
+      // (approx=true → approx_percentile sketch, bounded group memory)
       case "quantile_band" =>
-        knownArgs("group", "column", "lo", "hi")
+        knownArgs("group", "column", "lo", "hi", "approx")
         val lo = doubleArgOpt(args, "lo", 0.05, name)
         val hi = doubleArgOpt(args, "hi", 0.95, name)
         if (!(lo >= 0 && hi <= 1 && lo <= hi))
           Errors.malformed(s"xop '$name': band must satisfy 0 <= lo <= hi <= 1")
         Sampling.quantileBandFilter(df, column(df, args, "group", name),
-          numericColumn(df, args, "column", name), lo, hi)
+          numericColumn(df, args, "column", name), lo, hi,
+          boolArg(args, "approx", default = false, name))
 
       // top-k PMI collocations over document-level co-occurrence
       case "pmi_pairs" =>
-        knownArgs("column", "k", "min_pair_docs")
+        knownArgs("column", "k", "min_pair_docs", "max_doc_tokens")
         val k = intArg(args, "k", 25, name).toInt
         if (k <= 0) Errors.malformed(s"xop '$name': k must be positive")
+        val maxDocTokens = intArg(args, "max_doc_tokens", 16384, name).toInt
+        if (maxDocTokens < 2 || maxDocTokens > 16384)
+          Errors.malformed(s"xop '$name': max_doc_tokens must be in [2, 16384]")
         TextOps.pmiCollocations(df, column(df, args, "column", name), k,
-          intArg(args, "min_pair_docs", 2, name))
+          intArg(args, "min_pair_docs", 2, name), maxDocTokens)
 
       // per-doc n-gram novelty (first-corpus-occurrence fraction)
       case "gram_novelty" =>
@@ -822,12 +829,19 @@ object XopEngine {
           "on", "how")
         val rightDf = dataset("right").drop(RowId)
         // the operator casts time columns to long: statically reject types
-        // the ANSI cast would crash on per row (a 500 instead of a 400)
-        def timeLike(d: DataFrame, c: String): Unit = d.schema(c).dataType match {
-          case _: org.apache.spark.sql.types.NumericType => ()
-          case org.apache.spark.sql.types.TimestampType => ()
-          case _ => Errors.malformed(
-            s"xop '$name': time column must be numeric or timestamp", c)
+        // the ANSI cast would crash on per row (a 500 instead of a 400).
+        // Integral/timestamp ONLY — a fractional time column would pass a
+        // NumericType check and then cast('long') truncates toward zero,
+        // silently coarsening fractional-second data (and not even
+        // floor-consistently for negatives); callers floor explicitly.
+        def timeLike(d: DataFrame, c: String): Unit = {
+          import org.apache.spark.sql.types._
+          d.schema(c).dataType match {
+            case ByteType | ShortType | IntegerType | LongType | TimestampType => ()
+            case _ => Errors.malformed(
+              s"xop '$name': time column must be an integral or timestamp type " +
+                "(floor fractional-second columns explicitly before joining)", c)
+          }
         }
         val ts = column(df, args, "ts", name)
         timeLike(df, ts)

@@ -47,26 +47,33 @@ object Profile {
     }.toDF("column", "n_rows", "n_null", "n_distinct", "min_value", "max_value")
   }
 
-  /** Per-group EXACT interpolated quantiles of a numeric column — the
+  /** Per-group interpolated quantiles of a numeric column — the
     * distribution half of the audit (length/score distributions per
     * source). One aggregate job: Spark's `percentile` keeps a value→count
     * map per group, so memory scales with the DISTINCT values per group,
     * not rows — fine for bounded domains (lengths, scores, token counts)
-    * at any corpus size; swap approx_percentile in for unbounded ones.
+    * at any corpus size. `approx = true` swaps in `approx_percentile`
+    * (a KLL-style sketch with BOUNDED per-group memory regardless of
+    * distinct values) — the escape hatch before quantiling a
+    * billion-distinct-value double column at 100 TB; approximate results
+    * are not oracle-comparable, so the exact path stays the default.
     * Output is long-form (group, quantile, value), quantile values
     * rounded with the engine-portable floor(x·10⁴+½)/10⁴ (the oracle's
     * quantile_cont interpolates with a different-but-equivalent formula
     * whose last ulp can differ). */
   def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
-                     qs: Seq[Double]): DataFrame = {
+                     qs: Seq[Double], approx: Boolean = false): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
       "quantiles must be in [0,1]")
+    val agg =
+      if (approx) approx_percentile(col(valueCol), typedLit(qs), lit(10000))
+      else percentile(col(valueCol), typedLit(qs))
     df.groupBy(col(groupCol))
-      .agg(percentile(col(valueCol), typedLit(qs)).as("__vals"))
+      .agg(agg.as("__vals"))
       .select(col(groupCol), posexplode(col("__vals")))
       .select(col(groupCol),
         element_at(typedLit(qs), col("pos") + 1).as("quantile"),
-        (floor(col("col") * 10000.0 + lit(0.5)) / 10000.0).as("value"))
+        Rounding.halfUp4(col("col").cast("double")).as("value"))
   }
 
   /** Per-group token-distribution drift: KL(group ‖ corpus) over the

@@ -160,7 +160,10 @@ object Sampling {
     * never shuffles. Like [[Profile.groupQuantiles]], the exact
     * percentile buffers each group's value multiset — fine for the
     * bounded-cardinality columns outlier bands are cut on (lengths,
-    * counts); swap approx_percentile in for unbounded doubles.
+    * counts); `approx = true` swaps in `approx_percentile` (bounded
+    * sketch memory per group) before banding a billion-distinct-value
+    * double column at 100 TB. Approximate bounds are not
+    * oracle-comparable, so exact stays the default.
     *
     * Bounds are floor-rounded to 4 decimals BEFORE comparing, on both
     * this side and the oracle: engines interpolate quantiles with
@@ -169,11 +172,15 @@ object Sampling {
     * would flip that integer's membership per engine. After identical
     * rounding the bound is the same number everywhere. */
   def quantileBandFilter(df: DataFrame, groupCol: String, valueCol: String,
-                         lo: Double, hi: Double): DataFrame = {
+                         lo: Double, hi: Double,
+                         approx: Boolean = false): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo <= hi, "band must satisfy 0 <= lo <= hi <= 1")
-    def snap(c: Column): Column = floor(c * 10000.0 + lit(0.5)) / 10000.0
+    def snap(c: Column): Column = Rounding.halfUp4(c.cast("double"))
+    val qAgg =
+      if (approx) approx_percentile(col(valueCol), typedLit(Seq(lo, hi)), lit(10000))
+      else percentile(col(valueCol), typedLit(Seq(lo, hi)))
     val bounds = df.groupBy(col(groupCol).as("__g"))
-      .agg(percentile(col(valueCol), typedLit(Seq(lo, hi))).as("__b"))
+      .agg(qAgg.as("__b"))
       .select(col("__g"), snap(element_at(col("__b"), 1)).as("__lo"),
         snap(element_at(col("__b"), 2)).as("__hi"))
     df.join(bounds, df(groupCol) <=> bounds("__g"))

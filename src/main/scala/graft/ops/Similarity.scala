@@ -73,10 +73,14 @@ object Similarity {
     *   2. the nearest descendant node carrying a rowCount — an upper
     *      bound for the filter/project-only derivations these operators
     *      see, and an upper bound only narrows LSH buckets;
-    *   3. sizeInBytes / 256 — order-of-magnitude for the text/embedding
-    *      tables involved (unknown sizes report Long.MaxValue, mapped to
-    *      a 1M-row guess rather than a nonsense 2^55). */
-  private[graft] def approxRows(df: DataFrame): Long = {
+    *   3. sizeInBytes / rowBytes — order-of-magnitude (unknown sizes
+    *      report Long.MaxValue, mapped to a 1M-row guess rather than a
+    *      nonsense 2^55). `rowBytes` defaults to 256 (text-table rows);
+    *      callers on WIDE rows pass their real width — an embedding
+    *      table at ~8·dim bytes/row divided by the flat 256 would
+    *      overestimate rows ~24× and inflate an auto-sized LSH band by
+    *      ~5 bits, silently narrowing buckets and recall. */
+  private[graft] def approxRows(df: DataFrame, rowBytes: Long = 256L): Long = {
     val plan = df.queryExecution.optimizedPlan
     plan.stats.rowCount.map(c => math.max(c.toLong, 1L)).getOrElse {
       plan.collectFirst {
@@ -85,7 +89,7 @@ object Similarity {
       }.getOrElse {
         val bytes = plan.stats.sizeInBytes
         if (bytes >= BigInt(Long.MaxValue) / 4) 1L << 20
-        else math.max(bytes.toLong / 256L, 1L)
+        else math.max(bytes.toLong / math.max(rowBytes, 1L), 1L)
       }
     }
   }
@@ -170,12 +174,14 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, bands: Int = 8, bitsPerBand: Int = 0,
               dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else vecDim(corpus, vecCol)
     val bpb = if (bitsPerBand > 0) bitsPerBand else {
-      val n = approxRows(corpus) // stats-only estimate, never a job
+      // stats-only estimate, never a job; rows are vector-dominated, so
+      // size by the real ~8·dim width, not the 256-byte text default
+      val n = approxRows(corpus, rowBytes = 8L * d + 16L)
       math.min(24, math.max(4, math.ceil(math.log(n / 16.0) / math.log(2)).toInt))
     }
     val bits = bands * bpb
-    val d = if (dim > 0) dim else vecDim(corpus, vecCol)
     def banded(df: DataFrame, side: String) =
       df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec"),
           norm(col(vecCol)).as(s"${side}_norm"),
@@ -404,15 +410,18 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, bands: Int = 8,
                          bitsPerBand: Int = 0, dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else vecDim(df, vecCol)
     val bpb = if (bitsPerBand > 0) bitsPerBand else {
       // stats-only estimate (exact on cached relations, bounded above
       // on derived plans) — callers that already know the corpus size
-      // can pass bitsPerBand explicitly
-      val n = approxRows(df)
+      // can pass bitsPerBand explicitly. Rows are vector-dominated:
+      // divide by the real ~8·dim width, not the 256-byte text default,
+      // or the row overestimate inflates the band width ~5 bits and
+      // silently narrows buckets (missed near-duplicates).
+      val n = approxRows(df, rowBytes = 8L * d + 16L)
       math.min(24, math.max(8, math.ceil(math.log(n / 16.0) / math.log(2)).toInt))
     }
     val bits = bands * bpb
-    val d = if (dim > 0) dim else vecDim(df, vecCol)
     // In-bucket pair generation with the vector riding through the one
     // groupBy shuffle (see Dedup.bucketPairsWithPayload) — cosine verifies
     // in-bucket, pairs dedup after, when rows are narrow.

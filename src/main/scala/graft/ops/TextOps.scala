@@ -81,14 +81,14 @@ object TextOps {
         round(when(nTok > 0, size(filter(toks, t => t.isin(allStop: _*))) / nTok)
           .otherwise(0.0), 4))
       .withColumn("quality_score",
-        // floor(x·10⁴ + ½)/10⁴, not round(…, 4): engines disagree on
+        // Rounding.halfUp4, not round(…, 4): engines disagree on
         // round-half ties of a composite double, while floor of the
         // identical IEEE value is bit-portable (see x33's oracle)
-        floor((least(lit(1.0), greatest(lit(0.0),
+        Rounding.halfUp4(least(lit(1.0), greatest(lit(0.0),
           lit(0.25) * least(nTok / 50.0, lit(1.0)) +
           lit(0.25) * col("alpha_ratio") +
           lit(0.25) * least(col("stopword_ratio") * 5.0, lit(1.0)) +
-          lit(0.25) * (lit(1.0) - col("punct_ratio") * 5.0))) * 10000.0) + lit(0.5)) / 10000.0)
+          lit(0.25) * (lit(1.0) - col("punct_ratio") * 5.0)))))
   }
 
   /** Gopher-style quality RULE evaluation (Rae et al. 2021's filter
@@ -210,13 +210,26 @@ object TextOps {
     * collapses to TakeOrderedAndProject. Two tokenizing corpus scans
     * total (pairs + term frequencies). Pair expansion is the native
     * TokenPairsExpr kernel (the HOF formulation is kept in
-    * [[tokenPairsHof]] as the cross-check). */
+    * [[tokenPairsHof]] as the cross-check).
+    *
+    * `maxDocTokens` bounds the O(d²) per-document expansion: a document
+    * with more distinct tokens keeps only the first `maxDocTokens` of
+    * its SORTED distinct-token array (a deterministic alphabetical
+    * prefix) — one degenerate 100k-distinct-token document would
+    * otherwise emit 5·10⁹ pairs from a single row (and the kernel
+    * hard-fails past 16384 rather than OOM). Term document-frequencies
+    * count from the same truncated arrays, so the PMI stays internally
+    * consistent. Documents under the cap — all real text — are
+    * unaffected. */
   def pmiCollocations(df: DataFrame, textCol: String, k: Int,
-                      minPairDocs: Long = 2): DataFrame = {
+                      minPairDocs: Long = 2,
+                      maxDocTokens: Int = 16384): DataFrame = {
     require(k > 0, "k must be positive")
+    require(maxDocTokens >= 2 && maxDocTokens <= 16384,
+      "maxDocTokens must be in [2, 16384]")
     val base = graft.ops.Dedup.spread(df).select(
-      filter(array_sort(array_distinct(tokens(col(textCol)))),
-        t => t =!= "").as("__ts"))
+      slice(filter(array_sort(array_distinct(tokens(col(textCol)))),
+        t => t =!= ""), 1, maxDocTokens).as("__ts"))
     val nDocs = base.agg(count(lit(1)).as("__n"))
     val pairCol = org.apache.spark.sql.GraftSqlShims.column(
       graft.functions.TokenPairsExpr(
@@ -286,7 +299,7 @@ object TextOps {
     val raw = org.apache.spark.sql.GraftSqlShims.column(
       graft.functions.CharEntropyExpr(
         org.apache.spark.sql.GraftSqlShims.expression(c)))
-    floor(raw * 10000.0 + lit(0.5)) / 10000.0
+    Rounding.halfUp4(raw)
   }
 
   /** Stable content fingerprint: md5 of the normalized text. Identical

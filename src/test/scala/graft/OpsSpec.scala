@@ -987,6 +987,25 @@ class OpsSpec extends AnyFunSuite {
     assert(m(("a", "c")) == ((2L, -0.2877)))
   }
 
+  test("pmiCollocations caps degenerate documents instead of failing") {
+    // one 50k-distinct-token doc: uncapped O(d²) expansion would emit
+    // 1.25 billion pairs from this single row (and the kernel hard-fails
+    // past 16384 distinct tokens); the cap truncates to the alphabetical
+    // prefix and the query completes with bounded output
+    val monster = (0 until 50000).map(i => f"t$i%05d").mkString(" ")
+    val docs = Seq((1L, monster), (2L, monster), (3L, "a b")).toDF("id", "text")
+    val out = TextOps.pmiCollocations(docs, "text", k = 100000,
+      minPairDocs = 2, maxDocTokens = 64)
+    val rows = out.collect()
+    assert(rows.length == 64 * 63 / 2) // capped monster pairs; (a,b) is 1-doc
+    // the surviving pairs are over the sorted-prefix tokens only
+    assert(rows.forall(r => r.getString(0) < "t00064" && r.getString(1) < "t00064"))
+    // caps outside the kernel's hard bound are rejected up front
+    intercept[IllegalArgumentException] {
+      TextOps.pmiCollocations(docs, "text", k = 5, maxDocTokens = 1 << 20)
+    }
+  }
+
   test("gramNovelty credits the lowest-id owner of each gram") {
     val docs = Seq(
       (1L, "a b c d"),   // grams (n=3): "a b c", "b c d" — both first here

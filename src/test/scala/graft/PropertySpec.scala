@@ -201,7 +201,8 @@ class PropertySpec extends AnyFunSuite {
       "query_text", "k1", "b", "on", "how", "columns", "broadcast",
       "iters", "ts", "start", "end", "granule", "min_tokens", "max_tokens",
       "min_mean_len", "max_mean_len", "max_dup_word_frac",
-      "min_stopword_ratio", "min_alpha_ratio", "lo", "hi", "zap")
+      "min_stopword_ratio", "min_alpha_ratio", "lo", "hi",
+      "min_pair_docs", "max_doc_tokens", "zap")
     val valGen: Gen[String] = Gen.oneOf(
       Gen.oneOf("id", "src", "text", "zz", "ds", "pairs", "drop", "flag")
         .map(s => s""""$s""""),

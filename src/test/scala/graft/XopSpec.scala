@@ -380,6 +380,46 @@ class XopSpec extends AnyFunSuite {
     assert(rows.forall(_._2 == 0.5))
   }
 
+  test("quantiles/quantile_band approx flag runs the sketch path") {
+    // approx_percentile returns an actual group ELEMENT (no
+    // interpolation), so assert membership rather than the exact-path
+    // interpolated value; the long-form shape is identical
+    val out = run(
+      """{"xop": {"name": "quantiles",
+                  "args": {"group": "src", "column": "id", "qs": [0.5],
+                           "approx": true}},
+          "order_by": ["src"]}""")
+    val groups = Map("web" -> Set(1.0, 2.0, 3.0, 6.0), "book" -> Set(4.0, 5.0))
+    val rows = out.collect().map(r =>
+      (r.getAs[String]("src"), r.getAs[Double]("quantile"), r.getAs[Double]("value")))
+    assert(rows.length == 2)
+    assert(rows.forall { case (g, q, v) => q == 0.5 && groups(g)(v) })
+    // band extremes are exact order statistics in the sketch too:
+    // the full [0,1] band keeps everything
+    val band = run(
+      """{"xop": {"name": "quantile_band",
+                  "args": {"group": "src", "column": "id",
+                           "lo": 0.0, "hi": 1.0, "approx": true}}}""")
+    assert(band.count() == 6)
+    // non-boolean approx is a 400
+    intercept[MalformedQueryException] { run(
+      """{"xop": {"name": "quantiles",
+                  "args": {"group": "src", "column": "id", "approx": 7}}}""") }
+  }
+
+  test("pmi_pairs max_doc_tokens caps expansion and validates its range") {
+    val capped = run(
+      """{"xop": {"name": "pmi_pairs",
+                  "args": {"column": "text", "k": 5, "max_doc_tokens": 4}}}""")
+    assert(capped.count() <= 5) // completes with the alphabetical-prefix cap
+    intercept[MalformedQueryException] { run(
+      """{"xop": {"name": "pmi_pairs",
+                  "args": {"column": "text", "max_doc_tokens": 1}}}""") }
+    intercept[MalformedQueryException] { run(
+      """{"xop": {"name": "pmi_pairs",
+                  "args": {"column": "text", "max_doc_tokens": 100000}}}""") }
+  }
+
   test("pii_redact xop scrubs and counts") {
     import spark.implicits._
     val msgs = Seq((1L, "write to a@b.example.com now")).toDF("id", "text")
@@ -645,6 +685,13 @@ class XopSpec extends AnyFunSuite {
       """{"xop": {"name": "range_join",
                   "args": {"right": "ivs", "ts": "t", "start": "s", "end": "e",
                            "payload": ["name"], "granule": 100, "how": "anti"}}}""", res) }
+    // fractional time columns are a 400: cast('long') would silently
+    // truncate toward zero instead of flooring — callers floor explicitly
+    val dlefts = Seq((1L, 150.5)).toDF("eid", "t")
+    intercept[MalformedQueryException] { QueryEngine.run(dlefts,
+      """{"xop": {"name": "range_join",
+                  "args": {"right": "ivs", "ts": "t", "start": "s", "end": "e",
+                           "payload": ["name"], "granule": 100}}}""", res) }
   }
 
   test("round-7 analysis xops run through the dialect with sane shapes") {
