@@ -705,7 +705,22 @@ object SparkEntry {
     // unigram-context join, position-ordered per-doc fold
     "x53_bigram_nll" -> ((s, dir) =>
       graft.ops.Search.bigramNll(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // skew stress: 80% of the corpus collapsed onto ONE boilerplate
+    // text, then gram-duplication stats over the skewed corpus — the
+    // bench witness for the window→aggregate lineage rewrite (a hot
+    // gram partial-combines per mapper instead of funneling its whole
+    // occurrence set into a single task; regressions here mean a skewed
+    // single-task stage came back)
+    "x54_skew_dupgrams" -> ((s, dir) => {
+      val skewed = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 5 =!= 0,
+          lit("the same boilerplate page body repeated across the whole crawl"))
+          .otherwise(col("text")))
+      graft.ops.Dedup.dupGramStats(skewed, "doc_id", "text", n = 5)
+        .orderBy("id")
+    }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1046,6 +1061,37 @@ object SparkEntry {
                                 * 10000.0 + 0.5) / 10000.0
                 END AS dup_frac
          FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+         ORDER BY id""",
+    "x54_skew_dupgrams" ->
+      """WITH sk AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 5 <> 0
+                       THEN 'the same boilerplate page body repeated across the whole crawl'
+                       ELSE text END AS text
+           FROM documents),
+         t AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+           FROM sk),
+         g AS (
+           SELECT doc_id,
+                  unnest(CASE WHEN len(tk) < 5 THEN CAST([] AS VARCHAR[])
+                         ELSE list_distinct([array_to_string(tk[i:i+4], ' ')
+                                             for i in range(1, len(tk) - 3)])
+                         END) AS gram
+           FROM t),
+         c AS (SELECT gram, count(*) AS nd FROM g GROUP BY gram),
+         p AS (SELECT doc_id, count(*) AS n_grams,
+                      CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams
+               FROM g JOIN c USING (gram) GROUP BY doc_id)
+         SELECT d.doc_id AS id,
+                coalesce(p.n_grams, 0) AS n_grams,
+                coalesce(p.n_dup_grams, 0) AS n_dup_grams,
+                CASE WHEN coalesce(p.n_grams, 0) = 0 THEN 0.0
+                     ELSE floor(CAST(p.n_dup_grams AS DOUBLE) / p.n_grams
+                                * 10000.0 + 0.5) / 10000.0
+                END AS dup_frac
+         FROM sk d LEFT JOIN p ON d.doc_id = p.doc_id
          ORDER BY id""",
     "x34_len_quantiles" ->
       """WITH q AS (
