@@ -34,14 +34,18 @@ object DumpPlans {
       ("x33_quality_topk", "quality top-k per source — Partial WindowGroupLimit keeps k rows per group map-side before the one exchange"),
       ("x38_bm25", "BM25 search — fused [dl, tf...] native kernel (one codegen'd token pass, no explode), one-row stats broadcast back, TakeOrderedAndProject top-k; two map-only corpus scans total"),
       ("x39_join", "enrichment equi-join — BroadcastHashJoin on the hinted dimension side; the fact side never shuffles"),
-      ("x40_dup_grams", "duplicated-span stats — kernel-deduped grams, one (hash, gram) window exchange, one id aggregation exchange"),
+      ("x1_dedup_exact", "exact dedup — ONE hash aggregate with map-side min_by partial combine (each task collapses its slice of a duplicate class pre-exchange); no fingerprint window, no skewed single-task stage"),
+      ("x30_chunk_dedup", "chunk dedup — keep-first as groupBy(chunk).min(struct(id, idx)) with partial combine; a mass-repeated chunk costs one row per mapper, not one task"),
+      ("x40_dup_grams", "duplicated-span stats — kernel-deduped grams, per-gram count AGGREGATE (map-side combine) joined back (AQE-broadcastable); no gram window, one id aggregation exchange"),
+      ("x49_gram_novelty", "gram novelty — first-owner min(id) as a per-gram aggregate joined back; same skew-safe shape as x40"),
+      ("x54_skew_dupgrams", "skew stress — x40's shape over an 80%-duplicate corpus; the hot gram partial-combines per mapper instead of funneling into one task"),
       ("x41_bm25_batch", "batch BM25 — corpus explode prefiltered by the broadcast query-term set BEFORE the single (term, doc) exchange; df/stats/query-terms broadcast back; per-query WindowGroupLimit top-k"),
       ("q13_distinct", "distinct over all user columns — hash AGGREGATE with map-side partial combine (each task reduces to <= |combinations| rows pre-exchange), not a full-data window shuffle"),
-      ("x44_tfidf_keywords", "TF-IDF keywords — one (doc, term) exchange with partial count combine, postings-window df (no corpus re-scan), one-row N broadcast, per-doc WindowGroupLimit top-k"),
+      ("x44_tfidf_keywords", "TF-IDF keywords — one (doc, term) exchange with partial count combine; df as a per-term AGGREGATE of the postings joined back (broadcast build, AQE stage reuse dedupes the shared postings exchange — no Zipf-head term window), one-row N broadcast, per-doc WindowGroupLimit top-k"),
       ("x45_quality_rules", "quality rules — map-only: every rule evaluates inside the scan's codegen span, zero exchanges"),
       ("x46_unigram_nll", "unigram NLL — one token exchange to the vocabulary join, one-row total broadcast, per-doc ordered fold; AQE may broadcast the vocab when it fits"),
       ("x47_range_join", "range join — time-granule bucketing turns the interval predicate into an EQUI-join (hash shuffle or AQE broadcast), no BroadcastNestedLoop"),
-      ("x48_span_scrub", "duplicated-span scrub — gram counts as a window over the exploded gram lineage (no second corpus scan), dup-only per-doc rollup, map-side token filter rewrite"),
+      ("x48_span_scrub", "duplicated-span scrub — per-gram occurrence counts as a partial-combine aggregate joined back (the >= 2 predicate pushes into the aggregate side), dup-only per-doc rollup, map-side token filter rewrite"),
       ("x50_token_divergence", "token KL divergence — (group, token) partial-combine aggregation, corpus marginals as windows over the same lineage, one-row total broadcast, token-ordered fold"))
 
     val sb = new StringBuilder
