@@ -124,12 +124,16 @@ object Search {
     val stats = spreadDocs.agg(count(lit(1)).as("__n"),
       sum(TextOps.tokenCount(col(textCol))).as("__sumdl"))
     // (term, doc) is unique in postings, so df(term) = the term's row
-    // count — computed as a window over the SAME postings lineage (one
-    // extra exchange of the already-tiny postings relation) rather than
-    // a second aggregation branch, which would re-run the whole corpus
-    // explode subtree when exchange reuse fails to match it
-    val withDf = postings.withColumn("__dfc",
-      count(lit(1)).over(Window.partitionBy(col("__term"))))
+    // count — a per-term AGGREGATE of the postings joined back (the
+    // skew-safe Dedup.withKeyAgg shape, like tfidfKeywords): the term
+    // set is query-bounded, but ONE common query term can still match
+    // most of the corpus, and a term window would funnel that whole
+    // posting list into a single task with no partial combine and no
+    // AQE escape. Both branches share the postings subtree below its
+    // (term, doc) exchange, so the corpus explode is not re-run (AQE
+    // stage reuse), and the query-bounded count relation broadcasts.
+    val withDf = Dedup.withKeyAgg(postings, "__term",
+      count(lit(1)).as("__dfc"))
 
     val n = col("__n").cast("double")
     val avgdl = col("__sumdl").cast("double") / n

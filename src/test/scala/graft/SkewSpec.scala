@@ -96,6 +96,18 @@ class SkewSpec extends AnyFunSuite {
     assert(doc300.forall(_.startsWith("u300")))
   }
 
+  test("bm25Batch: df of a corpus-wide query term via groupBy+join; only the per-query rank window remains") {
+    // "aa" appears in 50% of the corpus — a common-word query term whose
+    // posting list must not funnel into one window task
+    val queries = Seq((100L, "aa"), (101L, "u300a u300b")).toDF("qid", "qtext")
+    val got = Search.bm25Batch(docs, "doc_id", "text", queries, "qid", "qtext", k = 5)
+    assert(windowKeys(got).subsetOf(Set("__qid")),
+      s"only the per-query rank window may remain, got ${windowKeys(got)}")
+    val byQ = got.collect().groupBy(_.getLong(0))
+    assert(byQ(100L).length == 5)            // k-bounded over 200 matching docs
+    assert(byQ(101L).map(_.getLong(1)).toSet == Set(300L)) // unique terms hit their doc
+  }
+
   /** spread() must size its decision from plan statistics alone — probing
     * df.rdd (the previous form) forces full physical planning once per
     * spread per query on the driver. The LazyTry slots of QueryExecution
