@@ -342,24 +342,27 @@ object QueryEngine {
             case s: String if hasColumn(df, s) => s
             case other => Errors.malformed("Distinct column not in table", other)
           }
-        // Dedup shape choice. The general path is a window, NOT
-        // dropDuplicates: the aggregate under dropDuplicates rewrites
-        // float values through NormalizeFloatingNumbers (-0.0 → 0.0), so
-        // repeated distinct would not be idempotent at the value level. A
-        // window normalizes only its PARTITION keys and returns the
-        // original rows — value-preserving like pandas drop_duplicates
-        // (fuzz-found). But the window shuffles EVERY row into
-        // |distinct-combinations| partitions — with few combinations
-        // (the typical distinct-[] target) that is a full-data exchange
-        // into heavily skewed partitions, each sorted. When the subset
-        // covers ALL user columns, the kept "first" row is fully
-        // determined by its keys plus the minimum ingest order, so a hash
+        // Dedup shape choice. dropDuplicates is ruled out everywhere: its
+        // aggregate returns the GROUPING expressions, which
+        // NormalizeFloatingNumbers rewrites (-0.0 → 0.0), so repeated
+        // distinct would not be idempotent at the value level
+        // (fuzz-found). When the subset covers ALL user columns and no
+        // key is float-typed, the kept "first" row is fully determined by
+        // its keys plus the minimum ingest order, so a plain min(RowId)
         // AGGREGATE computes it with map-side partial combine: each task
         // reduces to ≤ |combinations| rows before the exchange, the scale
-        // shape for a 100 TB distinct. Gated on no float/double key so
-        // the aggregate's key normalization can't alter returned values.
-        // NESTED floats count too: the aggregate's NormalizeFloatingNumbers
-        // rewrites -0.0/NaN inside arrays and structs as well
+        // shape for a 100 TB distinct. Otherwise (payload columns beyond
+        // the subset, or float keys) a min_by aggregate keeps the first
+        // ORIGINAL row per group: grouping normalizes only its KEYS for
+        // comparison — exactly what a window would do to its partition
+        // keys — while the returned values come from the min_by payload,
+        // i.e. the untouched input row. Same keep-first semantics as the
+        // previous row_number window, but with partial combine (the
+        // window shuffled EVERY row into |combinations| skewed
+        // partitions, one task per hot duplicate group, which AQE cannot
+        // split). NESTED floats gate the fast path too: the aggregate's
+        // NormalizeFloatingNumbers rewrites -0.0/NaN inside arrays and
+        // structs as well
         def hasFloat(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
           case org.apache.spark.sql.types.FloatType |
                org.apache.spark.sql.types.DoubleType => true
@@ -384,9 +387,13 @@ object QueryEngine {
           val withOrd =
             if (hasColumn(df, RowId)) df.withColumn("__ord__", df(RowId))
             else df.withColumn("__ord__", monotonically_increasing_id())
-          val w = Window.partitionBy(subset.map(withOrd(_)): _*).orderBy(col("__ord__"))
-          withOrd.withColumn("__rn__", row_number().over(w))
-            .filter(col("__rn__") === 1).drop("__rn__", "__ord__")
+          // getField (not a dotted path) so arbitrary user column names
+          // from CSV headers resolve exactly
+          val payload = struct(df.columns.map(c => withOrd(c).as(c)): _*)
+          withOrd.groupBy(subset.map(withOrd(_)): _*)
+            .agg(min_by(payload, col("__ord__")).as("__keep__"))
+            .select(df.columns.toSeq.map(c =>
+              col("__keep__").getField(c).as(c)): _*)
         }
     }
 
