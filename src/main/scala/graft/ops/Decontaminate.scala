@@ -73,7 +73,7 @@ object Decontaminate {
     // spread the train side before its gram kernel scan: a single-row-
     // group parquet corpus arrives as ONE partition and would serialize
     // the n-gram work on one thread (no-op on multi-partition inputs)
-    grams(Dedup.spread(train), col(idCol).as("id"))
+    grams(Dedup.spread(train, col(idCol)), col(idCol).as("id"))
       .join(evalGrams, Seq("__gh", "gram"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_shared_grams"))

@@ -33,12 +33,22 @@ object Dedup {
     * arrives pre-split by the file source / an upstream exchange, and
     * repartitioning it would shuffle the whole corpus; a provably-small
     * input is repartitioned unconditionally (the shuffle moves at most
-    * ~1k rows per core by construction). */
-  private[graft] def spread(df: DataFrame): DataFrame = {
+    * ~1k rows per core by construction).
+    *
+    * `key` drives a deterministic HASH exchange, not round-robin:
+    * AQE's stage cache refuses to reuse a nondeterministic round-robin
+    * exchange, so every operator whose plan consumes the spread subtree
+    * in more than one branch (postings + df counts, tokens + vocab,
+    * pairs + term frequencies) silently computed the whole
+    * tokenize/signature subtree once PER BRANCH — measured as two full
+    * duplicate stage chains in the final adaptive plan. A hash exchange
+    * on a uniform key (the id column; a text hash when no id exists) is
+    * stage-reused, so the subtree runs once. */
+  private[graft] def spread(df: DataFrame, key: Column): DataFrame = {
     val dp = df.sparkSession.sparkContext.defaultParallelism
     val target = math.min(dp.toLong,
       math.max(1L, Similarity.approxRows(df) / 1000L)).toInt
-    if (target > 1 && target < dp) df.repartition(target) else df
+    if (target > 1 && target < dp) df.repartition(target, key) else df
   }
 
   /** Per-key aggregate joined back onto its occurrence relation — the
@@ -142,7 +152,7 @@ object Dedup {
     // Two projection layers on purpose (shingle+hash once, then permute):
     // CollapseProject keeps them separate because "hs" is a non-cheap
     // expression referenced numHashes times.
-    val hashed = spread(df).select(col(idCol).as("id"),
+    val hashed = spread(df, col(idCol)).select(col(idCol).as("id"),
       shingleHashesFused(col(textCol), shingleSize).as("hs"))
     val sigs = hashed.select(col("id"),
       minhashSignature(col("hs"), numHashes).as("sig"))
@@ -189,7 +199,7 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     def banded(df: DataFrame, idCol: String, textCol: String, side: Int) = {
-      val hashed = spread(df).select(col(idCol).as("id"),
+      val hashed = spread(df, col(idCol)).select(col(idCol).as("id"),
         shingleHashesFused(col(textCol), shingleSize).as("hs"))
       val sigs = hashed.select(col("id"),
         minhashSignature(col("hs"), numHashes).as("sig"))
@@ -301,7 +311,7 @@ object Dedup {
     */
   def dupGramStats(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 8): DataFrame = {
-    val grams = spread(df).select(col(idCol).as("id"),
+    val grams = spread(df, col(idCol)).select(col(idCol).as("id"),
       explode(Decontaminate.wordNgrams(col(textCol), n, distinct = true)).as("gram"))
     val perDoc = withKeyAgg(grams, "gram", count(lit(1)).as("__docs"))
       .groupBy("id")
@@ -332,7 +342,7 @@ object Dedup {
   def gramNovelty(df: DataFrame, idCol: String, textCol: String,
                   n: Int = 8): DataFrame = {
     require(n > 0, "n must be positive")
-    val grams = spread(df).select(col(idCol).as("id"),
+    val grams = spread(df, col(idCol)).select(col(idCol).as("id"),
       explode(Decontaminate.wordNgrams(col(textCol), n, distinct = true)).as("gram"))
     val perDoc = withKeyAgg(grams, "gram", min(col("id")).as("__first"))
       .groupBy("id")
@@ -368,7 +378,7 @@ object Dedup {
   def scrubDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                            n: Int = 8): DataFrame = {
     require(n > 0, "n must be positive")
-    val g = spread(df)
+    val g = spread(df, col(idCol))
       .select(col(idCol).as("__id"),
         Decontaminate.wordNgrams(col(textCol), n).as("__g"))
       .select(col("__id"), posexplode(col("__g")).as(Seq("__s", "__gram")))
@@ -413,7 +423,7 @@ object Dedup {
     */
   def dedupChunks(df: DataFrame, idCol: String, textCol: String,
                   chunkTokens: Int = 16): DataFrame = {
-    val chunks = spread(df).select(col(idCol).as("id"),
+    val chunks = spread(df, col(idCol)).select(col(idCol).as("id"),
         posexplode(Decontaminate.tokenChunks(col(textCol), chunkTokens)))
       .withColumnRenamed("pos", "idx").withColumnRenamed("col", "chunk")
     // first occurrence = lexicographic min of (id, idx) — exact and
@@ -545,7 +555,7 @@ object Dedup {
     * Hamming distance ≤ maxHamming via bit_count(xor). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val hashed = spread(df).select(col(idCol).as("id"),
+    val hashed = spread(df, col(idCol)).select(col(idCol).as("id"),
       transform(TextOps.tokens(col(textCol)), t => xxhash64(t)).as("th"))
     val sigs = hashed.select(col("id"), simhashOfHashes(col("th")).as("sh"))
     val banded = sigs.select(struct(col("id"), col("sh")).as("p"),
@@ -616,7 +626,7 @@ object Dedup {
   def jaccardPairsExact(df: DataFrame, idCol: String, textCol: String,
                         maxId: Long, threshold: Double): DataFrame =
     pairwiseJaccard(
-      spread(df.filter(col(idCol) < maxId)).select(col(idCol).as("id"),
+      spread(df.filter(col(idCol) < maxId), col(idCol)).select(col(idCol).as("id"),
         sortedTokenHashes(col(textCol)).as("hs")),
       threshold)
 
@@ -629,7 +639,7 @@ object Dedup {
                                maxId: Long, threshold: Double,
                                shingleSize: Int = 3): DataFrame =
     pairwiseJaccard(
-      spread(df.filter(col(idCol) < maxId)).select(col(idCol).as("id"),
+      spread(df.filter(col(idCol) < maxId), col(idCol)).select(col(idCol).as("id"),
         array_sort(shingleHashesFused(col(textCol), shingleSize)).as("hs")),
       threshold)
 }

@@ -92,7 +92,7 @@ object Profile {
     * sum. Returns (groupCol, n_tokens, kl). */
   def tokenDivergence(df: DataFrame, groupCol: String,
                       textCol: String): DataFrame = {
-    val toks = graft.ops.Dedup.spread(df)
+    val toks = graft.ops.Dedup.spread(df, xxhash64(col(textCol)))
       .select(col(groupCol).as("__grp"),
         explode(TextOps.tokens(col(textCol))).as("__term"))
       .filter(col("__term") =!= "")

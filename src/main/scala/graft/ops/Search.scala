@@ -45,7 +45,7 @@ object Search {
     // spread before the per-row kernel scan: a single-row-group parquet
     // corpus arrives as ONE partition and serializes tokenization on one
     // thread (stack-sampled; no-op on real multi-partition inputs)
-    val base = Dedup.spread(docs).select(col(idCol), tfs.as("__tfs"))
+    val base = Dedup.spread(docs, col(idCol)).select(col(idCol), tfs.as("__tfs"))
       .select(col(idCol) +: element_at(col("__tfs"), 1).as("__dl") +:
         terms.indices.map(i =>
           element_at(col("__tfs"), i + 2).as(s"__tf$i")): _*)
@@ -112,7 +112,7 @@ object Search {
     // spread before BOTH tokenizing corpus scans: a single-row-group
     // parquet corpus arrives as one partition and would serialize the
     // regex work on one thread (no-op on real multi-partition inputs)
-    val spreadDocs = Dedup.spread(docs)
+    val spreadDocs = Dedup.spread(docs, col(idCol))
     val exploded = spreadDocs
       .select(col(idCol).as("__doc"), TextOps.tokens(col(textCol)).as("__toks"))
       .select(col("__doc"), size(col("__toks")).as("__dl"),
@@ -190,7 +190,7 @@ object Search {
   def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val postings = Dedup.spread(docs)
+    val postings = Dedup.spread(docs, col(idCol))
       .select(col(idCol).as("__doc"), TextOps.tokens(col(textCol)).as("__toks"))
       .select(col("__doc"), explode(col("__toks")).as("__term"))
       .filter(col("__term") =!= "")
@@ -229,7 +229,7 @@ object Search {
     * is bit-stable across physical layouts and replayable by the SQL
     * oracle. Returns (idCol, n_tokens, nll). */
   def unigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = Dedup.spread(docs)
+    val toks = Dedup.spread(docs, col(idCol))
       .select(col(idCol).as("__doc"), TextOps.tokens(col(textCol)).as("__toks"))
       .select(col("__doc"), posexplode(col("__toks")).as(Seq("__pos", "__term")))
       .filter(col("__term") =!= "")
@@ -264,7 +264,7 @@ object Search {
     * in bigram POSITION order (the [[bm25Batch]] pattern) so scores are
     * bit-stable and oracle-replayable. Returns (idCol, n_bigrams, nll). */
   def bigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = Dedup.spread(docs)
+    val base = Dedup.spread(docs, col(idCol))
       .select(col(idCol).as("__doc"), TextOps.tokens(col(textCol)).as("__toks"))
     val bigrams = base
       .select(col("__doc"), posexplode(zip_with(

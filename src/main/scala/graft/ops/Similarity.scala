@@ -128,7 +128,7 @@ object Similarity {
                      vecCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
       norm(col(vecCol)).as("qn")))
-    val c = graft.ops.Dedup.spread(corpus)
+    val c = graft.ops.Dedup.spread(corpus, col(idCol))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
       norm(col(vecCol)).as("cn"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
@@ -363,7 +363,7 @@ object Similarity {
     // argmax — CollapseProject keeps a non-cheap alias referenced more than
     // once in its own layer, so the kernel runs exactly once per row (the
     // MinHash lesson: never inline a heavy expression into two consumers).
-    val c = graft.ops.Dedup.spread(corpus)
+    val c = graft.ops.Dedup.spread(corpus, col(idCol))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
         norm(col(vecCol)).as("cn"))
       .withColumn("__scores", cellScores(col("cvec")))
@@ -425,7 +425,7 @@ object Similarity {
     // In-bucket pair generation with the vector riding through the one
     // groupBy shuffle (see Dedup.bucketPairsWithPayload) — cosine verifies
     // in-bucket, pairs dedup after, when rows are narrow.
-    val rows = graft.ops.Dedup.spread(df)
+    val rows = graft.ops.Dedup.spread(df, col(idCol))
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
         norm(col(vecCol)).as("nrm"),
         hyperplaneSignature(col(vecCol), bits, d).as("sig"))

@@ -227,7 +227,7 @@ object TextOps {
     require(k > 0, "k must be positive")
     require(maxDocTokens >= 2 && maxDocTokens <= 16384,
       "maxDocTokens must be in [2, 16384]")
-    val base = graft.ops.Dedup.spread(df).select(
+    val base = graft.ops.Dedup.spread(df, xxhash64(col(textCol))).select(
       slice(filter(array_sort(array_distinct(tokens(col(textCol)))),
         t => t =!= ""), 1, maxDocTokens).as("__ts"))
     val nDocs = base.agg(count(lit(1)).as("__n"))

@@ -58,7 +58,7 @@ object ProfileAnn {
         x * (lit(1.0) + (i % 7).cast("double") / 1000)).as("embedding"))
     val u = e.unionByName(perturbed)
     val bands = 8; val bitsPerBand = 8; val bits = bands * bitsPerBand; val d = 64
-    val rows = Dedup.spread(u)
+    val rows = Dedup.spread(u, col("vec_id"))
       .select(col("vec_id").as("id"), col("embedding").as("vec"),
         Similarity.norm(col("embedding")).as("nrm"),
         Similarity.hyperplaneSignature(col("embedding"), bits, d).as("sig"))

@@ -123,7 +123,7 @@ class SkewSpec extends AnyFunSuite {
       b.getBoolean(lazyTry)
     }
     val df = docs.filter(col("doc_id") > 0) // fresh plan, fresh QueryExecution
-    Dedup.spread(df)
+    Dedup.spread(df, col("doc_id"))
     assert(!planned(df, "lazySparkPlan"), "spread must not force physical planning")
     assert(!planned(df, "lazyToRdd"), "spread must not materialize the RDD lineage")
   }
@@ -131,10 +131,10 @@ class SkewSpec extends AnyFunSuite {
   test("spread fans small inputs out, leaves estimated-large inputs untouched") {
     // ~2.5k-row estimate at 4 test cores → target 2, repartitioned
     val small = (1 to 2500).map(i => (i.toLong, s"t$i")).toDF("id", "text").coalesce(1)
-    assert(Dedup.spread(small).rdd.getNumPartitions > 1)
+    assert(Dedup.spread(small, col("id")).rdd.getNumPartitions > 1)
     // estimate at/above 1k rows × cores → returned AS-IS (reference-equal:
     // no repartition of a corpus-sized input, which pre-splits at the scan)
     val large = (1 to 50000).map(i => (i.toLong, s"t$i")).toDF("id", "text")
-    assert(Dedup.spread(large) eq large)
+    assert(Dedup.spread(large, col("id")) eq large)
   }
 }
