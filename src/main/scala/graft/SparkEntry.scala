@@ -720,6 +720,21 @@ object SparkEntry {
           .otherwise(col("text")))
       graft.ops.Dedup.dupGramStats(skewed, "doc_id", "text", n = 5)
         .orderBy("id")
+    }),
+
+    // C4-style line dedup over a derived multi-line corpus: the word
+    // stream breaks into 10-word lines, every 3rd doc gets a shared
+    // header and every doc the same footer — the boilerplate the
+    // operator must strip corpus-wide while each doc's own lines stay
+    "x55_line_dedup" -> ((s, dir) => {
+      val lined = t(s, dir, "documents").withColumn("text",
+        concat(
+          when(col("doc_id") % 3 === 0,
+            lit("subscribe to our newsletter\n")).otherwise(lit("")),
+          regexp_replace(col("text"), "((\\S+ ){9}\\S+) ", "$1\n"),
+          lit("\nall rights reserved")))
+      graft.ops.Dedup.dedupLines(lined, "doc_id", "text")
+        .orderBy("id")
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1092,6 +1107,39 @@ object SparkEntry {
                                 * 10000.0 + 0.5) / 10000.0
                 END AS dup_frac
          FROM sk d LEFT JOIN p ON d.doc_id = p.doc_id
+         ORDER BY id""",
+    "x55_line_dedup" ->
+      """WITH src AS (
+           SELECT doc_id,
+                  (CASE WHEN doc_id % 3 = 0
+                        THEN 'subscribe to our newsletter' || chr(10)
+                        ELSE '' END)
+                  || regexp_replace(text, '((\S+ ){9}\S+) ', '\1' || chr(10), 'g')
+                  || chr(10) || 'all rights reserved' AS text
+           FROM documents),
+         t AS (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls FROM src),
+         l AS (
+           SELECT doc_id,
+                  unnest(ls) AS ln,
+                  unnest(range(1, len(ls) + 1)) AS idx
+           FROM t),
+         f AS (
+           SELECT ln, min({'d': doc_id, 'i': idx}) AS fo
+           FROM l WHERE trim(ln) <> '' GROUP BY ln),
+         kept AS (
+           SELECT fo.d AS doc_id, fo.i AS idx, ln FROM f
+           UNION ALL
+           SELECT doc_id, idx, ln FROM l WHERE trim(ln) = ''),
+         reb AS (
+           SELECT doc_id,
+                  string_agg(ln, chr(10) ORDER BY idx) AS clean_text,
+                  count(*) AS n_kept
+           FROM kept GROUP BY doc_id)
+         SELECT t.doc_id AS id,
+                coalesce(r.clean_text, '') AS clean_text,
+                coalesce(r.n_kept, 0) AS n_kept,
+                CAST(len(ls) AS BIGINT) AS n_lines
+         FROM t LEFT JOIN reb r ON t.doc_id = r.doc_id
          ORDER BY id""",
     "x34_len_quantiles" ->
       """WITH q AS (

@@ -239,6 +239,13 @@ object XopEngine {
           column(df, args, "column", name),
           intArg(args, "chunk_tokens", 16, name).toInt)
 
+      // C4-style line dedup: keep each distinct non-blank line's first
+      // corpus occurrence, reassemble documents (blank lines survive)
+      case "line_dedup" =>
+        knownArgs("id", "column")
+        Dedup.dedupLines(df, column(df, args, "id", name),
+          column(df, args, "column", name))
+
       // whitespace + BPE-ish token counts appended per row
       case "text_tokens" =>
         knownArgs("column")

@@ -444,6 +444,50 @@ object Dedup {
         col("n_chunks").cast("long").as("n_chunks"))
   }
 
+  /** Line-level corpus dedup — the C4 recipe (Raffel et al. 2020 §2.2
+    * discards all but one occurrence of repeated spans; the public C4
+    * reproductions apply it at line granularity): keep only the FIRST
+    * corpus-wide occurrence of each distinct non-blank line (first =
+    * lowest (id, position)) and reassemble documents from their
+    * surviving lines in order. Unlike [[dedupChunks]] (fixed token
+    * windows over NORMALIZED text), lines respect the document's own
+    * structure and preserve raw line content; blank/whitespace-only
+    * lines always survive — they are structure, not content, and
+    * deduping "" corpus-wide would eat every paragraph break after the
+    * first document.
+    *
+    * Shape at scale: posexplode to (id, idx, line); non-blank lines go
+    * through ONE per-line min-aggregate with map-side partial combine
+    * (the [[dedupChunks]] shape — a boilerplate footer repeated across
+    * millions of documents costs one row per mapper, never one task);
+    * blank lines bypass the aggregate map-side; one id shuffle
+    * reassembles in line order. Returns (id, clean_text, n_kept,
+    * n_lines) for every input row. */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = spread(df, col(idCol))
+      .select(col(idCol).as("id"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n")))
+      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "line")
+    // first occurrence = lexicographic min of (id, idx) — exact and
+    // deterministic because (id, idx) is unique per occurrence
+    val kept = lines.filter(trim(col("line")) =!= "")
+      .groupBy(col("line"))
+      .agg(min(struct(col("id"), col("idx"))).as("__f"))
+      .select(col("__f.id").as("id"), col("__f.idx").as("idx"), col("line"))
+      .unionByName(lines.filter(trim(col("line")) === ""))
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("idx"), col("line")))),
+          s => s.getField("line"))).as("clean_text"))
+    df.select(col(idCol).as("id"),
+        size(split(coalesce(col(textCol), lit("")), "\n")).as("n_lines"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("n_lines").cast("long").as("n_lines"))
+  }
+
   /** Exact id-exclusion through a Bloom sketch — the scale path for
     * "drop every row on this seen/eval/opt-out list". A plain anti-join
     * shuffles the corpus on id; here the exclusion list tree-aggregates

@@ -1006,6 +1006,22 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupLines keeps each non-blank line's first corpus occurrence; blanks survive") {
+    val docs = Seq(
+      (1L, "alpha one\n\nshared footer"),
+      (2L, "beta two\nshared footer\nbeta extra"),
+      (3L, "alpha one\ngamma three"),
+      (4L, ""),
+      (5L, "repeat me\nrepeat me")).toDF("id", "text")
+    val got = Dedup.dedupLines(docs, "id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("alpha one\n\nshared footer", 3L, 3L)))
+    assert(got(2L) == (("beta two\nbeta extra", 2L, 3L)))  // footer first seen in doc 1
+    assert(got(3L) == (("gamma three", 1L, 2L)))           // "alpha one" deduped
+    assert(got(4L) == (("", 1L, 1L)))                      // empty doc: its blank line survives
+    assert(got(5L) == (("repeat me", 1L, 2L)))             // within-doc repeat dropped too
+  }
+
   test("gramNovelty credits the lowest-id owner of each gram") {
     val docs = Seq(
       (1L, "a b c d"),   // grams (n=3): "a b c", "b c d" — both first here

@@ -380,6 +380,16 @@ class XopSpec extends AnyFunSuite {
     assert(rows.forall(_._2 == 0.5))
   }
 
+  test("line_dedup xop strips corpus-duplicated lines, keeps first owners") {
+    // single-line docs: line dedup degenerates to whole-text keep-first
+    // (ids 3 and 6 duplicate 1 and 2 → emptied)
+    val out = run(
+      """{"xop": {"name": "line_dedup", "args": {"id": "id", "column": "text"}},
+          "order_by": ["id"]}""")
+    assert(out.collect().map(_.getAs[Long]("n_kept")).toSeq ==
+      Seq(1L, 1L, 0L, 1L, 1L, 0L))
+  }
+
   test("quantiles/quantile_band approx flag runs the sketch path") {
     // approx_percentile returns an actual group ELEMENT (no
     // interpolation), so assert membership rather than the exact-path
