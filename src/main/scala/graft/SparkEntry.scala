@@ -735,6 +735,22 @@ object SparkEntry {
           lit("\nall rights reserved")))
       graft.ops.Dedup.dedupLines(lined, "doc_id", "text")
         .orderBy("id")
+    }),
+
+    // C4-style line-quality filter over the same derived multi-line
+    // corpus: boilerplate javascript banners and too-short lines drop,
+    // period-terminated 10-word sentences survive — entirely map-side
+    "x56_line_quality" -> ((s, dir) => {
+      val lined = t(s, dir, "documents").withColumn("text",
+        concat(
+          when(col("doc_id") % 2 === 0,
+            lit("please enable javascript to continue\n")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit("ok\n")).otherwise(lit("")),
+          regexp_replace(col("text"), "((\\S+ ){9}\\S+) ", "$1.\n"),
+          lit(".")))
+      graft.ops.TextOps.filterLines(lined, "text")
+        .select("doc_id", "clean_text", "n_kept", "n_lines")
+        .orderBy("doc_id")
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1141,6 +1157,32 @@ object SparkEntry {
                 CAST(len(ls) AS BIGINT) AS n_lines
          FROM t LEFT JOIN reb r ON t.doc_id = r.doc_id
          ORDER BY id""",
+    "x56_line_quality" ->
+      """WITH src AS (
+           SELECT doc_id,
+                  (CASE WHEN doc_id % 2 = 0
+                        THEN 'please enable javascript to continue' || chr(10)
+                        ELSE '' END)
+                  || (CASE WHEN doc_id % 7 = 0 THEN 'ok' || chr(10) ELSE '' END)
+                  || regexp_replace(text, '((\S+ ){9}\S+) ', '\1.' || chr(10), 'g')
+                  || '.' AS text
+           FROM documents),
+         t AS (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls FROM src),
+         k AS (
+           SELECT doc_id, ls,
+                  [ln for ln in ls if
+                     trim(regexp_replace(ln, '\s+', ' ', 'g')) <> ''
+                     AND len(string_split(trim(regexp_replace(ln, '\s+', ' ', 'g')), ' ')) >= 3
+                     AND regexp_matches(trim(regexp_replace(ln, '\s+', ' ', 'g')), '[.!?"]$')
+                     AND NOT contains(lower(ln), 'javascript')
+                     AND NOT contains(lower(ln), 'lorem ipsum')
+                     AND NOT contains(lower(ln), 'cookie')] AS kept
+           FROM t)
+         SELECT doc_id,
+                coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+                CAST(len(kept) AS BIGINT) AS n_kept,
+                CAST(len(ls) AS BIGINT) AS n_lines
+         FROM k ORDER BY doc_id""",
     "x34_len_quantiles" ->
       """WITH q AS (
            SELECT source,

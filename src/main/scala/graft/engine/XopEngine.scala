@@ -246,6 +246,26 @@ object XopEngine {
         Dedup.dedupLines(df, column(df, args, "id", name),
           column(df, args, "column", name))
 
+      // C4-style line-quality filter: keep lines with enough words, a
+      // terminal punctuation mark, and no banned phrase (map-only)
+      case "line_quality" =>
+        knownArgs("column", "min_words", "require_punct", "banned")
+        val minWords = intArg(args, "min_words", 3, name).toInt
+        if (minWords < 0)
+          Errors.malformed(s"xop '$name': min_words must be >= 0")
+        val banned = args.get("banned") match {
+          case None => Seq("javascript", "lorem ipsum", "cookie")
+          case Some(l: List[Any] @unchecked) => l.map {
+            case s: String => s
+            case other =>
+              Errors.malformed(s"xop '$name': banned entries must be strings", other)
+          }
+          case Some(other) =>
+            Errors.malformed(s"xop '$name': 'banned' must be a list", other)
+        }
+        TextOps.filterLines(df, column(df, args, "column", name), minWords,
+          boolArg(args, "require_punct", default = true, name), banned)
+
       // whitespace + BPE-ish token counts appended per row
       case "text_tokens" =>
         knownArgs("column")

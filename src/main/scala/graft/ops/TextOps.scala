@@ -182,6 +182,39 @@ object TextOps {
       .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
   }
 
+  /** C4-style line-quality filter (Raffel et al. 2020 §2.2's line
+    * rules): keep only lines that (a) hold at least `minWords`
+    * whitespace words, (b) end in a terminal punctuation mark
+    * (`. ! ? "` — when `requireTerminalPunct`), and (c) contain none of
+    * the `banned` phrases (case-insensitive; C4 drops "javascript"
+    * lines and boilerplate policy text). The page reassembles from its
+    * surviving lines; pair with [[graft.ops.Dedup.dedupLines]] for the
+    * full C4 line stage (filter, then corpus-dedup).
+    *
+    * Entirely MAP-SIDE: one split + higher-order filter per row inside
+    * the scan's projection — no explode, no shuffle, nothing at any
+    * corpus size. APPENDS clean_text / n_kept / n_lines so the original
+    * text stays available downstream. */
+  def filterLines(df: DataFrame, textCol: String,
+                  minWords: Int = 3, requireTerminalPunct: Boolean = true,
+                  banned: Seq[String] = Seq("javascript", "lorem ipsum", "cookie"))
+      : DataFrame = {
+    require(minWords >= 0, "minWords must be >= 0")
+    val lines = split(coalesce(col(textCol), lit("")), "\n")
+    def keepLine(l: Column): Column = {
+      val t = trim(regexp_replace(l, "\\s+", " "))
+      val wordsOk = size(split(t, " ")) >= minWords && t =!= ""
+      val punctOk = if (requireTerminalPunct) t.rlike("[.!?\"]$") else lit(true)
+      val bannedOk = banned.map(b => !lower(l).contains(b.toLowerCase))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      wordsOk && punctOk && bannedOk
+    }
+    val kept = filter(lines, keepLine _)
+    df.withColumn("clean_text", array_join(kept, "\n"))
+      .withColumn("n_kept", size(kept).cast("long"))
+      .withColumn("n_lines", size(lines).cast("long"))
+  }
+
   /** Corpus token frequency, top `k` by (count desc, token asc): the
     * vocabulary-building primitive. Plans as explode → partial (map-side)
     * count aggregation → one shuffle on token → TakeOrdered top-k, so the

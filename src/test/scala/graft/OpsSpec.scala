@@ -1022,6 +1022,25 @@ class OpsSpec extends AnyFunSuite {
     assert(got(5L) == (("repeat me", 1L, 2L)))             // within-doc repeat dropped too
   }
 
+  test("filterLines applies the C4 line rules map-side") {
+    val docs = Seq(
+      (1L, "A good long sentence right here.\nplease enable javascript now.\nok\nno punct at all here\nShort.\n\nAnother fine sentence stays!"),
+      (2L, "We value your COOKIE choices greatly.\nRegular text that ends properly?")).toDF("id", "text")
+    val got = TextOps.filterLines(docs, "text").collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"), r.getAs[Long]("n_lines")))).toMap
+    // doc 1: javascript line banned; "ok" too short even with punct off the
+    // table; unpunctuated line dropped; "Short." under 3 words; blank dropped
+    assert(got(1L) == (("A good long sentence right here.\nAnother fine sentence stays!", 2L, 7L)))
+    // doc 2: banned match is case-insensitive
+    assert(got(2L) == (("Regular text that ends properly?", 1L, 2L)))
+    // relaxed knobs: no punct requirement, no bans, 1-word minimum
+    val loose = TextOps.filterLines(docs, "text", minWords = 1,
+      requireTerminalPunct = false, banned = Seq.empty)
+      .filter(col("id") === 1).head
+    assert(loose.getAs[Long]("n_kept") == 6L) // only the blank line drops
+  }
+
   test("gramNovelty credits the lowest-id owner of each gram") {
     val docs = Seq(
       (1L, "a b c d"),   // grams (n=3): "a b c", "b c d" — both first here

@@ -189,7 +189,7 @@ class PropertySpec extends AnyFunSuite {
       "join", "emb_cluster", "minhash_against", "tfidf_keywords",
       "quality_rules", "unigram_nll", "range_join", "span_scrub",
       "gram_novelty", "token_divergence", "pmi_pairs", "quantile_band",
-      "bigram_nll", "line_dedup", "zap")
+      "bigram_nll", "line_dedup", "line_quality", "zap")
     val argKeys = Seq("id", "column", "order", "chunk_tokens", "k",
       "fraction", "strata", "source", "weights", "default", "approx",
       "num_hashes", "bands", "threshold", "shingle", "action",

@@ -390,6 +390,30 @@ class XopSpec extends AnyFunSuite {
       Seq(1L, 1L, 0L, 1L, 1L, 0L))
   }
 
+  test("line_quality xop filters lines and validates its args") {
+    // fixture docs have no terminal punctuation → everything drops with
+    // defaults; relaxing the punct rule keeps the long docs' single line
+    val strict = run(
+      """{"xop": {"name": "line_quality", "args": {"column": "text"}},
+          "order_by": ["id"]}""")
+    assert(strict.collect().map(_.getAs[Long]("n_kept")).forall(_ == 0L))
+    val loose = run(
+      """{"xop": {"name": "line_quality",
+                  "args": {"column": "text", "require_punct": false,
+                           "banned": ["liquor"]}},
+          "order_by": ["id"]}""")
+    val kept = loose.collect().map(r =>
+      r.getAs[Number]("id").longValue -> r.getAs[Long]("n_kept")).toMap
+    assert(kept(1L) == 1L && kept(4L) == 1L)
+    assert(kept(2L) == 0L && kept(6L) == 0L) // "liquor" banned
+    intercept[MalformedQueryException] { run(
+      """{"xop": {"name": "line_quality",
+                  "args": {"column": "text", "banned": [7]}}}""") }
+    intercept[MalformedQueryException] { run(
+      """{"xop": {"name": "line_quality",
+                  "args": {"column": "text", "min_words": -1}}}""") }
+  }
+
   test("quantiles/quantile_band approx flag runs the sketch path") {
     // approx_percentile returns an actual group ELEMENT (no
     // interpolation), so assert membership rather than the exact-path
