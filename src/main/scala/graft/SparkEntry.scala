@@ -751,7 +751,15 @@ object SparkEntry {
       graft.ops.TextOps.filterLines(lined, "text")
         .select("doc_id", "clean_text", "n_kept", "n_lines")
         .orderBy("doc_id")
-    }))
+    }),
+
+    // deterministic weighted sample (Efraimidis-Spirakis keys from the
+    // id hash, longer docs proportionally likelier) — TakeOrdered plan,
+    // no global sort
+    "x57_sample_weighted" -> ((s, dir) =>
+      graft.ops.Sampling.weightedByHash(t(s, dir, "documents"),
+        "doc_id", "n_chars", k = 100)
+        .select("doc_id", "source", "n_chars").orderBy("doc_id")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1183,6 +1191,16 @@ object SparkEntry {
                 CAST(len(kept) AS BIGINT) AS n_kept,
                 CAST(len(ls) AS BIGINT) AS n_lines
          FROM k ORDER BY doc_id""",
+    "x57_sample_weighted" ->
+      """SELECT doc_id, source, n_chars FROM (
+           SELECT doc_id, source, n_chars,
+                  floor(pow((((doc_id % 1000000007) * 654435747) % 1000000007 + 1)
+                              / 1000000008.0,
+                            1.0 / n_chars) * 1000000000.0 + 0.5)
+                    / 1000000000.0 AS wk
+           FROM documents WHERE n_chars > 0
+           ORDER BY wk DESC, doc_id LIMIT 100)
+         ORDER BY doc_id""",
     "x34_len_quantiles" ->
       """WITH q AS (
            SELECT source,

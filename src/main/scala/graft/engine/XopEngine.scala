@@ -553,6 +553,15 @@ object XopEngine {
         knownArgs("column")
         TextOps.redactPii(df, column(df, args, "column", name))
 
+      // deterministic weighted sample without replacement
+      // (Efraimidis-Spirakis keys from the id hash)
+      case "sample_weighted" =>
+        knownArgs("id", "weight", "k")
+        val k = intArg(args, "k", 100, name).toInt
+        if (k <= 0) Errors.malformed(s"xop '$name': k must be positive")
+        Sampling.weightedByHash(df, column(df, args, "id", name),
+          numericColumn(df, args, "weight", name), k)
+
       // keep the k best rows per group by a score column
       case "sample_topk" =>
         knownArgs("group", "id", "score", "k")

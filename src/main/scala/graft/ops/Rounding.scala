@@ -10,5 +10,9 @@ import org.apache.spark.sql.functions._
   * composite double, while floor of the identical IEEE value is
   * portable. One definition so the parity recipe lives in one place. */
 private[graft] object Rounding {
-  def halfUp4(c: Column): Column = floor(c * 10000.0 + lit(0.5)) / 10000.0
+  def halfUp(c: Column, decimals: Int): Column = {
+    val m = math.pow(10.0, decimals) // exact for the small scales used here
+    floor(c * m + lit(0.5)) / m
+  }
+  def halfUp4(c: Column): Column = halfUp(c, 4)
 }

@@ -135,6 +135,33 @@ object Sampling {
       .drop("__h", "__shard", "__tok", "__local", "__osrc", "__oshard", "__offset")
   }
 
+  /** Deterministic weighted sample WITHOUT replacement (Efraimidis &
+    * Spirakis 2006): each row draws a hash-uniform u ∈ (0, 1] from its
+    * id and ranks by key = u^(1/w); the k largest keys are a weighted
+    * sample without replacement — selection probability proportional to
+    * weight, reproducible across runs, partitionings, and engines (the
+    * module's hash-not-RNG policy: the sample IS the dataset
+    * definition). The quality-weighted corpus draw: w = a quality score
+    * or a length.
+    *
+    * Rows with null or non-positive weight are never selected. Plans as
+    * TakeOrderedAndProject (per-partition partial top-k — only k rows
+    * per partition reach the driver; the corpus never sorts globally).
+    * The rank key rounds to 9 decimals with an id tie-break so libm pow
+    * last-ulp differences can never flip membership between engines. */
+  def weightedByHash(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (orderHash(col(idCol)) + lit(1L)).cast("double") /
+      lit((P + 1).toDouble)
+    val w = col(weightCol).cast("double")
+    df.filter(w > 0)
+      .withColumn("__wk", Rounding.halfUp(pow(u, lit(1.0) / w), 9))
+      .orderBy(col("__wk").desc, col(idCol))
+      .limit(k)
+      .drop("__wk")
+  }
+
   def mixtureByHash(df: DataFrame, idCol: String, sourceCol: String,
                     weights: Map[String, Double],
                     default: Double = 0.0): DataFrame = {

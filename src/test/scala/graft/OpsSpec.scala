@@ -1022,6 +1022,27 @@ class OpsSpec extends AnyFunSuite {
     assert(got(5L) == (("repeat me", 1L, 2L)))             // within-doc repeat dropped too
   }
 
+  test("weightedByHash: deterministic, weight-proportional, TakeOrdered plan") {
+    val rows = (1L to 500L).map(i => (i, 1.0)) ++ (501L to 1000L).map(i => (i, 100.0))
+    val df = rows.toDF("id", "w")
+    val got = Sampling.weightedByHash(df, "id", "w", k = 100)
+    // 100x weights dominate the draw
+    val heavy = got.filter(col("id") > 500).count()
+    assert(heavy > 80, s"heavy group drew only $heavy of 100")
+    // deterministic under repartitioning (the sample IS the definition)
+    val again = Sampling.weightedByHash(df.repartition(7), "id", "w", k = 100)
+    assert(got.select("id").collect().map(_.getLong(0)).toSet ==
+      again.select("id").collect().map(_.getLong(0)).toSet)
+    // null / non-positive weights never selected
+    val withBad = df.unionByName(Seq((2000L, 0.0), (2001L, -5.0)).toDF("id", "w"))
+      .unionByName(Seq(Tuple1(2002L)).toDF("id").withColumn("w", lit(null).cast("double")))
+    val ids = Sampling.weightedByHash(withBad, "id", "w", k = 2000)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!ids(2000L) && !ids(2001L) && !ids(2002L) && ids.size == 1000)
+    // partial top-k plan: TakeOrdered, no global sort
+    assert(got.queryExecution.executedPlan.toString.contains("TakeOrdered"))
+  }
+
   test("filterLines applies the C4 line rules map-side") {
     val docs = Seq(
       (1L, "A good long sentence right here.\nplease enable javascript now.\nok\nno punct at all here\nShort.\n\nAnother fine sentence stays!"),

@@ -189,7 +189,7 @@ class PropertySpec extends AnyFunSuite {
       "join", "emb_cluster", "minhash_against", "tfidf_keywords",
       "quality_rules", "unigram_nll", "range_join", "span_scrub",
       "gram_novelty", "token_divergence", "pmi_pairs", "quantile_band",
-      "bigram_nll", "line_dedup", "line_quality", "zap")
+      "bigram_nll", "line_dedup", "line_quality", "sample_weighted", "zap")
     val argKeys = Seq("id", "column", "order", "chunk_tokens", "k",
       "fraction", "strata", "source", "weights", "default", "approx",
       "num_hashes", "bands", "threshold", "shingle", "action",
@@ -202,7 +202,8 @@ class PropertySpec extends AnyFunSuite {
       "iters", "ts", "start", "end", "granule", "min_tokens", "max_tokens",
       "min_mean_len", "max_mean_len", "max_dup_word_frac",
       "min_stopword_ratio", "min_alpha_ratio", "lo", "hi",
-      "min_pair_docs", "max_doc_tokens", "zap")
+      "min_pair_docs", "max_doc_tokens", "min_words", "require_punct",
+      "banned", "weight", "zap")
     val valGen: Gen[String] = Gen.oneOf(
       Gen.oneOf("id", "src", "text", "zz", "ds", "pairs", "drop", "flag")
         .map(s => s""""$s""""),

@@ -390,6 +390,22 @@ class XopSpec extends AnyFunSuite {
       Seq(1L, 1L, 0L, 1L, 1L, 0L))
   }
 
+  test("sample_weighted xop draws a k-bounded deterministic sample") {
+    val out = run(
+      """{"xop": {"name": "sample_weighted",
+                  "args": {"id": "id", "weight": "id", "k": 3}},
+          "order_by": ["id"]}""")
+    val first = ids(out)
+    assert(first.length == 3)
+    assert(ids(run(
+      """{"xop": {"name": "sample_weighted",
+                  "args": {"id": "id", "weight": "id", "k": 3}},
+          "order_by": ["id"]}""")) == first) // reproducible
+    intercept[MalformedQueryException] { run(
+      """{"xop": {"name": "sample_weighted",
+                  "args": {"id": "id", "weight": "id", "k": 0}}}""") }
+  }
+
   test("line_quality xop filters lines and validates its args") {
     // fixture docs have no terminal punctuation → everything drops with
     // defaults; relaxing the punct rule keeps the long docs' single line
