@@ -759,7 +759,21 @@ object SparkEntry {
     "x57_sample_weighted" -> ((s, dir) =>
       graft.ops.Sampling.weightedByHash(t(s, dir, "documents"),
         "doc_id", "n_chars", k = 100)
-        .select("doc_id", "source", "n_chars").orderBy("doc_id")))
+        .select("doc_id", "source", "n_chars").orderBy("doc_id")),
+
+    // overlapping token-window chunking: map-side window slices from a
+    // once-materialized token array, explode is the only expansion
+    "x58_text_chunks" -> ((s, dir) =>
+      graft.ops.TextOps.chunkText(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 32, stride = 16)
+        .orderBy("id", "chunk_idx")),
+
+    // per-doc OOV rate vs the corpus's own top-30 vocabulary
+    // (k-bounded vocab broadcasts; corpus never shuffles on tokens)
+    "x59_oov_rate" -> ((s, dir) =>
+      graft.ops.TextOps.oovRate(t(s, dir, "documents"), "doc_id", "text",
+        vocabSize = 30)
+        .orderBy("id")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1201,6 +1215,54 @@ object SparkEntry {
            FROM documents WHERE n_chars > 0
            ORDER BY wk DESC, doc_id LIMIT 100)
          ORDER BY doc_id""",
+    "x58_text_chunks" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN text IS NULL
+                         OR trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = ''
+                       THEN CAST([] AS VARCHAR[])
+                       ELSE string_split(
+                              trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+                  END AS tk
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+                  unnest(CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+                         ELSE [array_to_string(tk[(i*16+1):(i*16+32)], ' ')
+                               for i in range(0, 1 + greatest(0,
+                                 CAST(ceil((len(tk) - 32) / 16.0) AS BIGINT)))]
+                         END) AS chunk_text,
+                  unnest(CASE WHEN len(tk) = 0 THEN CAST([] AS BIGINT[])
+                         ELSE range(0, 1 + greatest(0,
+                           CAST(ceil((len(tk) - 32) / 16.0) AS BIGINT)))
+                         END) AS chunk_idx
+           FROM t)
+         SELECT doc_id AS id, chunk_idx, chunk_text,
+                CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_tokens
+         FROM c ORDER BY id, chunk_idx""",
+    "x59_oov_rate" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(string_split(
+                    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+           FROM documents),
+         tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+         v AS (SELECT t AS vt FROM (
+                 SELECT t, count(*) AS n FROM tok2 GROUP BY t
+                 ORDER BY n DESC, t LIMIT 30)),
+         p AS (
+           SELECT doc_id, count(*) AS n_tokens,
+                  CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+           FROM tok2 LEFT JOIN v ON tok2.t = v.vt GROUP BY doc_id)
+         SELECT d.doc_id AS id,
+                coalesce(p.n_tokens, 0) AS n_tokens,
+                coalesce(p.n_oov, 0) AS n_oov,
+                CASE WHEN coalesce(p.n_tokens, 0) = 0 THEN 0.0
+                     ELSE floor(CAST(p.n_oov AS DOUBLE) / p.n_tokens
+                                * 10000.0 + 0.5) / 10000.0
+                END AS oov_rate
+         FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+         ORDER BY id""",
     "x34_len_quantiles" ->
       """WITH q AS (
            SELECT source,

@@ -246,6 +246,26 @@ object XopEngine {
         Dedup.dedupLines(df, column(df, args, "id", name),
           column(df, args, "column", name))
 
+      // overlapping token-window chunking (RAG/eval context prep)
+      case "text_chunks" =>
+        knownArgs("id", "column", "chunk_tokens", "stride")
+        val chunkTokens = intArg(args, "chunk_tokens", 128, name).toInt
+        val stride = intArg(args, "stride", chunkTokens.toLong, name).toInt
+        if (chunkTokens <= 0)
+          Errors.malformed(s"xop '$name': chunk_tokens must be positive")
+        if (stride <= 0 || stride > chunkTokens)
+          Errors.malformed(s"xop '$name': stride must be in [1, chunk_tokens]")
+        TextOps.chunkText(df, column(df, args, "id", name),
+          column(df, args, "column", name), chunkTokens, stride)
+
+      // per-doc out-of-vocabulary rate vs the corpus's own top-k vocab
+      case "oov_rate" =>
+        knownArgs("id", "column", "vocab")
+        val vocab = intArg(args, "vocab", 10000, name).toInt
+        if (vocab <= 0) Errors.malformed(s"xop '$name': vocab must be positive")
+        TextOps.oovRate(df, column(df, args, "id", name),
+          column(df, args, "column", name), vocab)
+
       // C4-style line-quality filter: keep lines with enough words, a
       // terminal punctuation mark, and no banned phrase (map-only)
       case "line_quality" =>

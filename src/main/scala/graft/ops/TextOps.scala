@@ -226,6 +226,73 @@ object TextOps {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Per-document out-of-vocabulary rate against the corpus's OWN
+    * top-`vocabSize` token vocabulary — the tokenizer-fit /
+    * domain-mismatch signal: documents full of tokens outside the head
+    * vocabulary are OCR noise, code, or off-domain for the mixture.
+    * Vocabulary = [[topTokens]] of this corpus (count desc, token asc
+    * ties — deterministic on any engine); oov_rate = the fraction of a
+    * document's token OCCURRENCES outside it, HALF_UP-rounded to 4.
+    *
+    * Shape at scale: the k-bounded vocabulary broadcasts, membership
+    * checks ride a map-side broadcast join (the corpus never shuffles
+    * on tokens), and the per-doc rollup is one id aggregation. Docs
+    * with zero tokens report rate 0. Returns (id, n_tokens, n_oov,
+    * oov_rate). */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+              vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val toks = graft.ops.Dedup.spread(df, col(idCol))
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("__t"))
+      .filter(col("__t") =!= "")
+    val vocab = topTokens(df, textCol, vocabSize).select(col("token").as("__v"))
+    val perDoc = toks.join(broadcast(vocab), col("__t") === col("__v"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__v").isNull.cast("long")).as("n_oov"))
+    df.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(Rounding.halfUp4(
+            col("n_oov").cast("double") / col("n_tokens"))))
+  }
+
+  /** Overlapping token-window chunking — the RAG/eval context-prep
+    * stage: windows of `chunkTokens` whitespace tokens advancing by
+    * `stride` (stride < chunkTokens ⇒ overlap), the final window
+    * keeping the (possibly shorter) tail. Empty documents emit no
+    * chunks; documents shorter than one window emit exactly one (the
+    * whole document).
+    *
+    * Map-side: the token array materializes ONCE per row in its own
+    * projection (multi-referenced non-cheap aliases survive
+    * CollapseProject — inlining it beside the explode would re-tokenize
+    * per emitted chunk), windows slice from it, and the explode is the
+    * only row expansion; no shuffle at any corpus size. Returns
+    * (id, chunk_idx, chunk_text, n_tokens). */
+  def chunkText(df: DataFrame, idCol: String, textCol: String,
+                chunkTokens: Int = 128, stride: Int = 64): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(stride > 0 && stride <= chunkTokens,
+      "stride must be in [1, chunkTokens]")
+    val base = df.select(col(idCol).as("id"),
+      tokens(col(textCol)).as("__tk"),
+      tokenCount(col(textCol)).as("__n"))
+    val nWin = (lit(1) + greatest(lit(0),
+      ceil((col("__n") - lit(chunkTokens)).cast("double") / stride)
+        .cast("int"))).cast("int")
+    val wins = when(col("__n") <= 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nWin - 1),
+        i => concat_ws(" ", slice(col("__tk"), i * stride + 1, lit(chunkTokens)))))
+    base.select(col("id"), posexplode(wins))
+      .select(col("id"), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk_text"))
+      .withColumn("n_tokens", size(split(col("chunk_text"), " ")).cast("long"))
+  }
+
   /** Top-`k` PMI collocations: the token pairs that co-occur in
     * documents far more than chance — the collocation-mining primitive
     * behind vocabulary/tokenizer curation and phrase detection

@@ -1043,6 +1043,36 @@ class OpsSpec extends AnyFunSuite {
     assert(got.queryExecution.executedPlan.toString.contains("TakeOrdered"))
   }
 
+  test("chunkText windows overlap with stride and keep the tail") {
+    val docs = Seq(
+      (1L, "a b c d e f g"), // 3-token windows, stride 2 → starts 0, 2, 4
+      (2L, "x y"),           // shorter than one window → the whole doc
+      (3L, ""),              // no chunks
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val got = TextOps.chunkText(docs, "id", "text", chunkTokens = 3, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.toSet == Set(
+      (1L, 0L, "a b c", 3L), (1L, 1L, "c d e", 3L), (1L, 2L, "e f g", 3L),
+      (2L, 0L, "x y", 2L)))
+    intercept[IllegalArgumentException] {
+      TextOps.chunkText(docs, "id", "text", chunkTokens = 3, stride = 4)
+    }
+  }
+
+  test("oovRate counts occurrences outside the corpus head vocabulary") {
+    val docs = Seq(
+      (1L, "the the the cat"),
+      (2L, "the dog runs"),
+      (3L, "")).toDF("id", "text")
+    // vocab 2 = "the" (4 occurrences) + count-1 tie broken to "cat" (asc)
+    val got = TextOps.oovRate(docs, "id", "text", vocabSize = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((4L, 0L, 0.0)))
+    assert(got(2L) == ((3L, 2L, 0.6667))) // dog, runs OOV
+    assert(got(3L) == ((0L, 0L, 0.0)))
+  }
+
   test("filterLines applies the C4 line rules map-side") {
     val docs = Seq(
       (1L, "A good long sentence right here.\nplease enable javascript now.\nok\nno punct at all here\nShort.\n\nAnother fine sentence stays!"),

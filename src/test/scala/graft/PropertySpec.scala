@@ -189,7 +189,8 @@ class PropertySpec extends AnyFunSuite {
       "join", "emb_cluster", "minhash_against", "tfidf_keywords",
       "quality_rules", "unigram_nll", "range_join", "span_scrub",
       "gram_novelty", "token_divergence", "pmi_pairs", "quantile_band",
-      "bigram_nll", "line_dedup", "line_quality", "sample_weighted", "zap")
+      "bigram_nll", "line_dedup", "line_quality", "sample_weighted",
+      "text_chunks", "oov_rate", "zap")
     val argKeys = Seq("id", "column", "order", "chunk_tokens", "k",
       "fraction", "strata", "source", "weights", "default", "approx",
       "num_hashes", "bands", "threshold", "shingle", "action",
@@ -203,7 +204,7 @@ class PropertySpec extends AnyFunSuite {
       "min_mean_len", "max_mean_len", "max_dup_word_frac",
       "min_stopword_ratio", "min_alpha_ratio", "lo", "hi",
       "min_pair_docs", "max_doc_tokens", "min_words", "require_punct",
-      "banned", "weight", "zap")
+      "banned", "weight", "vocab", "zap")
     val valGen: Gen[String] = Gen.oneOf(
       Gen.oneOf("id", "src", "text", "zz", "ds", "pairs", "drop", "flag")
         .map(s => s""""$s""""),

@@ -390,6 +390,28 @@ class XopSpec extends AnyFunSuite {
       Seq(1L, 1L, 0L, 1L, 1L, 0L))
   }
 
+  test("text_chunks and oov_rate xops run and validate args") {
+    val chunks = run(
+      """{"xop": {"name": "text_chunks",
+                  "args": {"id": "id", "column": "text",
+                           "chunk_tokens": 4, "stride": 2}},
+          "order_by": ["id", "chunk_idx"]}""")
+    assert(chunks.count() > 6) // every multi-token doc expands
+    intercept[MalformedQueryException] { run(
+      """{"xop": {"name": "text_chunks",
+                  "args": {"id": "id", "column": "text",
+                           "chunk_tokens": 4, "stride": 5}}}""") }
+    val oov = run(
+      """{"xop": {"name": "oov_rate",
+                  "args": {"id": "id", "column": "text", "vocab": 5}},
+          "order_by": ["id"]}""")
+    assert(oov.count() == 6)
+    assert(oov.columns.contains("oov_rate"))
+    intercept[MalformedQueryException] { run(
+      """{"xop": {"name": "oov_rate",
+                  "args": {"id": "id", "column": "text", "vocab": 0}}}""") }
+  }
+
   test("sample_weighted xop draws a k-bounded deterministic sample") {
     val out = run(
       """{"xop": {"name": "sample_weighted",
