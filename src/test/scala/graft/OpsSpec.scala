@@ -1058,6 +1058,9 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TextOps.chunkText(docs, "id", "text", chunkTokens = 3, stride = 4)
     }
+    // map-side: the explode is the only expansion — zero exchanges
+    assert(!TextOps.chunkText(docs, "id", "text", 3, 2)
+      .queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
   test("oovRate counts occurrences outside the corpus head vocabulary") {
@@ -1090,6 +1093,9 @@ class OpsSpec extends AnyFunSuite {
       requireTerminalPunct = false, banned = Seq.empty)
       .filter(col("id") === 1).head
     assert(loose.getAs[Long]("n_kept") == 6L) // only the blank line drops
+    // entirely map-side: zero exchanges at any corpus size
+    assert(!TextOps.filterLines(docs, "text")
+      .queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
   test("gramNovelty credits the lowest-id owner of each gram") {
