@@ -773,7 +773,18 @@ object SparkEntry {
     "x59_oov_rate" -> ((s, dir) =>
       graft.ops.TextOps.oovRate(t(s, dir, "documents"), "doc_id", "text",
         vocabSize = 30)
-        .orderBy("id")))
+        .orderBy("id")),
+
+    // span-level decontamination: excise eval-contaminated 8-gram spans
+    // from the train split instead of dropping whole documents (x21's
+    // split: src7 plays the eval set)
+    "x60_decontam_scrub" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Decontaminate.scrubContaminated(
+        docs.filter(col("source") =!= "src7"),
+        docs.filter(col("source") === "src7"),
+        "doc_id", "text", n = 8).orderBy("doc_id")
+    }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1263,6 +1274,42 @@ object SparkEntry {
                 END AS oov_rate
          FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
          ORDER BY id""",
+    // positions 1-based here, 0-based on the Spark side — the covered-set
+    // arithmetic shifts identically (the x48 recipe with eval grams)
+    "x60_decontam_scrub" ->
+      """WITH tok AS (
+           SELECT doc_id, source,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+           FROM documents),
+         g AS (
+           SELECT doc_id, gram, s FROM (
+             SELECT doc_id,
+                    unnest(CASE WHEN len(tk) < 8 THEN CAST([] AS VARCHAR[])
+                           ELSE [array_to_string(tk[i:i+7], ' ')
+                                 for i in range(1, len(tk) - 6)] END) AS gram,
+                    unnest(CASE WHEN len(tk) < 8 THEN CAST([] AS BIGINT[])
+                           ELSE range(1, len(tk) - 6) END) AS s
+             FROM tok WHERE source <> 'src7')),
+         ev AS (
+           SELECT DISTINCT gram FROM (
+             SELECT unnest(CASE WHEN len(tk) < 8 THEN CAST([] AS VARCHAR[])
+                           ELSE [array_to_string(tk[i:i+7], ' ')
+                                 for i in range(1, len(tk) - 6)] END) AS gram
+             FROM tok WHERE source = 'src7')),
+         st AS (
+           SELECT doc_id, list(s) AS starts
+           FROM g JOIN ev USING (gram) GROUP BY doc_id),
+         tr AS (SELECT doc_id, tk FROM tok WHERE source <> 'src7'),
+         k AS (
+           SELECT tr.doc_id, tk,
+                  [tk[p] for p in range(1, len(tk) + 1)
+                   if len(list_filter(coalesce(st.starts, CAST([] AS BIGINT[])),
+                          s -> s <= p AND p <= s + 7)) = 0] AS kept
+           FROM tr LEFT JOIN st USING (doc_id))
+         SELECT doc_id,
+                coalesce(array_to_string(kept, ' '), '') AS clean_text,
+                coalesce(CAST(len(tk) - len(kept) AS BIGINT), 0) AS n_tokens_removed
+         FROM k ORDER BY doc_id""",
     "x34_len_quantiles" ->
       """WITH q AS (
            SELECT source,

@@ -534,9 +534,12 @@ object XopEngine {
         val n = intArg(args, "n", 8, name).toInt
         args.get("action") match {
           case Some("flag") => Decontaminate.contaminated(df, evalDf, id, textCol, n)
+          case Some("scrub") =>
+            Decontaminate.scrubContaminated(df, evalDf, id, textCol, n)
           case None | Some("drop") => Decontaminate.decontaminate(df, evalDf, id, textCol, n)
           case Some(other) =>
-            Errors.malformed(s"xop '$name': action must be 'flag' or 'drop'", other)
+            Errors.malformed(
+              s"xop '$name': action must be 'flag', 'drop' or 'scrub'", other)
         }
 
       // char-entropy quality signal appended as `entropy` (codegen kernel)

@@ -87,4 +87,47 @@ object Decontaminate {
       contaminated(train, eval, idCol, textCol, n)
         .select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
+
+  /** Span-level decontamination — the surgical variant of
+    * [[decontaminate]]: instead of DROPPING a contaminated training
+    * document, excise exactly the tokens covered by some word `n`-gram
+    * appearing verbatim in the eval set and keep the rest (documents
+    * are expensive; a benchmark question quoted in one footer should
+    * not cost the whole page). The rewrite is
+    * [[Dedup.scrubDuplicatedSpans]]'s machinery with the
+    * corpus-duplicated gram set replaced by the eval gram set.
+    *
+    * Shape at scale: eval grams dedup to a distinct relation (AQE
+    * broadcasts the typical benchmark-sized set, so the train grams
+    * never shuffle); train positional grams explode once from a
+    * materialized array and inner-join on (gram hash, gram) like
+    * [[contaminated]]; only MATCHING occurrences reach the per-doc
+    * start collect, so the rollup is sized by contamination density;
+    * the excision is a map-side two-arg filter over the token array.
+    * Returns (idCol, clean_text, n_tokens_removed) for every train
+    * row. */
+  def scrubContaminated(train: DataFrame, eval: DataFrame, idCol: String,
+                        textCol: String, n: Int = 8): DataFrame = {
+    require(n > 0, "n must be positive")
+    val evalGrams = eval
+      .select(explode(wordNgrams(col(textCol), n, distinct = true)).as("__gram"))
+      .withColumn("__gh", xxhash64(col("__gram")))
+      .dropDuplicates("__gh", "__gram")
+    val g = Dedup.spread(train, col(idCol))
+      .select(col(idCol).as("__id"), wordNgrams(col(textCol), n).as("__g"))
+      .select(col("__id"), posexplode(col("__g")).as(Seq("__s", "__gram")))
+      .withColumn("__gh", xxhash64(col("__gram")))
+    val hitStarts = g.join(evalGrams, Seq("__gh", "__gram"))
+      .groupBy("__id").agg(collect_list(col("__s")).as("__starts"))
+    train.join(hitStarts, train(idCol) === hitStarts("__id"), "left")
+      .withColumn("__tk", coalesce(TextOps.tokens(col(textCol)),
+        array().cast("array<string>")))
+      .withColumn("__kept", filter(col("__tk"), (t, p) =>
+        !exists(coalesce(col("__starts"), array().cast("array<int>")),
+          s => s <= p && p <= s + lit(n - 1))))
+      .select(train(idCol),
+        array_join(col("__kept"), " ").as("clean_text"),
+        (size(col("__tk")) - size(col("__kept"))).cast("long")
+          .as("n_tokens_removed"))
+  }
 }

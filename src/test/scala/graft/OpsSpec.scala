@@ -1043,6 +1043,17 @@ class OpsSpec extends AnyFunSuite {
     assert(got.queryExecution.executedPlan.toString.contains("TakeOrdered"))
   }
 
+  test("scrubContaminated excises eval-matched spans, keeps the rest") {
+    val train = Seq(
+      (1L, "keep these words then the secret eval answer phrase appears here and more text follows after"),
+      (2L, "totally clean document nothing shared at all")).toDF("id", "text")
+    val eval = Seq((9L, "the secret eval answer phrase appears here and")).toDF("id", "text")
+    val got = Decontaminate.scrubContaminated(train, eval, "id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(2L) == (("totally clean document nothing shared at all", 0L)))
+    assert(got(1L) == (("keep these words then more text follows after", 8L)))
+  }
+
   test("chunkText windows overlap with stride and keep the tail") {
     val docs = Seq(
       (1L, "a b c d e f g"), // 3-token windows, stride 2 → starts 0, 2, 4

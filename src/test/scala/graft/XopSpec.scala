@@ -359,6 +359,17 @@ class XopSpec extends AnyFunSuite {
                            "action": "flag"}},
           "order_by": ["id"]}""", resolver).df
     assert(ids(flagged) == Seq(1L, 3L))
+    // scrub: contaminated docs keep their UNSHARED text instead of dying
+    val scrubbed = QueryEngine.run(docs,
+      """{"xop": {"name": "decontaminate",
+                  "args": {"id": "id", "column": "text", "eval": "evalset",
+                           "action": "scrub"}},
+          "order_by": ["id"]}""", resolver).df
+    assert(ids(scrubbed) == Seq(1L, 2L, 3L, 4L, 5L, 6L)) // every train row survives
+    val removed = scrubbed.collect()
+      .map(r => r.getAs[Number]("id").longValue -> r.getAs[Long]("n_tokens_removed")).toMap
+    assert(removed(1L) > 0L && removed(3L) > 0L) // the flagged docs lost spans
+    assert(removed(2L) == 0L && removed(4L) == 0L)
   }
 
   test("char_entropy xop appends the entropy signal") {
