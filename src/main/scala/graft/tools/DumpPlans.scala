@@ -39,6 +39,11 @@ object DumpPlans {
       ("x40_dup_grams", "duplicated-span stats — kernel-deduped grams, per-gram count AGGREGATE (map-side combine) joined back (AQE-broadcastable); no gram window, one id aggregation exchange"),
       ("x49_gram_novelty", "gram novelty — first-owner min(id) as a per-gram aggregate joined back; same skew-safe shape as x40"),
       ("x54_skew_dupgrams", "skew stress — x40's shape over an 80%-duplicate corpus; the hot gram partial-combines per mapper instead of funneling into one task"),
+      ("x55_line_dedup", "line dedup — keep-first as groupBy(line).min(struct(id, idx)) with partial combine; blank lines bypass the aggregate"),
+      ("x56_line_quality", "line-quality filter — map-only: split + higher-order filter inside the scan projection, ZERO exchanges"),
+      ("x57_sample_weighted", "weighted sample — Efraimidis-Spirakis keys, TakeOrderedAndProject partial top-k, no global sort"),
+      ("x58_text_chunks", "overlapping chunking — token array materialized once, windows slice from it, explode is the only expansion, zero exchanges"),
+      ("x59_oov_rate", "OOV rate — k-bounded vocabulary broadcasts, membership is a map-side broadcast join, corpus never shuffles on tokens"),
       ("x41_bm25_batch", "batch BM25 — corpus explode prefiltered by the broadcast query-term set BEFORE the single (term, doc) exchange; df/stats/query-terms broadcast back; per-query WindowGroupLimit top-k"),
       ("q13_distinct", "distinct over all user columns — hash AGGREGATE with map-side partial combine (each task reduces to <= |combinations| rows pre-exchange), not a full-data window shuffle"),
       ("x44_tfidf_keywords", "TF-IDF keywords — one (doc, term) exchange with partial count combine; df as a per-term AGGREGATE of the postings joined back (broadcast build, AQE stage reuse dedupes the shared postings exchange — no Zipf-head term window), one-row N broadcast, per-doc WindowGroupLimit top-k"),
