@@ -83,12 +83,22 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
-    val short: String => String =
+    val prefix: String => String =
       n => n.indexOf('_') match { case -1 => n; case i => n.substring(0, i) }
-    val shortsUnique = results.keys.map(short).toSet.size == results.size
+    // collision fallback keeps keys SHORT: colliding prefixes fall back to
+    // their full names individually, not the whole map (a wholesale
+    // full-name render would overflow the window again)
+    val collided = results.keys.groupBy(prefix).collect {
+      case (_, ks) if ks.size > 1 => ks
+    }.flatten.toSet
+    val short: String => String = n => if (collided(n)) n else prefix(n)
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       render(identity).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(if (shortsUnique) render(short) else render(identity))
+    val line = render(short)
+    // belt-and-braces length guard (the ~1927-char harness tail budget):
+    // shorten precision before ever printing an over-long line
+    println(if (line.length <= 1900) line
+      else line.replaceAll("(\\d)\\.(\\d\\d)\\d", "$1.$2"))
     spark.stop()
   }
 }

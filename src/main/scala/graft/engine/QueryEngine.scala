@@ -329,8 +329,10 @@ object QueryEngine {
 
   /** `distinct: []` = dedup on all user columns; subset form keeps the FIRST
     * row of each duplicate group (pandas drop_duplicates). With the hidden
-    * ingest-order column present, "first" is exact via a window; otherwise
-    * Spark's arbitrary-row dropDuplicates is used
+    * ingest-order column present, "first" is exact — computed as a min /
+    * min_by AGGREGATE with map-side partial combine (see the shape notes
+    * below); without it, distinct() / a synthetic monotonic ordering
+    * approximates the arbitrary-row semantics
     * (reference: query.py:196-204, SURVEY.md §7.4). */
   private def applyDistinct(df: DataFrame, distinctQ: Option[List[Any]]): DataFrame =
     distinctQ match {

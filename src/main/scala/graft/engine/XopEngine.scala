@@ -250,7 +250,11 @@ object XopEngine {
       case "text_chunks" =>
         knownArgs("id", "column", "chunk_tokens", "stride")
         val chunkTokens = intArg(args, "chunk_tokens", 128, name).toInt
-        val stride = intArg(args, "stride", chunkTokens.toLong, name).toInt
+        // default stride = half the window, matching the library default's
+        // 128/64 overlap ratio (stride == chunk would silently disable
+        // the overlap the operator exists for)
+        val stride =
+          intArg(args, "stride", math.max(1, chunkTokens / 2).toLong, name).toInt
         if (chunkTokens <= 0)
           Errors.malformed(s"xop '$name': chunk_tokens must be positive")
         if (stride <= 0 || stride > chunkTokens)
@@ -897,6 +901,7 @@ object XopEngine {
           import org.apache.spark.sql.types._
           d.schema(c).dataType match {
             case ByteType | ShortType | IntegerType | LongType | TimestampType => ()
+            case dt: DecimalType if dt.scale == 0 => () // exact integral decimal
             case _ => Errors.malformed(
               s"xop '$name': time column must be an integral or timestamp type " +
                 "(floor fractional-second columns explicitly before joining)", c)

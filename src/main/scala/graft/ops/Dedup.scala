@@ -28,12 +28,16 @@ object Dedup {
     * shuffle FILES — stack-sampled at 60-80% of an LSH operator's wall
     * time at small scale — without adding useful concurrency. Stats-ONLY:
     * no partition-count probe (`df.rdd` would force full physical
-    * planning on the driver once per spread per query). An input whose
-    * row estimate reaches 1k × cores is left alone — a scan that size
-    * arrives pre-split by the file source / an upstream exchange, and
-    * repartitioning it would shuffle the whole corpus; a provably-small
-    * input is repartitioned unconditionally (the shuffle moves at most
-    * ~1k rows per core by construction).
+    * planning on the driver once per spread per query). The stats can't
+    * reveal the CURRENT partition count, so the gate is a byte budget:
+    * any input whose estimated size is under ~2 GiB is repartitioned
+    * unconditionally — that shuffle costs seconds at worst and covers
+    * the pathological single-row-group file (unsplittable below row-group
+    * granularity no matter what maxPartitionBytes says, and row groups
+    * never reach 2 GiB in practice) — while a larger corpus is left
+    * alone: it necessarily spans many row groups/files and arrives
+    * pre-split, and repartitioning 100 TB to "spread" it would be the
+    * bug.
     *
     * `key` drives a deterministic HASH exchange, not round-robin:
     * AQE's stage cache refuses to reuse a nondeterministic round-robin
@@ -42,13 +46,18 @@ object Dedup {
     * pairs + term frequencies) silently computed the whole
     * tokenize/signature subtree once PER BRANCH — measured as two full
     * duplicate stage chains in the final adaptive plan. A hash exchange
-    * on a uniform key (the id column; a text hash when no id exists) is
-    * stage-reused, so the subtree runs once. */
+    * on a uniform key (the id column; an all-column hash when no id
+    * exists) is stage-reused, so the subtree runs once. */
+  private[graft] val SpreadMaxBytes: Long = 2L << 30
   private[graft] def spread(df: DataFrame, key: Column): DataFrame = {
+    val plan = df.queryExecution.optimizedPlan
     val dp = df.sparkSession.sparkContext.defaultParallelism
     val target = math.min(dp.toLong,
       math.max(1L, Similarity.approxRows(df) / 1000L)).toInt
-    if (target > 1 && target < dp) df.repartition(target, key) else df
+    // unknown sizes report huge (Long.MaxValue-ish) → treated as big → no-op
+    if (target > 1 && plan.stats.sizeInBytes < BigInt(SpreadMaxBytes))
+      df.repartition(target, key)
+    else df
   }
 
   /** Per-key aggregate joined back onto its occurrence relation — the
@@ -78,14 +87,24 @@ object Dedup {
     * only). Ties on `orderCol` are broken arbitrarily-but-one, like the
     * window form; callers pass a unique ordering column. */
   def exactByText(df: DataFrame, textCol: String, orderCol: String): DataFrame = {
-    val payload = struct(df.columns.map(col): _*)
+    // backtick-quoted refs + getField, never bare dotted-path parsing:
+    // user column names from CSV headers can contain dots and must
+    // resolve as exact names (both functions.col and Dataset.apply
+    // parse unquoted dots as struct paths)
+    val payload = struct(df.columns.map(exactCol): _*)
     // struct-wrapped order key: min_by DROPS rows whose ordering is null,
     // while struct(null) stays non-null and sorts first — matching the
     // window form's nulls-first orderBy
-    df.groupBy(TextOps.fingerprintMd5(col(textCol)).as("__fp"))
-      .agg(min_by(payload, struct(col(orderCol))).as("__keep"))
-      .select(df.columns.map(c => col(s"__keep.$c").as(c)): _*)
+    df.groupBy(TextOps.fingerprintMd5(exactCol(textCol)).as("__fp"))
+      .agg(min_by(payload, struct(exactCol(orderCol))).as("__keep"))
+      .select(df.columns.map(c => col("__keep").getField(c).as(c)): _*)
   }
+
+  /** Column reference that resolves `name` EXACTLY — backtick-quoted so
+    * dots in CSV-derived names never parse as struct paths (embedded
+    * backticks escape as ``). */
+  private def exactCol(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
 
   /** Word n-gram shingles of the normalized text (n tokens per shingle). */
   def shingles(c: Column, n: Int): Column = {

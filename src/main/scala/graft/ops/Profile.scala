@@ -92,7 +92,10 @@ object Profile {
     * sum. Returns (groupCol, n_tokens, kl). */
   def tokenDivergence(df: DataFrame, groupCol: String,
                       textCol: String): DataFrame = {
-    val toks = graft.ops.Dedup.spread(df, xxhash64(col(textCol)))
+    // no id in this op's contract: all-column hash keeps the spread
+    // deterministic (stage-reusable) without collapsing duplicate texts
+    // whenever any other column (the hidden row id, group) distinguishes
+    val toks = graft.ops.Dedup.spread(df, xxhash64(df.columns.map(col): _*))
       .select(col(groupCol).as("__grp"),
         explode(TextOps.tokens(col(textCol))).as("__term"))
       .filter(col("__term") =!= "")

@@ -47,6 +47,16 @@ class SkewSpec extends AnyFunSuite {
     assert(ids.tail.toSeq == (201L to 400L))
   }
 
+  test("exactByText resolves dotted user column names exactly") {
+    val df = Seq((1L, "same text", "a"), (2L, "same text", "b"))
+      .toDF("doc.id", "text", "tag.x")
+    val got = Dedup.exactByText(df, "text", "doc.id")
+    assert(got.columns.toSeq == Seq("doc.id", "text", "tag.x"))
+    val rows = got.collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 1L
+      && rows.head.getString(2) == "a")
+  }
+
   test("dedupChunks: repeated chunks keep-first via min-aggregate, no chunk window") {
     val got = Dedup.dedupChunks(docs, "doc_id", "text", chunkTokens = 4)
     assert(windowKeys(got).isEmpty, "no window may partition on the chunk")
@@ -128,13 +138,18 @@ class SkewSpec extends AnyFunSuite {
     assert(!planned(df, "lazyToRdd"), "spread must not materialize the RDD lineage")
   }
 
-  test("spread fans small inputs out, leaves estimated-large inputs untouched") {
+  test("spread fans small inputs out, leaves estimated-huge inputs untouched") {
     // ~2.5k-row estimate at 4 test cores → target 2, repartitioned
     val small = (1 to 2500).map(i => (i.toLong, s"t$i")).toDF("id", "text").coalesce(1)
     assert(Dedup.spread(small, col("id")).rdd.getNumPartitions > 1)
-    // estimate at/above 1k rows × cores → returned AS-IS (reference-equal:
-    // no repartition of a corpus-sized input, which pre-splits at the scan)
-    val large = (1 to 50000).map(i => (i.toLong, s"t$i")).toDF("id", "text")
-    assert(Dedup.spread(large, col("id")) eq large)
+    // a MEDIUM single-partition input (row estimate ≥ 1k × cores but well
+    // under the byte budget) is exactly the unsplittable-single-row-group
+    // case the byte gate exists for: it must still fan out
+    val medium = (1 to 50000).map(i => (i.toLong, s"t$i")).toDF("id", "text").coalesce(1)
+    assert(Dedup.spread(medium, col("id")).rdd.getNumPartitions > 1)
+    // byte estimate past the ~2 GiB budget → returned AS-IS (reference-
+    // equal: never reshuffle a corpus-sized input, which arrives pre-split)
+    val huge = spark.range(1000000000L).toDF("id") // ~8 GB plan estimate
+    assert(Dedup.spread(huge, col("id")) eq huge)
   }
 }
