@@ -154,6 +154,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("map-only text ops (line quality, PII, chunking) run unchanged on a stream") {
+    // the stateless curation stages are plain projections, so the SAME
+    // operator code composes with readStream — no batch/stream fork
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val cleaned = graft.ops.TextOps.filterLines(
+      graft.ops.TextOps.redactPii(
+        input.toDF().toDF("id", "text"), "text"),
+      "redacted", minWords = 2)
+    val query = cleaned.writeStream.format("memory").queryName("stream_clean")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (1L, "Contact bob@example.com for details.\nok\nA second good line here."),
+        (2L, "no terminal punctuation on this line"))
+      query.processAllAvailable()
+      val rows = spark.table("stream_clean").orderBy("id").collect()
+      assert(rows.length == 2)
+      val d1 = rows.head
+      assert(d1.getAs[Int]("n_emails") == 1)
+      assert(d1.getAs[String]("clean_text") ==
+        "Contact <EMAIL> for details.\nA second good line here.")
+      assert(rows(1).getAs[Long]("n_kept") == 0L)
+    } finally query.stop()
+  }
+
   test("batch sessionization matches the streaming operator's semantics") {
     import spark.implicits._
     val events = Seq(
