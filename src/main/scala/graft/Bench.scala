@@ -75,30 +75,31 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
     // comma-decimal locale would emit invalid JSON
-    def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def render(key: String => String): String = {
+    def fmt(pattern: String)(v: Double): String =
+      String.format(java.util.Locale.ROOT, pattern, Double.box(v))
+    def render(key: String => String, f: Double => String): String = {
       val qs = results.toSeq.sortBy(_._1)
-        .map { case (k, v) => "\"" + key(k) + "\":" + fmt(v) }
+        .map { case (k, v) => "\"" + key(k) + "\":" + f(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
     val prefix: String => String =
       n => n.indexOf('_') match { case -1 => n; case i => n.substring(0, i) }
-    // collision fallback keeps keys SHORT: colliding prefixes fall back to
-    // their full names individually, not the whole map (a wholesale
+    // collision fallback keeps keys SHORT: only the colliding prefixes
+    // fall back to their full names, not the whole map (a wholesale
     // full-name render would overflow the window again)
     val collided = results.keys.groupBy(prefix).collect {
       case (_, ks) if ks.size > 1 => ks
     }.flatten.toSet
     val short: String => String = n => if (collided(n)) n else prefix(n)
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      render(identity).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val line = render(short)
+      render(identity, fmt("%.3f")).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // belt-and-braces length guard (the ~1927-char harness tail budget):
-    // shorten precision before ever printing an over-long line
-    println(if (line.length <= 1900) line
-      else line.replaceAll("(\\d)\\.(\\d\\d)\\d", "$1.$2"))
+    // re-render at 2-decimal (properly ROUNDED, not digit-truncated)
+    // before an over-long line can reach the collector — unreachable for
+    // short keys below ~150 queries, load-bearing if prefixes collide
+    val line3 = render(short, fmt("%.3f"))
+    println(if (line3.length <= 1900) line3 else render(short, fmt("%.2f")))
     spark.stop()
   }
 }

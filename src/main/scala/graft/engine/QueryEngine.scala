@@ -389,10 +389,13 @@ object QueryEngine {
           val withOrd =
             if (hasColumn(df, RowId)) df.withColumn("__ord__", df(RowId))
             else df.withColumn("__ord__", monotonically_increasing_id())
-          // getField (not a dotted path) so arbitrary user column names
-          // from CSV headers resolve exactly
-          val payload = struct(df.columns.map(c => withOrd(c).as(c)): _*)
-          withOrd.groupBy(subset.map(withOrd(_)): _*)
+          // exact-quoted refs + getField so arbitrary user column names
+          // from CSV headers (dots included) resolve exactly — unlike the
+          // window form, the payload references EVERY column, not just
+          // the subset
+          val payload = struct(df.columns.map(c =>
+            graft.ops.Dedup.exactCol(c).as(c)): _*)
+          withOrd.groupBy(subset.map(graft.ops.Dedup.exactCol): _*)
             .agg(min_by(payload, col("__ord__")).as("__keep__"))
             .select(df.columns.toSeq.map(c =>
               col("__keep__").getField(c).as(c)): _*)

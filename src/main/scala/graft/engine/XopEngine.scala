@@ -901,7 +901,9 @@ object XopEngine {
           import org.apache.spark.sql.types._
           d.schema(c).dataType match {
             case ByteType | ShortType | IntegerType | LongType | TimestampType => ()
-            case dt: DecimalType if dt.scale == 0 => () // exact integral decimal
+            // exact integral decimal that always FITS a long (precision
+            // past 18 digits could overflow the ANSI cast per-row)
+            case dt: DecimalType if dt.scale == 0 && dt.precision <= 18 => ()
             case _ => Errors.malformed(
               s"xop '$name': time column must be an integral or timestamp type " +
                 "(floor fractional-second columns explicitly before joining)", c)

@@ -72,7 +72,16 @@ object Dedup {
     * has neither escape: it does NO partial combine, and AQE's skew
     * handling covers JOINS only — it cannot split a skewed window
     * partition. `agg` must be pre-aliased; predicates on its output
-    * columns push below the join into the aggregate side. */
+    * columns push below the join into the aggregate side.
+    *
+    * Cost honesty: the two branches share whatever exchange sits below
+    * them (the spread repartition at small scale, a postings exchange in
+    * the search ops), and AQE stage reuse then runs the occurrence
+    * subtree once. Past the spread byte budget there may be NO shared
+    * exchange, and the scan + tokenize subtree executes once per branch
+    * — two parallel, skew-free map scans, which at corpus scale is still
+    * the right trade against the window form's guaranteed single-task
+    * funnel on every hot key. */
   private[graft] def withKeyAgg(occ: DataFrame, key: String, agg: Column): DataFrame =
     occ.join(occ.groupBy(col(key)).agg(agg), Seq(key))
 
@@ -102,9 +111,30 @@ object Dedup {
 
   /** Column reference that resolves `name` EXACTLY — backtick-quoted so
     * dots in CSV-derived names never parse as struct paths (embedded
-    * backticks escape as ``). */
-  private def exactCol(name: String): Column =
+    * backticks escape as ``). Both `functions.col` and `Dataset.apply`
+    * split unquoted dots. */
+  private[graft] def exactCol(name: String): Column =
     col("`" + name.replace("`", "``") + "`")
+
+  /** Deterministic spread key for operators whose contract has no id
+    * column: xxhash64 over every ATOMIC column (exact-quoted names, so
+    * dotted CSV headers resolve; map-typed and nested columns are
+    * skipped — xxhash64 rejects MapType). The server surface always
+    * carries the hidden row-order column, so rows stay distinct even on
+    * boilerplate-heavy corpora; `fallback` (the operator's text column)
+    * covers the no-atomic-columns edge. */
+  private[graft] def spreadKey(df: DataFrame, fallback: String): Column = {
+    import org.apache.spark.sql.types._
+    val atomic = df.schema.fields.collect {
+      case f if (f.dataType match {
+        case _: NumericType | StringType | BooleanType | BinaryType |
+             DateType | TimestampType | TimestampNTZType => true
+        case _ => false
+      }) => exactCol(f.name)
+    }
+    if (atomic.nonEmpty) xxhash64(atomic.toSeq: _*)
+    else xxhash64(exactCol(fallback))
+  }
 
   /** Word n-gram shingles of the normalized text (n tokens per shingle). */
   def shingles(c: Column, n: Int): Column = {

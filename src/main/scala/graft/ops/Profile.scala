@@ -92,10 +92,10 @@ object Profile {
     * sum. Returns (groupCol, n_tokens, kl). */
   def tokenDivergence(df: DataFrame, groupCol: String,
                       textCol: String): DataFrame = {
-    // no id in this op's contract: all-column hash keeps the spread
-    // deterministic (stage-reusable) without collapsing duplicate texts
-    // whenever any other column (the hidden row id, group) distinguishes
-    val toks = graft.ops.Dedup.spread(df, xxhash64(df.columns.map(col): _*))
+    // no id in this op's contract: the all-atomic-column hash keeps the
+    // spread deterministic (stage-reusable) without collapsing duplicate
+    // texts whenever any other column (hidden row id, group) distinguishes
+    val toks = graft.ops.Dedup.spread(df, graft.ops.Dedup.spreadKey(df, textCol))
       .select(col(groupCol).as("__grp"),
         explode(TextOps.tokens(col(textCol))).as("__term"))
       .filter(col("__term") =!= "")

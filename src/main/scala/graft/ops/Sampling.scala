@@ -144,7 +144,10 @@ object Sampling {
     * definition). The quality-weighted corpus draw: w = a quality score
     * or a length.
     *
-    * Rows with null or non-positive weight are never selected. Plans as
+    * Rows with null, NaN or non-positive weight are never selected (NaN
+    * needs its own guard: Spark ORDERS NaN above every double, so it
+    * passes a bare `> 0` filter and u^(1/NaN) = NaN would then sort
+    * ahead of every real key). Plans as
     * TakeOrderedAndProject (per-partition partial top-k — only k rows
     * per partition reach the driver; the corpus never sorts globally).
     * The rank key rounds to 9 decimals with an id tie-break so libm pow
@@ -155,7 +158,7 @@ object Sampling {
     val u = (orderHash(col(idCol)) + lit(1L)).cast("double") /
       lit((P + 1).toDouble)
     val w = col(weightCol).cast("double")
-    df.filter(w > 0)
+    df.filter(w > 0 && !isnan(w))
       .withColumn("__wk", Rounding.halfUp(pow(u, lit(1.0) / w), 9))
       .orderBy(col("__wk").desc, col(idCol))
       .limit(k)

@@ -327,12 +327,11 @@ object TextOps {
     require(k > 0, "k must be positive")
     require(maxDocTokens >= 2 && maxDocTokens <= 16384,
       "maxDocTokens must be in [2, 16384]")
-    // no id column in this op's contract: spread on a hash of ALL input
-    // columns (the server surface always carries the hidden row-order
-    // column, so rows stay distinct even on boilerplate-heavy corpora;
-    // a literally-duplicate-row text-only frame is the residual case)
+    // no id column in this op's contract: spread on the all-atomic-column
+    // hash (dot-safe, map-safe; the server's hidden row-order column
+    // keeps rows distinct even on boilerplate-heavy corpora)
     val base = graft.ops.Dedup.spread(df,
-      xxhash64(df.columns.map(col): _*)).select(
+      graft.ops.Dedup.spreadKey(df, textCol)).select(
       slice(filter(array_sort(array_distinct(tokens(col(textCol)))),
         t => t =!= ""), 1, maxDocTokens).as("__ts"))
     val nDocs = base.agg(count(lit(1)).as("__n"))

@@ -68,6 +68,16 @@ class EngineProjectSpec extends AnyFunSuite {
     assert(rows(runQ(basicFrame, """{"distinct": ["qux"]}""").df) == Seq("bbb", "ccc"))
   }
 
+  test("distinct subset survives dotted payload column names") {
+    // the min_by payload references EVERY column; dotted CSV headers must
+    // resolve as exact names, not struct paths
+    val f = Ingest.fromCsv(spark,
+      "a,meta.url\n1,u1\n1,u2\n2,u3\n")
+    val out = QueryEngine.run(f, """{"distinct": ["a"]}""").df.collect()
+    assert(out.map(r => (r.getAs[Number]("a").longValue,
+      r.getAs[String]("meta.url"))).toSeq == Seq((1L, "u1"), (2L, "u3")))
+  }
+
   // --- aggregation (test_qframe.py:307-363) ---
   test("basic sum aggregation") {
     val f = runQ(basicFrame,

@@ -987,6 +987,16 @@ class OpsSpec extends AnyFunSuite {
     assert(m(("a", "c")) == ((2L, -0.2877)))
   }
 
+  test("pmiCollocations and tokenDivergence tolerate dotted and map-typed bystander columns") {
+    // the spread key must skip non-hashable columns and exact-quote names
+    val docs = Seq(
+      ("web", "a b x", Map("k" -> "v"), 1L), ("web", "a b y", Map("k" -> "v"), 2L),
+      ("book", "c d x", Map("k" -> "v"), 3L), ("book", "c d y", Map("k" -> "v"), 4L))
+      .toDF("src", "text", "props", "row.id")
+    assert(TextOps.pmiCollocations(docs, "text", k = 5).collect().nonEmpty)
+    assert(Profile.tokenDivergence(docs, "src", "text").count() == 2)
+  }
+
   test("pmiCollocations caps degenerate documents instead of failing") {
     // one 50k-distinct-token doc: uncapped O(d²) expansion would emit
     // 1.25 billion pairs from this single row (and the kernel hard-fails
@@ -1033,12 +1043,15 @@ class OpsSpec extends AnyFunSuite {
     val again = Sampling.weightedByHash(df.repartition(7), "id", "w", k = 100)
     assert(got.select("id").collect().map(_.getLong(0)).toSet ==
       again.select("id").collect().map(_.getLong(0)).toSet)
-    // null / non-positive weights never selected
-    val withBad = df.unionByName(Seq((2000L, 0.0), (2001L, -5.0)).toDF("id", "w"))
+    // null / non-positive / NaN weights never selected (NaN orders above
+    // every double in Spark, so it would pass a bare > 0 filter AND its
+    // NaN rank key would sort ahead of every real row)
+    val withBad = df.unionByName(
+        Seq((2000L, 0.0), (2001L, -5.0), (2003L, Double.NaN)).toDF("id", "w"))
       .unionByName(Seq(Tuple1(2002L)).toDF("id").withColumn("w", lit(null).cast("double")))
     val ids = Sampling.weightedByHash(withBad, "id", "w", k = 2000)
       .select("id").collect().map(_.getLong(0)).toSet
-    assert(!ids(2000L) && !ids(2001L) && !ids(2002L) && ids.size == 1000)
+    assert(!ids(2000L) && !ids(2001L) && !ids(2002L) && !ids(2003L) && ids.size == 1000)
     // partial top-k plan: TakeOrdered, no global sort
     assert(got.queryExecution.executedPlan.toString.contains("TakeOrdered"))
   }
