@@ -404,10 +404,29 @@ object SparkEntry {
       graft.ops.Profile.profile(t(s, dir, "documents")).orderBy("column")),
 
     // as-of join: each error event picks the latest click at-or-before
-    // it by the same user — union + one key shuffle + running window
+    // it by the same user — union + segmented carry (window within
+    // (key, time-granule) + bounded per-granule boundary aggregate)
     // (Joins.asOfJoin); the oracle is DuckDB's native ASOF LEFT JOIN
     "x31_asof" -> ((s, dir) => {
       val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("click_value"))
+      graft.ops.Joins.asOfJoin(errors, clicks, "user_id", "ts", Seq("click_value"))
+        .select("event_id", "user_id", "value", "click_value")
+        .orderBy("event_id")
+    }),
+
+    // hot-key as-of stress (the AAPL problem): ~80% of all events
+    // collapse onto ONE user, then the same as-of join — the bench
+    // witness for the segmented-carry rewrite (the hot key's timeline
+    // spreads over time granules instead of funneling its entire merged
+    // history into a single window task; regressions here mean the
+    // per-key full-history carry came back)
+    "x31b_asof_hot" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("user_id",
+        when(col("user_id") % 5 =!= 0, lit(0L)).otherwise(col("user_id")))
       val errors = ev.filter(col("event_type") === "error")
         .select("event_id", "user_id", "ts", "value")
       val clicks = ev.filter(col("event_type") === "click")
@@ -974,6 +993,20 @@ object SparkEntry {
                WHERE event_type = 'error') e
          ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS click_value
                          FROM events WHERE event_type = 'click'
+                         GROUP BY 1, 2) c
+           ON e.user_id = c.user_id AND e.ts >= c.ts
+         ORDER BY e.event_id""",
+    "x31b_asof_hot" ->
+      """WITH ev AS (
+           SELECT event_id,
+                  CASE WHEN user_id % 5 <> 0 THEN 0 ELSE user_id END AS user_id,
+                  ts, event_type, value
+           FROM events)
+         SELECT e.event_id, e.user_id, e.value, c.click_value
+         FROM (SELECT event_id, user_id, ts, value FROM ev
+               WHERE event_type = 'error') e
+         ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS click_value
+                         FROM ev WHERE event_type = 'click'
                          GROUP BY 1, 2) c
            ON e.user_id = c.user_id AND e.ts >= c.ts
          ORDER BY e.event_id""",

@@ -599,7 +599,7 @@ object XopEngine {
       // as-of join: latest right row at or before each left row's time,
       // per key; the right side is another stored dataset
       case "asof" =>
-        knownArgs("right", "key", "time", "payload")
+        knownArgs("right", "key", "time", "payload", "granule")
         val rightDf = dataset("right")
         val key = column(df, args, "key", name)
         val time = column(df, args, "time", name)
@@ -618,7 +618,17 @@ object XopEngine {
         }
         for (c <- payload if !ExprCompiler.hasColumn(rightDf, c))
           Errors.malformed(s"xop '$name': right dataset has no column", c)
-        graft.ops.Joins.asOfJoin(df.drop(RowId), rightDf.drop(RowId), key, time, payload)
+        // optional: a segment width in the time column's own units; when
+        // absent the operator auto-derives one (~4096 segments over the
+        // observed span) with a min/max pre-pass
+        val asofGranule = args.get("granule").map { _ =>
+          val w = intArg(args, "granule", 0, name)
+          if (w <= 0)
+            Errors.malformed(s"xop '$name': 'granule' must be a positive integer")
+          w
+        }
+        graft.ops.Joins.asOfJoin(df.drop(RowId), rightDf.drop(RowId), key, time,
+          payload, asofGranule)
 
       // incremental exact dedup: drop rows whose content fingerprint
       // already exists in a stored corpus dataset

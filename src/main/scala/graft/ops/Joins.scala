@@ -123,26 +123,56 @@ object Joins {
     * which is the correctness oracle). Left rows with no earlier right
     * row keep null payloads (LEFT semantics).
     *
-    * Shape at scale: a naive range join explodes to O(left × right) per
-    * key, and a per-left-row probe is a driver-side loop. Instead both
-    * sides UNION into one relation tagged by side, ONE hash shuffle on
-    * the key co-locates each key's timeline, an in-partition sort by
-    * (time, side) interleaves rights before lefts on timestamp ties
-    * (<= semantics), and one running `last(payload, ignoreNulls)` window
-    * carries each right payload forward to the left rows that follow it.
-    * O(n log n) per partition, no row explosion, and the window is
-    * streaming-friendly (rowsBetween unboundedPreceding..current plans
-    * as a RunningWindowFunction — no full-partition buffering).
+    * Shape at scale — SEGMENTED carry: a naive range join explodes to
+    * O(left × right) per key, and a single per-key running window (the
+    * previous shape here) funnels a hot key's ENTIRE merged history into
+    * one task — window aggregation has no map-side partial combine and
+    * AQE cannot split a skewed window partition. Instead the carry is
+    * computed in two bounded levels, the same granule trick `rangeJoin`
+    * uses applied to carry semantics:
+    *
+    *   1. both sides UNION into one relation tagged by side, each row
+    *      bucketed to a time granule `g = floor(t / granule)`;
+    *   2. LOCAL carry: running `last(payload, ignoreNulls)` within
+    *      (key, granule) ordered by (time, side) — the hot key's history
+    *      now spreads over its granules, each an independent task
+    *      (RunningWindowFunction — no full-partition buffering);
+    *   3. BOUNDARY: one aggregate row per (key, granule) — the granule's
+    *      closing carry, i.e. the local carry of its last row (max_by).
+    *      This consumes the SAME (key, granule) exchange the local
+    *      window sorted, so no second source scan;
+    *   4. CROSS-granule carry-in: `last(boundary, ignoreNulls)` over
+    *      strictly-preceding granules, per key. This window IS per-key,
+    *      but over the granule-level relation — bounded at one row per
+    *      key × granule regardless of how many events the key holds;
+    *   5. join the carry-in back on (key, granule) — a tiny relation,
+    *      AQE broadcasts it — and `coalesce(local, carryIn)`.
+    *
+    * `granule` is a width in the time column's own integral units (epoch
+    * seconds for timestamps, days for dates, the raw value for numerics
+    * — nanos here if the source stores nanos). Any value is CORRECT;
+    * only task granularity varies. When absent it is auto-derived from
+    * one column-pruned min/max pass over both sides, targeting ~4096
+    * segments across the observed span (an eager job at plan-build time
+    * — pass an explicit granule near the typical query horizon to skip
+    * it). Time types with no integral order embedding (strings,
+    * wide decimals) fall back to the single-window carry, which is
+    * correct but funnels each key into one task — as-of semantics are
+    * inherently temporal, so this path is for small orderable oddities.
     *
     * Right-side (key, time) pairs should be unique (pre-aggregate if
     * not); among exact duplicates the carried payload is the sort-order
-    * last, which no engine defines better.
+    * last, which no engine defines better. Null keys join each other
+    * (they form one timeline, matching the window shape's semantics);
+    * null times sort first, so null-time rights carry into everything.
     *
     * Returns every left column plus `payloadCols` from the right.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
-               timeCol: String, payloadCols: Seq[String]): DataFrame = {
+               timeCol: String, payloadCols: Seq[String],
+               granule: Option[Long] = None): DataFrame = {
     require(payloadCols.nonEmpty, "asOfJoin needs at least one payload column")
+    granule.foreach(w => require(w > 0, "asOfJoin granule must be positive"))
     val leftRow = struct(left.columns.map(left(_)): _*)
     val payload = struct(payloadCols.map(right(_)): _*)
     val leftRowType = left.select(leftRow).schema.head.dataType
@@ -156,15 +186,79 @@ object Joins {
     val r = right.select(right(keyCol).as("__k"), right(timeCol).as("__t"),
       lit(0).as("__side"), lit(null).cast(leftRowType).as("__row"),
       payload.as("__p"))
+    val u = l.unionByName(r)
 
-    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = l.unionByName(r)
-      .withColumn("__carried", last(col("__p"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+    // A monotone embedding of the (coerced) time type into long, for
+    // bucketing only — within-bucket order still uses the real time, so
+    // lossy maps (timestamp → epoch seconds, double truncation, which
+    // saturates at Long.Min/Max) are fine: monotone is all a bucket
+    // boundary needs. No embedding → unsegmented fallback.
+    import org.apache.spark.sql.types._
+    val toLong: Option[Column => Column] = u.schema("__t").dataType match {
+      case ByteType | ShortType | IntegerType | LongType => Some(_.cast("long"))
+      case TimestampType | TimestampNTZType               => Some(_.cast("long"))
+      case DateType                  => Some(c => unix_date(c).cast("long"))
+      case FloatType | DoubleType    => Some(_.cast("long"))
+      case _                         => None
+    }
 
     val leftCols: Seq[Column] = left.columns.toSeq.map(c => col(s"__row.$c").as(c))
     val payloadOut: Seq[Column] = payloadCols.map(c => col(s"__carried.$c").as(c))
-    carried.select(leftCols ++ payloadOut: _*)
+
+    toLong match {
+      case None =>
+        val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        u.withColumn("__carried", last(col("__p"), ignoreNulls = true).over(w))
+          .filter(col("__side") === 1)
+          .select(leftCols ++ payloadOut: _*)
+
+      case Some(fn) =>
+        val width = granule.getOrElse(autoGranule(u, fn))
+        // exact integer floor(t / width) — same arithmetic as rangeJoin's
+        // bucket: subtracting the non-negative pmod makes the numerator an
+        // exact multiple, so truncating division equals floor even for
+        // negative epochs (a double division of ns-scale longs would
+        // round across bucket boundaries)
+        val tl = fn(col("__t"))
+        val g = ((tl - pmod(tl, lit(width))).cast("decimal(38,0)") / lit(width))
+          .cast("long")
+        val ub = u.withColumn("__g", g)
+        val wLocal = Window.partitionBy(col("__k"), col("__g"))
+          .orderBy(col("__t"), col("__side"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val local = ub.withColumn("__local",
+          last(col("__p"), ignoreNulls = true).over(wLocal))
+        // the granule's closing carry: __local is a running last-non-null,
+        // so the (time, side)-max row's value is the last right payload the
+        // granule saw (null if it saw none). Aggregating the window output
+        // (already hash(key, granule)-partitioned) needs no new exchange.
+        val boundary = local.groupBy(col("__k"), col("__g"))
+          .agg(max_by(col("__local"), struct(col("__t"), col("__side"))).as("__bp"))
+        val wCarry = Window.partitionBy(col("__k")).orderBy(col("__g"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carry = boundary
+          .withColumn("__cin", last(col("__bp"), ignoreNulls = true).over(wCarry))
+          .select(col("__k").as("__ck"), col("__g").as("__cg"), col("__cin"))
+        local.join(carry, col("__k") <=> col("__ck") && col("__g") <=> col("__cg"),
+            "left")
+          .filter(col("__side") === 1)
+          .withColumn("__carried", coalesce(col("__local"), col("__cin")))
+          .select(leftCols ++ payloadOut: _*)
+    }
+  }
+
+  /** Granule width targeting ~4096 segments over the observed time span —
+    * one eager column-pruned min/max job over the tagged union. BigInt
+    * keeps the span subtraction exact when double times saturated the
+    * long embedding at its extremes. */
+  private def autoGranule(u: DataFrame, toLong: Column => Column): Long = {
+    val row = u.agg(min(toLong(col("__t"))).as("lo"),
+      max(toLong(col("__t"))).as("hi")).head()
+    if (row.isNullAt(0)) 1L
+    else {
+      val span = BigInt(row.getLong(1)) - BigInt(row.getLong(0))
+      (span / 4096 + 1).min(BigInt(Long.MaxValue)).toLong.max(1L)
+    }
   }
 }

@@ -118,6 +118,54 @@ class SkewSpec extends AnyFunSuite {
     assert(byQ(101L).map(_.getLong(1)).toSet == Set(300L)) // unique terms hit their doc
   }
 
+  test("asOfJoin: hot key's history is segmented — no per-key window over raw events") {
+    // one key holds 50% of all events (the AAPL problem): 200 left rows
+    // and 200 right rows on key 1, plus 200 keys with one row each side
+    val left = ((1 to 200).map(i => (1L, i.toLong * 10, s"h$i")) ++
+      (2 to 201).map(i => (i.toLong, i.toLong * 10, s"u$i"))).toDF("k", "t", "tag")
+    val right = ((1 to 200).map(i => (1L, i.toLong * 10 - 5, i.toDouble)) ++
+      (2 to 201).map(i => (i.toLong, i.toLong * 10 - 5, -i.toDouble)))
+      .toDF("k", "t", "v")
+    val got = Joins.asOfJoin(left, right, "k", "t", Seq("v"))
+
+    // plan shape: the window over the raw event union must partition on
+    // (key, granule); a bare-key partition spec is only legal above an
+    // Aggregate (the bounded one-row-per-key×granule boundary relation)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LW}
+    val windows = got.queryExecution.optimizedPlan.collect { case w: LW => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val keys = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      if (keys.size <= 1)
+        assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+          s"a window partitioned only on $keys must sit above the bounded " +
+            "per-(key,granule) boundary aggregate, not the raw event union")
+    }
+
+    // exact semantics vs a brute-force as-of
+    val rows = got.collect().map(r => (r.getLong(0), r.getLong(1),
+      Option(r.get(r.fieldIndex("v"))).map(_.asInstanceOf[Double]))).toSet
+    val rightRows = ((1 to 200).map(i => (1L, i.toLong * 10 - 5, i.toDouble)) ++
+      (2 to 201).map(i => (i.toLong, i.toLong * 10 - 5, -i.toDouble)))
+    val expected = (((1 to 200).map(i => (1L, i.toLong * 10)) ++
+      (2 to 201).map(i => (i.toLong, i.toLong * 10))): Seq[(Long, Long)]).map {
+      case (k, t) =>
+        val m = rightRows.filter(rr => rr._1 == k && rr._2 <= t)
+        (k, t, if (m.isEmpty) None else Some(m.maxBy(_._2)._3))
+    }.toSet
+    assert(rows == expected)
+  }
+
+  test("asOfJoin: an explicit granule buckets ties and boundaries correctly") {
+    // granule 7 with times straddling bucket edges, incl. a tie at t=14
+    // (right sorts before left: <= matches) and a carry ACROSS granules
+    val left = Seq((1L, 6L, "a"), (1L, 14L, "b"), (1L, 30L, "c")).toDF("k", "t", "tag")
+    val right = Seq((1L, 14L, 2.0), (1L, 2L, 1.0)).toDF("k", "t", "v")
+    val out = Joins.asOfJoin(left, right, "k", "t", Seq("v"), granule = Some(7L))
+      .orderBy("t").collect().map(r => (r.getAs[String]("tag"), r.getDouble(3)))
+    assert(out.toSeq == Seq(("a", 1.0), ("b", 2.0), ("c", 2.0)))
+  }
+
   /** spread() must size its decision from plan statistics alone — probing
     * df.rdd (the previous form) forces full physical planning once per
     * spread per query on the driver. The LazyTry slots of QueryExecution
