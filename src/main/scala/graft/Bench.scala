@@ -13,6 +13,31 @@ import org.apache.spark.sql.SparkSession
   * absorbs first-job codegen/JIT cost.
   */
 object Bench {
+
+  /** Host-contamination evidence, stamped into the JSON so a dirty run is
+    * self-identifying: this suite reads ~20% high across the board when
+    * another Spark JVM (e.g. the HTTP server) is live on the host
+    * (BENCH_NOTES round-8 postmortem — the committed r8 artifact was such
+    * a run and mis-read a -8.6% round as +19%). `competingJvms` counts
+    * java processes that are neither this process nor an ancestor (the
+    * sbt launcher chain); `load1` is the 1-minute load average, which at
+    * end-of-run covers the timed window. */
+  private def competingJvms(): Int = {
+    import scala.jdk.CollectionConverters._
+    val ancestors = Iterator.iterate(Option(ProcessHandle.current())) {
+      _.flatMap(p => if (p.parent().isPresent) Some(p.parent().get) else None)
+    }.takeWhile(_.isDefined).flatten.map(_.pid()).toSet
+    ProcessHandle.allProcesses().iterator().asScala.count { p =>
+      val cmd = p.info().command()
+      !ancestors(p.pid()) && cmd.isPresent &&
+        (cmd.get.endsWith("/java") || cmd.get == "java")
+    }
+  }
+
+  private def load1(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -30,6 +55,7 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val jvmsAtStart = competingJvms()
 
     graft.sources.TableRegistry.warmup(spark, sfDir, Seq("region", "nation",
       "customer", "supplier", "part", "orders", "lineitem", "events",
@@ -67,9 +93,10 @@ object Bench {
     // which sbt's trailing "[success] Total time" line eats 73 — a ~1927-char
     // line budget). The round-6 line overflowed it at 9 decimals, and by 85
     // queries even a 2-decimal full-name map no longer fits. The stdout line
-    // therefore uses the contract's SHORT query keys (the "q1"/"x44" prefix
-    // before the first underscore — unique across the suite, asserted below)
-    // at full 3-decimal precision, which stays under ~1200 chars with >100
+    // therefore uses SHORT query keys (the "q1"/"x44" prefix before the
+    // first underscore; any queries whose prefixes collide fall back to
+    // their full names — see `collided` below) at full 3-decimal
+    // precision, which stays under ~1200 chars with >100
     // queries of headroom; the full-name 3-decimal map is written to
     // BENCH_FULL.json in the repo for the committed record.
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -77,11 +104,16 @@ object Bench {
     // comma-decimal locale would emit invalid JSON
     def fmt(pattern: String)(v: Double): String =
       String.format(java.util.Locale.ROOT, pattern, Double.box(v))
+    // max of start/end: a competing JVM present at either edge of the
+    // run taints it (the server JVM is long-lived, but a bench launched
+    // while one was shutting down still raced it through the warmups)
+    val env = s""""env":{"competing_jvms":${math.max(jvmsAtStart, competingJvms())},""" +
+      s""""load1":${fmt("%.2f")(load1())}}"""
     def render(key: String => String, f: Double => String): String = {
       val qs = results.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + key(k) + "\":" + f(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",$env}"""
     }
     val prefix: String => String =
       n => n.indexOf('_') match { case -1 => n; case i => n.substring(0, i) }

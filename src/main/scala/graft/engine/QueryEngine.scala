@@ -381,9 +381,13 @@ object QueryEngine {
             subset.forall(df.columns.contains)
         if (onlySubsetAndRowId && !floatKey) {
           if (hasColumn(df, RowId)) {
-            val agg = df.groupBy(subset.map(df(_)): _*)
+            // exact-quoted refs, same as the min_by branch below: CSV
+            // headers can contain dots, and df(_)/col(_) would parse
+            // them as struct-field paths
+            val agg = df.groupBy(subset.map(graft.ops.Dedup.exactCol): _*)
               .agg(min(df(RowId)).as(RowId))
-            agg.select(df.columns.toSeq.map(col): _*) // original column order
+            // original column order
+            agg.select(df.columns.toSeq.map(graft.ops.Dedup.exactCol): _*)
           } else df.distinct()
         } else {
           val withOrd =

@@ -29,9 +29,11 @@ object Dedup {
     * time at small scale — without adding useful concurrency. Stats-ONLY:
     * no partition-count probe (`df.rdd` would force full physical
     * planning on the driver once per spread per query). The stats can't
-    * reveal the CURRENT partition count, so the gate is a byte budget:
-    * any input whose estimated size is under ~2 GiB is repartitioned
-    * unconditionally — that shuffle costs seconds at worst and covers
+    * reveal the CURRENT partition count, so the gate is a byte budget
+    * plus a file-count check on the scan leaves: a sub-2-GiB input is
+    * repartitioned unless its scan already lists >= target files (a
+    * many-file scan arrives pre-split — see `arrivesSplit` in the
+    * body) — that shuffle costs seconds at worst and covers
     * the pathological single-row-group file (unsplittable below row-group
     * granularity no matter what maxPartitionBytes says, and row groups
     * never reach 2 GiB in practice) — while a larger corpus is left
@@ -54,8 +56,28 @@ object Dedup {
     val dp = df.sparkSession.sparkContext.defaultParallelism
     val target = math.min(dp.toLong,
       math.max(1L, Similarity.approxRows(df) / 1000L)).toInt
+    // A many-file scan already arrives spread without any exchange:
+    // FilePartition's split sizing caps maxSplitBytes at bytesPerCore,
+    // and every file pays at least openCostInBytes of padding, so
+    // >= target files yield >= ~target arrival splits whatever the
+    // file sizes. Only file-backed leaves count — in-memory relations
+    // (LocalRelation, cached test fixtures) arrive in arbitrary few
+    // partitions and still need the fan-out. Reads the FileIndex's
+    // already-materialized listing; no physical planning.
+    def arrivesSplit: Boolean = {
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val leaves = plan.collectLeaves()
+      leaves.nonEmpty && leaves.forall {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation => fs.location.inputFiles.length >= target
+          case _ => false
+        }
+        case _ => false
+      }
+    }
     // unknown sizes report huge (Long.MaxValue-ish) → treated as big → no-op
-    if (target > 1 && plan.stats.sizeInBytes < BigInt(SpreadMaxBytes))
+    if (target > 1 && plan.stats.sizeInBytes < BigInt(SpreadMaxBytes)
+        && !arrivesSplit)
       df.repartition(target, key)
     else df
   }
@@ -81,7 +103,14 @@ object Dedup {
     * exchange, and the scan + tokenize subtree executes once per branch
     * — two parallel, skew-free map scans, which at corpus scale is still
     * the right trade against the window form's guaranteed single-task
-    * funnel on every hot key. */
+    * funnel on every hot key.
+    *
+    * PRECONDITION: `key` must be non-null on every row. The inner
+    * equi-join drops null-key rows, where the window form it replaces
+    * keeps them (nulls form one window partition). Every current caller
+    * constructs the key by exploding grams/chunks/terms out of
+    * non-null text, which cannot produce nulls; a caller with a
+    * nullable key must filter or default nulls first. */
   private[graft] def withKeyAgg(occ: DataFrame, key: String, agg: Column): DataFrame =
     occ.join(occ.groupBy(col(key)).agg(agg), Seq(key))
 

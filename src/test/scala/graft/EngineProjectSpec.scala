@@ -78,6 +78,17 @@ class EngineProjectSpec extends AnyFunSuite {
       r.getAs[String]("meta.url"))).toSeq == Seq((1L, "u1"), (2L, "u3")))
   }
 
+  test("distinct [] survives dotted column names (all-columns fast path)") {
+    // the aggregate fast path (no float keys, RowId present) must quote
+    // its grouping keys exactly, same as the min_by branch
+    val f = Ingest.fromCsv(spark,
+      "a,meta.url\n1,u1\n1,u1\n2,u3\n")
+    val out = QueryEngine.run(f, """{"distinct": []}""").df.collect()
+    assert(out.map(r => (r.getAs[Number]("a").longValue,
+      r.getAs[String]("meta.url"))).toSeq.sortBy(_._1) ==
+      Seq((1L, "u1"), (2L, "u3")))
+  }
+
   // --- aggregation (test_qframe.py:307-363) ---
   test("basic sum aggregation") {
     val f = runQ(basicFrame,

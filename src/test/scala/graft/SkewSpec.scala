@@ -118,6 +118,24 @@ class SkewSpec extends AnyFunSuite {
     assert(byQ(101L).map(_.getLong(1)).toSet == Set(300L)) // unique terms hit their doc
   }
 
+  test("dedupLines: hot repeated line collapses via min-aggregate, no line window") {
+    // one boilerplate line holds 50% of all non-blank lines in the
+    // corpus: every doc carries it, docs 1-200 carry ONLY it
+    val hot = "all rights reserved"
+    val lined = (
+      (1 to 200).map(i => (i.toLong, hot)) ++
+        (201 to 400).map(i => (i.toLong, s"unique line $i\n$hot"))
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupLines(lined, "doc_id", "text")
+    assert(windowKeys(got).isEmpty, "no window may partition on the line")
+    val rows = got.collect().map(r =>
+      r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(rows(1L) == ((hot, 1L)))                    // first owner keeps it
+    (2L to 200L).foreach(i => assert(rows(i) == (("", 0L)))) // later dups emptied
+    (201L to 400L).foreach(i =>                        // unique lines survive
+      assert(rows(i) == ((s"unique line $i", 1L))))
+  }
+
   test("asOfJoin: hot key's history is segmented — no per-key window over raw events") {
     // one key holds 50% of all events (the AAPL problem): 200 left rows
     // and 200 right rows on key 1, plus 200 keys with one row each side
