@@ -643,6 +643,26 @@ object SparkEntry {
         .orderBy("asset_id")
     }),
 
+    // real container-header decode: each doc becomes a minimal PNG
+    // header (signature + IHDR) whose width/height derive from doc_id,
+    // built byte-exact with hex/unhex expressions; decodeMeta must
+    // round-trip the big-endian u32 fields back out. The unit suite
+    // additionally pins sniffHeader against REAL ImageIO-encoded
+    // png/gif/jpeg bytes; this oracle checks the parse arithmetic at
+    // corpus scale.
+    "x12b_mm_meta" -> ((s, dir) => {
+      val w = (col("doc_id") % 1024 + 1).cast("int")
+      val h = (col("doc_id") % 768 + 1).cast("int")
+      val assets = t(s, dir, "documents").select(
+        col("doc_id").cast("long").as("asset_id"),
+        lit("image").as("media_type"),
+        unhex(concat(lit("89504E470D0A1A0A0000000D49484452"),
+          lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"))).as("payload"))
+      graft.ops.Multimodal.decodeMeta(assets)
+        .select("asset_id", "format", "width", "height", "payload_bytes")
+        .orderBy("asset_id")
+    }),
+
     // TF-IDF keywords: one (doc, term) shuffle with map-side combine,
     // postings-window document frequency, per-doc WindowGroupLimit top-k
     "x44_tfidf_keywords" -> ((s, dir) =>
@@ -1485,6 +1505,12 @@ object SparkEntry {
       """SELECT doc_id AS asset_id, 'image' AS media_type,
                 octet_length(encode(text)) AS payload_bytes,
                 8 AS n_features
+         FROM documents ORDER BY asset_id""",
+    "x12b_mm_meta" ->
+      """SELECT doc_id AS asset_id, 'png' AS format,
+                CAST(doc_id % 1024 + 1 AS INT) AS width,
+                CAST(doc_id % 768 + 1 AS INT) AS height,
+                CAST(24 AS BIGINT) AS payload_bytes
          FROM documents ORDER BY asset_id""",
     "x30_chunk_dedup" ->
       """WITH tok AS (

@@ -512,6 +512,15 @@ object XopEngine {
         Multimodal.assetsFromText(df, column(df, args, "id", name),
           column(df, args, "column", name))
 
+      // real header decode over asset payloads: PNG/GIF/JPEG format +
+      // pixel dimensions from the published header layouts
+      case "mm_meta" =>
+        knownArgs()
+        for (c <- Seq("asset_id", "media_type", "payload")
+             if !ExprCompiler.hasColumn(df, c))
+          Errors.malformed(s"xop '$name': frame has no '$c' column")
+        Multimodal.decodeMeta(df)
+
       // strided chunk sampling over asset payloads (frame-sampling shape)
       case "mm_chunks" =>
         knownArgs("chunk_size", "stride")

@@ -424,6 +424,48 @@ class OpsSpec extends AnyFunSuite {
     assert(f1 == f1b)
   }
 
+  test("sniffHeader decodes real ImageIO-encoded png/gif/jpeg bytes") {
+    System.setProperty("java.awt.headless", "true")
+    def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(java.awt.Color.ORANGE); g.fillRect(0, 0, w, h); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    assert(Multimodal.sniffHeader(encode("png", 37, 21)) == Some(("png", 37, 21)))
+    assert(Multimodal.sniffHeader(encode("gif", 64, 48)) == Some(("gif", 64, 48)))
+    assert(Multimodal.sniffHeader(encode("jpg", 130, 257)) == Some(("jpeg", 130, 257)))
+    // non-image payloads and truncated headers come back None, not a throw
+    assert(Multimodal.sniffHeader(null).isEmpty)
+    assert(Multimodal.sniffHeader("just some text".getBytes).isEmpty)
+    assert(Multimodal.sniffHeader(encode("png", 9, 9).take(20)).isEmpty)
+    assert(Multimodal.sniffHeader(encode("jpg", 9, 9).take(6)).isEmpty)
+    assert(Multimodal.sniffHeader(Array[Byte](0xff.toByte, 0xd8.toByte, 0, 0)).isEmpty)
+  }
+
+  test("decodeMeta maps real headers and keeps unknowns null") {
+    System.setProperty("java.awt.headless", "true")
+    val img = new java.awt.image.BufferedImage(
+      12, 34, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val pngBytes = bos.toByteArray
+    val assets = Seq(
+      (1L, "image", pngBytes),
+      (2L, "image", "not an image".getBytes)
+    ).toDF("asset_id", "media_type", "payload")
+    val rows = Multimodal.decodeMeta(assets).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getString(2) == "png" && rows(1L).getInt(3) == 12
+      && rows(1L).getInt(4) == 34
+      && rows(1L).getLong(5) == pngBytes.length.toLong)
+    assert(rows(2L).getString(2) == "unknown" && rows(2L).isNullAt(3)
+      && rows(2L).isNullAt(4) && rows(2L).getLong(5) == 12L)
+  }
+
   test("sampleChunks produces bounded chunk index and sizes") {
     val assets = Multimodal.assetsFromText(
       docs.withColumnRenamed("doc_id", "id"), "id", "text")

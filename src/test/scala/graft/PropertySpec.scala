@@ -184,6 +184,7 @@ class PropertySpec extends AnyFunSuite {
       "sample_stratified", "sample_mixture", "sample_tokens", "sample_topk",
       "seq_pack", "emb_quantize", "emb_outliers", "ann_brute", "ann_lsh",
       "ann_ivf", "sessionize", "props_rollup", "mm_assets", "mm_chunks",
+      "mm_meta",
       "profile", "decontaminate", "exclude_ids", "asof", "char_entropy",
       "quantiles", "dedup_against", "split", "search_bm25", "dup_grams",
       "join", "emb_cluster", "minhash_against", "tfidf_keywords",

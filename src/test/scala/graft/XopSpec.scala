@@ -323,6 +323,22 @@ class XopSpec extends AnyFunSuite {
     assert(out.count() > 6) // several chunks per doc
   }
 
+  test("mm_meta header-decodes payloads through the xop surface") {
+    // text payloads are not valid image containers → unknown/null dims,
+    // but real byte lengths; the REAL-bytes parse paths are pinned in
+    // OpsSpec against ImageIO-encoded fixtures
+    val out = run(
+      """{"xop": {"name": "mm_meta"},
+          "from": {"xop": {"name": "mm_assets", "args": {"id": "id", "column": "text"}}},
+          "order_by": ["asset_id"]}""")
+    assert(out.columns.toSeq == Seq("asset_id", "media_type", "format",
+      "width", "height", "payload_bytes"))
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(2) == "unknown"))
+    assert(rows.forall(_.getLong(5) > 0L))
+  }
+
   // ------------------------------------------------------------------
   // two-dataset operators through the resolver
   // ------------------------------------------------------------------
