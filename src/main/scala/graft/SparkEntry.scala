@@ -282,6 +282,22 @@ object SparkEntry {
         threshold = 0.95, dim = 64).orderBy("id_a", "id_b")
     }),
 
+    // exact-threshold embcos variant within an id-bounded slice — the
+    // oracle-checkable quadratic anchor of x5 (same role x4 plays for
+    // MinHash): each original must pair with its perturbed copy at
+    // cos ≈ 0.9999, far from both the 0.95 threshold and the corpus's
+    // ~0.51 max natural pair, so float-ulp divergence can't flip a row
+    "x5b_embcos_exact" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 150)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val perturbed = e.select((col("vec_id") + 1000).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x * (lit(1.0) + (i % 7).cast("double") / 1000)).as("embedding"))
+      graft.ops.Similarity.cosineNearDupPairsExact(
+        e.unionByName(perturbed), "vec_id", "embedding",
+        maxId = 10000, threshold = 0.95).orderBy("id_a", "id_b")
+    }),
+
     // brute-force cosine top-k ANN (oracle-checked against DuckDB
     // list_cosine_similarity)
     "x6_ann_brute" -> ((s, dir) => {
@@ -965,6 +981,22 @@ object SparkEntry {
          WHERE a.doc_id < b.doc_id
            AND len(list_intersect(a.sh, b.sh))::DOUBLE /
                len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+         ORDER BY id_a, id_b""",
+    "x5b_embcos_exact" ->
+      """WITH base AS (
+           SELECT vec_id, embedding::DOUBLE[] AS embedding
+           FROM embeddings WHERE vec_id < 150),
+         pert AS (
+           SELECT vec_id + 1000 AS vec_id,
+                  [embedding[i] * (1.0 + ((i - 1) % 7) / 1000.0)
+                   for i in range(1, len(embedding) + 1)]::DOUBLE[] AS embedding
+           FROM base),
+         u AS (SELECT * FROM base UNION ALL SELECT * FROM pert)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos
+         FROM u a, u b
+         WHERE a.vec_id < b.vec_id
+           AND list_cosine_similarity(a.embedding, b.embedding) >= 0.95
          ORDER BY id_a, id_b""",
     "x6_ann_brute" ->
       """SELECT query_id, rank, neighbor_id, cos FROM (

@@ -442,4 +442,29 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** Exact embedding-cosine near-duplicate pairs within an id-bounded
+    * slice — the oracle-checkable quadratic anchor for
+    * [[cosineNearDupPairs]] (cosine itself is deterministic; only the
+    * LSH candidate set is approximate), the same role
+    * `Dedup.shingleJaccardPairsExact` plays for the MinHash path.
+    * Deliberately `maxId`-bounded: the all-pairs join is O(n²) by
+    * construction and exists for correctness anchoring; the LSH form is
+    * the scale path. */
+  def cosineNearDupPairsExact(df: DataFrame, idCol: String, vecCol: String,
+                              maxId: Long, threshold: Double): DataFrame = {
+    val rows = graft.ops.Dedup.spread(df.filter(col(idCol) < maxId), col(idCol))
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        norm(col(vecCol)).as("nrm"))
+    val a = rows.select(col("id").as("__ida"), col("vec").as("__veca"),
+      col("nrm").as("__nrma"))
+    val b = rows.select(col("id").as("__idb"), col("vec").as("__vecb"),
+      col("nrm").as("__nrmb"))
+    a.crossJoin(b).filter(col("__ida") < col("__idb"))
+      .withColumn("cos", cosineWithNorms(col("__veca"), col("__nrma"),
+        col("__vecb"), col("__nrmb")))
+      .filter(col("cos") >= threshold)
+      .select(col("__ida").as("id_a"), col("__idb").as("id_b"),
+        round(col("cos"), 6).as("cos"))
+  }
 }
