@@ -484,7 +484,7 @@ object XopEngine {
 
       // gap-based sessionization, batch form (user_id/ts/value shape)
       case "sessionize" =>
-        knownArgs("gap_seconds")
+        knownArgs("gap_seconds", "granule")
         for (c <- Seq("user_id", "ts", "value") if !ExprCompiler.hasColumn(df, c))
           Errors.malformed(s"xop '$name': frame has no '$c' column")
         // the gap math casts ts to long — a string ts would ANSI-crash
@@ -495,7 +495,16 @@ object XopEngine {
           case other =>
             Errors.malformed(s"xop '$name': 'ts' must be numeric or timestamp", other)
         }
-        EventStreams.sessionizeBatch(df, intArg(args, "gap_seconds", 1800, name))
+        // optional segment width in seconds (see sessionizeBatch: any
+        // value is correct, absent = auto-derived ~4096 segments)
+        val sessGranule = args.get("granule").map { _ =>
+          val w = intArg(args, "granule", 0, name)
+          if (w <= 0)
+            Errors.malformed(s"xop '$name': 'granule' must be a positive integer")
+          w
+        }
+        EventStreams.sessionizeBatch(df,
+          intArg(args, "gap_seconds", 1800, name), sessGranule)
 
       // semi-structured props parse + per-type rollup
       case "props_rollup" =>

@@ -84,24 +84,91 @@ object EventStreams {
 
   /** Batch form of gap sessionization over a static table — identical
     * session semantics to `sessionize` (a session ends after `gapSeconds`
-    * of event-time silence), expressed with window functions so Catalyst
-    * plans it as ONE shuffle on user_id + an in-partition sort: the
-    * session id is the running count of gap-breaks per user. At 100 TB
-    * this is the standard scale shape — state never leaves the executor
-    * that owns the user's partition. Tie-ordering of equal timestamps is
+    * of event-time silence). Tie-ordering of equal timestamps is
     * irrelevant to the result (a zero gap never breaks a session).
-    */
-  def sessionizeBatch(events: DataFrame, gapSeconds: Long): DataFrame = {
+    *
+    * Shape at scale — SEGMENTED carry (the `Joins.asOfJoin` granule
+    * trick applied to session ids): a single per-user running window
+    * funnels a hot entity's ENTIRE event history into one task — window
+    * aggregation has no map-side partial combine and AQE cannot split a
+    * skewed window partition, so one pathological bot account stalls the
+    * stage. Instead:
+    *
+    *   1. each event buckets to a time granule `g = floor(sec(ts) /
+    *      width)` (`granule` in seconds, or auto-derived targeting
+    *      ~4096 segments over the observed span — one column-pruned
+    *      min/max pre-pass);
+    *   2. LOCAL pass within (user, granule): gap-break flags + running
+    *      break count (the local session id) — the hot user's history
+    *      spreads over its granules, each an independent task;
+    *   3. BOUNDARY aggregate, one row per (user, granule), on the SAME
+    *      exchange the local window sorted: first/last event second and
+    *      the granule's local break count;
+    *   4. over that bounded relation only, a per-user ordered pass
+    *      marks whether each granule's first event CONTINUES the
+    *      previous granule's last session (gap <= gapSeconds across the
+    *      boundary — a spurious local break) and prefix-sums the
+    *      corrected break counts into a per-granule session-id offset;
+    *   5. join the (offset, continues) row back on (user, granule) —
+    *      AQE broadcasts the tiny relation — and the global session id
+    *      is `local_sid + offset - continues`.
+    *
+    * Any granule width is CORRECT; only task granularity varies. The
+    * granule-level window IS per-user, but bounded at one row per
+    * user × granule regardless of how many events the user holds. */
+  def sessionizeBatch(events: DataFrame, gapSeconds: Long,
+                      granule: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-    val prev = lag(col("ts"), 1).over(byUser)
+    granule.foreach(w => require(w > 0, "sessionizeBatch granule must be positive"))
+    val tl = col("ts").cast("long")
+    val width = granule.getOrElse {
+      // auto-derive: ~4096 segments over the observed span; an eager
+      // column-pruned min/max job at plan-build time (pass an explicit
+      // granule to skip it)
+      val row = events.agg(min(col("ts").cast("long")).as("lo"),
+        max(col("ts").cast("long")).as("hi")).head()
+      if (row.isNullAt(0)) 1L
+      else {
+        val span = BigInt(row.getLong(1)) - BigInt(row.getLong(0))
+        (span / 4096 + 1).min(BigInt(Long.MaxValue)).toLong.max(1L)
+      }
+    }
+    // exact integer floor(t / width): subtracting the non-negative pmod
+    // makes the numerator an exact multiple, so truncating division
+    // equals floor even for negative epoch seconds
+    val g = ((tl - pmod(tl, lit(width))).cast("decimal(38,0)") / lit(width))
+      .cast("long")
+    val wLocal = Window.partitionBy(col("user_id"), col("__g")).orderBy(col("ts"))
+    val prev = lag(col("ts"), 1).over(wLocal)
     val brk = when(prev.isNull
-        .or(col("ts").cast("long") - prev.cast("long") > gapSeconds), 1L)
+        .or(tl - prev.cast("long") > gapSeconds), 1L)
       .otherwise(0L)
-    events
+    val local = events
+      .withColumn("__g", g)
       .withColumn("__brk", brk)
-      .withColumn("__sid", sum(col("__brk")).over(
-        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__lsid", sum(col("__brk")).over(
+        wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // one row per (user, granule); consumes the exchange wLocal sorted
+    val bounds = local.groupBy(col("user_id"), col("__g"))
+      .agg(min(tl).as("__first"), max(tl).as("__last"),
+        max(col("__lsid")).as("__nbrk"))
+    val wUser = Window.partitionBy(col("user_id")).orderBy(col("__g"))
+    val prevLast = lag(col("__last"), 1).over(wUser)
+    // continues: the granule's first event is within gap of the PREVIOUS
+    // existing granule's last event — its local first-row break was
+    // spurious, so it joins the running session and the granule's break
+    // contribution drops by one
+    val continues = when(prevLast.isNotNull
+        .and(col("__first") - prevLast <= gapSeconds), 1L).otherwise(0L)
+    val carry = bounds
+      .withColumn("__cont", continues)
+      .withColumn("__off", coalesce(sum(col("__nbrk") - col("__cont")).over(
+        wUser.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("user_id").as("__cu"), col("__g").as("__cg"),
+        col("__cont"), col("__off"))
+    local
+      .join(carry, col("user_id") <=> col("__cu") && col("__g") <=> col("__cg"))
+      .withColumn("__sid", col("__lsid") + col("__off") - col("__cont"))
       .groupBy(col("user_id"), col("__sid"))
       .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),

@@ -136,6 +136,66 @@ class SkewSpec extends AnyFunSuite {
       assert(rows(i) == ((s"unique line $i", 1L))))
   }
 
+  test("sessionizeBatch: hot user's history is segmented — no per-user window over raw events") {
+    // one bot account holds 50% of all events: 300 events at a steady
+    // 100s cadence with a >gap break every 50 events, plus 300 ordinary
+    // single-event users
+    val events = (
+      (0 until 300).map(i => (1L,
+        new java.sql.Timestamp((i.toLong * 100 + (i / 50) * 10000) * 1000), 1.0)) ++
+        (2 to 301).map(i => (i.toLong,
+          new java.sql.Timestamp(i.toLong * 1000000), 2.0))
+    ).toDF("user_id", "ts", "value")
+    val got = graft.streaming.EventStreams.sessionizeBatch(events, gapSeconds = 200)
+
+    // plan shape: windows over the raw event relation must partition on
+    // (user, granule); a bare-user partition spec is only legal above the
+    // bounded one-row-per-user×granule boundary aggregate
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LW}
+    val windows = got.queryExecution.optimizedPlan.collect { case w: LW => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val keys = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      if (keys.size <= 1)
+        assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+          s"a window partitioned only on $keys must sit above the bounded " +
+            "per-(user,granule) boundary aggregate, not the raw events")
+    }
+
+    // semantics: the bot splits into 6 sessions of 50 (each 10000s jump
+    // breaks at gap=200), every ordinary user gets one 1-event session
+    val rows = got.collect()
+    val bot = rows.filter(_.getLong(0) == 1L)
+      .sortBy(_.getAs[java.sql.Timestamp]("session_start").getTime)
+    assert(bot.length == 6)
+    assert(bot.forall(_.getAs[Long]("n_events") == 50L))
+    assert(bot.map(_.getAs[Double]("total_value")).forall(_ == 50.0))
+    (0 until 6).foreach { s =>
+      assert(bot(s).getAs[java.sql.Timestamp]("session_start").getTime ==
+        (s * 5000L + s * 10000L) * 1000)
+    }
+    val others = rows.filter(_.getLong(0) != 1L)
+    assert(others.length == 300 &&
+      others.forall(r => r.getAs[Long]("n_events") == 1L))
+  }
+
+  test("sessionizeBatch: explicit granule splits sessions across bucket boundaries correctly") {
+    // granule 100 with a session STRADDLING the boundary (events at 95
+    // and 105: gap 10 <= 60 ⇒ one session across granules) and a break
+    // inside one granule (305 → 395 is gap 90 > 60)
+    val ev = Seq(
+      (1L, new java.sql.Timestamp(95000L), 1.0),
+      (1L, new java.sql.Timestamp(105000L), 2.0),
+      (1L, new java.sql.Timestamp(305000L), 4.0),
+      (1L, new java.sql.Timestamp(395000L), 8.0)
+    ).toDF("user_id", "ts", "value")
+    val out = graft.streaming.EventStreams
+      .sessionizeBatch(ev, gapSeconds = 60, granule = Some(100L))
+      .orderBy("session_start").collect()
+      .map(r => (r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+    assert(out.toSeq == Seq((2L, 3.0), (1L, 4.0), (1L, 8.0)))
+  }
+
   test("asOfJoin: hot key's history is segmented — no per-key window over raw events") {
     // one key holds 50% of all events (the AAPL problem): 200 left rows
     // and 200 right rows on key 1, plus 200 keys with one row each side
