@@ -30,6 +30,14 @@ final class CacheItem(val df: DataFrame, val size: Long, val creationTime: Long)
       case hit  => hit.asInstanceOf[A]
     }
   }
+
+  /** Test hook: the memo's current keys (insertion/access order). */
+  private[graft] def memoizedKeys: Seq[String] = planMemo.synchronized {
+    val it = planMemo.keySet().iterator()
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) out += it.next()
+    out.result()
+  }
 }
 
 object CacheItem {
@@ -56,6 +64,10 @@ final class DatasetCache(val maxSize: Long, val maxAge: Long,
   def size: Long = lock.synchronized(totalSize)
   def count: Int = lock.synchronized(items.size)
   def contains(key: String): Boolean = lock.synchronized(items.contains(key))
+
+  /** Non-traffic lookup: no LRU bump, no access count — for internal
+    * machinery (shape warmup) that must not masquerade as a client hit. */
+  private[graft] def peek(key: String): Option[CacheItem] = lock.synchronized(items.get(key))
 
   /** Access bumps the LRU clock (reference: dataset_cache.py:14-18). */
   def get(key: String): Option[CacheItem] = lock.synchronized {

@@ -263,6 +263,10 @@ final class GraftServer(spark: SparkSession, port: Int,
     stats.append("store_row_counts", rowCount.toDouble)
     stats.append("store_durations", (clock() - t0) / 1000.0)
     stats.extend("durations_until_eviction", durations)
+    // background-replay known query shapes of this schema against the new
+    // dataset (cross-dataset shape memo — see ShapeWarmer): first contact
+    // then hits a memoized plan with materialized stages
+    cache.peek(key).foreach(ShapeWarmer.warm)
     respond(exchange, 201, Array.emptyByteArray)
   }
 
@@ -314,10 +318,10 @@ final class GraftServer(spark: SparkSession, port: Int,
         // the stand-in header canonicalized in declaration order. Queries
         // naming a SECOND dataset are never memoized: the memo dies with
         // THIS item and cannot see the other dataset's mutations.
-        val memoKey = requestStandIns.map { case (n, v) => s"$n=$v" }
-          .mkString("", ";", "|") + qJson
+        val memoKey = ShapeWarmer.memoKey(requestStandIns, qJson)
+        val crossDataset = XopEngine.referencesDatasets(q)
         val result =
-          if (XopEngine.referencesDatasets(q)) QueryEngine.run(withStandIns, q, resolver)
+          if (crossDataset) QueryEngine.run(withStandIns, q, resolver)
           else item.memoizedPlan(memoKey)(QueryEngine.run(withStandIns, q, resolver))
         val (text, rowCount) =
           if (accept == "text/csv") Serialize.toCsvCounted(result.df)
@@ -335,6 +339,11 @@ final class GraftServer(spark: SparkSession, port: Int,
           "X-QCache-unsliced-length" -> unsliced.toString)
         stats.inc("hit_count")
         stats.append("query_durations", (clock() - t0) / 1000.0)
+        // register the served shape for cross-dataset warmup — only
+        // single-dataset reads (a cross-dataset plan's memo can't outlive
+        // the OTHER dataset's mutations, so those are never memoized)
+        if (!crossDataset)
+          ShapeWarmer.record(item.df.schema, requestStandIns, qJson)
         respond(exchange, 200, bytes, headers)
       }
     } catch {

@@ -50,6 +50,28 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   val csvData = "foo,bar\n1,aaa\n2,bbb\n3,ccc\n"
 
+  test("shape warmup: second same-schema dataset's first contact is pre-memoized") {
+    graft.server.ShapeWarmer.clear()
+    assert(storeCsv("warm_a", "p,q\n1,x\n2,y\n3,x\n").statusCode() == 201)
+    val shape = """{"select": ["q", ["sum", "p"]], "group_by": ["q"]}"""
+    assert(query("warm_a", shape).statusCode() == 200)
+    // a same-schema store replays the recorded shape in the background,
+    // through the same per-item memo the query path consults
+    assert(storeCsv("warm_b", "p,q\n7,x\n8,y\n").statusCode() == 201)
+    graft.server.ShapeWarmer.drain()
+    val key = graft.server.ShapeWarmer.memoKey(Seq.empty, shape)
+    assert(server.cache.peek("warm_b").get.memoizedKeys.contains(key),
+      "known shape must be pre-planned on the new same-schema dataset")
+    // a different-schema store inherits nothing
+    assert(storeCsv("warm_c", "z\n1\n").statusCode() == 201)
+    graft.server.ShapeWarmer.drain()
+    assert(server.cache.peek("warm_c").get.memoizedKeys.isEmpty)
+    // and the pre-warmed plan serves the real first query correctly
+    val r2 = query("warm_b", shape)
+    assert(r2.statusCode() == 200)
+    assert(r2.body() == """[{"q":"x","p":7},{"q":"y","p":8}]""")
+  }
+
   test("csv upload, json query round trip") {
     assert(storeCsv("t1", csvData).statusCode() == 201)
     val r = query("t1", """{"where": [">", "foo", 1]}""")
