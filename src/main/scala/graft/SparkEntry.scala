@@ -420,9 +420,9 @@ object SparkEntry {
       graft.ops.Profile.profile(t(s, dir, "documents")).orderBy("column")),
 
     // as-of join: each error event picks the latest click at-or-before
-    // it by the same user — union + segmented carry (window within
-    // (key, time-granule) + bounded per-granule boundary aggregate)
-    // (Joins.asOfJoin); the oracle is DuckDB's native ASOF LEFT JOIN
+    // it by the same user (Joins.asOfJoin — stats-gated carry: one-window
+    // at this size, granule-segmented past the row gate / with an
+    // explicit granule, see x31b); oracle is DuckDB's native ASOF LEFT JOIN
     "x31_asof" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val errors = ev.filter(col("event_type") === "error")
@@ -435,11 +435,13 @@ object SparkEntry {
     }),
 
     // hot-key as-of stress (the AAPL problem): ~80% of all events
-    // collapse onto ONE user, then the same as-of join — the bench
-    // witness for the segmented-carry rewrite (the hot key's timeline
-    // spreads over time granules instead of funneling its entire merged
-    // history into a single window task; regressions here mean the
-    // per-key full-history carry came back)
+    // collapse onto ONE user, then the same as-of join under an EXPLICIT
+    // one-hour granule — the bench witness for the segmented-carry
+    // machinery (the hot key's timeline spreads over time granules
+    // instead of funneling its entire merged history into a single
+    // window task; regressions here mean the segmented path got slower
+    // or the per-key full-history carry came back). The events fixture
+    // stores ts as epoch NANOS, so the granule is in nanos too.
     "x31b_asof_hot" -> ((s, dir) => {
       val ev = t(s, dir, "events").withColumn("user_id",
         when(col("user_id") % 5 =!= 0, lit(0L)).otherwise(col("user_id")))
@@ -447,7 +449,8 @@ object SparkEntry {
         .select("event_id", "user_id", "ts", "value")
       val clicks = ev.filter(col("event_type") === "click")
         .groupBy("user_id", "ts").agg(max(col("value")).as("click_value"))
-      graft.ops.Joins.asOfJoin(errors, clicks, "user_id", "ts", Seq("click_value"))
+      graft.ops.Joins.asOfJoin(errors, clicks, "user_id", "ts", Seq("click_value"),
+          granule = Some(3600L * 1000 * 1000 * 1000))
         .select("event_id", "user_id", "value", "click_value")
         .orderBy("event_id")
     }),

@@ -8,6 +8,15 @@ import org.apache.spark.sql.functions._
   * enrichment equi-join the JSON dialect exposes. */
 object Joins {
 
+  /** Row-estimate gate for the auto-granule segmented carries (as-of
+    * join here, batch sessionization in EventStreams): below this, even
+    * a maximally-skewed key — every row on ONE key — sorts in a single
+    * sub-second task, and segmentation's fixed costs (min/max pre-pass
+    * job, granule exchange, broadcast join back) dominate; above it the
+    * single-task worst case is a real straggler and the carry segments.
+    * An explicit granule always segments regardless of size. */
+  private[graft] val SegmentedCarryMinRows: Long = 2L << 20
+
   /** Enrichment equi-join between two tables — the dialect-level join the
     * single-table reference never had. `on` pairs (leftCol, rightCol);
     * `how` is inner | left | semi | anti (left-row-preserving variants
@@ -151,14 +160,23 @@ object Joins {
     * `granule` is a width in the time column's own integral units (epoch
     * seconds for timestamps, days for dates, the raw value for numerics
     * — nanos here if the source stores nanos). Any value is CORRECT;
-    * only task granularity varies. When absent it is auto-derived from
-    * one column-pruned min/max pass over both sides, targeting ~4096
-    * segments across the observed span (an eager job at plan-build time
-    * — pass an explicit granule near the typical query horizon to skip
-    * it). Time types with no integral order embedding (strings,
-    * wide decimals) fall back to the single-window carry, which is
-    * correct but funnels each key into one task — as-of semantics are
-    * inherently temporal, so this path is for small orderable oddities.
+    * only task granularity varies. An explicit granule always segments.
+    * When absent, the choice is STATS-GATED (the same principle as
+    * `Dedup.spread`'s byte budget): if the union's row estimate is below
+    * [[Joins.SegmentedCarryMinRows]], even a maximally-skewed key — ALL
+    * rows on one key — sorts in a single sub-second task, and the
+    * segmentation overhead (a min/max pre-pass job, a granule-level
+    * exchange, a broadcast join back) is the larger cost, so the plan
+    * keeps the one-window carry; above the gate the width is
+    * auto-derived from one column-pruned min/max pass over both sides,
+    * targeting ~4096 segments across the observed span (an eager job at
+    * plan-build time — pass an explicit granule near the typical query
+    * horizon to skip it). At cluster scale the stats estimate is always
+    * far above the gate, so the 100-TB plan is the segmented one. Time
+    * types with no integral order embedding (strings, wide decimals)
+    * fall back to the single-window carry, which is correct but funnels
+    * each key into one task — as-of semantics are inherently temporal,
+    * so this path is for small orderable oddities.
     *
     * Right-side (key, time) pairs should be unique (pre-aggregate if
     * not); among exact duplicates the carried payload is the sort-order
@@ -205,16 +223,27 @@ object Joins {
     val leftCols: Seq[Column] = left.columns.toSeq.map(c => col(s"__row.$c").as(c))
     val payloadOut: Seq[Column] = payloadCols.map(c => col(s"__carried.$c").as(c))
 
-    toLong match {
-      case None =>
+    // explicit granule → segment; otherwise segment only past the row
+    // gate (rowBytes=64 deliberately overestimates rows from the byte
+    // stats, erring toward segmentation — the safe direction)
+    val effectiveGranule: Option[Long] = toLong match {
+      case None => None
+      case Some(fn) => granule.orElse {
+        if (Similarity.approxRows(u, rowBytes = 64L) >= Joins.SegmentedCarryMinRows)
+          Some(autoGranule(u, fn))
+        else None
+      }
+    }
+
+    (toLong, effectiveGranule) match {
+      case (None, _) | (_, None) =>
         val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         u.withColumn("__carried", last(col("__p"), ignoreNulls = true).over(w))
           .filter(col("__side") === 1)
           .select(leftCols ++ payloadOut: _*)
 
-      case Some(fn) =>
-        val width = granule.getOrElse(autoGranule(u, fn))
+      case (Some(fn), Some(width)) =>
         // exact integer floor(t / width) — same arithmetic as rangeJoin's
         // bucket: subtracting the non-negative pmod makes the numerator an
         // exact multiple, so truncating division equals floor even for

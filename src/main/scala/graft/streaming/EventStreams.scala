@@ -115,24 +115,64 @@ object EventStreams {
     *
     * Any granule width is CORRECT; only task granularity varies. The
     * granule-level window IS per-user, but bounded at one row per
-    * user × granule regardless of how many events the user holds. */
+    * user × granule regardless of how many events the user holds.
+    *
+    * Like the as-of join, the auto path is STATS-GATED on
+    * `Joins.SegmentedCarryMinRows`: an explicit granule always
+    * segments; with no granule, an input whose row estimate sits below
+    * the gate keeps the classic one-window-per-user carry (a maximally
+    * skewed user still sorts in one sub-second task at that size, and
+    * segmentation's fixed costs dominate), while anything bigger —
+    * always the case at cluster scale — auto-derives ~4096 segments
+    * from one column-pruned min/max pre-pass. */
   def sessionizeBatch(events: DataFrame, gapSeconds: Long,
                       granule: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     granule.foreach(w => require(w > 0, "sessionizeBatch granule must be positive"))
     val tl = col("ts").cast("long")
-    val width = granule.getOrElse {
-      // auto-derive: ~4096 segments over the observed span; an eager
-      // column-pruned min/max job at plan-build time (pass an explicit
-      // granule to skip it)
-      val row = events.agg(min(col("ts").cast("long")).as("lo"),
-        max(col("ts").cast("long")).as("hi")).head()
-      if (row.isNullAt(0)) 1L
-      else {
-        val span = BigInt(row.getLong(1)) - BigInt(row.getLong(0))
-        (span / 4096 + 1).min(BigInt(Long.MaxValue)).toLong.max(1L)
-      }
+    val effectiveGranule: Option[Long] = granule.orElse {
+      if (graft.ops.Similarity.approxRows(events, rowBytes = 64L) >=
+          graft.ops.Joins.SegmentedCarryMinRows) {
+        // auto-derive: ~4096 segments over the observed span; an eager
+        // column-pruned min/max job at plan-build time (pass an explicit
+        // granule to skip it)
+        val row = events.agg(min(col("ts").cast("long")).as("lo"),
+          max(col("ts").cast("long")).as("hi")).head()
+        if (row.isNullAt(0)) Some(1L)
+        else {
+          val span = BigInt(row.getLong(1)) - BigInt(row.getLong(0))
+          Some((span / 4096 + 1).min(BigInt(Long.MaxValue)).toLong.max(1L))
+        }
+      } else None
     }
+    effectiveGranule match {
+      case None =>
+        // sub-gate input: the classic one-shuffle-per-user running carry
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        val prev = lag(col("ts"), 1).over(byUser)
+        val brk = when(prev.isNull
+            .or(tl - prev.cast("long") > gapSeconds), 1L)
+          .otherwise(0L)
+        events
+          .withColumn("__brk", brk)
+          .withColumn("__sid", sum(col("__brk")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("__sid"))
+          .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+            count(lit(1)).as("n_events"),
+            round(sum(col("value")), 4).as("total_value"))
+          .drop("__sid")
+      case Some(width) =>
+        segmentedSessions(events, gapSeconds, width)
+    }
+  }
+
+  /** The segmented-carry body of [[sessionizeBatch]] (see its scaladoc
+    * for the step-by-step shape). */
+  private def segmentedSessions(events: DataFrame, gapSeconds: Long,
+                                width: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tl = col("ts").cast("long")
     // exact integer floor(t / width): subtracting the non-negative pmod
     // makes the numerator an exact multiple, so truncating division
     // equals floor even for negative epoch seconds

@@ -146,7 +146,10 @@ class SkewSpec extends AnyFunSuite {
         (2 to 301).map(i => (i.toLong,
           new java.sql.Timestamp(i.toLong * 1000000), 2.0))
     ).toDF("user_id", "ts", "value")
-    val got = graft.streaming.EventStreams.sessionizeBatch(events, gapSeconds = 200)
+    // explicit granule drives the segmented branch (the auto path is
+    // stats-gated: a fixture this small legitimately keeps one window)
+    val got = graft.streaming.EventStreams.sessionizeBatch(events,
+      gapSeconds = 200, granule = Some(5000L))
 
     // plan shape: windows over the raw event relation must partition on
     // (user, granule); a bare-user partition spec is only legal above the
@@ -204,7 +207,10 @@ class SkewSpec extends AnyFunSuite {
     val right = ((1 to 200).map(i => (1L, i.toLong * 10 - 5, i.toDouble)) ++
       (2 to 201).map(i => (i.toLong, i.toLong * 10 - 5, -i.toDouble)))
       .toDF("k", "t", "v")
-    val got = Joins.asOfJoin(left, right, "k", "t", Seq("v"))
+    // explicit granule drives the segmented branch (the auto path is
+    // stats-gated: a fixture this small legitimately keeps one window)
+    val got = Joins.asOfJoin(left, right, "k", "t", Seq("v"),
+      granule = Some(250L))
 
     // plan shape: the window over the raw event union must partition on
     // (key, granule); a bare-key partition spec is only legal above an
@@ -232,6 +238,43 @@ class SkewSpec extends AnyFunSuite {
         (k, t, if (m.isEmpty) None else Some(m.maxBy(_._2)._3))
     }.toSet
     assert(rows == expected)
+  }
+
+  test("segmented and single-window carries agree; auto path is stats-gated") {
+    // below Joins.SegmentedCarryMinRows the auto path keeps the classic
+    // one-window plan (segmentation overhead dominates at this size);
+    // explicit granule always segments — and both give identical rows
+    val left = (1 to 100).map(i => ((i % 5).toLong, i.toLong * 7, s"L$i"))
+      .toDF("k", "t", "tag")
+    val right = (1 to 80).map(i => ((i % 5).toLong, i.toLong * 9 - 4, i.toDouble))
+      .toDF("k", "t", "v")
+    val auto = Joins.asOfJoin(left, right, "k", "t", Seq("v"))
+    val seg = Joins.asOfJoin(left, right, "k", "t", Seq("v"), granule = Some(37L))
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LW}
+    val autoKeys = auto.queryExecution.optimizedPlan.collect {
+      case w: LW => w.partitionSpec.flatMap(_.references.map(_.name))
+    }.flatten.toSet
+    assert(autoKeys.nonEmpty, "sub-gate auto plan keeps the single-window carry")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)))).toSet
+    assert(rows(auto) == rows(seg))
+
+    // 120 s spacing continues (gap 150), the block jump every 50 events
+    // breaks — sessions both continue ACROSS granule-77 boundaries and
+    // break INSIDE granules
+    val evs = (1 to 200).map(i => ((i % 3).toLong,
+      new java.sql.Timestamp((i.toLong * 40 + (i / 50) * 10000) * 1000), 1.0))
+      .toDF("user_id", "ts", "value")
+    val sAuto = graft.streaming.EventStreams.sessionizeBatch(evs, gapSeconds = 150)
+    val sSeg = graft.streaming.EventStreams.sessionizeBatch(evs, gapSeconds = 150,
+      granule = Some(77L))
+    def sRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        r.getAs[java.sql.Timestamp]("session_start"),
+        r.getAs[java.sql.Timestamp]("session_end"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+    assert(sRows(sAuto) == sRows(sSeg))
   }
 
   test("asOfJoin: an explicit granule buckets ties and boundaries correctly") {
