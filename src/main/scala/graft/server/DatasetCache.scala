@@ -18,8 +18,11 @@ final class CacheItem(val df: DataFrame, val size: Long, val creationTime: Long)
     * reduce-side read. Invalidation is structural — the memo lives on the
     * item, and every mutation path (update swap, re-store, delete, TTL/LRU
     * eviction) replaces or drops the item, so a stale hit is impossible.
-    * The lock is held only while BUILDING the lazy plan (~ms, no Spark
-    * job); execution happens outside. */
+    * The lock is held only while BUILDING the lazy plan — usually ~ms
+    * with no Spark job, except operators with an eager pre-pass (the
+    * sessionize xop past its segmentation gate runs one column-pruned
+    * min/max job at build time), which briefly serialize other queries
+    * on the SAME dataset; execution happens outside. */
   private val planMemo = new java.util.LinkedHashMap[String, AnyRef](16, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[String, AnyRef]): Boolean =
       size() > CacheItem.MaxMemoizedPlans

@@ -277,6 +277,27 @@ class SkewSpec extends AnyFunSuite {
     assert(sRows(sAuto) == sRows(sSeg))
   }
 
+  test("asOfJoin: auto path segments once the row estimate clears the gate") {
+    // spark.range advertises 8 bytes/row, so 40M rows estimate ~2.4M rows
+    // at the gate's 64-byte divisor — past SegmentedCarryMinRows. Only
+    // the plan is inspected (plus autoGranule's min/max pre-pass job);
+    // the carry itself never executes.
+    val big = spark.range(40L * 1000 * 1000)
+      .select(col("id").as("k"), (col("id") * 7).as("t"), col("id").as("pay"))
+    val got = Joins.asOfJoin(big.select("k", "t"),
+      big.select(col("k"), col("t"), col("pay")), "k", "t", Seq("pay"))
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LW}
+    val windows = got.queryExecution.optimizedPlan.collect { case w: LW => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val keys = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      if (keys.size <= 1)
+        assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+          s"past the gate, a bare-key window (keys=$keys) must sit above " +
+            "the bounded boundary aggregate")
+    }
+  }
+
   test("asOfJoin: an explicit granule buckets ties and boundaries correctly") {
     // granule 7 with times straddling bucket edges, incl. a tie at t=14
     // (right sorts before left: <= matches) and a carry ACROSS granules
