@@ -72,6 +72,22 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2.body() == """[{"q":"x","p":7},{"q":"y","p":8}]""")
   }
 
+  test("shape warmup replays stand-in headers under the same memo key") {
+    graft.server.ShapeWarmer.clear()
+    assert(storeCsv("warm_s1", "a\n1\n2\n").statusCode() == 201)
+    val q = """{"select": ["a", "extra"]}"""
+    val r = send(req("/dataset/warm_s1?q=" +
+        java.net.URLEncoder.encode(q, UTF_8)).GET()
+      .header("Accept", "application/json")
+      .header("X-QCache-stand-in-columns", "extra=9").build())
+    assert(r.statusCode() == 200)
+    assert(storeCsv("warm_s2", "a\n5\n").statusCode() == 201)
+    graft.server.ShapeWarmer.drain()
+    val key = graft.server.ShapeWarmer.memoKey(Seq("extra" -> "9"), q)
+    assert(server.cache.peek("warm_s2").get.memoizedKeys.contains(key),
+      "stand-in shape must pre-plan on the new dataset under the read path's key")
+  }
+
   test("csv upload, json query round trip") {
     assert(storeCsv("t1", csvData).statusCode() == 201)
     val r = query("t1", """{"where": [">", "foo", 1]}""")
