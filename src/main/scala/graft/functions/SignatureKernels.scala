@@ -657,3 +657,74 @@ case class TermFreqsExpr(child: Expression, terms: Seq[String])
   override protected def withNewChildInternal(newChild: Expression): TermFreqsExpr =
     copy(child = newChild)
 }
+
+/** Fused whitespace tokenizer: lower-case + split-on-whitespace-runs in
+  * ONE byte scan — value-identical (asserted in tests) to the engine's
+  * canonical composition `split(trim(regexp_replace(lower(c), "\\s+",
+  * " ")), " ")` and to every DuckDB oracle's
+  * `string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')`,
+  * including the `[""]` artifact on empty / whitespace-only / null-free
+  * input. That composition runs TWO regex passes plus a lower-case
+  * allocation per document and sat on the hot path of every text
+  * operator (tokens feed tf/df counts, shingles, n-gram scrubs, LM
+  * folds); this kernel runs one UTF8String.toLowerCase plus a single
+  * byte-level scan.
+  *
+  * Unicode safety: Java's regex `\s` is ASCII-only
+  * (`[ \t\n\x0B\f\r]`), and those six byte values never occur inside a
+  * UTF-8 multibyte sequence, so scanning BYTES for separator runs can
+  * neither split a multibyte character nor disagree with the regex.
+  * Lower-casing first (full UTF8String.toLowerCase, same as `lower()`)
+  * matches the composition's operation order; lower-casing never
+  * introduces or removes whitespace. */
+case class WhitespaceTokensExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ws_tokens requires string, got ${other.catalogString}")
+  }
+  // exactly split()'s type (array<string>, nullable elements) so plans
+  // and dumped schemas are indistinguishable from the regex composition
+  override def dataType: DataType = ArrayType(StringType)
+  override def prettyName: String = "ws_tokens"
+
+  private def isWs(b: Byte): Boolean =
+    b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0b || b == 0x0c || b == 0x0d
+
+  /** Native per-row loop shared by eval and codegen. */
+  def tokenize(s: UTF8String): ArrayData = {
+    val lower = s.toLowerCase
+    val bytes = lower.getBytes
+    val n = bytes.length
+    val out = new java.util.ArrayList[AnyRef](16)
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !isWs(bytes(i))) i += 1
+        out.add(UTF8String.fromBytes(bytes, start, i - start))
+      }
+    }
+    if (out.isEmpty) // split("", " ") == [""] — the trimmed-empty artifact
+      new GenericArrayData(Array[Any](UTF8String.EMPTY_UTF8))
+    else
+      new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    tokenize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // call back into this instance's native loop from generated code —
+    // one monomorphic JIT method, whole-stage-codegen span stays intact
+    val self = ctx.addReferenceObj("wsTokenizer", this,
+      classOf[WhitespaceTokensExpr].getName)
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.tokenize($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WhitespaceTokensExpr =
+    copy(child = newChild)
+}

@@ -16,8 +16,21 @@ object TextOps {
   def normalizeText(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
-  /** Whitespace tokens of the normalized text. */
-  def tokens(c: Column): Column = split(normalizeText(c), " ")
+  /** Whitespace tokens of the normalized text — the fused native kernel
+    * (graft.functions.WhitespaceTokensExpr): one lower-case + one byte
+    * scan instead of two regex passes, value-identical to
+    * [[tokensRegex]] (asserted bit-identical in tests). Every text
+    * operator's tokenize path funnels through here. */
+  def tokens(c: Column): Column =
+    org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.WhitespaceTokensExpr(
+        org.apache.spark.sql.GraftSqlShims.expression(c)))
+
+  /** The regex composition the tokens() kernel replaces — kept as the
+    * cross-check reference for the bit-identity tests and as executable
+    * documentation of the exact semantics (this IS what the DuckDB
+    * oracles replay). */
+  private[graft] def tokensRegex(c: Column): Column = split(normalizeText(c), " ")
 
   /** Whitespace token count; empty/null-safe. */
   def tokenCount(c: Column): Column =

@@ -87,6 +87,34 @@ class OpsSpec extends AnyFunSuite {
     assert(exact == 1.0)
   }
 
+  test("fused ws_tokens kernel is bit-identical to the regex composition") {
+    import spark.implicits._
+    // adversarial corpus: every ASCII \s class member, runs, leading/
+    // trailing ws, case with Unicode (İ lowers to a LONGER string, ß
+    // stays), multibyte text, NBSP (  is NOT Java \s — must stay
+    // inside a token), empty, whitespace-only, null
+    val fixtures = Seq(
+      "Hello  World", "  lead", "trail   ", "\ta\tb\nc\rde\ff",
+      "MiXeD CaSe TEXT", "İstanbul STRASSE ß", "日本語 テキスト 混在",
+      "nbsp inside", "", "   ", "\t\n\r", "one",
+      "a" * 500 + " " + "b" * 500, null.asInstanceOf[String]
+    ) ++ (1 to 50).map { i =>
+      val r = new scala.util.Random(i)
+      (1 to 30).map(_ => r.alphanumeric.take(r.nextInt(8)).mkString)
+        .mkString(Seq(" ", "  ", "\t", "\n", " \r ")(r.nextInt(5)))
+    }
+    val df = fixtures.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    df.select(col("id"), TextOps.tokens(col("text")).as("kernel"),
+        TextOps.tokensRegex(col("text")).as("regex"))
+      .collect().foreach { r =>
+        assert(r.isNullAt(1) == r.isNullAt(2), s"null parity, id ${r.getLong(0)}")
+        if (!r.isNullAt(1))
+          assert(r.getAs[scala.collection.Seq[String]]("kernel") ==
+            r.getAs[scala.collection.Seq[String]]("regex"), s"id ${r.getLong(0)}")
+      }
+  }
+
   test("native minhash_signature kernel is bit-identical to the HOF formulation") {
     val hashed = docs.select(col("doc_id"),
       Dedup.shingleHashes(Dedup.shingles(col("text"), 3)).as("hs"))
