@@ -728,3 +728,105 @@ case class WhitespaceTokensExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): WhitespaceTokensExpr =
     copy(child = newChild)
 }
+
+/** Count of characters drawn from a fixed ASCII class, in one byte scan
+  * — value-identical to `length(regexp_replace(c, "[^<members>]", ""))`
+  * for ASCII-only classes: each member is one byte AND one codepoint,
+  * and UTF-8 lead/continuation bytes (>= 0x80, negative as signed
+  * bytes) can never equal an ASCII byte, so the byte count IS the
+  * removed-string's character count. Replaces a full regex rewrite pass
+  * (which materializes the stripped string just to measure it) on the
+  * quality-feature hot path. */
+case class AsciiClassCountExpr(child: Expression, members: String)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ascii_class_count requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = IntegerType // matches length()
+  override def prettyName: String = "ascii_class_count"
+  require(members.forall(_ < 128), "ascii_class_count members must be ASCII")
+
+  @transient private lazy val table: Array[Boolean] = {
+    val t = new Array[Boolean](128)
+    members.foreach(ch => t(ch) = true)
+    t
+  }
+
+  /** Native per-row loop shared by eval and codegen. */
+  def count(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    var i = 0
+    var n = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b >= 0 && table(b)) n += 1
+      i += 1
+    }
+    n
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    count(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("asciiClassCounter", this,
+      classOf[AsciiClassCountExpr].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $self.count($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AsciiClassCountExpr =
+    copy(child = newChild)
+}
+
+/** Membership-count of array<string> elements in a fixed word set via
+  * one hash probe per element — value-identical to
+  * `size(filter(arr, t => t.isin(words: _*)))` (null elements never
+  * match, a null array stays null), minus the interpreted
+  * ArrayFilter lambda and its O(|words|) linear In-list scan per token.
+  * The stopword counters (language ID runs one per candidate language,
+  * the quality features one over the union list) were the last
+  * interpreted per-token loops on the text path. */
+case class MemberCountExpr(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"member_count requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = IntegerType // matches size()
+  override def prettyName: String = "member_count"
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  /** Native per-row loop shared by eval and codegen. */
+  def count(arr: ArrayData): Int = {
+    val m = arr.numElements()
+    var i = 0
+    var n = 0
+    while (i < m) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) n += 1
+      i += 1
+    }
+    n
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    count(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("memberCounter", this,
+      classOf[MemberCountExpr].getName)
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $self.count($arr);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MemberCountExpr =
+    copy(child = newChild)
+}

@@ -52,9 +52,34 @@ object TextOps {
     "de" -> Seq("der", "die", "das", "und", "zu", "in", "ist", "ein", "eine", "mit"))
 
   /** Count of tokens that appear in `words` (multiset count — repeated
-    * stopwords count every occurrence). */
+    * stopwords count every occurrence). Fused native kernel
+    * (MemberCountExpr: one hash probe per token); value-identical to
+    * [[stopwordHitsHof]], asserted in tests. */
   def stopwordHits(toks: Column, words: Seq[String]): Column =
+    org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.MemberCountExpr(
+        org.apache.spark.sql.GraftSqlShims.expression(toks), words))
+
+  /** The HOF composition the stopwordHits kernel replaces — cross-check
+    * reference for the bit-identity tests. */
+  private[graft] def stopwordHitsHof(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words: _*)))
+
+  /** Count of characters from an ASCII class — fused kernel, identical
+    * to `length(regexp_replace(c, "[^" + members + "]", ""))`. */
+  private def asciiClassCount(c: Column, members: String): Column =
+    org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.AsciiClassCountExpr(
+        org.apache.spark.sql.GraftSqlShims.expression(c), members))
+
+  private val AlphaChars = (('A' to 'Z') ++ ('a' to 'z')).mkString
+  private val PunctChars = ".,;:!?'\"()[]-"
+
+  // bit-identity test hooks for the class-count kernels
+  private[graft] def alphaCountForTest(c: Column): Column =
+    asciiClassCount(c, AlphaChars)
+  private[graft] def punctCountForTest(c: Column): Column =
+    asciiClassCount(c, PunctChars)
 
   /** Heuristic language ID over a fixed candidate set: argmax of stopword
     * hits, ties broken by language code, "und" (undetermined) when no
@@ -86,12 +111,12 @@ object TextOps {
         round(when(nTok > 0, (length(normalizeText(c)) - (nTok - 1)) / nTok).otherwise(0.0), 4))
       .withColumn("alpha_ratio",
         round(when(nChars > 0,
-          length(regexp_replace(c, "[^A-Za-z]", "")) / nChars).otherwise(0.0), 4))
+          asciiClassCount(c, AlphaChars) / nChars).otherwise(0.0), 4))
       .withColumn("punct_ratio",
         round(when(nChars > 0,
-          length(regexp_replace(c, "[^.,;:!?'\"()\\[\\]-]", "")) / nChars).otherwise(0.0), 4))
+          asciiClassCount(c, PunctChars) / nChars).otherwise(0.0), 4))
       .withColumn("stopword_ratio",
-        round(when(nTok > 0, size(filter(toks, t => t.isin(allStop: _*))) / nTok)
+        round(when(nTok > 0, stopwordHits(toks, allStop) / nTok)
           .otherwise(0.0), 4))
       .withColumn("quality_score",
         // Rounding.halfUp4, not round(…, 4): engines disagree on
@@ -147,7 +172,7 @@ object TextOps {
     val stopRatio = when(n > 0,
       stopwordHits(col("__qr_tk"), allStop) / nD).otherwise(0.0)
     val alphaRatio = when(length(col(textCol)) > 0,
-      length(regexp_replace(col(textCol), "[^A-Za-z]", "")).cast("double") /
+      asciiClassCount(col(textCol), AlphaChars).cast("double") /
         length(col(textCol))).otherwise(0.0)
     val failed = array( // alphabetical, so `reasons` needs no sort
       when(alphaRatio < minAlphaRatio, lit("alpha_ratio")),

@@ -115,6 +115,45 @@ class OpsSpec extends AnyFunSuite {
       }
   }
 
+  test("ascii_class_count and member_count kernels match their regex/HOF forms") {
+    import spark.implicits._
+    val fixtures = Seq(
+      "Hello, World! (mixed) [case]; 'quoted' \"too\" - done?",
+      "ALLCAPS lower 12345 !!!", "日本語テキスト with ascii", "",
+      "   ", "no.punct.but.dots...", null.asInstanceOf[String]
+    ) ++ (1 to 30).map { i =>
+      val r = new scala.util.Random(100 + i)
+      (1 to 40).map(_ => r.nextPrintableChar()).mkString + " the la der und"
+    }
+    val df = fixtures.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    // alpha + punct counts vs the regex strip-and-measure forms
+    val both = df.select(col("id"),
+      length(regexp_replace(col("text"), "[^A-Za-z]", "")).as("alpha_rx"),
+      graft.ops.TextOps.alphaCountForTest(col("text")).as("alpha_k"),
+      length(regexp_replace(col("text"), "[^.,;:!?'\"()\\[\\]-]", "")).as("punct_rx"),
+      graft.ops.TextOps.punctCountForTest(col("text")).as("punct_k"))
+    both.collect().foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2) && r.isNullAt(3) == r.isNullAt(4),
+        s"null parity, id ${r.getLong(0)}")
+      if (!r.isNullAt(1)) {
+        assert(r.getInt(1) == r.getInt(2), s"alpha id ${r.getLong(0)}")
+        assert(r.getInt(3) == r.getInt(4), s"punct id ${r.getLong(0)}")
+      }
+    }
+    // stopword membership count vs the HOF filter form
+    val words = Seq("the", "la", "der", "und", "le")
+    val toks = df.select(col("id"), TextOps.tokens(col("text")).as("tk"))
+    toks.select(col("id"),
+        TextOps.stopwordHits(col("tk"), words).as("kernel"),
+        TextOps.stopwordHitsHof(col("tk"), words).as("hof"))
+      .collect().foreach { r =>
+        assert(r.isNullAt(1) == r.isNullAt(2), s"null parity, id ${r.getLong(0)}")
+        if (!r.isNullAt(1))
+          assert(r.getInt(1) == r.getInt(2), s"id ${r.getLong(0)}")
+      }
+  }
+
   test("native minhash_signature kernel is bit-identical to the HOF formulation") {
     val hashed = docs.select(col("doc_id"),
       Dedup.shingleHashes(Dedup.shingles(col("text"), 3)).as("hs"))
