@@ -549,6 +549,24 @@ class XopSpec extends AnyFunSuite {
       n => if (n == "prices") Some(rights) else None).df.collect()
     assert(Option(out(0).get(out(0).fieldIndex("price"))).isEmpty) // t=3: none before
     assert(out(1).getAs[Double]("price") == 2.5)                   // t=10: latest is 9
+
+    // explicit granule: same result through the segmented path; zero/
+    // negative granule is a 400-class malformed error
+    val seg = QueryEngine.run(lefts,
+      """{"xop": {"name": "asof",
+                  "args": {"right": "prices", "key": "k", "time": "t",
+                           "payload": ["price"], "granule": 4}},
+          "order_by": ["t"]}""",
+      n => if (n == "prices") Some(rights) else None).df.collect()
+    assert(seg.map(r => Option(r.get(r.fieldIndex("price")))).toSeq ==
+      out.map(r => Option(r.get(r.fieldIndex("price")))).toSeq)
+    intercept[graft.engine.MalformedQueryException] {
+      QueryEngine.run(lefts,
+        """{"xop": {"name": "asof",
+                    "args": {"right": "prices", "key": "k", "time": "t",
+                             "payload": ["price"], "granule": 0}}}""",
+        n => if (n == "prices") Some(rights) else None).df.collect()
+    }
   }
 
   test("minhash_against xop flags/drops near-dups of a stored corpus") {
