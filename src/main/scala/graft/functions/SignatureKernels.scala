@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -211,22 +211,40 @@ case class ShingleHashesExpr(tokens: Expression, normText: Expression, n: Int)
   private val P = MinHashSignatureExpr.P
   private def pmodP(h: Long): Long = { val r = h % P; if (r < 0) r + P else r }
 
-  /** Native per-row loop shared by eval and codegen. */
+  /** Native per-row loop shared by eval and codegen. Shingle bytes are
+    * assembled into one REUSED buffer and hashed in place with the same
+    * `XXH64.hashUnsafeBytes` the xxhash64 expression applies to a
+    * UTF8String's bytes — identical input bytes, identical hash, zero
+    * per-shingle UTF8String/concat allocations (token bytes are
+    * extracted once per row, not once per shingle membership). */
   def hashRow(arr: ArrayData, full: UTF8String): ArrayData = {
     val m = arr.numElements()
     if (m < n) {
       new GenericArrayData(Array(pmodP(
         XxHash64Function.hash(full, StringType, 42L))))
     } else {
-      val space = UTF8String.fromString(" ")
-      val seen = new java.util.LinkedHashSet[java.lang.Long]()
-      val buf = new Array[UTF8String](n)
+      val tokBytes = new Array[Array[Byte]](m)
       var i = 0
+      while (i < m) { tokBytes(i) = arr.getUTF8String(i).getBytes; i += 1 }
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var buf = new Array[Byte](64)
+      i = 0
       while (i <= m - n) {
+        var len = n - 1 // single-space joiners, same bytes as concatWs(" ")
         var j = 0
-        while (j < n) { buf(j) = arr.getUTF8String(i + j); j += 1 }
-        val s = UTF8String.concatWs(space, buf: _*)
-        seen.add(pmodP(XxHash64Function.hash(s, StringType, 42L)))
+        while (j < n) { len += tokBytes(i + j).length; j += 1 }
+        if (buf.length < len) buf = new Array[Byte](math.max(len, buf.length * 2))
+        var p = 0
+        j = 0
+        while (j < n) {
+          if (j > 0) { buf(p) = ' '; p += 1 }
+          val tb = tokBytes(i + j)
+          System.arraycopy(tb, 0, buf, p, tb.length)
+          p += tb.length
+          j += 1
+        }
+        seen.add(pmodP(XXH64.hashUnsafeBytes(
+          buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)))
         i += 1
       }
       val out = new Array[Long](seen.size())
