@@ -147,9 +147,13 @@ object Joins {
     *      now spreads over its granules, each an independent task
     *      (RunningWindowFunction — no full-partition buffering);
     *   3. BOUNDARY: one aggregate row per (key, granule) — the granule's
-    *      closing carry, i.e. the local carry of its last row (max_by).
-    *      This consumes the SAME (key, granule) exchange the local
-    *      window sorted, so no second source scan;
+    *      closing carry, which is simply the LATEST RIGHT payload it
+    *      saw. A plain map-side-combining aggregate over the union (the
+    *      max_by ordering is null for left rows), deliberately NOT a
+    *      consumer of step 2's window: per-branch column pruning makes
+    *      shared subtrees canonically unequal, so AQE cannot stage-reuse
+    *      the wide exchange — a narrow independent aggregate is cheaper
+    *      than re-running it;
     *   4. CROSS-granule carry-in: `last(boundary, ignoreNulls)` over
     *      strictly-preceding granules, per key. This window IS per-key,
     *      but over the granule-level relation — bounded at one row per
@@ -258,12 +262,22 @@ object Joins {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val local = ub.withColumn("__local",
           last(col("__p"), ignoreNulls = true).over(wLocal))
-        // the granule's closing carry: __local is a running last-non-null,
-        // so the (time, side)-max row's value is the last right payload the
-        // granule saw (null if it saw none). Aggregating the window output
-        // (already hash(key, granule)-partitioned) needs no new exchange.
-        val boundary = local.groupBy(col("__k"), col("__g"))
-          .agg(max_by(col("__local"), struct(col("__t"), col("__side"))).as("__bp"))
+        // the granule's closing carry is the LATEST RIGHT payload the
+        // granule saw — no window needed: a plain (key, granule)
+        // aggregate with map-side partial combine, where the max_by
+        // ordering is null for left rows so only right rows compete
+        // (max_by ignores null ordering keys). Grouping the WHOLE union
+        // (not just right rows) keeps a carry row for right-less
+        // granules (__bp null), which the left join below relies on for
+        // their carry-in. Deliberately NOT derived from the window
+        // output: per-branch column pruning makes the two subtrees
+        // canonically different, so AQE would re-execute the wide
+        // (key, granule) exchange instead of reusing it — this branch
+        // instead exchanges only (key, granule, time, side, payload)
+        // rows already collapsed per mapper.
+        val boundary = ub.groupBy(col("__k"), col("__g"))
+          .agg(max_by(col("__p"),
+            when(col("__side") === 0, col("__t"))).as("__bp"))
         val wCarry = Window.partitionBy(col("__k")).orderBy(col("__g"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val carry = boundary

@@ -29,7 +29,8 @@ object DumpPlans {
       ("x25_emb_outliers", "label outliers — partial avg before the (labels x dim) exchange, centroid broadcast back, per-label WindowGroupLimit"),
       ("x28_bloom_exclude", "bloom exclusion — map-only sketch probe over the corpus; only probe-positive rows reach the verifying anti-join"),
       ("x27_token_budget", "token budget — two-level prefix sum: parallel per-(source,shard) windows, tiny offset rollup broadcast back; no single-task source window"),
-      ("x31_asof", "as-of join — union of both sides, ONE key shuffle, RunningWindowFunction last-non-null carry; no range-join explosion"),
+      ("x31_asof", "as-of join (below the segmentation gate at this SF) — union of both sides, ONE key shuffle, RunningWindowFunction last-non-null carry; no range-join explosion. Past ~2M estimated rows the auto path switches to the segmented plan shown under x31b"),
+      ("x31b_asof_hot", "as-of join, SEGMENTED carry (explicit granule) — (key, granule) window over the union; the per-(key,granule) boundary is an INDEPENDENT narrow aggregate with map-side partial combine (latest right payload — deliberately not a consumer of the window branch, whose per-branch column pruning defeats AQE stage reuse); cross-granule carry window over the BOUNDED granule relation only, broadcast join back; a hot key's history spreads across granule tasks"),
       ("x32_pii", "PII redaction — map-only regex passes inside one WholeStageCodegen span, zero exchanges"),
       ("x33_quality_topk", "quality top-k per source — Partial WindowGroupLimit keeps k rows per group map-side before the one exchange"),
       ("x38_bm25", "BM25 search — fused [dl, tf...] native kernel (one codegen'd token pass, no explode), one-row stats broadcast back, TakeOrderedAndProject top-k; two map-only corpus scans total"),
@@ -56,8 +57,10 @@ object DumpPlans {
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence for the scale-posture claims\n\n")
     sb.append("Generated by `graft.tools.DumpPlans` at sf0.01 (plans are shape-\n")
-    sb.append("identical at any SF; only row estimates change). Things to check\n")
-    sb.append("in each plan: where the exchanges are, what got broadcast, what\n")
+    sb.append("identical at any SF — except the stats-gated segmented carries,\n")
+    sb.append("where the small-SF plan is the one-window form and x31b shows\n")
+    sb.append("the at-scale segmented form via its explicit granule). Things\n")
+    sb.append("to check in each plan: where the exchanges are, what got broadcast, what\n")
     sb.append("aggregates partially before shuffling, and how wide the\n")
     sb.append("WholeStageCodegen spans are.\n")
 
