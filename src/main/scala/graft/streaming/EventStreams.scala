@@ -100,18 +100,22 @@ object EventStreams {
     *      min/max pre-pass);
     *   2. LOCAL pass within (user, granule): gap-break flags + running
     *      break count (the local session id) — the hot user's history
-    *      spreads over its granules, each an independent task;
-    *   3. BOUNDARY aggregate, one row per (user, granule), on the SAME
-    *      exchange the local window sorted: first/last event second and
-    *      the granule's local break count;
+    *      spreads over its granules, each an independent task — and the
+    *      events collapse immediately into PARTIAL SESSIONS (one row
+    *      per user × granule × local session: start/end/count/sum) on
+    *      the window's own exchange; raw events are never touched again;
+    *   3. per-(user, granule) boundary stats (local session count,
+    *      first/last event time) aggregate from the partial-session
+    *      relation itself;
     *   4. over that bounded relation only, a per-user ordered pass
     *      marks whether each granule's first event CONTINUES the
     *      previous granule's last session (gap <= gapSeconds across the
     *      boundary — a spurious local break) and prefix-sums the
     *      corrected break counts into a per-granule session-id offset;
-    *   5. join the (offset, continues) row back on (user, granule) —
-    *      AQE broadcasts the tiny relation — and the global session id
-    *      is `local_sid + offset - continues`.
+    *   5. join (offset, continues) back onto the partial sessions —
+    *      AQE broadcasts the tiny relation — relabel with the global
+    *      session id `local_sid + offset - continues`, and merge
+    *      partial sessions by (user, global sid).
     *
     * Any granule width is CORRECT; only task granularity varies. The
     * granule-level window IS per-user, but bounded at one row per
@@ -168,7 +172,20 @@ object EventStreams {
   }
 
   /** The segmented-carry body of [[sessionizeBatch]] (see its scaladoc
-    * for the step-by-step shape). */
+    * for the step-by-step shape). Raw events are touched by exactly ONE
+    * pass: the (user, granule) window computes local session ids and
+    * the events collapse immediately into PARTIAL SESSIONS — one row
+    * per (user, granule, local session) with start/end/count/sum —
+    * consuming the window's own exchange (grouping keys are a superset
+    * of the partition keys, so no new exchange and full map-side
+    * combine). Every boundary statistic the cross-granule merge needs
+    * (local session count, first/last event time per granule) derives
+    * from the partial-session relation itself, so nothing re-reads or
+    * re-shuffles raw events — the earlier form aggregated boundary
+    * stats from the window output in a second branch, which per-branch
+    * column pruning made canonically unequal to the first, forcing AQE
+    * to run the wide exchange twice. The final merge groupBy runs over
+    * partial sessions, not events. */
   private def segmentedSessions(events: DataFrame, gapSeconds: Long,
                                 width: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -183,15 +200,18 @@ object EventStreams {
     val brk = when(prev.isNull
         .or(tl - prev.cast("long") > gapSeconds), 1L)
       .otherwise(0L)
-    val local = events
+    val partials = events
       .withColumn("__g", g)
       .withColumn("__brk", brk)
       .withColumn("__lsid", sum(col("__brk")).over(
         wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    // one row per (user, granule); consumes the exchange wLocal sorted
-    val bounds = local.groupBy(col("user_id"), col("__g"))
-      .agg(min(tl).as("__first"), max(tl).as("__last"),
-        max(col("__lsid")).as("__nbrk"))
+      .groupBy(col("user_id"), col("__g"), col("__lsid"))
+      .agg(min(col("ts")).as("__s_start"), max(col("ts")).as("__s_end"),
+        count(lit(1)).as("__n"), sum(col("value")).as("__v"))
+    // per-(user, granule) boundary stats from the partials themselves
+    val gran = partials.groupBy(col("user_id"), col("__g"))
+      .agg(max(col("__lsid")).as("__nbrk"),
+        min(col("__s_start")).as("__first"), max(col("__s_end")).as("__last"))
     val wUser = Window.partitionBy(col("user_id")).orderBy(col("__g"))
     val prevLast = lag(col("__last"), 1).over(wUser)
     // continues: the granule's first event is within gap of the PREVIOUS
@@ -199,20 +219,22 @@ object EventStreams {
     // spurious, so it joins the running session and the granule's break
     // contribution drops by one
     val continues = when(prevLast.isNotNull
-        .and(col("__first") - prevLast <= gapSeconds), 1L).otherwise(0L)
-    val carry = bounds
+        .and(col("__first").cast("long") - prevLast.cast("long") <= gapSeconds), 1L)
+      .otherwise(0L)
+    val carry = gran
       .withColumn("__cont", continues)
       .withColumn("__off", coalesce(sum(col("__nbrk") - col("__cont")).over(
         wUser.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("user_id").as("__cu"), col("__g").as("__cg"),
         col("__cont"), col("__off"))
-    local
+    partials
       .join(carry, col("user_id") <=> col("__cu") && col("__g") <=> col("__cg"))
       .withColumn("__sid", col("__lsid") + col("__off") - col("__cont"))
       .groupBy(col("user_id"), col("__sid"))
-      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
-        count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("total_value"))
+      .agg(min(col("__s_start")).as("session_start"),
+        max(col("__s_end")).as("session_end"),
+        sum(col("__n")).as("n_events"),
+        round(sum(col("__v")), 4).as("total_value"))
       .drop("__sid")
   }
 
