@@ -123,17 +123,23 @@ object Search {
 
     val stats = spreadDocs.agg(count(lit(1)).as("__n"),
       sum(TextOps.tokenCount(col(textCol))).as("__sumdl"))
-    // (term, doc) is unique in postings, so df(term) = the term's row
-    // count — a per-term AGGREGATE of the postings joined back (the
-    // skew-safe Dedup.withKeyAgg shape, like tfidfKeywords): the term
-    // set is query-bounded, but ONE common query term can still match
-    // most of the corpus, and a term window would funnel that whole
-    // posting list into a single task with no partial combine and no
-    // AQE escape. Both branches share the postings subtree below its
-    // (term, doc) exchange, so the corpus explode is not re-run (AQE
-    // stage reuse), and the query-bounded count relation broadcasts.
-    val withDf = Dedup.withKeyAgg(postings, "__term",
-      count(lit(1)).as("__dfc"))
+    // df(term) = distinct docs containing the term. NOT derived from the
+    // postings relation: a second reference to `postings` re-computes
+    // its whole explode subtree (per-branch column pruning makes shared
+    // subtrees canonically unequal, so AQE never stage-reuses the
+    // (term, doc) exchange — verified on the executed adaptive plan),
+    // and a term WINDOW over postings would funnel a common query
+    // term's full posting list into one task. Instead df is its own
+    // NARROW pass: per-doc distinct tokens, query-term filter before
+    // the explode's output shuffles anywhere, then one (term) count
+    // with map-side partial combine — each mapper contributes one row
+    // per term it saw, no (term, doc) exchange at all. The query-
+    // bounded result broadcasts back onto postings.
+    val dfCounts = spreadDocs
+      .select(explode(array_distinct(TextOps.tokens(col(textCol)))).as("__term"))
+      .join(broadcast(termSet), Seq("__term"))
+      .groupBy("__term").agg(count(lit(1)).as("__dfc"))
+    val withDf = postings.join(broadcast(dfCounts), Seq("__term"))
 
     val n = col("__n").cast("double")
     val avgdl = col("__sumdl").cast("double") / n
