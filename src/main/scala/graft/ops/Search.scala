@@ -196,14 +196,26 @@ object Search {
   def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val postings = Dedup.spread(docs, col(idCol))
+    val spreadDocs = Dedup.spread(docs, col(idCol))
+    val postings = spreadDocs
       .select(col(idCol).as("__doc"), TextOps.tokens(col(textCol)).as("__toks"))
       .select(col("__doc"), explode(col("__toks")).as("__term"))
       .filter(col("__term") =!= "")
       .groupBy("__doc", "__term").agg(count(lit(1)).as("__tf"))
-    // (doc, term) is unique ⇒ df(term) = the term's postings row count
-    val withDf = Dedup.withKeyAgg(postings, "__term",
-      count(lit(1)).as("__dfc"))
+    // df(term) = distinct docs containing the term, as its own NARROW
+    // pass (per-doc distinct tokens → one (term) count with map-side
+    // partial combine): a second reference to `postings` re-computes
+    // its whole explode + (doc, term) exchange — per-branch column
+    // pruning defeats AQE stage reuse (verified on executed adaptive
+    // plans) — and a term window would funnel a hot term into one task.
+    // Unlike bm25Batch's query-bounded df, this one is vocabulary-sized,
+    // so the join back stays a plain equi-join (AQE broadcasts it when
+    // it fits, skew-splits it when it doesn't).
+    val dfCounts = spreadDocs
+      .select(explode(array_distinct(TextOps.tokens(col(textCol)))).as("__term"))
+      .filter(col("__term") =!= "")
+      .groupBy("__term").agg(count(lit(1)).as("__dfc"))
+    val withDf = postings.join(dfCounts, Seq("__term"))
     val stats = docs.agg(count(lit(1)).as("__n"))
     val score = round(col("__tf").cast("double") *
       (log((lit(1.0) + col("__n").cast("double")) /
