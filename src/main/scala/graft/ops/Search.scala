@@ -252,10 +252,16 @@ object Search {
       .select(col("__doc"), posexplode(col("__toks")).as(Seq("__pos", "__term")))
       .filter(col("__term") =!= "")
     val vocab = toks.groupBy("__term").agg(count(lit(1)).as("__cnt"))
-    // total token count from the VOCAB aggregate, not a third corpus
-    // scan: Σ counts ≡ token count, and the vocab exchange already
-    // exists in the plan (ReuseExchange dedupes it)
-    val total = vocab.agg(sum(col("__cnt")).as("__tot"))
+    // corpus token total as a MAP-ONLY pass over the docs (Σ per-doc
+    // token counts ≡ Σ vocab counts — same long, bit-identical logp
+    // denominators). Deriving it from `vocab` re-computed the whole
+    // explode + (term) aggregate chain a third time: per-branch column
+    // pruning makes shared subtrees canonically unequal, so AQE never
+    // stage-reuses the vocab exchange (verified on the executed
+    // adaptive plan — the old comment claiming ReuseExchange dedupes it
+    // was wrong).
+    val total = docs.agg(
+      sum(TextOps.tokenCount(col(textCol)).cast("long")).as("__tot"))
     val logp = log(col("__cnt").cast("double") / col("__tot").cast("double"))
     toks.join(vocab, Seq("__term"))
       .crossJoin(broadcast(total))
