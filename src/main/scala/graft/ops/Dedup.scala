@@ -42,14 +42,16 @@ object Dedup {
     * bug.
     *
     * `key` drives a deterministic HASH exchange, not round-robin:
-    * AQE's stage cache refuses to reuse a nondeterministic round-robin
-    * exchange, so every operator whose plan consumes the spread subtree
-    * in more than one branch (postings + df counts, tokens + vocab,
-    * pairs + term frequencies) silently computed the whole
-    * tokenize/signature subtree once PER BRANCH — measured as two full
-    * duplicate stage chains in the final adaptive plan. A hash exchange
-    * on a uniform key (the id column; an all-column hash when no id
-    * exists) is stage-reused, so the subtree runs once. */
+    * AQE's stage cache refuses to even CONSIDER a nondeterministic
+    * round-robin exchange for reuse, and a deterministic key also keeps
+    * the layout stable for downstream co-location. Reuse eligibility is
+    * necessary but not sufficient, though — round-9 executed-plan
+    * audits showed multi-branch consumers still duplicate the exchange
+    * whenever column pruning or inferred `isnotnull` constraints make
+    * the branch subtrees canonically unequal (see withKeyAgg's cost
+    * note); the operators where that duplication was expensive now
+    * compute their second branch as an explicit independent narrow
+    * pass instead of relying on reuse. */
   private[graft] val SpreadMaxBytes: Long = 2L << 30
   private[graft] def spread(df: DataFrame, key: Column): DataFrame = {
     val plan = df.queryExecution.optimizedPlan
@@ -96,14 +98,20 @@ object Dedup {
     * partition. `agg` must be pre-aliased; predicates on its output
     * columns push below the join into the aggregate side.
     *
-    * Cost honesty: the two branches share whatever exchange sits below
-    * them (the spread repartition at small scale, a postings exchange in
-    * the search ops), and AQE stage reuse then runs the occurrence
-    * subtree once. Past the spread byte budget there may be NO shared
-    * exchange, and the scan + tokenize subtree executes once per branch
-    * — two parallel, skew-free map scans, which at corpus scale is still
-    * the right trade against the window form's guaranteed single-task
-    * funnel on every hot key.
+    * Cost honesty: the occurrence subtree executes ONCE PER BRANCH —
+    * two parallel, skew-free map scans (the aggregate branch prunes to
+    * the key column, so its copy is narrow). Round-9 executed-plan
+    * audits showed AQE stage reuse does NOT deduplicate the branches in
+    * practice, even under a shared spread exchange: per-branch column
+    * pruning and constraint inference (a join downstream of one branch
+    * injects `isnotnull` filters the other branch lacks) make the
+    * shared subtrees canonically unequal. Operators where the second
+    * pass was heavyweight (bm25Batch/tfidfKeywords df, unigramNll
+    * total, the as-of boundary, sessionize bounds) were restructured to
+    * explicit independent narrow passes; for the remaining gram-lineage
+    * callers the pruned re-scan IS the narrow pass, and at corpus scale
+    * two skew-free map scans remain the right trade against the window
+    * form's guaranteed single-task funnel on every hot key.
     *
     * PRECONDITION: `key` must be non-null on every row. The inner
     * equi-join drops null-key rows, where the window form it replaces
