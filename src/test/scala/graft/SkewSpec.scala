@@ -298,6 +298,51 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("property: segmented carries equal their reference forms on random fixtures") {
+    // 30 randomized rounds per operator: random event sets (clustered
+    // keys, colliding timestamps), random gap, random granule width —
+    // the segmented result must equal the single-window form (as-of:
+    // brute-force argmax; sessionize: the sub-gate classic plan)
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 30).foreach { round =>
+      val nKeys = 1 + rnd.nextInt(4)
+      val width = 1L + rnd.nextInt(200)
+      // --- as-of ---
+      val lRows = (1 to 30 + rnd.nextInt(40)).map(_ =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(500).toLong))
+      val rRows = (1 to 20 + rnd.nextInt(40)).map(i =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(500).toLong, i.toDouble))
+        // contract: unique right (key, time)
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val left = lRows.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "t", "lid")
+      val right = rRows.toDF("k", "t", "v")
+      val got = Joins.asOfJoin(left, right, "k", "t", Seq("v"),
+          granule = Some(width))
+        .collect().map(r => (r.getLong(2), Option(r.get(3)))).toMap
+      lRows.zipWithIndex.foreach { case ((k, t), i) =>
+        val m = rRows.filter(rr => rr._1 == k && rr._2 <= t)
+        val want = if (m.isEmpty) None else Some(m.maxBy(_._2)._3)
+        assert(got(i.toLong) == want, s"round $round asof lid=$i k=$k t=$t")
+      }
+      // --- sessionize ---
+      val gap = 1L + rnd.nextInt(100)
+      val evs = (1 to 40 + rnd.nextInt(60)).map(_ =>
+        (rnd.nextInt(nKeys).toLong,
+          new java.sql.Timestamp(rnd.nextInt(2000).toLong * 1000),
+          rnd.nextInt(10).toDouble))
+        .toDF("user_id", "ts", "value")
+      def sess(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getLong(0), r.getAs[java.sql.Timestamp](1).getTime,
+          r.getAs[java.sql.Timestamp](2).getTime, r.getAs[Long](3),
+          r.getAs[Double](4))).toSet
+      val seg = sess(graft.streaming.EventStreams.sessionizeBatch(
+        evs, gap, granule = Some(width)))
+      val ref = sess(graft.streaming.EventStreams.sessionizeBatch(evs, gap))
+      assert(seg == ref, s"round $round sessions gap=$gap width=$width")
+    }
+  }
+
   test("asOfJoin: an explicit granule buckets ties and boundaries correctly") {
     // granule 7 with times straddling bucket edges, incl. a tie at t=14
     // (right sorts before left: <= matches) and a carry ACROSS granules
