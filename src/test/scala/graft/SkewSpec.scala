@@ -298,6 +298,22 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("single-pass restructures hold: explode counts are pinned in the optimized plans") {
+    // executed-plan audits showed AQE never dedupes canonically-unequal
+    // branches, so these operators compute their second branch WITHOUT
+    // re-exploding the corpus; a third Generate reappearing means a
+    // duplicated occurrence subtree snuck back in
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    def generates(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case g: Generate => g }.length
+    // unigramNll: toks explode for the join + for the vocab; the corpus
+    // total is map-only (was a third full explode chain)
+    assert(generates(Search.unigramNll(docs, "doc_id", "text")) == 2)
+    // tfidfKeywords: postings explode + the independent distinct-token
+    // df pass (was a second full postings subtree)
+    assert(generates(Search.tfidfKeywords(docs, "doc_id", "text", k = 3)) == 2)
+  }
+
   test("property: segmented carries equal their reference forms on random fixtures") {
     // 30 randomized rounds per operator: random event sets (clustered
     // keys, colliding timestamps), random gap, random granule width —
