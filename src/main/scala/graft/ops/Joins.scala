@@ -17,13 +17,28 @@ object Joins {
     * An explicit granule always segments regardless of size. */
   private[graft] val SegmentedCarryMinRows: Long = 2L << 20
 
+  /** floor(t / width) in EXACT arithmetic, shared by every granule
+    * bucketing (range join, as-of carry, batch sessionize). Subtracting
+    * the non-negative pmod makes the numerator an exact multiple, so the
+    * division is an exact integer — a double-typed division of ns-scale
+    * longs (2^60) would round the quotient across bucket boundaries
+    * (53-bit mantissa). The subtraction happens in decimal(38,0), NOT
+    * long: for t within `width` of Long.MinValue (reachable — double
+    * times saturate there on cast) the long subtraction would wrap to a
+    * huge positive granule and misplace the row's carry. */
+  private[graft] def granuleBucket(t: Column, width: Long): Column =
+    ((t.cast("decimal(38,0)") - pmod(t, lit(width))) / lit(width)).cast("long")
+
   /** Enrichment equi-join between two tables — the dialect-level join the
     * single-table reference never had. `on` pairs (leftCol, rightCol);
     * `how` is inner | left | semi | anti (left-row-preserving variants
     * only — the output keeps the left table's identity, which is what a
     * pipeline enrichment step means). For inner/left, `rightCols` name
     * the right-side payload to append; they must not collide with a left
-    * column. Keys compare with SQL equality (nulls never match).
+    * column. Semi/anti joins carry no payload, so `rightCols` is REJECTED
+    * there rather than silently ignored — the dialect's strict-validation
+    * posture (the xop layer enforces the same rule with its own error).
+    * Keys compare with SQL equality (nulls never match).
     *
     * Scale: a plain declarative join — Catalyst/AQE pick broadcast vs
     * shuffled hash from observed sizes; `broadcastRight` forces the hint
@@ -41,6 +56,9 @@ object Joins {
       case "anti"  => "left_anti"
       case other   => throw new IllegalArgumentException(s"unknown join how: $other")
     }
+    if ((sparkHow == "left_semi" || sparkHow == "left_anti") && rightCols.nonEmpty)
+      throw new IllegalArgumentException(
+        s"equiJoin: rightCols is invalid for $how joins (they carry no right payload)")
     val r0 = if (broadcastRight) broadcast(right) else right
     val cond = on.map { case (l, rr) => left(l) === r0(rr) }.reduce(_ && _)
     val joined = left.join(r0, cond, sparkHow)
@@ -91,14 +109,7 @@ object Joins {
       throw new IllegalArgumentException(
         s"rangeJoin reserves the __rj_ prefix for internal columns: $c") }
 
-    // floor(ts / granule) in EXACT integer arithmetic: subtracting the
-    // non-negative pmod makes the numerator an exact multiple, so SQL
-    // `div` (truncating) equals floor even for negative epochs — a
-    // double-typed division of ns-scale longs (2^60) would round the
-    // quotient across bucket boundaries (53-bit mantissa).
-    def bucket(c: Column): Column =
-      ((c - pmod(c, lit(granule))).cast("decimal(38,0)") / lit(granule))
-        .cast("long")
+    def bucket(c: Column): Column = Joins.granuleBucket(c, granule)
 
     val lt = left.withColumn("__rj_ts", left(tsCol).cast("long"))
       .withColumn("__rj_g", bucket(col("__rj_ts")))
@@ -233,7 +244,8 @@ object Joins {
     val effectiveGranule: Option[Long] = toLong match {
       case None => None
       case Some(fn) => granule.orElse {
-        if (Similarity.approxRows(u, rowBytes = 64L) >= Joins.SegmentedCarryMinRows)
+        if (Similarity.approxRows(u, rowBytes = 64L, unknownAs = Long.MaxValue) >=
+            Joins.SegmentedCarryMinRows)
           Some(autoGranule(u, fn))
         else None
       }
@@ -248,15 +260,7 @@ object Joins {
           .select(leftCols ++ payloadOut: _*)
 
       case (Some(fn), Some(width)) =>
-        // exact integer floor(t / width) — same arithmetic as rangeJoin's
-        // bucket: subtracting the non-negative pmod makes the numerator an
-        // exact multiple, so truncating division equals floor even for
-        // negative epochs (a double division of ns-scale longs would
-        // round across bucket boundaries)
-        val tl = fn(col("__t"))
-        val g = ((tl - pmod(tl, lit(width))).cast("decimal(38,0)") / lit(width))
-          .cast("long")
-        val ub = u.withColumn("__g", g)
+        val ub = u.withColumn("__g", Joins.granuleBucket(fn(col("__t")), width))
         val wLocal = Window.partitionBy(col("__k"), col("__g"))
           .orderBy(col("__t"), col("__side"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -266,18 +270,29 @@ object Joins {
         // granule saw — no window needed: a plain (key, granule)
         // aggregate with map-side partial combine, where the max_by
         // ordering is null for left rows so only right rows compete
-        // (max_by ignores null ordering keys). Grouping the WHOLE union
-        // (not just right rows) keeps a carry row for right-less
-        // granules (__bp null), which the left join below relies on for
-        // their carry-in. Deliberately NOT derived from the window
-        // output: per-branch column pruning makes the two subtrees
-        // canonically different, so AQE would re-execute the wide
-        // (key, granule) exchange instead of reusing it — this branch
-        // instead exchanges only (key, granule, time, side, payload)
-        // rows already collapsed per mapper.
+        // (max_by ignores null ordering keys). Right rows order by a
+        // (isnotnull, t) struct, NOT bare __t: null-time rights (which
+        // sort FIRST in the window form and so carry into everything)
+        // land in the null granule, and a bare-__t ordering key would be
+        // null there too — max_by would drop them and the segmented path
+        // would silently diverge from the one-window path on null times.
+        // The struct keys them as smaller than every real time while
+        // still non-null, so a null-time right sets the null granule's
+        // boundary and propagates through the carry-in window (the null
+        // granule sorts first in __g order) exactly like the window
+        // form. Grouping the WHOLE union (not just right rows) keeps a
+        // carry row for right-less granules (__bp null), which the left
+        // join below relies on for their carry-in. Deliberately NOT
+        // derived from the window output: per-branch column pruning
+        // makes the two subtrees canonically different, so AQE would
+        // re-execute the wide (key, granule) exchange instead of reusing
+        // it — this branch instead exchanges only (key, granule, time,
+        // side, payload) rows already collapsed per mapper.
         val boundary = ub.groupBy(col("__k"), col("__g"))
           .agg(max_by(col("__p"),
-            when(col("__side") === 0, col("__t"))).as("__bp"))
+            when(col("__side") === 0,
+              struct(col("__t").isNotNull.as("nn"), col("__t").as("t"))))
+            .as("__bp"))
         val wCarry = Window.partitionBy(col("__k")).orderBy(col("__g"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val carry = boundary

@@ -74,13 +74,19 @@ object Similarity {
     *      bound for the filter/project-only derivations these operators
     *      see, and an upper bound only narrows LSH buckets;
     *   3. sizeInBytes / rowBytes — order-of-magnitude (unknown sizes
-    *      report Long.MaxValue, mapped to a 1M-row guess rather than a
-    *      nonsense 2^55). `rowBytes` defaults to 256 (text-table rows);
+    *      report Long.MaxValue, mapped to `unknownAs` rather than a
+    *      nonsense 2^55 — a 1M-row guess by default, which narrows LSH
+    *      bands sensibly, but the segmented-carry gates pass
+    *      `unknownAs = Long.MaxValue`: for THEM an unknown-size input
+    *      must classify as big (segment — the safe direction), not small
+    *      (keep the single-task hot-key window — the exact straggler the
+    *      gate exists to avoid)). `rowBytes` defaults to 256 (text-table rows);
     *      callers on WIDE rows pass their real width — an embedding
     *      table at ~8·dim bytes/row divided by the flat 256 would
     *      overestimate rows ~24× and inflate an auto-sized LSH band by
     *      ~5 bits, silently narrowing buckets and recall. */
-  private[graft] def approxRows(df: DataFrame, rowBytes: Long = 256L): Long = {
+  private[graft] def approxRows(df: DataFrame, rowBytes: Long = 256L,
+                                unknownAs: Long = 1L << 20): Long = {
     val plan = df.queryExecution.optimizedPlan
     plan.stats.rowCount.map(c => math.max(c.toLong, 1L)).getOrElse {
       plan.collectFirst {
@@ -88,7 +94,7 @@ object Similarity {
           math.max(p.stats.rowCount.get.toLong, 1L)
       }.getOrElse {
         val bytes = plan.stats.sizeInBytes
-        if (bytes >= BigInt(Long.MaxValue) / 4) 1L << 20
+        if (bytes >= BigInt(Long.MaxValue) / 4) unknownAs
         else math.max(bytes.toLong / math.max(rowBytes, 1L), 1L)
       }
     }

@@ -36,8 +36,13 @@ object ShapeWarmer {
   private[server] val MaxSchemas = 16
   private[server] val MaxShapes = 4
 
-  /** (stand-ins canonical, raw query json), newest-accessed last. */
-  private type Shapes = java.util.LinkedHashMap[(String, String), Unit]
+  /** memo key → (raw query json, stand-in pairs), newest-accessed last.
+    * The stand-ins are stored AS PARSED PAIRS — the memo key joins them
+    * with `;`/`=`/`|` purely as a cache key, and re-parsing that string
+    * would mis-split a stand-in value containing one of the separators,
+    * warming (and memoizing!) a plan built from the wrong values. */
+  private type Shapes =
+    java.util.LinkedHashMap[String, (String, Seq[(String, String)])]
   private val registry =
     new java.util.LinkedHashMap[StructType, Shapes](16, 0.75f, true) {
       override def removeEldestEntry(
@@ -64,27 +69,31 @@ object ShapeWarmer {
     registry.synchronized {
       val shapes = registry.get(schema) match {
         case null =>
-          val s: Shapes = new java.util.LinkedHashMap[(String, String), Unit](8, 0.75f, true) {
+          val s: Shapes = new java.util.LinkedHashMap[String, (String, Seq[(String, String)])](8, 0.75f, true) {
             override def removeEldestEntry(
-                e: java.util.Map.Entry[(String, String), Unit]): Boolean =
+                e: java.util.Map.Entry[String, (String, Seq[(String, String)])]): Boolean =
               size() > MaxShapes
           }
           registry.put(schema, s)
           s
         case s => s
       }
-      shapes.put((memoKey(standIns, qJson), qJson), ())
+      shapes.put(memoKey(standIns, qJson), (qJson, standIns))
     }
 
-  /** Shapes known for this schema, hottest last. */
-  private def shapesFor(schema: StructType): Seq[(String, String)] =
+  /** Shapes known for this schema as (memoKey, qJson, standIns), hottest
+    * last. */
+  private def shapesFor(schema: StructType): Seq[(String, String, Seq[(String, String)])] =
     registry.synchronized {
       registry.get(schema) match {
         case null => Seq.empty
         case s =>
-          val it = s.keySet().iterator()
-          val out = Seq.newBuilder[(String, String)]
-          while (it.hasNext) out += it.next()
+          val it = s.entrySet().iterator()
+          val out = Seq.newBuilder[(String, String, Seq[(String, String)])]
+          while (it.hasNext) {
+            val e = it.next()
+            out += ((e.getKey, e.getValue._1, e.getValue._2))
+          }
           out.result()
       }
     }
@@ -95,17 +104,9 @@ object ShapeWarmer {
   def warm(item: CacheItem): Unit = {
     val shapes = shapesFor(item.df.schema)
     if (shapes.nonEmpty) pool.execute { () =>
-      shapes.foreach { case (key, qJson) =>
+      shapes.foreach { case (key, qJson, standIns) =>
         try {
           val q = graft.engine.Query.parse(qJson)
-          // stand-ins were folded into the memo key at record time; the
-          // replay applies the same header by re-parsing the key prefix
-          val standIns: Seq[(String, String)] = key.takeWhile(_ != '|') match {
-            case "" => Seq.empty
-            case s => s.split(';').toSeq.filter(_.nonEmpty).map { kv =>
-              val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1))
-            }
-          }
           val withStandIns =
             graft.sources.Ingest.addStandInColumns(item.df, standIns)
           val result = item.memoizedPlan(key)(

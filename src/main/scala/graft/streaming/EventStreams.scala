@@ -135,7 +135,8 @@ object EventStreams {
     granule.foreach(w => require(w > 0, "sessionizeBatch granule must be positive"))
     val tl = col("ts").cast("long")
     val effectiveGranule: Option[Long] = granule.orElse {
-      if (graft.ops.Similarity.approxRows(events, rowBytes = 64L) >=
+      if (graft.ops.Similarity.approxRows(events, rowBytes = 64L,
+            unknownAs = Long.MaxValue) >=
           graft.ops.Joins.SegmentedCarryMinRows) {
         // auto-derive: ~4096 segments over the observed span; an eager
         // column-pruned min/max job at plan-build time (pass an explicit
@@ -190,11 +191,7 @@ object EventStreams {
                                 width: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tl = col("ts").cast("long")
-    // exact integer floor(t / width): subtracting the non-negative pmod
-    // makes the numerator an exact multiple, so truncating division
-    // equals floor even for negative epoch seconds
-    val g = ((tl - pmod(tl, lit(width))).cast("decimal(38,0)") / lit(width))
-      .cast("long")
+    val g = graft.ops.Joins.granuleBucket(tl, width)
     val wLocal = Window.partitionBy(col("user_id"), col("__g")).orderBy(col("ts"))
     val prev = lag(col("ts"), 1).over(wLocal)
     val brk = when(prev.isNull

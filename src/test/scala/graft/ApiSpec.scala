@@ -88,6 +88,29 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       "stand-in shape must pre-plan on the new dataset under the read path's key")
   }
 
+  test("shape warmup replays a stand-in VALUE containing the key separator") {
+    // the memo key joins stand-ins with ';'/'='/'|' — but the warmer must
+    // replay from the PARSED pairs, not re-parse the key: a value holding
+    // '|' (legal: the header splits only on ';' and '=') would truncate,
+    // and the wrong plan would be memoized under the RIGHT key, silently
+    // serving bad rows to the first real query
+    graft.server.ShapeWarmer.clear()
+    assert(storeCsv("warm_v1", "a\n1\n").statusCode() == 201)
+    val q = """{"select": ["a", "extra"]}"""
+    def qWith(key: String) = send(req(s"/dataset/$key?q=" +
+        java.net.URLEncoder.encode(q, UTF_8)).GET()
+      .header("Accept", "application/json")
+      .header("X-QCache-stand-in-columns", "extra=x|y").build())
+    assert(qWith("warm_v1").statusCode() == 200)
+    assert(storeCsv("warm_v2", "a\n5\n").statusCode() == 201)
+    graft.server.ShapeWarmer.drain()
+    val key = graft.server.ShapeWarmer.memoKey(Seq("extra" -> "x|y"), q)
+    assert(server.cache.peek("warm_v2").get.memoizedKeys.contains(key))
+    val r = qWith("warm_v2") // memo hit — must carry the FULL value
+    assert(r.statusCode() == 200)
+    assert(r.body() == """[{"a":5,"extra":"x|y"}]""")
+  }
+
   test("csv upload, json query round trip") {
     assert(storeCsv("t1", csvData).statusCode() == 201)
     val r = query("t1", """{"where": [">", "foo", 1]}""")

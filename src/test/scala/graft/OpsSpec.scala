@@ -1419,6 +1419,17 @@ class OpsSpec extends AnyFunSuite {
     assert(anti.select("id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
   }
 
+  test("equiJoin rejects rightCols on semi/anti (no silent ignore)") {
+    val l = Seq((1L, "a")).toDF("id", "k")
+    val r = Seq(("a", 10L)).toDF("rk", "v")
+    Seq("semi", "anti").foreach { how =>
+      val e = intercept[IllegalArgumentException] {
+        Joins.equiJoin(l, r, Seq("k" -> "rk"), how, Seq("v"))
+      }
+      assert(e.getMessage.contains("rightCols"), s"how=$how: ${e.getMessage}")
+    }
+  }
+
   test("dupGramStats counts corpus-shared n-grams per doc") {
     val df = Seq(
       (1L, "a b c d e f"), // 3-grams: abc bcd cde def

@@ -359,6 +359,59 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("asOfJoin: null-time rights carry into everything on BOTH carry paths") {
+    // null times sort first in the window form, so a null-time right's
+    // payload reaches every left row until a later right overrides it.
+    // The segmented form must agree: null times bucket to the null
+    // granule, whose boundary (keyed by the (isnotnull, t) struct — a
+    // bare __t ordering key would be null and max_by would drop it)
+    // sorts first in the carry-in window. A divergence here would mean
+    // the stats gate silently changes RESULTS, not just plans.
+    val left = Seq((1L, 10L, "a"), (1L, 300L, "b")).toDF("k", "t", "tag")
+    val right = Seq((1L, Option.empty[Long], 99.0), (1L, Some(250L), 1.0))
+      .toDF("k", "t", "v")
+    def rows(df: DataFrame) = df.orderBy("t").collect()
+      .map(r => (r.getString(2), Option(r.get(3)))).toSeq
+    val win = rows(Joins.asOfJoin(left, right, "k", "t", Seq("v")))
+    assert(win == Seq(("a", Some(99.0)), ("b", Some(1.0))))
+    val seg = rows(Joins.asOfJoin(left, right, "k", "t", Seq("v"),
+      granule = Some(7L)))
+    assert(seg == win, "segmented and one-window paths must agree on null times")
+  }
+
+  test("granuleBucket: exact floor at the long extremes (no wraparound)") {
+    // double times saturate to Long.MinValue on cast; a long-typed
+    // (t - pmod) there wraps past Long.MaxValue and misplaces the carry —
+    // the subtraction must happen in decimal
+    val ts = Seq(Long.MinValue, Long.MinValue + 1, Long.MinValue + 999,
+      -1001L, -1000L, -1L, 0L, 1L, 999L, 1000L, Long.MaxValue - 1, Long.MaxValue)
+    val got = ts.toDF("t")
+      .select(Joins.granuleBucket(col("t"), 1000L).as("g"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == ts.map(t => Math.floorDiv(t, 1000L)))
+  }
+
+  test("asOfJoin: string time columns fall back to the one-window carry") {
+    // no integral order embedding exists for strings, so even an explicit
+    // granule cannot segment: the plan is the per-key window over the raw
+    // union — correct, but each key funnels into one task (README scale
+    // posture documents this; feed temporal types at scale)
+    val left = Seq((1L, "2024-01-02", "a"), (1L, "2024-03-01", "b"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, "2024-01-01", 1.0), (1L, "2024-02-01", 2.0))
+      .toDF("k", "t", "v")
+    val out = Joins.asOfJoin(left, right, "k", "t", Seq("v"), granule = Some(7L))
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LW}
+    val windows = out.queryExecution.optimizedPlan.collect { case w: LW => w }
+    assert(windows.nonEmpty)
+    assert(windows.forall(w =>
+        w.child.collectFirst { case a: Aggregate => a }.isEmpty),
+      "string-time fallback must be the raw one-window carry (no boundary aggregate)")
+    val got = out.orderBy("t").collect()
+      .map(r => (r.getString(2), r.getDouble(3))).toSeq
+    assert(got == Seq(("a", 1.0), ("b", 2.0)))
+  }
+
   test("asOfJoin: an explicit granule buckets ties and boundaries correctly") {
     // granule 7 with times straddling bucket edges, incl. a tie at t=14
     // (right sorts before left: <= matches) and a carry ACROSS granules
