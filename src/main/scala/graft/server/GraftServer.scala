@@ -31,7 +31,8 @@ final class GraftServer(spark: SparkSession, port: Int,
                         clock: () => Long = () => System.currentTimeMillis(),
                         basicAuth: Option[(String, String)] = None,
                         ssl: Option[javax.net.ssl.SSLContext] = None,
-                        needClientAuth: Boolean = false) {
+                        needClientAuth: Boolean = false,
+                        maxResultRows: Long = 0L) {
 
   // Basic auth only makes sense over TLS (reference: app.py:348-350).
   require(basicAuth.isEmpty || ssl.isDefined,
@@ -323,11 +324,29 @@ final class GraftServer(spark: SparkSession, port: Int,
         val result =
           if (crossDataset) QueryEngine.run(withStandIns, q, resolver)
           else item.memoizedPlan(memoKey)(QueryEngine.run(withStandIns, q, resolver))
+        // Response-size guard (OFF by default — full dumps are the
+        // reference's contract and the api suite asserts them): the dump
+        // path collects the whole result to the driver, which is fine at
+        // cache scale but lets one bare `{}` against a huge table OOM the
+        // server. With --max-result-rows=N set, the collect is bounded at
+        // N+1 rows (the limit caps driver memory, not just the response)
+        // and an overflowing result is a 413, naming the knob. The limit
+        // wraps the memoized plan, so enabling the guard trades the
+        // memo's materialized-stage reuse for the bound — a posture
+        // switch for big-table deployments, not the default.
+        val bounded =
+          if (maxResultRows > 0) result.df.limit(
+            math.min(maxResultRows + 1, Int.MaxValue.toLong).toInt)
+          else result.df
         val (text, rowCount) =
-          if (accept == "text/csv") Serialize.toCsvCounted(result.df)
+          if (accept == "text/csv") Serialize.toCsvCounted(bounded)
           else if (accept == "application/x-ndjson")
-            Serialize.toJsonLinesCounted(result.df)
-          else Serialize.toJsonCounted(result.df)
+            Serialize.toJsonLinesCounted(bounded)
+          else Serialize.toJsonCounted(bounded)
+        if (maxResultRows > 0 && rowCount > maxResultRows)
+          throw new HttpFail(413, errorJson(
+            s"result exceeds max-result-rows=$maxResultRows; " +
+              "add offset/limit to page the result"))
         val bytes = text.getBytes(UTF_8)
         // Without offset/limit the serialized row count IS the unsliced
         // length — the separate count job only runs for sliced queries.
@@ -383,8 +402,12 @@ final class GraftServer(spark: SparkSession, port: Int,
   * sbt "runMain graft.server.Main [port] [--port=N] [--size=BYTES]
   *   [--age=SECONDS] [--statistics-buffer-size=N]
   *   [--cert-file=server.pem] [--ca-file=ca.pem]
-  *   [--basic-auth=user:password] [-d|--debug]"
+  *   [--basic-auth=user:password] [--max-result-rows=N] [-d|--debug]"
   * }}}
+  *
+  * `--max-result-rows` (graft extension, default off) bounds the driver-
+  * side result collect and turns an overflowing dump into a 413 — the
+  * scale posture for big-table deployments; see README.
   *
   * A bare leading number is accepted as the port (back-compat). TLS comes
   * from a PEM bundle (key + cert); `--ca-file` additionally requires and
@@ -408,6 +431,7 @@ object Main {
     val maxAge = flag(args, "age")
       .getOrElse(sys.env.getOrElse("QCACHE_MAX_AGE", "0")).toLong
     val statsBuf = flag(args, "statistics-buffer-size").map(_.toInt).getOrElse(1000)
+    val maxResultRows = flag(args, "max-result-rows").map(_.toLong).getOrElse(0L)
     val certFile = flag(args, "cert-file")
     val caFile = flag(args, "ca-file")
     val basicAuth = flag(args, "basic-auth").map { v =>
@@ -449,7 +473,8 @@ object Main {
       maxCacheSize = maxSize, maxAge = maxAge,
       statisticsBufferSize = statsBuf,
       basicAuth = basicAuth, ssl = ssl,
-      needClientAuth = caFile.isDefined)
+      needClientAuth = caFile.isDefined,
+      maxResultRows = maxResultRows)
     server.start()
     println(s"graft qcache server listening on port ${server.boundPort}")
     Thread.currentThread().join()

@@ -111,6 +111,31 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.body() == """[{"a":5,"extra":"x|y"}]""")
   }
 
+  test("max-result-rows guard: overflow is 413, within-bound dumps stay complete") {
+    // guard OFF on the shared server (reference parity: full dumps);
+    // a dedicated guarded server exercises the 413 posture
+    val guarded = new graft.server.GraftServer(spark, 0, maxResultRows = 2L)
+    guarded.start()
+    try {
+      val store = send(req("/dataset/big", guarded)
+        .POST(BodyPublishers.ofString("v\n1\n2\n3\n"))
+        .header("Content-Type", "text/csv").build())
+      assert(store.statusCode() == 201)
+      def q(json: String) = send(req("/dataset/big?q=" +
+          java.net.URLEncoder.encode(json, UTF_8), guarded).GET()
+        .header("Accept", "application/json").build())
+      val over = q("{}") // 3 rows > 2 — the bare-{} OOM shape
+      assert(over.statusCode() == 413)
+      assert(over.body().contains("max-result-rows=2"))
+      // a paged query under the bound serves the COMPLETE page
+      val paged = q("""{"limit": 2}""")
+      assert(paged.statusCode() == 200)
+      assert(paged.body() == """[{"v":1},{"v":2}]""")
+      // and the unsliced-length header still reports the pre-slice count
+      assert(paged.headers().firstValue("X-QCache-unsliced-length").get == "3")
+    } finally guarded.stop()
+  }
+
   test("csv upload, json query round trip") {
     assert(storeCsv("t1", csvData).statusCode() == 201)
     val r = query("t1", """{"where": [">", "foo", 1]}""")
