@@ -328,6 +328,21 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF at recall-forcing parameters (nProbe = nCells: every cell is
+    // probed, every corpus row is a candidate exactly once) — the
+    // bucketed machinery must then reproduce x6's EXACT ranking, so this
+    // row shares x6's DuckDB oracle verbatim; the approximate settings
+    // stay in x14's rows-only + recall-gate checks. Shares x14's cached
+    // quantizer build (same corpus plan + build params)
+    "x14b_ann_ivf_exact" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      graft.ops.Similarity.ivfTopK(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nCells = 32, nProbe = 32, dim = 64, kmeansIters = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // token counting: whitespace + BPE-ish regex
     "x8_text_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -546,6 +561,23 @@ object SparkEntry {
       graft.ops.Similarity.clusterAssign(t(s, dir, "embeddings"),
         "vec_id", "embedding", k = 8, iters = 2)
         .select("vec_id", "cluster", "cohesion").orderBy("vec_id")),
+
+    // explicit-centroid assignment — x42's oracle anchor (the x5b trick
+    // applied to clustering): with the centroid list FIXED (the first 4
+    // corpus vectors, a ≤k driver collect), the assignment is a
+    // deterministic cosine argmax DuckDB replays as a row_number over
+    // list_cosine_similarity; ties (exact-duplicate cosines) take the
+    // lowest centroid index on both sides. Integer output only — the
+    // argmax is ulp-robust for real-data centroids, float cohesion stays
+    // in x42's rows-only row
+    "x42b_emb_cluster_fixed" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents: Seq[Seq[Double]] = e.filter(col("vec_id") < 4).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toSeq).toSeq
+      graft.ops.Similarity.clusterAssignWith(e, "embedding", cents)
+        .select(col("vec_id"), col("cluster")).orderBy("vec_id")
+    }),
 
     // batch BM25: one corpus pass answers a query TABLE — broadcast
     // term-set prefilter before the single (term, doc) shuffle, per-query
@@ -1147,6 +1179,29 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, c_name, c_mktsegment
          FROM orders LEFT JOIN customer ON o_custkey = c_custkey
          ORDER BY o_orderkey""",
+    "x14b_ann_ivf_exact" ->
+      """SELECT query_id, rank, neighbor_id, cos FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                               c.embedding::DOUBLE[]), 6) AS cos,
+                  row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                                      c.embedding::DOUBLE[]) DESC,
+                               c.vec_id) AS rank
+           FROM embeddings q, embeddings c
+           WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    "x42b_emb_cluster_fixed" ->
+      """WITH c AS (
+           SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+           FROM embeddings WHERE vec_id < 4)
+         SELECT vec_id, CAST(cluster AS INT) AS cluster FROM (
+           SELECT e.vec_id, c.cid AS cluster,
+                  row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv)
+                               DESC, c.cid) AS rn
+           FROM embeddings e, c)
+         WHERE rn = 1 ORDER BY vec_id""",
     "x41_bm25_batch" ->
       """WITH queries(query_id, query_text) AS (
            VALUES (1, 'hash join filter'), (2, 'customer order data'),

@@ -763,13 +763,39 @@ object XopEngine {
       // spherical k-means cluster assignment (map-only once the cached
       // quantizer is built; shares the IVF index cache)
       case "emb_cluster" =>
-        knownArgs("id", "column", "k", "iters")
-        val k = intArg(args, "k", 16, name).toInt
-        if (k <= 0) Errors.malformed(s"xop '$name': k must be positive")
-        val iters = intArg(args, "iters", 3, name).toInt
-        if (iters < 0) Errors.malformed(s"xop '$name': iters must be >= 0")
-        Similarity.clusterAssign(df, column(df, args, "id", name),
-          vectorColumn(df, args, "column", name), k, iters)
+        knownArgs("id", "column", "k", "iters", "centroids")
+        args.get("centroids") match {
+          case Some(raw) =>
+            // explicit-centroid assignment (x42b): no build, pure argmax;
+            // id/k/iters describe the build and are meaningless here
+            if (args.contains("k") || args.contains("iters") || args.contains("id"))
+              Errors.malformed(
+                s"xop '$name': 'centroids' excludes 'id'/'k'/'iters' (no build runs)")
+            val centroids: Seq[Seq[Double]] = raw match {
+              case l: List[Any] @unchecked if l.nonEmpty => l.map {
+                case inner: List[Any] @unchecked => inner.map {
+                  case n: java.lang.Number => n.doubleValue()
+                  case other => Errors.malformed(
+                    s"xop '$name': centroid entries must be numbers", other)
+                }
+                case other => Errors.malformed(
+                  s"xop '$name': 'centroids' must be a list of number lists", other)
+              }
+              case other => Errors.malformed(
+                s"xop '$name': 'centroids' must be a non-empty list of number lists", other)
+            }
+            if (centroids.map(_.length).distinct.size != 1)
+              Errors.malformed(s"xop '$name': centroids must share one dimensionality")
+            Similarity.clusterAssignWith(df,
+              vectorColumn(df, args, "column", name), centroids)
+          case None =>
+            val k = intArg(args, "k", 16, name).toInt
+            if (k <= 0) Errors.malformed(s"xop '$name': k must be positive")
+            val iters = intArg(args, "iters", 3, name).toInt
+            if (iters < 0) Errors.malformed(s"xop '$name': iters must be >= 0")
+            Similarity.clusterAssign(df, column(df, args, "id", name),
+              vectorColumn(df, args, "column", name), k, iters)
+        }
 
       // per-doc duplicated n-gram span statistics (substring-dedup signal)
       case "dup_grams" =>

@@ -296,7 +296,24 @@ object Similarity {
         .toSeq
       if (iters > 0) kmeansRefine(df, vecCol, sampled, iters) else sampled
     }
-    val centroids = built.map { c =>
+    clusterAssignWith(df, vecCol, built)
+  }
+
+  /** Assignment-only spherical k-means over CALLER-SUPPLIED centroids —
+    * [[clusterAssign]]'s map-only tail without the quantizer build. This
+    * is the production shape when centroids come from a prior build (or
+    * another system), and the oracle-checkable shape: with the centroid
+    * list fixed, the assignment is a deterministic argmax DuckDB can
+    * replay (x42b). Centroids are L2-normalized here, so the fused
+    * dot-product argmax equals the cosine argmax regardless of the
+    * caller's scaling; ties take the FIRST (lowest-index) centroid
+    * (array_position returns the first occurrence of the max). */
+  def clusterAssignWith(df: DataFrame, vecCol: String,
+                        rawCentroids: Seq[Seq[Double]]): DataFrame = {
+    require(rawCentroids.nonEmpty, "centroids must be non-empty")
+    require(rawCentroids.map(_.length).distinct.size == 1,
+      "centroids must share one dimensionality")
+    val centroids = rawCentroids.map { c =>
       val n = math.sqrt(c.map(x => x * x).sum)
       if (n == 0) c else c.map(_ / n)
     }

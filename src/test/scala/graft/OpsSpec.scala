@@ -1419,6 +1419,28 @@ class OpsSpec extends AnyFunSuite {
     assert(anti.select("id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
   }
 
+  test("clusterAssignWith: cosine argmax, first-index ties, zero-vector guard") {
+    val df = Seq(
+      (1L, Seq(1.0, 0.0)),  // centroid 0
+      (2L, Seq(0.0, 2.0)),  // centroid 1 (centroid scaling is irrelevant)
+      (3L, Seq(-1.0, 0.0)), // cos c0 = -1 < cos c1 = 0 → centroid 1
+      (4L, Seq(1.0, 1.0)),  // exact tie → FIRST (lowest) index
+      (5L, Seq(0.0, 0.0))   // zero vector: cohesion defined as 0
+    ).toDF("id", "v")
+    val out = graft.ops.Similarity.clusterAssignWith(df, "v",
+        Seq(Seq(2.0, 0.0), Seq(0.0, 0.5))) // deliberately unnormalized
+      .orderBy("id").collect()
+    assert(out.map(_.getAs[Int]("cluster")).toSeq == Seq(0, 1, 1, 0, 0))
+    assert(out.map(_.getAs[Double]("cohesion")).toSeq
+      == Seq(1.0, 1.0, 0.0, 0.7071, 0.0))
+    intercept[IllegalArgumentException] {
+      graft.ops.Similarity.clusterAssignWith(df, "v", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Similarity.clusterAssignWith(df, "v", Seq(Seq(1.0), Seq(1.0, 0.0)))
+    }
+  }
+
   test("equiJoin rejects rightCols on semi/anti (no silent ignore)") {
     val l = Seq((1L, "a")).toDF("id", "k")
     val r = Seq(("a", 10L)).toDF("rk", "v")

@@ -215,6 +215,30 @@ class XopSpec extends AnyFunSuite {
       """{"xop": {"name": "emb_cluster", "args": {"id": "id", "column": "id", "k": 2}}}""") }
   }
 
+  test("emb_cluster with explicit centroids: deterministic argmax, strict args") {
+    val out = runV(
+      """{"xop": {"name": "emb_cluster",
+                  "args": {"column": "vec",
+                           "centroids": [[2.0, 0.0], [0.0, 0.5]]}},
+          "order_by": ["id"]}""")
+    // scale-invariant (centroids normalized): (1,0)→0, (.999,.01)→0,
+    // (0,1)→1, (.01,.999)→1, (-1,0)→ cos(c0)=-1 < cos(c1)=0 → 1
+    assert(out.collect().map(_.getAs[Int]("cluster")).toSeq
+      == Seq(0, 0, 1, 1, 1))
+    // build args are meaningless with explicit centroids → 400
+    intercept[MalformedQueryException] { runV(
+      """{"xop": {"name": "emb_cluster",
+                  "args": {"column": "vec", "k": 2,
+                           "centroids": [[1.0, 0.0]]}}}""") }
+    // malformed centroid shapes → 400
+    intercept[MalformedQueryException] { runV(
+      """{"xop": {"name": "emb_cluster",
+                  "args": {"column": "vec", "centroids": [[1.0], [1.0, 0.0]]}}}""") }
+    intercept[MalformedQueryException] { runV(
+      """{"xop": {"name": "emb_cluster",
+                  "args": {"column": "vec", "centroids": ["x"]}}}""") }
+  }
+
   test("cluster-balanced sampling: emb_cluster nests into sample_stratified") {
     // the semantic-balancing chain: assign clusters, then keep k per
     // cluster — one nested-from query, strata = the derived column
