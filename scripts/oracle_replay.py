@@ -1,0 +1,151 @@
+#!/usr/bin/env python3
+"""Cross-scale DuckDB oracle replay (builder-side validation tooling; NOT
+part of the Spark library). Mirrors the driver's correctness gate against
+an arbitrary sf directory:
+
+  python3 scripts/oracle_replay.py <spark_out_dir> <data_dir> [out.json]
+
+<spark_out_dir> is graft.Verify's output (one parquet dir per query +
+oracle_sql.json). For each query with oracle SQL, runs the SQL in DuckDB
+over views on <data_dir>'s parquet tables and compares with the Spark
+result, driver-style: columns sorted by name, row multisets compared
+exactly (EXCEPT ALL both directions, inside DuckDB so multi-million-row
+results never materialize in Python). If the exact compare fails, a
+float-tolerant pass (doubles/floats and float-lists rendered at 9
+significant digits) distinguishes last-ulp aggregation-order drift from a
+real mismatch: `exact` / `float_tolerant` / FAIL.
+"""
+import duckdb
+import glob
+import json
+import os
+import sys
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def connect(data_dir):
+    con = duckdb.connect()
+    con.execute("SET threads TO 16")
+    for t in TABLES:
+        p = f"{data_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def cols_of(con, rel_sql):
+    return [(r[0], r[1]) for r in
+            con.execute(f"DESCRIBE {rel_sql}").fetchall()]
+
+
+def render(col, typ, tolerant):
+    """Projection for one column: exact passthrough, or — in the tolerant
+    pass — floats at 9 significant digits so a last-ulp difference from
+    aggregation order doesn't read as a failure."""
+    q = f'"{col}"'
+    if not tolerant:
+        return f"{q} AS {q}"
+    if typ in ("DOUBLE", "FLOAT"):
+        return (f"CASE WHEN {q} IS NULL THEN NULL "
+                f"ELSE printf('%.8e', {q}::DOUBLE) END AS {q}")
+    if typ in ("DOUBLE[]", "FLOAT[]"):
+        return (f"CASE WHEN {q} IS NULL THEN NULL ELSE list_transform({q}, "
+                f"x -> CASE WHEN x IS NULL THEN NULL "
+                f"ELSE printf('%.8e', x::DOUBLE) END) END AS {q}")
+    return f"{q} AS {q}"
+
+
+def diff_count(con, a_sql, b_sql, names, types, tolerant):
+    proj = ", ".join(render(c, t, tolerant)
+                     for c, t in sorted(zip(names, types)))
+    return con.execute(f"""
+        SELECT count(*) FROM (
+          (SELECT {proj} FROM ({a_sql})
+           EXCEPT ALL SELECT {proj} FROM ({b_sql}))
+          UNION ALL
+          (SELECT {proj} FROM ({b_sql})
+           EXCEPT ALL SELECT {proj} FROM ({a_sql}))
+        )""").fetchone()[0]
+
+
+def main():
+    out_dir, data_dir = sys.argv[1], sys.argv[2]
+    report_path = sys.argv[3] if len(sys.argv) > 3 else None
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle_sql = json.load(f)
+
+    results, fails = {}, 0
+    names_all = sorted(d for d in os.listdir(out_dir)
+                       if os.path.isdir(os.path.join(out_dir, d)))
+    for name in names_all:
+        con = connect(data_dir)  # fresh per query: no view/temp leakage
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+        if not files:
+            results[name] = {"status": "NO_SPARK_OUTPUT"}
+            fails += 1
+            continue
+        spark_sql = ("SELECT * FROM read_parquet(["
+                     + ",".join(f"'{f}'" for f in files) + "])")
+        n_spark = con.execute(
+            f"SELECT count(*) FROM ({spark_sql})").fetchone()[0]
+        if name not in oracle_sql:
+            results[name] = {"status": "rows_only", "spark_rows": n_spark}
+            continue
+        osql = oracle_sql[name]
+        try:
+            n_oracle = con.execute(
+                f"SELECT count(*) FROM ({osql})").fetchone()[0]
+        except Exception as e:
+            results[name] = {"status": "ORACLE_SQL_ERROR",
+                             "err": str(e).split("\n")[0]}
+            fails += 1
+            continue
+        sc = cols_of(con, f"SELECT * FROM ({spark_sql})")
+        oc = cols_of(con, f"SELECT * FROM ({osql})")
+        row = {"spark_rows": n_spark, "oracle_rows": n_oracle,
+               "rows_match": n_spark == n_oracle,
+               "schema_match": sorted(c for c, _ in sc)
+               == sorted(c for c, _ in oc)}
+        if not (row["rows_match"] and row["schema_match"]):
+            row["status"] = "FAIL"
+            row["spark_cols"], row["oracle_cols"] = sc, oc
+            fails += 1
+        else:
+            names_, types_ = [c for c, _ in sc], [t for _, t in sc]
+            d = diff_count(con, spark_sql, osql, names_, types_, False)
+            if d == 0:
+                row["status"] = "exact"
+            else:
+                dt = diff_count(con, spark_sql, osql, names_, types_, True)
+                if dt == 0:
+                    row["status"] = "float_tolerant"
+                    row["exact_diff_rows"] = d
+                else:
+                    row["status"] = "FAIL"
+                    row["diff_rows"] = dt
+                    fails += 1
+        results[name] = row
+        print(f"{name}: {row['status']}"
+              + (f" ({row.get('spark_rows')} rows)"
+                 if "spark_rows" in row else ""), flush=True)
+        con.close()
+
+    summary = {"total": len(names_all), "fails": fails,
+               "exact": sum(1 for r in results.values()
+                            if r.get("status") == "exact"),
+               "float_tolerant": sum(1 for r in results.values()
+                                     if r.get("status") == "float_tolerant"),
+               "rows_only": sum(1 for r in results.values()
+                                if r.get("status") == "rows_only")}
+    print("SUMMARY:", json.dumps(summary))
+    print(f"FAILS: {fails}")
+    if report_path:
+        with open(report_path, "w") as f:
+            json.dump({"summary": summary, "queries": results}, f, indent=1,
+                      sort_keys=True)
+
+
+if __name__ == "__main__":
+    main()
