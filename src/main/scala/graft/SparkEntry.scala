@@ -456,7 +456,8 @@ object SparkEntry {
     // instead of funneling its entire merged history into a single
     // window task; regressions here mean the segmented path got slower
     // or the per-key full-history carry came back). The events fixture
-    // stores ts as epoch NANOS, so the granule is in nanos too.
+    // stores ts as a timestamp, which the as-of machinery embeds as
+    // epoch MICROS (Joins.timeEmbedding) — so the granule is in micros.
     "x31b_asof_hot" -> ((s, dir) => {
       val ev = t(s, dir, "events").withColumn("user_id",
         when(col("user_id") % 5 =!= 0, lit(0L)).otherwise(col("user_id")))
@@ -465,7 +466,7 @@ object SparkEntry {
       val clicks = ev.filter(col("event_type") === "click")
         .groupBy("user_id", "ts").agg(max(col("value")).as("click_value"))
       graft.ops.Joins.asOfJoin(errors, clicks, "user_id", "ts", Seq("click_value"),
-          granule = Some(3600L * 1000 * 1000 * 1000))
+          granule = Some(3600L * 1000 * 1000))
         .select("event_id", "user_id", "value", "click_value")
         .orderBy("event_id")
     }),
@@ -740,18 +741,21 @@ object SparkEntry {
     // (w5 overlaps w1/w3, proving many-to-many pairs survive exactly once)
     "x47_range_join" -> ((s, dir) => {
       import s.implicits._
-      val dayNs = 86400L * 1000000000L
-      def ns(day: Int): Long =
+      // events.ts is a timestamp → rangeJoin embeds it as epoch MICROS
+      // (Joins.timeEmbedding), so the long window bounds and the granule
+      // are in micros too
+      val dayUs = 86400L * 1000000L
+      def us(day: Int): Long =
         java.time.LocalDate.of(2024, 1, day)
-          .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond * 1000000000L
+          .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond * 1000000L
       val windows = Seq(
-        ("w1", ns(3), ns(7)), ("w2", ns(10), ns(11)), ("w3", ns(15), ns(22)),
-        ("w4", ns(25), ns(26)), ("w5", ns(5), ns(16)))
+        ("w1", us(3), us(7)), ("w2", us(10), us(11)), ("w3", us(15), us(22)),
+        ("w4", us(25), us(26)), ("w5", us(5), us(16)))
         .toDF("window_name", "w_start", "w_end")
       graft.ops.Joins.rangeJoin(
         t(s, dir, "events").select("event_id", "ts", "event_type"),
         windows, "ts", "w_start", "w_end", Seq("window_name"),
-        granule = dayNs)
+        granule = dayUs)
         .select("event_id", "window_name").orderBy("event_id", "window_name")
     }),
 
@@ -1798,8 +1802,9 @@ object SparkEntry {
          WHERE ((doc_id % 1000000007) * 654435747) % 1000000007 < 100000000
          ORDER BY doc_id""",
     "x15_events_sessions" ->
-      // ts arrives TIMESTAMP_NS in DuckDB; truncate to whole seconds the
-      // same way the Spark side does (nanos integer-div) before gap logic
+      // truncate ts to whole seconds the same way the Spark side does
+      // (eventsFrame's read-boundary normalization) before the gap logic;
+      // ts::TIMESTAMP also absorbs either fixture layout (ns or us)
       """WITH e AS (
            SELECT user_id, date_trunc('second', ts::TIMESTAMP) AS ts, value
            FROM events),

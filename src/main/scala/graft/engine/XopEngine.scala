@@ -488,10 +488,12 @@ object XopEngine {
         for (c <- Seq("user_id", "ts", "value") if !ExprCompiler.hasColumn(df, c))
           Errors.malformed(s"xop '$name': frame has no '$c' column")
         // the gap math casts ts to long — a string ts would ANSI-crash
-        // per row at runtime (500) instead of 400ing here
+        // per row at runtime (500) instead of 400ing here (NTZ timestamps
+        // are fine: sessionizeBatch unifies them on the session zone)
         df.schema("ts").dataType match {
           case _: org.apache.spark.sql.types.NumericType => ()
           case org.apache.spark.sql.types.TimestampType => ()
+          case org.apache.spark.sql.types.TimestampNTZType => ()
           case other =>
             Errors.malformed(s"xop '$name': 'ts' must be numeric or timestamp", other)
         }
@@ -636,9 +638,10 @@ object XopEngine {
         }
         for (c <- payload if !ExprCompiler.hasColumn(rightDf, c))
           Errors.malformed(s"xop '$name': right dataset has no column", c)
-        // optional: a segment width in the time column's own units; when
-        // absent the operator auto-derives one (~4096 segments over the
-        // observed span) with a min/max pre-pass
+        // optional: a segment width in the time column's EMBEDDED units
+        // (integers: their own units; timestamps: epoch MICROS — see
+        // Joins.timeEmbedding); when absent the operator auto-derives one
+        // (~4096 segments over the observed span) with a min/max pre-pass
         val asofGranule = args.get("granule").map { _ =>
           val w = intArg(args, "granule", 0, name)
           if (w <= 0)
@@ -945,16 +948,19 @@ object XopEngine {
         knownArgs("right", "ts", "start", "end", "payload", "granule",
           "on", "how")
         val rightDf = dataset("right").drop(RowId)
-        // the operator casts time columns to long: statically reject types
-        // the ANSI cast would crash on per row (a 500 instead of a 400).
-        // Integral/timestamp ONLY — a fractional time column would pass a
-        // NumericType check and then cast('long') truncates toward zero,
-        // silently coarsening fractional-second data (and not even
-        // floor-consistently for negatives); callers floor explicitly.
+        // the operator embeds time columns into long (integers: own
+        // units; timestamps: exact epoch micros — Joins.timeEmbedding):
+        // statically reject types the embedding would mangle (a 400
+        // instead of silent corruption). Integral/timestamp ONLY — a
+        // fractional time column would pass a NumericType check and then
+        // truncate toward zero, silently coarsening fractional-second
+        // data (and not even floor-consistently for negatives); callers
+        // floor explicitly.
         def timeLike(d: DataFrame, c: String): Unit = {
           import org.apache.spark.sql.types._
           d.schema(c).dataType match {
-            case ByteType | ShortType | IntegerType | LongType | TimestampType => ()
+            case ByteType | ShortType | IntegerType | LongType
+               | TimestampType | TimestampNTZType => ()
             // exact integral decimal that always FITS a long (precision
             // past 18 digits could overflow the ANSI cast per-row)
             case dt: DecimalType if dt.scale == 0 && dt.precision <= 18 => ()

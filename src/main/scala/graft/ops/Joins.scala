@@ -29,6 +29,37 @@ object Joins {
   private[graft] def granuleBucket(t: Column, width: Long): Column =
     ((t.cast("decimal(38,0)") - pmod(t, lit(width))) / lit(width)).cast("long")
 
+  /** Exact monotone embedding of a time-typed column into long, shared by
+    * the range join (which compares embedded values directly, so the map
+    * must preserve ORDER AND DISTINCTNESS — a seconds-level cast would
+    * merge distinct instants and corrupt interval endpoints) and the
+    * as-of/sessionize granule machinery (whose granule argument is in the
+    * embedded units). Integer columns pass through in their own units;
+    * timestamps — both LTZ and NTZ — embed as epoch MICROSECONDS, their
+    * full physical resolution (an NTZ wall time is interpreted in the
+    * session timezone, UTC in every graft entry point; a bare
+    * cast-to-long is rejected by Spark for NTZ, which is why this is not
+    * simply `cast("long")`); dates as epoch days. Doubles truncate
+    * (saturating at Long.Min/Max) — monotone, and the as-of join only
+    * buckets with the embedding while ordering by the real value. None →
+    * the caller's unsegmented/unsupported fallback. */
+  private[graft] def timeEmbedding(
+      dt: org.apache.spark.sql.types.DataType): Option[Column => Column] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some(_.cast("long"))
+      case TimestampType             => Some(c => unix_micros(c))
+      case TimestampNTZType          => Some(c => unix_micros(c.cast(TimestampType)))
+      case DateType                  => Some(c => unix_date(c).cast("long"))
+      case FloatType | DoubleType    => Some(_.cast("long"))
+      // exact integral decimal that always fits a long (matches the xop
+      // layer's range_join validator; wider/scaled decimals → None)
+      case dt: DecimalType if dt.scale == 0 && dt.precision <= 18 =>
+        Some(_.cast("long"))
+      case _                         => None
+    }
+  }
+
   /** Enrichment equi-join between two tables — the dialect-level join the
     * single-table reference never had. `on` pairs (leftCol, rightCol);
     * `how` is inner | left | semi | anti (left-row-preserving variants
@@ -72,8 +103,10 @@ object Joins {
   /** Point-in-interval range join: each left row (at `tsCol`) matches
     * every right interval with `startCol <= ts <= endCol` (inclusive),
     * optionally also equi-matched on `on` key pairs. `how` is inner |
-    * left. Time columns are integral (longs; timestamps cast to epoch
-    * seconds — pass raw nanos for sub-second precision).
+    * left. Time columns embed into long via [[Joins.timeEmbedding]]
+    * (integers in their own units; timestamps EXACTLY, as epoch micros;
+    * dates as epoch days) — the caller aligns units across the three
+    * columns, and `granule` is in those embedded units.
     *
     * Shape at scale: Spark's native plan for a pure range predicate is a
     * broadcast-nested-loop — fine only while one side broadcasts. This
@@ -111,12 +144,22 @@ object Joins {
 
     def bucket(c: Column): Column = Joins.granuleBucket(c, granule)
 
-    val lt = left.withColumn("__rj_ts", left(tsCol).cast("long"))
+    // exact long embedding per column TYPE (integer columns keep their
+    // own units, timestamps embed as epoch micros — see timeEmbedding);
+    // the caller aligns units across the three columns, and `granule` is
+    // in those embedded units
+    def embed(df: DataFrame, c: String): Column =
+      Joins.timeEmbedding(df.schema(c).dataType).map(_(df(c))).getOrElse(
+        throw new IllegalArgumentException(
+          s"rangeJoin: column '$c' has non-temporal/non-numeric type " +
+            s"${df.schema(c).dataType.simpleString}"))
+
+    val lt = left.withColumn("__rj_ts", embed(left, tsCol))
       .withColumn("__rj_g", bucket(col("__rj_ts")))
     val maxSpan = 100000L
     val rt = right
-      .withColumn("__rj_s", right(startCol).cast("long"))
-      .withColumn("__rj_e", right(endCol).cast("long"))
+      .withColumn("__rj_s", embed(right, startCol))
+      .withColumn("__rj_e", embed(right, endCol))
       .filter(col("__rj_e") >= col("__rj_s")) // sequence() would count DOWN
       .withColumn("__rj_g", explode(sequence(
         bucket(col("__rj_s")),
@@ -172,9 +215,9 @@ object Joins {
     *   5. join the carry-in back on (key, granule) — a tiny relation,
     *      AQE broadcasts it — and `coalesce(local, carryIn)`.
     *
-    * `granule` is a width in the time column's own integral units (epoch
-    * seconds for timestamps, days for dates, the raw value for numerics
-    * — nanos here if the source stores nanos). Any value is CORRECT;
+    * `granule` is a width in the time column's EMBEDDED units (see
+    * [[Joins.timeEmbedding]]: integers in their own units, timestamps as
+    * epoch micros, dates as epoch days). Any value is CORRECT;
     * only task granularity varies. An explicit granule always segments.
     * When absent, the choice is STATS-GATED (the same principle as
     * `Dedup.spread`'s byte budget): if the union's row estimate is below
@@ -221,19 +264,14 @@ object Joins {
       payload.as("__p"))
     val u = l.unionByName(r)
 
-    // A monotone embedding of the (coerced) time type into long, for
-    // bucketing only — within-bucket order still uses the real time, so
-    // lossy maps (timestamp → epoch seconds, double truncation, which
-    // saturates at Long.Min/Max) are fine: monotone is all a bucket
+    // The shared monotone embedding of the (coerced) time type into long
+    // (timestamps → epoch MICROS, integers → own units; `granule` is in
+    // these embedded units). Used for bucketing only — within-bucket
+    // order still uses the real time, so the double truncation's
+    // saturation at Long.Min/Max is fine: monotone is all a bucket
     // boundary needs. No embedding → unsegmented fallback.
-    import org.apache.spark.sql.types._
-    val toLong: Option[Column => Column] = u.schema("__t").dataType match {
-      case ByteType | ShortType | IntegerType | LongType => Some(_.cast("long"))
-      case TimestampType | TimestampNTZType               => Some(_.cast("long"))
-      case DateType                  => Some(c => unix_date(c).cast("long"))
-      case FloatType | DoubleType    => Some(_.cast("long"))
-      case _                         => None
-    }
+    val toLong: Option[Column => Column] =
+      Joins.timeEmbedding(u.schema("__t").dataType)
 
     val leftCols: Seq[Column] = left.columns.toSeq.map(c => col(s"__row.$c").as(c))
     val payloadOut: Seq[Column] = payloadCols.map(c => col(s"__carried.$c").as(c))

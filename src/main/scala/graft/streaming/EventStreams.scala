@@ -133,15 +133,25 @@ object EventStreams {
                       granule: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     granule.foreach(w => require(w > 0, "sessionizeBatch granule must be positive"))
+    // An NTZ time column unifies on the session-zone timestamp up front
+    // (UTC in every graft entry point, so the wall time IS the instant):
+    // Spark rejects a direct NTZ→long cast, and every gap/granule
+    // computation below embeds ts with cast("long") — epoch SECONDS for
+    // timestamps, own units for integer columns, matching gapSeconds.
+    val ev = events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        events.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => events
+    }
     val tl = col("ts").cast("long")
     val effectiveGranule: Option[Long] = granule.orElse {
-      if (graft.ops.Similarity.approxRows(events, rowBytes = 64L,
+      if (graft.ops.Similarity.approxRows(ev, rowBytes = 64L,
             unknownAs = Long.MaxValue) >=
           graft.ops.Joins.SegmentedCarryMinRows) {
         // auto-derive: ~4096 segments over the observed span; an eager
         // column-pruned min/max job at plan-build time (pass an explicit
         // granule to skip it)
-        val row = events.agg(min(col("ts").cast("long")).as("lo"),
+        val row = ev.agg(min(col("ts").cast("long")).as("lo"),
           max(col("ts").cast("long")).as("hi")).head()
         if (row.isNullAt(0)) Some(1L)
         else {
@@ -158,7 +168,7 @@ object EventStreams {
         val brk = when(prev.isNull
             .or(tl - prev.cast("long") > gapSeconds), 1L)
           .otherwise(0L)
-        events
+        ev
           .withColumn("__brk", brk)
           .withColumn("__sid", sum(col("__brk")).over(
             byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -168,7 +178,7 @@ object EventStreams {
             round(sum(col("value")), 4).as("total_value"))
           .drop("__sid")
       case Some(width) =>
-        segmentedSessions(events, gapSeconds, width)
+        segmentedSessions(ev, gapSeconds, width)
     }
   }
 
@@ -266,13 +276,28 @@ object EventStreams {
         round(sum(col("value")), 4).as("total_value"))
 
   /** The static events parquet re-expressed as a bounded stream-shaped
-    * frame (ts arrives as nanos under nanosAsLong). */
-  def eventsFrame(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
+    * frame: `ts` normalized to a WHOLE-SECOND session-zone timestamp
+    * regardless of the fixture's physical layout. The driver has shipped
+    * events.parquet both as timestamp_ns (which Spark surfaces as LONG
+    * epoch nanos under `nanosAsLong`) and as timestamp_us (surfaced as
+    * TIMESTAMP_NTZ), so this read-boundary handles both — the queries and
+    * their DuckDB oracles (which truncate with `date_trunc('second', ...)`)
+    * see identical values either way. */
+  def eventsFrame(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val sec = raw.schema("ts").dataType match {
       // integer nanos → WHOLE seconds with an INTEGRAL divide: `/` on
       // longs is double division, which both carries the fractional
       // second through the cast and can round UP across a second
       // boundary for nanos within ~128 ns of it (doubles have 53-bit
       // mantissas; 1.7e18 is representable only to multiples of 256)
-      .withColumn("ts", expr("ts div 1000000000").cast("timestamp"))
+      case org.apache.spark.sql.types.LongType =>
+        expr("ts div 1000000000").cast("timestamp")
+      // timestamp (either zone flavor): truncate, then a cast unifies on
+      // the session-zone type (UTC in every graft entry point, so the
+      // NTZ wall time IS the instant)
+      case _ => date_trunc("second", col("ts")).cast("timestamp")
+    }
+    raw.withColumn("ts", sec)
+  }
 }
