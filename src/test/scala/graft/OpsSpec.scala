@@ -866,6 +866,53 @@ class OpsSpec extends AnyFunSuite {
     assert(out.select("v").collect().forall(_.getDouble(0) == 7.0))
   }
 
+  test("temporal ops accept TIMESTAMP_NTZ time columns (micro embedding)") {
+    // the driver's round-10 fixtures surface parquet timestamp_us as NTZ
+    // (earlier fixtures were timestamp_ns → LONG): the three temporal
+    // operators must produce the same rows for an NTZ time column as for
+    // the equivalent LTZ one — sub-second instants included (the micro
+    // embedding must NOT coarsen to seconds)
+    import org.apache.spark.sql.types.TimestampNTZType
+    // micro-distinct instants (5.0000s, 5.0005s, 25s) built with
+    // timestamp_micros so sub-second precision genuinely exists
+    def tsUs(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.withColumn(c, timestamp_micros(col(c)))
+    val leftT = tsUs(Seq((1L, 5000000L, "l5"), (1L, 5000500L, "l5b"),
+      (1L, 25000000L, "l25")).toDF("k", "t", "tag"), "t")
+    val rightT = tsUs(Seq((1L, 5000500L, 100.0), (1L, 20000000L, 200.0))
+      .toDF("k", "t", "v"), "t")
+    def asNtz(df: org.apache.spark.sql.DataFrame, c: String = "t") =
+      df.withColumn(c, col(c).cast(TimestampNTZType))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("tag", "v").collect()
+        .map(r => (r.getString(0), Option(r.get(1)))).toSet
+    val ltz = Joins.asOfJoin(leftT, rightT, "k", "t", Seq("v"),
+      granule = Some(777L)) // micros: forces the segmented branch
+    val ntz = Joins.asOfJoin(asNtz(leftT), asNtz(rightT), "k", "t", Seq("v"),
+      granule = Some(777L))
+    assert(rowsOf(ltz) == rowsOf(ntz))
+    assert(rowsOf(ntz) == Set(("l5", None), ("l5b", Some(100.0)),
+      ("l25", Some(200.0)))) // 5.0000s misses the 5.0005s right: micros kept
+
+    // a seconds-coarsened embedding would pull 5.0000s inside this
+    // interval (both floor to 5s); the micro embedding must not
+    val intervals = tsUs(tsUs(Seq(("w", 5000200L, 21000000L))
+      .toDF("name", "s", "e"), "s"), "e")
+    val rj = Joins.rangeJoin(asNtz(leftT),
+      asNtz(asNtz(intervals, "s"), "e"),
+      "t", "s", "e", Seq("name"), granule = 1000000L)
+    assert(rj.select("tag").collect().map(_.getString(0)).toSet
+      == Set("l5b"))
+
+    val evsL = tsUs(Seq((1L, 1000000L, 1.0), (1L, 3000000L, 1.0),
+      (1L, 10000000L, 1.0)).toDF("user_id", "ts", "value"), "ts")
+    val evsN = evsL.withColumn("ts", col("ts").cast(TimestampNTZType))
+    def sess(df: org.apache.spark.sql.DataFrame) =
+      graft.streaming.EventStreams.sessionizeBatch(df, gapSeconds = 5)
+        .select("n_events").collect().map(_.getLong(0)).sorted.toSeq
+    assert(sess(evsL) == sess(evsN) && sess(evsN) == Seq(1L, 2L))
+  }
+
   test("redactPii counts and replaces emails, phones, ips") {
     val df = Seq(
       (1L, "mail me at jo.doe+x@sub.example.org or call +1 555-123-4567"),
