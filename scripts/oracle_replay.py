@@ -70,6 +70,52 @@ def diff_count(con, a_sql, b_sql, names, types, tolerant):
         )""").fetchone()[0]
 
 
+
+def _replay_one(con, out_dir, name, oracle_sql, results):
+    files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+    if not files:
+        results[name] = {"status": "NO_SPARK_OUTPUT"}
+        return
+    spark_sql = ("SELECT * FROM read_parquet(["
+                 + ",".join(f"'{f}'" for f in files) + "])")
+    n_spark = con.execute(
+        f"SELECT count(*) FROM ({spark_sql})").fetchone()[0]
+    if name not in oracle_sql:
+        results[name] = {"status": "rows_only", "spark_rows": n_spark}
+        return
+    osql = oracle_sql[name]
+    try:
+        n_oracle = con.execute(
+            f"SELECT count(*) FROM ({osql})").fetchone()[0]
+    except Exception as e:
+        results[name] = {"status": "ORACLE_SQL_ERROR",
+                         "err": str(e).split("\n")[0]}
+        return
+    sc = cols_of(con, f"SELECT * FROM ({spark_sql})")
+    oc = cols_of(con, f"SELECT * FROM ({osql})")
+    row = {"spark_rows": n_spark, "oracle_rows": n_oracle,
+           "rows_match": n_spark == n_oracle,
+           "schema_match": sorted(c for c, _ in sc)
+           == sorted(c for c, _ in oc)}
+    if not (row["rows_match"] and row["schema_match"]):
+        row["status"] = "FAIL"
+        row["spark_cols"], row["oracle_cols"] = sc, oc
+    else:
+        names_, types_ = [c for c, _ in sc], [t for _, t in sc]
+        d = diff_count(con, spark_sql, osql, names_, types_, False)
+        if d == 0:
+            row["status"] = "exact"
+        else:
+            dt = diff_count(con, spark_sql, osql, names_, types_, True)
+            if dt == 0:
+                row["status"] = "float_tolerant"
+                row["exact_diff_rows"] = d
+            else:
+                row["status"] = "FAIL"
+                row["diff_rows"] = dt
+    results[name] = row
+
+
 def main():
     out_dir, data_dir = sys.argv[1], sys.argv[2]
     report_path = sys.argv[3] if len(sys.argv) > 3 else None
@@ -80,57 +126,20 @@ def main():
     names_all = sorted(d for d in os.listdir(out_dir)
                        if os.path.isdir(os.path.join(out_dir, d)))
     for name in names_all:
-        con = connect(data_dir)  # fresh per query: no view/temp leakage
-        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
-        if not files:
-            results[name] = {"status": "NO_SPARK_OUTPUT"}
-            fails += 1
-            continue
-        spark_sql = ("SELECT * FROM read_parquet(["
-                     + ",".join(f"'{f}'" for f in files) + "])")
-        n_spark = con.execute(
-            f"SELECT count(*) FROM ({spark_sql})").fetchone()[0]
-        if name not in oracle_sql:
-            results[name] = {"status": "rows_only", "spark_rows": n_spark}
-            continue
-        osql = oracle_sql[name]
+        # fresh connection per query (no view/temp leakage); closing is in
+        # a finally so the early-continue branches don't leak one
+        # connection per skipped query
+        con = connect(data_dir)
         try:
-            n_oracle = con.execute(
-                f"SELECT count(*) FROM ({osql})").fetchone()[0]
-        except Exception as e:
-            results[name] = {"status": "ORACLE_SQL_ERROR",
-                             "err": str(e).split("\n")[0]}
+            _replay_one(con, out_dir, name, oracle_sql, results)
+        finally:
+            con.close()
+        row = results[name]
+        if row.get("status") in ("NO_SPARK_OUTPUT", "ORACLE_SQL_ERROR", "FAIL"):
             fails += 1
-            continue
-        sc = cols_of(con, f"SELECT * FROM ({spark_sql})")
-        oc = cols_of(con, f"SELECT * FROM ({osql})")
-        row = {"spark_rows": n_spark, "oracle_rows": n_oracle,
-               "rows_match": n_spark == n_oracle,
-               "schema_match": sorted(c for c, _ in sc)
-               == sorted(c for c, _ in oc)}
-        if not (row["rows_match"] and row["schema_match"]):
-            row["status"] = "FAIL"
-            row["spark_cols"], row["oracle_cols"] = sc, oc
-            fails += 1
-        else:
-            names_, types_ = [c for c, _ in sc], [t for _, t in sc]
-            d = diff_count(con, spark_sql, osql, names_, types_, False)
-            if d == 0:
-                row["status"] = "exact"
-            else:
-                dt = diff_count(con, spark_sql, osql, names_, types_, True)
-                if dt == 0:
-                    row["status"] = "float_tolerant"
-                    row["exact_diff_rows"] = d
-                else:
-                    row["status"] = "FAIL"
-                    row["diff_rows"] = dt
-                    fails += 1
-        results[name] = row
         print(f"{name}: {row['status']}"
               + (f" ({row.get('spark_rows')} rows)"
                  if "spark_rows" in row else ""), flush=True)
-        con.close()
 
     summary = {"total": len(names_all), "fails": fails,
                "exact": sum(1 for r in results.values()

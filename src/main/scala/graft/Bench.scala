@@ -45,6 +45,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // UTC everywhere: the NTZ time handling (timeEmbedding's NTZ->LTZ
+      // cast, x47's epoch-micro window bounds, sessionize's NTZ
+      // unification) assumes session-UTC; a DST host zone would make the
+      // NTZ embedding non-monotone and shift window bounds.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       // The default 100-entry codegen cache can't hold one full pass over

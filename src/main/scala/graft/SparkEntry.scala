@@ -31,6 +31,23 @@ object SparkEntry {
   private def rounded(cols: (String, Int)*)(df: DataFrame): DataFrame =
     cols.foldLeft(df) { case (d, (c, p)) => d.withColumn(c, round(col(c), p)) }
 
+  /** events.ts physical-layout adapter for the queries that pass literal
+    * time bounds/granules into the join machinery (x31b, x47): the driver
+    * has regenerated the fixture with different PHYSICAL parquet types
+    * across rounds (timestamp_ns — read as LONG nanos under
+    * `nanosAsLong` — in rounds ≤9, timestamp_us since round 10).
+    * `Joins.timeEmbedding` passes integer columns through in their OWN
+    * units and embeds timestamps as epoch micros, so literals authored in
+    * micros must scale ×1000 when the layout is LONG nanos — otherwise a
+    * silent regen would put x47's window bounds 1000× off while the
+    * eventsFrame-based queries kept working. Returns the number of
+    * embedded units per microsecond for the frame's ts column. */
+  private def eventsTsUnitsPerMicro(ev: DataFrame): Long =
+    ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => 1000L // timestamp_ns layout
+      case _                                   => 1L    // timestamp_{us,ltz} → micros
+    }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Shape of the reference README's showcase query (README.rst:310-318). */
   def entry(spark: SparkSession): DataFrame =
@@ -466,7 +483,7 @@ object SparkEntry {
       val clicks = ev.filter(col("event_type") === "click")
         .groupBy("user_id", "ts").agg(max(col("value")).as("click_value"))
       graft.ops.Joins.asOfJoin(errors, clicks, "user_id", "ts", Seq("click_value"),
-          granule = Some(3600L * 1000 * 1000))
+          granule = Some(3600L * 1000 * 1000 * eventsTsUnitsPerMicro(ev)))
         .select("event_id", "user_id", "value", "click_value")
         .orderBy("event_id")
     }),
@@ -741,20 +758,21 @@ object SparkEntry {
     // (w5 overlaps w1/w3, proving many-to-many pairs survive exactly once)
     "x47_range_join" -> ((s, dir) => {
       import s.implicits._
-      // events.ts is a timestamp → rangeJoin embeds it as epoch MICROS
-      // (Joins.timeEmbedding), so the long window bounds and the granule
-      // are in micros too
-      val dayUs = 86400L * 1000000L
+      // window bounds/granule are authored in MICROS and scaled to the
+      // fixture's embedded ts units (×1000 if the driver regenerates the
+      // events layout back to LONG nanos — see eventsTsUnitsPerMicro)
+      val ev = t(s, dir, "events").select("event_id", "ts", "event_type")
+      val scale = eventsTsUnitsPerMicro(ev)
+      val dayUs = 86400L * 1000000L * scale
       def us(day: Int): Long =
         java.time.LocalDate.of(2024, 1, day)
-          .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond * 1000000L
+          .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond * 1000000L * scale
       val windows = Seq(
         ("w1", us(3), us(7)), ("w2", us(10), us(11)), ("w3", us(15), us(22)),
         ("w4", us(25), us(26)), ("w5", us(5), us(16)))
         .toDF("window_name", "w_start", "w_end")
       graft.ops.Joins.rangeJoin(
-        t(s, dir, "events").select("event_id", "ts", "event_type"),
-        windows, "ts", "w_start", "w_end", Seq("window_name"),
+        ev, windows, "ts", "w_start", "w_end", Seq("window_name"),
         granule = dayUs)
         .select("event_id", "window_name").orderBy("event_id", "window_name")
     }),

@@ -31,18 +31,27 @@ object Joins {
 
   /** Exact monotone embedding of a time-typed column into long, shared by
     * the range join (which compares embedded values directly, so the map
-    * must preserve ORDER AND DISTINCTNESS — a seconds-level cast would
-    * merge distinct instants and corrupt interval endpoints) and the
-    * as-of/sessionize granule machinery (whose granule argument is in the
-    * embedded units). Integer columns pass through in their own units;
-    * timestamps — both LTZ and NTZ — embed as epoch MICROSECONDS, their
-    * full physical resolution (an NTZ wall time is interpreted in the
-    * session timezone, UTC in every graft entry point; a bare
-    * cast-to-long is rejected by Spark for NTZ, which is why this is not
-    * simply `cast("long")`); dates as epoch days. Doubles truncate
-    * (saturating at Long.Min/Max) — monotone, and the as-of join only
-    * buckets with the embedding while ordering by the real value. None →
-    * the caller's unsegmented/unsupported fallback. */
+    * must preserve ORDER AND DISTINCTNESS on the types it admits there —
+    * a seconds-level cast would merge distinct instants and corrupt
+    * interval endpoints) and the as-of granule machinery (whose granule
+    * argument is in the embedded units; batch sessionize does NOT use
+    * this embedding — its timestamp granule is epoch SECONDS via
+    * cast("long"), see EventStreams.sessionizeBatch). Integer columns
+    * pass through in their own units; timestamps — both LTZ and NTZ —
+    * embed as epoch MICROSECONDS, their full physical resolution (an NTZ
+    * wall time is interpreted in the session timezone, UTC in every
+    * graft entry point; a bare cast-to-long is rejected by Spark for
+    * NTZ, which is why this is not simply `cast("long")`); dates as
+    * epoch days. Doubles truncate TOWARD ZERO (saturating at
+    * Long.Min/Max) — monotone but NOT distinctness-preserving, so
+    * rangeJoin rejects fractional types (its endpoint comparisons would
+    * merge distinct instants; the xop range_join validator enforces the
+    * same); the as-of join accepts them because it only buckets with the
+    * embedding while ordering by the real value. Toward-zero truncation
+    * means granule boundaries sit one bucket later for negative epochs
+    * than a floor would give — harmless for bucketing (still monotone,
+    * non-strict), just not mirror-symmetric around zero. None → the
+    * caller's unsegmented/unsupported fallback. */
   private[graft] def timeEmbedding(
       dt: org.apache.spark.sql.types.DataType): Option[Column => Column] = {
     import org.apache.spark.sql.types._
@@ -147,12 +156,27 @@ object Joins {
     // exact long embedding per column TYPE (integer columns keep their
     // own units, timestamps embed as epoch micros — see timeEmbedding);
     // the caller aligns units across the three columns, and `granule` is
-    // in those embedded units
-    def embed(df: DataFrame, c: String): Column =
-      Joins.timeEmbedding(df.schema(c).dataType).map(_(df(c))).getOrElse(
-        throw new IllegalArgumentException(
-          s"rangeJoin: column '$c' has non-temporal/non-numeric type " +
-            s"${df.schema(c).dataType.simpleString}"))
+    // in those embedded units. Fractional types are REJECTED here (not
+    // just at the xop layer): the embedded values feed the <=/>=
+    // endpoint comparisons directly, and the truncating double→long cast
+    // would merge distinct fractional instants (ts=1.9 matching an
+    // interval ending at 1.2). Callers with fractional time floor
+    // explicitly to the integer unit they mean.
+    def embed(df: DataFrame, c: String): Column = {
+      import org.apache.spark.sql.types.{DoubleType, FloatType}
+      df.schema(c).dataType match {
+        case FloatType | DoubleType =>
+          throw new IllegalArgumentException(
+            s"rangeJoin: column '$c' is fractional " +
+              s"(${df.schema(c).dataType.simpleString}); the integer time " +
+              "embedding would truncate distinct instants together — floor " +
+              "it to an integer unit explicitly first")
+        case dt => Joins.timeEmbedding(dt).map(_(df(c))).getOrElse(
+          throw new IllegalArgumentException(
+            s"rangeJoin: column '$c' has non-temporal/non-numeric type " +
+              s"${dt.simpleString}"))
+      }
+    }
 
     val lt = left.withColumn("__rj_ts", embed(left, tsCol))
       .withColumn("__rj_g", bucket(col("__rj_ts")))

@@ -12,6 +12,7 @@ object ProfileShape {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("PS_AQE", "true"))
       .config("spark.sql.codegen.useIdInClassName", sys.env.getOrElse("PS_IDCLS", "true"))
       .getOrCreate()

@@ -1488,6 +1488,24 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rangeJoin rejects fractional time columns (truncation would merge instants)") {
+    // ts=1.9 would truncate to 1 and "match" an interval ending at 1.2;
+    // the embed must fail fast instead (the xop validator already does —
+    // this pins the public Scala API to the same rule)
+    val fracLeft = Seq((1L, 1.9)).toDF("eid", "ts")
+    val intRight = Seq(("w", 1L, 2L)).toDF("name", "s", "e")
+    val e1 = intercept[IllegalArgumentException] {
+      Joins.rangeJoin(fracLeft, intRight, "ts", "s", "e", Seq("name"), granule = 1L)
+    }
+    assert(e1.getMessage.contains("fractional"))
+    val intLeft = Seq((1L, 1L)).toDF("eid", "ts")
+    val fracRight = Seq(("w", 0.5f, 1.2f)).toDF("name", "s", "e")
+    val e2 = intercept[IllegalArgumentException] {
+      Joins.rangeJoin(intLeft, fracRight, "ts", "s", "e", Seq("name"), granule = 1L)
+    }
+    assert(e2.getMessage.contains("fractional"))
+  }
+
   test("equiJoin rejects rightCols on semi/anti (no silent ignore)") {
     val l = Seq((1L, "a")).toDF("id", "k")
     val r = Seq(("a", 10L)).toDF("rk", "v")
