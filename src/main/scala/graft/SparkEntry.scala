@@ -273,6 +273,17 @@ object SparkEntry {
         numHashes = 64, bands = 16, threshold = 0.6, shingleSize = 3)
         .orderBy("id_a", "id_b")),
 
+    // MinHash at recall-forcing parameters (bands = numHashes, band
+    // width 1: candidates = docs sharing ANY min-hash value) on the x4
+    // id-bounded slice, post-verified by EXACT shingle Jaccard — must
+    // equal x4's all-pairs output, so it shares x4's oracle verbatim.
+    // The x14b pattern applied to MinHash banding; the approximate
+    // banding stays rows-only in x2/x43.
+    "x2b_dedup_minhash_exact" -> ((s, dir) =>
+      graft.ops.Dedup.minhashPairsBandExhaustive(t(s, dir, "documents"),
+        "doc_id", "text", maxId = 300, threshold = 0.5, numHashes = 64,
+        shingleSize = 3).orderBy("id_a", "id_b")),
+
     // SimHash near-dup pairs (rows-only check)
     "x3_dedup_simhash" -> ((s, dir) =>
       graft.ops.Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -331,6 +342,21 @@ object SparkEntry {
         .withColumn("embedding", col("embedding").cast("array<double>"))
       graft.ops.Similarity.lshTopK(
         e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, dim = 64)
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH at recall-forcing parameters (bitsPerBand = 0: a zero-width
+    // band hashes every signature into one bucket, so every corpus row
+    // is a candidate) — the banded join machinery must then reproduce
+    // x6's EXACT ranking, so this row shares x6's DuckDB oracle
+    // verbatim; the approximate settings stay in x7's rows-only +
+    // recall-gate checks. The x14b pattern applied to hyperplane LSH.
+    "x7b_ann_lsh_exact" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      graft.ops.Similarity.lshTopK(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
+        bands = 1, bitsPerBand = 0, dim = 64)
         .orderBy("query_id", "rank")
     }),
 
@@ -1039,6 +1065,29 @@ object SparkEntry {
            AND len(list_intersect(a.sh, b.sh))::DOUBLE /
                len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
          ORDER BY id_a, id_b""",
+    "x2b_dedup_minhash_exact" ->
+      // shares x4's oracle verbatim BY DESIGN: with every band one hash
+      // wide, a >= 0.5-Jaccard pair escapes the candidate set with
+      // probability ~(1-j)^64 — a mismatch is a hash-family finding
+      """WITH t AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+           FROM documents WHERE doc_id < 300),
+         s AS (
+           SELECT doc_id,
+                  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                       ELSE list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                           for i in range(1, len(tk) - 1)])
+                  END AS sh
+           FROM t)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                      len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+         FROM s a, s b
+         WHERE a.doc_id < b.doc_id
+           AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+               len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+         ORDER BY id_a, id_b""",
     "x5b_embcos_exact" ->
       """WITH base AS (
            SELECT vec_id, embedding::DOUBLE[] AS embedding
@@ -1201,6 +1250,21 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, c_name, c_mktsegment
          FROM orders LEFT JOIN customer ON o_custkey = c_custkey
          ORDER BY o_orderkey""",
+    "x7b_ann_lsh_exact" ->
+      // shares x6's oracle verbatim BY DESIGN: at probe-all parameters
+      // the LSH candidate set is the full corpus, so the exact brute
+      // ranking is the specified output
+      """SELECT query_id, rank, neighbor_id, cos FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                               c.embedding::DOUBLE[]), 6) AS cos,
+                  row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                                      c.embedding::DOUBLE[]) DESC,
+                               c.vec_id) AS rank
+           FROM embeddings q, embeddings c
+           WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
     "x14b_ann_ivf_exact" ->
       """SELECT query_id, rank, neighbor_id, cos FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -772,4 +772,41 @@ object Dedup {
       spread(df.filter(col(idCol) < maxId), col(idCol)).select(col(idCol).as("id"),
         array_sort(shingleHashesFused(col(textCol), shingleSize)).as("hs")),
       threshold)
+
+  /** Band-EXHAUSTIVE MinHash on an id-bounded slice — the oracle anchor
+    * for [[minhashPairs]] (x2b), the x14b/x7b recall-forcing pattern
+    * applied to MinHash banding. Candidates flow through the REAL banding
+    * machinery at bands = numHashes (band width r = 1: two docs are
+    * candidates iff they share ANY of the numHashes min-hash values),
+    * then each candidate pair is verified with the EXACT shingle-set
+    * Jaccard (same fused-kernel arithmetic and rounding as
+    * [[shingleJaccardPairsExact]]) and thresholded. On the slice this
+    * must equal [[shingleJaccardPairsExact]]'s output and therefore
+    * shares x4's DuckDB oracle verbatim — UNLESS a pair with true
+    * Jaccard ≥ threshold shares none of its numHashes min-hash values.
+    * For j ≥ 0.5 and 64 hashes that probability is ~(1−j)^64 ≤ 5e−20
+    * per pair; an oracle mismatch here is a genuine finding about the
+    * hash family, not noise, which is exactly why the anchor exists. */
+  def minhashPairsBandExhaustive(df: DataFrame, idCol: String, textCol: String,
+                                 maxId: Long, threshold: Double,
+                                 numHashes: Int = 64,
+                                 shingleSize: Int = 3): DataFrame = {
+    val slice = df.filter(col(idCol) < maxId)
+    // threshold 0.0 on the banded stage: every in-bucket candidate
+    // survives to the exact verify (est_jaccard of a candidate is ≥ 1/64
+    // by construction anyway — they share a band)
+    val cand = minhashPairs(slice, idCol, textCol, numHashes = numHashes,
+      bands = numHashes, threshold = 0.0, shingleSize = shingleSize)
+      .select("id_a", "id_b")
+    val tok = spread(slice, col(idCol)).select(col(idCol).as("id"),
+      array_sort(shingleHashesFused(col(textCol), shingleSize)).as("hs"))
+      .withColumn("n", size(col("hs")))
+    cand
+      .join(tok.select(col("id").as("id_a"), col("hs").as("hs_a"), col("n").as("n_a")), "id_a")
+      .join(tok.select(col("id").as("id_b"), col("hs").as("hs_b"), col("n").as("n_b")), "id_b")
+      .withColumn("__i", intersectCount(col("hs_a"), col("hs_b")))
+      .withColumn("jaccard", jaccardOf(col("__i"), col("n_a"), col("n_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
 }

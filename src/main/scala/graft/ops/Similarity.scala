@@ -172,16 +172,24 @@ object Similarity {
     * Recall < 1 by construction — `bands`×`bitsPerBand` trades recall for
     * candidate volume.
     *
-    * `bitsPerBand <= 0` (the default) scales the band width with the
+    * `bitsPerBand < 0` (the default) scales the band width with the
     * corpus, `ceil(log2(n/16))` clamped to [4, 24] — a fixed width makes
     * bucket occupancy (and the per-query candidate count) grow linearly
     * with corpus size. Sized from plan statistics (no job); pass it
-    * explicitly when the corpus size is known. */
+    * explicitly when the corpus size is known.
+    *
+    * `bitsPerBand == 0` is the PROBE-ALL degenerate: a zero-width band
+    * hashes every signature to one bucket, so the candidate set is the
+    * full corpus and the output must equal [[bruteForceTopK]]'s exact
+    * ranking (identical cosine arithmetic, rounding, and tie-break).
+    * That is the oracle anchor for this operator (x7b) — recall-forcing
+    * parameters driven through the SAME banded join machinery — not a
+    * production setting. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, bands: Int = 8, bitsPerBand: Int = 0,
+              vecCol: String, k: Int, bands: Int = 8, bitsPerBand: Int = -1,
               dim: Int = -1): DataFrame = {
     val d = if (dim > 0) dim else vecDim(corpus, vecCol)
-    val bpb = if (bitsPerBand > 0) bitsPerBand else {
+    val bpb = if (bitsPerBand >= 0) bitsPerBand else {
       // stats-only estimate, never a job; rows are vector-dominated, so
       // size by the real ~8·dim width, not the 256-byte text default
       val n = approxRows(corpus, rowBytes = 8L * d + 16L)

@@ -87,6 +87,21 @@ class OpsSpec extends AnyFunSuite {
     assert(exact == 1.0)
   }
 
+  test("minhashPairsBandExhaustive equals shingleJaccardPairsExact on the slice") {
+    // band width 1 + exact verify must reproduce the all-pairs ground
+    // truth row-for-row (the x2b anchor's contract) — jaccard values
+    // included, since both use the same fused shingle-hash arithmetic
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exact = rows(Dedup.shingleJaccardPairsExact(docs, "doc_id", "text",
+      maxId = 100, threshold = 0.5))
+    val banded = rows(Dedup.minhashPairsBandExhaustive(docs, "doc_id", "text",
+      maxId = 100, threshold = 0.5))
+    assert(exact.nonEmpty) // fixture has a true >= 0.5 pair (1,2) and (1,3)
+    assert(banded == exact)
+  }
+
   test("fused ws_tokens kernel is bit-identical to the regex composition") {
     import spark.implicits._
     // adversarial corpus: every ASCII \s class member, runs, leading/
@@ -344,6 +359,20 @@ class OpsSpec extends AnyFunSuite {
     val got = Similarity.lshTopK(vecs, queries, "vec_id", "embedding", 2)
       .orderBy("rank").collect().map(_.getLong(2)).toSeq
     assert(got.nonEmpty && got.head == 4L)
+  }
+
+  test("lshTopK probe-all (bitsPerBand=0) equals bruteForceTopK row-for-row") {
+    // zero-width bands put every row in one bucket: the banded machinery
+    // must reproduce the exact brute ranking (cos values included) —
+    // the x7b oracle anchor's contract
+    val queries = vecs.filter(col("vec_id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val brute = rows(Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", 3))
+    val probeAll = rows(Similarity.lshTopK(vecs, queries, "vec_id", "embedding", 3,
+      bands = 1, bitsPerBand = 0))
+    assert(probeAll == brute)
   }
 
   test("ivfTopK finds the identical vector through its probed cell") {
