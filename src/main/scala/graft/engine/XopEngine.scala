@@ -128,6 +128,35 @@ object XopEngine {
     case None => default
   }
 
+  /** Load a persisted IVF quantizer named by an `index` arg. The value is
+    * a RELATIVE path resolved under the `spark.graft.index.root` session
+    * conf (the server sets it from `--index-root`): an HTTP query must
+    * never name an arbitrary server filesystem path, and with no root
+    * configured the argument is rejected outright. Load failures surface
+    * as 400s (the artifact's name/content is part of the query), not
+    * 500s. */
+  private def loadIndex(df: DataFrame, raw: Any, op: String): Seq[Seq[Double]] = {
+    val rel = raw match {
+      case s: String if s.nonEmpty => s
+      case other => Errors.malformed(s"xop '$op': 'index' must be a non-empty string", other)
+    }
+    val root = df.sparkSession.conf.getOption("spark.graft.index.root").getOrElse(
+      Errors.malformed(
+        s"xop '$op': 'index' requires the server to configure an index root " +
+          "(--index-root / spark.graft.index.root)"))
+    if (rel.startsWith("/") || rel.split('/').contains(".."))
+      Errors.malformed(
+        s"xop '$op': 'index' must be a relative path without '..'", rel)
+    try graft.ops.IvfIndex.load(df.sparkSession,
+      s"${root.stripSuffix("/")}/$rel")
+    catch {
+      case e: IllegalArgumentException =>
+        Errors.malformed(s"xop '$op': ${e.getMessage}")
+      case e: org.apache.spark.sql.AnalysisException =>
+        Errors.malformed(s"xop '$op': unreadable index artifact: ${e.getMessage}")
+    }
+  }
+
   /** Row-order column for keep-first semantics: explicit `order` arg, else
     * the hidden ingest-order column server tables carry. */
   private def orderCol(df: DataFrame, args: Map[String, Any], op: String): String =
@@ -466,7 +495,7 @@ object XopEngine {
 
       case "ann_brute" | "ann_lsh" | "ann_ivf" =>
         knownArgs("id", "column", "k", "queries", "query_vectors",
-          "bands", "cells", "probe")
+          "bands", "cells", "probe", "index")
         val id = column(df, args, "id", name)
         val vec = vectorColumn(df, args, "column", name)
         val k = intArg(args, "k", 10, name).toInt
@@ -475,9 +504,21 @@ object XopEngine {
           case "ann_brute" => Similarity.bruteForceTopK(df, queries, id, vec, k)
           case "ann_lsh" => Similarity.lshTopK(df, queries, id, vec, k,
             bands = intArg(args, "bands", 8, name).toInt)
-          case _ => Similarity.ivfTopK(df, queries, id, vec, k,
-            nCells = intArg(args, "cells", 64, name).toInt,
-            nProbe = intArg(args, "probe", 4, name).toInt)
+          case _ => args.get("index") match {
+            case Some(raw) =>
+              // persisted-quantizer path: 'cells' describes the build
+              // (baked into the artifact) and is meaningless here;
+              // 'probe' still applies to the loaded centroids
+              if (args.contains("cells"))
+                Errors.malformed(
+                  s"xop '$name': 'index' excludes 'cells' (the artifact fixes the quantizer)")
+              Similarity.ivfTopKWith(df, queries, id, vec, k,
+                loadIndex(df, raw, name),
+                nProbe = intArg(args, "probe", 4, name).toInt)
+            case None => Similarity.ivfTopK(df, queries, id, vec, k,
+              nCells = intArg(args, "cells", 64, name).toInt,
+              nProbe = intArg(args, "probe", 4, name).toInt)
+          }
         }
 
       // ---- events ----
@@ -766,8 +807,20 @@ object XopEngine {
       // spherical k-means cluster assignment (map-only once the cached
       // quantizer is built; shares the IVF index cache)
       case "emb_cluster" =>
-        knownArgs("id", "column", "k", "iters", "centroids")
-        args.get("centroids") match {
+        knownArgs("id", "column", "k", "iters", "centroids", "index")
+        if (args.contains("centroids") && args.contains("index"))
+          Errors.malformed(
+            s"xop '$name': 'centroids' and 'index' are mutually exclusive")
+        if (args.contains("index")) {
+          // persisted-quantizer assignment: no build, pure argmax over
+          // the loaded centroids; build args are meaningless here
+          if (args.contains("k") || args.contains("iters") || args.contains("id"))
+            Errors.malformed(
+              s"xop '$name': 'index' excludes 'id'/'k'/'iters' (no build runs)")
+          Similarity.clusterAssignWith(df,
+            vectorColumn(df, args, "column", name),
+            loadIndex(df, args("index"), name))
+        } else args.get("centroids") match {
           case Some(raw) =>
             // explicit-centroid assignment (x42b): no build, pure argmax;
             // id/k/iters describe the build and are meaningless here

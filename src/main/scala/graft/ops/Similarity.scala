@@ -293,10 +293,28 @@ object Similarity {
   def clusterAssign(df: DataFrame, idCol: String, vecCol: String, k: Int,
                     iters: Int = 3): DataFrame = {
     require(k > 0, "k must be positive")
-    val built = IvfIndexCache.getOrBuild(df, idCol, vecCol, k, iters) {
+    clusterAssignWith(df, vecCol, buildQuantizer(df, idCol, vecCol, k, iters))
+  }
+
+  /** The shared coarse-quantizer build — deterministic min-hash-per-slot
+    * centroid sample plus optional distributed k-means refinement —
+    * behind the session index cache. [[ivfTopK]] and [[clusterAssign]]
+    * both resolve their centroids here, so an ANN index and a clustering
+    * over one corpus share a single build; [[graft.ops.IvfIndex]] wraps
+    * it to persist the result as an artifact.
+    *
+    * Deterministic sample without a corpus sort: hash every id into one
+    * of nCells slots and keep the min-hash vector per slot — partial
+    * (map-side) aggregation reduces each partition to ≤ nCells rows
+    * before the one tiny shuffle, so centroid selection is O(corpus) map
+    * work + O(nCells) shuffle, never a global ordering of 100 TB to pick
+    * 64 rows. */
+  private[graft] def buildQuantizer(df: DataFrame, idCol: String, vecCol: String,
+                                    nCells: Int, iters: Int): Seq[Seq[Double]] =
+    IvfIndexCache.getOrBuild(df, idCol, vecCol, nCells, iters) {
       val sampled: Seq[Seq[Double]] = df
         .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
-        .groupBy(pmod(xxhash64(col("__id")), lit(k)).as("__slot"))
+        .groupBy(pmod(xxhash64(col("__id")), lit(nCells)).as("__slot"))
         .agg(min_by(col("__v"), struct(xxhash64(col("__id")), col("__id"))).as("__v"))
         .orderBy("__slot")
         .collect()
@@ -304,8 +322,6 @@ object Similarity {
         .toSeq
       if (iters > 0) kmeansRefine(df, vecCol, sampled, iters) else sampled
     }
-    clusterAssignWith(df, vecCol, built)
-  }
 
   /** Assignment-only spherical k-means over CALLER-SUPPLIED centroids —
     * [[clusterAssign]]'s map-only tail without the quantizer build. This
@@ -353,32 +369,28 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 64, nProbe: Int = 4,
-              dim: Int = -1, kmeansIters: Int = 0): DataFrame = {
-    val d = if (dim > 0) dim else vecDim(corpus, vecCol)
+              dim: Int = -1, kmeansIters: Int = 0): DataFrame =
     // Build-once-query-many: the coarse quantizer (sample + optional
     // k-means rounds) is the INDEX — several driver-side jobs that any
     // real ANN deployment pays once per corpus, not once per query. The
     // cache key is the canonicalized corpus plan + build parameters, so a
     // changed corpus (different plan) rebuilds and identical corpora
-    // share. Mirrors TableRegistry's store-once lifecycle.
-    val centroids = IvfIndexCache.getOrBuild(corpus, idCol, vecCol, nCells, kmeansIters) {
-      // Deterministic sample without a corpus sort: hash every id into one
-      // of nCells slots and keep the min-hash vector per slot — partial
-      // (map-side) aggregation reduces each partition to ≤ nCells rows
-      // before the one tiny shuffle, so centroid selection is O(corpus)
-      // map work + O(nCells) shuffle, never a global ordering of 100 TB
-      // to pick 64 rows.
-      val sampled: Seq[Seq[Double]] = corpus
-        .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
-        .groupBy(pmod(xxhash64(col("__id")), lit(nCells)).as("__slot"))
-        .agg(min_by(col("__v"), struct(xxhash64(col("__id")), col("__id"))).as("__v"))
-        .orderBy("__slot")
-        .collect()
-        .map(r => r.getAs[scala.collection.Seq[Double]]("__v").toSeq)
-        .toSeq
-      if (kmeansIters > 0) kmeansRefine(corpus, vecCol, sampled, kmeansIters)
-      else sampled
-    }
+    // share. Mirrors TableRegistry's store-once lifecycle. `dim` is
+    // unused (kept for source compatibility): the centroid kernel sizes
+    // itself from the centroid list.
+    ivfTopKWith(corpus, queries, idCol, vecCol, k,
+      buildQuantizer(corpus, idCol, vecCol, nCells, kmeansIters), nProbe)
+
+  /** [[ivfTopK]]'s query path over CALLER-SUPPLIED centroids — no build,
+    * no cache: the production shape when the quantizer is a persisted
+    * artifact ([[graft.ops.IvfIndex.load]]) built once per corpus rather
+    * than once per server process. */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, centroids: Seq[Seq[Double]],
+                  nProbe: Int = 4): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    require(centroids.map(_.length).distinct.size == 1,
+      "centroids must share one dimensionality")
     val nActual = centroids.length
 
     // cell scores: dot product against every centroid, one fused codegen

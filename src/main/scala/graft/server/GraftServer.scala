@@ -402,12 +402,18 @@ final class GraftServer(spark: SparkSession, port: Int,
   * sbt "runMain graft.server.Main [port] [--port=N] [--size=BYTES]
   *   [--age=SECONDS] [--statistics-buffer-size=N]
   *   [--cert-file=server.pem] [--ca-file=ca.pem]
-  *   [--basic-auth=user:password] [--max-result-rows=N] [-d|--debug]"
+  *   [--basic-auth=user:password] [--max-result-rows=N]
+  *   [--index-root=DIR] [-d|--debug]"
   * }}}
   *
   * `--max-result-rows` (graft extension, default off) bounds the driver-
   * side result collect and turns an overflowing dump into a 413 — the
   * scale posture for big-table deployments; see README.
+  *
+  * `--index-root` (graft extension, default off) names the directory
+  * under which `ann_ivf`/`emb_cluster` xop queries may reference
+  * persisted quantizer artifacts via their `index` argument (relative
+  * paths only — without the flag the argument is rejected).
   *
   * A bare leading number is accepted as the port (back-compat). TLS comes
   * from a PEM bundle (key + cert); `--ca-file` additionally requires and
@@ -467,6 +473,10 @@ object Main {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel(if (debug) "INFO" else "WARN")
+    // session conf, not builder conf: the xop layer reads it per query,
+    // and tests toggle it on a shared session the same way
+    flag(args, "index-root").foreach(r =>
+      spark.conf.set("spark.graft.index.root", r))
     println(s"Starting qcache, maxCacheSize=$maxSize, maxAge=$maxAge, " +
       s"statisticsBufferSize=$statsBuf, debug=$debug")
     val server = new GraftServer(spark, port,

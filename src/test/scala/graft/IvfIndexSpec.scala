@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.{IvfIndex, IvfIndexCache, Similarity}
+
+/** Persisted coarse-quantizer artifact: a saved index survives a process
+  * restart (modeled by clearing the session cache) and reproduces the
+  * pre-restart assignments and rankings BIT-FOR-BIT. */
+class IvfIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus = {
+    val r = new scala.util.Random(7)
+    (0L until 200L).map(i => (i, Seq.fill(8)(r.nextDouble() - 0.5)))
+      .toDF("vec_id", "embedding")
+  }
+
+  private def tmpDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("ivf_index_spec")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  test("buildAndSave -> cache clear (restart) -> load is bit-identical") {
+    val df = corpus.cache()
+    df.count()
+    val path = tmpDir() + "/idx"
+    val built = IvfIndex.buildAndSave(df, "vec_id", "embedding",
+      nCells = 8, kmeansIters = 2, path = path)
+
+    val preAssign = Similarity.clusterAssignWith(df, "embedding", built)
+      .select("vec_id", "cluster", "cohesion").orderBy("vec_id").collect().toSeq
+    val queries = df.filter(col("vec_id") < 5)
+    val preRank = Similarity.ivfTopKWith(df, queries, "vec_id", "embedding",
+      k = 3, built, nProbe = 4).orderBy("query_id", "rank").collect().toSeq
+
+    // "restart": the in-process cache is gone, only the artifact remains
+    IvfIndexCache.clear()
+    val loaded = IvfIndex.load(spark, path)
+    assert(loaded == built) // exact doubles — parquet round-trips IEEE754
+
+    val postAssign = Similarity.clusterAssignWith(df, "embedding", loaded)
+      .select("vec_id", "cluster", "cohesion").orderBy("vec_id").collect().toSeq
+    val postRank = Similarity.ivfTopKWith(df, queries, "vec_id", "embedding",
+      k = 3, loaded, nProbe = 4).orderBy("query_id", "rank").collect().toSeq
+    assert(postAssign == preAssign)
+    assert(postRank == preRank)
+    df.unpersist()
+  }
+
+  test("load fails fast on missing, foreign, and corrupt artifacts") {
+    val root = tmpDir()
+    // write through the Hadoop FS (as save does) so the local-FS CRC
+    // sidecar stays consistent with the tampered content
+    def writeManifest(dir: String, text: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir, "manifest.json")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val out = fs.create(p, true)
+      try out.write(text.getBytes("UTF-8")) finally out.close()
+    }
+
+    val e1 = intercept[IllegalArgumentException] {
+      IvfIndex.load(spark, s"$root/nope")
+    }
+    assert(e1.getMessage.contains("missing manifest"))
+
+    // foreign manifest kind
+    val foreign = s"$root/foreign"
+    writeManifest(foreign, """{"version":1,"kind":"something_else"}""")
+    val e2 = intercept[IllegalArgumentException] { IvfIndex.load(spark, foreign) }
+    assert(e2.getMessage.contains("not an IVF quantizer"))
+
+    // manifest/parquet disagreement
+    val path = s"$root/idx"
+    IvfIndex.save(spark, path, Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      nCells = 2, kmeansIters = 0)
+    writeManifest(path,
+      """{"version":1,"kind":"ivf_coarse_quantizer","n_cells":2,
+         |"n_centroids":3,"dim":2,"kmeans_iters":0}""".stripMargin)
+    val e3 = intercept[IllegalArgumentException] { IvfIndex.load(spark, path) }
+    assert(e3.getMessage.contains("corrupt"))
+
+    // unsupported version
+    writeManifest(path,
+      """{"version":99,"kind":"ivf_coarse_quantizer","n_cells":2,
+         |"n_centroids":2,"dim":2,"kmeans_iters":0}""".stripMargin)
+    val e4 = intercept[IllegalArgumentException] { IvfIndex.load(spark, path) }
+    assert(e4.getMessage.contains("version"))
+  }
+
+  test("save is an overwrite: re-saving a different quantizer replaces it") {
+    val path = tmpDir() + "/idx"
+    IvfIndex.save(spark, path, Seq(Seq(1.0, 0.0)), nCells = 1, kmeansIters = 0)
+    IvfIndex.save(spark, path, Seq(Seq(0.5, 0.5), Seq(-0.5, 0.5)),
+      nCells = 2, kmeansIters = 0)
+    assert(IvfIndex.load(spark, path) == Seq(Seq(0.5, 0.5), Seq(-0.5, 0.5)))
+  }
+}

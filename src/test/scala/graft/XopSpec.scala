@@ -239,6 +239,52 @@ class XopSpec extends AnyFunSuite {
                   "args": {"column": "vec", "centroids": ["x"]}}}""") }
   }
 
+  test("emb_cluster/ann_ivf 'index': persisted quantizer under the configured root") {
+    val root = java.nio.file.Files.createTempDirectory("xop_index").toString
+    graft.ops.IvfIndex.save(spark, s"$root/q", Seq(Seq(2.0, 0.0), Seq(0.0, 0.5)),
+      nCells = 2, kmeansIters = 0)
+    // without the root conf the argument is rejected outright
+    spark.conf.unset("spark.graft.index.root")
+    intercept[MalformedQueryException] { runV(
+      """{"xop": {"name": "emb_cluster", "args": {"column": "vec", "index": "q"}}}""") }
+    spark.conf.set("spark.graft.index.root", root)
+    try {
+      // loaded centroids behave exactly like the same inline centroids
+      val out = runV(
+        """{"xop": {"name": "emb_cluster", "args": {"column": "vec", "index": "q"}},
+            "order_by": ["id"]}""")
+      assert(out.collect().map(_.getAs[Int]("cluster")).toSeq == Seq(0, 0, 1, 1, 1))
+      // ann_ivf consumes the same artifact; probe-all over 2 cells must
+      // rank like brute force
+      val ann = runV(
+        """{"xop": {"name": "ann_ivf",
+                    "args": {"id": "id", "column": "vec", "k": 2, "probe": 2,
+                             "index": "q", "query_vectors": [[1.0, 0.0]]}}}""")
+      assert(ann.collect().map(_.getAs[Number]("neighbor_id").longValue).toSeq
+        == Seq(1L, 2L))
+      // strict-arg posture: index excludes build args on both operators
+      intercept[MalformedQueryException] { runV(
+        """{"xop": {"name": "emb_cluster",
+                    "args": {"column": "vec", "index": "q", "k": 2}}}""") }
+      intercept[MalformedQueryException] { runV(
+        """{"xop": {"name": "emb_cluster",
+                    "args": {"column": "vec", "index": "q",
+                             "centroids": [[1.0, 0.0]]}}}""") }
+      intercept[MalformedQueryException] { runV(
+        """{"xop": {"name": "ann_ivf",
+                    "args": {"id": "id", "column": "vec", "index": "q",
+                             "cells": 4, "query_vectors": [[1.0, 0.0]]}}}""") }
+      // path traversal and absolute paths are rejected
+      intercept[MalformedQueryException] { runV(
+        """{"xop": {"name": "emb_cluster", "args": {"column": "vec", "index": "../q"}}}""") }
+      intercept[MalformedQueryException] { runV(
+        """{"xop": {"name": "emb_cluster", "args": {"column": "vec", "index": "/etc/q"}}}""") }
+      // a missing artifact is a 400 (part of the query), not a 500
+      intercept[MalformedQueryException] { runV(
+        """{"xop": {"name": "emb_cluster", "args": {"column": "vec", "index": "absent"}}}""") }
+    } finally spark.conf.unset("spark.graft.index.root")
+  }
+
   test("cluster-balanced sampling: emb_cluster nests into sample_stratified") {
     // the semantic-balancing chain: assign clusters, then keep k per
     // cluster — one nested-from query, strata = the derived column
