@@ -32,7 +32,8 @@ final class GraftServer(spark: SparkSession, port: Int,
                         basicAuth: Option[(String, String)] = None,
                         ssl: Option[javax.net.ssl.SSLContext] = None,
                         needClientAuth: Boolean = false,
-                        maxResultRows: Long = 0L) {
+                        maxResultRows: Long = 0L,
+                        maxResultBytes: Long = 0L) {
 
   // Basic auth only makes sense over TLS (reference: app.py:348-350).
   require(basicAuth.isEmpty || ssl.isDefined,
@@ -338,16 +339,33 @@ final class GraftServer(spark: SparkSession, port: Int,
           if (maxResultRows > 0) result.df.limit(
             math.min(maxResultRows + 1, Int.MaxValue.toLong).toInt)
           else result.df
+        // The byte guard aborts INSIDE the serializer (per appended row),
+        // so a 1M-row × wide-strings result that would pass a row guard
+        // never finishes building its response string on the driver.
         val (text, rowCount) =
-          if (accept == "text/csv") Serialize.toCsvCounted(bounded)
-          else if (accept == "application/x-ndjson")
-            Serialize.toJsonLinesCounted(bounded)
-          else Serialize.toJsonCounted(bounded)
+          try {
+            if (accept == "text/csv") Serialize.toCsvCounted(bounded, maxResultBytes)
+            else if (accept == "application/x-ndjson")
+              Serialize.toJsonLinesCounted(bounded, maxResultBytes)
+            else Serialize.toJsonCounted(bounded, maxResultBytes)
+          } catch {
+            case _: Serialize.ByteBudgetExceeded =>
+              throw new HttpFail(413, errorJson(
+                s"result exceeds max-result-bytes=$maxResultBytes; " +
+                  "add offset/limit to page the result"))
+          }
         if (maxResultRows > 0 && rowCount > maxResultRows)
           throw new HttpFail(413, errorJson(
             s"result exceeds max-result-rows=$maxResultRows; " +
               "add offset/limit to page the result"))
         val bytes = text.getBytes(UTF_8)
+        // multibyte tail case: the serializer aborts on CHAR count (a
+        // lower bound on UTF-8 bytes); the encoded length is the real
+        // budget check
+        if (maxResultBytes > 0 && bytes.length > maxResultBytes)
+          throw new HttpFail(413, errorJson(
+            s"result exceeds max-result-bytes=$maxResultBytes; " +
+              "add offset/limit to page the result"))
         // Without offset/limit the serialized row count IS the unsliced
         // length — the separate count job only runs for sliced queries.
         val unsliced =
@@ -403,12 +421,15 @@ final class GraftServer(spark: SparkSession, port: Int,
   *   [--age=SECONDS] [--statistics-buffer-size=N]
   *   [--cert-file=server.pem] [--ca-file=ca.pem]
   *   [--basic-auth=user:password] [--max-result-rows=N]
-  *   [--index-root=DIR] [-d|--debug]"
+  *   [--max-result-bytes=N] [--index-root=DIR] [-d|--debug]"
   * }}}
   *
-  * `--max-result-rows` (graft extension, default off) bounds the driver-
-  * side result collect and turns an overflowing dump into a 413 — the
-  * scale posture for big-table deployments; see README.
+  * `--max-result-rows` / `--max-result-bytes` (graft extensions, default
+  * off) bound the driver-side result materialization and turn an
+  * overflowing dump into a 413 — the scale posture for big-table
+  * deployments; the byte variant aborts mid-serialization, so a
+  * few-rows-but-wide-strings result cannot OOM the driver either. See
+  * README.
   *
   * `--index-root` (graft extension, default off) names the directory
   * under which `ann_ivf`/`emb_cluster` xop queries may reference
@@ -438,6 +459,7 @@ object Main {
       .getOrElse(sys.env.getOrElse("QCACHE_MAX_AGE", "0")).toLong
     val statsBuf = flag(args, "statistics-buffer-size").map(_.toInt).getOrElse(1000)
     val maxResultRows = flag(args, "max-result-rows").map(_.toLong).getOrElse(0L)
+    val maxResultBytes = flag(args, "max-result-bytes").map(_.toLong).getOrElse(0L)
     val certFile = flag(args, "cert-file")
     val caFile = flag(args, "ca-file")
     val basicAuth = flag(args, "basic-auth").map { v =>
@@ -484,7 +506,8 @@ object Main {
       statisticsBufferSize = statsBuf,
       basicAuth = basicAuth, ssl = ssl,
       needClientAuth = caFile.isDefined,
-      maxResultRows = maxResultRows)
+      maxResultRows = maxResultRows,
+      maxResultBytes = maxResultBytes)
     server.start()
     println(s"graft qcache server listening on port ${server.boundPort}")
     Thread.currentThread().join()

@@ -16,6 +16,21 @@ import scala.jdk.CollectionConverters._
   */
 object Serialize {
 
+  /** Thrown when a `maxBytes` budget is exceeded MID-SERIALIZATION: the
+    * abort fires per appended row, so the driver never finishes building
+    * a response string far past the budget (the collect'ed rows are the
+    * row guard's concern; the response string — typically the larger
+    * allocation — is this one's). Char count is the abort trigger
+    * (UTF-8 bytes ≥ chars, so chars past the budget is already over);
+    * the caller still byte-checks the encoded result for the multibyte
+    * tail case. */
+  final class ByteBudgetExceeded(val budget: Long)
+    extends RuntimeException(s"serialized result exceeds $budget bytes")
+
+  private def checkBudget(sb: StringBuilder, maxBytes: Long): Unit =
+    if (maxBytes > 0 && sb.length > maxBytes)
+      throw new ByteBudgetExceeded(maxBytes)
+
   /** Only the engine's OWN hidden columns are stripped — a user column or
     * alias that happens to start with "__" serializes like any other
     * (the reference has no hidden columns at all, so everything it stores
@@ -34,7 +49,7 @@ object Serialize {
 
   /** CSV plus the serialized row count — when a query has no offset/limit
     * the count IS the unsliced length, saving the separate count job. */
-  def toCsvCounted(df: DataFrame): (String, Long) = {
+  def toCsvCounted(df: DataFrame, maxBytes: Long = 0L): (String, Long) = {
     val fields = visibleFields(df)
     val sb = new StringBuilder
     var rows = 0L
@@ -48,6 +63,7 @@ object Serialize {
         sb.append(csvValue(row, i, f.dataType))
       }
       sb.append('\n')
+      checkBudget(sb, maxBytes)
     }
     (sb.toString, rows)
   }
@@ -78,7 +94,7 @@ object Serialize {
     * JSON null). */
   def toJson(df: DataFrame): String = toJsonCounted(df)._1
 
-  def toJsonCounted(df: DataFrame): (String, Long) = {
+  def toJsonCounted(df: DataFrame, maxBytes: Long = 0L): (String, Long) = {
     val fields = visibleFields(df)
     val sb = new StringBuilder
     var rows = 0L
@@ -97,6 +113,7 @@ object Serialize {
         sb.append(jsonValue(row, i, f.dataType))
       }
       sb.append('}')
+      checkBudget(sb, maxBytes)
     }
     sb.append(']')
     (sb.toString, rows)
@@ -107,7 +124,7 @@ object Serialize {
     * formatting as [[toJson]] (NaN/inf → null, utf-8). */
   def toJsonLines(df: DataFrame): String = toJsonLinesCounted(df)._1
 
-  def toJsonLinesCounted(df: DataFrame): (String, Long) = {
+  def toJsonLinesCounted(df: DataFrame, maxBytes: Long = 0L): (String, Long) = {
     val fields = visibleFields(df)
     val sb = new StringBuilder
     var rows = 0L
@@ -123,6 +140,7 @@ object Serialize {
         sb.append(jsonValue(row, i, f.dataType))
       }
       sb.append('}')
+      checkBudget(sb, maxBytes)
     }
     (sb.toString, rows)
   }

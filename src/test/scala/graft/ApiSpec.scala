@@ -136,6 +136,35 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally guarded.stop()
   }
 
+  test("max-result-bytes guard: wide-string overflow is 413, small dumps pass") {
+    // the row guard's blind spot: FEW rows × WIDE strings. The byte
+    // guard aborts inside the serializer, so the driver never finishes
+    // building the oversized response string.
+    val guarded = new graft.server.GraftServer(spark, 0, maxResultBytes = 200L)
+    guarded.start()
+    try {
+      val wide = "x" * 500
+      val store = send(req("/dataset/widebytes", guarded)
+        .POST(BodyPublishers.ofString(s"v\n$wide\n"))
+        .header("Content-Type", "text/csv").build())
+      assert(store.statusCode() == 201)
+      def q(json: String, accept: String = "application/json") =
+        send(req("/dataset/widebytes?q=" +
+            java.net.URLEncoder.encode(json, UTF_8), guarded).GET()
+          .header("Accept", accept).build())
+      // one row, but 500 chars > 200-byte budget → 413 on every format
+      for (accept <- Seq("application/json", "text/csv", "application/x-ndjson")) {
+        val over = q("{}", accept)
+        assert(over.statusCode() == 413, s"accept=$accept")
+        assert(over.body().contains("max-result-bytes=200"), s"accept=$accept")
+      }
+      // a projection under the budget serves completely
+      val ok = q("""{"select": [["count"]]}""")
+      assert(ok.statusCode() == 200)
+      assert(ok.body() == """[{"count":1}]""")
+    } finally guarded.stop()
+  }
+
   test("csv upload, json query round trip") {
     assert(storeCsv("t1", csvData).statusCode() == 201)
     val r = query("t1", """{"where": [">", "foo", 1]}""")
