@@ -302,13 +302,16 @@ object Joins {
 
     // explicit granule → segment; otherwise segment only past the row
     // gate (rowBytes=64 deliberately overestimates rows from the byte
-    // stats, erring toward segmentation — the safe direction)
+    // stats, erring toward segmentation — the safe direction). The
+    // auto width derives from parquet FOOTER min/max when both sides'
+    // time columns trace to plain parquet leaf scans (metadata-only, no
+    // job); the eager min/max pre-pass is the fallback.
     val effectiveGranule: Option[Long] = toLong match {
       case None => None
       case Some(fn) => granule.orElse {
         if (Similarity.approxRows(u, rowBytes = 64L, unknownAs = Long.MaxValue) >=
             Joins.SegmentedCarryMinRows)
-          Some(autoGranule(u, fn))
+          Some(autoGranuleFor(left, right, timeCol, u, fn))
         else None
       }
     }
@@ -368,6 +371,37 @@ object Joins {
     }
   }
 
+  /** Auto-granule width targeting ~4096 segments over the observed time
+    * span. Preferred source: parquet FOOTER min/max
+    * (GraftSqlShims.parquetFooterBounds) — row-group metadata only, no
+    * data pass, valid when each side's time column traces through
+    * value-preserving nodes to a parquet leaf scan. Footer bounds can be
+    * WIDER than the post-filter span (filters narrow, footers don't
+    * know), which only coarsens segmentation — any width is correct.
+    * The sides must agree with the union's coerced time type exactly:
+    * a coercion (e.g. date → timestamp) changes embedded units and
+    * would misread raw footer days as micros. Fallback: the eager
+    * column-pruned min/max job over the tagged union. */
+  private def autoGranuleFor(left: DataFrame, right: DataFrame, timeCol: String,
+                             u: DataFrame, toLong: Column => Column): Long = {
+    val coerced = u.schema("__t").dataType
+    val footer: Option[(Long, Long)] =
+      if (left.schema(timeCol).dataType == coerced &&
+          right.schema(timeCol).dataType == coerced)
+        for {
+          (lLo, lHi) <- org.apache.spark.sql.GraftSqlShims.parquetFooterBounds(left, timeCol)
+          (rLo, rHi) <- org.apache.spark.sql.GraftSqlShims.parquetFooterBounds(right, timeCol)
+        } yield (math.min(lLo, rLo), math.max(lHi, rHi))
+      else None
+    footer match {
+      case Some((lo, hi)) => widthFor(BigInt(hi) - BigInt(lo))
+      case None           => autoGranule(u, toLong)
+    }
+  }
+
+  private def widthFor(span: BigInt): Long =
+    (span / 4096 + 1).min(BigInt(Long.MaxValue)).toLong.max(1L)
+
   /** Granule width targeting ~4096 segments over the observed time span —
     * one eager column-pruned min/max job over the tagged union. BigInt
     * keeps the span subtraction exact when double times saturated the
@@ -376,9 +410,6 @@ object Joins {
     val row = u.agg(min(toLong(col("__t"))).as("lo"),
       max(toLong(col("__t"))).as("hi")).head()
     if (row.isNullAt(0)) 1L
-    else {
-      val span = BigInt(row.getLong(1)) - BigInt(row.getLong(0))
-      (span / 4096 + 1).min(BigInt(Long.MaxValue)).toLong.max(1L)
-    }
+    else widthFor(BigInt(row.getLong(1)) - BigInt(row.getLong(0)))
   }
 }

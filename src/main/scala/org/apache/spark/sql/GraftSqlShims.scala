@@ -1,6 +1,9 @@
 package org.apache.spark.sql
 
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan,
+  Project, SubqueryAlias}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Access shim: the Column ⇄ Expression bridges are `private[sql]` in
   * Spark 4 (org.apache.spark.sql.classic.ExpressionUtils), but building a
@@ -21,5 +24,164 @@ object GraftSqlShims {
     session.sharedState.cacheManager
       .lookupCachedData(session, ds.queryExecution.logical)
       .map(_.cachedRepresentation.computeStats().sizeInBytes.toLong)
+  }
+
+  /** Parquet-footer (min, max) BOUNDS for `df`'s column `colName`, in the
+    * column's integral time-embedding units (epoch micros for timestamps,
+    * raw value for integers, epoch days for dates) — WITHOUT a data pass:
+    * only row-group metadata is read, on the driver. None whenever the
+    * derivation isn't provably bound-preserving; callers fall back to an
+    * eager min/max job.
+    *
+    * The column is traced through the ANALYZED plan (pre-cache
+    * substitution, so a registry-persisted table still exposes its
+    * parquet relation) across nodes that cannot WIDEN the value set:
+    * Project aliases, Filter (narrows), SubqueryAlias, and Aggregate
+    * when the attribute is a plain grouping column (dedup preserves
+    * values). Anything else — joins, unions, computed expressions,
+    * generated columns — bails. Footer bounds therefore bound a SUPERSET
+    * of the observed values: valid bounds, possibly wide, which is the
+    * contract the granule-derivation caller needs (any width is correct;
+    * wide bounds only coarsen segmentation toward fewer granules).
+    *
+    * Physical decoding: INT32/INT64 chunks with plain/signed-int
+    * annotations map raw; TIMESTAMP(MICROS) maps raw (Spark surfaces
+    * micros); TIMESTAMP(MILLIS) scales ×1000 (saturating);
+    * TIMESTAMP(NANOS) maps raw only when Spark reads the column as
+    * LongType (the `nanosAsLong` layout, embedded pass-through); DATE
+    * maps raw days. Anything else (INT96, doubles, decimals, unsigned)
+    * → None. A chunk with no statistics → None (unknowable); an
+    * all-null chunk is skipped (min/max over non-null values, matching
+    * the eager pre-pass). */
+  def parquetFooterBounds(df: DataFrame, colName: String): Option[(Long, Long)] = {
+    import org.apache.spark.sql.types._
+    val ds = df.asInstanceOf[classic.Dataset[_]]
+    val session = ds.sparkSession
+    val plan = ds.queryExecution.analyzed
+    val resolver = session.sessionState.conf.resolver
+
+    @scala.annotation.tailrec
+    def trace(p: LogicalPlan, attr: Attribute): Option[(LogicalRelation, Attribute)] =
+      p match {
+        case Project(projList, child) =>
+          projList.find(_.exprId == attr.exprId) match {
+            case Some(a: Attribute)       => trace(child, a)
+            case Some(Alias(a: Attribute, _)) => trace(child, a)
+            case _                        => None
+          }
+        case Filter(_, child) => trace(child, attr)
+        case SubqueryAlias(_, child) => trace(child, attr)
+        case agg @ Aggregate(groupingExprs, aggExprs, child, _) =>
+          // value-preserving only for a plain grouping attribute (the
+          // aggregate merely dedups its values)
+          aggExprs.find(_.exprId == attr.exprId) match {
+            case Some(out) =>
+              val underlying = out match {
+                case a: Attribute        => Some(a)
+                case Alias(a: Attribute, _) => Some(a)
+                case _                   => None
+              }
+              underlying.filter(u =>
+                groupingExprs.exists {
+                  case g: Attribute => g.exprId == u.exprId
+                  case _            => false
+                }) match {
+                case Some(u) => trace(child, u)
+                case None    => None
+              }
+            case None => None
+          }
+        case lr: LogicalRelation if lr.output.exists(_.exprId == attr.exprId) =>
+          lr.relation match {
+            case fs: HadoopFsRelation if fs.fileFormat.isInstanceOf[
+                org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] =>
+              Some((lr, attr))
+            case _ => None
+          }
+        case _ => None
+      }
+
+    def saturatingTimes1000(v: Long): Long =
+      try Math.multiplyExact(v, 1000L)
+      catch { case _: ArithmeticException => if (v > 0) Long.MaxValue else Long.MinValue }
+
+    plan.output.find(a => resolver(a.name, colName)).flatMap { attr =>
+      trace(plan, attr).flatMap { case (lr, leafAttr) =>
+        val sparkType = leafAttr.dataType
+        val fs = lr.relation.asInstanceOf[HadoopFsRelation]
+        val conf = session.sessionState.newHadoopConf()
+        import org.apache.parquet.hadoop.ParquetFileReader
+        import org.apache.parquet.hadoop.util.HadoopInputFile
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+        import org.apache.parquet.schema.LogicalTypeAnnotation
+        import scala.jdk.CollectionConverters._
+
+        var lo = Long.MaxValue
+        var hi = Long.MinValue
+        var sawValue = false
+        val ok = fs.location.inputFiles.forall { pathStr =>
+          val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(pathStr), conf))
+          try {
+            val schema = reader.getFooter.getFileMetaData.getSchema
+            reader.getFooter.getBlocks.asScala.forall { block =>
+              block.getColumns.asScala
+                .find(_.getPath.toDotString == leafAttr.name) match {
+                case None => false // column absent in this file: bail
+                case Some(chunk) =>
+                  val stats = chunk.getStatistics
+                  if (stats == null || stats.isEmpty) false // unknowable
+                  else if (!stats.hasNonNullValue) true     // all-null chunk
+                  else {
+                    val field = schema.getType(schema.getFieldIndex(leafAttr.name))
+                      .asPrimitiveType()
+                    val raw: Option[(Long, Long)] = field.getPrimitiveTypeName match {
+                      case PrimitiveTypeName.INT64 =>
+                        Some((stats.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+                          stats.genericGetMax.asInstanceOf[java.lang.Long].longValue))
+                      case PrimitiveTypeName.INT32 =>
+                        Some((stats.genericGetMin.asInstanceOf[java.lang.Integer].longValue,
+                          stats.genericGetMax.asInstanceOf[java.lang.Integer].longValue))
+                      case _ => None
+                    }
+                    val embedded: Option[(Long, Long)] = raw.flatMap { case (mn, mx) =>
+                      (field.getLogicalTypeAnnotation, sparkType) match {
+                        case (null, _: ByteType | _: ShortType | _: IntegerType |
+                                    _: LongType) => Some((mn, mx))
+                        case (i: LogicalTypeAnnotation.IntLogicalTypeAnnotation,
+                              _: ByteType | _: ShortType | _: IntegerType | _: LongType)
+                            if i.isSigned => Some((mn, mx))
+                        case (t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation,
+                              TimestampType | TimestampNTZType) =>
+                          t.getUnit match {
+                            case LogicalTypeAnnotation.TimeUnit.MICROS => Some((mn, mx))
+                            case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                              Some((saturatingTimes1000(mn), saturatingTimes1000(mx)))
+                            case _ => None
+                          }
+                        case (t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation,
+                              _: LongType)
+                            if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS =>
+                          Some((mn, mx)) // nanosAsLong layout: raw pass-through
+                        case (_: LogicalTypeAnnotation.DateLogicalTypeAnnotation,
+                              _: DateType) => Some((mn, mx))
+                        case _ => None
+                      }
+                    }
+                    embedded match {
+                      case Some((mn, mx)) =>
+                        lo = math.min(lo, mn); hi = math.max(hi, mx)
+                        sawValue = true
+                        true
+                      case None => false
+                    }
+                  }
+              }
+            }
+          } finally reader.close()
+        }
+        if (ok && sawValue) Some((lo, hi)) else None
+      }
+    }
   }
 }
