@@ -129,7 +129,16 @@ object Bench {
       case (_, ks) if ks.size > 1 => ks
     }.flatten.toSet
     val short: String => String = n => if (collided(n)) n else prefix(n)
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+    // Per-sf filename: the driver's sf0.1 runs own BENCH_FULL.json (its
+    // artifact convention); any other sf dir (the builder's sf0.001
+    // smoke runs, the gitignored testdata-sf1 scale runs) writes
+    // BENCH_FULL_<base>.json so the two stop overwriting each other
+    // (round-10 verdict: the committed sf1 record was clobbered by the
+    // driver's sf0.1 write — same file serving two masters).
+    val base = sfDir.replaceAll("/+$", "").split('/').last
+    val fullName =
+      if (base == "sf0.1") "BENCH_FULL.json" else s"BENCH_FULL_$base.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(fullName),
       render(identity, fmt("%.3f")).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // belt-and-braces length guard (the ~1927-char harness tail budget):
     // re-render at 2-decimal (properly ROUNDED, not digit-truncated)
