@@ -148,15 +148,32 @@ object EventStreams {
       if (graft.ops.Similarity.approxRows(ev, rowBytes = 64L,
             unknownAs = Long.MaxValue) >=
           graft.ops.Joins.SegmentedCarryMinRows) {
-        // auto-derive: ~4096 segments over the observed span; an eager
-        // column-pruned min/max job at plan-build time (pass an explicit
-        // granule to skip it)
-        val row = ev.agg(min(col("ts").cast("long")).as("lo"),
-          max(col("ts").cast("long")).as("hi")).head()
-        if (row.isNullAt(0)) Some(1L)
-        else {
-          val span = BigInt(row.getLong(1)) - BigInt(row.getLong(0))
-          Some((span / 4096 + 1).min(BigInt(Long.MaxValue)).toLong.max(1L))
+        // auto-derive: ~4096 segments over the observed span. Preferred
+        // source: parquet FOOTER min/max (metadata-only, traces through
+        // eventsFrame's date_trunc/cast wrappers — see
+        // GraftSqlShims.parquetFooterBounds); the granule here is in the
+        // cast("long") embedding's units, i.e. epoch SECONDS for
+        // timestamps (footer micros floor-divide down) and own units for
+        // integers. Fallback: the eager column-pruned min/max job.
+        def widthOf(lo: BigInt, hi: BigInt): Long =
+          ((hi - lo) / 4096 + 1).min(BigInt(Long.MaxValue)).toLong.max(1L)
+        val footer = org.apache.spark.sql.GraftSqlShims
+          .parquetFooterBounds(ev, "ts")
+          .map { case (lo, hi) =>
+            ev.schema("ts").dataType match {
+              case org.apache.spark.sql.types.TimestampType |
+                   org.apache.spark.sql.types.TimestampNTZType =>
+                (Math.floorDiv(lo, 1000000L), Math.floorDiv(hi, 1000000L))
+              case _ => (lo, hi) // integer time: own units
+            }
+          }
+        footer match {
+          case Some((lo, hi)) => Some(widthOf(BigInt(lo), BigInt(hi)))
+          case None =>
+            val row = ev.agg(min(col("ts").cast("long")).as("lo"),
+              max(col("ts").cast("long")).as("hi")).head()
+            if (row.isNullAt(0)) Some(1L)
+            else Some(widthOf(BigInt(row.getLong(0)), BigInt(row.getLong(1))))
         }
       } else None
     }

@@ -36,6 +36,10 @@ object ProfileAsof {
         .groupBy("user_id", "ts").agg(max(col("value")).as("click_value"))
       println(s"footer(errors.ts)=${org.apache.spark.sql.GraftSqlShims.parquetFooterBounds(errors, "ts")}")
       println(s"footer(clicks.ts)=${org.apache.spark.sql.GraftSqlShims.parquetFooterBounds(clicks, "ts")}")
+      // x15's shape: eventsFrame truncs ts to seconds — the trunc-chain
+      // trace must resolve too (sessionize's pre-pass elimination)
+      val ef = graft.streaming.EventStreams.eventsFrame(spark, dir)
+      println(s"footer(eventsFrame.ts)=${org.apache.spark.sql.GraftSqlShims.parquetFooterBounds(ef, "ts")}")
     }
 
     for (name <- Seq("x31_asof", "x31b_asof_hot")) {

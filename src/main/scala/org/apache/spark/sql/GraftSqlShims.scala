@@ -38,9 +38,14 @@ object GraftSqlShims {
     * parquet relation) across nodes that cannot WIDEN the value set:
     * Project aliases, Filter (narrows), SubqueryAlias, and Aggregate
     * when the attribute is a plain grouping column (dedup preserves
-    * values). Anything else — joins, unions, computed expressions,
-    * generated columns — bails. Footer bounds therefore bound a SUPERSET
-    * of the observed values: valid bounds, possibly wide, which is the
+    * values). Within a projection, value-BOUNDING wrappers also pass:
+    * temporal casts between the timestamp flavors (micros-preserving
+    * under the session-UTC convention), integer-widening casts, and
+    * `date_trunc` with a literal unit — truncation moves values down by
+    * less than one unit, accumulated as low-side slack on the returned
+    * bounds. Anything else — joins, unions, arithmetic, generated
+    * columns — bails. Footer bounds therefore bound a SUPERSET of the
+    * observed values: valid bounds, possibly wide, which is the
     * contract the granule-derivation caller needs (any width is correct;
     * wide bounds only coarsen segmentation toward fewer granules).
     *
@@ -60,18 +65,71 @@ object GraftSqlShims {
     val plan = ds.queryExecution.analyzed
     val resolver = session.sessionState.conf.resolver
 
+    // Accumulated DOWNWARD slack in the leaf's embedded units: monotone
+    // floor-like wrappers (date_trunc) move values down by less than one
+    // trunc unit, so footer bounds widen by `slack` on the low side and
+    // stay valid. Only widening is ever applied — never narrowing.
+    var slack = 0L
+    def saturatingAdd(a: Long, b: Long): Long =
+      try Math.addExact(a, b) catch { case _: ArithmeticException => Long.MaxValue }
+
+    // Strip a named projection down to its source attribute through
+    // value-bounding wrappers: temporal casts between the two timestamp
+    // flavors preserve the stored micros (session is UTC in every graft
+    // entry point), integer widening casts preserve values, and
+    // date_trunc with a literal unit lowers values by < one unit
+    // (accumulated as slack). Anything else — arithmetic, string casts,
+    // UDFs — returns None.
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    def truncSlackMicros(fmt: String): Option[Long] = fmt.toLowerCase match {
+      case "microsecond" => Some(0L)
+      case "millisecond" => Some(1000L)
+      case "second"      => Some(1000000L)
+      case "minute"      => Some(60L * 1000000L)
+      case "hour"        => Some(3600L * 1000000L)
+      case "day"         => Some(86400L * 1000000L)
+      case "week"        => Some(7L * 86400L * 1000000L)
+      // calendar units are variable-width; a 366-day slack bounds them
+      case "month" | "quarter" | "year" => Some(366L * 86400L * 1000000L)
+      case _ => None
+    }
+    def strip(e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Attribute] =
+      e match {
+        case a: Attribute => Some(a)
+        case Alias(c, _) => strip(c)
+        case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+          (c.child.dataType, c.dataType) match {
+            case (f, t) if f == t => strip(c.child) // identity cast survives analysis
+            case (TimestampNTZType, TimestampType) |
+                 (TimestampType, TimestampNTZType) => strip(c.child)
+            case (f: org.apache.spark.sql.types.IntegralType,
+                  t: org.apache.spark.sql.types.IntegralType)
+                if t.defaultSize >= f.defaultSize => strip(c.child)
+            case _ => None
+          }
+        case t: org.apache.spark.sql.catalyst.expressions.TruncTimestamp =>
+          t.format match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(fmt, _) if fmt != null =>
+              truncSlackMicros(fmt.toString) match {
+                case Some(s) => slack = saturatingAdd(slack, s); strip(t.timestamp)
+                case None    => None
+              }
+            case _ => None
+          }
+        case _ => None
+      }
+
     @scala.annotation.tailrec
     def trace(p: LogicalPlan, attr: Attribute): Option[(LogicalRelation, Attribute)] =
       p match {
         case Project(projList, child) =>
-          projList.find(_.exprId == attr.exprId) match {
-            case Some(a: Attribute)       => trace(child, a)
-            case Some(Alias(a: Attribute, _)) => trace(child, a)
-            case _                        => None
+          projList.find(_.exprId == attr.exprId).flatMap(strip) match {
+            case Some(a) => trace(child, a)
+            case None    => None
           }
         case Filter(_, child) => trace(child, attr)
         case SubqueryAlias(_, child) => trace(child, attr)
-        case agg @ Aggregate(groupingExprs, aggExprs, child, _) =>
+        case Aggregate(groupingExprs, aggExprs, child, _) =>
           // value-preserving only for a plain grouping attribute (the
           // aggregate merely dedups its values)
           aggExprs.find(_.exprId == attr.exprId) match {
@@ -180,7 +238,12 @@ object GraftSqlShims {
             }
           } finally reader.close()
         }
-        if (ok && sawValue) Some((lo, hi)) else None
+        // widen the low side by the accumulated trunc slack (floor-like
+        // wrappers move values down by < one unit; saturating)
+        val loSlacked =
+          try Math.subtractExact(lo, slack)
+          catch { case _: ArithmeticException => Long.MinValue }
+        if (ok && sawValue) Some((loSlacked, hi)) else None
       }
     }
   }

@@ -61,6 +61,27 @@ class FooterBoundsSpec extends AnyFunSuite {
     assert(GraftSqlShims.parquetFooterBounds(df, "d").contains(expected))
   }
 
+  test("date_trunc chain passes with low-side slack; bounds still contain values") {
+    // eventsFrame's shape: date_trunc('second', ts).cast(timestamp) over
+    // an NTZ micros column — must trace to the leaf with < 1 s of
+    // low-side widening, never a narrowed bound
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val df =
+      try writeRead(Seq(
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00.123456")),
+        (2L, java.sql.Timestamp.valueOf("2024-03-31 23:59:59.999999"))).toDF("id", "ts"))
+      finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    val truncated = df.withColumn("ts", date_trunc("second", col("ts")).cast("timestamp"))
+    val Some((lo, hi)) = GraftSqlShims.parquetFooterBounds(truncated, "ts")
+    val (aLo, aHi) = truncated.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .as[(Long, Long)].head()
+    assert(lo <= aLo && aHi <= hi, s"bounds ($lo,$hi) must contain ($aLo,$aHi)")
+    assert(aLo - lo <= 1000000L) // slack bounded by one trunc unit
+    // an unknown trunc unit or arithmetic must still bail
+    assert(GraftSqlShims.parquetFooterBounds(
+      df.withColumn("ts", col("ts") + expr("interval 1 second")), "ts").isEmpty)
+  }
+
   test("None on computed columns, unions, joins, non-grouping aggregates") {
     val df = writeRead(Seq((1L, 100L), (2L, 200L)).toDF("id", "t"))
     // computed expression: values rescaled — must bail
