@@ -289,6 +289,38 @@ object SparkEntry {
       graft.ops.Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 10).orderBy("id_a", "id_b")),
 
+    // SimHash banding COMPLETENESS anchor: with 4 bands of 16 bits,
+    // pigeonhole guarantees every pair at hamming <= 3 shares a band,
+    // so on an id-bounded slice (spiked with exact copies so the pair
+    // set is non-empty) the banded pairs must equal the exhaustive
+    // all-pairs output EXACTLY. The query emits their symmetric
+    // difference — the oracle is the empty result, making the equality
+    // itself the oracle-gated claim (signature correctness is pinned
+    // separately by kernel-vs-HOF bit-identity tests; xxhash64-based
+    // signatures are not DuckDB-replayable, which is why x3 proper
+    // stays rows-only).
+    "x3b_simhash_complete" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 300)
+      val spiked = d.unionByName(d.filter(col("doc_id") % 3 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000))
+      val banded = graft.ops.Dedup.simhashPairs(spiked, "doc_id", "text",
+        maxHamming = 3)
+      val exhaustive = graft.ops.Dedup.simhashPairsExhaustive(spiked,
+        "doc_id", "text", maxId = Long.MaxValue, maxHamming = 3)
+      // multiset symmetric difference by count-netting (both sides are
+      // duplicate-free, so any nonzero net is a one-sided pair);
+      // exceptAll's generate+sum rewrite trips an internal binding bug
+      // under the trailing sort in Spark 4.1, so the diff is a plain
+      // tagged-union aggregate instead
+      banded.withColumn("__side", lit(1L))
+        .unionByName(exhaustive.withColumn("__side", lit(-1L)))
+        .groupBy("id_a", "id_b", "hamming")
+        .agg(sum(col("__side")).as("__net"))
+        .filter(col("__net") =!= 0L)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    }),
+
     // exact n-gram (3-token shingle) Jaccard within an id-bounded slice —
     // oracle-checkable quadratic variant of the LSH path
     "x4_dedup_jaccard" -> ((s, dir) =>
@@ -1045,6 +1077,14 @@ object SparkEntry {
            FROM (SELECT * FROM documents UNION ALL
                  SELECT doc_id + 1000000, text, lang, source, n_chars FROM documents))
          WHERE rn = 1 ORDER BY doc_id""",
+    "x3b_simhash_complete" ->
+      // the anchor's claim IS the empty result: banded candidates at the
+      // pigeonhole-complete threshold (hamming <= 3 over 4x16-bit bands)
+      // must equal the exhaustive pairs, so their symmetric difference
+      // has zero rows by construction — any row is a completeness bug
+      """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+                CAST(NULL AS INTEGER) AS hamming
+         WHERE false""",
     "x4_dedup_jaccard" ->
       """WITH t AS (
            SELECT doc_id,

@@ -699,6 +699,31 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Exhaustive SimHash pairs within an id-bounded slice — all pairs,
+    * no banding, same signature arithmetic as [[simhashPairs]].
+    * Deliberately quadratic (id-bounded); exists as the completeness
+    * anchor for the banded candidate generation: with 4 bands of 16
+    * bits, PIGEONHOLE guarantees every pair at hamming ≤ 3 shares at
+    * least one full band, so on any slice
+    * `simhashPairs(slice, maxHamming ≤ 3)` must equal this output
+    * exactly (x3b drives that difference through the oracle gate as an
+    * empty-result query). This anchors CANDIDATE COMPLETENESS only —
+    * signature correctness is pinned separately by the kernel-vs-HOF
+    * bit-identity tests. */
+  def simhashPairsExhaustive(df: DataFrame, idCol: String, textCol: String,
+                             maxId: Long, maxHamming: Int): DataFrame = {
+    val sigs = spread(df.filter(col(idCol) < maxId), col(idCol))
+      .select(col(idCol).as("id"),
+        simhashOfHashes(transform(TextOps.tokens(col(textCol)),
+          t => xxhash64(t))).as("sh"))
+    val a = sigs.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sigs.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Per-doc sorted distinct token-HASH array: the pair-stage Jaccard
     * operand. Token identity moves from strings to xxhash64 longs once per
     * DOCUMENT, so the quadratic pair stage compares primitive arrays with

@@ -87,6 +87,22 @@ class OpsSpec extends AnyFunSuite {
     assert(exact == 1.0)
   }
 
+  test("simhash banding is COMPLETE at the pigeonhole threshold (banded == exhaustive)") {
+    // 4 bands x 16 bits: hamming <= 3 cannot change all 4 bands, so the
+    // banded candidate set must contain every qualifying pair. Spiked
+    // with exact copies so the pair set is provably non-empty (the x3b
+    // anchor runs this same equality through the oracle gate).
+    val spiked = docs.unionByName(
+      docs.withColumn("doc_id", col("doc_id") + 1000))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = pairs(Dedup.simhashPairs(spiked, "doc_id", "text", maxHamming = 3))
+    val exhaustive = pairs(Dedup.simhashPairsExhaustive(spiked, "doc_id", "text",
+      maxId = Long.MaxValue, maxHamming = 3))
+    assert(exhaustive.nonEmpty) // exact copies give hamming-0 pairs
+    assert(banded == exhaustive)
+  }
+
   test("minhashPairsBandExhaustive equals shingleJaccardPairsExact on the slice") {
     // band width 1 + exact verify must reproduce the all-pairs ground
     // truth row-for-row (the x2b anchor's contract) — jaccard values
