@@ -629,6 +629,21 @@ object SparkEntry {
         .select("doc_id", "source").orderBy("doc_id")
     }),
 
+    // incremental-MinHash anchor (the x2b pattern, cross-side form):
+    // corpus = the x4 id-bounded slice, batch = the same docs re-id'd;
+    // the against-banding at bands=numHashes post-verified by EXACT
+    // shingle Jaccard must equal the exact cross-side pair set, which
+    // DuckDB replays directly (every batch doc pairs with its original
+    // at J=1, plus the slice's true near-dups)
+    "x43b_minhash_against_exact" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents").filter(col("doc_id") < 300)
+      val batch = corpus.withColumn("doc_id", col("doc_id") + 100000)
+      graft.ops.Dedup.minhashPairsAgainstBandExhaustive(
+        batch, "doc_id", "text", corpus, "doc_id", "text",
+        threshold = 0.5, numHashes = 64, shingleSize = 3)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
     // spherical k-means clustering: semantic buckets for topic balancing
     // / cluster-scoped dedup — cached quantizer build (shared with IVF),
     // then a map-only fused-kernel assignment pass; rows-only by design
@@ -1128,6 +1143,28 @@ object SparkEntry {
            AND len(list_intersect(a.sh, b.sh))::DOUBLE /
                len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
          ORDER BY id_a, id_b""",
+    "x43b_minhash_against_exact" ->
+      // exact cross-side Jaccard over the slice and its re-id'd copy;
+      // the banded candidate generation must surface every >= 0.5 pair
+      // (escape probability ~(1-j)^64 per pair)
+      """WITH t AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+           FROM documents WHERE doc_id < 300),
+         s AS (
+           SELECT doc_id,
+                  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                       ELSE list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                           for i in range(1, len(tk) - 1)])
+                  END AS sh
+           FROM t)
+         SELECT b.doc_id + 100000 AS batch_id, c.doc_id AS corpus_id,
+                round(len(list_intersect(b.sh, c.sh))::DOUBLE /
+                      len(list_distinct(list_concat(b.sh, c.sh))), 4) AS jaccard
+         FROM s b, s c
+         WHERE len(list_intersect(b.sh, c.sh))::DOUBLE /
+               len(list_distinct(list_concat(b.sh, c.sh))) >= 0.5
+         ORDER BY batch_id, corpus_id""",
     "x5b_embcos_exact" ->
       """WITH base AS (
            SELECT vec_id, embedding::DOUBLE[] AS embedding

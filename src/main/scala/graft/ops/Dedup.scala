@@ -798,6 +798,40 @@ object Dedup {
         array_sort(shingleHashesFused(col(textCol), shingleSize)).as("hs")),
       threshold)
 
+  /** Band-EXHAUSTIVE incremental MinHash — [[minhashPairsBandExhaustive]]'s
+    * cross-side form, anchoring [[minhashPairsAgainst]] (x43b): both
+    * sides run the REAL against-banding at bands = numHashes (candidate
+    * = cross-side docs sharing ANY min-hash value), candidates verify
+    * with the exact fused shingle-set Jaccard, and on id-bounded slices
+    * the output must equal the exact cross-side pair set — replayable in
+    * DuckDB, so this is an oracle row, with the same ~(1−j)^numHashes
+    * escape bound as the self-join anchor. */
+  def minhashPairsAgainstBandExhaustive(
+      batch: DataFrame, batchIdCol: String, batchTextCol: String,
+      corpus: DataFrame, corpusIdCol: String, corpusTextCol: String,
+      threshold: Double, numHashes: Int = 64,
+      shingleSize: Int = 3): DataFrame = {
+    val cand = minhashPairsAgainst(batch, batchIdCol, batchTextCol,
+      corpus, corpusIdCol, corpusTextCol, numHashes = numHashes,
+      bands = numHashes, threshold = 0.0, shingleSize = shingleSize)
+      .select("batch_id", "corpus_id")
+    def tok(df: DataFrame, idCol: String, textCol: String) =
+      spread(df, col(idCol)).select(col(idCol).as("id"),
+        array_sort(shingleHashesFused(col(textCol), shingleSize)).as("hs"))
+        .withColumn("n", size(col("hs")))
+    cand
+      .join(tok(batch, batchIdCol, batchTextCol)
+        .select(col("id").as("batch_id"), col("hs").as("hs_b"), col("n").as("n_b")),
+        "batch_id")
+      .join(tok(corpus, corpusIdCol, corpusTextCol)
+        .select(col("id").as("corpus_id"), col("hs").as("hs_c"), col("n").as("n_c")),
+        "corpus_id")
+      .withColumn("__i", intersectCount(col("hs_b"), col("hs_c")))
+      .withColumn("jaccard", jaccardOf(col("__i"), col("n_b"), col("n_c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Band-EXHAUSTIVE MinHash on an id-bounded slice — the oracle anchor
     * for [[minhashPairs]] (x2b), the x14b/x7b recall-forcing pattern
     * applied to MinHash banding. Candidates flow through the REAL banding

@@ -118,6 +118,28 @@ class OpsSpec extends AnyFunSuite {
     assert(banded == exact)
   }
 
+  test("minhashPairsAgainstBandExhaustive equals the exact cross-side pair set") {
+    // corpus = the fixture, batch = the fixture re-id'd: every batch doc
+    // must pair with its original at jaccard 1.0, plus the true
+    // cross-side near-dups — the x43b anchor's contract
+    val corpus = docs
+    val batch = docs.withColumn("doc_id", col("doc_id") + 1000)
+    val got = Dedup.minhashPairsAgainstBandExhaustive(
+      batch, "doc_id", "text", corpus, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // exact ground truth: all-pairs shingle Jaccard over the union,
+    // narrowed to cross-side pairs (corpus ids < 1000 < batch ids, so
+    // id_a<id_b always puts corpus on the left)
+    val shingleTruth = Dedup.shingleJaccardPairsExact(
+      docs.unionByName(batch), "doc_id", "text",
+      maxId = Long.MaxValue, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a <= 5 && b > 1000 } // cross-side only
+      .map { case (a, b, j) => (b, a, j) }.toSet
+    assert(got.exists { case (b, c, j) => b == c + 1000 && j == 1.0 }) // self-pairs
+    assert(got == shingleTruth)
+  }
+
   test("fused ws_tokens kernel is bit-identical to the regex composition") {
     import spark.implicits._
     // adversarial corpus: every ASCII \s class member, runs, leading/
