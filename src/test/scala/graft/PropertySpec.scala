@@ -329,4 +329,50 @@ class PropertySpec extends AnyFunSuite {
           .filter(not(col("k") === col("h"))).count() == 0L
     })
   }
+
+  test("footer bounds contain the actual min/max through random filter/select chains") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("footer_prop").toString
+    val caseGen = for {
+      n <- Gen.chooseNum(1, 20)
+      vals <- Gen.listOfN(n, Gen.chooseNum(-100000L, 100000L))
+      cut <- Gen.chooseNum(-100000L, 100000L)
+      seed <- Gen.chooseNum(0, 1 << 20)
+    } yield (vals, cut, seed)
+    checkProp(Prop.forAll(caseGen) { case (vals, cut, seed) =>
+      val path = s"$dir/t$seed.parquet"
+      vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "t")
+        .write.mode("overwrite").parquet(path)
+      val base = spark.read.parquet(path)
+      val derived = base.filter(col("t") >= cut).select(col("t").as("tt"))
+      val bounds = org.apache.spark.sql.GraftSqlShims.parquetFooterBounds(derived, "tt")
+      val actual = derived.collect().map(_.getLong(0))
+      bounds match {
+        case None => false // a plain filtered leaf scan must always resolve
+        case Some((lo, hi)) =>
+          actual.isEmpty || (lo <= actual.min && actual.max <= hi)
+      }
+    })
+  }
+
+  test("band-exhaustive minhash == exact shingle jaccard on random corpora") {
+    import spark.implicits._
+    // random near-dup-rich corpora: draw from a tiny token alphabet so
+    // >= 0.5-Jaccard pairs are common, then require the banded anchor to
+    // reproduce the quadratic ground truth exactly (the x2b contract,
+    // property form)
+    val docGen = Gen.listOfN(8, Gen.oneOf("alpha", "beta", "gamma", "delta"))
+      .map(_.mkString(" "))
+    checkProp(Prop.forAll(Gen.nonEmptyListOf(docGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      rows(graft.ops.Dedup.minhashPairsBandExhaustive(df, "doc_id", "text",
+        maxId = Long.MaxValue, threshold = 0.5)) ==
+        rows(graft.ops.Dedup.shingleJaccardPairsExact(df, "doc_id", "text",
+          maxId = Long.MaxValue, threshold = 0.5))
+    })
+  }
 }
