@@ -969,6 +969,78 @@ object SparkEntry {
         docs.filter(col("source") =!= "src7"),
         docs.filter(col("source") === "src7"),
         "doc_id", "text", n = 8).orderBy("doc_id")
+    }),
+
+    // SemDeDup (cluster-then-dedup, Abbas et al. 2023): fixed centroids
+    // (x42b's), LSH candidates within cluster only, greedy keep-min-id
+    // survivors. The corpus has no true near-dups (max pairwise cos ≈
+    // 0.51), so perturbed copies are spiked in at a collision-proof id
+    // offset — rows-only here (LSH recall); x61b is the exact-anchor twin
+    // and the unit spec gates recall + precision of this scale path.
+    "x61_semantic_dedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents: Seq[Seq[Double]] = e.filter(col("vec_id") < 4).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toSeq).toSeq
+      val base = e.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val perturbed = base.filter(col("vec_id") < 150)
+        .select((col("vec_id") + (1L << 40)).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x * (lit(1.0) + (i % 7).cast("double") / 1000)).as("embedding"))
+      graft.ops.Similarity.semanticDedup(base.unionByName(perturbed),
+          "vec_id", "embedding", cents, threshold = 0.95)
+        .select(col("vec_id"), col("cluster")).orderBy("vec_id")
+    }),
+
+    // exact-anchor twin of x61 (same spike recipe as x5b): complete
+    // within-cluster pairs on the id-bounded slice, then the same greedy
+    // smaller-id drop — DuckDB replays assignment (x42b's argmax) and
+    // the NOT EXISTS drop rule, so this row is a full oracle gate on the
+    // SemDeDup semantics
+    "x61b_semantic_dedup_exact" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents: Seq[Seq[Double]] = e.filter(col("vec_id") < 4).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toSeq).toSeq
+      val base = e.filter(col("vec_id") < 150).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val perturbed = base
+        .select((col("vec_id") + 1000).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x * (lit(1.0) + (i % 7).cast("double") / 1000)).as("embedding"))
+      graft.ops.Similarity.semanticDedupExact(base.unionByName(perturbed),
+          "vec_id", "embedding", cents, maxId = 10000, threshold = 0.95)
+        .select(col("vec_id"), col("cluster")).orderBy("vec_id")
+    }),
+
+    // quality-priority clustered collapse: connected components over the
+    // exact-Jaccard pair relation (x4's), keep the LONGEST member of each
+    // component (ties → min id) — the keep-best-representative policy
+    // real pipelines use instead of keep-first
+    "x62_dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.ops.Dedup.shingleJaccardPairsExact(docs,
+        "doc_id", "text", maxId = 300, threshold = 0.5, shingleSize = 3)
+      graft.ops.Dedup.dropNearDuplicatesClusteredBy(
+          docs.filter(col("doc_id") < 300), pairs, "doc_id",
+          length(col("text")))
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
+    // batch twin of the watermarked stream-stream interval join: clicks
+    // attributed to each error of the same user within the preceding 6 h
+    // (granule-bucketed range join — no nested loop), rolled up per error
+    "x63_interval_join" -> ((s, dir) => {
+      val ev = graft.streaming.EventStreams.eventsFrame(s, dir)
+      graft.streaming.EventStreams.intervalJoinBatch(
+          ev.filter(col("event_type") === "error"),
+          ev.filter(col("event_type") === "click"),
+          "user_id", horizonSeconds = 21600)
+        .groupBy(col("anchor_id").as("err_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          round(sum(col("match_value")), 4).as("click_value"))
+        .orderBy("err_id")
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2231,5 +2303,91 @@ object SparkEntry {
          SELECT doc_id, CAST(len(lps) AS BIGINT) AS n_bigrams,
                 floor(-(list_aggregate(lps, 'sum') / len(lps)) * 10000.0 + 0.5)
                   / 10000.0 AS nll
-         FROM per ORDER BY doc_id""")
+         FROM per ORDER BY doc_id""",
+
+    "x61b_semantic_dedup_exact" ->
+      // x5b's spike recipe + x42b's fixed-centroid argmax assignment,
+      // then the SemDeDup greedy drop as NOT EXISTS: a survivor has no
+      // same-cluster smaller-id neighbor at cos >= 0.95
+      """WITH base AS (
+           SELECT vec_id, embedding::DOUBLE[] AS embedding
+           FROM embeddings WHERE vec_id < 150),
+         pert AS (
+           SELECT vec_id + 1000 AS vec_id,
+                  [embedding[i] * (1.0 + ((i - 1) % 7) / 1000.0)
+                   for i in range(1, len(embedding) + 1)]::DOUBLE[] AS embedding
+           FROM base),
+         u AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+         c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+               FROM embeddings WHERE vec_id < 4),
+         asn AS (
+           SELECT vec_id, embedding, cluster FROM (
+             SELECT u.vec_id, u.embedding, c.cid AS cluster,
+                    row_number() OVER (PARTITION BY u.vec_id
+                        ORDER BY list_cosine_similarity(u.embedding, c.cv)
+                                 DESC, c.cid) AS rn
+             FROM u, c) WHERE rn = 1)
+         SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster FROM asn a
+         WHERE NOT EXISTS (
+           SELECT 1 FROM asn b
+           WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+             AND list_cosine_similarity(a.embedding, b.embedding) >= 0.95)
+         ORDER BY vec_id""",
+
+    "x62_dedup_keep_best" ->
+      // x18's component closure over x4's exact pair CTEs, then keep the
+      // longest member per component (ties -> min id); docs outside any
+      // pair survive untouched
+      """WITH RECURSIVE t AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+           FROM documents WHERE doc_id < 300),
+         s AS (
+           SELECT doc_id,
+                  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                       ELSE list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                           for i in range(1, len(tk) - 1)])
+                  END AS sh
+           FROM t),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM s a, s b
+           WHERE a.doc_id < b.doc_id
+             AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(id, lab) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+         comp AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
+         scored AS (
+           SELECT c.id, c.cluster, length(d.text) AS sc
+           FROM comp c JOIN documents d ON d.doc_id = c.id),
+         best AS (SELECT cluster, max(sc) AS m FROM scored GROUP BY cluster),
+         keep AS (
+           SELECT cluster, min(id) AS id FROM scored JOIN best USING (cluster)
+           WHERE sc = m GROUP BY cluster),
+         doomed AS (SELECT id FROM comp
+                    WHERE id NOT IN (SELECT id FROM keep))
+         SELECT doc_id FROM documents
+         WHERE doc_id < 300 AND doc_id NOT IN (SELECT id FROM doomed)
+         ORDER BY doc_id""",
+
+    "x63_interval_join" ->
+      // whole-second truncation matches eventsFrame's read boundary
+      // (x15's convention); inclusive closed interval on both ends
+      """WITH ev AS (
+           SELECT event_id, user_id, date_trunc('second', ts::TIMESTAMP) AS ts,
+                  event_type, value
+           FROM events),
+         e AS (SELECT event_id AS err_id, user_id, ts FROM ev
+               WHERE event_type = 'error'),
+         c AS (SELECT user_id, ts, value FROM ev WHERE event_type = 'click')
+         SELECT e.err_id, count(*) AS n_clicks,
+                round(sum(c.value), 4) AS click_value
+         FROM e JOIN c ON c.user_id = e.user_id
+           AND c.ts >= e.ts - INTERVAL 21600 SECOND AND c.ts <= e.ts
+         GROUP BY e.err_id ORDER BY err_id""")
 }

@@ -157,6 +157,28 @@ object XopEngine {
     }
   }
 
+  /** Parse an explicit `centroids` argument: a non-empty list of
+    * equal-length number lists (shared by emb_cluster and
+    * semantic_dedup). */
+  private def parseCentroids(raw: Any, op: String): Seq[Seq[Double]] = {
+    val centroids: Seq[Seq[Double]] = raw match {
+      case l: List[Any] @unchecked if l.nonEmpty => l.map {
+        case inner: List[Any] @unchecked => inner.map {
+          case n: java.lang.Number => n.doubleValue()
+          case other => Errors.malformed(
+            s"xop '$op': centroid entries must be numbers", other)
+        }
+        case other => Errors.malformed(
+          s"xop '$op': 'centroids' must be a list of number lists", other)
+      }
+      case other => Errors.malformed(
+        s"xop '$op': 'centroids' must be a non-empty list of number lists", other)
+    }
+    if (centroids.map(_.length).distinct.size != 1)
+      Errors.malformed(s"xop '$op': centroids must share one dimensionality")
+    centroids
+  }
+
   /** Row-order column for keep-first semantics: explicit `order` arg, else
     * the hidden ingest-order column server tables carry. */
   private def orderCol(df: DataFrame, args: Map[String, Any], op: String): String =
@@ -177,16 +199,29 @@ object XopEngine {
                            default: Double, op: String): Double =
     if (args.contains(key)) doubleArg(args, key, op) else default
 
-  /** Near-dup family post-step: emit the pair relation itself or drop the
-    * keep-latest side of every pair from the input frame. */
+  /** Near-dup family post-step: emit the pair relation itself, drop the
+    * keep-latest side of every pair from the input frame, or — with
+    * action 'keep_best' and a numeric 'score' column — collapse each
+    * near-dup connected component to its best-scoring member
+    * (Dedup.dropNearDuplicatesClusteredBy; ties → min id). */
   private def pairsOrDrop(df: DataFrame, pairs: DataFrame, idCol: String,
-                          args: Map[String, Any], op: String): DataFrame =
-    args.get("action") match {
+                          args: Map[String, Any], op: String): DataFrame = {
+    val action = args.get("action")
+    if (args.contains("score") && !action.contains("keep_best"))
+      Errors.malformed(s"xop '$op': 'score' is only valid with action 'keep_best'")
+    action match {
       case None | Some("pairs") => pairs
       case Some("drop") => Dedup.dropNearDuplicates(df, pairs, idCol)
+      case Some("keep_best") =>
+        if (!args.contains("score"))
+          Errors.malformed(s"xop '$op': action 'keep_best' requires a 'score' column")
+        Dedup.dropNearDuplicatesClusteredBy(df, pairs, idCol,
+          col(column(df, args, "score", op)))
       case Some(other) =>
-        Errors.malformed(s"xop '$op': action must be 'pairs' or 'drop'", other)
+        Errors.malformed(
+          s"xop '$op': action must be 'pairs', 'drop' or 'keep_best'", other)
     }
+  }
 
   // ----------------------------------------------------------------- run
 
@@ -397,7 +432,7 @@ object XopEngine {
       // MinHash LSH near-dup (Dedup.minhashPairs): one (band,bucket)
       // shuffle, codegen'd signature + pair kernels
       case "dedup_minhash" =>
-        knownArgs("id", "column", "num_hashes", "bands", "threshold", "shingle", "action")
+        knownArgs("id", "column", "num_hashes", "bands", "threshold", "shingle", "action", "score")
         val id = column(df, args, "id", name)
         val numHashes = intArg(args, "num_hashes", 64, name).toInt
         val bands = intArg(args, "bands", 16, name).toInt
@@ -409,7 +444,7 @@ object XopEngine {
 
       // SimHash near-dup: 4×16-bit band join + bit_count verify
       case "dedup_simhash" =>
-        knownArgs("id", "column", "max_hamming", "action")
+        knownArgs("id", "column", "max_hamming", "action", "score")
         val id = column(df, args, "id", name)
         pairsOrDrop(df, Dedup.simhashPairs(df, id, column(df, args, "column", name),
           intArg(args, "max_hamming", 3, name).toInt), id, args, name)
@@ -426,11 +461,53 @@ object XopEngine {
 
       // embedding-cosine near-dup (hyperplane LSH buckets + exact verify)
       case "dedup_embcos" =>
-        knownArgs("id", "column", "threshold", "bands", "action")
+        knownArgs("id", "column", "threshold", "bands", "action", "score")
         val id = column(df, args, "id", name)
         pairsOrDrop(df, Similarity.cosineNearDupPairs(df, id,
           vectorColumn(df, args, "column", name), doubleArg(args, "threshold", name),
           intArg(args, "bands", 8, name).toInt), id, args, name)
+
+      // SemDeDup: cluster-then-dedup — near-dup candidates only WITHIN a
+      // centroid cluster (explicit 'centroids', a persisted 'index', or a
+      // k/iters quantizer build over this frame). action as in the other
+      // near-dup ops; 'drop' keeps the assigned cluster column.
+      case "semantic_dedup" =>
+        knownArgs("id", "column", "k", "iters", "threshold", "bands",
+          "centroids", "index", "action", "score")
+        if (args.contains("centroids") && args.contains("index"))
+          Errors.malformed(
+            s"xop '$name': 'centroids' and 'index' are mutually exclusive")
+        val id = column(df, args, "id", name)
+        val vec = vectorColumn(df, args, "column", name)
+        val threshold = doubleArg(args, "threshold", name)
+        val bands = intArg(args, "bands", 8, name).toInt
+        val cents: Seq[Seq[Double]] =
+          if (args.contains("index")) {
+            if (args.contains("k") || args.contains("iters"))
+              Errors.malformed(
+                s"xop '$name': 'index' excludes 'k'/'iters' (no build runs)")
+            loadIndex(df, args("index"), name)
+          } else args.get("centroids") match {
+            case Some(raw) =>
+              if (args.contains("k") || args.contains("iters"))
+                Errors.malformed(
+                  s"xop '$name': 'centroids' excludes 'k'/'iters' (no build runs)")
+              parseCentroids(raw, name)
+            case None =>
+              val k = intArg(args, "k", 16, name).toInt
+              if (k <= 0) Errors.malformed(s"xop '$name': k must be positive")
+              val iters = intArg(args, "iters", 3, name).toInt
+              if (iters < 0) Errors.malformed(s"xop '$name': iters must be >= 0")
+              Similarity.buildQuantizer(df, id, vec, k, iters)
+          }
+        args.get("action") match {
+          case Some("drop") =>
+            Similarity.semanticDedup(df, id, vec, cents, threshold, bands)
+          case _ =>
+            pairsOrDrop(df,
+              Similarity.semanticDedupPairs(df, id, vec, cents, threshold, bands),
+              id, args, name)
+        }
 
       // connected components over a pair relation (label propagation);
       // runs on a pairs-shaped frame (id_a, id_b by default)
@@ -827,23 +904,8 @@ object XopEngine {
             if (args.contains("k") || args.contains("iters") || args.contains("id"))
               Errors.malformed(
                 s"xop '$name': 'centroids' excludes 'id'/'k'/'iters' (no build runs)")
-            val centroids: Seq[Seq[Double]] = raw match {
-              case l: List[Any] @unchecked if l.nonEmpty => l.map {
-                case inner: List[Any] @unchecked => inner.map {
-                  case n: java.lang.Number => n.doubleValue()
-                  case other => Errors.malformed(
-                    s"xop '$name': centroid entries must be numbers", other)
-                }
-                case other => Errors.malformed(
-                  s"xop '$name': 'centroids' must be a list of number lists", other)
-              }
-              case other => Errors.malformed(
-                s"xop '$name': 'centroids' must be a non-empty list of number lists", other)
-            }
-            if (centroids.map(_.length).distinct.size != 1)
-              Errors.malformed(s"xop '$name': centroids must share one dimensionality")
             Similarity.clusterAssignWith(df,
-              vectorColumn(df, args, "column", name), centroids)
+              vectorColumn(df, args, "column", name), parseCentroids(raw, name))
           case None =>
             val k = intArg(args, "k", 16, name).toInt
             if (k <= 0) Errors.malformed(s"xop '$name': k must be positive")
@@ -1075,6 +1137,35 @@ object XopEngine {
         }
         Joins.rangeJoin(df.drop(RowId), rightDf, ts, startC, endC, payload,
           granule, on, how)
+
+      // batch interval attribution over two event-shaped frames: the
+      // current frame is the ANCHOR side (event_id, ts, key), 'right'
+      // names the match side (ts, value, key); every anchor pairs with
+      // the same-key matches inside [ts - horizon, ts], both ends
+      // inclusive (EventStreams.intervalJoinBatch — the granule-bucketed
+      // range join, also the streaming twin's semantics)
+      case "interval_join" =>
+        knownArgs("right", "key", "horizon")
+        val rightDf = dataset("right").drop(RowId)
+        val key = column(df, args, "key", name)
+        if (!ExprCompiler.hasColumn(rightDf, key))
+          Errors.malformed(s"xop '$name': right dataset has no column", key)
+        val horizon = intArg(args, "horizon", -1L, name)
+        if (horizon < 0)
+          Errors.malformed(
+            s"xop '$name': 'horizon' (seconds) must be a non-negative integer")
+        for ((d, side, cols) <- Seq(
+            (df, "anchor", Seq("event_id", "ts")),
+            (rightDf, "right", Seq("ts", "value")));
+            c <- cols if !ExprCompiler.hasColumn(d, c))
+          Errors.malformed(s"xop '$name': $side frame has no column", c)
+        import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+        for ((d, side) <- Seq((df, "anchor"), (rightDf, "right"))
+             if !Seq(TimestampType, TimestampNTZType).contains(d.schema("ts").dataType))
+          Errors.malformed(
+            s"xop '$name': $side frame's ts must be a timestamp " +
+              s"(got ${d.schema("ts").dataType.simpleString})")
+        EventStreams.intervalJoinBatch(df.drop(RowId), rightDf, key, horizon)
 
       case other =>
         Errors.malformed("Unknown xop", other)

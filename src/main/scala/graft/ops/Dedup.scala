@@ -658,6 +658,38 @@ object Dedup {
     df.join(doomed, Seq(idCol), "left_anti")
   }
 
+  /** Quality-priority clustered collapse: keep, per near-duplicate
+    * component, the member with the HIGHEST `score` (ties → the minimum
+    * id) instead of [[dropNearDuplicatesClustered]]'s min-id rule — real
+    * pipelines keep the best-quality representative of each duplicate
+    * group, not the one that happened to be crawled first. Docs in no
+    * pair are untouched. `score` is any numeric expression over `df`'s
+    * columns; null scores lose to every non-null score (an all-null
+    * component falls back to min id).
+    *
+    * Shape at scale: components from the same bounded label propagation
+    * ([[duplicateClusters]] — O(diameter) rounds over the PAIRED ids
+    * only), then per-component argmax as two map-side-combining
+    * aggregates over that paired-ids-sized relation (max score, then min
+    * id among the maximal) — never a window over the corpus, and the
+    * final keep/drop decision reaches `df` as one anti-join on id. */
+  def dropNearDuplicatesClusteredBy(df: DataFrame, pairs: DataFrame,
+                                    idCol: String, score: Column): DataFrame = {
+    val labels = duplicateClusters(pairs) // (id, cluster), paired ids only
+    val scored = labels.join(
+      df.select(col(idCol).as("id"), score.as("__score")), Seq("id"))
+    val best = scored.groupBy(col("cluster")).agg(max(col("__score")).as("__m"))
+    // null-safe equality: an all-null component has __m null and keeps
+    // its min id; mixed components match only the non-null maximum
+    val keep = scored.join(best, Seq("cluster"))
+      .filter(col("__score") <=> col("__m"))
+      .groupBy(col("cluster")).agg(min(col("id")).as("id"))
+      .select(col("id"))
+    val doomed = labels.join(keep, Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+    df.join(doomed, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash over precomputed token hashes: per bit b, the bit is
     * set iff more token-hashes have bit b set than cleared — the native
     * codegen kernel (graft.functions.SimHashExpr). */

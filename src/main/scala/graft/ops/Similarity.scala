@@ -510,4 +510,123 @@ object Similarity {
       .select(col("__ida").as("id_a"), col("__idb").as("id_b"),
         round(col("cos"), 6).as("cos"))
   }
+
+  // ------------------------------------------------------------ SemDeDup
+
+  /** Cluster-scoped embedding-cosine near-duplicate pairs — the pair
+    * stage of semantic dedup (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540: cluster the embedding space, then dedup WITHIN
+    * clusters only, so the candidate space shrinks from n² to Σ|cluster|²
+    * and every cluster is an independent unit of work). Assignment is
+    * the map-only fixed-centroid argmax of [[clusterAssignWith]]
+    * (deterministic — x42b's oracle-proven path); candidates within a
+    * cluster come from the same hyperplane-LSH banding as
+    * [[cosineNearDupPairs]], with the cluster id folded into the bucket
+    * key so no cross-cluster pair is ever generated or verified. Output:
+    * (id_a, id_b, cluster, cos) with id_a < id_b and cos ≥ threshold;
+    * precision is exact (cosine verifies in-bucket), recall is the LSH
+    * trade documented on [[cosineNearDupPairs]].
+    *
+    * Shape at scale: one map-only assignment+signature pass, one
+    * (band, bucket) shuffle, bucket-capped pair generation — identical
+    * to the global near-dup path; the cluster key only PARTITIONS the
+    * buckets further (strictly smaller buckets, never larger). */
+  def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         centroids: Seq[Seq[Double]], threshold: Double,
+                         bands: Int = 8, bitsPerBand: Int = 0): DataFrame =
+    withinClusterPairs(clusterAssignWith(df, vecCol, centroids),
+      idCol, vecCol, threshold, bands, bitsPerBand)
+
+  /** SemDeDup survivors: every input row (plus its `cluster`) except
+    * those with a SMALLER-id near-duplicate (cos ≥ threshold) in the
+    * same cluster — the standard greedy keep-first collapse
+    * ([[graft.ops.Dedup.dropNearDuplicates]]'s rule, applied to the
+    * cluster-scoped pair relation). Deterministic given the centroids;
+    * for a quality-priority representative instead of min-id, feed
+    * [[semanticDedupPairs]] to
+    * [[graft.ops.Dedup.dropNearDuplicatesClusteredBy]]. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: Seq[Seq[Double]], threshold: Double,
+                    bands: Int = 8, bitsPerBand: Int = 0): DataFrame = {
+    val assigned = clusterAssignWith(df, vecCol, centroids).drop("cohesion")
+    graft.ops.Dedup.dropNearDuplicates(assigned,
+      withinClusterPairs(assigned, idCol, vecCol, threshold, bands, bitsPerBand),
+      idCol)
+  }
+
+  /** Exact within-cluster pair relation on an id-bounded slice — the
+    * oracle-checkable anchor for [[semanticDedupPairs]] (the same role
+    * [[cosineNearDupPairsExact]] plays for the global LSH path): the
+    * cluster equi-join replaces LSH candidate generation, so the output
+    * is the COMPLETE cluster-scoped pair set and DuckDB can replay it
+    * (fixed-centroid argmax + pairwise list_cosine_similarity).
+    * Quadratic per cluster by construction — `maxId`-bounded. */
+  def semanticDedupPairsExact(df: DataFrame, idCol: String, vecCol: String,
+                              centroids: Seq[Seq[Double]], maxId: Long,
+                              threshold: Double): DataFrame = {
+    val assigned = clusterAssignWith(df.filter(col(idCol) < maxId),
+      vecCol, centroids)
+    val rows = graft.ops.Dedup.spread(assigned, col(idCol))
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        norm(col(vecCol)).as("nrm"), col("cluster"))
+    val a = rows.select(col("id").as("__ida"), col("vec").as("__veca"),
+      col("nrm").as("__nrma"), col("cluster"))
+    val b = rows.select(col("id").as("__idb"), col("vec").as("__vecb"),
+      col("nrm").as("__nrmb"), col("cluster"))
+    a.join(b, Seq("cluster")).filter(col("__ida") < col("__idb"))
+      .withColumn("cos", cosineWithNorms(col("__veca"), col("__nrma"),
+        col("__vecb"), col("__nrmb")))
+      .filter(col("cos") >= threshold)
+      .select(col("__ida").as("id_a"), col("__idb").as("id_b"),
+        col("cluster"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Exact SemDeDup survivors on an id-bounded slice (the anchor twin of
+    * [[semanticDedup]]): complete within-cluster pairs, then the same
+    * greedy smaller-id drop. DuckDB replays it as a NOT EXISTS over the
+    * assigned relation, so this row is oracle-checkable end to end. */
+  def semanticDedupExact(df: DataFrame, idCol: String, vecCol: String,
+                         centroids: Seq[Seq[Double]], maxId: Long,
+                         threshold: Double): DataFrame = {
+    val assigned = clusterAssignWith(df.filter(col(idCol) < maxId),
+      vecCol, centroids).drop("cohesion")
+    graft.ops.Dedup.dropNearDuplicates(assigned,
+      semanticDedupPairsExact(df, idCol, vecCol, centroids, maxId, threshold),
+      idCol)
+  }
+
+  /** The shared LSH pair stage over an ALREADY-ASSIGNED frame (must carry
+    * `cluster`). Identical machinery to [[cosineNearDupPairs]] with two
+    * deltas: the cluster id is hashed into every band's bucket key, and a
+    * post-pair cluster equality filter removes the (hash-collision-rare)
+    * cross-cluster bucket cohabitants, so the pair relation is exactly
+    * cluster-scoped. */
+  private def withinClusterPairs(assigned: DataFrame, idCol: String,
+                                 vecCol: String, threshold: Double,
+                                 bands: Int, bitsPerBand: Int): DataFrame = {
+    val d = vecDim(assigned, vecCol)
+    val bpb = if (bitsPerBand > 0) bitsPerBand else {
+      val n = approxRows(assigned, rowBytes = 8L * d + 16L)
+      math.min(24, math.max(8, math.ceil(math.log(n / 16.0) / math.log(2)).toInt))
+    }
+    val bits = bands * bpb
+    val rows = graft.ops.Dedup.spread(assigned, col(idCol))
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        norm(col(vecCol)).as("nrm"), col("cluster"),
+        hyperplaneSignature(col(vecCol), bits, d).as("sig"))
+    val banded = rows
+      .select(struct(col("id"), col("vec"), col("nrm"), col("cluster")).as("p"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",", col("cluster"),
+            concat_ws(",", slice(col("sig"), b * lit(bpb) + 1, lit(bpb))))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    graft.ops.Dedup.bucketPairsWithPayload(banded)
+      .filter(col("a.cluster") === col("b.cluster"))
+      .withColumn("cos", cosineWithNorms(col("a.vec"), col("a.nrm"),
+        col("b.vec"), col("b.nrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.cluster").as("cluster"), round(col("cos"), 6).as("cos"))
+      .dropDuplicates("id_a", "id_b")
+  }
 }

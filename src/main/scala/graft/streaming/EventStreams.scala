@@ -262,6 +262,71 @@ object EventStreams {
       .drop("__sid")
   }
 
+  /** Watermarked STREAM-STREAM interval join over two event streams of
+    * the `events` shape: every `anchors` row pairs with the `matches`
+    * rows of the same `keyCol` whose time falls in
+    * [anchor.ts − horizonSeconds, anchor.ts] (both ends inclusive) — the
+    * attribution primitive ("which clicks preceded this error within a
+    * minute, per user"). Inner-join semantics: anchors with no match in
+    * the horizon emit nothing.
+    *
+    * Scale/state posture: both sides carry watermarks and the join
+    * condition bounds `match_ts` to a closed interval around
+    * `anchor_ts`, which is exactly what Structured Streaming needs to
+    * EXPIRE buffered state — each side's state store holds only rows
+    * within (watermark + horizon), partitioned by key hash across
+    * executors; without the time bound the join would buffer both
+    * streams forever. Output columns: (anchor_id, keyCol, anchor_ts,
+    * match_ts, match_value) — identical to [[intervalJoinBatch]], which
+    * is the bounded-replay twin (asserted equal on a shared fixture in
+    * StreamingSpec). */
+  def intervalJoinStream(anchors: DataFrame, matches: DataFrame, keyCol: String,
+                         horizonSeconds: Long,
+                         watermark: String = "2 minutes"): DataFrame = {
+    require(horizonSeconds >= 0, "horizonSeconds must be non-negative")
+    val a = anchors.select(col("event_id").as("anchor_id"),
+        col(keyCol).as("__ak"), col("ts").as("anchor_ts"))
+      .withWatermark("anchor_ts", watermark)
+    val m = matches.select(col(keyCol).as(keyCol),
+        col("ts").as("match_ts"), col("value").as("match_value"))
+      .withWatermark("match_ts", watermark)
+    a.join(m, col("__ak") === col(keyCol) &&
+        col("match_ts") >= col("anchor_ts") - expr(s"interval $horizonSeconds seconds") &&
+        col("match_ts") <= col("anchor_ts"))
+      .select(col("anchor_id"), col(keyCol), col("anchor_ts"),
+        col("match_ts"), col("match_value"))
+  }
+
+  /** Batch twin of [[intervalJoinStream]] — same semantics and output
+    * schema over static frames. NOT a raw range-predicate join (Spark
+    * would plan a broadcast-nested-loop): the horizon window rides
+    * [[graft.ops.Joins.rangeJoin]]'s granule bucketing, so the plan is a
+    * plain equi-join on (key, granule) with the exact interval predicate
+    * alongside — hash shuffles both sides, no nested loop, and each
+    * anchor interval spans ≤ 2 granules (granule = the horizon itself).
+    * `ts` must be a timestamp (the events shape; granule embeds as epoch
+    * micros). */
+  def intervalJoinBatch(anchors: DataFrame, matches: DataFrame, keyCol: String,
+                        horizonSeconds: Long): DataFrame = {
+    require(horizonSeconds >= 0, "horizonSeconds must be non-negative")
+    val a = anchors.select(col("event_id").as("anchor_id"), col(keyCol),
+        col("ts").as("anchor_ts"))
+      .withColumn("__w_start",
+        col("anchor_ts") - expr(s"interval $horizonSeconds seconds"))
+    // the match-side key is renamed internally: both sides usually trace
+    // to ONE events relation (filter error / filter click), and a
+    // same-name key pair in the join condition trips Spark's self-join
+    // ambiguity heuristics (resolved correctly, but warned on every run)
+    val m = matches.select(col(keyCol).as("__ij_k"), col("ts").as("match_ts"),
+      col("value").as("match_value"))
+    graft.ops.Joins.rangeJoin(m, a, "match_ts", "__w_start", "anchor_ts",
+        payloadCols = Seq("anchor_id", "anchor_ts"),
+        granule = math.max(horizonSeconds, 1L) * 1000000L,
+        on = Seq(("__ij_k", keyCol)))
+      .select(col("anchor_id"), col("__ij_k").as(keyCol), col("anchor_ts"),
+        col("match_ts"), col("match_value"))
+  }
+
   /** Streaming exact dedup by id under bounded state: duplicates arriving
     * within `watermarkDelay` of each other collapse to the first; the
     * seen-id state expires as event time passes (the unbounded-state

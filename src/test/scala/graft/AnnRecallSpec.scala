@@ -33,6 +33,33 @@ class AnnRecallSpec extends AnyFunSuite {
     hits.sum / hits.size
   }
 
+  test("semanticDedup LSH path: never over-drops, and drop recall clears the pinned floor") {
+    // x61's spike recipe on the real fixture: perturbed copies of the
+    // first 150 vectors at cos ≈ 0.999998, fixed centroids = first 4 rows
+    val cents: Seq[Seq[Double]] = emb.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select(col("embedding")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val perturbed = base.filter(col("vec_id") < 150)
+      .select((col("vec_id") + (1L << 40)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x * (lit(1.0) + (i % 7).cast("double") / 1000)).as("embedding"))
+    val u = base.unionByName(perturbed)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = ids(Similarity.semanticDedupExact(u, "vec_id", "embedding",
+      cents, maxId = Long.MaxValue, threshold = 0.95))
+    val lsh = ids(Similarity.semanticDedup(u, "vec_id", "embedding",
+      cents, threshold = 0.95))
+    // cosine verifies in-bucket, so the LSH pair set is a SUBSET of the
+    // true pair set: it can only drop fewer rows, never a wrong one
+    assert(exact.subsetOf(lsh))
+    val all = ids(u)
+    val dropRecall =
+      (all -- lsh).size.toDouble / math.max((all -- exact).size, 1)
+    info(f"semanticDedup drop recall = $dropRecall%.3f")
+    assert(dropRecall >= 0.95, f"SemDeDup LSH drop recall degraded: $dropRecall%.3f")
+  }
+
   test("IVF recall@10 at nProbe=8/32 clears the pinned floor") {
     val ivf = topSet(Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
       k = 10, nCells = 32, nProbe = 8, dim = 64))

@@ -392,6 +392,85 @@ class OpsSpec extends AnyFunSuite {
     assert(got.forall(_._3 >= 0.99))
   }
 
+  // ------------------------- semantic dedup (SemDeDup) -------------------------
+
+  // two orthogonal fixed centroids: x-dominant → cluster 0, y-dominant → 1
+  private val semCents: Seq[Seq[Double]] = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0))
+
+  test("semanticDedupPairsExact scopes pairs to clusters: a near-dup pair straddling the boundary is suppressed") {
+    // v1/v2 are cos ≈ 0.9996 near-dups, but v1 is x-dominant (cluster 0)
+    // and v2 y-dominant (cluster 1): SemDeDup must NOT pair them, while
+    // the global exact path must — that delta IS the cluster scoping
+    val df = Seq(
+      (1L, Array(1.0, 0.98, 0.0)),
+      (2L, Array(0.98, 1.0, 0.0)),
+      (3L, Array(0.0, 0.0, 1.0))).toDF("vec_id", "embedding")
+    val sem = Similarity.semanticDedupPairsExact(df, "vec_id", "embedding",
+      semCents ++ Seq(Seq(0.0, 0.0, 1.0)), maxId = 100, threshold = 0.95)
+    assert(sem.count() == 0)
+    val global = Similarity.cosineNearDupPairsExact(df, "vec_id", "embedding",
+      maxId = 100, threshold = 0.95)
+    assert(global.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
+  test("semanticDedup drops the larger-id in-cluster near-dup and keeps the cluster label") {
+    val df = Seq(
+      (1L, Array(1.0, 0.0, 0.0)),   // cluster 0
+      (2L, Array(1.0, 0.01, 0.0)),  // cluster 0, near-dup of 1 → dropped
+      (3L, Array(0.0, 1.0, 0.0)),   // cluster 1 (orthogonal to 1/2: kept)
+      (4L, Array(0.01, 1.0, 0.0))). // cluster 1, near-dup of 3 → dropped
+      toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(df, "vec_id", "embedding", semCents,
+        threshold = 0.95)
+      .select("vec_id", "cluster")
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == Seq((1L, 0), (3L, 1)))
+  }
+
+  test("semanticDedup exact and LSH paths agree on exact-copy duplicates") {
+    // identical vectors share every band signature, so the LSH candidate
+    // set provably contains them: both paths must produce the same
+    // survivor set (the general LSH/exact delta is recall on NEAR dups,
+    // gated separately in PipelineSpec)
+    val df = Seq(
+      (1L, Array(1.0, 0.2, 0.0)), (2L, Array(1.0, 0.2, 0.0)),
+      (3L, Array(0.1, 1.0, 0.3)), (4L, Array(0.1, 1.0, 0.3)),
+      (5L, Array(0.0, 0.3, 1.0))).toDF("vec_id", "embedding")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("vec_id").orderBy("vec_id").collect().map(_.getLong(0)).toSeq
+    val exact = ids(Similarity.semanticDedupExact(df, "vec_id", "embedding",
+      semCents, maxId = 100, threshold = 0.999))
+    val lsh = ids(Similarity.semanticDedup(df, "vec_id", "embedding",
+      semCents, threshold = 0.999))
+    assert(exact == Seq(1L, 3L, 5L))
+    assert(lsh == exact)
+  }
+
+  // ------------------------- quality-priority collapse -------------------------
+
+  test("dropNearDuplicatesClusteredBy keeps the best-scoring member per component") {
+    val docs = Seq(
+      (1L, "aaa", 10.0), (2L, "aab", 30.0), (3L, "aac", 20.0), // chain component
+      (4L, "solo", 5.0)).toDF("id", "text", "score")
+    // chain 1~2, 2~3 (no 1~3): one component {1,2,3}; 2 has max score
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.dropNearDuplicatesClusteredBy(docs, pairs, "id", col("score"))
+      .select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L, 4L)) // keep-best ≠ min-id (which would keep 1)
+  }
+
+  test("dropNearDuplicatesClusteredBy: score ties break to min id; null scores lose; all-null falls back to min id") {
+    val docs = Seq(
+      (1L, 5.0.asInstanceOf[java.lang.Double]), (2L, 5.0.asInstanceOf[java.lang.Double]), // tie → keep 1
+      (10L, null.asInstanceOf[java.lang.Double]), (11L, 1.0.asInstanceOf[java.lang.Double]), // null loses → keep 11
+      (20L, null.asInstanceOf[java.lang.Double]), (21L, null.asInstanceOf[java.lang.Double])) // all null → keep 20
+      .toDF("id", "score")
+    val pairs = Seq((1L, 2L), (10L, 11L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.dropNearDuplicatesClusteredBy(docs, pairs, "id", col("score"))
+      .select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 11L, 20L))
+  }
+
   test("lshTopK finds identical vectors (same signature in every band)") {
     val queries = vecs.filter(col("vec_id") === 1)
     val got = Similarity.lshTopK(vecs, queries, "vec_id", "embedding", 2)

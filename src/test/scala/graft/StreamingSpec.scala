@@ -195,4 +195,58 @@ class StreamingSpec extends AnyFunSuite {
       r.getAs[Double]("total_value"), r.getAs[Timestamp]("session_end"))).toSeq ==
       Seq((1L, 2L, 3.0, ts(0, 30)), (1L, 1L, 3.0, ts(5, 0)), (2L, 1L, 4.0, ts(0, 10))))
   }
+
+  // interval-join fixture: errors (anchors) and clicks (matches) with
+  // boundary hits on BOTH inclusive ends, a same-user out-of-horizon
+  // click, a wrong-user in-horizon click, and a matchless anchor
+  private val ijErrors = Seq(
+    Event(100, ts(2, 0), 1, "error", 0.0),   // horizon [10:01:00, 10:02:00]
+    Event(101, ts(9, 0), 1, "error", 0.0),   // matches nothing (click at 10:02:30 too old)
+    Event(102, ts(3, 0), 2, "error", 0.0))   // user 2
+  private val ijClicks = Seq(
+    Event(200, ts(1, 0), 1, "click", 1.0),   // exactly horizon start: matches 100
+    Event(201, ts(2, 0), 1, "click", 2.0),   // exactly anchor ts: matches 100
+    Event(202, ts(0, 59), 1, "click", 4.0),  // 1s before horizon: no match
+    Event(203, ts(2, 30), 1, "click", 8.0),  // after 100, >60s before 101: no match
+    Event(204, ts(2, 30), 2, "click", 16.0)) // user 2: matches 102 only
+
+  private def ijRows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Double)] =
+    df.select("anchor_id", "user_id", "match_ts", "match_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Timestamp]("match_ts").getTime, r.getDouble(3))).toSeq.sorted
+
+  test("intervalJoinBatch matches on the closed horizon per key") {
+    import spark.implicits._
+    val got = ijRows(EventStreams.intervalJoinBatch(
+      ijErrors.toDF(), ijClicks.toDF(), "user_id", horizonSeconds = 60))
+    assert(got == Seq(
+      (100L, 1L, ts(1, 0).getTime, 1.0),
+      (100L, 1L, ts(2, 0).getTime, 2.0),
+      (102L, 2L, ts(2, 30).getTime, 16.0)))
+  }
+
+  test("stream-stream interval join equals the batch twin on the shared fixture") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val errs = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val query = EventStreams.intervalJoinStream(errs.toDF(), clicks.toDF(),
+        "user_id", horizonSeconds = 60)
+      .writeStream.format("memory").queryName("ij")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two micro-batches with interleaved arrival: the join must buffer
+      // each side's state and still produce the full batch-equal result
+      errs.addData(ijErrors.take(1): _*)
+      clicks.addData(ijClicks.take(3): _*)
+      query.processAllAvailable()
+      errs.addData(ijErrors.drop(1): _*)
+      clicks.addData(ijClicks.drop(3): _*)
+      query.processAllAvailable()
+      val streamed = ijRows(spark.table("ij"))
+      val batch = ijRows(EventStreams.intervalJoinBatch(
+        ijErrors.toDF(), ijClicks.toDF(), "user_id", horizonSeconds = 60))
+      assert(streamed == batch)
+    } finally query.stop()
+  }
 }

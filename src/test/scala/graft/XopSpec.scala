@@ -188,6 +188,57 @@ class XopSpec extends AnyFunSuite {
     assert(pairs(p) == Seq((1L, 2L), (3L, 4L)))
   }
 
+  test("semantic_dedup: cluster-scoped pairs, drop keeps cluster, keep_best honors score") {
+    val p = runV(
+      """{"xop": {"name": "semantic_dedup",
+                  "args": {"id": "id", "column": "vec", "threshold": 0.99,
+                           "centroids": [[2.0, 0.0], [0.0, 0.5]]}}}""")
+    assert(pairs(p) == Seq((1L, 2L), (3L, 4L)))
+    assert(p.columns.contains("cluster"))
+    val d = runV(
+      """{"xop": {"name": "semantic_dedup",
+                  "args": {"id": "id", "column": "vec", "threshold": 0.99,
+                           "centroids": [[2.0, 0.0], [0.0, 0.5]],
+                           "action": "drop"}},
+          "order_by": ["id"]}""")
+    assert(ids(d) == Seq(1L, 3L, 5L))
+    assert(d.columns.contains("cluster"))
+    // keep_best by the id column itself: max id per component survives
+    val kb = runV(
+      """{"xop": {"name": "semantic_dedup",
+                  "args": {"id": "id", "column": "vec", "threshold": 0.99,
+                           "centroids": [[2.0, 0.0], [0.0, 0.5]],
+                           "action": "keep_best", "score": "id"}},
+          "order_by": ["id"]}""")
+    assert(ids(kb) == Seq(2L, 4L, 5L))
+  }
+
+  test("semantic_dedup strict args: score without keep_best, keep_best without score, centroids+k all 400") {
+    intercept[MalformedQueryException] { runV(
+      """{"xop": {"name": "semantic_dedup",
+                  "args": {"id": "id", "column": "vec", "threshold": 0.99,
+                           "centroids": [[1.0, 0.0]], "score": "id"}}}""") }
+    intercept[MalformedQueryException] { runV(
+      """{"xop": {"name": "semantic_dedup",
+                  "args": {"id": "id", "column": "vec", "threshold": 0.99,
+                           "centroids": [[1.0, 0.0]], "action": "keep_best"}}}""") }
+    intercept[MalformedQueryException] { runV(
+      """{"xop": {"name": "semantic_dedup",
+                  "args": {"id": "id", "column": "vec", "threshold": 0.99,
+                           "centroids": [[1.0, 0.0]], "k": 2}}}""") }
+  }
+
+  test("dedup_minhash action=keep_best collapses a component to its best-scoring member") {
+    // docs 1~3 are exact dups; score by id keeps the LATER copy (3), the
+    // opposite of drop's keep-first — proving the score drives the choice
+    val kb = run(
+      """{"xop": {"name": "dedup_minhash",
+                  "args": {"id": "id", "column": "text",
+                           "action": "keep_best", "score": "id"}},
+          "order_by": ["id"]}""")
+    assert(ids(kb) == Seq(3L, 4L, 5L, 6L))
+  }
+
   test("emb_quantize emits int8 vectors with per-row scale") {
     val out = runV("""{"xop": {"name": "emb_quantize", "args": {"id": "id", "column": "vec"}}}""")
     assert(out.columns.contains("q") && out.columns.contains("scale"))
@@ -430,7 +481,40 @@ class XopSpec extends AnyFunSuite {
       import spark.implicits._
       Some(Seq((1L, "quick fox"), (2L, "liquor jugs"))
         .toDF("query_id", "query_text"))
+    case "clicks" =>
+      import spark.implicits._
+      Some(Seq(
+        (200L, java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), 1L, 1.0),
+        (201L, java.sql.Timestamp.valueOf("2024-01-01 10:00:59"), 1L, 2.0),
+        (202L, java.sql.Timestamp.valueOf("2024-01-01 10:01:30"), 2L, 4.0))
+        .toDF("event_id", "ts", "user_id", "value"))
     case _ => None
+  }
+
+  test("interval_join attributes same-key in-horizon matches via the resolver") {
+    import spark.implicits._
+    val anchors = Seq(
+      (100L, java.sql.Timestamp.valueOf("2024-01-01 10:02:00"), 1L, 0.0),
+      (101L, java.sql.Timestamp.valueOf("2024-01-01 10:02:00"), 2L, 0.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val out = QueryEngine.run(anchors,
+      """{"xop": {"name": "interval_join",
+                  "args": {"right": "clicks", "key": "user_id", "horizon": 60}},
+          "order_by": ["anchor_id"]}""", resolver).df
+    // anchor 100 (user 1, horizon [10:01:00, 10:02:00]) matches the
+    // 10:01:00 click only — 10:00:59 is 1s outside the closed start;
+    // anchor 101 (user 2) matches the 10:01:30 click
+    assert(out.collect().map(r => (r.getAs[Long]("anchor_id"),
+      r.getAs[Double]("match_value"))).toSeq == Seq((100L, 1.0), (101L, 4.0)))
+    // horizon is required and non-negative; ts must be a timestamp
+    intercept[MalformedQueryException] { QueryEngine.run(anchors,
+      """{"xop": {"name": "interval_join",
+                  "args": {"right": "clicks", "key": "user_id"}}}""", resolver).df }
+    intercept[MalformedQueryException] { QueryEngine.run(
+      anchors.withColumn("ts", org.apache.spark.sql.functions.lit(5L)),
+      """{"xop": {"name": "interval_join",
+                  "args": {"right": "clicks", "key": "user_id", "horizon": 60}}}""",
+      resolver).df }
   }
 
   test("decontaminate drops train docs sharing n-grams with a stored eval set") {
