@@ -96,8 +96,9 @@ object EventStreams {
     *
     *   1. each event buckets to a time granule `g = floor(sec(ts) /
     *      width)` (`granule` in seconds, or auto-derived targeting
-    *      ~4096 segments over the observed span — one column-pruned
-    *      min/max pre-pass);
+    *      ~4096 segments over the observed span, floored at 4× the gap
+    *      so local breaks can actually fire — parquet footer min/max
+    *      when available, else one column-pruned min/max pre-pass);
     *   2. LOCAL pass within (user, granule): gap-break flags + running
     *      break count (the local session id) — the hot user's history
     *      spreads over its granules, each an independent task — and the
@@ -128,7 +129,8 @@ object EventStreams {
     * skewed user still sorts in one sub-second task at that size, and
     * segmentation's fixed costs dominate), while anything bigger —
     * always the case at cluster scale — auto-derives ~4096 segments
-    * from one column-pruned min/max pre-pass. */
+    * (floored at a 4-gap width — see the derivation comment) from footer
+    * stats or one column-pruned min/max pre-pass. */
   def sessionizeBatch(events: DataFrame, gapSeconds: Long,
                       granule: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -148,15 +150,30 @@ object EventStreams {
       if (graft.ops.Similarity.approxRows(ev, rowBytes = 64L,
             unknownAs = Long.MaxValue) >=
           graft.ops.Joins.SegmentedCarryMinRows) {
-        // auto-derive: ~4096 segments over the observed span. Preferred
-        // source: parquet FOOTER min/max (metadata-only, traces through
-        // eventsFrame's date_trunc/cast wrappers — see
-        // GraftSqlShims.parquetFooterBounds); the granule here is in the
+        // auto-derive: ~4096 segments over the observed span, FLOORED at
+        // 4× the session gap. The floor matters: a granule narrower than
+        // the gap can never fire a local break (two events inside it are
+        // closer than the gap by construction), so every (user, granule)
+        // emits exactly one partial session and ALL session construction
+        // falls to the cross-granule machinery — the granule-level
+        // relations balloon toward one row per event and the local
+        // windows become pure overhead. At ≥4 gaps per granule the local
+        // pass closes most sessions where they happen (measured at sf1:
+        // 6.5 s → ~4.7 s, tools/ProfileSessionize), while the hot-key
+        // spread keeps up to span/(4·gap) independent segments — for
+        // real corpora (span ≫ gap) that still saturates any cluster.
+        // Preferred span source: parquet FOOTER min/max (metadata-only,
+        // traces through eventsFrame's date_trunc/cast wrappers — see
+        // GraftSqlShims.parquetFooterBounds); the granule is in the
         // cast("long") embedding's units, i.e. epoch SECONDS for
         // timestamps (footer micros floor-divide down) and own units for
         // integers. Fallback: the eager column-pruned min/max job.
+        val gapFloor: Long =
+          if (gapSeconds > Long.MaxValue / 4) Long.MaxValue
+          else math.max(4L * gapSeconds, 1L)
         def widthOf(lo: BigInt, hi: BigInt): Long =
-          ((hi - lo) / 4096 + 1).min(BigInt(Long.MaxValue)).toLong.max(1L)
+          ((hi - lo) / 4096 + 1).min(BigInt(Long.MaxValue)).toLong
+            .max(gapFloor)
         val footer = org.apache.spark.sql.GraftSqlShims
           .parquetFooterBounds(ev, "ts")
           .map { case (lo, hi) =>
