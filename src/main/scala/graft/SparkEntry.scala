@@ -774,6 +774,14 @@ object SparkEntry {
         graft.streaming.EventStreams.eventsFrame(s, dir), gapSeconds = 21600)
         .orderBy("user_id", "session_start")),
 
+    // the native session_window strategy under the SAME oracle as x15
+    // (verbatim SQL share, the x14b pattern): the layout-dependent fast
+    // path must reproduce the segmented carry's sessions exactly
+    "x15b_sessions_native" -> ((s, dir) =>
+      graft.streaming.EventStreams.sessionizeNative(
+        graft.streaming.EventStreams.eventsFrame(s, dir), gapSeconds = 21600)
+        .orderBy("user_id", "session_start")),
+
     // multimodal plumbing: binary assets → stub batch decode → features
     "x12_mm_decode" -> ((s, dir) => {
       val assets = graft.ops.Multimodal.assetsFromText(
@@ -2036,6 +2044,25 @@ object SparkEntry {
       // truncate ts to whole seconds the same way the Spark side does
       // (eventsFrame's read-boundary normalization) before the gap logic;
       // ts::TIMESTAMP also absorbs either fixture layout (ns or us)
+      """WITH e AS (
+           SELECT user_id, date_trunc('second', ts::TIMESTAMP) AS ts, value
+           FROM events),
+         m AS (
+           SELECT *, CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts)) <= 21600
+                     THEN 0 ELSE 1 END AS brk
+           FROM e),
+         s AS (
+           SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+           FROM m)
+         SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                count(*) AS n_events, round(sum(value), 4) AS total_value
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
+    "x15b_sessions_native" ->
+      // x15's oracle VERBATIM: the native session_window strategy must
+      // reproduce the segmented carry's sessions exactly
       """WITH e AS (
            SELECT user_id, date_trunc('second', ts::TIMESTAMP) AS ts, value
            FROM events),

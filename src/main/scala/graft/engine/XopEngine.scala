@@ -602,7 +602,7 @@ object XopEngine {
 
       // gap-based sessionization, batch form (user_id/ts/value shape)
       case "sessionize" =>
-        knownArgs("gap_seconds", "granule")
+        knownArgs("gap_seconds", "granule", "strategy")
         for (c <- Seq("user_id", "ts", "value") if !ExprCompiler.hasColumn(df, c))
           Errors.malformed(s"xop '$name': frame has no '$c' column")
         // the gap math casts ts to long — a string ts would ANSI-crash
@@ -616,15 +616,38 @@ object XopEngine {
             Errors.malformed(s"xop '$name': 'ts' must be numeric or timestamp", other)
         }
         // optional segment width in seconds (see sessionizeBatch: any
-        // value is correct, absent = auto-derived ~4096 segments)
+        // value is correct, absent = auto-derived, gap-floored)
         val sessGranule = args.get("granule").map { _ =>
           val w = intArg(args, "granule", 0, name)
           if (w <= 0)
             Errors.malformed(s"xop '$name': 'granule' must be a positive integer")
           w
         }
-        EventStreams.sessionizeBatch(df,
-          intArg(args, "gap_seconds", 1800, name), sessGranule)
+        val sessGap = intArg(args, "gap_seconds", 1800, name)
+        args.get("strategy") match {
+          case None | Some("segmented") =>
+            EventStreams.sessionizeBatch(df, sessGap, sessGranule)
+          case Some("native") =>
+            // the native session_window strategy has no granule knob
+            // (its map-side merge is layout-driven, not time-bucketed)
+            if (sessGranule.isDefined)
+              Errors.malformed(
+                s"xop '$name': 'granule' is invalid with strategy 'native'")
+            if (sessGap <= 0)
+              Errors.malformed(
+                s"xop '$name': 'gap_seconds' must be positive for strategy 'native'")
+            // native session_window needs a real timestamp column
+            df.schema("ts").dataType match {
+              case org.apache.spark.sql.types.TimestampType
+                 | org.apache.spark.sql.types.TimestampNTZType => ()
+              case other => Errors.malformed(
+                s"xop '$name': strategy 'native' needs a timestamp 'ts'", other)
+            }
+            EventStreams.sessionizeNative(df, sessGap)
+          case Some(other) =>
+            Errors.malformed(
+              s"xop '$name': strategy must be 'segmented' or 'native'", other)
+        }
 
       // semi-structured props parse + per-type rollup
       case "props_rollup" =>

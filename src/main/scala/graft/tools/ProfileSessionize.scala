@@ -48,7 +48,7 @@ object ProfileSessionize {
     }
 
     val counts = Seq(
-      run("auto (~4096 segments)", None),
+      run("auto (4-gap floored)", None),
       run("granule = gap/4", Some(gap / 4)),
       run("granule = gap", Some(gap)),
       run("granule = 2*gap", Some(2 * gap)),
@@ -56,6 +56,28 @@ object ProfileSessionize {
       run("granule = 16*gap", Some(16 * gap)),
       run("granule = 64*gap", Some(64 * gap)))
     assert(counts.distinct.size == 1, s"session counts diverged: $counts")
+
+    // reference point: Spark's NATIVE session_window aggregate — same
+    // session semantics (gap-based merge), but its physical plan sorts
+    // and merges each user's whole timeline inside one task (the
+    // UpdatingSessions iterator runs per key partition), i.e. exactly
+    // the hot-key funnel the segmented carry exists to avoid. Timed here
+    // so the single-node cost of that funnel-free guarantee stays an
+    // informed trade, not a guess.
+    {
+      import org.apache.spark.sql.functions._
+      def once(): Long = ev
+        .groupBy(col("user_id"), session_window(col("ts"), s"$gap seconds"))
+        .agg(count(lit(1)).as("n_events"))
+        .count()
+      val n = once()
+      val times = (1 to passes).map { _ =>
+        val t0 = System.nanoTime(); once(); (System.nanoTime() - t0) / 1e9
+      }
+      println(f"native session_window       sessions=$n  min=${times.min}%.2f s  " +
+        f"passes=${times.map(t => f"$t%.2f").mkString(", ")}")
+      assert(n == counts.head, s"native session_window diverged: $n vs ${counts.head}")
+    }
     spark.stop()
   }
 }

@@ -196,6 +196,27 @@ class StreamingSpec extends AnyFunSuite {
       Seq((1L, 2L, 3.0, ts(0, 30)), (1L, 1L, 3.0, ts(5, 0)), (2L, 1L, 4.0, ts(0, 10))))
   }
 
+  test("sessionizeNative equals sessionizeBatch, including the exact-gap tie") {
+    import spark.implicits._
+    val events = Seq(
+      Event(1, ts(0, 0), 1, "click", 1.0),
+      Event(2, ts(1, 0), 1, "view", 2.0),   // EXACTLY 60s after: continues in both
+      Event(3, ts(2, 1), 1, "click", 3.0),  // 61s after: breaks in both
+      Event(4, ts(0, 10), 2, "click", 4.0)
+    ).toDF()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "session_start", "session_end", "n_events", "total_value")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(3), r.getDouble(4))).toSeq.sorted
+    val batch = rows(EventStreams.sessionizeBatch(events, gapSeconds = 60))
+    val native = rows(EventStreams.sessionizeNative(events, gapSeconds = 60))
+    assert(batch == Seq(
+      (1L, ts(0, 0).getTime, ts(1, 0).getTime, 2L, 3.0),
+      (1L, ts(2, 1).getTime, ts(2, 1).getTime, 1L, 3.0),
+      (2L, ts(0, 10).getTime, ts(0, 10).getTime, 1L, 4.0)))
+    assert(native == batch)
+  }
+
   // interval-join fixture: errors (anchors) and clicks (matches) with
   // boundary hits on BOTH inclusive ends, a same-user out-of-horizon
   // click, a wrong-user in-horizon click, and a matchless anchor

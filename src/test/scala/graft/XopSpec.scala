@@ -423,6 +423,24 @@ class XopSpec extends AnyFunSuite {
     assert(out.columns.contains("n_events"))
   }
 
+  test("sessionize strategy=native matches segmented; granule with native 400s") {
+    val seg = QueryEngine.run(events,
+      """{"xop": {"name": "sessionize", "args": {"gap_seconds": 60}},
+          "order_by": ["user_id", "session_start"]}""").df
+    val nat = QueryEngine.run(events,
+      """{"xop": {"name": "sessionize",
+                  "args": {"gap_seconds": 60, "strategy": "native"}},
+          "order_by": ["user_id", "session_start"]}""").df
+    assert(nat.collect().toSeq == seg.collect().toSeq)
+    intercept[MalformedQueryException] { QueryEngine.run(events,
+      """{"xop": {"name": "sessionize",
+                  "args": {"gap_seconds": 60, "strategy": "native",
+                           "granule": 100}}}""").df }
+    intercept[MalformedQueryException] { QueryEngine.run(events,
+      """{"xop": {"name": "sessionize",
+                  "args": {"gap_seconds": 60, "strategy": "nope"}}}""").df }
+  }
+
   test("props_rollup xop parses and aggregates per type") {
     val out = QueryEngine.run(events,
       """{"xop": {"name": "props_rollup"}, "order_by": ["event_type"]}""").df
