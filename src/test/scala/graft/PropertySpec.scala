@@ -115,6 +115,82 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("intervalJoinBatch equals the plain per-key horizon product for any horizon") {
+    import spark.implicits._
+    val caseGen = for {
+      nA <- Gen.chooseNum(1, 8)
+      as <- Gen.listOfN(nA, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(-500L, 500L)))
+      nM <- Gen.chooseNum(1, 10)
+      ms <- Gen.listOfN(nM, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(-500L, 500L)))
+      h <- Gen.chooseNum(0L, 300L)
+    } yield (as, ms, h)
+    checkProp(Prop.forAll(caseGen) { case (as, ms, h) =>
+      def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+      val anchors = as.zipWithIndex.map { case ((k, s), i) =>
+        (i.toLong, t(s), k, 0.0) }.toDF("event_id", "ts", "user_id", "value")
+      val matches = ms.zipWithIndex.map { case ((k, s), i) =>
+        (1000L + i, t(s), k, i.toDouble) }.toDF("event_id", "ts", "user_id", "value")
+      val got = graft.streaming.EventStreams
+        .intervalJoinBatch(anchors, matches, "user_id", h)
+        .collect().map(r => (r.getLong(0), r.getTimestamp(3).getTime,
+          r.getDouble(4))).sorted.toSeq
+      // independent reference: the horizon product computed in plain Scala
+      val want = (for {
+        ((ak, at), ai) <- as.zipWithIndex
+        ((mk, mt), mi) <- ms.zipWithIndex
+        if mk == ak && mt >= at - h && mt <= at
+      } yield (ai.toLong, mt * 1000, mi.toDouble)).sorted
+      got == want
+    })
+  }
+
+  test("dropNearDuplicatesClusteredBy equals brute-force component argmax for any pair graph") {
+    import spark.implicits._
+    val caseGen = for {
+      n <- Gen.chooseNum(2, 10)
+      nP <- Gen.chooseNum(0, 12)
+      ps <- Gen.listOfN(nP, Gen.zip(Gen.chooseNum(1, n), Gen.chooseNum(1, n)))
+      scores <- Gen.listOfN(n, Gen.option(Gen.chooseNum(0, 5)))
+    } yield (n, ps.filter(p => p._1 != p._2), scores)
+    checkProp(Prop.forAll(caseGen) { case (n, ps, scores) =>
+      val docs = (1 to n).map(i =>
+        (i.toLong, scores(i - 1).map(_.toDouble).map(Double.box).orNull))
+        .toDF("id", "score")
+      val pairs = ps.map { case (a, b) => (math.min(a, b).toLong, math.max(a, b).toLong) }
+        .toDF("id_a", "id_b")
+      val got = graft.ops.Dedup
+        .dropNearDuplicatesClusteredBy(docs, pairs, "id",
+          org.apache.spark.sql.functions.col("score"))
+        .select("id").collect().map(_.getLong(0)).toSet
+      // brute-force: connected components via closure, then keep the
+      // max-score member (nulls lose; all-null -> min id; ties -> min id)
+      val adj = ps.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      def component(seed: Int): Set[Int] = {
+        var seen = Set(seed); var frontier = Set(seed)
+        while (frontier.nonEmpty) {
+          val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+          seen ++= next; frontier = next
+        }
+        seen
+      }
+      val paired = ps.flatMap(p => Seq(p._1, p._2)).toSet
+      val comps = paired.map(component).toSeq.distinct
+      val doomed = comps.flatMap { c =>
+        val scored = c.toSeq.map(i => (i, scores(i - 1)))
+        val keeper = scored.filter(_._2.isDefined) match {
+          case Seq() => c.min
+          case nonNull =>
+            val m = nonNull.map(_._2.get).max
+            nonNull.filter(_._2.get == m).map(_._1).min
+        }
+        c - keeper
+      }.toSet
+      val want = (1 to n).filterNot(doomed).map(_.toLong).toSet
+      got == want
+    })
+  }
+
   test("distinct [] is idempotent and a subset of the input") {
     checkProp(Prop.forAll(frameGen) { df =>
       val once = QueryEngine.run(df, """{"distinct": []}""").df
