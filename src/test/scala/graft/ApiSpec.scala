@@ -308,6 +308,30 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r5.statusCode() == 200 && r5.body().contains("\"id\":2"))
   }
 
+  test("semantic_dedup runs over HTTP on a JSON-stored embedding table") {
+    // JSON ingest infers the embedding array column natively — the
+    // embedding-family xops are reachable over the wire, not just the
+    // Scala API
+    val body =
+      """[{"id": 1, "embedding": [1.0, 0.0]},
+          {"id": 2, "embedding": [0.999, 0.01]},
+          {"id": 3, "embedding": [0.0, 1.0]},
+          {"id": 4, "embedding": [-1.0, 0.0]}]"""
+    val st = send(req("/dataset/semdd").POST(BodyPublishers.ofString(body))
+      .header("Content-Type", "application/json").build())
+    assert(st.statusCode() == 201)
+    val r = query("semdd",
+      """{"xop": {"name": "semantic_dedup",
+                  "args": {"id": "id", "column": "embedding", "threshold": 0.99,
+                           "centroids": [[1.0, 0.0], [0.0, 1.0]],
+                           "action": "drop"}},
+          "select": ["id", "cluster"], "order_by": ["id"]}""")
+    assert(r.statusCode() == 200)
+    // 2 is 1's in-cluster near-dup (dropped); 4 lands in cluster 1
+    // ((-1,0): cos c0 = -1 < cos c1 = 0) and survives alongside 3
+    assert(r.body() == """[{"id":1,"cluster":0},{"id":3,"cluster":1},{"id":4,"cluster":1}]""")
+  }
+
   test("xop errors land in the 400 taxonomy over HTTP") {
     storeCsv("tx2", csvData)
     val r = query("tx2", """{"xop": {"name": "frobnicate"}}""")
