@@ -53,7 +53,10 @@ object DumpPlans {
       ("x46_unigram_nll", "unigram NLL — one token exchange to the vocabulary join, one-row total broadcast, per-doc ordered fold; AQE may broadcast the vocab when it fits"),
       ("x47_range_join", "range join — time-granule bucketing turns the interval predicate into an EQUI-join (hash shuffle or AQE broadcast), no BroadcastNestedLoop"),
       ("x48_span_scrub", "duplicated-span scrub — per-gram occurrence counts as a partial-combine aggregate joined back (the >= 2 predicate pushes into the aggregate side), dup-only per-doc rollup, map-side token filter rewrite"),
-      ("x50_token_divergence", "token KL divergence — (group, token) partial-combine aggregation, corpus marginals as windows over the same lineage, one-row total broadcast, token-ordered fold"))
+      ("x50_token_divergence", "token KL divergence — (group, token) partial-combine aggregation, corpus marginals as windows over the same lineage, one-row total broadcast, token-ordered fold"),
+      ("x61_semantic_dedup", "SemDeDup — map-only fixed-centroid assignment fused with the hyperplane signatures (one corpus pass, no quantizer job), cluster id folded into every band's bucket key, ONE (band, bucket) exchange, anti-join drop; no cross-cluster candidate is ever generated"),
+      ("x62_dedup_keep_best", "keep-best collapse — bounded label propagation over the PAIRED ids only, per-component argmax as two partial-combine aggregates over that pairs-sized relation, one anti-join back to the corpus; no corpus-wide window"),
+      ("x63_interval_join", "interval attribution — the horizon window rides the range join's granule bucketing: plain equi-join on (key, granule) with the exact interval predicate alongside, partial-combine rollup per anchor; no BroadcastNestedLoop"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence for the scale-posture claims\n\n")
