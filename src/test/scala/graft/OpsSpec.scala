@@ -354,6 +354,23 @@ class OpsSpec extends AnyFunSuite {
     assert(secs < 60, s"skew guard failed to bound work: ${secs}s")
   }
 
+  test("semanticDedup inherits the maxBucket skew guard on a degenerate cluster") {
+    import spark.implicits._
+    // 3000 identical vectors: one cluster, one bucket per band of size
+    // 3000 — the shared bucket cap must drop the mega-bucket (documented
+    // recall trade) while a genuine in-cluster near-dup pair survives
+    val boiler = (1L to 3000L).map(i => (i, Array(1.0, 0.05, 0.0)))
+    val pair = Seq((9001L, Array(0.0, 0.1, 1.0)), (9002L, Array(0.0, 0.1, 1.0)))
+    val df = (boiler ++ pair).toDF("vec_id", "embedding")
+    val t0 = System.nanoTime()
+    val got = Similarity.semanticDedupPairs(df, "vec_id", "embedding",
+      semCents ++ Seq(Seq(0.0, 0.0, 1.0)), threshold = 0.99).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got.exists(r => r.getLong(0) == 9001L && r.getLong(1) == 9002L))
+    assert(!got.exists(r => r.getLong(0) <= 3000L && r.getLong(1) <= 3000L))
+    assert(secs < 60, s"skew guard failed to bound work: ${secs}s")
+  }
+
   test("simhashPairs: identical docs have hamming 0, near dups small hamming") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
     val m = pairs.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
