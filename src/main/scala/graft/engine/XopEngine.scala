@@ -502,6 +502,12 @@ object XopEngine {
           }
         args.get("action") match {
           case Some("drop") =>
+            // pairsOrDrop's score validation doesn't run on this branch
+            // (drop here keeps the cluster column via semanticDedup, not
+            // the shared anti-join) — enforce the same strictness
+            if (args.contains("score"))
+              Errors.malformed(
+                s"xop '$name': 'score' is only valid with action 'keep_best'")
             Similarity.semanticDedup(df, id, vec, cents, threshold, bands)
           case _ =>
             pairsOrDrop(df,

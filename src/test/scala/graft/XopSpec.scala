@@ -226,6 +226,12 @@ class XopSpec extends AnyFunSuite {
       """{"xop": {"name": "semantic_dedup",
                   "args": {"id": "id", "column": "vec", "threshold": 0.99,
                            "centroids": [[1.0, 0.0]], "k": 2}}}""") }
+    // score is rejected on the drop branch too (it bypasses pairsOrDrop)
+    intercept[MalformedQueryException] { runV(
+      """{"xop": {"name": "semantic_dedup",
+                  "args": {"id": "id", "column": "vec", "threshold": 0.99,
+                           "centroids": [[1.0, 0.0]], "action": "drop",
+                           "score": "id"}}}""") }
   }
 
   test("dedup_minhash action=keep_best collapses a component to its best-scoring member") {
