@@ -1174,7 +1174,7 @@ object XopEngine {
       // inclusive (EventStreams.intervalJoinBatch — the granule-bucketed
       // range join, also the streaming twin's semantics)
       case "interval_join" =>
-        knownArgs("right", "key", "horizon")
+        knownArgs("right", "key", "horizon", "how")
         val rightDf = dataset("right").drop(RowId)
         val key = column(df, args, "key", name)
         if (!ExprCompiler.hasColumn(rightDf, key))
@@ -1194,7 +1194,13 @@ object XopEngine {
           Errors.malformed(
             s"xop '$name': $side frame's ts must be a timestamp " +
               s"(got ${d.schema("ts").dataType.simpleString})")
-        EventStreams.intervalJoinBatch(df.drop(RowId), rightDf, key, horizon)
+        val ijHow = args.get("how") match {
+          case None => "inner"
+          case Some(s: String) if Set("inner", "left")(s) => s
+          case Some(other) =>
+            Errors.malformed(s"xop '$name': how must be inner or left", other)
+        }
+        EventStreams.intervalJoinBatch(df.drop(RowId), rightDf, key, horizon, ijHow)
 
       case other =>
         Errors.malformed("Unknown xop", other)

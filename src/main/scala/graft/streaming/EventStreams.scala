@@ -333,21 +333,34 @@ object EventStreams {
     * streams forever. Output columns: (anchor_id, keyCol, anchor_ts,
     * match_ts, match_value) — identical to [[intervalJoinBatch]], which
     * is the bounded-replay twin (asserted equal on a shared fixture in
-    * StreamingSpec). */
+    * StreamingSpec).
+    *
+    * `how` is inner (default) or left: left keeps matchless anchors with
+    * null match fields — in streaming those rows emit only once the
+    * watermark passes the anchor's horizon (the engine must prove no
+    * match can still arrive), so a left-outer stream join trails the
+    * inner rows by the watermark delay. */
   def intervalJoinStream(anchors: DataFrame, matches: DataFrame, keyCol: String,
                          horizonSeconds: Long,
-                         watermark: String = "2 minutes"): DataFrame = {
+                         watermark: String = "2 minutes",
+                         how: String = "inner"): DataFrame = {
     require(horizonSeconds >= 0, "horizonSeconds must be non-negative")
+    val joinType = how match {
+      case "inner" => "inner"
+      case "left"  => "left_outer"
+      case other => throw new IllegalArgumentException(
+        s"intervalJoinStream how must be inner or left: $other")
+    }
     val a = anchors.select(col("event_id").as("anchor_id"),
         col(keyCol).as("__ak"), col("ts").as("anchor_ts"))
       .withWatermark("anchor_ts", watermark)
-    val m = matches.select(col(keyCol).as(keyCol),
+    val m = matches.select(col(keyCol).as("__mk"),
         col("ts").as("match_ts"), col("value").as("match_value"))
       .withWatermark("match_ts", watermark)
-    a.join(m, col("__ak") === col(keyCol) &&
+    a.join(m, col("__ak") === col("__mk") &&
         col("match_ts") >= col("anchor_ts") - expr(s"interval $horizonSeconds seconds") &&
-        col("match_ts") <= col("anchor_ts"))
-      .select(col("anchor_id"), col(keyCol), col("anchor_ts"),
+        col("match_ts") <= col("anchor_ts"), joinType)
+      .select(col("anchor_id"), col("__ak").as(keyCol), col("anchor_ts"),
         col("match_ts"), col("match_value"))
   }
 
@@ -361,8 +374,10 @@ object EventStreams {
     * `ts` must be a timestamp (the events shape; granule embeds as epoch
     * micros). */
   def intervalJoinBatch(anchors: DataFrame, matches: DataFrame, keyCol: String,
-                        horizonSeconds: Long): DataFrame = {
+                        horizonSeconds: Long, how: String = "inner"): DataFrame = {
     require(horizonSeconds >= 0, "horizonSeconds must be non-negative")
+    require(how == "inner" || how == "left",
+      s"intervalJoinBatch how must be inner or left: $how")
     val a = anchors.select(col("event_id").as("anchor_id"), col(keyCol),
         col("ts").as("anchor_ts"))
       .withColumn("__w_start",
@@ -373,12 +388,24 @@ object EventStreams {
     // ambiguity heuristics (resolved correctly, but warned on every run)
     val m = matches.select(col(keyCol).as("__ij_k"), col("ts").as("match_ts"),
       col("value").as("match_value"))
-    graft.ops.Joins.rangeJoin(m, a, "match_ts", "__w_start", "anchor_ts",
+    val inner = graft.ops.Joins.rangeJoin(m, a, "match_ts", "__w_start", "anchor_ts",
         payloadCols = Seq("anchor_id", "anchor_ts"),
         granule = math.max(horizonSeconds, 1L) * 1000000L,
         on = Seq(("__ij_k", keyCol)))
       .select(col("anchor_id"), col("__ij_k").as(keyCol), col("anchor_ts"),
         col("match_ts"), col("match_value"))
+    if (how == "inner") inner
+    else {
+      // LEFT: rangeJoin's own left_outer preserves the POINTS (match)
+      // side, but interval-join left semantics preserve ANCHORS — union
+      // the matchless anchors back via one anti-join on anchor id
+      val unmatched = a
+        .join(inner.select(col("anchor_id")).distinct(), Seq("anchor_id"), "left_anti")
+        .select(col("anchor_id"), col(keyCol), col("anchor_ts"),
+          lit(null).cast(m.schema("match_ts").dataType).as("match_ts"),
+          lit(null).cast(m.schema("match_value").dataType).as("match_value"))
+      inner.unionByName(unmatched)
+    }
   }
 
   /** Streaming exact dedup by id under bounded state: duplicates arriving

@@ -246,6 +246,59 @@ class StreamingSpec extends AnyFunSuite {
       (102L, 2L, ts(2, 30).getTime, 16.0)))
   }
 
+  test("intervalJoinBatch how=left keeps matchless anchors with null match fields") {
+    import spark.implicits._
+    val got = EventStreams.intervalJoinBatch(
+        ijErrors.toDF(), ijClicks.toDF(), "user_id", horizonSeconds = 60,
+        how = "left")
+      .collect().map(r => (r.getLong(0),
+        Option(r.getTimestamp(3)).map(_.getTime), // null for matchless
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toSeq.sortBy(r => (r._1, r._2))
+    assert(got == Seq(
+      (100L, Some(ts(1, 0).getTime), Some(1.0)),
+      (100L, Some(ts(2, 0).getTime), Some(2.0)),
+      (101L, None, None), // matchless anchor survives with nulls
+      (102L, Some(ts(2, 30).getTime), Some(16.0))))
+  }
+
+  test("stream-stream interval join how=left flushes matchless anchors once the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val errs = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val query = EventStreams.intervalJoinStream(errs.toDF(), clicks.toDF(),
+        "user_id", horizonSeconds = 60, how = "left")
+      .writeStream.format("memory").queryName("ijl")
+      .outputMode(OutputMode.Append).start()
+    try {
+      errs.addData(ijErrors: _*)
+      clicks.addData(ijClicks: _*)
+      query.processAllAvailable()
+      // watermark-advancing events on a key no fixture anchor holds: the
+      // GLOBAL watermark is the min across both inputs, so BOTH sides
+      // must advance; the second round triggers the follow-up batch that
+      // emits the expired outer rows. The dummy anchor (900) never
+      // flushes itself (the watermark stops short of it) — excluded.
+      errs.addData(Event(900, ts(30, 0), 99, "error", 0.0))
+      clicks.addData(Event(901, ts(30, 0), 99, "click", 0.0))
+      query.processAllAvailable()
+      errs.addData(Event(902, ts(40, 0), 99, "error", 0.0))
+      clicks.addData(Event(903, ts(40, 0), 99, "click", 0.0))
+      query.processAllAvailable()
+      val streamed = spark.table("ijl").filter("anchor_id < 900").collect()
+        .map(r => (r.getLong(0), Option(r.getTimestamp(3)).map(_.getTime),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toSeq
+        .sortBy(r => (r._1, r._2))
+      val batch = EventStreams.intervalJoinBatch(
+          ijErrors.toDF(), ijClicks.toDF(), "user_id", horizonSeconds = 60,
+          how = "left")
+        .collect().map(r => (r.getLong(0), Option(r.getTimestamp(3)).map(_.getTime),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toSeq
+        .sortBy(r => (r._1, r._2))
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+
   test("stream-stream interval join equals the batch twin on the shared fixture") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -530,6 +530,21 @@ class XopSpec extends AnyFunSuite {
     // anchor 101 (user 2) matches the 10:01:30 click
     assert(out.collect().map(r => (r.getAs[Long]("anchor_id"),
       r.getAs[Double]("match_value"))).toSeq == Seq((100L, 1.0), (101L, 4.0)))
+    // how=left keeps a matchless anchor with null match fields
+    val left = QueryEngine.run(anchors,
+      """{"xop": {"name": "interval_join",
+                  "args": {"right": "clicks", "key": "user_id", "horizon": 30,
+                           "how": "left"}},
+          "order_by": ["anchor_id"]}""", resolver).df
+    // horizon 30 drops anchor 100's 10:01:00 click (60s away); 101 keeps
+    // its 10:01:30 click (30s away, closed end)
+    assert(left.collect().map(r => (r.getAs[Long]("anchor_id"),
+      Option(r.getAs[java.lang.Double]("match_value")).map(_.doubleValue))).toSeq
+      == Seq((100L, None), (101L, Some(4.0))))
+    intercept[MalformedQueryException] { QueryEngine.run(anchors,
+      """{"xop": {"name": "interval_join",
+                  "args": {"right": "clicks", "key": "user_id", "horizon": 30,
+                           "how": "anti"}}}""", resolver).df }
     // horizon is required and non-negative; ts must be a timestamp
     intercept[MalformedQueryException] { QueryEngine.run(anchors,
       """{"xop": {"name": "interval_join",
