@@ -215,8 +215,10 @@ object XopEngine {
       case Some("keep_best") =>
         if (!args.contains("score"))
           Errors.malformed(s"xop '$op': action 'keep_best' requires a 'score' column")
+        // statically numeric: a string score would silently rank
+        // lexicographically — reject up front like every numeric arg
         Dedup.dropNearDuplicatesClusteredBy(df, pairs, idCol,
-          col(column(df, args, "score", op)))
+          col(numericColumn(df, args, "score", op)))
       case Some(other) =>
         Errors.malformed(
           s"xop '$op': action must be 'pairs', 'drop' or 'keep_best'", other)

@@ -213,6 +213,24 @@ class XopSpec extends AnyFunSuite {
     assert(ids(kb) == Seq(2L, 4L, 5L))
   }
 
+  test("semantic_dedup k/iters quantizer-build path runs deterministically") {
+    val run1 = runV(
+      """{"xop": {"name": "semantic_dedup",
+                  "args": {"id": "id", "column": "vec", "threshold": 0.99,
+                           "k": 2, "iters": 1, "action": "drop"}},
+          "order_by": ["id"]}""")
+    assert(run1.columns.contains("cluster"))
+    val ids1 = ids(run1)
+    assert(ids1.nonEmpty && ids1.size <= 5)
+    // the hash-ordered centroid sample + refinement is deterministic, so
+    // a second run returns the identical survivor set
+    assert(ids(runV(
+      """{"xop": {"name": "semantic_dedup",
+                  "args": {"id": "id", "column": "vec", "threshold": 0.99,
+                           "k": 2, "iters": 1, "action": "drop"}},
+          "order_by": ["id"]}""")) == ids1)
+  }
+
   test("semantic_dedup strict args: score without keep_best, keep_best without score, centroids+k all 400") {
     intercept[MalformedQueryException] { runV(
       """{"xop": {"name": "semantic_dedup",
