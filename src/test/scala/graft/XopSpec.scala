@@ -357,6 +357,18 @@ class XopSpec extends AnyFunSuite {
       // a missing artifact is a 400 (part of the query), not a 500
       intercept[MalformedQueryException] { runV(
         """{"xop": {"name": "emb_cluster", "args": {"column": "vec", "index": "absent"}}}""") }
+      // semantic_dedup consumes the same artifact: loaded centroids
+      // must produce the same survivors as the equivalent inline ones
+      val semIdx = ids(runV(
+        """{"xop": {"name": "semantic_dedup",
+                    "args": {"id": "id", "column": "vec", "threshold": 0.99,
+                             "index": "q", "action": "drop"}},
+            "order_by": ["id"]}"""))
+      assert(semIdx == Seq(1L, 3L, 5L))
+      intercept[MalformedQueryException] { runV(
+        """{"xop": {"name": "semantic_dedup",
+                    "args": {"id": "id", "column": "vec", "threshold": 0.99,
+                             "index": "q", "k": 2}}}""") }
     } finally spark.conf.unset("spark.graft.index.root")
   }
 
