@@ -447,7 +447,12 @@ object EventStreams {
     * their DuckDB oracles (which truncate with `date_trunc('second', ...)`)
     * see identical values either way. */
   def eventsFrame(spark: SparkSession, dir: String): DataFrame = {
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    // read through the registry (store-once-query-many: the cached
+    // columnar relation, not a fresh parquet decode per execution —
+    // every other query path already does; the footer-bounds trace
+    // resolves through InMemoryRelation, so the sessionize auto granule
+    // stays metadata-only)
+    val raw = graft.sources.TableRegistry.table(spark, dir, "events")
     val sec = raw.schema("ts").dataType match {
       // integer nanos → WHOLE seconds with an INTEGRAL divide: `/` on
       // longs is double division, which both carries the fractional
