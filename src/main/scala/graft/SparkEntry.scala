@@ -1049,6 +1049,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_clicks"),
           round(sum(col("match_value")), 4).as("click_value"))
         .orderBy("err_id")
+    }),
+
+    // left-outer form: EVERY error survives, matchless ones with a zero
+    // click count and null sum — count(match_ts) counts non-null matches
+    "x63b_interval_join_left" -> ((s, dir) => {
+      val ev = graft.streaming.EventStreams.eventsFrame(s, dir)
+      graft.streaming.EventStreams.intervalJoinBatch(
+          ev.filter(col("event_type") === "error"),
+          ev.filter(col("event_type") === "click"),
+          "user_id", horizonSeconds = 21600, how = "left")
+        .groupBy(col("anchor_id").as("err_id"))
+        .agg(count(col("match_ts")).as("n_clicks"),
+          round(sum(col("match_value")), 4).as("click_value"))
+        .orderBy("err_id")
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2415,6 +2429,21 @@ object SparkEntry {
          SELECT e.err_id, count(*) AS n_clicks,
                 round(sum(c.value), 4) AS click_value
          FROM e JOIN c ON c.user_id = e.user_id
+           AND c.ts >= e.ts - INTERVAL 21600 SECOND AND c.ts <= e.ts
+         GROUP BY e.err_id ORDER BY err_id""",
+
+    "x63b_interval_join_left" ->
+      // left-outer: every error row, zero count / null sum when matchless
+      """WITH ev AS (
+           SELECT event_id, user_id, date_trunc('second', ts::TIMESTAMP) AS ts,
+                  event_type, value
+           FROM events),
+         e AS (SELECT event_id AS err_id, user_id, ts FROM ev
+               WHERE event_type = 'error'),
+         c AS (SELECT user_id, ts, value FROM ev WHERE event_type = 'click')
+         SELECT e.err_id, count(c.ts) AS n_clicks,
+                round(sum(c.value), 4) AS click_value
+         FROM e LEFT JOIN c ON c.user_id = e.user_id
            AND c.ts >= e.ts - INTERVAL 21600 SECOND AND c.ts <= e.ts
          GROUP BY e.err_id ORDER BY err_id""")
 }
