@@ -398,7 +398,14 @@ object EventStreams {
     else {
       // LEFT: rangeJoin's own left_outer preserves the POINTS (match)
       // side, but interval-join left semantics preserve ANCHORS — union
-      // the matchless anchors back via one anti-join on anchor id
+      // the matchless anchors back via one anti-join on anchor id.
+      // Cost: the inner subtree executes twice (the anti side's column
+      // pruning makes the subtrees canonically unequal, so AQE cannot
+      // stage-reuse the exchange — measured ≤2× the inner form at sf1,
+      // ProfileIj). The alternative single-pass shape (per-anchor
+      // collect_list + explode_outer) was rejected: its aggregation
+      // buffer grows with matches-per-anchor, an unbounded hot-anchor
+      // funnel, while this form keeps every stage bounded.
       val unmatched = a
         .join(inner.select(col("anchor_id")).distinct(), Seq("anchor_id"), "left_anti")
         .select(col("anchor_id"), col(keyCol), col("anchor_ts"),
