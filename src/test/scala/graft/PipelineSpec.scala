@@ -83,6 +83,30 @@ class PipelineSpec extends AnyFunSuite {
       counted.agg(sum("n_tok")).head().getAs[Number](0).longValue)
   }
 
+  test("SemDeDup paper rule composes: keep the LOWEST-cohesion member per dup group") {
+    import spark.implicits._
+    // SemDeDup (Abbas et al. 2023) keeps the example FARTHEST from the
+    // cluster centroid within each duplicate group (edge examples carry
+    // more signal than prototypical ones). That rule needs no new
+    // operator: clusterAssignWith supplies cohesion, semanticDedupPairs
+    // the cluster-scoped pair graph, dropNearDuplicatesClusteredBy the
+    // per-group argmax — score = negated cohesion.
+    val emb = Seq(
+      (1L, Array(1.0, 0.0, 0.0)),    // cohesion 1.0 to centroid (1,0,0)
+      (2L, Array(1.0, 0.05, 0.0)),   // near-dup of 1 and 3, slightly off-axis
+      (3L, Array(1.0, 0.1, 0.0)),    // farthest from centroid → the keeper
+      (4L, Array(0.0, 1.0, 0.0)))    // other cluster, untouched
+      .toDF("vec_id", "embedding")
+    val cents = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0))
+    val assigned = Similarity.clusterAssignWith(emb, "embedding", cents)
+    val pairs = Similarity.semanticDedupPairs(emb, "vec_id", "embedding",
+      cents, threshold = 0.99)
+    val kept = Dedup.dropNearDuplicatesClusteredBy(
+        assigned, pairs, "vec_id", -col("cohesion"))
+      .select("vec_id").orderBy("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(3L, 4L)) // min-id would keep 1; the paper rule keeps 3
+  }
+
   test("the same pipeline runs through the JSON dialect (nested xop clauses)") {
     val resolver: String => Option[DataFrame] =
       n => if (n == "evalset") Some(evalSet) else None
