@@ -135,7 +135,7 @@ object XopEngine {
     * configured the argument is rejected outright. Load failures surface
     * as 400s (the artifact's name/content is part of the query), not
     * 500s. */
-  private def loadIndex(df: DataFrame, raw: Any, op: String): Seq[Seq[Double]] = {
+  private def indexPath(df: DataFrame, raw: Any, op: String): String = {
     val rel = raw match {
       case s: String if s.nonEmpty => s
       case other => Errors.malformed(s"xop '$op': 'index' must be a non-empty string", other)
@@ -147,15 +147,28 @@ object XopEngine {
     if (rel.startsWith("/") || rel.split('/').contains(".."))
       Errors.malformed(
         s"xop '$op': 'index' must be a relative path without '..'", rel)
-    try graft.ops.IvfIndex.load(df.sparkSession,
-      s"${root.stripSuffix("/")}/$rel")
+    s"${root.stripSuffix("/")}/$rel"
+  }
+
+  private def loadIndex(df: DataFrame, raw: Any, op: String): Seq[Seq[Double]] =
+    try graft.ops.IvfIndex.load(df.sparkSession, indexPath(df, raw, op))
     catch {
       case e: IllegalArgumentException =>
         Errors.malformed(s"xop '$op': ${e.getMessage}")
       case e: org.apache.spark.sql.AnalysisException =>
         Errors.malformed(s"xop '$op': unreadable index artifact: ${e.getMessage}")
     }
-  }
+
+  /** Load a persisted Bloom-exclusion sketch named by an `index` arg —
+    * same root resolution and failure taxonomy as [[loadIndex]]. */
+  private def loadBloom(df: DataFrame, raw: Any, op: String): Array[Byte] =
+    try graft.ops.BloomIndex.load(df.sparkSession, indexPath(df, raw, op))
+    catch {
+      case e: IllegalArgumentException =>
+        Errors.malformed(s"xop '$op': ${e.getMessage}")
+      case e: org.apache.spark.sql.AnalysisException =>
+        Errors.malformed(s"xop '$op': unreadable index artifact: ${e.getMessage}")
+    }
 
   /** Parse an explicit `centroids` argument: a non-empty list of
     * equal-length number lists (shared by emb_cluster and
@@ -868,15 +881,27 @@ object XopEngine {
       // exact id-exclusion against a stored list via a Bloom sketch +
       // rescue anti-join (map-only probe on the corpus side)
       case "exclude_ids" =>
-        knownArgs("id", "exclude", "exclude_id", "fpp")
+        knownArgs("id", "exclude", "exclude_id", "fpp", "index")
         val id = column(df, args, "id", name)
         val excl = dataset("exclude")
         val exclId = args.get("exclude_id")
           .map(_ => reqStr(args, "exclude_id", name)).getOrElse(id)
         if (!ExprCompiler.hasColumn(excl, exclId))
           Errors.malformed(s"xop '$name': exclude dataset has no column", exclId)
-        Dedup.excludeByBloom(df, id, excl, exclId,
-          doubleArgOpt(args, "fpp", 0.01, name))
+        args.get("index") match {
+          case Some(raw) =>
+            // persisted sketch: no build aggregation runs, so the build
+            // parameter is meaningless here (the exclude dataset is
+            // still required — the rescue anti-join verifies the
+            // sketch's false positives against the exact ids)
+            if (args.contains("fpp"))
+              Errors.malformed(
+                s"xop '$name': 'index' excludes 'fpp' (no sketch build runs)")
+            Dedup.excludeByBloomWith(df, id, loadBloom(df, raw, name), excl, exclId)
+          case None =>
+            Dedup.excludeByBloom(df, id, excl, exclId,
+              doubleArgOpt(args, "fpp", 0.01, name))
+        }
 
       // BM25 keyword retrieval: `query` (a literal string) scores top-k
       // docs with map-only tf/stats passes; `queries` (a stored dataset)

@@ -585,15 +585,36 @@ object Dedup {
     * shuffle shrunk by ~1/fpp on the non-excluded mass.
     */
   def excludeByBloom(df: DataFrame, idCol: String, exclude: DataFrame,
-                     excludeIdCol: String, fpp: Double = 0.01): DataFrame = {
+                     excludeIdCol: String, fpp: Double = 0.01): DataFrame =
+    excludeByBloomWith(df, idCol, buildBloom(exclude, excludeIdCol, fpp),
+      exclude, excludeIdCol)
+
+  /** The sketch build half of [[excludeByBloom]] — one tree-aggregation
+    * over the exclusion list into serialized BloomFilter bytes
+    * (order-independent bit-array merge ⇒ deterministic for a given list
+    * and parameters). [[BloomIndex]] persists exactly these bytes. */
+  private[graft] def buildBloom(exclude: DataFrame, excludeIdCol: String,
+                                fpp: Double): Array[Byte] = {
     val nItems = math.max(Similarity.approxRows(exclude), 1L)
     val bf = exclude.stat.bloomFilter(excludeIdCol, nItems, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** [[excludeByBloom]] with a PREBUILT sketch (a [[BloomIndex]] load) —
+    * skips the per-run aggregation over the exclusion list; `exclude` is
+    * still consulted, but only by the probe-positive rescue anti-join
+    * (the sketch's false positives must be verified against the exact
+    * ids, so the list relation stays a required input — the artifact
+    * persists the expensive aggregation, not the data). */
+  def excludeByBloomWith(df: DataFrame, idCol: String, bloomBytes: Array[Byte],
+                         exclude: DataFrame, excludeIdCol: String): DataFrame = {
+    require(bloomBytes.nonEmpty, "bloom bytes must be non-empty")
     val probe = org.apache.spark.sql.GraftSqlShims.column(
       graft.functions.BloomContainsExpr(
         org.apache.spark.sql.GraftSqlShims.expression(col(idCol).cast("long")),
-        bos.toByteArray))
+        bloomBytes))
     val excludeIds = exclude.select(col(excludeIdCol).as(idCol)).distinct()
     // null ids probe to null; coalesce keeps them on the clean side — the
     // anti-join this construction must equal KEEPS null-key rows (they

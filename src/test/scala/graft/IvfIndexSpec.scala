@@ -98,4 +98,56 @@ class IvfIndexSpec extends AnyFunSuite {
       nCells = 2, kmeansIters = 0)
     assert(IvfIndex.load(spark, path) == Seq(Seq(0.5, 0.5), Seq(-0.5, 0.5)))
   }
+
+  // ---------------------------------------------------- bloom exclusion
+
+  test("BloomIndex: buildAndSave -> load round-trips the sketch bytes; probes match the inline build") {
+    import graft.ops.{BloomIndex, Dedup}
+    val corpusDf = (1L to 500L).map(i => (i, s"doc $i")).toDF("id", "text")
+    val exclude = (1L to 500L by 7).map(Tuple1(_)).toDF("xid")
+    val path = tmpDir() + "/bloom"
+    val built = BloomIndex.buildAndSave(exclude, "xid", fpp = 0.01, path)
+    val loaded = BloomIndex.load(spark, path)
+    assert(java.util.Arrays.equals(built, loaded)) // byte-identical artifact
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val inline = ids(Dedup.excludeByBloom(corpusDf, "id", exclude, "xid"))
+    val fromArtifact = ids(Dedup.excludeByBloomWith(
+      corpusDf, "id", loaded, exclude, "xid"))
+    assert(fromArtifact == inline)
+    assert(inline == (1L to 500L).filterNot(i => (i - 1) % 7 == 0).toSeq)
+  }
+
+  test("BloomIndex.load fails fast on missing, foreign, and corrupt artifacts") {
+    import graft.ops.BloomIndex
+    val root = tmpDir()
+    def writeManifest(dir: String, text: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir, "manifest.json")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val out = fs.create(p, true)
+      try out.write(text.getBytes("UTF-8")) finally out.close()
+    }
+    val e1 = intercept[IllegalArgumentException] {
+      BloomIndex.load(spark, s"$root/nope")
+    }
+    assert(e1.getMessage.contains("missing manifest"))
+    // an IVF artifact is a FOREIGN kind to the bloom loader (and vice
+    // versa): the two index families can share one root safely
+    val ivf = s"$root/ivf"
+    IvfIndex.save(spark, ivf, Seq(Seq(1.0, 0.0)), nCells = 1, kmeansIters = 0)
+    val e2 = intercept[IllegalArgumentException] { BloomIndex.load(spark, ivf) }
+    assert(e2.getMessage.contains("not a bloom exclusion"))
+    // byte-length disagreement
+    val path = s"$root/bloom"
+    BloomIndex.save(spark, path, Array[Byte](1, 2, 3, 4), fpp = 0.01)
+    writeManifest(path,
+      """{"version":1,"kind":"bloom_exclusion","fpp":0.01,"n_bytes":999}""")
+    val e3 = intercept[IllegalArgumentException] { BloomIndex.load(spark, path) }
+    assert(e3.getMessage.contains("corrupt"))
+    // unsupported version
+    writeManifest(path,
+      """{"version":99,"kind":"bloom_exclusion","fpp":0.01,"n_bytes":4}""")
+    val e4 = intercept[IllegalArgumentException] { BloomIndex.load(spark, path) }
+    assert(e4.getMessage.contains("version"))
+  }
 }

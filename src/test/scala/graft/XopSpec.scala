@@ -369,6 +369,27 @@ class XopSpec extends AnyFunSuite {
         """{"xop": {"name": "semantic_dedup",
                     "args": {"id": "id", "column": "vec", "threshold": 0.99,
                              "index": "q", "k": 2}}}""") }
+      // exclude_ids consumes a persisted BLOOM artifact under the same
+      // root: same survivors as the inline build; fpp is a build arg and
+      // 400s alongside index; loading the IVF artifact as a bloom 400s
+      locally {
+        import spark.implicits._
+        graft.ops.BloomIndex.buildAndSave(
+          Seq(2L, 4L).toDF("id"), "id", fpp = 0.01, s"$root/bl")
+        val out = QueryEngine.run(docs,
+          """{"xop": {"name": "exclude_ids",
+                      "args": {"id": "id", "exclude": "xids", "index": "bl"}},
+              "order_by": ["id"]}""", resolver).df
+        assert(ids(out) == Seq(1L, 3L, 5L, 6L))
+        intercept[MalformedQueryException] { QueryEngine.run(docs,
+          """{"xop": {"name": "exclude_ids",
+                      "args": {"id": "id", "exclude": "xids", "index": "bl",
+                               "fpp": 0.05}}}""", resolver).df }
+        intercept[MalformedQueryException] { QueryEngine.run(docs,
+          """{"xop": {"name": "exclude_ids",
+                      "args": {"id": "id", "exclude": "xids", "index": "q"}}}""",
+          resolver).df }
+      }
     } finally spark.conf.unset("spark.graft.index.root")
   }
 
