@@ -2408,8 +2408,11 @@ object SparkEntry {
            FROM comp c JOIN documents d ON d.doc_id = c.id),
          best AS (SELECT cluster, max(sc) AS m FROM scored GROUP BY cluster),
          keep AS (
+           -- null-safe match mirrors the operator's <=> rule: an
+           -- all-null-score component (m NULL) keeps its min id instead
+           -- of dooming every member
            SELECT cluster, min(id) AS id FROM scored JOIN best USING (cluster)
-           WHERE sc = m GROUP BY cluster),
+           WHERE sc IS NOT DISTINCT FROM m GROUP BY cluster),
          doomed AS (SELECT id FROM comp
                     WHERE id NOT IN (SELECT id FROM keep))
          SELECT doc_id FROM documents

@@ -161,8 +161,9 @@ object XopEngine {
 
   /** Load a persisted Bloom-exclusion sketch named by an `index` arg —
     * same root resolution and failure taxonomy as [[loadIndex]]. */
-  private def loadBloom(df: DataFrame, raw: Any, op: String): Array[Byte] =
-    try graft.ops.BloomIndex.load(df.sparkSession, indexPath(df, raw, op))
+  private def loadBloom(df: DataFrame, raw: Any,
+                        op: String): graft.ops.BloomIndex.Artifact =
+    try graft.ops.BloomIndex.loadWithMeta(df.sparkSession, indexPath(df, raw, op))
     catch {
       case e: IllegalArgumentException =>
         Errors.malformed(s"xop '$op': ${e.getMessage}")
@@ -657,6 +658,10 @@ object XopEngine {
             if (sessGap <= 0)
               Errors.malformed(
                 s"xop '$name': 'gap_seconds' must be positive for strategy 'native'")
+            if (sessGap > EventStreams.MaxIntervalSeconds)
+              Errors.malformed(
+                s"xop '$name': 'gap_seconds' exceeds the representable range " +
+                  s"(${EventStreams.MaxIntervalSeconds} seconds)")
             // native session_window needs a real timestamp column
             df.schema("ts").dataType match {
               case org.apache.spark.sql.types.TimestampType
@@ -897,7 +902,21 @@ object XopEngine {
             if (args.contains("fpp"))
               Errors.malformed(
                 s"xop '$name': 'index' excludes 'fpp' (no sketch build runs)")
-            Dedup.excludeByBloomWith(df, id, loadBloom(df, raw, name), excl, exclId)
+            val art = loadBloom(df, raw, name)
+            // staleness tripwire, checked only when the current list's
+            // exact size is FREE (top-level stats rowCount — a cached
+            // stored dataset after materialization): a drifted ledger
+            // row count means the sketch no longer covers the list and
+            // exclusion would silently under-delete. A same-size swap
+            // still slips through — rebuilding on refresh is the
+            // contract; this catches the common append-only drift.
+            for (built <- art.nIds;
+                 now <- excl.queryExecution.optimizedPlan.stats.rowCount
+                 if now.toLong != built)
+              Errors.malformed(
+                s"xop '$name': bloom index is stale (built over $built rows, " +
+                  s"exclude dataset now has $now) — rebuild the artifact")
+            Dedup.excludeByBloomWith(df, id, art.bytes, excl, exclId)
           case None =>
             Dedup.excludeByBloom(df, id, excl, exclId,
               doubleArgOpt(args, "fpp", 0.01, name))
@@ -1210,6 +1229,10 @@ object XopEngine {
         if (horizon < 0)
           Errors.malformed(
             s"xop '$name': 'horizon' (seconds) must be a non-negative integer")
+        if (horizon > EventStreams.MaxIntervalSeconds)
+          Errors.malformed(
+            s"xop '$name': 'horizon' exceeds the representable range " +
+              s"(${EventStreams.MaxIntervalSeconds} seconds)")
         for ((d, side, cols) <- Seq(
             (df, "anchor", Seq("event_id", "ts")),
             (rightDf, "right", Seq("ts", "value")));

@@ -43,13 +43,22 @@ object BloomIndex {
   def buildAndSave(exclude: DataFrame, idCol: String, fpp: Double,
                    path: String): Array[Byte] = {
     val bytes = Dedup.buildBloom(exclude, idCol, fpp)
-    save(exclude.sparkSession, path, bytes, fpp = fpp)
+    // row count of the list the sketch was built over — the staleness
+    // tripwire consumers check when the current list's exact size is
+    // free (a heuristic: a same-size swap still slips through, but the
+    // common drift — ids appended to the ledger — trips it)
+    save(exclude.sparkSession, path, bytes, fpp = fpp,
+      nIds = Some(exclude.count()))
     bytes
   }
 
+  /** Loaded artifact: the sketch bytes plus the build-time list row
+    * count when the artifact recorded one. */
+  final case class Artifact(bytes: Array[Byte], nIds: Option[Long])
+
   /** Persist already-built sketch bytes at `path` (overwrite). */
   def save(spark: SparkSession, path: String, bytes: Array[Byte],
-           fpp: Double): Unit = {
+           fpp: Double, nIds: Option[Long] = None): Unit = {
     require(bytes.nonEmpty, "bloom bytes must be non-empty")
     import spark.implicits._
     Seq(Tuple1(bytes)).toDF("bloom")
@@ -60,7 +69,8 @@ object BloomIndex {
       "version" -> FormatVersion,
       "kind" -> "bloom_exclusion",
       "fpp" -> fpp,
-      "n_bytes" -> bytes.length.toLong)
+      "n_bytes" -> bytes.length.toLong) ++
+      nIds.map("n_ids" -> _.asInstanceOf[Any])
     val p = new org.apache.hadoop.fs.Path(path, "manifest.json")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, true)
@@ -71,7 +81,15 @@ object BloomIndex {
 
   /** Load a persisted sketch. Fails fast (IllegalArgumentException) on a
     * missing/foreign/corrupt artifact. */
-  def load(spark: SparkSession, path: String): Array[Byte] = {
+  def load(spark: SparkSession, path: String): Array[Byte] =
+    loadWithMeta(spark, path).bytes
+
+  /** Load a persisted sketch with its manifest metadata. Every failure
+    * mode — missing, foreign, corrupt, unparsable manifest, missing
+    * sketch parquet — surfaces as IllegalArgumentException (the
+    * documented fail-fast contract; raw parse/read exceptions are
+    * wrapped so direct-API consumers can catch one type). */
+  def loadWithMeta(spark: SparkSession, path: String): Artifact = {
     val mPath = new org.apache.hadoop.fs.Path(path, "manifest.json")
     val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(mPath))
@@ -81,7 +99,11 @@ object BloomIndex {
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    val manifest = graft.engine.QueryJson.parse(text) match {
+    val parsed =
+      try graft.engine.QueryJson.parse(text)
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"malformed bloom manifest at $path: ${e.getMessage}") }
+    val manifest = parsed match {
       case m: scala.collection.Map[String @unchecked, Any @unchecked] => m
       case _ => throw new IllegalArgumentException(
         s"malformed bloom manifest at $path")
@@ -92,7 +114,11 @@ object BloomIndex {
     if (!manifest.get("version").contains(FormatVersion.toLong))
       throw new IllegalArgumentException(
         s"unsupported bloom index version ${manifest.get("version")} at $path")
-    val rows = spark.read.parquet(s"$path/bloom").collect()
+    val rows =
+      try spark.read.parquet(s"$path/bloom").collect()
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"bloom index at $path is corrupt: unreadable sketch: ${e.getMessage}") }
     if (rows.length != 1)
       throw new IllegalArgumentException(
         s"bloom index at $path is corrupt: expected one sketch row, got ${rows.length}")
@@ -100,6 +126,6 @@ object BloomIndex {
     if (bytes == null || !manifest.get("n_bytes").contains(bytes.length.toLong))
       throw new IllegalArgumentException(
         s"bloom index at $path is corrupt: byte length disagrees with manifest")
-    bytes
+    Artifact(bytes, manifest.get("n_ids").collect { case l: Long => l })
   }
 }

@@ -563,9 +563,15 @@ object Similarity {
     * Quadratic per cluster by construction — `maxId`-bounded. */
   def semanticDedupPairsExact(df: DataFrame, idCol: String, vecCol: String,
                               centroids: Seq[Seq[Double]], maxId: Long,
-                              threshold: Double): DataFrame = {
-    val assigned = clusterAssignWith(df.filter(col(idCol) < maxId),
-      vecCol, centroids)
+                              threshold: Double): DataFrame =
+    exactPairsOf(clusterAssignWith(df.filter(col(idCol) < maxId),
+      vecCol, centroids), idCol, vecCol, threshold)
+
+  /** The all-pairs stage over an ALREADY-ASSIGNED id-bounded frame —
+    * shared by the exact pair and survivor forms so the fixed-centroid
+    * assignment pass runs once per plan, not once per consumer. */
+  private def exactPairsOf(assigned: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double): DataFrame = {
     val rows = graft.ops.Dedup.spread(assigned, col(idCol))
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
         norm(col(vecCol)).as("nrm"), col("cluster"))
@@ -589,9 +595,9 @@ object Similarity {
                          centroids: Seq[Seq[Double]], maxId: Long,
                          threshold: Double): DataFrame = {
     val assigned = clusterAssignWith(df.filter(col(idCol) < maxId),
-      vecCol, centroids).drop("cohesion")
-    graft.ops.Dedup.dropNearDuplicates(assigned,
-      semanticDedupPairsExact(df, idCol, vecCol, centroids, maxId, threshold),
+      vecCol, centroids)
+    graft.ops.Dedup.dropNearDuplicates(assigned.drop("cohesion"),
+      exactPairsOf(assigned, idCol, vecCol, threshold),
       idCol)
   }
 

@@ -237,6 +237,8 @@ object EventStreams {
     * when the input is known time-clustered. */
   def sessionizeNative(events: DataFrame, gapSeconds: Long): DataFrame = {
     require(gapSeconds > 0, "sessionizeNative gap must be positive")
+    require(gapSeconds <= MaxIntervalSeconds,
+      s"gapSeconds exceeds the representable micro-denominated range ($MaxIntervalSeconds)")
     val ev = events.schema("ts").dataType match {
       case org.apache.spark.sql.types.TimestampNTZType =>
         events.withColumn("ts", col("ts").cast("timestamp"))
@@ -316,6 +318,13 @@ object EventStreams {
       .drop("__sid")
   }
 
+  /** Largest representable horizon/gap in whole seconds when scaled to
+    * epoch micros (interval literals and the range-join granule are
+    * micro-denominated longs): ~292k years. Guarded explicitly so an
+    * absurd horizon fails its precondition instead of overflowing into
+    * a negative granule downstream. */
+  private[graft] val MaxIntervalSeconds: Long = Long.MaxValue / 1000000L - 1
+
   /** Watermarked STREAM-STREAM interval join over two event streams of
     * the `events` shape: every `anchors` row pairs with the `matches`
     * rows of the same `keyCol` whose time falls in
@@ -345,6 +354,8 @@ object EventStreams {
                          watermark: String = "2 minutes",
                          how: String = "inner"): DataFrame = {
     require(horizonSeconds >= 0, "horizonSeconds must be non-negative")
+    require(horizonSeconds <= MaxIntervalSeconds,
+      s"horizonSeconds exceeds the representable micro-denominated range ($MaxIntervalSeconds)")
     val joinType = how match {
       case "inner" => "inner"
       case "left"  => "left_outer"
@@ -376,6 +387,8 @@ object EventStreams {
   def intervalJoinBatch(anchors: DataFrame, matches: DataFrame, keyCol: String,
                         horizonSeconds: Long, how: String = "inner"): DataFrame = {
     require(horizonSeconds >= 0, "horizonSeconds must be non-negative")
+    require(horizonSeconds <= MaxIntervalSeconds,
+      s"horizonSeconds exceeds the representable micro-denominated range ($MaxIntervalSeconds)")
     require(how == "inner" || how == "left",
       s"intervalJoinBatch how must be inner or left: $how")
     val a = anchors.select(col("event_id").as("anchor_id"), col(keyCol),
@@ -398,7 +411,10 @@ object EventStreams {
     else {
       // LEFT: rangeJoin's own left_outer preserves the POINTS (match)
       // side, but interval-join left semantics preserve ANCHORS — union
-      // the matchless anchors back via one anti-join on anchor id.
+      // the matchless anchors back via one anti-join on the anchor's
+      // FULL identity (id, key, ts): an id-only anti-join would silently
+      // drop a matchless anchor whose event_id collides with a matched
+      // one (nothing validates id uniqueness on the input).
       // Cost: the inner subtree executes twice (the anti side's column
       // pruning makes the subtrees canonically unequal, so AQE cannot
       // stage-reuse the exchange — measured ≤2× the inner form at sf1,
@@ -406,8 +422,10 @@ object EventStreams {
       // collect_list + explode_outer) was rejected: its aggregation
       // buffer grows with matches-per-anchor, an unbounded hot-anchor
       // funnel, while this form keeps every stage bounded.
+      val matchedKeys = inner
+        .select(col("anchor_id"), col(keyCol), col("anchor_ts")).distinct()
       val unmatched = a
-        .join(inner.select(col("anchor_id")).distinct(), Seq("anchor_id"), "left_anti")
+        .join(matchedKeys, Seq("anchor_id", keyCol, "anchor_ts"), "left_anti")
         .select(col("anchor_id"), col(keyCol), col("anchor_ts"),
           lit(null).cast(m.schema("match_ts").dataType).as("match_ts"),
           lit(null).cast(m.schema("match_value").dataType).as("match_value"))

@@ -45,9 +45,10 @@ object RunPipelineSf1 {
     lap("minhash drop", deduped.count())
 
     // 3. semantic dedup of the embedding table (fixed centroids from its
-    // own first rows — the x61 recipe), then restrict docs to survivors
-    // (vec_id keys align with doc_id in the fixture's id space modulo
-    // corpus size, so treat it as an id-join demonstration)
+    // own first rows — the x61 recipe). The fixture's vec_id and doc_id
+    // spaces are distinct, so this is measured as the embedding-side
+    // BRANCH of the pipeline (its own stage cost), not joined into the
+    // text chain below.
     val cents: Seq[Seq[Double]] = emb.filter(col("vec_id") < 4).orderBy("vec_id")
       .select(col("embedding").cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toSeq).toSeq

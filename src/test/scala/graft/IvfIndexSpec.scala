@@ -149,5 +149,31 @@ class IvfIndexSpec extends AnyFunSuite {
       """{"version":99,"kind":"bloom_exclusion","fpp":0.01,"n_bytes":4}""")
     val e4 = intercept[IllegalArgumentException] { BloomIndex.load(spark, path) }
     assert(e4.getMessage.contains("version"))
+    // unparsable manifest and a deleted sketch parquet are ALSO
+    // IllegalArgumentException (the fail-fast contract wraps the raw
+    // parse/read exceptions)
+    writeManifest(path, "{truncated garbage")
+    val e5 = intercept[IllegalArgumentException] { BloomIndex.load(spark, path) }
+    assert(e5.getMessage.contains("malformed bloom manifest"))
+    writeManifest(path,
+      """{"version":1,"kind":"bloom_exclusion","fpp":0.01,"n_bytes":4}""")
+    val bloomDir = new org.apache.hadoop.fs.Path(path, "bloom")
+    bloomDir.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(bloomDir, true)
+    val e6 = intercept[IllegalArgumentException] { BloomIndex.load(spark, path) }
+    assert(e6.getMessage.contains("unreadable sketch"))
+  }
+
+  test("BloomIndex records the build-time list size; loadWithMeta surfaces it") {
+    import graft.ops.BloomIndex
+    val exclude = (1L to 37L).map(Tuple1(_)).toDF("xid")
+    val path = tmpDir() + "/bloom_meta"
+    BloomIndex.buildAndSave(exclude, "xid", fpp = 0.01, path)
+    val art = BloomIndex.loadWithMeta(spark, path)
+    assert(art.nIds.contains(37L))
+    // a hand-saved artifact without the count loads with nIds empty
+    val bare = tmpDir() + "/bloom_bare"
+    BloomIndex.save(spark, bare, art.bytes, fpp = 0.01)
+    assert(BloomIndex.loadWithMeta(spark, bare).nIds.isEmpty)
   }
 }

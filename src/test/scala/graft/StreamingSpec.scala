@@ -261,6 +261,24 @@ class StreamingSpec extends AnyFunSuite {
       (102L, Some(ts(2, 30).getTime), Some(16.0))))
   }
 
+  test("intervalJoinBatch how=left survives duplicate anchor ids (anti-join keys on full identity)") {
+    import spark.implicits._
+    // two anchors SHARE event_id 100: user 1's has a match, user 2's has
+    // none — an id-only anti-join would drop user 2's row entirely
+    val anchors = Seq(
+      Event(100, ts(2, 0), 1, "error", 0.0),
+      Event(100, ts(2, 0), 2, "error", 0.0))
+    val clicks = Seq(Event(200, ts(1, 30), 1, "click", 7.0))
+    val got = EventStreams.intervalJoinBatch(
+        anchors.toDF(), clicks.toDF(), "user_id", horizonSeconds = 60,
+        how = "left")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toSeq.sortBy(_._2)
+    assert(got == Seq(
+      (100L, 1L, Some(7.0)),
+      (100L, 2L, None))) // the colliding matchless anchor still surfaces
+  }
+
   test("stream-stream interval join how=left flushes matchless anchors once the watermark passes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -389,6 +389,16 @@ class XopSpec extends AnyFunSuite {
           """{"xop": {"name": "exclude_ids",
                       "args": {"id": "id", "exclude": "xids", "index": "q"}}}""",
           resolver).df }
+        // staleness tripwire: the artifact records the build-time list
+        // row count; a drifted exclude dataset (exact size known free
+        // from local-relation stats) is a 400, not silent under-exclusion
+        val drifted: String => Option[org.apache.spark.sql.DataFrame] =
+          n => if (n == "xids") Some(Seq(2L, 4L, 6L).toDF("id")) else None
+        val e = intercept[MalformedQueryException] { QueryEngine.run(docs,
+          """{"xop": {"name": "exclude_ids",
+                      "args": {"id": "id", "exclude": "xids", "index": "bl"}}}""",
+          drifted).df }
+        assert(e.getMessage.contains("stale"))
       }
     } finally spark.conf.unset("spark.graft.index.root")
   }
