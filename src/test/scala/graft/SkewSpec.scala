@@ -356,6 +356,11 @@ class SkewSpec extends AnyFunSuite {
         evs, gap, granule = Some(width)))
       val ref = sess(graft.streaming.EventStreams.sessionizeBatch(evs, gap))
       assert(seg == ref, s"round $round sessions gap=$gap width=$width")
+      // the native session_window strategy must agree with both carries
+      // on the same random fixture (gap ties, colliding timestamps,
+      // single-event sessions all land in the draw space)
+      val nat = sess(graft.streaming.EventStreams.sessionizeNative(evs, gap))
+      assert(nat == ref, s"round $round native sessions gap=$gap")
     }
   }
 
