@@ -140,7 +140,19 @@ class PropertySpec extends AnyFunSuite {
         ((mk, mt), mi) <- ms.zipWithIndex
         if mk == ak && mt >= at - h && mt <= at
       } yield (ai.toLong, mt * 1000, mi.toDouble)).sorted
-      got == want
+      // left = the same product plus one null row per matchless anchor
+      // (duplicate anchor ids occur in the draw space — generated ids
+      // are distinct, keys are not, so key-collision coverage is real)
+      val gotLeft = graft.streaming.EventStreams
+        .intervalJoinBatch(anchors, matches, "user_id", h, how = "left")
+        .collect().map(r => (r.getLong(0),
+          Option(r.getTimestamp(3)).map(_.getTime),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).sorted.toSeq
+      val matchedAnchors = want.map(_._1).toSet
+      val wantLeft = (want.map(t => (t._1, Option(t._2), Option(t._3))) ++
+        as.indices.filterNot(i => matchedAnchors(i.toLong))
+          .map(i => (i.toLong, None, None))).sorted
+      got == want && gotLeft == wantLeft
     })
   }
 
