@@ -1051,6 +1051,15 @@ object SparkEntry {
         .orderBy("err_id")
     }),
 
+    // ordered funnel: earliest strictly-increasing signup → click →
+    // purchase completion per user (greedy-earliest = maximal depth for
+    // an unbounded funnel; k-1 key joins + k partial-combining min aggs)
+    "x64_funnel" -> ((s, dir) =>
+      graft.streaming.EventStreams.funnel(
+          graft.streaming.EventStreams.eventsFrame(s, dir),
+          "user_id", Seq("signup", "click", "purchase"))
+        .orderBy("user_id")),
+
     // left-outer form: EVERY error survives, matchless ones with a zero
     // click count and null sum — count(match_ts) counts non-null matches
     "x63b_interval_join_left" -> ((s, dir) => {
@@ -2434,6 +2443,27 @@ object SparkEntry {
          FROM e JOIN c ON c.user_id = e.user_id
            AND c.ts >= e.ts - INTERVAL 21600 SECOND AND c.ts <= e.ts
          GROUP BY e.err_id ORDER BY err_id""",
+
+    "x64_funnel" ->
+      // greedy-earliest chained min CTEs mirror the operator's step
+      // joins; whole-second truncation matches eventsFrame
+      """WITH ev AS (
+           SELECT user_id, date_trunc('second', ts::TIMESTAMP) AS ts, event_type
+           FROM events),
+         s1 AS (SELECT user_id, min(ts) AS ts_1 FROM ev
+                WHERE event_type = 'signup' GROUP BY user_id),
+         s2 AS (SELECT s1.user_id, s1.ts_1, min(e.ts) AS ts_2
+                FROM s1 LEFT JOIN ev e ON e.user_id = s1.user_id
+                  AND e.event_type = 'click' AND e.ts > s1.ts_1
+                GROUP BY s1.user_id, s1.ts_1),
+         s3 AS (SELECT s2.user_id, s2.ts_1, s2.ts_2, min(e.ts) AS ts_3
+                FROM s2 LEFT JOIN ev e ON e.user_id = s2.user_id
+                  AND e.event_type = 'purchase' AND e.ts > s2.ts_2
+                GROUP BY s2.user_id, s2.ts_1, s2.ts_2)
+         SELECT user_id, ts_1, ts_2, ts_3,
+                CAST((ts_1 IS NOT NULL)::INT + (ts_2 IS NOT NULL)::INT
+                     + (ts_3 IS NOT NULL)::INT AS INT) AS steps_completed
+         FROM s3 ORDER BY user_id""",
 
     "x63b_interval_join_left" ->
       // left-outer: every error row, zero count / null sum when matchless

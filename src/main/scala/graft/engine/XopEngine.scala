@@ -675,6 +675,30 @@ object XopEngine {
               s"xop '$name': strategy must be 'segmented' or 'native'", other)
         }
 
+      // ordered funnel: earliest strictly-increasing completion of the
+      // step sequence per key (EventStreams.funnel — greedy-earliest,
+      // maximal depth for an unbounded funnel; time-box by filtering
+      // the frame first)
+      case "funnel" =>
+        knownArgs("key", "steps")
+        val key = column(df, args, "key", name)
+        for (c <- Seq("event_type", "ts") if !ExprCompiler.hasColumn(df, c))
+          Errors.malformed(s"xop '$name': frame has no '$c' column")
+        val steps: Seq[String] = args.get("steps") match {
+          case Some(l: List[Any] @unchecked) if l.nonEmpty => l.map {
+            case s: String => s
+            case other =>
+              Errors.malformed(s"xop '$name': steps must be strings", other)
+          }
+          case Some(other) => Errors.malformed(
+            s"xop '$name': 'steps' must be a non-empty list of event types", other)
+          case None => Errors.malformed(
+            s"xop '$name': missing required argument 'steps'")
+        }
+        if (steps.size > 16)
+          Errors.malformed(s"xop '$name': at most 16 steps")
+        EventStreams.funnel(df.drop(RowId), key, steps)
+
       // semi-structured props parse + per-type rollup
       case "props_rollup" =>
         knownArgs()

@@ -433,6 +433,53 @@ object EventStreams {
     }
   }
 
+  /** Ordered FUNNEL analysis: for every `keyCol` entity, the earliest
+    * strictly-increasing completion of the `steps` event-type sequence —
+    * "signed up, then clicked, then purchased, in that order". Output:
+    * one row per entity that reached step 1, with `ts_1..ts_k` (the
+    * matched event times, null from the first uncompleted step on) and
+    * `steps_completed`.
+    *
+    * Semantics: GREEDY-EARLIEST — step 1 matches the entity's earliest
+    * step-1 event, each later step the earliest event of its type
+    * STRICTLY after the previous match. For an unbounded funnel this is
+    * provably maximal (an exchange argument: any completing assignment
+    * can be shifted earlier step by step), so `steps_completed` is THE
+    * funnel depth, not an artifact of matching order; it is also fully
+    * deterministic and SQL-replayable (the x64 oracle). Time-boxed
+    * funnels compose by pre-filtering the events frame to the window of
+    * interest (where-clause or interval join) before calling this.
+    *
+    * Shape at scale: step 1 is one type-filtered partial-combining
+    * min aggregate; each later step is one type-filtered join on the
+    * key (the left side is one row per surviving entity — AQE
+    * broadcasts it when small) followed by a partial-combining min
+    * aggregate. k-1 joins + k aggregates for a k-step funnel, no
+    * windows, no per-entity history materialized anywhere. */
+  def funnel(events: DataFrame, keyCol: String,
+             steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.size <= 16, "funnel supports at most 16 steps")
+    val first = events.filter(col("event_type") === steps.head)
+      .groupBy(col(keyCol)).agg(min(col("ts")).as("ts_1"))
+    val full = steps.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (step, i)) =>
+        val prev = s"ts_$i"
+        val cur = s"ts_${i + 1}"
+        val stepEvents = events.filter(col("event_type") === step)
+          .select(col(keyCol).as("__fk"), col("ts").as("__ft"))
+        val accCols = acc.columns.map(acc(_))
+        acc.join(stepEvents,
+            acc(keyCol) === col("__fk") && col("__ft") > acc(prev), "left")
+          .groupBy(accCols: _*)
+          .agg(min(col("__ft")).as(cur))
+    }
+    val tsCols = steps.indices.map(i => col(s"ts_${i + 1}"))
+    full.withColumn("steps_completed",
+      tsCols.map(c => when(c.isNotNull, 1).otherwise(0))
+        .reduce(_ + _).cast("int"))
+  }
+
   /** Streaming exact dedup by id under bounded state: duplicates arriving
     * within `watermarkDelay` of each other collapse to the first; the
     * seen-id state expires as event time passes (the unbounded-state

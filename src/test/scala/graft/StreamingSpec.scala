@@ -196,6 +196,49 @@ class StreamingSpec extends AnyFunSuite {
       Seq((1L, 2L, 3.0, ts(0, 30)), (1L, 1L, 3.0, ts(5, 0)), (2L, 1L, 4.0, ts(0, 10))))
   }
 
+  test("funnel matches ordered completions greedily and stops at the first missing step") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1 completes: signup@0 → click@1 → purchase@2 (the extra
+      // early purchase@0:30 must NOT match — it precedes the click)
+      Event(1, ts(0, 0), 1, "signup", 0.0),
+      Event(2, ts(0, 30), 1, "purchase", 0.0),
+      Event(3, ts(1, 0), 1, "click", 0.0),
+      Event(4, ts(2, 0), 1, "purchase", 0.0),
+      // user 2 stops at signup (its click is simultaneous — strictly
+      // AFTER is required, so it does not count)
+      Event(5, ts(3, 0), 2, "signup", 0.0),
+      Event(6, ts(3, 0), 2, "click", 0.0),
+      // user 3 never signs up → absent from the output entirely
+      Event(7, ts(4, 0), 3, "click", 0.0)
+    ).toDF()
+    val got = EventStreams.funnel(events, "user_id",
+        Seq("signup", "click", "purchase"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0),
+        Option(r.getTimestamp(1)).map(_.getTime),
+        Option(r.getTimestamp(2)).map(_.getTime),
+        Option(r.getTimestamp(3)).map(_.getTime),
+        r.getInt(4))).toSeq
+    assert(got == Seq(
+      (1L, Some(ts(0, 0).getTime), Some(ts(1, 0).getTime),
+        Some(ts(2, 0).getTime), 3),
+      (2L, Some(ts(3, 0).getTime), None, None, 1)))
+  }
+
+  test("funnel with repeated step types requires strictly increasing matches") {
+    import spark.implicits._
+    val events = Seq(
+      Event(1, ts(0, 0), 1, "click", 0.0),
+      Event(2, ts(1, 0), 1, "click", 0.0),
+      Event(3, ts(0, 0), 2, "click", 0.0) // only one click → depth 1
+    ).toDF()
+    val got = EventStreams.funnel(events, "user_id", Seq("click", "click"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getInt(3))).toSeq
+    assert(got == Seq((1L, 2), (2L, 1)))
+  }
+
   test("sessionizeNative equals sessionizeBatch, including the exact-gap tie") {
     import spark.implicits._
     val events = Seq(

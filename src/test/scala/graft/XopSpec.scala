@@ -508,6 +508,24 @@ class XopSpec extends AnyFunSuite {
                   "args": {"gap_seconds": 60, "strategy": "nope"}}}""").df }
   }
 
+  test("funnel xop runs the ordered-step analysis with strict args") {
+    val out = QueryEngine.run(events,
+      """{"xop": {"name": "funnel",
+                  "args": {"key": "user_id", "steps": ["click", "view"]}},
+          "order_by": ["user_id"]}""").df
+    // user 1: click@0 → view@0:30 (depth 2); user 2: click only (depth 1)
+    assert(out.collect().map(r => (r.getAs[Long]("user_id"),
+      r.getAs[Int]("steps_completed"))).toSeq == Seq((1L, 2), (2L, 1)))
+    intercept[MalformedQueryException] { QueryEngine.run(events,
+      """{"xop": {"name": "funnel", "args": {"key": "user_id"}}}""").df }
+    intercept[MalformedQueryException] { QueryEngine.run(events,
+      """{"xop": {"name": "funnel",
+                  "args": {"key": "user_id", "steps": []}}}""").df }
+    intercept[MalformedQueryException] { QueryEngine.run(events,
+      """{"xop": {"name": "funnel",
+                  "args": {"key": "user_id", "steps": [1, 2]}}}""").df }
+  }
+
   test("props_rollup xop parses and aggregates per type") {
     val out = QueryEngine.run(events,
       """{"xop": {"name": "props_rollup"}, "order_by": ["event_type"]}""").df
