@@ -1060,6 +1060,21 @@ object SparkEntry {
           "user_id", Seq("signup", "click", "purchase"))
         .orderBy("user_id")),
 
+    // hot-entity funnel stress (the bot-account problem): ~80% of all
+    // events collapse onto ONE user, then the same 3-step funnel — the
+    // bench witness that the step joins absorb a hot entity's fan-out
+    // map-side (each step's min aggregate partial-combines per mapper;
+    // the left side stays one row per entity, so no per-entity history
+    // ever materializes; regressions here mean a skewed single-task
+    // stage appeared in the step chain)
+    "x64b_funnel_hot" -> ((s, dir) =>
+      graft.streaming.EventStreams.funnel(
+          graft.streaming.EventStreams.eventsFrame(s, dir)
+            .withColumn("user_id",
+              when(col("user_id") % 5 =!= 0, lit(0L)).otherwise(col("user_id"))),
+          "user_id", Seq("signup", "click", "purchase"))
+        .orderBy("user_id")),
+
     // left-outer form: EVERY error survives, matchless ones with a zero
     // click count and null sum — count(match_ts) counts non-null matches
     "x63b_interval_join_left" -> ((s, dir) => {
@@ -2449,6 +2464,28 @@ object SparkEntry {
       // joins; whole-second truncation matches eventsFrame
       """WITH ev AS (
            SELECT user_id, date_trunc('second', ts::TIMESTAMP) AS ts, event_type
+           FROM events),
+         s1 AS (SELECT user_id, min(ts) AS ts_1 FROM ev
+                WHERE event_type = 'signup' GROUP BY user_id),
+         s2 AS (SELECT s1.user_id, s1.ts_1, min(e.ts) AS ts_2
+                FROM s1 LEFT JOIN ev e ON e.user_id = s1.user_id
+                  AND e.event_type = 'click' AND e.ts > s1.ts_1
+                GROUP BY s1.user_id, s1.ts_1),
+         s3 AS (SELECT s2.user_id, s2.ts_1, s2.ts_2, min(e.ts) AS ts_3
+                FROM s2 LEFT JOIN ev e ON e.user_id = s2.user_id
+                  AND e.event_type = 'purchase' AND e.ts > s2.ts_2
+                GROUP BY s2.user_id, s2.ts_1, s2.ts_2)
+         SELECT user_id, ts_1, ts_2, ts_3,
+                CAST((ts_1 IS NOT NULL)::INT + (ts_2 IS NOT NULL)::INT
+                     + (ts_3 IS NOT NULL)::INT AS INT) AS steps_completed
+         FROM s3 ORDER BY user_id""",
+
+    "x64b_funnel_hot" ->
+      // x64's chained-min oracle with the hot-user collapse applied in
+      // the ev CTE — same greedy-earliest step chain over the skewed keys
+      """WITH ev AS (
+           SELECT CASE WHEN user_id % 5 <> 0 THEN 0 ELSE user_id END AS user_id,
+                  date_trunc('second', ts::TIMESTAMP) AS ts, event_type
            FROM events),
          s1 AS (SELECT user_id, min(ts) AS ts_1 FROM ev
                 WHERE event_type = 'signup' GROUP BY user_id),

@@ -194,7 +194,7 @@ object EventStreams {
         }
       } else None
     }
-    effectiveGranule match {
+    val out = effectiveGranule match {
       case None =>
         // sub-gate input: the classic one-shuffle-per-user running carry
         val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
@@ -214,7 +214,22 @@ object EventStreams {
       case Some(width) =>
         segmentedSessions(ev, gapSeconds, width)
     }
+    restoreSessionTsType(out, events.schema("ts").dataType)
   }
+
+  /** Both sessionization strategies unify an NTZ `ts` onto TimestampType
+    * for the gap/granule arithmetic; this restores the INPUT's flavor on
+    * the session bounds so strategy choice never changes the output
+    * SCHEMA (the "same output row for row" contract includes types —
+    * the session-UTC convention makes the round-trip value-exact). */
+  private def restoreSessionTsType(
+      out: DataFrame, inputTs: org.apache.spark.sql.types.DataType): DataFrame =
+    inputTs match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        out.withColumn("session_start", col("session_start").cast(inputTs))
+          .withColumn("session_end", col("session_end").cast(inputTs))
+      case _ => out
+    }
 
   /** Gap sessionization via Spark's NATIVE session_window aggregate —
     * same output as [[sessionizeBatch]] row for row (asserted in
@@ -248,11 +263,13 @@ object EventStreams {
     // rule matches sessionizeBatch (an event exactly gapSeconds after
     // the previous CONTINUES the session in both: session_window merges
     // [s, e+gap) windows that OVERLAP OR TOUCH — adjacency counts)
-    ev.groupBy(col("user_id"), session_window(col("ts"), s"$gapSeconds seconds"))
+    val out = ev
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapSeconds seconds"))
       .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("total_value"))
       .drop("session_window")
+    restoreSessionTsType(out, events.schema("ts").dataType)
   }
 
   /** The segmented-carry body of [[sessionizeBatch]] (see its scaladoc
@@ -381,9 +398,9 @@ object EventStreams {
     * [[graft.ops.Joins.rangeJoin]]'s granule bucketing, so the plan is a
     * plain equi-join on (key, granule) with the exact interval predicate
     * alongside — hash shuffles both sides, no nested loop, and each
-    * anchor interval spans ≤ 2 granules (granule = the horizon itself).
-    * `ts` must be a timestamp (the events shape; granule embeds as epoch
-    * micros). */
+    * match's horizon interval spans ≤ 2 granules (granule = the horizon
+    * itself). `ts` must be a timestamp (the events shape; granule embeds
+    * as epoch micros). */
   def intervalJoinBatch(anchors: DataFrame, matches: DataFrame, keyCol: String,
                         horizonSeconds: Long, how: String = "inner"): DataFrame = {
     require(horizonSeconds >= 0, "horizonSeconds must be non-negative")
@@ -391,46 +408,43 @@ object EventStreams {
       s"horizonSeconds exceeds the representable micro-denominated range ($MaxIntervalSeconds)")
     require(how == "inner" || how == "left",
       s"intervalJoinBatch how must be inner or left: $how")
-    val a = anchors.select(col("event_id").as("anchor_id"), col(keyCol),
-        col("ts").as("anchor_ts"))
-      .withColumn("__w_start",
-        col("anchor_ts") - expr(s"interval $horizonSeconds seconds"))
+    // BOTH join types run one granule-bucketed rangeJoin with ANCHORS as
+    // the points side. The interval predicate is symmetric —
+    // `match_ts ∈ [anchor_ts − horizon, anchor_ts]` is exactly
+    // `anchor_ts ∈ [match_ts, match_ts + horizon]` — so anchors can be
+    // the points (which rangeJoin's left_outer already preserves),
+    // making the left form ONE join: no anti-join, no second execution
+    // of the join subtree. The earlier inner+anti left shape ran the
+    // join twice (per-branch column pruning made the subtrees
+    // canonically unequal, so AQE couldn't stage-reuse the exchange —
+    // a documented ~2× at sf1); this shape measures left ≈ inner
+    // (ProfileIjParts, warm: 1.3 s vs 1.4 s at sf1, one shuffled
+    // SortMergeJoin each). The ≤2× granule explode moves from the
+    // anchor side to the match side — the exchanged row totals are
+    // within ~25% of each other on the events fixture and the swap
+    // buys the single-execution left. Matchless anchors (including
+    // null-key and null-ts ones, and anchors whose event_id collides
+    // with a matched one — each anchor is a preserved ROW, so no
+    // identity join can conflate them) surface directly with null
+    // match fields in the left form.
+    //
     // the match-side key is renamed internally: both sides usually trace
     // to ONE events relation (filter error / filter click), and a
     // same-name key pair in the join condition trips Spark's self-join
     // ambiguity heuristics (resolved correctly, but warned on every run)
-    val m = matches.select(col(keyCol).as("__ij_k"), col("ts").as("match_ts"),
-      col("value").as("match_value"))
-    val inner = graft.ops.Joins.rangeJoin(m, a, "match_ts", "__w_start", "anchor_ts",
-        payloadCols = Seq("anchor_id", "anchor_ts"),
+    val a = anchors.select(col("event_id").as("anchor_id"), col(keyCol),
+      col("ts").as("anchor_ts"))
+    val mIv = matches.select(col(keyCol).as("__ij_k"),
+        col("ts").as("match_ts"), col("value").as("match_value"))
+      .withColumn("__w_end",
+        col("match_ts") + expr(s"interval $horizonSeconds seconds"))
+    graft.ops.Joins.rangeJoin(a, mIv, "anchor_ts", "match_ts", "__w_end",
+        payloadCols = Seq("match_ts", "match_value"),
         granule = math.max(horizonSeconds, 1L) * 1000000L,
-        on = Seq(("__ij_k", keyCol)))
-      .select(col("anchor_id"), col("__ij_k").as(keyCol), col("anchor_ts"),
+        on = Seq((keyCol, "__ij_k")),
+        how = if (how == "left") "left" else "inner")
+      .select(col("anchor_id"), col(keyCol), col("anchor_ts"),
         col("match_ts"), col("match_value"))
-    if (how == "inner") inner
-    else {
-      // LEFT: rangeJoin's own left_outer preserves the POINTS (match)
-      // side, but interval-join left semantics preserve ANCHORS — union
-      // the matchless anchors back via one anti-join on the anchor's
-      // FULL identity (id, key, ts): an id-only anti-join would silently
-      // drop a matchless anchor whose event_id collides with a matched
-      // one (nothing validates id uniqueness on the input).
-      // Cost: the inner subtree executes twice (the anti side's column
-      // pruning makes the subtrees canonically unequal, so AQE cannot
-      // stage-reuse the exchange — measured ≤2× the inner form at sf1,
-      // ProfileIj). The alternative single-pass shape (per-anchor
-      // collect_list + explode_outer) was rejected: its aggregation
-      // buffer grows with matches-per-anchor, an unbounded hot-anchor
-      // funnel, while this form keeps every stage bounded.
-      val matchedKeys = inner
-        .select(col("anchor_id"), col(keyCol), col("anchor_ts")).distinct()
-      val unmatched = a
-        .join(matchedKeys, Seq("anchor_id", keyCol, "anchor_ts"), "left_anti")
-        .select(col("anchor_id"), col(keyCol), col("anchor_ts"),
-          lit(null).cast(m.schema("match_ts").dataType).as("match_ts"),
-          lit(null).cast(m.schema("match_value").dataType).as("match_value"))
-      inner.unionByName(unmatched)
-    }
   }
 
   /** Ordered FUNNEL analysis: for every `keyCol` entity, the earliest
@@ -480,6 +494,101 @@ object EventStreams {
         .reduce(_ + _).cast("int"))
   }
 
+  /** Per-entity funnel state for [[funnelStream]]: the matched step
+    * timestamps so far in REVERSE order (head = latest match — prepends
+    * keep updates O(1)), the entity's latest event time (the partial-emit
+    * timeout anchors on it), and whether the completion row was already
+    * emitted (suppresses re-matching until the state expires). */
+  final case class FunnelState(matched: List[Long], lastSeen: Long, done: Boolean)
+
+  /** One funnel output row before widening: the matched step times in
+    * step order (length = funnel depth). */
+  final case class FunnelHit(user_id: Long, matched: Seq[Timestamp])
+
+  /** Streaming twin of [[funnel]]: watermark-bounded incremental
+    * greedy-earliest funnel matching via per-entity state. Output schema
+    * and row semantics are IDENTICAL to the batch operator (asserted on a
+    * shared fixture in StreamingSpec): one row per entity that reached
+    * step 1, with `ts_1..ts_k` and `steps_completed`.
+    *
+    * Emission: a COMPLETING entity (all k steps matched) emits
+    * immediately — under greedy-earliest a later event can never improve
+    * an already-complete match, so the row is final the moment it exists.
+    * A PARTIAL entity emits once the watermark passes `lastSeen +
+    * timeoutSeconds` (the engine has then proven no in-order event can
+    * still arrive to deepen it within the horizon) — streaming append
+    * mode cannot retract, so partial depth needs a horizon to become
+    * final; `timeoutSeconds` is that horizon, the analog of
+    * [[sessionize]]'s gap. An entity resuming AFTER its partial row
+    * flushed starts a fresh funnel attempt (bounded state is the
+    * contract — an unbounded wait would buffer every entity forever).
+    *
+    * State is O(k) longs per in-flight entity, partitioned by key hash
+    * across executors; events later than the watermark are dropped by
+    * the engine before reaching the state function. Like [[sessionize]],
+    * within-batch disorder is absorbed by sorting; cross-batch arrival
+    * is assumed event-time-ordered per entity (the watermark bounds how
+    * late a straggler can be). */
+  def funnelStream(events: Dataset[Event], steps: Seq[String],
+                   timeoutSeconds: Long,
+                   watermark: String = "10 minutes"): DataFrame = {
+    require(steps.nonEmpty, "funnelStream needs at least one step")
+    require(steps.size <= 16, "funnelStream supports at most 16 steps")
+    require(timeoutSeconds > 0, "funnelStream timeout must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val k = steps.size
+    val timeoutMs = timeoutSeconds * 1000
+    val raw = events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            if (!s.done && s.matched.nonEmpty)
+              Iterator.single(FunnelHit(userId,
+                s.matched.reverse.map(new Timestamp(_))))
+            else Iterator.empty
+          } else {
+            var st = state.getOption
+              .getOrElse(FunnelState(Nil, Long.MinValue, done = false))
+            val out = Seq.newBuilder[FunnelHit]
+            batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              st = st.copy(lastSeen = math.max(st.lastSeen, t))
+              val depth = st.matched.length
+              if (!st.done && depth < k && e.event_type == steps(depth) &&
+                  (depth == 0 || t > st.matched.head)) {
+                st = st.copy(matched = t :: st.matched)
+                if (depth + 1 == k) {
+                  out += FunnelHit(userId, st.matched.reverse.map(new Timestamp(_)))
+                  st = st.copy(done = true)
+                }
+              }
+            }
+            state.update(st)
+            // done states keep a short grace before expiring (suppresses
+            // duplicate attempts from stragglers near the watermark); the
+            // max() guards Spark's requirement that a timeout never sit
+            // at or behind the current watermark
+            state.setTimeoutTimestamp(math.max(st.lastSeen + timeoutMs,
+              state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+    // widen matched → ts_1..ts_k + steps_completed, the batch schema
+    // (`get` is the ANSI-safe out-of-bounds-null element access)
+    raw.toDF().select(
+      col("user_id") +:
+        (1 to k).map(i => get(col("matched"), lit(i - 1)).as(s"ts_$i")) :+
+        // coalesce onto a literal pins the non-null marker the batch
+        // twin's when/otherwise sum carries (matched is never null here)
+        coalesce(size(col("matched")), lit(0)).as("steps_completed"): _*)
+  }
+
   /** Streaming exact dedup by id under bounded state: duplicates arriving
     * within `watermarkDelay` of each other collapse to the first; the
     * seen-id state expires as event time passes (the unbounded-state
@@ -526,13 +635,18 @@ object EventStreams {
     // stays metadata-only)
     val raw = graft.sources.TableRegistry.table(spark, dir, "events")
     val sec = raw.schema("ts").dataType match {
-      // integer nanos → WHOLE seconds with an INTEGRAL divide: `/` on
-      // longs is double division, which both carries the fractional
-      // second through the cast and can round UP across a second
-      // boundary for nanos within ~128 ns of it (doubles have 53-bit
-      // mantissas; 1.7e18 is representable only to multiples of 256)
+      // integer nanos → WHOLE seconds with an exact FLOOR divide
+      // (Joins.granuleBucket at width 1e9): `/` on longs is double
+      // division, which both carries the fractional second through the
+      // cast and can round UP across a second boundary for nanos within
+      // ~128 ns of it (doubles have 53-bit mantissas; 1.7e18 is
+      // representable only to multiples of 256); `div` truncates TOWARD
+      // ZERO, which on a pre-1970 (negative-epoch) nano would round to
+      // the NEXT second while the timestamp branch's date_trunc floors —
+      // granuleBucket's pmod-subtract floors on both signs, keeping the
+      // two branches congruent on all inputs
       case org.apache.spark.sql.types.LongType =>
-        expr("ts div 1000000000").cast("timestamp")
+        graft.ops.Joins.granuleBucket(col("ts"), 1000000000L).cast("timestamp")
       // timestamp (either zone flavor): truncate, then a cast unifies on
       // the session-zone type (UTC in every graft entry point, so the
       // NTZ wall time IS the instant)

@@ -12,7 +12,10 @@ object ProfileIj {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.sources.TableRegistry.warmup(spark, dir, Seq("events"))
-    for (name <- Seq("x63_interval_join", "x63b_interval_join_left")) {
+    val queries =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("x63_interval_join", "x63b_interval_join_left")
+    for (name <- queries) {
       graft.SparkEntry.queries(name)(spark, dir).count()
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()

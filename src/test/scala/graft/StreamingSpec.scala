@@ -360,6 +360,97 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("funnelStream equals the batch funnel on a shared fixture, incl. watermark-flushed partials") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("signup", "click", "purchase")
+    // user 1 completes across two micro-batches; user 2 stays partial
+    // (signup only — flushes via the timeout path); user 3 never reaches
+    // step 1 (absent from BOTH outputs); the early purchase@0:30 must not
+    // match (precedes the click). Pushers (type outside the funnel, user
+    // 99) advance the watermark without creating output rows.
+    val batch1 = Seq(
+      Event(1, ts(0, 0), 1, "signup", 0.0),
+      Event(2, ts(0, 30), 1, "purchase", 0.0),
+      Event(3, ts(1, 0), 1, "click", 0.0),
+      Event(4, ts(0, 30), 2, "signup", 0.0),
+      Event(5, ts(0, 45), 3, "click", 0.0))
+    val batch2 = Seq(Event(6, ts(2, 0), 1, "purchase", 0.0))
+    val pushers = Seq(Event(900, ts(10, 0), 99, "noop", 0.0),
+      Event(901, ts(20, 0), 99, "noop", 0.0))
+    val input = MemoryStream[Event]
+    val query = EventStreams.funnelStream(input.toDS(), steps,
+        timeoutSeconds = 300, watermark = "2 minutes")
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode(OutputMode.Append).start()
+    val streamed = try {
+      input.addData(batch1: _*)
+      query.processAllAvailable()
+      input.addData(batch2: _*)
+      query.processAllAvailable()
+      // completion emits IMMEDIATELY — before any watermark movement
+      assert(spark.table("funnel_stream").count() == 1)
+      // two pusher rounds: the first advances the watermark past user
+      // 2's lastSeen+timeout, the second runs the batch that fires it
+      pushers.foreach { p => input.addData(p); query.processAllAvailable() }
+      spark.table("funnel_stream")
+    } finally query.stop()
+    val all = (batch1 ++ batch2 ++ pushers).toDF()
+    val batch = EventStreams.funnel(all, "user_id", steps)
+    assert(streamed.schema == batch.schema)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        Option(r.getTimestamp(1)).map(_.getTime),
+        Option(r.getTimestamp(2)).map(_.getTime),
+        Option(r.getTimestamp(3)).map(_.getTime),
+        r.getInt(4))).toSeq.sortBy(_._1)
+    assert(rows(streamed) == rows(batch))
+    assert(rows(streamed) == Seq(
+      (1L, Some(ts(0, 0).getTime), Some(ts(1, 0).getTime),
+        Some(ts(2, 0).getTime), 3),
+      (2L, Some(ts(0, 30).getTime), None, None, 1)))
+  }
+
+  test("both sessionize strategies return the INPUT's ts flavor (NTZ schema parity)") {
+    import spark.implicits._
+    val events = Seq(
+      Event(1, ts(0, 0), 1, "click", 1.0),
+      Event(2, ts(5, 0), 1, "view", 2.0),
+      Event(3, ts(0, 10), 2, "click", 4.0)
+    ).toDF().withColumn("ts",
+      org.apache.spark.sql.functions.col("ts")
+        .cast(org.apache.spark.sql.types.TimestampNTZType))
+    val batch = EventStreams.sessionizeBatch(events, gapSeconds = 60)
+    val native = EventStreams.sessionizeNative(events, gapSeconds = 60)
+    assert(batch.schema == native.schema,
+      s"strategy switch changed the schema: ${batch.schema} vs ${native.schema}")
+    assert(batch.schema("session_start").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "session_start", "session_end", "n_events", "total_value")
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(rows(batch) == rows(native))
+  }
+
+  test("eventsFrame floors a negative-epoch long-nanos ts like the timestamp branch") {
+    import spark.implicits._
+    val dirL = java.nio.file.Files.createTempDirectory("graft_ev_nanos").toString
+    val dirT = java.nio.file.Files.createTempDirectory("graft_ev_ts").toString
+    // -1.5 s in nanos: floor → -2 s; `div` (toward zero) would give -1 s
+    Seq((1L, -1500000000L, 1L, "click", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dirL/events.parquet")
+    Seq((1L, new Timestamp(-1500L), 1L, "click", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dirT/events.parquet")
+    val fromNanos = EventStreams.eventsFrame(spark, dirL)
+      .select("ts").head().getTimestamp(0)
+    val fromTs = EventStreams.eventsFrame(spark, dirT)
+      .select("ts").head().getTimestamp(0)
+    assert(fromNanos == new Timestamp(-2000L))
+    assert(fromNanos == fromTs)
+  }
+
   test("stream-stream interval join equals the batch twin on the shared fixture") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
