@@ -910,13 +910,26 @@ object XopEngine {
       // exact id-exclusion against a stored list via a Bloom sketch +
       // rescue anti-join (map-only probe on the corpus side)
       case "exclude_ids" =>
-        knownArgs("id", "exclude", "exclude_id", "fpp", "index")
+        knownArgs("id", "exclude", "exclude_id", "fpp", "index", "verify_index")
         val id = column(df, args, "id", name)
         val excl = dataset("exclude")
         val exclId = args.get("exclude_id")
           .map(_ => reqStr(args, "exclude_id", name)).getOrElse(id)
         if (!ExprCompiler.hasColumn(excl, exclId))
           Errors.malformed(s"xop '$name': exclude dataset has no column", exclId)
+        // both id sides must be integral (the operator enforces the same
+        // as a precondition — see Dedup.requireIntegralId): a string or
+        // fractional id silently under-deletes, so it's a 400 here
+        locally {
+          import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+          for ((d, c, side) <- Seq((df, id, "id"), (excl, exclId, "exclude id")))
+            d.schema(c).dataType match {
+              case ByteType | ShortType | IntegerType | LongType => ()
+              case dt => Errors.malformed(
+                s"xop '$name': $side column '$c' must be an integer type " +
+                  s"for Bloom exclusion (got ${dt.catalogString})")
+            }
+        }
         args.get("index") match {
           case Some(raw) =>
             // persisted sketch: no build aggregation runs, so the build
@@ -927,21 +940,51 @@ object XopEngine {
               Errors.malformed(
                 s"xop '$name': 'index' excludes 'fpp' (no sketch build runs)")
             val art = loadBloom(df, raw, name)
+            // FREE identity tripwires (schema-only): a sketch probed
+            // through a different column or type silently under-deletes
+            // (probe-negative rows skip the rescue anti-join), and the
+            // row-count tripwire below cannot see a same-size
+            // column/type mismatch
+            for (built <- art.idCol if built != exclId)
+              Errors.malformed(
+                s"xop '$name': bloom index was built over column '$built', " +
+                  s"this query excludes on '$exclId' — rebuild or fix 'exclude_id'")
+            for (built <- art.idType;
+                 now = excl.schema(exclId).dataType.catalogString
+                 if built != now)
+              Errors.malformed(
+                s"xop '$name': bloom index was built over $built ids, " +
+                  s"exclude column '$exclId' is $now — rebuild the artifact")
+            // STRONG opt-in check: recompute the content fingerprint
+            // (one column-pruned aggregation over the list) — catches
+            // the same-count swap the free tripwires cannot
+            if (boolArg(args, "verify_index", default = false, name))
+              try graft.ops.BloomIndex.verifyContent(df.sparkSession,
+                indexPath(df, raw, name), excl, exclId)
+              catch { case e: IllegalArgumentException =>
+                Errors.malformed(s"xop '$name': ${e.getMessage}") }
             // staleness tripwire, checked only when the current list's
-            // exact size is FREE (top-level stats rowCount — a cached
-            // stored dataset after materialization): a drifted ledger
+            // exact size is FREE (a LocalRelation's literal length or a
+            // cache-MATERIALIZED InMemoryRelation's accumulated count —
+            // deliberately NOT plan stats rowCount, which a catalog
+            // ANALYZE can back with a stale-but-defined estimate that
+            // would 400 a perfectly fresh artifact): a drifted ledger
             // row count means the sketch no longer covers the list and
             // exclusion would silently under-delete. A same-size swap
             // still slips through — rebuilding on refresh is the
             // contract; this catches the common append-only drift.
             for (built <- art.nIds;
-                 now <- excl.queryExecution.optimizedPlan.stats.rowCount
-                 if now.toLong != built)
+                 now <- org.apache.spark.sql.GraftSqlShims.exactRowCountOf(excl)
+                 if now != built)
               Errors.malformed(
                 s"xop '$name': bloom index is stale (built over $built rows, " +
                   s"exclude dataset now has $now) — rebuild the artifact")
             Dedup.excludeByBloomWith(df, id, art.bytes, excl, exclId)
           case None =>
+            if (args.contains("verify_index"))
+              Errors.malformed(
+                s"xop '$name': 'verify_index' requires 'index' " +
+                  "(the inline build is fresh by construction)")
             Dedup.excludeByBloom(df, id, excl, exclId,
               doubleArgOpt(args, "fpp", 0.01, name))
         }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 import scala.collection.mutable
 
@@ -17,9 +18,15 @@ import scala.collection.mutable
   *     bit-array OR-merge makes the build order-independent, so the
   *     bytes are deterministic for a given list + parameters).
   *   - `<path>/manifest.json` — format version + build parameters
-  *     (n_items estimate, fpp, byte length as an integrity check),
-  *     written via the Hadoop FileSystem API (any Spark-reachable
-  *     filesystem).
+  *     (n_items estimate, fpp, byte length as an integrity check), the
+  *     id column's NAME and TYPE (a sketch probed through a different
+  *     column or type silently under-deletes — the consumer validates
+  *     both for free), and an order-independent CONTENT fingerprint of
+  *     the id list (exact decimal sum of xxhash64(id) — append, remove
+  *     and replace all move it, unlike a bit-xor where a same-count
+  *     pair swap can cancel; the count tripwire alone cannot see a
+  *     same-size swap). Written via the Hadoop FileSystem API (any
+  *     Spark-reachable filesystem).
   *
   * The artifact is sketch-only by design: the exact exclusion ids stay
   * wherever the pipeline already keeps them (they are still needed for
@@ -31,34 +38,64 @@ import scala.collection.mutable
   * Consumers: `Dedup.excludeByBloomWith` takes the loaded bytes
   * directly, and the xop surface takes an `index` argument on
   * `exclude_ids` (resolved under `spark.graft.index.root`, like the IVF
-  * artifact).
+  * artifact). The count/name/type tripwires are FREE and always checked
+  * there; [[verifyContent]] recomputes the fingerprint (one
+  * column-pruned aggregation job over the list) for explicit integrity
+  * checks — the xop `verify_index` flag runs it per query for callers
+  * who want the strong guarantee over the cheap one.
   */
 object BloomIndex {
 
   val FormatVersion = 1
 
+  /** Order-independent content fingerprint of `df`'s id list: the exact
+    * decimal sum of xxhash64 over the raw (non-distinct) column — one
+    * column-pruned aggregation, safe at any list size (10^9 ids × the
+    * 64-bit hash range stays ~28 digits, far inside decimal(38)).
+    * Deterministic across partitionings and runs (xxhash64's seed is
+    * fixed). Empty / all-null list → "0". */
+  def fingerprint(df: DataFrame, idCol: String): String =
+    fingerprintAndCount(df, idCol)._1
+
+  /** [[fingerprint]] and the exact list row count from the SAME
+    * aggregation pass. */
+  private def fingerprintAndCount(df: DataFrame, idCol: String): (String, Long) = {
+    val row = df.agg(
+      sum(xxhash64(col(idCol)).cast("decimal(38,0)")).as("fp"),
+      count(lit(1)).as("n")).head()
+    (Option(row.getDecimal(0)).map(d => BigDecimal(d).toBigInt.toString)
+      .getOrElse("0"), row.getLong(1))
+  }
+
   /** Build the sketch over `exclude`'s id column (the same build
-    * [[Dedup.excludeByBloom]] runs inline) and persist it at `path`.
-    * Returns the serialized bytes. */
+    * [[Dedup.excludeByBloom]] runs inline) and persist it at `path`,
+    * alongside one extra column-pruned aggregation for the exact row
+    * count + content fingerprint. Returns the serialized bytes. */
   def buildAndSave(exclude: DataFrame, idCol: String, fpp: Double,
                    path: String): Array[Byte] = {
     val bytes = Dedup.buildBloom(exclude, idCol, fpp)
-    // row count of the list the sketch was built over — the staleness
-    // tripwire consumers check when the current list's exact size is
-    // free (a heuristic: a same-size swap still slips through, but the
-    // common drift — ids appended to the ledger — trips it)
+    val (fp, n) = fingerprintAndCount(exclude, idCol)
     save(exclude.sparkSession, path, bytes, fpp = fpp,
-      nIds = Some(exclude.count()))
+      nIds = Some(n),
+      idCol = Some(idCol),
+      idType = Some(exclude.schema(idCol).dataType.catalogString),
+      contentFingerprint = Some(fp))
     bytes
   }
 
-  /** Loaded artifact: the sketch bytes plus the build-time list row
-    * count when the artifact recorded one. */
-  final case class Artifact(bytes: Array[Byte], nIds: Option[Long])
+  /** Loaded artifact: the sketch bytes plus whatever build metadata the
+    * artifact recorded (all optional — hand-built manifests may omit
+    * them; every recorded field is validated at use time). */
+  final case class Artifact(bytes: Array[Byte], nIds: Option[Long],
+                            idCol: Option[String] = None,
+                            idType: Option[String] = None,
+                            contentFingerprint: Option[String] = None)
 
   /** Persist already-built sketch bytes at `path` (overwrite). */
   def save(spark: SparkSession, path: String, bytes: Array[Byte],
-           fpp: Double, nIds: Option[Long] = None): Unit = {
+           fpp: Double, nIds: Option[Long] = None,
+           idCol: Option[String] = None, idType: Option[String] = None,
+           contentFingerprint: Option[String] = None): Unit = {
     require(bytes.nonEmpty, "bloom bytes must be non-empty")
     import spark.implicits._
     Seq(Tuple1(bytes)).toDF("bloom")
@@ -70,7 +107,10 @@ object BloomIndex {
       "kind" -> "bloom_exclusion",
       "fpp" -> fpp,
       "n_bytes" -> bytes.length.toLong) ++
-      nIds.map("n_ids" -> _.asInstanceOf[Any])
+      nIds.map("n_ids" -> _.asInstanceOf[Any]) ++
+      idCol.map("id_col" -> _.asInstanceOf[Any]) ++
+      idType.map("id_type" -> _.asInstanceOf[Any]) ++
+      contentFingerprint.map("fingerprint" -> _.asInstanceOf[Any])
     val p = new org.apache.hadoop.fs.Path(path, "manifest.json")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, true)
@@ -126,6 +166,33 @@ object BloomIndex {
     if (bytes == null || !manifest.get("n_bytes").contains(bytes.length.toLong))
       throw new IllegalArgumentException(
         s"bloom index at $path is corrupt: byte length disagrees with manifest")
-    Artifact(bytes, manifest.get("n_ids").collect { case l: Long => l })
+    Artifact(bytes,
+      manifest.get("n_ids").collect { case l: Long => l },
+      manifest.get("id_col").collect { case s: String => s },
+      manifest.get("id_type").collect { case s: String => s },
+      manifest.get("fingerprint").collect { case s: String => s })
+  }
+
+  /** STRONG staleness check: recompute the content fingerprint of the
+    * current `exclude` list and compare with the manifest's — detects
+    * the same-count different-content swap the free count tripwire
+    * cannot. One column-pruned aggregation job over the list (so NOT on
+    * the default query path — opt in per query via the xop
+    * `verify_index` flag, or call this after a ledger refresh).
+    * IllegalArgumentException on mismatch or when the artifact predates
+    * fingerprints. */
+  def verifyContent(spark: SparkSession, path: String,
+                    exclude: DataFrame, idCol: String): Unit = {
+    val art = loadWithMeta(spark, path)
+    val recorded = art.contentFingerprint.getOrElse(
+      throw new IllegalArgumentException(
+        s"bloom index at $path records no content fingerprint " +
+          "(pre-fingerprint artifact) — rebuild it to enable verification"))
+    val current = fingerprint(exclude, idCol)
+    if (current != recorded)
+      throw new IllegalArgumentException(
+        s"bloom index at $path is stale: exclude list content changed " +
+          s"(fingerprint $current, artifact built over $recorded) — " +
+          "rebuild the artifact")
   }
 }

@@ -595,11 +595,29 @@ object Dedup {
     * and parameters). [[BloomIndex]] persists exactly these bytes. */
   private[graft] def buildBloom(exclude: DataFrame, excludeIdCol: String,
                                 fpp: Double): Array[Byte] = {
+    requireIntegralId(exclude, excludeIdCol, "exclude id")
     val nItems = math.max(Similarity.approxRows(exclude), 1L)
     val bf = exclude.stat.bloomFilter(excludeIdCol, nItems, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     bos.toByteArray
+  }
+
+  /** The Bloom exclusion's ids must be integral on BOTH sides: the
+    * sketch stores and probes 64-bit values (BloomContainsExpr requires
+    * bigint; the probe side casts up exactly from narrower integers).
+    * A string id would insert UTF8 bytes but probe parsed longs, a
+    * fractional id would truncate distinct values together — either way
+    * probe-negative rows skip the rescue anti-join and the operator
+    * silently UNDER-deletes, so the mismatch fails fast instead. */
+  private def requireIntegralId(df: DataFrame, c: String, what: String): Unit = {
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"$what column '$c' must be an integer type for Bloom exclusion " +
+          s"(got ${dt.catalogString})")
+    }
   }
 
   /** [[excludeByBloom]] with a PREBUILT sketch (a [[BloomIndex]] load) —
@@ -611,6 +629,8 @@ object Dedup {
   def excludeByBloomWith(df: DataFrame, idCol: String, bloomBytes: Array[Byte],
                          exclude: DataFrame, excludeIdCol: String): DataFrame = {
     require(bloomBytes.nonEmpty, "bloom bytes must be non-empty")
+    requireIntegralId(df, idCol, "corpus id")
+    requireIntegralId(exclude, excludeIdCol, "exclude id")
     val probe = org.apache.spark.sql.GraftSqlShims.column(
       graft.functions.BloomContainsExpr(
         org.apache.spark.sql.GraftSqlShims.expression(col(idCol).cast("long")),

@@ -26,6 +26,33 @@ object GraftSqlShims {
       .map(_.cachedRepresentation.computeStats().sizeInBytes.toLong)
   }
 
+  /** Row count known EXACT at plan level, without running a job: a
+    * LocalRelation's literal length, or a cache-MATERIALIZED
+    * InMemoryRelation's accumulated count (the post-load branch of its
+    * computeStats, fed by per-batch accumulators — exact once the buffers
+    * are built, which the server guarantees by counting at store time).
+    * None for anything else: catalog/CBO stats (ANALYZE) can be a
+    * stale-but-defined ESTIMATE, and consumers of this helper use the
+    * count for hard validation where a wrong-but-confident number is
+    * worse than no number. */
+  def exactRowCountOf(df: DataFrame): Option[Long] = {
+    val ds = df.asInstanceOf[classic.Dataset[_]]
+    ds.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        Some(l.data.length.toLong)
+      case _ =>
+        val session = ds.sparkSession
+        session.sharedState.cacheManager
+          .lookupCachedData(session, ds.queryExecution.logical)
+          .flatMap { cd =>
+            val rel = cd.cachedRepresentation
+            if (rel.cacheBuilder.isCachedColumnBuffersLoaded)
+              rel.computeStats().rowCount.map(_.toLong)
+            else None
+          }
+    }
+  }
+
   /** Parquet-footer (min, max) BOUNDS for `df`'s column `colName`, in the
     * column's integral time-embedding units (epoch micros for timestamps,
     * raw value for integers, epoch days for dates) — WITHOUT a data pass:

@@ -171,9 +171,65 @@ class IvfIndexSpec extends AnyFunSuite {
     BloomIndex.buildAndSave(exclude, "xid", fpp = 0.01, path)
     val art = BloomIndex.loadWithMeta(spark, path)
     assert(art.nIds.contains(37L))
+    // the id column's name and type travel too (the consumer's free
+    // identity tripwires)
+    assert(art.idCol.contains("xid"))
+    assert(art.idType.contains("bigint"))
     // a hand-saved artifact without the count loads with nIds empty
     val bare = tmpDir() + "/bloom_bare"
     BloomIndex.save(spark, bare, art.bytes, fpp = 0.01)
     assert(BloomIndex.loadWithMeta(spark, bare).nIds.isEmpty)
+    assert(BloomIndex.loadWithMeta(spark, bare).contentFingerprint.isEmpty)
+  }
+
+  test("BloomIndex content fingerprint detects a same-count different-content swap") {
+    import graft.ops.BloomIndex
+    val exclude = (1L to 40L).map(Tuple1(_)).toDF("xid")
+    val path = tmpDir() + "/bloom_fp"
+    BloomIndex.buildAndSave(exclude, "xid", fpp = 0.01, path)
+    // identical content (even reordered / differently partitioned)
+    // verifies clean — the fingerprint is order-independent
+    val reordered = (1L to 40L).reverse.map(Tuple1(_)).toDF("xid").repartition(7)
+    BloomIndex.verifyContent(spark, path, reordered, "xid")
+    // SAME row count, one id swapped: the count tripwire is blind to
+    // this, the fingerprint is not
+    val swapped = ((1L to 39L) :+ 99L).map(Tuple1(_)).toDF("xid")
+    assert(swapped.count() == exclude.count())
+    val e = intercept[IllegalArgumentException] {
+      BloomIndex.verifyContent(spark, path, swapped, "xid")
+    }
+    assert(e.getMessage.contains("stale"))
+    // a pre-fingerprint artifact cannot be verified — explicit error,
+    // not a silent pass
+    val bare = tmpDir() + "/bloom_fp_bare"
+    BloomIndex.save(spark, bare, BloomIndex.load(spark, path), fpp = 0.01)
+    val e2 = intercept[IllegalArgumentException] {
+      BloomIndex.verifyContent(spark, bare, exclude, "xid")
+    }
+    assert(e2.getMessage.contains("no content fingerprint"))
+  }
+
+  test("Bloom exclusion rejects non-integral id columns on both sides") {
+    import graft.ops.{BloomIndex, Dedup}
+    val strIds = Seq("a", "b").map(Tuple1(_)).toDF("xid")
+    val longIds = Seq(1L, 2L).map(Tuple1(_)).toDF("xid")
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.excludeByBloom(longIds.withColumnRenamed("xid", "id"),
+        "id", strIds, "xid")
+    }
+    assert(e1.getMessage.contains("integer type"))
+    val e2 = intercept[IllegalArgumentException] {
+      BloomIndex.buildAndSave(strIds, "xid", fpp = 0.01, tmpDir() + "/x")
+    }
+    assert(e2.getMessage.contains("integer type"))
+    val bytes = Dedup.excludeByBloom(
+      longIds.withColumnRenamed("xid", "id"), "id", longIds, "xid") // warm path ok
+    assert(bytes.count() == 0L)
+    val built = BloomIndex.buildAndSave(longIds, "xid", fpp = 0.01, tmpDir() + "/y")
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.excludeByBloomWith(strIds.withColumnRenamed("xid", "id"),
+        "id", built, longIds, "xid")
+    }
+    assert(e3.getMessage.contains("integer type"))
   }
 }

@@ -399,6 +399,45 @@ class XopSpec extends AnyFunSuite {
                       "args": {"id": "id", "exclude": "xids", "index": "bl"}}}""",
           drifted).df }
         assert(e.getMessage.contains("stale"))
+        // identity tripwires (free, schema-only): a sketch built over
+        // column 'id' probed through a renamed or retyped exclude column
+        // is a 400, not silent under-deletion
+        val renamed: String => Option[org.apache.spark.sql.DataFrame] =
+          n => if (n == "xids") Some(Seq(2L, 4L).toDF("other_id")) else None
+        val eName = intercept[MalformedQueryException] { QueryEngine.run(docs,
+          """{"xop": {"name": "exclude_ids",
+                      "args": {"id": "id", "exclude": "xids",
+                               "exclude_id": "other_id", "index": "bl"}}}""",
+          renamed).df }
+        assert(eName.getMessage.contains("built over column"))
+        val retyped: String => Option[org.apache.spark.sql.DataFrame] =
+          n => if (n == "xids") Some(Seq(2, 4).toDF("id")) else None // int ≠ bigint
+        val eType = intercept[MalformedQueryException] { QueryEngine.run(docs,
+          """{"xop": {"name": "exclude_ids",
+                      "args": {"id": "id", "exclude": "xids", "index": "bl"}}}""",
+          retyped).df }
+        assert(eType.getMessage.contains("bigint"))
+        // verify_index: fresh content passes; a SAME-COUNT swap (blind
+        // spot of the free count tripwire) is caught by the fingerprint
+        val okVerify = QueryEngine.run(docs,
+          """{"xop": {"name": "exclude_ids",
+                      "args": {"id": "id", "exclude": "xids", "index": "bl",
+                               "verify_index": true}},
+              "order_by": ["id"]}""", resolver).df
+        assert(ids(okVerify) == Seq(1L, 3L, 5L, 6L))
+        val sameCount: String => Option[org.apache.spark.sql.DataFrame] =
+          n => if (n == "xids") Some(Seq(2L, 5L).toDF("id")) else None
+        val eFp = intercept[MalformedQueryException] { QueryEngine.run(docs,
+          """{"xop": {"name": "exclude_ids",
+                      "args": {"id": "id", "exclude": "xids", "index": "bl",
+                               "verify_index": true}}}""", sameCount).df }
+        assert(eFp.getMessage.contains("stale"))
+        // verify_index only makes sense with a persisted index
+        val eNoIdx = intercept[MalformedQueryException] { QueryEngine.run(docs,
+          """{"xop": {"name": "exclude_ids",
+                      "args": {"id": "id", "exclude": "xids",
+                               "verify_index": true}}}""", resolver).df }
+        assert(eNoIdx.getMessage.contains("requires 'index'"))
       }
     } finally spark.conf.unset("spark.graft.index.root")
   }
