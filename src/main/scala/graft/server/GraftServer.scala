@@ -33,7 +33,8 @@ final class GraftServer(spark: SparkSession, port: Int,
                         ssl: Option[javax.net.ssl.SSLContext] = None,
                         needClientAuth: Boolean = false,
                         maxResultRows: Long = 0L,
-                        maxResultBytes: Long = 0L) {
+                        maxResultBytes: Long = 0L,
+                        maxBodyBytes: Long = 0L) {
 
   // Basic auth only makes sense over TLS (reference: app.py:348-350).
   require(basicAuth.isEmpty || ssl.isDefined,
@@ -137,10 +138,33 @@ final class GraftServer(spark: SparkSession, port: Int,
   private def header(exchange: HttpExchange, name: String): Option[String] =
     Option(exchange.getRequestHeaders.getFirst(name))
 
+  private def bodyTooLarge: HttpFail =
+    new HttpFail(413,
+      s"""{"error": "request body exceeds max-body-bytes=$maxBodyBytes"}""")
+
+  /** Request body, decoded. With --max-body-bytes=N set, the read is
+    * BOUNDED: an over-declared Content-Length 413s before any read, a
+    * lying/chunked client is cut off at N+1 bytes actually read, and —
+    * because an LZ4/GZIP body can expand past the wire size — the
+    * DECODED length is re-checked against the same cap (the
+    * decompression-bomb guard; Codec's streaming decode keeps the
+    * intermediate buffers proportional to the true payload). */
   private def decodedBody(exchange: HttpExchange): Array[Byte] = {
-    val raw = exchange.getRequestBody.readAllBytes()
-    try Codec.decodeBody(raw, header(exchange, "Content-Encoding"))
-    catch { case e: IllegalArgumentException => throw new HttpFail(400, e.getMessage) }
+    val raw =
+      if (maxBodyBytes <= 0) exchange.getRequestBody.readAllBytes()
+      else {
+        header(exchange, "Content-Length").flatMap(_.toLongOption)
+          .filter(_ > maxBodyBytes).foreach(_ => throw bodyTooLarge)
+        val capPlusOne = math.min(maxBodyBytes + 1, Int.MaxValue.toLong - 8).toInt
+        val buf = exchange.getRequestBody.readNBytes(capPlusOne)
+        if (buf.length > maxBodyBytes) throw bodyTooLarge
+        buf
+      }
+    val decoded =
+      try Codec.decodeBody(raw, header(exchange, "Content-Encoding"))
+      catch { case e: IllegalArgumentException => throw new HttpFail(400, e.getMessage) }
+    if (maxBodyBytes > 0 && decoded.length > maxBodyBytes) throw bodyTooLarge
+    decoded
   }
 
   private def queryParam(exchange: HttpExchange): String =
@@ -214,12 +238,14 @@ final class GraftServer(spark: SparkSession, port: Int,
   }
 
   private def store(exchange: HttpExchange, key: String, t0: Long): Unit = {
+    // content-type and body-size rejections happen BEFORE the replace
+    // bookkeeping: a 413/415 must leave an existing dataset untouched
+    val ct = contentType(exchange)
+    val body = decodedBody(exchange)
     if (cache.contains(key)) {
       stats.inc("replace_count")
       cache.delete(key)
     }
-    val ct = contentType(exchange)
-    val body = decodedBody(exchange)
     val durations =
       try cache.ensureFree(if (ct == "text/csv") body.length else body.length / 2)
       catch { case e: IllegalStateException => throw e }
@@ -421,14 +447,19 @@ final class GraftServer(spark: SparkSession, port: Int,
   *   [--age=SECONDS] [--statistics-buffer-size=N]
   *   [--cert-file=server.pem] [--ca-file=ca.pem]
   *   [--basic-auth=user:password] [--max-result-rows=N]
-  *   [--max-result-bytes=N] [--index-root=DIR] [-d|--debug]"
+  *   [--max-result-bytes=N] [--max-body-bytes=N] [--index-root=DIR]
+  *   [-d|--debug]"
   * }}}
   *
   * `--max-result-rows` / `--max-result-bytes` (graft extensions, default
   * off) bound the driver-side result materialization and turn an
   * overflowing dump into a 413 — the scale posture for big-table
   * deployments; the byte variant aborts mid-serialization, so a
-  * few-rows-but-wide-strings result cannot OOM the driver either. See
+  * few-rows-but-wide-strings result cannot OOM the driver either.
+  * `--max-body-bytes` is the REQUEST-side mirror: an oversized upload
+  * (declared, streamed, or post-decompression) 413s before any parsing
+  * and leaves an existing dataset under the same key untouched —
+  * completing the 413 posture symmetrically on both directions. See
   * README.
   *
   * `--index-root` (graft extension, default off) names the directory
@@ -460,6 +491,7 @@ object Main {
     val statsBuf = flag(args, "statistics-buffer-size").map(_.toInt).getOrElse(1000)
     val maxResultRows = flag(args, "max-result-rows").map(_.toLong).getOrElse(0L)
     val maxResultBytes = flag(args, "max-result-bytes").map(_.toLong).getOrElse(0L)
+    val maxBodyBytes = flag(args, "max-body-bytes").map(_.toLong).getOrElse(0L)
     val certFile = flag(args, "cert-file")
     val caFile = flag(args, "ca-file")
     val basicAuth = flag(args, "basic-auth").map { v =>
@@ -507,7 +539,8 @@ object Main {
       basicAuth = basicAuth, ssl = ssl,
       needClientAuth = caFile.isDefined,
       maxResultRows = maxResultRows,
-      maxResultBytes = maxResultBytes)
+      maxResultBytes = maxResultBytes,
+      maxBodyBytes = maxBodyBytes)
     server.start()
     println(s"graft qcache server listening on port ${server.boundPort}")
     Thread.currentThread().join()

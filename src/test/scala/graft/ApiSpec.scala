@@ -165,6 +165,48 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally guarded.stop()
   }
 
+  test("max-body-bytes guard: oversized uploads 413 before parsing, existing data untouched") {
+    // the REQUEST-side mirror of the result guards: declared, streamed,
+    // and post-decompression oversize all 413 without touching the cache
+    val guarded = new graft.server.GraftServer(spark, 0, maxBodyBytes = 100L)
+    guarded.start()
+    try {
+      assert(send(req("/dataset/mb", guarded)
+        .POST(BodyPublishers.ofString("v\n1\n"))
+        .header("Content-Type", "text/csv").build()).statusCode() == 201)
+      // an oversized REPLACEMENT 413s and the original keeps serving —
+      // the guard fires before the replace bookkeeping
+      val big = "v\n" + (1 to 200).map(_.toString).mkString("\n") + "\n"
+      val over = send(req("/dataset/mb", guarded)
+        .POST(BodyPublishers.ofString(big))
+        .header("Content-Type", "text/csv").build())
+      assert(over.statusCode() == 413)
+      assert(over.body().contains("max-body-bytes=100"))
+      val still = send(req("/dataset/mb?q=" +
+          java.net.URLEncoder.encode("{}", UTF_8), guarded)
+        .GET().header("Accept", "application/json").build())
+      assert(still.statusCode() == 200)
+      assert(still.body() == """[{"v":1}]""")
+      // decompression bomb: tiny on the wire, over the cap decoded
+      val bomb = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(("v\n" + "1\n" * 400).getBytes(UTF_8)); gz.close()
+        bos.toByteArray
+      }
+      assert(bomb.length <= 100, s"wire size ${bomb.length}")
+      val bombR = send(req("/dataset/mb", guarded)
+        .POST(BodyPublishers.ofByteArray(bomb))
+        .header("Content-Type", "text/csv")
+        .header("Content-Encoding", "gzip").build())
+      assert(bombR.statusCode() == 413)
+      // within-bound stores still work on the guarded server
+      assert(send(req("/dataset/mb2", guarded)
+        .POST(BodyPublishers.ofString("v\n7\n"))
+        .header("Content-Type", "text/csv").build()).statusCode() == 201)
+    } finally guarded.stop()
+  }
+
   test("csv upload, json query round trip") {
     assert(storeCsv("t1", csvData).statusCode() == 201)
     val r = query("t1", """{"where": [">", "foo", 1]}""")
