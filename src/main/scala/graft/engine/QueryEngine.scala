@@ -278,6 +278,16 @@ object QueryEngine {
         max_by(col(colName), when(col(colName).isNotNull, col(RowId)))
       case "first" => first(col(colName), ignoreNulls = true)
       case "last"  => last(col(colName), ignoreNulls = true)
+      // fractional sums run COMPENSATED (Kahan–Babuška–Neumaier): same
+      // double result type and null semantics as the native sum, but
+      // within ~1 ulp of the true sum at any row count and partition
+      // order — the 6M-row q10 sum drifted its last ulp run-to-run with
+      // plain summation. Integral columns keep the exact native sum
+      // (and its integer result type).
+      case "sum" if hasColumn(df, colName) &&
+          (df.schema(colName).dataType == org.apache.spark.sql.types.DoubleType ||
+           df.schema(colName).dataType == org.apache.spark.sql.types.FloatType) =>
+        graft.functions.KahanSumExpr.column(col(colName))
       case _ => AggregateFns.get(fn) match {
         case Some(f) => f(col(colName))
         case None => Errors.malformed(s"Unknown aggregation function '$fn'", q)
