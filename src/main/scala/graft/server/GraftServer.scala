@@ -108,6 +108,22 @@ final class GraftServer(spark: SparkSession, port: Int,
       }
     } catch {
       case f: HttpFail =>
+        // Drain the unread request remainder (bounded streaming discard,
+        // no buffering) before responding: a client mid-upload otherwise
+        // sees a connection RESET instead of reading the failure status —
+        // the max-body-bytes 413 in particular rejects before consuming
+        // the body. Past the drain ceiling the connection closes anyway
+        // (an unbounded drain would let one abusive upload occupy a
+        // handler thread indefinitely).
+        try {
+          val in = exchange.getRequestBody
+          val buf = new Array[Byte](65536)
+          var drained = 0L
+          val ceiling = 1L << 30
+          var n = 0
+          while (drained < ceiling && { n = in.read(buf); n >= 0 })
+            drained += n
+        } catch { case _: Exception => () }
         respond(exchange, f.status,
           if (f.message.nonEmpty) f.message.getBytes(UTF_8) else Array.emptyByteArray)
       case e: IllegalStateException if e.getMessage == "Impossible to allocate" =>

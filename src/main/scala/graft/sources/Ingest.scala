@@ -61,22 +61,54 @@ object Ingest {
       else acc.withColumn(name, standInValue(acc, value))
     }
 
+  /** Split `body` into at most `parts` CONTIGUOUS chunks on '\n'
+    * boundaries. The driver then does P substring copies instead of
+    * materializing millions of per-line String objects (and parallelize
+    * ships P strings instead of slicing a multi-million-element seq) —
+    * the big-body store's driver-side cost drops from O(lines)
+    * allocations to O(parts). Line order is preserved: chunk p holds
+    * lines [a_p, b_p) and partition order follows chunk order. */
+  private def lineChunks(body: String, parts: Int): Seq[String] = {
+    val n = body.length
+    val out = Seq.newBuilder[String]
+    var start = 0
+    var p = 1
+    while (p <= parts && start < n) {
+      var end = if (p == parts) n else math.max(start, (n.toLong * p / parts).toInt)
+      if (end < n) {
+        val nl = body.indexOf('\n', end)
+        end = if (nl < 0) n else nl + 1
+      }
+      if (end > start) out += body.substring(start, end)
+      start = end
+      p += 1
+    }
+    if (start < n) out += body.substring(start)
+    out.result()
+  }
+
   def fromCsv(spark: SparkSession, body: String,
               types: Map[String, String] = Map.empty,
               standIns: Seq[(String, String)] = Nil): DataFrame = {
-    // Lines are parallelized in CONTIGUOUS slices (sc.parallelize slice p
-    // holds elements [p·n/P, (p+1)·n/P)), so monotonically_increasing_id
-    // (partition << 33 | offset) stays order-isomorphic to ingest order —
+    // Lines are parallelized in CONTIGUOUS slices — chunk p holds lines
+    // [a_p, b_p), and within a partition the per-chunk linesIterator
+    // preserves body order — so monotonically_increasing_id
+    // (partition << 33 | offset) stays order-isomorphic to ingest order,
     // the only property __row_id__ consumers rely on. This makes schema
-    // inference AND the data parse multi-core where the previous
-    // coalesce(1) layout serialized a 200k-row body onto one thread
-    // (~2/3 of the measured store latency). The reference trims nothing,
-    // but its test fixtures carry leading spaces pandas' numeric parser
-    // tolerates, so we ignore them around values too.
-    val seq = body.linesIterator.filter(_.nonEmpty).toSeq
+    // inference AND the data parse multi-core where a coalesce(1) layout
+    // would serialize the body onto one thread, and the chunked split
+    // keeps the DRIVER's share at O(parts) substring copies (a 6M-line
+    // body previously materialized 6M line objects on the driver and
+    // shipped them through parallelize's seq slicing). The reference
+    // trims nothing, but its test fixtures carry leading spaces pandas'
+    // numeric parser tolerates, so we ignore them around values too.
+    val nLines = body.count(_ == '\n') + 1
     val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
-      seq.length / 20000))
-    val lines = spark.createDataset(spark.sparkContext.parallelize(seq, parts))(
+      nLines / 20000))
+    val chunks = lineChunks(body, parts)
+    val lines = spark.createDataset(
+      spark.sparkContext.parallelize(chunks, math.max(1, chunks.length))
+        .flatMap(_.linesIterator.filter(_.nonEmpty)))(
       org.apache.spark.sql.Encoders.STRING)
     val raw = spark.read
       .option("header", "true")
@@ -178,15 +210,19 @@ object Ingest {
                     types: Map[String, String] = Map.empty,
                     standIns: Seq[(String, String)] = Nil): DataFrame = {
     import graft.engine.QueryJson
-    val lines = body.split('\n').iterator.map(_.trim).filter(_.nonEmpty).toSeq
-    // every line must be an OBJECT: a line holding a JSON array is valid
-    // JSON (no corrupt-record flag) but spark.read.json would explode it
-    // into several rows, silently breaking the one-record-per-line
-    // contract (fromJsonRecords guards the same hazard via lexer counts)
-    lines.find(l => !l.startsWith("{")).foreach { l =>
-      Errors.malformed("NDJSON lines must be JSON objects", l.take(80))
+    // first non-empty line, driver-side without splitting the whole body
+    // (the split is chunked and distributed below, like fromCsv)
+    def firstNonEmptyLine(s: String): Option[String] = {
+      var i = 0; val n = s.length
+      while (i < n) {
+        var j = s.indexOf('\n', i); if (j < 0) j = n
+        val line = s.substring(i, j).trim
+        if (line.nonEmpty) return Some(line)
+        i = j + 1
+      }
+      None
     }
-    val firstKeys: Seq[String] = lines.headOption match {
+    val firstKeys: Seq[String] = firstNonEmptyLine(body) match {
       case None => Seq.empty
       case Some(l) =>
         val parsed = try QueryJson.parse(l) catch {
@@ -200,9 +236,21 @@ object Ingest {
         }
     }
     val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
-      lines.length / 20000))
-    val ds = spark.createDataset(spark.sparkContext.parallelize(lines, parts))(
+      (body.count(_ == '\n') + 1) / 20000))
+    val chunks = lineChunks(body, parts)
+    val ds = spark.createDataset(
+      spark.sparkContext.parallelize(chunks, math.max(1, chunks.length))
+        .flatMap(_.linesIterator.map(_.trim).filter(_.nonEmpty)))(
       org.apache.spark.sql.Encoders.STRING)
+    // every line must be an OBJECT: a line holding a JSON array is valid
+    // JSON (no corrupt-record flag) but spark.read.json would explode it
+    // into several rows, silently breaking the one-record-per-line
+    // contract (fromJsonRecords guards the same hazard via lexer counts).
+    // The guard runs distributed (one short-circuiting take(1) job) so
+    // the driver's share of a big NDJSON body stays O(parts).
+    ds.filter(l => !l.startsWith("{")).take(1).foreach { l =>
+      Errors.malformed("NDJSON lines must be JSON objects", l.take(80))
+    }
     val raw = spark.read.json(ds)
     // a failed line surfaces as the corrupt-record column at inference
     // time — reject the whole body (the reference 400s malformed bodies)
