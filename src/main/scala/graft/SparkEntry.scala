@@ -1060,6 +1060,23 @@ object SparkEntry {
           "user_id", Seq("signup", "click", "purchase"))
         .orderBy("user_id")),
 
+    // Gopher-style within-doc repetition signals (dup lines / top
+    // 2-gram / duplicated 5-gram char coverage): MAP-ONLY, zero
+    // exchanges — each doc's gram passes are one array_sort + run folds.
+    // The derived multi-line corpus re-uses x55's layout (10-word lines,
+    // every 3rd doc a shared header, every doc the same footer) so line
+    // repetition actually exists to measure.
+    "x65_repetition" -> ((s, dir) => {
+      val lined = t(s, dir, "documents").withColumn("text",
+        concat(
+          when(col("doc_id") % 3 === 0,
+            lit("subscribe to our newsletter\n")).otherwise(lit("")),
+          regexp_replace(col("text"), "((\\S+ ){9}\\S+) ", "$1\n"),
+          lit("\nall rights reserved")))
+      graft.ops.TextOps.repetitionSignals(lined, "doc_id", "text")
+        .orderBy("id")
+    }),
+
     // hot-entity funnel stress (the bot-account problem): ~80% of all
     // events collapse onto ONE user, then the same 3-step funnel — the
     // bench witness that the step joins absorb a hot entity's fan-out
@@ -2479,6 +2496,82 @@ object SparkEntry {
                 CAST((ts_1 IS NOT NULL)::INT + (ts_2 IS NOT NULL)::INT
                      + (ts_3 IS NOT NULL)::INT AS INT) AS steps_completed
          FROM s3 ORDER BY user_id""",
+
+    "x65_repetition" ->
+      // x55's derived multi-line corpus, then the Gopher repetition
+      // signals replayed relationally: line stats by group-by, best
+      // 2-gram via ORDER BY cnt DESC, length DESC, gram ASC (the
+      // operator's struct-ordering tie-break), duplicated-5-gram chars
+      // as sum(cnt·len) over cnt ≥ 2; floor(x·10⁶+½)/10⁶ both sides
+      """WITH src AS (
+           SELECT doc_id,
+                  (CASE WHEN doc_id % 3 = 0
+                        THEN 'subscribe to our newsletter' || chr(10)
+                        ELSE '' END)
+                  || regexp_replace(text, '((\S+ ){9}\S+) ', '\1' || chr(10), 'g')
+                  || chr(10) || 'all rights reserved' AS text
+           FROM documents),
+         d AS (
+           SELECT doc_id, text,
+                  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+           FROM src),
+         lines AS (
+           SELECT doc_id, trim(ln) AS line
+           FROM (SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10))) AS ln
+                 FROM d)
+           WHERE trim(ln) <> ''),
+         ls AS (
+           SELECT doc_id, count(*) AS n_lines, count(DISTINCT line) AS n_dl,
+                  sum(length(line)) AS lc
+           FROM lines GROUP BY doc_id),
+         dls AS (
+           SELECT doc_id, sum(length(line)) AS dlc
+           FROM (SELECT DISTINCT doc_id, line FROM lines) GROUP BY doc_id),
+         t AS (SELECT doc_id, norm, string_split(norm, ' ') AS tk FROM d),
+         tn AS (SELECT doc_id,
+                       CASE WHEN norm = '' OR len(tk) < 2 THEN 0 ELSE len(tk) - 1 END AS n2,
+                       CASE WHEN norm = '' OR len(tk) < 5 THEN 0 ELSE len(tk) - 4 END AS n5
+                FROM t),
+         g2 AS (
+           SELECT doc_id, unnest(CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+                                 ELSE [array_to_string(tk[i:i+1], ' ')
+                                       for i in range(1, len(tk))] END) AS gram
+           FROM t),
+         c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY doc_id, gram),
+         b2 AS (SELECT doc_id, cnt, gram FROM c2
+                QUALIFY row_number() OVER (PARTITION BY doc_id
+                  ORDER BY cnt DESC, length(gram) DESC, gram ASC) = 1),
+         g5 AS (
+           SELECT doc_id, unnest(CASE WHEN len(tk) < 5 THEN CAST([] AS VARCHAR[])
+                                 ELSE [array_to_string(tk[i:i+4], ' ')
+                                       for i in range(1, len(tk) - 3)] END) AS gram
+           FROM t),
+         c5 AS (SELECT doc_id, gram, count(*) AS cnt FROM g5 GROUP BY doc_id, gram),
+         d5 AS (SELECT doc_id, sum(cnt * length(gram)) AS dupchars
+                FROM c5 WHERE cnt >= 2 GROUP BY doc_id)
+         SELECT d.doc_id AS id,
+                coalesce(ls.n_lines, 0) AS n_lines,
+                CASE WHEN coalesce(ls.n_lines, 0) = 0 THEN 0.0
+                     ELSE floor(CAST(ls.n_lines - ls.n_dl AS DOUBLE) / ls.n_lines
+                                * 1000000.0 + 0.5) / 1000000.0
+                END AS dup_line_frac,
+                CASE WHEN coalesce(ls.lc, 0) = 0 THEN 0.0
+                     ELSE floor(CAST(ls.lc - dls.dlc AS DOUBLE) / ls.lc
+                                * 1000000.0 + 0.5) / 1000000.0
+                END AS dup_line_char_frac,
+                CASE WHEN tn.n2 = 0 THEN 0.0
+                     ELSE floor(CAST(b2.cnt * length(b2.gram) AS DOUBLE)
+                                / length(d.norm) * 1000000.0 + 0.5) / 1000000.0
+                END AS top_2gram_char_frac,
+                CASE WHEN tn.n5 = 0 THEN 0.0
+                     ELSE floor(least(1.0, CAST(coalesce(d5.dupchars, 0) AS DOUBLE)
+                                / length(d.norm)) * 1000000.0 + 0.5) / 1000000.0
+                END AS dup_5gram_char_frac
+         FROM d
+         LEFT JOIN ls USING (doc_id) LEFT JOIN dls USING (doc_id)
+         JOIN tn USING (doc_id)
+         LEFT JOIN b2 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+         ORDER BY id""",
 
     "x64b_funnel_hot" ->
       // x64's chained-min oracle with the hot-user collapse applied in

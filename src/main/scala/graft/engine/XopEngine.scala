@@ -1065,6 +1065,13 @@ object XopEngine {
         Dedup.dupGramStats(df, column(df, args, "id", name),
           column(df, args, "column", name), n)
 
+      // Gopher-style within-doc repetition signals (map-only, zero
+      // exchanges; see TextOps.repetitionSignals)
+      case "repetition_signals" =>
+        knownArgs("id", "column")
+        TextOps.repetitionSignals(df, column(df, args, "id", name),
+          column(df, args, "column", name))
+
       // enrichment equi-join against a stored dataset
       case "join" =>
         knownArgs("right", "on", "how", "columns", "broadcast")

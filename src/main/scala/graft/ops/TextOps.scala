@@ -444,6 +444,94 @@ object TextOps {
     Rounding.halfUp4(raw)
   }
 
+  /** Gopher-style WITHIN-document repetition signals (Rae et al. 2021's
+    * repetition quality filters, the standard pretraining-corpus gate
+    * for boilerplate/spam) — the CHARACTER-fraction family that
+    * completes [[repetitionFeatures]]'s count-based pair (and, unlike
+    * its exploded top-bigram stage, needs no shuffle at all): per
+    * document —
+    *
+    *   - `n_lines`: non-blank trimmed lines;
+    *   - `dup_line_frac`: fraction of lines that are repeats of an
+    *     earlier line ((n_lines − n_distinct) / n_lines);
+    *   - `dup_line_char_frac`: the same fraction in characters (repeat
+    *     occurrences' chars / all line chars);
+    *   - `top_2gram_char_frac`: characters covered by the single most
+    *     frequent word 2-gram (count × gram chars) over the normalized
+    *     text's length — ties broken by longer gram, then lexicographic,
+    *     so the metric is deterministic and oracle-exact;
+    *   - `dup_5gram_char_frac`: characters covered by word 5-grams that
+    *     occur 2+ times (Σ count × gram chars, overlap-agnostic like the
+    *     original, capped at 1.0) over the normalized length.
+    *
+    * Unlike [[graft.ops.Dedup.dupGramStats]] (gram duplication ACROSS
+    * the corpus — one gram shuffle), every signal here is internal to
+    * one document: the whole operator is MAP-ONLY, zero exchanges.
+    * Within a row the gram passes are O(G log G) (one array_sort, then
+    * single aggregate folds over runs) — no O(G²) distinct×occurrence
+    * probing, so a 100k-token document costs a sort, not a quadratic
+    * scan. The run folds track the best/duplicated runs through the
+    * sorted array; best-gram selection rides struct ordering (min of
+    * (−count, −len, gram)), which short-circuits field-wise exactly
+    * like the oracle's ORDER BY cnt DESC, length DESC, gram ASC.
+    * Fractions are rounded with the engine-portable floor(x·10⁶+½)/10⁶.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val staged = df
+      .select(col(idCol).as("id"), coalesce(col(textCol), lit("")).as("__t"))
+      .withColumn("__norm", normalizeText(col("__t")))
+      .withColumn("__lines",
+        expr("filter(transform(split(__t, '\n'), l -> trim(l)), l -> l != '')"))
+      .withColumn("__dl", array_distinct(col("__lines")))
+      .withColumn("__s2", array_sort(Decontaminate.wordNgrams(col("__t"), 2)))
+      .withColumn("__s5", array_sort(Decontaminate.wordNgrams(col("__t"), 5)))
+      .withColumn("__nl", size(col("__lines")).cast("long"))
+      .withColumn("__lc", expr("aggregate(__lines, 0L, (a, l) -> a + length(l))"))
+      .withColumn("__dlc", expr("aggregate(__dl, 0L, (a, l) -> a + length(l))"))
+      // best 2-gram as min of (−run, −len, gram): struct comparison
+      // short-circuits field-wise, so ties fall through to longer gram,
+      // then lexicographically smaller — the oracle's ORDER BY
+      .withColumn("__best2", expr(
+        """aggregate(__s2,
+           named_struct('prev', cast(null as string), 'run', 0L,
+             'best', named_struct('nc', 0L, 'nlen', 0L, 'g', cast(null as string))),
+           (acc, g) -> named_struct(
+             'prev', g,
+             'run', if(g <=> acc.prev, acc.run + 1, 1L),
+             'best', least(acc.best,
+               named_struct('nc', -if(g <=> acc.prev, acc.run + 1, 1L),
+                 'nlen', -length(g), 'g', g))),
+           acc -> acc.best)"""))
+      // duplicated-5-gram chars: flush each completed run of length ≥ 2
+      // at the transition, plus the final run in the finish lambda
+      .withColumn("__dup5", expr(
+        """aggregate(__s5,
+           named_struct('prev', cast(null as string), 'run', 0L, 'acc', 0L),
+           (acc, g) -> named_struct(
+             'prev', g,
+             'run', if(g <=> acc.prev, acc.run + 1, 1L),
+             'acc', acc.acc + if(g <=> acc.prev, 0L,
+               if(acc.run >= 2, acc.run * length(acc.prev), 0L))),
+           st -> st.acc + if(st.run >= 2, st.run * length(st.prev), 0L))"""))
+    staged.select(
+      col("id"),
+      col("__nl").as("n_lines"),
+      when(col("__nl") === 0, lit(0.0)).otherwise(Rounding.halfUp(
+        (col("__nl") - size(col("__dl"))).cast("double") / col("__nl"), 6))
+        .as("dup_line_frac"),
+      when(col("__lc") === 0, lit(0.0)).otherwise(Rounding.halfUp(
+        (col("__lc") - col("__dlc")).cast("double") / col("__lc"), 6))
+        .as("dup_line_char_frac"),
+      when(size(col("__s2")) === 0, lit(0.0)).otherwise(Rounding.halfUp(
+        (-col("__best2.nc") * -col("__best2.nlen")).cast("double") /
+          length(col("__norm")), 6))
+        .as("top_2gram_char_frac"),
+      when(size(col("__s5")) === 0, lit(0.0)).otherwise(Rounding.halfUp(
+        least(lit(1.0),
+          col("__dup5").cast("double") / length(col("__norm"))), 6))
+        .as("dup_5gram_char_frac"))
+  }
+
   /** Stable content fingerprint: md5 of the normalized text. Identical
     * duplicates collide exactly; used as the exact-dedup key. */
   def fingerprintMd5(c: Column): Column = md5(normalizeText(c))

@@ -13,6 +13,30 @@ class OpsSpec extends AnyFunSuite {
 
   // ------------------------- text analysis -------------------------
 
+  test("repetitionSignals: Gopher line/gram repetition metrics per doc") {
+    val docs = Seq(
+      // 4 non-blank lines (2 distinct, equal char mass): both line
+      // fractions 0.5; best 2-gram ties at count 2 / len 5 → "aa bb"
+      // lexicographically; all 5-grams distinct → dup5 = 0
+      (1L, "aa bb\naa bb\ncc dd ee\n\n  \ncc dd ee"),
+      // alternating tokens: best 2-gram "x y"×5 (15 of 19 chars);
+      // overlapping duplicated 5-grams blow past the corpus length →
+      // capped at 1.0
+      (2L, "x y x y x y x y x y"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "solo")
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionSignals(docs, "doc_id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == Seq(
+      (1L, 4L, 0.5, 0.5, 0.344828, 0.0),
+      (2L, 1L, 0.0, 0.0, 0.789474, 1.0),
+      (3L, 0L, 0.0, 0.0, 0.0, 0.0),
+      (4L, 1L, 0.0, 0.0, 0.0, 0.0)))
+  }
+
   test("tokenCount and normalization") {
     val df = Seq((1L, "  The  quick   brown fox "), (2L, ""), (3L, "one")).toDF("id", "text")
     val got = df.select(col("id"), TextOps.tokenCount(col("text")).as("n"))

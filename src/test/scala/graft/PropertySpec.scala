@@ -156,6 +156,73 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("funnel equals a per-entity sequential greedy scan for any event set") {
+    import spark.implicits._
+    val caseGen = for {
+      n <- Gen.chooseNum(1, 25)
+      evs <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(1L, 3L),
+        Gen.chooseNum(-50L, 50L), Gen.oneOf("a", "b", "c")))
+      k <- Gen.chooseNum(1, 3)
+      steps <- Gen.listOfN(k, Gen.oneOf("a", "b", "c"))
+    } yield (evs, steps)
+    checkProp(Prop.forAll(caseGen) { case (evs, steps) =>
+      def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+      val df = evs.zipWithIndex.map { case ((u, s, ty), i) =>
+        (i.toLong, t(s), u, ty, 0.0)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val got = graft.streaming.EventStreams.funnel(df, "user_id", steps)
+        .collect().map { r =>
+          (r.getLong(0),
+            steps.indices.map(i => Option(r.getTimestamp(i + 1)).map(_.getTime)),
+            r.getInt(steps.size + 1))
+        }.sortBy(_._1).toSeq
+      // independent reference: per-entity time-ordered greedy scan (for
+      // strict-increase matching the scan order among equal timestamps
+      // cannot change the outcome — a tie can never extend a match)
+      val want = evs.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+        val matched = scala.collection.mutable.ArrayBuffer[Long]()
+        es.map(e => (e._2 * 1000, e._3)).sortBy(_._1).foreach { case (ms, ty) =>
+          val d = matched.length
+          if (d < steps.length && ty == steps(d) &&
+              (d == 0 || ms > matched.last)) matched += ms
+        }
+        if (matched.isEmpty) None
+        else Some((u, steps.indices.map(matched.lift), matched.length))
+      }.sortBy(_._1)
+      got == want
+    })
+  }
+
+  test("repetitionSignals gram folds equal brute-force counting on random texts") {
+    import spark.implicits._
+    val caseGen = for {
+      n <- Gen.chooseNum(0, 30)
+      tks <- Gen.listOfN(n, Gen.oneOf("a", "bb", "c"))
+    } yield tks
+    checkProp(Prop.forAll(caseGen) { tks =>
+      val text = tks.mkString(" ")
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val r = graft.ops.TextOps.repetitionSignals(df, "doc_id", "text").head()
+      def grams(k: Int) =
+        tks.sliding(k).filter(_.size == k).map(_.mkString(" ")).toSeq
+      val normLen = text.length // tokens already single-spaced + trimmed
+      val g2 = grams(2)
+      val top2 = if (g2.isEmpty) 0.0 else {
+        val (bg, bc) = g2.groupBy(identity).view.mapValues(_.size).toSeq
+          .minBy { case (g, c) => (-c, -g.length, g) }
+        math.floor(bc.toLong * bg.length.toDouble / normLen * 1e6 + 0.5) / 1e6
+      }
+      val g5 = grams(5)
+      val dup5 = if (g5.isEmpty) 0.0 else {
+        val chars = g5.groupBy(identity)
+          .collect { case (g, os) if os.size >= 2 => os.size.toLong * g.length }
+          .sum
+        math.floor(math.min(1.0, chars.toDouble / normLen) * 1e6 + 0.5) / 1e6
+      }
+      r.getDouble(4) == top2 && r.getDouble(5) == dup5
+    })
+  }
+
   test("dropNearDuplicatesClusteredBy equals brute-force component argmax for any pair graph") {
     import spark.implicits._
     val caseGen = for {
@@ -280,7 +347,7 @@ class PropertySpec extends AnyFunSuite {
       "gram_novelty", "token_divergence", "pmi_pairs", "quantile_band",
       "bigram_nll", "line_dedup", "line_quality", "sample_weighted",
       "text_chunks", "oov_rate", "semantic_dedup", "interval_join", "funnel",
-      "zap")
+      "repetition_signals", "zap")
     val argKeys = Seq("id", "column", "order", "chunk_tokens", "k",
       "fraction", "strata", "source", "weights", "default", "approx",
       "num_hashes", "bands", "threshold", "shingle", "action",
