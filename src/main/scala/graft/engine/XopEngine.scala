@@ -647,8 +647,15 @@ object XopEngine {
         }
         val sessGap = intArg(args, "gap_seconds", 1800, name)
         args.get("strategy") match {
-          case None | Some("segmented") =>
+          // absent = AUTO: segmented unless the parquet row-group
+          // footers prove a time-clustered layout (sessionizeBatch's
+          // layout gate); 'segmented' pins the layout-robust carry
+          // unconditionally
+          case None =>
             EventStreams.sessionizeBatch(df, sessGap, sessGranule)
+          case Some("segmented") =>
+            EventStreams.sessionizeBatch(df, sessGap, sessGranule,
+              autoNative = false)
           case Some("native") =>
             // the native session_window strategy has no granule knob
             // (its map-side merge is layout-driven, not time-bucketed)

@@ -130,9 +130,23 @@ object EventStreams {
     * segmentation's fixed costs dominate), while anything bigger —
     * always the case at cluster scale — auto-derives ~4096 segments
     * (floored at a 4-gap width — see the derivation comment) from footer
-    * stats or one column-pruned min/max pre-pass. */
+    * stats or one column-pruned min/max pre-pass.
+    *
+    * Above the gate the strategy itself is additionally LAYOUT-GATED
+    * (`autoNative`, default on): when the parquet row-group footers
+    * PROVE the input time-clustered ([[timeClusteredLayout]] —
+    * near-disjoint sorted block ranges, metadata-only), the run
+    * delegates to [[sessionizeNative]], whose map-side session merge is
+    * provably in its fast regime there (~3× the segmented carry
+    * single-node) and whose output is oracle-pinned identical. Without
+    * footer evidence — scattered layouts, non-parquet sources,
+    * value-changing read wrappers — the layout-robust segmented carry
+    * stays the choice, so the 100-TB worst case never regresses. Pass
+    * `autoNative = false` to pin the segmented carry regardless (the
+    * xop `strategy: "segmented"`). */
   def sessionizeBatch(events: DataFrame, gapSeconds: Long,
-                      granule: Option[Long] = None): DataFrame = {
+                      granule: Option[Long] = None,
+                      autoNative: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     granule.foreach(w => require(w > 0, "sessionizeBatch granule must be positive"))
     // An NTZ time column unifies on the session-zone timestamp up front
@@ -146,10 +160,30 @@ object EventStreams {
       case _ => events
     }
     val tl = col("ts").cast("long")
+    // Above the row gate with no explicit granule, the strategy is
+    // LAYOUT-GATED before any width derivation: when the parquet row-
+    // group footers PROVE the input is time-clustered (near-disjoint
+    // sorted block ranges — see timeClusteredLayout), the native
+    // session_window strategy is provably in its fast regime (its
+    // map-side merge collapses each split's narrow window; ~3× the
+    // segmented carry single-node, tools/ProfileSessionize) and output
+    // equality is already oracle-pinned, so it runs automatically. On
+    // scattered, untraceable, or integer-time layouts the evidence is
+    // absent and the layout-robust segmented carry stays the default.
+    // An explicit granule always forces the segmented carry, and the
+    // explicit xop strategy argument overrides in either direction.
+    val aboveGate: Boolean = granule.isEmpty &&
+      graft.ops.Similarity.approxRows(ev, rowBytes = 64L,
+        unknownAs = Long.MaxValue) >= graft.ops.Joins.SegmentedCarryMinRows
+    val nativeByLayout: Boolean = autoNative && aboveGate &&
+      gapSeconds >= 1 && gapSeconds <= MaxIntervalSeconds &&
+      ev.schema("ts").dataType == org.apache.spark.sql.types.TimestampType &&
+      timeClusteredLayout(ev)
+    if (nativeByLayout)
+      return restoreSessionTsType(sessionizeNative(ev, gapSeconds),
+        events.schema("ts").dataType)
     val effectiveGranule: Option[Long] = granule.orElse {
-      if (graft.ops.Similarity.approxRows(ev, rowBytes = 64L,
-            unknownAs = Long.MaxValue) >=
-          graft.ops.Joins.SegmentedCarryMinRows) {
+      if (aboveGate) {
         // auto-derive: ~4096 segments over the observed span, FLOORED at
         // 4× the session gap. The floor matters: a granule narrower than
         // the gap can never fire a local break (two events inside it are
@@ -217,6 +251,30 @@ object EventStreams {
     restoreSessionTsType(out, events.schema("ts").dataType)
   }
 
+  /** TRUE when the parquet layout behind `df`'s `ts` column is PROVABLY
+    * time-clustered: at least 8 row groups of footer evidence whose
+    * (min, max) ranges, sorted by min, overlap on at most 10% of
+    * adjacent pairs. Contiguous byte splits of such files give each
+    * Spark partition (and each cached batch built from it) a narrow
+    * time window — the regime where the native session_window merge
+    * collapses map-side. Row groups span hours of events in practice,
+    * so the ≤1 s date_trunc slack the footer trace adds to low bounds
+    * cannot flip the fraction. Untraceable layouts (non-parquet
+    * sources, value-changing wrappers like the long-nanos floor
+    * arithmetic, missing stats) yield no evidence → false — the
+    * conservative direction, keeping the layout-robust segmented
+    * carry. Metadata-only: driver-side footer reads, no Spark job. */
+  private[graft] def timeClusteredLayout(df: DataFrame): Boolean =
+    org.apache.spark.sql.GraftSqlShims.parquetRowGroupBounds(df, "ts") match {
+      case Some(blocks) if blocks.size >= 8 =>
+        val sorted = blocks.sortBy(_._1)
+        val overlapping = sorted.zip(sorted.tail).count {
+          case ((_, hi1), (lo2, _)) => hi1 > lo2
+        }
+        overlapping * 10 <= sorted.size
+      case _ => false
+    }
+
   /** Both sessionization strategies unify an NTZ `ts` onto TimestampType
     * for the gap/granule arithmetic; this restores the INPUT's flavor on
     * the session bounds so strategy choice never changes the output
@@ -233,8 +291,10 @@ object EventStreams {
 
   /** Gap sessionization via Spark's NATIVE session_window aggregate —
     * same output as [[sessionizeBatch]] row for row (asserted in
-    * StreamingSpec and bit-equal at sf1, tools/CheckNativeSessions), as
-    * an explicit opt-in strategy.
+    * StreamingSpec and bit-equal at sf1, tools/CheckNativeSessions).
+    * Chosen automatically by [[sessionizeBatch]] when parquet row-group
+    * footers prove a time-clustered layout; still available as an
+    * explicit strategy for inputs the footer trace can't see.
     *
     * The trade against the segmented carry: the native plan partially
     * MERGES sessions map-side before one user_id shuffle, so when event

@@ -22,7 +22,8 @@ object CheckNativeSessions {
     graft.sources.TableRegistry.warmup(spark, dir, Seq("events"))
     val ev = graft.streaming.EventStreams.eventsFrame(spark, dir)
     val gap = 21600L
-    val segmented = graft.streaming.EventStreams.sessionizeBatch(ev, gap)
+    val segmented = graft.streaming.EventStreams.sessionizeBatch(ev, gap,
+      autoNative = false)
     val native = ev
       .groupBy(col("user_id"), session_window(col("ts"), s"$gap seconds"))
       .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),

@@ -35,7 +35,7 @@ object ProfileSessionize {
 
     def run(label: String, granule: Option[Long]): Long = {
       def once(): Long = graft.streaming.EventStreams
-        .sessionizeBatch(ev, gap, granule).count()
+        .sessionizeBatch(ev, gap, granule, autoNative = false).count()
       val n = once() // untimed warmup
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()

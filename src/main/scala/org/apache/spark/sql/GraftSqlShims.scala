@@ -85,7 +85,24 @@ object GraftSqlShims {
     * → None. A chunk with no statistics → None (unknowable); an
     * all-null chunk is skipped (min/max over non-null values, matching
     * the eager pre-pass). */
-  def parquetFooterBounds(df: DataFrame, colName: String): Option[(Long, Long)] = {
+  def parquetFooterBounds(df: DataFrame, colName: String): Option[(Long, Long)] =
+    parquetRowGroupBounds(df, colName).flatMap { blocks =>
+      if (blocks.isEmpty) None
+      else Some((blocks.map(_._1).min, blocks.map(_._2).max))
+    }
+
+  /** Per-ROW-GROUP (min, max) bounds for `df`'s column `colName` — the
+    * same plan trace, decode rules, and slack handling as
+    * [[parquetFooterBounds]], but one entry per parquet row group in
+    * file/block order instead of the global fold. All-null row groups
+    * are skipped; any unknowable block (missing stats, undecodable
+    * physical type) fails the whole derivation to None. The per-block
+    * granularity is LAYOUT evidence: near-disjoint sorted ranges prove
+    * the file layout is time-clustered (each input split covers a
+    * narrow window), which is what layout-dependent strategies (e.g.
+    * the native session_window merge) need to be provably safe. */
+  def parquetRowGroupBounds(df: DataFrame,
+                            colName: String): Option[Seq[(Long, Long)]] = {
     import org.apache.spark.sql.types._
     val ds = df.asInstanceOf[classic.Dataset[_]]
     val session = ds.sparkSession
@@ -201,9 +218,7 @@ object GraftSqlShims {
         import org.apache.parquet.schema.LogicalTypeAnnotation
         import scala.jdk.CollectionConverters._
 
-        var lo = Long.MaxValue
-        var hi = Long.MinValue
-        var sawValue = false
+        val blocks = Seq.newBuilder[(Long, Long)]
         val ok = fs.location.inputFiles.forall { pathStr =>
           val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
             new org.apache.hadoop.fs.Path(pathStr), conf))
@@ -255,8 +270,7 @@ object GraftSqlShims {
                     }
                     embedded match {
                       case Some((mn, mx)) =>
-                        lo = math.min(lo, mn); hi = math.max(hi, mx)
-                        sawValue = true
+                        blocks += ((mn, mx))
                         true
                       case None => false
                     }
@@ -265,12 +279,13 @@ object GraftSqlShims {
             }
           } finally reader.close()
         }
-        // widen the low side by the accumulated trunc slack (floor-like
-        // wrappers move values down by < one unit; saturating)
-        val loSlacked =
-          try Math.subtractExact(lo, slack)
+        // widen each block's low side by the accumulated trunc slack
+        // (floor-like wrappers move values down by < one unit; saturating)
+        def slacked(v: Long): Long =
+          try Math.subtractExact(v, slack)
           catch { case _: ArithmeticException => Long.MinValue }
-        if (ok && sawValue) Some((loSlacked, hi)) else None
+        val out = blocks.result().map { case (mn, mx) => (slacked(mn), mx) }
+        if (ok && out.nonEmpty) Some(out) else None
       }
     }
   }

@@ -18,6 +18,32 @@ class FooterBoundsSpec extends AnyFunSuite {
     spark.read.parquet(s"$dir/t.parquet")
   }
 
+  test("timeClusteredLayout: proven by near-disjoint row-group footers, denied otherwise") {
+    import graft.streaming.EventStreams
+    val rows = (0 until 10000).map(i => (i.toLong, i.toLong * 1000))
+    val dir = java.nio.file.Files.createTempDirectory("layout").toString
+    // clustered: range-partitioned on ts → 10 disjoint row groups
+    rows.toDF("id", "ts").repartitionByRange(10, col("ts"))
+      .sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(s"$dir/clustered.parquet")
+    val clustered = spark.read.parquet(s"$dir/clustered.parquet")
+    assert(EventStreams.timeClusteredLayout(clustered))
+    // scattered: round-robin partitions each span the whole range — the
+    // exact layout where the native merge degenerates, so NO proof
+    rows.toDF("id", "ts").repartition(10)
+      .write.mode("overwrite").parquet(s"$dir/scattered.parquet")
+    assert(!EventStreams.timeClusteredLayout(
+      spark.read.parquet(s"$dir/scattered.parquet")))
+    // insufficient evidence: 2 row groups, even perfectly disjoint
+    rows.toDF("id", "ts").repartitionByRange(2, col("ts"))
+      .write.mode("overwrite").parquet(s"$dir/small.parquet")
+    assert(!EventStreams.timeClusteredLayout(
+      spark.read.parquet(s"$dir/small.parquet")))
+    // value-changing wrapper: the footer trace bails → no proof
+    assert(!EventStreams.timeClusteredLayout(
+      clustered.withColumn("ts", col("ts") + 1)))
+  }
+
   test("long column: exact bounds through select/filter/groupBy-passthrough") {
     val df = writeRead(Seq((1L, 100L), (2L, -50L), (3L, 7000L)).toDF("id", "t"))
     assert(GraftSqlShims.parquetFooterBounds(df, "t").contains((-50L, 7000L)))
