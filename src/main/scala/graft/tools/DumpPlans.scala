@@ -58,7 +58,8 @@ object DumpPlans {
       ("x62_dedup_keep_best", "keep-best collapse — bounded label propagation over the PAIRED ids only, per-component argmax as two partial-combine aggregates over that pairs-sized relation, one anti-join back to the corpus; no corpus-wide window"),
       ("x63_interval_join", "interval attribution — the horizon window rides the range join's granule bucketing: plain equi-join on (key, granule) with the exact interval predicate alongside, partial-combine rollup per anchor; no BroadcastNestedLoop"),
       ("x63b_interval_join_left", "LEFT interval attribution — the SAME single granule-bucketed join as x63 with anchors as the preserved points side (the interval predicate is symmetric); no anti-join, no second execution of the join subtree"),
-      ("x64b_funnel_hot", "hot-entity funnel — k-1 key joins each against a one-row-per-entity left side + k partial-combining min aggregates; an 80%-hot user's step-event fan-out collapses map-side, no windows, no per-entity history materialized"))
+      ("x64b_funnel_hot", "hot-entity funnel — k-1 key joins each against a one-row-per-entity left side + k partial-combining min aggregates; an 80%-hot user's step-event fan-out collapses map-side, no windows, no per-entity history materialized"),
+      ("x65_repetition", "Gopher repetition signals — entirely MAP-ONLY: line stats and gram char-fractions as array folds over sorted runs inside the scan projection; the only exchange is the output orderBy"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence for the scale-posture claims\n\n")
