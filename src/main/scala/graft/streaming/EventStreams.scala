@@ -561,6 +561,14 @@ object EventStreams {
     * emitted (suppresses re-matching until the state expires). */
   final case class FunnelState(matched: List[Long], lastSeen: Long, done: Boolean)
 
+  /** [[FunnelState]] plus the strict mode's not-yet-finalized event
+    * buffer: (epoch-ms, event_type) pairs with ts still ahead of the
+    * watermark, drained into the greedy fold in exact time order once
+    * the watermark passes them. */
+  final case class FunnelBufState(buffered: List[(Long, String)],
+                                  matched: List[Long], lastSeen: Long,
+                                  done: Boolean)
+
   /** One funnel output row before widening: the matched step times in
     * step order (length = funnel depth). */
   final case class FunnelHit(user_id: Long, matched: Seq[Timestamp])
@@ -588,10 +596,22 @@ object EventStreams {
     * the engine before reaching the state function. Like [[sessionize]],
     * within-batch disorder is absorbed by sorting; cross-batch arrival
     * is assumed event-time-ordered per entity (the watermark bounds how
-    * late a straggler can be). */
+    * late a straggler can be).
+    *
+    * `strict = true` removes that ordering assumption entirely: events
+    * buffer in state until the watermark passes them and only then
+    * drain into the greedy fold in exact time order — stream ≡ batch
+    * under ANY disorder the watermark admits (asserted on an
+    * out-of-order fixture the eager mode gets wrong). The trades:
+    * per-entity state grows to the events inside the watermark horizon
+    * (still bounded — the eager mode stays O(k)), and completions emit
+    * one watermark advance later instead of immediately. Choose strict
+    * when the feed interleaves sources with skewed lags; the eager
+    * default matches [[sessionize]]'s posture for in-order logs. */
   def funnelStream(events: Dataset[Event], steps: Seq[String],
                    timeoutSeconds: Long,
-                   watermark: String = "10 minutes"): DataFrame = {
+                   watermark: String = "10 minutes",
+                   strict: Boolean = false): DataFrame = {
     require(steps.nonEmpty, "funnelStream needs at least one step")
     require(steps.size <= 16, "funnelStream supports at most 16 steps")
     require(timeoutSeconds > 0, "funnelStream timeout must be positive")
@@ -599,46 +619,86 @@ object EventStreams {
     import spark.implicits._
     val k = steps.size
     val timeoutMs = timeoutSeconds * 1000
-    val raw = events
-      .withWatermark("ts", watermark)
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[FunnelState, FunnelHit](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            if (!s.done && s.matched.nonEmpty)
-              Iterator.single(FunnelHit(userId,
-                s.matched.reverse.map(new Timestamp(_))))
-            else Iterator.empty
-          } else {
-            var st = state.getOption
-              .getOrElse(FunnelState(Nil, Long.MinValue, done = false))
-            val out = Seq.newBuilder[FunnelHit]
-            batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
-              val t = e.ts.getTime
-              st = st.copy(lastSeen = math.max(st.lastSeen, t))
-              val depth = st.matched.length
-              if (!st.done && depth < k && e.event_type == steps(depth) &&
-                  (depth == 0 || t > st.matched.head)) {
-                st = st.copy(matched = t :: st.matched)
-                if (depth + 1 == k) {
-                  out += FunnelHit(userId, st.matched.reverse.map(new Timestamp(_)))
-                  st = st.copy(done = true)
-                }
-              }
-            }
-            state.update(st)
-            // done states keep a short grace before expiring (suppresses
-            // duplicate attempts from stragglers near the watermark); the
-            // max() guards Spark's requirement that a timeout never sit
-            // at or behind the current watermark
-            state.setTimeoutTimestamp(math.max(st.lastSeen + timeoutMs,
-              state.getCurrentWatermarkMs() + 1))
-            out.result().iterator
+
+    // the shared greedy-earliest fold: feed `evs` (time-ordered) into
+    // (matched, done); emits the completion row the moment depth hits k
+    def fold(userId: Long, matched0: List[Long], done0: Boolean,
+             evs: Seq[(Long, String)]): (List[Long], Boolean, Option[FunnelHit]) = {
+      var matched = matched0; var done = done0
+      var hit: Option[FunnelHit] = None
+      evs.foreach { case (t, ty) =>
+        val depth = matched.length
+        if (!done && depth < k && ty == steps(depth) &&
+            (depth == 0 || t > matched.head)) {
+          matched = t :: matched
+          if (depth + 1 == k) {
+            hit = Some(FunnelHit(userId, matched.reverse.map(new Timestamp(_))))
+            done = true
           }
+        }
       }
+      (matched, done, hit)
+    }
+    def partialOf(userId: Long, matched: List[Long],
+                  done: Boolean): Iterator[FunnelHit] =
+      if (!done && matched.nonEmpty)
+        Iterator.single(FunnelHit(userId, matched.reverse.map(new Timestamp(_))))
+      else Iterator.empty
+
+    val watermarked = events.withWatermark("ts", watermark).groupByKey(_.user_id)
+    val raw: Dataset[FunnelHit] =
+      if (strict)
+        watermarked.flatMapGroupsWithState[FunnelBufState, FunnelHit](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          (userId: Long, batch: Iterator[Event], state: GroupState[FunnelBufState]) =>
+            if (state.hasTimedOut) {
+              val s = state.get
+              state.remove()
+              // every buffered ts <= lastSeen <= watermark − timeout, so
+              // the whole buffer is final — drain it, then flush
+              val (m, done, hit) = fold(userId, s.matched, s.done,
+                s.buffered.sorted)
+              hit.iterator ++ partialOf(userId, m, done)
+            } else {
+              val s0 = state.getOption
+                .getOrElse(FunnelBufState(Nil, Nil, Long.MinValue, done = false))
+              val incoming = batch.map(e => (e.ts.getTime, e.event_type)).toList
+              val lastSeen = (s0.lastSeen :: incoming.map(_._1)).max
+              val wm = state.getCurrentWatermarkMs()
+              // only events at or behind the watermark are FINAL (no
+              // earlier event can still arrive); later ones stay buffered
+              val (ready, pending) =
+                (s0.buffered ++ incoming).sorted.partition(_._1 <= wm)
+              val (m, done, hit) = fold(userId, s0.matched, s0.done, ready)
+              state.update(FunnelBufState(pending, m, lastSeen, done))
+              state.setTimeoutTimestamp(math.max(lastSeen + timeoutMs, wm + 1))
+              hit.iterator
+            }
+        }
+      else
+        watermarked.flatMapGroupsWithState[FunnelState, FunnelHit](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+            if (state.hasTimedOut) {
+              val s = state.get
+              state.remove()
+              partialOf(userId, s.matched, s.done)
+            } else {
+              val s0 = state.getOption
+                .getOrElse(FunnelState(Nil, Long.MinValue, done = false))
+              val evs = batch.map(e => (e.ts.getTime, e.event_type)).toList.sorted
+              val lastSeen = (s0.lastSeen :: evs.map(_._1)).max
+              val (m, done, hit) = fold(userId, s0.matched, s0.done, evs)
+              state.update(FunnelState(m, lastSeen, done))
+              // done states keep a short grace before expiring (suppresses
+              // duplicate attempts from stragglers near the watermark); the
+              // max() guards Spark's requirement that a timeout never sit
+              // at or behind the current watermark
+              state.setTimeoutTimestamp(math.max(lastSeen + timeoutMs,
+                state.getCurrentWatermarkMs() + 1))
+              hit.iterator
+            }
+        }
     // widen matched → ts_1..ts_k + steps_completed, the batch schema
     // (`get` is the ANSI-safe out-of-bounds-null element access)
     raw.toDF().select(

@@ -411,6 +411,49 @@ class StreamingSpec extends AnyFunSuite {
       (2L, Some(ts(0, 30).getTime), None, None, 1)))
   }
 
+  test("strict funnelStream buffers to the watermark: exact under cross-batch disorder") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // steps [signup, click]; the click arrives FIRST, the earlier signup
+    // one micro-batch later — legal within-watermark disorder. The eager
+    // mode processes arrival order and can only reach depth 1; strict
+    // drains in exact time order once the watermark passes, matching the
+    // batch operator's depth-2 completion.
+    val b1 = Seq(Event(1, ts(2, 0), 1, "click", 0.0))
+    val b2 = Seq(Event(2, ts(1, 0), 1, "signup", 0.0))
+    val pushers = Seq(Event(900, ts(30, 0), 99, "noop", 0.0),
+      Event(901, ts(40, 0), 99, "noop", 0.0))
+    def runMode(strict: Boolean, name: String) = {
+      val input = MemoryStream[Event]
+      val query = EventStreams.funnelStream(input.toDS(), Seq("signup", "click"),
+          timeoutSeconds = 300, watermark = "5 minutes", strict = strict)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        input.addData(b1: _*); query.processAllAvailable()
+        input.addData(b2: _*); query.processAllAvailable()
+        pushers.foreach { p => input.addData(p); query.processAllAvailable() }
+        spark.table(name).collect().map(r => (r.getLong(0),
+          Option(r.getTimestamp(1)).map(_.getTime),
+          Option(r.getTimestamp(2)).map(_.getTime),
+          r.getInt(3))).toSeq.sortBy(_._1)
+      } finally query.stop()
+    }
+    val strictRows = runMode(strict = true, "funnel_strict")
+    val batch = EventStreams.funnel((b1 ++ b2 ++ pushers).toDF(),
+        "user_id", Seq("signup", "click"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.getTimestamp(1)).map(_.getTime),
+        Option(r.getTimestamp(2)).map(_.getTime),
+        r.getInt(3))).toSeq.sortBy(_._1)
+    assert(strictRows == batch)
+    assert(strictRows == Seq((1L, Some(ts(1, 0).getTime),
+      Some(ts(2, 0).getTime), 2)))
+    // the eager mode's documented limitation on the same fixture
+    assert(runMode(strict = false, "funnel_eager") ==
+      Seq((1L, Some(ts(1, 0).getTime), None, 1)))
+  }
+
   test("both sessionize strategies return the INPUT's ts flavor (NTZ schema parity)") {
     import spark.implicits._
     val events = Seq(
