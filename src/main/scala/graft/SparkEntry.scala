@@ -783,6 +783,17 @@ object SparkEntry {
         .orderBy("user_id", "session_start")),
 
     // multimodal plumbing: binary assets → stub batch decode → features
+    // frame-sample plumbing (x12c): every stride-th chunk's byte count
+    // over the text-as-binary assets — pure slicing expressions, one
+    // posexplode, no shuffle; the oracle replays the slice arithmetic
+    // over DuckDB blobs byte for byte
+    "x12c_mm_chunks" -> ((s, dir) => {
+      val assets = graft.ops.Multimodal.assetsFromText(
+        t(s, dir, "documents"), "doc_id", "text")
+      graft.ops.Multimodal.sampleChunks(assets, chunkSize = 64, stride = 4)
+        .orderBy("asset_id", "chunk_index")
+    }),
+
     "x12_mm_decode" -> ((s, dir) => {
       val assets = graft.ops.Multimodal.assetsFromText(
         t(s, dir, "documents"), "doc_id", "text")
@@ -1900,6 +1911,22 @@ object SparkEntry {
                 CAST(doc_id % 768 + 1 AS INT) AS height,
                 CAST(24 AS BIGINT) AS payload_bytes
          FROM documents ORDER BY asset_id""",
+    "x12c_mm_chunks" ->
+      // chunkSize=64, stride=4 ⇒ chunk starts every 256 bytes; index
+      // count = max(1, floor(bytes/256)) (the operator emits one index
+      // even for sub-stride payloads); last chunk may be partial
+      """WITH a AS (SELECT doc_id AS asset_id, encode(text) AS payload
+                    FROM documents),
+         i AS (SELECT asset_id, payload,
+                      unnest(range(0, greatest(1, octet_length(payload) // 256)))
+                        AS ci
+               FROM a)
+         SELECT asset_id, CAST(ci AS INT) AS chunk_index,
+                -- slice length arithmetically (DuckDB has no blob
+                -- substring): clamp [ci*256, ci*256+64) to the payload
+                CAST(greatest(0, least(64, octet_length(payload) - ci * 256))
+                     AS INT) AS chunk_bytes
+         FROM i ORDER BY asset_id, chunk_index""",
     "x30_chunk_dedup" ->
       """WITH tok AS (
            SELECT doc_id,
