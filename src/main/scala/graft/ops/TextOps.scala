@@ -459,7 +459,10 @@ object TextOps {
     *   - `top_2gram_char_frac`: characters covered by the single most
     *     frequent word 2-gram (count × gram chars) over the normalized
     *     text's length — ties broken by longer gram, then lexicographic,
-    *     so the metric is deterministic and oracle-exact;
+    *     so the metric is deterministic and oracle-exact. Overlap-
+    *     agnostic like the original Gopher signal, so a self-overlapping
+    *     gram ("a a a …" → "a a"×7) can exceed 1 — degenerate repetition
+    *     scores HIGHER, which is what a filter threshold wants;
     *   - `dup_5gram_char_frac`: characters covered by word 5-grams that
     *     occur 2+ times (Σ count × gram chars, overlap-agnostic like the
     *     original, capped at 1.0) over the normalized length.

@@ -998,6 +998,24 @@ class XopSpec extends AnyFunSuite {
     assert(frac(5L) == 0.0)
   }
 
+  test("repetition_signals xop: Gopher char-fraction metrics, overlap-agnostic") {
+    val out = QueryEngine.run(docs,
+      """{"xop": {"name": "repetition_signals",
+                  "args": {"id": "id", "column": "text"}},
+          "order_by": ["id"]}""").df
+    assert(out.columns.toSeq == Seq("id", "n_lines", "dup_line_frac",
+      "dup_line_char_frac", "top_2gram_char_frac", "dup_5gram_char_frac"))
+    val rows = out.collect()
+      .map(r => r.getAs[Number](0).longValue ->
+        (r.getDouble(4), r.getDouble(5))).toMap
+    // doc 4 "a a a a a a a a": "a a"×7 covers 21 of 15 normalized chars
+    // (overlap-agnostic, like the original — degenerate text scores >1);
+    // the duplicated 5-gram coverage caps at 1.0
+    assert(rows(4L) == ((1.4, 1.0)))
+    // a natural sentence: no duplicated 5-grams
+    assert(rows(1L)._2 == 0.0)
+  }
+
   test("join xop enriches from a stored dataset and errors on collisions") {
     val out = QueryEngine.run(docs,
       """{"xop": {"name": "join",
