@@ -924,19 +924,15 @@ object XopEngine {
           .map(_ => reqStr(args, "exclude_id", name)).getOrElse(id)
         if (!ExprCompiler.hasColumn(excl, exclId))
           Errors.malformed(s"xop '$name': exclude dataset has no column", exclId)
-        // both id sides must be integral (the operator enforces the same
-        // as a precondition — see Dedup.requireIntegralId): a string or
-        // fractional id silently under-deletes, so it's a 400 here
-        locally {
-          import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-          for ((d, c, side) <- Seq((df, id, "id"), (excl, exclId, "exclude id")))
-            d.schema(c).dataType match {
-              case ByteType | ShortType | IntegerType | LongType => ()
-              case dt => Errors.malformed(
-                s"xop '$name': $side column '$c' must be an integer type " +
-                  s"for Bloom exclusion (got ${dt.catalogString})")
-            }
-        }
+        // both id sides must be integral — the OPERATOR's precondition
+        // (Dedup.requireIntegralId, one source of truth for the
+        // admissible type set) surfaced as this layer's 400: a string or
+        // fractional id silently under-deletes
+        try {
+          Dedup.requireIntegralId(df, id, "id")
+          Dedup.requireIntegralId(excl, exclId, "exclude id")
+        } catch { case e: IllegalArgumentException =>
+          Errors.malformed(s"xop '$name': ${e.getMessage}") }
         args.get("index") match {
           case Some(raw) =>
             // persisted sketch: no build aggregation runs, so the build
@@ -964,10 +960,11 @@ object XopEngine {
                   s"exclude column '$exclId' is $now — rebuild the artifact")
             // STRONG opt-in check: recompute the content fingerprint
             // (one column-pruned aggregation over the list) — catches
-            // the same-count swap the free tripwires cannot
+            // the same-count swap the free tripwires cannot; reuses the
+            // artifact loadBloom just fetched (no second storage read)
             if (boolArg(args, "verify_index", default = false, name))
-              try graft.ops.BloomIndex.verifyContent(df.sparkSession,
-                indexPath(df, raw, name), excl, exclId)
+              try graft.ops.BloomIndex.verifyContent(art,
+                "bloom index", excl, exclId)
               catch { case e: IllegalArgumentException =>
                 Errors.malformed(s"xop '$name': ${e.getMessage}") }
             // staleness tripwire, checked only when the current list's

@@ -182,16 +182,23 @@ object BloomIndex {
     * IllegalArgumentException on mismatch or when the artifact predates
     * fingerprints. */
   def verifyContent(spark: SparkSession, path: String,
+                    exclude: DataFrame, idCol: String): Unit =
+    verifyContent(loadWithMeta(spark, path), s"bloom index at $path",
+      exclude, idCol)
+
+  /** [[verifyContent]] against an ALREADY-loaded artifact — consumers
+    * that just called [[loadWithMeta]] (the xop path) skip the second
+    * manifest+sketch read. `what` names the artifact in errors. */
+  def verifyContent(art: Artifact, what: String,
                     exclude: DataFrame, idCol: String): Unit = {
-    val art = loadWithMeta(spark, path)
     val recorded = art.contentFingerprint.getOrElse(
       throw new IllegalArgumentException(
-        s"bloom index at $path records no content fingerprint " +
+        s"$what records no content fingerprint " +
           "(pre-fingerprint artifact) — rebuild it to enable verification"))
     val current = fingerprint(exclude, idCol)
     if (current != recorded)
       throw new IllegalArgumentException(
-        s"bloom index at $path is stale: exclude list content changed " +
+        s"$what is stale: exclude list content changed " +
           s"(fingerprint $current, artifact built over $recorded) — " +
           "rebuild the artifact")
   }

@@ -610,7 +610,7 @@ object Dedup {
     * fractional id would truncate distinct values together — either way
     * probe-negative rows skip the rescue anti-join and the operator
     * silently UNDER-deletes, so the mismatch fails fast instead. */
-  private def requireIntegralId(df: DataFrame, c: String, what: String): Unit = {
+  private[graft] def requireIntegralId(df: DataFrame, c: String, what: String): Unit = {
     import org.apache.spark.sql.types._
     df.schema(c).dataType match {
       case ByteType | ShortType | IntegerType | LongType => ()

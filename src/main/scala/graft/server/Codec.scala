@@ -13,6 +13,13 @@ import net.jpountz.lz4.LZ4Factory
 object Codec {
   private val lz4 = LZ4Factory.fastestInstance()
 
+  /** Thrown when a DECODED body would exceed the caller's cap — raised
+    * BEFORE the oversized buffer is allocated (the lz4 size prefix is
+    * attacker-controlled, and gzip expands ~1000:1, so a post-decode
+    * length check would defeat the cap's anti-OOM purpose). The server
+    * maps this to 413, distinct from IllegalArgumentException's 400. */
+  final class DecodedBodyTooLarge(msg: String) extends RuntimeException(msg)
+
   def lz4Compress(data: Array[Byte]): Array[Byte] = {
     val compressor = lz4.fastCompressor()
     val max = compressor.maxCompressedLength(data.length)
@@ -25,10 +32,18 @@ object Codec {
     java.util.Arrays.copyOf(out, 4 + written)
   }
 
-  def lz4Decompress(data: Array[Byte]): Array[Byte] = {
+  def lz4Decompress(data: Array[Byte], maxBytes: Long = 0L): Array[Byte] = {
     require(data.length >= 4, "lz4 body too short")
     val size = (data(0) & 0xFF) | ((data(1) & 0xFF) << 8) |
       ((data(2) & 0xFF) << 16) | ((data(3) & 0xFF) << 24)
+    // the prefix is client-supplied: a negative value must be a clean
+    // client error (not a NegativeArraySizeException 500), and with a
+    // cap configured the allocation itself is the thing to guard
+    if (size < 0)
+      throw new IllegalArgumentException("lz4 size prefix is negative")
+    if (maxBytes > 0 && size > maxBytes)
+      throw new DecodedBodyTooLarge(
+        s"lz4 body declares $size decoded bytes, cap is $maxBytes")
     val out = new Array[Byte](size)
     lz4.fastDecompressor().decompress(data, 4, out, 0, size)
     out
@@ -41,18 +56,31 @@ object Codec {
     buf.toByteArray
   }
 
-  def gzipDecompress(data: Array[Byte]): Array[Byte] = {
+  def gzipDecompress(data: Array[Byte], maxBytes: Long = 0L): Array[Byte] = {
     val in = new GZIPInputStream(new ByteArrayInputStream(data))
-    in.readAllBytes()
+    if (maxBytes <= 0) in.readAllBytes()
+    else {
+      // size-limited streaming read: stop at cap+1 instead of letting a
+      // small wire body inflate unboundedly on the heap
+      val capPlusOne = math.min(maxBytes + 1, Int.MaxValue.toLong - 8).toInt
+      val buf = in.readNBytes(capPlusOne)
+      if (buf.length > maxBytes)
+        throw new DecodedBodyTooLarge(
+          s"gzip body exceeds $maxBytes decoded bytes")
+      buf
+    }
   }
 
   /** Decode a request body by Content-Encoding; None = identity. Unknown
-    * encodings are a client error (reference: compression.py:31-37). */
-  def decodeBody(body: Array[Byte], encoding: Option[String]): Array[Byte] =
+    * encodings are a client error (reference: compression.py:31-37).
+    * `maxDecodedBytes` > 0 bounds the DECODED size up front —
+    * [[DecodedBodyTooLarge]] fires before the oversized buffer exists. */
+  def decodeBody(body: Array[Byte], encoding: Option[String],
+                 maxDecodedBytes: Long = 0L): Array[Byte] =
     encoding match {
       case None => body
-      case Some("lz4") => lz4Decompress(body)
-      case Some("gzip") => gzipDecompress(body)
+      case Some("lz4") => lz4Decompress(body, maxDecodedBytes)
+      case Some("gzip") => gzipDecompress(body, maxDecodedBytes)
       case Some(other) =>
         throw new IllegalArgumentException(s"""Unrecognized encoding "$other"""")
     }

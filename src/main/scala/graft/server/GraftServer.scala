@@ -159,12 +159,13 @@ final class GraftServer(spark: SparkSession, port: Int,
       s"""{"error": "request body exceeds max-body-bytes=$maxBodyBytes"}""")
 
   /** Request body, decoded. With --max-body-bytes=N set, the read is
-    * BOUNDED: an over-declared Content-Length 413s before any read, a
-    * lying/chunked client is cut off at N+1 bytes actually read, and —
-    * because an LZ4/GZIP body can expand past the wire size — the
-    * DECODED length is re-checked against the same cap (the
-    * decompression-bomb guard; Codec's streaming decode keeps the
-    * intermediate buffers proportional to the true payload). */
+    * BOUNDED end to end: an over-declared Content-Length 413s before
+    * any read, a lying/chunked client is cut off at N+1 bytes actually
+    * read, and — because an LZ4/GZIP body can expand far past the wire
+    * size — the codec enforces the same cap BEFORE allocating the
+    * decoded buffer (lz4's attacker-controlled size prefix is rejected
+    * up front; gzip decodes through a size-limited stream), so a
+    * decompression bomb can never materialize on the heap. */
   private def decodedBody(exchange: HttpExchange): Array[Byte] = {
     val raw =
       if (maxBodyBytes <= 0) exchange.getRequestBody.readAllBytes()
@@ -176,11 +177,12 @@ final class GraftServer(spark: SparkSession, port: Int,
         if (buf.length > maxBodyBytes) throw bodyTooLarge
         buf
       }
-    val decoded =
-      try Codec.decodeBody(raw, header(exchange, "Content-Encoding"))
-      catch { case e: IllegalArgumentException => throw new HttpFail(400, e.getMessage) }
-    if (maxBodyBytes > 0 && decoded.length > maxBodyBytes) throw bodyTooLarge
-    decoded
+    try Codec.decodeBody(raw, header(exchange, "Content-Encoding"),
+      maxDecodedBytes = maxBodyBytes)
+    catch {
+      case _: Codec.DecodedBodyTooLarge => throw bodyTooLarge
+      case e: IllegalArgumentException => throw new HttpFail(400, e.getMessage)
+    }
   }
 
   private def queryParam(exchange: HttpExchange): String =

@@ -27,6 +27,27 @@ import graft.engine.{Errors, ExprCompiler}
 object Ingest {
   import ExprCompiler.RowId
 
+  /** Marker raised inside the NDJSON line split when a line is not a
+    * JSON object — surfaces through Spark's task-failure wrapping and is
+    * unwrapped by [[badLineOf]] into the client's 400. Message = the
+    * offending line's first 80 chars. */
+  private[sources] final class BadNdjsonLine(line: String)
+    extends RuntimeException(line)
+
+  /** First [[BadNdjsonLine]] in `e`'s cause chain (Spark wraps executor
+    * exceptions in SparkException layers), or None. */
+  private[sources] def badLineOf(e: Throwable): Option[String] = {
+    var cur = e
+    var hops = 0
+    while (cur != null && hops < 20) {
+      cur match {
+        case b: BadNdjsonLine => return Some(b.getMessage)
+        case _ => cur = cur.getCause; hops += 1
+      }
+    }
+    None
+  }
+
   private def withRowId(df: DataFrame): DataFrame =
     df.withColumn(RowId, monotonically_increasing_id())
 
@@ -238,20 +259,28 @@ object Ingest {
     val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
       (body.count(_ == '\n') + 1) / 20000))
     val chunks = lineChunks(body, parts)
-    val ds = spark.createDataset(
-      spark.sparkContext.parallelize(chunks, math.max(1, chunks.length))
-        .flatMap(_.linesIterator.map(_.trim).filter(_.nonEmpty)))(
-      org.apache.spark.sql.Encoders.STRING)
     // every line must be an OBJECT: a line holding a JSON array is valid
     // JSON (no corrupt-record flag) but spark.read.json would explode it
     // into several rows, silently breaking the one-record-per-line
     // contract (fromJsonRecords guards the same hazard via lexer counts).
-    // The guard runs distributed (one short-circuiting take(1) job) so
-    // the driver's share of a big NDJSON body stays O(parts).
-    ds.filter(l => !l.startsWith("{")).take(1).foreach { l =>
-      Errors.malformed("NDJSON lines must be JSON objects", l.take(80))
-    }
-    val raw = spark.read.json(ds)
+    // The guard rides INSIDE the line split — a violation aborts the
+    // inference job already scanning every line, so the happy path pays
+    // no extra pass and the driver's share stays O(parts). Inference
+    // reads the full dataset (default samplingRatio 1.0), so once it
+    // succeeds no later pass over the same lineage can trip the guard.
+    val ds = spark.createDataset(
+      spark.sparkContext.parallelize(chunks, math.max(1, chunks.length))
+        .flatMap(_.linesIterator.map(_.trim).filter(_.nonEmpty).map { l =>
+          if (!l.startsWith("{")) throw new Ingest.BadNdjsonLine(l.take(80))
+          l
+        }))(org.apache.spark.sql.Encoders.STRING)
+    val raw =
+      try spark.read.json(ds)
+      catch {
+        case e: Throwable if Ingest.badLineOf(e).isDefined =>
+          Errors.malformed("NDJSON lines must be JSON objects",
+            Ingest.badLineOf(e).get)
+      }
     // a failed line surfaces as the corrupt-record column at inference
     // time — reject the whole body (the reference 400s malformed bodies)
     if (raw.columns.contains("_corrupt_record"))

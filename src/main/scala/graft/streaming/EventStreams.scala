@@ -175,10 +175,17 @@ object EventStreams {
     val aboveGate: Boolean = granule.isEmpty &&
       graft.ops.Similarity.approxRows(ev, rowBytes = 64L,
         unknownAs = Long.MaxValue) >= graft.ops.Joins.SegmentedCarryMinRows
+    // ONE footer pass serves both decisions: the per-block bounds feed
+    // the layout gate, and their fold is the global span the granule
+    // derivation needs (re-running the trace would re-open every file's
+    // footer on the gate-rejected path — the common one)
+    val blocks: Option[Seq[(Long, Long)]] =
+      if (!aboveGate) None
+      else org.apache.spark.sql.GraftSqlShims.parquetRowGroupBounds(ev, "ts")
     val nativeByLayout: Boolean = autoNative && aboveGate &&
       gapSeconds >= 1 && gapSeconds <= MaxIntervalSeconds &&
       ev.schema("ts").dataType == org.apache.spark.sql.types.TimestampType &&
-      timeClusteredLayout(ev)
+      blocks.exists(clusteredBlocks)
     if (nativeByLayout)
       return restoreSessionTsType(sessionizeNative(ev, gapSeconds),
         events.schema("ts").dataType)
@@ -208,8 +215,9 @@ object EventStreams {
         def widthOf(lo: BigInt, hi: BigInt): Long =
           ((hi - lo) / 4096 + 1).min(BigInt(Long.MaxValue)).toLong
             .max(gapFloor)
-        val footer = org.apache.spark.sql.GraftSqlShims
-          .parquetFooterBounds(ev, "ts")
+        val footer = blocks
+          .collect { case bs if bs.nonEmpty =>
+            (bs.map(_._1).min, bs.map(_._2).max) }
           .map { case (lo, hi) =>
             ev.schema("ts").dataType match {
               case org.apache.spark.sql.types.TimestampType |
@@ -265,14 +273,18 @@ object EventStreams {
     * conservative direction, keeping the layout-robust segmented
     * carry. Metadata-only: driver-side footer reads, no Spark job. */
   private[graft] def timeClusteredLayout(df: DataFrame): Boolean =
-    org.apache.spark.sql.GraftSqlShims.parquetRowGroupBounds(df, "ts") match {
-      case Some(blocks) if blocks.size >= 8 =>
-        val sorted = blocks.sortBy(_._1)
-        val overlapping = sorted.zip(sorted.tail).count {
-          case ((_, hi1), (lo2, _)) => hi1 > lo2
-        }
-        overlapping * 10 <= sorted.size
-      case _ => false
+    org.apache.spark.sql.GraftSqlShims.parquetRowGroupBounds(df, "ts")
+      .exists(clusteredBlocks)
+
+  /** The layout verdict over already-fetched row-group bounds (so one
+    * footer pass can feed both this and the span derivation). */
+  private def clusteredBlocks(blocks: Seq[(Long, Long)]): Boolean =
+    blocks.size >= 8 && {
+      val sorted = blocks.sortBy(_._1)
+      val overlapping = sorted.zip(sorted.tail).count {
+        case ((_, hi1), (lo2, _)) => hi1 > lo2
+      }
+      overlapping * 10 <= sorted.size
     }
 
   /** Both sessionization strategies unify an NTZ `ts` onto TimestampType

@@ -200,11 +200,33 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
         .header("Content-Type", "text/csv")
         .header("Content-Encoding", "gzip").build())
       assert(bombR.statusCode() == 413)
+      // lz4 bomb: a 10-byte wire body whose size prefix CLAIMS 2^31-1
+      // decoded bytes — must 413 BEFORE the allocation would exist (the
+      // prefix is attacker-controlled; a post-decode length check would
+      // be an OOM, not a rejection)
+      val lz4Bomb = Array[Byte](-1, -1, -1, 0x7f) ++ Array.fill(6)(0.toByte)
+      val lb = send(req("/dataset/mb", guarded)
+        .POST(BodyPublishers.ofByteArray(lz4Bomb))
+        .header("Content-Type", "text/csv")
+        .header("Content-Encoding", "lz4").build())
+      assert(lb.statusCode() == 413)
       // within-bound stores still work on the guarded server
       assert(send(req("/dataset/mb2", guarded)
         .POST(BodyPublishers.ofString("v\n7\n"))
         .header("Content-Type", "text/csv").build()).statusCode() == 201)
     } finally guarded.stop()
+  }
+
+  test("negative lz4 size prefix is a clean 400, not a 500") {
+    // size prefix 0x80000000 (negative): previously a
+    // NegativeArraySizeException escaping the 400 mapping
+    val neg = Array[Byte](0, 0, 0, -128) ++ Array.fill(6)(0.toByte)
+    val r = send(req("/dataset/neglz4")
+      .POST(BodyPublishers.ofByteArray(neg))
+      .header("Content-Type", "text/csv")
+      .header("Content-Encoding", "lz4").build())
+    assert(r.statusCode() == 400)
+    assert(r.body().contains("negative"))
   }
 
   test("csv upload, json query round trip") {
