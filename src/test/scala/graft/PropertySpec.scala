@@ -156,6 +156,56 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("chunked CSV ingest preserves line content and ORDER for any body shape") {
+    // the lineChunks invariant the row-id contract rides on: chunk p
+    // holds lines [a_p, b_p) and per-chunk linesIterator preserves body
+    // order — so ingest order must equal a direct line split for bodies
+    // with \r\n, blank lines, missing trailing newlines, and any length
+    // "v"-prefixed values stay strings under inference (a numeric-
+    // looking value would round-trip through a double and not compare
+    // textually); "" and whitespace-only lines probe the drop/null edges
+    val lineGen = Gen.oneOf(Gen.alphaNumStr.map(s => "v" + s.take(6)),
+      Gen.const(""), Gen.const("  "))
+    val caseGen = for {
+      n <- Gen.chooseNum(0, 60)
+      lines <- Gen.listOfN(n, lineGen)
+      sep <- Gen.oneOf("\n", "\r\n")
+      trail <- Gen.oneOf(true, false)
+    } yield (lines, sep, trail)
+    checkProp(Prop.forAll(caseGen) { case (lines, sep, trail) =>
+      val body = "h" + sep + lines.mkString(sep) + (if (trail) sep else "")
+      val parsed = graft.sources.Ingest.fromCsv(spark, body)
+      val got = parsed.orderBy(graft.engine.ExprCompiler.RowId)
+        .select("h").collect().map(r => Option(r.get(0)).map(_.toString)).toSeq
+      // reference: the body's lines after the header, trimmed, with
+      // blank AND whitespace-only lines gone ('' is filtered before the
+      // reader; univocity then skips whitespace-only records entirely)
+      val want = body.linesIterator.drop(1).map(_.trim).filter(_.nonEmpty)
+        .map(Some(_)).toSeq
+      got == want
+    })
+  }
+
+  test("compensated sum error stays at ulp-of-total-magnitude under any partitioning") {
+    import spark.implicits._
+    val caseGen = for {
+      n <- Gen.chooseNum(1, 40)
+      vs <- Gen.listOfN(n, Gen.oneOf(
+        Gen.chooseNum(-1e16, 1e16), Gen.chooseNum(-1.0, 1.0)))
+      parts <- Gen.chooseNum(1, 5)
+    } yield (vs, parts)
+    checkProp(Prop.forAll(caseGen) { case (vs, parts) =>
+      val got = graft.engine.QueryEngine.run(
+        vs.toDF("v").repartition(parts), """{"select": [["sum", "v"]]}""")
+        .df.head().getDouble(0)
+      val exact = vs.map(BigDecimal(_)).sum.toDouble // correctly rounded
+      // compensation leaves only second-order residue: error within a
+      // few ulps of the total MAGNITUDE (an uncompensated sum's error
+      // grows ~n·ε·Σ|x| — orders beyond this bound on mixed magnitudes)
+      math.abs(got - exact) <= 4 * math.ulp(vs.map(math.abs).sum)
+    })
+  }
+
   test("funnel equals a per-entity sequential greedy scan for any event set") {
     import spark.implicits._
     val caseGen = for {
