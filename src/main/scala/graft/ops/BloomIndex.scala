@@ -53,7 +53,11 @@ object BloomIndex {
     * column-pruned aggregation, safe at any list size (10^9 ids × the
     * 64-bit hash range stays ~28 digits, far inside decimal(38)).
     * Deterministic across partitionings and runs (xxhash64's seed is
-    * fixed). Empty / all-null list → "0". */
+    * fixed). Null ids contribute 0 — they never enter the sketch
+    * (Spark's bloomFilter aggregate skips nulls), so they must not move
+    * the fingerprint either; xxhash64(null) alone would return the
+    * seed (42) and make an all-null list fingerprint as 42·n. Empty or
+    * all-null list → "0". */
   def fingerprint(df: DataFrame, idCol: String): String =
     fingerprintAndCount(df, idCol)._1
 
@@ -61,7 +65,8 @@ object BloomIndex {
     * aggregation pass. */
   private def fingerprintAndCount(df: DataFrame, idCol: String): (String, Long) = {
     val row = df.agg(
-      sum(xxhash64(col(idCol)).cast("decimal(38,0)")).as("fp"),
+      sum(when(col(idCol).isNotNull, xxhash64(col(idCol))).otherwise(lit(0L))
+        .cast("decimal(38,0)")).as("fp"),
       count(lit(1)).as("n")).head()
     (Option(row.getDecimal(0)).map(d => BigDecimal(d).toBigInt.toString)
       .getOrElse("0"), row.getLong(1))

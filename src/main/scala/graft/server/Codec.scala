@@ -61,10 +61,14 @@ object Codec {
     if (maxBytes <= 0) in.readAllBytes()
     else {
       // size-limited streaming read: stop at cap+1 instead of letting a
-      // small wire body inflate unboundedly on the heap
-      val capPlusOne = math.min(maxBytes + 1, Int.MaxValue.toLong - 8).toInt
+      // small wire body inflate unboundedly on the heap. When the cap
+      // meets the max array size the +1 sentinel is lost to the clamp —
+      // a decode filling the clamped buffer exactly is then rejected,
+      // never silently truncated.
+      val capped = maxBytes >= Int.MaxValue.toLong - 8
+      val capPlusOne = if (capped) Int.MaxValue - 8 else (maxBytes + 1).toInt
       val buf = in.readNBytes(capPlusOne)
-      if (buf.length > maxBytes)
+      if (buf.length > maxBytes || (capped && buf.length == capPlusOne))
         throw new DecodedBodyTooLarge(
           s"gzip body exceeds $maxBytes decoded bytes")
       buf

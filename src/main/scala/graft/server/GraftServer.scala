@@ -112,16 +112,24 @@ final class GraftServer(spark: SparkSession, port: Int,
         // no buffering) before responding: a client mid-upload otherwise
         // sees a connection RESET instead of reading the failure status —
         // the max-body-bytes 413 in particular rejects before consuming
-        // the body. Past the drain ceiling the connection closes anyway
-        // (an unbounded drain would let one abusive upload occupy a
-        // handler thread indefinitely).
-        try {
+        // the body. The drain is a COURTESY, so it is cheap by
+        // construction: skipped outright for auth failures (an
+        // unauthenticated client gets no read bandwidth at all) and for
+        // requests declaring more than the 256 KB ceiling (the
+        // connection closes instead — reading a GiB per failed request
+        // would let an abusive upload pin a handler thread). Bodies the
+        // handler already consumed hit EOF immediately regardless of
+        // their declared size.
+        val drainCeiling = 256L * 1024
+        val skipDrain = f.status == 401 ||
+          header(exchange, "Content-Length").flatMap(_.toLongOption)
+            .exists(_ > drainCeiling)
+        if (!skipDrain) try {
           val in = exchange.getRequestBody
           val buf = new Array[Byte](65536)
           var drained = 0L
-          val ceiling = 1L << 30
           var n = 0
-          while (drained < ceiling && { n = in.read(buf); n >= 0 })
+          while (drained < drainCeiling && { n = in.read(buf); n >= 0 })
             drained += n
         } catch { case _: Exception => () }
         respond(exchange, f.status,
@@ -172,9 +180,15 @@ final class GraftServer(spark: SparkSession, port: Int,
       else {
         header(exchange, "Content-Length").flatMap(_.toLongOption)
           .filter(_ > maxBodyBytes).foreach(_ => throw bodyTooLarge)
-        val capPlusOne = math.min(maxBodyBytes + 1, Int.MaxValue.toLong - 8).toInt
+        // caps at or past the max array size lose the +1 sentinel to the
+        // clamp — a body read to exactly the clamp is then indistinguishable
+        // from a truncated one, so it is rejected rather than truncated
+        val capped = maxBodyBytes >= Int.MaxValue.toLong - 8
+        val capPlusOne =
+          if (capped) Int.MaxValue - 8 else (maxBodyBytes + 1).toInt
         val buf = exchange.getRequestBody.readNBytes(capPlusOne)
-        if (buf.length > maxBodyBytes) throw bodyTooLarge
+        if (buf.length > maxBodyBytes || (capped && buf.length == capPlusOne))
+          throw bodyTooLarge
         buf
       }
     try Codec.decodeBody(raw, header(exchange, "Content-Encoding"),

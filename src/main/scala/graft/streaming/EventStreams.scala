@@ -278,13 +278,14 @@ object EventStreams {
 
   /** The layout verdict over already-fetched row-group bounds (so one
     * footer pass can feed both this and the span derivation). */
-  private def clusteredBlocks(blocks: Seq[(Long, Long)]): Boolean =
+  private[graft] def clusteredBlocks(blocks: Seq[(Long, Long)]): Boolean =
     blocks.size >= 8 && {
       val sorted = blocks.sortBy(_._1)
       val overlapping = sorted.zip(sorted.tail).count {
         case ((_, hi1), (lo2, _)) => hi1 > lo2
       }
-      overlapping * 10 <= sorted.size
+      // there are size-1 adjacent pairs, so the 10% bound divides by that
+      overlapping * 10 <= sorted.size - 1
     }
 
   /** Both sessionization strategies unify an NTZ `ts` onto TimestampType

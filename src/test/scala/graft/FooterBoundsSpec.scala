@@ -44,6 +44,23 @@ class FooterBoundsSpec extends AnyFunSuite {
       clustered.withColumn("ts", col("ts") + 1)))
   }
 
+  test("clusteredBlocks 10% gate divides by adjacent PAIRS, not block count") {
+    import graft.streaming.EventStreams.clusteredBlocks
+    // first `overlaps` adjacent pairs overlap; the rest are disjoint
+    def blocks(n: Int, overlaps: Int): Seq[(Long, Long)] =
+      (0 until n).map { i =>
+        val lo = i * 100L
+        (lo, if (i < overlaps) lo + 150L else lo + 50L)
+      }
+    // 20 blocks → 19 pairs: 1 overlap (5.3%) proves, 2 (10.5%) does not
+    assert(clusteredBlocks(blocks(20, 1)))
+    assert(!clusteredBlocks(blocks(20, 2)))
+    // 21 blocks → 20 pairs: 2 overlaps is exactly 10%, still proves
+    assert(clusteredBlocks(blocks(21, 2)))
+    // below the 8-block evidence floor: never proves, even disjoint
+    assert(!clusteredBlocks(blocks(7, 0)))
+  }
+
   test("long column: exact bounds through select/filter/groupBy-passthrough") {
     val df = writeRead(Seq((1L, 100L), (2L, -50L), (3L, 7000L)).toDF("id", "t"))
     assert(GraftSqlShims.parquetFooterBounds(df, "t").contains((-50L, 7000L)))

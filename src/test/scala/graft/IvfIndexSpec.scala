@@ -199,6 +199,14 @@ class IvfIndexSpec extends AnyFunSuite {
       BloomIndex.verifyContent(spark, path, swapped, "xid")
     }
     assert(e.getMessage.contains("stale"))
+    // null ids never enter the sketch (bloomFilter skips nulls), so they
+    // are fingerprint-neutral too: appending null rows leaves the
+    // fingerprint unchanged (xxhash64(null) alone would contribute the
+    // seed, 42, per null row)
+    val withNulls = ((1L to 40L).map(Option(_)) ++ Seq(None, None))
+      .map(Tuple1(_)).toDF("xid")
+    assert(BloomIndex.fingerprint(withNulls, "xid") ==
+      BloomIndex.fingerprint(exclude, "xid"))
     // a pre-fingerprint artifact cannot be verified — explicit error,
     // not a silent pass
     val bare = tmpDir() + "/bloom_fp_bare"
