@@ -644,6 +644,26 @@ object SparkEntry {
         .orderBy("batch_id", "corpus_id")
     }),
 
+    // x43b's anchor driven through a PERSISTED MinHash signature index
+    // (the production form of incremental dedup — one artifact build per
+    // corpus version, then batch admissions never re-read corpus text):
+    // the artifact is built into a temp dir inside the query, candidates
+    // come from index-served banding at bands=numHashes, the exact
+    // verification joins corpus text back on the id-bounded candidates,
+    // and the output must equal x43b's — sharing its oracle verbatim
+    // proves the parquet signature round-trip changes nothing
+    "x66_minhash_index" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents").filter(col("doc_id") < 300)
+      val batch = corpus.withColumn("doc_id", col("doc_id") + 100000)
+      val path = java.nio.file.Files.createTempDirectory("graft_mh_index")
+        .toString + "/idx"
+      val art = graft.ops.MinHashIndex.buildAndSave(corpus, "doc_id", "text",
+        numHashes = 64, shingleSize = 3, path = path)
+      graft.ops.Dedup.minhashPairsAgainstIndexBandExhaustive(
+        batch, "doc_id", "text", corpus, "doc_id", "text", art, threshold = 0.5)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
     // spherical k-means clustering: semantic buckets for topic balancing
     // / cluster-scoped dedup — cached quantizer build (shared with IVF),
     // then a map-only fused-kernel assignment pass; rows-only by design
@@ -1293,6 +1313,29 @@ object SparkEntry {
       // exact cross-side Jaccard over the slice and its re-id'd copy;
       // the banded candidate generation must surface every >= 0.5 pair
       // (escape probability ~(1-j)^64 per pair)
+      """WITH t AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+           FROM documents WHERE doc_id < 300),
+         s AS (
+           SELECT doc_id,
+                  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                       ELSE list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                           for i in range(1, len(tk) - 1)])
+                  END AS sh
+           FROM t)
+         SELECT b.doc_id + 100000 AS batch_id, c.doc_id AS corpus_id,
+                round(len(list_intersect(b.sh, c.sh))::DOUBLE /
+                      len(list_distinct(list_concat(b.sh, c.sh))), 4) AS jaccard
+         FROM s b, s c
+         WHERE len(list_intersect(b.sh, c.sh))::DOUBLE /
+               len(list_distinct(list_concat(b.sh, c.sh))) >= 0.5
+         ORDER BY batch_id, corpus_id""",
+    "x66_minhash_index" ->
+      // shares x43b's oracle verbatim BY DESIGN: the index-served
+      // banding must reproduce the inline exhaustive candidate set
+      // (signatures round-trip parquet bit-exactly), so the exact
+      // cross-side pair set is the specified output
       """WITH t AS (
            SELECT doc_id,
                   string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk

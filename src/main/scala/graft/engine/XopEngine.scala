@@ -171,6 +171,18 @@ object XopEngine {
         Errors.malformed(s"xop '$op': unreadable index artifact: ${e.getMessage}")
     }
 
+  /** Load a persisted MinHash signature index named by an `index` arg —
+    * same root resolution and failure taxonomy as [[loadIndex]]. */
+  private def loadMinhash(df: DataFrame, raw: Any,
+                          op: String): graft.ops.MinHashIndex.Artifact =
+    try graft.ops.MinHashIndex.load(df.sparkSession, indexPath(df, raw, op))
+    catch {
+      case e: IllegalArgumentException =>
+        Errors.malformed(s"xop '$op': ${e.getMessage}")
+      case e: org.apache.spark.sql.AnalysisException =>
+        Errors.malformed(s"xop '$op': unreadable index artifact: ${e.getMessage}")
+    }
+
   /** Parse an explicit `centroids` argument: a non-empty list of
     * equal-length number lists (shared by emb_cluster and
     * semantic_dedup). */
@@ -862,35 +874,95 @@ object XopEngine {
         Dedup.dedupAgainst(df, textCol, corpus, cc)
 
       // incremental NEAR-dup vs a stored corpus: MinHash banding over the
-      // union of both sides, cross-side pairs only
+      // union of both sides, cross-side pairs only. With 'index', a
+      // persisted MinHashIndex serves the corpus's signatures (corpus
+      // text is never read); 'corpus' is then only admitted alongside
+      // 'verify_index' for the strong content check.
       case "minhash_against" =>
         knownArgs("id", "column", "corpus", "corpus_id", "corpus_column",
-          "num_hashes", "bands", "threshold", "shingle", "action")
+          "num_hashes", "bands", "threshold", "shingle", "action",
+          "index", "verify_index")
         val id = column(df, args, "id", name)
         val textCol = column(df, args, "column", name)
-        val corpus = dataset("corpus")
-        val cid = args.get("corpus_id")
-          .map(_ => reqStr(args, "corpus_id", name)).getOrElse(id)
-        val ccol = args.get("corpus_column")
-          .map(_ => reqStr(args, "corpus_column", name)).getOrElse(textCol)
-        for (c <- Seq(cid, ccol) if !ExprCompiler.hasColumn(corpus, c))
-          Errors.malformed(s"xop '$name': corpus dataset has no column", c)
-        val nh = intArg(args, "num_hashes", 64, name).toInt
         val nb = intArg(args, "bands", 16, name).toInt
-        if (nh <= 0 || nb <= 0 || nh % nb != 0)
-          Errors.malformed(s"xop '$name': bands must divide num_hashes")
+        if (nb <= 0) Errors.malformed(s"xop '$name': bands must be positive")
         val thr = doubleArgOpt(args, "threshold", 0.7, name)
-        val sh = intArg(args, "shingle", 3, name).toInt
-        if (sh <= 0) Errors.malformed(s"xop '$name': shingle must be positive")
-        args.get("action") match {
-          case None | Some("pairs") =>
-            Dedup.minhashPairsAgainst(df, id, textCol, corpus, cid, ccol,
-              nh, nb, thr, sh)
-          case Some("drop") =>
-            Dedup.dropNearDuplicatesAgainst(df, id, textCol, corpus, cid, ccol,
-              nh, nb, thr, sh)
+        val action = args.get("action") match {
+          case None | Some("pairs") => "pairs"
+          case Some("drop") => "drop"
           case Some(other) =>
             Errors.malformed(s"xop '$name': action must be 'pairs' or 'drop'", other)
+        }
+        args.get("index") match {
+          case Some(raw) =>
+            // the artifact fixes the signature parameters — a mismatched
+            // batch side would produce silently incomparable signatures,
+            // so explicit values are rejected rather than ignored
+            for (fixed <- Seq("num_hashes", "shingle") if args.contains(fixed))
+              Errors.malformed(
+                s"xop '$name': 'index' excludes '$fixed' (the artifact fixes " +
+                  "the signature parameters)")
+            val art = loadMinhash(df, raw, name)
+            if (art.numHashes % nb != 0)
+              Errors.malformed(
+                s"xop '$name': bands must divide the index's num_hashes=${art.numHashes}")
+            if (boolArg(args, "verify_index", default = false, name)) {
+              // STRONG opt-in staleness check — needs the current corpus
+              // to recompute the content fingerprint against
+              val corpus = dataset("corpus")
+              val cid = args.get("corpus_id")
+                .map(_ => reqStr(args, "corpus_id", name)).getOrElse(id)
+              val ccol = args.get("corpus_column")
+                .map(_ => reqStr(args, "corpus_column", name)).getOrElse(textCol)
+              for (c <- Seq(cid, ccol) if !ExprCompiler.hasColumn(corpus, c))
+                Errors.malformed(s"xop '$name': corpus dataset has no column", c)
+              // FREE identity tripwires first (schema-only)
+              for (built <- art.idCol if built != cid)
+                Errors.malformed(
+                  s"xop '$name': minhash index was built over column '$built', " +
+                    s"this query verifies against '$cid' — fix 'corpus_id' or rebuild")
+              for (built <- art.idType;
+                   now = corpus.schema(cid).dataType.catalogString
+                   if built != now)
+                Errors.malformed(
+                  s"xop '$name': minhash index was built over $built ids, " +
+                    s"corpus column '$cid' is $now — rebuild the artifact")
+              try graft.ops.MinHashIndex.verifyContent(art, "minhash index",
+                corpus, cid, ccol)
+              catch { case e: IllegalArgumentException =>
+                Errors.malformed(s"xop '$name': ${e.getMessage}") }
+            } else if (args.contains("corpus") || args.contains("corpus_id") ||
+                args.contains("corpus_column"))
+              Errors.malformed(
+                s"xop '$name': 'corpus' with 'index' requires 'verify_index' " +
+                  "(the probe reads signatures, not corpus text)")
+            if (action == "pairs")
+              Dedup.minhashPairsAgainstIndex(df, id, textCol, art, nb, thr)
+            else
+              Dedup.dropNearDuplicatesAgainstIndex(df, id, textCol, art, nb, thr)
+          case None =>
+            if (args.contains("verify_index"))
+              Errors.malformed(
+                s"xop '$name': 'verify_index' requires 'index' " +
+                  "(the inline corpus side is fresh by construction)")
+            val corpus = dataset("corpus")
+            val cid = args.get("corpus_id")
+              .map(_ => reqStr(args, "corpus_id", name)).getOrElse(id)
+            val ccol = args.get("corpus_column")
+              .map(_ => reqStr(args, "corpus_column", name)).getOrElse(textCol)
+            for (c <- Seq(cid, ccol) if !ExprCompiler.hasColumn(corpus, c))
+              Errors.malformed(s"xop '$name': corpus dataset has no column", c)
+            val nh = intArg(args, "num_hashes", 64, name).toInt
+            if (nh <= 0 || nh % nb != 0)
+              Errors.malformed(s"xop '$name': bands must divide num_hashes")
+            val sh = intArg(args, "shingle", 3, name).toInt
+            if (sh <= 0) Errors.malformed(s"xop '$name': shingle must be positive")
+            if (action == "pairs")
+              Dedup.minhashPairsAgainst(df, id, textCol, corpus, cid, ccol,
+                nh, nb, thr, sh)
+            else
+              Dedup.dropNearDuplicatesAgainst(df, id, textCol, corpus, cid, ccol,
+                nh, nb, thr, sh)
         }
 
       // deterministic named splits by id hash: ordered [name, weight] pairs

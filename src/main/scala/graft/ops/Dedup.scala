@@ -224,6 +224,50 @@ object Dedup {
     }: _*)
   }
 
+  /** The (id, sig) MinHash signature relation — the lineage every MinHash
+    * operator shares, and EXACTLY what [[MinHashIndex]] persists. Two
+    * projection layers on purpose (shingle+hash once, then the numHashes
+    * affine permutation passes): CollapseProject keeps them separate
+    * because "hs" is a non-cheap expression referenced numHashes times. */
+  private[graft] def signatureRelation(df: DataFrame, idCol: String,
+      textCol: String, numHashes: Int, shingleSize: Int): DataFrame = {
+    val hashed = spread(df, col(idCol)).select(col(idCol).as("id"),
+      shingleHashesFused(col(textCol), shingleSize).as("hs"))
+    hashed.select(col("id"), minhashSignature(col("hs"), numHashes).as("sig"))
+  }
+
+  /** Band-expand a signature relation into (p, band, bucket): band hash =
+    * xxhash64 of the band's slice of the signature, emitted by one
+    * posexplode so candidate generation needs ONE shuffle and one
+    * signature pass (a banded self-join would compute the whole signature
+    * lineage once per side). `side` tags payloads for the cross-side
+    * operators; None keeps the self-pair payload shape. */
+  private[graft] def bandedFromSigs(sigs: DataFrame, bands: Int, r: Int,
+                                    side: Option[Int]): DataFrame = {
+    val payload = side match {
+      case Some(s) => struct(col("id"), lit(s).as("side"), col("sig"))
+      case None => struct(col("id"), col("sig"))
+    }
+    sigs.select(payload.as("p"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * lit(r) + 1, lit(r))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
+  /** Self-pair emission downstream of the banding: in-bucket candidates
+    * verified by signature agreement rate, thresholded, (id_a, id_b)
+    * dedup'd. Shared verbatim by the inline and index-served sweeps. */
+  private def selfPairs(banded: DataFrame, numHashes: Int,
+                        threshold: Double): DataFrame =
+    bucketPairsWithPayload(banded)
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
+          x => x)).cast("double") / numHashes.toDouble)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("est_jaccard"))
+      .dropDuplicates("id_a", "id_b") // same pair can share several bands
+      .withColumn("est_jaccard", round(col("est_jaccard"), 4))
+
   /** Near-duplicate PAIRS via MinHash LSH banding: signatures are split
     * into `bands` bands of r rows; docs sharing any full band land in the
     * same bucket and become candidates; candidates are verified with the
@@ -235,31 +279,22 @@ object Dedup {
                    threshold: Double = 0.7, shingleSize: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // Two projection layers on purpose (shingle+hash once, then permute):
-    // CollapseProject keeps them separate because "hs" is a non-cheap
-    // expression referenced numHashes times.
-    val hashed = spread(df, col(idCol)).select(col(idCol).as("id"),
-      shingleHashesFused(col(textCol), shingleSize).as("hs"))
-    val sigs = hashed.select(col("id"),
-      minhashSignature(col("hs"), numHashes).as("sig"))
+    val sigs = signatureRelation(df, idCol, textCol, numHashes, shingleSize)
+    selfPairs(bandedFromSigs(sigs, bands, r, None), numHashes, threshold)
+  }
 
-    // band hash = xxhash64 of the band's slice of the signature. Candidate
-    // generation groups ids per (band, bucket) and emits in-bucket pairs
-    // directly — ONE shuffle and one signature pass, where a banded
-    // self-join would compute the whole signature lineage once per side.
-    val banded = sigs.select(struct(col("id"), col("sig")).as("p"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * lit(r) + 1, lit(r))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-
-    bucketPairsWithPayload(banded)
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
-          x => x)).cast("double") / numHashes.toDouble)
-      .filter(col("est_jaccard") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("est_jaccard"))
-      .dropDuplicates("id_a", "id_b") // same pair can share several bands
-      .withColumn("est_jaccard", round(col("est_jaccard"), 4))
+  /** [[minhashPairs]]'s sweep re-run over a persisted [[MinHashIndex]]:
+    * re-band the stored signatures at any (bands, threshold) without
+    * touching corpus text — tuning passes read ~numHashes longs per doc
+    * instead of re-shingling the corpus. Identical output to
+    * [[minhashPairs]] at the index's (numHashes, shingleSize): parquet
+    * round-trips the int64 signatures bit-exactly. */
+  def minhashPairsFromIndex(index: MinHashIndex.Artifact,
+                            bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+    require(bands > 0 && index.numHashes % bands == 0,
+      s"bands must divide the index's num_hashes=${index.numHashes}")
+    selfPairs(bandedFromSigs(index.sigs, bands, index.numHashes / bands, None),
+      index.numHashes, threshold)
   }
 
   /** Incremental NEAR-dup detection against an existing corpus — the
@@ -272,9 +307,9 @@ object Dedup {
     *
     * Shape at scale: one union and ONE (band, bucket) shuffle, exactly
     * [[minhashPairs]]'s plan. The corpus side re-signatures per refresh
-    * here; a production deployment would persist the corpus's banded
-    * signature relation once and union the (tiny) batch against it —
-    * the plan downstream of the union is unchanged.
+    * here; [[minhashPairsAgainstIndex]] is the production form — a
+    * persisted [[MinHashIndex]] serves the corpus's signature relation
+    * and the plan downstream of the union is unchanged.
     *
     * Returns (batch_id, corpus_id, est_jaccard), thresholded and
     * dedup'd. */
@@ -284,18 +319,21 @@ object Dedup {
                           threshold: Double = 0.7, shingleSize: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    def banded(df: DataFrame, idCol: String, textCol: String, side: Int) = {
-      val hashed = spread(df, col(idCol)).select(col(idCol).as("id"),
-        shingleHashesFused(col(textCol), shingleSize).as("hs"))
-      val sigs = hashed.select(col("id"),
-        minhashSignature(col("hs"), numHashes).as("sig"))
-      sigs.select(struct(col("id"), lit(side).as("side"), col("sig")).as("p"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * lit(r) + 1, lit(r))))))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    }
-    val both = banded(corpus, corpusIdCol, corpusTextCol, 0)
-      .unionByName(banded(batch, batchIdCol, batchTextCol, 1))
+    val both = bandedFromSigs(signatureRelation(
+        corpus, corpusIdCol, corpusTextCol, numHashes, shingleSize),
+        bands, r, Some(0))
+      .unionByName(bandedFromSigs(signatureRelation(
+        batch, batchIdCol, batchTextCol, numHashes, shingleSize),
+        bands, r, Some(1)))
+    crossSidePairs(both, numHashes, threshold)
+  }
+
+  /** Cross-side thresholded pair emission downstream of the banding
+    * union — shared verbatim by the inline and index-served against
+    * operators, so the two differ ONLY in where the corpus signatures
+    * come from. */
+  private def crossSidePairs(both: DataFrame, numHashes: Int,
+                             threshold: Double): DataFrame =
     bucketPairsWithPayload(both)
       .filter(col("a.side") =!= col("b.side"))
       .withColumn("est_jaccard",
@@ -308,6 +346,27 @@ object Dedup {
         col("est_jaccard"))
       .dropDuplicates("batch_id", "corpus_id")
       .withColumn("est_jaccard", round(col("est_jaccard"), 4))
+
+  /** [[minhashPairsAgainst]] with the corpus side served by a persisted
+    * [[MinHashIndex]]: the corpus text is never read and its signatures
+    * never recomputed — the probe reads ~numHashes int64s per corpus doc
+    * off the signature parquet (a 100–1000× input reduction on document
+    * corpora, and the whole shingle+permute CPU pass gone), bands them,
+    * and unions the freshly-signatured batch side. numHashes and
+    * shingleSize come FROM the artifact: the batch side must shingle
+    * identically or cross-side signatures are silently incomparable,
+    * which is exactly why they are manifest fields, not parameters. */
+  def minhashPairsAgainstIndex(batch: DataFrame, batchIdCol: String,
+                               batchTextCol: String, index: MinHashIndex.Artifact,
+                               bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+    require(bands > 0 && index.numHashes % bands == 0,
+      s"bands must divide the index's num_hashes=${index.numHashes}")
+    val r = index.numHashes / bands
+    val both = bandedFromSigs(index.sigs, bands, r, Some(0))
+      .unionByName(bandedFromSigs(signatureRelation(
+        batch, batchIdCol, batchTextCol, index.numHashes, index.shingleSize),
+        bands, r, Some(1)))
+    crossSidePairs(both, index.numHashes, threshold)
   }
 
   /** The admitted batch: `batch` minus every document
@@ -319,6 +378,19 @@ object Dedup {
                                 threshold: Double = 0.7, shingleSize: Int = 3): DataFrame = {
     val doomed = minhashPairsAgainst(batch, batchIdCol, batchTextCol,
       corpus, corpusIdCol, corpusTextCol, numHashes, bands, threshold, shingleSize)
+      .select(col("batch_id").as(batchIdCol)).distinct()
+    batch.join(doomed, Seq(batchIdCol), "left_anti")
+  }
+
+  /** The admitted batch against a persisted [[MinHashIndex]] — the
+    * refresh-time production loop: one artifact build per corpus
+    * version, then every incoming batch admits itself with a map-only
+    * signature pass over the batch plus one (band, bucket) shuffle. */
+  def dropNearDuplicatesAgainstIndex(batch: DataFrame, batchIdCol: String,
+      batchTextCol: String, index: MinHashIndex.Artifact,
+      bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+    val doomed = minhashPairsAgainstIndex(batch, batchIdCol, batchTextCol,
+      index, bands, threshold)
       .select(col("batch_id").as(batchIdCol)).distinct()
     batch.join(doomed, Seq(batchIdCol), "left_anti")
   }
@@ -888,6 +960,36 @@ object Dedup {
       corpus, corpusIdCol, corpusTextCol, numHashes = numHashes,
       bands = numHashes, threshold = 0.0, shingleSize = shingleSize)
       .select("batch_id", "corpus_id")
+    exactCrossSideVerify(cand, batch, batchIdCol, batchTextCol,
+      corpus, corpusIdCol, corpusTextCol, threshold, shingleSize)
+  }
+
+  /** [[minhashPairsAgainstBandExhaustive]] with candidates generated
+    * through a persisted [[MinHashIndex]] (x66's anchor): the
+    * index-served banding must surface the same exhaustive candidate set
+    * as the inline lineage — parquet round-trips the int64 signatures
+    * bit-exactly — so on id-bounded slices the output equals the exact
+    * cross-side pair set and shares x43b's DuckDB oracle verbatim. The
+    * `corpus` frame here serves ONLY the exact-Jaccard verification of
+    * candidates (an id-bounded join); candidate generation never reads
+    * corpus text. */
+  def minhashPairsAgainstIndexBandExhaustive(
+      batch: DataFrame, batchIdCol: String, batchTextCol: String,
+      corpus: DataFrame, corpusIdCol: String, corpusTextCol: String,
+      index: MinHashIndex.Artifact, threshold: Double): DataFrame = {
+    val cand = minhashPairsAgainstIndex(batch, batchIdCol, batchTextCol,
+      index, bands = index.numHashes, threshold = 0.0)
+      .select("batch_id", "corpus_id")
+    exactCrossSideVerify(cand, batch, batchIdCol, batchTextCol,
+      corpus, corpusIdCol, corpusTextCol, threshold, index.shingleSize)
+  }
+
+  /** Exact shingle-set Jaccard verification of cross-side candidate
+    * pairs — the shared tail of both band-exhaustive against anchors. */
+  private def exactCrossSideVerify(cand: DataFrame,
+      batch: DataFrame, batchIdCol: String, batchTextCol: String,
+      corpus: DataFrame, corpusIdCol: String, corpusTextCol: String,
+      threshold: Double, shingleSize: Int): DataFrame = {
     def tok(df: DataFrame, idCol: String, textCol: String) =
       spread(df, col(idCol)).select(col(idCol).as("id"),
         array_sort(shingleHashesFused(col(textCol), shingleSize)).as("hs"))

@@ -1,0 +1,190 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, MinHashIndex}
+
+/** Persisted MinHash signature index: the index-served operators must be
+  * EXACTLY the inline ones (signatures round-trip parquet bit-exactly),
+  * and the manifest's parameter/identity/content tripwires must catch
+  * every staleness mode — including the in-place text edit no count
+  * check can see. */
+class MinHashIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // a corpus with genuine near-dups (1↔2 share most shingles), an exact
+  // duplicate pair (3↔4), and unrelated rows
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today"),
+    (2L, "the quick brown fox jumps over the lazy dog yesterday"),
+    (3L, "pack my box with five dozen liquor jugs"),
+    (4L, "pack my box with five dozen liquor jugs"),
+    (5L, "colorless green ideas sleep furiously at night"),
+    (6L, "a completely unrelated sentence about spark physical plans"))
+    .toDF("doc_id", "text")
+
+  private def batch = Seq(
+    (101L, "the quick brown fox jumps over the lazy dog today"),
+    (102L, "pack my box with five dozen liquor jugs"),
+    (103L, "nothing here resembles anything stored in the corpus"))
+    .toDF("doc_id", "text")
+
+  private def tmpDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("minhash_index_spec")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+    df.orderBy(df.columns.head, df.columns(1)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  test("index-served against/self/drop operators equal the inline ones exactly") {
+    val path = tmpDir() + "/idx"
+    val art = MinHashIndex.buildAndSave(corpus, "doc_id", "text",
+      numHashes = 64, shingleSize = 3, path = path)
+    assert(art.numHashes == 64 && art.shingleSize == 3)
+
+    val inlineAgainst = Dedup.minhashPairsAgainst(batch, "doc_id", "text",
+      corpus, "doc_id", "text", threshold = 0.5)
+    val viaIndex = Dedup.minhashPairsAgainstIndex(batch, "doc_id", "text",
+      art, threshold = 0.5)
+    assert(pairs(viaIndex) == pairs(inlineAgainst))
+    assert(pairs(viaIndex).map(_._1).toSet == Set(101L, 102L))
+
+    val inlineSelf = Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.5)
+    val selfIdx = Dedup.minhashPairsFromIndex(art, threshold = 0.5)
+    assert(pairs(selfIdx) == pairs(inlineSelf))
+    assert(pairs(selfIdx).map(p => (p._1, p._2)).contains((3L, 4L)))
+
+    // a sweep at DIFFERENT bands than any build-time choice still works —
+    // bands is probe-time, the artifact stores raw signatures
+    assert(pairs(Dedup.minhashPairsFromIndex(art, bands = 32, threshold = 0.5))
+      == pairs(Dedup.minhashPairs(corpus, "doc_id", "text", bands = 32, threshold = 0.5)))
+
+    val inlineDrop = Dedup.dropNearDuplicatesAgainst(batch, "doc_id", "text",
+      corpus, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val dropIdx = Dedup.dropNearDuplicatesAgainstIndex(batch, "doc_id", "text",
+      art, threshold = 0.5)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(dropIdx == inlineDrop)
+    assert(dropIdx == Seq(103L))
+
+    // band-exhaustive anchor form: index-served candidates + exact verify
+    // equals the fully-inline exhaustive anchor (x66 ≡ x43b)
+    val exInline = Dedup.minhashPairsAgainstBandExhaustive(batch, "doc_id", "text",
+      corpus, "doc_id", "text", threshold = 0.5)
+    val exIdx = Dedup.minhashPairsAgainstIndexBandExhaustive(batch, "doc_id", "text",
+      corpus, "doc_id", "text", art, threshold = 0.5)
+    assert(pairs(exIdx) == pairs(exInline))
+
+    // probe-time parameter guard: bands must divide the artifact's hashes
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashPairsAgainstIndex(batch, "doc_id", "text", art, bands = 7)
+    }
+    assert(e.getMessage.contains("divide"))
+  }
+
+  test("manifest records parameters, identity, count, and fingerprint") {
+    val path = tmpDir() + "/meta"
+    MinHashIndex.buildAndSave(corpus, "doc_id", "text",
+      numHashes = 32, shingleSize = 2, path = path)
+    val art = MinHashIndex.load(spark, path)
+    assert(art.numHashes == 32 && art.shingleSize == 2)
+    assert(art.idCol.contains("doc_id"))
+    assert(art.idType.contains("bigint"))
+    assert(art.nDocs.contains(6L))
+    assert(art.contentFingerprint.nonEmpty)
+    // the signature relation is lazy and corpus-shaped
+    assert(art.sigs.columns.toSeq == Seq("id", "sig"))
+    assert(art.sigs.count() == 6L)
+    MinHashIndex.verifyCount(art, "minhash index")
+  }
+
+  test("load fails fast on missing, foreign, and corrupt artifacts") {
+    val root = tmpDir()
+    def writeManifest(dir: String, text: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir, "manifest.json")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val out = fs.create(p, true)
+      try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    // missing
+    val e1 = intercept[IllegalArgumentException] {
+      MinHashIndex.load(spark, s"$root/absent") }
+    assert(e1.getMessage.contains("missing manifest"))
+    // foreign kind (a bloom artifact is not a signature index)
+    graft.ops.BloomIndex.buildAndSave(Seq(1L).toDF("id"), "id", 0.01, s"$root/bl")
+    val e2 = intercept[IllegalArgumentException] {
+      MinHashIndex.load(spark, s"$root/bl") }
+    assert(e2.getMessage.contains("not a minhash signature index"))
+    // good artifact, then tampered manifests
+    val path = s"$root/idx"
+    MinHashIndex.buildAndSave(corpus, "doc_id", "text", path = path)
+    writeManifest(path, """{"version":99,"kind":"minhash_signatures","num_hashes":64,"shingle_size":3}""")
+    val e3 = intercept[IllegalArgumentException] { MinHashIndex.load(spark, path) }
+    assert(e3.getMessage.contains("version"))
+    writeManifest(path, """{"version":1,"kind":"minhash_signatures","shingle_size":3}""")
+    val e4 = intercept[IllegalArgumentException] { MinHashIndex.load(spark, path) }
+    assert(e4.getMessage.contains("num_hashes"))
+    writeManifest(path, "{not json")
+    val e5 = intercept[IllegalArgumentException] { MinHashIndex.load(spark, path) }
+    assert(e5.getMessage.contains("malformed minhash manifest"))
+    // unreadable signatures parquet
+    writeManifest(path, """{"version":1,"kind":"minhash_signatures","num_hashes":64,"shingle_size":3}""")
+    val sigDir = new org.apache.hadoop.fs.Path(path, "signatures")
+    sigDir.getFileSystem(spark.sessionState.newHadoopConf()).delete(sigDir, true)
+    val e6 = intercept[IllegalArgumentException] { MinHashIndex.load(spark, path) }
+    assert(e6.getMessage.contains("unreadable signatures"))
+    // wrong signature schema
+    Seq((1L, "x")).toDF("id", "nosig").write.parquet(s"$path/signatures")
+    val e7 = intercept[IllegalArgumentException] { MinHashIndex.load(spark, path) }
+    assert(e7.getMessage.contains("ARRAY<BIGINT>"))
+  }
+
+  test("content fingerprint catches id swaps AND in-place text edits") {
+    val path = tmpDir() + "/fp"
+    MinHashIndex.buildAndSave(corpus, "doc_id", "text", path = path)
+    // identical content, reordered and repartitioned: clean
+    MinHashIndex.verifyContent(spark, path,
+      corpus.orderBy(col("doc_id").desc).repartition(5), "doc_id", "text")
+    // same count, one id swapped: stale
+    val idSwap = corpus.withColumn("doc_id",
+      when(col("doc_id") === 6L, 60L).otherwise(col("doc_id")))
+    val e1 = intercept[IllegalArgumentException] {
+      MinHashIndex.verifyContent(spark, path, idSwap, "doc_id", "text") }
+    assert(e1.getMessage.contains("stale"))
+    // same count, same ids, ONE text edited in place — the drift a count
+    // tripwire (and Bloom's id fingerprint) cannot see; here it makes
+    // stored signatures wrong, so it must fail
+    val edited = corpus.withColumn("text",
+      when(col("doc_id") === 5L, lit("colorless green ideas sleep furiously at noon"))
+        .otherwise(col("text")))
+    val e2 = intercept[IllegalArgumentException] {
+      MinHashIndex.verifyContent(spark, path, edited, "doc_id", "text") }
+    assert(e2.getMessage.contains("stale"))
+    // grown corpus: count mismatch reported through the same check
+    val grown = corpus.unionByName(Seq((7L, "a new row")).toDF("doc_id", "text"))
+    val e3 = intercept[IllegalArgumentException] {
+      MinHashIndex.verifyContent(spark, path, grown, "doc_id", "text") }
+    assert(e3.getMessage.contains("stale"))
+    // a hand-saved pre-fingerprint artifact cannot be verified
+    val bare = tmpDir() + "/bare"
+    val art = MinHashIndex.load(spark, path)
+    art.sigs.write.parquet(s"$bare/signatures")
+    val p = new org.apache.hadoop.fs.Path(bare, "manifest.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(
+      """{"version":1,"kind":"minhash_signatures","num_hashes":64,"shingle_size":3}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val e4 = intercept[IllegalArgumentException] {
+      MinHashIndex.verifyContent(spark, bare, corpus, "doc_id", "text") }
+    assert(e4.getMessage.contains("no content fingerprint"))
+  }
+}

@@ -903,6 +903,90 @@ class XopSpec extends AnyFunSuite {
                            "corpus_id": "eid", "bands": 7}}}""", resolver) }
   }
 
+  test("minhash_against 'index': persisted signatures replace the corpus side") {
+    val root = java.nio.file.Files.createTempDirectory("xop_mh_index").toString
+    graft.ops.MinHashIndex.buildAndSave(evalSet, "eid", "text", path = s"$root/mh")
+    spark.conf.set("spark.graft.index.root", root)
+    try {
+      // index-served probe matches the inline corpus probe exactly
+      val viaIndex = QueryEngine.run(docs,
+        """{"xop": {"name": "minhash_against",
+                    "args": {"id": "id", "column": "text", "index": "mh",
+                             "threshold": 0.5}},
+            "order_by": ["batch_id"]}""", resolver).df
+      assert(viaIndex.columns.toSeq == Seq("batch_id", "corpus_id", "est_jaccard"))
+      assert(viaIndex.collect().map(_.getAs[Number](0).longValue).toSeq == Seq(1L, 3L))
+      val dropIdx = QueryEngine.run(docs,
+        """{"xop": {"name": "minhash_against",
+                    "args": {"id": "id", "column": "text", "index": "mh",
+                             "threshold": 0.5, "action": "drop"}},
+            "order_by": ["id"]}""", resolver).df
+      assert(ids(dropIdx) == Seq(2L, 4L, 5L, 6L))
+      // the artifact fixes the signature parameters
+      intercept[MalformedQueryException] { QueryEngine.run(docs,
+        """{"xop": {"name": "minhash_against",
+                    "args": {"id": "id", "column": "text", "index": "mh",
+                             "num_hashes": 32}}}""", resolver) }
+      intercept[MalformedQueryException] { QueryEngine.run(docs,
+        """{"xop": {"name": "minhash_against",
+                    "args": {"id": "id", "column": "text", "index": "mh",
+                             "shingle": 2}}}""", resolver) }
+      // bands stays probe-time, but must divide the artifact's hashes
+      intercept[MalformedQueryException] { QueryEngine.run(docs,
+        """{"xop": {"name": "minhash_against",
+                    "args": {"id": "id", "column": "text", "index": "mh",
+                             "bands": 7}}}""", resolver) }
+      // a corpus alongside the index is only admitted for verification
+      intercept[MalformedQueryException] { QueryEngine.run(docs,
+        """{"xop": {"name": "minhash_against",
+                    "args": {"id": "id", "column": "text", "index": "mh",
+                             "corpus": "evalset"}}}""", resolver) }
+      // verify_index without index is meaningless
+      intercept[MalformedQueryException] { QueryEngine.run(docs,
+        """{"xop": {"name": "minhash_against",
+                    "args": {"id": "id", "column": "text", "corpus": "evalset",
+                             "corpus_id": "eid", "verify_index": true}}}""", resolver) }
+      // verify_index + fresh corpus: clean pass, same output
+      val verified = QueryEngine.run(docs,
+        """{"xop": {"name": "minhash_against",
+                    "args": {"id": "id", "column": "text", "index": "mh",
+                             "verify_index": true, "corpus": "evalset",
+                             "corpus_id": "eid", "threshold": 0.5}},
+            "order_by": ["batch_id"]}""", resolver).df
+      assert(verified.collect().map(_.getAs[Number](0).longValue).toSeq == Seq(1L, 3L))
+      // verify_index + an in-place text edit (same count, same ids):
+      // stale — the drift only a content fingerprint can see
+      val editedEval: String => Option[DataFrame] =
+        n => if (n == "evalset") Some(Ingest.fromCsv(spark,
+          """eid,text
+            |900,the slow brown fox naps under the lazy dog
+            |""".stripMargin)) else None
+      val eStale = intercept[MalformedQueryException] { QueryEngine.run(docs,
+        """{"xop": {"name": "minhash_against",
+                    "args": {"id": "id", "column": "text", "index": "mh",
+                             "verify_index": true, "corpus": "evalset",
+                             "corpus_id": "eid"}}}""", editedEval) }
+      assert(eStale.getMessage.contains("stale"))
+      // identity tripwire: verification against a renamed id column
+      val renamedEval: String => Option[DataFrame] =
+        n => if (n == "evalset") Some(evalSet.withColumnRenamed("eid", "other_id"))
+             else None
+      val eName = intercept[MalformedQueryException] { QueryEngine.run(docs,
+        """{"xop": {"name": "minhash_against",
+                    "args": {"id": "id", "column": "text", "index": "mh",
+                             "verify_index": true, "corpus": "evalset",
+                             "corpus_id": "other_id"}}}""", renamedEval) }
+      assert(eName.getMessage.contains("built over column"))
+      // a bloom artifact under the same root is a foreign kind here
+      graft.ops.BloomIndex.buildAndSave(
+        { import spark.implicits._; Seq(2L).toDF("id") }, "id", 0.01, s"$root/bl2")
+      intercept[MalformedQueryException] { QueryEngine.run(docs,
+        """{"xop": {"name": "minhash_against",
+                    "args": {"id": "id", "column": "text", "index": "bl2"}}}""",
+        resolver) }
+    } finally spark.conf.unset("spark.graft.index.root")
+  }
+
   test("dedup_against xop drops texts already in a stored corpus") {
     import spark.implicits._
     val corpus = Seq((100L, "the quick brown fox jumps over the lazy dog"))
