@@ -395,6 +395,74 @@ object Dedup {
     batch.join(doomed, Seq(batchIdCol), "left_anti")
   }
 
+  /** STREAMING incremental near-dup detection against a persisted
+    * [[MinHashIndex]] — documents arriving on a stream are flagged
+    * in-flight, the live form of [[minhashPairsAgainstIndex]]:
+    * signature + banding are map-only over each micro-batch, the probe
+    * is a STATELESS stream-static equi-join on (band, bucket) (cross-
+    * side pairs by construction — no union, no streaming aggregation),
+    * and the only state Spark keeps is the watermark-bounded
+    * (batch_id, corpus_id) dedup that collapses multi-band matches of
+    * one pair, exactly like [[EventStreams.dedupStream]]'s repair
+    * stage. Emits the batch twin's rows (batch_id, corpus_id,
+    * est_jaccard) in append mode; admission (the drop form) is the
+    * standard `foreachBatch` anti-join of each micro-batch against this
+    * stream's flagged ids.
+    *
+    * Two documented deviations from the batch twin, both invisible
+    * unless the skew cap bites: the degenerate-bucket cap counts CORPUS
+    * members only (total bucket size is not observable statelessly in a
+    * stream), and the oversized-bucket set is resolved ONCE at stream
+    * start — one corpus-scale aggregation job whose result (normally
+    * zero buckets) filters the static side for the stream's lifetime,
+    * so no per-trigger corpus shuffle exists. The static side is still
+    * re-SCANNED per trigger (Spark's stream-static contract); persist
+    * `index.sigs` for high-frequency triggers. */
+  def minhashPairsAgainstIndexStream(batchStream: DataFrame, idCol: String,
+      textCol: String, tsCol: String, watermarkDelay: String,
+      index: MinHashIndex.Artifact, bands: Int = 16, threshold: Double = 0.7,
+      maxBucket: Int = 1000): DataFrame = {
+    require(bands > 0 && index.numHashes % bands == 0,
+      s"bands must divide the index's num_hashes=${index.numHashes}")
+    val r = index.numHashes / bands
+    val corpusBanded = bandedFromSigs(index.sigs, bands, r, None)
+      .select(col("p.id").as("corpus_id"), col("p.sig").as("corpus_sig"),
+        col("band"), col("bucket"))
+    // the oversized-bucket list is tiny by construction (boilerplate
+    // content only); a pathologically skewed corpus fails fast instead
+    // of shipping an unbounded literal into the plan
+    val oversized = corpusBanded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
+      .select("band", "bucket").limit(10001).collect()
+    require(oversized.length <= 10000,
+      "more than 10000 corpus buckets exceed maxBucket — the corpus is " +
+        "pathologically boilerplate-heavy; raise maxBucket or dedup it first")
+    val capped =
+      if (oversized.isEmpty) corpusBanded
+      else corpusBanded.filter(!struct(col("band"), col("bucket")).isin(
+        oversized.map(row => struct(lit(row.getInt(0)), lit(row.getLong(1)))): _*))
+
+    val streamSigs = batchStream.withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol).as("__ts"), col(idCol).as("batch_id"),
+        shingleHashesFused(col(textCol), index.shingleSize).as("hs"))
+      .select(col("__ts"), col("batch_id"),
+        minhashSignature(col("hs"), index.numHashes).as("sig"))
+    val streamBanded = streamSigs.select(col("__ts"), col("batch_id"),
+      col("sig").as("batch_sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * lit(r) + 1, lit(r))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+    streamBanded.join(capped, Seq("band", "bucket"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("batch_sig"), col("corpus_sig"), (x, y) => x === y),
+          x => x)).cast("double") / index.numHashes.toDouble)
+      .filter(col("est_jaccard") >= threshold)
+      .dropDuplicatesWithinWatermark("batch_id", "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
   /** In-bucket candidate pairs from a (band, bucket, p) relation where `p`
     * is a payload struct whose FIRST field is the id: group payloads per
     * bucket, emit (a, b) pairs with a.id < b.id. The payload (signature /

@@ -9,6 +9,9 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.EventStreams
 import graft.streaming.EventStreams.Event
 
+/** A document arriving on an ingestion stream (minhash index probe). */
+case class StreamDoc(ts: Timestamp, doc_id: Long, text: String)
+
 /** Structured Streaming behavior: windowed aggregation under a watermark
   * (late data dropped, windows finalize) and stateful gap sessionization. */
 class StreamingSpec extends AnyFunSuite {
@@ -16,6 +19,55 @@ class StreamingSpec extends AnyFunSuite {
 
   private def ts(minute: Int, second: Int = 0): Timestamp =
     Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$second%02d")
+
+  test("index-served minhash probe streams: stream ≡ batch, multi-band matches collapse") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.{Dedup, MinHashIndex}
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "colorless green ideas sleep furiously at night"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("mh_stream").toString + "/idx"
+    val art = MinHashIndex.buildAndSave(corpus, "doc_id", "text", path = path)
+
+    val docs = Seq(
+      // near-dup of corpus 1 (one token changed → many shared bands:
+      // the pair matches in several buckets, the watermark dedup must
+      // collapse it to ONE row, like the batch dropDuplicates)
+      StreamDoc(ts(0), 101L, "the quick brown fox jumps over the lazy dog yesterday"),
+      StreamDoc(ts(0), 103L, "nothing here resembles anything stored at all"),
+      // second micro-batch: an exact copy of corpus 2
+      StreamDoc(ts(1), 102L, "pack my box with five dozen liquor jugs"))
+
+    val input = MemoryStream[StreamDoc]
+    val query = Dedup.minhashPairsAgainstIndexStream(input.toDF(),
+      "doc_id", "text", "ts", "10 minutes", art, threshold = 0.5)
+      .writeStream.format("memory").queryName("mh_stream_pairs")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(docs(0), docs(1))
+      query.processAllAvailable()
+      input.addData(docs(2))
+      query.processAllAvailable()
+      val got = spark.table("mh_stream_pairs")
+        .orderBy("batch_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      // the batch twin over the union of everything streamed
+      val expected = Dedup.minhashPairsAgainstIndex(
+        docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+        "doc_id", "text", art, threshold = 0.5)
+        .orderBy("batch_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == expected)
+      assert(got.map(_._1).toSet == Set(101L, 102L))
+      assert(got.map(_._1).distinct.size == got.size,
+        "multi-band matches of one pair must collapse to a single row")
+      // the exact copy estimates J=1 through the signatures
+      assert(got.find(_._1 == 102L).exists(_._3 == 1.0))
+    } finally query.stop()
+  }
 
   test("windowed counts finalize once the watermark passes, late data dropped") {
     import spark.implicits._
