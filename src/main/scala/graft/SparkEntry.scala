@@ -495,6 +495,16 @@ object SparkEntry {
     "x19_text_vocab" -> ((s, dir) =>
       graft.ops.TextOps.topTokens(t(s, dir, "documents"), "text", k = 100)),
 
+    // certified-bounds vocabulary sketch (x19's anchor): per-partition
+    // exact counting, top-`capacity` + threshold shipped, exchange
+    // bounded at capacity+1 rows/partition whatever the vocabulary. At
+    // capacity ≥ per-partition vocab every threshold is 0, so n is
+    // exact and n_max = n — the whole output replays on x19's oracle
+    // with the bound column pinned equal to the count
+    "x67_vocab_sketch" -> ((s, dir) =>
+      graft.ops.TextOps.topTokensSketch(t(s, dir, "documents"), "text",
+        k = 100, capacity = 4096)),
+
     // int8 embedding quantization: map-only, floor-based round-half-up
     // (engine-portable), 4x storage cut for a float corpus
     // passage-level dedup: first corpus-wide occurrence of each 16-token
@@ -2119,6 +2129,16 @@ object SparkEntry {
          FROM tok ORDER BY doc_id""",
     "x19_text_vocab" ->
       """SELECT token, count(*) AS n FROM (
+           SELECT unnest(string_split(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+           FROM documents)
+         WHERE token <> ''
+         GROUP BY token ORDER BY n DESC, token LIMIT 100""",
+    "x67_vocab_sketch" ->
+      // x19's oracle with the certified upper bound pinned EQUAL to the
+      // exact count: at anchor capacity no partition withholds anything,
+      // so every threshold — and every bound gap — is zero
+      """SELECT token, count(*) AS n, count(*) AS n_max FROM (
            SELECT unnest(string_split(
              trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
            FROM documents)

@@ -405,11 +405,23 @@ object XopEngine {
         df.withColumn("fingerprint",
           TextOps.fingerprintMd5(col(column(df, args, "column", name))))
 
-      // corpus vocabulary: top-k tokens by document frequency
+      // corpus vocabulary: top-k tokens by document frequency. With
+      // 'capacity', the certified-bounds sketch runs instead (the
+      // exchange is bounded at capacity+1 rows per partition; output
+      // gains the n_max upper-bound column)
       case "text_vocab" =>
-        knownArgs("column", "k")
-        TextOps.topTokens(df, column(df, args, "column", name),
-          intArg(args, "k", 100, name).toInt)
+        knownArgs("column", "k", "capacity")
+        val k = intArg(args, "k", 100, name).toInt
+        if (k <= 0) Errors.malformed(s"xop '$name': k must be positive")
+        args.get("capacity") match {
+          case Some(_) =>
+            val cap = intArg(args, "capacity", 0, name).toInt
+            if (cap <= 0)
+              Errors.malformed(s"xop '$name': capacity must be positive")
+            TextOps.topTokensSketch(df, column(df, args, "column", name), k, cap)
+          case None =>
+            TextOps.topTokens(df, column(df, args, "column", name), k)
+        }
 
       // deterministic ~fraction sample by id hash — map-only
       case "sample_fraction" =>

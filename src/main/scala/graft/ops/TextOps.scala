@@ -264,6 +264,79 @@ object TextOps {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Certified-bounds distributed top-k token frequency — the sketch
+    * form of [[topTokens]] for vocabularies too large to shuffle
+    * (billions of distinct tokens make even the map-side-combined
+    * exchange the bottleneck: one row per distinct token per mapper).
+    * TPUT/threshold-style: each partition counts ITS tokens exactly
+    * (the same local hash map a partial count aggregation builds) but
+    * ships only its top `capacity` entries plus the threshold θ — the
+    * largest count it withheld. For any token, n = Σ reported counts is
+    * exact-from-below, and n_max = n + (Θ − ρ(t)) is a CERTIFIED upper
+    * bound (Θ = Σ all thresholds, ρ(t) = Σ thresholds of the partitions
+    * that did report t: a partition that withheld t cannot have counted
+    * it above its own θ). capacity ≥ each partition's distinct-token
+    * count ⇒ every θ is 0 and the output equals [[topTokens]] exactly —
+    * x67's oracle anchor. The ranking picks by n (ties token asc);
+    * overlapping [n, n_max] intervals near the cut are the documented
+    * approximation, inspectable from the bounds themselves.
+    *
+    * Shape at scale: one narrow imperative pass (the only mapPartitions
+    * in the text family — per-partition summarization is its legitimate
+    * use), an exchange bounded at capacity+1 rows per partition
+    * regardless of vocabulary size, a TakeOrdered top-(k+1), and a
+    * Window over those k+1 rows only (the Θ attachment — see the
+    * in-body comment for why it is NOT a scalar branch). Returns
+    * (token, n, n_max). */
+  def topTokensSketch(df: DataFrame, textCol: String, k: Int,
+                      capacity: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(capacity > 0, "capacity must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val summaries = df.select(tokens(col(textCol)).as("toks")).as[Seq[String]]
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { arr =>
+          if (arr != null) arr.foreach { t =>
+            if (t != null && t.nonEmpty) m.update(t, m.getOrElse(t, 0L) + 1L)
+          }
+        }
+        if (m.isEmpty) Iterator.empty
+        else {
+          val sorted = m.toArray.sortBy { case (t, c) => (-c, t) }
+          val thr = if (sorted.length > capacity) sorted(capacity)._2 else 0L
+          // one sentinel row per non-empty partition carries θ into the
+          // same exchange the entries ride (Θ = their sum downstream)
+          sorted.iterator.take(capacity)
+            .map { case (t, c) => (t, c, thr) } ++
+            Iterator((null: String, 0L, thr))
+        }
+      }.toDF("token", "c", "thr")
+    val agg = summaries.groupBy("token")
+      .agg(sum(col("c")).as("n"), sum(col("thr")).as("rho"))
+    // Θ is the null-sentinel group's rho. It must NOT be read through a
+    // second consumer of `agg`: a scalar branch looks free, but the
+    // is-null/not-null filters push through the aggregate below the
+    // exchange, the subtrees stop being canonically equal, and the
+    // whole corpus summarization executes twice (the x63b stage-reuse
+    // lesson). Instead the sentinel rides the SINGLE TakeOrdered —
+    // forced to sort first — and Θ spreads onto the survivors via a
+    // window whose input is the limit-bounded k+1 rows (one task over
+    // k+1 narrow rows; never a corpus-wide global window).
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    agg
+      .orderBy(col("token").isNotNull, col("n").desc, col("token"))
+      .limit(k + 1)
+      .withColumn("theta",
+        max(when(col("token").isNull, col("rho"))).over(w))
+      .filter(col("token").isNotNull)
+      .select(col("token"), col("n"),
+        (col("n") + coalesce(col("theta"), lit(0L)) - col("rho")).as("n_max"))
+      .orderBy(col("n").desc, col("token"))
+  }
+
   /** Per-document out-of-vocabulary rate against the corpus's OWN
     * top-`vocabSize` token vocabulary — the tokenizer-fit /
     * domain-mismatch signal: documents full of tokens outside the head

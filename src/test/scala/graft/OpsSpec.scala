@@ -306,6 +306,46 @@ class OpsSpec extends AnyFunSuite {
     assert(top == Seq(("the", 3L), ("cat", 2L), ("dog", 1L))) // tie: asc token
   }
 
+  test("topTokensSketch: exact at ample capacity, certified bounds under eviction") {
+    import spark.implicits._
+    // skewed corpus across several partitions: 'alpha' dominates
+    // everywhere, the tail differs per doc
+    val docs = (0L until 60L).map { i =>
+      val tail = s"tail${i % 13} tail${i % 7} rare$i"
+      s"alpha alpha alpha beta $tail"
+    }.toDF("text").repartition(6)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // ample capacity: equals the exact operator, bound gap zero
+    val exact = graft.ops.TextOps.topTokens(docs, "text", 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val ample = rows(graft.ops.TextOps.topTokensSketch(docs, "text", 10, 4096))
+    assert(ample.map(t => (t._1, t._2)) == exact)
+    assert(ample.forall(t => t._2 == t._3), "no withholding -> n_max == n")
+    // tight capacity: every reported token's interval [n, n_max] must
+    // contain its TRUE corpus count, and the certified head must rank
+    // the dominant token first
+    val truth = graft.ops.TextOps.topTokens(docs, "text", 10000).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val tight = rows(graft.ops.TextOps.topTokensSketch(docs, "text", 10, 3))
+    assert(tight.nonEmpty && tight.head._1 == "alpha")
+    assert(tight.head._2 == truth("alpha"),
+      "a token in every partition's top-capacity is counted exactly")
+    for ((t, n, nMax) <- tight) {
+      assert(n <= truth(t), s"$t lower bound must not exceed truth")
+      assert(nMax >= truth(t), s"$t certified upper bound must cover truth")
+    }
+    // empty corpus: empty result, no crash
+    assert(graft.ops.TextOps.topTokensSketch(
+      Seq.empty[String].toDF("text"), "text", 5, 8).collect().isEmpty)
+    // single partition at capacity 2: exactly the exact top-2, and
+    // every reported token has ρ = Θ, so the bound gap is zero
+    val one = rows(graft.ops.TextOps.topTokensSketch(
+      docs.coalesce(1), "text", 3, 2))
+    assert(one.map(t => (t._1, t._2)) == exact.take(2))
+    assert(one.forall(t => t._2 == t._3))
+  }
+
   test("deterministic sampling: stratified top-k and hash fraction") {
     import spark.implicits._
     val df = (0L until 500L).map(i => (i, if (i % 3 == 0) "en" else "es"))

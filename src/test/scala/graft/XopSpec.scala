@@ -80,6 +80,23 @@ class XopSpec extends AnyFunSuite {
     assert(out.count() == 3)
   }
 
+  test("text_vocab with capacity runs the certified sketch") {
+    val exact = run(
+      """{"xop": {"name": "text_vocab", "args": {"column": "text", "k": 3}}}""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val sketch = run(
+      """{"xop": {"name": "text_vocab",
+                  "args": {"column": "text", "k": 3, "capacity": 1024}}}""")
+    assert(sketch.columns.toSeq == Seq("token", "n", "n_max"))
+    val rows = sketch.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.map(t => (t._1, t._2)) == exact)
+    assert(rows.forall(t => t._2 == t._3)) // ample capacity: zero bound gap
+    intercept[MalformedQueryException] { run(
+      """{"xop": {"name": "text_vocab",
+                  "args": {"column": "text", "k": 3, "capacity": 0}}}""") }
+  }
+
   test("chunk_dedup rebuilds documents from surviving chunks") {
     val out = run(
       """{"xop": {"name": "chunk_dedup",
