@@ -462,6 +462,15 @@ object SparkEntry {
         default = 0.1)
         .select("doc_id", "source").orderBy("doc_id")),
 
+    // training-mix EPOCH resampling: weights past 1 replicate (src0 ×2.5
+    // → two full copies + a hash-half third epoch), weights below 1
+    // downsample through the same shared id hash, default 1.0 passes
+    // everything else once. Map-only + a row-local bounded explode
+    "x68_mixture_epochs" -> ((s, dir) =>
+      graft.ops.Sampling.mixtureEpochsByHash(t(s, dir, "documents"), "doc_id",
+        "source", Map("src0" -> 2.5, "src1" -> 0.4), default = 1.0)
+        .select("doc_id", "source", "epoch").orderBy("doc_id", "epoch")),
+
     // document fingerprinting (md5-of-normalized, oracle-checked; the
     // rolling-hash variant is engine-specific and covered by unit tests)
     "x11_text_fingerprint" -> ((s, dir) =>
@@ -1944,6 +1953,24 @@ object SparkEntry {
                            WHEN 'src2' THEN 250000001
                            ELSE 100000000 END
          ORDER BY doc_id""",
+    "x68_mixture_epochs" ->
+      // ⌊w⌋ full copies + a fractional epoch gated on x17's hash with
+      // threshold floor(1000000007 · frac(w)): src0 w=2.5 → 2 copies +
+      // hash < 500000003; src1 w=0.4 → hash < 400000002; default w=1 →
+      // exactly one epoch-0 copy
+      """WITH t AS (
+           SELECT doc_id, source,
+                  (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 ELSE 1 END
+                   + CASE WHEN ((doc_id % 1000000007) * 654435747) % 1000000007 <
+                            CASE source WHEN 'src0' THEN 500000003
+                                        WHEN 'src1' THEN 400000002
+                                        ELSE 0 END
+                          THEN 1 ELSE 0 END) AS n
+           FROM documents)
+         SELECT doc_id, source,
+                unnest(generate_series(0, n - 1))::BIGINT AS epoch
+         FROM t WHERE n > 0
+         ORDER BY doc_id, epoch""",
     "x11_text_fingerprint" ->
       """SELECT doc_id,
                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5

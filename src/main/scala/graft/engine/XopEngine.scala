@@ -442,7 +442,7 @@ object XopEngine {
 
       // per-source mixture weights {"source": fraction, ...}
       case "sample_mixture" =>
-        knownArgs("id", "source", "weights", "default")
+        knownArgs("id", "source", "weights", "default", "epochs")
         val weights = args.get("weights") match {
           case Some(w: Map[_, _]) =>
             w.asInstanceOf[Map[String, Any]].map {
@@ -455,12 +455,24 @@ object XopEngine {
             Errors.malformed(s"xop '$name': 'weights' must be an object", other)
           case None => Errors.malformed(s"xop '$name': missing required argument 'weights'")
         }
-        val defaultW =
-          args.get("default").map(_ => doubleArg(args, "default", name)).getOrElse(0.0)
-        if ((weights.values ++ Seq(defaultW)).exists(w => w < 0 || w > 1))
-          Errors.malformed(s"xop '$name': weights must be in [0,1]")
-        Sampling.mixtureByHash(df, column(df, args, "id", name),
-          column(df, args, "source", name), weights, defaultW)
+        // epochs mode: weights above 1 replicate (epoch column appears);
+        // the plain mode keeps the historical [0,1] sampling contract
+        if (boolArg(args, "epochs", default = false, name)) {
+          val defaultW =
+            args.get("default").map(_ => doubleArg(args, "default", name)).getOrElse(1.0)
+          if ((weights.values ++ Seq(defaultW)).exists(w => w < 0 || w > 1000))
+            Errors.malformed(s"xop '$name': weights must be in [0,1000]")
+          Sampling.mixtureEpochsByHash(df, column(df, args, "id", name),
+            column(df, args, "source", name), weights, defaultW)
+        } else {
+          val defaultW =
+            args.get("default").map(_ => doubleArg(args, "default", name)).getOrElse(0.0)
+          if ((weights.values ++ Seq(defaultW)).exists(w => w < 0 || w > 1))
+            Errors.malformed(s"xop '$name': weights must be in [0,1] " +
+              "(pass \"epochs\": true for replicating weights above 1)")
+          Sampling.mixtureByHash(df, column(df, args, "id", name),
+            column(df, args, "source", name), weights, defaultW)
+        }
 
       // one-pass per-column audit (counts, nulls, distinct, min/max)
       case "profile" =>

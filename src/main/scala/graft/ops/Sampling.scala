@@ -177,6 +177,45 @@ object Sampling {
     df.filter(orderHash(col(idCol)) < threshold)
   }
 
+  /** Training-mix EPOCH resampling — [[mixtureByHash]] generalized past
+    * weight 1: a source with weight w = m + f (m = ⌊w⌋) contributes m
+    * full copies of every row (epoch 0..m−1) plus a deterministic
+    * hash-fraction-f sample as epoch m — upsampling a small high-quality
+    * corpus (wiki ×2.5) while downsampling a big one (crawl ×0.3) in the
+    * SAME pass, the mix-application stage of a training-data pipeline.
+    * The fractional epoch uses the same id-hash gate as
+    * [[mixtureByHash]]/[[fractionByHash]]: weights ≤ 1 reduce to
+    * mixtureByHash's row set exactly (as epoch 0 — pinned in tests),
+    * raising a weight strictly extends the sample, and the output is
+    * identical under any partitioning or re-run. The `epoch` column
+    * keeps copies distinguishable for downstream packing/shuffling.
+    *
+    * Shape at scale: map-only plus a row-local bounded explode — no
+    * shuffle, no RNG. The explode multiplies rows by at most ⌈max
+    * weight⌉; the [0, 1000] guard keeps a fat-fingered weight from
+    * quietly scheduling a 10^9-fold blow-up. */
+  def mixtureEpochsByHash(df: DataFrame, idCol: String, sourceCol: String,
+                          weights: Map[String, Double],
+                          default: Double = 1.0): DataFrame = {
+    require((weights.values ++ Seq(default)).forall(w => w >= 0 && w <= 1000),
+      "weights must be in [0,1000]")
+    // two literal CASE chains (full copies; fractional-epoch threshold),
+    // both resolved driver-side so every boundary is one exact integer in
+    // the plan — the engine-portability rule every hash sampler follows
+    def chain(f: Double => Long): Column =
+      weights.toSeq.sortBy(_._1).foldLeft(lit(f(default))) {
+        case (acc, (s, w)) => when(col(sourceCol) === s, lit(f(w))).otherwise(acc)
+      }
+    val full = chain(w => math.floor(w).toLong)
+    val fracThr = chain(w => math.floor(P * (w - math.floor(w))).toLong)
+    val n = full +
+      when(orderHash(col(idCol)) < fracThr, lit(1L)).otherwise(lit(0L))
+    df.withColumn("__n", n)
+      .filter(col("__n") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__n") - 1)))
+      .drop("__n")
+  }
+
   /** Per-group adaptive quantile band filter: keep rows whose `valueCol`
     * lies inside their OWN group's [lo, hi] interpolated quantile band —
     * the outlier filter that adapts to each source/domain instead of one

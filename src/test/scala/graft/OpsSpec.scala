@@ -346,6 +346,49 @@ class OpsSpec extends AnyFunSuite {
     assert(one.forall(t => t._2 == t._3))
   }
 
+  test("mixtureEpochsByHash: ⌊w⌋ full copies + hash-fraction epoch, consistent with mixtureByHash") {
+    import spark.implicits._
+    val df = (0L until 400L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "src")
+    val out = Sampling.mixtureEpochsByHash(df, "id", "src",
+      Map("a" -> 2.5, "b" -> 0.4), default = 1.0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val aRows = out.filter(_._2 == "a")
+    val bRows = out.filter(_._2 == "b")
+    // every 'a' row appears at epochs 0 and 1; epoch 2 is the hash half
+    assert(aRows.count(_._3 == 0L) == 200 && aRows.count(_._3 == 1L) == 200)
+    val aFrac = aRows.filter(_._3 == 2L).map(_._1).toSet
+    assert(aFrac.nonEmpty && aFrac.size < 200)
+    // 'b' never replicates — only the downsampled epoch 0
+    assert(bRows.forall(_._3 == 0L))
+    // fractional epochs are EXACTLY mixtureByHash at the fractional weight
+    assert(aFrac == Sampling.mixtureByHash(df, "id", "src", Map("a" -> 0.5))
+      .collect().map(_.getLong(0)).toSet)
+    assert(bRows.map(_._1).toSet ==
+      Sampling.mixtureByHash(df, "id", "src", Map("b" -> 0.4))
+        .collect().map(_.getLong(0)).toSet)
+    // nested: raising a weight strictly extends the sample
+    val bBigger = Sampling.mixtureEpochsByHash(df, "id", "src",
+      Map("a" -> 2.5, "b" -> 0.7), default = 1.0)
+      .filter(col("src") === "b").collect().map(_.getLong(0)).toSet
+    assert(bRows.map(_._1).toSet.subsetOf(bBigger))
+    // identical output under repartitioning (no RNG anywhere)
+    val re = Sampling.mixtureEpochsByHash(df.repartition(7), "id", "src",
+      Map("a" -> 2.5, "b" -> 0.4), default = 1.0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(re.sorted == out.sorted)
+    // integer weights: exact copy counts, no fractional epoch
+    val twice = Sampling.mixtureEpochsByHash(df, "id", "src",
+      Map("a" -> 2.0), default = 0.0)
+    assert(twice.count() == 400L)
+    assert(twice.groupBy("epoch").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap == Map(0L -> 200L, 1L -> 200L))
+    // the fat-finger guard
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureEpochsByHash(df, "id", "src", Map("a" -> 5000.0))
+    }
+  }
+
   test("deterministic sampling: stratified top-k and hash fraction") {
     import spark.implicits._
     val df = (0L until 500L).map(i => (i, if (i % 3 == 0) "en" else "es"))

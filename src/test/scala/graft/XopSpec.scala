@@ -134,6 +134,24 @@ class XopSpec extends AnyFunSuite {
     assert(ids(all).sorted == Seq(1L, 2L, 3L, 6L))
   }
 
+  test("sample_mixture epochs mode replicates; plain mode rejects weights above 1") {
+    val doubled = run(
+      """{"xop": {"name": "sample_mixture",
+                  "args": {"id": "id", "source": "src", "epochs": true,
+                           "weights": {"web": 2.0}, "default": 0}},
+          "order_by": ["id", "epoch"]}""")
+    assert(doubled.columns.contains("epoch"))
+    assert(doubled.collect().map(r =>
+      (r.getAs[Number]("id").longValue, r.getAs[Number]("epoch").longValue)).toSeq
+      == Seq(1L -> 0L, 1L -> 1L, 2L -> 0L, 2L -> 1L, 3L -> 0L, 3L -> 1L,
+        6L -> 0L, 6L -> 1L))
+    val e = intercept[MalformedQueryException] { run(
+      """{"xop": {"name": "sample_mixture",
+                  "args": {"id": "id", "source": "src",
+                           "weights": {"web": 2.0}, "default": 0}}}""") }
+    assert(e.getMessage.contains("epochs"))
+  }
+
   test("profile audits every column in one pass") {
     val out = run("""{"xop": {"name": "profile"}, "order_by": ["column"]}""")
     assert(out.columns.contains("column") && out.columns.contains("n_distinct"))
