@@ -806,6 +806,15 @@ object SparkEntry {
       graft.ops.Sampling.fractionByHash(t(s, dir, "documents"), "doc_id", 0.1)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // cohort retention triangle: daily cohorts by first activity, cells
+    // count re-active users up to 7 days out. Events collapse to
+    // distinct (user, day) before anything else shuffles
+    "x69_retention" -> ((s, dir) =>
+      graft.streaming.EventStreams.retention(
+        graft.streaming.EventStreams.eventsFrame(s, dir),
+        periodSeconds = 86400L, maxOffset = 7)
+        .orderBy("cohort", "offset")),
+
     // gap sessionization, batch form (same semantics as the streaming
     // flatMapGroupsWithState operator; one user_id shuffle + window funcs)
     "x15_events_sessions" -> ((s, dir) =>
@@ -2212,6 +2221,18 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
          WHERE ((doc_id % 1000000007) * 654435747) % 1000000007 < 100000000
          ORDER BY doc_id""",
+    "x69_retention" ->
+      // same second-truncation boundary as every events oracle; daily
+      // periods via integer floor-division of the exact epoch seconds
+      """WITH a AS (
+           SELECT DISTINCT user_id,
+                  epoch(date_trunc('second', ts::TIMESTAMP))::BIGINT // 86400 AS period
+           FROM events),
+         c AS (SELECT user_id, min(period) AS cohort FROM a GROUP BY 1)
+         SELECT cohort, period - cohort AS "offset", count(*) AS n_users
+         FROM a JOIN c USING (user_id)
+         WHERE period - cohort <= 7
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "x15_events_sessions" ->
       // truncate ts to whole seconds the same way the Spark side does
       // (eventsFrame's read-boundary normalization) before the gap logic;

@@ -659,6 +659,26 @@ object XopEngine {
       // ---- events ----
 
       // gap-based sessionization, batch form (user_id/ts/value shape)
+      // cohort retention triangle over the event frame: daily (or any
+      // period) cohorts by first activity, cells of re-active users
+      case "retention" =>
+        knownArgs("period_seconds", "max_offset")
+        for (c <- Seq("user_id", "ts") if !ExprCompiler.hasColumn(df, c))
+          Errors.malformed(s"xop '$name': frame has no '$c' column")
+        df.schema("ts").dataType match {
+          case org.apache.spark.sql.types.TimestampType => ()
+          case org.apache.spark.sql.types.TimestampNTZType => ()
+          case other =>
+            Errors.malformed(s"xop '$name': 'ts' must be a timestamp", other)
+        }
+        val rPeriod = intArg(args, "period_seconds", 86400, name)
+        if (rPeriod <= 0)
+          Errors.malformed(s"xop '$name': period_seconds must be positive")
+        val rOffset = intArg(args, "max_offset", 30, name).toInt
+        if (rOffset < 0)
+          Errors.malformed(s"xop '$name': max_offset must be >= 0")
+        graft.streaming.EventStreams.retention(df, rPeriod, rOffset)
+
       case "sessionize" =>
         knownArgs("gap_seconds", "granule", "strategy")
         for (c <- Seq("user_id", "ts", "value") if !ExprCompiler.hasColumn(df, c))

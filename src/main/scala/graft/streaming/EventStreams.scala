@@ -733,6 +733,42 @@ object EventStreams {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Cohort retention triangle — the classic activation metric over an
+    * event log: users are cohorted by the period (e.g. day) of their
+    * FIRST activity, and cell (cohort, offset) counts how many of that
+    * cohort were active again `offset` periods later (offset 0 = the
+    * cohort's own size). Periods are floor(epoch / periodSeconds) in
+    * exact long arithmetic: epoch − pmod(epoch, p) is an exact multiple
+    * of p, and its double division by p is exact below 2^53 — the
+    * negative-epoch-safe floor the long-nanos branch lesson demands.
+    * Rows with a null user or null ts drop out (no cohort to belong to).
+    *
+    * Shape at scale: the event log collapses to DISTINCT (user, period)
+    * FIRST — partial dedup combines map-side, so a user's thousandth
+    * click of the day costs one row per mapper, not a shuffled row —
+    * then the per-user min (the cohort) aggregates over that collapsed
+    * relation, the join back is user-keyed (AQE-broadcastable once the
+    * user set is small), and the (cohort, offset) cells partial-combine.
+    * Because activity is already distinct, cells are count(*) — no
+    * COUNT(DISTINCT user) re-shuffle. Raw events shuffle exactly once;
+    * every later exchange is over strictly smaller relations. */
+  def retention(events: DataFrame, periodSeconds: Long, maxOffset: Int,
+                userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    require(periodSeconds > 0, "periodSeconds must be positive")
+    require(maxOffset >= 0, "maxOffset must be >= 0")
+    val epoch = unix_seconds(col(tsCol).cast("timestamp"))
+    val adj = epoch - pmod(epoch, lit(periodSeconds))
+    val period = (adj / lit(periodSeconds)).cast("long")
+    val activity = events
+      .select(col(userCol).as("user"), period.as("period")).distinct()
+    val cohorts = activity.groupBy("user").agg(min("period").as("cohort"))
+    activity.join(cohorts, "user")
+      .withColumn("offset", col("period") - col("cohort"))
+      .filter(col("offset") <= maxOffset)
+      .groupBy("cohort", "offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Semi-structured property extraction + per-type rollup: parse the
     * JSON `props` string into typed fields (the schema is DECLARED, not
     * inferred — inference would scan the corpus twice and produce an

@@ -346,6 +346,31 @@ class OpsSpec extends AnyFunSuite {
     assert(one.forall(t => t._2 == t._3))
   }
 
+  test("retention cohorts by first-activity period; duplicate-day events collapse") {
+    import spark.implicits._
+    def ts(day: Int, h: Int = 12) =
+      java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d $h%02d:00:00")
+    val ev = Seq(
+      (1L, ts(0), 100L), (2L, ts(0, 13), 100L), // user 100 twice on day 0
+      (3L, ts(1), 100L), (4L, ts(3), 100L),     // re-active day 1 and 3
+      (5L, ts(1), 200L),                        // user 200 cohorts on day 1
+      (6L, ts(0), 300L), (7L, ts(9), 300L))     // day 9 falls past maxOffset 7
+      .toDF("event_id", "ts", "user_id")
+      // a user whose only event has a null ts belongs to no cohort
+      .unionByName(Seq((8L, null.asInstanceOf[java.sql.Timestamp], 400L))
+        .toDF("event_id", "ts", "user_id"))
+    val got = graft.streaming.EventStreams.retention(ev, 86400L, 7)
+      .orderBy("cohort", "offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val day0 = 19723L // 2024-01-01 as an epoch-day index
+    assert(got == Seq(
+      (day0, 0L, 2L),     // users 100 and 300
+      (day0, 1L, 1L),     // user 100 back on day 1
+      (day0, 3L, 1L),     // user 100 back on day 3
+      (day0 + 1, 0L, 1L)) // user 200's own cohort
+    )
+  }
+
   test("mixtureEpochsByHash: ⌊w⌋ full copies + hash-fraction epoch, consistent with mixtureByHash") {
     import spark.implicits._
     val df = (0L until 400L).map(i => (i, if (i % 2 == 0) "a" else "b"))

@@ -668,6 +668,28 @@ class XopSpec extends AnyFunSuite {
     case _ => None
   }
 
+  test("retention xop cohorts the event frame; guards ts shape") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 1L, 1.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-02 11:00:00"), 2L, 1.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val out = QueryEngine.run(ev,
+      """{"xop": {"name": "retention",
+                  "args": {"period_seconds": 86400, "max_offset": 7}},
+          "order_by": ["cohort", "offset"]}""").df
+    assert(out.columns.toSeq == Seq("cohort", "offset", "n_users"))
+    assert(out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      == Seq((19723L, 0L, 1L), (19723L, 1L, 1L), (19724L, 0L, 1L)))
+    // docs frame has no user_id/ts → 400
+    intercept[MalformedQueryException] {
+      run("""{"xop": {"name": "retention"}}""") }
+    intercept[MalformedQueryException] { QueryEngine.run(ev,
+      """{"xop": {"name": "retention", "args": {"period_seconds": 0}}}""") }
+  }
+
   test("interval_join attributes same-key in-horizon matches via the resolver") {
     import spark.implicits._
     val anchors = Seq(
