@@ -743,15 +743,18 @@ object EventStreams {
     * negative-epoch-safe floor the long-nanos branch lesson demands.
     * Rows with a null user or null ts drop out (no cohort to belong to).
     *
-    * Shape at scale: the event log collapses to DISTINCT (user, period)
-    * FIRST — partial dedup combines map-side, so a user's thousandth
-    * click of the day costs one row per mapper, not a shuffled row —
-    * then the per-user min (the cohort) aggregates over that collapsed
-    * relation, the join back is user-keyed (AQE-broadcastable once the
-    * user set is small), and the (cohort, offset) cells partial-combine.
-    * Because activity is already distinct, cells are count(*) — no
-    * COUNT(DISTINCT user) re-shuffle. Raw events shuffle exactly once;
-    * every later exchange is over strictly smaller relations. */
+    * Shape at scale: the activity branch collapses to DISTINCT
+    * (user, period) map-side before its one exchange — a user's
+    * thousandth click of the day costs one row per mapper, not a
+    * shuffled row. The cohort side is written as min over that
+    * collapsed relation, and the optimizer rightly COLLAPSES
+    * min-over-distinct into a direct per-user min over the raw log
+    * (min is dedup-insensitive), so each branch is one map-combining
+    * aggregation with a user-bounded exchange; the cohort relation is
+    * user-count-sized and broadcast back (AQE), and the
+    * (cohort, offset) cells partial-combine as count(*) — never a
+    * COUNT(DISTINCT user) re-shuffle, because activity is already
+    * distinct. No exchange anywhere carries raw event rows. */
   def retention(events: DataFrame, periodSeconds: Long, maxOffset: Int,
                 userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
     require(periodSeconds > 0, "periodSeconds must be positive")
