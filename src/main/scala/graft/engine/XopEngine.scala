@@ -456,10 +456,15 @@ object XopEngine {
           case None => Errors.malformed(s"xop '$name': missing required argument 'weights'")
         }
         // epochs mode: weights above 1 replicate (epoch column appears);
-        // the plain mode keeps the historical [0,1] sampling contract
+        // the plain mode keeps the historical [0,1] sampling contract.
+        // The implicit default stays 0.0 in BOTH modes — flipping it on
+        // the same clause name would silently admit every unlisted
+        // source the moment a user adds "epochs": true (the Scala API's
+        // mixtureEpochsByHash defaults to pass-through 1.0, but there
+        // the function NAME changes with the semantics)
         if (boolArg(args, "epochs", default = false, name)) {
           val defaultW =
-            args.get("default").map(_ => doubleArg(args, "default", name)).getOrElse(1.0)
+            args.get("default").map(_ => doubleArg(args, "default", name)).getOrElse(0.0)
           if ((weights.values ++ Seq(defaultW)).exists(w => w < 0 || w > 1000))
             Errors.malformed(s"xop '$name': weights must be in [0,1000]")
           Sampling.mixtureEpochsByHash(df, column(df, args, "id", name),

@@ -61,15 +61,25 @@ object BloomIndex {
   def fingerprint(df: DataFrame, idCol: String): String =
     fingerprintAndCount(df, idCol)._1
 
-  /** [[fingerprint]] and the exact list row count from the SAME
-    * aggregation pass. */
-  private def fingerprintAndCount(df: DataFrame, idCol: String): (String, Long) = {
+  /** Marker for the CURRENT fingerprint formula, recorded in the
+    * manifest: "zero" = null ids contribute 0. Artifacts whose manifest
+    * lacks the marker predate the null-neutral change (their formula
+    * folded xxhash64's seed per null row); the two formulas agree on any
+    * null-free list, so verification of such artifacts proceeds normally
+    * unless the current list actually contains nulls — then it demands a
+    * rebuild with a precise error instead of a misleading "stale". */
+  val FingerprintNullsZero = "zero"
+
+  /** [[fingerprint]], the exact list row count, and the null-id count,
+    * all from the SAME aggregation pass. */
+  private def fingerprintAndCount(df: DataFrame, idCol: String): (String, Long, Long) = {
     val row = df.agg(
       sum(when(col(idCol).isNotNull, xxhash64(col(idCol))).otherwise(lit(0L))
         .cast("decimal(38,0)")).as("fp"),
-      count(lit(1)).as("n")).head()
+      count(lit(1)).as("n"),
+      count(when(col(idCol).isNull, lit(1))).as("n_null")).head()
     (Option(row.getDecimal(0)).map(d => BigDecimal(d).toBigInt.toString)
-      .getOrElse("0"), row.getLong(1))
+      .getOrElse("0"), row.getLong(1), row.getLong(2))
   }
 
   /** Build the sketch over `exclude`'s id column (the same build
@@ -79,7 +89,7 @@ object BloomIndex {
   def buildAndSave(exclude: DataFrame, idCol: String, fpp: Double,
                    path: String): Array[Byte] = {
     val bytes = Dedup.buildBloom(exclude, idCol, fpp)
-    val (fp, n) = fingerprintAndCount(exclude, idCol)
+    val (fp, n, _) = fingerprintAndCount(exclude, idCol)
     save(exclude.sparkSession, path, bytes, fpp = fpp,
       nIds = Some(n),
       idCol = Some(idCol),
@@ -94,7 +104,8 @@ object BloomIndex {
   final case class Artifact(bytes: Array[Byte], nIds: Option[Long],
                             idCol: Option[String] = None,
                             idType: Option[String] = None,
-                            contentFingerprint: Option[String] = None)
+                            contentFingerprint: Option[String] = None,
+                            fingerprintNulls: Option[String] = None)
 
   /** Persist already-built sketch bytes at `path` (overwrite). */
   def save(spark: SparkSession, path: String, bytes: Array[Byte],
@@ -115,7 +126,9 @@ object BloomIndex {
       nIds.map("n_ids" -> _.asInstanceOf[Any]) ++
       idCol.map("id_col" -> _.asInstanceOf[Any]) ++
       idType.map("id_type" -> _.asInstanceOf[Any]) ++
-      contentFingerprint.map("fingerprint" -> _.asInstanceOf[Any])
+      contentFingerprint.map("fingerprint" -> _.asInstanceOf[Any]) ++
+      contentFingerprint.map(_ =>
+        "fingerprint_nulls" -> FingerprintNullsZero.asInstanceOf[Any])
     val p = new org.apache.hadoop.fs.Path(path, "manifest.json")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, true)
@@ -175,7 +188,8 @@ object BloomIndex {
       manifest.get("n_ids").collect { case l: Long => l },
       manifest.get("id_col").collect { case s: String => s },
       manifest.get("id_type").collect { case s: String => s },
-      manifest.get("fingerprint").collect { case s: String => s })
+      manifest.get("fingerprint").collect { case s: String => s },
+      manifest.get("fingerprint_nulls").collect { case s: String => s })
   }
 
   /** STRONG staleness check: recompute the content fingerprint of the
@@ -200,7 +214,17 @@ object BloomIndex {
       throw new IllegalArgumentException(
         s"$what records no content fingerprint " +
           "(pre-fingerprint artifact) — rebuild it to enable verification"))
-    val current = fingerprint(exclude, idCol)
+    val (current, _, nNull) = fingerprintAndCount(exclude, idCol)
+    // formula-generation guard: an artifact without the nulls marker was
+    // fingerprinted under the old formula (seed folded per null row).
+    // Both formulas agree on null-free lists, so verification proceeds
+    // there; with nulls present the comparison would be apples-to-
+    // oranges — demand a rebuild with the real reason, not "stale"
+    if (art.fingerprintNulls.isEmpty && nNull > 0)
+      throw new IllegalArgumentException(
+        s"$what predates the null-neutral fingerprint formula and the " +
+          s"exclude list contains $nNull null ids — rebuild the artifact " +
+          "to verify it")
     if (current != recorded)
       throw new IllegalArgumentException(
         s"$what is stale: exclude list content changed " +

@@ -109,17 +109,18 @@ final class GraftServer(spark: SparkSession, port: Int,
     } catch {
       case f: HttpFail =>
         // Drain the unread request remainder (bounded streaming discard,
-        // no buffering) before responding: a client mid-upload otherwise
-        // sees a connection RESET instead of reading the failure status —
-        // the max-body-bytes 413 in particular rejects before consuming
-        // the body. The drain is a COURTESY, so it is cheap by
-        // construction: skipped outright for auth failures (an
-        // unauthenticated client gets no read bandwidth at all) and for
-        // requests declaring more than the 256 KB ceiling (the
-        // connection closes instead — reading a GiB per failed request
-        // would let an abusive upload pin a handler thread). Bodies the
-        // handler already consumed hit EOF immediately regardless of
-        // their declared size.
+        // no buffering) before responding, so a client mid-upload of a
+        // MODEST body reads the failure status instead of a connection
+        // RESET. The drain is a COURTESY and cheap by construction:
+        // skipped outright for auth failures (an unauthenticated client
+        // gets no read bandwidth at all) and for requests declaring more
+        // than the 256 KB ceiling — those close without the status
+        // (reading a GiB per failed request would let one abusive upload
+        // pin a handler thread; a well-behaved client retries and reads
+        // the error from a HEAD-size probe or its logs). Bodies the
+        // handler already consumed — e.g. a parse failure after a full
+        // read — hit EOF immediately regardless of declared size, so the
+        // response still delivers there.
         val drainCeiling = 256L * 1024
         val skipDrain = f.status == 401 ||
           header(exchange, "Content-Length").flatMap(_.toLongOption)

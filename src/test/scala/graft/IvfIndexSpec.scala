@@ -215,6 +215,31 @@ class IvfIndexSpec extends AnyFunSuite {
       BloomIndex.verifyContent(spark, bare, exclude, "xid")
     }
     assert(e2.getMessage.contains("no content fingerprint"))
+    // formula-generation guard: an artifact whose manifest carries a
+    // fingerprint but NO fingerprint_nulls marker predates the
+    // null-neutral formula. Both formulas agree on null-free lists, so
+    // verification proceeds there; a list WITH null ids demands a
+    // rebuild with the real reason instead of a bogus "stale"
+    val legacy = tmpDir() + "/bloom_legacy"
+    BloomIndex.buildAndSave(exclude, "xid", fpp = 0.01, legacy)
+    val legacyBytes = BloomIndex.load(spark, legacy)
+    locally {
+      val p = new org.apache.hadoop.fs.Path(legacy, "manifest.json")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val out = fs.create(p, true)
+      try out.write(
+        (s"""{"version":1,"kind":"bloom_exclusion","fpp":0.01,""" +
+          s""""n_bytes":${legacyBytes.length},""" +
+          s""""fingerprint":"${BloomIndex.fingerprint(exclude, "xid")}"}""")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    BloomIndex.verifyContent(spark, legacy, exclude, "xid") // null-free: fine
+    val withNulls2 = ((1L to 40L).map(Option(_)) :+ None).map(Tuple1(_)).toDF("xid")
+    val eLegacy = intercept[IllegalArgumentException] {
+      BloomIndex.verifyContent(spark, legacy, withNulls2, "xid")
+    }
+    assert(eLegacy.getMessage.contains("predates"))
   }
 
   test("Bloom exclusion rejects non-integral id columns on both sides") {
