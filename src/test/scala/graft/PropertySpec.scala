@@ -397,7 +397,7 @@ class PropertySpec extends AnyFunSuite {
       "gram_novelty", "token_divergence", "pmi_pairs", "quantile_band",
       "bigram_nll", "line_dedup", "line_quality", "sample_weighted",
       "text_chunks", "oov_rate", "semantic_dedup", "interval_join", "funnel",
-      "repetition_signals", "zap")
+      "repetition_signals", "retention", "zap")
     val argKeys = Seq("id", "column", "order", "chunk_tokens", "k",
       "fraction", "strata", "source", "weights", "default", "approx",
       "num_hashes", "bands", "threshold", "shingle", "action",
@@ -412,7 +412,8 @@ class PropertySpec extends AnyFunSuite {
       "min_stopword_ratio", "min_alpha_ratio", "lo", "hi",
       "min_pair_docs", "max_doc_tokens", "min_words", "require_punct",
       "banned", "weight", "vocab", "centroids", "index", "strategy",
-      "horizon", "steps", "zap")
+      "horizon", "steps", "period_seconds", "max_offset", "epochs",
+      "capacity", "verify_index", "zap")
     val valGen: Gen[String] = Gen.oneOf(
       Gen.oneOf("id", "src", "text", "zz", "ds", "pairs", "drop", "flag")
         .map(s => s""""$s""""),
