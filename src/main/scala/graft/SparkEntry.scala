@@ -519,6 +519,13 @@ object SparkEntry {
       graft.ops.TextOps.topTokensSketch(t(s, dir, "documents"), "text",
         k = 100, capacity = 1 << 20)),
 
+    // per-source top-5 vocabulary: x19 sliced by group — one
+    // (source, token) partial-combining exchange, WindowGroupLimit rank
+    // over the aggregated (vocabulary-bounded) relation
+    "x70_vocab_by_source" -> ((s, dir) =>
+      graft.ops.TextOps.topTokensByGroup(t(s, dir, "documents"), "source",
+        "text", k = 5).orderBy("source", "rank")),
+
     // int8 embedding quantization: map-only, floor-based round-half-up
     // (engine-portable), 4x storage cut for a float corpus
     // passage-level dedup: first corpus-wide occurrence of each 16-token
@@ -2180,6 +2187,20 @@ object SparkEntry {
            FROM documents)
          WHERE token <> ''
          GROUP BY token ORDER BY n DESC, token LIMIT 100""",
+    "x70_vocab_by_source" ->
+      """WITH t AS (
+           SELECT source, unnest(string_split(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+           FROM documents),
+         g AS (SELECT source, token, count(*) AS n
+               FROM t WHERE token <> '' GROUP BY 1, 2)
+         SELECT source, token, n, rank FROM (
+           SELECT source, token, n,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY n DESC, token) AS rank
+           FROM g)
+         WHERE rank <= 5
+         ORDER BY source, rank""",
     "x67_vocab_sketch" ->
       // x19's oracle with the certified upper bound pinned EQUAL to the
       // exact count: at anchor capacity no partition withholds anything,

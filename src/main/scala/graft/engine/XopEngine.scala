@@ -408,12 +408,20 @@ object XopEngine {
       // corpus vocabulary: top-k tokens by document frequency. With
       // 'capacity', the certified-bounds sketch runs instead (the
       // exchange is bounded at capacity+1 rows per partition; output
-      // gains the n_max upper-bound column)
+      // gains the n_max upper-bound column); with 'group', the per-group
+      // form (top-k PER group value, output gains the rank column)
       case "text_vocab" =>
-        knownArgs("column", "k", "capacity")
+        knownArgs("column", "k", "capacity", "group")
         val k = intArg(args, "k", 100, name).toInt
         if (k <= 0) Errors.malformed(s"xop '$name': k must be positive")
-        args.get("capacity") match {
+        if (args.contains("capacity") && args.contains("group"))
+          Errors.malformed(
+            s"xop '$name': 'capacity' and 'group' are mutually exclusive " +
+              "(the sketch is a global-vocabulary operator)")
+        if (args.contains("group"))
+          TextOps.topTokensByGroup(df, column(df, args, "group", name),
+            column(df, args, "column", name), k)
+        else args.get("capacity") match {
           case Some(_) =>
             val cap = intArg(args, "capacity", 0, name).toInt
             if (cap <= 0)

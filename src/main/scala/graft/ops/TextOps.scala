@@ -264,6 +264,29 @@ object TextOps {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Per-group top-k token frequencies — [[topTokens]] sliced by a group
+    * column: per-source vocabulary drift at a glance, or per-cluster
+    * keywords when the group column is a `clusterAssignWith` label
+    * joined on. Ties rank token-ascending, so output is deterministic on
+    * any engine.
+    *
+    * Shape at scale: one (group, token) exchange with map-side partial
+    * count combine (a boilerplate token costs one row per mapper per
+    * group); the rank filter plans as WindowGroupLimit over the
+    * AGGREGATED relation, whose per-group size is bounded by the
+    * vocabulary, not the corpus. Returns (groupCol, token, n, rank). */
+  def topTokensByGroup(df: DataFrame, groupCol: String, textCol: String,
+                       k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("n").desc, col("token"))
+    df.select(col(groupCol), explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Certified-bounds distributed top-k token frequency — the sketch
     * form of [[topTokens]] for vocabularies too large to shuffle
     * (billions of distinct tokens make even the map-side-combined

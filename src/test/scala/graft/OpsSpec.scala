@@ -306,6 +306,33 @@ class OpsSpec extends AnyFunSuite {
     assert(top == Seq(("the", 3L), ("cat", 2L), ("dog", 1L))) // tie: asc token
   }
 
+  test("topTokensByGroup ranks per group with token-ascending ties; composes as cluster keywords") {
+    import spark.implicits._
+    val df = Seq(
+      ("web", "the cat sat"), ("web", "the cat"), ("web", "THE  dog"),
+      ("book", "dog dog dog"), ("book", "cat")).toDF("source", "text")
+    val got = graft.ops.TextOps.topTokensByGroup(df, "source", "text", 2)
+      .orderBy("source", "rank").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(got == Seq(
+      ("book", "dog", 3L, 1), ("book", "cat", 1L, 2),
+      ("web", "the", 3L, 1), ("web", "cat", 2L, 2)))
+    // cluster-keywords composition: a clusterAssignWith label joined on
+    // as the group column slices the vocabulary per semantic bucket
+    val vecs = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.9, 0.1)),
+      (2L, Seq(0.0, 1.0))).toDF("doc_id", "vec")
+    val texts = Seq((0L, "spark shuffle spark"), (1L, "spark join"),
+      (2L, "tokenizer corpus")).toDF("doc_id", "text")
+    val assigned = graft.ops.Similarity.clusterAssignWith(
+      vecs, "vec", Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+      .select(col("doc_id"), col("cluster"))
+    val kw = graft.ops.TextOps.topTokensByGroup(
+      texts.join(assigned, "doc_id"), "cluster", "text", 1)
+      .orderBy("cluster").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(kw == Seq((0, "spark", 3L), (1, "corpus", 1L)))
+  }
+
   test("topTokensSketch: exact at ample capacity, certified bounds under eviction") {
     import spark.implicits._
     // skewed corpus across several partitions: 'alpha' dominates

@@ -97,6 +97,21 @@ class XopSpec extends AnyFunSuite {
                   "args": {"column": "text", "k": 3, "capacity": 0}}}""") }
   }
 
+  test("text_vocab with group ranks tokens per group value") {
+    val out = run(
+      """{"xop": {"name": "text_vocab",
+                  "args": {"column": "text", "group": "src", "k": 1}},
+          "order_by": ["src"]}""")
+    assert(out.columns.toSeq == Seq("src", "token", "n", "rank"))
+    val rows = out.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // book: doc 4 "a a a ..." + doc 5 spanish → 'a' dominates; web: 'the'
+    assert(rows == Seq(("book", "a"), ("web", "the")))
+    intercept[MalformedQueryException] { run(
+      """{"xop": {"name": "text_vocab",
+                  "args": {"column": "text", "group": "src",
+                           "capacity": 64}}}""") }
+  }
+
   test("chunk_dedup rebuilds documents from surviving chunks") {
     val out = run(
       """{"xop": {"name": "chunk_dedup",
