@@ -447,6 +447,62 @@ class SkewSpec extends AnyFunSuite {
     assert(!planned(df, "lazyToRdd"), "spread must not materialize the RDD lineage")
   }
 
+  test("topTokensSketch plans ONE corpus pass; the Θ window input is limit-bounded") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val got = graft.ops.TextOps.topTokensSketch(docs, "text", 5, 64)
+    val plan = got.queryExecution.optimizedPlan
+    // a second MapPartitions would mean the Θ attachment re-executed the
+    // summarization (the dual-consumer trap the sentinel design avoids)
+    val passes = plan.collect { case m: logical.MapPartitions => m }
+    assert(passes.length == 1, s"expected one summarization pass, got ${passes.length}")
+    // the only Window sits above a Limit — k+1 rows, never corpus-wide
+    val windows = plan.collect { case w: logical.Window => w }
+    assert(windows.length == 1)
+    assert(windows.head.collectFirst {
+      case _: logical.GlobalLimit => () }.nonEmpty,
+      "the Θ window must consume the limit-bounded relation")
+  }
+
+  test("retention: hot-user logs aggregate without Expand or count-distinct shuffles") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    // half of all events on ONE user, on one day
+    val ev = ((1 to 200).map(i => (i.toLong,
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L)) ++
+      (201 to 400).map(i => (i.toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-${i % 28 + 1}%02d 10:00:00"), i.toLong)))
+      .toDF("event_id", "ts", "user_id")
+    val got = graft.streaming.EventStreams.retention(ev, 86400L, 30)
+    // COUNT(DISTINCT) would plan an Expand; the distinct-first design
+    // must not
+    assert(got.queryExecution.optimizedPlan.collect {
+      case e: logical.Expand => e }.isEmpty, "no Expand: cells are count(*)")
+    assert(windowKeys(got).isEmpty, "retention plans no windows at all")
+    // the hot user's 200 same-day events still count as ONE activity
+    val cells = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(cells.forall(_._2 == 0L), "single-day users produce only offset-0 cells")
+    assert(cells.map(_._3).sum == 201L) // every distinct user exactly once
+    val day0 = 19723L // 2024-01-01
+    // hot user 1 + the seven unique users whose day index lands on Jan 1
+    assert(cells.contains((day0, 0L, 8L)))
+  }
+
+  test("topTokensByGroup ranks over the AGGREGATED relation, not raw tokens") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val got = graft.ops.TextOps.topTokensByGroup(docs
+      .withColumn("source", when(col("doc_id") <= 200, "hot").otherwise("cold")),
+      "source", "text", 3)
+    val windows = got.queryExecution.optimizedPlan.collect {
+      case w: logical.Window => w }
+    assert(windows.length == 1)
+    assert(windows.head.collectFirst { case _: logical.Aggregate => () }.nonEmpty,
+      "the rank window must consume the (group, token) aggregate — its " +
+        "input is vocabulary-bounded, never one row per token occurrence")
+    // the 50%-hot boilerplate class still ranks correctly
+    val hot = got.filter(col("source") === "hot").orderBy("rank").collect()
+      .map(r => r.getAs[String]("token")).toSeq
+    assert(hot == Seq("aa", "bb", "cc"))
+  }
+
   test("spread fans small inputs out, leaves estimated-huge inputs untouched") {
     // ~2.5k-row estimate at 4 test cores → target 2, repartitioned
     val small = (1 to 2500).map(i => (i.toLong, s"t$i")).toDF("id", "text").coalesce(1)
