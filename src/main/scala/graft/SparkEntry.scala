@@ -700,6 +700,23 @@ object SparkEntry {
         .orderBy("batch_id", "corpus_id")
     }),
 
+    // corpus version diff — the refresh-ops report that says when the
+    // dedup/exclusion artifacts need rebuilding: 16-byte fingerprints
+    // per side, one id-keyed full-outer join, no text shuffle. The
+    // synthetic v2 drops every doc_id % 5 == 1, revises % 7 == 0, and
+    // re-ids three new rows
+    "x71_corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cur = docs.filter(col("doc_id") % 5 =!= 1)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" revised")))
+            .otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") < 3)
+          .withColumn("doc_id", col("doc_id") + 900000))
+      graft.ops.Dedup.corpusDiff(docs, "doc_id", "text", cur, "doc_id", "text")
+        .orderBy("id")
+    }),
+
     // spherical k-means clustering: semantic buckets for topic balancing
     // / cluster-scoped dedup — cached quantizer build (shared with IVF),
     // then a map-only fused-kernel assignment pass; rows-only by design
@@ -2001,6 +2018,32 @@ object SparkEntry {
       """SELECT doc_id,
                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
          FROM documents ORDER BY doc_id""",
+    "x71_corpus_diff" ->
+      // same md5-of-normalized fingerprint as x11 on both versions, one
+      // FULL JOIN; presence markers (not fingerprint nullness) decide
+      // added/removed, null-safe compare decides changed/unchanged
+      """WITH cur AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 7 = 0 THEN text || ' revised'
+                       ELSE text END AS text
+           FROM documents WHERE doc_id % 5 <> 1
+           UNION ALL
+           SELECT doc_id + 900000, text FROM documents WHERE doc_id < 3),
+         o AS (SELECT doc_id,
+                      md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+                      true AS p
+               FROM documents),
+         c AS (SELECT doc_id,
+                      md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+                      true AS p
+               FROM cur)
+         SELECT doc_id AS id,
+                CASE WHEN o.p IS NULL THEN 'added'
+                     WHEN c.p IS NULL THEN 'removed'
+                     WHEN o.fp IS NOT DISTINCT FROM c.fp THEN 'unchanged'
+                     ELSE 'changed' END AS status
+         FROM o FULL JOIN c USING (doc_id)
+         ORDER BY id""",
     "x13_events_window" ->
       """SELECT time_bucket(INTERVAL 1 minute, ts::TIMESTAMP) AS window_start,
                 event_type, count(*) AS n_events,

@@ -930,6 +930,23 @@ object XopEngine {
           Errors.malformed(s"xop '$name': corpus dataset has no column", cc)
         Dedup.dedupAgainst(df, textCol, corpus, cc)
 
+      // corpus version diff vs a stored OLD version: per-id
+      // added/removed/changed/unchanged off 16-byte fingerprints and one
+      // full-outer id join — the report that says when dedup/exclusion
+      // artifacts need rebuilding
+      case "corpus_diff" =>
+        knownArgs("id", "column", "old", "old_id", "old_column")
+        val dId = column(df, args, "id", name)
+        val dText = column(df, args, "column", name)
+        val old = dataset("old")
+        val oid = args.get("old_id")
+          .map(_ => reqStr(args, "old_id", name)).getOrElse(dId)
+        val ocol = args.get("old_column")
+          .map(_ => reqStr(args, "old_column", name)).getOrElse(dText)
+        for (cn <- Seq(oid, ocol) if !ExprCompiler.hasColumn(old, cn))
+          Errors.malformed(s"xop '$name': old dataset has no column", cn)
+        Dedup.corpusDiff(old, oid, ocol, df, dId, dText)
+
       // incremental NEAR-dup vs a stored corpus: MinHash banding over the
       // union of both sides, cross-side pairs only. With 'index', a
       // persisted MinHashIndex serves the corpus's signatures (corpus

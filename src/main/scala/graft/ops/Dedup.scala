@@ -501,6 +501,40 @@ object Dedup {
   def dropNearDuplicates(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  /** Corpus VERSION diff — the refresh-ops companion of the artifact
+    * staleness tripwires: given two versions of a corpus, classify every
+    * id as `added` / `removed` / `changed` (same id, different
+    * normalized-text fingerprint) / `unchanged`. Content identity is
+    * [[TextOps.fingerprintMd5]] (the same normalization dedupAgainst and
+    * the x11 fingerprint use), so whitespace/case-only edits read as
+    * unchanged. A diff that is anything but all-`unchanged` is exactly
+    * when the MinHash/Bloom artifacts need rebuilding — this is the
+    * report that says so, and which batch to re-admit.
+    *
+    * Shape at scale: each side reduces map-side to (id, fingerprint) —
+    * 16 bytes of payload per doc — and ONE id-keyed full-outer hash join
+    * classifies; no text ever shuffles. Null ids join nothing and
+    * surface as an `added` + `removed` pair, the honest reading of
+    * unidentifiable rows. */
+  def corpusDiff(old: DataFrame, oldIdCol: String, oldTextCol: String,
+                 cur: DataFrame, curIdCol: String, curTextCol: String): DataFrame = {
+    // presence rides as an explicit marker: a null TEXT fingerprints to
+    // null, which must read as a (null-safe) content comparison, never
+    // as side absence
+    val o = old.select(exactCol(oldIdCol).as("id"),
+      TextOps.fingerprintMd5(exactCol(oldTextCol)).as("__fo"),
+      lit(true).as("__po"))
+    val c = cur.select(exactCol(curIdCol).as("id"),
+      TextOps.fingerprintMd5(exactCol(curTextCol)).as("__fc"),
+      lit(true).as("__pc"))
+    o.join(c, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("__po").isNull, lit("added"))
+          .when(col("__pc").isNull, lit("removed"))
+          .when(col("__fo") <=> col("__fc"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** Incremental exact dedup against an EXISTING corpus: drop rows whose
     * normalized-content fingerprint already appears in `corpus` — the
     * refresh-time stage that admits only genuinely NEW documents into a

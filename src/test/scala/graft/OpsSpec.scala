@@ -373,6 +373,31 @@ class OpsSpec extends AnyFunSuite {
     assert(one.forall(t => t._2 == t._3))
   }
 
+  test("corpusDiff: added/removed/changed/unchanged; normalization-equal and null texts read unchanged") {
+    import spark.implicits._
+    val old = Seq((1L, "alpha doc"), (2L, "beta doc"), (3L, "Gamma   Doc"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val cur = Seq((1L, "alpha doc"), (3L, "gamma doc"),
+      (4L, null.asInstanceOf[String]), (5L, "brand new"),
+      (6L, "alpha doc")).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.corpusDiff(old, "doc_id", "text", cur, "doc_id", "text")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq(
+      1L -> "unchanged",
+      2L -> "removed",
+      3L -> "unchanged", // case/whitespace-only edit normalizes away
+      4L -> "unchanged", // null text on both sides: null-safe compare
+      5L -> "added",
+      6L -> "added"))
+    // a real edit reads changed
+    val edited = graft.ops.Dedup.corpusDiff(old, "doc_id", "text",
+      old.withColumn("text", when(col("doc_id") === 1, lit("alpha doc v2"))
+        .otherwise(col("text"))), "doc_id", "text")
+      .filter(col("status") =!= "unchanged").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(edited == Seq(1L -> "changed"))
+  }
+
   test("retention cohorts by first-activity period; duplicate-day events collapse") {
     import spark.implicits._
     def ts(day: Int, h: Int = 12) =

@@ -683,6 +683,29 @@ class XopSpec extends AnyFunSuite {
     case _ => None
   }
 
+  test("corpus_diff xop reports drift vs a stored old version") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val oldVersion: String => Option[DataFrame] = n =>
+      if (n == "old") Some(docs.filter(col("id") =!= 6)
+        .withColumn("text",
+          when(col("id") === 1, lit("totally different words"))
+            .otherwise(col("text"))))
+      else None
+    val out = QueryEngine.run(docs,
+      """{"xop": {"name": "corpus_diff",
+                  "args": {"id": "id", "column": "text", "old": "old"}},
+          "order_by": ["id"]}""", oldVersion).df
+    assert(out.columns.toSeq == Seq("id", "status"))
+    val rows = out.collect().map(r =>
+      (r.getAs[Number](0).longValue, r.getString(1))).toSeq
+    assert(rows == Seq(1L -> "changed", 2L -> "unchanged", 3L -> "unchanged",
+      4L -> "unchanged", 5L -> "unchanged", 6L -> "added"))
+    intercept[MalformedQueryException] { QueryEngine.run(docs,
+      """{"xop": {"name": "corpus_diff",
+                  "args": {"id": "id", "column": "text", "old": "old",
+                           "old_id": "nope"}}}""", oldVersion) }
+  }
+
   test("retention xop cohorts the event frame; guards ts shape") {
     import spark.implicits._
     val ev = Seq(
