@@ -413,7 +413,7 @@ class PropertySpec extends AnyFunSuite {
       "min_pair_docs", "max_doc_tokens", "min_words", "require_punct",
       "banned", "weight", "vocab", "centroids", "index", "strategy",
       "horizon", "steps", "period_seconds", "max_offset", "epochs",
-      "capacity", "verify_index", "zap")
+      "capacity", "verify_index", "old", "old_id", "old_column", "zap")
     val valGen: Gen[String] = Gen.oneOf(
       Gen.oneOf("id", "src", "text", "zz", "ds", "pairs", "drop", "flag")
         .map(s => s""""$s""""),
