@@ -291,26 +291,35 @@ object TextOps {
     * form of [[topTokens]] for vocabularies too large to shuffle
     * (billions of distinct tokens make even the map-side-combined
     * exchange the bottleneck: one row per distinct token per mapper).
-    * TPUT/threshold-style: each partition counts ITS tokens exactly
-    * (the same local hash map a partial count aggregation builds) but
-    * ships only its top `capacity` entries plus the threshold θ — the
-    * largest count it withheld. For any token, n = Σ reported counts is
-    * exact-from-below, and n_max = n + (Θ − ρ(t)) is a CERTIFIED upper
-    * bound (Θ = Σ all thresholds, ρ(t) = Σ thresholds of the partitions
-    * that did report t: a partition that withheld t cannot have counted
-    * it above its own θ). capacity ≥ each partition's distinct-token
-    * count ⇒ every θ is 0 and the output equals [[topTokens]] exactly —
-    * x67's oracle anchor. The ranking picks by n (ties token asc);
+    * TPUT/threshold-style, with a BOUNDED per-partition summarizer:
+    * each partition runs a Space-Saving summary (Metwally et al. 2005)
+    * of exactly `capacity` counters — O(capacity) task heap no matter
+    * how many distinct tokens the partition holds (an exact local map
+    * would need multi-GB heaps with no spill path in precisely the
+    * billions-distinct regime this operator exists for). Each counter
+    * tracks (count, err); the true local count of a tracked token lies
+    * in [count − err, count], and any UNtracked token's local count is
+    * ≤ θ, the final minimum counter value (0 if the summary never
+    * evicted). A partition ships every counter as (token, lo, hi, θ)
+    * plus one θ-sentinel. Downstream, n = Σ lo is exact-from-below and
+    * n_max = Σ hi + (Θ − ρ(t)) is a CERTIFIED upper bound (Θ = Σ all
+    * thresholds, ρ(t) = Σ thresholds of the partitions that did report
+    * t: a partition that withheld t cannot have counted it above its
+    * own θ; one that reported it already contributes its certified
+    * local hi). capacity ≥ each partition's distinct-token count ⇒ no
+    * eviction ever happens, every err and θ is 0, lo = hi = the exact
+    * local count, and the output equals [[topTokens]] exactly — x67's
+    * oracle anchor. The ranking picks by n (ties token asc);
     * overlapping [n, n_max] intervals near the cut are the documented
     * approximation, inspectable from the bounds themselves.
     *
     * Shape at scale: one narrow imperative pass (the only mapPartitions
     * in the text family — per-partition summarization is its legitimate
-    * use), an exchange bounded at capacity+1 rows per partition
-    * regardless of vocabulary size, a TakeOrdered top-(k+1), and a
-    * Window over those k+1 rows only (the Θ attachment — see the
-    * in-body comment for why it is NOT a scalar branch). Returns
-    * (token, n, n_max). */
+    * use) with O(capacity) memory, an exchange bounded at capacity+1
+    * rows per partition regardless of vocabulary size, a TakeOrdered
+    * top-(k+1), and a Window over those k+1 rows only (the Θ
+    * attachment — see the in-body comment for why it is NOT a scalar
+    * branch). Returns (token, n, n_max). */
   def topTokensSketch(df: DataFrame, textCol: String, k: Int,
                       capacity: Int): DataFrame = {
     require(k > 0, "k must be positive")
@@ -319,25 +328,24 @@ object TextOps {
     import spark.implicits._
     val summaries = df.select(tokens(col(textCol)).as("toks")).as[Seq[String]]
       .mapPartitions { it =>
-        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        val s = new SpaceSavingSummary(capacity)
         it.foreach { arr =>
           if (arr != null) arr.foreach { t =>
-            if (t != null && t.nonEmpty) m.update(t, m.getOrElse(t, 0L) + 1L)
+            if (t != null && t.nonEmpty) s.add(t)
           }
         }
-        if (m.isEmpty) Iterator.empty
+        if (s.size == 0) Iterator.empty
         else {
-          val sorted = m.toArray.sortBy { case (t, c) => (-c, t) }
-          val thr = if (sorted.length > capacity) sorted(capacity)._2 else 0L
+          val thr = s.threshold
           // one sentinel row per non-empty partition carries θ into the
           // same exchange the entries ride (Θ = their sum downstream)
-          sorted.iterator.take(capacity)
-            .map { case (t, c) => (t, c, thr) } ++
-            Iterator((null: String, 0L, thr))
+          s.entries.map { case (t, lo, hi) => (t, lo, hi, thr) } ++
+            Iterator((null: String, 0L, 0L, thr))
         }
-      }.toDF("token", "c", "thr")
+      }.toDF("token", "lo", "hi", "thr")
     val agg = summaries.groupBy("token")
-      .agg(sum(col("c")).as("n"), sum(col("thr")).as("rho"))
+      .agg(sum(col("lo")).as("n"), sum(col("hi")).as("nhi"),
+        sum(col("thr")).as("rho"))
     // Θ is the null-sentinel group's rho. It must NOT be read through a
     // second consumer of `agg`: a scalar branch looks free, but the
     // is-null/not-null filters push through the aggregate below the
@@ -356,7 +364,7 @@ object TextOps {
         max(when(col("token").isNull, col("rho"))).over(w))
       .filter(col("token").isNotNull)
       .select(col("token"), col("n"),
-        (col("n") + coalesce(col("theta"), lit(0L)) - col("rho")).as("n_max"))
+        (col("nhi") + coalesce(col("theta"), lit(0L)) - col("rho")).as("n_max"))
       .orderBy(col("n").desc, col("token"))
   }
 
@@ -644,5 +652,106 @@ object TextOps {
     val chars = split(normalizeText(c), "")
     aggregate(chars, lit(0L),
       (acc, ch) => pmod(acc * 31 + coalesce(ascii(ch).cast("long"), lit(0L)), p))
+  }
+}
+
+/** Space-Saving frequent-items summary (Metwally, Agrawal, El Abbadi,
+  * ICDT 2005) — the bounded per-partition summarizer behind
+  * [[TextOps.topTokensSketch]]. Exactly `capacity` counters, each a
+  * (token, count, err) triple kept in a hand-rolled indexed binary
+  * min-heap on count (O(log capacity) per token, O(capacity) memory —
+  * a partition with billions of distinct tokens still costs a few MB
+  * of task heap, where an exact map would be multi-GB with no spill
+  * path). Invariants the sketch's certified bounds rest on:
+  *
+  *  - a tracked token's TRUE local count lies in [count − err, count]
+  *    (err is the evicted predecessor's overestimate, itself ≥ the
+  *    token's pre-takeover occurrences);
+  *  - any token NOT tracked at the end has true local count ≤
+  *    [[threshold]], the final minimum counter value (counter values
+  *    never decrease, and an item out-monitored the whole stream never
+  *    exceeded the minimum);
+  *  - if the summary never evicts (distinct ≤ capacity), every err is
+  *    0 and every tracked count is EXACT — the ample-capacity
+  *    exactness anchor.
+  *
+  * Eviction picks the heap-min deterministically for a given input
+  * order, so summaries (and the sketch built on them) are reproducible
+  * for a fixed partition layout. */
+private[graft] final class SpaceSavingSummary(val capacity: Int) {
+  require(capacity > 0, "capacity must be positive")
+
+  private final class Ctr(var token: String, var count: Long, var err: Long,
+                          var pos: Int)
+  private val index = new java.util.HashMap[String, Ctr](capacity * 2)
+  private val heap = new Array[Ctr](capacity)
+  private var used = 0
+  private var evictedAny = false
+
+  /** Number of counters currently held — never exceeds `capacity`. */
+  def size: Int = used
+
+  def add(t: String): Unit = {
+    val c = index.get(t)
+    if (c != null) {
+      c.count += 1L
+      siftDown(c.pos)
+    } else if (used < capacity) {
+      val nc = new Ctr(t, 1L, 0L, used)
+      heap(used) = nc
+      used += 1
+      index.put(t, nc)
+      siftUp(nc.pos)
+    } else {
+      // take over the minimum counter: the classic Space-Saving step
+      evictedAny = true
+      val m = heap(0)
+      index.remove(m.token)
+      m.err = m.count
+      m.count += 1L
+      m.token = t
+      index.put(t, m)
+      siftDown(0)
+    }
+  }
+
+  /** Certified upper bound on the local count of any token absent from
+    * the summary: the final minimum counter value, or 0 if nothing was
+    * ever evicted (then absence means the token never occurred). */
+  def threshold: Long = if (evictedAny) heap(0).count else 0L
+
+  /** All counters as (token, certified lower bound, overestimate). */
+  def entries: Iterator[(String, Long, Long)] =
+    heap.iterator.take(used).map(c => (c.token, c.count - c.err, c.count))
+
+  private def place(c: Ctr, i: Int): Unit = { heap(i) = c; c.pos = i }
+
+  private def siftUp(i0: Int): Unit = {
+    var i = i0
+    val c = heap(i)
+    var done = false
+    while (!done && i > 0) {
+      val p = (i - 1) >> 1
+      if (heap(p).count > c.count) { place(heap(p), i); i = p }
+      else done = true
+    }
+    place(c, i)
+  }
+
+  private def siftDown(i0: Int): Unit = {
+    var i = i0
+    val c = heap(i)
+    var done = false
+    while (!done) {
+      val l = 2 * i + 1
+      if (l >= used) done = true
+      else {
+        val r = l + 1
+        val s = if (r < used && heap(r).count < heap(l).count) r else l
+        if (heap(s).count < c.count) { place(heap(s), i); i = s }
+        else done = true
+      }
+    }
+    place(c, i)
   }
 }

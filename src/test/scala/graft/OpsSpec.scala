@@ -357,7 +357,7 @@ class OpsSpec extends AnyFunSuite {
     val tight = rows(graft.ops.TextOps.topTokensSketch(docs, "text", 10, 3))
     assert(tight.nonEmpty && tight.head._1 == "alpha")
     assert(tight.head._2 == truth("alpha"),
-      "a token in every partition's top-capacity is counted exactly")
+      "a token never the heap minimum in any partition is counted exactly")
     for ((t, n, nMax) <- tight) {
       assert(n <= truth(t), s"$t lower bound must not exceed truth")
       assert(nMax >= truth(t), s"$t certified upper bound must cover truth")
@@ -365,12 +365,56 @@ class OpsSpec extends AnyFunSuite {
     // empty corpus: empty result, no crash
     assert(graft.ops.TextOps.topTokensSketch(
       Seq.empty[String].toDF("text"), "text", 5, 8).collect().isEmpty)
-    // single partition at capacity 2: exactly the exact top-2, and
-    // every reported token has ρ = Θ, so the bound gap is zero
+    // single partition at capacity 8 (tail churn, but the head tokens
+    // out-ratchet the min counter): alpha and beta survive with exact
+    // zero-gap counts and rank as the exact top-2; churned-tail
+    // intervals are wide but still cover truth. (At capacity 2 the
+    // churn counter ratchets 4/doc vs alpha's 3/doc and even alpha is
+    // legitimately evicted — the n/capacity error floor exceeds the
+    // head count, so that regime certifies nothing; by design the
+    // bounds say so rather than pretend.)
     val one = rows(graft.ops.TextOps.topTokensSketch(
-      docs.coalesce(1), "text", 3, 2))
-    assert(one.map(t => (t._1, t._2)) == exact.take(2))
-    assert(one.forall(t => t._2 == t._3))
+      docs.coalesce(1), "text", 3, 8))
+    assert(one.take(2).map(t => (t._1, t._2)) == exact.take(2))
+    assert(one.take(2).forall(t => t._2 == t._3),
+      "never-evicted heads carry zero-gap certified counts")
+    for ((t, n, nMax) <- one)
+      assert(n <= truth(t) && nMax >= truth(t), s"$t: [$n,$nMax]")
+  }
+
+  test("topTokensSketch summarizer is memory-bounded: distinct >> capacity") {
+    import spark.implicits._
+    // direct summary check: ~50k distinct tokens through 64 counters
+    val s = new graft.ops.SpaceSavingSummary(64)
+    val rnd = new scala.util.Random(7)
+    val truth = scala.collection.mutable.HashMap.empty[String, Long]
+    val stream = Array.fill(200000) {
+      if (rnd.nextInt(100) < 60) s"head${rnd.nextInt(8)}"
+      else s"tail${rnd.nextInt(50000)}"
+    }
+    stream.foreach { t =>
+      truth.update(t, truth.getOrElse(t, 0L) + 1L); s.add(t)
+    }
+    assert(s.size <= 64, "summary must never exceed capacity counters")
+    val thr = s.threshold
+    val tracked = s.entries.toSeq
+    val trackedSet = tracked.map(_._1).toSet
+    for ((t, lo, hi) <- tracked)
+      assert(lo <= truth(t) && truth(t) <= hi, s"$t: [$lo,$hi] vs ${truth(t)}")
+    for ((t, c) <- truth if !trackedSet(t))
+      assert(c <= thr, s"untracked $t count $c exceeds threshold $thr")
+    // end-to-end: ONE partition whose distinct count dwarfs the
+    // 64-counter budget; [n, n_max] must still bracket every truth and
+    // the 8 heavy head tokens (~15k each vs a ~2-count tail) must be
+    // exactly the output
+    val docs = stream.grouped(50).map(_.mkString(" ")).toSeq
+      .toDF("text").coalesce(1)
+    val got = graft.ops.TextOps.topTokensSketch(docs, "text", 8, 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 8)
+    for ((t, n, nMax) <- got)
+      assert(n <= truth(t) && truth(t) <= nMax, s"$t: [$n,$nMax]")
+    assert(got.map(_._1).toSet == (0 until 8).map(i => s"head$i").toSet)
   }
 
   test("corpusDiff: added/removed/changed/unchanged; normalization-equal and null texts read unchanged") {
