@@ -21,6 +21,17 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.TableRegistry.table(s, dir, name)
 
+  /** Stable scratch path for the artifact-anchor queries: keyed by the
+    * sf dir (scales don't collide) AND the process id (two concurrent
+    * runs on the same scale don't race one Overwrite's delete against
+    * the other's read), constant within a JVM (repeated bench passes
+    * re-use one directory instead of accumulating temp dirs). */
+  private def anchorTmpPath(prefix: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
+      java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) +
+      "_p" + ProcessHandle.current().pid()
+
   /** Engine-dialect query runner. */
   private def q(table: String, json: String,
       post: DataFrame => DataFrame = identity): (SparkSession, String) => DataFrame =
@@ -686,15 +697,39 @@ object SparkEntry {
     "x66_minhash_index" -> ((s, dir) => {
       val corpus = t(s, dir, "documents").filter(col("doc_id") < 300)
       val batch = corpus.withColumn("doc_id", col("doc_id") + 100000)
-      // fixed per-sfDir path, Overwrite semantics: every invocation still
-      // measures the full build+round-trip (the anchor's point), but
-      // repeated bench passes re-use ONE directory instead of
-      // accumulating temp dirs
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_mh_anchor_" +
-        java.lang.Long.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+      // per-sfDir AND per-process path, Overwrite semantics: every
+      // invocation still measures the full build+round-trip (the
+      // anchor's point), repeated bench passes within one JVM re-use ONE
+      // directory, and the pid suffix keeps two concurrent processes on
+      // the same scale from racing Overwrite's delete against the other
+      // run's read
+      val path = anchorTmpPath("graft_mh_anchor", dir)
       val art = graft.ops.MinHashIndex.buildAndSave(corpus, "doc_id", "text",
         numHashes = 64, shingleSize = 3, path = path)
+      graft.ops.Dedup.minhashPairsAgainstIndexBandExhaustive(
+        batch, "doc_id", "text", corpus, "doc_id", "text", art, threshold = 0.5)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
+    // x66's anchor driven through an INCREMENTALLY-UPDATED index: build
+    // the artifact on a synthetic PREVIOUS corpus version (one fifth of
+    // the docs missing, every seventh revised), bring it to the current
+    // corpus with MinHashIndex.update — which re-signatures only the
+    // drifted rows and delta-updates the manifest fingerprint — then run
+    // the exact same probe as x66. Sharing x43b's oracle verbatim proves
+    // the updated artifact is indistinguishable from a from-scratch
+    // build of the current corpus
+    "x72_index_update" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents").filter(col("doc_id") < 300)
+      val batch = corpus.withColumn("doc_id", col("doc_id") + 100000)
+      val v1 = corpus.filter(col("doc_id") % 5 =!= 1)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" stale")))
+            .otherwise(col("text")))
+      val path = anchorTmpPath("graft_mh_upd", dir)
+      graft.ops.MinHashIndex.buildAndSave(v1, "doc_id", "text",
+        numHashes = 64, shingleSize = 3, path = path)
+      val art = graft.ops.MinHashIndex.update(s, path, corpus, "doc_id", "text")
       graft.ops.Dedup.minhashPairsAgainstIndexBandExhaustive(
         batch, "doc_id", "text", corpus, "doc_id", "text", art, threshold = 0.5)
         .orderBy("batch_id", "corpus_id")
@@ -1398,6 +1433,28 @@ object SparkEntry {
       // banding must reproduce the inline exhaustive candidate set
       // (signatures round-trip parquet bit-exactly), so the exact
       // cross-side pair set is the specified output
+      """WITH t AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+           FROM documents WHERE doc_id < 300),
+         s AS (
+           SELECT doc_id,
+                  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                       ELSE list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                           for i in range(1, len(tk) - 1)])
+                  END AS sh
+           FROM t)
+         SELECT b.doc_id + 100000 AS batch_id, c.doc_id AS corpus_id,
+                round(len(list_intersect(b.sh, c.sh))::DOUBLE /
+                      len(list_distinct(list_concat(b.sh, c.sh))), 4) AS jaccard
+         FROM s b, s c
+         WHERE len(list_intersect(b.sh, c.sh))::DOUBLE /
+               len(list_distinct(list_concat(b.sh, c.sh))) >= 0.5
+         ORDER BY batch_id, corpus_id""",
+    "x72_index_update" ->
+      // shares x43b/x66's oracle verbatim BY DESIGN: an index brought to
+      // the current corpus by the incremental update must serve the
+      // exact same candidate set as one built from scratch on it
       """WITH t AS (
            SELECT doc_id,
                   string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk

@@ -1039,6 +1039,33 @@ object XopEngine {
                 nh, nb, thr, sh)
         }
 
+      // bring a persisted MinHash signature index up to date with THIS
+      // dataset (the current corpus version): re-signatures only the
+      // drifted rows, anti-joins departures, delta-updates the manifest
+      // count and content fingerprint, and returns a one-row refresh
+      // report. The write side-effect makes this an ops clause (like
+      // store), flowing through the same result pipeline; a drift-free
+      // corpus is a no-op and reports changed=false.
+      case "index_update" =>
+        knownArgs("id", "column", "index")
+        val id = column(df, args, "id", name)
+        val textCol = column(df, args, "column", name)
+        val raw = args.getOrElse("index",
+          Errors.malformed(s"xop '$name': 'index' is required (the artifact to refresh)"))
+        val path = indexPath(df, raw, name)
+        val before = loadMinhash(df, raw, name)
+        val art =
+          try graft.ops.MinHashIndex.update(df.sparkSession, path, df, id, textCol)
+          catch {
+            case e: IllegalArgumentException =>
+              Errors.malformed(s"xop '$name': ${e.getMessage}")
+          }
+        import df.sparkSession.implicits._
+        Seq((before.nDocs.getOrElse(-1L), art.nDocs.getOrElse(-1L),
+          art.contentFingerprint.getOrElse(""),
+          art.contentFingerprint != before.contentFingerprint))
+          .toDF("n_docs_before", "n_docs", "fingerprint", "changed")
+
       // deterministic named splits by id hash: ordered [name, weight] pairs
       case "split" =>
         knownArgs("id", "splits")

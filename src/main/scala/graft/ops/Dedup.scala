@@ -236,6 +236,22 @@ object Dedup {
     hashed.select(col("id"), minhashSignature(col("hs"), numHashes).as("sig"))
   }
 
+  /** [[signatureRelation]] plus the per-row raw-content hash
+    * `fp = xxhash64(id, text)` — the summand of [[MinHashIndex]]'s
+    * order-independent corpus fingerprint, persisted per row so an
+    * incremental index update can (a) recompute WHICH ids drifted by
+    * comparing stored vs current hashes without any text shuffle and
+    * (b) delta-update the manifest fingerprint (subtract departing fp,
+    * add arriving) without re-scanning the unchanged corpus. */
+  private[graft] def signatureRelationWithFp(df: DataFrame, idCol: String,
+      textCol: String, numHashes: Int, shingleSize: Int): DataFrame = {
+    val hashed = spread(df, col(idCol)).select(col(idCol).as("id"),
+      shingleHashesFused(col(textCol), shingleSize).as("hs"),
+      xxhash64(exactCol(idCol), exactCol(textCol)).as("fp"))
+    hashed.select(col("id"), minhashSignature(col("hs"), numHashes).as("sig"),
+      col("fp"))
+  }
+
   /** Band-expand a signature relation into (p, band, bucket): band hash =
     * xxhash64 of the band's slice of the signature, emitted by one
     * posexplode so candidate generation needs ONE shuffle and one

@@ -86,14 +86,17 @@ object MinHashIndex {
     * column-pruned aggregation for the doc count + content fingerprint.
     * The signature job and the fingerprint job each scan the corpus once
     * — both are map-side-only passes, and the build runs once per corpus
-    * version. */
+    * version; between versions, [[update]] refreshes only the drifted
+    * rows. Each signature row also carries `fp = xxhash64(id, text)`,
+    * the per-row summand of the manifest fingerprint, which is what
+    * makes the incremental update possible without a corpus re-scan. */
   def buildAndSave(corpus: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 64, shingleSize: Int = 3,
                    path: String): Artifact = {
     require(numHashes > 0, "numHashes must be positive")
     require(shingleSize > 0, "shingleSize must be positive")
     val spark = corpus.sparkSession
-    val sigs = Dedup.signatureRelation(corpus, idCol, textCol, numHashes, shingleSize)
+    val sigs = Dedup.signatureRelationWithFp(corpus, idCol, textCol, numHashes, shingleSize)
     sigs.write.mode(SaveMode.Overwrite).parquet(s"$path/signatures")
     val (fp, n) = fingerprintAndCount(corpus, idCol, textCol)
     val manifest = mutable.LinkedHashMap[String, Any](
@@ -172,6 +175,13 @@ object MinHashIndex {
       throw new IllegalArgumentException(
         s"minhash index at $path is corrupt: signatures must be (id, sig ARRAY<BIGINT>), " +
           s"got ${sigs.schema.catalogString}")
+    // the per-row fp column (current builds) must be BIGINT when present;
+    // its absence only disables incremental update, not probing
+    sigs.schema.fields.find(_.name == "fp").foreach { f =>
+      if (f.dataType != LongType)
+        throw new IllegalArgumentException(
+          s"minhash index at $path is corrupt: fp must be BIGINT, got ${f.dataType.catalogString}")
+    }
     Artifact(sigs, numHashes, shingleSize,
       manifest.get("id_col").collect { case s: String => s },
       manifest.get("id_type").collect { case s: String => s },
@@ -179,17 +189,32 @@ object MinHashIndex {
       manifest.get("fingerprint").collect { case s: String => s })
   }
 
-  /** FREE-ish staleness tripwire: the signature relation's row count vs
-    * the manifest's n_docs (one metadata-cheap count over the index's own
-    * parquet — no corpus scan). Catches grow/shrink drift; the same-size
-    * swap needs [[verifyContent]]. */
-  def verifyCount(art: Artifact, what: String): Unit =
+  /** CHEAP staleness/integrity tripwire — one pruned scan of the index's
+    * own parquet (no corpus scan) checking two things: the row count vs
+    * the manifest's n_docs, and that every stored signature array has
+    * exactly num_hashes elements. The length check matters because a
+    * hand-assembled or tampered data plane with short/long arrays would
+    * otherwise pass load's schema checks and silently DEFLATE
+    * est_jaccard in cross-side probes (zip_with over unequal-length
+    * arrays yields nulls, counted as disagreement) instead of erroring.
+    * The same-size same-length content swap still needs
+    * [[verifyContent]]. */
+  def verifyCount(art: Artifact, what: String): Unit = {
+    val row = art.sigs.agg(
+      count(lit(1)).as("n"),
+      sum(when(coalesce(size(col("sig")), lit(-1)) =!= art.numHashes, 1L)
+        .otherwise(0L)).as("bad")).head()
+    val actual = row.getLong(0)
+    val badLen = if (row.isNullAt(1)) 0L else row.getLong(1)
+    if (badLen > 0)
+      throw new IllegalArgumentException(
+        s"$what is corrupt: $badLen signature rows have length != num_hashes=${art.numHashes}")
     art.nDocs.foreach { recorded =>
-      val actual = art.sigs.count()
       if (actual != recorded)
         throw new IllegalArgumentException(
           s"$what is corrupt: manifest claims $recorded signatures, parquet holds $actual")
     }
+  }
 
   /** STRONG staleness check: recompute the corpus content fingerprint and
     * compare with the manifest's — detects the same-count
@@ -214,5 +239,125 @@ object MinHashIndex {
       throw new IllegalArgumentException(
         s"$what is stale: corpus fingerprint $current (n=$n) does not match " +
           s"the recorded $recorded (n=${art.nDocs.getOrElse("?")}) — rebuild the index")
+  }
+
+  /** INCREMENTAL index maintenance — close the loop [[Dedup.corpusDiff]]
+    * opens: after a corpus refresh, re-signature only the rows that
+    * actually drifted instead of rebuilding the whole index. A refresh
+    * that touched 0.1% of a 100-TB corpus re-signatures ~0.1% of it.
+    *
+    * Which rows drifted is decided from the index's OWN per-row
+    * `fp = xxhash64(id, text)` column against the same hash of the
+    * current corpus — deliberately NOT from a caller-supplied
+    * [[Dedup.corpusDiff]] report: that diff classifies by NORMALIZED
+    * content (whitespace/case edits read `unchanged`), while the
+    * manifest fingerprint sums RAW hashes, so delta-updating it off the
+    * normalized diff would drift on normalization-only edits and turn
+    * every later [[verifyContent]] into a false staleness alarm. The
+    * raw comparison costs one map-side hash pass over the current
+    * corpus (no text ever shuffles — 16 bytes/doc after the projection)
+    * plus a pruned (id, fp) scan of the index.
+    *
+    * The rewrite is: anti-join departing ids out of the stored
+    * signatures, union freshly-signatured arriving/changed rows
+    * (signatures are a pure function of (text, num_hashes,
+    * shingle_size), so the result is row-identical to a from-scratch
+    * build of the new corpus — pinned in MinHashIndexSpec), stage to
+    * `signatures.staging`, swap, and rewrite the manifest with the
+    * delta-updated count and fingerprint (the decimal sum is exactly
+    * delta-updatable: subtract departing fp, add arriving). No corpus
+    * re-scan, no signature re-computation for unchanged rows.
+    *
+    * Preconditions: ids are unique per corpus version (the same
+    * precondition [[Dedup.corpusDiff]] documents — duplicate ids would
+    * fan out through the joins), and nothing reads the artifact
+    * mid-swap (single-writer refresh window; the swap is
+    * delete-then-rename, not atomic). A no-drift corpus returns the
+    * loaded artifact untouched without writing anything. Artifacts
+    * built before the per-row fp column must be rebuilt once. */
+  def update(spark: SparkSession, path: String, cur: DataFrame,
+             idCol: String, textCol: String): Artifact = {
+    val art = load(spark, path)
+    val what = s"minhash index at $path"
+    if (!art.sigs.columns.contains("fp"))
+      throw new IllegalArgumentException(
+        s"$what predates incremental maintenance (no per-row fp column) — " +
+          "rebuild it once with buildAndSave")
+    val oldFp = art.contentFingerprint.getOrElse(
+      throw new IllegalArgumentException(
+        s"$what records no content fingerprint — rebuild it to enable incremental update"))
+    val oldN = art.nDocs.getOrElse(
+      throw new IllegalArgumentException(
+        s"$what records no n_docs — rebuild it to enable incremental update"))
+    art.idCol.foreach { rec =>
+      if (rec != idCol) throw new IllegalArgumentException(
+        s"$what was built on id column '$rec', not '$idCol'")
+    }
+    val curIdType = cur.schema(idCol).dataType.catalogString
+    art.idType.foreach { rec =>
+      if (rec != curIdType) throw new IllegalArgumentException(
+        s"$what was built on id type $rec, current corpus has $curIdType")
+    }
+    // raw drift set: full-outer on id (null-safe: a null-id row is one
+    // row, compared like any other), keep only rows whose hash differs
+    // or that exist on one side only
+    val curFp = cur.select(Dedup.exactCol(idCol).as("__cid"),
+      xxhash64(Dedup.exactCol(idCol), Dedup.exactCol(textCol)).as("__fpc"))
+    val idxFp = art.sigs.select(col("id").as("__oid"), col("fp").as("__fpo"))
+    val delta = curFp.join(idxFp, col("__cid") <=> col("__oid"), "full_outer")
+      .select(coalesce(col("__cid"), col("__oid")).as("id"),
+        col("__fpc"), col("__fpo"))
+      .filter(!(col("__fpc") <=> col("__fpo")))
+      .persist()
+    try {
+      val stats = delta.agg(
+        sum(col("__fpc").cast("decimal(38,0)")).as("add_sum"),
+        sum(col("__fpo").cast("decimal(38,0)")).as("remove_sum"),
+        count(when(col("__fpo").isNull, lit(1))).as("n_added"),
+        count(when(col("__fpc").isNull, lit(1))).as("n_removed"),
+        count(lit(1)).as("n_affected")).head()
+      if (stats.getLong(4) == 0L) return art
+      val addSum = Option(stats.getDecimal(0))
+        .map(BigDecimal(_).toBigInt).getOrElse(BigInt(0))
+      val removeSum = Option(stats.getDecimal(1))
+        .map(BigDecimal(_).toBigInt).getOrElse(BigInt(0))
+      val newFp = (BigInt(oldFp) - removeSum + addSum).toString
+      val newN = oldN + stats.getLong(2) - stats.getLong(3)
+      // departing ids (removed or changed) leave; arriving ids (added or
+      // changed) are re-signatured from the current corpus. Both id sets
+      // are drift-sized, so AQE broadcasts them against the big sides.
+      val removeIds = delta.filter(col("__fpo").isNotNull)
+        .select(col("id").as("__rm_id"))
+      val addIds = delta.filter(col("__fpc").isNotNull)
+        .select(col("id").as("__add_id"))
+      val keep = art.sigs
+        .join(removeIds, col("id") <=> col("__rm_id"), "left_anti")
+        .select(col("id"), col("sig"), col("fp"))
+      val fresh = Dedup.signatureRelationWithFp(
+        cur.join(addIds, Dedup.exactCol(idCol) <=> col("__add_id"), "left_semi"),
+        idCol, textCol, art.numHashes, art.shingleSize)
+      // stage beside the live relation, then swap: the rewrite READS the
+      // live signatures parquet, so an in-place Overwrite would delete
+      // its own input mid-job
+      val staging = s"$path/signatures.staging"
+      keep.unionByName(fresh).write.mode(SaveMode.Overwrite).parquet(staging)
+      val sigPath = new org.apache.hadoop.fs.Path(path, "signatures")
+      val fs = sigPath.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(sigPath, true)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(staging), sigPath))
+        throw new IllegalStateException(
+          s"could not swap staged signatures into place at $sigPath")
+      val manifest = mutable.LinkedHashMap[String, Any](
+        "version" -> FormatVersion,
+        "kind" -> "minhash_signatures",
+        "num_hashes" -> art.numHashes.toLong,
+        "shingle_size" -> art.shingleSize.toLong,
+        "id_col" -> idCol,
+        "id_type" -> curIdType,
+        "n_docs" -> newN,
+        "fingerprint" -> newFp)
+      writeManifest(spark, path, graft.engine.QueryJson.write(manifest))
+      load(spark, path)
+    } finally delta.unpersist()
   }
 }

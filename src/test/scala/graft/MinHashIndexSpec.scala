@@ -98,10 +98,94 @@ class MinHashIndexSpec extends AnyFunSuite {
     assert(art.idType.contains("bigint"))
     assert(art.nDocs.contains(6L))
     assert(art.contentFingerprint.nonEmpty)
-    // the signature relation is lazy and corpus-shaped
-    assert(art.sigs.columns.toSeq == Seq("id", "sig"))
+    // the signature relation is lazy and corpus-shaped; fp is the
+    // per-row fingerprint summand incremental update runs on
+    assert(art.sigs.columns.toSeq == Seq("id", "sig", "fp"))
     assert(art.sigs.count() == 6L)
     MinHashIndex.verifyCount(art, "minhash index")
+  }
+
+  test("verifyCount catches signature-length drift a schema check cannot") {
+    val path = tmpDir() + "/lencheck"
+    MinHashIndex.buildAndSave(corpus, "doc_id", "text",
+      numHashes = 16, shingleSize = 3, path = path)
+    // hand-append a row whose sig length disagrees with the manifest's
+    // num_hashes: schema-valid, silently deflates est_jaccard if probed
+    Seq((99L, Seq(1L, 2L, 3L), 42L)).toDF("id", "sig", "fp")
+      .write.mode("append").parquet(s"$path/signatures")
+    val art = MinHashIndex.load(spark, path) // schema-level checks pass
+    val e = intercept[IllegalArgumentException] {
+      MinHashIndex.verifyCount(art, "minhash index") }
+    assert(e.getMessage.contains("length"))
+  }
+
+  test("incremental update equals a from-scratch rebuild of the new corpus") {
+    val root = tmpDir()
+    // v2: 4 removed, 5 edited in place, 7 added, rest untouched
+    val v2 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog yesterday"),
+      (3L, "pack my box with five dozen liquor jugs"),
+      (5L, "colorless green ideas sleep furiously at noon"),
+      (6L, "a completely unrelated sentence about spark physical plans"),
+      (7L, "a brand new document arriving with the corpus refresh"))
+      .toDF("doc_id", "text")
+    val updPath = s"$root/upd"
+    MinHashIndex.buildAndSave(corpus, "doc_id", "text", path = updPath)
+    val updated = MinHashIndex.update(spark, updPath, v2, "doc_id", "text")
+    val scratch = MinHashIndex.buildAndSave(v2, "doc_id", "text",
+      path = s"$root/scratch")
+    def rows(a: MinHashIndex.Artifact) = a.sigs.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList, r.getLong(2))).toList
+    // signatures are a pure function of (text, params): the updated
+    // relation must be ROW-IDENTICAL to a from-scratch v2 build, and the
+    // delta-updated manifest must carry the same fingerprint and count
+    assert(rows(updated) == rows(scratch))
+    assert(updated.contentFingerprint == scratch.contentFingerprint)
+    assert(updated.nDocs == scratch.nDocs && updated.nDocs.contains(6L))
+    MinHashIndex.verifyContent(spark, updPath, v2, "doc_id", "text")
+    MinHashIndex.verifyCount(updated, "updated index")
+    // probes off the updated artifact equal inline probes of v2
+    assert(pairs(Dedup.minhashPairsFromIndex(updated, threshold = 0.5))
+      == pairs(Dedup.minhashPairs(v2, "doc_id", "text", threshold = 0.5)))
+    // a drift-free corpus is a no-op: same fingerprint, nothing rewritten
+    val again = MinHashIndex.update(spark, updPath, v2, "doc_id", "text")
+    assert(again.contentFingerprint == updated.contentFingerprint)
+
+    // null ids are one row per side, compared null-safely: an in-place
+    // edit of the null-id row is re-signatured like any other
+    val s1 = Seq((Some("a"), "alpha doc"), (None: Option[String], "null text one"))
+      .toDF("doc_id", "text")
+    val s2 = Seq((Some("a"), "alpha doc"), (None: Option[String], "null text two"))
+      .toDF("doc_id", "text")
+    val nPath = s"$root/nulls"
+    MinHashIndex.buildAndSave(s1, "doc_id", "text", path = nPath)
+    val nUpd = MinHashIndex.update(spark, nPath, s2, "doc_id", "text")
+    val nScratch = MinHashIndex.buildAndSave(s2, "doc_id", "text",
+      path = s"$root/nulls_scratch")
+    def srows(a: MinHashIndex.Artifact) =
+      a.sigs.orderBy("id").collect()
+        .map(r => (Option(r.getString(0)), r.getSeq[Long](1).toList, r.getLong(2)))
+        .toList
+    assert(srows(nUpd) == srows(nScratch))
+    assert(nUpd.contentFingerprint == nScratch.contentFingerprint)
+
+    // a pre-incremental artifact (no fp column) refuses update with a
+    // rebuild instruction instead of corrupting the fingerprint
+    val bare = s"$root/prefp"
+    val art = MinHashIndex.load(spark, updPath)
+    art.sigs.select("id", "sig").write.parquet(s"$bare/signatures")
+    val p = new org.apache.hadoop.fs.Path(bare, "manifest.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(
+      ("""{"version":1,"kind":"minhash_signatures","num_hashes":64,""" +
+        """"shingle_size":3,"n_docs":6,"fingerprint":"0"}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val e = intercept[IllegalArgumentException] {
+      MinHashIndex.update(spark, bare, v2, "doc_id", "text") }
+    assert(e.getMessage.contains("predates incremental maintenance"))
   }
 
   test("load fails fast on missing, foreign, and corrupt artifacts") {

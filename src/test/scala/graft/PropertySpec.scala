@@ -397,7 +397,7 @@ class PropertySpec extends AnyFunSuite {
       "gram_novelty", "token_divergence", "pmi_pairs", "quantile_band",
       "bigram_nll", "line_dedup", "line_quality", "sample_weighted",
       "text_chunks", "oov_rate", "semantic_dedup", "interval_join", "funnel",
-      "repetition_signals", "retention", "corpus_diff", "zap")
+      "repetition_signals", "retention", "corpus_diff", "index_update", "zap")
     val argKeys = Seq("id", "column", "order", "chunk_tokens", "k",
       "fraction", "strata", "source", "weights", "default", "approx",
       "num_hashes", "bands", "threshold", "shingle", "action",

@@ -1082,6 +1082,54 @@ class XopSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.index.root")
   }
 
+  test("index_update xop refreshes a persisted minhash index in place") {
+    val root = java.nio.file.Files.createTempDirectory("xop_mh_upd").toString
+    graft.ops.MinHashIndex.buildAndSave(evalSet, "eid", "text", path = s"$root/mh")
+    spark.conf.set("spark.graft.index.root", root)
+    try {
+      // corpus v2: the stored row edited in place, one new row
+      val v2 = Ingest.fromCsv(spark,
+        """eid,text
+          |900,the quick brown fox jumps over the lazy cat
+          |901,pack my box with five dozen liquor jugs
+          |""".stripMargin)
+      val rep = QueryEngine.run(v2,
+        """{"xop": {"name": "index_update",
+                    "args": {"id": "eid", "column": "text", "index": "mh"}}}""",
+        resolver).df.collect()
+      assert(rep.length == 1)
+      val r = rep.head
+      assert(r.getAs[Long]("n_docs_before") == 1L &&
+        r.getAs[Long]("n_docs") == 2L && r.getAs[Boolean]("changed"))
+      // the refreshed artifact passes the STRONG content check against v2
+      graft.ops.MinHashIndex.verifyContent(spark, s"$root/mh", v2, "eid", "text")
+      // and index-served probes now see v2: docs 2/6 match the NEW 901
+      // row, docs 1/3 still clear the 0.5 bar against the edited 900
+      val probe = QueryEngine.run(docs,
+        """{"xop": {"name": "minhash_against",
+                    "args": {"id": "id", "column": "text", "index": "mh",
+                             "threshold": 0.5}},
+            "order_by": ["batch_id"]}""", resolver).df
+      assert(probe.collect().map(_.getAs[Number](0).longValue).toSeq ==
+        Seq(1L, 2L, 3L, 6L))
+      // drift-free corpus: a no-op reporting changed=false
+      val rep2 = QueryEngine.run(v2,
+        """{"xop": {"name": "index_update",
+                    "args": {"id": "eid", "column": "text", "index": "mh"}}}""",
+        resolver).df.collect().head
+      assert(!rep2.getAs[Boolean]("changed") &&
+        rep2.getAs[String]("fingerprint") == r.getAs[String]("fingerprint"))
+      // the index arg is mandatory, and unknown args are rejected
+      intercept[MalformedQueryException] { QueryEngine.run(v2,
+        """{"xop": {"name": "index_update",
+                    "args": {"id": "eid", "column": "text"}}}""", resolver) }
+      intercept[MalformedQueryException] { QueryEngine.run(v2,
+        """{"xop": {"name": "index_update",
+                    "args": {"id": "eid", "column": "text", "index": "mh",
+                             "num_hashes": 32}}}""", resolver) }
+    } finally spark.conf.unset("spark.graft.index.root")
+  }
+
   test("dedup_against xop drops texts already in a stored corpus") {
     import spark.implicits._
     val corpus = Seq((100L, "the quick brown fox jumps over the lazy dog"))
