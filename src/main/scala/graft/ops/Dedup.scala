@@ -421,9 +421,9 @@ object Dedup {
     * (batch_id, corpus_id) dedup that collapses multi-band matches of
     * one pair, exactly like [[EventStreams.dedupStream]]'s repair
     * stage. Emits the batch twin's rows (batch_id, corpus_id,
-    * est_jaccard) in append mode; admission (the drop form) is the
-    * standard `foreachBatch` anti-join of each micro-batch against this
-    * stream's flagged ids.
+    * est_jaccard) in append mode; admission (the drop form) is
+    * [[dropNearDuplicatesAgainstIndexStream]], which runs the batch
+    * anti-join inside `foreachBatch`.
     *
     * Two documented deviations from the batch twin, both invisible
     * unless the skew cap bites: the degenerate-bucket cap counts CORPUS
@@ -431,16 +431,27 @@ object Dedup {
     * stream), and the oversized-bucket set is resolved ONCE at stream
     * start — one corpus-scale aggregation job whose result (normally
     * zero buckets) filters the static side for the stream's lifetime,
-    * so no per-trigger corpus shuffle exists. The static side is still
-    * re-SCANNED per trigger (Spark's stream-static contract); persist
-    * `index.sigs` for high-frequency triggers. */
+    * so no per-trigger corpus shuffle exists. Spark's stream-static
+    * contract re-reads the static side per trigger, so by default
+    * (`persistStatic = true`) the signature relation is persisted
+    * MEMORY_AND_DISK here — the oversized-bucket job doubles as the
+    * materializing action, and every trigger after the first reads the
+    * in-memory relation instead of re-scanning the signature parquet
+    * (asserted on the micro-batch plan in StreamingSpec). The cache
+    * rides the shared `index.sigs` plan: unpersist it via
+    * `index.sigs.unpersist()` after the stream stops (the stream's end
+    * is not observable from here; the cache is the session's to
+    * reclaim, and LRU-evicts under pressure either way). */
   def minhashPairsAgainstIndexStream(batchStream: DataFrame, idCol: String,
       textCol: String, tsCol: String, watermarkDelay: String,
       index: MinHashIndex.Artifact, bands: Int = 16, threshold: Double = 0.7,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000, persistStatic: Boolean = true): DataFrame = {
     require(bands > 0 && index.numHashes % bands == 0,
       s"bands must divide the index's num_hashes=${index.numHashes}")
     val r = index.numHashes / bands
+    if (persistStatic &&
+        index.sigs.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      index.sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpusBanded = bandedFromSigs(index.sigs, bands, r, None)
       .select(col("p.id").as("corpus_id"), col("p.sig").as("corpus_sig"),
         col("band"), col("bucket"))
@@ -477,6 +488,41 @@ object Dedup {
       .dropDuplicatesWithinWatermark("batch_id", "corpus_id")
       .select(col("batch_id"), col("corpus_id"),
         round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** STREAMING admission against a persisted [[MinHashIndex]] — the
+    * drop form of [[minhashPairsAgainstIndexStream]], packaged so the
+    * production loop needs no hand-rolled glue: every micro-batch runs
+    * the BATCH [[dropNearDuplicatesAgainstIndex]] verbatim inside
+    * `foreachBatch` and hands the admitted rows (original batch schema,
+    * near-dups of the corpus removed) to `sink` with the epoch id.
+    * Admission is per-row against the static corpus only — no
+    * cross-batch state, so no watermark argument exists and a
+    * multi-micro-batch split admits exactly what one batch call over
+    * the union admits (asserted in StreamingSpec).
+    *
+    * Returns the un-started `DataStreamWriter`; the caller picks
+    * trigger/checkpoint and calls `.start()`. `persistStatic` follows
+    * the pairs stream's contract: the signature relation persists
+    * MEMORY_AND_DISK so per-trigger probes read memory, and
+    * `index.sigs.unpersist()` after stream stop returns the memory. */
+  def dropNearDuplicatesAgainstIndexStream(batchStream: DataFrame,
+      idCol: String, textCol: String, index: MinHashIndex.Artifact,
+      bands: Int = 16, threshold: Double = 0.7,
+      persistStatic: Boolean = true)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(bands > 0 && index.numHashes % bands == 0,
+      s"bands must divide the index's num_hashes=${index.numHashes}")
+    if (persistStatic &&
+        index.sigs.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      index.sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    batchStream.writeStream.foreachBatch { (b: DataFrame, epoch: Long) =>
+      // the using-join inside the batch op moves the id column first;
+      // restore the stream's own column order so the sink sees rows
+      // shaped exactly like its input
+      sink(dropNearDuplicatesAgainstIndex(b, idCol, textCol, index,
+        bands, threshold).select(b.columns.map(exactCol): _*), epoch)
+    }
   }
 
   /** In-bucket candidate pairs from a (band, bucket, p) relation where `p`

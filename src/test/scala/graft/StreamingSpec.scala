@@ -66,7 +66,70 @@ class StreamingSpec extends AnyFunSuite {
         "multi-band matches of one pair must collapse to a single row")
       // the exact copy estimates J=1 through the signatures
       assert(got.find(_._1 == 102L).exists(_._3 == 1.0))
-    } finally query.stop()
+      // the static side persists by default: after two triggers the
+      // micro-batch plan serves signatures from the in-memory relation
+      // — no per-trigger parquet re-scan, and the oversized-bucket
+      // aggregation (already resolved once at stream build) has no
+      // reason to ever rerun
+      assert(art.sigs.storageLevel !=
+        org.apache.spark.storage.StorageLevel.NONE,
+        "persistStatic=true must persist the signature relation")
+      val exec = query.asInstanceOf[
+          org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      assert(exec.collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+      }.nonEmpty, "static signatures must be served from cache")
+      assert(exec.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.isEmpty, "no per-trigger parquet re-scan of the signature relation")
+    } finally { query.stop(); art.sigs.unpersist() }
+  }
+
+  test("index-served streaming admission ≡ batch admission across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.{Dedup, MinHashIndex}
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "colorless green ideas sleep furiously at night"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("mh_admit").toString + "/idx"
+    val art = MinHashIndex.buildAndSave(corpus, "doc_id", "text", path = path)
+
+    val docs = Seq(
+      StreamDoc(ts(0), 101L, "the quick brown fox jumps over the lazy dog yesterday"),
+      StreamDoc(ts(0), 103L, "nothing here resembles anything stored at all"),
+      StreamDoc(ts(1), 102L, "pack my box with five dozen liquor jugs"))
+
+    val input = MemoryStream[StreamDoc]
+    val epochs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val query = Dedup.dropNearDuplicatesAgainstIndexStream(input.toDF(),
+      "doc_id", "text", art, threshold = 0.5) { (b, epoch) =>
+        epochs += epoch
+        // the admitted frame keeps the batch's original schema
+        assert(b.columns.toSeq == Seq("ts", "doc_id", "text"))
+        admitted ++= b.select("doc_id").collect().map(_.getLong(0))
+      }.start()
+    try {
+      input.addData(docs(0), docs(1))
+      query.processAllAvailable()
+      input.addData(docs(2))
+      query.processAllAvailable()
+      // the sink ran once per micro-batch, including the all-dropped one
+      assert(epochs.distinct.size == 2)
+      // only the novel document survives; the near-dup of corpus 1 and
+      // the exact copy of corpus 2 are both dropped — exactly what ONE
+      // batch admission over the union admits
+      val batchIds = Dedup.dropNearDuplicatesAgainstIndex(
+        docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+        "doc_id", "text", art, threshold = 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(admitted.sorted.toSeq == batchIds)
+      assert(admitted.toSeq == Seq(103L))
+    } finally { query.stop(); art.sigs.unpersist() }
   }
 
   test("windowed counts finalize once the watermark passes, late data dropped") {
