@@ -1096,6 +1096,23 @@ object SparkEntry {
         vocabSize = 30)
         .orderBy("id")),
 
+    // x59 driven through a PERSISTED vocabulary artifact (the fourth
+    // artifact kind): the top-k relation is built+saved once per corpus
+    // version, and the oov probe's vocabulary side comes from the
+    // artifact's rank<=30 slice instead of a per-query corpus
+    // aggregation. Built at a LARGER k than consumed (50 vs 30) to
+    // exercise the rank slice; sharing x59's oracle verbatim proves
+    // the artifact round-trip changes nothing
+    "x73_vocab_artifact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = anchorTmpPath("graft_vocab_anchor", dir)
+      val art = graft.ops.VocabIndex.buildAndSave(docs, "text", k = 50,
+        path = path)
+      graft.ops.TextOps.oovRateAgainst(docs, "doc_id", "text",
+        graft.ops.VocabIndex.tokens(art, 30, "vocabulary artifact"))
+        .orderBy("id")
+    }),
+
     // span-level decontamination: excise eval-contaminated 8-gram spans
     // from the train split instead of dropping whole documents (x21's
     // split: src7 plays the eval set)
@@ -1866,6 +1883,32 @@ object SparkEntry {
                 CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_tokens
          FROM c ORDER BY id, chunk_idx""",
     "x59_oov_rate" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(string_split(
+                    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+           FROM documents),
+         tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+         v AS (SELECT t AS vt FROM (
+                 SELECT t, count(*) AS n FROM tok2 GROUP BY t
+                 ORDER BY n DESC, t LIMIT 30)),
+         p AS (
+           SELECT doc_id, count(*) AS n_tokens,
+                  CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+           FROM tok2 LEFT JOIN v ON tok2.t = v.vt GROUP BY doc_id)
+         SELECT d.doc_id AS id,
+                coalesce(p.n_tokens, 0) AS n_tokens,
+                coalesce(p.n_oov, 0) AS n_oov,
+                CASE WHEN coalesce(p.n_tokens, 0) = 0 THEN 0.0
+                     ELSE floor(CAST(p.n_oov AS DOUBLE) / p.n_tokens
+                                * 10000.0 + 0.5) / 10000.0
+                END AS oov_rate
+         FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+         ORDER BY id""",
+    "x73_vocab_artifact" ->
+      // shares x59's oracle verbatim BY DESIGN: the rank<=30 slice of a
+      // persisted top-50 vocabulary must reproduce the inline top-30
+      // vocabulary exactly (ties rank deterministically by token)
       """WITH tok AS (
            SELECT doc_id,
                   unnest(string_split(

@@ -183,6 +183,18 @@ object XopEngine {
         Errors.malformed(s"xop '$op': unreadable index artifact: ${e.getMessage}")
     }
 
+  /** Load a persisted vocabulary named by an `index` arg — same root
+    * resolution and failure taxonomy as [[loadIndex]]. */
+  private def loadVocab(df: DataFrame, raw: Any,
+                        op: String): graft.ops.VocabIndex.Artifact =
+    try graft.ops.VocabIndex.load(df.sparkSession, indexPath(df, raw, op))
+    catch {
+      case e: IllegalArgumentException =>
+        Errors.malformed(s"xop '$op': ${e.getMessage}")
+      case e: org.apache.spark.sql.AnalysisException =>
+        Errors.malformed(s"xop '$op': unreadable index artifact: ${e.getMessage}")
+    }
+
   /** Parse an explicit `centroids` argument: a non-empty list of
     * equal-length number lists (shared by emb_cluster and
     * semantic_dedup). */
@@ -355,12 +367,44 @@ object XopEngine {
           column(df, args, "column", name), chunkTokens, stride)
 
       // per-doc out-of-vocabulary rate vs the corpus's own top-k vocab
+      // with 'index', a persisted VocabIndex serves the vocabulary side
+      // (the corpus-wide token aggregation is skipped; the only corpus
+      // pass left is the membership probe); 'vocab' then slices a
+      // smaller size out of the stored top-k, defaulting to all of it
       case "oov_rate" =>
-        knownArgs("id", "column", "vocab")
-        val vocab = intArg(args, "vocab", 10000, name).toInt
-        if (vocab <= 0) Errors.malformed(s"xop '$name': vocab must be positive")
-        TextOps.oovRate(df, column(df, args, "id", name),
-          column(df, args, "column", name), vocab)
+        knownArgs("id", "column", "vocab", "index", "verify_index")
+        val idCol = column(df, args, "id", name)
+        val textCol = column(df, args, "column", name)
+        args.get("index") match {
+          case Some(raw) =>
+            val art = loadVocab(df, raw, name)
+            // free identity tripwire: the artifact records which column
+            // its vocabulary was built over
+            for (built <- art.textCol if built != textCol)
+              Errors.malformed(
+                s"xop '$name': vocabulary was built over column '$built', " +
+                  s"this query reads '$textCol' — fix 'column' or rebuild")
+            if (boolArg(args, "verify_index", default = false, name))
+              try graft.ops.VocabIndex.verifyContent(art, "vocabulary",
+                df, textCol)
+              catch { case e: IllegalArgumentException =>
+                Errors.malformed(s"xop '$name': ${e.getMessage}") }
+            val size = intArg(args, "vocab", art.k, name).toInt
+            if (size <= 0) Errors.malformed(s"xop '$name': vocab must be positive")
+            val toks =
+              try graft.ops.VocabIndex.tokens(art, size, "the vocabulary artifact")
+              catch { case e: IllegalArgumentException =>
+                Errors.malformed(s"xop '$name': ${e.getMessage}") }
+            TextOps.oovRateAgainst(df, idCol, textCol, toks)
+          case None =>
+            if (args.contains("verify_index"))
+              Errors.malformed(
+                s"xop '$name': 'verify_index' requires 'index' " +
+                  "(the inline vocabulary is fresh by construction)")
+            val vocab = intArg(args, "vocab", 10000, name).toInt
+            if (vocab <= 0) Errors.malformed(s"xop '$name': vocab must be positive")
+            TextOps.oovRate(df, idCol, textCol, vocab)
+        }
 
       // C4-style line-quality filter: keep lines with enough words, a
       // terminal punctuation mark, and no banned phrase (map-only)

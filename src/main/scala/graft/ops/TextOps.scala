@@ -384,10 +384,22 @@ object TextOps {
   def oovRate(df: DataFrame, idCol: String, textCol: String,
               vocabSize: Int): DataFrame = {
     require(vocabSize > 0, "vocabSize must be positive")
+    oovRateAgainst(df, idCol, textCol,
+      topTokens(df, textCol, vocabSize).select(col("token")))
+  }
+
+  /** [[oovRate]] against an EXTERNAL vocabulary relation (one `token`
+    * string column) — the artifact-served form: a persisted
+    * [[VocabIndex]] replaces the per-query corpus-wide token
+    * aggregation, so the only corpus pass left is the map-side
+    * membership probe. Same broadcast shape either way (the vocabulary
+    * is k-bounded by construction). */
+  def oovRateAgainst(df: DataFrame, idCol: String, textCol: String,
+                     vocabulary: DataFrame): DataFrame = {
     val toks = graft.ops.Dedup.spread(df, col(idCol))
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("__t"))
       .filter(col("__t") =!= "")
-    val vocab = topTokens(df, textCol, vocabSize).select(col("token").as("__v"))
+    val vocab = vocabulary.select(col("token").as("__v"))
     val perDoc = toks.join(broadcast(vocab), col("__t") === col("__v"), "left")
       .groupBy("id")
       .agg(count(lit(1)).as("n_tokens"),

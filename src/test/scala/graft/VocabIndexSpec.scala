@@ -1,0 +1,139 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.{TextOps, VocabIndex}
+
+/** Persisted vocabulary artifact: the stored top-k relation must equal
+  * the inline [[TextOps.topTokens]] (so artifact-served consumers are
+  * output-identical to inline ones), smaller sizes slice exactly by
+  * rank, and the manifest tripwires catch every staleness mode. */
+class VocabIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "alpha beta gamma alpha beta alpha"),
+    (2L, "beta gamma delta beta"),
+    (3L, "gamma delta epsilon"),
+    (4L, "alpha zeta eta theta iota kappa"),
+    (5L, null.asInstanceOf[String]))
+    .toDF("doc_id", "text")
+
+  private def tmpDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("vocab_index_spec")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  test("stored relation equals inline topTokens; rank slices smaller sizes") {
+    val path = tmpDir() + "/v"
+    val art = VocabIndex.buildAndSave(corpus, "text", k = 5, path = path)
+    assert(art.k == 5 && art.capacity.isEmpty)
+    assert(art.textCol.contains("text"))
+    assert(art.nDocs.contains(5L) && art.nTokens.contains(5L))
+    assert(art.contentFingerprint.nonEmpty)
+    val stored = art.vocab.orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    val inline = TextOps.topTokens(corpus, "text", 5).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(stored.map(t => (t._1, t._2)) == inline)
+    assert(stored.map(_._3) == (1 to 5))
+    // rank <= 3 slice == inline top-3 vocabulary
+    val sliced = VocabIndex.tokens(art, 3, "vocab").orderBy("token")
+      .collect().map(_.getString(0)).toSeq
+    assert(sliced == TextOps.topTokens(corpus, "text", 3)
+      .select("token").orderBy("token").collect().map(_.getString(0)).toSeq)
+    // a size beyond k fails fast instead of silently shrinking
+    val e = intercept[IllegalArgumentException] {
+      VocabIndex.tokens(art, 6, "vocab") }
+    assert(e.getMessage.contains("rebuild with a larger k"))
+    VocabIndex.verifyCount(art, "vocab")
+    VocabIndex.verifyContent(spark, path, corpus, "text")
+  }
+
+  test("sketch-built artifact records capacity; ample capacity equals exact") {
+    val path = tmpDir() + "/sk"
+    val art = VocabIndex.buildAndSave(corpus, "text", k = 4, path = path,
+      capacity = Some(4096))
+    assert(art.capacity.contains(4096))
+    val stored = art.vocab.orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val inline = TextOps.topTokens(corpus, "text", 4).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(stored == inline,
+      "ample sketch capacity must store the exact vocabulary")
+  }
+
+  test("artifact-served oovRate equals the inline operator exactly") {
+    val path = tmpDir() + "/oov"
+    val art = VocabIndex.buildAndSave(corpus, "text", k = 5, path = path)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val viaArt = rows(TextOps.oovRateAgainst(corpus, "doc_id", "text",
+      VocabIndex.tokens(art, 3, "vocab")))
+    val inline = rows(TextOps.oovRate(corpus, "doc_id", "text", 3))
+    assert(viaArt == inline)
+  }
+
+  test("load fails fast on missing, foreign, and corrupt artifacts") {
+    val root = tmpDir()
+    def writeManifest(dir: String, text: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir, "manifest.json")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val out = fs.create(p, true)
+      try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    val e1 = intercept[IllegalArgumentException] {
+      VocabIndex.load(spark, s"$root/absent") }
+    assert(e1.getMessage.contains("missing manifest"))
+    // foreign kind
+    graft.ops.BloomIndex.buildAndSave(Seq(1L).toDF("id"), "id", 0.01, s"$root/bl")
+    val e2 = intercept[IllegalArgumentException] {
+      VocabIndex.load(spark, s"$root/bl") }
+    assert(e2.getMessage.contains("not a vocabulary"))
+    val path = s"$root/v"
+    VocabIndex.buildAndSave(corpus, "text", k = 3, path = path)
+    writeManifest(path, """{"version":99,"kind":"vocabulary","k":3}""")
+    assert(intercept[IllegalArgumentException] {
+      VocabIndex.load(spark, path) }.getMessage.contains("version"))
+    writeManifest(path, """{"version":1,"kind":"vocabulary"}""")
+    assert(intercept[IllegalArgumentException] {
+      VocabIndex.load(spark, path) }.getMessage.contains("bad k"))
+    writeManifest(path, "{not json")
+    assert(intercept[IllegalArgumentException] {
+      VocabIndex.load(spark, path) }.getMessage.contains("malformed"))
+    // wrong relation schema
+    writeManifest(path, """{"version":1,"kind":"vocabulary","k":3}""")
+    val vDir = new org.apache.hadoop.fs.Path(path, "vocabulary")
+    vDir.getFileSystem(spark.sessionState.newHadoopConf()).delete(vDir, true)
+    Seq(("a", 1L)).toDF("token", "nope").write.parquet(s"$path/vocabulary")
+    assert(intercept[IllegalArgumentException] {
+      VocabIndex.load(spark, path) }.getMessage.contains("rank INT"))
+  }
+
+  test("staleness tripwires: count, rank integrity, content fingerprint") {
+    val path = tmpDir() + "/stale"
+    VocabIndex.buildAndSave(corpus, "text", k = 4, path = path)
+    // tampered data plane: an extra row breaks count AND rank integrity
+    Seq(("smuggled", 99L, 99)).toDF("token", "n", "rank")
+      .write.mode("append").parquet(s"$path/vocabulary")
+    val art = VocabIndex.load(spark, path)
+    val e1 = intercept[IllegalArgumentException] {
+      VocabIndex.verifyCount(art, "vocab") }
+    assert(e1.getMessage.contains("corrupt"))
+    // content drift: an in-place text edit flips the fingerprint
+    val edited = corpus.withColumn("text",
+      when(col("doc_id") === 2L, lit("totally different now"))
+        .otherwise(col("text")))
+    val e2 = intercept[IllegalArgumentException] {
+      VocabIndex.verifyContent(spark, path, edited, "text") }
+    assert(e2.getMessage.contains("stale"))
+    // identical content, reordered: clean
+    VocabIndex.verifyContent(spark, path,
+      corpus.orderBy(col("doc_id").desc).repartition(3), "text")
+  }
+}

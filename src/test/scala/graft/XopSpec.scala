@@ -1130,6 +1130,75 @@ class XopSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.index.root")
   }
 
+  test("oov_rate 'index': a persisted vocabulary serves the membership side") {
+    val root = java.nio.file.Files.createTempDirectory("xop_vocab").toString
+    graft.ops.VocabIndex.buildAndSave(docs, "text", k = 10, path = s"$root/v")
+    spark.conf.set("spark.graft.index.root", root)
+    try {
+      def run(q: String) = QueryEngine.run(docs, q, resolver).df
+        .collect().map(r => (r.getAs[Number]("id").longValue,
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Double]("oov_rate"))).toSeq
+      // artifact rank<=5 slice ≡ inline top-5 vocabulary
+      val inline = run(
+        """{"xop": {"name": "oov_rate",
+                    "args": {"id": "id", "column": "text", "vocab": 5}},
+            "order_by": ["id"]}""")
+      val viaIdx = run(
+        """{"xop": {"name": "oov_rate",
+                    "args": {"id": "id", "column": "text", "vocab": 5,
+                             "index": "v"}},
+            "order_by": ["id"]}""")
+      assert(viaIdx == inline)
+      // omitted 'vocab' defaults to the artifact's k
+      assert(run(
+        """{"xop": {"name": "oov_rate",
+                    "args": {"id": "id", "column": "text", "index": "v"}},
+            "order_by": ["id"]}""") ==
+        run("""{"xop": {"name": "oov_rate",
+                    "args": {"id": "id", "column": "text", "vocab": 10}},
+            "order_by": ["id"]}"""))
+      // a size beyond the stored k cannot be served
+      intercept[MalformedQueryException] { QueryEngine.run(docs,
+        """{"xop": {"name": "oov_rate",
+                    "args": {"id": "id", "column": "text", "vocab": 11,
+                             "index": "v"}}}""", resolver) }
+      // identity tripwire: the artifact records its text column
+      intercept[MalformedQueryException] { QueryEngine.run(docs,
+        """{"xop": {"name": "oov_rate",
+                    "args": {"id": "id", "column": "src", "index": "v"}}}""",
+        resolver) }
+      // verify_index without index is meaningless
+      intercept[MalformedQueryException] { QueryEngine.run(docs,
+        """{"xop": {"name": "oov_rate",
+                    "args": {"id": "id", "column": "text",
+                             "verify_index": true}}}""", resolver) }
+      // verify_index + fresh corpus: clean, same output
+      assert(run(
+        """{"xop": {"name": "oov_rate",
+                    "args": {"id": "id", "column": "text", "vocab": 5,
+                             "index": "v", "verify_index": true}},
+            "order_by": ["id"]}""") == inline)
+      // verify_index + drifted corpus: stale
+      val drifted = docs.withColumn("text",
+        org.apache.spark.sql.functions.concat(docs("text"),
+          org.apache.spark.sql.functions.lit(" drifted")))
+      val eStale = intercept[MalformedQueryException] {
+        QueryEngine.run(drifted,
+          """{"xop": {"name": "oov_rate",
+                      "args": {"id": "id", "column": "text", "index": "v",
+                               "verify_index": true}}}""", resolver) }
+      assert(eStale.getMessage.contains("stale"))
+      // a minhash artifact under the same root is a foreign kind here
+      graft.ops.MinHashIndex.buildAndSave(evalSet, "eid", "text",
+        path = s"$root/mh2")
+      intercept[MalformedQueryException] { QueryEngine.run(docs,
+        """{"xop": {"name": "oov_rate",
+                    "args": {"id": "id", "column": "text",
+                             "index": "mh2"}}}""", resolver) }
+    } finally spark.conf.unset("spark.graft.index.root")
+  }
+
   test("dedup_against xop drops texts already in a stored corpus") {
     import spark.implicits._
     val corpus = Seq((100L, "the quick brown fox jumps over the lazy dog"))
