@@ -715,7 +715,6 @@ object XopEngine {
 
       // ---- events ----
 
-      // gap-based sessionization, batch form (user_id/ts/value shape)
       // cohort retention triangle over the event frame: daily (or any
       // period) cohorts by first activity, cells of re-active users
       case "retention" =>
@@ -736,6 +735,7 @@ object XopEngine {
           Errors.malformed(s"xop '$name': max_offset must be >= 0")
         graft.streaming.EventStreams.retention(df, rPeriod, rOffset)
 
+      // gap-based sessionization, batch form (user_id/ts/value shape)
       case "sessionize" =>
         knownArgs("gap_seconds", "granule", "strategy")
         for (c <- Seq("user_id", "ts", "value") if !ExprCompiler.hasColumn(df, c))

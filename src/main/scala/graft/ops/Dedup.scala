@@ -577,7 +577,17 @@ object Dedup {
     * 16 bytes of payload per doc — and ONE id-keyed full-outer hash join
     * classifies; no text ever shuffles. Null ids join nothing and
     * surface as an `added` + `removed` pair, the honest reading of
-    * unidentifiable rows. */
+    * unidentifiable rows.
+    *
+    * PRECONDITION: ids must be unique within each side (the corpus
+    * contract every artifact in this module shares). A duplicated id
+    * fans out through the full-outer join and emits one status row per
+    * cross-side pairing — repeated, and contradictory when the
+    * duplicates' texts differ. There is no principled single answer for
+    * "did id X change" when X names two different texts, so the
+    * operator does not pick one; reduce each side to one row per id
+    * first (e.g. a groupBy(id).agg(min(text)) or whatever tiebreak the
+    * pipeline's ids are supposed to carry). */
   def corpusDiff(old: DataFrame, oldIdCol: String, oldTextCol: String,
                  cur: DataFrame, curIdCol: String, curTextCol: String): DataFrame = {
     // presence rides as an explicit marker: a null TEXT fingerprints to

@@ -23,6 +23,61 @@ object Sampling {
   private def orderHash(id: Column): Column =
     pmod(pmod(id.cast("long"), lit(P)) * lit(2654435761L % P), lit(P))
 
+  /** Past this many weights entries, the mixture samplers stop compiling
+    * the per-source lookup as a literal when/otherwise chain. Each chain
+    * entry is one more CaseWhen branch — a 10k-source weights map would
+    * codegen a 10k-deep Case (twice, for the epoch sampler), blowing up
+    * plan size and tripping codegen's method-size fallback. Realistic
+    * mixture tables are tens of sources; past the bound the lookup runs
+    * as a broadcast hash join instead (same semantics, O(1) probes). */
+  private[graft] val ChainLiteralMax = 100
+
+  /** Resolve per-source long parameters for the mixture samplers: extend
+    * `df` with one column per (name, weight→value) entry, where a row's
+    * value comes from its source's weight (or `default` when the source
+    * is absent from the map or NULL). Up to [[ChainLiteralMax]] sources
+    * this compiles as a literal when/otherwise chain — every boundary an
+    * exact integer in the plan, the engine-portability shape the oracle
+    * SQL mirrors. Past the bound it becomes a broadcast hash join
+    * against a driver-built (source → values) relation: identical
+    * fall-to-default semantics (an unmatched or NULL source misses the
+    * join and coalesces to the default), still map-only — the broadcast
+    * ships the weights table, never shuffles the corpus. */
+  private def withSourceParams(df: DataFrame, sourceCol: String,
+      weights: Map[String, Double], default: Double,
+      outCols: Seq[(String, Double => Long)]): DataFrame = {
+    for ((n, _) <- outCols)
+      require(!df.columns.contains(n), s"internal column '$n' collides")
+    if (weights.size <= ChainLiteralMax) {
+      outCols.foldLeft(df) { case (d, (n, f)) =>
+        d.withColumn(n,
+          weights.toSeq.sortBy(_._1).foldLeft(lit(f(default))) {
+            case (acc, (s, w)) =>
+              when(col(sourceCol) === s, lit(f(w))).otherwise(acc)
+          })
+      }
+    } else {
+      require(!df.columns.contains("__graft_src"),
+        "internal column '__graft_src' collides")
+      val spark = df.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("__graft_src",
+          org.apache.spark.sql.types.StringType, nullable = false) +:
+        outCols.map { case (n, _) => org.apache.spark.sql.types.StructField(
+          n, org.apache.spark.sql.types.LongType, nullable = false) })
+      val rows = weights.toSeq.sortBy(_._1).map { case (s, w) =>
+        org.apache.spark.sql.Row.fromSeq(s +: outCols.map(_._2(w)))
+      }
+      import scala.jdk.CollectionConverters._
+      val wdf = spark.createDataFrame(rows.asJava, schema)
+      val joined = df.join(broadcast(wdf),
+        col(sourceCol) === col("__graft_src"), "left")
+      outCols.foldLeft(joined) { case (d, (n, f)) =>
+        d.withColumn(n, coalesce(col(n), lit(f(default))))
+      }.drop("__graft_src")
+    }
+  }
+
   /** Keep the `k` hash-smallest rows per stratum — a deterministic uniform
     * sample without replacement, stratified by `stratumCol`. Plans as
     * row_number over (stratum, hash) bounded by k, which Spark executes
@@ -170,11 +225,10 @@ object Sampling {
                     default: Double = 0.0): DataFrame = {
     require((weights.values ++ Seq(default)).forall(w => w >= 0 && w <= 1),
       "weights must be in [0,1]")
-    val threshold = weights.toSeq.sortBy(_._1).foldLeft(
-      lit(math.floor(P * default).toLong)) { case (acc, (s, w)) =>
-      when(col(sourceCol) === s, lit(math.floor(P * w).toLong)).otherwise(acc)
-    }
-    df.filter(orderHash(col(idCol)) < threshold)
+    withSourceParams(df, sourceCol, weights, default,
+      Seq("__thr" -> (w => math.floor(P * w).toLong)))
+      .filter(orderHash(col(idCol)) < col("__thr"))
+      .drop("__thr")
   }
 
   /** Training-mix EPOCH resampling — [[mixtureByHash]] generalized past
@@ -199,21 +253,20 @@ object Sampling {
                           default: Double = 1.0): DataFrame = {
     require((weights.values ++ Seq(default)).forall(w => w >= 0 && w <= 1000),
       "weights must be in [0,1000]")
-    // two literal CASE chains (full copies; fractional-epoch threshold),
-    // both resolved driver-side so every boundary is one exact integer in
-    // the plan — the engine-portability rule every hash sampler follows
-    def chain(f: Double => Long): Column =
-      weights.toSeq.sortBy(_._1).foldLeft(lit(f(default))) {
-        case (acc, (s, w)) => when(col(sourceCol) === s, lit(f(w))).otherwise(acc)
-      }
-    val full = chain(w => math.floor(w).toLong)
-    val fracThr = chain(w => math.floor(P * (w - math.floor(w))).toLong)
-    val n = full +
-      when(orderHash(col(idCol)) < fracThr, lit(1L)).otherwise(lit(0L))
-    df.withColumn("__n", n)
+    // two per-source parameters (full copies; fractional-epoch
+    // threshold), both resolved driver-side so every boundary is one
+    // exact integer in the plan — the engine-portability rule every hash
+    // sampler follows; past ChainLiteralMax sources the lookup joins
+    // instead of chaining (see withSourceParams)
+    val resolved = withSourceParams(df, sourceCol, weights, default, Seq(
+      "__full" -> (w => math.floor(w).toLong),
+      "__fracThr" -> (w => math.floor(P * (w - math.floor(w))).toLong)))
+    val n = col("__full") +
+      when(orderHash(col(idCol)) < col("__fracThr"), lit(1L)).otherwise(lit(0L))
+    resolved.withColumn("__n", n)
       .filter(col("__n") > 0)
       .withColumn("epoch", explode(sequence(lit(0L), col("__n") - 1)))
-      .drop("__n")
+      .drop("__n", "__full", "__fracThr")
   }
 
   /** Per-group adaptive quantile band filter: keep rows whose `valueCol`

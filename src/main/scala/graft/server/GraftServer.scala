@@ -76,6 +76,12 @@ final class GraftServer(spark: SparkSession, port: Int,
   private final class HttpFail(val status: Int, val message: String = "")
     extends RuntimeException(message)
 
+  /** Failure statuses that never earn the courtesy body drain: the
+    * whole auth class, so a future 403 path inherits the
+    * no-read-bandwidth-for-unauthenticated-clients posture instead of
+    * silently regressing it. */
+  private val noDrainStatuses = Set(401, 403)
+
   private def handle(exchange: HttpExchange): Unit = {
     val t0 = clock()
     var operation: Option[String] = None
@@ -112,17 +118,20 @@ final class GraftServer(spark: SparkSession, port: Int,
         // no buffering) before responding, so a client mid-upload of a
         // MODEST body reads the failure status instead of a connection
         // RESET. The drain is a COURTESY and cheap by construction:
-        // skipped outright for auth failures (an unauthenticated client
-        // gets no read bandwidth at all) and for requests declaring more
-        // than the 256 KB ceiling — those close without the status
-        // (reading a GiB per failed request would let one abusive upload
-        // pin a handler thread; a well-behaved client retries and reads
-        // the error from a HEAD-size probe or its logs). Bodies the
-        // handler already consumed — e.g. a parse failure after a full
-        // read — hit EOF immediately regardless of declared size, so the
-        // response still delivers there.
+        // skipped outright for auth-class failures (an unauthenticated
+        // or forbidden client gets no read bandwidth at all) and for
+        // requests declaring more than the 256 KB ceiling (reading a
+        // GiB per failed request would let one abusive upload pin a
+        // handler thread). In the skip cases the status is still
+        // WRITTEN; whether the client reads it before noticing the
+        // unconsumed-body reset is up to socket buffering — best
+        // effort by design, and a well-behaved client retries and
+        // reads the error from a HEAD-size probe or its logs. Bodies
+        // the handler already consumed — e.g. a parse failure after a
+        // full read — hit EOF immediately regardless of declared size,
+        // so the response still delivers there.
         val drainCeiling = 256L * 1024
-        val skipDrain = f.status == 401 ||
+        val skipDrain = noDrainStatuses(f.status) ||
           header(exchange, "Content-Length").flatMap(_.toLongOption)
             .exists(_ > drainCeiling)
         if (!skipDrain) try {

@@ -510,6 +510,38 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mixture samplers: past ChainLiteralMax the lookup broadcasts-joins, output unchanged") {
+    import spark.implicits._
+    val df = (0L until 1200L).map(i => (i, s"src${i % 6}")).toDF("id", "src")
+    // pad the weights map with sources absent from the frame until it
+    // crosses the literal-chain bound: the row set MUST be identical to
+    // the relevant-only map, whichever lookup strategy compiles
+    def pad[A](m: Map[String, Double], v: Double): Map[String, Double] =
+      m ++ (0 to Sampling.ChainLiteralMax).map(i => s"pad$i" -> v)
+    val frac = Map("src0" -> 0.5, "src1" -> 1.0, "src2" -> 0.0)
+    val small = Sampling.mixtureByHash(df, "id", "src", frac, default = 0.3)
+    val big = Sampling.mixtureByHash(df, "id", "src", pad(frac, 0.25),
+      default = 0.3)
+    assert(small.schema == big.schema)
+    assert(big.collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      .sameElements(small.collect().map(r => (r.getLong(0), r.getString(1))).sorted))
+    // strategy switch is observable in the physical plan
+    assert(big.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(!small.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val ep = Map("src0" -> 2.5, "src1" -> 0.4, "src2" -> 0.0)
+    val epSmall = Sampling.mixtureEpochsByHash(df, "id", "src", ep, default = 1.0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    val epBig = Sampling.mixtureEpochsByHash(df, "id", "src", pad(ep, 3.25),
+      default = 1.0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    assert(epBig.sameElements(epSmall))
+    // internal-column collisions fail fast rather than silently resolving
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureEpochsByHash(df.withColumn("__full", lit(1)),
+        "id", "src", ep)
+    }
+  }
+
   test("deterministic sampling: stratified top-k and hash fraction") {
     import spark.implicits._
     val df = (0L until 500L).map(i => (i, if (i % 3 == 0) "en" else "es"))
