@@ -735,6 +735,31 @@ object SparkEntry {
         .orderBy("batch_id", "corpus_id")
     }),
 
+    // x28's exclusion served through an INCREMENTALLY-UPDATED bloom
+    // artifact: the sketch is built over a synthetic PREVIOUS ledger
+    // (a third of the src7 ids not yet added; a handful of src3 ids
+    // since removed), then brought to the current ledger with
+    // BloomIndex.update — arriving ids hashed in at the base sizing,
+    // departures delta-subtracted from the manifest only (their bits
+    // stay set; the rescue anti-join keeps the operator exact). Shares
+    // x28's oracle shape on the same ledger: an updated artifact must
+    // exclude exactly what an inline build over the current list does
+    "x74_bloom_update" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ledger = docs.filter(col("source") === "src7").select("doc_id")
+      val extras = docs.filter(col("source") === "src3" && col("doc_id") % 11 === 0)
+        .select("doc_id")
+      val v1 = ledger.filter(col("doc_id") % 3 =!= 0).unionByName(extras)
+      val added = ledger.filter(col("doc_id") % 3 === 0)
+      val path = anchorTmpPath("graft_bl_upd", dir)
+      graft.ops.BloomIndex.buildAndSave(v1, "doc_id", fpp = 0.05, path)
+      val art = graft.ops.BloomIndex.update(s, path, added, "doc_id",
+        removed = Some((extras, "doc_id")))
+      graft.ops.Dedup.excludeByBloomWith(docs, "doc_id", art.bytes,
+        ledger, "doc_id")
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+
     // corpus version diff — the refresh-ops report that says when the
     // dedup/exclusion artifacts need rebuilding: 16-byte fingerprints
     // per side, one id-keyed full-outer join, no text shuffle. The
@@ -2232,6 +2257,14 @@ object SparkEntry {
     "x28_bloom_exclude" ->
       // the sketch+rescue construction is EXACT, so the oracle is the
       // plain anti-join it replaces at scale
+      """SELECT doc_id, source FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE source = 'src7')
+         ORDER BY doc_id""",
+    "x74_bloom_update" ->
+      // shares x28's oracle BY DESIGN: exclusion through an
+      // incrementally-updated sketch must equal the inline build over
+      // the current ledger — stale removed-id bits are rescued by the
+      // exact anti-join, arriving ids are covered by the merge
       """SELECT doc_id, source FROM documents
          WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE source = 'src7')
          ORDER BY doc_id""",

@@ -1110,6 +1110,43 @@ object XopEngine {
           art.contentFingerprint != before.contentFingerprint))
           .toDF("n_docs_before", "n_docs", "fingerprint", "changed")
 
+      // incremental bloom-ledger maintenance: the query frame is the
+      // ADDED id rows; departures come as a resolver-named dataset
+      // (bits stay set — safe over-probing, see BloomIndex.update)
+      case "bloom_update" =>
+        knownArgs("id", "index", "removed", "removed_id", "max_fpp_factor")
+        val id = column(df, args, "id", name)
+        val raw = args.getOrElse("index",
+          Errors.malformed(s"xop '$name': 'index' is required (the artifact to refresh)"))
+        val path = indexPath(df, raw, name)
+        val before = loadBloom(df, raw, name)
+        val removed = args.get("removed").map { _ =>
+          val rdf = dataset("removed")
+          val rid = args.get("removed_id")
+            .map(_ => reqStr(args, "removed_id", name)).getOrElse(id)
+          if (!ExprCompiler.hasColumn(rdf, rid))
+            Errors.malformed(s"xop '$name': removed dataset has no column", rid)
+          (rdf, rid)
+        }
+        if (args.contains("removed_id") && !args.contains("removed"))
+          Errors.malformed(s"xop '$name': 'removed_id' requires 'removed'")
+        val factor = doubleArgOpt(args, "max_fpp_factor", 4.0, name)
+        if (factor <= 0)
+          Errors.malformed(s"xop '$name': max_fpp_factor must be positive")
+        val art =
+          try graft.ops.BloomIndex.update(df.sparkSession, path, df, id,
+            removed, maxFppFactor = factor)
+          catch {
+            case e: IllegalArgumentException =>
+              Errors.malformed(s"xop '$name': ${e.getMessage}")
+          }
+        import df.sparkSession.implicits._
+        Seq((before.nIds.getOrElse(-1L), art.nIds.getOrElse(-1L),
+          art.nInserted.getOrElse(-1L),
+          art.contentFingerprint.getOrElse(""),
+          art.contentFingerprint != before.contentFingerprint))
+          .toDF("n_ids_before", "n_ids", "n_inserted", "fingerprint", "changed")
+
       // deterministic named splits by id hash: ordered [name, weight] pairs
       case "split" =>
         knownArgs("id", "splits")

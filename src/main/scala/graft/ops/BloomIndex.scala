@@ -88,30 +88,44 @@ object BloomIndex {
     * count + content fingerprint. Returns the serialized bytes. */
   def buildAndSave(exclude: DataFrame, idCol: String, fpp: Double,
                    path: String): Array[Byte] = {
-    val bytes = Dedup.buildBloom(exclude, idCol, fpp)
-    val (fp, n, _) = fingerprintAndCount(exclude, idCol)
+    val nItems = Dedup.bloomSizing(exclude)
+    val bytes = Dedup.buildBloomSized(exclude, idCol, nItems, fpp)
+    val (fp, n, nNull) = fingerprintAndCount(exclude, idCol)
     save(exclude.sparkSession, path, bytes, fpp = fpp,
       nIds = Some(n),
       idCol = Some(idCol),
       idType = Some(exclude.schema(idCol).dataType.catalogString),
-      contentFingerprint = Some(fp))
+      contentFingerprint = Some(fp),
+      nItemsBuilt = Some(nItems),
+      nInserted = Some(n - nNull))
     bytes
   }
 
   /** Loaded artifact: the sketch bytes plus whatever build metadata the
     * artifact recorded (all optional — hand-built manifests may omit
-    * them; every recorded field is validated at use time). */
+    * them; every recorded field is validated at use time). `fpp` /
+    * `nItemsBuilt` are the sketch's BUILD parameters (together they
+    * determine the bit-array shape — [[update]] needs both);
+    * `nInserted` counts every non-null id ever hashed INTO the sketch,
+    * monotone under updates (removals leave bits set), the load the
+    * false-positive estimate is computed from. */
   final case class Artifact(bytes: Array[Byte], nIds: Option[Long],
                             idCol: Option[String] = None,
                             idType: Option[String] = None,
                             contentFingerprint: Option[String] = None,
-                            fingerprintNulls: Option[String] = None)
+                            fingerprintNulls: Option[String] = None,
+                            fpp: Option[Double] = None,
+                            nItemsBuilt: Option[Long] = None,
+                            nInserted: Option[Long] = None)
 
   /** Persist already-built sketch bytes at `path` (overwrite). */
   def save(spark: SparkSession, path: String, bytes: Array[Byte],
            fpp: Double, nIds: Option[Long] = None,
            idCol: Option[String] = None, idType: Option[String] = None,
-           contentFingerprint: Option[String] = None): Unit = {
+           contentFingerprint: Option[String] = None,
+           nItemsBuilt: Option[Long] = None,
+           nInserted: Option[Long] = None,
+           fppEstimate: Option[Double] = None): Unit = {
     require(bytes.nonEmpty, "bloom bytes must be non-empty")
     import spark.implicits._
     Seq(Tuple1(bytes)).toDF("bloom")
@@ -128,7 +142,10 @@ object BloomIndex {
       idType.map("id_type" -> _.asInstanceOf[Any]) ++
       contentFingerprint.map("fingerprint" -> _.asInstanceOf[Any]) ++
       contentFingerprint.map(_ =>
-        "fingerprint_nulls" -> FingerprintNullsZero.asInstanceOf[Any])
+        "fingerprint_nulls" -> FingerprintNullsZero.asInstanceOf[Any]) ++
+      nItemsBuilt.map("n_items_built" -> _.asInstanceOf[Any]) ++
+      nInserted.map("n_inserted" -> _.asInstanceOf[Any]) ++
+      fppEstimate.map("fpp_estimate" -> _.asInstanceOf[Any])
     val p = new org.apache.hadoop.fs.Path(path, "manifest.json")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, true)
@@ -189,7 +206,10 @@ object BloomIndex {
       manifest.get("id_col").collect { case s: String => s },
       manifest.get("id_type").collect { case s: String => s },
       manifest.get("fingerprint").collect { case s: String => s },
-      manifest.get("fingerprint_nulls").collect { case s: String => s })
+      manifest.get("fingerprint_nulls").collect { case s: String => s },
+      manifest.get("fpp").collect { case d: Double => d },
+      manifest.get("n_items_built").collect { case l: Long => l },
+      manifest.get("n_inserted").collect { case l: Long => l })
   }
 
   /** STRONG staleness check: recompute the content fingerprint of the
@@ -230,5 +250,108 @@ object BloomIndex {
         s"$what is stale: exclude list content changed " +
           s"(fingerprint $current, artifact built over $recorded) — " +
           "rebuild the artifact")
+  }
+
+  /** INCREMENTAL sketch maintenance — the [[MinHashIndex.update]]
+    * pattern applied to the exclusion ledger. A 10^9-id ledger that
+    * gained a day's worth of ids should pay one aggregation over the
+    * DAY, not the ledger; the caller supplies the delta (a ledger is
+    * append-mostly and its owner knows its appends; [[Dedup.corpusDiff]]
+    * over the id column computes one otherwise).
+    *
+    * `added` ids are hashed into the sketch at the BASE artifact's exact
+    * (expectedNumItems, fpp) sizing — same bit-array shape, so the
+    * OR-merge is bit-identical to hashing the union at that sizing
+    * (pinned in spec). `removed` ids CANNOT leave a Bloom filter; their
+    * bits stay set, which is SAFE for the exclusion operator — a stale
+    * positive probe is rescued by [[Dedup.excludeByBloomWith]]'s exact
+    * anti-join, so removals cost over-probing, never over-deletion. The
+    * manifest's count and content fingerprint are delta-updated exactly
+    * (the decimal sum: add arriving hashes, subtract departing), so the
+    * free staleness tripwires and [[verifyContent]] keep tracking the
+    * CURRENT ledger, not the sketch's monotone history.
+    *
+    * Honesty guard: every update recomputes the sketch's estimated
+    * false-positive rate from its cumulative insert load
+    * ((1 − e^(−k·n/m))^k with n = n_inserted, an upper bound since
+    * duplicates count), records it in the manifest, and REFUSES to grow
+    * a sketch past `maxFppFactor` × the built fpp — the explicit
+    * rebuild trigger that keeps "incremental" from silently decaying
+    * into "useless" (at 4× the default, every probe-positive still
+    * short-circuits ~97% of the rescue join at fpp=0.01).
+    *
+    * Preconditions: `removed` rows must be exactly the rows that LEFT
+    * the ledger (same multiplicity — the fingerprint is a sum over raw
+    * rows); the artifact must record its build sizing (n_items_built;
+    * artifacts from before incremental maintenance need one rebuild)
+    * and use the null-neutral fingerprint formula. An empty delta
+    * returns the loaded artifact without writing. */
+  def update(spark: SparkSession, path: String,
+             added: DataFrame, addedIdCol: String,
+             removed: Option[(DataFrame, String)] = None,
+             maxFppFactor: Double = 4.0): Artifact = {
+    val art = loadWithMeta(spark, path)
+    val what = s"bloom index at $path"
+    def need[A](o: Option[A], field: String): A = o.getOrElse(
+      throw new IllegalArgumentException(
+        s"$what records no $field — rebuild it once with buildAndSave " +
+          "to enable incremental updates"))
+    val fpp = need(art.fpp, "fpp")
+    val nItemsBuilt = need(art.nItemsBuilt, "n_items_built")
+    val nInserted = need(art.nInserted, "n_inserted")
+    val oldFp = BigInt(need(art.contentFingerprint, "content fingerprint"))
+    val oldN = need(art.nIds, "n_ids")
+    if (art.fingerprintNulls.isEmpty)
+      throw new IllegalArgumentException(
+        s"$what predates the null-neutral fingerprint formula — rebuild it once")
+    // same identity tripwires the probe path enforces: a delta hashed
+    // through a different column name or type would silently diverge
+    // from the ledger the sketch claims to cover
+    def checkSide(df: DataFrame, c: String, side: String): Unit = {
+      Dedup.requireIntegralId(df, c, s"$side id")
+      for (built <- art.idCol if built != c)
+        throw new IllegalArgumentException(
+          s"$what was built over column '$built', $side uses '$c'")
+      for (built <- art.idType;
+           now = df.schema(c).dataType.catalogString if built != now)
+        throw new IllegalArgumentException(
+          s"$what was built over $built ids, $side column '$c' is $now")
+    }
+    checkSide(added, addedIdCol, "added")
+    removed.foreach { case (df, c) => checkSide(df, c, "removed") }
+    val (addFp, nAdd, nAddNull) = fingerprintAndCount(added, addedIdCol)
+    val (remFp, nRem, _) = removed.map { case (df, c) =>
+      fingerprintAndCount(df, c) }.getOrElse(("0", 0L, 0L))
+    if (nAdd == 0L && nRem == 0L) return art
+    val newInserted = nInserted + (nAdd - nAddNull)
+    // estimated fpp at the new load: k is reconstructible from the
+    // build parameters (max(1, round(m/n·ln2)) — the sizing formula the
+    // sketch library itself uses), m from the serialized bit array
+    val base = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(art.bytes))
+    val m = base.bitSize().toDouble
+    val k = math.max(1L, math.round(m / nItemsBuilt * math.log(2))).toDouble
+    val est = math.pow(1.0 - math.exp(-k * newInserted / m), k)
+    if (est > maxFppFactor * fpp)
+      throw new IllegalArgumentException(
+        f"$what has outgrown its sketch: estimated false-positive rate " +
+          f"$est%.2g at ${newInserted} inserted ids exceeds $maxFppFactor%.1f× " +
+          f"the built fpp=$fpp%.2g — rebuild the artifact at the new scale")
+    if (nAdd - nAddNull > 0L)
+      base.mergeInPlace(org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(
+          Dedup.buildBloomSized(added, addedIdCol, nItemsBuilt, fpp))))
+    val bos = new java.io.ByteArrayOutputStream()
+    base.writeTo(bos)
+    save(spark, path, bos.toByteArray, fpp = fpp,
+      nIds = Some(oldN + nAdd - nRem),
+      idCol = art.idCol.orElse(Some(addedIdCol)),
+      idType = art.idType.orElse(
+        Some(added.schema(addedIdCol).dataType.catalogString)),
+      contentFingerprint = Some((oldFp + BigInt(addFp) - BigInt(remFp)).toString),
+      nItemsBuilt = Some(nItemsBuilt),
+      nInserted = Some(newInserted),
+      fppEstimate = Some(est))
+    loadWithMeta(spark, path)
   }
 }

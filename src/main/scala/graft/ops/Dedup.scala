@@ -840,9 +840,22 @@ object Dedup {
     * (order-independent bit-array merge ⇒ deterministic for a given list
     * and parameters). [[BloomIndex]] persists exactly these bytes. */
   private[graft] def buildBloom(exclude: DataFrame, excludeIdCol: String,
-                                fpp: Double): Array[Byte] = {
+                                fpp: Double): Array[Byte] =
+    buildBloomSized(exclude, excludeIdCol, bloomSizing(exclude), fpp)
+
+  /** The expectedNumItems [[buildBloom]] sizes its sketch with —
+    * exposed so [[BloomIndex.buildAndSave]] can RECORD it: incremental
+    * update must rebuild the added-side sketch with the base's exact
+    * (expectedNumItems, fpp) pair or the bit arrays won't merge. */
+  private[graft] def bloomSizing(exclude: DataFrame): Long =
+    math.max(Similarity.approxRows(exclude), 1L)
+
+  /** [[buildBloom]] at an EXPLICIT sizing — the incremental-update path,
+    * where the added rows must hash into a bit array shaped exactly like
+    * the base artifact's. */
+  private[graft] def buildBloomSized(exclude: DataFrame, excludeIdCol: String,
+                                     nItems: Long, fpp: Double): Array[Byte] = {
     requireIntegralId(exclude, excludeIdCol, "exclude id")
-    val nItems = math.max(Similarity.approxRows(exclude), 1L)
     val bf = exclude.stat.bloomFilter(excludeIdCol, nItems, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)

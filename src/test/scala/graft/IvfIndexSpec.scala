@@ -265,4 +265,85 @@ class IvfIndexSpec extends AnyFunSuite {
     }
     assert(e3.getMessage.contains("integer type"))
   }
+
+  test("BloomIndex.update: delta merge is bit-identical to hashing the union at the base sizing") {
+    import graft.ops.{BloomIndex, Dedup}
+    val v1 = (1L to 400L).map(Tuple1(_)).toDF("xid")
+    val added = (1001L to 1040L).map(Tuple1(_)).toDF("xid")
+    val removed = (1L to 400L by 50).map(Tuple1(_)).toDF("xid")
+    val path = tmpDir() + "/bloom_upd"
+    BloomIndex.buildAndSave(v1, "xid", fpp = 0.01, path)
+    val base = BloomIndex.loadWithMeta(spark, path)
+    val nBuilt = base.nItemsBuilt.get
+    val art = BloomIndex.update(spark, path, added, "xid",
+      removed = Some((removed, "xid")))
+    // the sketch is the union's bits at the BASE's exact sizing —
+    // removals stay set (a bloom cannot forget), additions are in
+    val unionBits = Dedup.buildBloomSized(v1.unionByName(added), "xid",
+      nBuilt, 0.01)
+    assert(java.util.Arrays.equals(art.bytes, unionBits))
+    // the manifest tracks the CURRENT ledger, not the sketch's history:
+    // count and fingerprint delta-updated exactly, so verifyContent
+    // passes against the refreshed list and fails against the old one
+    val removedSet = (1L to 400L by 50).toSet
+    val current = ((1L to 400L).filterNot(removedSet) ++ (1001L to 1040L))
+      .map(Tuple1(_)).toDF("xid")
+    assert(art.nIds.contains(current.count()))
+    assert(art.contentFingerprint.contains(
+      BloomIndex.fingerprint(current, "xid")))
+    BloomIndex.verifyContent(spark, path, current, "xid")
+    intercept[IllegalArgumentException] {
+      BloomIndex.verifyContent(spark, path, v1, "xid")
+    }
+    // n_inserted is monotone: removals never decrement it
+    assert(art.nInserted.contains(440L))
+    // exclusion through the updated sketch equals the inline build over
+    // the refreshed ledger: an added id is excluded, a removed id's
+    // stale bits are rescued by the exact anti-join (kept)
+    val corpusDf = ((1L to 400L) ++ (1001L to 1040L))
+      .map(i => (i, s"doc $i")).toDF("id", "text")
+    def kept(d: org.apache.spark.sql.DataFrame) =
+      d.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept(Dedup.excludeByBloomWith(corpusDf, "id", art.bytes,
+        current, "xid")) ==
+      kept(Dedup.excludeByBloom(corpusDf, "id", current, "xid")))
+    assert(kept(Dedup.excludeByBloomWith(corpusDf, "id", art.bytes,
+        current, "xid")).contains(1L)) // removed id 1 is kept again
+    // empty delta: no write, artifact returned as loaded
+    val same = BloomIndex.update(spark, path,
+      spark.emptyDataFrame.select(lit(0L).as("xid")).limit(0), "xid")
+    assert(same.contentFingerprint == art.contentFingerprint &&
+      same.nIds == art.nIds)
+  }
+
+  test("BloomIndex.update guards: fpp growth bound, identity tripwires, legacy artifacts") {
+    import graft.ops.BloomIndex
+    val tiny = (1L to 20L).map(Tuple1(_)).toDF("xid")
+    val path = tmpDir() + "/bloom_guard"
+    BloomIndex.buildAndSave(tiny, "xid", fpp = 0.01, path)
+    // growing a 20-id sketch by 2000 ids blows the estimated fpp past
+    // any sane factor of the built 0.01 — the explicit rebuild trigger
+    val flood = (100L to 2100L).map(Tuple1(_)).toDF("xid")
+    val eG = intercept[IllegalArgumentException] {
+      BloomIndex.update(spark, path, flood, "xid")
+    }
+    assert(eG.getMessage.contains("outgrown"))
+    // a permissive factor admits the same flood (caller's choice)
+    BloomIndex.update(spark, path, (21L to 24L).map(Tuple1(_)).toDF("xid"),
+      "xid", maxFppFactor = 1e6)
+    // wrong column name / non-integral type fail before any job
+    val eCol = intercept[IllegalArgumentException] {
+      BloomIndex.update(spark, path, tiny.withColumnRenamed("xid", "other"),
+        "other")
+    }
+    assert(eCol.getMessage.contains("column"))
+    // an artifact saved without build sizing cannot be updated — one
+    // rebuild upgrades it
+    val bare = tmpDir() + "/bloom_guard_bare"
+    BloomIndex.save(spark, bare, BloomIndex.load(spark, path), fpp = 0.01)
+    val eBare = intercept[IllegalArgumentException] {
+      BloomIndex.update(spark, bare, tiny, "xid")
+    }
+    assert(eBare.getMessage.contains("rebuild it once"))
+  }
 }

@@ -397,7 +397,8 @@ class PropertySpec extends AnyFunSuite {
       "gram_novelty", "token_divergence", "pmi_pairs", "quantile_band",
       "bigram_nll", "line_dedup", "line_quality", "sample_weighted",
       "text_chunks", "oov_rate", "semantic_dedup", "interval_join", "funnel",
-      "repetition_signals", "retention", "corpus_diff", "index_update", "zap")
+      "repetition_signals", "retention", "corpus_diff", "index_update",
+      "bloom_update", "zap")
     val argKeys = Seq("id", "column", "order", "chunk_tokens", "k",
       "fraction", "strata", "source", "weights", "default", "approx",
       "num_hashes", "bands", "threshold", "shingle", "action",
@@ -413,7 +414,8 @@ class PropertySpec extends AnyFunSuite {
       "min_pair_docs", "max_doc_tokens", "min_words", "require_punct",
       "banned", "weight", "vocab", "centroids", "index", "strategy",
       "horizon", "steps", "period_seconds", "max_offset", "epochs",
-      "capacity", "verify_index", "old", "old_id", "old_column", "zap")
+      "capacity", "verify_index", "old", "old_id", "old_column",
+      "removed", "removed_id", "max_fpp_factor", "zap")
     val valGen: Gen[String] = Gen.oneOf(
       Gen.oneOf("id", "src", "text", "zz", "ds", "pairs", "drop", "flag")
         .map(s => s""""$s""""),

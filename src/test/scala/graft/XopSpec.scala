@@ -1130,6 +1130,62 @@ class XopSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.index.root")
   }
 
+  test("bloom_update xop grows a persisted exclusion sketch incrementally") {
+    val root = java.nio.file.Files.createTempDirectory("xop_bl_upd").toString
+    import spark.implicits._
+    val v1 = (1L to 30L).map(Tuple1(_)).toDF("id")
+    graft.ops.BloomIndex.buildAndSave(v1, "id", fpp = 0.01, s"$root/bl")
+    spark.conf.set("spark.graft.index.root", root)
+    try {
+      // refresh: five arriving ids (the query frame), three departures
+      // (a resolver-named dataset)
+      val added = (31L to 35L).map(Tuple1(_)).toDF("id")
+      val gone: String => Option[DataFrame] =
+        n => if (n == "gone") Some((1L to 30L by 10).map(Tuple1(_)).toDF("id"))
+             else None
+      val rep = QueryEngine.run(added,
+        """{"xop": {"name": "bloom_update",
+                    "args": {"id": "id", "index": "bl", "removed": "gone"}}}""",
+        gone).df.collect()
+      assert(rep.length == 1)
+      val r = rep.head
+      assert(r.getAs[Long]("n_ids_before") == 30L &&
+        r.getAs[Long]("n_ids") == 32L &&
+        r.getAs[Long]("n_inserted") == 35L && // monotone: removals don't decrement
+        r.getAs[Boolean]("changed"))
+      // the manifest tracks the CURRENT ledger: strong verification
+      // passes against it, and the exclude_ids count tripwire agrees
+      val removedSet = (1L to 30L by 10).toSet
+      val current = ((1L to 30L).filterNot(removedSet) ++ (31L to 35L))
+        .map(Tuple1(_)).toDF("id")
+      graft.ops.BloomIndex.verifyContent(spark, s"$root/bl", current, "id")
+      val corpus = (1L to 40L).map(i => (i, s"d$i")).toDF("id", "text")
+      val cur: String => Option[DataFrame] =
+        n => if (n == "cur") Some(current) else None
+      val kept = QueryEngine.run(corpus,
+        """{"xop": {"name": "exclude_ids",
+                    "args": {"id": "id", "exclude": "cur", "index": "bl"}}}""",
+        cur).df.select("id").collect().map(_.getLong(0)).toSet
+      // departures are rescued by the exact anti-join (kept again);
+      // arrivals are excluded; never-listed ids pass
+      assert(kept == (removedSet ++ (36L to 40L)))
+      // outgrowing the sketch surfaces the rebuild trigger as a 400
+      val flood = (100L to 5100L).map(Tuple1(_)).toDF("id")
+      val eG = intercept[MalformedQueryException] { QueryEngine.run(flood,
+        """{"xop": {"name": "bloom_update",
+                    "args": {"id": "id", "index": "bl"}}}""", resolver) }
+      assert(eG.getMessage.contains("outgrown"))
+      // removed_id without removed, and a missing index arg, are 400s
+      intercept[MalformedQueryException] { QueryEngine.run(added,
+        """{"xop": {"name": "bloom_update",
+                    "args": {"id": "id", "index": "bl", "removed_id": "id"}}}""",
+        resolver) }
+      intercept[MalformedQueryException] { QueryEngine.run(added,
+        """{"xop": {"name": "bloom_update", "args": {"id": "id"}}}""",
+        resolver) }
+    } finally spark.conf.unset("spark.graft.index.root")
+  }
+
   test("oov_rate 'index': a persisted vocabulary serves the membership side") {
     val root = java.nio.file.Files.createTempDirectory("xop_vocab").toString
     graft.ops.VocabIndex.buildAndSave(docs, "text", k = 10, path = s"$root/v")
