@@ -1083,6 +1083,22 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // corpus-frequency boilerplate scrub over the same derived
+    // multi-line corpus: lines shared by >= 100 distinct docs (the
+    // injected banner + footer; any line from a large exact-dup text
+    // cluster) vanish from EVERY document — where x55 keeps a frequent
+    // line's first occurrence, boilerplate deserves none
+    "x75_common_line_scrub" -> ((s, dir) => {
+      val lined = t(s, dir, "documents").withColumn("text",
+        concat(
+          when(col("doc_id") % 3 === 0,
+            lit("subscribe to our newsletter\n")).otherwise(lit("")),
+          regexp_replace(col("text"), "((\\S+ ){9}\\S+) ", "$1\n"),
+          lit("\nall rights reserved")))
+      graft.ops.Dedup.scrubCommonLines(lined, "doc_id", "text", minDocs = 100)
+        .orderBy("id")
+    }),
+
     // C4-style line-quality filter over the same derived multi-line
     // corpus: boilerplate javascript banners and too-short lines drop,
     // period-terminated 10-word sentences survive — entirely map-side
@@ -1835,6 +1851,42 @@ object SparkEntry {
            SELECT fo.d AS doc_id, fo.i AS idx, ln FROM f
            UNION ALL
            SELECT doc_id, idx, ln FROM l WHERE trim(ln) = ''),
+         reb AS (
+           SELECT doc_id,
+                  string_agg(ln, chr(10) ORDER BY idx) AS clean_text,
+                  count(*) AS n_kept
+           FROM kept GROUP BY doc_id)
+         SELECT t.doc_id AS id,
+                coalesce(r.clean_text, '') AS clean_text,
+                coalesce(r.n_kept, 0) AS n_kept,
+                CAST(len(ls) AS BIGINT) AS n_lines
+         FROM t LEFT JOIN reb r ON t.doc_id = r.doc_id
+         ORDER BY id""",
+    "x75_common_line_scrub" ->
+      // same line machinery as x55; the frequency head is counted in
+      // DISTINCT documents and scrubbed from every position
+      """WITH src AS (
+           SELECT doc_id,
+                  (CASE WHEN doc_id % 3 = 0
+                        THEN 'subscribe to our newsletter' || chr(10)
+                        ELSE '' END)
+                  || regexp_replace(text, '((\S+ ){9}\S+) ', '\1' || chr(10), 'g')
+                  || chr(10) || 'all rights reserved' AS text
+           FROM documents),
+         t AS (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls FROM src),
+         l AS (
+           SELECT doc_id,
+                  unnest(ls) AS ln,
+                  unnest(range(1, len(ls) + 1)) AS idx
+           FROM t),
+         f AS (
+           SELECT ln FROM (
+             SELECT ln, count(DISTINCT doc_id) AS d
+             FROM l WHERE trim(ln) <> '' GROUP BY ln)
+           WHERE d >= 100),
+         kept AS (
+           SELECT doc_id, idx, ln FROM l
+           WHERE trim(ln) = '' OR ln NOT IN (SELECT ln FROM f)),
          reb AS (
            SELECT doc_id,
                   string_agg(ln, chr(10) ORDER BY idx) AS clean_text,

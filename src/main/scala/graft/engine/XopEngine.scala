@@ -350,6 +350,16 @@ object XopEngine {
         Dedup.dedupLines(df, column(df, args, "id", name),
           column(df, args, "column", name))
 
+      // corpus-frequency boilerplate scrub: lines in >= min_docs
+      // distinct documents vanish from every document
+      case "common_line_scrub" =>
+        knownArgs("id", "column", "min_docs")
+        val minDocs = intArg(args, "min_docs", 100, name)
+        if (minDocs < 2 || minDocs > Int.MaxValue)
+          Errors.malformed(s"xop '$name': min_docs must be >= 2", minDocs)
+        Dedup.scrubCommonLines(df, column(df, args, "id", name),
+          column(df, args, "column", name), minDocs.toInt)
+
       // overlapping token-window chunking (RAG/eval context prep)
       case "text_chunks" =>
         knownArgs("id", "column", "chunk_tokens", "stride")

@@ -820,6 +820,61 @@ object Dedup {
         col("n_lines").cast("long").as("n_lines"))
   }
 
+  /** Corpus-frequency boilerplate removal (the RefinedWeb/C4 sibling of
+    * [[dedupLines]]): scrub every line that appears in at least
+    * `minDocs` DISTINCT documents — cookie banners, nav menus, "all
+    * rights reserved" footers — from every document, keeping genuine
+    * content lines (which repeat across few documents) untouched.
+    * Where dedupLines keeps each line's FIRST occurrence corpus-wide,
+    * this keeps NO occurrence of the frequent head: a line that a
+    * million crawled pages share is template chrome, not content, and
+    * its first occurrence is no more content than its last. Blank lines
+    * are structure, not content — never counted, never scrubbed. Output
+    * mirrors dedupLines: (id, clean_text, n_kept, n_lines), one row per
+    * input row, `n_kept` counting kept lines (blanks included).
+    *
+    * `minDocs` is absolute; pick it relative to corpus size (a line in
+    * 0.1% of a 10^9-doc crawl is boilerplate; 100 is a reasonable floor
+    * at any scale — below that, popular real quotations start to match).
+    *
+    * Shape at scale: lines explode map-side; the document-frequency
+    * aggregation collapses to DISTINCT (line, id) in its partial step
+    * (the x69 pattern — a line repeated within one doc costs one row per
+    * mapper), then counts per line. The frequent head is tiny by
+    * construction (lines above `minDocs` docs), so AQE broadcasts it
+    * into the anti-join and the rebuild groups by id exactly as
+    * dedupLines does. Lines shuffle by line-key once — inherent to exact
+    * frequency; a 64-bit line-hash exchange would be narrower but one
+    * collision would scrub an innocent line, so exactness wins. */
+  def scrubCommonLines(df: DataFrame, idCol: String, textCol: String,
+                       minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs — " +
+      "1 would scrub every non-blank line in the corpus)")
+    val lines = spread(df, col(idCol))
+      .select(col(idCol).as("id"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n")))
+      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "line")
+    val common = lines.filter(trim(col("line")) =!= "")
+      .select(col("line"), col("id")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("line"))
+    // blank lines survive for free: they are filtered out of `common`
+    // above, so the anti-join cannot match them
+    val kept = lines.join(common, Seq("line"), "left_anti")
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("idx"), col("line")))),
+          s => s.getField("line"))).as("clean_text"))
+    df.select(col(idCol).as("id"),
+        size(split(coalesce(col(textCol), lit("")), "\n")).as("n_lines"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("n_lines").cast("long").as("n_lines"))
+  }
+
   /** Exact id-exclusion through a Bloom sketch — the scale path for
     * "drop every row on this seen/eval/opt-out list". A plain anti-join
     * shuffles the corpus on id; here the exclusion list tree-aggregates

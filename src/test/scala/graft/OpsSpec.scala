@@ -1611,6 +1611,36 @@ class OpsSpec extends AnyFunSuite {
     assert(got(5L) == (("repeat me", 1L, 2L)))             // within-doc repeat dropped too
   }
 
+  test("scrubCommonLines drops corpus-frequent lines from every doc; rare lines and blanks stay") {
+    val docs = Seq(
+      (1L, "footer line\nunique one\n\nfooter line"), // twice here: counts ONCE
+      (2L, "footer line\nunique two"),
+      (3L, "footer line\nshared pair"),
+      (4L, "shared pair\nunique four"),
+      (5L, null.asInstanceOf[String]),
+      (6L, "footer line")).toDF("id", "text")
+    val got = Dedup.scrubCommonLines(docs, "id", "text", minDocs = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // "footer line" spans docs {1,2,3,6} = 4 >= 3: gone from ALL of them
+    // (within-doc repetition in doc 1 counted one doc, scrubbed twice);
+    // "shared pair" spans {3,4} = 2 < 3: kept everywhere
+    assert(got(1L) == (("unique one\n", 2L, 4L))) // blank line survives
+    assert(got(2L) == (("unique two", 1L, 2L)))
+    assert(got(3L) == (("shared pair", 1L, 2L)))
+    assert(got(4L) == (("shared pair\nunique four", 2L, 2L)))
+    assert(got(5L) == (("", 1L, 1L)))             // null text: one blank line
+    assert(got(6L) == (("", 0L, 1L)))             // all-boilerplate doc empties
+    // deterministic under repartitioning
+    val re = Dedup.scrubCommonLines(docs.repartition(5), "id", "text", minDocs = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    assert(re.sameElements(got.toSeq.sortBy(_._1)
+      .map { case (id, (t, k, _)) => (id, t, k) }))
+    // the 1-would-scrub-everything foot-gun is rejected
+    intercept[IllegalArgumentException] {
+      Dedup.scrubCommonLines(docs, "id", "text", minDocs = 1)
+    }
+  }
+
   test("weightedByHash: deterministic, weight-proportional, TakeOrdered plan") {
     val rows = (1L to 500L).map(i => (i, 1.0)) ++ (501L to 1000L).map(i => (i, 100.0))
     val df = rows.toDF("id", "w")

@@ -823,6 +823,22 @@ class XopSpec extends AnyFunSuite {
       Seq(1L, 1L, 0L, 1L, 1L, 0L))
   }
 
+  test("common_line_scrub xop drops lines shared by min_docs distinct documents") {
+    // single-line docs: the two texts shared by two docs each (1/3 and
+    // 2/6) are boilerplate at min_docs=2 and vanish from ALL FOUR; the
+    // unique texts (4, 5) survive
+    val out = run(
+      """{"xop": {"name": "common_line_scrub",
+                  "args": {"id": "id", "column": "text", "min_docs": 2}},
+          "order_by": ["id"]}""")
+    assert(out.collect().map(_.getAs[Long]("n_kept")).toSeq ==
+      Seq(0L, 0L, 0L, 1L, 1L, 0L))
+    // min_docs=1 would scrub everything — rejected
+    intercept[MalformedQueryException] { run(
+      """{"xop": {"name": "common_line_scrub",
+                  "args": {"id": "id", "column": "text", "min_docs": 1}}}""") }
+  }
+
   test("text_chunks and oov_rate xops run and validate args") {
     val chunks = run(
       """{"xop": {"name": "text_chunks",
