@@ -282,10 +282,14 @@ object BloomIndex {
     *
     * Preconditions: `removed` rows must be exactly the rows that LEFT
     * the ledger (same multiplicity — the fingerprint is a sum over raw
-    * rows); the artifact must record its build sizing (n_items_built;
-    * artifacts from before incremental maintenance need one rebuild)
-    * and use the null-neutral fingerprint formula. An empty delta
-    * returns the loaded artifact without writing. */
+    * rows; a removal count exceeding the recorded ledger size fails
+    * fast as an obviously-wrong delta); the artifact must record its
+    * build sizing (n_items_built; artifacts from before incremental
+    * maintenance need one rebuild) and use the null-neutral fingerprint
+    * formula. An empty delta returns the loaded artifact without
+    * writing. Like the MinHash swap, the rewrite assumes a
+    * single-writer refresh window: nothing should load the artifact
+    * mid-update. */
   def update(spark: SparkSession, path: String,
              added: DataFrame, addedIdCol: String,
              removed: Option[(DataFrame, String)] = None,
@@ -323,6 +327,11 @@ object BloomIndex {
     val (remFp, nRem, _) = removed.map { case (df, c) =>
       fingerprintAndCount(df, c) }.getOrElse(("0", 0L, 0L))
     if (nAdd == 0L && nRem == 0L) return art
+    if (oldN + nAdd - nRem < 0L)
+      throw new IllegalArgumentException(
+        s"$what: removal of $nRem rows exceeds the ledger the artifact " +
+          s"records ($oldN + $nAdd added) — the delta does not describe " +
+          "this ledger; rebuild instead")
     val newInserted = nInserted + (nAdd - nAddNull)
     // estimated fpp at the new load: k is reconstructible from the
     // build parameters (max(1, round(m/n·ln2)) — the sizing formula the

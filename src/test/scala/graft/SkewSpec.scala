@@ -486,6 +486,29 @@ class SkewSpec extends AnyFunSuite {
     assert(cells.contains((day0, 0L, 8L)))
   }
 
+  test("scrubCommonLines: distinct-first frequency, no Expand, anti-join drop") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    // 80% of docs share one boilerplate line — the skew case the
+    // distinct-first partial combine exists for
+    val docs = ((1 to 400).map(i => (i.toLong, s"all rights reserved\nbody $i")) ++
+      (401 to 500).map(i => (i.toLong, s"body $i"))).toDF("id", "text")
+    val got = graft.ops.Dedup.scrubCommonLines(docs, "id", "text", minDocs = 100)
+    val plan = got.queryExecution.optimizedPlan
+    // COUNT(DISTINCT doc) per line would plan an Expand; the explicit
+    // DISTINCT (line, id) aggregate must not
+    assert(plan.collect { case e: logical.Expand => e }.isEmpty,
+      "no Expand: frequency is distinct-first, then count(*)")
+    // the scrub is a LeftAnti join against the frequent head
+    assert(plan.collect {
+      case j: logical.Join if j.joinType == org.apache.spark.sql
+        .catalyst.plans.LeftAnti => j }.nonEmpty,
+      "frequent lines drop through an anti-join")
+    // and the hot line is actually gone from all 400 carriers
+    val out = got.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert((1 to 400).forall(i => out(i.toLong) == s"body $i"))
+    assert((401 to 500).forall(i => out(i.toLong) == s"body $i"))
+  }
+
   test("topTokensByGroup ranks over the AGGREGATED relation, not raw tokens") {
     import org.apache.spark.sql.catalyst.plans.logical
     val got = graft.ops.TextOps.topTokensByGroup(docs
