@@ -482,6 +482,17 @@ object SparkEntry {
         "source", Map("src0" -> 2.5, "src1" -> 0.4), default = 1.0)
         .select("doc_id", "source", "epoch").orderBy("doc_id", "epoch")),
 
+    // mixture-weight SOLVER — the planning stage that produces x68's
+    // weights: share·budget/supply epochs per source, with targets the
+    // corpus cannot honestly serve surfaced as status (srczz is absent
+    // → no_supply; a share needing more than maxWeight epochs → capped)
+    "x76_mixture_weights" -> ((s, dir) =>
+      graft.ops.Sampling.mixtureWeights(t(s, dir, "documents"),
+        "source", "text",
+        Map("src1" -> 0.4, "src2" -> 0.1, "srczz" -> 0.05),
+        budgetTokens = 1000000L, maxWeight = 2.0)
+        .orderBy("source")),
+
     // document fingerprinting (md5-of-normalized, oracle-checked; the
     // rolling-hash variant is engine-specific and covered by unit tests)
     "x11_text_fingerprint" -> ((s, dir) =>
@@ -2191,6 +2202,44 @@ object SparkEntry {
                 unnest(generate_series(0, n - 1))::BIGINT AS epoch
          FROM t WHERE n > 0
          ORDER BY doc_id, epoch""",
+    "x76_mixture_weights" ->
+      // x8's whitespace token count rolled up per source, full-joined
+      // against the target mix; weight arithmetic mirrored exactly
+      // (round 6 on the SAME pre-rounded double, cap compared unrounded)
+      """WITH tok AS (
+           SELECT source,
+                  CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = ''
+                       THEN 0
+                       ELSE len(string_split(
+                              trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+                  END AS nt
+           FROM documents),
+         sup AS (
+           SELECT source, CAST(sum(nt) AS BIGINT) AS available_tokens
+           FROM tok GROUP BY source),
+         tgt(source, target_share) AS (
+           VALUES ('src1', 0.4::DOUBLE), ('src2', 0.1::DOUBLE),
+                  ('srczz', 0.05::DOUBLE)),
+         j AS (
+           SELECT coalesce(s.source, t.source) AS source,
+                  coalesce(s.available_tokens, 0) AS available_tokens,
+                  coalesce(t.target_share, 0.0::DOUBLE) AS target_share
+           FROM sup s FULL JOIN tgt t ON s.source = t.source)
+         SELECT source, available_tokens, target_share,
+                CASE WHEN available_tokens > 0
+                     THEN round(target_share * 1000000.0 / available_tokens, 6)
+                END AS weight_needed,
+                CASE WHEN available_tokens > 0
+                     THEN round(least(target_share * 1000000.0 / available_tokens,
+                                      2.0), 6)
+                     ELSE 0.0 END AS weight,
+                CASE WHEN available_tokens = 0 AND target_share > 0
+                       THEN 'no_supply'
+                     WHEN available_tokens > 0 AND
+                          target_share * 1000000.0 / available_tokens > 2.0
+                       THEN 'capped'
+                     ELSE 'ok' END AS status
+         FROM j ORDER BY source""",
     "x11_text_fingerprint" ->
       """SELECT doc_id,
                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5

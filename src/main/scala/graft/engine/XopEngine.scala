@@ -503,6 +503,39 @@ object XopEngine {
           intArg(args, "k", 100, name).toInt)
 
       // per-source mixture weights {"source": fraction, ...}
+      // mixture planning: solve sample_mixture/epochs' weights from
+      // per-source token supply vs a target mix; unreachable targets
+      // surface as status rows, never as a silent 500x upsample
+      case "mixture_weights" =>
+        knownArgs("source", "column", "targets", "budget_tokens", "max_weight")
+        val mwTargets = args.get("targets") match {
+          case Some(w: Map[_, _]) =>
+            w.asInstanceOf[Map[String, Any]].map {
+              case (k, v: Double) => k -> v
+              case (k, v: Long) => k -> v.toDouble
+              case (_, other) =>
+                Errors.malformed(s"xop '$name': targets must be numbers", other)
+            }.toMap
+          case Some(other) =>
+            Errors.malformed(s"xop '$name': 'targets' must be an object", other)
+          case None =>
+            Errors.malformed(s"xop '$name': missing required argument 'targets'")
+        }
+        if (mwTargets.isEmpty)
+          Errors.malformed(s"xop '$name': 'targets' must be non-empty")
+        if (mwTargets.values.exists(s => s < 0 || s.isNaN || s.isInfinite))
+          Errors.malformed(s"xop '$name': target shares must be finite and >= 0")
+        if (!args.contains("budget_tokens"))
+          Errors.malformed(s"xop '$name': missing required argument 'budget_tokens'")
+        val mwBudget = intArg(args, "budget_tokens", 0L, name)
+        if (mwBudget <= 0)
+          Errors.malformed(s"xop '$name': budget_tokens must be positive")
+        val mwMax = doubleArgOpt(args, "max_weight", 1000.0, name)
+        if (mwMax <= 0 || mwMax > 1000)
+          Errors.malformed(s"xop '$name': max_weight must be in (0, 1000]")
+        Sampling.mixtureWeights(df, column(df, args, "source", name),
+          column(df, args, "column", name), mwTargets, mwBudget, mwMax)
+
       case "sample_mixture" =>
         knownArgs("id", "source", "weights", "default", "epochs")
         val weights = args.get("weights") match {

@@ -269,6 +269,63 @@ object Sampling {
       .drop("__n", "__full", "__fracThr")
   }
 
+  /** Mixture-weight SOLVER — the planning stage that PRODUCES
+    * [[mixtureEpochsByHash]]'s weights map: given the corpus's
+    * per-source token supply and a target mix (source → share of a
+    * token budget), the weight that hits each target is
+    * `share · budget / supply` epochs of that source. The output is the
+    * mix plan a pipeline reviews before applying: supply, the
+    * uncapped `weight_needed`, the applicable `weight` (capped at
+    * `maxWeight`, the same [0, 1000] bound the epoch sampler enforces),
+    * and an honest `status` — `ok`, `capped` (the target is not
+    * reachable without more than maxWeight epochs: upsampling a tiny
+    * source 500× is a data-quality decision, not a default), or
+    * `no_supply` (a targeted source absent from the corpus — the typo
+    * tripwire). Token supply is [[TextOps.tokenCount]], the same unit
+    * the packing/budget operators use.
+    *
+    * Shape at scale: one map-side tokenCount pass partial-combining
+    * into a per-source aggregate (group-count-sized), then a full-outer
+    * join against the driver-built targets relation — both sides tiny
+    * post-aggregation, so the join is trivially broadcast; the corpus
+    * never shuffles. Weights round HALF_UP to 6 (engine-portable).
+    * Sources in the corpus but not targeted read share 0 / weight 0:
+    * the mix DROPS unlisted sources, matching the epoch sampler's
+    * explicit-default contract. */
+  def mixtureWeights(df: DataFrame, sourceCol: String, textCol: String,
+                     targets: Map[String, Double], budgetTokens: Long,
+                     maxWeight: Double = 1000.0): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(targets.nonEmpty, "targets must be non-empty")
+    require(targets.values.forall(s => s >= 0 && !s.isNaN && !s.isInfinite),
+      "target shares must be finite and >= 0")
+    require(maxWeight > 0 && maxWeight <= 1000,
+      "maxWeight must be in (0, 1000] (mixtureEpochsByHash's weight bound)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val supply = df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(TextOps.tokenCount(col(textCol)).cast("long"))
+        .as("available_tokens"))
+    val tgt = targets.toSeq.sortBy(_._1).toDF("source", "target_share")
+    val need = col("target_share") * lit(budgetTokens.toDouble) /
+      col("available_tokens")
+    supply.join(tgt, Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("available_tokens"), lit(0L)).as("available_tokens"),
+        coalesce(col("target_share"), lit(0.0)).as("target_share"))
+      .select(col("source"), col("available_tokens"), col("target_share"),
+        when(col("available_tokens") > 0, Rounding.halfUp(need, 6))
+          .as("weight_needed"),
+        when(col("available_tokens") > 0,
+            Rounding.halfUp(least(need, lit(maxWeight)), 6))
+          .otherwise(lit(0.0)).as("weight"),
+        when(col("available_tokens") === 0 && col("target_share") > 0,
+            lit("no_supply"))
+          .when(col("available_tokens") > 0 && need > lit(maxWeight),
+            lit("capped"))
+          .otherwise(lit("ok")).as("status"))
+  }
+
   /** Per-group adaptive quantile band filter: keep rows whose `valueCol`
     * lies inside their OWN group's [lo, hi] interpolated quantile band —
     * the outlier filter that adapts to each source/domain instead of one

@@ -510,6 +510,43 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mixtureWeights solves share·budget/supply, surfaces capped and no-supply targets") {
+    import spark.implicits._
+    // known supplies: a = 10 docs × 4 tokens = 40; b = 5 × 2 = 10; d = 1
+    val df = ((1 to 10).map(i => (i.toLong, "a", "one two three four")) ++
+      (11 to 15).map(i => (i.toLong, "b", "five six")) ++
+      Seq((16L, "d", "lone"))).toDF("id", "src", "text")
+    val got = Sampling.mixtureWeights(df, "src", "text",
+      Map("a" -> 0.5, "b" -> 0.4, "c" -> 0.1),
+      budgetTokens = 100L, maxWeight = 3.0)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]), r.getDouble(4),
+        r.getString(5)))
+    assert(got.toSeq == Seq(
+      ("a", 40L, 0.5, Some(1.25), 1.25, "ok"),      // 0.5·100/40
+      ("b", 10L, 0.4, Some(4.0), 3.0, "capped"),    // needs 4 epochs, cap 3
+      ("c", 0L, 0.1, None, 0.0, "no_supply"),       // targeted, absent
+      ("d", 1L, 0.0, Some(0.0), 0.0, "ok")))        // present, untargeted
+    // the solved weights feed the epoch sampler directly: 'a' at 1.25
+    // yields one full copy of every a-row plus a hash quarter
+    val w = got.collect { case (s, _, _, _, wt, "ok" | "capped") if wt > 0 => s -> wt }.toMap
+    val applied = Sampling.mixtureEpochsByHash(df, "id", "src", w, default = 0.0)
+    assert(applied.filter(col("src") === "a" && col("epoch") === 0).count() == 10L)
+    assert(applied.filter(col("src") === "c").count() == 0L)
+    // guards
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureWeights(df, "src", "text", Map("a" -> 0.5), 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureWeights(df, "src", "text", Map.empty, 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureWeights(df, "src", "text", Map("a" -> 0.5), 10L,
+        maxWeight = 1001.0)
+    }
+  }
+
   test("mixture samplers: past ChainLiteralMax the lookup broadcasts-joins, output unchanged") {
     import spark.implicits._
     val df = (0L until 1200L).map(i => (i, s"src${i % 6}")).toDF("id", "src")

@@ -823,6 +823,33 @@ class XopSpec extends AnyFunSuite {
       Seq(1L, 1L, 0L, 1L, 1L, 0L))
   }
 
+  test("mixture_weights xop plans the epoch mix from token supply vs targets") {
+    val out = run(
+      """{"xop": {"name": "mixture_weights",
+                  "args": {"source": "src", "column": "text",
+                           "targets": {"web": 0.5, "nope": 0.1},
+                           "budget_tokens": 100, "max_weight": 2.0}},
+          "order_by": ["source"]}""")
+    val rows = out.collect().map(r => (r.getAs[String]("source"),
+      r.getAs[Long]("available_tokens"), r.getAs[Double]("weight"),
+      r.getAs[String]("status"))).toSeq
+    // web supply = 9+8+9+8 = 34 tokens → 0.5·100/34 ≈ 1.470588 epochs;
+    // book is present but untargeted (weight 0, ok); nope has no docs
+    assert(rows == Seq(
+      ("book", 17L, 0.0, "ok"),
+      ("nope", 0L, 0.0, "no_supply"),
+      ("web", 34L, 1.470588, "ok")))
+    // targets and budget_tokens are mandatory; bad budgets 400
+    intercept[MalformedQueryException] { run(
+      """{"xop": {"name": "mixture_weights",
+                  "args": {"source": "src", "column": "text",
+                           "budget_tokens": 100}}}""") }
+    intercept[MalformedQueryException] { run(
+      """{"xop": {"name": "mixture_weights",
+                  "args": {"source": "src", "column": "text",
+                           "targets": {"web": 0.5}, "budget_tokens": 0}}}""") }
+  }
+
   test("common_line_scrub xop drops lines shared by min_docs distinct documents") {
     // single-line docs: the two texts shared by two docs each (1/3 and
     // 2/6) are boilerplate at min_docs=2 and vanish from ALL FOUR; the
