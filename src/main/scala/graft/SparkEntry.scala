@@ -339,6 +339,21 @@ object SparkEntry {
         "doc_id", "text", maxId = 300, threshold = 0.5, shingleSize = 3)
         .orderBy("id_a", "id_b")),
 
+    // dedup threshold sweep over x4's exact id-bounded pair family: the
+    // drop curve keep-first dedup would realize at each candidate
+    // threshold (per-doc max-score distribution read cumulatively) —
+    // the threshold gets picked from this curve, not folklore. The
+    // minhash/index-served form is the full-corpus production path
+    // (same report code, approximate scores)
+    "x77_dedup_sweep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Dedup.dedupSweep(docs,
+        graft.ops.Dedup.shingleJaccardPairsExact(docs, "doc_id", "text",
+          maxId = 300, threshold = 0.2, shingleSize = 3),
+        "jaccard", Seq(0.2, 0.3, 0.5, 0.7, 0.9))
+        .orderBy("threshold")
+    }),
+
     // embedding-cosine near-dup pairs via hyperplane LSH (rows-only check).
     // The synthetic corpus has no true near-dups (max pairwise cos ≈ 0.51),
     // so inject perturbed copies — each original must pair with its copy.
@@ -1452,6 +1467,42 @@ object SparkEntry {
            AND len(list_intersect(a.sh, b.sh))::DOUBLE /
                len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
          ORDER BY id_a, id_b""",
+    "x77_dedup_sweep" ->
+      // x4's pair machinery at the sweep's floor threshold, then the
+      // curve: per-doc max score, counted cumulatively per threshold
+      // (LEFT JOIN keeps zero-drop thresholds); thresholds compare on
+      // the rounded score on both sides
+      """WITH t AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+           FROM documents WHERE doc_id < 300),
+         s AS (
+           SELECT doc_id,
+                  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                       ELSE list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                           for i in range(1, len(tk) - 1)])
+                  END AS sh
+           FROM t),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                        len(list_distinct(list_concat(a.sh, b.sh))), 4) AS j
+           FROM s a, s b
+           WHERE a.doc_id < b.doc_id
+             AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2),
+         m AS (SELECT id_b, max(j) AS ms FROM p GROUP BY id_b),
+         th(threshold) AS (VALUES (0.2::DOUBLE), (0.3::DOUBLE),
+                                  (0.5::DOUBLE), (0.7::DOUBLE), (0.9::DOUBLE)),
+         n AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT th.threshold,
+                CAST(count(m.ms) AS BIGINT) AS docs_dropped,
+                n.n_docs,
+                round(CASE WHEN n.n_docs = 0 THEN 0.0
+                           ELSE count(m.ms)::DOUBLE / n.n_docs END, 4) AS drop_rate
+         FROM th LEFT JOIN m ON m.ms >= th.threshold CROSS JOIN n
+         GROUP BY th.threshold, n.n_docs
+         ORDER BY threshold""",
     "x2b_dedup_minhash_exact" ->
       // shares x4's oracle verbatim BY DESIGN: with every band one hash
       // wide, a >= 0.5-Jaccard pair escapes the candidate set with

@@ -345,6 +345,63 @@ object XopEngine {
 
       // C4-style line dedup: keep each distinct non-blank line's first
       // corpus occurrence, reassemble documents (blank lines survive)
+      // dedup threshold sweep: per-threshold drop counts/rates from one
+      // pair computation — the curve the threshold decision reads
+      case "dedup_sweep" =>
+        knownArgs("id", "column", "thresholds", "shingle", "max_id",
+          "family", "num_hashes", "bands", "index")
+        val sweepTs: Seq[Double] = args.get("thresholds") match {
+          case Some(l: List[Any] @unchecked) if l.nonEmpty => l.map {
+            case d: Double => d
+            case n: Long => n.toDouble
+            case other =>
+              Errors.malformed(s"xop '$name': thresholds must be numbers", other)
+          }
+          case _ => Errors.malformed(
+            s"xop '$name': 'thresholds' must be a non-empty list of numbers")
+        }
+        if (sweepTs.exists(t => t.isNaN || t.isInfinite || t < 0 || t > 1))
+          Errors.malformed(s"xop '$name': thresholds must be in [0, 1]")
+        val family = args.get("family")
+          .map(_ => reqStr(args, "family", name)).getOrElse("jaccard")
+        val (sweepPairs, scoreC) = family match {
+          case "jaccard" =>
+            for (k <- Seq("num_hashes", "bands", "index") if args.contains(k))
+              Errors.malformed(
+                s"xop '$name': '$k' is only valid with family 'minhash'")
+            val maxId = intArg(args, "max_id", 0L, name)
+            if (maxId <= 0)
+              Errors.malformed(s"xop '$name': family 'jaccard' requires a " +
+                "positive 'max_id' (the exact sweep is quadratic — bound the slice)")
+            (Dedup.shingleJaccardPairsExact(df, column(df, args, "id", name),
+              column(df, args, "column", name), maxId, sweepTs.min,
+              intArg(args, "shingle", 3, name).toInt), "jaccard")
+          case "minhash" =>
+            val bands = intArg(args, "bands", 16, name).toInt
+            args.get("index") match {
+              case Some(raw) =>
+                for (k <- Seq("num_hashes", "shingle") if args.contains(k))
+                  Errors.malformed(
+                    s"xop '$name': the index fixes '$k' — drop the argument")
+                val art = loadMinhash(df, raw, name)
+                if (bands <= 0 || art.numHashes % bands != 0)
+                  Errors.malformed(s"xop '$name': bands must divide the " +
+                    s"index's num_hashes=${art.numHashes}")
+                (Dedup.minhashPairsFromIndex(art, bands, sweepTs.min),
+                  "est_jaccard")
+              case None =>
+                val numHashes = intArg(args, "num_hashes", 64, name).toInt
+                if (bands <= 0 || numHashes <= 0 || numHashes % bands != 0)
+                  Errors.malformed(s"xop '$name': bands must divide num_hashes")
+                (Dedup.minhashPairs(df, column(df, args, "id", name),
+                  column(df, args, "column", name), numHashes, bands,
+                  sweepTs.min, intArg(args, "shingle", 3, name).toInt),
+                  "est_jaccard")
+            }
+          case other => Errors.malformed(s"xop '$name': unknown family", other)
+        }
+        Dedup.dedupSweep(df, sweepPairs, scoreC, sweepTs)
+
       case "line_dedup" =>
         knownArgs("id", "column")
         Dedup.dedupLines(df, column(df, args, "id", name),

@@ -563,6 +563,51 @@ object Dedup {
   def dropNearDuplicates(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  /** Dedup threshold SWEEP — the planning report for the near-dup
+    * families (the [[Sampling.mixtureWeights]] pattern applied to
+    * dedup): given a (id_a, id_b, score) pair relation with id_a <
+    * id_b — any family's output: exact Jaccard, MinHash estimate,
+    * cosine — and a list of candidate thresholds, report how many
+    * documents keep-first dedup would drop at each threshold and the
+    * corpus fraction, so the threshold is picked from the curve instead
+    * of folklore. The prediction is EXACT for [[dropNearDuplicates]]'
+    * greedy policy: a doc drops at t iff its best smaller-id partner
+    * scores ≥ t, so the curve is the per-doc MAX score distribution
+    * read cumulatively (monotone decreasing in t; asserted equal to
+    * actually running the drop, per threshold, in OpsSpec).
+    *
+    * Shape at scale: one map-combining (id_b → max score) aggregation
+    * over the pairs relation, ONE conditional-sum pass over that
+    * per-doc relation covering ALL thresholds (a bounded literal list
+    * — never one scan per threshold), one column-pruned corpus count,
+    * and a row-local explode of the one-row result. Returns
+    * (threshold, docs_dropped, n_docs, drop_rate) ordered by
+    * threshold. */
+  def dedupSweep(corpus: DataFrame, pairs: DataFrame, scoreCol: String,
+                 thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    require(thresholds.forall(t => !t.isNaN && !t.isInfinite),
+      "thresholds must be finite")
+    val ts = thresholds.distinct.sorted
+    val maxs = pairs.groupBy(col("id_b")).agg(max(col(scoreCol)).as("__s"))
+    val sums = ts.zipWithIndex.map { case (t, i) =>
+      coalesce(sum(when(col("__s") >= t, 1L).otherwise(0L)), lit(0L))
+        .as(s"__c$i") }
+    val counts = maxs.agg(sums.head, sums.tail: _*)
+    val n = corpus.agg(count(lit(1)).as("__n"))
+    counts.crossJoin(n)
+      .select(explode(array(ts.zipWithIndex.map { case (t, i) =>
+        struct(lit(t).as("threshold"), col(s"__c$i").as("docs_dropped"),
+          col("__n").as("n_docs")) }: _*)).as("r"))
+      .select(col("r.threshold").as("threshold"),
+        col("r.docs_dropped").as("docs_dropped"),
+        col("r.n_docs").as("n_docs"))
+      .withColumn("drop_rate",
+        when(col("n_docs") === 0, lit(0.0))
+          .otherwise(Rounding.halfUp4(
+            col("docs_dropped").cast("double") / col("n_docs"))))
+  }
+
   /** Corpus VERSION diff — the refresh-ops companion of the artifact
     * staleness tripwires: given two versions of a corpus, classify every
     * id as `added` / `removed` / `changed` (same id, different

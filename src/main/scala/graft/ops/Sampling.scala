@@ -245,8 +245,10 @@ object Sampling {
     * keeps copies distinguishable for downstream packing/shuffling.
     *
     * Shape at scale: map-only plus a row-local bounded explode — no
-    * shuffle, no RNG. The explode multiplies rows by at most ⌈max
-    * weight⌉; the [0, 1000] guard keeps a fat-fingered weight from
+    * shuffle, no RNG (past [[ChainLiteralMax]] sources the per-source
+    * lookup rides a broadcast hash join instead of a literal CASE
+    * chain; still map-only). The explode multiplies rows by at most
+    * ⌈max weight⌉; the [0, 1000] guard keeps a fat-fingered weight from
     * quietly scheduling a 10^9-fold blow-up. */
   def mixtureEpochsByHash(df: DataFrame, idCol: String, sourceCol: String,
                           weights: Map[String, Double],

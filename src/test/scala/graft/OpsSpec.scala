@@ -510,6 +510,46 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupSweep's curve equals actually running the drop at every threshold") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today ok"),
+      (2L, "the quick brown fox jumps over the lazy dog today no"), // ~dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog today ok"), // exact dup of 1
+      (4L, "pack my box with five dozen liquor jugs right now"),
+      (5L, "completely unrelated content about something else entirely here"),
+      (6L, "pack my box with five dozen liquor jugs right here")    // ~dup of 4
+    ).toDF("id", "text")
+    val pairs = Dedup.shingleJaccardPairsExact(docs, "id", "text",
+      maxId = 1000, threshold = 0.1, shingleSize = 3)
+    val ts = Seq(0.1, 0.5, 0.8, 1.0)
+    val got = Dedup.dedupSweep(docs, pairs, "jaccard", ts)
+      .orderBy("threshold").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // ground truth: the sweep must PREDICT dropNearDuplicates exactly
+    for ((t, dropped, n, rate) <- got) {
+      val actual = docs.count() -
+        Dedup.dropNearDuplicates(docs, pairs.filter(col("jaccard") >= t), "id")
+          .count()
+      assert(dropped == actual, s"threshold $t: predicted $dropped, ran $actual")
+      assert(n == 6L)
+      assert(rate == BigDecimal(dropped / 6.0)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // the curve is monotone decreasing and ends at the exact-dup count
+    assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sortBy(-_))
+    assert(got.last._1 == 1.0 && got.last._2 == 1L) // only 3 is an exact dup
+    assert(got.head._2 >= 3L)                       // 2, 3, 6 all drop low
+    // empty pair relation: a flat zero curve, never nulls
+    val flat = Dedup.dedupSweep(docs, pairs.filter(lit(false)), "jaccard",
+      Seq(0.5, 0.9)).orderBy("threshold").collect()
+    assert(flat.map(r => (r.getLong(1), r.getDouble(3))).toSeq ==
+      Seq((0L, 0.0), (0L, 0.0)))
+    intercept[IllegalArgumentException] {
+      Dedup.dedupSweep(docs, pairs, "jaccard", Seq.empty)
+    }
+  }
+
   test("mixtureWeights solves share·budget/supply, surfaces capped and no-supply targets") {
     import spark.implicits._
     // known supplies: a = 10 docs × 4 tokens = 40; b = 5 × 2 = 10; d = 1

@@ -398,7 +398,8 @@ class PropertySpec extends AnyFunSuite {
       "bigram_nll", "line_dedup", "line_quality", "sample_weighted",
       "text_chunks", "oov_rate", "semantic_dedup", "interval_join", "funnel",
       "repetition_signals", "retention", "corpus_diff", "index_update",
-      "bloom_update", "common_line_scrub", "mixture_weights", "zap")
+      "bloom_update", "common_line_scrub", "mixture_weights",
+      "dedup_sweep", "zap")
     val argKeys = Seq("id", "column", "order", "chunk_tokens", "k",
       "fraction", "strata", "source", "weights", "default", "approx",
       "num_hashes", "bands", "threshold", "shingle", "action",
@@ -416,7 +417,7 @@ class PropertySpec extends AnyFunSuite {
       "horizon", "steps", "period_seconds", "max_offset", "epochs",
       "capacity", "verify_index", "old", "old_id", "old_column",
       "removed", "removed_id", "max_fpp_factor", "min_docs",
-      "targets", "budget_tokens", "max_weight", "zap")
+      "targets", "budget_tokens", "max_weight", "thresholds", "family", "zap")
     val valGen: Gen[String] = Gen.oneOf(
       Gen.oneOf("id", "src", "text", "zz", "ds", "pairs", "drop", "flag")
         .map(s => s""""$s""""),

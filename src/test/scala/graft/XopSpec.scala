@@ -850,6 +850,45 @@ class XopSpec extends AnyFunSuite {
                            "targets": {"web": 0.5}, "budget_tokens": 0}}}""") }
   }
 
+  test("dedup_sweep xop reports the drop curve; families validate their args") {
+    // exact family over the fixture: texts 1/3 and 2/6 are exact dups →
+    // two docs drop at every threshold up to 1.0
+    val out = run(
+      """{"xop": {"name": "dedup_sweep",
+                  "args": {"id": "id", "column": "text", "max_id": 100,
+                           "thresholds": [0.5, 1.0]}}}""")
+    val rows = out.collect().map(r => (r.getDouble(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows == Seq((0.5, 2L, 6L, 0.3333), (1.0, 2L, 6L, 0.3333)))
+    // the minhash family finds the same exact dups (production path)
+    val mh = run(
+      """{"xop": {"name": "dedup_sweep",
+                  "args": {"id": "id", "column": "text", "family": "minhash",
+                           "thresholds": [0.5]}}}""").collect()
+    assert(mh.head.getLong(1) == 2L)
+    // arg taxonomy: thresholds mandatory and bounded; jaccard needs
+    // max_id; minhash-only args 400 under jaccard; unknown family 400s
+    intercept[MalformedQueryException] { run(
+      """{"xop": {"name": "dedup_sweep",
+                  "args": {"id": "id", "column": "text", "max_id": 100}}}""") }
+    intercept[MalformedQueryException] { run(
+      """{"xop": {"name": "dedup_sweep",
+                  "args": {"id": "id", "column": "text", "max_id": 100,
+                           "thresholds": [1.5]}}}""") }
+    intercept[MalformedQueryException] { run(
+      """{"xop": {"name": "dedup_sweep",
+                  "args": {"id": "id", "column": "text",
+                           "thresholds": [0.5]}}}""") }
+    intercept[MalformedQueryException] { run(
+      """{"xop": {"name": "dedup_sweep",
+                  "args": {"id": "id", "column": "text", "max_id": 100,
+                           "bands": 8, "thresholds": [0.5]}}}""") }
+    intercept[MalformedQueryException] { run(
+      """{"xop": {"name": "dedup_sweep",
+                  "args": {"id": "id", "column": "text", "max_id": 100,
+                           "family": "zap", "thresholds": [0.5]}}}""") }
+  }
+
   test("common_line_scrub xop drops lines shared by min_docs distinct documents") {
     // single-line docs: the two texts shared by two docs each (1/3 and
     // 2/6) are boilerplate at min_docs=2 and vanish from ALL FOUR; the
