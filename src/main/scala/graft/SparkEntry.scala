@@ -563,6 +563,23 @@ object SparkEntry {
       graft.ops.TextOps.topTokensByGroup(t(s, dir, "documents"), "source",
         "text", k = 5).orderBy("source", "rank")),
 
+    // vocabulary growth curve (Heaps'-law observable): new distinct
+    // tokens per 100-doc-id slab in crawl order — the running
+    // distinct-count rephrased as a pure function of each token's
+    // FIRST occurrence (min id), so the plan is one map-side-combined
+    // token exchange + a tiny bucket aggregate + a cumulative window
+    // over bucket rows only
+    "x80_vocab_growth" -> ((s, dir) =>
+      graft.ops.TextOps.vocabGrowth(t(s, dir, "documents"), "doc_id",
+        "text", granule = 100L)),
+
+    // token-frequency spectrum: count-of-counts + the Zipf rank
+    // boundary (tokens occurring >= freq times) — Good–Turing mass and
+    // min-frequency-cutoff decisions read straight off this O(sqrt N)
+    // relation; the only corpus-sized exchange is the token count
+    "x81_token_spectrum" -> ((s, dir) =>
+      graft.ops.TextOps.tokenSpectrum(t(s, dir, "documents"), "text")),
+
     // int8 embedding quantization: map-only, floor-based round-half-up
     // (engine-portable), 4x storage cut for a float corpus
     // passage-level dedup: first corpus-wide occurrence of each 16-token
@@ -826,6 +843,45 @@ object SparkEntry {
         .select(col("embedding").cast("array<double>"))
         .collect().map(_.getSeq[Double](0).toSeq).toSeq
       graft.ops.Similarity.clusterAssignWith(e, "embedding", cents)
+        .select(col("vec_id"), col("cluster")).orderBy("vec_id")
+    }),
+
+    // warm-start quantizer maintenance — the centroid artifact's
+    // incremental loop (the other three artifact kinds merge state;
+    // the quantizer RE-CENTERS, because its state is a sample whose
+    // placement drifts rather than a ledger that appends): build a
+    // sample-only artifact, then IvfIndex.refine runs 2 Lloyd's rounds
+    // seeded from the STORED centroids (map-only assignment passes +
+    // tiny (cell,pos) mean aggregates — never a fresh sample), and the
+    // refreshed artifact serves the same map-only assignment path as
+    // x42. Rows-only by design (k-means landings are seed-defined);
+    // x79b is the oracle anchor, and IvfIndexSpec pins the warm-start
+    // bit-equality and the monotone spherical objective
+    "x79_ivf_refine" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = anchorTmpPath("graft_ivf_ref", dir)
+      graft.ops.IvfIndex.buildAndSave(e, "vec_id", "embedding",
+        nCells = 8, kmeansIters = 0, path = path)
+      val refined = graft.ops.IvfIndex.refine(s, path, e, "embedding", 2)
+      graft.ops.Similarity.clusterAssignWith(e, "embedding", refined)
+        .select("vec_id", "cluster", "cohesion").orderBy("vec_id")
+    }),
+
+    // x79's oracle anchor (the x66 trick applied to the quantizer):
+    // with the stored centroids FIXED (the first 4 corpus vectors) and
+    // refine at 0 iters — the documented pure no-op — the
+    // artifact-served assignment must equal x42b's DuckDB-replayable
+    // argmax exactly, proving the save/load round-trip and the
+    // refine(0) identity change nothing
+    "x79b_ivf_refine_anchor" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents: Seq[Seq[Double]] = e.filter(col("vec_id") < 4).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toSeq).toSeq
+      val path = anchorTmpPath("graft_ivf_ref0", dir)
+      graft.ops.IvfIndex.save(s, path, cents, nCells = 4, kmeansIters = 0)
+      val served = graft.ops.IvfIndex.refine(s, path, e, "embedding", 0)
+      graft.ops.Similarity.clusterAssignWith(e, "embedding", served)
         .select(col("vec_id"), col("cluster")).orderBy("vec_id")
     }),
 
@@ -1175,6 +1231,30 @@ object SparkEntry {
       val path = anchorTmpPath("graft_vocab_anchor", dir)
       val art = graft.ops.VocabIndex.buildAndSave(docs, "text", k = 50,
         path = path)
+      graft.ops.TextOps.oovRateAgainst(docs, "doc_id", "text",
+        graft.ops.VocabIndex.tokens(art, 30, "vocabulary artifact"))
+        .orderBy("id")
+    }),
+
+    // x59 served through an INCREMENTALLY-UPDATED vocabulary artifact —
+    // the fourth artifact kind gets the maintenance loop the MinHash
+    // (x72) and Bloom (x74) ledgers already have: the artifact is built
+    // over a synthetic PREVIOUS corpus version (every fourth doc not
+    // yet crawled), then brought to the full corpus with
+    // VocabIndex.update, which summarizes ONLY the appended batch and
+    // merges it into the stored Space-Saving summary (mergeable-
+    // summaries algebra; never an old-corpus rescan). Ample capacity
+    // makes the merge exact, so sharing x59's oracle verbatim proves
+    // the updated artifact is indistinguishable from one built from
+    // scratch on the full corpus
+    "x78_vocab_update" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v1 = docs.filter(col("doc_id") % 4 =!= 1)
+      val added = docs.filter(col("doc_id") % 4 === 1)
+      val path = anchorTmpPath("graft_vocab_upd", dir)
+      graft.ops.VocabIndex.buildAndSave(v1, "text", k = 50, path = path,
+        capacity = Some(4096))
+      val art = graft.ops.VocabIndex.update(s, path, added, "text")
       graft.ops.TextOps.oovRateAgainst(docs, "doc_id", "text",
         graft.ops.VocabIndex.tokens(art, 30, "vocabulary artifact"))
         .orderBy("id")
@@ -1793,6 +1873,21 @@ object SparkEntry {
                                DESC, c.cid) AS rn
            FROM embeddings e, c)
          WHERE rn = 1 ORDER BY vec_id""",
+    "x79b_ivf_refine_anchor" ->
+      // shares x42b's oracle verbatim BY DESIGN: a fixed-centroid
+      // quantizer served through save -> refine(0 iters) -> assign must
+      // reproduce the inline fixed-centroid argmax exactly (the
+      // round-trip is IEEE-exact and refine(0) is a pure no-op)
+      """WITH c AS (
+           SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+           FROM embeddings WHERE vec_id < 4)
+         SELECT vec_id, CAST(cluster AS INT) AS cluster FROM (
+           SELECT e.vec_id, c.cid AS cluster,
+                  row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv)
+                               DESC, c.cid) AS rn
+           FROM embeddings e, c)
+         WHERE rn = 1 ORDER BY vec_id""",
     "x41_bm25_batch" ->
       """WITH queries(query_id, query_text) AS (
            VALUES (1, 'hash join filter'), (2, 'customer order data'),
@@ -2048,6 +2143,33 @@ object SparkEntry {
       // shares x59's oracle verbatim BY DESIGN: the rank<=30 slice of a
       // persisted top-50 vocabulary must reproduce the inline top-30
       // vocabulary exactly (ties rank deterministically by token)
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(string_split(
+                    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+           FROM documents),
+         tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+         v AS (SELECT t AS vt FROM (
+                 SELECT t, count(*) AS n FROM tok2 GROUP BY t
+                 ORDER BY n DESC, t LIMIT 30)),
+         p AS (
+           SELECT doc_id, count(*) AS n_tokens,
+                  CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+           FROM tok2 LEFT JOIN v ON tok2.t = v.vt GROUP BY doc_id)
+         SELECT d.doc_id AS id,
+                coalesce(p.n_tokens, 0) AS n_tokens,
+                coalesce(p.n_oov, 0) AS n_oov,
+                CASE WHEN coalesce(p.n_tokens, 0) = 0 THEN 0.0
+                     ELSE floor(CAST(p.n_oov AS DOUBLE) / p.n_tokens
+                                * 10000.0 + 0.5) / 10000.0
+                END AS oov_rate
+         FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+         ORDER BY id""",
+    "x78_vocab_update" ->
+      // shares x59's oracle verbatim BY DESIGN: a vocabulary brought to
+      // the full corpus by the incremental mergeable-summary update
+      // must serve the exact same top-30 slice as one built from
+      // scratch on it (ample capacity => the merge is exact)
       """WITH tok AS (
            SELECT doc_id,
                   unnest(string_split(
@@ -2529,6 +2651,32 @@ object SparkEntry {
            FROM g)
          WHERE rank <= 5
          ORDER BY source, rank""",
+    "x80_vocab_growth" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+           FROM documents),
+         f AS (SELECT token, min(doc_id) AS fid
+               FROM tok WHERE token <> '' GROUP BY token),
+         b AS (SELECT (floor(fid / 100) * 100)::BIGINT AS bucket_start,
+                      CAST(count(*) AS BIGINT) AS new_tokens
+               FROM f GROUP BY 1)
+         SELECT bucket_start, new_tokens,
+                CAST(sum(new_tokens) OVER (
+                  ORDER BY bucket_start NULLS FIRST) AS BIGINT) AS vocab_size
+         FROM b ORDER BY bucket_start NULLS FIRST""",
+    "x81_token_spectrum" ->
+      """WITH c AS (
+           SELECT token, count(*) AS n FROM (
+             SELECT unnest(string_split(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+             FROM documents)
+           WHERE token <> '' GROUP BY token),
+         s AS (SELECT n AS freq, CAST(count(*) AS BIGINT) AS n_tokens
+               FROM c GROUP BY n)
+         SELECT freq, n_tokens,
+                CAST(sum(n_tokens) OVER (ORDER BY freq DESC) AS BIGINT) AS rank_ge
+         FROM s ORDER BY freq""",
     "x67_vocab_sketch" ->
       // x19's oracle with the certified upper bound pinned EQUAL to the
       // exact count: at anchor capacity no partition withholds anything,

@@ -542,6 +542,24 @@ object XopEngine {
             TextOps.topTokens(df, column(df, args, "column", name), k)
         }
 
+      // vocabulary growth curve: new distinct tokens per id slab in
+      // crawl order (each token charged to its FIRST occurrence; one
+      // map-side-combined token exchange, cumulative window over
+      // bucket rows only)
+      case "vocab_growth" =>
+        knownArgs("id", "column", "granule")
+        val granule = intArg(args, "granule", 1000L, name)
+        if (granule <= 0)
+          Errors.malformed(s"xop '$name': granule must be positive")
+        TextOps.vocabGrowth(df, column(df, args, "id", name),
+          column(df, args, "column", name), granule)
+
+      // token-frequency spectrum: count-of-counts + the >=freq Zipf
+      // rank boundary, O(sqrt N) rows
+      case "token_spectrum" =>
+        knownArgs("column")
+        TextOps.tokenSpectrum(df, column(df, args, "column", name))
+
       // deterministic ~fraction sample by id hash — map-only
       case "sample_fraction" =>
         knownArgs("id", "fraction")
@@ -1246,6 +1264,57 @@ object XopEngine {
           art.contentFingerprint.getOrElse(""),
           art.contentFingerprint != before.contentFingerprint))
           .toDF("n_ids_before", "n_ids", "n_inserted", "fingerprint", "changed")
+
+      // incremental vocabulary maintenance: the query frame is the
+      // APPENDED document batch, merged into a capacity-built
+      // VocabIndex via the mergeable-summaries algebra (O(delta) work;
+      // append-only — removals need a rebuild, see VocabIndex.update)
+      case "vocab_update" =>
+        knownArgs("column", "index")
+        val textCol = column(df, args, "column", name)
+        val raw = args.getOrElse("index",
+          Errors.malformed(s"xop '$name': 'index' is required (the artifact to refresh)"))
+        val path = indexPath(df, raw, name)
+        val before = loadVocab(df, raw, name)
+        val art =
+          try graft.ops.VocabIndex.update(df.sparkSession, path, df, textCol)
+          catch {
+            case e: IllegalArgumentException =>
+              Errors.malformed(s"xop '$name': ${e.getMessage}")
+          }
+        import df.sparkSession.implicits._
+        Seq((before.nDocs.getOrElse(-1L), art.nDocs.getOrElse(-1L),
+          art.nTokens.getOrElse(-1L), art.theta.getOrElse(-1L),
+          art.contentFingerprint.getOrElse(""),
+          art.contentFingerprint != before.contentFingerprint))
+          .toDF("n_docs_before", "n_docs", "n_tokens", "theta",
+            "fingerprint", "changed")
+
+      // warm-start re-centering of a persisted IVF quantizer against
+      // THIS dataset (the drifted corpus): `iters` Lloyd's rounds
+      // seeded from the stored centroids, never a fresh sample; the
+      // spherical objective is monotone, so a refine can only improve
+      // or hold the quantization. iters=0 is the documented no-op
+      // (nothing rewritten) and reports changed=false
+      case "ivf_refine" =>
+        knownArgs("column", "index", "iters")
+        val vecCol = vectorColumn(df, args, "column", name)
+        val raw = args.getOrElse("index",
+          Errors.malformed(s"xop '$name': 'index' is required (the artifact to refresh)"))
+        val path = indexPath(df, raw, name)
+        val iters = intArg(args, "iters", 1, name).toInt
+        if (iters < 0) Errors.malformed(s"xop '$name': iters must be >= 0")
+        val before = loadIndex(df, raw, name)
+        val refined =
+          try graft.ops.IvfIndex.refine(df.sparkSession, path, df, vecCol, iters)
+          catch {
+            case e: IllegalArgumentException =>
+              Errors.malformed(s"xop '$name': ${e.getMessage}")
+          }
+        import df.sparkSession.implicits._
+        Seq((before.length.toLong, refined.length.toLong, iters.toLong,
+          refined != before))
+          .toDF("n_centroids_before", "n_centroids", "iters", "changed")
 
       // deterministic named splits by id hash: ordered [name, weight] pairs
       case "split" =>

@@ -53,6 +53,49 @@ object IvfIndex {
     centroids
   }
 
+  /** Warm-start re-centering of a persisted quantizer — the
+    * incremental-maintenance form for the centroid artifact. A
+    * quantizer is a SAMPLE of the corpus it was built on; after the
+    * corpus drifts (new crawl snapshots, refreshed sources) the stored
+    * centroids still define valid cells, but their placement degrades.
+    * The remedy is not a from-scratch rebuild: Lloyd's iterations
+    * seeded from the STORED centroids converge from where the old
+    * build left off — `iters` map-only assignment passes plus tiny
+    * (cell, dim-position) mean aggregates (see
+    * [[Similarity.kmeansRefine]]), with the spherical k-means
+    * objective (Σ corpus-wide cosine to the assigned centroid)
+    * monotonically non-decreasing at every step — a refine can only
+    * improve or hold the quantization, never worsen it (pinned in
+    * IvfIndexSpec). The refined centroids overwrite the artifact, and
+    * the manifest's kmeans_iters advances by `iters` so the build
+    * history stays readable.
+    *
+    * `iters = 0` is a pure no-op: the loaded centroids are returned
+    * unchanged and nothing is rewritten (the identity x79b anchors
+    * through DuckDB). Seeding from an `iters = 0` artifact on an
+    * unchanged corpus reproduces `buildQuantizer(..., iters)`
+    * BIT-FOR-BIT — the parquet round-trip is IEEE-exact and both
+    * paths normalize the seed the same way (also pinned). */
+  def refine(spark: SparkSession, path: String, corpus: DataFrame,
+             vecCol: String, iters: Int): Seq[Seq[Double]] = {
+    require(iters >= 0, "iters must be >= 0")
+    val centroids = load(spark, path)
+    if (iters == 0) return centroids
+    val manifest = readManifest(spark, path)
+    val prevIters = manifest.get("kmeans_iters") match {
+      case Some(l: Long) if l >= 0 => l
+      case _ => 0L
+    }
+    val nCells = manifest.get("n_cells") match {
+      case Some(l: Long) if l > 0 && l <= Int.MaxValue => l.toInt
+      case _ => centroids.length
+    }
+    val refined = Similarity.kmeansRefine(corpus, vecCol, centroids, iters)
+    save(spark, path, refined, nCells = nCells,
+      kmeansIters = (prevIters + iters).toInt)
+    refined
+  }
+
   /** Persist an already-built centroid list at `path` (overwrite). */
   def save(spark: SparkSession, path: String, centroids: Seq[Seq[Double]],
            nCells: Int, kmeansIters: Int): Unit = {
@@ -82,10 +125,8 @@ object IvfIndex {
     finally out.close()
   }
 
-  /** Load a persisted quantizer. Fails fast (IllegalArgumentException)
-    * on a missing/foreign/corrupt artifact rather than returning a
-    * half-index. */
-  def load(spark: SparkSession, path: String): Seq[Seq[Double]] = {
+  private def readManifest(spark: SparkSession,
+                           path: String): scala.collection.Map[String, Any] = {
     val mPath = new org.apache.hadoop.fs.Path(path, "manifest.json")
     val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(mPath))
@@ -104,6 +145,14 @@ object IvfIndex {
     if (!manifest.get("version").contains(FormatVersion.toLong))
       throw new IllegalArgumentException(
         s"unsupported IVF index version ${manifest.get("version")} at $path")
+    manifest
+  }
+
+  /** Load a persisted quantizer. Fails fast (IllegalArgumentException)
+    * on a missing/foreign/corrupt artifact rather than returning a
+    * half-index. */
+  def load(spark: SparkSession, path: String): Seq[Seq[Double]] = {
+    val manifest = readManifest(spark, path)
     val centroids = spark.read.parquet(s"$path/centroids")
       .orderBy("cell")
       .collect()

@@ -287,6 +287,75 @@ object TextOps {
       .filter(col("rank") <= k)
   }
 
+  /** Vocabulary growth curve — the Heaps'-law observable (Heaps 1978):
+    * how many NEW distinct tokens each successive slab of the corpus
+    * contributes, in document-id order (crawl order in a training
+    * pipeline). The flattening of this curve is the evidence behind
+    * tokenizer-vocabulary sizing and "is more crawl still adding
+    * vocabulary?" calls; a slab that spikes long after the curve
+    * flattened is an ingestion anomaly (new language, OCR noise, a
+    * format break).
+    *
+    * A running distinct-count looks inherently sequential, but the
+    * curve is a pure function of each token's FIRST occurrence: a
+    * token is new in the slab containing min(id). So the plan is one
+    * token exchange with map-side partial min combine (a boilerplate
+    * token costs one row per mapper, never one per occurrence), a
+    * tiny bucket aggregate, and a cumulative sum over the ≤
+    * max_id/granule bucket rows — the single-task window runs over
+    * the BUCKET relation, never corpus rows, the same bounded-window
+    * discipline as [[VocabIndex]]'s rank. Docs with null ids group
+    * into a null bucket (honestly visible) rather than silently
+    * vanishing. Returns (bucket_start, new_tokens, vocab_size),
+    * vocab_size = distinct tokens seen through that bucket. */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+                  granule: Long): DataFrame = {
+    require(granule > 0, "granule must be positive")
+    val first = df
+      .select(col(idCol).cast("long").as("__id"),
+        explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(min(col("__id")).as("__fid"))
+    val buckets = first
+      .groupBy((floor(col("__fid") / granule) * granule)
+        .cast("long").as("bucket_start"))
+      .agg(count(lit(1)).as("new_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket_start").asc_nulls_first)
+      .rowsBetween(Long.MinValue, 0)
+    buckets.withColumn("vocab_size", sum(col("new_tokens")).over(w))
+      .orderBy(col("bucket_start"))
+  }
+
+  /** Token-frequency spectrum — the count-of-counts relation (freq,
+    * n_tokens, rank_ge): how many distinct tokens occur exactly `freq`
+    * times, plus the Zipf rank boundary rank_ge = distinct tokens
+    * occurring AT LEAST that often. The spectrum is the whole-corpus
+    * shape behind Zipf's-law diagnostics, Good–Turing mass estimates
+    * (singleton count = the unseen-mass numerator) and "how much tail
+    * would a min-frequency cutoff drop" decisions — all read directly
+    * off this relation without ranking individual tokens.
+    *
+    * Shape at scale: the token count aggregation is the only
+    * corpus-sized exchange (map-side combined); the count-of-counts
+    * re-aggregation is over the vocabulary; and the spectrum itself
+    * has at most O(√N) rows for N total occurrences (distinct counts
+    * f₁<f₂<… sum to ≤ N, so there are ≤ √(2N) of them) — the
+    * cumulative window is single-task over that provably tiny
+    * relation, never a corpus or vocabulary sort. */
+  def tokenSpectrum(df: DataFrame, textCol: String): DataFrame = {
+    val counts = df.select(explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val spectrum = counts.groupBy(col("n").as("freq"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc)
+      .rowsBetween(Long.MinValue, 0)
+    spectrum.withColumn("rank_ge", sum(col("n_tokens")).over(w))
+      .orderBy(col("freq"))
+  }
+
   /** Certified-bounds distributed top-k token frequency — the sketch
     * form of [[topTokens]] for vocabularies too large to shuffle
     * (billions of distinct tokens make even the map-side-combined
@@ -324,28 +393,7 @@ object TextOps {
                       capacity: Int): DataFrame = {
     require(k > 0, "k must be positive")
     require(capacity > 0, "capacity must be positive")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val summaries = df.select(tokens(col(textCol)).as("toks")).as[Seq[String]]
-      .mapPartitions { it =>
-        val s = new SpaceSavingSummary(capacity)
-        it.foreach { arr =>
-          if (arr != null) arr.foreach { t =>
-            if (t != null && t.nonEmpty) s.add(t)
-          }
-        }
-        if (s.size == 0) Iterator.empty
-        else {
-          val thr = s.threshold
-          // one sentinel row per non-empty partition carries θ into the
-          // same exchange the entries ride (Θ = their sum downstream)
-          s.entries.map { case (t, lo, hi) => (t, lo, hi, thr) } ++
-            Iterator((null: String, 0L, 0L, thr))
-        }
-      }.toDF("token", "lo", "hi", "thr")
-    val agg = summaries.groupBy("token")
-      .agg(sum(col("lo")).as("n"), sum(col("hi")).as("nhi"),
-        sum(col("thr")).as("rho"))
+    val agg = tokenSummaryAgg(df, textCol, capacity)
     // Θ is the null-sentinel group's rho. It must NOT be read through a
     // second consumer of `agg`: a scalar branch looks free, but the
     // is-null/not-null filters push through the aggregate below the
@@ -366,6 +414,45 @@ object TextOps {
       .select(col("token"), col("n"),
         (col("nhi") + coalesce(col("theta"), lit(0L)) - col("rho")).as("n_max"))
       .orderBy(col("n").desc, col("token"))
+  }
+
+  /** [[topTokensSketch]]'s summarize-and-aggregate stage, shared with
+    * the [[VocabIndex]] mergeable-summary build: per-partition
+    * Space-Saving summaries (O(capacity) task heap), one exchange
+    * bounded at capacity+1 rows per partition, aggregated to one row
+    * per tracked token `(token, n = Σ certified local lower bounds,
+    * nhi = Σ certified local upper bounds, rho = Σ thresholds of the
+    * partitions that tracked it)` plus ONE null-token sentinel row
+    * whose `rho` is Θ, the sum of every partition's threshold. The
+    * certified-bounds algebra over this relation: a tracked token's
+    * true count lies in [n, nhi + Θ − rho]; an untracked token's in
+    * [0, Θ]. Callers must consume the relation through a SINGLE action
+    * (see the Θ-sentinel comment in [[topTokensSketch]]). */
+  private[graft] def tokenSummaryAgg(df: DataFrame, textCol: String,
+                                     capacity: Int): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val summaries = df.select(tokens(col(textCol)).as("toks")).as[Seq[String]]
+      .mapPartitions { it =>
+        val s = new SpaceSavingSummary(capacity)
+        it.foreach { arr =>
+          if (arr != null) arr.foreach { t =>
+            if (t != null && t.nonEmpty) s.add(t)
+          }
+        }
+        if (s.size == 0) Iterator.empty
+        else {
+          val thr = s.threshold
+          // one sentinel row per non-empty partition carries θ into the
+          // same exchange the entries ride (Θ = their sum downstream)
+          s.entries.map { case (t, lo, hi) => (t, lo, hi, thr) } ++
+            Iterator((null: String, 0L, 0L, thr))
+        }
+      }.toDF("token", "lo", "hi", "thr")
+    summaries.groupBy("token")
+      .agg(sum(col("lo")).as("n"), sum(col("hi")).as("nhi"),
+        sum(col("thr")).as("rho"))
   }
 
   /** Per-document out-of-vocabulary rate against the corpus's OWN

@@ -64,7 +64,9 @@ object DumpPlans {
       ("x67_vocab_sketch", "certified vocabulary sketch — ONE narrow mapPartitions summarization (runs once: the Θ sentinel rides the single TakeOrdered instead of a scalar branch, whose pushed-down filters would split the exchange — the x63b stage-reuse lesson), exchange bounded at capacity+1 rows per partition whatever the vocabulary, Window over the limit-bounded k+1 rows only"),
       ("x69_retention", "cohort retention — the activity branch collapses to DISTINCT (user, period) map-side before its one exchange; the cohort branch's min-over-distinct is COLLAPSED by the optimizer to a direct per-user min over the raw log (min is dedup-insensitive), so each branch is one map-combining aggregation with a tiny exchange; cohorts broadcast back, cells partial-combine as count(*), never COUNT(DISTINCT)"),
       ("x70_vocab_by_source", "per-group vocabulary — one (group, token) exchange with partial count combine; the rank<=k filter plans as WindowGroupLimit over the AGGREGATED (vocabulary-bounded) relation, never a window over raw token occurrences"),
-      ("x75_common_line_scrub", "corpus-frequency line scrub — document frequency as DISTINCT (line, doc) partial-combining aggregation (a boilerplate line repeated across a mapper's docs collapses pre-exchange), frequent head filtered aggregate-side and anti-joined (AQE-broadcastable: the head is tiny by construction), dedupLines-shaped per-doc rebuild; no COUNT(DISTINCT) Expand anywhere"))
+      ("x75_common_line_scrub", "corpus-frequency line scrub — document frequency as DISTINCT (line, doc) partial-combining aggregation (a boilerplate line repeated across a mapper's docs collapses pre-exchange), frequent head filtered aggregate-side and anti-joined (AQE-broadcastable: the head is tiny by construction), dedupLines-shaped per-doc rebuild; no COUNT(DISTINCT) Expand anywhere"),
+      ("x80_vocab_growth", "vocabulary growth curve — the running distinct-count as min(id)-per-token: ONE map-side-combined token exchange (a boilerplate token is one row per mapper), bucket aggregate over the vocabulary-sized relation, cumulative window single-task over BUCKET rows only; no sequential scan, no corpus-wide window"),
+      ("x81_token_spectrum", "token-frequency spectrum — token counts are the only corpus-sized exchange (partial combine); count-of-counts re-aggregates the vocabulary-sized relation; the DESC cumulative window runs over the O(sqrt N)-row spectrum"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence for the scale-posture claims\n\n")

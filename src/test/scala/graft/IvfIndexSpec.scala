@@ -51,6 +51,78 @@ class IvfIndexSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  /** Exact spherical-k-means objective: Σ over vectors of the max dot
+    * with an L2-normalized centroid (the quantity each Lloyd's round
+    * is guaranteed not to decrease). Driver-side exact arithmetic —
+    * no rounding, no Spark. */
+  private def objective(vecs: Seq[Seq[Double]],
+                        cents: Seq[Seq[Double]]): Double = {
+    val normed = cents.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0) c else c.map(_ / n)
+    }
+    vecs.map { v =>
+      normed.map(c => c.zip(v).map { case (a, b) => a * b }.sum).max
+    }.sum
+  }
+
+  private def readManifest(path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path, "manifest.json")
+    val in = p.getFileSystem(spark.sessionState.newHadoopConf()).open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  test("refine(0) is a pure no-op; refine from a sample-only artifact " +
+       "bit-equals the seeded from-scratch build") {
+    // one partition: a single partial per (cell, pos) mean group, so
+    // the two independent kmeansRefine executions compared below sum
+    // floats in one associativity order and match bit-for-bit
+    val df = corpus.repartition(1).cache(); df.count()
+    val path = tmpDir() + "/r"
+    val built = IvfIndex.buildAndSave(df, "vec_id", "embedding",
+      nCells = 8, kmeansIters = 0, path = path)
+    IvfIndexCache.clear()
+    // identity: nothing moves, nothing is rewritten
+    assert(IvfIndex.refine(spark, path, df, "embedding", 0) == built)
+    assert(readManifest(path).contains("\"kmeans_iters\":0"))
+    // warm-start equivalence: seeding Lloyd's from the round-tripped
+    // sample reproduces the from-scratch build with the same iters
+    val refined = IvfIndex.refine(spark, path, df, "embedding", 2)
+    IvfIndexCache.clear()
+    val scratch = Similarity.buildQuantizer(df, "vec_id", "embedding", 8, 2)
+    assert(refined == scratch,
+      "refine from an iters=0 artifact must bit-equal the seeded build")
+    // the artifact was rewritten in place and the history advanced
+    assert(IvfIndex.load(spark, path) == refined)
+    assert(readManifest(path).contains("\"kmeans_iters\":2"))
+    intercept[IllegalArgumentException] {
+      IvfIndex.refine(spark, path, df, "embedding", -1) }
+    df.unpersist()
+  }
+
+  test("refine after corpus drift never worsens the spherical objective") {
+    val r = new scala.util.Random(11)
+    val drifted = corpus.unionByName(
+      // a new tight cluster the original sample never saw
+      (1000L until 1080L).map(i =>
+        (i, Seq.tabulate(8)(d => (if (d == 0) 3.0 else 0.0) +
+          0.05 * (r.nextDouble() - 0.5)))).toDF("vec_id", "embedding"))
+      .cache()
+    drifted.count()
+    val path = tmpDir() + "/drift"
+    val stale = IvfIndex.buildAndSave(corpus, "vec_id", "embedding",
+      nCells = 8, kmeansIters = 1, path = path)
+    val vecs = drifted.orderBy("vec_id")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val before = objective(vecs, stale)
+    val after = objective(vecs,
+      IvfIndex.refine(spark, path, drifted, "embedding", 3))
+    assert(after >= before - 1e-9,
+      s"objective must be monotone: $before -> $after")
+    drifted.unpersist()
+  }
+
   test("load fails fast on missing, foreign, and corrupt artifacts") {
     val root = tmpDir()
     // write through the Hadoop FS (as save does) so the local-FS CRC

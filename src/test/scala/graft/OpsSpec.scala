@@ -306,6 +306,38 @@ class OpsSpec extends AnyFunSuite {
     assert(top == Seq(("the", 3L), ("cat", 2L), ("dog", 1L))) // tie: asc token
   }
 
+  test("vocabGrowth buckets tokens by first occurrence; null ids stay visible") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "alpha beta"), (1L, "alpha gamma"), (10L, "beta delta"),
+      (11L, "epsilon EPSILON"), (25L, "alpha zeta"))
+      .toDF("doc_id", "text")
+    val curve = graft.ops.TextOps.vocabGrowth(df, "doc_id", "text", 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // bucket 0: alpha beta gamma (3 new); bucket 10: delta epsilon
+    // (normalization folds EPSILON in); bucket 20: zeta
+    assert(curve == Seq((0L, 3L, 3L), (10L, 2L, 5L), (20L, 1L, 6L)))
+    // a token first seen only under a null id lands in the null bucket
+    val withNull = df.unionByName(
+      Seq((Option.empty[Long], "omega")).toDF("doc_id", "text"))
+    val c2 = graft.ops.TextOps.vocabGrowth(withNull, "doc_id", "text", 10L)
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getLong(1), r.getLong(2))).toSeq
+    assert(c2 == Seq((-1L, 1L, 1L), (0L, 3L, 4L), (10L, 2L, 6L), (20L, 1L, 7L)))
+    intercept[IllegalArgumentException] {
+      graft.ops.TextOps.vocabGrowth(df, "doc_id", "text", 0L) }
+  }
+
+  test("tokenSpectrum: count-of-counts with the Zipf rank boundary") {
+    import spark.implicits._
+    // counts: the=3, cat=2, dog=1, sat=1
+    val df = Seq("the cat sat", "the cat", "THE  dog").toDF("text")
+    val spec = graft.ops.TextOps.tokenSpectrum(df, "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // rank_ge: 4 tokens occur >=1, 2 occur >=2, 1 occurs >=3
+    assert(spec == Seq((1L, 2L, 4L), (2L, 1L, 2L), (3L, 1L, 1L)))
+  }
+
   test("topTokensByGroup ranks per group with token-ascending ties; composes as cluster keywords") {
     import spark.implicits._
     val df = Seq(

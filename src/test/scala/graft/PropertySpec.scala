@@ -398,7 +398,8 @@ class PropertySpec extends AnyFunSuite {
       "bigram_nll", "line_dedup", "line_quality", "sample_weighted",
       "text_chunks", "oov_rate", "semantic_dedup", "interval_join", "funnel",
       "repetition_signals", "retention", "corpus_diff", "index_update",
-      "bloom_update", "common_line_scrub", "mixture_weights",
+      "bloom_update", "vocab_update", "ivf_refine", "vocab_growth",
+      "token_spectrum", "common_line_scrub", "mixture_weights",
       "dedup_sweep", "zap")
     val argKeys = Seq("id", "column", "order", "chunk_tokens", "k",
       "fraction", "strata", "source", "weights", "default", "approx",

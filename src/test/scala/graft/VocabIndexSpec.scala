@@ -78,6 +78,73 @@ class VocabIndexSpec extends AnyFunSuite {
     assert(viaArt == inline)
   }
 
+  test("update: ample-capacity merge equals a from-scratch rebuild bit-for-bit") {
+    val root = tmpDir()
+    val a = corpus.filter(col("doc_id") <= 3)
+    val b = corpus.filter(col("doc_id") > 3)
+    val up = s"$root/up"
+    VocabIndex.buildAndSave(a, "text", k = 5, path = up, capacity = Some(4096))
+    val updated = VocabIndex.update(spark, up, b, "text")
+    val scratch = VocabIndex.buildAndSave(corpus, "text", k = 5,
+      path = s"$root/full", capacity = Some(4096))
+    def vocabRows(art: VocabIndex.Artifact) = art.vocab.orderBy("rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    def sumRows(art: VocabIndex.Artifact) = art.summary.get.orderBy("token")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(vocabRows(updated) == vocabRows(scratch))
+    assert(sumRows(updated) == sumRows(scratch))
+    // no evictions anywhere => exact counts, zero untracked bound
+    assert(updated.theta.contains(0L) && scratch.theta.contains(0L))
+    assert(sumRows(updated).forall { case (_, lo, hi) => lo == hi })
+    assert(updated.nDocs == scratch.nDocs)
+    assert(updated.contentFingerprint == scratch.contentFingerprint)
+    // the delta-updated fingerprint reads the merged corpus as FRESH
+    VocabIndex.verifyContent(spark, up, corpus, "text")
+    VocabIndex.verifyCount(updated, "updated vocab")
+  }
+
+  test("update: tight capacity keeps certified bounds sound; guards fail fast") {
+    val root = tmpDir()
+    // single partitions with distinct tokens >> capacity => evictions
+    // on both the base build and the delta sketch
+    val a = corpus.filter(col("doc_id") <= 3).repartition(1)
+    val b = corpus.filter(col("doc_id") > 3).repartition(1)
+    val path = s"$root/tight"
+    VocabIndex.buildAndSave(a, "text", k = 3, path = path, capacity = Some(3))
+    assert(VocabIndex.load(spark, path).theta.exists(_ > 0L))
+    val art = VocabIndex.update(spark, path, b, "text")
+    val truth = TextOps.topTokens(corpus, "text", 1000).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val stored = art.summary.get.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(stored.nonEmpty && stored.length <= 3,
+      "merged summary must stay bounded at max(capacity, k)")
+    stored.foreach { case (t, lo, hi) =>
+      val n = truth.getOrElse(t, 0L)
+      assert(lo <= n && n <= hi, s"bounds [$lo,$hi] must contain $n for '$t'")
+    }
+    val theta = art.theta.get
+    val trackedTokens = stored.map(_._1).toSet
+    truth.foreach { case (t, n) =>
+      if (!trackedTokens.contains(t))
+        assert(n <= theta, s"untracked '$t' has count $n above theta $theta")
+    }
+    // update on an exact-built artifact fails fast
+    VocabIndex.buildAndSave(corpus, "text", k = 3, path = s"$root/exact")
+    val e = intercept[IllegalArgumentException] {
+      VocabIndex.update(spark, s"$root/exact", b, "text") }
+    assert(e.getMessage.contains("rebuild with a capacity"))
+    // text column tripwire
+    val e2 = intercept[IllegalArgumentException] {
+      VocabIndex.update(spark, path,
+        b.withColumnRenamed("text", "body"), "body") }
+    assert(e2.getMessage.contains("built over column"))
+    // empty delta is a no-op
+    val same = VocabIndex.update(spark, path, b.filter(col("doc_id") < 0), "text")
+    assert(same.theta == art.theta && same.nDocs == art.nDocs &&
+      same.contentFingerprint == art.contentFingerprint)
+  }
+
   test("load fails fast on missing, foreign, and corrupt artifacts") {
     val root = tmpDir()
     def writeManifest(dir: String, text: String): Unit = {

@@ -1268,6 +1268,104 @@ class XopSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.index.root")
   }
 
+  test("vocab_update xop merges an appended batch into a persisted vocabulary") {
+    val root = java.nio.file.Files.createTempDirectory("xop_vc_upd").toString
+    import spark.implicits._
+    val v1 = Seq((1L, "alpha beta alpha"), (2L, "beta gamma")).toDF("id", "text")
+    val added = Seq((3L, "alpha delta delta delta")).toDF("id", "text")
+    graft.ops.VocabIndex.buildAndSave(v1, "text", k = 4, path = s"$root/v",
+      capacity = Some(1024))
+    spark.conf.set("spark.graft.index.root", root)
+    try {
+      val rep = QueryEngine.run(added,
+        """{"xop": {"name": "vocab_update",
+                    "args": {"column": "text", "index": "v"}}}""",
+        resolver).df.collect()
+      assert(rep.length == 1)
+      val r = rep.head
+      assert(r.getAs[Long]("n_docs_before") == 2L &&
+        r.getAs[Long]("n_docs") == 3L &&
+        r.getAs[Long]("n_tokens") == 4L &&
+        r.getAs[Long]("theta") == 0L &&
+        r.getAs[Boolean]("changed"))
+      // the merged artifact serves the union vocabulary: delta is now
+      // the second-ranked token (3 occurrences, ties under alpha's 3)
+      val art = graft.ops.VocabIndex.load(spark, s"$root/v")
+      val toks = art.vocab.orderBy("rank").collect()
+        .map(r2 => (r2.getString(0), r2.getLong(1))).toSeq
+      assert(toks == Seq(("alpha", 3L), ("delta", 3L), ("beta", 2L), ("gamma", 1L)))
+      graft.ops.VocabIndex.verifyContent(spark, s"$root/v",
+        v1.unionByName(added), "text")
+      // an exact-built artifact cannot be updated: 400, not a crash
+      graft.ops.VocabIndex.buildAndSave(v1, "text", k = 4, path = s"$root/ex")
+      val e = intercept[MalformedQueryException] { QueryEngine.run(added,
+        """{"xop": {"name": "vocab_update",
+                    "args": {"column": "text", "index": "ex"}}}""", resolver) }
+      assert(e.getMessage.contains("rebuild with a capacity"))
+      // a missing index arg is a 400
+      intercept[MalformedQueryException] { QueryEngine.run(added,
+        """{"xop": {"name": "vocab_update", "args": {"column": "text"}}}""",
+        resolver) }
+    } finally spark.conf.unset("spark.graft.index.root")
+  }
+
+  test("vocab_growth and token_spectrum xops report corpus shape") {
+    import spark.implicits._
+    val df = Seq((0L, "a b"), (1L, "a c"), (10L, "b d"))
+      .toDF("id", "text")
+    val curve = QueryEngine.run(df,
+      """{"xop": {"name": "vocab_growth",
+                  "args": {"id": "id", "column": "text", "granule": 10}}}""",
+      resolver).df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(curve == Seq((0L, 3L, 3L), (10L, 1L, 4L)))
+    val spec = QueryEngine.run(df,
+      """{"xop": {"name": "token_spectrum", "args": {"column": "text"}}}""",
+      resolver).df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // counts: a=2, b=2, c=1, d=1
+    assert(spec == Seq((1L, 2L, 4L), (2L, 2L, 2L)))
+    intercept[MalformedQueryException] { QueryEngine.run(df,
+      """{"xop": {"name": "vocab_growth",
+                  "args": {"id": "id", "column": "text", "granule": 0}}}""",
+      resolver) }
+  }
+
+  test("ivf_refine xop re-centers a persisted quantizer in place") {
+    val root = java.nio.file.Files.createTempDirectory("xop_ivf_ref").toString
+    import spark.implicits._
+    val r = new scala.util.Random(3)
+    val vecs = (0L until 60L).map(i => (i, Seq.fill(4)(r.nextDouble() - 0.5)))
+      .toDF("id", "vec")
+    graft.ops.IvfIndex.buildAndSave(vecs, "id", "vec", nCells = 4,
+      kmeansIters = 0, path = s"$root/q")
+    spark.conf.set("spark.graft.index.root", root)
+    try {
+      val rep = QueryEngine.run(vecs,
+        """{"xop": {"name": "ivf_refine",
+                    "args": {"column": "vec", "index": "q", "iters": 2}}}""",
+        resolver).df.collect()
+      assert(rep.length == 1)
+      assert(rep.head.getAs[Long]("n_centroids") == 4L &&
+        rep.head.getAs[Long]("iters") == 2L &&
+        rep.head.getAs[Boolean]("changed"))
+      // iters=0 is the no-op: same centroids, changed=false
+      val rep0 = QueryEngine.run(vecs,
+        """{"xop": {"name": "ivf_refine",
+                    "args": {"column": "vec", "index": "q", "iters": 0}}}""",
+        resolver).df.collect()
+      assert(!rep0.head.getAs[Boolean]("changed"))
+      // negative iters and a missing index are 400s
+      intercept[MalformedQueryException] { QueryEngine.run(vecs,
+        """{"xop": {"name": "ivf_refine",
+                    "args": {"column": "vec", "index": "q", "iters": -1}}}""",
+        resolver) }
+      intercept[MalformedQueryException] { QueryEngine.run(vecs,
+        """{"xop": {"name": "ivf_refine", "args": {"column": "vec"}}}""",
+        resolver) }
+    } finally spark.conf.unset("spark.graft.index.root")
+  }
+
   test("oov_rate 'index': a persisted vocabulary serves the membership side") {
     val root = java.nio.file.Files.createTempDirectory("xop_vocab").toString
     graft.ops.VocabIndex.buildAndSave(docs, "text", k = 10, path = s"$root/v")
