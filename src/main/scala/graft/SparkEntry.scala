@@ -354,6 +354,46 @@ object SparkEntry {
         .orderBy("threshold")
     }),
 
+    // quality-ranked token-budget selection: the best docs (50-char
+    // length bands as the score — coarse on purpose, so the boundary
+    // tie group is dozens of docs and the Packing-shaped intra-tie
+    // prefix path does real work at every scale) until 5000 tokens.
+    // Fully-in bands select map-only off a broadcast of the tiny
+    // per-band cumulative relation; only the ONE boundary band pays a
+    // prefix sum, and it shards by id
+    "x82_budget_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("priority", expr("CAST(n_chars div 50 AS BIGINT) * 50"))
+      graft.ops.Sampling.budgetSelect(docs, "doc_id", "priority",
+        graft.ops.TextOps.tokenCount(col("text")), budget = 5000L)
+        .select(col("doc_id").as("id"), col("priority"), col("tokens"))
+        .orderBy("id")
+    }),
+
+    // source-mix drift (PSI) between the previous crawl (x78's every-
+    // fourth-doc-missing convention) and the refreshed corpus — the
+    // companion monitoring read to x71's id-level diff: did the MIX
+    // move, and which source moved it. Two group-count-sized aggregates
+    // joined full-outer; corpus rows never shuffle
+    "x83_mix_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Profile.mixDrift(
+        docs.filter(col("doc_id") % 4 =!= 1), docs, "source")
+    }),
+
+    // borderline-first dedup audit queue: the 5 pairs nearest the 0.9
+    // operating threshold from x4's exact-jaccard pair relation, texts
+    // attached for side-by-side review — TakeOrdered over pairs, then
+    // two broadcast joins of the 5-row queue against the corpus (texts
+    // never shuffle; no text moves for a pair that missed the queue)
+    "x84_audit_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Dedup.auditPairs(
+        graft.ops.Dedup.shingleJaccardPairsExact(docs, "doc_id", "text",
+          maxId = 300, threshold = 0.2, shingleSize = 3),
+        "jaccard", docs, "doc_id", "text", threshold = 0.9, k = 5)
+    }),
+
     // embedding-cosine near-dup pairs via hyperplane LSH (rows-only check).
     // The synthetic corpus has no true near-dups (max pairwise cos ≈ 0.51),
     // so inject perturbed copies — each original must pair with its copy.
@@ -1583,6 +1623,76 @@ object SparkEntry {
          FROM th LEFT JOIN m ON m.ms >= th.threshold CROSS JOIN n
          GROUP BY th.threshold, n.n_docs
          ORDER BY threshold""",
+    "x82_budget_select" ->
+      // the selection IS the window definition: inclusive running token
+      // total in (priority DESC, id) order stays <= budget — the
+      // boundary-band decomposition on the Spark side must reproduce
+      // this single-window truth exactly
+      """WITH t AS (
+           SELECT doc_id,
+                  (n_chars // 50) * 50 AS priority,
+                  CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = ''
+                       THEN 0
+                       ELSE len(string_split(
+                              trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+                  END AS tokens
+           FROM documents
+           WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+         r AS (SELECT *, sum(tokens) OVER (ORDER BY priority DESC, doc_id) AS run
+               FROM t)
+         SELECT doc_id AS id, priority, CAST(tokens AS BIGINT) AS tokens
+         FROM r WHERE run <= 5000 ORDER BY id""",
+    "x83_mix_drift" ->
+      // PSI with the standard 1e-6 floor; shares and contributions
+      // round to 6 decimals AFTER the arithmetic on both sides so
+      // libm-ln last-ulp differences never reach the hash compare
+      """WITH b AS (
+           SELECT source AS value, count(*)::DOUBLE /
+                  (SELECT count(*) FROM documents WHERE doc_id % 4 <> 1) AS s
+           FROM documents WHERE doc_id % 4 <> 1 GROUP BY source),
+         c AS (
+           SELECT source AS value, count(*)::DOUBLE /
+                  (SELECT count(*) FROM documents) AS s
+           FROM documents GROUP BY source)
+         SELECT coalesce(b.value, c.value) AS value,
+                floor(coalesce(b.s, 0) * 1e6 + 0.5) / 1e6 AS share_base,
+                floor(coalesce(c.s, 0) * 1e6 + 0.5) / 1e6 AS share_cur,
+                floor((greatest(coalesce(c.s, 0), 1e-6) - greatest(coalesce(b.s, 0), 1e-6))
+                      * ln(greatest(coalesce(c.s, 0), 1e-6) / greatest(coalesce(b.s, 0), 1e-6))
+                      * 1e6 + 0.5) / 1e6 AS psi
+         FROM b FULL JOIN c ON b.value IS NOT DISTINCT FROM c.value
+         ORDER BY value""",
+    "x84_audit_pairs" ->
+      // x4's pair machinery at the sweep floor, then the review queue:
+      // |score - 0.9| ascending (rounded at 9 on both sides), pair
+      // identity breaking ties, k = 5, texts joined in
+      """WITH t AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+           FROM documents WHERE doc_id < 300),
+         s AS (
+           SELECT doc_id,
+                  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                       ELSE list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                           for i in range(1, len(tk) - 1)])
+                  END AS sh
+           FROM t),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                        len(list_distinct(list_concat(a.sh, b.sh))), 4) AS score
+           FROM s a, s b
+           WHERE a.doc_id < b.doc_id
+             AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2),
+         q AS (
+           SELECT *, floor(abs(score - 0.9::DOUBLE) * 1e9 + 0.5) / 1e9 AS dist
+           FROM p ORDER BY dist, id_a, id_b LIMIT 5)
+         SELECT q.id_a, q.id_b, q.score, q.dist,
+                da.text AS text_a, db.text AS text_b
+         FROM q JOIN documents da ON da.doc_id = q.id_a
+                JOIN documents db ON db.doc_id = q.id_b
+         ORDER BY dist, id_a, id_b""",
     "x2b_dedup_minhash_exact" ->
       // shares x4's oracle verbatim BY DESIGN: with every band one hash
       // wide, a >= 0.5-Jaccard pair escapes the candidate set with

@@ -402,6 +402,33 @@ object XopEngine {
         }
         Dedup.dedupSweep(df, sweepPairs, scoreC, sweepTs)
 
+      // borderline-first human-audit queue over the exact-jaccard pair
+      // relation: the k pairs closest to the operating threshold, texts
+      // attached (the audit reviews the exact score at the cut, so only
+      // the exact family is offered; min_score floors the quadratic
+      // id-bounded pair pass)
+      case "audit_pairs" =>
+        knownArgs("id", "column", "max_id", "shingle", "min_score",
+          "threshold", "k")
+        val apThr = doubleArgOpt(args, "threshold", 0.7, name)
+        if (apThr.isNaN || apThr.isInfinite || apThr < 0 || apThr > 1)
+          Errors.malformed(s"xop '$name': threshold must be in [0, 1]")
+        val apFloor = doubleArgOpt(args, "min_score", 0.0, name)
+        if (apFloor.isNaN || apFloor < 0 || apFloor > 1)
+          Errors.malformed(s"xop '$name': min_score must be in [0, 1]")
+        val apK = intArg(args, "k", 20, name).toInt
+        if (apK <= 0) Errors.malformed(s"xop '$name': k must be positive")
+        val apMaxId = intArg(args, "max_id", 0L, name)
+        if (apMaxId <= 0)
+          Errors.malformed(s"xop '$name': requires a positive 'max_id' " +
+            "(the exact pair pass is quadratic — bound the slice)")
+        val apId = column(df, args, "id", name)
+        val apText = column(df, args, "column", name)
+        Dedup.auditPairs(
+          Dedup.shingleJaccardPairsExact(df, apId, apText, apMaxId, apFloor,
+            intArg(args, "shingle", 3, name).toInt),
+          "jaccard", df, apId, apText, apThr, apK)
+
       case "line_dedup" =>
         knownArgs("id", "column")
         Dedup.dedupLines(df, column(df, args, "id", name),
@@ -792,6 +819,18 @@ object XopEngine {
           column(df, args, "source", name),
           col(numericColumn(df, args, "tokens", name)), budget)
 
+      // quality-ranked token budget: best rows first (priority DESC,
+      // id) until the running token total passes the budget —
+      // boundary-band decomposition, never a global window
+      case "budget_select" =>
+        knownArgs("id", "priority", "tokens", "budget")
+        val bsBudget = intArg(args, "budget", -1, name)
+        if (bsBudget < 0)
+          Errors.malformed(s"xop '$name': missing required argument 'budget'")
+        Sampling.budgetSelect(df, column(df, args, "id", name),
+          numericColumn(df, args, "priority", name),
+          col(numericColumn(df, args, "tokens", name)), bsBudget)
+
       // greedy sequence packing into fixed token bins (prefix sum)
       case "seq_pack" =>
         knownArgs("order", "tokens", "budget")
@@ -1108,6 +1147,19 @@ object XopEngine {
         for (cn <- Seq(oid, ocol) if !ExprCompiler.hasColumn(old, cn))
           Errors.malformed(s"xop '$name': old dataset has no column", cn)
         Dedup.corpusDiff(old, oid, ocol, df, dId, dText)
+
+      // source-mix drift (PSI) vs a stored base version: per-value
+      // shares + psi contribution, full-outer over the two tiny
+      // per-value aggregates
+      case "mix_drift" =>
+        knownArgs("column", "base", "base_column")
+        val mdCol = column(df, args, "column", name)
+        val mdBase = dataset("base")
+        val mdBaseCol = args.get("base_column")
+          .map(_ => reqStr(args, "base_column", name)).getOrElse(mdCol)
+        if (!ExprCompiler.hasColumn(mdBase, mdBaseCol))
+          Errors.malformed(s"xop '$name': base dataset has no column", mdBaseCol)
+        Profile.mixDrift(mdBase.select(col(mdBaseCol).as(mdCol)), df, mdCol)
 
       // incremental NEAR-dup vs a stored corpus: MinHash banding over the
       // union of both sides, cross-side pairs only. With 'index', a

@@ -608,6 +608,50 @@ object Dedup {
             col("docs_dropped").cast("double") / col("n_docs"))))
   }
 
+  /** Borderline-first human-audit queue over a near-duplicate pair
+    * relation — the review step every threshold decision closes with:
+    * the k pairs whose score sits CLOSEST to the operating threshold
+    * (|score − threshold| ascending, then (id_a, id_b) — the unique
+    * pair identity breaks exact-distance ties deterministically), with
+    * both documents' texts attached for side-by-side reading. A random
+    * pair sample mostly re-confirms the obvious; the borderline pairs
+    * are where the threshold actually decides, so k human judgments
+    * here measure precision AT the cut — the number
+    * [[dedupSweep]]'s curve cannot provide (it counts drops, not
+    * whether the drops were right).
+    *
+    * Shape at scale: the queue reduces to TakeOrdered over the pair
+    * relation (per-partition partial top-k; only k pairs ever leave a
+    * partition, no global sort), and the two text attachments join the
+    * k-row queue — broadcast — against the corpus, so the corpus is
+    * scanned but never shuffled, and no text moves for a pair that
+    * didn't make the queue. The distance rounds to 9 decimals before
+    * ordering (the module's engine-portability rule: scores are already
+    * round(…, 4) products, so 9 decimals is far past any real tie).
+    *
+    * Returns (id_a, id_b, score, dist, text_a, text_b) ordered by
+    * (dist, id_a, id_b) — queue order, most ambiguous first. */
+  def auditPairs(pairs: DataFrame, scoreCol: String, corpus: DataFrame,
+                 idCol: String, textCol: String, threshold: Double,
+                 k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(!threshold.isNaN && !threshold.isInfinite, "threshold must be finite")
+    val queue = pairs
+      .withColumn("dist",
+        Rounding.halfUp(abs(col(scoreCol).cast("double") - lit(threshold)), 9))
+      .orderBy(col("dist"), col("id_a"), col("id_b"))
+      .limit(k)
+      .select(col("id_a"), col("id_b"), col(scoreCol).as("score"), col("dist"))
+    val texts = corpus.select(col(idCol).as("__tid"), col(textCol).as("__text"))
+    val withA = texts.join(broadcast(queue), col("__tid") === col("id_a"))
+      .select(col("id_a"), col("id_b"), col("score"), col("dist"),
+        col("__text").as("text_a"))
+    texts.join(broadcast(withA), col("__tid") === col("id_b"))
+      .select(col("id_a"), col("id_b"), col("score"), col("dist"),
+        col("text_a"), col("__text").as("text_b"))
+      .orderBy(col("dist"), col("id_a"), col("id_b"))
+  }
+
   /** Corpus VERSION diff — the refresh-ops companion of the artifact
     * staleness tripwires: given two versions of a corpus, classify every
     * id as `added` / `removed` / `changed` (same id, different

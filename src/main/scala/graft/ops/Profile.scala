@@ -116,4 +116,48 @@ object Profile {
         round(aggregate(array_sort(col("__cs")), lit(0.0d),
           (acc, x) => acc + x.getField("c")), 4).as("kl"))
   }
+
+  /** Population-stability drift between two corpus versions over one
+    * categorical column (source, language, license bucket…) — the
+    * monitoring report a training-data refresh reads NEXT TO the id-level
+    * [[Dedup.corpusDiff]]: the diff says WHICH documents moved, this says
+    * whether the MIX moved (a crawl that doubled one domain's share
+    * changes model behavior even if every id-level change looks benign).
+    * Per value: both shares and the PSI contribution
+    * (p − q)·ln(p / q) with the standard ε-floor (Yurdakul 2018's
+    * recommended guard) so values present on only one side contribute a
+    * large-but-finite term instead of ±∞. Σ psi is the headline score
+    * (alerting folklore: < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted)
+    * — returned per-value so the report also names WHO drifted.
+    *
+    * Shape at scale: each side collapses to a (value, count) aggregate
+    * map-side (the relation is as big as the column's cardinality —
+    * categorical by contract); totals ride one broadcast row each; the
+    * FULL OUTER join runs over the two tiny aggregates, never corpus
+    * rows. Shares and psi round to 6 decimals AFTER the arithmetic, both
+    * here and in the oracle, so libm-ln last-ulp differences cannot leak
+    * into the hash compare. A null category is a legal value (null-safe
+    * join key), reported as its own row. */
+  def mixDrift(base: DataFrame, cur: DataFrame, colName: String,
+               eps: Double = 1e-6): DataFrame = {
+    require(eps > 0, "eps must be positive")
+    def shares(df: DataFrame, out: String): DataFrame = {
+      val counts = df.groupBy(col(colName).as("value"))
+        .agg(count(lit(1)).as("__n"))
+      val total = counts.agg(sum(col("__n")).as("__tot"))
+      counts.crossJoin(broadcast(total))
+        .select(col("value"),
+          (col("__n").cast("double") / col("__tot").cast("double")).as(out))
+    }
+    val b = shares(base, "__sb").withColumnRenamed("value", "__vb")
+    val c = shares(cur, "__sc").withColumnRenamed("value", "__vc")
+    val p = greatest(coalesce(col("__sc"), lit(0.0d)), lit(eps))
+    val q = greatest(coalesce(col("__sb"), lit(0.0d)), lit(eps))
+    b.join(c, col("__vb") <=> col("__vc"), "full_outer")
+      .select(coalesce(col("__vb"), col("__vc")).as("value"),
+        Rounding.halfUp(coalesce(col("__sb"), lit(0.0d)), 6).as("share_base"),
+        Rounding.halfUp(coalesce(col("__sc"), lit(0.0d)), 6).as("share_cur"),
+        Rounding.halfUp((p - q) * log(p / q), 6).as("psi"))
+      .orderBy(col("value"))
+  }
 }

@@ -368,4 +368,115 @@ object Sampling {
       .filter(col(valueCol) >= col("__lo") && col(valueCol) <= col("__hi"))
       .select(df.columns.toSeq.map(df(_)): _*) // original columns and order
   }
+
+  /** Quality-ranked token-budget selection — "take the BEST documents
+    * until the budget is spent", the curation move that assembles a
+    * fixed-size training set from a scored corpus (score = a quality
+    * classifier, a dedup-survivor priority, an edu-value rating).
+    * Documents are consumed in (priority DESC, id ASC) order; a document
+    * is selected iff the running token total THROUGH it stays ≤ `budget`
+    * (so once the budget is crossed nothing later gets in, zero-token
+    * rows included — the prefix property that makes the selection a
+    * dataset definition rather than a heuristic). Differs from
+    * [[tokenBudgetByHash]] exactly in the order key: hash order samples
+    * the distribution, priority order CHOOSES the top of it.
+    *
+    * Shape at scale — the naive form is one global window ordered by
+    * (priority DESC, id), which funnels the corpus through a single
+    * task. Instead the selection decomposes around the ONE priority
+    * value where the budget runs out, and that crossing point is a
+    * SINGLE ROW, which this operator collects (the module's confined-
+    * collect policy: a bounded — here ≤ 1-row — driver fetch, the same
+    * license the quantizer builds and oversized-bucket guards use):
+    *   1. per-exact-priority token totals (map-side-combined aggregate;
+    *      the relation is as big as the number of DISTINCT priority
+    *      values — quality scores are discrete or rounded in practice,
+    *      and a continuous score should be rounded first, which any
+    *      budget consumer does anyway to make "the cut" reportable),
+    *      classified by a cumulative window DESC over that tiny
+    *      relation; the at-most-one boundary row (the first group that
+    *      does not fully fit — its priority and the tokens spent before
+    *      it) comes back to the driver. Collecting it, rather than
+    *      broadcast-joining the classified relation, turns every
+    *      downstream consumer into a LITERAL comparison that pushes
+    *      into the parquet scan and executes exactly once — the
+    *      broadcast form re-ran this corpus aggregation under each of
+    *      its three consumers (the x63b stage-reuse trap, dodged by
+    *      making the shared state one number instead of one subtree).
+    *   2. no boundary ⇒ everything fits: the corpus IS the selection.
+    *   3. fully-in rows are `priority > boundary` — a pushed-down
+    *      map-only filter; no per-row running total is ever computed
+    *      for them. Priorities below the boundary never leave the scan.
+    *   4. only the boundary priority's rows — one tie group, reached by
+    *      a pushed-down equality — need an exact prefix sum, and within
+    *      one priority the order is pure id, so the [[Packing]]
+    *      two-level id-shard prefix applies: per-(id div shardSize)
+    *      windows in parallel, shard totals rolled up in a tiny window,
+    *      offsets broadcast back, the remaining budget a literal. A
+    *      million-way tie on the boundary score costs parallel
+    *      shard-local windows, never a single-task sort.
+    *
+    * Rows with a null id or null priority are never selected (they have
+    * no place in the order); negative token counts are rejected by a
+    * kept-in-plan guard on the boundary group and treated as impossible
+    * elsewhere (token counters are non-negative by construction).
+    * Returns the selected rows as (idCol, priorityCol, tokens), ordered
+    * by id. `idCol` must be unique and numeric (it is both the
+    * tie-break and the shard key). */
+  def budgetSelect(df: DataFrame, idCol: String, priorityCol: String,
+                   tokensCol: Column, budget: Long,
+                   shardSize: Long = 1000000L): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    require(shardSize > 0, "shardSize must be positive")
+    val base = df
+      .filter(col(idCol).isNotNull && col(priorityCol).isNotNull)
+      .select(col(idCol), col(priorityCol),
+        coalesce(tokensCol.cast("long"), lit(0L)).as("tokens"))
+    // 1: per-priority totals classified by the DESC running total (the
+    // window is over the distinct-priority relation only); fetch the
+    // at-most-one crossing row.
+    val boundary = base.groupBy(col(priorityCol).as("__p"))
+      .agg(sum(col("tokens")).as("__gtot"))
+      .withColumn("__before",
+        coalesce(sum(col("__gtot")).over(
+          Window.orderBy(col("__p").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("__before") + col("__gtot") > lit(budget) &&
+        col("__before") <= lit(budget))
+      .select(col("__p"), col("__before"))
+      .collect()
+    boundary.headOption match {
+      case None =>
+        // 2: the whole corpus fits.
+        base.orderBy(col(idCol))
+      case Some(row) =>
+        val bp = lit(row.get(0))
+        val remaining = budget - row.getLong(1)
+        // 3: strictly-better priorities — map-only, filter pushed down.
+        val fullIn = base.filter(col(priorityCol) > bp)
+        // 4: the boundary tie group — Packing-shaped two-level prefix
+        // by id against the literal remaining budget.
+        val bnd = base.filter(col(priorityCol) === bp)
+          .withColumn("__shard",
+            expr(s"CAST(`$idCol` AS BIGINT) div ${shardSize}L"))
+        val local = bnd.withColumn("__local", sum(col("tokens")).over(
+          Window.partitionBy(col("__shard")).orderBy(col(idCol))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val offsets = bnd.groupBy(col("__shard").as("__oshard"))
+          .agg(sum(col("tokens")).as("__total"))
+          .withColumn("__offset",
+            coalesce(sum(col("__total")).over(
+              Window.orderBy(col("__oshard"))
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("__oshard"), col("__offset"))
+        val bndIn = local
+          .join(broadcast(offsets), col("__shard") === col("__oshard"))
+          .withColumn("__guard", assert_true(col("tokens") >= 0,
+            lit("budgetSelect: token counts must be non-negative")))
+          .filter(col("__guard").isNull &&
+            col("__offset") + col("__local") <= lit(remaining))
+          .select(col(idCol), col(priorityCol), col("tokens"))
+        fullIn.unionByName(bndIn).orderBy(col(idCol))
+    }
+  }
 }

@@ -66,7 +66,10 @@ object DumpPlans {
       ("x70_vocab_by_source", "per-group vocabulary — one (group, token) exchange with partial count combine; the rank<=k filter plans as WindowGroupLimit over the AGGREGATED (vocabulary-bounded) relation, never a window over raw token occurrences"),
       ("x75_common_line_scrub", "corpus-frequency line scrub — document frequency as DISTINCT (line, doc) partial-combining aggregation (a boilerplate line repeated across a mapper's docs collapses pre-exchange), frequent head filtered aggregate-side and anti-joined (AQE-broadcastable: the head is tiny by construction), dedupLines-shaped per-doc rebuild; no COUNT(DISTINCT) Expand anywhere"),
       ("x80_vocab_growth", "vocabulary growth curve — the running distinct-count as min(id)-per-token: ONE map-side-combined token exchange (a boilerplate token is one row per mapper), bucket aggregate over the vocabulary-sized relation, cumulative window single-task over BUCKET rows only; no sequential scan, no corpus-wide window"),
-      ("x81_token_spectrum", "token-frequency spectrum — token counts are the only corpus-sized exchange (partial combine); count-of-counts re-aggregates the vocabulary-sized relation; the DESC cumulative window runs over the O(sqrt N)-row spectrum"))
+      ("x81_token_spectrum", "token-frequency spectrum — token counts are the only corpus-sized exchange (partial combine); count-of-counts re-aggregates the vocabulary-sized relation; the DESC cumulative window runs over the O(sqrt N)-row spectrum"),
+      ("x82_budget_select", "quality-ranked token budget — the crossing point is ONE collected row, so every consumer is a LITERAL pushed into the scan: fully-in bands are a map-only `priority > boundary` filter (PushedFilters in the scan below — losers never leave parquet); only the ONE boundary band pays a prefix sum, as parallel per-(id div shardSize) windows with a tiny offset rollup against the literal remaining budget; the classification aggregate ran exactly once at build (collect ≤ 1 row), and no global (priority, id) sort exists anywhere"),
+      ("x83_mix_drift", "source-mix drift (PSI) — each side collapses map-side to a per-value count aggregate; totals ride one-row broadcasts; the full-outer join runs over the two tiny aggregates, corpus rows never shuffle"),
+      ("x84_audit_pairs", "borderline audit queue — TakeOrderedAndProject over the pair relation (per-partition partial top-k, no global pair sort); both text attachments are broadcast joins of the k-row queue against the corpus scan"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence for the scale-posture claims\n\n")

@@ -2101,4 +2101,122 @@ class OpsSpec extends AnyFunSuite {
       .filter(col("id") === 1L).collect().head
     assert(r1.getLong(1) == 3L && r1.getLong(2) == 0L)
   }
+
+  test("budgetSelect equals the single-window truth, boundary ties split by id") {
+    // priorities: 9 (ids 1,2,3 @ 10 tokens each), 5 (ids 4,5 @ 10), 1 (id 6)
+    // budget 45: all of priority 9 (30), then boundary priority 5 takes
+    // id 4 (40) but NOT id 5 (50 > 45); priority 1 fully out
+    val df = Seq(
+      (6L, 1L, 10L), (4L, 5L, 10L), (1L, 9L, 10L),
+      (5L, 5L, 10L), (2L, 9L, 10L), (3L, 9L, 10L)
+    ).toDF("id", "priority", "tok")
+    val got = Sampling.budgetSelect(df, "id", "priority", col("tok"), 45L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 9L, 10L), (2L, 9L, 10L), (3L, 9L, 10L), (4L, 5L, 10L)))
+    // exact-budget edge: 40 takes the same set minus nothing (run(4)=40)
+    assert(Sampling.budgetSelect(df, "id", "priority", col("tok"), 40L)
+      .count() == 4)
+    // one token less and the boundary doc falls out
+    assert(Sampling.budgetSelect(df, "id", "priority", col("tok"), 39L)
+      .count() == 3)
+  }
+
+  test("budgetSelect: once the budget is crossed, zero-token rows stay out") {
+    // run ≤ budget is a PREFIX property: the zero-token row at priority 3
+    // sits after the crossing point, so it is excluded even though it
+    // would cost nothing; the zero-token row inside the prefix survives
+    val df = Seq(
+      (1L, 9L, 0L),  // zero-token, inside the prefix → in
+      (2L, 8L, 10L), // run 10 ≤ 10 → in (exactly exhausts)
+      (3L, 5L, 7L),  // run 17 > 10 → out (boundary, partial)
+      (4L, 3L, 0L)   // zero-token but past the crossing → out
+    ).toDF("id", "priority", "tok")
+    val got = Sampling.budgetSelect(df, "id", "priority", col("tok"), 10L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 2L))
+  }
+
+  test("budgetSelect is repartition-stable and drops null ids/priorities") {
+    val df = Seq(
+      (Some(1L), Some(5L), 3L), (Some(2L), Some(5L), 3L), (Some(3L), Some(5L), 3L),
+      (None, Some(9L), 100L),   // null id: never selected, never counted
+      (Some(4L), None, 100L)    // null priority: same
+    ).toDF("id", "priority", "tok")
+    val a = Sampling.budgetSelect(df, "id", "priority", col("tok"), 7L)
+      .collect().map(_.getLong(0)).toSeq
+    val b = Sampling.budgetSelect(df.repartition(7), "id", "priority",
+      col("tok"), 7L).collect().map(_.getLong(0)).toSeq
+    assert(a == Seq(1L, 2L) && b == a)
+    // tiny shardSize forces multi-shard boundary prefix — same answer
+    val c = Sampling.budgetSelect(df.repartition(5), "id", "priority",
+      col("tok"), 7L, shardSize = 1L).collect().map(_.getLong(0)).toSeq
+    assert(c == a)
+    // budget past the total: no crossing point, the corpus IS the
+    // selection (null-keyed rows still out)
+    val d = Sampling.budgetSelect(df, "id", "priority", col("tok"), 1000L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(d == Seq(1L, 2L, 3L))
+  }
+
+  test("mixDrift: shares, psi sign-free arithmetic, one-sided values") {
+    val base = Seq("a", "a", "b", "b").toDF("src")
+    val cur = Seq("a", "a", "a", "b", "c", "c", "c", "c").toDF("src")
+    val rows = Profile.mixDrift(base, cur, "src").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    def psi(p: Double, q: Double): Double = {
+      val pc = math.max(p, 1e-6); val qc = math.max(q, 1e-6)
+      math.floor((pc - qc) * math.log(pc / qc) * 1e6 + 0.5) / 1e6
+    }
+    assert(rows.toSeq == Seq(
+      ("a", 0.5, 0.375, psi(0.375, 0.5)),
+      ("b", 0.5, 0.125, psi(0.125, 0.5)),
+      ("c", 0.0, 0.5, psi(0.5, 0.0))))
+    // every contribution is non-negative (p−q and ln(p/q) share a sign)
+    assert(rows.forall(_._4 >= 0))
+    // identical sides: all psi exactly 0
+    assert(Profile.mixDrift(base, base, "src").collect()
+      .forall(_.getDouble(3) == 0.0))
+  }
+
+  test("mixDrift treats a null category as a legal value") {
+    val base = Seq(Some("a"), None, None).toDF("src")
+    val cur = Seq(Some("a"), Some("a"), None).toDF("src")
+    val rows = Profile.mixDrift(base, cur, "src").collect()
+    assert(rows.length == 2)
+    val nullRow = rows.find(_.isNullAt(0)).get
+    assert(math.abs(nullRow.getDouble(1) - 0.666667) < 1e-9)
+    assert(math.abs(nullRow.getDouble(2) - 0.333333) < 1e-9)
+  }
+
+  test("auditPairs returns the k most borderline pairs with texts, queue order") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),   // high overlap with 1
+      (3L, "alpha beta gamma zz yy xx"),            // mid overlap with 1/2
+      (4L, "totally different words entirely here now")
+    ).toDF("id", "text")
+    val pairs = Dedup.shingleJaccardPairsExact(docs, "id", "text",
+      maxId = 1000, threshold = 0.0, shingleSize = 3)
+    val all = pairs.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val thr = 0.5
+    val expect = all
+      .map { case (a, b, s) =>
+        (math.floor(math.abs(s - thr) * 1e9 + 0.5) / 1e9, a, b, s) }
+      .sortBy(t => (t._1, t._2, t._3)).take(2)
+    val got = Dedup.auditPairs(pairs, "jaccard", docs, "id", "text",
+      threshold = thr, k = 2).collect()
+    assert(got.length == 2)
+    for ((r, e) <- got.zip(expect)) {
+      assert((r.getLong(0), r.getLong(1)) == (e._2, e._3))
+      assert(r.getDouble(2) == e._4 && r.getDouble(3) == e._1)
+      // texts really are the named documents'
+      val texts = docs.collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+      assert(r.getString(4) == texts(r.getLong(0)))
+      assert(r.getString(5) == texts(r.getLong(1)))
+    }
+    // k past the pair count returns everything, still queue-ordered
+    assert(Dedup.auditPairs(pairs, "jaccard", docs, "id", "text", thr, 100)
+      .count() == all.length)
+  }
 }

@@ -1750,4 +1750,93 @@ class XopSpec extends AnyFunSuite {
         """{"xop": {"name": "profile"}, "update": [["id", 0]], "where": ["==", "id", 1]}""")
     }
   }
+
+  test("budget_select xop takes the best rows until the token budget") {
+    import spark.implicits._
+    val t = Seq(
+      (1L, 9L, 10L), (2L, 9L, 10L), (3L, 5L, 10L), (4L, 1L, 10L)
+    ).toDF("id", "prio", "tok")
+    val out = QueryEngine.run(t,
+      """{"xop": {"name": "budget_select",
+                  "args": {"id": "id", "priority": "prio", "tokens": "tok",
+                           "budget": 25}}}""").df
+    assert(out.columns.toSeq == Seq("id", "prio", "tokens"))
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // budget mandatory; non-numeric priority 400s; unknown arg 400s
+    intercept[MalformedQueryException] { QueryEngine.run(t,
+      """{"xop": {"name": "budget_select",
+                  "args": {"id": "id", "priority": "prio", "tokens": "tok"}}}""") }
+    intercept[MalformedQueryException] {
+      run("""{"xop": {"name": "budget_select",
+                      "args": {"id": "id", "priority": "text", "tokens": "id",
+                               "budget": 10}}}""") }
+    intercept[MalformedQueryException] { QueryEngine.run(t,
+      """{"xop": {"name": "budget_select",
+                  "args": {"id": "id", "priority": "prio", "tokens": "tok",
+                           "budget": 25, "zap": 1}}}""") }
+  }
+
+  test("mix_drift xop scores the mix against a stored base version") {
+    import org.apache.spark.sql.functions.col
+    val resolver: String => Option[DataFrame] = n =>
+      if (n == "v1") Some(docs.filter(col("id") <= 4)) else None
+    val out = QueryEngine.run(docs,
+      """{"xop": {"name": "mix_drift",
+                  "args": {"column": "src", "base": "v1"}}}""", resolver).df
+    assert(out.columns.toSeq == Seq("value", "share_base", "share_cur", "psi"))
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    // base: web 3/4, book 1/4; cur: web 4/6, book 2/6
+    assert(rows.map(_._1).toSeq == Seq("book", "web"))
+    assert(rows(0)._2 == 0.25 && math.abs(rows(0)._3 - 0.333333) < 1e-9)
+    assert(rows.forall(_._4 >= 0))
+    // semantics delegate to Profile.mixDrift exactly
+    val direct = graft.ops.Profile.mixDrift(
+      docs.filter(col("id") <= 4).select(col("src")), docs, "src")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(rows.toSeq == direct.toSeq)
+    // unknown base dataset / missing base column 400
+    intercept[MalformedQueryException] { QueryEngine.run(docs,
+      """{"xop": {"name": "mix_drift",
+                  "args": {"column": "src", "base": "nope"}}}""", resolver) }
+    intercept[MalformedQueryException] { QueryEngine.run(docs,
+      """{"xop": {"name": "mix_drift",
+                  "args": {"column": "src", "base": "v1",
+                           "base_column": "zz"}}}""", resolver) }
+  }
+
+  test("audit_pairs xop builds the borderline review queue; arg taxonomy") {
+    val out = run(
+      """{"xop": {"name": "audit_pairs",
+                  "args": {"id": "id", "column": "text", "max_id": 100,
+                           "threshold": 0.5, "k": 3}}}""")
+    assert(out.columns.toSeq ==
+      Seq("id_a", "id_b", "score", "dist", "text_a", "text_b"))
+    val direct = graft.ops.Dedup.auditPairs(
+      graft.ops.Dedup.shingleJaccardPairsExact(docs, "id", "text", 100, 0.0, 3),
+      "jaccard", docs, "id", "text", 0.5, 3).collect()
+    val got = out.collect()
+    assert(got.length == 3)
+    assert(got.map(r => (r.getAs[Number](0).longValue,
+        r.getAs[Number](1).longValue, r.getDouble(2))).toSeq ==
+      direct.map(r => (r.getAs[Number](0).longValue,
+        r.getAs[Number](1).longValue, r.getDouble(2))).toSeq)
+    // max_id mandatory (quadratic pass must be bounded); k/threshold bounded
+    intercept[MalformedQueryException] {
+      run("""{"xop": {"name": "audit_pairs",
+                      "args": {"id": "id", "column": "text"}}}""") }
+    intercept[MalformedQueryException] {
+      run("""{"xop": {"name": "audit_pairs",
+                      "args": {"id": "id", "column": "text", "max_id": 100,
+                               "k": 0}}}""") }
+    intercept[MalformedQueryException] {
+      run("""{"xop": {"name": "audit_pairs",
+                      "args": {"id": "id", "column": "text", "max_id": 100,
+                               "threshold": 1.5}}}""") }
+    intercept[MalformedQueryException] {
+      run("""{"xop": {"name": "audit_pairs",
+                      "args": {"id": "id", "column": "text", "max_id": 100,
+                               "min_score": -0.1}}}""") }
+  }
 }
