@@ -370,6 +370,21 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // x82's boundary-skew witness: EVERY doc shares one priority, so the
+    // fully-in fast path is empty and the whole corpus IS the boundary
+    // tie group — the worst case the decomposition exists for. The
+    // shard prefix must hold: parallel per-(id div 100) windows + the
+    // tiny offset rollup, never a single-task (priority, id) sort.
+    // Shares x82's oracle SHAPE (run <= budget in pure id order)
+    "x82b_budget_select_skew" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("priority", lit(0L))
+      graft.ops.Sampling.budgetSelect(docs, "doc_id", "priority",
+        graft.ops.TextOps.tokenCount(col("text")), budget = 5000L,
+        shardSize = 100L)
+        .select(col("doc_id").as("id"), col("tokens"))
+        .orderBy("id")
+    }),
+
     // source-mix drift (PSI) between the previous crawl (x78's every-
     // fourth-doc-missing convention) and the refreshed corpus — the
     // companion monitoring read to x71's id-level diff: did the MIX
@@ -380,6 +395,27 @@ object SparkEntry {
       graft.ops.Profile.mixDrift(
         docs.filter(col("doc_id") % 4 =!= 1), docs, "source")
     }),
+
+    // numeric drift through the same PSI lens: document LENGTH
+    // distribution between versions, binned to 100-char bands first
+    // (the classic ingestion regression — a parser change that halves
+    // average length shows here before any model does)
+    "x83b_len_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val band = expr("CAST(n_chars div 100 AS BIGINT) * 100").as("len_band")
+      graft.ops.Profile.mixDrift(
+        docs.filter(col("doc_id") % 4 =!= 1).select(band),
+        docs.select(band), "len_band")
+    }),
+
+    // duplicate-family size spectrum over x18's connected components —
+    // the dedup QA report: family-size counts off one map-combining
+    // aggregate per level, spectrum provably O(sqrt D) rows
+    "x85_cluster_spectrum" -> ((s, dir) =>
+      graft.ops.Dedup.clusterSpectrum(
+        graft.ops.Dedup.duplicateClusters(
+          graft.ops.Dedup.shingleJaccardPairsExact(t(s, dir, "documents"),
+            "doc_id", "text", maxId = 300, threshold = 0.5, shingleSize = 3)))),
 
     // borderline-first dedup audit queue: the 5 pairs nearest the 0.9
     // operating threshold from x4's exact-jaccard pair relation, texts
@@ -1693,6 +1729,71 @@ object SparkEntry {
          FROM q JOIN documents da ON da.doc_id = q.id_a
                 JOIN documents db ON db.doc_id = q.id_b
          ORDER BY dist, id_a, id_b""",
+    "x82b_budget_select_skew" ->
+      // x82's window truth with every doc at ONE priority: pure id
+      // order — the all-boundary worst case the shard prefix must match
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = ''
+                       THEN 0
+                       ELSE len(string_split(
+                              trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+                  END AS tokens
+           FROM documents WHERE doc_id IS NOT NULL),
+         r AS (SELECT *, sum(tokens) OVER (ORDER BY doc_id) AS run FROM t)
+         SELECT doc_id AS id, CAST(tokens AS BIGINT) AS tokens
+         FROM r WHERE run <= 5000 ORDER BY id""",
+    "x83b_len_drift" ->
+      // x83's PSI arithmetic over 100-char length bands — numeric drift
+      // through the same lens
+      """WITH b AS (
+           SELECT (n_chars // 100) * 100 AS value, count(*)::DOUBLE /
+                  (SELECT count(*) FROM documents WHERE doc_id % 4 <> 1) AS s
+           FROM documents WHERE doc_id % 4 <> 1 GROUP BY 1),
+         c AS (
+           SELECT (n_chars // 100) * 100 AS value, count(*)::DOUBLE /
+                  (SELECT count(*) FROM documents) AS s
+           FROM documents GROUP BY 1)
+         SELECT coalesce(b.value, c.value) AS value,
+                floor(coalesce(b.s, 0) * 1e6 + 0.5) / 1e6 AS share_base,
+                floor(coalesce(c.s, 0) * 1e6 + 0.5) / 1e6 AS share_cur,
+                floor((greatest(coalesce(c.s, 0), 1e-6) - greatest(coalesce(b.s, 0), 1e-6))
+                      * ln(greatest(coalesce(c.s, 0), 1e-6) / greatest(coalesce(b.s, 0), 1e-6))
+                      * 1e6 + 0.5) / 1e6 AS psi
+         FROM b FULL JOIN c ON b.value IS NOT DISTINCT FROM c.value
+         ORDER BY value""",
+    "x85_cluster_spectrum" ->
+      // x18's reachability closure, then the family-size spectrum:
+      // sizes per component, components + docs per size
+      """WITH RECURSIVE t AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+           FROM documents WHERE doc_id < 300),
+         s AS (
+           SELECT doc_id,
+                  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                       ELSE list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                           for i in range(1, len(tk) - 1)])
+                  END AS sh
+           FROM t),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM s a, s b
+           WHERE a.doc_id < b.doc_id
+             AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(id, lab) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+         comp AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
+         fam AS (SELECT cluster, CAST(count(*) AS BIGINT) AS size
+                 FROM comp GROUP BY cluster)
+         SELECT size, CAST(count(*) AS BIGINT) AS n_clusters,
+                CAST(size * count(*) AS BIGINT) AS n_docs
+         FROM fam GROUP BY size ORDER BY size""",
     "x2b_dedup_minhash_exact" ->
       // shares x4's oracle verbatim BY DESIGN: with every band one hash
       // wide, a >= 0.5-Jaccard pair escapes the candidate set with

@@ -786,6 +786,20 @@ object XopEngine {
         Dedup.duplicateClusters(
           df.select(col(src).as("id_a"), col(dst).as("id_b")))
 
+      // duplicate-family size spectrum over a labeled cluster relation
+      // (dedup_clusters' output shape): how big the families are, and
+      // how many docs each family size holds
+      case "cluster_spectrum" =>
+        knownArgs("cluster")
+        val clCol = args.get("cluster")
+          .map(_ => column(df, args, "cluster", name)).getOrElse {
+            if (!ExprCompiler.hasColumn(df, "cluster"))
+              Errors.malformed(
+                s"xop '$name': frame has no cluster — pass 'cluster'")
+            "cluster"
+          }
+        Dedup.clusterSpectrum(df.select(col(clCol).as("cluster")))
+
       // ---- text / embedding features ----
 
       // word-repetition features (dup-word fraction, top-bigram share)

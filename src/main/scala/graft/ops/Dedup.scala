@@ -1091,6 +1091,32 @@ object Dedup {
     labels
   }
 
+  /** Duplicate-family size spectrum — the dedup QA report read off a
+    * labeled cluster relation ([[duplicateClusters]]' output shape):
+    * for each family size, how many components have it and how many
+    * documents they hold. The shape of this spectrum is the decision
+    * input dedup reviews start from — a corpus dominated by size-2
+    * families is boilerplate-edited near-dups (scrub-grade), a fat
+    * tail of 1000-doc families is template spam or a crawler loop
+    * (drop-grade, and worth an [[auditPairs]] look), and
+    * Σ (size − 1) · n_clusters over the spectrum is exactly the doc
+    * count a keep-one-per-family collapse will delete.
+    *
+    * Shape at scale: component sizes are one map-side-combined count
+    * aggregate over the (doc → cluster) relation (a million-doc family
+    * costs one row per mapper); the spectrum re-aggregates the
+    * cluster-count-sized relation, and — the [[TextOps.tokenSpectrum]]
+    * argument — has at most O(√D) rows for D labeled docs, so reading
+    * or sorting it is never corpus-shaped work. Returns
+    * (size, n_clusters, n_docs), ordered by size. */
+  def clusterSpectrum(clusters: DataFrame): DataFrame = {
+    val sizes = clusters.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("size"))
+    sizes.groupBy(col("size")).agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("size") * col("n_clusters"))
+      .orderBy(col("size"))
+  }
+
   /** Keep exactly ONE doc (the min id) per near-duplicate component —
     * the clustered version of dropNearDuplicates, which over-deletes on
     * chains (A~B, B~C without A~C greedily drops both B and C even though

@@ -68,6 +68,7 @@ object DumpPlans {
       ("x80_vocab_growth", "vocabulary growth curve — the running distinct-count as min(id)-per-token: ONE map-side-combined token exchange (a boilerplate token is one row per mapper), bucket aggregate over the vocabulary-sized relation, cumulative window single-task over BUCKET rows only; no sequential scan, no corpus-wide window"),
       ("x81_token_spectrum", "token-frequency spectrum — token counts are the only corpus-sized exchange (partial combine); count-of-counts re-aggregates the vocabulary-sized relation; the DESC cumulative window runs over the O(sqrt N)-row spectrum"),
       ("x82_budget_select", "quality-ranked token budget — the crossing point is ONE collected row, so every consumer is a LITERAL pushed into the scan: fully-in bands are a map-only `priority > boundary` filter (PushedFilters in the scan below — losers never leave parquet); only the ONE boundary band pays a prefix sum, as parallel per-(id div shardSize) windows with a tiny offset rollup against the literal remaining budget; the classification aggregate ran exactly once at build (collect ≤ 1 row), and no global (priority, id) sort exists anywhere"),
+      ("x82b_budget_select_skew", "budget selection, all-boundary worst case — every doc shares one priority, so the fully-in branch is empty and the ENTIRE selection runs the shard-prefix path: parallel per-(id div 100) windows (Sort+Window partitioned by __shard, never a global sort), the tiny per-shard offset rollup broadcast back, literal remaining budget in the filter"),
       ("x83_mix_drift", "source-mix drift (PSI) — each side collapses map-side to a per-value count aggregate; totals ride one-row broadcasts; the full-outer join runs over the two tiny aggregates, corpus rows never shuffle"),
       ("x84_audit_pairs", "borderline audit queue — TakeOrderedAndProject over the pair relation (per-partition partial top-k, no global pair sort); both text attachments are broadcast joins of the k-row queue against the corpus scan"))
 

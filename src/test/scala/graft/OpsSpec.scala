@@ -2188,6 +2188,22 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(nullRow.getDouble(2) - 0.333333) < 1e-9)
   }
 
+  test("clusterSpectrum reports family sizes, components and docs per size") {
+    // components: {1,2,3} (chain), {10,11}, {20,21} → spectrum:
+    // size 2 × 2 components (4 docs), size 3 × 1 component (3 docs)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.clusterSpectrum(Dedup.duplicateClusters(pairs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((2L, 2L, 4L), (3L, 1L, 3L)))
+    // the keep-one collapse count reads off the spectrum: Σ (size−1)·n
+    // = 1·2 + 2·1 — and matches actually running the collapse
+    assert(got.map { case (s, n, _) => (s - 1) * n }.sum == 4L)
+    val docs = (1L to 25L).map(i => (i, s"doc $i")).toDF("id", "text")
+    assert(docs.count() -
+      Dedup.dropNearDuplicatesClustered(docs, pairs, "id").count() == 4L)
+  }
+
   test("auditPairs returns the k most borderline pairs with texts, queue order") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),

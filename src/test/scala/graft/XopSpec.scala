@@ -1806,6 +1806,22 @@ class XopSpec extends AnyFunSuite {
                            "base_column": "zz"}}}""", resolver) }
   }
 
+  test("cluster_spectrum xop composes on dedup_clusters through a from pipeline") {
+    // fixture dup families: texts 1/3 and 2/6 → two size-2 components
+    val out = run(
+      """{"xop": {"name": "cluster_spectrum"},
+          "from": {"xop": {"name": "dedup_clusters"},
+                   "from": {"xop": {"name": "dedup_jaccard",
+                                    "args": {"id": "id", "column": "text",
+                                             "max_id": 100, "threshold": 0.9}}}}}""")
+    assert(out.columns.toSeq == Seq("size", "n_clusters", "n_docs"))
+    assert(out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == Seq((2L, 2L, 4L)))
+    // no cluster column and none named → 400
+    intercept[MalformedQueryException] {
+      run("""{"xop": {"name": "cluster_spectrum"}}""") }
+  }
+
   test("audit_pairs xop builds the borderline review queue; arg taxonomy") {
     val out = run(
       """{"xop": {"name": "audit_pairs",
