@@ -601,6 +601,15 @@ object SparkEntry {
           col("n_events"), col("total_value"))
         .orderBy("window_start", "event_type")),
 
+    // event-rate anomaly monitoring: per (hour, type) z-score against
+    // the trailing 5 windows, EMPTY windows spine-filled first (a
+    // silent window is the loudest anomaly); trailing moments from
+    // exact integer sums so both engines evaluate the same doubles
+    "x86_rate_anomaly" -> ((s, dir) =>
+      graft.streaming.EventStreams.rateAnomaly(
+        graft.streaming.EventStreams.eventsFrame(s, dir),
+        windowLength = "1 hour", trailing = 5, zThreshold = 3.0)),
+
     // sequence packing: docs → fixed token-budget bins in doc_id order
     // (two-level distributed prefix sum; shard windows + tiny offset frame)
     "x20_seq_packing" -> ((s, dir) => {
@@ -2659,6 +2668,43 @@ object SparkEntry {
                 event_type, count(*) AS n_events,
                 round(sum(value), 2) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "x86_rate_anomaly" ->
+      // trailing moments from exact integer sums (Σn, Σn²) so the mean/
+      // variance/z doubles are the SAME IEEE expressions on both
+      // engines; the flag reads the ROUNDED z; zero-variance jumps
+      // flagged by the exact integer test n·k ≠ Σn
+      """WITH c AS (
+           SELECT time_bucket(INTERVAL 1 hour, ts::TIMESTAMP) AS ws,
+                  event_type, count(*)::BIGINT AS n
+           FROM events GROUP BY 1, 2),
+         span AS (SELECT min(ws) AS lo, max(ws) AS hi FROM c),
+         types AS (SELECT DISTINCT event_type FROM c),
+         spine AS (SELECT t.event_type,
+                          unnest(generate_series(lo, hi, INTERVAL 1 hour)) AS ws
+                   FROM span, types t),
+         f AS (SELECT spine.ws, spine.event_type, coalesce(c.n, 0)::BIGINT AS n
+               FROM spine LEFT JOIN c
+                 ON c.ws = spine.ws AND c.event_type = spine.event_type),
+         t AS (SELECT *, count(*) OVER wtr AS hist,
+                      sum(n) OVER wtr AS s, sum(n*n) OVER wtr AS ss
+               FROM f WINDOW wtr AS (PARTITION BY event_type ORDER BY ws
+                 ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)),
+         sc AS (SELECT ws, event_type, n, hist, s,
+                       (ss::DOUBLE - s::DOUBLE * s::DOUBLE / 5.0) / 4.0 AS var
+                FROM t),
+         z AS (SELECT *,
+                      CASE WHEN hist = 5 AND var > 0
+                           THEN floor((n::DOUBLE - s::DOUBLE / 5.0) / sqrt(var)
+                                      * 1e4 + 0.5) / 1e4 END AS z
+               FROM sc)
+         SELECT ws AS window_start, event_type, n AS n_events,
+                CASE WHEN hist = 5
+                     THEN floor(s::DOUBLE / 5.0 * 1e4 + 0.5) / 1e4
+                END AS trail_mean,
+                z,
+                (z IS NOT NULL AND abs(z) >= 3.0)
+                  OR (hist = 5 AND var <= 0 AND n * 5 <> s) AS anomaly
+         FROM z ORDER BY window_start, event_type""",
     "x12_mm_decode" ->
       """SELECT doc_id AS asset_id, 'image' AS media_type,
                 octet_length(encode(text)) AS payload_bytes,

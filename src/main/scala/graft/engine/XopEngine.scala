@@ -906,6 +906,30 @@ object XopEngine {
           Errors.malformed(s"xop '$name': max_offset must be >= 0")
         graft.streaming.EventStreams.retention(df, rPeriod, rOffset)
 
+      // event-rate anomaly monitoring: per-(window, type) z vs the
+      // trailing windows, empty windows spine-filled
+      case "rate_anomaly" =>
+        knownArgs("window", "trailing", "z")
+        for (c <- Seq("event_type", "ts") if !ExprCompiler.hasColumn(df, c))
+          Errors.malformed(s"xop '$name': frame has no '$c' column")
+        df.schema("ts").dataType match {
+          case org.apache.spark.sql.types.TimestampType => ()
+          case org.apache.spark.sql.types.TimestampNTZType => ()
+          case other =>
+            Errors.malformed(s"xop '$name': 'ts' must be a timestamp", other)
+        }
+        val raWin = args.get("window")
+          .map(_ => reqStr(args, "window", name)).getOrElse("1 minute")
+        if (!raWin.matches("\\d+ (second|minute|hour|day)s?"))
+          Errors.malformed(s"xop '$name': window must look like '5 minutes'", raWin)
+        val raTrail = intArg(args, "trailing", 5, name).toInt
+        if (raTrail < 2)
+          Errors.malformed(s"xop '$name': trailing must be >= 2")
+        val raZ = doubleArgOpt(args, "z", 3.0, name)
+        if (raZ.isNaN || raZ.isInfinite || raZ <= 0)
+          Errors.malformed(s"xop '$name': z must be a positive finite number")
+        graft.streaming.EventStreams.rateAnomaly(df, raWin, raTrail, raZ)
+
       // gap-based sessionization, batch form (user_id/ts/value shape)
       case "sessionize" =>
         knownArgs("gap_seconds", "granule", "strategy")

@@ -35,6 +35,83 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), round(col("total_value"), 4).as("total_value"))
 
+  /** Event-rate anomaly detection — the ingestion-monitoring readout
+    * over the event stream shape: per (tumbling window, event_type), a
+    * z-score of the window's count against the TRAILING `trailing`
+    * windows, with the spine of empty windows filled in first — a
+    * silent window is the loudest anomaly a pipeline produces (a dead
+    * producer, a stuck partition), and a counts-only relation cannot
+    * see it. The batch form of the readout; [[windowedTypeCounts]]'
+    * streaming aggregation is its upstream feed.
+    *
+    * Engine-portable variance: the trailing mean/variance derive from
+    * integer-domain trailing sums (Σn, Σn², both exact longs — counts
+    * square safely inside int64), so both engines evaluate the SAME
+    * double expression from the SAME exact integers, instead of each
+    * running its own stddev accumulation whose summation order differs
+    * (the module's hash-not-RNG policy applied to second moments).
+    * z is null until a full trailing history exists and when the
+    * trailing variance is 0; the zero-variance case still flags iff
+    * the count moved at all (n·k ≠ Σn, an exact integer test — a flat
+    * line that jumps is infinitely surprising, not unmeasurable).
+    *
+    * Shape at scale: raw events collapse map-side to (window, type)
+    * counts — the only corpus-sized exchange; the spine (span ×
+    * distinct types) and every window after it live on that bounded
+    * relation, partitioned by type. Returns (window_start, event_type,
+    * n_events, trail_mean, z, anomaly), ordered. */
+  def rateAnomaly(events: DataFrame, windowLength: String = "1 minute",
+                  trailing: Int = 5, zThreshold: Double = 3.0): DataFrame = {
+    require(trailing >= 2, "trailing must be >= 2 (sample variance)")
+    require(zThreshold > 0 && !zThreshold.isNaN && !zThreshold.isInfinite,
+      "zThreshold must be a positive finite number")
+    // windowLength is interpolated into the spine's sequence() SQL —
+    // admit only the simple interval grammar, nothing else
+    require(windowLength.matches("\\d+ (second|minute|hour|day)s?"),
+      s"windowLength must look like '5 minutes', got '$windowLength'")
+    val counts = events
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+    val span = counts.agg(min(col("window_start")).as("__lo"),
+      max(col("window_start")).as("__hi"))
+    val types = counts.select(col("event_type")).distinct()
+    val spine = types.crossJoin(broadcast(span))
+      .select(col("event_type"), explode(
+        expr(s"sequence(__lo, __hi, interval $windowLength)"))
+        .as("window_start"))
+    val filled = spine.join(counts, Seq("event_type", "window_start"), "left")
+      .select(col("window_start"), col("event_type"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+    val wTrail = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("window_start")).rowsBetween(-trailing, -1)
+    val k = lit(trailing.toLong)
+    val scored = filled
+      .withColumn("__hist", count(lit(1)).over(wTrail))
+      .withColumn("__s", sum(col("n_events")).over(wTrail))
+      .withColumn("__ss", sum(col("n_events") * col("n_events")).over(wTrail))
+    val mean = col("__s").cast("double") / k.cast("double")
+    val variance = (col("__ss").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double") / k.cast("double")) /
+      lit((trailing - 1).toDouble)
+    val z = when(col("__hist") === k && variance > 0,
+      graft.ops.Rounding.halfUp(
+        (col("n_events").cast("double") - mean) / sqrt(variance), 4))
+    val flatJump = col("__hist") === k && variance <= 0 &&
+      col("n_events") * k =!= col("__s")
+    scored
+      .withColumn("trail_mean",
+        when(col("__hist") === k, graft.ops.Rounding.halfUp(mean, 4)))
+      .withColumn("z", z)
+      .withColumn("anomaly",
+        (z.isNotNull && abs(z) >= lit(zThreshold)) || flatJump)
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        col("trail_mean"), col("z"), col("anomaly"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   /** Gap-based sessionization with explicit state: a user's events belong
     * to one session until `gapSeconds` of event-time silence. State lives
     * in the state store partitioned by user — the scale-out form of

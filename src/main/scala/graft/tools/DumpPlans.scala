@@ -70,7 +70,8 @@ object DumpPlans {
       ("x82_budget_select", "quality-ranked token budget — the crossing point is ONE collected row, so every consumer is a LITERAL pushed into the scan: fully-in bands are a map-only `priority > boundary` filter (PushedFilters in the scan below — losers never leave parquet); only the ONE boundary band pays a prefix sum, as parallel per-(id div shardSize) windows with a tiny offset rollup against the literal remaining budget; the classification aggregate ran exactly once at build (collect ≤ 1 row), and no global (priority, id) sort exists anywhere"),
       ("x82b_budget_select_skew", "budget selection, all-boundary worst case — every doc shares one priority, so the fully-in branch is empty and the ENTIRE selection runs the shard-prefix path: parallel per-(id div 100) windows (Sort+Window partitioned by __shard, never a global sort), the tiny per-shard offset rollup broadcast back, literal remaining budget in the filter"),
       ("x83_mix_drift", "source-mix drift (PSI) — each side collapses map-side to a per-value count aggregate; totals ride one-row broadcasts; the full-outer join runs over the two tiny aggregates, corpus rows never shuffle"),
-      ("x84_audit_pairs", "borderline audit queue — TakeOrderedAndProject over the pair relation (per-partition partial top-k, no global pair sort); both text attachments are broadcast joins of the k-row queue against the corpus scan"))
+      ("x84_audit_pairs", "borderline audit queue — TakeOrderedAndProject over the pair relation (per-partition partial top-k, no global pair sort); both text attachments are broadcast joins of the k-row queue against the corpus scan"),
+      ("x86_rate_anomaly", "event-rate anomaly — raw events collapse map-side to (window, type) counts, the ONLY corpus-sized exchange; the spine (span x types) generates from a one-row broadcast; the trailing-moments window runs over the bounded count relation partitioned by type, never raw events"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence for the scale-posture claims\n\n")

@@ -2188,6 +2188,46 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(nullRow.getDouble(2) - 0.333333) < 1e-9)
   }
 
+  test("rateAnomaly: spine-filled windows, flat-jump and z flags, trailing history gate") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def burst(minute: Int, tpe: String, n: Int): Seq[(java.sql.Timestamp, String)] =
+      (0 until n).map(i => (t(f"2024-01-01 00:$minute%02d:${i * 3}%02d"), tpe))
+    // type a: 2/min for minutes 0-5, a 9-event burst at 6, silence at 7,
+    // back to 2 at 8; type b: only minutes 0 and 8 (spine must fill 1-7)
+    val rows = (0 to 5).flatMap(burst(_, "a", 2)) ++ burst(6, "a", 9) ++
+      burst(8, "a", 2) ++ burst(0, "b", 1) ++ burst(8, "b", 1)
+    val events = rows.toDF("ts", "event_type")
+    val out = graft.streaming.EventStreams
+      .rateAnomaly(events, "1 minute", trailing = 5, zThreshold = 1.0)
+      .collect().map(r => (r.getString(1), r.getTimestamp(0).toString.substring(14, 16),
+        r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]), r.getBoolean(5)))
+    assert(out.length == 18) // 9 windows x 2 types, empties filled in
+    val a = out.filter(_._1 == "a").map(x => (x._2, x._3, x._4, x._5, x._6))
+    // first 5 windows: no full trailing history → everything null, no flag
+    assert(a.take(5).forall { case (_, n, m, z, f) =>
+      m.isEmpty && z.isEmpty && !f })
+    // minute 5: flat trailing line (2,2,2,2,2), n = 2 → nothing to flag
+    assert(a(5) == (("05", 2L, Some(2.0), None, false)))
+    // minute 6: flat trailing line, n = 9 → the zero-variance JUMP flag
+    // (z unmeasurable, anomaly still true)
+    assert(a(6) == (("06", 9L, Some(2.0), None, true)))
+    // minute 7: silence; trailing (2,2,2,2,9) → s=17, ss=97, the exact
+    // same double expression as the operator's
+    val z7 = math.floor((0.0 - 17.0 / 5.0) /
+      math.sqrt((97.0 - 17.0 * 17.0 / 5.0) / 4.0) * 1e4 + 0.5) / 1e4
+    assert(a(7) == (("07", 0L, Some(3.4), Some(z7), true)))
+    // minute 8: recovery inside the band → no flag
+    assert(a(8)._2 == 2L && !a(8)._5)
+    // type b exists for all 9 windows with zero-filled gaps
+    assert(out.count(_._1 == "b") == 9)
+    assert(out.filter(_._1 == "b").map(_._3).sum == 2L)
+    intercept[IllegalArgumentException] {
+      graft.streaming.EventStreams.rateAnomaly(events, "1 minute; DROP", 5, 1.0) }
+    intercept[IllegalArgumentException] {
+      graft.streaming.EventStreams.rateAnomaly(events, "1 minute", 1, 1.0) }
+  }
+
   test("clusterSpectrum reports family sizes, components and docs per size") {
     // components: {1,2,3} (chain), {10,11}, {20,21} → spectrum:
     // size 2 × 2 components (4 docs), size 3 × 1 component (3 docs)

@@ -1806,6 +1806,34 @@ class XopSpec extends AnyFunSuite {
                            "base_column": "zz"}}}""", resolver) }
   }
 
+  test("rate_anomaly xop scores windows against the trailing history; guards") {
+    import spark.implicits._
+    val ev = (0 to 6).flatMap { m =>
+      val base = Seq((java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00"), "a"))
+      if (m == 6) base ++ (1 to 8).map(i =>
+        (java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:$i%02d"), "a"))
+      else base
+    }.toDF("ts", "event_type")
+    val out = QueryEngine.run(ev,
+      """{"xop": {"name": "rate_anomaly",
+                  "args": {"window": "1 minute", "trailing": 5, "z": 1.0}}}""").df
+    assert(out.columns.toSeq == Seq("window_start", "event_type", "n_events",
+      "trail_mean", "z", "anomaly"))
+    val rows = out.collect()
+    assert(rows.length == 7)
+    // the burst minute is the only flagged row (flat line jumps)
+    assert(rows.count(_.getBoolean(5)) == 1 && rows.last.getBoolean(5))
+    // guards: bad window grammar, trailing < 2, z <= 0, missing columns
+    intercept[MalformedQueryException] { QueryEngine.run(ev,
+      """{"xop": {"name": "rate_anomaly", "args": {"window": "whenever"}}}""") }
+    intercept[MalformedQueryException] { QueryEngine.run(ev,
+      """{"xop": {"name": "rate_anomaly", "args": {"trailing": 1}}}""") }
+    intercept[MalformedQueryException] { QueryEngine.run(ev,
+      """{"xop": {"name": "rate_anomaly", "args": {"z": 0}}}""") }
+    intercept[MalformedQueryException] {
+      run("""{"xop": {"name": "rate_anomaly"}}""") }
+  }
+
   test("cluster_spectrum xop composes on dedup_clusters through a from pipeline") {
     // fixture dup families: texts 1/3 and 2/6 → two size-2 components
     val out = run(
