@@ -385,6 +385,41 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // per-source budget selection — the form a solved mixture ships:
+    // each source takes its OWN best docs under its OWN token budget
+    // (named budgets + a default for unlisted sources; src2's zero
+    // budget proves the exhausted-at-top path). One bounded collect of
+    // the per-source crossing rows; fully-in bands map-only
+    "x87_budget_by_source" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("priority", expr("CAST(n_chars div 50 AS BIGINT) * 50"))
+      graft.ops.Sampling.budgetSelectBySource(docs, "doc_id", "source",
+        "priority", graft.ops.TextOps.tokenCount(col("text")),
+        Map("src0" -> 400L, "src1" -> 800L, "src2" -> 0L),
+        defaultBudget = 300L)
+        .select(col("doc_id").as("id"), col("source"), col("priority"),
+          col("tokens"))
+        .orderBy("id")
+    }),
+
+    // embedding-space drift through the PSI lens: both corpus versions
+    // assigned to the SAME fixed quantizer (x42b's first-4-vectors
+    // argmax), cell-occupancy shares compared — "did the refresh move
+    // where the embeddings LIVE", the vector companion to x83's
+    // source-mix read. Pure composition: clusterAssignWith ∘ mixDrift
+    "x88_emb_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val cents: Seq[Seq[Double]] = e.filter(col("vec_id") < 4).orderBy("vec_id")
+        .select(col("embedding"))
+        .collect().map(_.getSeq[Double](0).toSeq).toSeq
+      def cells(d: org.apache.spark.sql.DataFrame) =
+        graft.ops.Similarity.clusterAssignWith(d, "embedding", cents)
+          .select(col("cluster"))
+      graft.ops.Profile.mixDrift(
+        cells(e.filter(col("vec_id") % 4 =!= 1)), cells(e), "cluster")
+    }),
+
     // source-mix drift (PSI) between the previous crawl (x78's every-
     // fourth-doc-missing convention) and the refreshed corpus — the
     // companion monitoring read to x71's id-level diff: did the MIX
@@ -1687,6 +1722,57 @@ object SparkEntry {
                FROM t)
          SELECT doc_id AS id, priority, CAST(tokens AS BIGINT) AS tokens
          FROM r WHERE run <= 5000 ORDER BY id""",
+    "x87_budget_by_source" ->
+      // per-source single-window truth: run ≤ the source's budget in
+      // (priority DESC, id) order within each source; named budgets as
+      // a VALUES table, unlisted sources coalesce to the default
+      """WITH t AS (
+           SELECT doc_id, source,
+                  (n_chars // 50) * 50 AS priority,
+                  CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = ''
+                       THEN 0
+                       ELSE len(string_split(
+                              trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+                  END AS tokens
+           FROM documents
+           WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+         b(src, budget) AS (VALUES ('src0', 400), ('src1', 800), ('src2', 0)),
+         r AS (SELECT t.*, coalesce(b.budget, 300) AS budget,
+                      sum(tokens) OVER (PARTITION BY source
+                        ORDER BY priority DESC, doc_id) AS run
+               FROM t LEFT JOIN b ON t.source = b.src)
+         SELECT doc_id AS id, source, priority, CAST(tokens AS BIGINT) AS tokens
+         FROM r WHERE run <= budget ORDER BY id""",
+    "x88_emb_drift" ->
+      // x42b's fixed-centroid argmax on BOTH corpus versions, then
+      // x83's PSI arithmetic over the cell-occupancy shares
+      """WITH c AS (
+           SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+           FROM embeddings WHERE vec_id < 4),
+         a AS (
+           SELECT vec_id, CAST(cluster AS INT) AS cluster FROM (
+             SELECT e.vec_id, c.cid AS cluster,
+                    row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv)
+                                 DESC, c.cid) AS rn
+             FROM embeddings e, c)
+           WHERE rn = 1),
+         b AS (
+           SELECT cluster AS value, count(*)::DOUBLE /
+                  (SELECT count(*) FROM a WHERE vec_id % 4 <> 1) AS s
+           FROM a WHERE vec_id % 4 <> 1 GROUP BY cluster),
+         cu AS (
+           SELECT cluster AS value, count(*)::DOUBLE /
+                  (SELECT count(*) FROM a) AS s
+           FROM a GROUP BY cluster)
+         SELECT coalesce(b.value, cu.value) AS value,
+                floor(coalesce(b.s, 0) * 1e6 + 0.5) / 1e6 AS share_base,
+                floor(coalesce(cu.s, 0) * 1e6 + 0.5) / 1e6 AS share_cur,
+                floor((greatest(coalesce(cu.s, 0), 1e-6) - greatest(coalesce(b.s, 0), 1e-6))
+                      * ln(greatest(coalesce(cu.s, 0), 1e-6) / greatest(coalesce(b.s, 0), 1e-6))
+                      * 1e6 + 0.5) / 1e6 AS psi
+         FROM b FULL JOIN cu ON b.value IS NOT DISTINCT FROM cu.value
+         ORDER BY value""",
     "x83_mix_drift" ->
       // PSI with the standard 1e-6 floor; shares and contributions
       // round to 6 decimals AFTER the arithmetic on both sides so

@@ -835,15 +835,46 @@ object XopEngine {
 
       // quality-ranked token budget: best rows first (priority DESC,
       // id) until the running token total passes the budget —
-      // boundary-band decomposition, never a global window
+      // boundary-band decomposition, never a global window. With
+      // 'source' + 'budgets' the selection runs per source (each corpus
+      // takes its own best docs under its own budget)
       case "budget_select" =>
-        knownArgs("id", "priority", "tokens", "budget")
-        val bsBudget = intArg(args, "budget", -1, name)
-        if (bsBudget < 0)
-          Errors.malformed(s"xop '$name': missing required argument 'budget'")
-        Sampling.budgetSelect(df, column(df, args, "id", name),
-          numericColumn(df, args, "priority", name),
-          col(numericColumn(df, args, "tokens", name)), bsBudget)
+        knownArgs("id", "priority", "tokens", "budget", "source", "budgets",
+          "default_budget")
+        val bsId = column(df, args, "id", name)
+        val bsPrio = numericColumn(df, args, "priority", name)
+        val bsTok = col(numericColumn(df, args, "tokens", name))
+        if (args.contains("source") || args.contains("budgets") ||
+            args.contains("default_budget")) {
+          if (args.contains("budget"))
+            Errors.malformed(
+              s"xop '$name': 'budget' is the global form — per-source " +
+                "budgets go in 'budgets'")
+          val bsBudgets = args.get("budgets") match {
+            case Some(w: Map[_, _]) =>
+              w.asInstanceOf[Map[String, Any]].map {
+                case (k, v: Long) if v >= 0 => k -> v
+                case (k, v) => Errors.malformed(
+                  s"xop '$name': budgets must be non-negative integers",
+                  s"$k: $v")
+              }.toMap
+            case Some(other) =>
+              Errors.malformed(s"xop '$name': 'budgets' must be an object", other)
+            case None => Errors.malformed(
+              s"xop '$name': per-source form requires 'budgets'")
+          }
+          val bsDefault = intArg(args, "default_budget", 0L, name)
+          if (bsDefault < 0)
+            Errors.malformed(s"xop '$name': default_budget must be >= 0")
+          Sampling.budgetSelectBySource(df, bsId,
+            column(df, args, "source", name), bsPrio, bsTok, bsBudgets,
+            bsDefault)
+        } else {
+          val bsBudget = intArg(args, "budget", -1, name)
+          if (bsBudget < 0)
+            Errors.malformed(s"xop '$name': missing required argument 'budget'")
+          Sampling.budgetSelect(df, bsId, bsPrio, bsTok, bsBudget)
+        }
 
       // greedy sequence packing into fixed token bins (prefix sum)
       case "seq_pack" =>

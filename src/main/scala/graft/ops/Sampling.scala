@@ -479,4 +479,108 @@ object Sampling {
         fullIn.unionByName(bndIn).orderBy(col(idCol))
     }
   }
+
+  /** Per-source [[budgetSelect]] — the form a mixture actually ships:
+    * each source takes its OWN best documents under its OWN token
+    * budget ("wiki: best 30B tokens, crawl: best 200B"), the per-corpus
+    * quality cutoff a solved mix ([[mixtureWeights]]) turns into a
+    * dataset. Selection order and the prefix rule are per source:
+    * within a source, documents are consumed (priority DESC, id ASC)
+    * and selected while the source's running token total stays ≤ its
+    * budget. Sources absent from `budgets` get `defaultBudget` (0 =
+    * unlisted sources contribute nothing — the mixture convention); a
+    * null source is a legal group and reads the default.
+    *
+    * Shape at scale — [[budgetSelect]]'s crossing-point decomposition,
+    * vectorized over sources: per-(source, priority) totals classify in
+    * one window over the sources×priorities relation; every source's
+    * at-most-one crossing row comes back in ONE bounded collect
+    * (fail-fast past 10000 sources — the corpus-contract bound the
+    * oversized-bucket guards use), broadcast back as a tiny boundary
+    * map. Fully-in rows are a map-only broadcast-join filter (a source
+    * with no boundary row fits entirely); only the per-source boundary
+    * tie groups pay the [[Packing]]-shaped prefix, partitioned by
+    * (source, id-shard) so a million-way tie in one source still
+    * spreads across shard tasks. Rows with null id or priority are
+    * never selected. Returns (idCol, sourceCol, priorityCol, tokens),
+    * ordered by id. */
+  def budgetSelectBySource(df: DataFrame, idCol: String, sourceCol: String,
+                           priorityCol: String, tokensCol: Column,
+                           budgets: Map[String, Long],
+                           defaultBudget: Long = 0L,
+                           shardSize: Long = 1000000L): DataFrame = {
+    require((budgets.values ++ Seq(defaultBudget)).forall(_ >= 0),
+      "budgets must be >= 0")
+    // the per-source parameter plumbing rides a Double and 2^53 is where
+    // longs stop round-tripping through one
+    require((budgets.values ++ Seq(defaultBudget)).forall(_ <= (1L << 53)),
+      "budgets must be <= 2^53")
+    require(shardSize > 0, "shardSize must be positive")
+    val base0 = df
+      .filter(col(idCol).isNotNull && col(priorityCol).isNotNull)
+      .select(col(idCol), col(sourceCol), col(priorityCol),
+        coalesce(tokensCol.cast("long"), lit(0L)).as("tokens"))
+    val base = withSourceParams(base0, sourceCol,
+      budgets.view.mapValues(_.toDouble).toMap, defaultBudget.toDouble,
+      Seq("__budget" -> (_.toLong)))
+    // per-(source, priority) totals, classified per source; the window
+    // runs over the sources × distinct-priorities relation only
+    val crossing = base
+      .groupBy(col(sourceCol).as("__src"), col(priorityCol).as("__p"))
+      .agg(sum(col("tokens")).as("__gtot"), first(col("__budget")).as("__b"))
+      .withColumn("__before",
+        coalesce(sum(col("__gtot")).over(
+          Window.partitionBy(col("__src")).orderBy(col("__p").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("__before") + col("__gtot") > col("__b") &&
+        col("__before") <= col("__b"))
+      .select(col("__src"), col("__p"), (col("__b") - col("__before")).as("__rem"))
+      .limit(10001)
+      .collect()
+    require(crossing.length <= 10000,
+      "more than 10000 sources have a budget crossing point — the source " +
+        "column is not categorical; group it first")
+    val spark = df.sparkSession
+    val bSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__src",
+        base.schema(sourceCol).dataType, nullable = true),
+      org.apache.spark.sql.types.StructField("__p",
+        base.schema(priorityCol).dataType, nullable = true),
+      org.apache.spark.sql.types.StructField("__rem",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    val bmap = spark.createDataFrame(crossing.toSeq.asJava, bSchema)
+    val joined = base.join(broadcast(bmap), col(sourceCol) <=> col("__src"), "left")
+    // map-only: no crossing row means the source fits entirely (a
+    // zero/exhausted budget always produces a crossing row at the top
+    // priority, with __rem admitting only zero-token prefixes);
+    // otherwise keep what sits strictly above the boundary priority
+    val fullIn = joined
+      .filter(col("__p").isNull || col(priorityCol) > col("__p"))
+      .select(col(idCol), col(sourceCol), col(priorityCol), col("tokens"))
+    // per-source boundary tie groups: Packing-shaped prefix partitioned
+    // by (source, id-shard)
+    val bnd = joined.filter(col(priorityCol) === col("__p"))
+      .withColumn("__shard",
+        expr(s"CAST(`$idCol` AS BIGINT) div ${shardSize}L"))
+    val local = bnd.withColumn("__local", sum(col("tokens")).over(
+      Window.partitionBy(col(sourceCol), col("__shard")).orderBy(col(idCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = bnd
+      .groupBy(col(sourceCol).as("__osrc"), col("__shard").as("__oshard"))
+      .agg(sum(col("tokens")).as("__total"))
+      .withColumn("__offset",
+        coalesce(sum(col("__total")).over(
+          Window.partitionBy(col("__osrc")).orderBy(col("__oshard"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__osrc"), col("__oshard"), col("__offset"))
+    val bndIn = local.join(broadcast(offsets),
+        col(sourceCol) <=> col("__osrc") && col("__shard") === col("__oshard"))
+      .withColumn("__guard", assert_true(col("tokens") >= 0,
+        lit("budgetSelectBySource: token counts must be non-negative")))
+      .filter(col("__guard").isNull &&
+        col("__offset") + col("__local") <= col("__rem"))
+      .select(col(idCol), col(sourceCol), col(priorityCol), col("tokens"))
+    fullIn.unionByName(bndIn).orderBy(col(idCol))
+  }
 }

@@ -71,7 +71,8 @@ object DumpPlans {
       ("x82b_budget_select_skew", "budget selection, all-boundary worst case — every doc shares one priority, so the fully-in branch is empty and the ENTIRE selection runs the shard-prefix path: parallel per-(id div 100) windows (Sort+Window partitioned by __shard, never a global sort), the tiny per-shard offset rollup broadcast back, literal remaining budget in the filter"),
       ("x83_mix_drift", "source-mix drift (PSI) — each side collapses map-side to a per-value count aggregate; totals ride one-row broadcasts; the full-outer join runs over the two tiny aggregates, corpus rows never shuffle"),
       ("x84_audit_pairs", "borderline audit queue — TakeOrderedAndProject over the pair relation (per-partition partial top-k, no global pair sort); both text attachments are broadcast joins of the k-row queue against the corpus scan"),
-      ("x86_rate_anomaly", "event-rate anomaly — raw events collapse map-side to (window, type) counts, the ONLY corpus-sized exchange; the spine (span x types) generates from a one-row broadcast; the trailing-moments window runs over the bounded count relation partitioned by type, never raw events"))
+      ("x86_rate_anomaly", "event-rate anomaly — raw events collapse map-side to (window, type) counts, the ONLY corpus-sized exchange; the spine (span x types) generates from a one-row broadcast; the trailing-moments window runs over the bounded count relation partitioned by type, never raw events"),
+      ("x87_budget_by_source", "per-source budget selection — the per-source crossing rows came back in ONE bounded collect at build; both remaining branches join the tiny broadcast boundary map: fully-in rows map-only, boundary tie groups through per-(source, id-shard) windows with a per-source offset rollup; no (source, priority, id) global or per-source single-task sort anywhere"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence for the scale-posture claims\n\n")

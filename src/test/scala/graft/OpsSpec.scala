@@ -2158,6 +2158,46 @@ class OpsSpec extends AnyFunSuite {
     assert(d == Seq(1L, 2L, 3L))
   }
 
+  test("budgetSelectBySource: per-source windows, defaults, null source, zero budget") {
+    val df = Seq(
+      // wiki: prio 9 x2 (10 tok each), prio 5 x2 — budget 25 cuts inside prio 5
+      (1L, Some("wiki"), 9L, 10L), (2L, Some("wiki"), 9L, 10L),
+      (3L, Some("wiki"), 5L, 10L), (4L, Some("wiki"), 5L, 10L),
+      // crawl: fits entirely under its budget (no crossing row)
+      (5L, Some("crawl"), 1L, 10L), (6L, Some("crawl"), 2L, 10L),
+      // web: unlisted → defaultBudget 0 → nothing (positive tokens)
+      (7L, Some("web"), 9L, 10L),
+      // null source: legal group, reads the default
+      (8L, None, 9L, 10L)
+    ).toDF("id", "src", "prio", "tok")
+    val got = Sampling.budgetSelectBySource(df, "id", "src", "prio",
+      col("tok"), Map("wiki" -> 25L, "crawl" -> 100L))
+      .collect().map(_.getLong(0)).toSeq
+    // wiki: prio-9 band fits (20 ≤ 25); the prio-5 boundary has 5 tokens
+    // of room, not enough for either 10-token doc → {1,2}; crawl fits
+    // entirely; web/null read defaultBudget 0 → nothing
+    assert(got == Seq(1L, 2L, 5L, 6L))
+    // a default budget admits the unlisted and null-source groups
+    val withDefault = Sampling.budgetSelectBySource(df, "id", "src", "prio",
+      col("tok"), Map("wiki" -> 25L, "crawl" -> 100L), defaultBudget = 10L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(withDefault == Seq(1L, 2L, 5L, 6L, 7L, 8L))
+    // equals running budgetSelect per source (the semantics contract)
+    val perSource = Seq("wiki" -> 25L, "crawl" -> 100L).flatMap { case (s, b) =>
+      Sampling.budgetSelect(df.filter(col("src") === s), "id", "prio",
+        col("tok"), b).collect().map(_.getLong(0))
+    }.sorted
+    assert(got == perSource)
+    // repartition + tiny shards: same answer
+    assert(Sampling.budgetSelectBySource(df.repartition(7), "id", "src",
+      "prio", col("tok"), Map("wiki" -> 25L, "crawl" -> 100L),
+      shardSize = 1L).collect().map(_.getLong(0)).toSeq == got)
+    // zero budget with a zero-token doc: the prefix property holds per source
+    val z = Seq((1L, "a", 5L, 0L), (2L, "a", 5L, 3L)).toDF("id", "src", "prio", "tok")
+    assert(Sampling.budgetSelectBySource(z, "id", "src", "prio", col("tok"),
+      Map("a" -> 0L)).collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("mixDrift: shares, psi sign-free arithmetic, one-sided values") {
     val base = Seq("a", "a", "b", "b").toDF("src")
     val cur = Seq("a", "a", "a", "b", "c", "c", "c", "c").toDF("src")

@@ -1762,6 +1762,32 @@ class XopSpec extends AnyFunSuite {
                            "budget": 25}}}""").df
     assert(out.columns.toSeq == Seq("id", "prio", "tokens"))
     assert(out.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // per-source form: each source under its own budget, default for
+    // unlisted; equals the Scala API
+    val t2 = Seq(
+      (1L, "a", 9L, 10L), (2L, "a", 5L, 10L), (3L, "b", 9L, 10L),
+      (4L, "c", 9L, 10L)
+    ).toDF("id", "src", "prio", "tok")
+    val perSrc = QueryEngine.run(t2,
+      """{"xop": {"name": "budget_select",
+                  "args": {"id": "id", "priority": "prio", "tokens": "tok",
+                           "source": "src", "budgets": {"a": 15},
+                           "default_budget": 10}}}""").df
+    assert(perSrc.collect().map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L))
+    // mixing the global and per-source forms 400s; budgets must be an
+    // object of non-negative integers
+    intercept[MalformedQueryException] { QueryEngine.run(t2,
+      """{"xop": {"name": "budget_select",
+                  "args": {"id": "id", "priority": "prio", "tokens": "tok",
+                           "budget": 5, "source": "src", "budgets": {"a": 1}}}}""") }
+    intercept[MalformedQueryException] { QueryEngine.run(t2,
+      """{"xop": {"name": "budget_select",
+                  "args": {"id": "id", "priority": "prio", "tokens": "tok",
+                           "source": "src", "budgets": {"a": -1}}}}""") }
+    intercept[MalformedQueryException] { QueryEngine.run(t2,
+      """{"xop": {"name": "budget_select",
+                  "args": {"id": "id", "priority": "prio", "tokens": "tok",
+                           "source": "src"}}}""") }
     // budget mandatory; non-numeric priority 400s; unknown arg 400s
     intercept[MalformedQueryException] { QueryEngine.run(t,
       """{"xop": {"name": "budget_select",
