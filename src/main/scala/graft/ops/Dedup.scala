@@ -630,7 +630,10 @@ object Dedup {
     * round(…, 4) products, so 9 decimals is far past any real tie).
     *
     * Returns (id_a, id_b, score, dist, text_a, text_b) ordered by
-    * (dist, id_a, id_b) — queue order, most ambiguous first. */
+    * (dist, id_a, id_b) — queue order, most ambiguous first. Corpus ids
+    * must be unique (the module-wide corpus contract, see
+    * [[corpusDiff]]): a duplicated id would fan its queue rows out
+    * through the text joins. */
   def auditPairs(pairs: DataFrame, scoreCol: String, corpus: DataFrame,
                  idCol: String, textCol: String, threshold: Double,
                  k: Int): DataFrame = {

@@ -58,8 +58,12 @@ object EventStreams {
     * Shape at scale: raw events collapse map-side to (window, type)
     * counts — the only corpus-sized exchange; the spine (span ×
     * distinct types) and every window after it live on that bounded
-    * relation, partitioned by type. Returns (window_start, event_type,
-    * n_events, trail_mean, z, anomaly), ordered. */
+    * relation, partitioned by type. The spine itself generates the full
+    * window range per type from one row, so a span holding more than
+    * 10M windows is refused in-plan with a clear error (the readable
+    * failure for "1-second windows over a year of events") rather than
+    * letting single tasks materialize it. Returns (window_start,
+    * event_type, n_events, trail_mean, z, anomaly), ordered. */
   def rateAnomaly(events: DataFrame, windowLength: String = "1 minute",
                   trailing: Int = 5, zThreshold: Double = 3.0): DataFrame = {
     require(trailing >= 2, "trailing must be >= 2 (sample variance)")
@@ -77,7 +81,21 @@ object EventStreams {
     val span = counts.agg(min(col("window_start")).as("__lo"),
       max(col("window_start")).as("__hi"))
     val types = counts.select(col("event_type")).distinct()
+    // the spine generates the FULL window range per type from one row —
+    // a mis-parameterized call (second-wide windows over a year-wide
+    // span) would materialize tens of millions of elements in single
+    // tasks; refuse past 10M windows with a clear error instead (an
+    // in-plan one-row assert, no extra job)
+    val spanWindows = (unix_timestamp(col("__hi")) -
+      unix_timestamp(col("__lo"))).cast("double")
     val spine = types.crossJoin(broadcast(span))
+      .withColumn("__guard", assert_true(
+        spanWindows <= lit(1e7) * lit(windowLength.split(" ")(0).toDouble) *
+          lit(Map("second" -> 1L, "minute" -> 60L, "hour" -> 3600L,
+            "day" -> 86400L)(windowLength.split(" ")(1).stripSuffix("s"))),
+        lit(s"rateAnomaly: the event span holds more than 10M '$windowLength'" +
+          " windows - widen the window or filter the span")))
+      .filter(col("__guard").isNull)
       .select(col("event_type"), explode(
         expr(s"sequence(__lo, __hi, interval $windowLength)"))
         .as("window_start"))

@@ -2266,6 +2266,15 @@ class OpsSpec extends AnyFunSuite {
       graft.streaming.EventStreams.rateAnomaly(events, "1 minute; DROP", 5, 1.0) }
     intercept[IllegalArgumentException] {
       graft.streaming.EventStreams.rateAnomaly(events, "1 minute", 1, 1.0) }
+    // a span holding > 10M windows refuses in-plan with a clear error
+    // instead of materializing it in single tasks
+    val wide = Seq((t("2024-01-01 00:00:00"), "a"),
+      (t("2024-08-01 00:00:00"), "a")).toDF("ts", "event_type")
+    val e = intercept[Exception] {
+      graft.streaming.EventStreams.rateAnomaly(wide, "1 second", 5, 1.0)
+        .count() }
+    assert(e.getMessage.contains("10M") ||
+      Option(e.getCause).exists(_.getMessage.contains("10M")))
   }
 
   test("clusterSpectrum reports family sizes, components and docs per size") {
