@@ -588,4 +588,73 @@ class PropertySpec extends AnyFunSuite {
           maxId = Long.MaxValue, threshold = 0.5))
     })
   }
+
+  test("budgetSelect == the sequential single-window scan for any corpus/budget") {
+    import spark.implicits._
+    // the crossing-point decomposition (fullin bands + boundary shard
+    // prefix) must reproduce the naive sequential truth: walk rows in
+    // (priority DESC, id) order, keep while the running total <= budget
+    val caseGen = for {
+      rows <- Gen.nonEmptyListOf(for {
+        p <- Gen.chooseNum(0L, 4L)   // few priorities → fat tie groups
+        t <- Gen.chooseNum(0L, 5L)   // zero-token rows included
+      } yield (p, t))
+      budget <- Gen.chooseNum(0L, 40L)
+      shard <- Gen.oneOf(1L, 2L, 1000000L)
+    } yield (rows.zipWithIndex.map { case ((p, t), i) => (i.toLong, p, t) },
+      budget, shard)
+    checkProp(Prop.forAll(caseGen) { case (rows, budget, shard) =>
+      val df = rows.toDF("id", "prio", "tok").repartition(5)
+      val got = graft.ops.Sampling
+        .budgetSelect(df, "id", "prio", org.apache.spark.sql.functions.col("tok"),
+          budget, shardSize = shard)
+        .collect().map(_.getLong(0)).toSeq
+      val expected = rows.sortBy { case (id, p, _) => (-p, id) }
+        .scanLeft((0L, 0L, false)) { case ((run, _, _), (id, _, t)) =>
+          (run + t, id, run + t <= budget) }
+        .drop(1).filter(_._3).map(_._2).sorted
+      got == expected
+    })
+  }
+
+  test("budgetSelectBySource == budgetSelect applied per source, any budgets") {
+    import spark.implicits._
+    val caseGen = for {
+      rows <- Gen.nonEmptyListOf(for {
+        s <- Gen.oneOf("a", "b", "c")
+        p <- Gen.chooseNum(0L, 3L)
+        t <- Gen.chooseNum(0L, 5L)
+      } yield (s, p, t))
+      ba <- Gen.chooseNum(0L, 25L)
+      bb <- Gen.chooseNum(0L, 25L)
+      dflt <- Gen.chooseNum(0L, 25L)
+    } yield (rows.zipWithIndex.map { case ((s, p, t), i) => (i.toLong, s, p, t) },
+      Map("a" -> ba, "b" -> bb), dflt)
+    checkProp(Prop.forAll(caseGen) { case (rows, budgets, dflt) =>
+      val df = rows.toDF("id", "src", "prio", "tok").repartition(4)
+      val got = graft.ops.Sampling.budgetSelectBySource(df, "id", "src",
+        "prio", org.apache.spark.sql.functions.col("tok"), budgets, dflt,
+        shardSize = 2L).collect().map(_.getLong(0)).toSeq
+      val expected = rows.map(_._2).distinct.flatMap { s =>
+        graft.ops.Sampling.budgetSelect(
+          df.filter(org.apache.spark.sql.functions.col("src") === s),
+          "id", "prio", org.apache.spark.sql.functions.col("tok"),
+          budgets.getOrElse(s, dflt)).collect().map(_.getLong(0))
+      }.sorted
+      got == expected
+    })
+  }
+
+  test("mixDrift PSI contributions are non-negative and zero iff shares match") {
+    import spark.implicits._
+    val sideGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d"))
+    checkProp(Prop.forAll(sideGen, sideGen) { (base, cur) =>
+      val rows = graft.ops.Profile
+        .mixDrift(base.toDF("v"), cur.toDF("v"), "v")
+        .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      rows.forall { case (sb, sc, psi) =>
+        psi >= 0 && ((sb != sc) || psi == 0.0)
+      }
+    })
+  }
 }
