@@ -2121,6 +2121,21 @@ class OpsSpec extends AnyFunSuite {
       .count() == 3)
   }
 
+  test("budgetSelect boundary path plans shard windows, never a priority sort") {
+    // all rows share one priority → the whole corpus is the boundary tie
+    // group (the worst case); the prefix must plan as windows
+    // PARTITIONED by the id shard, and no node anywhere may sort the
+    // corpus by priority (the scale claim: no global (priority, id)
+    // sort exists in any branch)
+    val df = (1L to 60L).map(i => (i, 7L, 2L)).toDF("id", "priority", "tok")
+    val plan = Sampling.budgetSelect(df, "id", "priority", col("tok"), 50L,
+      shardSize = 10L).queryExecution.executedPlan.toString
+    assert(plan.contains("__shard"), "shard-partitioned window missing")
+    assert(!plan.contains("priority#") ||
+      !plan.split('\n').exists(l => l.contains("Sort") && l.contains("priority#")),
+      s"a priority sort leaked into the plan:\n$plan")
+  }
+
   test("budgetSelect: once the budget is crossed, zero-token rows stay out") {
     // run ≤ budget is a PREFIX property: the zero-token row at priority 3
     // sits after the crossing point, so it is excluded even though it
