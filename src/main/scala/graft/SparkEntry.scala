@@ -1698,8 +1698,11 @@ object SparkEntry {
          SELECT th.threshold,
                 CAST(count(m.ms) AS BIGINT) AS docs_dropped,
                 n.n_docs,
-                round(CASE WHEN n.n_docs = 0 THEN 0.0
-                           ELSE count(m.ms)::DOUBLE / n.n_docs END, 4) AS drop_rate
+                -- floor-form half-up: round()'s half-tie behavior on
+                -- binary floats is engine-specific (the x24 convention)
+                floor((CASE WHEN n.n_docs = 0 THEN 0.0
+                            ELSE count(m.ms)::DOUBLE / n.n_docs END)
+                      * 1e4 + 0.5) / 1e4 AS drop_rate
          FROM th LEFT JOIN m ON m.ms >= th.threshold CROSS JOIN n
          GROUP BY th.threshold, n.n_docs
          ORDER BY threshold""",
@@ -2705,12 +2708,15 @@ object SparkEntry {
                   coalesce(t.target_share, 0.0::DOUBLE) AS target_share
            FROM sup s FULL JOIN tgt t ON s.source = t.source)
          SELECT source, available_tokens, target_share,
+                -- floor-form half-up (the x24 convention): round()'s
+                -- half-tie behavior on binary floats is engine-specific
                 CASE WHEN available_tokens > 0
-                     THEN round(target_share * 1000000.0 / available_tokens, 6)
+                     THEN floor(target_share * 1000000.0 / available_tokens
+                                * 1e6 + 0.5) / 1e6
                 END AS weight_needed,
                 CASE WHEN available_tokens > 0
-                     THEN round(least(target_share * 1000000.0 / available_tokens,
-                                      2.0), 6)
+                     THEN floor(least(target_share * 1000000.0 / available_tokens,
+                                      2.0) * 1e6 + 0.5) / 1e6
                      ELSE 0.0 END AS weight,
                 CASE WHEN available_tokens = 0 AND target_share > 0
                        THEN 'no_supply'
@@ -2762,7 +2768,9 @@ object SparkEntry {
       """WITH c AS (
            SELECT time_bucket(INTERVAL 1 hour, ts::TIMESTAMP) AS ws,
                   event_type, count(*)::BIGINT AS n
-           FROM events GROUP BY 1, 2),
+           FROM events
+           WHERE ts IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY 1, 2),
          span AS (SELECT min(ws) AS lo, max(ws) AS hi FROM c),
          types AS (SELECT DISTINCT event_type FROM c),
          spine AS (SELECT t.event_type,
@@ -2776,7 +2784,9 @@ object SparkEntry {
                FROM f WINDOW wtr AS (PARTITION BY event_type ORDER BY ws
                  ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)),
          sc AS (SELECT ws, event_type, n, hist, s,
-                       (ss::DOUBLE - s::DOUBLE * s::DOUBLE / 5.0) / 4.0 AS var
+                       -- exact int128 numerator, one double rounding:
+                       -- mirrors the engine's decimal(38,0) form
+                       (ss::HUGEINT * 5 - s::HUGEINT * s)::DOUBLE / 20.0 AS var
                 FROM t),
          z AS (SELECT *,
                       CASE WHEN hist = 5 AND var > 0

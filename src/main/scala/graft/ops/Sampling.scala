@@ -369,6 +369,94 @@ object Sampling {
       .select(df.columns.toSeq.map(df(_)): _*) // original columns and order
   }
 
+  /** Shard count for the budget-selection classification prefix:
+    * explicit when positive, else the cluster's default parallelism
+    * floored at 16 — the shard count scales with how many window tasks
+    * the cluster can actually run, the same way a global orderBy's
+    * range partitioning does. */
+  private def resolveClassifyShards(df: DataFrame, requested: Int): Int =
+    if (requested > 0) requested
+    else math.max(df.sparkSession.sparkContext.defaultParallelism, 16)
+
+  /** The classification stage of [[budgetSelect]], pre-collect, exposed
+    * (private[graft]) for the plan-shape guard: per-distinct-priority
+    * token totals with their DESC running prefix (`__p`, `__gtot`,
+    * `__before`), computed as a two-level range-shard prefix so NO
+    * unpartitioned window consumes a relation unbounded in corpus size
+    * — the distinct-priority relation is corpus-sized when the priority
+    * is a raw classifier double. Level 0: the relation is
+    * range-partitioned into `nShards` contiguous priority ranges with
+    * boundaries picked by Spark's range-partition sampler (balanced
+    * even when scores cluster in a narrow band, where a stateless
+    * `floor(p*2^k)` bucketing would collapse into one bucket); the
+    * physical partition id becomes the shard key — monotone (higher
+    * shard id = strictly lower priorities) because range partitions are
+    * contiguous. Level 1: per-shard running prefixes are parallel
+    * windows PARTITIONED by the shard id. Level 2: shard totals roll up
+    * in one window over ≤ nShards rows — bounded by construction, the
+    * only unpartitioned window here, and its sort key is the shard id,
+    * never the priority. `base` must carry a `tokens` long column. */
+  private[graft] def classifyCrossing(base: DataFrame, priorityCol: String,
+      nShards: Int): DataFrame = {
+    val perP = base.groupBy(col(priorityCol).as("__p"))
+      .agg(sum(col("tokens")).as("__gtot"))
+    val sharded = perP.repartitionByRange(nShards, col("__p").desc)
+      .withColumn("__pshard", spark_partition_id())
+    val offsets = sharded.groupBy(col("__pshard").as("__oshard"))
+      .agg(sum(col("__gtot")).as("__stot"))
+      .withColumn("__soffset",
+        coalesce(sum(col("__stot")).over(
+          Window.orderBy(col("__oshard"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__oshard"), col("__soffset"))
+    sharded.withColumn("__lbefore",
+        coalesce(sum(col("__gtot")).over(
+          Window.partitionBy(col("__pshard")).orderBy(col("__p").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(offsets), col("__pshard") === col("__oshard"))
+      .withColumn("__before", col("__soffset") + col("__lbefore"))
+  }
+
+  /** [[classifyCrossing]] vectorized over sources, for
+    * [[budgetSelectBySource]]: per-(source, priority) totals with the
+    * per-source DESC running prefix and the source's budget carried
+    * through (`__src`, `__p`, `__gtot`, `__b`, `__before`). Range
+    * sharding is over the composite (source, priority DESC) key, so a
+    * source spans a CONTIGUOUS run of shards: the (source, shard) pair
+    * relation has at most nShards + #sources rows and each source's
+    * slice of it is ≤ nShards rows — the rollup window's per-partition
+    * bound, again by construction. The offsets join is deliberately
+    * un-hinted: AQE broadcasts it in the categorical-source case, and a
+    * non-categorical source (the user-contract violation the crossing
+    * collect fail-fasts on) degrades to a shuffle join instead of an
+    * OOM-ing forced broadcast. `base` must carry `tokens` and
+    * `__budget` long columns. */
+  private[graft] def classifyCrossingBySource(base: DataFrame,
+      sourceCol: String, priorityCol: String, nShards: Int): DataFrame = {
+    val perSP = base
+      .groupBy(col(sourceCol).as("__src"), col(priorityCol).as("__p"))
+      .agg(sum(col("tokens")).as("__gtot"), first(col("__budget")).as("__b"))
+    val sharded = perSP
+      .repartitionByRange(nShards, col("__src"), col("__p").desc)
+      .withColumn("__pshard", spark_partition_id())
+    val offsets = sharded
+      .groupBy(col("__src").as("__osrc"), col("__pshard").as("__oshard"))
+      .agg(sum(col("__gtot")).as("__stot"))
+      .withColumn("__soffset",
+        coalesce(sum(col("__stot")).over(
+          Window.partitionBy(col("__osrc")).orderBy(col("__oshard"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__osrc"), col("__oshard"), col("__soffset"))
+    sharded.withColumn("__lbefore",
+        coalesce(sum(col("__gtot")).over(
+          Window.partitionBy(col("__src"), col("__pshard"))
+            .orderBy(col("__p").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(offsets, col("__src") <=> col("__osrc") &&
+        col("__pshard") === col("__oshard"))
+      .withColumn("__before", col("__soffset") + col("__lbefore"))
+  }
+
   /** Quality-ranked token-budget selection — "take the BEST documents
     * until the budget is spent", the curation move that assembles a
     * fixed-size training set from a scored corpus (score = a quality
@@ -390,13 +478,21 @@ object Sampling {
     * license the quantizer builds and oversized-bucket guards use):
     *   1. per-exact-priority token totals (map-side-combined aggregate;
     *      the relation is as big as the number of DISTINCT priority
-    *      values — quality scores are discrete or rounded in practice,
-    *      and a continuous score should be rounded first, which any
-    *      budget consumer does anyway to make "the cut" reportable),
-    *      classified by a cumulative window DESC over that tiny
-    *      relation; the at-most-one boundary row (the first group that
-    *      does not fully fit — its priority and the tokens spent before
-    *      it) comes back to the driver. Collecting it, rather than
+    *      values — corpus-sized when the priority is a raw classifier
+    *      double, so NOTHING here may assume it is small), classified
+    *      by the same two-level prefix the boundary tie group uses,
+    *      applied to the PRIORITY axis: the distinct-priority relation
+    *      is range-sharded ([[classifyShards]] contiguous priority
+    *      ranges, boundaries picked by Spark's range-partition sampler
+    *      — the balance mechanism a global orderBy already trusts, so
+    *      no stateless `floor(p·2^k)` bucketing that collapses when
+    *      scores cluster in a narrow band), per-shard running totals
+    *      are parallel windows PARTITIONED by the shard id, and shard
+    *      totals roll up in one window over ≤ classifyShards rows —
+    *      bounded by construction, the only unpartitioned window in
+    *      the operator. The at-most-one boundary row (the first group
+    *      that does not fully fit — its priority and the tokens spent
+    *      before it) comes back to the driver. Collecting it, rather than
     *      broadcast-joining the classified relation, turns every
     *      downstream consumer into a LITERAL comparison that pushes
     *      into the parquet scan and executes exactly once — the
@@ -425,22 +521,19 @@ object Sampling {
     * tie-break and the shard key). */
   def budgetSelect(df: DataFrame, idCol: String, priorityCol: String,
                    tokensCol: Column, budget: Long,
-                   shardSize: Long = 1000000L): DataFrame = {
+                   shardSize: Long = 1000000L,
+                   classifyShards: Int = 0): DataFrame = {
     require(budget >= 0, "budget must be >= 0")
     require(shardSize > 0, "shardSize must be positive")
     val base = df
       .filter(col(idCol).isNotNull && col(priorityCol).isNotNull)
       .select(col(idCol), col(priorityCol),
         coalesce(tokensCol.cast("long"), lit(0L)).as("tokens"))
-    // 1: per-priority totals classified by the DESC running total (the
-    // window is over the distinct-priority relation only); fetch the
-    // at-most-one crossing row.
-    val boundary = base.groupBy(col(priorityCol).as("__p"))
-      .agg(sum(col("tokens")).as("__gtot"))
-      .withColumn("__before",
-        coalesce(sum(col("__gtot")).over(
-          Window.orderBy(col("__p").desc)
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // 1: per-priority totals classified by the two-level range-shard
+    // prefix (never a single-task window over the distinct-priority
+    // relation); fetch the at-most-one crossing row.
+    val boundary = classifyCrossing(base, priorityCol,
+        resolveClassifyShards(df, classifyShards))
       .filter(col("__before") + col("__gtot") > lit(budget) &&
         col("__before") <= lit(budget))
       .select(col("__p"), col("__before"))
@@ -492,8 +585,11 @@ object Sampling {
     * null source is a legal group and reads the default.
     *
     * Shape at scale — [[budgetSelect]]'s crossing-point decomposition,
-    * vectorized over sources: per-(source, priority) totals classify in
-    * one window over the sources×priorities relation; every source's
+    * vectorized over sources: per-(source, priority) totals classify
+    * via the two-level (source, priority)-range-shard prefix
+    * ([[classifyCrossingBySource]] — parallel shard windows, per-source
+    * rollups bounded at the shard count, never a window over one
+    * source's full distinct-priority relation); every source's
     * at-most-one crossing row comes back in ONE bounded collect
     * (fail-fast past 10000 sources — the corpus-contract bound the
     * oversized-bucket guards use), broadcast back as a tiny boundary
@@ -508,7 +604,8 @@ object Sampling {
                            priorityCol: String, tokensCol: Column,
                            budgets: Map[String, Long],
                            defaultBudget: Long = 0L,
-                           shardSize: Long = 1000000L): DataFrame = {
+                           shardSize: Long = 1000000L,
+                           classifyShards: Int = 0): DataFrame = {
     require((budgets.values ++ Seq(defaultBudget)).forall(_ >= 0),
       "budgets must be >= 0")
     // the per-source parameter plumbing rides a Double and 2^53 is where
@@ -523,15 +620,11 @@ object Sampling {
     val base = withSourceParams(base0, sourceCol,
       budgets.view.mapValues(_.toDouble).toMap, defaultBudget.toDouble,
       Seq("__budget" -> (_.toLong)))
-    // per-(source, priority) totals, classified per source; the window
-    // runs over the sources × distinct-priorities relation only
-    val crossing = base
-      .groupBy(col(sourceCol).as("__src"), col(priorityCol).as("__p"))
-      .agg(sum(col("tokens")).as("__gtot"), first(col("__budget")).as("__b"))
-      .withColumn("__before",
-        coalesce(sum(col("__gtot")).over(
-          Window.partitionBy(col("__src")).orderBy(col("__p").desc)
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // per-(source, priority) totals, classified per source by the
+    // two-level range-shard prefix; fetch every source's at-most-one
+    // crossing row in one bounded collect
+    val crossing = classifyCrossingBySource(base, sourceCol, priorityCol,
+        resolveClassifyShards(df, classifyShards))
       .filter(col("__before") + col("__gtot") > col("__b") &&
         col("__before") <= col("__b"))
       .select(col("__src"), col("__p"), (col("__b") - col("__before")).as("__rem"))

@@ -44,12 +44,24 @@ object EventStreams {
     * see it. The batch form of the readout; [[windowedTypeCounts]]'
     * streaming aggregation is its upstream feed.
     *
+    * Rows with a null ts or null event_type are excluded up front —
+    * they carry no window / no series, and leaving them in would
+    * produce spine rows that can never match their counts (the counts
+    * silently read as 0). Documented-filter, the same convention
+    * [[graft.ops.Sampling.budgetSelect]] applies to null keys.
+    *
     * Engine-portable variance: the trailing mean/variance derive from
     * integer-domain trailing sums (Σn, Σn², both exact longs — counts
     * square safely inside int64), so both engines evaluate the SAME
     * double expression from the SAME exact integers, instead of each
     * running its own stddev accumulation whose summation order differs
     * (the module's hash-not-RNG policy applied to second moments).
+    * The variance NUMERATOR k·Σn² − (Σn)² is computed in decimal(38,0)
+    * — exact for any int64 Σn, Σn² (max |value| < 8.6e37) — so the
+    * double division happens once, on an exactly-represented integer;
+    * the naive Σn² − s²/k double form cancels catastrophically once
+    * (Σn)² crosses 2^53 and can report ≤ 0 variance for genuinely
+    * varying counts, rerouting scoring into the flat-jump test.
     * z is null until a full trailing history exists and when the
     * trailing variance is 0; the zero-variance case still flags iff
     * the count moved at all (n·k ≠ Σn, an exact integer test — a flat
@@ -74,6 +86,7 @@ object EventStreams {
     require(windowLength.matches("\\d+ (second|minute|hour|day)s?"),
       s"windowLength must look like '5 minutes', got '$windowLength'")
     val counts = events
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
       .groupBy(window(col("ts"), windowLength), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("window_start"), col("event_type"),
@@ -111,9 +124,12 @@ object EventStreams {
       .withColumn("__s", sum(col("n_events")).over(wTrail))
       .withColumn("__ss", sum(col("n_events") * col("n_events")).over(wTrail))
     val mean = col("__s").cast("double") / k.cast("double")
-    val variance = (col("__ss").cast("double") -
-      col("__s").cast("double") * col("__s").cast("double") / k.cast("double")) /
-      lit((trailing - 1).toDouble)
+    // k·Σn² − (Σn)² stays exact in decimal(38,0) for any int64 inputs;
+    // one double rounding at the cast, then the exact-double division
+    val varNumer = (col("__ss").cast("decimal(38,0)") * k.cast("decimal(38,0)") -
+      col("__s").cast("decimal(38,0)") * col("__s").cast("decimal(38,0)"))
+    val variance = varNumer.cast("double") /
+      lit((trailing.toLong * (trailing - 1)).toDouble)
     val z = when(col("__hist") === k && variance > 0,
       graft.ops.Rounding.halfUp(
         (col("n_events").cast("double") - mean) / sqrt(variance), 4))

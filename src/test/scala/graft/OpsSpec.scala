@@ -2136,6 +2136,41 @@ class OpsSpec extends AnyFunSuite {
       s"a priority sort leaked into the plan:\n$plan")
   }
 
+  test("budget classification: shard-partitioned windows, unpartitioned only over shard ids") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // continuous double priorities make the distinct-priority relation
+    // corpus-sized; the classification plan must contain NO
+    // unpartitioned Window whose sort key carries the priority (the
+    // round-14 weak) — the only unpartitioned windows allowed are the
+    // shard-total rollups, whose input is ≤ classifyShards rows by
+    // construction and whose sort key is the shard id
+    def guard(df: org.apache.spark.sql.DataFrame): Unit = {
+      val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(wins.nonEmpty, "classification lost its windows")
+      val unpart = wins.filter(_.partitionSpec.isEmpty)
+      assert(unpart.forall(_.orderSpec.forall(_.references.forall(a =>
+        a.name == "__oshard" || a.name == "__pshard"))),
+        s"an unpartitioned window sorts a non-shard key:\n" +
+          df.queryExecution.optimizedPlan.toString)
+      assert(wins.exists(w => w.partitionSpec.exists(
+        _.references.exists(_.name == "__pshard"))),
+        "the parallel shard-partitioned priority window is missing")
+    }
+    val base = (1L to 100L).map(i => (i, 1.0 / i, 2L))
+      .toDF("id", "priority", "tokens")
+    guard(Sampling.classifyCrossing(base, "priority", nShards = 4))
+    val srcBase = base
+      .withColumn("src", concat(lit("s"), pmod(col("id"), lit(3L))))
+      .withColumn("__budget", lit(10L))
+    guard(Sampling.classifyCrossingBySource(srcBase, "src", "priority", 4))
+    // end-to-end on the continuous corpus: crossing at the 10th-best
+    // score (20 tokens spent before id 10 at 2 tokens/doc, budget 21
+    // admits ids 1..10's first 10 docs by score desc = ids 1..10)
+    val got = Sampling.budgetSelect(base, "id", "priority", col("tokens"),
+      21L, classifyShards = 4).collect().map(_.getLong(0)).toSeq
+    assert(got == (1L to 10L))
+  }
+
   test("budgetSelect: once the budget is crossed, zero-token rows stay out") {
     // run ≤ budget is a PREFIX property: the zero-token row at priority 3
     // sits after the crossing point, so it is excluded even though it
@@ -2268,15 +2303,30 @@ class OpsSpec extends AnyFunSuite {
     // (z unmeasurable, anomaly still true)
     assert(a(6) == (("06", 9L, Some(2.0), None, true)))
     // minute 7: silence; trailing (2,2,2,2,9) → s=17, ss=97, the exact
-    // same double expression as the operator's
+    // same double expression as the operator's (integer numerator
+    // k·ss − s², one double rounding at the division)
     val z7 = math.floor((0.0 - 17.0 / 5.0) /
-      math.sqrt((97.0 - 17.0 * 17.0 / 5.0) / 4.0) * 1e4 + 0.5) / 1e4
+      math.sqrt((5L * 97L - 17L * 17L).toDouble / 20.0) * 1e4 + 0.5) / 1e4
     assert(a(7) == (("07", 0L, Some(3.4), Some(z7), true)))
     // minute 8: recovery inside the band → no flag
     assert(a(8)._2 == 2L && !a(8)._5)
     // type b exists for all 9 windows with zero-filled gaps
     assert(out.count(_._1 == "b") == 9)
     assert(out.filter(_._1 == "b").map(_._3).sum == 2L)
+    // null ts / null event_type rows are excluded up front (documented
+    // filter): they would otherwise seed spine rows that can never
+    // match their counts — output must equal the null-free run exactly
+    val withNulls = (rows.map { case (ts, tp) => (Option(ts), Option(tp)) } ++
+      Seq((None, Some("a")), (Some(t("2024-01-01 00:03:00")), None),
+        (None: Option[java.sql.Timestamp], None: Option[String])))
+      .toDF("ts", "event_type")
+    val cleanRun = graft.streaming.EventStreams
+      .rateAnomaly(events, "1 minute", trailing = 5, zThreshold = 1.0)
+      .collect().map(_.toSeq).toSeq
+    val nullRun = graft.streaming.EventStreams
+      .rateAnomaly(withNulls, "1 minute", trailing = 5, zThreshold = 1.0)
+      .collect().map(_.toSeq).toSeq
+    assert(nullRun == cleanRun)
     intercept[IllegalArgumentException] {
       graft.streaming.EventStreams.rateAnomaly(events, "1 minute; DROP", 5, 1.0) }
     intercept[IllegalArgumentException] {

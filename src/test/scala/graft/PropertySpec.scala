@@ -617,12 +617,45 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("budgetSelect: CONTINUOUS (unrounded double) priorities, any corpus/budget") {
+    import spark.implicits._
+    // the round-14 weak: a raw classifier score makes the distinct-
+    // priority relation corpus-sized; the range-shard classification
+    // must still reproduce the sequential truth (tiny classifyShards
+    // forces a genuinely multi-shard rollup)
+    val caseGen = for {
+      scored <- Gen.nonEmptyListOf(for {
+        p <- Gen.chooseNum(0.0, 1.0) // raw double, never rounded
+        t <- Gen.chooseNum(0L, 5L)
+      } yield (p, t))
+      dup <- Gen.chooseNum(0, 3)     // replay a prefix for double-tie groups
+      budget <- Gen.chooseNum(0L, 60L)
+      shards <- Gen.oneOf(1, 3, 64)
+    } yield ((scored ++ scored.take(dup)).zipWithIndex
+      .map { case ((p, t), i) => (i.toLong, p, t) }, budget, shards)
+    checkProp(Prop.forAll(caseGen) { case (rows, budget, shards) =>
+      val df = rows.toDF("id", "prio", "tok").repartition(5)
+      val got = graft.ops.Sampling
+        .budgetSelect(df, "id", "prio", org.apache.spark.sql.functions.col("tok"),
+          budget, shardSize = 2L, classifyShards = shards)
+        .collect().map(_.getLong(0)).toSeq
+      val expected = rows.sortBy { case (id, p, _) => (-p, id) }
+        .scanLeft((0L, 0L, false)) { case ((run, _, _), (id, _, t)) =>
+          (run + t, id, run + t <= budget) }
+        .drop(1).filter(_._3).map(_._2).sorted
+      got == expected
+    })
+  }
+
   test("budgetSelectBySource == budgetSelect applied per source, any budgets") {
     import spark.implicits._
     val caseGen = for {
       rows <- Gen.nonEmptyListOf(for {
         s <- Gen.oneOf("a", "b", "c")
-        p <- Gen.chooseNum(0L, 3L)
+        // mix discrete and CONTINUOUS priorities — the per-source
+        // classification must hold for raw classifier doubles too
+        p <- Gen.oneOf(Gen.chooseNum(0, 3).map(_.toDouble),
+          Gen.chooseNum(0.0, 1.0))
         t <- Gen.chooseNum(0L, 5L)
       } yield (s, p, t))
       ba <- Gen.chooseNum(0L, 25L)
@@ -634,7 +667,7 @@ class PropertySpec extends AnyFunSuite {
       val df = rows.toDF("id", "src", "prio", "tok").repartition(4)
       val got = graft.ops.Sampling.budgetSelectBySource(df, "id", "src",
         "prio", org.apache.spark.sql.functions.col("tok"), budgets, dflt,
-        shardSize = 2L).collect().map(_.getLong(0)).toSeq
+        shardSize = 2L, classifyShards = 3).collect().map(_.getLong(0)).toSeq
       val expected = rows.map(_._2).distinct.flatMap { s =>
         graft.ops.Sampling.budgetSelect(
           df.filter(org.apache.spark.sql.functions.col("src") === s),
