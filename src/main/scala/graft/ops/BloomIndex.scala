@@ -97,8 +97,24 @@ object BloomIndex {
       idType = Some(exclude.schema(idCol).dataType.catalogString),
       contentFingerprint = Some(fp),
       nItemsBuilt = Some(nItems),
-      nInserted = Some(n - nNull))
+      nInserted = Some(n - nNull),
+      nHashFunctions = Some(numHashFunctions(nItems, fpp).toLong))
     bytes
+  }
+
+  /** The sketch library's own hash-function sizing
+    * (BloomFilterBase.optimalNumOfHashFunctions — private there,
+    * reproduced verbatim and pinned against the library's actual field
+    * by reflection in the spec): k = max(1, round(m/n·ln2)) computed
+    * from the PRE-ROUNDING optimal bit count, not from bitSize(),
+    * which rounds m up to a multiple of 64 and near a .5 boundary
+    * reconstructs a k off by one — skewing the update path's fpp
+    * honesty guard. Recorded in the manifest at build time so the
+    * estimate never reconstructs. */
+  private[graft] def numHashFunctions(nItems: Long, fpp: Double): Int = {
+    val m = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(nItems, fpp)
+    math.max(1, math.round(m.toDouble / nItems * math.log(2)).toInt)
   }
 
   /** Loaded artifact: the sketch bytes plus whatever build metadata the
@@ -116,7 +132,8 @@ object BloomIndex {
                             fingerprintNulls: Option[String] = None,
                             fpp: Option[Double] = None,
                             nItemsBuilt: Option[Long] = None,
-                            nInserted: Option[Long] = None)
+                            nInserted: Option[Long] = None,
+                            nHashFunctions: Option[Long] = None)
 
   /** Persist already-built sketch bytes at `path` (overwrite). */
   def save(spark: SparkSession, path: String, bytes: Array[Byte],
@@ -125,7 +142,8 @@ object BloomIndex {
            contentFingerprint: Option[String] = None,
            nItemsBuilt: Option[Long] = None,
            nInserted: Option[Long] = None,
-           fppEstimate: Option[Double] = None): Unit = {
+           fppEstimate: Option[Double] = None,
+           nHashFunctions: Option[Long] = None): Unit = {
     require(bytes.nonEmpty, "bloom bytes must be non-empty")
     import spark.implicits._
     Seq(Tuple1(bytes)).toDF("bloom")
@@ -145,6 +163,7 @@ object BloomIndex {
         "fingerprint_nulls" -> FingerprintNullsZero.asInstanceOf[Any]) ++
       nItemsBuilt.map("n_items_built" -> _.asInstanceOf[Any]) ++
       nInserted.map("n_inserted" -> _.asInstanceOf[Any]) ++
+      nHashFunctions.map("n_hash_functions" -> _.asInstanceOf[Any]) ++
       fppEstimate.map("fpp_estimate" -> _.asInstanceOf[Any])
     val p = new org.apache.hadoop.fs.Path(path, "manifest.json")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -209,7 +228,8 @@ object BloomIndex {
       manifest.get("fingerprint_nulls").collect { case s: String => s },
       manifest.get("fpp").collect { case d: Double => d },
       manifest.get("n_items_built").collect { case l: Long => l },
-      manifest.get("n_inserted").collect { case l: Long => l })
+      manifest.get("n_inserted").collect { case l: Long => l },
+      manifest.get("n_hash_functions").collect { case l: Long => l })
   }
 
   /** STRONG staleness check: recompute the content fingerprint of the
@@ -333,13 +353,16 @@ object BloomIndex {
           s"records ($oldN + $nAdd added) — the delta does not describe " +
           "this ledger; rebuild instead")
     val newInserted = nInserted + (nAdd - nAddNull)
-    // estimated fpp at the new load: k is reconstructible from the
-    // build parameters (max(1, round(m/n·ln2)) — the sizing formula the
-    // sketch library itself uses), m from the serialized bit array
+    // estimated fpp at the new load: k from the manifest when the build
+    // recorded it (exact), else recomputed with the library's own
+    // pre-rounding formula — never reconstructed from bitSize(), whose
+    // round-up to a 64-bit-word multiple puts k off by one near a .5
+    // boundary; m IS the actual bit array length (the real geometry)
     val base = org.apache.spark.util.sketch.BloomFilter.readFrom(
       new java.io.ByteArrayInputStream(art.bytes))
     val m = base.bitSize().toDouble
-    val k = math.max(1L, math.round(m / nItemsBuilt * math.log(2))).toDouble
+    val k = art.nHashFunctions
+      .getOrElse(numHashFunctions(nItemsBuilt, fpp).toLong).toDouble
     val est = math.pow(1.0 - math.exp(-k * newInserted / m), k)
     if (est > maxFppFactor * fpp)
       throw new IllegalArgumentException(
@@ -360,7 +383,38 @@ object BloomIndex {
       contentFingerprint = Some((oldFp + BigInt(addFp) - BigInt(remFp)).toString),
       nItemsBuilt = Some(nItemsBuilt),
       nInserted = Some(newInserted),
-      fppEstimate = Some(est))
+      fppEstimate = Some(est),
+      nHashFunctions = Some(art.nHashFunctions.getOrElse(
+        numHashFunctions(nItemsBuilt, fpp).toLong)))
     loadWithMeta(spark, path)
+  }
+
+  /** [[update]] with the production fallback wired in: when the delta
+    * would outgrow the sketch (the certified `maxFppFactor` refusal),
+    * rebuild from the CURRENT ledger at the new scale instead of
+    * throwing — the exclusion operator always requires the exact ledger
+    * anyway, so the rebuild input is already at hand. `ledger` must be
+    * the post-delta exclusion list (current ids, additions applied,
+    * removals dropped); on the rebuild path the sketch is re-sized and
+    * re-hashed from it with the original build's `fpp` (or `rebuildFpp`
+    * when given), exactly as [[buildAndSave]] would. Returns the loaded
+    * artifact either way; `wasRebuilt` distinguishes the paths for the
+    * caller's refresh log. */
+  def updateOrRebuild(spark: SparkSession, path: String,
+                      added: DataFrame, addedIdCol: String,
+                      ledger: DataFrame, ledgerIdCol: String,
+                      removed: Option[(DataFrame, String)] = None,
+                      maxFppFactor: Double = 4.0,
+                      rebuildFpp: Option[Double] = None):
+      (Artifact, Boolean) = {
+    try (update(spark, path, added, addedIdCol, removed, maxFppFactor), false)
+    catch {
+      case e: IllegalArgumentException
+          if e.getMessage != null && e.getMessage.contains("outgrown") =>
+        val fpp = rebuildFpp.orElse(
+          loadWithMeta(spark, path).fpp).getOrElse(0.01)
+        buildAndSave(ledger, ledgerIdCol, fpp, path)
+        (loadWithMeta(spark, path), true)
+    }
   }
 }

@@ -418,4 +418,66 @@ class IvfIndexSpec extends AnyFunSuite {
     }
     assert(eBare.getMessage.contains("rebuild it once"))
   }
+
+  test("BloomIndex records the exact hash-function count; formula pins the library's field") {
+    import graft.ops.BloomIndex
+    // the manifest's n_hash_functions must be the library's ACTUAL k —
+    // read the private field by reflection and pin our pre-rounding
+    // formula against it across sizes and fpps (bitSize()-based
+    // reconstruction is off by one near .5 rounding boundaries)
+    def reflectK(bf: org.apache.spark.util.sketch.BloomFilter): Int = {
+      var c: Class[_] = bf.getClass
+      var f: java.lang.reflect.Field = null
+      while (f == null && c != null) {
+        f = try c.getDeclaredField("numHashFunctions")
+        catch { case _: NoSuchFieldException => null }
+        if (f == null) c = c.getSuperclass
+      }
+      f.setAccessible(true)
+      f.getInt(bf)
+    }
+    for (n <- Seq(10L, 100L, 1000L, 123456L);
+         fpp <- Seq(0.5, 0.1, 0.03, 0.01, 0.001)) {
+      val lib = org.apache.spark.util.sketch.BloomFilter.create(n, fpp)
+      assert(BloomIndex.numHashFunctions(n, fpp) == reflectK(lib),
+        s"formula diverges from the library at n=$n fpp=$fpp")
+    }
+    val ids = (1L to 300L).map(Tuple1(_)).toDF("xid")
+    val path = tmpDir() + "/bloom_k"
+    BloomIndex.buildAndSave(ids, "xid", fpp = 0.03, path)
+    val art = BloomIndex.loadWithMeta(spark, path)
+    assert(art.nHashFunctions.contains(
+      BloomIndex.numHashFunctions(art.nItemsBuilt.get, 0.03).toLong))
+    // an update carries the recorded k through unchanged
+    val upd = BloomIndex.update(spark, path,
+      (301L to 310L).map(Tuple1(_)).toDF("xid"), "xid")
+    assert(upd.nHashFunctions == art.nHashFunctions)
+  }
+
+  test("BloomIndex.updateOrRebuild: growth refusal falls back to a fresh correctly-sized build") {
+    import graft.ops.BloomIndex
+    val v1 = (1L to 20L).map(Tuple1(_)).toDF("xid")
+    val path = tmpDir() + "/bloom_auto"
+    BloomIndex.buildAndSave(v1, "xid", fpp = 0.01, path)
+    val baseSizing = BloomIndex.loadWithMeta(spark, path).nItemsBuilt
+    // a small delta stays on the update path: sizing unchanged
+    val small = (21L to 23L).map(Tuple1(_)).toDF("xid")
+    val smallLedger = (1L to 23L).map(Tuple1(_)).toDF("xid")
+    val (a1, rebuilt1) = BloomIndex.updateOrRebuild(spark, path,
+      small, "xid", smallLedger, "xid")
+    assert(!rebuilt1 && a1.nItemsBuilt == baseSizing)
+    assert(a1.nIds.contains(23L))
+    // a flood crosses the certified 4x fpp bound -> rebuild from the
+    // ledger at the new scale, byte-identical to a fresh buildAndSave
+    val flood = (100L to 2100L).map(Tuple1(_)).toDF("xid")
+    val ledger = smallLedger.unionByName(flood).distinct()
+    val (a2, rebuilt2) = BloomIndex.updateOrRebuild(spark, path,
+      flood, "xid", ledger, "xid")
+    assert(rebuilt2)
+    val fresh = tmpDir() + "/bloom_auto_fresh"
+    val freshBytes = BloomIndex.buildAndSave(ledger, "xid", 0.01, fresh)
+    assert(java.util.Arrays.equals(a2.bytes, freshBytes))
+    assert(a2.nIds.contains(ledger.count()))
+    BloomIndex.verifyContent(spark, path, ledger, "xid")
+  }
 }
