@@ -24,9 +24,16 @@ import scala.collection.mutable
   * MinHashIndexSpec and by x66 sharing x43b's oracle verbatim).
   *
   * Layout:
-  *   - `<path>/signatures/` — the (id, sig) parquet, written with the
-  *     corpus's natural partitioning (band expansion re-shuffles by
-  *     (band, bucket) anyway, so no layout promise is needed).
+  *   - `<path>/signatures/` — the (id, sig) parquet. For integral ids
+  *     it is written PARTITIONED by `sig_shard = id div shard_span`
+  *     (directory-per-shard), which is what makes [[update]]'s IO
+  *     drift-sized: a refresh rewrites only the shard directories
+  *     containing drifted ids, leaving every other shard's files
+  *     byte-untouched. Probes are unaffected — band expansion
+  *     re-shuffles by (band, bucket) anyway, and [[load]] drops the
+  *     shard column so consumers see exactly (id, sig, fp).
+  *     Non-integral ids fall back to the flat single-relation layout
+  *     (and [[update]] to a whole-relation staged rewrite).
   *   - `<path>/manifest.json` — format version, the parameters that make
   *     signatures comparable (num_hashes, shingle_size — consumers take
   *     these FROM the artifact; a mismatched batch side would silently
@@ -59,7 +66,8 @@ object MinHashIndex {
                             idCol: Option[String] = None,
                             idType: Option[String] = None,
                             nDocs: Option[Long] = None,
-                            contentFingerprint: Option[String] = None)
+                            contentFingerprint: Option[String] = None,
+                            shardSpan: Option[Long] = None)
 
   /** Order-independent content fingerprint of the corpus's (id, text)
     * pairs: the exact decimal sum of xxhash64(id, text) — one
@@ -92,12 +100,19 @@ object MinHashIndex {
     * makes the incremental update possible without a corpus re-scan. */
   def buildAndSave(corpus: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 64, shingleSize: Int = 3,
-                   path: String): Artifact = {
+                   path: String, shardSpan: Long = 1L << 20): Artifact = {
     require(numHashes > 0, "numHashes must be positive")
     require(shingleSize > 0, "shingleSize must be positive")
+    require(shardSpan > 0, "shardSpan must be positive")
     val spark = corpus.sparkSession
     val sigs = Dedup.signatureRelationWithFp(corpus, idCol, textCol, numHashes, shingleSize)
-    sigs.write.mode(SaveMode.Overwrite).parquet(s"$path/signatures")
+    val sharded = isIntegral(corpus.schema(idCol).dataType)
+    if (sharded)
+      sigs.withColumn("sig_shard", shardOf(shardSpan))
+        .write.partitionBy("sig_shard")
+        .mode(SaveMode.Overwrite).parquet(s"$path/signatures")
+    else
+      sigs.write.mode(SaveMode.Overwrite).parquet(s"$path/signatures")
     val (fp, n) = fingerprintAndCount(corpus, idCol, textCol)
     val manifest = mutable.LinkedHashMap[String, Any](
       "version" -> FormatVersion,
@@ -107,10 +122,31 @@ object MinHashIndex {
       "id_col" -> idCol,
       "id_type" -> corpus.schema(idCol).dataType.catalogString,
       "n_docs" -> n,
-      "fingerprint" -> fp)
+      "fingerprint" -> fp) ++
+      (if (sharded) Seq("shard_span" -> shardSpan.asInstanceOf[Any]) else Nil)
     writeManifest(spark, path, graft.engine.QueryJson.write(manifest))
     load(spark, path)
   }
+
+  private def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+  }
+
+  /** The shard an `id` column's signature row lives in: exact integer
+    * floor-division (pmod-then-div, no doubles — a double quotient
+    * would misplace ids past 2^53) so ids cluster by locality — appends
+    * (fresh high ids) land in the tail shard(s), and an id-local edit
+    * touches exactly one shard. Null ids map to shard 0 (they are
+    * legal index rows). Always applied to a column literally named
+    * `id` (the signature relation's fixed schema). */
+  private def shardOf(span: Long): org.apache.spark.sql.Column =
+    coalesce(expr(
+      s"(CAST(id AS BIGINT) - pmod(CAST(id AS BIGINT), ${span}L)) div ${span}L"),
+      lit(0L))
 
   private def writeManifest(spark: SparkSession, path: String, json: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path, "manifest.json")
@@ -160,11 +196,16 @@ object MinHashIndex {
       case other => throw new IllegalArgumentException(
         s"minhash index at $path is corrupt: bad shingle_size $other")
     }
+    // the shard-partitioned layout surfaces its directory key as a
+    // sig_shard column; drop it so consumers see exactly (id, sig, fp)
+    // regardless of layout — update() re-reads the relation itself when
+    // it needs shard pruning
     val sigs =
-      try spark.read.parquet(s"$path/signatures")
+      (try spark.read.parquet(s"$path/signatures")
       catch { case e: org.apache.spark.sql.AnalysisException =>
         throw new IllegalArgumentException(
-          s"minhash index at $path is corrupt: unreadable signatures: ${e.getMessage}") }
+          s"minhash index at $path is corrupt: unreadable signatures: ${e.getMessage}") })
+        .drop("sig_shard")
     import org.apache.spark.sql.types._
     val sigField = sigs.schema.fields.find(_.name == "sig")
     val sigOk = sigField.exists(_.dataType match {
@@ -186,7 +227,8 @@ object MinHashIndex {
       manifest.get("id_col").collect { case s: String => s },
       manifest.get("id_type").collect { case s: String => s },
       manifest.get("n_docs").collect { case l: Long => l },
-      manifest.get("fingerprint").collect { case s: String => s })
+      manifest.get("fingerprint").collect { case s: String => s },
+      manifest.get("shard_span").collect { case l: Long if l > 0 => l })
   }
 
   /** CHEAP staleness/integrity tripwire — one pruned scan of the index's
@@ -266,7 +308,12 @@ object MinHashIndex {
     * `signatures.staging`, swap, and rewrite the manifest with the
     * delta-updated count and fingerprint (the decimal sum is exactly
     * delta-updatable: subtract departing fp, add arriving). No corpus
-    * re-scan, no signature re-computation for unchanged rows.
+    * re-scan, no signature re-computation for unchanged rows — and on
+    * the shard-partitioned layout no artifact-sized IO either: only the
+    * shard directories containing drifted ids are re-read (partition
+    * pruning), re-staged, and swapped, so a 0.1% id-local refresh
+    * rewrites ~0.1% of the signatures parquet; untouched shards keep
+    * their exact files (byte-checksummed in the spec).
     *
     * Preconditions: ids are unique per corpus version (the same
     * precondition [[Dedup.corpusDiff]] documents — duplicate ids would
@@ -330,23 +377,70 @@ object MinHashIndex {
         .select(col("id").as("__rm_id"))
       val addIds = delta.filter(col("__fpc").isNotNull)
         .select(col("id").as("__add_id"))
-      val keep = art.sigs
-        .join(removeIds, col("id") <=> col("__rm_id"), "left_anti")
-        .select(col("id"), col("sig"), col("fp"))
       val fresh = Dedup.signatureRelationWithFp(
         cur.join(addIds, Dedup.exactCol(idCol) <=> col("__add_id"), "left_semi"),
         idCol, textCol, art.numHashes, art.shingleSize)
+      val staging = s"$path/signatures.staging"
+      val sigPath = new org.apache.hadoop.fs.Path(path, "signatures")
+      val fs = sigPath.getFileSystem(spark.sessionState.newHadoopConf())
       // stage beside the live relation, then swap: the rewrite READS the
       // live signatures parquet, so an in-place Overwrite would delete
       // its own input mid-job
-      val staging = s"$path/signatures.staging"
-      keep.unionByName(fresh).write.mode(SaveMode.Overwrite).parquet(staging)
-      val sigPath = new org.apache.hadoop.fs.Path(path, "signatures")
-      val fs = sigPath.getFileSystem(spark.sessionState.newHadoopConf())
-      fs.delete(sigPath, true)
-      if (!fs.rename(new org.apache.hadoop.fs.Path(staging), sigPath))
-        throw new IllegalStateException(
-          s"could not swap staged signatures into place at $sigPath")
+      def rewriteWhole(): Unit = {
+        val keep = art.sigs
+          .join(removeIds, col("id") <=> col("__rm_id"), "left_anti")
+          .select(col("id"), col("sig"), col("fp"))
+        val staged = keep.unionByName(fresh)
+        art.shardSpan match {
+          case Some(span) => staged.withColumn("sig_shard", shardOf(span))
+            .write.partitionBy("sig_shard")
+            .mode(SaveMode.Overwrite).parquet(staging)
+          case None =>
+            staged.write.mode(SaveMode.Overwrite).parquet(staging)
+        }
+        fs.delete(sigPath, true)
+        if (!fs.rename(new org.apache.hadoop.fs.Path(staging), sigPath))
+          throw new IllegalStateException(
+            s"could not swap staged signatures into place at $sigPath")
+      }
+      // drift-sized IO on the sharded layout: only the shard
+      // directories holding a drifted id are re-read, re-written to
+      // staging, and swapped — every other shard's files stay
+      // byte-untouched (pinned by checksum in MinHashIndexSpec). Falls
+      // back to the whole-relation staged rewrite for flat legacy
+      // layouts and for drifts so scattered (>10000 shards) that the
+      // drift effectively IS the corpus.
+      val affectedShards = art.shardSpan.map { span =>
+        delta.select(shardOf(span).as("__shard"))
+          .distinct().limit(10001).collect().map(_.getLong(0)).toSet
+      }
+      affectedShards match {
+        case Some(affected) if affected.size <= 10000 =>
+          val span = art.shardSpan.get
+          val live = spark.read.parquet(s"$path/signatures")
+          val keep = live
+            .filter(col("sig_shard").isin(affected.toSeq: _*))
+            .join(removeIds, col("id") <=> col("__rm_id"), "left_anti")
+            .select(col("id"), col("sig"), col("fp"))
+          keep.unionByName(fresh)
+            .withColumn("sig_shard", shardOf(span))
+            .write.partitionBy("sig_shard")
+            .mode(SaveMode.Overwrite).parquet(staging)
+          for (sh <- affected) {
+            val dst = new org.apache.hadoop.fs.Path(
+              s"$path/signatures/sig_shard=$sh")
+            val src = new org.apache.hadoop.fs.Path(
+              s"$staging/sig_shard=$sh")
+            fs.delete(dst, true)
+            // a shard whose every row departed produces no staged dir —
+            // deleting the live dir IS its rewrite
+            if (fs.exists(src) && !fs.rename(src, dst))
+              throw new IllegalStateException(
+                s"could not swap staged shard into place at $dst")
+          }
+          fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+        case _ => rewriteWhole()
+      }
       val manifest = mutable.LinkedHashMap[String, Any](
         "version" -> FormatVersion,
         "kind" -> "minhash_signatures",
@@ -355,7 +449,8 @@ object MinHashIndex {
         "id_col" -> idCol,
         "id_type" -> curIdType,
         "n_docs" -> newN,
-        "fingerprint" -> newFp)
+        "fingerprint" -> newFp) ++
+        art.shardSpan.map("shard_span" -> _.asInstanceOf[Any])
       writeManifest(spark, path, graft.engine.QueryJson.write(manifest))
       load(spark, path)
     } finally delta.unpersist()

@@ -111,8 +111,10 @@ class MinHashIndexSpec extends AnyFunSuite {
       numHashes = 16, shingleSize = 3, path = path)
     // hand-append a row whose sig length disagrees with the manifest's
     // num_hashes: schema-valid, silently deflates est_jaccard if probed
+    // (written inside a shard directory so the partitioned layout stays
+    // structurally consistent — the tampering being simulated)
     Seq((99L, Seq(1L, 2L, 3L), 42L)).toDF("id", "sig", "fp")
-      .write.mode("append").parquet(s"$path/signatures")
+      .write.mode("append").parquet(s"$path/signatures/sig_shard=0")
     val art = MinHashIndex.load(spark, path) // schema-level checks pass
     val e = intercept[IllegalArgumentException] {
       MinHashIndex.verifyCount(art, "minhash index") }
@@ -186,6 +188,74 @@ class MinHashIndexSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] {
       MinHashIndex.update(spark, bare, v2, "doc_id", "text") }
     assert(e.getMessage.contains("predates incremental maintenance"))
+  }
+
+  test("sharded layout: a 1-row drift rewrites only its shard, others stay byte-identical") {
+    // shardSpan=2 spreads ids 1..6 over shards 0..3; editing only id 3
+    // must rewrite shard sig_shard=1 and leave every other shard's
+    // files untouched on disk (names AND bytes) — the drift-sized-IO
+    // contract, checked at the filesystem level, not the row level
+    def checksums(dir: String): Map[String, String] = {
+      val root = java.nio.file.Paths.get(dir)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith("."))
+        .map { p =>
+          val rel = root.relativize(p).toString
+          val sum = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(p))
+            .map("%02x".format(_)).mkString
+          rel -> sum
+        }.toMap
+    }
+    val root = tmpDir()
+    val path = s"$root/sharded"
+    val art0 = MinHashIndex.buildAndSave(corpus, "doc_id", "text",
+      numHashes = 16, shingleSize = 3, path = path, shardSpan = 2L)
+    assert(art0.shardSpan.contains(2L))
+    val shardDirs = new java.io.File(s"$path/signatures").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(shardDirs == Set("sig_shard=0", "sig_shard=1",
+      "sig_shard=2", "sig_shard=3"))
+    val before = checksums(s"$path/signatures")
+    // drift: id 3's text changes in place; everything else identical
+    val v2 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog yesterday"),
+      (3L, "pack my crate with six dozen cider jugs instead"),
+      (4L, "pack my box with five dozen liquor jugs"),
+      (5L, "colorless green ideas sleep furiously at night"),
+      (6L, "a completely unrelated sentence about spark physical plans"))
+      .toDF("doc_id", "text")
+    val updated = MinHashIndex.update(spark, path, v2, "doc_id", "text")
+    val after = checksums(s"$path/signatures")
+    val untouchedBefore = before.filterNot(_._1.startsWith("sig_shard=1"))
+    val untouchedAfter = after.filterNot(_._1.startsWith("sig_shard=1"))
+    assert(untouchedAfter == untouchedBefore,
+      "unaffected shards' files must be byte-identical after the update")
+    assert(after.keys.exists(_.startsWith("sig_shard=1")) &&
+      after.filter(_._1.startsWith("sig_shard=1")) !=
+        before.filter(_._1.startsWith("sig_shard=1")),
+      "the drifted id's shard must actually be rewritten")
+    // and the surgically-updated artifact still equals a fresh build
+    val scratch = MinHashIndex.buildAndSave(v2, "doc_id", "text",
+      numHashes = 16, shingleSize = 3, path = s"$root/scratch", shardSpan = 2L)
+    def rows(a: MinHashIndex.Artifact) = a.sigs.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList, r.getLong(2))).toList
+    assert(rows(updated) == rows(scratch))
+    assert(updated.contentFingerprint == scratch.contentFingerprint)
+    MinHashIndex.verifyContent(spark, path, v2, "doc_id", "text")
+    MinHashIndex.verifyCount(updated, "surgical update")
+    // removal-only drift: shard 3 (id 6 alone) empties and its
+    // directory is deleted; shard 2 is rewritten keeping id 4
+    val v3 = v2.filter(col("doc_id") =!= 5L && col("doc_id") =!= 6L)
+    MinHashIndex.update(spark, path, v3, "doc_id", "text")
+    val dirsAfter = new java.io.File(s"$path/signatures").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirsAfter == Set("sig_shard=0", "sig_shard=1", "sig_shard=2"))
+    MinHashIndex.verifyContent(spark, path, v3, "doc_id", "text")
   }
 
   test("load fails fast on missing, foreign, and corrupt artifacts") {
