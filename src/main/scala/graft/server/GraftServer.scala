@@ -34,7 +34,8 @@ final class GraftServer(spark: SparkSession, port: Int,
                         needClientAuth: Boolean = false,
                         maxResultRows: Long = 0L,
                         maxResultBytes: Long = 0L,
-                        maxBodyBytes: Long = 0L) {
+                        maxBodyBytes: Long = 0L,
+                        strictTypeHints: Boolean = false) {
 
   // Basic auth only makes sense over TLS (reference: app.py:348-350).
   require(basicAuth.isEmpty || ssl.isDefined,
@@ -252,11 +253,15 @@ final class GraftServer(spark: SparkSession, port: Int,
       }
     }.getOrElse(Nil)
 
-  /** Type hints (reference: app.py:150-168); unknown names → 400. */
+  /** Type hints (reference: app.py:150-168); unknown names → 400.
+    * `timestamp` is the graft extension hint (event-time xops over
+    * uploaded data); under strictTypeHints it reads the reference's
+    * exact unknown-name 400. */
   private def typeHints(exchange: HttpExchange): Map[String, String] =
     keyValuesHeader(exchange, "X-QCache-types").map { case (colName, typeName) =>
       typeName match {
         case "string" | "enum" | "float" => colName -> typeName
+        case "timestamp" if !strictTypeHints => colName -> typeName
         case other => throw new HttpFail(400,
           s"""Unrecognized type name "$other" for column "$colName"""")
       }
@@ -298,7 +303,8 @@ final class GraftServer(spark: SparkSession, port: Int,
         // the CSV branch — a JSON store with an unknown type name is a 201
         // and the header is ignored (reference: app.py:249-257).
         if (ct == "text/csv")
-          Ingest.fromCsv(spark, text, typeHints(exchange), standIns(exchange))
+          Ingest.fromCsv(spark, text, typeHints(exchange), standIns(exchange),
+            extendedTypes = !strictTypeHints)
         else if (ct == "application/x-ndjson")
           Ingest.fromJsonLines(spark, text, Map.empty, standIns(exchange))
         else Ingest.fromJsonRecords(spark, text, Map.empty, standIns(exchange))
@@ -582,7 +588,11 @@ object Main {
       needClientAuth = caFile.isDefined,
       maxResultRows = maxResultRows,
       maxResultBytes = maxResultBytes,
-      maxBodyBytes = maxBodyBytes)
+      maxBodyBytes = maxBodyBytes,
+      // --strict-types: reference-exact type-hint surface (string|float|
+      // enum only; the graft `timestamp` extension hint reads the
+      // reference's "Unrecognized type" 400)
+      strictTypeHints = args.contains("--strict-types"))
     server.start()
     println(s"graft qcache server listening on port ${server.boundPort}")
     Thread.currentThread().join()

@@ -52,8 +52,15 @@ object Ingest {
     df.withColumn(RowId, monotonically_increasing_id())
 
   /** Hint name → cast target (reference: app.py:155-166). Unknown hint names
-    * are a client error. */
-  private def applyTypeHints(df: DataFrame, types: Map[String, String]): DataFrame =
+    * are a client error. `timestamp` is a GRAFT EXTENSION (the reference
+    * surface is string|float|enum only): without it an uploaded events
+    * table can never carry a timestamp ts column, making the event-time
+    * xops (retention, sessionize, rate_anomaly, interval_join)
+    * unreachable over HTTP. With `extendedTypes = false` (the server's
+    * strict-parity mode) the extension name reads the reference's exact
+    * "Unrecognized type" 400. */
+  private def applyTypeHints(df: DataFrame, types: Map[String, String],
+                             extendedTypes: Boolean): DataFrame =
     types.foldLeft(df) { case (acc, (colName, hint)) =>
       if (!acc.columns.contains(colName)) acc
       else hint match {
@@ -62,6 +69,8 @@ object Ingest {
         case "enum" =>
           val meta = new MetadataBuilder().putBoolean("qcache_enum", true).build()
           acc.withColumn(colName, acc(colName).cast(StringType).as(colName, meta))
+        case "timestamp" if extendedTypes =>
+          acc.withColumn(colName, acc(colName).cast(TimestampType))
         case other => Errors.malformed(s"Unrecognized type: $other", colName)
       }
     }
@@ -110,7 +119,8 @@ object Ingest {
 
   def fromCsv(spark: SparkSession, body: String,
               types: Map[String, String] = Map.empty,
-              standIns: Seq[(String, String)] = Nil): DataFrame = {
+              standIns: Seq[(String, String)] = Nil,
+              extendedTypes: Boolean = true): DataFrame = {
     // Lines are parallelized in CONTIGUOUS slices — chunk p holds lines
     // [a_p, b_p), and within a partition the per-chunk linesIterator
     // preserves body order — so monotonically_increasing_id
@@ -144,7 +154,8 @@ object Ingest {
       .option("ignoreTrailingWhiteSpace", "true")
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]")
       .csv(lines)
-    withRowId(addStandInColumns(applyTypeHints(raw, types), standIns))
+    withRowId(addStandInColumns(applyTypeHints(raw, types, extendedTypes),
+      standIns))
   }
 
   /** Split a top-level JSON array body into its record substrings — a
@@ -215,7 +226,7 @@ object Ingest {
         raw.select((keys ++ rest).map(col): _*)
       case _ => raw
     }
-    withRowId(addStandInColumns(applyTypeHints(ordered, types), standIns))
+    withRowId(addStandInColumns(applyTypeHints(ordered, types, extendedTypes = true), standIns))
   }
 
   /** Newline-delimited JSON (NDJSON / JSONL) — the de-facto LLM corpus
@@ -288,6 +299,6 @@ object Ingest {
     val keys = firstKeys.filter(raw.columns.contains)
     val ordered = raw.select(
       (keys ++ raw.columns.filterNot(keys.contains)).map(col): _*)
-    withRowId(addStandInColumns(applyTypeHints(ordered, types), standIns))
+    withRowId(addStandInColumns(applyTypeHints(ordered, types, extendedTypes = true), standIns))
   }
 }

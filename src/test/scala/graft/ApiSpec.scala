@@ -462,6 +462,52 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.statusCode() == 400 && bad.body().contains("Unrecognized type"))
   }
 
+  test("timestamp hint (extension): event xops run end-to-end over HTTP; strict mode keeps the reference 400") {
+    // without the hint, an uploaded CSV can never carry a timestamp ts
+    // (the reference surface is string|float|enum), leaving retention/
+    // rate_anomaly HTTP-unreachable — the round-14 gap
+    val ev = "user_id,event_type,ts\n" +
+      "1,click,2024-01-01 00:00:10\n" +
+      "2,click,2024-01-01 00:20:00\n" +
+      "1,view,2024-01-02 00:01:00\n" +
+      "2,view,2024-01-01 00:40:00\n" +
+      "1,click,2024-01-01 01:10:00\n"
+    assert(storeCsv("tsx", ev, "X-QCache-types" -> "ts=timestamp")
+      .statusCode() == 201)
+    val ret = query("tsx",
+      """{"xop": {"name": "retention",
+                  "args": {"period_seconds": 86400, "max_offset": 7}},
+          "order_by": ["cohort", "offset"]}""")
+    assert(ret.statusCode() == 200, ret.body())
+    // users 1,2 first active day 19723; user 1 re-active at offset 1
+    assert(ret.body() ==
+      """[{"cohort":19723,"offset":0,"n_users":2},{"cohort":19723,"offset":1,"n_users":1}]""")
+    val ra = query("tsx",
+      """{"xop": {"name": "rate_anomaly",
+                  "args": {"window": "1 hour", "trailing": 2}},
+          "select": [["count"]]}""")
+    assert(ra.statusCode() == 200, ra.body())
+    // span 2024-01-01 00:00 .. 2024-01-02 00:01 = 25 hourly windows
+    // per type x 2 types, empties spine-filled
+    assert(ra.body() == """[{"count":50}]""")
+    // a non-timestamp ts still reads the designed 400 from the xop
+    assert(storeCsv("tsx2", ev).statusCode() == 201)
+    val bad = query("tsx2",
+      """{"xop": {"name": "retention", "args": {"period_seconds": 86400}}}""")
+    assert(bad.statusCode() == 400 && bad.body().contains("timestamp"))
+    // strict-parity server: the extension hint reads the reference's
+    // exact "Unrecognized type" 400 (test_api.py:429-435 matrix intact)
+    val strict = new GraftServer(spark, 0, strictTypeHints = true)
+    strict.start()
+    try {
+      val r = send(req("/dataset/tsx3", strict)
+        .POST(BodyPublishers.ofString(ev))
+        .header("Content-Type", "text/csv")
+        .header("X-QCache-types", "ts=timestamp").build())
+      assert(r.statusCode() == 400 && r.body().contains("Unrecognized type"))
+    } finally strict.stop()
+  }
+
   test("stand-in columns: constant, column copy, chained") {
     storeCsv("t10", "foo\n1\n2\n",
       "X-QCache-stand-in-columns" -> "bar=13;baz=bar")
