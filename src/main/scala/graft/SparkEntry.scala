@@ -1380,6 +1380,29 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // slab-granular vocabulary removal (the refresh-with-deletions path
+    // x71 routinely reports): the artifact is built on the previous
+    // crawl, brought to the full corpus by x78's update, then the
+    // added slab is REMOVED — re-merging only the surviving slabs'
+    // stored summaries, never rescanning a corpus. Ample capacity
+    // makes every merge exact, so the result must serve the exact
+    // vocabulary of the never-added corpus — the oracle computes that
+    // truth independently over the surviving docs
+    "x89_vocab_remove" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v1 = docs.filter(col("doc_id") % 4 =!= 1)
+      val added = docs.filter(col("doc_id") % 4 === 1)
+      val path = anchorTmpPath("graft_vocab_rm", dir)
+      graft.ops.VocabIndex.buildAndSave(v1, "text", k = 50, path = path,
+        capacity = Some(4096))
+      val grown = graft.ops.VocabIndex.update(s, path, added, "text")
+      val slabId = grown.slabs.get.map(_.id).max
+      val art = graft.ops.VocabIndex.removeSlab(s, path, slabId)
+      graft.ops.TextOps.oovRateAgainst(v1, "doc_id", "text",
+        graft.ops.VocabIndex.tokens(art, 30, "vocabulary artifact"))
+        .orderBy("id")
+    }),
+
     // span-level decontamination: excise eval-contaminated 8-gram spans
     // from the train split instead of dropping whole documents (x21's
     // split: src7 plays the eval set)
@@ -2500,6 +2523,33 @@ object SparkEntry {
                                 * 10000.0 + 0.5) / 10000.0
                 END AS oov_rate
          FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+         ORDER BY id""",
+    "x89_vocab_remove" ->
+      // x78's oracle restricted to the SURVIVING corpus (doc_id % 4 <> 1):
+      // after removing the added slab, the artifact must serve the exact
+      // top-30 vocabulary of the never-added corpus
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(string_split(
+                    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+           FROM documents WHERE doc_id % 4 <> 1),
+         tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+         v AS (SELECT t AS vt FROM (
+                 SELECT t, count(*) AS n FROM tok2 GROUP BY t
+                 ORDER BY n DESC, t LIMIT 30)),
+         p AS (
+           SELECT doc_id, count(*) AS n_tokens,
+                  CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+           FROM tok2 LEFT JOIN v ON tok2.t = v.vt GROUP BY doc_id)
+         SELECT d.doc_id AS id,
+                coalesce(p.n_tokens, 0) AS n_tokens,
+                coalesce(p.n_oov, 0) AS n_oov,
+                CASE WHEN coalesce(p.n_tokens, 0) = 0 THEN 0.0
+                     ELSE floor(CAST(p.n_oov AS DOUBLE) / p.n_tokens
+                                * 10000.0 + 0.5) / 10000.0
+                END AS oov_rate
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 4 <> 1) d
+         LEFT JOIN p ON d.doc_id = p.doc_id
          ORDER BY id""",
     // positions 1-based here, 0-based on the Spark side — the covered-set
     // arithmetic shifts identically (the x48 recipe with eval grams)

@@ -1389,7 +1389,8 @@ object XopEngine {
       // incremental vocabulary maintenance: the query frame is the
       // APPENDED document batch, merged into a capacity-built
       // VocabIndex via the mergeable-summaries algebra (O(delta) work;
-      // append-only — removals need a rebuild, see VocabIndex.update)
+      // whole-ingest removals go through vocab_remove_slab, arbitrary
+      // row removals still need a rebuild — see VocabIndex.update)
       case "vocab_update" =>
         knownArgs("column", "index")
         val textCol = column(df, args, "column", name)
@@ -1410,6 +1411,33 @@ object XopEngine {
           art.contentFingerprint != before.contentFingerprint))
           .toDF("n_docs_before", "n_docs", "n_tokens", "theta",
             "fingerprint", "changed")
+
+      // slab-granular vocabulary removal: drop one recorded ingest
+      // slab and re-merge the survivors' stored summaries — the
+      // refresh-with-deletions path, no corpus rescan (the query frame
+      // is not consumed; the artifact's own slab store is the input)
+      case "vocab_remove_slab" =>
+        knownArgs("index", "slab")
+        val raw = args.getOrElse("index",
+          Errors.malformed(s"xop '$name': 'index' is required (the artifact to refresh)"))
+        val path = indexPath(df, raw, name)
+        val slab = intArg(args, "slab", -1L, name)
+        if (slab < 0)
+          Errors.malformed(s"xop '$name': 'slab' is required (a recorded slab id)")
+        val before = loadVocab(df, raw, name)
+        val art =
+          try graft.ops.VocabIndex.removeSlab(df.sparkSession, path, slab)
+          catch {
+            case e: IllegalArgumentException =>
+              Errors.malformed(s"xop '$name': ${e.getMessage}")
+          }
+        import df.sparkSession.implicits._
+        Seq((before.nDocs.getOrElse(-1L), art.nDocs.getOrElse(-1L),
+          art.nTokens.getOrElse(-1L), art.theta.getOrElse(-1L),
+          art.slabs.map(_.length.toLong).getOrElse(-1L),
+          art.contentFingerprint.getOrElse("")))
+          .toDF("n_docs_before", "n_docs", "n_tokens", "theta",
+            "n_slabs", "fingerprint")
 
       // warm-start re-centering of a persisted IVF quantizer against
       // THIS dataset (the drifted corpus): `iters` Lloyd's rounds

@@ -57,7 +57,17 @@ object VocabIndex {
                             nTokens: Option[Long] = None,
                             contentFingerprint: Option[String] = None,
                             summary: Option[DataFrame] = None,
-                            theta: Option[Long] = None)
+                            theta: Option[Long] = None,
+                            slabs: Option[Seq[SlabMeta]] = None)
+
+  /** One ingest slab's registry entry: the raw per-slab summary lives
+    * at `<path>/slabs/<id>/` (tokenSummaryAgg's (token, n, nhi, rho)
+    * shape, null-token sentinel included), `theta` is that slab's own
+    * certified untracked bound, and (nDocs, fingerprint) are the
+    * slab's contribution to the manifest totals — what
+    * [[removeSlab]] subtracts without rescanning any corpus. */
+  final case class SlabMeta(id: Long, theta: Long, nDocs: Long,
+                            fingerprint: String)
 
   /** Order-independent corpus-text fingerprint: the exact decimal sum
     * of xxhash64(text) — [[MinHashIndex.fingerprint]]'s formula without
@@ -85,48 +95,93 @@ object VocabIndex {
     * manifest records the capacity so consumers can tell. Plus one
     * column-pruned aggregation for the doc count + content
     * fingerprint. */
+  /** Observed-metric expressions for the corpus-consuming pass: the
+    * manifest's doc count + content fingerprint ride the SAME job that
+    * summarizes/aggregates the corpus (`observe` on the input relation)
+    * instead of a second column-pruned corpus scan — same expressions,
+    * exactly one evaluation per row. */
+  private def corpusObs(textCol: String) = Seq(
+    sum(xxhash64(Dedup.exactCol(textCol)).cast("decimal(38,0)")).as("fp"),
+    count(lit(1)).as("n"))
+
+  /** Observed-metric readers tolerant of the empty-relation case: when
+    * the input is optimizer-provably empty, PropagateEmptyRelation can
+    * eliminate the CollectMetrics node and the observation completes
+    * with NO metrics — which only ever happens when the true value is
+    * the empty aggregate (0 / null sum). */
+  private def fpOf(m: Map[String, Any]): BigInt = m.get("fp") match {
+    case Some(d: java.math.BigDecimal) => BigDecimal(d).toBigInt
+    case _ => BigInt(0)
+  }
+
+  private def obsLong(m: Map[String, Any], key: String): Long =
+    m.get(key) match {
+      case Some(l: Long) => l
+      case Some(i: java.lang.Integer) => i.longValue
+      case _ => 0L
+    }
+
   def buildAndSave(corpus: DataFrame, textCol: String, k: Int,
                    path: String, capacity: Option[Int] = None): Artifact = {
     require(k > 0, "k must be positive")
     capacity.foreach(c => require(c > 0, "capacity must be positive"))
     val spark = corpus.sparkSession
-    val extras: Seq[(String, Any)] = capacity match {
+    val inObs = org.apache.spark.sql.Observation()
+    val obsExprs = corpusObs(textCol)
+    val observedCorpus = corpus.observe(inObs, obsExprs.head, obsExprs.tail: _*)
+    val (extras: Seq[(String, Any)], nTokens: Long) = capacity match {
       case Some(c) =>
         // mergeable-summary build: ONE corpus-consuming action (the
         // staged raw-aggregate write — the same bounded relation
         // topTokensSketch aggregates, ≤ capacity+1 rows per input
-        // partition). Θ, the summary AND the vocabulary all derive
-        // from the staged parquet, so the corpus summarization never
-        // runs twice and the Θ sentinel is read from the artifact's
-        // own data instead of a second corpus consumer (the x63b
-        // stage-reuse lesson applied to artifact builds).
+        // partition). Θ, the doc count and the fingerprint all ride
+        // that one job as observed metrics; the summary AND the
+        // vocabulary derive from the staged parquet, so the corpus
+        // summarization never runs twice and the Θ sentinel is read
+        // from the artifact's own data instead of a second corpus
+        // consumer (the x63b stage-reuse lesson applied to artifact
+        // builds).
+        val thetaObs = org.apache.spark.sql.Observation()
         val stagePath = new org.apache.hadoop.fs.Path(path, "summary.stage")
-        TextOps.tokenSummaryAgg(corpus, textCol, c)
+        TextOps.tokenSummaryAgg(observedCorpus, textCol, c)
+          .observe(thetaObs, coalesce(sum(when(col("token").isNull,
+            col("rho"))), lit(0L)).as("theta"))
           .write.mode(SaveMode.Overwrite).parquet(stagePath.toString)
+        val bigTheta = obsLong(thetaObs.get, "theta")
         val staged = spark.read.parquet(stagePath.toString)
-        val bigTheta = staged.filter(col("token").isNull)
-          .agg(coalesce(sum(col("rho")), lit(0L))).head().getLong(0)
         val norm = staged.filter(col("token").isNotNull)
           .select(col("token"), col("n").as("lo"),
             (col("nhi") + lit(bigTheta) - col("rho")).as("hi"))
-        val (theta, nSummary, _) =
+        val (theta, nSummary, nVocab) =
           writeSummaryAndVocab(spark, path, norm, math.max(c, k), k, bigTheta)
-        stagePath.getFileSystem(spark.sessionState.newHadoopConf())
-          .delete(stagePath, true)
-        Seq("capacity" -> c.toLong, "theta" -> theta,
-          "summary_rows" -> nSummary)
+        // the staged raw summary BECOMES slab 0 (a filesystem move, no
+        // job): the per-ingest state [[removeSlab]] re-merges from
+        val fs = stagePath.getFileSystem(spark.sessionState.newHadoopConf())
+        val slab0 = new org.apache.hadoop.fs.Path(path, "slabs/0")
+        fs.delete(slab0, true)
+        fs.mkdirs(slab0.getParent)
+        if (!fs.rename(stagePath, slab0))
+          throw new IllegalStateException(s"could not move $stagePath to $slab0")
+        val m = inObs.get
+        (Seq("capacity" -> c.toLong, "theta" -> theta,
+          "summary_rows" -> nSummary,
+          "slabs" -> List(slabEntry(SlabMeta(0L, bigTheta,
+            obsLong(m, "n"), fpOf(m).toString)))), nVocab)
       case None =>
-        val top = TextOps.topTokens(corpus, textCol, k)
+        val top = TextOps.topTokens(observedCorpus, textCol, k)
         // rank over exactly k rows (post-limit): one task, never
-        // corpus-wide
+        // corpus-wide; the row count rides the write as an observed
+        // metric instead of a post-hoc parquet count
+        val vObs = org.apache.spark.sql.Observation()
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("n").desc, col("token"))
         top.withColumn("rank", row_number().over(w))
+          .observe(vObs, count(lit(1)).as("n"))
           .write.mode(SaveMode.Overwrite).parquet(s"$path/vocabulary")
-        Seq.empty
+        (Seq.empty, obsLong(vObs.get, "n"))
     }
-    val (fp, nDocs) = fingerprintAndCount(corpus, textCol)
-    val nTokens = spark.read.parquet(s"$path/vocabulary").count()
+    val inM = inObs.get
+    val (fp, nDocs) = (fpOf(inM).toString, obsLong(inM, "n"))
     val manifest = mutable.LinkedHashMap[String, Any](
       "version" -> FormatVersion,
       "kind" -> "vocabulary",
@@ -138,6 +193,10 @@ object VocabIndex {
     writeManifest(spark, path, graft.engine.QueryJson.write(manifest))
     load(spark, path)
   }
+
+  private def slabEntry(s: SlabMeta): mutable.LinkedHashMap[String, Any] =
+    mutable.LinkedHashMap[String, Any]("id" -> s.id, "theta" -> s.theta,
+      "n_docs" -> s.nDocs, "fingerprint" -> s.fingerprint)
 
   /** Merge a batch of APPENDED documents into a capacity-built
     * vocabulary artifact without rescanning the old corpus — the
@@ -160,9 +219,14 @@ object VocabIndex {
     * artifact is BIT-IDENTICAL to a from-scratch rebuild of the full
     * corpus (pinned in VocabIndexSpec) — x78's oracle anchor.
     *
-    * Append-only by contract: removals cannot be subtracted from a
-    * count summary (document them with a rebuild; [[verifyContent]]
-    * against the full corpus remains the strong staleness check).
+    * Additions are the fast path; removals cannot be subtracted from a
+    * count summary, but they CAN be handled at slab granularity:
+    * every build/update stores its raw per-ingest summary as a slab
+    * (a filesystem move of the already-staged parquet — no extra job),
+    * and [[removeSlab]] re-merges the survivors without any corpus
+    * rescan. Arbitrary row-level removals still need a rebuild;
+    * [[verifyContent]] against the full corpus remains the strong
+    * staleness check.
     * The manifest's doc count and decimal-sum content fingerprint are
     * delta-updated (additions only ⇒ plain addition), so a subsequent
     * [[verifyContent]] against old∪added reads as fresh. An empty
@@ -188,23 +252,27 @@ object VocabIndex {
         s"$what records no content fingerprint — rebuild it to enable incremental update"))
     val oldN = art.nDocs.getOrElse(throw new IllegalArgumentException(
       s"$what records no n_docs — rebuild it to enable incremental update"))
-    // delta stats: one column-pruned aggregation over the ADDED rows
-    val stats = added.agg(
-      sum(xxhash64(Dedup.exactCol(textCol)).cast("decimal(38,0)")).as("fp"),
-      count(lit(1)).as("n")).head()
-    val nAdded = stats.getLong(1)
-    if (nAdded == 0L) return art
-    val fpDelta = Option(stats.getDecimal(0))
-      .map(d => BigDecimal(d).toBigInt).getOrElse(BigInt(0))
     // summarize the delta at the artifact's own capacity; the staged
     // write is the only delta-corpus-consuming action (same
-    // single-consumer discipline as the build path)
+    // single-consumer discipline as the build path), and the delta's
+    // doc count, fingerprint and θ₂ ride it as observed metrics — the
+    // x78 job trim: they used to cost two more aggregate jobs
+    val inObs = org.apache.spark.sql.Observation()
+    val thetaObs = org.apache.spark.sql.Observation()
     val stagePath = new org.apache.hadoop.fs.Path(path, "summary.stage")
-    TextOps.tokenSummaryAgg(added, textCol, cap)
+    val obsExprs = corpusObs(textCol)
+    TextOps.tokenSummaryAgg(
+        added.observe(inObs, obsExprs.head, obsExprs.tail: _*), textCol, cap)
+      .observe(thetaObs, coalesce(sum(when(col("token").isNull,
+        col("rho"))), lit(0L)).as("theta"))
       .write.mode(SaveMode.Overwrite).parquet(stagePath.toString)
+    val fs = stagePath.getFileSystem(spark.sessionState.newHadoopConf())
+    val inM = inObs.get
+    val nAdded = obsLong(inM, "n")
+    if (nAdded == 0L) { fs.delete(stagePath, true); return art }
+    val fpDelta = fpOf(inM)
+    val theta2 = obsLong(thetaObs.get, "theta")
     val staged = spark.read.parquet(stagePath.toString)
-    val theta2 = staged.filter(col("token").isNull)
-      .agg(coalesce(sum(col("rho")), lit(0L))).head().getLong(0)
     val deltaNorm = staged.filter(col("token").isNotNull)
       .select(col("token").as("__t2"), col("n").as("__lo2"),
         (col("nhi") + lit(theta2) - col("rho")).as("__hi2"))
@@ -217,8 +285,21 @@ object VocabIndex {
     val (thetaStored, nSummary, nTokens) =
       writeSummaryAndVocab(spark, path, merged, math.max(cap, art.k), art.k,
         baseTheta = theta1 + theta2)
-    stagePath.getFileSystem(spark.sessionState.newHadoopConf())
-      .delete(stagePath, true)
+    // slab-registry artifacts keep the delta's raw summary as a new
+    // slab (a filesystem move of the already-written stage, no job) so
+    // [[removeSlab]] can later subtract this ingest; legacy artifacts
+    // (no registry) just drop the stage as before
+    val newSlabs: Option[Seq[SlabMeta]] = art.slabs match {
+      case Some(existing) =>
+        val id = existing.map(_.id).maxOption.getOrElse(-1L) + 1
+        val dst = new org.apache.hadoop.fs.Path(path, s"slabs/$id")
+        fs.delete(dst, true)
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(stagePath, dst))
+          throw new IllegalStateException(s"could not move $stagePath to $dst")
+        Some(existing :+ SlabMeta(id, theta2, nAdded, fpDelta.toString))
+      case None => fs.delete(stagePath, true); None
+    }
     val manifest = mutable.LinkedHashMap[String, Any](
       "version" -> FormatVersion,
       "kind" -> "vocabulary",
@@ -229,7 +310,80 @@ object VocabIndex {
       "fingerprint" -> (BigInt(oldFp) + fpDelta).toString,
       "capacity" -> cap.toLong,
       "theta" -> thetaStored,
-      "summary_rows" -> nSummary)
+      "summary_rows" -> nSummary) ++
+      newSlabs.map(sl => "slabs" -> sl.map(slabEntry).toList)
+    writeManifest(spark, path, graft.engine.QueryJson.write(manifest))
+    load(spark, path)
+  }
+
+  /** Remove one ingest slab from a slab-registry artifact and rebuild
+    * the summary/vocabulary by re-merging the SURVIVING slabs — the
+    * refresh-with-deletions case [[Dedup.corpusDiff]] routinely
+    * reports, served at slab granularity with NO corpus rescan: the
+    * only inputs are the stored per-slab summaries (each bounded at
+    * partitions×capacity rows) and the work is one union + one
+    * token-keyed aggregate + the shared truncation writer.
+    *
+    * The n-way mergeable-summaries algebra (the pairwise [[update]]
+    * rule generalized): a token's lo = Σ lo over slabs that track it;
+    * its hi = Σ (nhi + θᵢ − rho) over tracking slabs, plus θⱼ for
+    * every slab that does not track it — computed as
+    * Σ_present hi + (Σ_all θ − Σ_present θ) in a single aggregate.
+    * The merged untracked bound is Σ_all θ. With ample capacity every
+    * bound is exact and removing a slab yields an artifact IDENTICAL
+    * to one built without that slab (pinned in VocabIndexSpec).
+    *
+    * Manifest totals (doc count, decimal-sum fingerprint) subtract the
+    * victim's recorded contribution, so [[verifyContent]] against the
+    * surviving corpus reads as fresh. Removing the last slab leaves a
+    * legal empty vocabulary. */
+  def removeSlab(spark: SparkSession, path: String, slabId: Long): Artifact = {
+    val art = load(spark, path)
+    val what = s"vocabulary at $path"
+    val cap = art.capacity.getOrElse(throw new IllegalArgumentException(
+      s"$what was built exact (no capacity) and stores no slabs — " +
+        "rebuild with a capacity to enable slab removal"))
+    val registry = art.slabs.getOrElse(throw new IllegalArgumentException(
+      s"$what predates slab summaries — rebuild it once with buildAndSave " +
+        "to enable slab removal"))
+    if (!registry.exists(_.id == slabId))
+      throw new IllegalArgumentException(
+        s"$what has no slab $slabId (stored: ${registry.map(_.id).mkString(", ")})")
+    val survivors = registry.filterNot(_.id == slabId)
+    val totTheta = survivors.map(_.theta).sum
+    val norm = survivors.map { s =>
+      spark.read.parquet(s"$path/slabs/${s.id}")
+        .filter(col("token").isNotNull)
+        .select(col("token"), col("n").as("__lo"),
+          (col("nhi") + lit(s.theta) - col("rho")).as("__hi"),
+          lit(s.theta).as("__th"))
+    } match {
+      case Nil =>
+        import spark.implicits._
+        Seq.empty[(String, Long, Long)].toDF("token", "lo", "hi")
+      case head +: tail =>
+        tail.foldLeft(head)(_ unionByName _)
+          .groupBy(col("token"))
+          .agg(sum(col("__lo")).as("lo"),
+            (sum(col("__hi")) + lit(totTheta) - sum(col("__th"))).as("hi"))
+    }
+    val (theta, nSummary, nTokens) = writeSummaryAndVocab(spark, path, norm,
+      math.max(cap, art.k), art.k, baseTheta = totTheta)
+    val victimPath = new org.apache.hadoop.fs.Path(path, s"slabs/$slabId")
+    victimPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(victimPath, true)
+    val manifest = mutable.LinkedHashMap[String, Any](
+      "version" -> FormatVersion,
+      "kind" -> "vocabulary",
+      "k" -> art.k.toLong,
+      "text_col" -> art.textCol.getOrElse("text"),
+      "n_docs" -> survivors.map(_.nDocs).sum,
+      "n_tokens" -> nTokens,
+      "fingerprint" -> survivors.map(s => BigInt(s.fingerprint)).sum.toString,
+      "capacity" -> cap.toLong,
+      "theta" -> theta,
+      "summary_rows" -> nSummary,
+      "slabs" -> survivors.map(slabEntry).toList)
     writeManifest(spark, path, graft.engine.QueryJson.write(manifest))
     load(spark, path)
   }
@@ -257,7 +411,13 @@ object VocabIndex {
       .getFileSystem(spark.sessionState.newHadoopConf())
     val sNext = new org.apache.hadoop.fs.Path(path, "summary.next")
     val vNext = new org.apache.hadoop.fs.Path(path, "vocabulary.next")
+    // row counts ride the two writes as observed metrics — the
+    // manifest's summary_rows/n_tokens used to cost two post-swap
+    // parquet counts (the x78 job trim)
+    val sObs = org.apache.spark.sql.Observation()
+    val vObs = org.apache.spark.sql.Observation()
     norm.orderBy(col("lo").desc, col("token")).limit(sumCap)
+      .observe(sObs, count(lit(1)).as("n"))
       .write.mode(SaveMode.Overwrite).parquet(sNext.toString)
     val kept = spark.read.parquet(sNext.toString)
     val evictedMax = norm
@@ -271,6 +431,7 @@ object VocabIndex {
     kept.select(col("token"), col("lo").as("n"))
       .orderBy(col("n").desc, col("token")).limit(k)
       .withColumn("rank", row_number().over(vocabW))
+      .observe(vObs, count(lit(1)).as("n"))
       .write.mode(SaveMode.Overwrite).parquet(vNext.toString)
     def swap(next: org.apache.hadoop.fs.Path, cur: String): Unit = {
       val c = new org.apache.hadoop.fs.Path(path, cur)
@@ -280,8 +441,7 @@ object VocabIndex {
     }
     swap(sNext, "summary")
     swap(vNext, "vocabulary")
-    (theta, spark.read.parquet(s"$path/summary").count(),
-      spark.read.parquet(s"$path/vocabulary").count())
+    (theta, obsLong(sObs.get, "n"), obsLong(vObs.get, "n"))
   }
 
   private def writeManifest(spark: SparkSession, path: String, json: String): Unit = {
@@ -372,12 +532,28 @@ object VocabIndex {
             s"(token STRING, lo BIGINT, hi BIGINT), got ${s.schema.catalogString}")
       s
     }
+    val slabs: Option[Seq[SlabMeta]] = manifest.get("slabs") match {
+      case None => None
+      case Some(l: List[_]) => Some(l.map {
+        case m: scala.collection.Map[String @unchecked, Any @unchecked] =>
+          (m.get("id"), m.get("theta"), m.get("n_docs"), m.get("fingerprint")) match {
+            case (Some(i: Long), Some(t: Long), Some(n: Long), Some(f: String)) =>
+              SlabMeta(i, t, n, f)
+            case _ => throw new IllegalArgumentException(
+              s"vocabulary at $path is corrupt: malformed slab entry $m")
+          }
+        case other => throw new IllegalArgumentException(
+          s"vocabulary at $path is corrupt: malformed slab entry $other")
+      })
+      case other => throw new IllegalArgumentException(
+        s"vocabulary at $path is corrupt: bad slabs $other")
+    }
     Artifact(vocab, k, capacity,
       manifest.get("text_col").collect { case s: String => s },
       manifest.get("n_docs").collect { case l: Long => l },
       manifest.get("n_tokens").collect { case l: Long => l },
       manifest.get("fingerprint").collect { case s: String => s },
-      summary, theta)
+      summary, theta, slabs)
   }
 
   /** The token set for a requested vocabulary size: `rank <= size` over

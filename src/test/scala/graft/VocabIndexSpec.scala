@@ -103,6 +103,60 @@ class VocabIndexSpec extends AnyFunSuite {
     VocabIndex.verifyCount(updated, "updated vocab")
   }
 
+  test("removeSlab: dropping an ingest slab equals the never-added build; no corpus rescan") {
+    val root = tmpDir()
+    val a = corpus.filter(col("doc_id") <= 3)
+    val b = corpus.filter(col("doc_id") > 3)
+    val path = s"$root/slabbed"
+    val base = VocabIndex.buildAndSave(a, "text", k = 5, path = path,
+      capacity = Some(4096))
+    assert(base.slabs.map(_.map(_.id)).contains(Seq(0L)), "build must register slab 0")
+    val updated = VocabIndex.update(spark, path, b, "text")
+    assert(updated.slabs.map(_.map(_.id)).contains(Seq(0L, 1L)),
+      "update must register its delta as a new slab")
+    // removing the added slab restores the base build EXACTLY (ample
+    // capacity everywhere): summary, vocabulary, theta, manifest totals
+    val removed = VocabIndex.removeSlab(spark, path, 1L)
+    def vocabRows(art: VocabIndex.Artifact) = art.vocab.orderBy("rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    def sumRows(art: VocabIndex.Artifact) = art.summary.get.orderBy("token")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val never = VocabIndex.buildAndSave(a, "text", k = 5,
+      path = s"$root/never", capacity = Some(4096))
+    assert(vocabRows(removed) == vocabRows(never))
+    assert(sumRows(removed) == sumRows(never))
+    assert(removed.theta == never.theta)
+    assert(removed.nDocs == never.nDocs)
+    assert(removed.contentFingerprint == never.contentFingerprint)
+    assert(removed.slabs.map(_.map(_.id)).contains(Seq(0L)))
+    // verifyContent against the surviving corpus reads as fresh
+    VocabIndex.verifyContent(spark, path, a, "text")
+    VocabIndex.verifyCount(removed, "slab-removed vocab")
+    // the artifact can keep updating after a removal
+    val again = VocabIndex.update(spark, path, b, "text")
+    assert(again.slabs.map(_.map(_.id)).contains(Seq(0L, 1L)))
+    VocabIndex.verifyContent(spark, path, corpus, "text")
+    // removing the base slab keeps only the delta's corpus
+    val onlyB = VocabIndex.removeSlab(spark, path, 0L)
+    val bOnly = VocabIndex.buildAndSave(b, "text", k = 5,
+      path = s"$root/bonly", capacity = Some(4096))
+    assert(sumRows(onlyB) == sumRows(bOnly))
+    assert(onlyB.nDocs == bOnly.nDocs &&
+      onlyB.contentFingerprint == bOnly.contentFingerprint)
+    // removing the last slab leaves a legal empty vocabulary
+    val empty = VocabIndex.removeSlab(spark, path, 1L)
+    assert(empty.nDocs.contains(0L) && empty.nTokens.contains(0L))
+    assert(empty.vocab.count() == 0L)
+    // guards: unknown slab, exact-built artifact, legacy artifact
+    val eU = intercept[IllegalArgumentException] {
+      VocabIndex.removeSlab(spark, path, 99L) }
+    assert(eU.getMessage.contains("no slab"))
+    VocabIndex.buildAndSave(a, "text", k = 3, path = s"$root/exact")
+    val eE = intercept[IllegalArgumentException] {
+      VocabIndex.removeSlab(spark, s"$root/exact", 0L) }
+    assert(eE.getMessage.contains("capacity"))
+  }
+
   test("update: tight capacity keeps certified bounds sound; guards fail fast") {
     val root = tmpDir()
     // single partitions with distinct tokens >> capacity => evictions

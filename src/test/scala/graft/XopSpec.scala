@@ -1309,6 +1309,42 @@ class XopSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.index.root")
   }
 
+  test("vocab_remove_slab xop drops one ingest slab and re-merges survivors") {
+    val root = java.nio.file.Files.createTempDirectory("xop_vc_rm").toString
+    import spark.implicits._
+    val v1 = Seq((1L, "alpha beta alpha"), (2L, "beta gamma")).toDF("id", "text")
+    val added = Seq((3L, "alpha delta delta delta")).toDF("id", "text")
+    graft.ops.VocabIndex.buildAndSave(v1, "text", k = 4, path = s"$root/v",
+      capacity = Some(1024))
+    graft.ops.VocabIndex.update(spark, s"$root/v", added, "text")
+    spark.conf.set("spark.graft.index.root", root)
+    try {
+      val rep = QueryEngine.run(v1,
+        """{"xop": {"name": "vocab_remove_slab",
+                    "args": {"index": "v", "slab": 1}}}""",
+        resolver).df.collect()
+      assert(rep.length == 1)
+      val r = rep.head
+      assert(r.getAs[Long]("n_docs_before") == 3L &&
+        r.getAs[Long]("n_docs") == 2L &&
+        r.getAs[Long]("n_slabs") == 1L)
+      // the artifact is back to v1's exact vocabulary
+      val art = graft.ops.VocabIndex.load(spark, s"$root/v")
+      val toks = art.vocab.orderBy("rank").collect()
+        .map(r2 => (r2.getString(0), r2.getLong(1))).toSeq
+      assert(toks == Seq(("alpha", 2L), ("beta", 2L), ("gamma", 1L)))
+      graft.ops.VocabIndex.verifyContent(spark, s"$root/v", v1, "text")
+      // unknown slab / missing args are 400s, not crashes
+      val e = intercept[MalformedQueryException] { QueryEngine.run(v1,
+        """{"xop": {"name": "vocab_remove_slab",
+                    "args": {"index": "v", "slab": 42}}}""", resolver) }
+      assert(e.getMessage.contains("no slab"))
+      intercept[MalformedQueryException] { QueryEngine.run(v1,
+        """{"xop": {"name": "vocab_remove_slab", "args": {"index": "v"}}}""",
+        resolver) }
+    } finally spark.conf.unset("spark.graft.index.root")
+  }
+
   test("vocab_growth and token_spectrum xops report corpus shape") {
     import spark.implicits._
     val df = Seq((0L, "a b"), (1L, "a c"), (10L, "b d"))
