@@ -15,6 +15,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
+  /** Windows per spine slab in [[rateAnomaly]]'s two-level spine
+    * generation — the hard bound on how many sequence elements any
+    * single task materializes. 8192 one-minute windows ≈ 5.7 days per
+    * slab; small enough that even a skewed hash of (type, slab) pairs
+    * stays cheap, large enough that the slab-index relation is ~1e5
+    * rows per type at the 1B-window guard. */
+  private val SpineSlabWindows = 8192L
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
 
@@ -70,11 +78,13 @@ object EventStreams {
     * Shape at scale: raw events collapse map-side to (window, type)
     * counts — the only corpus-sized exchange; the spine (span ×
     * distinct types) and every window after it live on that bounded
-    * relation, partitioned by type. The spine itself generates the full
-    * window range per type from one row, so a span holding more than
-    * 10M windows is refused in-plan with a clear error (the readable
-    * failure for "1-second windows over a year of events") rather than
-    * letting single tasks materialize it. Returns (window_start,
+    * relation, partitioned by type. The spine generates in two levels —
+    * a slab-index explode per type, a (type, slab) hash exchange, then
+    * per-slab window sequences bounded at [[SpineSlabWindows]] elements
+    * per task — so "1-second windows over a year of events" costs
+    * thousands of parallel small explodes, never one 31M-element task;
+    * only a span past 1B windows (a mis-parameterized call) is refused
+    * in-plan with a clear error. Returns (window_start,
     * event_type, n_events, trail_mean, z, anomaly), ordered. */
   def rateAnomaly(events: DataFrame, windowLength: String = "1 minute",
                   trailing: Int = 5, zThreshold: Double = 3.0): DataFrame = {
@@ -94,24 +104,37 @@ object EventStreams {
     val span = counts.agg(min(col("window_start")).as("__lo"),
       max(col("window_start")).as("__hi"))
     val types = counts.select(col("event_type")).distinct()
-    // the spine generates the FULL window range per type from one row —
-    // a mis-parameterized call (second-wide windows over a year-wide
-    // span) would materialize tens of millions of elements in single
-    // tasks; refuse past 10M windows with a clear error instead (an
-    // in-plan one-row assert, no extra job)
-    val spanWindows = (unix_timestamp(col("__hi")) -
+    // the spine is generated in SLABS so no single task ever
+    // materializes more than SpineSlabWindows elements: level 1
+    // explodes the (bounded) slab-index sequence per type, a hash
+    // exchange spreads (type, slab) pairs across tasks, and level 2
+    // explodes each slab's own window sequence — the same timestamp
+    // sequence() as the flat form, so the spine VALUES are identical
+    // (both engines agree) while a year of 1-second windows costs
+    // ~3850 parallel 8192-element explodes instead of one 31M-element
+    // task. A guard still refuses truly absurd spans (> 1B windows:
+    // the readable failure for a mis-parameterized call) in-plan.
+    val stepSecs = windowLength.split(" ")(0).toLong *
+      Map("second" -> 1L, "minute" -> 60L, "hour" -> 3600L,
+        "day" -> 86400L)(windowLength.split(" ")(1).stripSuffix("s"))
+    val spanSecs = (unix_timestamp(col("__hi")) -
       unix_timestamp(col("__lo"))).cast("double")
+    val slabSpanSecs = SpineSlabWindows * stepSecs
     val spine = types.crossJoin(broadcast(span))
       .withColumn("__guard", assert_true(
-        spanWindows <= lit(1e7) * lit(windowLength.split(" ")(0).toDouble) *
-          lit(Map("second" -> 1L, "minute" -> 60L, "hour" -> 3600L,
-            "day" -> 86400L)(windowLength.split(" ")(1).stripSuffix("s"))),
-        lit(s"rateAnomaly: the event span holds more than 10M '$windowLength'" +
+        spanSecs <= lit(1e9) * lit(stepSecs.toDouble),
+        lit(s"rateAnomaly: the event span holds more than 1B '$windowLength'" +
           " windows - widen the window or filter the span")))
       .filter(col("__guard").isNull)
-      .select(col("event_type"), explode(
-        expr(s"sequence(__lo, __hi, interval $windowLength)"))
-        .as("window_start"))
+      .select(col("event_type"), col("__lo"), col("__hi"), explode(expr(
+        s"sequence(0L, (unix_timestamp(__hi) - unix_timestamp(__lo))" +
+          s" div ${stepSecs}L div ${SpineSlabWindows}L)")).as("__slab"))
+      .repartition(col("event_type"), col("__slab"))
+      .select(col("event_type"), explode(expr(
+        s"sequence(__lo + make_dt_interval(0, 0, 0, __slab * ${slabSpanSecs}L), " +
+          s"least(__lo + make_dt_interval(0, 0, 0, " +
+          s"__slab * ${slabSpanSecs}L + ${(SpineSlabWindows - 1) * stepSecs}L), " +
+          s"__hi), interval $windowLength)")).as("window_start"))
     val filled = spine.join(counts, Seq("event_type", "window_start"), "left")
       .select(col("window_start"), col("event_type"),
         coalesce(col("n_events"), lit(0L)).as("n_events"))

@@ -2331,15 +2331,25 @@ class OpsSpec extends AnyFunSuite {
       graft.streaming.EventStreams.rateAnomaly(events, "1 minute; DROP", 5, 1.0) }
     intercept[IllegalArgumentException] {
       graft.streaming.EventStreams.rateAnomaly(events, "1 minute", 1, 1.0) }
-    // a span holding > 10M windows refuses in-plan with a clear error
-    // instead of materializing it in single tasks
-    val wide = Seq((t("2024-01-01 00:00:00"), "a"),
-      (t("2024-08-01 00:00:00"), "a")).toDF("ts", "event_type")
+    // the spine generates in bounded slabs: a span past the OLD 10M
+    // ceiling now RUNS (10.5M one-second windows — each explode task
+    // materializes at most one slab), producing exactly one spine row
+    // per window
+    val t0 = t("2024-01-01 00:00:00")
+    val wide = Seq((t0, "a"),
+      (new java.sql.Timestamp(t0.getTime + 10500000L * 1000L), "a"))
+      .toDF("ts", "event_type")
+    assert(graft.streaming.EventStreams.rateAnomaly(wide, "1 second", 5, 1.0)
+      .count() == 10500001L)
+    // only a truly absurd span (> 1B windows) still refuses in-plan
+    val absurd = Seq((t0, "a"),
+      (new java.sql.Timestamp(t0.getTime + 1100000000L * 1000L), "a"))
+      .toDF("ts", "event_type")
     val e = intercept[Exception] {
-      graft.streaming.EventStreams.rateAnomaly(wide, "1 second", 5, 1.0)
+      graft.streaming.EventStreams.rateAnomaly(absurd, "1 second", 5, 1.0)
         .count() }
-    assert(e.getMessage.contains("10M") ||
-      Option(e.getCause).exists(_.getMessage.contains("10M")))
+    assert(e.getMessage.contains("1B") ||
+      Option(e.getCause).exists(_.getMessage.contains("1B")))
   }
 
   test("clusterSpectrum reports family sizes, components and docs per size") {
