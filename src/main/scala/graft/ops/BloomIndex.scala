@@ -83,14 +83,25 @@ object BloomIndex {
   }
 
   /** Build the sketch over `exclude`'s id column (the same build
-    * [[Dedup.excludeByBloom]] runs inline) and persist it at `path`,
-    * alongside one extra column-pruned aggregation for the exact row
-    * count + content fingerprint. Returns the serialized bytes. */
+    * [[Dedup.excludeByBloom]] runs inline) and persist it at `path`.
+    * The manifest's row count, null count and content fingerprint ride
+    * the sketch-building aggregation as observed metrics (same
+    * expressions as [[fingerprintAndCount]], one evaluation per row),
+    * so the build scans the exclusion list exactly once instead of
+    * paying a second pass. Returns the serialized bytes. */
   def buildAndSave(exclude: DataFrame, idCol: String, fpp: Double,
                    path: String): Array[Byte] = {
     val nItems = Dedup.bloomSizing(exclude)
-    val bytes = Dedup.buildBloomSized(exclude, idCol, nItems, fpp)
-    val (fp, n, nNull) = fingerprintAndCount(exclude, idCol)
+    val obs = org.apache.spark.sql.Observation()
+    val observed = exclude.observe(obs,
+      sum(when(col(idCol).isNotNull, xxhash64(col(idCol))).otherwise(lit(0L))
+        .cast("decimal(38,0)")).as("fp"),
+      count(lit(1)).as("n"),
+      count(when(col(idCol).isNull, lit(1))).as("n_null"))
+    val bytes = Dedup.buildBloomSized(observed, idCol, nItems, fpp)
+    val m = obs.get
+    val (fp, n, nNull) = (Observed.decimalSum(m, "fp").toString,
+      Observed.long(m, "n"), Observed.long(m, "n_null"))
     save(exclude.sparkSession, path, bytes, fpp = fpp,
       nIds = Some(n),
       idCol = Some(idCol),

@@ -90,11 +90,11 @@ object MinHashIndex {
   }
 
   /** Compute the corpus's signature relation (the exact lineage
-    * [[Dedup.minhashPairs]] uses) and persist it at `path`, plus one
-    * column-pruned aggregation for the doc count + content fingerprint.
-    * The signature job and the fingerprint job each scan the corpus once
-    * — both are map-side-only passes, and the build runs once per corpus
-    * version; between versions, [[update]] refreshes only the drifted
+    * [[Dedup.minhashPairs]] uses) and persist it at `path`. The doc
+    * count + content fingerprint ride the signature job as observed
+    * metrics, so the build scans the corpus EXACTLY ONCE (one
+    * map-side-only pass per corpus version); between versions,
+    * [[update]] refreshes only the drifted
     * rows. Each signature row also carries `fp = xxhash64(id, text)`,
     * the per-row summand of the manifest fingerprint, which is what
     * makes the incremental update possible without a corpus re-scan. */
@@ -105,7 +105,16 @@ object MinHashIndex {
     require(shingleSize > 0, "shingleSize must be positive")
     require(shardSpan > 0, "shardSpan must be positive")
     val spark = corpus.sparkSession
-    val sigs = Dedup.signatureRelationWithFp(corpus, idCol, textCol, numHashes, shingleSize)
+    // the doc count + content fingerprint ride the signature job as
+    // observed metrics (same expressions as fingerprintAndCount,
+    // evaluated once per row) instead of a second corpus scan — at
+    // fleet scale that second scan re-read the whole text column
+    val obs = org.apache.spark.sql.Observation()
+    val observed = corpus.observe(obs,
+      sum(xxhash64(Dedup.exactCol(idCol), Dedup.exactCol(textCol))
+        .cast("decimal(38,0)")).as("fp"),
+      count(lit(1)).as("n"))
+    val sigs = Dedup.signatureRelationWithFp(observed, idCol, textCol, numHashes, shingleSize)
     val sharded = isIntegral(corpus.schema(idCol).dataType)
     if (sharded)
       sigs.withColumn("sig_shard", shardOf(shardSpan))
@@ -113,7 +122,8 @@ object MinHashIndex {
         .mode(SaveMode.Overwrite).parquet(s"$path/signatures")
     else
       sigs.write.mode(SaveMode.Overwrite).parquet(s"$path/signatures")
-    val (fp, n) = fingerprintAndCount(corpus, idCol, textCol)
+    val m = obs.get
+    val (fp, n) = (Observed.decimalSum(m, "fp").toString, Observed.long(m, "n"))
     val manifest = mutable.LinkedHashMap[String, Any](
       "version" -> FormatVersion,
       "kind" -> "minhash_signatures",

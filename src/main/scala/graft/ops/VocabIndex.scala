@@ -104,22 +104,10 @@ object VocabIndex {
     sum(xxhash64(Dedup.exactCol(textCol)).cast("decimal(38,0)")).as("fp"),
     count(lit(1)).as("n"))
 
-  /** Observed-metric readers tolerant of the empty-relation case: when
-    * the input is optimizer-provably empty, PropagateEmptyRelation can
-    * eliminate the CollectMetrics node and the observation completes
-    * with NO metrics — which only ever happens when the true value is
-    * the empty aggregate (0 / null sum). */
-  private def fpOf(m: Map[String, Any]): BigInt = m.get("fp") match {
-    case Some(d: java.math.BigDecimal) => BigDecimal(d).toBigInt
-    case _ => BigInt(0)
-  }
+  private def fpOf(m: Map[String, Any]): BigInt = Observed.decimalSum(m, "fp")
 
   private def obsLong(m: Map[String, Any], key: String): Long =
-    m.get(key) match {
-      case Some(l: Long) => l
-      case Some(i: java.lang.Integer) => i.longValue
-      case _ => 0L
-    }
+    Observed.long(m, key)
 
   def buildAndSave(corpus: DataFrame, textCol: String, k: Int,
                    path: String, capacity: Option[Int] = None): Artifact = {
