@@ -402,16 +402,26 @@ object VocabIndex {
     // row counts ride the two writes as observed metrics — the
     // manifest's summary_rows/n_tokens used to cost two post-swap
     // parquet counts (the x78 job trim)
+    val normObs = org.apache.spark.sql.Observation()
     val sObs = org.apache.spark.sql.Observation()
     val vObs = org.apache.spark.sql.Observation()
-    norm.orderBy(col("lo").desc, col("token")).limit(sumCap)
+    norm.observe(normObs, count(lit(1)).as("n"))
+      .orderBy(col("lo").desc, col("token")).limit(sumCap)
       .observe(sObs, count(lit(1)).as("n"))
       .write.mode(SaveMode.Overwrite).parquet(sNext.toString)
     val kept = spark.read.parquet(sNext.toString)
-    val evictedMax = norm
-      .join(broadcast(kept.select(col("token").as("__kt"))),
-        col("token") === col("__kt"), "left_anti")
-      .agg(coalesce(max(col("hi")), lit(0L))).head().getLong(0)
+    val nNorm = Observed.long(normObs.get, "n")
+    val nKept = Observed.long(sObs.get, "n")
+    // the evicted-hi fold only costs a job when something was actually
+    // evicted: equal pre/post-truncation counts (both observed on the
+    // truncation write itself) prove the anti-join's input is empty —
+    // the ample-capacity common case pays nothing
+    val evictedMax =
+      if (nNorm == nKept) 0L
+      else norm
+        .join(broadcast(kept.select(col("token").as("__kt"))),
+          col("token") === col("__kt"), "left_anti")
+        .agg(coalesce(max(col("hi")), lit(0L))).head().getLong(0)
     val theta = math.max(baseTheta, evictedMax)
     // rank over ≤ k rows (post-limit): one task, artifact-sized
     val vocabW = org.apache.spark.sql.expressions.Window
@@ -429,7 +439,7 @@ object VocabIndex {
     }
     swap(sNext, "summary")
     swap(vNext, "vocabulary")
-    (theta, obsLong(sObs.get, "n"), obsLong(vObs.get, "n"))
+    (theta, nKept, obsLong(vObs.get, "n"))
   }
 
   private def writeManifest(spark: SparkSession, path: String, json: String): Unit = {
