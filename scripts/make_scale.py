@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Deterministic sfN scale-up of the driver's sf0.1 testdata (builder-side
+validation tooling; NOT part of the Spark library). Generalizes
+make_sf1.py — same replication scheme, parameterized factor:
+
+  python3 scripts/make_scale.py <factor> [dst_dir]
+
+factor 10 reproduces make_sf1.py's output exactly (same replica counts,
+same offsets, same ORDER BY); factor 100 builds an sf10-equivalent
+(100x the driver's sf0.1: 128M events, 500k documents, 200k embeddings,
+~60M lineitem). Replicates each sf0.1 table R times with key-column
+offsets of (max(key)+1)*i so every replica is a disjoint key population
+with the same per-key history shape, value distributions, and skew as the
+source data; foreign keys offset consistently so every join keeps its
+sf0.1 semantics at Rx the cardinality. events replicates at 12.8*factor
+copies (the sf1 convention that makes the events parquet large enough for
+the segmented-carry auto-gate to fire on its own).
+
+Pure SQL transforms over the source parquet (no randomness):
+byte-for-byte reproducible. Output: <dst_dir>/<table>.parquet
+(default /root/repo/testdata-sf{factor/10}, gitignored).
+"""
+import duckdb
+import os
+import sys
+
+
+SRC = "/root/testdata/sf0.1"
+
+
+def spec(factor):
+    # table -> (replicas, {col: (referenced table, referenced col)})
+    ev = (128 * factor) // 10  # 128 at factor 10, matching make_sf1.py
+    return {
+        "region":     (1,      {}),
+        "nation":     (1,      {}),
+        "customer":   (factor, {"c_custkey": ("customer", "c_custkey")}),
+        "supplier":   (factor, {"s_suppkey": ("supplier", "s_suppkey")}),
+        "part":       (factor, {"p_partkey": ("part", "p_partkey")}),
+        "orders":     (factor, {"o_orderkey": ("orders", "o_orderkey"),
+                                "o_custkey": ("customer", "c_custkey")}),
+        "lineitem":   (factor, {"l_orderkey": ("orders", "o_orderkey"),
+                                "l_partkey": ("part", "p_partkey"),
+                                "l_suppkey": ("supplier", "s_suppkey")}),
+        "events":     (ev,     {"event_id": ("events", "event_id"),
+                                "user_id": ("events", "user_id")}),
+        "documents":  (factor, {"doc_id": ("documents", "doc_id")}),
+        "embeddings": (factor, {"vec_id": ("embeddings", "vec_id")}),
+    }
+
+
+def main():
+    factor = int(sys.argv[1])
+    dst = sys.argv[2] if len(sys.argv) > 2 else (
+        f"/root/repo/testdata-sf{factor // 10}" if factor % 10 == 0
+        else f"/root/repo/testdata-x{factor}")
+    tables = spec(factor)
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    con.execute("SET threads TO 16")
+
+    offsets = {}
+    for tbl, col in {v for _, keys in tables.values() for v in keys.values()}:
+        mx = con.execute(
+            f"SELECT max({col}) FROM '{SRC}/{tbl}.parquet'").fetchone()[0]
+        offsets[(tbl, col)] = int(mx) + 1
+
+    for tbl, (reps, keys) in tables.items():
+        cols = [r[0] for r in con.execute(
+            f"DESCRIBE SELECT * FROM '{SRC}/{tbl}.parquet'").fetchall()]
+        proj = ", ".join(
+            f"{c} + {offsets[keys[c]]}::BIGINT * i AS {c}" if c in keys else c
+            for c in cols)
+        out = f"{dst}/{tbl}.parquet"
+        con.execute(f"""
+            COPY (SELECT {proj}
+                  FROM '{SRC}/{tbl}.parquet', range({reps}) r(i)
+                  ORDER BY i)
+            TO '{out}' (FORMAT PARQUET, COMPRESSION SNAPPY)
+        """)
+        n = con.execute(f"SELECT count(*) FROM '{out}'").fetchone()[0]
+        sz = os.path.getsize(out)
+        print(f"{tbl}: {reps}x -> {n} rows, {sz/1e6:.1f} MB", flush=True)
+
+    print("done", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -67,12 +67,12 @@ object DumpPlans {
       ("x75_common_line_scrub", "corpus-frequency line scrub — document frequency as DISTINCT (line, doc) partial-combining aggregation (a boilerplate line repeated across a mapper's docs collapses pre-exchange), frequent head filtered aggregate-side and anti-joined (AQE-broadcastable: the head is tiny by construction), dedupLines-shaped per-doc rebuild; no COUNT(DISTINCT) Expand anywhere"),
       ("x80_vocab_growth", "vocabulary growth curve — the running distinct-count as min(id)-per-token: ONE map-side-combined token exchange (a boilerplate token is one row per mapper), bucket aggregate over the vocabulary-sized relation, cumulative window single-task over BUCKET rows only; no sequential scan, no corpus-wide window"),
       ("x81_token_spectrum", "token-frequency spectrum — token counts are the only corpus-sized exchange (partial combine); count-of-counts re-aggregates the vocabulary-sized relation; the DESC cumulative window runs over the O(sqrt N)-row spectrum"),
-      ("x82_budget_select", "quality-ranked token budget — the crossing point is ONE collected row, so every consumer is a LITERAL pushed into the scan: fully-in bands are a map-only `priority > boundary` filter (PushedFilters in the scan below — losers never leave parquet); only the ONE boundary band pays a prefix sum, as parallel per-(id div shardSize) windows with a tiny offset rollup against the literal remaining budget; the classification aggregate ran exactly once at build (collect ≤ 1 row), and no global (priority, id) sort exists anywhere"),
+      ("x82_budget_select", "quality-ranked token budget — the crossing point is ONE collected row, so every consumer is a LITERAL pushed into the scan: fully-in bands are a map-only `priority > boundary` filter (PushedFilters in the scan below — losers never leave parquet); only the ONE boundary band pays a prefix sum, as parallel per-(id div shardSize) windows with a tiny offset rollup against the literal remaining budget. The classification that found the crossing ran exactly once at build (collect ≤ 1 row) and is itself a TWO-LEVEL prefix over sampler-balanced priority range-shards (repartitionByRange on priority DESC, spark_partition_id as the monotone shard key): per-shard running prefixes are windows PARTITIONED by shard, and the only unpartitioned window rolls up ≤ nShards one-row-per-shard totals sorted by SHARD ID — scale-safe under raw continuous classifier doubles, no global (priority, id) sort anywhere"),
       ("x82b_budget_select_skew", "budget selection, all-boundary worst case — every doc shares one priority, so the fully-in branch is empty and the ENTIRE selection runs the shard-prefix path: parallel per-(id div 100) windows (Sort+Window partitioned by __shard, never a global sort), the tiny per-shard offset rollup broadcast back, literal remaining budget in the filter"),
       ("x83_mix_drift", "source-mix drift (PSI) — each side collapses map-side to a per-value count aggregate; totals ride one-row broadcasts; the full-outer join runs over the two tiny aggregates, corpus rows never shuffle"),
       ("x84_audit_pairs", "borderline audit queue — TakeOrderedAndProject over the pair relation (per-partition partial top-k, no global pair sort); both text attachments are broadcast joins of the k-row queue against the corpus scan"),
-      ("x86_rate_anomaly", "event-rate anomaly — raw events collapse map-side to (window, type) counts, the ONLY corpus-sized exchange; the spine (span x types) generates from a one-row broadcast; the trailing-moments window runs over the bounded count relation partitioned by type, never raw events"),
-      ("x87_budget_by_source", "per-source budget selection — the per-source crossing rows came back in ONE bounded collect at build; both remaining branches join the tiny broadcast boundary map: fully-in rows map-only, boundary tie groups through per-(source, id-shard) windows with a per-source offset rollup; no (source, priority, id) global or per-source single-task sort anywhere"))
+      ("x86_rate_anomaly", "event-rate anomaly — raw events collapse map-side to (window, type) counts, the ONLY corpus-sized exchange; the spine (span x types) generates in BOUNDED SLABS from a one-row broadcast (a slab-index explode exchanges on (type, slab), then per-slab sequences of ≤ 8192 windows — no task ever materializes a span-sized array, guard at 1B windows); the trailing-moments window runs over the bounded count relation partitioned by type, never raw events"),
+      ("x87_budget_by_source", "per-source budget selection — the per-source crossing rows came back in ONE bounded collect at build (classification = the x82 range-shard prefix vectorized over the composite (source, priority DESC) key, so a source spans contiguous shards and every window is partitioned by source and/or shard; the rollup consumes ≤ nShards rows per source); both remaining branches join the tiny broadcast boundary map: fully-in rows map-only, boundary tie groups through per-(source, id-shard) windows with a per-source offset rollup; no (source, priority, id) global or per-source single-task sort anywhere"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence for the scale-posture claims\n\n")
