@@ -3,7 +3,11 @@
 validation tooling; NOT part of the Spark library). Generalizes
 make_sf1.py — same replication scheme, parameterized factor:
 
-  python3 scripts/make_scale.py <factor> [dst_dir]
+  python3 scripts/make_scale.py <factor> [dst_dir] [table,table,...]
+
+The optional third arg restricts generation to the named tables (e.g.
+`events` alone for the billion-row event-family probe, where the other
+tables would waste disk).
 
 factor 10 reproduces make_sf1.py's output exactly (same replica counts,
 same offsets, same ORDER BY); factor 100 builds an sf10-equivalent
@@ -55,9 +59,27 @@ def main():
         f"/root/repo/testdata-sf{factor // 10}" if factor % 10 == 0
         else f"/root/repo/testdata-x{factor}")
     tables = spec(factor)
+    if len(sys.argv) > 3:
+        only = set(sys.argv[3].split(","))
+        unknown = only - set(tables)
+        if unknown:
+            sys.exit(f"unknown tables: {sorted(unknown)}")
+        tables = {t: v for t, v in tables.items() if t in only}
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
-    con.execute("SET threads TO 16")
+    con.execute(f"SET threads TO {os.environ.get('MAKE_SCALE_THREADS', 16)}")
+    # The replica-major ORDER BY buffers the whole table in the sort: at
+    # factor 1000 that's a 1.28B-row / ~64 GB sort, which OOMs the box
+    # when anything else is running. Cap DuckDB's memory and, for large
+    # replica counts, generate in replica-range CHUNKS instead — each
+    # chunk is its own parquet file under <table>.parquet/ (Spark reads
+    # the directory transparently), sorted within itself, so the overall
+    # layout is still replica-major with the same per-replica time
+    # clustering, and no sort ever exceeds chunk size.
+    con.execute(f"SET memory_limit = "
+                f"'{os.environ.get('MAKE_SCALE_MEM', '24GB')}'")
+    con.execute(f"SET temp_directory = '{dst}/.duckdb_tmp'")
+    chunk_rows = int(os.environ.get("MAKE_SCALE_CHUNK_ROWS", 100_000_000))
 
     offsets = {}
     for tbl, col in {v for _, keys in tables.values() for v in keys.values()}:
@@ -72,14 +94,35 @@ def main():
             f"{c} + {offsets[keys[c]]}::BIGINT * i AS {c}" if c in keys else c
             for c in cols)
         out = f"{dst}/{tbl}.parquet"
-        con.execute(f"""
-            COPY (SELECT {proj}
-                  FROM '{SRC}/{tbl}.parquet', range({reps}) r(i)
-                  ORDER BY i)
-            TO '{out}' (FORMAT PARQUET, COMPRESSION SNAPPY)
-        """)
-        n = con.execute(f"SELECT count(*) FROM '{out}'").fetchone()[0]
-        sz = os.path.getsize(out)
+        n_src = con.execute(
+            f"SELECT count(*) FROM '{SRC}/{tbl}.parquet'").fetchone()[0]
+        reps_per_chunk = max(1, chunk_rows // max(1, n_src))
+        if reps > reps_per_chunk:
+            os.makedirs(out, exist_ok=True)
+            for ci, lo in enumerate(range(0, reps, reps_per_chunk)):
+                hi = min(lo + reps_per_chunk, reps)
+                con.execute(f"""
+                    COPY (SELECT {proj}
+                          FROM '{SRC}/{tbl}.parquet', range({lo}, {hi}) r(i)
+                          ORDER BY i)
+                    TO '{out}/chunk-{ci:04d}.parquet'
+                    (FORMAT PARQUET, COMPRESSION SNAPPY)
+                """)
+                print(f"  {tbl} chunk {ci}: replicas [{lo}, {hi})",
+                      flush=True)
+            glob_sql = f"'{out}/*.parquet'"
+            sz = sum(os.path.getsize(os.path.join(out, f))
+                     for f in os.listdir(out))
+        else:
+            con.execute(f"""
+                COPY (SELECT {proj}
+                      FROM '{SRC}/{tbl}.parquet', range({reps}) r(i)
+                      ORDER BY i)
+                TO '{out}' (FORMAT PARQUET, COMPRESSION SNAPPY)
+            """)
+            glob_sql = f"'{out}'"
+            sz = os.path.getsize(out)
+        n = con.execute(f"SELECT count(*) FROM {glob_sql}").fetchone()[0]
         print(f"{tbl}: {reps}x -> {n} rows, {sz/1e6:.1f} MB", flush=True)
 
     print("done", file=sys.stderr)

@@ -28,6 +28,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def connect(data_dir):
     con = duckdb.connect()
     con.execute("SET threads TO 16")
+    # Cap DuckDB so a heavy oracle (e.g. the 100M-row range-join compare
+    # at sf10) spills to disk instead of racing a resident Spark JVM to a
+    # box-level OOM. Defaults sized for a 128 GB box with a 48g JVM.
+    con.execute(f"SET memory_limit = "
+                f"'{os.environ.get('ORACLE_REPLAY_MEM', '40GB')}'")
+    tmp = os.environ.get("ORACLE_REPLAY_TMP", "/tmp/duckdb_replay_tmp")
+    con.execute(f"SET temp_directory = '{tmp}'")
     for t in TABLES:
         p = f"{data_dir}/{t}.parquet"
         if os.path.exists(p):
@@ -129,13 +136,21 @@ def main():
         # fresh connection per query (no view/temp leakage); closing is in
         # a finally so the early-continue branches don't leak one
         # connection per skipped query
-        con = connect(data_dir)
+        # a query that dies OUTSIDE _replay_one's per-query handling (a
+        # connect-time or allocator-level OutOfMemoryException) must not
+        # kill the whole replay — record it and keep going
         try:
-            _replay_one(con, out_dir, name, oracle_sql, results)
-        finally:
-            con.close()
+            con = connect(data_dir)
+            try:
+                _replay_one(con, out_dir, name, oracle_sql, results)
+            finally:
+                con.close()
+        except Exception as e:
+            results[name] = {"status": "REPLAY_ERROR",
+                             "err": str(e).split("\n")[0]}
         row = results[name]
-        if row.get("status") in ("NO_SPARK_OUTPUT", "ORACLE_SQL_ERROR", "FAIL"):
+        if row.get("status") in ("NO_SPARK_OUTPUT", "ORACLE_SQL_ERROR",
+                                 "REPLAY_ERROR", "FAIL"):
             fails += 1
         print(f"{name}: {row['status']}"
               + (f" ({row.get('spark_rows')} rows)"

@@ -1,0 +1,185 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Beyond-oracle scale validation for the event-time family: runs the
+  * headline event operators on a replicated dataset built by
+  * `scripts/make_scale.py` and checks EXACT linear-replication
+  * invariants against the sf0.1 source instead of a DuckDB replay
+  * (which stops being practical past ~10^8 rows).
+  *
+  * The generator replicates events R times with user_id/event_id offsets
+  * and everything else (ts, event_type, value) untouched, so every
+  * replica is a disjoint user population with an identical history.
+  * Per-user operators therefore obey exact invariants at factor R:
+  *
+  *  - sessionize: every base session appears R times (distinct users,
+  *    same (session_start, session_end, n_events)) — the grouped count
+  *    per that key is EXACTLY R x the base count;
+  *  - retention: each (cohort, offset) cell's n_users is EXACTLY R x;
+  *  - funnel: each (ts_1..ts_k, steps_completed) profile count is
+  *    EXACTLY R x;
+  *  - windowed counts: per (window, type) n_events is EXACTLY R x and
+  *    total_value is R x up to float rounding;
+  *  - rate anomaly: per (window, type) n_events is EXACTLY R x while
+  *    trail z-scores are SCALE-INVARIANT (mean and stddev both scale by
+  *    R; the exact-decimal variance numerator scales by R^2), so z
+  *    matches the base run to float tolerance and the spine row count
+  *    is IDENTICAL (silence is scale-free).
+  *
+  * A violation of any of these is a real correctness bug, not noise —
+  * the invariants hold in exact arithmetic by construction. The same
+  * tool run against testdata-sf10 (R=100) cross-checks the invariant
+  * harness itself against the full DuckDB replay that also runs there.
+  *
+  * Usage: ScaleProbe <scaledDir> <factor> [baseDir=/root/testdata/sf0.1]
+  * `factor` is the EVENTS replica count R of the scaled dir — the
+  * generator replicates events at 128*factor/10, so testdata-sf10 is
+  * R=1280 and testdata-sf100 is R=12800 (1.28B events).
+  * Env:   SPARK_GRAFT_CPUS (default 4), SPARK_GRAFT_SHUFFLE (default 256),
+  *        SPARK_DRIVER_MEM via build.sbt fork options.
+  */
+object ScaleProbe {
+  import graft.streaming.EventStreams
+
+  def main(args: Array[String]): Unit = {
+    val scaledDir = args(0)
+    val factor = args(1).toLong
+    val baseDir = args.lift(2).getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "256")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIR", "/tmp"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = EventStreams.eventsFrame(spark, baseDir)
+    val scaled = EventStreams.eventsFrame(spark, scaledDir)
+    val nBase = base.count()
+    val nScaled = scaled.count()
+    println(f"[probe] base events=$nBase%,d scaled events=$nScaled%,d factor=$factor")
+    require(nScaled == nBase * factor,
+      s"row-count replication broken: $nScaled != $nBase * $factor")
+
+    var failures = 0
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      timings(name) = dt
+      println(f"[probe] $name%-28s ${dt}%8.1f s"); r
+    }
+
+    /** Exact xR invariant: `agg` maps the operator output to (key cols,
+      * long `n`). Checks every base key appears scaled with n_scaled ==
+      * factor * n_base and no unmatched keys on either side. */
+    def checkExact(name: String, keys: Seq[String],
+                   agg: DataFrame => DataFrame): Unit = {
+      val b = agg(base).withColumnRenamed("n", "n_b")
+      val sAgg = agg(scaled).withColumnRenamed("n", "n_s").persist()
+      try {
+        timed(name)(sAgg.count()) // the timer covers materialization
+        val joined = b.join(sAgg, keys, "full_outer")
+        val bad = joined.filter(col("n_b").isNull || col("n_s").isNull ||
+          col("n_s") =!= col("n_b") * factor)
+        val nBad = bad.count()
+        if (nBad != 0) {
+          failures += 1
+          println(s"[probe] FAIL $name: $nBad keys violate n_s == $factor*n_b")
+          bad.show(5, truncate = false)
+        } else {
+          println(s"[probe] PASS $name: ${b.count()} keys, all exactly x$factor")
+        }
+      } finally sAgg.unpersist()
+    }
+
+    // 1. sessionize (gap 6h): session-profile multiset scales exactly
+    checkExact("sessionize", Seq("session_start", "session_end", "n_events"),
+      ev => EventStreams.sessionizeBatch(ev, gapSeconds = 21600)
+        .groupBy("session_start", "session_end", "n_events")
+        .agg(count(lit(1)).as("n")))
+
+    // 2. retention (daily cohorts, 7 offsets): every cell scales exactly
+    checkExact("retention", Seq("cohort", "offset"),
+      ev => EventStreams.retention(ev, periodSeconds = 86400L, maxOffset = 7)
+        .select(col("cohort"), col("offset"), col("n_users").as("n")))
+
+    // 3. funnel signup->click->purchase: per-profile counts scale exactly
+    checkExact("funnel", Seq("ts_1", "ts_2", "ts_3", "steps_completed"),
+      ev => EventStreams.funnel(ev, "user_id", Seq("signup", "click", "purchase"))
+        .groupBy("ts_1", "ts_2", "ts_3", "steps_completed")
+        .agg(count(lit(1)).as("n")))
+
+    // 4. tumbling windowed counts: n_events exact, total_value to 1e-2*R
+    {
+      def agg(ev: DataFrame) = ev
+        .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("v"))
+      val b = agg(base).withColumnRenamed("n", "n_b").withColumnRenamed("v", "v_b")
+      val sAgg = agg(scaled).withColumnRenamed("n", "n_s")
+        .withColumnRenamed("v", "v_s").persist()
+      timed("windowed_counts")(sAgg.count())
+      val joined = b.join(sAgg, Seq("window_start", "event_type"), "full_outer")
+      val bad = joined.filter(col("n_b").isNull || col("n_s").isNull ||
+        col("n_s") =!= col("n_b") * factor ||
+        abs(col("v_s") - col("v_b") * factor) > lit(0.01) * col("n_s"))
+      val nBad = bad.count()
+      if (nBad != 0) {
+        failures += 1
+        println(s"[probe] FAIL windowed_counts: $nBad keys violate x$factor")
+        bad.show(5, truncate = false)
+      } else println(s"[probe] PASS windowed_counts: ${b.count()} keys")
+      sAgg.unpersist()
+    }
+
+    // 5. rate anomaly (hourly, trailing 5): counts exact xR, z and the
+    // anomaly flag scale-invariant (z to 1e-3 — both sides round to 4dp;
+    // flag compared only off the |z|~threshold knife edge)
+    {
+      def run(ev: DataFrame) = EventStreams.rateAnomaly(
+        ev, windowLength = "1 hour", trailing = 5, zThreshold = 3.0)
+      val b = run(base).select(col("window_start"), col("event_type"),
+        col("n_events").as("n_b"), col("z").as("z_b"),
+        col("anomaly").as("a_b"))
+      val sRes = run(scaled).select(
+        col("window_start"), col("event_type"), col("n_events").as("n_s"),
+        col("z").as("z_s"), col("anomaly").as("a_s")).persist()
+      val nSpineS = timed("rate_anomaly")(sRes.count())
+      val nSpineB = b.count()
+      val joined = b.join(sRes, Seq("window_start", "event_type"), "full_outer")
+      val zBad = joined.filter(col("n_b").isNull || col("n_s").isNull ||
+        col("n_s") =!= col("n_b") * factor ||
+        (col("z_b").isNull =!= col("z_s").isNull) ||
+        (col("z_b").isNotNull && abs(col("z_s") - col("z_b")) > 1e-3))
+      val flagBad = joined.filter(col("z_b").isNotNull &&
+        abs(abs(col("z_b")) - 3.0) > 0.01 && (col("a_b") =!= col("a_s")))
+      val nz = zBad.count(); val nf = flagBad.count()
+      if (nSpineB != nSpineS || nz != 0 || nf != 0) {
+        failures += 1
+        println(s"[probe] FAIL rate_anomaly: spine $nSpineB vs $nSpineS, " +
+          s"$nz count/z violations, $nf off-edge flag flips")
+        zBad.show(5, truncate = false)
+      } else println(s"[probe] PASS rate_anomaly: spine $nSpineS rows " +
+        s"identical, counts x$factor, z scale-invariant to 1e-3")
+      sRes.unpersist()
+    }
+
+    val tj = timings.map { case (k, v) => s""""$k":${f"$v%.1f"}""" }
+      .mkString(",")
+    println(s"""{"probe":"events_scale","scaled_dir":"$scaledDir",""" +
+      s""""factor":$factor,"events":$nScaled,"failures":$failures,""" +
+      s""""timings_sec":{$tj}}""")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}
