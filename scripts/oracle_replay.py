@@ -47,26 +47,49 @@ def cols_of(con, rel_sql):
             con.execute(f"DESCRIBE {rel_sql}").fetchall()]
 
 
-def render(col, typ, tolerant):
-    """Projection for one column: exact passthrough, or — in the tolerant
-    pass — floats at 9 significant digits so a last-ulp difference from
-    aggregation order doesn't read as a failure."""
+def render_expr(col, typ, tolerant):
+    """Comparison expression for one column: exact passthrough, or — in
+    the tolerant pass — floats at 9 significant digits so a last-ulp
+    difference from aggregation order doesn't read as a failure."""
     q = f'"{col}"'
     if not tolerant:
-        return f"{q} AS {q}"
+        return q
     if typ in ("DOUBLE", "FLOAT"):
         return (f"CASE WHEN {q} IS NULL THEN NULL "
-                f"ELSE printf('%.8e', {q}::DOUBLE) END AS {q}")
+                f"ELSE printf('%.8e', {q}::DOUBLE) END")
     if typ in ("DOUBLE[]", "FLOAT[]"):
         return (f"CASE WHEN {q} IS NULL THEN NULL ELSE list_transform({q}, "
                 f"x -> CASE WHEN x IS NULL THEN NULL "
-                f"ELSE printf('%.8e', x::DOUBLE) END) END AS {q}")
-    return f"{q} AS {q}"
+                f"ELSE printf('%.8e', x::DOUBLE) END) END")
+    return q
 
 
-def diff_count(con, a_sql, b_sql, names, types, tolerant):
+def render(col, typ, tolerant):
+    return f'{render_expr(col, typ, tolerant)} AS "{col}"'
+
+
+HASH_ROWS = int(os.environ.get("ORACLE_REPLAY_HASH_ROWS", 20_000_000))
+
+
+def diff_count(con, a_sql, b_sql, names, types, tolerant, n_rows=0):
     proj = ", ".join(render(c, t, tolerant)
                      for c, t in sorted(zip(names, types)))
+    if n_rows > HASH_ROWS:
+        # EXCEPT ALL materializes both relations in the hash set-op and
+        # DuckDB cannot spill it — at a 100M-row result that is a
+        # guaranteed OOM. Compare order-insensitively via an unordered
+        # multiset hash instead (count + sum of per-row hashes over the
+        # rendered row text, NULLs made explicit) — the same style of
+        # check as the driver's own gate, at O(1) memory.
+        def ms(sql):
+            cols = ", ".join(
+                f"coalesce(CAST({render_expr(c, t, tolerant)} "
+                f"AS VARCHAR), chr(1)||'NULL')"
+                for c, t in sorted(zip(names, types)))
+            return con.execute(
+                f"SELECT count(*), sum(hash(concat_ws(chr(31), {cols}))) "
+                f"FROM ({sql})").fetchone()
+        return 0 if ms(a_sql) == ms(b_sql) else 1
     return con.execute(f"""
         SELECT count(*) FROM (
           (SELECT {proj} FROM ({a_sql})
@@ -109,11 +132,14 @@ def _replay_one(con, out_dir, name, oracle_sql, results):
         row["spark_cols"], row["oracle_cols"] = sc, oc
     else:
         names_, types_ = [c for c, _ in sc], [t for _, t in sc]
-        d = diff_count(con, spark_sql, osql, names_, types_, False)
+        if n_spark > HASH_ROWS:
+            row["compare"] = "unordered_hash"
+        d = diff_count(con, spark_sql, osql, names_, types_, False, n_spark)
         if d == 0:
             row["status"] = "exact"
         else:
-            dt = diff_count(con, spark_sql, osql, names_, types_, True)
+            dt = diff_count(con, spark_sql, osql, names_, types_, True,
+                            n_spark)
             if dt == 0:
                 row["status"] = "float_tolerant"
                 row["exact_diff_rows"] = d
@@ -123,31 +149,46 @@ def _replay_one(con, out_dir, name, oracle_sql, results):
     results[name] = row
 
 
-def main():
-    out_dir, data_dir = sys.argv[1], sys.argv[2]
-    report_path = sys.argv[3] if len(sys.argv) > 3 else None
+def _one_main():
+    """Internal: replay a single query in THIS process and print its
+    result row as JSON. main() runs one subprocess per query so a DuckDB
+    allocator-level OOM (which wedges the allocator for the rest of the
+    process lifetime) is contained to the one query."""
+    name, out_dir, data_dir = sys.argv[2], sys.argv[3], sys.argv[4]
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle_sql = json.load(f)
+    results = {}
+    con = connect(data_dir)
+    try:
+        _replay_one(con, out_dir, name, oracle_sql, results)
+    finally:
+        con.close()
+    print(json.dumps(results[name]))
+
+
+def main():
+    import subprocess
+    out_dir, data_dir = sys.argv[1], sys.argv[2]
+    report_path = sys.argv[3] if len(sys.argv) > 3 else None
 
     results, fails = {}, 0
     names_all = sorted(d for d in os.listdir(out_dir)
                        if os.path.isdir(os.path.join(out_dir, d)))
     for name in names_all:
-        # fresh connection per query (no view/temp leakage); closing is in
-        # a finally so the early-continue branches don't leak one
-        # connection per skipped query
-        # a query that dies OUTSIDE _replay_one's per-query handling (a
-        # connect-time or allocator-level OutOfMemoryException) must not
-        # kill the whole replay — record it and keep going
-        try:
-            con = connect(data_dir)
-            try:
-                _replay_one(con, out_dir, name, oracle_sql, results)
-            finally:
-                con.close()
-        except Exception as e:
+        # subprocess per query (fresh process = fresh allocator and no
+        # view/temp leakage): a query that dies at the allocator level
+        # must not kill or poison the rest of the replay
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", name,
+             out_dir, data_dir],
+            capture_output=True, text=True)
+        if proc.returncode == 0 and proc.stdout.strip():
+            results[name] = json.loads(proc.stdout.strip().splitlines()[-1])
+        else:
+            err = (proc.stderr or "").strip().splitlines()
             results[name] = {"status": "REPLAY_ERROR",
-                             "err": str(e).split("\n")[0]}
+                             "err": err[-1] if err else
+                             f"exit {proc.returncode}"}
         row = results[name]
         if row.get("status") in ("NO_SPARK_OUTPUT", "ORACLE_SQL_ERROR",
                                  "REPLAY_ERROR", "FAIL"):
@@ -172,4 +213,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--one":
+        _one_main()
+    else:
+        main()
