@@ -83,13 +83,9 @@ object ScaleProbe {
       }
       raw.withColumn("ts", sec)
     }
-    val base = rawEvents(baseDir)
-    val scaled = rawEvents(scaledDir)
-    val nBase = base.count()
-    val nScaled = scaled.count()
-    println(f"[probe] base events=$nBase%,d scaled events=$nScaled%,d factor=$factor")
-    require(nScaled == nBase * factor,
-      s"row-count replication broken: $nScaled != $nBase * $factor")
+    val haveEvents = new java.io.File(s"$scaledDir/events.parquet").exists()
+    val haveDocs =
+      new java.io.File(s"$scaledDir/documents.parquet").exists()
 
     var failures = 0
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -112,6 +108,69 @@ object ScaleProbe {
       timings(name) = dt
       println(f"[probe] $name%-28s ${dt}%8.1f s"); r
     }
+
+    // ---------- documents family (replicas are disjoint doc_id
+    // populations with identical text, so keep-min-id exact dedup must
+    // return EXACTLY the base survivors — replica 0 carries the original,
+    // minimal ids — and corpus token counts scale exactly xR) ----------
+    if (haveDocs) {
+      val bDocs = spark.read.parquet(s"$baseDir/documents.parquet")
+      val sDocs = spark.read.parquet(s"$scaledDir/documents.parquet")
+      val rDocs = sDocs.count() / math.max(1L, bDocs.count())
+      println(f"[probe] docs base=${bDocs.count()}%,d " +
+        f"scaled=${sDocs.count()}%,d factor=$rDocs")
+
+      guarded("exact_dedup_eq") {
+        val a = graft.ops.Dedup.exactByText(bDocs, "text", "doc_id")
+        val s = graft.ops.Dedup.exactByText(sDocs, "text", "doc_id")
+          .persist()
+        timed("exact_dedup_eq")(s.count())
+        val diff = s.exceptAll(a).count() + a.exceptAll(s).count()
+        if (diff != 0) {
+          failures += 1
+          println(s"[probe] FAIL exact_dedup_eq: $diff rows differ from " +
+            "the base survivors")
+        } else println(s"[probe] PASS exact_dedup_eq: ${a.count()} " +
+          "survivors, scaled output IDENTICAL to base (keep-min-id " +
+          "lands on replica 0)")
+        s.unpersist()
+      }
+
+      guarded("vocab_topk") {
+        val a = graft.ops.TextOps.topTokens(bDocs, "text", 100)
+          .withColumnRenamed("n", "n_b")
+        val s = graft.ops.TextOps.topTokens(sDocs, "text", 100)
+          .withColumnRenamed("n", "n_s").persist()
+        timed("vocab_topk")(s.count())
+        val bad = a.join(s, Seq("token"), "full_outer")
+          .filter(col("n_b").isNull || col("n_s").isNull ||
+            col("n_s") =!= col("n_b") * rDocs).count()
+        if (bad != 0) {
+          failures += 1
+          println(s"[probe] FAIL vocab_topk: $bad of the top-100 tokens " +
+            s"violate n_s == $rDocs*n_b")
+        } else println(s"[probe] PASS vocab_topk: same 100 tokens, " +
+          s"counts exactly x$rDocs")
+        s.unpersist()
+      }
+    }
+
+    if (!haveEvents) {
+      println(s"""{"probe":"docs_scale","scaled_dir":"$scaledDir",""" +
+        s""""failures":$failures,"timings_sec":{${timings.map {
+          case (k, v) => s""""$k":${f"$v%.1f"}""" }.mkString(",")}}}""")
+      spark.stop()
+      if (failures > 0) sys.exit(1)
+      return
+    }
+
+    val base = rawEvents(baseDir)
+    val scaled = rawEvents(scaledDir)
+    val nBase = base.count()
+    val nScaled = scaled.count()
+    println(f"[probe] base events=$nBase%,d scaled events=$nScaled%,d factor=$factor")
+    require(nScaled == nBase * factor,
+      s"row-count replication broken: $nScaled != $nBase * $factor")
 
     /** Exact xR invariant: `agg` maps the operator output to (key cols,
       * long `n`). Checks every base key appears scaled with n_scaled ==
