@@ -24,16 +24,22 @@ import scala.collection.mutable
   * MinHashIndexSpec and by x66 sharing x43b's oracle verbatim).
   *
   * Layout:
-  *   - `<path>/signatures/` — the (id, sig) parquet. For integral ids
-  *     it is written PARTITIONED by `sig_shard = id div shard_span`
-  *     (directory-per-shard), which is what makes [[update]]'s IO
-  *     drift-sized: a refresh rewrites only the shard directories
-  *     containing drifted ids, leaving every other shard's files
-  *     byte-untouched. Probes are unaffected — band expansion
-  *     re-shuffles by (band, bucket) anyway, and [[load]] drops the
-  *     shard column so consumers see exactly (id, sig, fp).
-  *     Non-integral ids fall back to the flat single-relation layout
-  *     (and [[update]] to a whole-relation staged rewrite).
+  *   - `<path>/signatures/` — the (id, sig) parquet, written
+  *     PARTITIONED by a `sig_shard` directory key for EVERY id type,
+  *     which is what makes [[update]]'s IO drift-sized: a refresh
+  *     rewrites only the shard directories containing drifted ids,
+  *     leaving every other shard's files byte-untouched. Integral ids
+  *     shard by locality (`sig_shard = id div shard_span`, so appends
+  *     land in the tail shard and an id-local edit touches one shard);
+  *     string/UUID/any other id type shards by hash
+  *     (`sig_shard = pmod(xxhash64(id), n_shards)`), which spreads a
+  *     k-row drift over at most k shards — the same drift-sized-IO
+  *     contract, just without the append-locality bonus. Probes are
+  *     unaffected — band expansion re-shuffles by (band, bucket)
+  *     anyway, and [[load]] drops the shard column so consumers see
+  *     exactly (id, sig, fp). Flat pre-shard layouts still load and
+  *     probe; [[update]] on them falls back to a whole-relation staged
+  *     rewrite.
   *   - `<path>/manifest.json` — format version, the parameters that make
   *     signatures comparable (num_hashes, shingle_size — consumers take
   *     these FROM the artifact; a mismatched batch side would silently
@@ -67,7 +73,8 @@ object MinHashIndex {
                             idType: Option[String] = None,
                             nDocs: Option[Long] = None,
                             contentFingerprint: Option[String] = None,
-                            shardSpan: Option[Long] = None)
+                            shardSpan: Option[Long] = None,
+                            nShards: Option[Int] = None)
 
   /** Order-independent content fingerprint of the corpus's (id, text)
     * pairs: the exact decimal sum of xxhash64(id, text) — one
@@ -100,10 +107,12 @@ object MinHashIndex {
     * makes the incremental update possible without a corpus re-scan. */
   def buildAndSave(corpus: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 64, shingleSize: Int = 3,
-                   path: String, shardSpan: Long = 1L << 20): Artifact = {
+                   path: String, shardSpan: Long = 1L << 20,
+                   hashShards: Int = 1024): Artifact = {
     require(numHashes > 0, "numHashes must be positive")
     require(shingleSize > 0, "shingleSize must be positive")
     require(shardSpan > 0, "shardSpan must be positive")
+    require(hashShards > 0, "hashShards must be positive")
     val spark = corpus.sparkSession
     // the doc count + content fingerprint ride the signature job as
     // observed metrics (same expressions as fingerprintAndCount,
@@ -115,13 +124,11 @@ object MinHashIndex {
         .cast("decimal(38,0)")).as("fp"),
       count(lit(1)).as("n"))
     val sigs = Dedup.signatureRelationWithFp(observed, idCol, textCol, numHashes, shingleSize)
-    val sharded = isIntegral(corpus.schema(idCol).dataType)
-    if (sharded)
-      sigs.withColumn("sig_shard", shardOf(shardSpan))
-        .write.partitionBy("sig_shard")
-        .mode(SaveMode.Overwrite).parquet(s"$path/signatures")
-    else
-      sigs.write.mode(SaveMode.Overwrite).parquet(s"$path/signatures")
+    val spanSharded = isIntegral(corpus.schema(idCol).dataType)
+    val shard = if (spanSharded) shardOf(shardSpan) else hashShardOf(hashShards)
+    sigs.withColumn("sig_shard", shard)
+      .write.partitionBy("sig_shard")
+      .mode(SaveMode.Overwrite).parquet(s"$path/signatures")
     val m = obs.get
     val (fp, n) = (Observed.decimalSum(m, "fp").toString, Observed.long(m, "n"))
     val manifest = mutable.LinkedHashMap[String, Any](
@@ -133,7 +140,8 @@ object MinHashIndex {
       "id_type" -> corpus.schema(idCol).dataType.catalogString,
       "n_docs" -> n,
       "fingerprint" -> fp) ++
-      (if (sharded) Seq("shard_span" -> shardSpan.asInstanceOf[Any]) else Nil)
+      (if (spanSharded) Seq("shard_span" -> shardSpan.asInstanceOf[Any])
+       else Seq("n_shards" -> hashShards.toLong.asInstanceOf[Any]))
     writeManifest(spark, path, graft.engine.QueryJson.write(manifest))
     load(spark, path)
   }
@@ -157,6 +165,22 @@ object MinHashIndex {
     coalesce(expr(
       s"(CAST(id AS BIGINT) - pmod(CAST(id AS BIGINT), ${span}L)) div ${span}L"),
       lit(0L))
+
+  /** Hash shard for non-integral ids: `pmod(xxhash64(id), n)` — total
+    * over every id type (xxhash64 folds a null id deterministically, so
+    * null-id rows land in one fixed shard), uniform, and a pure function
+    * of the id alone, which is exactly what the drift-sized rewrite
+    * needs: the same id hashes to the same shard at build time and at
+    * every later update. Always applied to the signature relation's
+    * fixed `id` column. */
+  private def hashShardOf(n: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(col("id")), lit(n.toLong))
+
+  /** The layout's shard expression, if the artifact is shard-partitioned
+    * at all: locality span for integral-id layouts, id hash for the
+    * rest, None for flat pre-shard layouts. */
+  private def shardExprOf(art: Artifact): Option[org.apache.spark.sql.Column] =
+    art.shardSpan.map(shardOf).orElse(art.nShards.map(hashShardOf))
 
   private def writeManifest(spark: SparkSession, path: String, json: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path, "manifest.json")
@@ -238,7 +262,9 @@ object MinHashIndex {
       manifest.get("id_type").collect { case s: String => s },
       manifest.get("n_docs").collect { case l: Long => l },
       manifest.get("fingerprint").collect { case s: String => s },
-      manifest.get("shard_span").collect { case l: Long if l > 0 => l })
+      manifest.get("shard_span").collect { case l: Long if l > 0 => l },
+      manifest.get("n_shards").collect {
+        case l: Long if l > 0 && l <= Int.MaxValue => l.toInt })
   }
 
   /** CHEAP staleness/integrity tripwire — one pruned scan of the index's
@@ -401,8 +427,8 @@ object MinHashIndex {
           .join(removeIds, col("id") <=> col("__rm_id"), "left_anti")
           .select(col("id"), col("sig"), col("fp"))
         val staged = keep.unionByName(fresh)
-        art.shardSpan match {
-          case Some(span) => staged.withColumn("sig_shard", shardOf(span))
+        shardExprOf(art) match {
+          case Some(shard) => staged.withColumn("sig_shard", shard)
             .write.partitionBy("sig_shard")
             .mode(SaveMode.Overwrite).parquet(staging)
           case None =>
@@ -413,27 +439,27 @@ object MinHashIndex {
           throw new IllegalStateException(
             s"could not swap staged signatures into place at $sigPath")
       }
-      // drift-sized IO on the sharded layout: only the shard
-      // directories holding a drifted id are re-read, re-written to
-      // staging, and swapped — every other shard's files stay
-      // byte-untouched (pinned by checksum in MinHashIndexSpec). Falls
-      // back to the whole-relation staged rewrite for flat legacy
-      // layouts and for drifts so scattered (>10000 shards) that the
-      // drift effectively IS the corpus.
-      val affectedShards = art.shardSpan.map { span =>
-        delta.select(shardOf(span).as("__shard"))
+      // drift-sized IO on the sharded layouts (span AND hash): only the
+      // shard directories holding a drifted id are re-read, re-written
+      // to staging, and swapped — every other shard's files stay
+      // byte-untouched (pinned by checksum in MinHashIndexSpec for both
+      // layouts). Falls back to the whole-relation staged rewrite for
+      // flat legacy layouts and for drifts so scattered (>10000 shards)
+      // that the drift effectively IS the corpus.
+      val affectedShards = shardExprOf(art).map { shard =>
+        delta.select(shard.as("__shard"))
           .distinct().limit(10001).collect().map(_.getLong(0)).toSet
       }
       affectedShards match {
         case Some(affected) if affected.size <= 10000 =>
-          val span = art.shardSpan.get
+          val shard = shardExprOf(art).get
           val live = spark.read.parquet(s"$path/signatures")
           val keep = live
             .filter(col("sig_shard").isin(affected.toSeq: _*))
             .join(removeIds, col("id") <=> col("__rm_id"), "left_anti")
             .select(col("id"), col("sig"), col("fp"))
           keep.unionByName(fresh)
-            .withColumn("sig_shard", shardOf(span))
+            .withColumn("sig_shard", shard)
             .write.partitionBy("sig_shard")
             .mode(SaveMode.Overwrite).parquet(staging)
           for (sh <- affected) {
@@ -460,7 +486,8 @@ object MinHashIndex {
         "id_type" -> curIdType,
         "n_docs" -> newN,
         "fingerprint" -> newFp) ++
-        art.shardSpan.map("shard_span" -> _.asInstanceOf[Any])
+        art.shardSpan.map("shard_span" -> _.asInstanceOf[Any]) ++
+        art.nShards.map(n => "n_shards" -> n.toLong.asInstanceOf[Any])
       writeManifest(spark, path, graft.engine.QueryJson.write(manifest))
       load(spark, path)
     } finally delta.unpersist()

@@ -190,26 +190,29 @@ class MinHashIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("predates incremental maintenance"))
   }
 
+  /** Per-file MD5 of a directory tree (data files only) — the
+    * drift-sized-IO contract is checked at the filesystem level, not
+    * the row level: unaffected shards must keep their exact bytes. */
+  private def checksums(dir: String): Map[String, String] = {
+    val root = java.nio.file.Paths.get(dir)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        !p.getFileName.toString.startsWith("_") &&
+        !p.getFileName.toString.startsWith("."))
+      .map { p =>
+        val rel = root.relativize(p).toString
+        val sum = java.security.MessageDigest.getInstance("MD5")
+          .digest(java.nio.file.Files.readAllBytes(p))
+          .map("%02x".format(_)).mkString
+        rel -> sum
+      }.toMap
+  }
+
   test("sharded layout: a 1-row drift rewrites only its shard, others stay byte-identical") {
     // shardSpan=2 spreads ids 1..6 over shards 0..3; editing only id 3
     // must rewrite shard sig_shard=1 and leave every other shard's
-    // files untouched on disk (names AND bytes) — the drift-sized-IO
-    // contract, checked at the filesystem level, not the row level
-    def checksums(dir: String): Map[String, String] = {
-      val root = java.nio.file.Paths.get(dir)
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala
-        .filter(p => java.nio.file.Files.isRegularFile(p) &&
-          !p.getFileName.toString.startsWith("_") &&
-          !p.getFileName.toString.startsWith("."))
-        .map { p =>
-          val rel = root.relativize(p).toString
-          val sum = java.security.MessageDigest.getInstance("MD5")
-            .digest(java.nio.file.Files.readAllBytes(p))
-            .map("%02x".format(_)).mkString
-          rel -> sum
-        }.toMap
-    }
+    // files untouched on disk (names AND bytes)
     val root = tmpDir()
     val path = s"$root/sharded"
     val art0 = MinHashIndex.buildAndSave(corpus, "doc_id", "text",
@@ -255,6 +258,68 @@ class MinHashIndexSpec extends AnyFunSuite {
     val dirsAfter = new java.io.File(s"$path/signatures").listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
     assert(dirsAfter == Set("sig_shard=0", "sig_shard=1", "sig_shard=2"))
+    MinHashIndex.verifyContent(spark, path, v3, "doc_id", "text")
+  }
+
+  test("hash-sharded layout (string ids): a 1-row drift rewrites only its shard, others stay byte-identical") {
+    // string/UUID-keyed corpora — at least as common as integral ids in
+    // real crawls — get the SAME drift-sized update IO as the span
+    // layout, via sig_shard = pmod(xxhash64(id), n_shards). Same
+    // filesystem-level contract as the integral twin above: editing one
+    // document rewrites only the shard its id hashes to.
+    val root = tmpDir()
+    val path = s"$root/hash_sharded"
+    val v1 = Seq(
+      ("url:a", "the quick brown fox jumps over the lazy dog today"),
+      ("url:b", "the quick brown fox jumps over the lazy dog yesterday"),
+      ("url:c", "pack my box with five dozen liquor jugs"),
+      ("url:d", "pack my box with five dozen liquor jugs"),
+      ("url:e", "colorless green ideas sleep furiously at night"),
+      ("url:f", "a completely unrelated sentence about spark physical plans"))
+      .toDF("doc_id", "text")
+    val art0 = MinHashIndex.buildAndSave(v1, "doc_id", "text",
+      numHashes = 16, shingleSize = 3, path = path, hashShards = 4)
+    assert(art0.nShards.contains(4) && art0.shardSpan.isEmpty)
+    // the drifted id's shard is hash-determined — read it off the live
+    // partitioned relation rather than assuming a value
+    val driftShard = spark.read.parquet(s"$path/signatures")
+      .filter(col("id") === "url:c").select("sig_shard")
+      .head().get(0).toString
+    val before = checksums(s"$path/signatures")
+    val v2 = v1.withColumn("text",
+      when(col("doc_id") === "url:c",
+        lit("pack my crate with six dozen cider jugs instead"))
+        .otherwise(col("text")))
+    val updated = MinHashIndex.update(spark, path, v2, "doc_id", "text")
+    val after = checksums(s"$path/signatures")
+    val prefix = s"sig_shard=$driftShard"
+    assert(after.filterNot(_._1.startsWith(prefix))
+      == before.filterNot(_._1.startsWith(prefix)),
+      "unaffected hash shards' files must be byte-identical after the update")
+    assert(after.keys.exists(_.startsWith(prefix)) &&
+      after.filter(_._1.startsWith(prefix)) != before.filter(_._1.startsWith(prefix)),
+      "the drifted id's hash shard must actually be rewritten")
+    // update ≡ rebuild, row-for-row and fingerprint-for-fingerprint
+    val scratch = MinHashIndex.buildAndSave(v2, "doc_id", "text",
+      numHashes = 16, shingleSize = 3, path = s"$root/scratch", hashShards = 4)
+    def rows(a: MinHashIndex.Artifact) = a.sigs.orderBy("id").collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1).toList, r.getLong(2))).toList
+    assert(rows(updated) == rows(scratch))
+    assert(updated.contentFingerprint == scratch.contentFingerprint)
+    MinHashIndex.verifyContent(spark, path, v2, "doc_id", "text")
+    MinHashIndex.verifyCount(updated, "hash-sharded surgical update")
+    // removal-only drift: a shard whose every row departs loses its
+    // directory (delete IS its rewrite), and the artifact stays exact
+    val removed = "url:f"
+    val rmShard = spark.read.parquet(s"$path/signatures")
+      .filter(col("id") === removed).select("sig_shard").head().get(0).toString
+    val lone = spark.read.parquet(s"$path/signatures")
+      .filter(col("sig_shard") === rmShard).count() == 1L
+    val v3 = v2.filter(col("doc_id") =!= removed)
+    MinHashIndex.update(spark, path, v3, "doc_id", "text")
+    val dirsAfter = new java.io.File(s"$path/signatures").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirsAfter.contains(s"sig_shard=$rmShard") == !lone)
     MinHashIndex.verifyContent(spark, path, v3, "doc_id", "text")
   }
 
