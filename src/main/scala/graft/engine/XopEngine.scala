@@ -57,6 +57,45 @@ object XopEngine {
     q.xop.exists(specRefs) || q.from.exists(referencesDatasets)
   }
 
+  /** Ops that MUTATE a persisted artifact. Their result rows are
+    * execution receipts, not pure views of the dataset, so the server
+    * must never replay them from a background warmup (ShapeWarmer would
+    * otherwise run the side effect against a freshly-stored dataset the
+    * user never asked to maintain). */
+  private val MaintenanceOps = Set(
+    "index_update", "bloom_update", "vocab_update", "vocab_remove_slab",
+    "vocab_compact", "ivf_refine")
+
+  private def specName(spec: Any): Option[String] = spec match {
+    case m: Map[_, _] =>
+      m.asInstanceOf[Map[String, Any]].get("name").collect { case s: String => s }
+    case _ => None
+  }
+
+  /** True when any xop clause in the query tree is an artifact-mutating
+    * maintenance op (see [[MaintenanceOps]]). */
+  def hasMaintenance(q: Query): Boolean =
+    q.xop.exists(s => specName(s).exists(MaintenanceOps)) ||
+      q.from.exists(hasMaintenance)
+
+  /** True when any xop clause carries `"force": true` — the explicit
+    * opt-out of the server's per-(dataset, query) plan memo. Without it
+    * a byte-identical repeated maintenance request replays the memoized
+    * report without re-executing (the documented default); with it the
+    * request always executes. Evaluated structurally BEFORE the query
+    * runs (the memo decision precedes execution); the clause itself
+    * validates that `force` is a boolean and only accepted where it
+    * means something (the maintenance ops' knownArgs). */
+  def forcesExecution(q: Query): Boolean = {
+    def forced(spec: Any): Boolean = spec match {
+      case m: Map[_, _] =>
+        argMap(m.asInstanceOf[Map[String, Any]], "args")
+          .get("force").contains(true)
+      case _ => false
+    }
+    q.xop.exists(forced) || q.from.exists(forcesExecution)
+  }
+
   // ---------------------------------------------------------------- args
 
   private def argMap(spec: Map[String, Any], key: String): Map[String, Any] =
@@ -287,6 +326,18 @@ object XopEngine {
       val extra = args.keySet.diff(allowed.toSet)
       if (extra.nonEmpty)
         Errors.malformed(s"xop '$name': unknown arguments: ${extra.mkString(", ")}")
+    }
+
+    // `force` (the plan-memo opt-out — see forcesExecution) is consumed
+    // by the SERVER's memo decision, not the clause body; here it is
+    // only validated: a boolean, legal solely on the maintenance ops
+    // (on a read op "re-execute" is indistinguishable from the memo
+    // replay, so accepting it there would be a silent no-op)
+    if (args.contains("force")) {
+      if (!MaintenanceOps(name))
+        Errors.malformed(s"xop '$name': 'force' is only valid on maintenance ops " +
+          s"(${MaintenanceOps.toSeq.sorted.mkString(", ")})")
+      val _ = boolArg(args, "force", default = false, name)
     }
 
     /** A second stored dataset named by `key`, through the caller's
@@ -1330,7 +1381,7 @@ object XopEngine {
       // store), flowing through the same result pipeline; a drift-free
       // corpus is a no-op and reports changed=false.
       case "index_update" =>
-        knownArgs("id", "column", "index")
+        knownArgs("id", "column", "index", "force")
         val id = column(df, args, "id", name)
         val textCol = column(df, args, "column", name)
         val raw = args.getOrElse("index",
@@ -1353,7 +1404,7 @@ object XopEngine {
       // ADDED id rows; departures come as a resolver-named dataset
       // (bits stay set — safe over-probing, see BloomIndex.update)
       case "bloom_update" =>
-        knownArgs("id", "index", "removed", "removed_id", "max_fpp_factor")
+        knownArgs("id", "index", "removed", "removed_id", "max_fpp_factor", "force")
         val id = column(df, args, "id", name)
         val raw = args.getOrElse("index",
           Errors.malformed(s"xop '$name': 'index' is required (the artifact to refresh)"))
@@ -1392,7 +1443,7 @@ object XopEngine {
       // whole-ingest removals go through vocab_remove_slab, arbitrary
       // row removals still need a rebuild — see VocabIndex.update)
       case "vocab_update" =>
-        knownArgs("column", "index")
+        knownArgs("column", "index", "force")
         val textCol = column(df, args, "column", name)
         val raw = args.getOrElse("index",
           Errors.malformed(s"xop '$name': 'index' is required (the artifact to refresh)"))
@@ -1417,7 +1468,7 @@ object XopEngine {
       // refresh-with-deletions path, no corpus rescan (the query frame
       // is not consumed; the artifact's own slab store is the input)
       case "vocab_remove_slab" =>
-        knownArgs("index", "slab")
+        knownArgs("index", "slab", "force")
         val raw = args.getOrElse("index",
           Errors.malformed(s"xop '$name': 'index' is required (the artifact to refresh)"))
         val path = indexPath(df, raw, name)
@@ -1439,6 +1490,37 @@ object XopEngine {
           .toDF("n_docs_before", "n_docs", "n_tokens", "theta",
             "n_slabs", "fingerprint")
 
+      // slab-registry compaction: fold all but the newest keep_last
+      // ingest slabs into one epoch slab, bounding removeSlab's
+      // re-merge fan-in and the manifest (which otherwise grow one
+      // entry per update forever). History reorganization only — the
+      // served vocabulary, summary, and manifest totals are untouched;
+      // compacted ingests can no longer be removed at slab granularity
+      // (rejected by name with the rebuild instruction)
+      case "vocab_compact" =>
+        knownArgs("index", "keep_last", "force")
+        val raw = args.getOrElse("index",
+          Errors.malformed(s"xop '$name': 'index' is required (the artifact to compact)"))
+        val path = indexPath(df, raw, name)
+        val keepLast = intArg(args, "keep_last", 2L, name)
+        if (keepLast < 0)
+          Errors.malformed(s"xop '$name': keep_last must be >= 0")
+        val before = loadVocab(df, raw, name)
+        val art =
+          try graft.ops.VocabIndex.compactSlabs(df.sparkSession, path, keepLast.toInt)
+          catch {
+            case e: IllegalArgumentException =>
+              Errors.malformed(s"xop '$name': ${e.getMessage}")
+          }
+        import df.sparkSession.implicits._
+        Seq((before.slabs.map(_.length.toLong).getOrElse(-1L),
+          art.slabs.map(_.length.toLong).getOrElse(-1L),
+          art.nDocs.getOrElse(-1L), art.theta.getOrElse(-1L),
+          art.contentFingerprint.getOrElse(""),
+          art.slabs.map(_.length) != before.slabs.map(_.length)))
+          .toDF("n_slabs_before", "n_slabs", "n_docs", "theta",
+            "fingerprint", "changed")
+
       // warm-start re-centering of a persisted IVF quantizer against
       // THIS dataset (the drifted corpus): `iters` Lloyd's rounds
       // seeded from the stored centroids, never a fresh sample; the
@@ -1446,7 +1528,7 @@ object XopEngine {
       // or hold the quantization. iters=0 is the documented no-op
       // (nothing rewritten) and reports changed=false
       case "ivf_refine" =>
-        knownArgs("column", "index", "iters")
+        knownArgs("column", "index", "iters", "force")
         val vecCol = vectorColumn(df, args, "column", name)
         val raw = args.getOrElse("index",
           Errors.malformed(s"xop '$name': 'index' is required (the artifact to refresh)"))

@@ -65,9 +65,13 @@ object VocabIndex {
     * shape, null-token sentinel included), `theta` is that slab's own
     * certified untracked bound, and (nDocs, fingerprint) are the
     * slab's contribution to the manifest totals — what
-    * [[removeSlab]] subtracts without rescanning any corpus. */
+    * [[removeSlab]] subtracts without rescanning any corpus.
+    * An EPOCH slab ([[compactSlabs]]'s output) additionally records
+    * `covers`: the original ingest ids folded into it, so a removal
+    * request against compacted history can be rejected by name with
+    * the rebuild instruction instead of a bare unknown-id error. */
   final case class SlabMeta(id: Long, theta: Long, nDocs: Long,
-                            fingerprint: String)
+                            fingerprint: String, covers: Seq[Long] = Nil)
 
   /** Order-independent corpus-text fingerprint: the exact decimal sum
     * of xxhash64(text) — [[MinHashIndex.fingerprint]]'s formula without
@@ -184,7 +188,8 @@ object VocabIndex {
 
   private def slabEntry(s: SlabMeta): mutable.LinkedHashMap[String, Any] =
     mutable.LinkedHashMap[String, Any]("id" -> s.id, "theta" -> s.theta,
-      "n_docs" -> s.nDocs, "fingerprint" -> s.fingerprint)
+      "n_docs" -> s.nDocs, "fingerprint" -> s.fingerprint) ++
+      (if (s.covers.nonEmpty) Seq("covers" -> s.covers.toList) else Nil)
 
   /** Merge a batch of APPENDED documents into a capacity-built
     * vocabulary artifact without rescanning the old corpus — the
@@ -334,9 +339,19 @@ object VocabIndex {
     val registry = art.slabs.getOrElse(throw new IllegalArgumentException(
       s"$what predates slab summaries — rebuild it once with buildAndSave " +
         "to enable slab removal"))
-    if (!registry.exists(_.id == slabId))
+    if (!registry.exists(_.id == slabId)) {
+      // compacted history is named in the rejection: the pre-slab
+      // contract (arbitrary removals need a rebuild) is back in force
+      // for ingests folded into an epoch slab
+      registry.find(_.covers.contains(slabId)).foreach { epoch =>
+        throw new IllegalArgumentException(
+          s"$what: slab $slabId was compacted into epoch slab ${epoch.id} — " +
+            "compacted history can no longer be removed at slab granularity; " +
+            "rebuild the artifact from the surviving corpus")
+      }
       throw new IllegalArgumentException(
         s"$what has no slab $slabId (stored: ${registry.map(_.id).mkString(", ")})")
+    }
     val survivors = registry.filterNot(_.id == slabId)
     val totTheta = survivors.map(_.theta).sum
     val norm = survivors.map { s =>
@@ -372,6 +387,104 @@ object VocabIndex {
       "theta" -> theta,
       "summary_rows" -> nSummary,
       "slabs" -> survivors.map(slabEntry).toList)
+    writeManifest(spark, path, graft.engine.QueryJson.write(manifest))
+    load(spark, path)
+  }
+
+  /** Compact the slab registry: fold every slab EXCEPT the newest
+    * `keepLast` into one EPOCH slab, bounding [[removeSlab]]'s re-merge
+    * fan-in and the manifest's registry size (both previously grew one
+    * entry per [[update]], forever). The top-level summary, vocabulary,
+    * and manifest totals are untouched — compaction reorganizes HISTORY,
+    * not state; the only writes are the epoch slab dir and the manifest.
+    *
+    * The epoch slab is the victims' n-way merge (the [[removeSlab]]
+    * algebra), truncated to the artifact's own capacity with the shared
+    * eviction rule (evicted `hi` folds into the epoch theta), and stored
+    * in the raw slab shape via the identity encoding
+    * `(n, nhi, rho) = (lo, hi, theta_epoch)` — normalizing it with the
+    * registry's theta reproduces the merged bounds exactly, so every
+    * later [[removeSlab]] keeps working uniformly over epoch and ingest
+    * slabs alike. With ample capacity nothing is evicted and a
+    * post-compaction removal of a SURVIVING slab still equals a
+    * never-added build (pinned in VocabIndexSpec). The folded ingest ids
+    * are recorded as the epoch's `covers`, so removing compacted history
+    * is rejected by name with the rebuild instruction — the pre-slab
+    * contract, honestly restored for old history.
+    *
+    * Fewer than two victims is a no-op (nothing to fold). All jobs are
+    * artifact-bounded: the merge unions ≤ victims×(partitions×capacity)
+    * rows, the truncation is the shared TakeOrdered, and the epoch
+    * rewrite reads back ≤ max(capacity, k) rows. */
+  def compactSlabs(spark: SparkSession, path: String, keepLast: Int): Artifact = {
+    require(keepLast >= 0, "keepLast must be >= 0")
+    val art = load(spark, path)
+    val what = s"vocabulary at $path"
+    val cap = art.capacity.getOrElse(throw new IllegalArgumentException(
+      s"$what was built exact (no capacity) and stores no slabs — " +
+        "rebuild with a capacity to enable slab compaction"))
+    val registry = art.slabs.getOrElse(throw new IllegalArgumentException(
+      s"$what predates slab summaries — rebuild it once with buildAndSave " +
+        "to enable slab compaction"))
+    val ordered = registry.sortBy(_.id)
+    val (victims, kept) = ordered.splitAt(math.max(0, ordered.length - keepLast))
+    if (victims.length <= 1) return art
+    val thetaSum = victims.map(_.theta).sum
+    val merged = victims.map { s =>
+      spark.read.parquet(s"$path/slabs/${s.id}")
+        .filter(col("token").isNotNull)
+        .select(col("token"), col("n").as("__lo"),
+          (col("nhi") + lit(s.theta) - col("rho")).as("__hi"),
+          lit(s.theta).as("__th"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("token"))
+      .agg(sum(col("__lo")).as("lo"),
+        (sum(col("__hi")) + lit(thetaSum) - sum(col("__th"))).as("hi"))
+    // shared truncation rule, against the artifact's own capacity: keep
+    // the top rows by certified lo, fold every evicted hi into the
+    // epoch's theta (certification survives compaction)
+    val sumCap = math.max(cap, art.k)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val mergeTmp = new org.apache.hadoop.fs.Path(path, "slabs/.compact.tmp")
+    val normObs = org.apache.spark.sql.Observation()
+    val keptObs = org.apache.spark.sql.Observation()
+    merged.observe(normObs, count(lit(1)).as("n"))
+      .orderBy(col("lo").desc, col("token")).limit(sumCap)
+      .observe(keptObs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(mergeTmp.toString)
+    val truncated = spark.read.parquet(mergeTmp.toString)
+    val evictedMax =
+      if (Observed.long(normObs.get, "n") == Observed.long(keptObs.get, "n")) 0L
+      else merged
+        .join(broadcast(truncated.select(col("token").as("__kt"))),
+          col("token") === col("__kt"), "left_anti")
+        .agg(coalesce(max(col("hi")), lit(0L))).head().getLong(0)
+    val thetaEpoch = math.max(thetaSum, evictedMax)
+    val epochId = ordered.map(_.id).max + 1
+    val epochDir = new org.apache.hadoop.fs.Path(path, s"slabs/$epochId")
+    fs.delete(epochDir, true)
+    truncated.select(col("token"), col("lo").as("n"), col("hi").as("nhi"),
+        lit(thetaEpoch).as("rho"))
+      .write.mode(SaveMode.Overwrite).parquet(epochDir.toString)
+    fs.delete(mergeTmp, true)
+    for (v <- victims)
+      fs.delete(new org.apache.hadoop.fs.Path(path, s"slabs/${v.id}"), true)
+    val epoch = SlabMeta(epochId, thetaEpoch,
+      victims.map(_.nDocs).sum,
+      victims.map(s => BigInt(s.fingerprint)).sum.toString,
+      victims.flatMap(v => v.id +: v.covers).sorted)
+    // every OTHER manifest entry is untouched state — re-read the live
+    // manifest and replace only the registry (compaction must not
+    // reconstruct totals it did not recompute)
+    val mPath = new org.apache.hadoop.fs.Path(path, "manifest.json")
+    val in = fs.open(mPath)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val manifest = graft.engine.QueryJson.parse(text)
+      .asInstanceOf[mutable.LinkedHashMap[String, Any]]
+    manifest.put("slabs", (epoch +: kept).map(slabEntry).toList)
     writeManifest(spark, path, graft.engine.QueryJson.write(manifest))
     load(spark, path)
   }
@@ -536,7 +649,14 @@ object VocabIndex {
         case m: scala.collection.Map[String @unchecked, Any @unchecked] =>
           (m.get("id"), m.get("theta"), m.get("n_docs"), m.get("fingerprint")) match {
             case (Some(i: Long), Some(t: Long), Some(n: Long), Some(f: String)) =>
-              SlabMeta(i, t, n, f)
+              val covers = m.get("covers") match {
+                case None => Nil
+                case Some(l: List[_]) if l.forall(_.isInstanceOf[Long]) =>
+                  l.asInstanceOf[List[Long]]
+                case other => throw new IllegalArgumentException(
+                  s"vocabulary at $path is corrupt: bad slab covers $other")
+              }
+              SlabMeta(i, t, n, f, covers)
             case _ => throw new IllegalArgumentException(
               s"vocabulary at $path is corrupt: malformed slab entry $m")
           }

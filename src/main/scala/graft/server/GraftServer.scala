@@ -396,8 +396,14 @@ final class GraftServer(spark: SparkSession, port: Int,
         // THIS item and cannot see the other dataset's mutations.
         val memoKey = ShapeWarmer.memoKey(requestStandIns, qJson)
         val crossDataset = XopEngine.referencesDatasets(q)
+        // `force: true` on a maintenance xop opts the request out of the
+        // memo entirely (no read, no write): a byte-identical repeated
+        // maintenance request re-executes instead of replaying its
+        // memoized report. Read queries keep the memo — force is
+        // rejected on them at clause level.
+        val forced = XopEngine.forcesExecution(q)
         val result =
-          if (crossDataset) QueryEngine.run(withStandIns, q, resolver)
+          if (crossDataset || forced) QueryEngine.run(withStandIns, q, resolver)
           else item.memoizedPlan(memoKey)(QueryEngine.run(withStandIns, q, resolver))
         // Response-size guard (OFF by default — full dumps are the
         // reference's contract and the api suite asserts them): the dump
@@ -452,8 +458,11 @@ final class GraftServer(spark: SparkSession, port: Int,
         stats.append("query_durations", (clock() - t0) / 1000.0)
         // register the served shape for cross-dataset warmup — only
         // single-dataset reads (a cross-dataset plan's memo can't outlive
-        // the OTHER dataset's mutations, so those are never memoized)
-        if (!crossDataset)
+        // the OTHER dataset's mutations, so those are never memoized),
+        // and never a maintenance clause: warming one would re-run its
+        // artifact write against a freshly-stored dataset the user never
+        // asked to maintain (a background side effect, failures swallowed)
+        if (!crossDataset && !forced && !XopEngine.hasMaintenance(q))
           ShapeWarmer.record(item.df.schema, requestStandIns, qJson)
         respond(exchange, 200, bytes, headers)
       }

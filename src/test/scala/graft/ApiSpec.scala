@@ -310,6 +310,63 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s1.body() == s2.body())
   }
 
+  test("maintenance xops: memo replay by default, force re-executes, warmup never replays them") {
+    val root = java.nio.file.Files.createTempDirectory("api_force").toString
+    val seed = spark.createDataFrame(Seq(Tuple1("alpha beta alpha")))
+      .toDF("vtext")
+    graft.ops.VocabIndex.buildAndSave(seed, "vtext", k = 8,
+      path = s"$root/fv", capacity = Some(1024))
+    spark.conf.set("spark.graft.index.root", root)
+    try {
+      def nDocs: Long =
+        graft.ops.VocabIndex.load(spark, s"$root/fv").nDocs.get
+      assert(nDocs == 1L)
+      // a schema unique to this test so ShapeWarmer state is isolated
+      assert(storeCsv("fmaint", "vtext\ngamma delta\ngamma\n").statusCode() == 201)
+      val plain = """{"xop": {"name": "vocab_update",
+                              "args": {"column": "vtext", "index": "fv"}}}"""
+      val r1 = query("fmaint", plain)
+      assert(r1.statusCode() == 200 && nDocs == 3L)
+      // byte-identical repeat replays the memoized report — the
+      // documented default: the maintenance does NOT run again
+      val r2 = query("fmaint", plain)
+      assert(r2.body() == r1.body() && nDocs == 3L)
+      // force: true opts out of the memo — same request re-executes,
+      // and a REPEATED force request re-executes again (never memoized)
+      val forced = """{"xop": {"name": "vocab_update",
+                               "args": {"column": "vtext", "index": "fv",
+                                        "force": true}}}"""
+      val f1 = query("fmaint", forced)
+      assert(f1.statusCode() == 200 && nDocs == 5L)
+      assert(f1.body().contains("\"n_docs_before\":3"))
+      val f2 = query("fmaint", forced)
+      assert(f2.statusCode() == 200 && nDocs == 7L)
+      assert(f2.body().contains("\"n_docs_before\":5"))
+      // the read path rejects force — no silent no-op arg
+      val bad = query("fmaint", """{"xop": {"name": "dedup_exact",
+        "args": {"column": "vtext", "force": true}}}""")
+      assert(bad.statusCode() == 400 &&
+        bad.body().contains("only valid on maintenance ops"))
+      // warmup isolation: storing a same-schema dataset must NOT replay
+      // the (side-effecting) maintenance shape against it — only read
+      // shapes are recorded for warmup
+      val read = """{"select": ["vtext"], "order_by": ["vtext"], "limit": 1}"""
+      assert(query("fmaint", read).statusCode() == 200)
+      graft.server.ShapeWarmer.drain()
+      assert(storeCsv("fmaint2", "vtext\nomega\n").statusCode() == 201)
+      graft.server.ShapeWarmer.drain()
+      val keys = server.cache.peek("fmaint2").get.memoizedKeys
+      assert(keys.exists(_.contains("\"select\"")),
+        "the plain read shape must have warmed the new dataset")
+      assert(!keys.exists(_.contains("vocab_update")),
+        "maintenance shapes must never be warmed")
+      assert(nDocs == 7L, "warmup must not have run the maintenance")
+    } finally {
+      spark.conf.unset("spark.graft.index.root")
+      graft.server.ShapeWarmer.clear()
+    }
+  }
+
   test("two-dataset xop over HTTP sees mutations of the second dataset") {
     val train = "id,text\n1,alpha beta gamma delta\n2,epsilon zeta eta theta\n"
     assert(storeCsv("xtrain", train).statusCode() == 201)

@@ -157,6 +157,86 @@ class VocabIndexSpec extends AnyFunSuite {
     assert(eE.getMessage.contains("capacity"))
   }
 
+  test("compactSlabs: epoch fold bounds the registry; surviving removals stay exact; compacted history rejected") {
+    val root = tmpDir()
+    val path = s"$root/compact"
+    val b1 = corpus.filter(col("doc_id") === 1)
+    val b2 = corpus.filter(col("doc_id") === 2)
+    val b3 = corpus.filter(col("doc_id") === 3)
+    val b4 = corpus.filter(col("doc_id") === 4)
+    VocabIndex.buildAndSave(b1, "text", k = 5, path = path, capacity = Some(4096))
+    VocabIndex.update(spark, path, b2, "text")
+    VocabIndex.update(spark, path, b3, "text")
+    val full = VocabIndex.update(spark, path, b4, "text")
+    assert(full.slabs.map(_.map(_.id)).contains(Seq(0L, 1L, 2L, 3L)))
+    def vocabRows(art: VocabIndex.Artifact) = art.vocab.orderBy("rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    def sumRows(art: VocabIndex.Artifact) = art.summary.get.orderBy("token")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val (vBefore, sBefore) = (vocabRows(full), sumRows(full))
+    // compact all but the newest 2: slabs 0+1 fold into epoch 4
+    val compacted = VocabIndex.compactSlabs(spark, path, keepLast = 2)
+    assert(compacted.slabs.map(_.map(_.id)).contains(Seq(4L, 2L, 3L)))
+    val epoch = compacted.slabs.get.find(_.id == 4L).get
+    assert(epoch.covers == Seq(0L, 1L))
+    // compaction reorganizes HISTORY only — the served state is untouched
+    assert(vocabRows(compacted) == vBefore && sumRows(compacted) == sBefore)
+    assert(compacted.nDocs == full.nDocs && compacted.theta == full.theta &&
+      compacted.contentFingerprint == full.contentFingerprint)
+    // the victim dirs are gone, the epoch dir exists
+    val slabDirs = new java.io.File(s"$path/slabs").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(slabDirs == Set("2", "3", "4"))
+    // removing a SURVIVING slab still equals the never-added build
+    val removed = VocabIndex.removeSlab(spark, path, 3L)
+    val never = VocabIndex.buildAndSave(
+      b1.unionByName(b2).unionByName(b3), "text", k = 5,
+      path = s"$root/never123", capacity = Some(4096))
+    assert(vocabRows(removed) == vocabRows(never))
+    assert(sumRows(removed) == sumRows(never))
+    assert(removed.theta == never.theta && removed.nDocs == never.nDocs &&
+      removed.contentFingerprint == never.contentFingerprint)
+    // removing the epoch itself removes its whole covered history
+    val epochGone = VocabIndex.removeSlab(spark, path, 4L)
+    val only3 = VocabIndex.buildAndSave(b3, "text", k = 5,
+      path = s"$root/only3", capacity = Some(4096))
+    assert(sumRows(epochGone) == sumRows(only3) &&
+      epochGone.nDocs == only3.nDocs &&
+      epochGone.contentFingerprint == only3.contentFingerprint)
+    // compacted history is rejected BY NAME with the rebuild instruction
+    VocabIndex.update(spark, path, b4, "text")
+    val after = VocabIndex.compactSlabs(spark, path, keepLast = 0)
+    assert(after.slabs.map(_.map(_.id)).contains(Seq(4L)))
+    assert(after.slabs.get.head.covers == Seq(2L, 3L))
+    val e = intercept[IllegalArgumentException] {
+      VocabIndex.removeSlab(spark, path, 2L) }
+    assert(e.getMessage.contains("compacted into epoch slab") &&
+      e.getMessage.contains("rebuild"))
+    // an epoch can itself be compacted: covers accumulate transitively
+    VocabIndex.update(spark, path, b1, "text")
+    val twice = VocabIndex.compactSlabs(spark, path, keepLast = 0)
+    val epoch2 = twice.slabs.get.head
+    assert(epoch2.id == 6L && epoch2.covers == Seq(2L, 3L, 4L, 5L))
+    val e4 = intercept[IllegalArgumentException] {
+      VocabIndex.removeSlab(spark, path, 4L) }
+    assert(e4.getMessage.contains("compacted into epoch slab 6"))
+    // and the twice-compacted artifact still serves the exact state
+    val rebuilt = VocabIndex.buildAndSave(b3.unionByName(b4).unionByName(b1),
+      "text", k = 5, path = s"$root/rebuilt341", capacity = Some(4096))
+    assert(sumRows(twice) == sumRows(rebuilt) &&
+      twice.contentFingerprint == rebuilt.contentFingerprint)
+    // no-ops and guards: fewer than two victims changes nothing; exact
+    // builds have no slabs to compact
+    val single = s"$root/single"
+    VocabIndex.buildAndSave(b1, "text", k = 5, path = single, capacity = Some(4096))
+    val noop = VocabIndex.compactSlabs(spark, single, keepLast = 0)
+    assert(noop.slabs.map(_.map(_.id)).contains(Seq(0L)))
+    VocabIndex.buildAndSave(b1, "text", k = 3, path = s"$root/exact")
+    val eE = intercept[IllegalArgumentException] {
+      VocabIndex.compactSlabs(spark, s"$root/exact", 1) }
+    assert(eE.getMessage.contains("capacity"))
+  }
+
   test("update: tight capacity keeps certified bounds sound; guards fail fast") {
     val root = tmpDir()
     // single partitions with distinct tokens >> capacity => evictions

@@ -1345,6 +1345,54 @@ class XopSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.index.root")
   }
 
+  test("vocab_compact xop folds old slabs into an epoch; force arg is maintenance-only") {
+    val root = java.nio.file.Files.createTempDirectory("xop_vc_cp").toString
+    import spark.implicits._
+    val v1 = Seq((1L, "alpha beta alpha")).toDF("id", "text")
+    val b2 = Seq((2L, "beta gamma")).toDF("id", "text")
+    val b3 = Seq((3L, "alpha delta delta delta")).toDF("id", "text")
+    graft.ops.VocabIndex.buildAndSave(v1, "text", k = 4, path = s"$root/v",
+      capacity = Some(1024))
+    graft.ops.VocabIndex.update(spark, s"$root/v", b2, "text")
+    graft.ops.VocabIndex.update(spark, s"$root/v", b3, "text")
+    spark.conf.set("spark.graft.index.root", root)
+    try {
+      val rep = QueryEngine.run(v1,
+        """{"xop": {"name": "vocab_compact",
+                    "args": {"index": "v", "keep_last": 1, "force": true}}}""",
+        resolver).df.collect()
+      assert(rep.length == 1)
+      val r = rep.head
+      assert(r.getAs[Long]("n_slabs_before") == 3L &&
+        r.getAs[Long]("n_slabs") == 2L &&
+        r.getAs[Long]("n_docs") == 3L &&
+        r.getAs[Boolean]("changed"))
+      // compacted ingests are rejected by name at the slab-removal verb
+      val eC = intercept[MalformedQueryException] { QueryEngine.run(v1,
+        """{"xop": {"name": "vocab_remove_slab",
+                    "args": {"index": "v", "slab": 0}}}""", resolver) }
+      assert(eC.getMessage.contains("compacted into epoch slab"))
+      // a second compaction at the same cut is the documented no-op
+      val again = QueryEngine.run(v1,
+        """{"xop": {"name": "vocab_compact",
+                    "args": {"index": "v", "keep_last": 1}}}""",
+        resolver).df.collect().head
+      assert(again.getAs[Long]("n_slabs") == 2L &&
+        !again.getAs[Boolean]("changed"))
+      // taxonomy: negative keep_last, force on a READ op, non-bool force
+      intercept[MalformedQueryException] { QueryEngine.run(v1,
+        """{"xop": {"name": "vocab_compact",
+                    "args": {"index": "v", "keep_last": -1}}}""", resolver) }
+      val eF = intercept[MalformedQueryException] { QueryEngine.run(v1,
+        """{"xop": {"name": "dedup_exact",
+                    "args": {"column": "text", "force": true}}}""", resolver) }
+      assert(eF.getMessage.contains("only valid on maintenance ops"))
+      intercept[MalformedQueryException] { QueryEngine.run(v1,
+        """{"xop": {"name": "vocab_compact",
+                    "args": {"index": "v", "force": "yes"}}}""", resolver) }
+    } finally spark.conf.unset("spark.graft.index.root")
+  }
+
   test("vocab_growth and token_spectrum xops report corpus shape") {
     import spark.implicits._
     val df = Seq((0L, "a b"), (1L, "a c"), (10L, "b d"))
