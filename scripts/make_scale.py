@@ -26,6 +26,7 @@ byte-for-byte reproducible. Output: <dst_dir>/<table>.parquet
 """
 import duckdb
 import os
+import shutil
 import sys
 
 
@@ -98,7 +99,12 @@ def main():
             f"SELECT count(*) FROM '{SRC}/{tbl}.parquet'").fetchone()[0]
         reps_per_chunk = max(1, chunk_rows // max(1, n_src))
         if reps > reps_per_chunk:
-            os.makedirs(out, exist_ok=True)
+            # a previous run with a different factor/chunk size may have
+            # left chunk files here; the '*.parquet' glob would sweep
+            # them in and silently corrupt the dataset and its count
+            if os.path.isdir(out):
+                shutil.rmtree(out)
+            os.makedirs(out)
             for ci, lo in enumerate(range(0, reps, reps_per_chunk)):
                 hi = min(lo + reps_per_chunk, reps)
                 con.execute(f"""
@@ -123,6 +129,9 @@ def main():
             glob_sql = f"'{out}'"
             sz = os.path.getsize(out)
         n = con.execute(f"SELECT count(*) FROM {glob_sql}").fetchone()[0]
+        assert n == n_src * reps, (
+            f"{tbl}: generated {n} rows, expected {n_src} * {reps} = "
+            f"{n_src * reps} — stale chunks or a partial write")
         print(f"{tbl}: {reps}x -> {n} rows, {sz/1e6:.1f} MB", flush=True)
 
     print("done", file=sys.stderr)

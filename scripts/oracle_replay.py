@@ -78,16 +78,23 @@ def diff_count(con, a_sql, b_sql, names, types, tolerant, n_rows=0):
         # EXCEPT ALL materializes both relations in the hash set-op and
         # DuckDB cannot spill it — at a 100M-row result that is a
         # guaranteed OOM. Compare order-insensitively via an unordered
-        # multiset hash instead (count + sum of per-row hashes over the
-        # rendered row text, NULLs made explicit) — the same style of
-        # check as the driver's own gate, at O(1) memory.
+        # multiset digest instead (NULLs made explicit), at O(1) memory.
+        # THREE independent reductions over the per-row hash — additive
+        # sum, bit_xor, and the sum of a second-order hash (hash of the
+        # first hash prepended to the row text, which also disarms any
+        # chr(31)/chr(1) sentinel ambiguity in the rendered row): a
+        # differing result would need per-row deltas that cancel in all
+        # three simultaneously, which compensating-cancellation attacks
+        # on a bare additive hash cannot arrange.
         def ms(sql):
             cols = ", ".join(
                 f"coalesce(CAST({render_expr(c, t, tolerant)} "
                 f"AS VARCHAR), chr(1)||'NULL')"
                 for c, t in sorted(zip(names, types)))
+            row = f"concat_ws(chr(31), {cols})"
             return con.execute(
-                f"SELECT count(*), sum(hash(concat_ws(chr(31), {cols}))) "
+                f"SELECT count(*), sum(hash({row})), bit_xor(hash({row})), "
+                f"sum(hash(CAST(hash({row}) AS VARCHAR) || {row})) "
                 f"FROM ({sql})").fetchone()
         return 0 if ms(a_sql) == ms(b_sql) else 1
     return con.execute(f"""

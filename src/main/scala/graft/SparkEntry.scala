@@ -354,6 +354,48 @@ object SparkEntry {
         .orderBy("threshold")
     }),
 
+    // duplication-proof near-dup pairing (x2b's exactness pattern over
+    // the WEIGHTED variant): exact classes collapse to representatives
+    // with multiplicity first, band-exhaustive candidates run over
+    // representatives ONLY, exact shingle-Jaccard verifies — a corpus
+    // where every doc has m exact copies emits one row per near-dup
+    // RELATION instead of ~m² expanded rows (the sf10 x2 lesson).
+    // Duplication injected deterministically: every sliced doc twice,
+    // even ids three times
+    "x90_dedup_weighted" -> ((s, dir) => {
+      val base = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select("doc_id", "text")
+      val withDups = base
+        .unionByName(base.select((col("doc_id") + 1000000).as("doc_id"),
+          col("text")))
+        .unionByName(base.filter(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      graft.ops.Dedup.minhashPairsWeightedBandExhaustive(withDups,
+        "doc_id", "text", maxId = 3000000, threshold = 0.5, shingleSize = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // the weighted sweep over the same duplicated slice: collapse +
+    // representative pairs + multiplicity fold must reproduce the EXACT
+    // keep-first drop curve of the fully-expanded corpus — the oracle
+    // computes that expansion brute-force in DuckDB, so every fold term
+    // (the Σ(mult−1) intra drops AND the rep-level keep-first) is pinned
+    "x90b_weighted_sweep" -> ((s, dir) => {
+      val base = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select("doc_id", "text")
+      val withDups = base
+        .unionByName(base.select((col("doc_id") + 1000000).as("doc_id"),
+          col("text")))
+        .unionByName(base.filter(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      graft.ops.Dedup.dedupSweepWeighted(
+        graft.ops.Dedup.exactByTextWeighted(withDups, "text", "doc_id"),
+        graft.ops.Dedup.minhashPairsWeightedBandExhaustive(withDups,
+          "doc_id", "text", maxId = 3000000, threshold = 0.5, shingleSize = 3),
+        "jaccard", Seq(0.5, 0.7, 0.9, 1.0))
+        .orderBy("threshold")
+    }),
+
     // quality-ranked token-budget selection: the best docs (50-char
     // length bands as the score — coarse on purpose, so the boundary
     // tie group is dozens of docs and the Packing-shaped intra-tie
@@ -1403,6 +1445,30 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // slab compaction end-to-end (x89's recipe with a compaction in the
+    // middle): build over %4==0, ingest %4==1 and %4==2 as slabs,
+    // compact all but the newest into an epoch, then remove the
+    // SURVIVING newest slab — the artifact must serve the exact top-30
+    // vocabulary of the %4 ∈ {0,1} corpus, proving the epoch fold
+    // perturbed no bound (independent oracle over that corpus)
+    "x91_vocab_compact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = anchorTmpPath("graft_vocab_cp", dir)
+      graft.ops.VocabIndex.buildAndSave(docs.filter(col("doc_id") % 4 === 0),
+        "text", k = 50, path = path, capacity = Some(4096))
+      graft.ops.VocabIndex.update(s, path,
+        docs.filter(col("doc_id") % 4 === 1), "text")
+      val grown = graft.ops.VocabIndex.update(s, path,
+        docs.filter(col("doc_id") % 4 === 2), "text")
+      graft.ops.VocabIndex.compactSlabs(s, path, keepLast = 1)
+      val art = graft.ops.VocabIndex.removeSlab(s, path,
+        grown.slabs.get.map(_.id).max)
+      graft.ops.TextOps.oovRateAgainst(docs.filter(col("doc_id") % 4 <= 1),
+        "doc_id", "text",
+        graft.ops.VocabIndex.tokens(art, 30, "vocabulary artifact"))
+        .orderBy("id")
+    }),
+
     // span-level decontamination: excise eval-contaminated 8-gram spans
     // from the train split instead of dropping whole documents (x21's
     // split: src7 plays the eval set)
@@ -1545,10 +1611,18 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
+      // sums accumulate as exact HUGEINT cents (the columns are
+      // cent-structured), divided back once — plain double sum drifts in
+      // the last ulp at 60M rows (aggregation-order dependent) where the
+      // Spark side is Kahan-compensated; the exact form reads exact at
+      // EVERY scale rung (the x86 integer-moments precedent)
       """SELECT l_returnflag, l_linestatus,
-                round(sum(l_quantity), 2) AS l_quantity,
-                round(sum(l_extendedprice), 2) AS l_extendedprice,
-                round(avg(l_discount), 6) AS l_discount,
+                round(CAST(sum(CAST(round(l_quantity * 100) AS HUGEINT))
+                      AS DOUBLE) / 100, 2) AS l_quantity,
+                round(CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT))
+                      AS DOUBLE) / 100, 2) AS l_extendedprice,
+                round(CAST(sum(CAST(round(l_discount * 100) AS HUGEINT))
+                      AS DOUBLE) / 100 / count(l_discount), 6) AS l_discount,
                 count(l_orderkey) AS l_orderkey
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
@@ -1586,8 +1660,11 @@ object SparkEntry {
                 round(sqrt(p_retailprice), 4) AS rp_sqrt
          FROM part ORDER BY p_partkey""",
     "q10_agg_global" ->
-      """SELECT round(sum(l_extendedprice), 2) AS l_extendedprice,
-                round(avg(l_quantity), 4) AS l_quantity,
+      // exact HUGEINT-cents accumulation (see q1_agg)
+      """SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT))
+                      AS DOUBLE) / 100, 2) AS l_extendedprice,
+                round(CAST(sum(CAST(round(l_quantity * 100) AS HUGEINT))
+                      AS DOUBLE) / 100 / count(l_quantity), 4) AS l_quantity,
                 count(l_orderkey) AS l_orderkey,
                 min(l_shipdate) AS l_shipdate
          FROM lineitem""",
@@ -1723,6 +1800,85 @@ object SparkEntry {
                 n.n_docs,
                 -- floor-form half-up: round()'s half-tie behavior on
                 -- binary floats is engine-specific (the x24 convention)
+                floor((CASE WHEN n.n_docs = 0 THEN 0.0
+                            ELSE count(m.ms)::DOUBLE / n.n_docs END)
+                      * 1e4 + 0.5) / 1e4 AS drop_rate
+         FROM th LEFT JOIN m ON m.ms >= th.threshold CROSS JOIN n
+         GROUP BY th.threshold, n.n_docs
+         ORDER BY threshold""",
+    "x90_dedup_weighted" ->
+      // collapse = GROUP BY the normalized-text fingerprint (x1's key);
+      // pairs = x4's quadratic exact Jaccard over the REPRESENTATIVES,
+      // multiplicities carried through — the weighted op's whole claim
+      """WITH src AS (
+           SELECT doc_id, text FROM documents WHERE doc_id < 300
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 300
+           UNION ALL
+           SELECT doc_id + 2000000 AS doc_id, text FROM documents
+           WHERE doc_id < 300 AND doc_id % 2 = 0),
+         reps AS (
+           SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text,
+                  CAST(count(*) AS BIGINT) AS mult
+           FROM src
+           GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))),
+         t AS (
+           SELECT doc_id, mult,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+           FROM reps),
+         s AS (
+           SELECT doc_id, mult,
+                  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                       ELSE list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                           for i in range(1, len(tk) - 1)])
+                  END AS sh
+           FROM t)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                      len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard,
+                a.mult AS mult_a, b.mult AS mult_b
+         FROM s a, s b
+         WHERE a.doc_id < b.doc_id
+           AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+               len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+         ORDER BY id_a, id_b""",
+    "x90b_weighted_sweep" ->
+      // the BRUTE-FORCE expansion: exact pairs over the full duplicated
+      // slice (copies and all), per-doc max, cumulative counts — the
+      // weighted fold must reproduce this curve term for term
+      """WITH src AS (
+           SELECT doc_id, text FROM documents WHERE doc_id < 300
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 300
+           UNION ALL
+           SELECT doc_id + 2000000 AS doc_id, text FROM documents
+           WHERE doc_id < 300 AND doc_id % 2 = 0),
+         t AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+           FROM src),
+         s AS (
+           SELECT doc_id,
+                  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                       ELSE list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                           for i in range(1, len(tk) - 1)])
+                  END AS sh
+           FROM t),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                        len(list_distinct(list_concat(a.sh, b.sh))), 4) AS j
+           FROM s a, s b
+           WHERE a.doc_id < b.doc_id
+             AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+         m AS (SELECT id_b, max(j) AS ms FROM p GROUP BY id_b),
+         th(threshold) AS (VALUES (0.5::DOUBLE), (0.7::DOUBLE),
+                                  (0.9::DOUBLE), (1.0::DOUBLE)),
+         n AS (SELECT count(*) AS n_docs FROM src)
+         SELECT th.threshold,
+                CAST(count(m.ms) AS BIGINT) AS docs_dropped,
+                n.n_docs,
                 floor((CASE WHEN n.n_docs = 0 THEN 0.0
                             ELSE count(m.ms)::DOUBLE / n.n_docs END)
                       * 1e4 + 0.5) / 1e4 AS drop_rate
@@ -2551,6 +2707,33 @@ object SparkEntry {
          FROM (SELECT doc_id FROM documents WHERE doc_id % 4 <> 1) d
          LEFT JOIN p ON d.doc_id = p.doc_id
          ORDER BY id""",
+    "x91_vocab_compact" ->
+      // x89's oracle shape over the post-compaction surviving corpus
+      // (doc_id % 4 <= 1): epoch fold + surviving-slab removal must
+      // leave exactly this corpus's top-30 vocabulary
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(string_split(
+                    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+           FROM documents WHERE doc_id % 4 <= 1),
+         tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+         v AS (SELECT t AS vt FROM (
+                 SELECT t, count(*) AS n FROM tok2 GROUP BY t
+                 ORDER BY n DESC, t LIMIT 30)),
+         p AS (
+           SELECT doc_id, count(*) AS n_tokens,
+                  CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+           FROM tok2 LEFT JOIN v ON tok2.t = v.vt GROUP BY doc_id)
+         SELECT d.doc_id AS id,
+                coalesce(p.n_tokens, 0) AS n_tokens,
+                coalesce(p.n_oov, 0) AS n_oov,
+                CASE WHEN coalesce(p.n_tokens, 0) = 0 THEN 0.0
+                     ELSE floor(CAST(p.n_oov AS DOUBLE) / p.n_tokens
+                                * 10000.0 + 0.5) / 10000.0
+                END AS oov_rate
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 4 <= 1) d
+         LEFT JOIN p ON d.doc_id = p.doc_id
+         ORDER BY id""",
     // positions 1-based here, 0-based on the Spark side — the covered-set
     // arithmetic shifts identically (the x48 recipe with eval grams)
     "x60_decontam_scrub" ->
@@ -2992,7 +3175,10 @@ object SparkEntry {
                 count(try_cast(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
                 sum(try_cast(json_extract_string(props, '$.k') AS INTEGER))::BIGINT AS sum_k,
                 round(avg(try_cast(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k,
-                round(sum(value), 4) AS total_value
+                -- exact HUGEINT-cents accumulation (see q1_agg): value is
+                -- cent-structured; plain double sum drifts at 128M rows
+                round(CAST(sum(CAST(round(value * 100) AS HUGEINT))
+                      AS DOUBLE) / 100, 4) AS total_value
          FROM events GROUP BY 1 ORDER BY event_type""",
     "x27_token_budget" ->
       // same multiplicative hash as x17/x23; window sum of exact longs

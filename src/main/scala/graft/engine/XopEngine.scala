@@ -400,7 +400,7 @@ object XopEngine {
       // pair computation — the curve the threshold decision reads
       case "dedup_sweep" =>
         knownArgs("id", "column", "thresholds", "shingle", "max_id",
-          "family", "num_hashes", "bands", "index")
+          "family", "num_hashes", "bands", "index", "weighted")
         val sweepTs: Seq[Double] = args.get("thresholds") match {
           case Some(l: List[Any] @unchecked) if l.nonEmpty => l.map {
             case d: Double => d
@@ -415,6 +415,45 @@ object XopEngine {
           Errors.malformed(s"xop '$name': thresholds must be in [0, 1]")
         val family = args.get("family")
           .map(_ => reqStr(args, "family", name)).getOrElse("jaccard")
+        // weighted: collapse exact classes first, sweep representative
+        // pairs, fold multiplicities back into the drop counts — the
+        // duplication-proof curve (identical to the unweighted curve by
+        // the keep-first argument, without the expanded pair relation).
+        // Inline-only: a persisted index stores uncollapsed signatures.
+        val weightedSweep = boolArg(args, "weighted", default = false, name)
+        if (weightedSweep) {
+          if (args.contains("index"))
+            Errors.malformed(s"xop '$name': weighted sweeps are inline-only " +
+              "(a persisted index stores uncollapsed signatures)")
+          val id = column(df, args, "id", name)
+          val textC = column(df, args, "column", name)
+          val (wClasses, wPairs, wScore) = family match {
+            case "jaccard" =>
+              for (k <- Seq("num_hashes", "bands") if args.contains(k))
+                Errors.malformed(
+                  s"xop '$name': '$k' is only valid with family 'minhash'")
+              val maxId = intArg(args, "max_id", 0L, name)
+              if (maxId <= 0)
+                Errors.malformed(s"xop '$name': family 'jaccard' requires a " +
+                  "positive 'max_id' (the exact sweep is quadratic — bound the slice)")
+              (Dedup.exactByTextWeighted(
+                df.filter(col(id) < maxId), textC, id),
+                Dedup.minhashPairsWeightedBandExhaustive(df, id, textC, maxId,
+                  sweepTs.min, shingleSize = intArg(args, "shingle", 3, name).toInt),
+                "jaccard")
+            case "minhash" =>
+              val numHashes = intArg(args, "num_hashes", 64, name).toInt
+              val bands = intArg(args, "bands", 16, name).toInt
+              if (bands <= 0 || numHashes <= 0 || numHashes % bands != 0)
+                Errors.malformed(s"xop '$name': bands must divide num_hashes")
+              (Dedup.exactByTextWeighted(df, textC, id),
+                Dedup.minhashPairsWeighted(df, id, textC, numHashes, bands,
+                  sweepTs.min, intArg(args, "shingle", 3, name).toInt),
+                "est_jaccard")
+            case other => Errors.malformed(s"xop '$name': unknown family", other)
+          }
+          Dedup.dedupSweepWeighted(wClasses, wPairs, wScore, sweepTs)
+        } else {
         val (sweepPairs, scoreC) = family match {
           case "jaccard" =>
             for (k <- Seq("num_hashes", "bands", "index") if args.contains(k))
@@ -452,6 +491,7 @@ object XopEngine {
           case other => Errors.malformed(s"xop '$name': unknown family", other)
         }
         Dedup.dedupSweep(df, sweepPairs, scoreC, sweepTs)
+        }
 
       // borderline-first human-audit queue over the exact-jaccard pair
       // relation: the k pairs closest to the operating threshold, texts
@@ -737,15 +777,41 @@ object XopEngine {
       // MinHash LSH near-dup (Dedup.minhashPairs): one (band,bucket)
       // shuffle, codegen'd signature + pair kernels
       case "dedup_minhash" =>
-        knownArgs("id", "column", "num_hashes", "bands", "threshold", "shingle", "action", "score")
+        knownArgs("id", "column", "num_hashes", "bands", "threshold",
+          "shingle", "action", "score", "weighted")
         val id = column(df, args, "id", name)
+        val textC = column(df, args, "column", name)
         val numHashes = intArg(args, "num_hashes", 64, name).toInt
         val bands = intArg(args, "bands", 16, name).toInt
         if (bands <= 0 || numHashes <= 0 || numHashes % bands != 0)
           Errors.malformed(s"xop '$name': bands must divide num_hashes")
-        pairsOrDrop(df, Dedup.minhashPairs(df, id, column(df, args, "column", name),
-          numHashes, bands, doubleArgOpt(args, "threshold", 0.7, name),
-          intArg(args, "shingle", 3, name).toInt), id, args, name)
+        val thr = doubleArgOpt(args, "threshold", 0.7, name)
+        val sh = intArg(args, "shingle", 3, name).toInt
+        if (boolArg(args, "weighted", default = false, name)) {
+          // duplication-proof variant: exact classes collapse to
+          // representatives first, so a heavily-duplicated corpus emits
+          // one row per near-dup RELATION instead of a quadratic
+          // expansion; 'drop' composes the collapse with rep-level
+          // keep-first (= keep-first over the full corpus, docs
+          // materialized once per surviving class)
+          if (args.contains("score"))
+            Errors.malformed(
+              s"xop '$name': 'score' (keep_best) is not available weighted — " +
+                "representatives are fixed to the lowest class member")
+          val wPairs = Dedup.minhashPairsWeighted(df, id, textC,
+            numHashes, bands, thr, sh)
+          args.get("action") match {
+            case None | Some("pairs") => wPairs
+            case Some("drop") =>
+              Dedup.dropNearDuplicates(
+                Dedup.exactByTextWeighted(df, textC, id).drop("mult"),
+                wPairs, id)
+            case Some(other) =>
+              Errors.malformed(s"xop '$name': unknown weighted action", other)
+          }
+        } else
+          pairsOrDrop(df, Dedup.minhashPairs(df, id, textC,
+            numHashes, bands, thr, sh), id, args, name)
 
       // SimHash near-dup: 4×16-bit band join + bit_count verify
       case "dedup_simhash" =>

@@ -46,6 +46,16 @@ import scala.collection.mutable
   */
 object BloomIndex {
 
+  /** Thrown by [[update]] when the delta would push the sketch past the
+    * certified `maxFppFactor` bound. A DEDICATED type (still an
+    * IllegalArgumentException, so every existing catch and the xop 400
+    * taxonomy are unchanged) because [[updateOrRebuild]] dispatches its
+    * rebuild fallback on it — matching on the message text was brittle:
+    * a reworded guard, or an unrelated future IAE containing the word,
+    * would silently change which failures rebuild versus propagate. */
+  final class SketchOutgrownException(message: String)
+    extends IllegalArgumentException(message)
+
   val FormatVersion = 1
 
   /** Order-independent content fingerprint of `df`'s id list: the exact
@@ -376,7 +386,7 @@ object BloomIndex {
       .getOrElse(numHashFunctions(nItemsBuilt, fpp).toLong).toDouble
     val est = math.pow(1.0 - math.exp(-k * newInserted / m), k)
     if (est > maxFppFactor * fpp)
-      throw new IllegalArgumentException(
+      throw new SketchOutgrownException(
         f"$what has outgrown its sketch: estimated false-positive rate " +
           f"$est%.2g at ${newInserted} inserted ids exceeds $maxFppFactor%.1f× " +
           f"the built fpp=$fpp%.2g — rebuild the artifact at the new scale")
@@ -420,8 +430,7 @@ object BloomIndex {
       (Artifact, Boolean) = {
     try (update(spark, path, added, addedIdCol, removed, maxFppFactor), false)
     catch {
-      case e: IllegalArgumentException
-          if e.getMessage != null && e.getMessage.contains("outgrown") =>
+      case _: SketchOutgrownException =>
         val fpp = rebuildFpp.orElse(
           loadWithMeta(spark, path).fpp).getOrElse(0.01)
         buildAndSave(ledger, ledgerIdCol, fpp, path)

@@ -608,6 +608,154 @@ object Dedup {
             col("docs_dropped").cast("double") / col("n_docs"))))
   }
 
+  /** [[exactByText]] plus a `mult` column: the exact-duplicate class
+    * representatives (lowest-`orderCol` member each) with the class SIZE
+    * attached — the collapse step of the duplication-proof near-dup
+    * family. Same single map-side-combining aggregation as exactByText
+    * (one extra count per group), so a mass-duplicated document still
+    * costs one row per mapper before the shuffle. */
+  def exactByTextWeighted(df: DataFrame, textCol: String,
+                          orderCol: String): DataFrame = {
+    val payload = struct(df.columns.map(exactCol): _*)
+    df.groupBy(TextOps.fingerprintMd5(exactCol(textCol)).as("__fp"))
+      .agg(min_by(payload, struct(exactCol(orderCol))).as("__keep"),
+        count(lit(1)).as("mult"))
+      .select(df.columns.map(c => col("__keep").getField(c).as(c)) :+ col("mult"): _*)
+  }
+
+  /** Weighted banding core shared by [[minhashPairsWeighted]] and its
+    * band-exhaustive anchor: the standard LSH lineage over an ALREADY-
+    * collapsed representative relation ([[exactByTextWeighted]]'s
+    * output), each side's class multiplicity riding the banding payload
+    * struct — no post-hoc id join to re-attach it. */
+  private def weightedRepPairs(reps: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, threshold: Double,
+      shingleSize: Int): DataFrame = {
+    val r = numHashes / bands
+    val hashed = spread(reps, col(idCol)).select(exactCol(idCol).as("id"),
+      shingleHashesFused(col(textCol), shingleSize).as("hs"), col("mult"))
+    val sigs = hashed.select(col("id"),
+      minhashSignature(col("hs"), numHashes).as("sig"), col("mult"))
+    val banded = sigs.select(
+      struct(col("id"), col("sig"), col("mult")).as("p"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * lit(r) + 1, lit(r))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    bucketPairsWithPayload(banded)
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
+          x => x)).cast("double") / numHashes.toDouble)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("est_jaccard"),
+        col("a.mult").as("mult_a"), col("b.mult").as("mult_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("est_jaccard", round(col("est_jaccard"), 4))
+  }
+
+  /** Duplication-proof near-duplicate PAIRS: exact-duplicate classes
+    * collapse to representatives with multiplicity FIRST (x1's one-
+    * aggregation machinery), only representatives band and pair, and
+    * each pair carries both classes' sizes. On a corpus where documents
+    * have m exact copies each — the crawl norm, and exactly the regime
+    * where [[minhashPairs]]' output goes quadratic (every cross pair
+    * expands m² times, every class adds m(m−1)/2 internal est=1.0
+    * pairs) — this emits ONE row per near-dup RELATION, and the
+    * expanded arithmetic is recoverable exactly: an (a, b) row stands
+    * for mult_a·mult_b expanded pairs and each class for its internal
+    * m(m−1)/2; [[dedupSweepWeighted]] folds both into the exact
+    * keep-first drop curve. Returns
+    * (id_a, id_b, est_jaccard, mult_a, mult_b), id_a < id_b, the ids
+    * being class representatives (lowest member id). */
+  def minhashPairsWeighted(df: DataFrame, idCol: String, textCol: String,
+                           numHashes: Int = 64, bands: Int = 16,
+                           threshold: Double = 0.7,
+                           shingleSize: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    weightedRepPairs(exactByTextWeighted(df, textCol, idCol), idCol, textCol,
+      numHashes, bands, threshold, shingleSize)
+  }
+
+  /** [[minhashPairsWeighted]]'s oracle anchor — the x2b pattern: band-
+    * exhaustive candidates (bands = numHashes) over the collapsed
+    * representatives, post-verified by EXACT fused shingle Jaccard, on
+    * an id-bounded slice. Output = the exact representative pair set
+    * with multiplicities, replayable in DuckDB (collapse = GROUP BY the
+    * normalized-text fingerprint; pairs = quadratic exact Jaccard over
+    * the representatives). */
+  def minhashPairsWeightedBandExhaustive(df: DataFrame, idCol: String,
+      textCol: String, maxId: Long, threshold: Double, numHashes: Int = 64,
+      shingleSize: Int = 3): DataFrame = {
+    val slice = df.filter(col(idCol) < maxId)
+    val reps = exactByTextWeighted(slice, textCol, idCol)
+    val cand = weightedRepPairs(reps, idCol, textCol, numHashes,
+      bands = numHashes, threshold = 0.0, shingleSize = shingleSize)
+      .select("id_a", "id_b", "mult_a", "mult_b")
+    val tok = spread(reps, col(idCol)).select(exactCol(idCol).as("id"),
+      array_sort(shingleHashesFused(col(textCol), shingleSize)).as("hs"))
+      .withColumn("n", size(col("hs")))
+    cand
+      .join(tok.select(col("id").as("id_a"), col("hs").as("hs_a"),
+        col("n").as("n_a")), "id_a")
+      .join(tok.select(col("id").as("id_b"), col("hs").as("hs_b"),
+        col("n").as("n_b")), "id_b")
+      .withColumn("__i", intersectCount(col("hs_a"), col("hs_b")))
+      .withColumn("jaccard", jaccardOf(col("__i"), col("n_a"), col("n_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"),
+        col("mult_a"), col("mult_b"))
+  }
+
+  /** [[dedupSweep]] with the duplication folded back in: given the
+    * collapse relation ([[exactByTextWeighted]]'s output, `mult` per
+    * representative) and a weighted representative pair relation, report
+    * the EXACT drop curve keep-first dedup would realize on the FULL
+    * expanded corpus — without ever materializing expanded pairs.
+    *
+    * The fold is exact by the keep-first argument: every non-
+    * representative member drops at any threshold ≤ 1 (its own class's
+    * representative is a smaller-id partner at score exactly 1), and a
+    * representative drops iff some class with a smaller representative
+    * scores ≥ t — which is keep-first over the representative pairs
+    * (a smaller-id expanded partner exists iff the other class's
+    * representative is smaller). So docs_dropped(t) =
+    * Σ(mult−1)·[t ≤ 1] + |{id_b : max score ≥ t}| and n_docs = Σ mult —
+    * pinned equal to [[dedupSweep] ] over the expanded corpus/pairs in
+    * OpsSpec and against the DuckDB expansion in x90b's oracle.
+    *
+    * Shape at scale: one map-combining per-rep max over the pairs, ONE
+    * conditional-sum pass covering all thresholds, one two-sum pass
+    * over the collapse relation. Nothing is expanded-corpus-sized. */
+  def dedupSweepWeighted(classes: DataFrame, pairs: DataFrame,
+                         scoreCol: String,
+                         thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    require(thresholds.forall(t => !t.isNaN && !t.isInfinite),
+      "thresholds must be finite")
+    val ts = thresholds.distinct.sorted
+    val maxs = pairs.groupBy(col("id_b")).agg(max(col(scoreCol)).as("__s"))
+    val sums = ts.zipWithIndex.map { case (t, i) =>
+      coalesce(sum(when(col("__s") >= t, 1L).otherwise(0L)), lit(0L))
+        .as(s"__c$i") }
+    val counts = maxs.agg(sums.head, sums.tail: _*)
+    val base = classes.agg(
+      coalesce(sum(col("mult")), lit(0L)).as("__n"),
+      coalesce(sum(col("mult") - 1L), lit(0L)).as("__intra"))
+    counts.crossJoin(base)
+      .select(explode(array(ts.zipWithIndex.map { case (t, i) =>
+        struct(lit(t).as("threshold"),
+          (col(s"__c$i") +
+            (if (t <= 1.0) col("__intra") else lit(0L))).as("docs_dropped"),
+          col("__n").as("n_docs")) }: _*)).as("r"))
+      .select(col("r.threshold").as("threshold"),
+        col("r.docs_dropped").as("docs_dropped"),
+        col("r.n_docs").as("n_docs"))
+      .withColumn("drop_rate",
+        when(col("n_docs") === 0, lit(0.0))
+          .otherwise(Rounding.halfUp4(
+            col("docs_dropped").cast("double") / col("n_docs"))))
+  }
+
   /** Borderline-first human-audit queue over a near-duplicate pair
     * relation — the review step every threshold decision closes with:
     * the k pairs whose score sits CLOSEST to the operating threshold

@@ -395,13 +395,31 @@ object Sampling {
     * windows PARTITIONED by the shard id. Level 2: shard totals roll up
     * in one window over ≤ nShards rows — bounded by construction, the
     * only unpartitioned window here, and its sort key is the shard id,
-    * never the priority. `base` must carry a `tokens` long column. */
-  private[graft] def classifyCrossing(base: DataFrame, priorityCol: String,
-      nShards: Int): DataFrame = {
+    * never the priority. `base` must carry a `tokens` long column.
+    *
+    * Both levels derive from ONE `sharded` relation, and correctness of
+    * `__before` requires both plan branches (the offsets rollup and the
+    * windowed prefix) to see the SAME shard assignment — so `sharded`
+    * (partition ids already materialized as column data) is pinned with
+    * a persist for the duration of `consume`, never left to physical
+    * exchange reuse: with reuse disabled or canonicalization diverging,
+    * each branch would re-sample RangePartitioner bounds independently
+    * and rows could silently land in different shards per branch. The
+    * callers consume the classified relation with one bounded collect,
+    * so the pin is released before this method returns (disk-spillable,
+    * and the relation is the per-priority aggregate, not the corpus). */
+  private[graft] def classifyCrossing[T](base: DataFrame, priorityCol: String,
+      nShards: Int)(consume: DataFrame => T): T = {
     val perP = base.groupBy(col(priorityCol).as("__p"))
       .agg(sum(col("tokens")).as("__gtot"))
     val sharded = perP.repartitionByRange(nShards, col("__p").desc)
       .withColumn("__pshard", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try consume(classifiedFrom(sharded))
+    finally sharded.unpersist(false)
+  }
+
+  private def classifiedFrom(sharded: DataFrame): DataFrame = {
     val offsets = sharded.groupBy(col("__pshard").as("__oshard"))
       .agg(sum(col("__gtot")).as("__stot"))
       .withColumn("__soffset",
@@ -430,15 +448,24 @@ object Sampling {
     * non-categorical source (the user-contract violation the crossing
     * collect fail-fasts on) degrades to a shuffle join instead of an
     * OOM-ing forced broadcast. `base` must carry `tokens` and
-    * `__budget` long columns. */
-  private[graft] def classifyCrossingBySource(base: DataFrame,
-      sourceCol: String, priorityCol: String, nShards: Int): DataFrame = {
+    * `__budget` long columns. Shard-assignment consistency across the
+    * two plan branches is pinned by the same persist-for-consume
+    * bracket as [[classifyCrossing]]. */
+  private[graft] def classifyCrossingBySource[T](base: DataFrame,
+      sourceCol: String, priorityCol: String, nShards: Int)
+      (consume: DataFrame => T): T = {
     val perSP = base
       .groupBy(col(sourceCol).as("__src"), col(priorityCol).as("__p"))
       .agg(sum(col("tokens")).as("__gtot"), first(col("__budget")).as("__b"))
     val sharded = perSP
       .repartitionByRange(nShards, col("__src"), col("__p").desc)
       .withColumn("__pshard", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try consume(classifiedBySourceFrom(sharded))
+    finally sharded.unpersist(false)
+  }
+
+  private def classifiedBySourceFrom(sharded: DataFrame): DataFrame = {
     val offsets = sharded
       .groupBy(col("__src").as("__osrc"), col("__pshard").as("__oshard"))
       .agg(sum(col("__gtot")).as("__stot"))
@@ -533,11 +560,13 @@ object Sampling {
     // prefix (never a single-task window over the distinct-priority
     // relation); fetch the at-most-one crossing row.
     val boundary = classifyCrossing(base, priorityCol,
-        resolveClassifyShards(df, classifyShards))
-      .filter(col("__before") + col("__gtot") > lit(budget) &&
-        col("__before") <= lit(budget))
-      .select(col("__p"), col("__before"))
-      .collect()
+        resolveClassifyShards(df, classifyShards)) { classified =>
+      classified
+        .filter(col("__before") + col("__gtot") > lit(budget) &&
+          col("__before") <= lit(budget))
+        .select(col("__p"), col("__before"))
+        .collect()
+    }
     boundary.headOption match {
       case None =>
         // 2: the whole corpus fits.
@@ -624,12 +653,15 @@ object Sampling {
     // two-level range-shard prefix; fetch every source's at-most-one
     // crossing row in one bounded collect
     val crossing = classifyCrossingBySource(base, sourceCol, priorityCol,
-        resolveClassifyShards(df, classifyShards))
-      .filter(col("__before") + col("__gtot") > col("__b") &&
-        col("__before") <= col("__b"))
-      .select(col("__src"), col("__p"), (col("__b") - col("__before")).as("__rem"))
-      .limit(10001)
-      .collect()
+        resolveClassifyShards(df, classifyShards)) { classified =>
+      classified
+        .filter(col("__before") + col("__gtot") > col("__b") &&
+          col("__before") <= col("__b"))
+        .select(col("__src"), col("__p"),
+          (col("__b") - col("__before")).as("__rem"))
+        .limit(10001)
+        .collect()
+    }
     require(crossing.length <= 10000,
       "more than 10000 sources have a budget crossing point — the source " +
         "column is not categorical; group it first")

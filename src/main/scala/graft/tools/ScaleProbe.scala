@@ -153,6 +153,166 @@ object ScaleProbe {
           s"counts exactly x$rDocs")
         s.unpersist()
       }
+
+      // x9: per-doc quality features are a pure function of the text, so
+      // the scaled corpus's PROFILE MULTISET is exactly the base's xR —
+      // grouped by all four metric columns (bit-identical doubles across
+      // replicas), counts must scale exactly. Null-safe join keys: a
+      // null-text doc's null metrics must match its base row.
+      guarded("quality_profiles") {
+        def agg(df: DataFrame) =
+          graft.ops.TextOps.qualityFeatures(df, "text")
+            .groupBy("n_tokens", "alpha_ratio", "punct_ratio", "stopword_ratio")
+            .agg(count(lit(1)).as("n"))
+        val a = agg(bDocs).withColumnRenamed("n", "n_b")
+        val s = agg(sDocs).withColumnRenamed("n", "n_s").persist()
+        timed("quality_profiles")(s.count())
+        val keys = Seq("n_tokens", "alpha_ratio", "punct_ratio", "stopword_ratio")
+        val cond = keys.map(k => a(k) <=> s(k)).reduce(_ && _)
+        val bad = a.join(s, cond, "full_outer")
+          .filter(col("n_b").isNull || col("n_s").isNull ||
+            col("n_s") =!= col("n_b") * rDocs).count()
+        if (bad != 0) {
+          failures += 1
+          println(s"[probe] FAIL quality_profiles: $bad profile groups " +
+            s"violate n_s == $rDocs*n_b")
+        } else println(s"[probe] PASS quality_profiles: ${a.count()} " +
+          s"distinct profiles, counts exactly x$rDocs")
+        s.unpersist()
+      }
+
+      // x29: the corpus profile over the NON-KEY columns (doc_id offsets
+      // per replica, everything else repeats verbatim): counts and null
+      // counts scale exactly xR, distinct/min/max are IDENTICAL
+      guarded("profile_nonkey") {
+        def rows(df: DataFrame) =
+          graft.ops.Profile.profile(df.drop("doc_id")).collect()
+            .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+              r.getLong(3), r.getString(4), r.getString(5)))).toMap
+        val a = rows(bDocs)
+        val s = timed("profile_nonkey")(rows(sDocs))
+        val bad = a.keys.filter { c =>
+          val (bn, bnull, bd, bmin, bmax) = a(c)
+          val (sn, snull, sd, smin, smax) = s(c)
+          sn != bn * rDocs || snull != bnull * rDocs || sd != bd ||
+            smin != bmin || smax != bmax
+        }
+        if (bad.nonEmpty || s.keySet != a.keySet) {
+          failures += 1
+          println(s"[probe] FAIL profile_nonkey: columns ${bad.mkString(",")} " +
+            "violate the xR profile invariant")
+        } else println(s"[probe] PASS profile_nonkey: ${a.size} columns, " +
+          s"counts x$rDocs, distinct/min/max identical")
+      }
+
+      // x34: exact interpolated per-source quantiles of the scaled corpus
+      // against a DRIVER-side ground truth computed from the base's
+      // per-(source, n_chars) counts xR (the base relation is tiny; the
+      // scaled op aggregates 5M rows into per-group count maps — that
+      // distributed machinery is what's under test; the interpolation
+      // formula itself is oracle-pinned at sf0.01/sf1)
+      guarded("quantiles") {
+        val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+        val baseCounts = bDocs.filter(col("n_chars").isNotNull)
+          .groupBy("source", "n_chars").agg(count(lit(1)).as("c")).collect()
+          .map(r => (Option(r.get(0)).map(_.toString),
+            r.getAs[Number]("n_chars").doubleValue, r.getLong(2)))
+          .groupBy(_._1).map { case (src, rows) =>
+            src -> rows.map(t => (t._2, t._3)).sortBy(_._1) }
+        def expected(sorted: Seq[(Double, Long)], q: Double): Double = {
+          val n = sorted.map(_._2 * rDocs).sum
+          val pos = q * (n - 1).toDouble
+          val k = math.floor(pos).toLong
+          def at(rank: Long): Double = { // 0-indexed order statistic
+            var acc = 0L
+            sorted.find { case (_, c) =>
+              acc += c * rDocs; acc > rank }.get._1
+          }
+          // Spark Percentile's own two-product interpolation form —
+          // v1 + d*(v2−v1) can differ in the last ulp and this compare
+          // is exact
+          val lower = math.floor(pos); val higher = math.ceil(pos)
+          val v =
+            if (higher == lower) at(k)
+            else (higher - pos) * at(lower.toLong) + (pos - lower) * at(higher.toLong)
+          math.floor(v * 1e4 + 0.5) / 1e4
+        }
+        val got = timed("quantiles")(
+          graft.ops.Profile.groupQuantiles(sDocs, "source", "n_chars", qs)
+            .collect()
+            .map(r => (Option(r.get(0)).map(_.toString), r.getDouble(1))
+              -> r.getDouble(2)).toMap)
+        val bad = for {
+          (src, sorted) <- baseCounts.toSeq; q <- qs
+          exp = expected(sorted, q)
+          act = got.get((src, q))
+          if !act.contains(exp)
+        } yield s"$src/$q: expected $exp got $act"
+        if (bad.nonEmpty || got.size != baseCounts.size * qs.size) {
+          failures += 1
+          println(s"[probe] FAIL quantiles: ${bad.take(3).mkString("; ")}")
+        } else println(s"[probe] PASS quantiles: ${got.size} (source, q) " +
+          "cells equal the driver-side xR ground truth exactly")
+      }
+
+      // x82: budget selection at 5M docs — replay the DEFINITION on the
+      // scaled output: the selection must be an exact PREFIX of the
+      // (priority DESC, id ASC) order (everything above the boundary
+      // band in, the boundary tie group an id-prefix), within budget,
+      // and maximal (the first unselected doc would cross it). This
+      // exercises the two-level range-shard classification at a
+      // corpus-sized distinct-priority relation.
+      guarded("budget_prefix") {
+        val prep = (df: DataFrame) => df
+          .select(col("doc_id"),
+            (expr("CAST(n_chars AS BIGINT) div 50") * 50).as("priority"),
+            coalesce(col("n_chars").cast("long"), lit(0L)).as("tokens"))
+          .filter(col("doc_id").isNotNull && col("priority").isNotNull)
+        val baseTok = prep(bDocs).agg(sum("tokens")).head().getLong(0)
+        val budget = (baseTok / 2) * rDocs // crossing well inside the corpus
+        val corpus = prep(sDocs)
+        val sel = timed("budget_prefix")(
+          graft.ops.Sampling.budgetSelect(sDocs.withColumn("priority",
+              expr("CAST(n_chars AS BIGINT) div 50") * 50),
+            "doc_id", "priority",
+            coalesce(col("n_chars").cast("long"), lit(0L)), budget)
+            .persist())
+        val st = sel.agg(sum("tokens").as("tot"), min("priority").as("pmin"),
+          count(lit(1)).as("k")).head()
+        val tot = st.getLong(0); val pmin = st.getLong(1)
+        var bad = Seq.empty[String]
+        if (tot > budget) bad :+= s"selected $tot tokens > budget $budget"
+        val nAboveCorpus = corpus.filter(col("priority") > pmin).count()
+        val nAboveSel = sel.filter(col("priority") > pmin).count()
+        if (nAboveCorpus != nAboveSel)
+          bad :+= s"above-boundary bands not fully selected " +
+            s"($nAboveSel of $nAboveCorpus)"
+        val selIds = sel.select(col("doc_id").as("__sid"))
+        val unsel = corpus.join(selIds, col("doc_id") === col("__sid"),
+          "left_anti").persist()
+        val tieRow = unsel.filter(col("priority") === pmin)
+          .agg(min("doc_id").as("minU"), count(lit(1)).as("nU")).head()
+        if (tieRow.getLong(1) > 0L) {
+          val maxSelTie = sel.filter(col("priority") === pmin)
+            .agg(max("doc_id")).head().getLong(0)
+          if (maxSelTie >= tieRow.getLong(0))
+            bad :+= "boundary tie group is not an id-prefix"
+        }
+        val fu = unsel.orderBy(col("priority").desc, col("doc_id"))
+          .limit(1).collect()
+        fu.headOption.foreach { r =>
+          val fuP = r.getAs[Long]("priority"); val fuT = r.getAs[Long]("tokens")
+          if (fuP > pmin) bad :+= "an unselected doc outranks the boundary"
+          else if (fuT <= 0L || tot + fuT <= budget)
+            bad :+= s"selection not maximal: next doc ($fuT tokens) still fits"
+        }
+        unsel.unpersist(); sel.unpersist()
+        if (bad.nonEmpty) {
+          failures += 1
+          println(s"[probe] FAIL budget_prefix: ${bad.mkString("; ")}")
+        } else println(s"[probe] PASS budget_prefix: ${st.getLong(2)} docs, " +
+          s"$tot of $budget tokens, exact prefix + maximality verified")
+      }
     }
 
     if (!haveEvents) {

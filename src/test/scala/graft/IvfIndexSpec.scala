@@ -400,6 +400,9 @@ class IvfIndexSpec extends AnyFunSuite {
       BloomIndex.update(spark, path, flood, "xid")
     }
     assert(eG.getMessage.contains("outgrown"))
+    // the guard throws the DEDICATED type updateOrRebuild dispatches on
+    // (never a message-text match), and it stays an IAE for the 400 path
+    assert(eG.isInstanceOf[BloomIndex.SketchOutgrownException])
     // a permissive factor admits the same flood (caller's choice)
     BloomIndex.update(spark, path, (21L to 24L).map(Tuple1(_)).toDF("xid"),
       "xid", maxFppFactor = 1e6)

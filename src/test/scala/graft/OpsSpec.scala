@@ -142,6 +142,57 @@ class OpsSpec extends AnyFunSuite {
     assert(banded == exact)
   }
 
+  test("weighted pairing collapses duplication; sweep folds the expansion exactly") {
+    import spark.implicits._
+    // expanded corpus: docs ∪ full copy ∪ evens copy. Note doc 2 is an
+    // exact dup of doc 1 after normalization, so the classes are
+    // {1,2,101,102,202} (mult 5), {3,103} (2), {4,104,204} (3), {5,105} (2)
+    val base = docs.select(col("doc_id"), col("text"))
+    val expanded = base
+      .unionByName(base.select((col("doc_id") + 100).as("doc_id"), col("text")))
+      .unionByName(base.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 200).as("doc_id"), col("text")))
+    val reps = Dedup.exactByText(expanded, "text", "doc_id")
+    // (1) weighted-pairs ≡ pairs-after-exact-collapse, with the exact
+    // class sizes attached — the same banding parameters on both sides
+    def pset(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "est_jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val weighted = Dedup.minhashPairsWeighted(expanded, "doc_id", "text",
+      numHashes = 64, bands = 32, threshold = 0.35, shingleSize = 3)
+    val afterCollapse = Dedup.minhashPairs(reps, "doc_id", "text",
+      numHashes = 64, bands = 32, threshold = 0.35, shingleSize = 3)
+    assert(pset(weighted) == pset(afterCollapse) && pset(weighted).nonEmpty)
+    val mults = weighted.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        (r.getAs[Long]("mult_a"), r.getAs[Long]("mult_b"))).toMap
+    assert(mults((1L, 3L)) == (5L, 2L))
+    // (2) the band-exhaustive weighted anchor equals the exact pair set
+    // over the representatives (the x90 oracle's claim)
+    def jrows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val wx = Dedup.minhashPairsWeightedBandExhaustive(expanded, "doc_id",
+      "text", maxId = 1000, threshold = 0.5)
+    assert(jrows(wx) == jrows(Dedup.shingleJaccardPairsExact(reps, "doc_id",
+      "text", maxId = 1000, threshold = 0.5)))
+    // (3) the weighted sweep reproduces the EXPANDED corpus's drop curve
+    // term for term — never materializing the expanded pairs (which the
+    // ground-truth side here does, quadratically)
+    val classes = Dedup.exactByTextWeighted(expanded, "text", "doc_id")
+    val expandedPairs = Dedup.shingleJaccardPairsExact(expanded, "doc_id",
+      "text", maxId = 1000, threshold = 0.5)
+    val ts = Seq(0.5, 0.8, 1.0)
+    def curve(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("threshold").collect()
+        .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val folded = curve(Dedup.dedupSweepWeighted(classes, wx, "jaccard", ts))
+    val brute = curve(Dedup.dedupSweep(expanded, expandedPairs, "jaccard", ts))
+    assert(folded == brute)
+    assert(folded.head._3 == 12L)     // n_docs = the EXPANDED count
+    assert(folded.last._2 >= 8L)      // t=1.0: every non-representative drops
+  }
+
   test("minhashPairsAgainstBandExhaustive equals the exact cross-side pair set") {
     // corpus = the fixture, batch = the fixture re-id'd: every batch doc
     // must pair with its original at jaccard 1.0, plus the true
@@ -2158,11 +2209,11 @@ class OpsSpec extends AnyFunSuite {
     }
     val base = (1L to 100L).map(i => (i, 1.0 / i, 2L))
       .toDF("id", "priority", "tokens")
-    guard(Sampling.classifyCrossing(base, "priority", nShards = 4))
+    Sampling.classifyCrossing(base, "priority", nShards = 4)(guard)
     val srcBase = base
       .withColumn("src", concat(lit("s"), pmod(col("id"), lit(3L))))
       .withColumn("__budget", lit(10L))
-    guard(Sampling.classifyCrossingBySource(srcBase, "src", "priority", 4))
+    Sampling.classifyCrossingBySource(srcBase, "src", "priority", 4)(guard)
     // end-to-end on the continuous corpus: crossing at the 10th-best
     // score (20 tokens spent before id 10 at 2 tokens/doc, budget 21
     // admits ids 1..10's first 10 docs by score desc = ids 1..10)

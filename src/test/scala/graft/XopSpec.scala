@@ -889,6 +889,55 @@ class XopSpec extends AnyFunSuite {
                            "family": "zap", "thresholds": [0.5]}}}""") }
   }
 
+  test("weighted dedup_minhash/dedup_sweep match the expanded truth without expanded pairs") {
+    // the fixture's duplication is EXACT (1≡3, 2≡6), so the weighted
+    // collapse absorbs it entirely: the rep-level pair relation is
+    // empty at the default threshold, yet drop and the sweep reproduce
+    // the unweighted answers exactly
+    val wp = run(
+      """{"xop": {"name": "dedup_minhash",
+                  "args": {"id": "id", "column": "text", "weighted": true}}}""")
+    assert(wp.columns.toSeq ==
+      Seq("id_a", "id_b", "est_jaccard", "mult_a", "mult_b"))
+    assert(wp.count() == 0L)
+    val wd = run(
+      """{"xop": {"name": "dedup_minhash",
+                  "args": {"id": "id", "column": "text", "weighted": true,
+                           "action": "drop"}},
+          "order_by": ["id"]}""")
+    assert(ids(wd) == Seq(1L, 2L, 4L, 5L)) // = the unweighted drop
+    // weighted sweep, exact family: same curve as the unweighted one
+    val ws = run(
+      """{"xop": {"name": "dedup_sweep",
+                  "args": {"id": "id", "column": "text", "max_id": 100,
+                           "weighted": true, "thresholds": [0.5, 1.0]}}}""")
+    assert(ws.collect().map(r => (r.getDouble(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3))).toSeq ==
+      Seq((0.5, 2L, 6L, 0.3333), (1.0, 2L, 6L, 0.3333)))
+    // weighted sweep, minhash family (the full-corpus production path)
+    val wm = run(
+      """{"xop": {"name": "dedup_sweep",
+                  "args": {"id": "id", "column": "text", "family": "minhash",
+                           "weighted": true, "thresholds": [0.5]}}}""").collect()
+    assert(wm.head.getLong(1) == 2L)
+    // taxonomy: keep_best's score is rep-fixed under weighted; weighted
+    // sweeps are inline-only; weighted must be a boolean
+    val eS = intercept[MalformedQueryException] { run(
+      """{"xop": {"name": "dedup_minhash",
+                  "args": {"id": "id", "column": "text", "weighted": true,
+                           "action": "keep_best", "score": "id"}}}""") }
+    assert(eS.getMessage.contains("not available weighted"))
+    val eI = intercept[MalformedQueryException] { run(
+      """{"xop": {"name": "dedup_sweep",
+                  "args": {"id": "id", "column": "text", "family": "minhash",
+                           "weighted": true, "index": "nope",
+                           "thresholds": [0.5]}}}""") }
+    assert(eI.getMessage.contains("inline-only"))
+    intercept[MalformedQueryException] { run(
+      """{"xop": {"name": "dedup_minhash",
+                  "args": {"id": "id", "column": "text", "weighted": 1}}}""") }
+  }
+
   test("common_line_scrub xop drops lines shared by min_docs distinct documents") {
     // single-line docs: the two texts shared by two docs each (1/3 and
     // 2/6) are boilerplate at min_docs=2 and vanish from ALL FOUR; the
