@@ -1,0 +1,101 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Diagnostic for the billion-row sessionize rung: attributes the
+  * segmented carry's wall time to its constituent stages so "where does
+  * 381 s go at 1.28B events" is a measurement, not a guess. Times, in
+  * order:
+  *
+  *   scan      — count() over the raw events (parquet scan floor)
+  *   partials  — the (user, granule) exchange + per-granule window +
+  *               first aggregate, counted (everything the corpus-sized
+  *               exchange pays, nothing downstream)
+  *   gran      — partials + the granule-level rollup relation
+  *   full      — sessionizeBatch with the same explicit granule
+  *
+  * The deltas between consecutive rows are the incremental costs of the
+  * carry machinery (gran − partials) and of the carry join + final
+  * (user, sid) aggregate (full − gran). The partials/gran lineages are
+  * REPLICAS of segmentedSessions' first stages (kept in sync by the
+  * session-count assertion against the real operator).
+  *
+  * Usage: ProfileSessionizeStages <dir> [gapSeconds=21600] [passes=1]
+  * Env:   SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SHUFFLE (256),
+  *        SPARK_DRIVER_MEM via build.sbt fork options.
+  */
+object ProfileSessionizeStages {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/repo/testdata-sf1")
+    val gap = args.lift(1).map(_.toLong).getOrElse(21600L)
+    val passes = args.lift(2).map(_.toInt).getOrElse(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "256"))
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.io.compression.codec", "zstd")
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIR", "/tmp"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ScaleProbe's uncached read (MEMORY_ONLY must not wrap a
+    // beyond-storage-pool corpus)
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val sec = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        graft.ops.Joins.granuleBucket(col("ts"), 1000000000L).cast("timestamp")
+      case _ => date_trunc("second", col("ts")).cast("timestamp")
+    }
+    val ev = raw.withColumn("ts", sec)
+
+    // the auto-derivation's granule width, from one min/max job
+    val mm = ev.agg(min(col("ts").cast("long")), max(col("ts").cast("long"))).head()
+    val span = mm.getLong(1) - mm.getLong(0)
+    val width = math.max(span / 4096 + 1, 4 * gap)
+    println(s"[stages] span=$span s, granule width=$width s, gap=$gap s")
+
+    def timed(name: String)(f: => Long): Long = {
+      var out = 0L
+      val times = (1 to passes).map { _ =>
+        val t0 = System.nanoTime(); out = f
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[stages] $name%-10s rows=$out%,14d  min=${times.min}%7.1f s" +
+        (if (passes > 1) s"  passes=${times.map(t => f"$t%.1f").mkString(", ")}"
+         else ""))
+      out
+    }
+
+    val tl = col("ts").cast("long")
+    import org.apache.spark.sql.expressions.Window
+    def partialsOf(e: DataFrame): DataFrame = {
+      val wLocal = Window.partitionBy(col("user_id"), col("__g")).orderBy(col("ts"))
+      val prev = lag(col("ts"), 1).over(wLocal)
+      val brk = when(prev.isNull.or(tl - prev.cast("long") > gap), 1L).otherwise(0L)
+      e.withColumn("__g", graft.ops.Joins.granuleBucket(tl, width))
+        .withColumn("__brk", brk)
+        .withColumn("__lsid", sum(col("__brk")).over(
+          wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("__g"), col("__lsid"))
+        .agg(min(col("ts")).as("__s_start"), max(col("ts")).as("__s_end"),
+          count(lit(1)).as("__n"), sum(col("value")).as("__v"))
+    }
+
+    timed("scan")(ev.count())
+    timed("partials")(partialsOf(ev).count())
+    timed("gran")(partialsOf(ev).groupBy(col("user_id"), col("__g"))
+      .agg(max(col("__lsid")).as("__nbrk"),
+        min(col("__s_start")).as("__first"), max(col("__s_end")).as("__last"))
+      .count())
+    val sessions = timed("full")(graft.streaming.EventStreams
+      .sessionizeBatch(ev, gap, Some(width), autoNative = false).count())
+    println(s"[stages] sessions=$sessions")
+    spark.stop()
+  }
+}
