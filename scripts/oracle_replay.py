@@ -37,7 +37,12 @@ def connect(data_dir):
     con.execute(f"SET temp_directory = '{tmp}'")
     for t in TABLES:
         p = f"{data_dir}/{t}.parquet"
-        if os.path.exists(p):
+        # make_scale.py writes large tables as a DIRECTORY of chunk
+        # files (Spark reads either layout transparently; DuckDB needs
+        # the glob spelled out)
+        if os.path.isdir(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     return con
 
