@@ -371,26 +371,58 @@ object EventStreams {
       } else None
     }
     val out = effectiveGranule match {
-      case None =>
-        // sub-gate input: the classic one-shuffle-per-user running carry
-        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-        val prev = lag(col("ts"), 1).over(byUser)
-        val brk = when(prev.isNull
-            .or(tl - prev.cast("long") > gapSeconds), 1L)
-          .otherwise(0L)
-        ev
-          .withColumn("__brk", brk)
-          .withColumn("__sid", sum(col("__brk")).over(
-            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy(col("user_id"), col("__sid"))
-          .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
-            count(lit(1)).as("n_events"),
-            round(sum(col("value")), 4).as("total_value"))
-          .drop("__sid")
-      case Some(width) =>
-        segmentedSessions(ev, gapSeconds, width)
+      case None => windowedSessions(ev, gapSeconds)
+      case Some(width) => segmentedSessions(ev, gapSeconds, width)
     }
     restoreSessionTsType(out, events.schema("ts").dataType)
+  }
+
+  /** The classic one-window-per-user sessionization, exposed as an
+    * EXPLICIT strategy (xop `strategy: "window"`): ONE corpus exchange
+    * on user_id, the running-break window, and a final aggregate the
+    * user hash already satisfies — NO second exchange, no carry
+    * machinery. Output ≡ [[sessionizeBatch]]'s other strategies row for
+    * row (pinned in OpsSpec and count-verified at 1.28B events,
+    * tools/ProfileSessionizeStages).
+    *
+    * When to choose it: corpora whose session key is reasonably UNIFORM
+    * — there, at the billion-row rung, it runs ~2–3× faster than the
+    * segmented carry (165 s vs 359–565 s at 1.28B events / 17M uniform
+    * users, ProfileSessionizeStages: the carry's join + final
+    * (user, sid) aggregate over the ~0.8B-row partials relation
+    * dominates its wall). The AUTO default stays the segmented carry:
+    * this form funnels each user's whole history through one partition,
+    * so a single hot key (the 100M-event bot account every real crawl
+    * has) turns into a straggler sort no AQE setting can split —
+    * robustness the auto path must not gamble away on an unmeasured
+    * key distribution. */
+  def sessionizeWindowed(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val ev = events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        events.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => events
+    }
+    restoreSessionTsType(windowedSessions(ev, gapSeconds),
+      events.schema("ts").dataType)
+  }
+
+  private def windowedSessions(ev: DataFrame, gapSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tl = col("ts").cast("long")
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val prev = lag(col("ts"), 1).over(byUser)
+    val brk = when(prev.isNull
+        .or(tl - prev.cast("long") > gapSeconds), 1L)
+      .otherwise(0L)
+    ev
+      .withColumn("__brk", brk)
+      .withColumn("__sid", sum(col("__brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("total_value"))
+      .drop("__sid")
   }
 
   /** TRUE when the parquet layout behind `df`'s `ts` column is PROVABLY

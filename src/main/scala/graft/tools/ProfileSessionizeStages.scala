@@ -96,6 +96,27 @@ object ProfileSessionizeStages {
     val sessions = timed("full")(graft.streaming.EventStreams
       .sessionizeBatch(ev, gap, Some(width), autoNative = false).count())
     println(s"[stages] sessions=$sessions")
+    // the classic one-window-per-user form (sessionizeBatch's sub-gate
+    // path, replicated): ONE corpus exchange on user_id and NO second
+    // exchange — groupBy(user, sid) is satisfied by the user hash. Its
+    // risk is per-user skew (a hot user's rows sort in one partition),
+    // not wall time on uniform corpora; timing it here quantifies what
+    // the segmented carry's skew insurance costs at this rung.
+    if (args.lift(3).contains("onewindow")) {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val prevU = lag(col("ts"), 1).over(byUser)
+      val brkU = when(prevU.isNull.or(tl - prevU.cast("long") > gap), 1L)
+        .otherwise(0L)
+      val oneW = ev
+        .withColumn("__brk", brkU)
+        .withColumn("__sid", sum(col("__brk")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("__sid"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
+      val n1 = timed("onewindow")(oneW.count())
+      require(n1 == sessions, s"one-window disagrees: $n1 != $sessions")
+    }
     spark.stop()
   }
 }

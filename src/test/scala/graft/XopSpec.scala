@@ -595,6 +595,37 @@ class XopSpec extends AnyFunSuite {
     intercept[MalformedQueryException] { QueryEngine.run(events,
       """{"xop": {"name": "sessionize",
                   "args": {"gap_seconds": 60, "strategy": "nope"}}}""").df }
+    // strategy=window (the one-exchange uniform-key form) matches too,
+    // and rejects a granule (it has no segmentation to tune)
+    val win = QueryEngine.run(events,
+      """{"xop": {"name": "sessionize",
+                  "args": {"gap_seconds": 60, "strategy": "window"}},
+          "order_by": ["user_id", "session_start"]}""").df
+    assert(win.collect().toSeq == seg.collect().toSeq)
+    intercept[MalformedQueryException] { QueryEngine.run(events,
+      """{"xop": {"name": "sessionize",
+                  "args": {"gap_seconds": 60, "strategy": "window",
+                           "granule": 100}}}""").df }
+  }
+
+  test("sessionizeWindowed ≡ the segmented carry row for row (explicit strategies agree)") {
+    // a fixture with cross-granule sessions at an explicit narrow width,
+    // so the segmented path's carry machinery actually merges — the
+    // windowed form must produce the identical relation
+    import spark.implicits._
+    def t(m: Int, s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:$s%02d")
+    val ev = Seq(
+      (1L, t(0, 0), 7L, "a", 1.0), (2L, t(0, 50), 7L, "a", 2.0),
+      (3L, t(1, 40), 7L, "a", 3.0), (4L, t(5, 0), 7L, "a", 4.0),
+      (5L, t(0, 10), 8L, "a", 5.0), (6L, t(9, 0), 8L, "a", 6.0),
+      (7L, t(9, 30), 9L, "a", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("user_id", "session_start").collect().toSeq
+    val seg = graft.streaming.EventStreams.sessionizeBatch(
+      ev, gapSeconds = 60, granule = Some(100L), autoNative = false)
+    val win = graft.streaming.EventStreams.sessionizeWindowed(ev, gapSeconds = 60)
+    assert(rows(win) == rows(seg) && rows(win).nonEmpty)
   }
 
   test("funnel xop runs the ordered-step analysis with strict args") {
