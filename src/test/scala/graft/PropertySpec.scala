@@ -690,4 +690,38 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  test("weighted dedup sweep equals the brute-force expanded sweep for any duplicated corpus") {
+    // corpora drawn from a small phrase pool, so exact-duplicate classes
+    // of random multiplicity AND genuine near-dup relations both arise;
+    // the multiplicity-folded curve must equal dedupSweep over the full
+    // expansion term for term at every threshold, 1.0 included
+    import spark.implicits._
+    import graft.ops.Dedup
+    val phrases = Seq(
+      "the quick brown fox jumps over the lazy dog today ok",
+      "the quick brown fox jumps over the lazy cat today ok",
+      "pack my box with five dozen liquor jugs right now",
+      "pack my box with six dozen liquor jugs right now",
+      "completely unrelated content about spark physical plans",
+      "short text")
+    val corpusGen: Gen[Seq[(Long, String)]] = for {
+      n <- Gen.chooseNum(2, 14)
+      texts <- Gen.listOfN(n, Gen.oneOf(phrases))
+    } yield texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+    val ts = Seq(0.4, 0.7, 1.0)
+    def curve(df: DataFrame) = df.orderBy("threshold").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    checkProp(Prop.forAll(corpusGen) { rows =>
+      val df = rows.toDF("doc_id", "text")
+      val brute = curve(Dedup.dedupSweep(df,
+        Dedup.shingleJaccardPairsExact(df, "doc_id", "text",
+          maxId = 1000, threshold = 0.4), "jaccard", ts))
+      val folded = curve(Dedup.dedupSweepWeighted(
+        Dedup.exactByTextWeighted(df, "text", "doc_id"),
+        Dedup.minhashPairsWeightedBandExhaustive(df, "doc_id", "text",
+          maxId = 1000, threshold = 0.4), "jaccard", ts))
+      Prop(folded == brute) :| s"folded=$folded brute=$brute"
+    })
+  }
 }
