@@ -345,9 +345,12 @@ object SparkEntry {
     // the threshold gets picked from this curve, not folklore. The
     // minhash/index-served form is the full-corpus production path
     // (same report code, approximate scores)
+    // n_docs is the SLICE count: pairs exist only inside the id bound,
+    // so the rate is slice-relative — the same denominator the weighted
+    // sweep (x90b) reports, not a full-corpus underestimate
     "x77_dedup_sweep" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      graft.ops.Dedup.dedupSweep(docs,
+      graft.ops.Dedup.dedupSweep(docs.filter(col("doc_id") < 300),
         graft.ops.Dedup.shingleJaccardPairsExact(docs, "doc_id", "text",
           maxId = 300, threshold = 0.2, shingleSize = 3),
         "jaccard", Seq(0.2, 0.3, 0.5, 0.7, 0.9))
@@ -394,6 +397,191 @@ object SparkEntry {
           "doc_id", "text", maxId = 3000000, threshold = 0.5, shingleSize = 3),
         "jaccard", Seq(0.5, 0.7, 0.9, 1.0))
         .orderBy("threshold")
+    }),
+
+    // duplication-proof SimHash pairs (x90's collapse applied to the
+    // SimHash family): exact classes collapse to representatives with
+    // multiplicity, only representatives band and verify — one row per
+    // near-dup RELATION on a duplicated corpus instead of the m²
+    // expansion. Rows-only like x3 (xxhash64 signatures are not
+    // DuckDB-replayable); x92b nets the expansion arithmetic to zero
+    // and x92c pins the weighted sweep, both oracle-gated.
+    "x92_simhash_weighted" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val withDups = base
+        .unionByName(base.select((col("doc_id") + 1000000).as("doc_id"),
+          col("text")))
+        .unionByName(base.filter(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      graft.ops.Dedup.simhashPairsWeighted(withDups, "doc_id", "text",
+        maxHamming = 10).orderBy("id_a", "id_b")
+    }),
+
+    // x92's exactness anchor: the weighted relation's EXPANDED
+    // arithmetic — mult_a·mult_b per cross-class row, m(m−1)/2
+    // hamming-0 rows per class — must net to zero against the plain
+    // simhashPairs output on the fully-expanded corpus, pair by pair
+    // (ids mapped to class representatives). maxHamming = 3 so both
+    // banded forms are pigeonhole-complete (x3b's argument) and the
+    // netting is exact, not recall-dependent. The oracle is the empty
+    // result — any surviving row is a collapse/multiplicity bug.
+    "x92b_simhash_weighted_expand" -> ((s, dir) => {
+      val base = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select("doc_id", "text")
+      val withDups = base
+        .unionByName(base.select((col("doc_id") + 1000000).as("doc_id"),
+          col("text")))
+        .unionByName(base.filter(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      val weighted = graft.ops.Dedup.simhashPairsWeighted(withDups,
+        "doc_id", "text", maxHamming = 3)
+      val classes = graft.ops.Dedup.exactByTextWeighted(withDups,
+        "text", "doc_id")
+      val wExpanded = weighted.select(col("id_a"), col("id_b"), col("hamming"),
+          (col("mult_a") * col("mult_b")).as("cnt"))
+        .unionByName(classes.filter(col("mult") > 1)
+          .select(col("doc_id").as("id_a"), col("doc_id").as("id_b"),
+            lit(0).as("hamming"),
+            (col("mult") * (col("mult") - 1) / 2).cast("long").as("cnt")))
+      val repOf = withDups.select(col("doc_id").as("__d"),
+          graft.ops.TextOps.fingerprintMd5(col("text")).as("__fp"))
+        .join(classes.select(col("doc_id").as("__rep"),
+          graft.ops.TextOps.fingerprintMd5(col("text")).as("__fp")), "__fp")
+        .select(col("__d"), col("__rep"))
+      val pExpanded = graft.ops.Dedup.simhashPairs(withDups, "doc_id", "text",
+          maxHamming = 3)
+        .join(repOf.select(col("__d").as("id_a"), col("__rep").as("__ra")), "id_a")
+        .join(repOf.select(col("__d").as("id_b"), col("__rep").as("__rb")), "id_b")
+        .groupBy(least(col("__ra"), col("__rb")).as("id_a"),
+          greatest(col("__ra"), col("__rb")).as("id_b"), col("hamming"))
+        .agg(count(lit(1)).as("cnt"))
+      wExpanded.withColumn("__side", lit(1L))
+        .unionByName(pExpanded.withColumn("__side", lit(-1L)))
+        .groupBy("id_a", "id_b", "hamming", "cnt")
+        .agg(sum(col("__side")).as("__net"))
+        .filter(col("__net") =!= 0L)
+        .select("id_a", "id_b", "hamming", "cnt")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // the weighted SimHash SWEEP pin: collapse + rep pairs + the
+    // multiplicity fold must reproduce the drop curve of running the
+    // plain sweep over the fully-expanded corpus, term for term (both
+    // at pigeonhole-complete maxHamming = 3, scored on sim =
+    // (64−hamming)/64 where exact copies sit at exactly 1.0). Emitted
+    // as the curves' multiset difference — the oracle is empty.
+    "x92c_simhash_weighted_sweep" -> ((s, dir) => {
+      val base = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select("doc_id", "text")
+      val withDups = base
+        .unionByName(base.select((col("doc_id") + 1000000).as("doc_id"),
+          col("text")))
+        .unionByName(base.filter(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      val ts = Seq(0.9531, 0.9844, 1.0)
+      val folded = graft.ops.Dedup.dedupSweepWeighted(
+        graft.ops.Dedup.exactByTextWeighted(withDups, "text", "doc_id"),
+        graft.ops.Dedup.simhashPairsWeighted(withDups, "doc_id", "text",
+          maxHamming = 3)
+          .withColumn("sim", graft.ops.Dedup.simhashSim(col("hamming"))),
+        "sim", ts)
+      val brute = graft.ops.Dedup.dedupSweep(withDups,
+        graft.ops.Dedup.simhashPairs(withDups, "doc_id", "text",
+          maxHamming = 3)
+          .withColumn("sim", graft.ops.Dedup.simhashSim(col("hamming"))),
+        "sim", ts)
+      folded.withColumn("__side", lit(1L))
+        .unionByName(brute.withColumn("__side", lit(-1L)))
+        .groupBy("threshold", "docs_dropped", "n_docs", "drop_rate")
+        .agg(sum(col("__side")).as("__net"))
+        .filter(col("__net") =!= 0L)
+        .select("threshold", "docs_dropped", "n_docs", "drop_rate")
+        .orderBy("threshold")
+    }),
+
+    // duplication-proof embedding-cosine pairs (x90's collapse with the
+    // VECTOR fingerprint as the class key): exact-duplicate vectors
+    // collapse to representatives with multiplicity, only reps run the
+    // hyperplane-LSH banding. Duplication + perturbed copies injected
+    // as in x5 — rows-only (LSH recall), anchored by x93b/x93c.
+    "x93_embcos_weighted" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val withDups = e
+        .unionByName(e.select((col("vec_id") + 1000000).as("vec_id"),
+          col("embedding")))
+        .unionByName(e.filter(col("vec_id") % 2 === 0)
+          .select((col("vec_id") + 2000000).as("vec_id"), col("embedding")))
+        .unionByName(e.select((col("vec_id") + 3000000).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x * (lit(1.0) + (i % 7).cast("double") / 1000)).as("embedding")))
+      graft.ops.Similarity.cosineNearDupPairsWeighted(withDups, "vec_id",
+        "embedding", threshold = 0.95, dim = 64).orderBy("id_a", "id_b")
+    }),
+
+    // x93's oracle-exact anchor — and unlike SimHash this family's
+    // collapse is fully DuckDB-replayable (GROUP BY the vector itself;
+    // equal md5 fingerprints ⟺ equal vectors): quadratic exact cosine
+    // over the collapsed representatives of an id-bounded duplicated
+    // slice, multiplicities carried — the x90 pattern end to end
+    "x93b_embcos_weighted_exact" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 150)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val withDups = e
+        .unionByName(e.select((col("vec_id") + 1000).as("vec_id"),
+          col("embedding")))
+        .unionByName(e.filter(col("vec_id") % 2 === 0)
+          .select((col("vec_id") + 2000).as("vec_id"), col("embedding")))
+        .unionByName(e.select((col("vec_id") + 3000).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x * (lit(1.0) + (i % 7).cast("double") / 1000)).as("embedding")))
+      graft.ops.Similarity.cosineNearDupPairsWeightedExact(withDups,
+        "vec_id", "embedding", maxId = 10000000, threshold = 0.95)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // the weighted embcos SWEEP against the brute-force expansion —
+    // x90b's pattern for this family, fully DuckDB-replayable: the
+    // fold (Σ(mult−1) intra drops + rep-level keep-first) must equal
+    // the curve computed over every expanded pair
+    "x93c_embcos_weighted_sweep" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 150)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val withDups = e
+        .unionByName(e.select((col("vec_id") + 1000).as("vec_id"),
+          col("embedding")))
+        .unionByName(e.filter(col("vec_id") % 2 === 0)
+          .select((col("vec_id") + 2000).as("vec_id"), col("embedding")))
+        .unionByName(e.select((col("vec_id") + 3000).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x * (lit(1.0) + (i % 7).cast("double") / 1000)).as("embedding")))
+      graft.ops.Dedup.dedupSweepWeighted(
+        graft.ops.Similarity.exactByVecWeighted(withDups, "embedding", "vec_id"),
+        graft.ops.Similarity.cosineNearDupPairsWeightedExact(withDups,
+          "vec_id", "embedding", maxId = 10000000, threshold = 0.95),
+        "cos", Seq(0.95, 0.99, 1.0))
+        .orderBy("threshold")
+    }),
+
+    // duplication-proof audit queue (x84 over the weighted relation):
+    // exact classes collapse first, the borderline-first queue reviews
+    // REPRESENTATIVE pairs with both class sizes attached — a
+    // mass-duplicated borderline pair costs one queue row and the
+    // reviewer sees how many expanded docs the call governs
+    "x94_audit_weighted" -> ((s, dir) => {
+      val base = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select("doc_id", "text")
+      val withDups = base
+        .unionByName(base.select((col("doc_id") + 1000000).as("doc_id"),
+          col("text")))
+        .unionByName(base.filter(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      graft.ops.Dedup.auditPairsWeighted(
+        graft.ops.Dedup.shingleJaccardPairsWeightedExact(withDups,
+          "doc_id", "text", maxId = 3000000, threshold = 0.2, shingleSize = 3),
+        "jaccard",
+        graft.ops.Dedup.exactByTextWeighted(withDups, "text", "doc_id"),
+        "doc_id", "text", threshold = 0.9, k = 5)
     }),
 
     // quality-ranked token-budget selection: the best docs (50-char
@@ -1794,7 +1982,7 @@ object SparkEntry {
          m AS (SELECT id_b, max(j) AS ms FROM p GROUP BY id_b),
          th(threshold) AS (VALUES (0.2::DOUBLE), (0.3::DOUBLE),
                                   (0.5::DOUBLE), (0.7::DOUBLE), (0.9::DOUBLE)),
-         n AS (SELECT count(*) AS n_docs FROM documents)
+         n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id < 300)
          SELECT th.threshold,
                 CAST(count(m.ms) AS BIGINT) AS docs_dropped,
                 n.n_docs,
@@ -1885,6 +2073,133 @@ object SparkEntry {
          FROM th LEFT JOIN m ON m.ms >= th.threshold CROSS JOIN n
          GROUP BY th.threshold, n.n_docs
          ORDER BY threshold""",
+    "x92b_simhash_weighted_expand" ->
+      // the anchor's claim IS the empty result: the weighted SimHash
+      // relation's expanded arithmetic nets to zero against the plain
+      // pairs on the expanded corpus — any row is a collapse bug
+      """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+                CAST(NULL AS INTEGER) AS hamming, CAST(NULL AS BIGINT) AS cnt
+         WHERE false""",
+    "x92c_simhash_weighted_sweep" ->
+      // empty by the same construction: the weighted fold's curve must
+      // equal the expanded brute-force curve term for term
+      """SELECT CAST(NULL AS DOUBLE) AS threshold,
+                CAST(NULL AS BIGINT) AS docs_dropped,
+                CAST(NULL AS BIGINT) AS n_docs,
+                CAST(NULL AS DOUBLE) AS drop_rate
+         WHERE false""",
+    "x93b_embcos_weighted_exact" ->
+      // collapse = GROUP BY the vector itself (equal md5 fingerprints on
+      // the Spark side ⟺ equal vectors — Spark's double rendering is
+      // round-trip); pairs = quadratic exact cosine over representatives
+      """WITH base AS (
+           SELECT vec_id, embedding::DOUBLE[] AS embedding
+           FROM embeddings WHERE vec_id < 150),
+         src AS (
+           SELECT vec_id, embedding FROM base
+           UNION ALL
+           SELECT vec_id + 1000 AS vec_id, embedding FROM base
+           UNION ALL
+           SELECT vec_id + 2000 AS vec_id, embedding FROM base
+           WHERE vec_id % 2 = 0
+           UNION ALL
+           SELECT vec_id + 3000 AS vec_id,
+                  [embedding[i] * (1.0 + ((i - 1) % 7) / 1000.0)
+                   for i in range(1, len(embedding) + 1)]::DOUBLE[] AS embedding
+           FROM base),
+         reps AS (
+           SELECT min(vec_id) AS vec_id, CAST(count(*) AS BIGINT) AS mult,
+                  embedding
+           FROM src GROUP BY embedding)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos,
+                a.mult AS mult_a, b.mult AS mult_b
+         FROM reps a, reps b
+         WHERE a.vec_id < b.vec_id
+           AND list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+         ORDER BY id_a, id_b""",
+    "x93c_embcos_weighted_sweep" ->
+      // the BRUTE-FORCE expansion (x90b's pattern for this family):
+      // exact cosine pairs over the full duplicated slice, per-doc max,
+      // cumulative counts — the weighted fold must reproduce the curve
+      """WITH base AS (
+           SELECT vec_id, embedding::DOUBLE[] AS embedding
+           FROM embeddings WHERE vec_id < 150),
+         src AS (
+           SELECT vec_id, embedding FROM base
+           UNION ALL
+           SELECT vec_id + 1000 AS vec_id, embedding FROM base
+           UNION ALL
+           SELECT vec_id + 2000 AS vec_id, embedding FROM base
+           WHERE vec_id % 2 = 0
+           UNION ALL
+           SELECT vec_id + 3000 AS vec_id,
+                  [embedding[i] * (1.0 + ((i - 1) % 7) / 1000.0)
+                   for i in range(1, len(embedding) + 1)]::DOUBLE[] AS embedding
+           FROM base),
+         p AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  round(list_cosine_similarity(a.embedding, b.embedding), 6) AS c
+           FROM src a, src b
+           WHERE a.vec_id < b.vec_id
+             AND list_cosine_similarity(a.embedding, b.embedding) >= 0.95),
+         m AS (SELECT id_b, max(c) AS ms FROM p GROUP BY id_b),
+         th(threshold) AS (VALUES (0.95::DOUBLE), (0.99::DOUBLE),
+                                  (1.0::DOUBLE)),
+         n AS (SELECT count(*) AS n_docs FROM src)
+         SELECT th.threshold,
+                CAST(count(m.ms) AS BIGINT) AS docs_dropped,
+                n.n_docs,
+                floor((CASE WHEN n.n_docs = 0 THEN 0.0
+                            ELSE count(m.ms)::DOUBLE / n.n_docs END)
+                      * 1e4 + 0.5) / 1e4 AS drop_rate
+         FROM th LEFT JOIN m ON m.ms >= th.threshold CROSS JOIN n
+         GROUP BY th.threshold, n.n_docs
+         ORDER BY threshold""",
+    "x94_audit_weighted" ->
+      // x84's queue over the COLLAPSED relation: reps with class sizes
+      // (x90's collapse CTE), exact jaccard pairs over reps at the
+      // sweep floor, |score − 0.9| ascending, k = 5, rep texts joined
+      """WITH src AS (
+           SELECT doc_id, text FROM documents WHERE doc_id < 300
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 300
+           UNION ALL
+           SELECT doc_id + 2000000 AS doc_id, text FROM documents
+           WHERE doc_id < 300 AND doc_id % 2 = 0),
+         reps AS (
+           SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text,
+                  CAST(count(*) AS BIGINT) AS mult
+           FROM src
+           GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))),
+         t AS (
+           SELECT doc_id, mult, text,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+           FROM reps),
+         s AS (
+           SELECT doc_id, mult, text,
+                  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                       ELSE list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                           for i in range(1, len(tk) - 1)])
+                  END AS sh
+           FROM t),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                        len(list_distinct(list_concat(a.sh, b.sh))), 4) AS score,
+                  a.mult AS mult_a, b.mult AS mult_b
+           FROM s a, s b
+           WHERE a.doc_id < b.doc_id
+             AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2),
+         q AS (
+           SELECT *, floor(abs(score - 0.9::DOUBLE) * 1e9 + 0.5) / 1e9 AS dist
+           FROM p ORDER BY dist, id_a, id_b LIMIT 5)
+         SELECT q.id_a, q.id_b, q.score, q.dist, q.mult_a, q.mult_b,
+                da.text AS text_a, db.text AS text_b
+         FROM q JOIN reps da ON da.doc_id = q.id_a
+                JOIN reps db ON db.doc_id = q.id_b
+         ORDER BY dist, id_a, id_b""",
     "x82_budget_select" ->
       // the selection IS the window definition: inclusive running token
       // total in (priority DESC, id) order stays <= budget — the

@@ -421,27 +421,38 @@ object XopEngine {
         // the keep-first argument, without the expanded pair relation).
         // Inline-only: a persisted index stores uncollapsed signatures.
         val weightedSweep = boolArg(args, "weighted", default = false, name)
+        // largest hamming whose half-up-rounded similarity still clears
+        // the sweep's floor threshold — so the simhash pair pass keeps
+        // exactly the pairs any swept threshold can drop
+        def simhashMaxH: Int = (0 to 64).reverse.find(h =>
+          math.floor((64 - h) / 64.0 * 1e4 + 0.5) / 1e4 >= sweepTs.min)
+          .getOrElse(0)
+        def rejectFor(fam: String, keys: String*): Unit =
+          for (k <- keys if args.contains(k))
+            Errors.malformed(
+              s"xop '$name': '$k' is not valid with family '$fam'")
         if (weightedSweep) {
           if (args.contains("index"))
             Errors.malformed(s"xop '$name': weighted sweeps are inline-only " +
               "(a persisted index stores uncollapsed signatures)")
           val id = column(df, args, "id", name)
-          val textC = column(df, args, "column", name)
           val (wClasses, wPairs, wScore) = family match {
             case "jaccard" =>
-              for (k <- Seq("num_hashes", "bands") if args.contains(k))
-                Errors.malformed(
-                  s"xop '$name': '$k' is only valid with family 'minhash'")
+              rejectFor("jaccard", "num_hashes", "bands")
+              val textC = column(df, args, "column", name)
               val maxId = intArg(args, "max_id", 0L, name)
               if (maxId <= 0)
                 Errors.malformed(s"xop '$name': family 'jaccard' requires a " +
                   "positive 'max_id' (the exact sweep is quadratic — bound the slice)")
+              // the exact weighted pair pass (complete at any floor,
+              // unlike the band-exhaustive anchor form)
               (Dedup.exactByTextWeighted(
                 df.filter(col(id) < maxId), textC, id),
-                Dedup.minhashPairsWeightedBandExhaustive(df, id, textC, maxId,
-                  sweepTs.min, shingleSize = intArg(args, "shingle", 3, name).toInt),
+                Dedup.shingleJaccardPairsWeightedExact(df, id, textC, maxId,
+                  sweepTs.min, intArg(args, "shingle", 3, name).toInt),
                 "jaccard")
             case "minhash" =>
+              val textC = column(df, args, "column", name)
               val numHashes = intArg(args, "num_hashes", 64, name).toInt
               val bands = intArg(args, "bands", 16, name).toInt
               if (bands <= 0 || numHashes <= 0 || numHashes % bands != 0)
@@ -450,22 +461,41 @@ object XopEngine {
                 Dedup.minhashPairsWeighted(df, id, textC, numHashes, bands,
                   sweepTs.min, intArg(args, "shingle", 3, name).toInt),
                 "est_jaccard")
+            case "simhash" =>
+              rejectFor("simhash", "num_hashes", "bands", "shingle", "max_id")
+              val textC = column(df, args, "column", name)
+              (Dedup.exactByTextWeighted(df, textC, id),
+                Dedup.simhashPairsWeighted(df, id, textC, simhashMaxH)
+                  .withColumn("sim", Dedup.simhashSim(col("hamming"))),
+                "sim")
+            case "embcos" =>
+              rejectFor("embcos", "num_hashes", "shingle", "max_id")
+              val vecC = vectorColumn(df, args, "column", name)
+              (Similarity.exactByVecWeighted(df, vecC, id),
+                Similarity.cosineNearDupPairsWeighted(df, id, vecC,
+                  sweepTs.min, intArg(args, "bands", 8, name).toInt),
+                "cos")
             case other => Errors.malformed(s"xop '$name': unknown family", other)
           }
           Dedup.dedupSweepWeighted(wClasses, wPairs, wScore, sweepTs)
         } else {
-        val (sweepPairs, scoreC) = family match {
+        val (sweepCorpus, sweepPairs, scoreC) = family match {
           case "jaccard" =>
-            for (k <- Seq("num_hashes", "bands", "index") if args.contains(k))
-              Errors.malformed(
-                s"xop '$name': '$k' is only valid with family 'minhash'")
+            rejectFor("jaccard", "num_hashes", "bands", "index")
             val maxId = intArg(args, "max_id", 0L, name)
             if (maxId <= 0)
               Errors.malformed(s"xop '$name': family 'jaccard' requires a " +
                 "positive 'max_id' (the exact sweep is quadratic — bound the slice)")
-            (Dedup.shingleJaccardPairsExact(df, column(df, args, "id", name),
-              column(df, args, "column", name), maxId, sweepTs.min,
-              intArg(args, "shingle", 3, name).toInt), "jaccard")
+            val id = column(df, args, "id", name)
+            // the slice IS the sweep's corpus: pairs exist only inside
+            // it, so n_docs/drop_rate are slice-relative — the same
+            // denominator the weighted form reports (Σ mult over the
+            // sliced classes), not the full-corpus count the rate would
+            // otherwise silently underestimate against
+            (df.filter(col(id) < maxId),
+              Dedup.shingleJaccardPairsExact(df, id,
+                column(df, args, "column", name), maxId, sweepTs.min,
+                intArg(args, "shingle", 3, name).toInt), "jaccard")
           case "minhash" =>
             val bands = intArg(args, "bands", 16, name).toInt
             args.get("index") match {
@@ -477,20 +507,32 @@ object XopEngine {
                 if (bands <= 0 || art.numHashes % bands != 0)
                   Errors.malformed(s"xop '$name': bands must divide the " +
                     s"index's num_hashes=${art.numHashes}")
-                (Dedup.minhashPairsFromIndex(art, bands, sweepTs.min),
+                (df, Dedup.minhashPairsFromIndex(art, bands, sweepTs.min),
                   "est_jaccard")
               case None =>
                 val numHashes = intArg(args, "num_hashes", 64, name).toInt
                 if (bands <= 0 || numHashes <= 0 || numHashes % bands != 0)
                   Errors.malformed(s"xop '$name': bands must divide num_hashes")
-                (Dedup.minhashPairs(df, column(df, args, "id", name),
+                (df, Dedup.minhashPairs(df, column(df, args, "id", name),
                   column(df, args, "column", name), numHashes, bands,
                   sweepTs.min, intArg(args, "shingle", 3, name).toInt),
                   "est_jaccard")
             }
+          case "simhash" =>
+            rejectFor("simhash", "num_hashes", "bands", "shingle", "max_id",
+              "index")
+            (df, Dedup.simhashPairs(df, column(df, args, "id", name),
+              column(df, args, "column", name), simhashMaxH)
+              .withColumn("sim", Dedup.simhashSim(col("hamming"))), "sim")
+          case "embcos" =>
+            rejectFor("embcos", "num_hashes", "shingle", "max_id", "index")
+            (df, Similarity.cosineNearDupPairs(df,
+              column(df, args, "id", name),
+              vectorColumn(df, args, "column", name), sweepTs.min,
+              intArg(args, "bands", 8, name).toInt), "cos")
           case other => Errors.malformed(s"xop '$name': unknown family", other)
         }
-        Dedup.dedupSweep(df, sweepPairs, scoreC, sweepTs)
+        Dedup.dedupSweep(sweepCorpus, sweepPairs, scoreC, sweepTs)
         }
 
       // borderline-first human-audit queue over the exact-jaccard pair
@@ -500,7 +542,7 @@ object XopEngine {
       // id-bounded pair pass)
       case "audit_pairs" =>
         knownArgs("id", "column", "max_id", "shingle", "min_score",
-          "threshold", "k")
+          "threshold", "k", "weighted")
         val apThr = doubleArgOpt(args, "threshold", 0.7, name)
         if (apThr.isNaN || apThr.isInfinite || apThr < 0 || apThr > 1)
           Errors.malformed(s"xop '$name': threshold must be in [0, 1]")
@@ -515,10 +557,24 @@ object XopEngine {
             "(the exact pair pass is quadratic — bound the slice)")
         val apId = column(df, args, "id", name)
         val apText = column(df, args, "column", name)
-        Dedup.auditPairs(
-          Dedup.shingleJaccardPairsExact(df, apId, apText, apMaxId, apFloor,
-            intArg(args, "shingle", 3, name).toInt),
-          "jaccard", df, apId, apText, apThr, apK)
+        val apShingle = intArg(args, "shingle", 3, name).toInt
+        if (boolArg(args, "weighted", default = false, name)) {
+          // duplication-proof audit queue: collapse exact classes, audit
+          // the REPRESENTATIVE pairs with both class sizes attached —
+          // the reviewer sees how many expanded docs each call governs,
+          // and a mass-duplicated borderline pair costs one queue row
+          Dedup.auditPairsWeighted(
+            Dedup.shingleJaccardPairsWeightedExact(df, apId, apText,
+              apMaxId, apFloor, apShingle),
+            "jaccard",
+            Dedup.exactByTextWeighted(df.filter(col(apId) < apMaxId),
+              apText, apId),
+            apId, apText, apThr, apK)
+        } else
+          Dedup.auditPairs(
+            Dedup.shingleJaccardPairsExact(df, apId, apText, apMaxId, apFloor,
+              apShingle),
+            "jaccard", df, apId, apText, apThr, apK)
 
       case "line_dedup" =>
         knownArgs("id", "column")
@@ -813,12 +869,32 @@ object XopEngine {
           pairsOrDrop(df, Dedup.minhashPairs(df, id, textC,
             numHashes, bands, thr, sh), id, args, name)
 
-      // SimHash near-dup: 4×16-bit band join + bit_count verify
+      // SimHash near-dup: 4×16-bit band join + bit_count verify.
+      // weighted: the duplication-proof variant (exact classes collapse
+      // to representatives with multiplicity first — x90's pattern)
       case "dedup_simhash" =>
-        knownArgs("id", "column", "max_hamming", "action", "score")
+        knownArgs("id", "column", "max_hamming", "action", "score", "weighted")
         val id = column(df, args, "id", name)
-        pairsOrDrop(df, Dedup.simhashPairs(df, id, column(df, args, "column", name),
-          intArg(args, "max_hamming", 3, name).toInt), id, args, name)
+        val textC = column(df, args, "column", name)
+        val maxHamming = intArg(args, "max_hamming", 3, name).toInt
+        if (boolArg(args, "weighted", default = false, name)) {
+          if (args.contains("score"))
+            Errors.malformed(
+              s"xop '$name': 'score' (keep_best) is not available weighted — " +
+                "representatives are fixed to the lowest class member")
+          val wPairs = Dedup.simhashPairsWeighted(df, id, textC, maxHamming)
+          args.get("action") match {
+            case None | Some("pairs") => wPairs
+            case Some("drop") =>
+              Dedup.dropNearDuplicates(
+                Dedup.exactByTextWeighted(df, textC, id).drop("mult"),
+                wPairs, id)
+            case Some(other) =>
+              Errors.malformed(s"xop '$name': unknown weighted action", other)
+          }
+        } else
+          pairsOrDrop(df, Dedup.simhashPairs(df, id, textC, maxHamming),
+            id, args, name)
 
       // exact shingle-Jaccard pairs over an id-bounded slice (the
       // oracle-checkable quadratic variant; LSH is the full-corpus path)
@@ -830,13 +906,35 @@ object XopEngine {
           doubleArg(args, "threshold", name),
           intArg(args, "shingle", 3, name).toInt)
 
-      // embedding-cosine near-dup (hyperplane LSH buckets + exact verify)
+      // embedding-cosine near-dup (hyperplane LSH buckets + exact verify).
+      // weighted: exact-duplicate VECTOR classes collapse first (x90's
+      // pattern with the vector fingerprint as the class key)
       case "dedup_embcos" =>
-        knownArgs("id", "column", "threshold", "bands", "action", "score")
+        knownArgs("id", "column", "threshold", "bands", "action", "score",
+          "weighted")
         val id = column(df, args, "id", name)
-        pairsOrDrop(df, Similarity.cosineNearDupPairs(df, id,
-          vectorColumn(df, args, "column", name), doubleArg(args, "threshold", name),
-          intArg(args, "bands", 8, name).toInt), id, args, name)
+        val vecC = vectorColumn(df, args, "column", name)
+        val ecThr = doubleArg(args, "threshold", name)
+        val ecBands = intArg(args, "bands", 8, name).toInt
+        if (boolArg(args, "weighted", default = false, name)) {
+          if (args.contains("score"))
+            Errors.malformed(
+              s"xop '$name': 'score' (keep_best) is not available weighted — " +
+                "representatives are fixed to the lowest class member")
+          val wPairs = Similarity.cosineNearDupPairsWeighted(df, id, vecC,
+            ecThr, ecBands)
+          args.get("action") match {
+            case None | Some("pairs") => wPairs
+            case Some("drop") =>
+              Dedup.dropNearDuplicates(
+                Similarity.exactByVecWeighted(df, vecC, id).drop("mult"),
+                wPairs, id)
+            case Some(other) =>
+              Errors.malformed(s"xop '$name': unknown weighted action", other)
+          }
+        } else
+          pairsOrDrop(df, Similarity.cosineNearDupPairs(df, id, vecC,
+            ecThr, ecBands), id, args, name)
 
       // SemDeDup: cluster-then-dedup — near-dup candidates only WITHIN a
       // centroid cluster (explicit 'centroids', a persisted 'index', or a

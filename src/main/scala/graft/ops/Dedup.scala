@@ -803,6 +803,38 @@ object Dedup {
       .orderBy(col("dist"), col("id_a"), col("id_b"))
   }
 
+  /** [[auditPairs]] over a WEIGHTED pair relation (must carry
+    * mult_a/mult_b — any weighted family's output): the same
+    * borderline-first queue with both class sizes riding into the
+    * review, so the auditor sees how many expanded documents each
+    * decision governs (a borderline pair between two mult-1 singletons
+    * and one between two 10k-copy classes are very different calls).
+    * `corpus` is the REPRESENTATIVE relation ([[exactByTextWeighted]]'s
+    * output or a projection of it) — texts attach per representative;
+    * nothing here is expanded-corpus-sized. */
+  def auditPairsWeighted(pairs: DataFrame, scoreCol: String,
+                         corpus: DataFrame, idCol: String, textCol: String,
+                         threshold: Double, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(!threshold.isNaN && !threshold.isInfinite, "threshold must be finite")
+    val queue = pairs
+      .withColumn("dist",
+        Rounding.halfUp(abs(col(scoreCol).cast("double") - lit(threshold)), 9))
+      .orderBy(col("dist"), col("id_a"), col("id_b"))
+      .limit(k)
+      .select(col("id_a"), col("id_b"), col(scoreCol).as("score"),
+        col("dist"), col("mult_a"), col("mult_b"))
+    val texts = corpus.select(col(idCol).as("__tid"), col(textCol).as("__text"))
+    val withA = texts.join(broadcast(queue), col("__tid") === col("id_a"))
+      .select(col("id_a"), col("id_b"), col("score"), col("dist"),
+        col("mult_a"), col("mult_b"), col("__text").as("text_a"))
+    texts.join(broadcast(withA), col("__tid") === col("id_b"))
+      .select(col("id_a"), col("id_b"), col("score"), col("dist"),
+        col("mult_a"), col("mult_b"),
+        col("text_a"), col("__text").as("text_b"))
+      .orderBy(col("dist"), col("id_a"), col("id_b"))
+  }
+
   /** Corpus VERSION diff — the refresh-ops companion of the artifact
     * staleness tripwires: given two versions of a corpus, classify every
     * id as `added` / `removed` / `changed` (same id, different
@@ -1352,6 +1384,83 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Duplication-proof SimHash pairs — [[minhashPairsWeighted]]'s
+    * pattern applied to the SimHash family: exact-duplicate classes
+    * collapse to representatives with multiplicity FIRST (the same
+    * [[exactByTextWeighted]] aggregation — SimHash is a pure function
+    * of the normalized text, so collapse loses no pair RELATION), only
+    * representatives band and verify, and each emitted pair carries
+    * both class sizes. On the crawl norm — documents with m exact
+    * copies each — plain [[simhashPairs]] output scales m² (every
+    * cross pair expands, every class adds m(m−1)/2 hamming-0 rows);
+    * this emits ONE row per relation and the expanded arithmetic is
+    * exactly recoverable (mult_a·mult_b per row, m(m−1)/2 per class),
+    * which x92b's oracle nets against the plain expansion to zero.
+    * Returns (id_a, id_b, hamming, mult_a, mult_b), id_a < id_b, ids
+    * being class representatives (lowest member id). */
+  def simhashPairsWeighted(df: DataFrame, idCol: String, textCol: String,
+                           maxHamming: Int = 3): DataFrame =
+    weightedSimhashRepPairs(exactByTextWeighted(df, textCol, idCol),
+      idCol, textCol, maxHamming)
+
+  /** The banding core over an ALREADY-COLLAPSED representative relation
+    * (must carry `mult`): [[simhashPairs]]' 4×16-bit band join with the
+    * multiplicity riding the banding payload struct — no post-hoc id
+    * join to re-attach it. */
+  private def weightedSimhashRepPairs(reps: DataFrame, idCol: String,
+      textCol: String, maxHamming: Int): DataFrame = {
+    val hashed = spread(reps, col(idCol)).select(exactCol(idCol).as("id"),
+      transform(TextOps.tokens(col(textCol)), t => xxhash64(t)).as("th"),
+      col("mult"))
+    val sigs = hashed.select(col("id"), simhashOfHashes(col("th")).as("sh"),
+      col("mult"))
+    val banded = sigs.select(struct(col("id"), col("sh"), col("mult")).as("p"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("sh"), b * lit(16)).bitwiseAND(0xFFFF))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    bucketPairsWithPayload(banded)
+      .withColumn("hamming", bit_count(col("a.sh").bitwiseXOR(col("b.sh"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("hamming"),
+        col("a.mult").as("mult_a"), col("b.mult").as("mult_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Exhaustive weighted SimHash pairs within an id-bounded slice — the
+    * collapse of [[simhashPairsWeighted]] followed by the deliberately
+    * quadratic all-pairs stage of [[simhashPairsExhaustive]] over the
+    * representatives, multiplicities carried through. The anchor twin:
+    * at maxHamming ≤ 3 the banded form must equal this exactly
+    * (pigeonhole over 4×16-bit bands, x3b's argument — collapse does
+    * not change it, representatives are just a subset with the same
+    * signatures). */
+  def simhashPairsWeightedExhaustive(df: DataFrame, idCol: String,
+      textCol: String, maxId: Long, maxHamming: Int): DataFrame = {
+    val reps = exactByTextWeighted(df.filter(col(idCol) < maxId),
+      textCol, idCol)
+    val sigs = spread(reps, col(idCol)).select(exactCol(idCol).as("id"),
+      simhashOfHashes(transform(TextOps.tokens(col(textCol)),
+        t => xxhash64(t))).as("sh"), col("mult"))
+    val a = sigs.select(col("id").as("id_a"), col("sh").as("sh_a"),
+      col("mult").as("mult_a"))
+    val b = sigs.select(col("id").as("id_b"), col("sh").as("sh_b"),
+      col("mult").as("mult_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        col("mult_a"), col("mult_b"))
+  }
+
+  /** Similarity view of a weighted SimHash pair relation: sim =
+    * (64 − hamming)/64 rounded half-up to 4 — the [0, 1] score
+    * [[dedupSweepWeighted]] expects (exact copies sit at exactly 1.0,
+    * which the fold's Σ(mult−1) intra-class term relies on). Kept as a
+    * named helper so the xop sweep dispatch and the anchor queries
+    * share one definition of the hamming→similarity mapping. */
+  def simhashSim(hamming: Column): Column =
+    Rounding.halfUp4((lit(64) - hamming).cast("double") / 64.0)
+
   /** Exhaustive SimHash pairs within an id-bounded slice — all pairs,
     * no banding, same signature arithmetic as [[simhashPairs]].
     * Deliberately quadratic (id-bounded); exists as the completeness
@@ -1450,6 +1559,33 @@ object Dedup {
       spread(df.filter(col(idCol) < maxId), col(idCol)).select(col(idCol).as("id"),
         array_sort(shingleHashesFused(col(textCol), shingleSize)).as("hs")),
       threshold)
+
+  /** [[shingleJaccardPairsExact]] over the COLLAPSED representatives of
+    * an id-bounded slice, multiplicities carried — the weighted audit
+    * queue's and weighted jaccard sweep's exact pair pass. Unlike the
+    * band-exhaustive form this is complete at ANY threshold including 0
+    * (no banding, so no ~(1−j)^numHashes escape at low scores); the
+    * quadratic is bounded by the collapsed rep count of the slice,
+    * which duplication can only shrink. */
+  def shingleJaccardPairsWeightedExact(df: DataFrame, idCol: String,
+      textCol: String, maxId: Long, threshold: Double,
+      shingleSize: Int = 3): DataFrame = {
+    val reps = exactByTextWeighted(df.filter(col(idCol) < maxId),
+      textCol, idCol)
+    val tok = spread(reps, col(idCol)).select(exactCol(idCol).as("id"),
+      array_sort(shingleHashesFused(col(textCol), shingleSize)).as("hs"),
+      col("mult")).withColumn("n", size(col("hs")))
+    val a = tok.select(col("id").as("id_a"), col("hs").as("hs_a"),
+      col("n").as("n_a"), col("mult").as("mult_a"))
+    val b = tok.select(col("id").as("id_b"), col("hs").as("hs_b"),
+      col("n").as("n_b"), col("mult").as("mult_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("__i", intersectCount(col("hs_a"), col("hs_b")))
+      .withColumn("jaccard", jaccardOf(col("__i"), col("n_a"), col("n_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"),
+        col("mult_a"), col("mult_b"))
+  }
 
   /** Band-EXHAUSTIVE incremental MinHash — [[minhashPairsBandExhaustive]]'s
     * cross-side form, anchoring [[minhashPairsAgainst]] (x43b): both

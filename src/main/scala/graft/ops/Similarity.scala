@@ -511,6 +511,99 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Canonical 16-byte fingerprint of a numeric vector: md5 over the
+    * per-element round-trip string rendering. Spark's float/double →
+    * string formatting is shortest-round-trip (injective), so equal
+    * fingerprints ⟺ equal vectors up to the same 2^-128 md5 collision
+    * the text family's [[graft.ops.TextOps.fingerprintMd5]] accepts —
+    * and the collapse shuffle key stays 16 bytes instead of 8·dim. */
+  private[graft] def vecFingerprint(vec: Column): Column =
+    md5(concat_ws(",", transform(vec, x => x.cast("string"))))
+
+  /** [[graft.ops.Dedup.exactByTextWeighted]] for EMBEDDINGS: exact-
+    * duplicate VECTOR classes collapse to their lowest-`orderCol`
+    * representative with the class size attached (`mult`) — the
+    * collapse step of the duplication-proof embedding-cosine family.
+    * One map-side-combining aggregation on [[vecFingerprint]]; a
+    * mass-duplicated vector costs one row per mapper pre-shuffle. */
+  def exactByVecWeighted(df: DataFrame, vecCol: String,
+                         orderCol: String): DataFrame = {
+    val payload = struct(df.columns.map(graft.ops.Dedup.exactCol): _*)
+    df.groupBy(vecFingerprint(graft.ops.Dedup.exactCol(vecCol)).as("__fp"))
+      .agg(min_by(payload, struct(graft.ops.Dedup.exactCol(orderCol))).as("__keep"),
+        count(lit(1)).as("mult"))
+      .select(df.columns.map(c => col("__keep").getField(c).as(c)) :+ col("mult"): _*)
+  }
+
+  /** Duplication-proof embedding-cosine near-dup pairs — x90's pattern
+    * for this family: exact-duplicate vector classes collapse to
+    * representatives with multiplicity FIRST ([[exactByVecWeighted]] —
+    * cosine is a pure function of the vector, so collapse loses no pair
+    * RELATION), only representatives run the hyperplane-LSH banding of
+    * [[cosineNearDupPairs]], and each pair carries both class sizes. On
+    * an m-copies-each corpus the plain pair output scales m²; this
+    * emits one row per relation, the expansion exactly recoverable
+    * (mult_a·mult_b per row, m(m−1)/2 hamming-0-analogue cos=1 pairs
+    * per class — [[graft.ops.Dedup.dedupSweepWeighted]] folds both).
+    * Returns (id_a, id_b, cos, mult_a, mult_b), id_a < id_b, ids being
+    * class representatives (lowest member id). */
+  def cosineNearDupPairsWeighted(df: DataFrame, idCol: String, vecCol: String,
+                                 threshold: Double, bands: Int = 8,
+                                 bitsPerBand: Int = 0, dim: Int = -1): DataFrame = {
+    val reps = exactByVecWeighted(df, vecCol, idCol)
+    val d = if (dim > 0) dim else vecDim(df, vecCol)
+    val bpb = if (bitsPerBand > 0) bitsPerBand else {
+      // size bands to the PRE-collapse corpus (stats are exact there;
+      // the rep relation is an aggregation whose row estimate isn't) —
+      // an upper bound on the rep count, so buckets only get smaller
+      val n = approxRows(df, rowBytes = 8L * d + 16L)
+      math.min(24, math.max(8, math.ceil(math.log(n / 16.0) / math.log(2)).toInt))
+    }
+    val bits = bands * bpb
+    val rows = graft.ops.Dedup.spread(reps, col(idCol))
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        norm(col(vecCol)).as("nrm"), col("mult"),
+        hyperplaneSignature(col(vecCol), bits, d).as("sig"))
+    val banded = rows
+      .select(struct(col("id"), col("vec"), col("nrm"), col("mult")).as("p"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",", slice(col("sig"), b * lit(bpb) + 1, lit(bpb)))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    graft.ops.Dedup.bucketPairsWithPayload(banded)
+      .withColumn("cos", cosineWithNorms(col("a.vec"), col("a.nrm"),
+        col("b.vec"), col("b.nrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("cos"), 6).as("cos"),
+        col("a.mult").as("mult_a"), col("b.mult").as("mult_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Exact weighted embedding-cosine pairs within an id-bounded slice —
+    * [[cosineNearDupPairsWeighted]]'s oracle anchor (x90's role for
+    * this family, and unlike SimHash fully DuckDB-replayable: collapse
+    * = GROUP BY the vector, pairs = quadratic list cosine over the
+    * representatives). Deliberately quadratic over the collapsed reps —
+    * `maxId`-bounded. */
+  def cosineNearDupPairsWeightedExact(df: DataFrame, idCol: String,
+      vecCol: String, maxId: Long, threshold: Double): DataFrame = {
+    val reps = exactByVecWeighted(df.filter(col(idCol) < maxId), vecCol, idCol)
+    val rows = graft.ops.Dedup.spread(reps, col(idCol))
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        norm(col(vecCol)).as("nrm"), col("mult"))
+    val a = rows.select(col("id").as("__ida"), col("vec").as("__veca"),
+      col("nrm").as("__nrma"), col("mult").as("__multa"))
+    val b = rows.select(col("id").as("__idb"), col("vec").as("__vecb"),
+      col("nrm").as("__nrmb"), col("mult").as("__multb"))
+    a.crossJoin(b).filter(col("__ida") < col("__idb"))
+      .withColumn("cos", cosineWithNorms(col("__veca"), col("__nrma"),
+        col("__vecb"), col("__nrmb")))
+      .filter(col("cos") >= threshold)
+      .select(col("__ida").as("id_a"), col("__idb").as("id_b"),
+        round(col("cos"), 6).as("cos"),
+        col("__multa").as("mult_a"), col("__multb").as("mult_b"))
+  }
+
   // ------------------------------------------------------------ SemDeDup
 
   /** Cluster-scoped embedding-cosine near-duplicate pairs — the pair

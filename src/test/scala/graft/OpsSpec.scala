@@ -193,6 +193,137 @@ class OpsSpec extends AnyFunSuite {
     assert(folded.last._2 >= 8L)      // t=1.0: every non-representative drops
   }
 
+  test("weighted SimHash pairing collapses duplication; sweep folds the expansion exactly") {
+    import spark.implicits._
+    // doc 6 permutes doc 1's tokens: same token MULTISET (simhash 0
+    // hamming — banding-guaranteed candidate) but different normalized
+    // text, so it stays a SEPARATE class — the weighted relation must
+    // pair the two representatives with both class sizes
+    val base = docs.unionByName(Seq((6L,
+      "quick the brown fox jumps over the lazy dog again and again today"))
+      .toDF("doc_id", "text"))
+    val expanded = base
+      .unionByName(base.select((col("doc_id") + 100).as("doc_id"), col("text")))
+      .unionByName(base.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 200).as("doc_id"), col("text")))
+    // classes: {1,2,101,102,202}=5, {3,103}=2, {4,104,204}=3, {5,105}=2,
+    // {6,106,206}=3
+    val reps = Dedup.exactByText(expanded, "text", "doc_id")
+    def hset(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // (1) weighted pairs ≡ plain pairs after exact collapse (identical
+    // deterministic signatures and banding), class sizes attached
+    val weighted = Dedup.simhashPairsWeighted(expanded, "doc_id", "text",
+      maxHamming = 20)
+    assert(hset(weighted) ==
+      hset(Dedup.simhashPairs(reps, "doc_id", "text", maxHamming = 20)))
+    val mults = weighted.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        (r.getAs[Long]("mult_a"), r.getAs[Long]("mult_b"))).toMap
+    assert(mults((1L, 6L)) == (5L, 3L)) // the hamming-0 permuted pair
+    // (2) at maxHamming <= 3 the banded weighted form equals the
+    // exhaustive weighted anchor exactly (pigeonhole over 4x16 bands)
+    def wrows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "hamming", "mult_a", "mult_b")
+        .orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+          r.getLong(4))).toSeq
+    val banded3 = Dedup.simhashPairsWeighted(expanded, "doc_id", "text",
+      maxHamming = 3)
+    val exhaustive3 = Dedup.simhashPairsWeightedExhaustive(expanded,
+      "doc_id", "text", maxId = 1000, maxHamming = 3)
+    assert(wrows(banded3) == wrows(exhaustive3) && wrows(banded3).nonEmpty)
+    // (3) the weighted sweep on sim = (64-h)/64 reproduces the EXPANDED
+    // corpus's drop curve term for term
+    val ts = Seq(0.9531, 1.0)
+    def curve(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("threshold").collect()
+        .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val folded = curve(Dedup.dedupSweepWeighted(
+      Dedup.exactByTextWeighted(expanded, "text", "doc_id"),
+      banded3.withColumn("sim", Dedup.simhashSim(col("hamming"))), "sim", ts))
+    val brute = curve(Dedup.dedupSweep(expanded,
+      Dedup.simhashPairs(expanded, "doc_id", "text", maxHamming = 3)
+        .withColumn("sim", Dedup.simhashSim(col("hamming"))), "sim", ts))
+    assert(folded == brute)
+    assert(folded.head._3 == 15L) // n_docs = the EXPANDED count
+    // t=1.0 drops every non-representative (10) plus rep 6 (hamming-0
+    // partner rep 1): 11
+    assert(folded.last._2 == 11L)
+  }
+
+  test("weighted embcos collapses duplicated vectors; sweep folds the expansion exactly") {
+    import spark.implicits._
+    // vecs: 1=(1,0,0), 2=(0.9,0.1,0), 3=(0,1,0), 4=(1,0,0) — 1 and 4 are
+    // IDENTICAL vectors under different ids, so they join ONE class
+    val expanded = vecs
+      .unionByName(vecs.select((col("vec_id") + 100).as("vec_id"),
+        col("embedding")))
+    val classes = Similarity.exactByVecWeighted(expanded, "embedding", "vec_id")
+    val cm = classes.select("vec_id", "mult").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cm == Map(1L -> 4L, 2L -> 2L, 3L -> 2L)) // {1,4,101,104},{2,102},{3,103}
+    // (1) weighted banded ≡ plain banded after collapse (same
+    // deterministic hyperplane signatures over the same reps)
+    def cset(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cset(Similarity.cosineNearDupPairsWeighted(expanded, "vec_id",
+        "embedding", 0.99)) ==
+      cset(Similarity.cosineNearDupPairs(classes.drop("mult"), "vec_id",
+        "embedding", 0.99)))
+    // (2) the exact weighted anchor: exactly the (1,2) rep pair at
+    // cos = 0.9/sqrt(0.82), with class sizes 4 and 2
+    val exact = Similarity.cosineNearDupPairsWeightedExact(expanded,
+      "vec_id", "embedding", maxId = 1000, threshold = 0.99)
+    val erows = exact.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(erows == Seq((1L, 2L,
+      math.round(0.9 / math.sqrt(0.82) * 1e6) / 1e6, 4L, 2L)))
+    // (3) the weighted sweep reproduces the expanded corpus's curve
+    val ts = Seq(0.99, 1.0)
+    def curve(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("threshold").collect()
+        .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val folded = curve(Dedup.dedupSweepWeighted(classes, exact, "cos", ts))
+    val brute = curve(Dedup.dedupSweep(expanded,
+      Similarity.cosineNearDupPairsExact(expanded, "vec_id", "embedding",
+        maxId = 1000, threshold = 0.99), "cos", ts))
+    assert(folded == brute)
+    assert(folded == Seq((0.99, 6L, 8L, 0.75), (1.0, 5L, 8L, 0.625)))
+  }
+
+  test("auditPairsWeighted: the unweighted queue over the collapsed corpus, class sizes attached") {
+    import spark.implicits._
+    val base = docs
+    val expanded = base
+      .unionByName(base.select((col("doc_id") + 100).as("doc_id"), col("text")))
+      .unionByName(base.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 200).as("doc_id"), col("text")))
+    val reps = Dedup.exactByText(expanded, "text", "doc_id")
+    val wq = Dedup.auditPairsWeighted(
+      Dedup.shingleJaccardPairsWeightedExact(expanded, "doc_id", "text",
+        maxId = 1000, threshold = 0.0),
+      "jaccard",
+      Dedup.exactByTextWeighted(expanded, "text", "doc_id"),
+      "doc_id", "text", threshold = 0.9, k = 3)
+    val uq = Dedup.auditPairs(
+      Dedup.shingleJaccardPairsExact(reps, "doc_id", "text",
+        maxId = 1000, threshold = 0.0),
+      "jaccard", reps, "doc_id", "text", threshold = 0.9, k = 3)
+    def qrows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "score", "dist", "text_a", "text_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getString(4), r.getString(5))).toSeq
+    assert(qrows(wq) == qrows(uq) && qrows(wq).nonEmpty)
+    val wmults = wq.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        (r.getAs[Long]("mult_a"), r.getAs[Long]("mult_b"))).toMap
+    assert(wmults((1L, 3L)) == (5L, 2L))
+  }
+
   test("minhashPairsAgainstBandExhaustive equals the exact cross-side pair set") {
     // corpus = the fixture, batch = the fixture re-id'd: every batch doc
     // must pair with its original at jaccard 1.0, plus the true

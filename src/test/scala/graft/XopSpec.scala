@@ -969,6 +969,115 @@ class XopSpec extends AnyFunSuite {
                   "args": {"id": "id", "column": "text", "weighted": 1}}}""") }
   }
 
+  test("weighted dedup_simhash + simhash sweep family match the unweighted truth") {
+    // exact dups collapse (1≡3, 2≡6): rep-level hamming-0 pairs are
+    // empty, yet drop and the sweep reproduce the unweighted answers
+    val sp = run(
+      """{"xop": {"name": "dedup_simhash",
+                  "args": {"id": "id", "column": "text", "max_hamming": 0,
+                           "weighted": true}}}""")
+    assert(sp.columns.toSeq ==
+      Seq("id_a", "id_b", "hamming", "mult_a", "mult_b"))
+    assert(sp.count() == 0L)
+    val sd = run(
+      """{"xop": {"name": "dedup_simhash",
+                  "args": {"id": "id", "column": "text", "max_hamming": 0,
+                           "weighted": true, "action": "drop"}},
+          "order_by": ["id"]}""")
+    assert(ids(sd) == Seq(1L, 2L, 4L, 5L))
+    def curve(df: DataFrame) = df.collect().map(r => (r.getDouble(0),
+      r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val su = curve(run(
+      """{"xop": {"name": "dedup_sweep",
+                  "args": {"id": "id", "column": "text", "family": "simhash",
+                           "thresholds": [0.9531, 1.0]}}}"""))
+    val sw = curve(run(
+      """{"xop": {"name": "dedup_sweep",
+                  "args": {"id": "id", "column": "text", "family": "simhash",
+                           "weighted": true, "thresholds": [0.9531, 1.0]}}}"""))
+    assert(su == sw)
+    assert(su.last == ((1.0, 2L, 6L, 0.3333))) // the two exact dups
+    // keep_best's score is rep-fixed under weighted; simhash sweeps
+    // take no banding args
+    val eS = intercept[MalformedQueryException] { run(
+      """{"xop": {"name": "dedup_simhash",
+                  "args": {"id": "id", "column": "text", "weighted": true,
+                           "action": "keep_best", "score": "id"}}}""") }
+    assert(eS.getMessage.contains("not available weighted"))
+    intercept[MalformedQueryException] { run(
+      """{"xop": {"name": "dedup_sweep",
+                  "args": {"id": "id", "column": "text", "family": "simhash",
+                           "bands": 4, "thresholds": [0.9]}}}""") }
+  }
+
+  test("weighted dedup_embcos + embcos sweep family match the unweighted truth") {
+    val wp = runV(
+      """{"xop": {"name": "dedup_embcos",
+                  "args": {"id": "id", "column": "vec", "threshold": 0.99,
+                           "weighted": true}}}""")
+    assert(wp.columns.toSeq == Seq("id_a", "id_b", "cos", "mult_a", "mult_b"))
+    assert(pairs(wp) == Seq((1L, 2L), (3L, 4L))) // no exact-dup vectors
+    assert(wp.select("mult_a", "mult_b").collect()
+      .forall(r => r.getLong(0) == 1L && r.getLong(1) == 1L))
+    val wd = runV(
+      """{"xop": {"name": "dedup_embcos",
+                  "args": {"id": "id", "column": "vec", "threshold": 0.99,
+                           "weighted": true, "action": "drop"}},
+          "order_by": ["id"]}""")
+    assert(ids(wd) == Seq(1L, 3L, 5L))
+    def curve(df: DataFrame) = df.collect().map(r => (r.getDouble(0),
+      r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val cu = curve(runV(
+      """{"xop": {"name": "dedup_sweep",
+                  "args": {"id": "id", "column": "vec", "family": "embcos",
+                           "thresholds": [0.99, 1.0]}}}"""))
+    val cw = curve(runV(
+      """{"xop": {"name": "dedup_sweep",
+                  "args": {"id": "id", "column": "vec", "family": "embcos",
+                           "weighted": true, "thresholds": [0.99, 1.0]}}}"""))
+    assert(cu == cw)
+    assert(cu == Seq((0.99, 2L, 5L, 0.4), (1.0, 0L, 5L, 0.0)))
+    // embcos needs a numeric-array column; score rep-fixed weighted
+    intercept[MalformedQueryException] { runV(
+      """{"xop": {"name": "dedup_sweep",
+                  "args": {"id": "id", "column": "label", "family": "embcos",
+                           "thresholds": [0.99]}}}""") }
+    val eS = intercept[MalformedQueryException] { runV(
+      """{"xop": {"name": "dedup_embcos",
+                  "args": {"id": "id", "column": "vec", "threshold": 0.99,
+                           "weighted": true, "action": "keep_best",
+                           "score": "id"}}}""") }
+    assert(eS.getMessage.contains("not available weighted"))
+  }
+
+  test("weighted audit_pairs reviews representative pairs with class sizes") {
+    val wq = run(
+      """{"xop": {"name": "audit_pairs",
+                  "args": {"id": "id", "column": "text", "max_id": 100,
+                           "threshold": 0.5, "k": 3, "weighted": true}}}""")
+    assert(wq.columns.toSeq == Seq("id_a", "id_b", "score", "dist",
+      "mult_a", "mult_b", "text_a", "text_b"))
+    // ≡ the unweighted queue over the collapsed corpus, sizes attached
+    val reps = graft.ops.Dedup.exactByText(docs, "text", "id")
+    val direct = graft.ops.Dedup.auditPairs(
+      graft.ops.Dedup.shingleJaccardPairsExact(reps, "id", "text", 100, 0.0, 3),
+      "jaccard", reps, "id", "text", 0.5, 3).collect()
+    val got = wq.collect()
+    assert(got.length == 3)
+    assert(got.map(r => (r.getAs[Number](0).longValue,
+        r.getAs[Number](1).longValue, r.getDouble(2))).toSeq ==
+      direct.map(r => (r.getAs[Number](0).longValue,
+        r.getAs[Number](1).longValue, r.getDouble(2))).toSeq)
+    // classes {1,3} and {2,6} have size 2; singletons 4, 5 size 1
+    val m = got.map(r => (r.getAs[Number](0).longValue,
+      r.getAs[Number](1).longValue) ->
+      (r.getAs[Long]("mult_a"), r.getAs[Long]("mult_b"))).toMap
+    for (((a, b), (ma, mb)) <- m) {
+      assert(ma == (if (a <= 2) 2L else 1L))
+      assert(mb == (if (b <= 2) 2L else 1L))
+    }
+  }
+
   test("common_line_scrub xop drops lines shared by min_docs distinct documents") {
     // single-line docs: the two texts shared by two docs each (1/3 and
     // 2/6) are boilerplate at min_docs=2 and vanish from ALL FOUR; the
