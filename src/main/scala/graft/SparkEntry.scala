@@ -3490,10 +3490,11 @@ object SparkEntry {
                 count(try_cast(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
                 sum(try_cast(json_extract_string(props, '$.k') AS INTEGER))::BIGINT AS sum_k,
                 round(avg(try_cast(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k,
-                -- exact HUGEINT-cents accumulation (see q1_agg): value is
-                -- cent-structured; plain double sum drifts at 128M rows
-                round(CAST(sum(CAST(round(value * 100) AS HUGEINT))
-                      AS DOUBLE) / 100, 4) AS total_value
+                -- exact decimal(38,6) accumulation (micro-units, not
+                -- integer cents — sub-cent values survive): plain double
+                -- sum drifts at 128M rows
+                round(CAST(sum(CAST(value AS DECIMAL(38,6)))
+                      AS DOUBLE), 4) AS total_value
          FROM events GROUP BY 1 ORDER BY event_type""",
     "x27_token_budget" ->
       // same multiplicative hash as x17/x23; window sum of exact longs

@@ -372,9 +372,6 @@ object VocabIndex {
     }
     val (theta, nSummary, nTokens) = writeSummaryAndVocab(spark, path, norm,
       math.max(cap, art.k), art.k, baseTheta = totTheta)
-    val victimPath = new org.apache.hadoop.fs.Path(path, s"slabs/$slabId")
-    victimPath.getFileSystem(spark.sessionState.newHadoopConf())
-      .delete(victimPath, true)
     val manifest = mutable.LinkedHashMap[String, Any](
       "version" -> FormatVersion,
       "kind" -> "vocabulary",
@@ -388,6 +385,12 @@ object VocabIndex {
       "summary_rows" -> nSummary,
       "slabs" -> survivors.map(slabEntry).toList)
     writeManifest(spark, path, graft.engine.QueryJson.write(manifest))
+    // delete the victim dir only once the manifest stops referencing it:
+    // a crash between the two leaves an orphaned dir, never a registry
+    // entry that dangles into missing parquet
+    val victimPath = new org.apache.hadoop.fs.Path(path, s"slabs/$slabId")
+    victimPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(victimPath, true)
     load(spark, path)
   }
 
@@ -468,8 +471,6 @@ object VocabIndex {
         lit(thetaEpoch).as("rho"))
       .write.mode(SaveMode.Overwrite).parquet(epochDir.toString)
     fs.delete(mergeTmp, true)
-    for (v <- victims)
-      fs.delete(new org.apache.hadoop.fs.Path(path, s"slabs/${v.id}"), true)
     val epoch = SlabMeta(epochId, thetaEpoch,
       victims.map(_.nDocs).sum,
       victims.map(s => BigInt(s.fingerprint)).sum.toString,
@@ -486,6 +487,11 @@ object VocabIndex {
       .asInstanceOf[mutable.LinkedHashMap[String, Any]]
     manifest.put("slabs", (epoch +: kept).map(slabEntry).toList)
     writeManifest(spark, path, graft.engine.QueryJson.write(manifest))
+    // victim dirs go LAST, after the manifest stops referencing them: a
+    // crash in this window leaves orphaned garbage dirs, not a registry
+    // that dangles into missing parquet (the removeSlab ordering rule)
+    for (v <- victims)
+      fs.delete(new org.apache.hadoop.fs.Path(path, s"slabs/${v.id}"), true)
     load(spark, path)
   }
 

@@ -955,12 +955,15 @@ object EventStreams {
         count(col("k")).as("n_with_k"),
         sum(col("k")).as("sum_k"),
         round(avg(col("k")), 6).as("avg_k"),
-        // value is cent-structured; accumulating exact integer cents in
-        // decimal keeps the rollup EXACT at any corpus size (a plain
-        // double sum drifts ~1e-4 by 25M rows/type — the x86 precedent,
-        // and the oracle accumulates HUGEINT cents the same way)
-        round((sum(round(col("value") * 100).cast("decimal(38,0)"))
-          .cast("double") / 100), 4).as("total_value"))
+        // accumulate in exact decimal so the rollup is order-independent
+        // and EXACT at any corpus size (a plain double sum drifts ~1e-4
+        // by 25M rows/type — the x86 precedent). decimal(38,6) keeps
+        // micro-unit precision, so sub-cent values survive intact (the
+        // earlier integer-cents form silently quantized them); inputs
+        // with more than 6 fractional digits round once at ingest to the
+        // aggregate, not per-row into the running error
+        round(sum(col("value").cast("decimal(38,6)"))
+          .cast("double"), 4).as("total_value"))
 
   /** The static events parquet re-expressed as a bounded stream-shaped
     * frame: `ts` normalized to a WHOLE-SECOND session-zone timestamp

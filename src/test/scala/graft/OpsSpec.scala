@@ -1492,6 +1492,19 @@ class OpsSpec extends AnyFunSuite {
       got(1).isNullAt(3))
   }
 
+  test("propsRollup total_value keeps sub-cent precision (decimal accumulation)") {
+    import spark.implicits._
+    // 0.015 + 0.015 = 0.03 exactly in decimal(38,6); the earlier
+    // integer-cents form would quantize each row to 2 cents → 0.04
+    val df = Seq(
+      (1L, "tick", 0.015, """{"k": 1}"""),
+      (2L, "tick", 0.015, """{"k": 2}""")
+    ).toDF("event_id", "event_type", "value", "props")
+    val total = graft.streaming.EventStreams.propsRollup(df)
+      .select("total_value").collect().head.getDouble(0)
+    assert(total == 0.03)
+  }
+
   // ------------------------- token budget -------------------------
 
   test("tokenBudgetByHash caps each source at the budget and nests") {
