@@ -1201,10 +1201,10 @@ object XopEngine {
         }
         val sessGap = intArg(args, "gap_seconds", 1800, name)
         args.get("strategy") match {
-          // absent = AUTO: segmented unless the parquet row-group
-          // footers prove a time-clustered layout (sessionizeBatch's
-          // layout gate); 'segmented' pins the layout-robust carry
-          // unconditionally
+          // absent = AUTO, evidence-tiered (sessionizeBatch): native
+          // when footers prove a time-clustered layout, windowed when a
+          // measured key sample proves uniformity, segmented otherwise;
+          // 'segmented' pins the layout-robust carry unconditionally
           case None =>
             EventStreams.sessionizeBatch(df, sessGap, sessGranule)
           case Some("segmented") =>

@@ -294,21 +294,32 @@ object EventStreams {
       case _ => events
     }
     val tl = col("ts").cast("long")
-    // Above the row gate with no explicit granule, the strategy is
-    // LAYOUT-GATED before any width derivation: when the parquet row-
-    // group footers PROVE the input is time-clustered (near-disjoint
-    // sorted block ranges — see timeClusteredLayout), the native
-    // session_window strategy is provably in its fast regime (its
-    // map-side merge collapses each split's narrow window; ~3× the
-    // segmented carry single-node, tools/ProfileSessionize) and output
-    // equality is already oracle-pinned, so it runs automatically. On
-    // scattered, untraceable, or integer-time layouts the evidence is
-    // absent and the layout-robust segmented carry stays the default.
-    // An explicit granule always forces the segmented carry, and the
-    // explicit xop strategy argument overrides in either direction.
+    // Above the row gate with no explicit granule, the auto strategy is
+    // EVIDENCE-TIERED before any width derivation:
+    //   1. layout tier — when the parquet row-group footers PROVE the
+    //      input is time-clustered (near-disjoint sorted block ranges,
+    //      timeClusteredLayout), the native session_window strategy is
+    //      provably in its fast regime (map-side merge collapses each
+    //      split's narrow window; ~3× the segmented carry single-node,
+    //      tools/ProfileSessionize) and runs automatically;
+    //   2. measured-skew tier — otherwise a content-deterministic hash
+    //      sample measures the hottest session key's share
+    //      (measuredUniformKeys); a provably-uniform corpus takes the
+    //      one-exchange windowed strategy (2-3× the carry at 1.28B,
+    //      tools/ProfileSessionizeStages);
+    //   3. default — any measured hot key, thin sample, or missing
+    //      stats keeps the skew-robust segmented carry.
+    // Every tier's output is pinned row-identical, so the gates trade
+    // only wall time, never results. An explicit granule always forces
+    // the segmented carry, and the explicit xop strategy argument
+    // overrides in either direction.
+    val estRows: Long =
+      if (granule.isEmpty)
+        graft.ops.Similarity.approxRows(ev, rowBytes = 64L,
+          unknownAs = Long.MaxValue)
+      else 0L
     val aboveGate: Boolean = granule.isEmpty &&
-      graft.ops.Similarity.approxRows(ev, rowBytes = 64L,
-        unknownAs = Long.MaxValue) >= graft.ops.Joins.SegmentedCarryMinRows
+      estRows >= graft.ops.Joins.SegmentedCarryMinRows
     // ONE footer pass serves both decisions: the per-block bounds feed
     // the layout gate, and their fold is the global span the granule
     // derivation needs (re-running the trace would re-open every file's
@@ -322,6 +333,20 @@ object EventStreams {
       blocks.exists(clusteredBlocks)
     if (nativeByLayout)
       return restoreSessionTsType(sessionizeNative(ev, gapSeconds),
+        events.schema("ts").dataType)
+    // Second auto tier — MEASURED key skew. The footers couldn't prove a
+    // time-clustered layout, so before defaulting to the segmented carry,
+    // measure the session-key distribution instead of gambling on it: a
+    // content-deterministic hash sample bounds the hottest user_id's
+    // event share, and a provably-uniform corpus takes the one-exchange
+    // windowed strategy (2-3x the carry at the billion-row rung —
+    // tools/ProfileSessionizeStages: 165 s vs 359-565 s at 1.28B). Any
+    // measured hot key — or a sample too thin to trust — keeps the
+    // skew-robust segmented default. The probe costs one column-pruned
+    // scan + a two-level aggregate, paid only above the row gate where
+    // the strategy delta dwarfs it.
+    if (autoNative && aboveGate && measuredUniformKeys(ev, estRows))
+      return restoreSessionTsType(windowedSessions(ev, gapSeconds),
         events.schema("ts").dataType)
     val effectiveGranule: Option[Long] = granule.orElse {
       if (aboveGate) {
@@ -423,6 +448,47 @@ object EventStreams {
         count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("total_value"))
       .drop("__sid")
+  }
+
+  private lazy val sessLog = org.slf4j.LoggerFactory.getLogger("graft.sessionize")
+
+  /** MEASURED session-key skew verdict — [[sessionizeBatch]]'s auto tier
+    * between the footer layout gate and the segmented default. Samples
+    * ~1M events content-deterministically (xxhash64 of (user_id, ts) mod
+    * a stats-sized divisor — same rows on any partitioning, replay-
+    * stable) and measures the hottest user_id's share of events. Returns
+    * true — take the one-exchange windowed strategy — only when the
+    * sample is large enough to trust (max(65536, 100·shufflePartitions)
+    * rows, so a hot key at the decision boundary is sampled ~100+ times)
+    * AND the hottest key keeps its single reduce partition within ~2× an
+    * average partition's event load (share · shufflePartitions ≤ 2 — the
+    * straggler bound the windowed form's per-user funnel is subject to).
+    * Unknown sizes, thin samples, and hot keys all fall back false: the
+    * segmented carry stays the default in every unproven direction.
+    * Cost: one column-pruned scan and a map-combining (user → count)
+    * aggregate over ~0.1% of rows — paid only above the row gate, where
+    * choosing right is worth a 2-3× wall multiple. The verdict is logged
+    * with the measured numbers so the strategy choice is auditable. */
+  private[graft] def measuredUniformKeys(ev: DataFrame, estRows: Long,
+      sampleTarget: Long = 1000000L, minSampleOverride: Long = -1L): Boolean = {
+    if (estRows == Long.MaxValue) return false // no stats — don't gamble
+    val spark = ev.sparkSession
+    val p = math.max(1,
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    val mod = math.max(1L, estRows / math.max(1L, sampleTarget))
+    val minSample =
+      if (minSampleOverride > 0) minSampleOverride
+      else math.max(65536L, 100L * p)
+    val row = ev
+      .filter(pmod(xxhash64(col("user_id"), col("ts")), lit(mod)) === 0)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("__c"))
+      .agg(coalesce(max(col("__c")), lit(0L)).as("mx"),
+        coalesce(sum(col("__c")), lit(0L)).as("n")).head()
+    val (mx, n) = (row.getLong(0), row.getLong(1))
+    val uniform = n >= minSample && mx * p <= 2L * n
+    sessLog.info(s"sessionize auto skew measure: sample=$n hottest=$mx " +
+      s"shufflePartitions=$p verdict=${if (uniform) "windowed" else "segmented"}")
+    uniform
   }
 
   /** TRUE when the parquet layout behind `df`'s `ts` column is PROVABLY

@@ -277,6 +277,60 @@ class SkewSpec extends AnyFunSuite {
     assert(sRows(sAuto) == sRows(sSeg))
   }
 
+  test("sessionizeBatch auto: measured-uniform keys take the windowed strategy; a hot key keeps the carry") {
+    // range advertises 8 B/row; at the gate's 64-byte divisor 20M rows
+    // estimate ~2.5M — past SegmentedCarryMinRows, so the auto path runs
+    // the measured-skew tier (the layout gate yields no evidence on a
+    // range-backed integer-time frame). The decision job executes (one
+    // hash-sampled user count); the sessionize itself is only planned.
+    val n = 20L * 1000 * 1000
+    // uniform: 100k users, 200 events each at a 1000s cadence per user
+    val uniform = spark.range(n).select(
+      (col("id") % 100000L).as("user_id"),
+      (col("id") * 7L).as("ts"), lit(1.0).as("value"))
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LW}
+    val wPlan = graft.streaming.EventStreams.sessionizeBatch(uniform,
+      gapSeconds = 500000)
+    val wWindows = wPlan.queryExecution.optimizedPlan.collect { case w: LW => w }
+    assert(wWindows.nonEmpty)
+    // windowed strategy: a bare-user window sits DIRECTLY over the raw
+    // relation (no bounded boundary aggregate below it)
+    assert(wWindows.exists { w =>
+      val keys = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      keys == Set("user_id") &&
+        w.child.collectFirst { case a: Aggregate => a }.isEmpty
+    }, "uniform keys above the gate must select the windowed strategy")
+    // hot: 80% of events on one user — the measure must keep the carry:
+    // every bare-user window sits above the boundary aggregate
+    val hot = spark.range(n).select(
+      when(col("id") % 10 < 8, 0L).otherwise(col("id")).as("user_id"),
+      (col("id") * 7L).as("ts"), lit(1.0).as("value"))
+    val sPlan = graft.streaming.EventStreams.sessionizeBatch(hot,
+      gapSeconds = 500000)
+    val sWindows = sPlan.queryExecution.optimizedPlan.collect { case w: LW => w }
+    assert(sWindows.nonEmpty)
+    sWindows.foreach { w =>
+      val keys = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      if (keys.size <= 1)
+        assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+          s"a hot key must keep the segmented carry (bare window on $keys)")
+    }
+    // the verdict function itself, at test-scale thresholds: uniform
+    // passes, 80%-hot fails, a too-thin sample fails conservative
+    import spark.implicits._
+    val tiny = (1 to 400).map(i => ((i % 100).toLong, i.toLong, 1.0))
+      .toDF("user_id", "ts", "value")
+    assert(graft.streaming.EventStreams.measuredUniformKeys(tiny,
+      estRows = 400, sampleTarget = Long.MaxValue, minSampleOverride = 1))
+    assert(!graft.streaming.EventStreams.measuredUniformKeys(tiny,
+      estRows = 400, sampleTarget = Long.MaxValue, minSampleOverride = 100000))
+    val tinyHot = (1 to 400).map(i =>
+      (if (i % 10 < 8) 0L else i.toLong, i.toLong, 1.0))
+      .toDF("user_id", "ts", "value")
+    assert(!graft.streaming.EventStreams.measuredUniformKeys(tinyHot,
+      estRows = 400, sampleTarget = Long.MaxValue, minSampleOverride = 1))
+  }
+
   test("asOfJoin: auto path segments once the row estimate clears the gate") {
     // spark.range advertises 8 bytes/row, so 40M rows estimate ~2.4M rows
     // at the gate's 64-byte divisor — past SegmentedCarryMinRows. Only
