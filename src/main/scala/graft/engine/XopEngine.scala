@@ -1618,14 +1618,21 @@ object XopEngine {
       // whole-ingest removals go through vocab_remove_slab, arbitrary
       // row removals still need a rebuild — see VocabIndex.update)
       case "vocab_update" =>
-        knownArgs("column", "index", "force")
+        knownArgs("column", "index", "force", "max_slabs")
         val textCol = column(df, args, "column", name)
         val raw = args.getOrElse("index",
           Errors.malformed(s"xop '$name': 'index' is required (the artifact to refresh)"))
         val path = indexPath(df, raw, name)
+        // registry bound for auto-compaction (VocabIndex.update's
+        // self-maintenance); 0 disables, absent = the documented default
+        val vuMaxSlabs =
+          intArg(args, "max_slabs", graft.ops.VocabIndex.DefaultMaxSlabs, name)
+        if (vuMaxSlabs < 0 || vuMaxSlabs > Int.MaxValue)
+          Errors.malformed(s"xop '$name': 'max_slabs' must be >= 0", vuMaxSlabs)
         val before = loadVocab(df, raw, name)
         val art =
-          try graft.ops.VocabIndex.update(df.sparkSession, path, df, textCol)
+          try graft.ops.VocabIndex.update(df.sparkSession, path, df, textCol,
+            vuMaxSlabs.toInt)
           catch {
             case e: IllegalArgumentException =>
               Errors.malformed(s"xop '$name': ${e.getMessage}")

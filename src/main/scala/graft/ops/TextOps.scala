@@ -436,16 +436,26 @@ object TextOps {
     val summaries = df.select(tokens(col(textCol)).as("toks")).as[Seq[String]]
       .mapPartitions { it =>
         val s = new SpaceSavingSummary(capacity)
+        var sawRows = false
         it.foreach { arr =>
+          sawRows = true
           if (arr != null) arr.foreach { t =>
             if (t != null && t.nonEmpty) s.add(t)
           }
         }
-        if (s.size == 0) Iterator.empty
+        if (!sawRows) Iterator.empty
         else {
           val thr = s.threshold
-          // one sentinel row per non-empty partition carries θ into the
-          // same exchange the entries ride (Θ = their sum downstream)
+          // one sentinel row per partition THAT SAW INPUT carries θ into
+          // the same exchange the entries ride (Θ = their sum
+          // downstream). The sentinel goes out even when the partition
+          // produced no tokens (all-null/whitespace texts, thr = 0):
+          // builders ride their row-count/fingerprint metrics on this
+          // job via observe, and a zero-OUTPUT aggregation gets its
+          // CollectMetrics dropped from the executed plan — the empty
+          // metric map would then silently read as "empty input" and
+          // no-op the update, drifting n_docs/fingerprint against a
+          // rebuild (caught by VocabIndexSpec's null-only-batch pin).
           s.entries.map { case (t, lo, hi) => (t, lo, hi, thr) } ++
             Iterator((null: String, 0L, 0L, thr))
         }

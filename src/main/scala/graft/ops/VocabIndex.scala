@@ -42,6 +42,12 @@ object VocabIndex {
 
   val FormatVersion = 1
 
+  /** Default registry bound for [[update]]'s auto-compaction: with K=16
+    * the newest 16 ingests stay individually removable while the
+    * registry (and removeSlab's re-merge fan-in) is capped at 17
+    * entries regardless of update count. 0 disables. */
+  val DefaultMaxSlabs = 16
+
   /** Loaded artifact: the LAZY (token, n, rank) relation plus manifest
     * parameters. k is mandatory (it bounds which vocabulary sizes the
     * artifact can serve); the rest are optional tripwires. A
@@ -223,9 +229,25 @@ object VocabIndex {
     * The manifest's doc count and decimal-sum content fingerprint are
     * delta-updated (additions only ⇒ plain addition), so a subsequent
     * [[verifyContent]] against old∪added reads as fresh. An empty
-    * delta is a no-op returning the loaded artifact unchanged. */
+    * delta is a no-op returning the loaded artifact unchanged.
+    *
+    * SELF-MAINTENANCE (`maxSlabs`, default [[DefaultMaxSlabs]]): without
+    * a bound the slab registry grows one entry per update forever —
+    * every [[removeSlab]] re-merge and manifest read pays for the full
+    * history. When an update leaves MORE than `maxSlabs` registry
+    * entries, the update auto-compacts ([[compactSlabs]] with
+    * keepLast = maxSlabs): history older than the newest `maxSlabs`
+    * ingests folds into one epoch slab, capping the registry at
+    * maxSlabs + 1 entries while the newest ingests stay individually
+    * removable — the same close-the-loop policy Bloom's updateOrRebuild
+    * applies to its sizing. Compaction preserves every certified bound
+    * and all manifest totals (x91's pin), so update ≡ rebuild is
+    * unaffected. `maxSlabs = 0` disables the policy (unbounded
+    * registry, every ingest stays removable); the active bound is
+    * recorded in the manifest as `auto_compact_keep`. */
   def update(spark: SparkSession, path: String, added: DataFrame,
-             textCol: String): Artifact = {
+             textCol: String, maxSlabs: Int = DefaultMaxSlabs): Artifact = {
+    require(maxSlabs >= 0, "maxSlabs must be >= 0 (0 disables auto-compaction)")
     val art = load(spark, path)
     val what = s"vocabulary at $path"
     art.textCol.foreach { rec =>
@@ -304,9 +326,15 @@ object VocabIndex {
       "capacity" -> cap.toLong,
       "theta" -> thetaStored,
       "summary_rows" -> nSummary) ++
-      newSlabs.map(sl => "slabs" -> sl.map(slabEntry).toList)
+      newSlabs.map(sl => "slabs" -> sl.map(slabEntry).toList) ++
+      newSlabs.filter(_ => maxSlabs > 0)
+        .map(_ => "auto_compact_keep" -> maxSlabs.toLong)
     writeManifest(spark, path, graft.engine.QueryJson.write(manifest))
-    load(spark, path)
+    // the self-maintenance trigger: fold history beyond the newest
+    // maxSlabs ingests into one epoch slab (registry stays <= maxSlabs+1)
+    if (maxSlabs > 0 && newSlabs.exists(_.length > maxSlabs))
+      compactSlabs(spark, path, keepLast = maxSlabs)
+    else load(spark, path)
   }
 
   /** Remove one ingest slab from a slab-registry artifact and rebuild

@@ -237,6 +237,50 @@ class VocabIndexSpec extends AnyFunSuite {
     assert(eE.getMessage.contains("capacity"))
   }
 
+  test("update auto-compacts the registry past max_slabs; totals stay rebuild-exact") {
+    val root = tmpDir()
+    val path = s"$root/auto"
+    VocabIndex.buildAndSave(corpus.filter(col("doc_id") === 1), "text", k = 5,
+      path = path, capacity = Some(4096))
+    var art: VocabIndex.Artifact = null
+    for (d <- 2L to 5L)
+      art = VocabIndex.update(spark, path,
+        corpus.filter(col("doc_id") === d), "text", maxSlabs = 2)
+    // 4 updates at K=2 (the last a NULL-TEXT-only batch — the sentinel
+    // keeps its metrics alive, so it still counts): registry capped at
+    // K+1 after the epoch folds
+    assert(art.slabs.get.length <= 3)
+    // totals still rebuild-exact after the folds
+    val scratch = VocabIndex.buildAndSave(corpus, "text", k = 5,
+      path = s"$root/full", capacity = Some(4096))
+    def vocabRows(a: VocabIndex.Artifact) = a.vocab.orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    def sumRows(a: VocabIndex.Artifact) = a.summary.get.orderBy("token")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(vocabRows(art) == vocabRows(scratch))
+    assert(sumRows(art) == sumRows(scratch))
+    assert(art.theta == scratch.theta && art.nDocs == scratch.nDocs)
+    assert(art.contentFingerprint == scratch.contentFingerprint)
+    // the active policy is recorded in the manifest
+    val manifestText = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path/manifest.json")), "UTF-8")
+    assert(manifestText.contains("\"auto_compact_keep\""))
+    // the artifact keeps updating and stays content-fresh
+    VocabIndex.verifyContent(spark, path, corpus, "text")
+    // maxSlabs = 0 disables: the registry grows one slab per update
+    val off = s"$root/off"
+    VocabIndex.buildAndSave(corpus.filter(col("doc_id") === 1), "text", k = 5,
+      path = off, capacity = Some(4096))
+    var artOff: VocabIndex.Artifact = null
+    for (d <- 2L to 5L)
+      artOff = VocabIndex.update(spark, off,
+        corpus.filter(col("doc_id") === d), "text", maxSlabs = 0)
+    assert(artOff.slabs.get.map(_.id) == Seq(0L, 1L, 2L, 3L, 4L))
+    intercept[IllegalArgumentException] {
+      VocabIndex.update(spark, off, corpus.filter(col("doc_id") === 2),
+        "text", maxSlabs = -1) }
+  }
+
   test("update: tight capacity keeps certified bounds sound; guards fail fast") {
     val root = tmpDir()
     // single partitions with distinct tokens >> capacity => evictions
