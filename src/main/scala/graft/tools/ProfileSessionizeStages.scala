@@ -102,7 +102,26 @@ object ProfileSessionizeStages {
     // risk is per-user skew (a hot user's rows sort in one partition),
     // not wall time on uniform corpora; timing it here quantifies what
     // the segmented carry's skew insurance costs at this rung.
-    if (args.lift(3).contains("onewindow")) {
+    // interior/boundary decomposition stats (the carry-split question):
+    // a partial is INTERIOR when it is neither first nor last in its
+    // granule — the local break already completed it, so a split
+    // implementation could emit it without the carry join or the final
+    // (user, sid) exchange. The split only pays when interior is a
+    // large fraction; on corpora averaging ~1 event per (user, granule)
+    // nbrk is 1, first == last, and interior is ~0 — measured here so
+    // the decision is a number, not a guess.
+    if (args.drop(3).contains("split")) {
+      val pstats = partialsOf(ev)
+        .withColumn("__nbrk", max(col("__lsid")).over(
+          Window.partitionBy(col("user_id"), col("__g"))))
+        .agg(count(lit(1)).as("partials"),
+          sum(when(col("__lsid") > 1 && col("__lsid") < col("__nbrk"), 1L)
+            .otherwise(0L)).as("interior")).head()
+      val (np, ni) = (pstats.getLong(0), pstats.getLong(1))
+      println(f"[stages] split-stats partials=$np%,d interior=$ni%,d " +
+        f"interior_frac=${ni.toDouble / math.max(1L, np)}%.4f")
+    }
+    if (args.drop(3).contains("onewindow")) {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
       val prevU = lag(col("ts"), 1).over(byUser)
       val brkU = when(prevU.isNull.or(tl - prevU.cast("long") > gap), 1L)

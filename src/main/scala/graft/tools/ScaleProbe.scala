@@ -86,6 +86,8 @@ object ScaleProbe {
     val haveEvents = new java.io.File(s"$scaledDir/events.parquet").exists()
     val haveDocs =
       new java.io.File(s"$scaledDir/documents.parquet").exists()
+    val haveEmb =
+      new java.io.File(s"$scaledDir/embeddings.parquet").exists()
 
     var failures = 0
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -312,6 +314,132 @@ object ScaleProbe {
           println(s"[probe] FAIL budget_prefix: ${bad.mkString("; ")}")
         } else println(s"[probe] PASS budget_prefix: ${st.getLong(2)} docs, " +
           s"$tot of $budget tokens, exact prefix + maximality verified")
+      }
+    }
+
+    // ---------- embeddings family (replicas are disjoint vec_id
+    // populations with IDENTICAL vectors, so every pure-vector-function
+    // operator's profile multiset scales exactly xR, and the weighted
+    // collapse must land on replica 0's ids with mult exactly xR) -----
+    if (haveEmb) {
+      val bEmb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val sEmb = spark.read.parquet(s"$scaledDir/embeddings.parquet")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val rEmb = sEmb.count() / math.max(1L, bEmb.count())
+      println(f"[probe] embeddings base=${bEmb.count()}%,d " +
+        f"scaled=${sEmb.count()}%,d factor=$rEmb")
+
+      // x42b: fixed-centroid assignment is a pure function of the vector
+      // (bit-identical across replicas), so the (cluster, cohesion)
+      // profile multiset scales EXACTLY xR — centroids pinned to the
+      // base's first 4 vectors (x42b's recipe) so both sides assign
+      // against the identical list
+      guarded("emb_cluster_profiles") {
+        val cents: Seq[Seq[Double]] = bEmb.filter(col("vec_id") < 4)
+          .orderBy("vec_id").select(col("embedding"))
+          .collect().map(_.getSeq[Double](0).toSeq).toSeq
+        def agg(df: DataFrame) =
+          graft.ops.Similarity.clusterAssignWith(df, "embedding", cents)
+            .groupBy("cluster", "cohesion").agg(count(lit(1)).as("n"))
+        val a = agg(bEmb).withColumnRenamed("n", "n_b")
+        val s = agg(sEmb).withColumnRenamed("n", "n_s").persist()
+        timed("emb_cluster_profiles")(s.count())
+        val cond = a("cluster") <=> s("cluster") && a("cohesion") <=> s("cohesion")
+        val bad = a.join(s, cond, "full_outer")
+          .filter(col("n_b").isNull || col("n_s").isNull ||
+            col("n_s") =!= col("n_b") * rEmb).count()
+        if (bad != 0) {
+          failures += 1
+          println(s"[probe] FAIL emb_cluster_profiles: $bad (cluster, " +
+            s"cohesion) groups violate n_s == $rEmb*n_b")
+        } else println(s"[probe] PASS emb_cluster_profiles: ${a.count()} " +
+          s"distinct profiles, counts exactly x$rEmb")
+        s.unpersist()
+      }
+
+      // x24: int8 quantization is a pure map — the (scale, quantized
+      // vector) multiset scales exactly xR (the array keyed by xxhash64
+      // so the compare exchange stays narrow)
+      guarded("emb_quantize_profiles") {
+        def agg(df: DataFrame) =
+          graft.ops.Embeddings.quantizeInt8(df, "vec_id", "embedding")
+            .groupBy(col("scale"), xxhash64(col("q")).as("qh"))
+            .agg(count(lit(1)).as("n"))
+        val a = agg(bEmb).withColumnRenamed("n", "n_b")
+        val s = agg(sEmb).withColumnRenamed("n", "n_s").persist()
+        timed("emb_quantize_profiles")(s.count())
+        val cond = a("scale") <=> s("scale") && a("qh") <=> s("qh")
+        val bad = a.join(s, cond, "full_outer")
+          .filter(col("n_b").isNull || col("n_s").isNull ||
+            col("n_s") =!= col("n_b") * rEmb).count()
+        if (bad != 0) {
+          failures += 1
+          println(s"[probe] FAIL emb_quantize_profiles: $bad (scale, q) " +
+            s"groups violate n_s == $rEmb*n_b")
+        } else println(s"[probe] PASS emb_quantize_profiles: ${a.count()} " +
+          s"distinct quantizations, counts exactly x$rEmb")
+        s.unpersist()
+      }
+
+      // x93's collapse at scale: exact-duplicate vector classes must
+      // land on replica 0's ids (keep-min-id) with mult EXACTLY xR the
+      // base class size — one aggregation over the full scaled corpus
+      guarded("embcos_weighted_collapse") {
+        val a = graft.ops.Similarity.exactByVecWeighted(bEmb, "embedding",
+          "vec_id").select(col("vec_id"), col("mult").as("m_b"))
+        val s = graft.ops.Similarity.exactByVecWeighted(sEmb, "embedding",
+          "vec_id").select(col("vec_id"), col("mult").as("m_s")).persist()
+        timed("embcos_weighted_collapse")(s.count())
+        val bad = a.join(s, Seq("vec_id"), "full_outer")
+          .filter(col("m_b").isNull || col("m_s").isNull ||
+            col("m_s") =!= col("m_b") * rEmb).count()
+        if (bad != 0) {
+          failures += 1
+          println(s"[probe] FAIL embcos_weighted_collapse: $bad reps " +
+            s"violate identity or mult == $rEmb*base")
+        } else println(s"[probe] PASS embcos_weighted_collapse: " +
+          s"${a.count()} reps identical to base, mult exactly x$rEmb")
+        s.unpersist()
+      }
+
+      // x93's pair stage at scale: inject a perturbed copy of EVERY
+      // scaled row (ids + 100M), so each base-vector class gains a
+      // perturbed twin class. The weighted pair relation must be exactly
+      // one row per rep — (rep, rep + 100M, cos ~ 1, xR, xR) — never a
+      // quadratic expansion (the corpus has no natural pairs at 0.95;
+      // x5's spike recipe measured max natural cos ~ 0.51)
+      guarded("embcos_weighted_pairs") {
+        val off = 100000000L
+        val withDups = sEmb.unionByName(
+          sEmb.select((col("vec_id") + off).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              x * (lit(1.0) + (i % 7).cast("double") / 1000)).as("embedding")))
+        val nReps = graft.ops.Similarity.exactByVecWeighted(bEmb,
+          "embedding", "vec_id").count()
+        val pairs = graft.ops.Similarity.cosineNearDupPairsWeighted(
+          withDups, "vec_id", "embedding", threshold = 0.95, dim = 64)
+          .persist()
+        timed("embcos_weighted_pairs")(pairs.count())
+        val st = pairs.agg(count(lit(1)).as("k"),
+          coalesce(sum(when(col("id_b") =!= col("id_a") + off, 1L)
+            .otherwise(0L)), lit(0L)).as("badIds"),
+          coalesce(sum(when(col("mult_a") =!= rEmb ||
+            col("mult_b") =!= rEmb, 1L).otherwise(0L)), lit(0L)).as("badMult"),
+          coalesce(min(col("cos")), lit(1.0)).as("cmin")).head()
+        val ok = st.getLong(0) == nReps && st.getLong(1) == 0L &&
+          st.getLong(2) == 0L && st.getDouble(3) >= 0.999
+        if (!ok) {
+          failures += 1
+          println(s"[probe] FAIL embcos_weighted_pairs: k=${st.getLong(0)} " +
+            s"(want $nReps) badIds=${st.getLong(1)} badMult=${st.getLong(2)} " +
+            s"minCos=${st.getDouble(3)}")
+        } else println(s"[probe] PASS embcos_weighted_pairs: exactly " +
+          s"$nReps rep pairs, ids offset-exact, mults x$rEmb, cos >= 0.999 " +
+          "— pair output CONSTANT in the duplication factor")
+        pairs.unpersist()
       }
     }
 
