@@ -239,22 +239,32 @@ object EventStreams {
     *      events collapse immediately into PARTIAL SESSIONS (one row
     *      per user × granule × local session: start/end/count/sum) on
     *      the window's own exchange; raw events are never touched again;
-    *   3. per-(user, granule) boundary stats (local session count,
-    *      first/last event time) aggregate from the partial-session
-    *      relation itself;
-    *   4. over that bounded relation only, a per-user ordered pass
-    *      marks whether each granule's first event CONTINUES the
-    *      previous granule's last session (gap <= gapSeconds across the
-    *      boundary — a spurious local break) and prefix-sums the
-    *      corrected break counts into a per-granule session-id offset;
-    *   5. join (offset, continues) back onto the partial sessions —
-    *      AQE broadcasts the tiny relation — relabel with the global
-    *      session id `local_sid + offset - continues`, and merge
-    *      partial sessions by (user, global sid).
+    *   3. ONE per-user ordered pass over the partial sessions,
+    *      ordered by (granule, local sid): a partial CONTINUES the
+    *      running session iff it is its granule's first local session
+    *      and starts within gap of the previous row's end (that row is
+    *      by construction the previous existing granule's last local
+    *      session — a spurious local break). The global session id is
+    *      the running count of NON-continuing partials, which
+    *      telescopes to the old carry arithmetic
+    *      `local_sid + granule_offset - continues` exactly;
+    *   4. merge partial sessions by (user, global sid) — and because
+    *      the carry pass hash-partitioned the relation by user alone,
+    *      `HashPartitioning(user)` already satisfies the merge's
+    *      `ClusteredDistribution(user, sid)`: the final aggregate runs
+    *      IN PLACE, no exchange.
     *
     * Any granule width is CORRECT; only task granularity varies. The
-    * granule-level window IS per-user, but bounded at one row per
-    * user × granule regardless of how many events the user holds.
+    * carry window IS per-user, but over partial sessions, not events:
+    * sessions are gap-separated, so a granule holds at most
+    * ~`width/gap + 1` local sessions — the per-user partition load is
+    * bounded by the user's session count + granule count, never by raw
+    * event count, regardless of how many events the user holds. (The
+    * earlier form carried at granule level — boundary-stats aggregate,
+    * per-user window, join back, then a full (user, sid) exchange of
+    * the partials; the per-row running carry deletes the join and both
+    * post-carry exchanges for a measured ~2× at the billion-event
+    * rung, same bounded-skew class.)
     *
     * Like the as-of join, the auto path is STATS-GATED on
     * `Joins.SegmentedCarryMinRows`: an explicit granule always
@@ -584,14 +594,34 @@ object EventStreams {
     * per (user, granule, local session) with start/end/count/sum —
     * consuming the window's own exchange (grouping keys are a superset
     * of the partition keys, so no new exchange and full map-side
-    * combine). Every boundary statistic the cross-granule merge needs
-    * (local session count, first/last event time per granule) derives
-    * from the partial-session relation itself, so nothing re-reads or
-    * re-shuffles raw events — the earlier form aggregated boundary
-    * stats from the window output in a second branch, which per-branch
-    * column pruning made canonically unequal to the first, forcing AQE
-    * to run the wide exchange twice. The final merge groupBy runs over
-    * partial sessions, not events. */
+    * combine).
+    *
+    * The cross-granule carry is then a SINGLE per-user window over the
+    * partials, ordered by (granule, local sid). At a granule's first
+    * local session (`__lsid = 1`), the previous row in that order is —
+    * by construction — the previous existing granule's LAST local
+    * session, so `lag(__s_end)` IS the old granule-level `__last`
+    * boundary stat and the continuation test needs no boundary-stats
+    * aggregate at all. The global session id is the running count of
+    * non-continuing partials: rows before granule g contribute
+    * Σ(nbrk(g') − cont(g')) = the old per-granule offset, and rows
+    * 1..lsid inside g contribute lsid − cont(g), so the running sum
+    * telescopes to the old `__lsid + __off − __cont` exactly (pinned by
+    * the cross-strategy equality suites).
+    *
+    * Plan shape: TWO exchanges total — events by (user, granule) for
+    * the local pass, partials by user for the carry — and nothing
+    * after: the final (user, sid) merge's ClusteredDistribution is
+    * satisfied by the carry's HashPartitioning(user), so the merge
+    * aggregate runs on the carry window's own partitioning. The earlier
+    * granule-level carry (boundary aggregate → per-user window → join
+    * back → full (user, sid) exchange of the partials) paid two more
+    * partials-scale exchanges plus the join; the per-row carry is the
+    * same arithmetic with the join eliminated by ordering. Skew bound:
+    * sessions are gap-separated, so a granule holds ≤ ~width/gap + 1
+    * local sessions — the per-user carry partition is bounded by
+    * session count + granule count (time-span-shaped), never by the
+    * user's raw event count. */
   private def segmentedSessions(events: DataFrame, gapSeconds: Long,
                                 width: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -610,28 +640,20 @@ object EventStreams {
       .groupBy(col("user_id"), col("__g"), col("__lsid"))
       .agg(min(col("ts")).as("__s_start"), max(col("ts")).as("__s_end"),
         count(lit(1)).as("__n"), sum(col("value")).as("__v"))
-    // per-(user, granule) boundary stats from the partials themselves
-    val gran = partials.groupBy(col("user_id"), col("__g"))
-      .agg(max(col("__lsid")).as("__nbrk"),
-        min(col("__s_start")).as("__first"), max(col("__s_end")).as("__last"))
-    val wUser = Window.partitionBy(col("user_id")).orderBy(col("__g"))
-    val prevLast = lag(col("__last"), 1).over(wUser)
-    // continues: the granule's first event is within gap of the PREVIOUS
-    // existing granule's last event — its local first-row break was
-    // spurious, so it joins the running session and the granule's break
-    // contribution drops by one
-    val continues = when(prevLast.isNotNull
-        .and(col("__first").cast("long") - prevLast.cast("long") <= gapSeconds), 1L)
+    val wUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("__g"), col("__lsid"))
+    // continues: this partial is its granule's first local session and
+    // starts within gap of the previous partial's end (= the previous
+    // existing granule's last session end) — its local first-row break
+    // was spurious, so it joins the running session
+    val prevEnd = lag(col("__s_end"), 1).over(wUser)
+    val continues = when(col("__lsid") === 1L && prevEnd.isNotNull &&
+        col("__s_start").cast("long") - prevEnd.cast("long") <= gapSeconds, 1L)
       .otherwise(0L)
-    val carry = gran
-      .withColumn("__cont", continues)
-      .withColumn("__off", coalesce(sum(col("__nbrk") - col("__cont")).over(
-        wUser.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("user_id").as("__cu"), col("__g").as("__cg"),
-        col("__cont"), col("__off"))
     partials
-      .join(carry, col("user_id") <=> col("__cu") && col("__g") <=> col("__cg"))
-      .withColumn("__sid", col("__lsid") + col("__off") - col("__cont"))
+      .withColumn("__cont", continues)
+      .withColumn("__sid", sum(lit(1L) - col("__cont")).over(
+        wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("__sid"))
       .agg(min(col("__s_start")).as("session_start"),
         max(col("__s_end")).as("session_end"),

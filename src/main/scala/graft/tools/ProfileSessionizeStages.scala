@@ -12,14 +12,16 @@ import org.apache.spark.sql.functions._
   *   partials  — the (user, granule) exchange + per-granule window +
   *               first aggregate, counted (everything the corpus-sized
   *               exchange pays, nothing downstream)
-  *   gran      — partials + the granule-level rollup relation
+  *   carry     — partials + the per-user (granule, lsid)-ordered window
+  *               assigning global session ids (the second exchange)
   *   full      — sessionizeBatch with the same explicit granule
   *
   * The deltas between consecutive rows are the incremental costs of the
-  * carry machinery (gran − partials) and of the carry join + final
-  * (user, sid) aggregate (full − gran). The partials/gran lineages are
-  * REPLICAS of segmentedSessions' first stages (kept in sync by the
-  * session-count assertion against the real operator).
+  * carry window (carry − partials) and of the in-place (user, sid)
+  * merge aggregate (full − carry — no exchange of its own). The
+  * partials/carry lineages are REPLICAS of segmentedSessions' stages
+  * (kept in sync by the session-count assertion against the real
+  * operator).
   *
   * Usage: ProfileSessionizeStages <dir> [gapSeconds=21600] [passes=1]
   * Env:   SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SHUFFLE (256),
@@ -89,10 +91,23 @@ object ProfileSessionizeStages {
 
     timed("scan")(ev.count())
     timed("partials")(partialsOf(ev).count())
-    timed("gran")(partialsOf(ev).groupBy(col("user_id"), col("__g"))
-      .agg(max(col("__lsid")).as("__nbrk"),
-        min(col("__s_start")).as("__first"), max(col("__s_end")).as("__last"))
-      .count())
+    // carry — partials + the per-user (granule, lsid)-ordered window
+    // that assigns global session ids (segmentedSessions' second and
+    // final exchange); full − carry is then the in-place (user, sid)
+    // merge aggregate, which adds NO exchange of its own
+    timed("carry") {
+      val wUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("__g"), col("__lsid"))
+      val prevEnd = lag(col("__s_end"), 1).over(wUser)
+      val cont = when(col("__lsid") === 1L && prevEnd.isNotNull &&
+          col("__s_start").cast("long") - prevEnd.cast("long") <= gap, 1L)
+        .otherwise(0L)
+      partialsOf(ev)
+        .withColumn("__cont", cont)
+        .withColumn("__sid", sum(lit(1L) - col("__cont")).over(
+          wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .count()
+    }
     val sessions = timed("full")(graft.streaming.EventStreams
       .sessionizeBatch(ev, gap, Some(width), autoNative = false).count())
     println(s"[stages] sessions=$sessions")
