@@ -584,6 +584,58 @@ object SparkEntry {
         "doc_id", "text", threshold = 0.9, k = 5)
     }),
 
+    // leakage-free train/val/test split over EXACT-duplicate classes:
+    // identical texts always land in one split (test can never hold a
+    // verbatim copy of a train doc), the class hashes on its min-id
+    // representative, and singletons keep x37's hash_split label exactly
+    // — one fingerprint exchange, then a map-side CASE
+    "x95_split_leakfree" -> ((s, dir) =>
+      graft.ops.Sampling.splitLeakFreeExact(t(s, dir, "documents"),
+        "doc_id", "text", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split").orderBy("doc_id")),
+
+    // x95's invariant anchor, one row: no multi-doc class straddles
+    // splits (n_straddling = 0) and no singleton's label differs from
+    // plain hash_split (n_singleton_label_diffs = 0) — the two halves of
+    // the leakage-free contract, both replayed exactly by the oracle.
+    // Even ids get a whitespace-variant copy (normalizes equal), so
+    // multi-doc classes exist at EVERY scale and odd ids stay singletons
+    "x95b_split_leakfree_guard" -> ((s, dir) => {
+      val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val d = base.unionByName(base.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(lit("  "), col("text"), lit(" ")).as("text")))
+      val lf = graft.ops.Sampling.splitLeakFreeExact(d, "doc_id", "text", splits)
+        .withColumnRenamed("split", "lf_split")
+      val both = graft.ops.Sampling.splitByHash(lf, "doc_id", splits)
+      val fp = graft.ops.TextOps.fingerprintMd5(col("text"))
+      both
+        .groupBy(fp.as("__fp"))
+        .agg(count(lit(1)).as("m"),
+          countDistinct(col("lf_split")).as("nsp"),
+          sum(when(col("lf_split") === col("split"), 0L).otherwise(1L)).as("ndiff"))
+        .agg(sum(when(col("m") > 1, 1L).otherwise(0L)).as("n_multi_classes"),
+          sum(when(col("m") > 1 && col("nsp") > 1, 1L).otherwise(0L)).as("n_straddling"),
+          sum(when(col("m") === 1, 1L).otherwise(0L)).as("n_singletons"),
+          sum(when(col("m") === 1, col("ndiff")).otherwise(0L)).as("n_singleton_label_diffs"))
+    }),
+
+    // leakage-free split over NEAR-dup classes: x18's shingle-Jaccard
+    // connected components drive the split via splitByClass — the whole
+    // component hashes on its cluster label (min reachable id), unpaired
+    // docs hash their own id (x37's label). The cluster relation holds
+    // only paired ids, so the left join broadcasts
+    "x95c_split_by_class" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Sampling.splitByClass(docs, "doc_id",
+        graft.ops.Dedup.duplicateClusters(
+          graft.ops.Dedup.shingleJaccardPairsExact(docs, "doc_id", "text",
+            maxId = 300, threshold = 0.5, shingleSize = 3)),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split").orderBy("doc_id")
+    }),
+
     // quality-ranked token-budget selection: the best docs (50-char
     // length bands as the score — coarse on purpose, so the boundary
     // tie group is dozens of docs and the Packing-shaped intra-tie
@@ -2200,6 +2252,89 @@ object SparkEntry {
          FROM q JOIN reps da ON da.doc_id = q.id_a
                 JOIN reps db ON db.doc_id = q.id_b
          ORDER BY dist, id_a, id_b""",
+    "x95_split_leakfree" ->
+      // x37's hash CASE over the exact-class REPRESENTATIVE (window min
+      // per md5-of-normalized-text fingerprint) instead of the row id
+      """SELECT doc_id,
+                CASE WHEN h <  800000005 THEN 'train'
+                     WHEN h <  900000006 THEN 'val'
+                     WHEN h < 1000000007 THEN 'test' END AS split
+         FROM (SELECT doc_id,
+                      ((rep % 1000000007) * 654435747) % 1000000007 AS h
+               FROM (SELECT doc_id,
+                            min(doc_id) OVER (PARTITION BY
+                              md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS rep
+                     FROM documents))
+         ORDER BY doc_id""",
+    "x95b_split_leakfree_guard" ->
+      // per-class rollup of both labelings, then the one-row contract:
+      // multi-doc classes never straddle, singletons keep x37's label
+      """WITH src AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, '  ' || text || ' ' AS text
+           FROM documents WHERE doc_id % 2 = 0),
+         lab AS (
+           SELECT doc_id,
+                  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+                  CASE WHEN hr <  800000005 THEN 'train'
+                       WHEN hr <  900000006 THEN 'val'
+                       WHEN hr < 1000000007 THEN 'test' END AS lf_split,
+                  CASE WHEN hi <  800000005 THEN 'train'
+                       WHEN hi <  900000006 THEN 'val'
+                       WHEN hi < 1000000007 THEN 'test' END AS split
+           FROM (SELECT doc_id, text,
+                        ((min(doc_id) OVER (PARTITION BY
+                            md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+                          % 1000000007) * 654435747) % 1000000007 AS hr,
+                        ((doc_id % 1000000007) * 654435747) % 1000000007 AS hi
+                 FROM src)),
+         cls AS (
+           SELECT fp, CAST(count(*) AS BIGINT) AS m,
+                  CAST(count(DISTINCT lf_split) AS BIGINT) AS nsp,
+                  sum(CASE WHEN lf_split = split THEN 0 ELSE 1 END)::BIGINT AS ndiff
+           FROM lab GROUP BY fp)
+         SELECT sum(CASE WHEN m > 1 THEN 1 ELSE 0 END)::BIGINT AS n_multi_classes,
+                sum(CASE WHEN m > 1 AND nsp > 1 THEN 1 ELSE 0 END)::BIGINT AS n_straddling,
+                sum(CASE WHEN m = 1 THEN 1 ELSE 0 END)::BIGINT AS n_singletons,
+                sum(CASE WHEN m = 1 THEN ndiff ELSE 0 END)::BIGINT AS n_singleton_label_diffs
+         FROM cls""",
+    "x95c_split_by_class" ->
+      // x18's component CTEs verbatim, then the x37 CASE over
+      // coalesce(cluster, doc_id)
+      """WITH RECURSIVE t AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+           FROM documents WHERE doc_id < 300),
+         s AS (
+           SELECT doc_id,
+                  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                       ELSE list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                           for i in range(1, len(tk) - 1)])
+                  END AS sh
+           FROM t),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM s a, s b
+           WHERE a.doc_id < b.doc_id
+             AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(id, lab) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+         clusters AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id)
+         SELECT d.doc_id,
+                CASE WHEN h <  800000005 THEN 'train'
+                     WHEN h <  900000006 THEN 'val'
+                     WHEN h < 1000000007 THEN 'test' END AS split
+         FROM (SELECT doc_id,
+                      ((coalesce(c.cluster, doc_id) % 1000000007) * 654435747)
+                        % 1000000007 AS h
+               FROM documents LEFT JOIN clusters c ON c.id = doc_id) d
+         ORDER BY d.doc_id""",
     "x82_budget_select" ->
       // the selection IS the window definition: inclusive running token
       // total in (priority DESC, id) order stays <= budget — the

@@ -1729,9 +1729,12 @@ object XopEngine {
           refined != before))
           .toDF("n_centroids_before", "n_centroids", "iters", "changed")
 
-      // deterministic named splits by id hash: ordered [name, weight] pairs
+      // deterministic named splits by id hash: ordered [name, weight]
+      // pairs. With 'text', the split is LEAKAGE-FREE over exact-dup
+      // classes: identical texts share one split (the class hashes on
+      // its min-id representative; singletons keep the plain label)
       case "split" =>
-        knownArgs("id", "splits")
+        knownArgs("id", "splits", "text")
         val splits: Seq[(String, Double)] = args.get("splits") match {
           case Some(l: List[Any] @unchecked) if l.nonEmpty => l.map {
             case p: List[Any] @unchecked if p.length == 2 => (p(0), p(1)) match {
@@ -1748,7 +1751,12 @@ object XopEngine {
         }
         if (splits.exists(_._2 < 0) || splits.map(_._2).sum > 1.0 + 1e-9)
           Errors.malformed(s"xop '$name': weights must be >= 0 and sum to <= 1")
-        Sampling.splitByHash(df, column(df, args, "id", name), splits)
+        val splitId = column(df, args, "id", name)
+        args.get("text") match {
+          case Some(_) => Sampling.splitLeakFreeExact(df, splitId,
+            column(df, args, "text", name), splits)
+          case None => Sampling.splitByHash(df, splitId, splits)
+        }
 
       // exact id-exclusion against a stored list via a Bloom sketch +
       // rescue anti-join (map-only probe on the corpus side)

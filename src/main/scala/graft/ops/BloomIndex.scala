@@ -100,7 +100,8 @@ object BloomIndex {
     * so the build scans the exclusion list exactly once instead of
     * paying a second pass. Returns the serialized bytes. */
   def buildAndSave(exclude: DataFrame, idCol: String, fpp: Double,
-                   path: String): Array[Byte] = {
+                   path: String): Array[Byte] =
+      ArtifactLock.withWriteLock(path) {
     val nItems = Dedup.bloomSizing(exclude)
     val obs = org.apache.spark.sql.Observation()
     val observed = exclude.observe(obs,
@@ -164,7 +165,8 @@ object BloomIndex {
            nItemsBuilt: Option[Long] = None,
            nInserted: Option[Long] = None,
            fppEstimate: Option[Double] = None,
-           nHashFunctions: Option[Long] = None): Unit = {
+           nHashFunctions: Option[Long] = None): Unit =
+      ArtifactLock.withWriteLock(path) {
     require(bytes.nonEmpty, "bloom bytes must be non-empty")
     import spark.implicits._
     Seq(Tuple1(bytes)).toDF("bloom")
@@ -334,7 +336,8 @@ object BloomIndex {
   def update(spark: SparkSession, path: String,
              added: DataFrame, addedIdCol: String,
              removed: Option[(DataFrame, String)] = None,
-             maxFppFactor: Double = 4.0): Artifact = {
+             maxFppFactor: Double = 4.0): Artifact =
+      ArtifactLock.withWriteLock(path) {
     val art = loadWithMeta(spark, path)
     val what = s"bloom index at $path"
     def need[A](o: Option[A], field: String): A = o.getOrElse(
@@ -427,7 +430,10 @@ object BloomIndex {
                       removed: Option[(DataFrame, String)] = None,
                       maxFppFactor: Double = 4.0,
                       rebuildFpp: Option[Double] = None):
-      (Artifact, Boolean) = {
+      (Artifact, Boolean) = ArtifactLock.withWriteLock(path) {
+    // the lock spans the try-update AND the fallback rebuild: an
+    // interleaved writer between them could otherwise make the rebuild
+    // clobber state the other writer just published
     try (update(spark, path, added, addedIdCol, removed, maxFppFactor), false)
     catch {
       case _: SketchOutgrownException =>

@@ -43,7 +43,8 @@ object IvfIndex {
     * warm build is free) and persist it at `path`. Returns the
     * centroids. */
   def buildAndSave(corpus: DataFrame, idCol: String, vecCol: String,
-                   nCells: Int, kmeansIters: Int, path: String): Seq[Seq[Double]] = {
+                   nCells: Int, kmeansIters: Int, path: String): Seq[Seq[Double]] =
+      ArtifactLock.withWriteLock(path) {
     require(nCells > 0, "nCells must be positive")
     require(kmeansIters >= 0, "kmeansIters must be >= 0")
     val centroids =
@@ -77,28 +78,32 @@ object IvfIndex {
     * BIT-FOR-BIT — the parquet round-trip is IEEE-exact and both
     * paths normalize the seed the same way (also pinned). */
   def refine(spark: SparkSession, path: String, corpus: DataFrame,
-             vecCol: String, iters: Int): Seq[Seq[Double]] = {
+             vecCol: String, iters: Int): Seq[Seq[Double]] =
+      ArtifactLock.withWriteLock(path) {
     require(iters >= 0, "iters must be >= 0")
     val centroids = load(spark, path)
-    if (iters == 0) return centroids
-    val manifest = readManifest(spark, path)
-    val prevIters = manifest.get("kmeans_iters") match {
-      case Some(l: Long) if l >= 0 => l
-      case _ => 0L
+    if (iters == 0) centroids
+    else {
+      val manifest = readManifest(spark, path)
+      val prevIters = manifest.get("kmeans_iters") match {
+        case Some(l: Long) if l >= 0 => l
+        case _ => 0L
+      }
+      val nCells = manifest.get("n_cells") match {
+        case Some(l: Long) if l > 0 && l <= Int.MaxValue => l.toInt
+        case _ => centroids.length
+      }
+      val refined = Similarity.kmeansRefine(corpus, vecCol, centroids, iters)
+      save(spark, path, refined, nCells = nCells,
+        kmeansIters = (prevIters + iters).toInt)
+      refined
     }
-    val nCells = manifest.get("n_cells") match {
-      case Some(l: Long) if l > 0 && l <= Int.MaxValue => l.toInt
-      case _ => centroids.length
-    }
-    val refined = Similarity.kmeansRefine(corpus, vecCol, centroids, iters)
-    save(spark, path, refined, nCells = nCells,
-      kmeansIters = (prevIters + iters).toInt)
-    refined
   }
 
   /** Persist an already-built centroid list at `path` (overwrite). */
   def save(spark: SparkSession, path: String, centroids: Seq[Seq[Double]],
-           nCells: Int, kmeansIters: Int): Unit = {
+           nCells: Int, kmeansIters: Int): Unit =
+      ArtifactLock.withWriteLock(path) {
     require(centroids.nonEmpty, "centroids must be non-empty")
     require(centroids.map(_.length).distinct.size == 1,
       "centroids must share one dimensionality")

@@ -108,7 +108,8 @@ object MinHashIndex {
   def buildAndSave(corpus: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 64, shingleSize: Int = 3,
                    path: String, shardSpan: Long = 1L << 20,
-                   hashShards: Int = 1024): Artifact = {
+                   hashShards: Int = 1024): Artifact =
+      ArtifactLock.withWriteLock(path) {
     require(numHashes > 0, "numHashes must be positive")
     require(shingleSize > 0, "shingleSize must be positive")
     require(shardSpan > 0, "shardSpan must be positive")
@@ -359,7 +360,8 @@ object MinHashIndex {
     * loaded artifact untouched without writing anything. Artifacts
     * built before the per-row fp column must be rebuilt once. */
   def update(spark: SparkSession, path: String, cur: DataFrame,
-             idCol: String, textCol: String): Artifact = {
+             idCol: String, textCol: String): Artifact =
+      ArtifactLock.withWriteLock(path) {
     val art = load(spark, path)
     val what = s"minhash index at $path"
     if (!art.sigs.columns.contains("fp"))

@@ -116,19 +116,71 @@ object Sampling {
     * table. Weights may sum below 1; leftover rows get a null split
     * (deliberately unassigned). */
   def splitByHash(df: DataFrame, idCol: String,
-                  splits: Seq[(String, Double)]): DataFrame = {
+                  splits: Seq[(String, Double)]): DataFrame =
+    df.withColumn("split", splitCase(orderHash(col(idCol)), splits))
+
+  /** The split CASE chain shared by every split form: cumulative
+    * thresholds as exact integer literals in the plan (engines disagree
+    * on double→int cast rounding — same rule as fractionByHash) over an
+    * already-hashed key. Validates the weights. */
+  private def splitCase(h: Column, splits: Seq[(String, Double)]): Column = {
     require(splits.nonEmpty, "at least one split required")
     require(splits.forall(_._2 >= 0), "split weights must be >= 0")
     require(splits.map(_._2).sum <= 1.0 + 1e-9, "split weights must sum to <= 1")
-    // cumulative thresholds as exact integer literals in the plan (engines
-    // disagree on double→int cast rounding — same rule as fractionByHash)
     val bounds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
       .map(f => math.floor(P * math.min(f, 1.0)).toLong)
-    val h = orderHash(col(idCol))
-    val assigned = splits.zip(bounds).foldRight(lit(null).cast("string")) {
+    splits.zip(bounds).foldRight(lit(null).cast("string")) {
       case (((name, _), bound), els) => when(h < lit(bound), lit(name)).otherwise(els)
     }
-    df.withColumn("split", assigned)
+  }
+
+  /** LEAKAGE-FREE named splits over EXACT-duplicate classes: documents
+    * with identical normalized text always land in the SAME split, so a
+    * test set can never contain a verbatim copy of a training document —
+    * the contamination path a plain per-id split leaves open whenever the
+    * corpus carries duplicates (crawls always do). The class key is the
+    * md5 content fingerprint ([[graft.ops.TextOps.fingerprintMd5]], the
+    * exact-dedup key), the class REPRESENTATIVE is the minimum id (the
+    * row [[graft.ops.Dedup.exactByText]] keeps), and the split is
+    * [[splitByHash]]'s hash OF THE REPRESENTATIVE — so a document with no
+    * duplicates keeps exactly the label splitByHash gives it: turning
+    * leakage protection on re-labels ONLY duplicated documents, never
+    * churning the split of the unduplicated bulk. Null texts share one
+    * class (the exactByText convention).
+    *
+    * Plan shape: ONE exchange — the corpus hash-partitions by the
+    * fingerprint for the window min; the split label is then a map-side
+    * CASE. (A zero-shuffle variant would hash the fingerprint itself, but
+    * it loses the singleton-consistency property above and a portable
+    * numeric hash of hex text; one fingerprint exchange is the same cost
+    * class as the exact dedup this split guards.) */
+  def splitLeakFreeExact(df: DataFrame, idCol: String, textCol: String,
+                         splits: Seq[(String, Double)]): DataFrame = {
+    val fp = graft.ops.TextOps.fingerprintMd5(Dedup.exactCol(textCol))
+    val rep = min(Dedup.exactCol(idCol)).over(Window.partitionBy(fp))
+    df.withColumn("split", splitCase(orderHash(rep), splits))
+  }
+
+  /** LEAKAGE-FREE named splits over an EXPLICIT class relation
+    * `(id, cluster)` — [[graft.ops.Dedup.duplicateClusters]]' output
+    * shape, so ANY near-dup family's pair relation (shingle-Jaccard,
+    * MinHash, SimHash, embedding-cosine, or their weighted forms) can
+    * drive the split: the whole connected component hashes on its
+    * cluster label (the component's minimum id) and lands in one split.
+    * Rows absent from `clusters` are singletons and hash their own id —
+    * identical to [[splitByHash]], so protection re-labels only the
+    * paired minority. `clusters` holds only ids that appear in a pair
+    * (≪ corpus); the left join broadcasts when it is small and AQE picks
+    * the shuffled form past the threshold — either way the corpus side
+    * is touched once, map-side. */
+  def splitByClass(df: DataFrame, idCol: String, clusters: DataFrame,
+                   splits: Seq[(String, Double)]): DataFrame = {
+    val cls = clusters.select(col("id").as("__cls_id"),
+      col("cluster").as("__cls"))
+    df.join(cls, Dedup.exactCol(idCol) === col("__cls_id"), "left")
+      .withColumn("split",
+        splitCase(orderHash(coalesce(col("__cls"), Dedup.exactCol(idCol))), splits))
+      .drop("__cls_id", "__cls")
   }
 
   /** Keep ~`fraction` of rows, deterministically: hash(id) mod D < D·p.

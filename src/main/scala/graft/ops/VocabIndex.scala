@@ -120,7 +120,8 @@ object VocabIndex {
     Observed.long(m, key)
 
   def buildAndSave(corpus: DataFrame, textCol: String, k: Int,
-                   path: String, capacity: Option[Int] = None): Artifact = {
+                   path: String, capacity: Option[Int] = None): Artifact =
+      ArtifactLock.withWriteLock(path) {
     require(k > 0, "k must be positive")
     capacity.foreach(c => require(c > 0, "capacity must be positive"))
     val spark = corpus.sparkSession
@@ -246,7 +247,8 @@ object VocabIndex {
     * registry, every ingest stays removable); the active bound is
     * recorded in the manifest as `auto_compact_keep`. */
   def update(spark: SparkSession, path: String, added: DataFrame,
-             textCol: String, maxSlabs: Int = DefaultMaxSlabs): Artifact = {
+             textCol: String, maxSlabs: Int = DefaultMaxSlabs): Artifact =
+      ArtifactLock.withWriteLock(path) {
     require(maxSlabs >= 0, "maxSlabs must be >= 0 (0 disables auto-compaction)")
     val art = load(spark, path)
     val what = s"vocabulary at $path"
@@ -358,7 +360,8 @@ object VocabIndex {
     * victim's recorded contribution, so [[verifyContent]] against the
     * surviving corpus reads as fresh. Removing the last slab leaves a
     * legal empty vocabulary. */
-  def removeSlab(spark: SparkSession, path: String, slabId: Long): Artifact = {
+  def removeSlab(spark: SparkSession, path: String, slabId: Long): Artifact =
+      ArtifactLock.withWriteLock(path) {
     val art = load(spark, path)
     val what = s"vocabulary at $path"
     val cap = art.capacity.getOrElse(throw new IllegalArgumentException(
@@ -447,7 +450,8 @@ object VocabIndex {
     * artifact-bounded: the merge unions ≤ victims×(partitions×capacity)
     * rows, the truncation is the shared TakeOrdered, and the epoch
     * rewrite reads back ≤ max(capacity, k) rows. */
-  def compactSlabs(spark: SparkSession, path: String, keepLast: Int): Artifact = {
+  def compactSlabs(spark: SparkSession, path: String, keepLast: Int): Artifact =
+      ArtifactLock.withWriteLock(path) {
     require(keepLast >= 0, "keepLast must be >= 0")
     val art = load(spark, path)
     val what = s"vocabulary at $path"

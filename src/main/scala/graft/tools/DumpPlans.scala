@@ -73,7 +73,10 @@ object DumpPlans {
       ("x84_audit_pairs", "borderline audit queue — TakeOrderedAndProject over the pair relation (per-partition partial top-k, no global pair sort); both text attachments are broadcast joins of the k-row queue against the corpus scan"),
       ("x86_rate_anomaly", "event-rate anomaly — raw events collapse map-side to (window, type) counts, the ONLY corpus-sized exchange; the spine (span x types) generates in BOUNDED SLABS from a one-row broadcast (a slab-index explode exchanges on (type, slab), then per-slab sequences of ≤ 8192 windows — no task ever materializes a span-sized array, guard at 1B windows); the trailing-moments window runs over the bounded count relation partitioned by type, never raw events"),
       ("x87_budget_by_source", "per-source budget selection — the per-source crossing rows came back in ONE bounded collect at build (classification = the x82 range-shard prefix vectorized over the composite (source, priority DESC) key, so a source spans contiguous shards and every window is partitioned by source and/or shard; the rollup consumes ≤ nShards rows per source); both remaining branches join the tiny broadcast boundary map: fully-in rows map-only, boundary tie groups through per-(source, id-shard) windows with a per-source offset rollup; no (source, priority, id) global or per-source single-task sort anywhere"),
-      ("x90_dedup_weighted", "duplication-proof weighted near-dup pairing — the exact collapse is ONE map-side-combining fingerprint aggregate (a mass-duplicated document is one row per mapper before the shuffle); only REPRESENTATIVES enter the shingle/signature lineage and the single (band, bucket) exchange, so pair output is per near-dup RELATION, never per expanded copy; class multiplicities ride the banding payload struct — no post-hoc id join re-attaches them"))
+      ("x90_dedup_weighted", "duplication-proof weighted near-dup pairing — the exact collapse is ONE map-side-combining fingerprint aggregate (a mass-duplicated document is one row per mapper before the shuffle); only REPRESENTATIVES enter the shingle/signature lineage and the single (band, bucket) exchange, so pair output is per near-dup RELATION, never per expanded copy; class multiplicities ride the banding payload struct — no post-hoc id join re-attaches them"),
+      ("x92_simhash_weighted", "x90's weighting for the SimHash family — the same one-aggregate collapse, then representatives alone compute signatures and exchange on (segment, value); multiplicities in the payload struct, hamming verify over rep pairs only"),
+      ("x93_embcos_weighted", "weighted embedding-cosine near-dup — classes collapse on the VECTOR fingerprint in one map-side-combining aggregate; only representative vectors enter the LSH bucketing exchange; cosine verify + both class sizes on rep pairs"),
+      ("x95_split_leakfree", "leakage-free split — ONE exchange total: the corpus hash-partitions by the text fingerprint for the window-min representative; the split label is a map-side CASE over the rep hash, so the guard costs one shuffle and singletons keep the plain map-only split's label"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence for the scale-posture claims\n\n")

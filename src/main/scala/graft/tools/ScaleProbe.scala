@@ -156,6 +156,37 @@ object ScaleProbe {
         s.unpersist()
       }
 
+      // x95: the scaled corpus duplicates every text xR (disjoint ids),
+      // so the leakage-free split faces R-sized exact classes — (1) no
+      // class may straddle splits at scale, and (2) the class rep is the
+      // replica-0 (= base) min id, so every base document must keep its
+      // base-corpus label EXACTLY: scaling a corpus never moves a split
+      guarded("split_leakfree") {
+        val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+        val s = graft.ops.Sampling.splitLeakFreeExact(
+            sDocs, "doc_id", "text", splits)
+          .select(col("doc_id"), col("split")).persist()
+        timed("split_leakfree")(s.count())
+        val straddle = sDocs.select(col("doc_id"),
+            graft.ops.TextOps.fingerprintMd5(col("text")).as("__fp"))
+          .join(s, "doc_id")
+          .groupBy(col("__fp"))
+          .agg(countDistinct(col("split")).as("nsp"))
+          .filter(col("nsp") > 1).count()
+        val base = graft.ops.Sampling.splitLeakFreeExact(
+            bDocs, "doc_id", "text", splits)
+          .select(col("doc_id"), col("split").as("bsplit"))
+        val moved = s.join(base, "doc_id")
+          .filter(col("split") =!= col("bsplit")).count()
+        if (straddle != 0 || moved != 0) {
+          failures += 1
+          println(s"[probe] FAIL split_leakfree: $straddle straddling " +
+            s"classes, $moved base labels moved by scaling")
+        } else println("[probe] PASS split_leakfree: 0 straddling " +
+          "classes at scale; every base label unchanged")
+        s.unpersist()
+      }
+
       // x9: per-doc quality features are a pure function of the text, so
       // the scaled corpus's PROFILE MULTISET is exactly the base's xR —
       // grouped by all four metric columns (bit-identical doubles across

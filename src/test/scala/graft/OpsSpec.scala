@@ -1740,6 +1740,54 @@ class OpsSpec extends AnyFunSuite {
     assert(partial.filter(col("split").isNull).count() > 0)
   }
 
+  test("splitLeakFreeExact: classes never straddle, singletons keep splitByHash's label") {
+    val splits = Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25)
+    // 300 distinct texts; ids 1000-1299 duplicate them (whitespace/case
+    // variants normalize equal), id 2000 duplicates text 0 a second time
+    val base = (0L until 300L).map(i => (i, s"doc body $i"))
+    val dups = (0L until 300L).map(i => (i + 1000L, s"  DOC  body $i "))
+    val df = (base ++ dups :+ (2000L, "doc body 0")).toDF("id", "text")
+    val out = Sampling.splitLeakFreeExact(df, "id", "text", splits)
+    // every class is split-pure: a duplicate's label equals its base's
+    val byText = out.select(col("id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L until 300L).foreach { i =>
+      assert(byText(i + 1000L) == byText(i), s"class $i straddles")
+    }
+    assert(byText(2000L) == byText(0L))
+    // singletons (none here — make one) keep the plain hash label
+    val solo = Sampling.splitLeakFreeExact(
+      Seq((42L, "unique text")).toDF("id", "text"), "id", "text", splits)
+      .select("split").head().getString(0)
+    val plain = Sampling.splitByHash(
+      Seq((42L, "unique text")).toDF("id", "text"), "id", splits)
+      .select("split").head().getString(0)
+    assert(solo == plain)
+    // the class hashes on its MIN id: the class of (0, 1000, 2000) gets
+    // id 0's plain label
+    val plain0 = Sampling.splitByHash(df.filter(col("id") === 0L), "id", splits)
+      .select("split").head().getString(0)
+    assert(byText(0L) == plain0)
+  }
+
+  test("splitByClass: components share a split, unpaired ids keep the plain label") {
+    val splits = Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25)
+    val df = (0L until 100L).map(i => (i, i)).toDF("id", "v")
+    // one component {3, 7, 55}, labeled by its min id 3
+    val clusters = Seq((3L, 3L), (7L, 3L), (55L, 3L)).toDF("id", "cluster")
+    val out = Sampling.splitByClass(df, "id", clusters, splits)
+    val labels = out.select(col("id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val plain = Sampling.splitByHash(df, "id", splits)
+      .select(col("id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(labels(3L) == plain(3L) && labels(7L) == plain(3L) &&
+      labels(55L) == plain(3L))
+    (0L until 100L).filterNot(Set(3L, 7L, 55L)).foreach { i =>
+      assert(labels(i) == plain(i), s"unpaired $i re-labeled")
+    }
+  }
+
   test("topKByScore keeps k best per group with id tie-break") {
     val df = Seq((1L, "g1", 0.9), (2L, "g1", 0.9), (3L, "g1", 0.5),
                  (4L, "g2", 0.1)).toDF("id", "grp", "score")

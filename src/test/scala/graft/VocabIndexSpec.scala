@@ -381,4 +381,38 @@ class VocabIndexSpec extends AnyFunSuite {
     VocabIndex.verifyContent(spark, path,
       corpus.orderBy(col("doc_id").desc).repartition(3), "text")
   }
+
+  test("concurrent updates on one artifact path serialize: no delta is lost") {
+    // the server runs requests on a thread pool, so two maintenance calls
+    // can race on the same artifact's manifest read-modify-write cycle —
+    // ArtifactLock must serialize them so BOTH deltas land (an unlocked
+    // interleave loses one registry entry / doc count)
+    val path = tmpDir() + "/v"
+    VocabIndex.buildAndSave(corpus, "text", k = 5, path = path,
+      capacity = Some(64))
+    val deltas = (0 until 4).map { i =>
+      Seq((100L + i, s"word$i word$i common")).toDF("doc_id", "text")
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val fs = deltas.map(d => Future {
+      VocabIndex.update(spark, path, d, "text", maxSlabs = 0) })
+    Await.result(Future.sequence(fs), 120.seconds)
+    val art = VocabIndex.load(spark, path)
+    assert(art.nDocs.contains(5L + 4L),
+      s"lost update: n_docs=${art.nDocs}")
+    assert(art.slabs.exists(_.length == 5), // base slab + one per update
+      s"lost registry entry: ${art.slabs.map(_.length)}")
+    // content totals survived every interleave: with ample capacity the
+    // summary is exact, so each update's tokens carry their true counts
+    val counts = art.summary.get.filter(col("token").isNotNull)
+      .select("token", "lo").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    (0 until 4).foreach { i =>
+      assert(counts.get(s"word$i").contains(2L), s"word$i: ${counts.get(s"word$i")}")
+    }
+    assert(counts.get("common").contains(4L), s"common: ${counts.get("common")}")
+  }
 }

@@ -1736,6 +1736,32 @@ class XopSpec extends AnyFunSuite {
     }
   }
 
+  test("split xop with text is leakage-free: exact-dup classes share one split") {
+    import spark.implicits._
+    // two ids with byte-identical text + one whitespace variant: all
+    // three must land in ONE split (the class hashes on min id 1)
+    val d = Seq((1L, "same body"), (2L, "  same  body "), (3L, "same body"),
+      (4L, "another body")).toDF("id", "text")
+    val out = QueryEngine.run(d,
+      """{"xop": {"name": "split",
+                  "args": {"id": "id", "text": "text",
+                           "splits": [["train", 0.5], ["test", 0.5]]}},
+          "order_by": ["id"]}""", _ => None).df
+    val bySplit = out.select("id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(bySplit(2L) == bySplit(1L) && bySplit(3L) == bySplit(1L))
+    // the singleton keeps the id-hash label of the plain split form
+    val plain = QueryEngine.run(d,
+      """{"xop": {"name": "split",
+                  "args": {"id": "id",
+                           "splits": [["train", 0.5], ["test", 0.5]]}},
+          "order_by": ["id"]}""", _ => None).df
+      .select("id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(bySplit(4L) == plain(4L))
+    assert(bySplit(1L) == plain(1L)) // class rep 1 keeps its own label
+  }
+
   test("exclude_ids removes rows on a stored exclusion list") {
     val out = QueryEngine.run(docs,
       """{"xop": {"name": "exclude_ids",
