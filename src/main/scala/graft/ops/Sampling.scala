@@ -23,6 +23,24 @@ object Sampling {
   private def orderHash(id: Column): Column =
     pmod(pmod(id.cast("long"), lit(P)) * lit(2654435761L % P), lit(P))
 
+  /** Fail fast when a hash-keyed sampler gets a non-integral id column:
+    * [[orderHash]] embeds the id via cast("long"), so a string id would
+    * hash to NULL on every row — an all-null split / silently EMPTY
+    * sample instead of an error. Checked statically at every public
+    * entry that hashes an id (the numericColumn precedent at the xop
+    * layer, enforced here so Scala-API callers fail fast too). */
+  private def requireIntegralId(df: DataFrame, idCol: String,
+                                what: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.select(Dedup.exactCol(idCol)).schema.head.dataType
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"$what requires an integral id column (the deterministic hash " +
+          s"embeds it as int64); '$idCol' is ${other.simpleString}")
+    }
+  }
+
   /** Past this many weights entries, the mixture samplers stop compiling
     * the per-source lookup as a literal when/otherwise chain. Each chain
     * entry is one more CaseWhen branch — a 10k-source weights map would
@@ -86,6 +104,7 @@ object Sampling {
     * tasks) rows, not the corpus. */
   def stratifiedTopK(df: DataFrame, stratumCol: String, idCol: String,
                      k: Int): DataFrame = {
+    requireIntegralId(df, idCol, "stratifiedTopK")
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(orderHash(col(idCol)), col(idCol))
     df.withColumn("__rk", row_number().over(w))
@@ -116,8 +135,10 @@ object Sampling {
     * table. Weights may sum below 1; leftover rows get a null split
     * (deliberately unassigned). */
   def splitByHash(df: DataFrame, idCol: String,
-                  splits: Seq[(String, Double)]): DataFrame =
+                  splits: Seq[(String, Double)]): DataFrame = {
+    requireIntegralId(df, idCol, "splitByHash")
     df.withColumn("split", splitCase(orderHash(col(idCol)), splits))
+  }
 
   /** The split CASE chain shared by every split form: cumulative
     * thresholds as exact integer literals in the plan (engines disagree
@@ -156,6 +177,7 @@ object Sampling {
     * class as the exact dedup this split guards.) */
   def splitLeakFreeExact(df: DataFrame, idCol: String, textCol: String,
                          splits: Seq[(String, Double)]): DataFrame = {
+    requireIntegralId(df, idCol, "splitLeakFreeExact")
     val fp = graft.ops.TextOps.fingerprintMd5(Dedup.exactCol(textCol))
     val rep = min(Dedup.exactCol(idCol)).over(Window.partitionBy(fp))
     df.withColumn("split", splitCase(orderHash(rep), splits))
@@ -175,6 +197,8 @@ object Sampling {
     * is touched once, map-side. */
   def splitByClass(df: DataFrame, idCol: String, clusters: DataFrame,
                    splits: Seq[(String, Double)]): DataFrame = {
+    requireIntegralId(df, idCol, "splitByClass")
+    requireIntegralId(clusters, "cluster", "splitByClass (cluster labels)")
     val cls = clusters.select(col("id").as("__cls_id"),
       col("cluster").as("__cls"))
     df.join(cls, Dedup.exactCol(idCol) === col("__cls_id"), "left")
@@ -187,6 +211,7 @@ object Sampling {
     * Map-only — no shuffle, no RNG; the same row set survives any
     * re-partitioning or re-run. */
   def fractionByHash(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    requireIntegralId(df, idCol, "fractionByHash")
     require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
     // threshold computed driver-side so the boundary is one exact integer
     // literal in the plan (engines disagree on double→int cast rounding)
@@ -220,6 +245,7 @@ object Sampling {
                         tokensCol: Column, budget: Long,
                         shardSize: Long = 1000000L): DataFrame = {
     require(shardSize > 0, "shardSize must be positive")
+    requireIntegralId(df, idCol, "tokenBudgetByHash")
     val base = df
       .withColumn("__h", orderHash(col(idCol)))
       .withColumn("__shard", expr(s"__h div ${shardSize}L"))
@@ -262,6 +288,7 @@ object Sampling {
   def weightedByHash(df: DataFrame, idCol: String, weightCol: String,
                      k: Int): DataFrame = {
     require(k > 0, "k must be positive")
+    requireIntegralId(df, idCol, "weightedByHash")
     val u = (orderHash(col(idCol)) + lit(1L)).cast("double") /
       lit((P + 1).toDouble)
     val w = col(weightCol).cast("double")
@@ -277,6 +304,7 @@ object Sampling {
                     default: Double = 0.0): DataFrame = {
     require((weights.values ++ Seq(default)).forall(w => w >= 0 && w <= 1),
       "weights must be in [0,1]")
+    requireIntegralId(df, idCol, "mixtureByHash")
     withSourceParams(df, sourceCol, weights, default,
       Seq("__thr" -> (w => math.floor(P * w).toLong)))
       .filter(orderHash(col(idCol)) < col("__thr"))
@@ -307,6 +335,7 @@ object Sampling {
                           default: Double = 1.0): DataFrame = {
     require((weights.values ++ Seq(default)).forall(w => w >= 0 && w <= 1000),
       "weights must be in [0,1000]")
+    requireIntegralId(df, idCol, "mixtureEpochsByHash")
     // two per-source parameters (full copies; fractional-epoch
     // threshold), both resolved driver-side so every boundary is one
     // exact integer in the plan — the engine-portability rule every hash
@@ -604,6 +633,7 @@ object Sampling {
                    classifyShards: Int = 0): DataFrame = {
     require(budget >= 0, "budget must be >= 0")
     require(shardSize > 0, "shardSize must be positive")
+    requireIntegralId(df, idCol, "tokenBudgetByHash")
     val base = df
       .filter(col(idCol).isNotNull && col(priorityCol).isNotNull)
       .select(col(idCol), col(priorityCol),

@@ -1788,6 +1788,29 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hash samplers fail fast on non-integral id columns") {
+    // orderHash embeds the id via cast("long"): a string id hashes to
+    // NULL on every row — an all-null split / silently empty sample.
+    // Every hash-keyed entry must reject it statically instead.
+    val sdf = Seq(("a", "t1", "s1", 1.0)).toDF("id", "text", "src", "w")
+    val splits = Seq("train" -> 1.0)
+    def bad(f: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](f)
+      assert(e.getMessage.contains("integral id column"), e.getMessage)
+    }
+    bad(Sampling.splitByHash(sdf, "id", splits))
+    bad(Sampling.splitLeakFreeExact(sdf, "id", "text", splits))
+    bad(Sampling.splitByClass(sdf, "id",
+      Seq((1L, 1L)).toDF("id", "cluster"), splits))
+    bad(Sampling.splitByClass(Seq((1L, "x")).toDF("id", "text"), "id",
+      Seq((1L, "c")).toDF("id", "cluster"), splits)) // string cluster labels
+    bad(Sampling.fractionByHash(sdf, "id", 0.5))
+    bad(Sampling.stratifiedTopK(sdf, "src", "id", 1))
+    bad(Sampling.weightedByHash(sdf, "id", "w", 1))
+    bad(Sampling.mixtureByHash(sdf, "id", "src", Map("s1" -> 0.5)))
+    bad(Sampling.mixtureEpochsByHash(sdf, "id", "src", Map("s1" -> 1.5)))
+  }
+
   test("topKByScore keeps k best per group with id tie-break") {
     val df = Seq((1L, "g1", 0.9), (2L, "g1", 0.9), (3L, "g1", 0.5),
                  (4L, "g2", 0.1)).toDF("id", "grp", "score")
