@@ -132,6 +132,26 @@ object XopEngine {
     }
   }
 
+  /** Column that must be statically INTEGRAL — the hash samplers embed
+    * the id via cast("long"), where a string id hashes to NULL on every
+    * row; Sampling's own guard throws IllegalArgumentException (a 500
+    * over HTTP), so the xop layer pre-checks and 400s like every other
+    * statically-typed argument. */
+  private def integralIdColumn(df: DataFrame, args: Map[String, Any],
+                               key: String, op: String): String = {
+    val c = column(df, args, key, op)
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => c
+      case dt => Errors.malformed(
+        s"xop '$op': '$key' must be an integral id column " +
+          s"(the deterministic sample hash embeds it as int64)",
+        dt.simpleString)
+    }
+  }
+
   /** Column that must be a numeric array (an embedding). */
   private def vectorColumn(df: DataFrame, args: Map[String, Any], key: String,
                            op: String): String = {
@@ -737,7 +757,7 @@ object XopEngine {
       // deterministic ~fraction sample by id hash — map-only
       case "sample_fraction" =>
         knownArgs("id", "fraction")
-        Sampling.fractionByHash(df, column(df, args, "id", name), {
+        Sampling.fractionByHash(df, integralIdColumn(df, args, "id", name), {
           val f = doubleArg(args, "fraction", name)
           if (f < 0 || f > 1)
             Errors.malformed(s"xop '$name': fraction must be in [0,1]")
@@ -748,7 +768,7 @@ object XopEngine {
       case "sample_stratified" =>
         knownArgs("id", "strata", "k")
         Sampling.stratifiedTopK(df, column(df, args, "strata", name),
-          column(df, args, "id", name),
+          integralIdColumn(df, args, "id", name),
           intArg(args, "k", 100, name).toInt)
 
       // per-source mixture weights {"source": fraction, ...}
@@ -811,7 +831,7 @@ object XopEngine {
             args.get("default").map(_ => doubleArg(args, "default", name)).getOrElse(0.0)
           if ((weights.values ++ Seq(defaultW)).exists(w => w < 0 || w > 1000))
             Errors.malformed(s"xop '$name': weights must be in [0,1000]")
-          Sampling.mixtureEpochsByHash(df, column(df, args, "id", name),
+          Sampling.mixtureEpochsByHash(df, integralIdColumn(df, args, "id", name),
             column(df, args, "source", name), weights, defaultW)
         } else {
           val defaultW =
@@ -819,7 +839,7 @@ object XopEngine {
           if ((weights.values ++ Seq(defaultW)).exists(w => w < 0 || w > 1))
             Errors.malformed(s"xop '$name': weights must be in [0,1] " +
               "(pass \"epochs\": true for replicating weights above 1)")
-          Sampling.mixtureByHash(df, column(df, args, "id", name),
+          Sampling.mixtureByHash(df, integralIdColumn(df, args, "id", name),
             column(df, args, "source", name), weights, defaultW)
         }
 
@@ -1044,7 +1064,7 @@ object XopEngine {
         val budget = intArg(args, "budget", -1, name)
         if (budget <= 0)
           Errors.malformed(s"xop '$name': missing required argument 'budget'")
-        Sampling.tokenBudgetByHash(df, column(df, args, "id", name),
+        Sampling.tokenBudgetByHash(df, integralIdColumn(df, args, "id", name),
           column(df, args, "source", name),
           col(numericColumn(df, args, "tokens", name)), budget)
 
@@ -1369,7 +1389,7 @@ object XopEngine {
         knownArgs("id", "weight", "k")
         val k = intArg(args, "k", 100, name).toInt
         if (k <= 0) Errors.malformed(s"xop '$name': k must be positive")
-        Sampling.weightedByHash(df, column(df, args, "id", name),
+        Sampling.weightedByHash(df, integralIdColumn(df, args, "id", name),
           numericColumn(df, args, "weight", name), k)
 
       // keep the k best rows per group by a score column
@@ -1751,7 +1771,7 @@ object XopEngine {
         }
         if (splits.exists(_._2 < 0) || splits.map(_._2).sum > 1.0 + 1e-9)
           Errors.malformed(s"xop '$name': weights must be >= 0 and sum to <= 1")
-        val splitId = column(df, args, "id", name)
+        val splitId = integralIdColumn(df, args, "id", name)
         args.get("text") match {
           case Some(_) => Sampling.splitLeakFreeExact(df, splitId,
             column(df, args, "text", name), splits)

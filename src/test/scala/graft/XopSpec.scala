@@ -1762,6 +1762,24 @@ class XopSpec extends AnyFunSuite {
     assert(bySplit(1L) == plain(1L)) // class rep 1 keeps its own label
   }
 
+  test("hash-sampler xops 400 on a non-integral id (not a runtime 500)") {
+    import spark.implicits._
+    val d = Seq(("a", "t", 1.0)).toDF("sid", "text", "w")
+    def bad(q: String): Unit = {
+      val e = intercept[MalformedQueryException](
+        QueryEngine.run(d, q, _ => None))
+      assert(e.getMessage.contains("integral id column"), e.getMessage)
+    }
+    bad("""{"xop": {"name": "split",
+                    "args": {"id": "sid", "splits": [["train", 1.0]]}}}""")
+    bad("""{"xop": {"name": "sample_fraction",
+                    "args": {"id": "sid", "fraction": 0.5}}}""")
+    bad("""{"xop": {"name": "sample_stratified",
+                    "args": {"id": "sid", "strata": "text", "k": 1}}}""")
+    bad("""{"xop": {"name": "sample_weighted",
+                    "args": {"id": "sid", "weight": "w", "k": 1}}}""")
+  }
+
   test("exclude_ids removes rows on a stored exclusion list") {
     val out = QueryEngine.run(docs,
       """{"xop": {"name": "exclude_ids",
