@@ -586,6 +586,22 @@ object ScaleProbe {
       sRes.unpersist()
     }
 
+    // 5b. the auto-strategy skew verdict alone (cheap: one sampled scan
+    // + a two-level aggregate) — prints which strategy sessionizeBatch's
+    // auto tier takes on this corpus, with the measured numbers, so the
+    // billion-row strategy choice is pinned in the probe log
+    guarded("skewcheck") {
+      val ev = rawEvents(scaledDir)
+      val est = graft.ops.Similarity.approxRows(ev, rowBytes = 64L,
+        unknownAs = Long.MaxValue)
+      val t0 = System.nanoTime()
+      val uniform = EventStreams.measuredUniformKeys(ev, est)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] skewcheck: estRows=$est%,d verdict=" +
+        s"${if (uniform) "windowed" else "segmented"} " +
+        f"(measured in $dt%.1f s; layout tier not consulted here)")
+    }
+
     // 5. sessionize (gap 6h): session-profile multiset scales exactly.
     // The ONLY corpus-sized exchange in the probe set — runs last.
     guarded("sessionize")(checkExact("sessionize",
