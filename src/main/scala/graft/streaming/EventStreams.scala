@@ -610,18 +610,22 @@ object EventStreams {
     * the cross-strategy equality suites).
     *
     * Plan shape: TWO exchanges total — events by (user, granule) for
-    * the local pass, partials by user for the carry — and nothing
-    * after: the final (user, sid) merge's ClusteredDistribution is
-    * satisfied by the carry's HashPartitioning(user), so the merge
-    * aggregate runs on the carry window's own partitioning. The earlier
-    * granule-level carry (boundary aggregate → per-user window → join
-    * back → full (user, sid) exchange of the partials) paid two more
-    * partials-scale exchanges plus the join; the per-row carry is the
-    * same arithmetic with the join eliminated by ordering. Skew bound:
-    * sessions are gap-separated, so a granule holds ≤ ~width/gap + 1
-    * local sessions — the per-user carry partition is bounded by
-    * session count + granule count (time-span-shaped), never by the
-    * user's raw event count. */
+    * the local pass, partials by user for the carry — and NOTHING
+    * after: sessions stream straight out of the carry window (see the
+    * chain-emission comment in the body), so there is no terminal
+    * merge aggregate at all. The earlier granule-level carry (boundary
+    * aggregate → per-user window → join back → full (user, sid)
+    * exchange of the partials) paid two more partials-scale exchanges
+    * plus the join; the per-row carry is the same arithmetic with the
+    * join eliminated by ordering, and the chain emission replaces the
+    * result-sized (user, sid) hash aggregate with streaming prefix
+    * arithmetic over the already-sorted partition (1.28B events:
+    * 368.6 → 234.4 s end-to-end, ProfileSessionizeStages round 17;
+    * output pinned identical at ×12800 by ScaleProbe's forced-segmented
+    * invariant). Skew bound: sessions are gap-separated, so a granule
+    * holds ≤ ~width/gap + 1 local sessions — the per-user carry
+    * partition is bounded by session count + granule count
+    * (time-span-shaped), never by the user's raw event count. */
   private def segmentedSessions(events: DataFrame, gapSeconds: Long,
                                 width: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -650,16 +654,56 @@ object EventStreams {
     val continues = when(col("__lsid") === 1L && prevEnd.isNotNull &&
         col("__s_start").cast("long") - prevEnd.cast("long") <= gapSeconds, 1L)
       .otherwise(0L)
-    partials
+    // Sessions STREAM out of the carry window — no terminal aggregate.
+    // A session's partials are CONTIGUOUS in the carry order (a chain =
+    // one cont=0 row plus its cont=1 followers, each the lsid-1 head of
+    // a strictly later granule, so starts and ends are monotone within
+    // a chain). Running prefix sums therefore recover every per-session
+    // total as a difference against the prefix captured at the chain's
+    // start, and the chain's LAST row (the next row does not continue)
+    // emits the finished session: start from the chain-start marker,
+    // end from itself (monotone), counts/sums as prefix differences.
+    // The old groupBy(user, sid) built a hash state of one entry per
+    // SESSION — result-sized, 185.7 s of the 368.6 s wall at 1.28B
+    // (ProfileSessionizeStages) — where the chain emission is pure
+    // streaming work over the already-sorted carry partition: same two
+    // exchanges, zero aggregate. Exactness: counts are longs; values
+    // accumulate in decimal(38,6) so the prefix DIFFERENCE is exact at
+    // any user-history magnitude (a double prefix over a 100M-event
+    // user would lose the low bits the 4dp rounding needs; the x26/x86
+    // exact-decimal precedent), with a non-null running count
+    // reproducing sum()'s all-null → null semantics. The chain-start
+    // marker is struct-wrapped so a null-ts session's null bounds
+    // survive last(ignoreNulls) — struct(null) is non-null (the
+    // exactByText precedent).
+    val run = wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val vDec = col("__v").cast("decimal(38,6)")
+    val staged = partials
       .withColumn("__cont", continues)
-      .withColumn("__sid", sum(lit(1L) - col("__cont")).over(
-        wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("user_id"), col("__sid"))
-      .agg(min(col("__s_start")).as("session_start"),
-        max(col("__s_end")).as("session_end"),
-        sum(col("__n")).as("n_events"),
-        round(sum(col("__v")), 4).as("total_value"))
-      .drop("__sid")
+      .withColumn("__rn", sum(col("__n")).over(run))
+      .withColumn("__rv", sum(coalesce(vDec, lit(0).cast("decimal(38,6)"))).over(run))
+      .withColumn("__nv", sum(when(col("__v").isNotNull, 1L).otherwise(0L)).over(run))
+      .withColumn("__next_cont", lead(col("__cont"), 1).over(wUser))
+      // second window pass, same partitioning and sort (the exchange and
+      // sort are already satisfied — no new shuffle): capture the prefix
+      // state just BEFORE the current chain began
+      .withColumn("__base", last(
+        when(col("__cont") === 0L, struct(
+          col("__s_start").as("s"),
+          (col("__rn") - col("__n")).as("bn"),
+          (col("__rv") - coalesce(vDec, lit(0).cast("decimal(38,6)"))).as("bv"),
+          (col("__nv") - when(col("__v").isNotNull, 1L).otherwise(0L)).as("bnv"))),
+        ignoreNulls = true).over(run))
+    staged
+      .filter(coalesce(col("__next_cont"), lit(0L)) === 0L)
+      .select(col("user_id"),
+        col("__base").getField("s").as("session_start"),
+        col("__s_end").as("session_end"),
+        (col("__rn") - col("__base").getField("bn")).as("n_events"),
+        when(col("__nv") - col("__base").getField("bnv") === 0L,
+          lit(null).cast("double"))
+          .otherwise(round((col("__rv") - col("__base").getField("bv"))
+            .cast("double"), 4)).as("total_value"))
   }
 
   /** Largest representable horizon/gap in whole seconds when scaled to

@@ -610,6 +610,17 @@ object ScaleProbe {
         .groupBy("session_start", "session_end", "n_events")
         .agg(count(lit(1)).as("n"))))
 
+    // 5c. the SEGMENTED strategy forced (autoNative=false) — on a
+    // uniform corpus the auto tier takes the windowed form, so this
+    // variant is what actually exercises the carry's chain emission at
+    // the billion-row rung
+    guarded("sessionize_segmented")(checkExact("sessionize_segmented",
+      Seq("session_start", "session_end", "n_events"),
+      ev => EventStreams.sessionizeBatch(ev, gapSeconds = 21600,
+          autoNative = false)
+        .groupBy("session_start", "session_end", "n_events")
+        .agg(count(lit(1)).as("n"))))
+
     val tj = timings.map { case (k, v) => s""""$k":${f"$v%.1f"}""" }
       .mkString(",")
     println(s"""{"probe":"events_scale","scaled_dir":"$scaledDir",""" +
