@@ -147,7 +147,7 @@ object XopEngine {
            org.apache.spark.sql.types.LongType => c
       case dt => Errors.malformed(
         s"xop '$op': '$key' must be an integral id column " +
-          s"(the deterministic sample hash embeds it as int64)",
+          "(id-keyed hashing and sharding embed it as int64)",
         dt.simpleString)
     }
   }
@@ -1076,7 +1076,11 @@ object XopEngine {
       case "budget_select" =>
         knownArgs("id", "priority", "tokens", "budget", "source", "budgets",
           "default_budget")
-        val bsId = column(df, args, "id", name)
+        // integral like every other id-keyed sampler: budgetSelect
+        // id-div-shards the tie group, and its own guard throws
+        // IllegalArgumentException (a 500) — pre-check here so a bad id
+        // 400s like split/sample_fraction/token_budget do
+        val bsId = integralIdColumn(df, args, "id", name)
         val bsPrio = numericColumn(df, args, "priority", name)
         val bsTok = col(numericColumn(df, args, "tokens", name))
         if (args.contains("source") || args.contains("budgets") ||

@@ -30,14 +30,16 @@ object Sampling {
     * entry that hashes an id (the numericColumn precedent at the xop
     * layer, enforced here so Scala-API callers fail fast too). */
   private def requireIntegralId(df: DataFrame, idCol: String,
-                                what: String): Unit = {
+                                what: String,
+                                why: String = "the deterministic hash " +
+                                  "embeds it as int64"): Unit = {
     import org.apache.spark.sql.types._
     val dt = df.select(Dedup.exactCol(idCol)).schema.head.dataType
     dt match {
       case ByteType | ShortType | IntegerType | LongType => ()
       case other => throw new IllegalArgumentException(
-        s"$what requires an integral id column (the deterministic hash " +
-          s"embeds it as int64); '$idCol' is ${other.simpleString}")
+        s"$what requires an integral id column ($why); " +
+          s"'$idCol' is ${other.simpleString}")
     }
   }
 
@@ -199,6 +201,11 @@ object Sampling {
                    splits: Seq[(String, Double)]): DataFrame = {
     requireIntegralId(df, idCol, "splitByClass")
     requireIntegralId(clusters, "cluster", "splitByClass (cluster labels)")
+    // the join key too: a non-integral clusters.id would type-coerce the
+    // df.id === __cls_id comparison (long vs string promotes to double),
+    // silently mis-joining ids above 2^53 instead of failing fast
+    requireIntegralId(clusters, "id", "splitByClass (clusters id)",
+      "it equi-joins against the corpus id, which must compare exactly")
     val cls = clusters.select(col("id").as("__cls_id"),
       col("cluster").as("__cls"))
     df.join(cls, Dedup.exactCol(idCol) === col("__cls_id"), "left")
@@ -625,15 +632,17 @@ object Sampling {
     * kept-in-plan guard on the boundary group and treated as impossible
     * elsewhere (token counters are non-negative by construction).
     * Returns the selected rows as (idCol, priorityCol, tokens), ordered
-    * by id. `idCol` must be unique and numeric (it is both the
-    * tie-break and the shard key). */
+    * by id. `idCol` must be unique and integral (it is both the
+    * tie-break and the `id div shardSize` shard key, so it must divide
+    * exactly — a double id would truncate shard boundaries). */
   def budgetSelect(df: DataFrame, idCol: String, priorityCol: String,
                    tokensCol: Column, budget: Long,
                    shardSize: Long = 1000000L,
                    classifyShards: Int = 0): DataFrame = {
     require(budget >= 0, "budget must be >= 0")
     require(shardSize > 0, "shardSize must be positive")
-    requireIntegralId(df, idCol, "tokenBudgetByHash")
+    requireIntegralId(df, idCol, "budgetSelect",
+      "it is the tie-break and the id-div shard key, which must divide exactly")
     val base = df
       .filter(col(idCol).isNotNull && col(priorityCol).isNotNull)
       .select(col(idCol), col(priorityCol),
@@ -724,6 +733,8 @@ object Sampling {
     require((budgets.values ++ Seq(defaultBudget)).forall(_ <= (1L << 53)),
       "budgets must be <= 2^53")
     require(shardSize > 0, "shardSize must be positive")
+    requireIntegralId(df, idCol, "budgetSelectBySource",
+      "it is the tie-break and the id-div shard key, which must divide exactly")
     val base0 = df
       .filter(col(idCol).isNotNull && col(priorityCol).isNotNull)
       .select(col(idCol), col(sourceCol), col(priorityCol),

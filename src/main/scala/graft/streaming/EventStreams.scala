@@ -668,20 +668,31 @@ object EventStreams {
     // (ProfileSessionizeStages) — where the chain emission is pure
     // streaming work over the already-sorted carry partition: same two
     // exchanges, zero aggregate. Exactness: counts are longs; values
-    // accumulate in decimal(38,6) so the prefix DIFFERENCE is exact at
-    // any user-history magnitude (a double prefix over a 100M-event
-    // user would lose the low bits the 4dp rounding needs; the x26/x86
-    // exact-decimal precedent), with a non-null running count
-    // reproducing sum()'s all-null → null semantics. The chain-start
+    // accumulate in decimal(38,12) so the prefix DIFFERENCE carries no
+    // float cancellation at any user-history magnitude (a double prefix
+    // over a 100M-event user would lose the low bits the 4dp rounding
+    // needs; the x26/x86 exact-decimal precedent), with a non-null
+    // running count reproducing sum()'s all-null → null semantics.
+    // Cross-strategy equality contract: native/windowed sum raw doubles
+    // per session, so pre-rounding totals agree only up to each form's
+    // accumulation error — the decimal cast quantizes each per-granule
+    // partial at 12dp (≤5e-13/granule, so a session spanning G granules
+    // drifts ≤G·5e-13 from the double-sum total: below the 4dp rounding
+    // half-ulp of 5e-5 until G ~ 1e8 granules PER SESSION, i.e. a
+    // >3-year session at 1 s granules — scale 6 crossed that line at
+    // G ~ 100, a real data-dependent crack). Integer headroom is 26
+    // digits (1e26), far past any realistic per-user value sum; the
+    // row-identical assertion across all three strategies is on the
+    // ROUNDED 4dp surface, pinned by the ×12800 forced-segmented probe. The chain-start
     // marker is struct-wrapped so a null-ts session's null bounds
     // survive last(ignoreNulls) — struct(null) is non-null (the
     // exactByText precedent).
     val run = wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val vDec = col("__v").cast("decimal(38,6)")
+    val vDec = col("__v").cast("decimal(38,12)")
     val staged = partials
       .withColumn("__cont", continues)
       .withColumn("__rn", sum(col("__n")).over(run))
-      .withColumn("__rv", sum(coalesce(vDec, lit(0).cast("decimal(38,6)"))).over(run))
+      .withColumn("__rv", sum(coalesce(vDec, lit(0).cast("decimal(38,12)"))).over(run))
       .withColumn("__nv", sum(when(col("__v").isNotNull, 1L).otherwise(0L)).over(run))
       .withColumn("__next_cont", lead(col("__cont"), 1).over(wUser))
       // second window pass, same partitioning and sort (the exchange and
@@ -691,7 +702,7 @@ object EventStreams {
         when(col("__cont") === 0L, struct(
           col("__s_start").as("s"),
           (col("__rn") - col("__n")).as("bn"),
-          (col("__rv") - coalesce(vDec, lit(0).cast("decimal(38,6)"))).as("bv"),
+          (col("__rv") - coalesce(vDec, lit(0).cast("decimal(38,12)"))).as("bv"),
           (col("__nv") - when(col("__v").isNotNull, 1L).otherwise(0L)).as("bnv"))),
         ignoreNulls = true).over(run))
     staged

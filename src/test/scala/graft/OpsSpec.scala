@@ -1804,6 +1804,13 @@ class OpsSpec extends AnyFunSuite {
       Seq((1L, 1L)).toDF("id", "cluster"), splits))
     bad(Sampling.splitByClass(Seq((1L, "x")).toDF("id", "text"), "id",
       Seq((1L, "c")).toDF("id", "cluster"), splits)) // string cluster labels
+    bad(Sampling.splitByClass(Seq((1L, "x")).toDF("id", "text"), "id",
+      Seq(("1", 1L)).toDF("id", "cluster"), splits)) // string clusters JOIN id
+    // the budget selectors id-div shard rather than hash, but the same
+    // static guard applies (a string id would coerce the shard division)
+    bad(Sampling.budgetSelect(sdf, "id", "w", lit(1L), 10L))
+    bad(Sampling.budgetSelectBySource(sdf, "id", "src", "w", lit(1L),
+      Map("s1" -> 10L)))
     bad(Sampling.fractionByHash(sdf, "id", 0.5))
     bad(Sampling.stratifiedTopK(sdf, "src", "id", 1))
     bad(Sampling.weightedByHash(sdf, "id", "w", 1))

@@ -1778,6 +1778,9 @@ class XopSpec extends AnyFunSuite {
                     "args": {"id": "sid", "strata": "text", "k": 1}}}""")
     bad("""{"xop": {"name": "sample_weighted",
                     "args": {"id": "sid", "weight": "w", "k": 1}}}""")
+    bad("""{"xop": {"name": "budget_select",
+                    "args": {"id": "sid", "priority": "w", "tokens": "w",
+                             "budget": 10}}}""")
   }
 
   test("exclude_ids removes rows on a stored exclusion list") {
