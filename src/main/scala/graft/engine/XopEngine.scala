@@ -1406,7 +1406,7 @@ object XopEngine {
       // as-of join: latest right row at or before each left row's time,
       // per key; the right side is another stored dataset
       case "asof" =>
-        knownArgs("right", "key", "time", "payload", "granule")
+        knownArgs("right", "key", "time", "payload", "granule", "strategy")
         val rightDf = dataset("right")
         val key = column(df, args, "key", name)
         val time = column(df, args, "time", name)
@@ -1435,8 +1435,22 @@ object XopEngine {
             Errors.malformed(s"xop '$name': 'granule' must be a positive integer")
           w
         }
+        // the sessionize-style strategy override: "segmented" always
+        // segments, "window" pins the one-window carry (rejected with a
+        // granule — the two contradict), default "auto" = row gate +
+        // measured key-skew tier
+        val asofStrategy = args.get("strategy") match {
+          case None => "auto"
+          case Some(s: String) if Set("auto", "window", "segmented")(s) =>
+            if (s == "window" && asofGranule.nonEmpty)
+              Errors.malformed(
+                s"xop '$name': 'granule' contradicts strategy=window")
+            s
+          case Some(other) => Errors.malformed(
+            s"xop '$name': 'strategy' must be auto, window or segmented", other)
+        }
         graft.ops.Joins.asOfJoin(df.drop(RowId), rightDf.drop(RowId), key, time,
-          payload, asofGranule)
+          payload, asofGranule, asofStrategy)
 
       // incremental exact dedup: drop rows whose content fingerprint
       // already exists in a stored corpus dataset
@@ -1758,7 +1772,7 @@ object XopEngine {
       // classes: identical texts share one split (the class hashes on
       // its min-id representative; singletons keep the plain label)
       case "split" =>
-        knownArgs("id", "splits", "text")
+        knownArgs("id", "splits", "text", "clusters")
         val splits: Seq[(String, Double)] = args.get("splits") match {
           case Some(l: List[Any] @unchecked) if l.nonEmpty => l.map {
             case p: List[Any] @unchecked if p.length == 2 => (p(0), p(1)) match {
@@ -1776,10 +1790,30 @@ object XopEngine {
         if (splits.exists(_._2 < 0) || splits.map(_._2).sum > 1.0 + 1e-9)
           Errors.malformed(s"xop '$name': weights must be >= 0 and sum to <= 1")
         val splitId = integralIdColumn(df, args, "id", name)
-        args.get("text") match {
-          case Some(_) => Sampling.splitLeakFreeExact(df, splitId,
+        // leakage args compose: 'text' protects exact-duplicate classes
+        // (fingerprint collapse), 'clusters' protects an explicit
+        // (id, cluster) component relation (a stored dataset —
+        // dedup_clusters' output shape, incl. the WEIGHTED families'
+        // representative pairs); both together protect the full family
+        // (members collapse to their representative, representatives
+        // follow their component)
+        (args.get("text"), args.get("clusters")) match {
+          case (Some(_), Some(_)) =>
+            val cl = dataset("clusters")
+            for (c <- Seq("id", "cluster") if !ExprCompiler.hasColumn(cl, c))
+              Errors.malformed(
+                s"xop '$name': clusters dataset must have (id, cluster)", c)
+            Sampling.splitByClassExact(df, splitId,
+              column(df, args, "text", name), cl, splits)
+          case (Some(_), None) => Sampling.splitLeakFreeExact(df, splitId,
             column(df, args, "text", name), splits)
-          case None => Sampling.splitByHash(df, splitId, splits)
+          case (None, Some(_)) =>
+            val cl = dataset("clusters")
+            for (c <- Seq("id", "cluster") if !ExprCompiler.hasColumn(cl, c))
+              Errors.malformed(
+                s"xop '$name': clusters dataset must have (id, cluster)", c)
+            Sampling.splitByClass(df, splitId, cl, splits)
+          case (None, None) => Sampling.splitByHash(df, splitId, splits)
         }
 
       // exact id-exclusion against a stored list via a Bloom sketch +

@@ -17,6 +17,50 @@ object Joins {
     * An explicit granule always segments regardless of size. */
   private[graft] val SegmentedCarryMinRows: Long = 2L << 20
 
+  private lazy val skewLog = org.slf4j.LoggerFactory.getLogger("graft.skewmeasure")
+
+  /** MEASURED key-skew verdict shared by the segmented-carry auto
+    * strategies (batch sessionize's middle tier; the as-of join's tier
+    * between the row gate and the granule derivation). Samples
+    * ~`sampleTarget` rows content-deterministically (xxhash64 of
+    * (key, time) mod a stats-sized divisor — same rows on any
+    * partitioning, replay-stable) and measures the hottest key's row
+    * share. Returns true — the one-exchange windowed/one-window carry is
+    * safe — only when the sample is large enough to trust
+    * (max(65536, 100·shufflePartitions) rows, so a hot key at the
+    * decision boundary is sampled ~100+ times) AND the hottest key keeps
+    * its single reduce partition within ~2× an average partition's row
+    * load (share · shufflePartitions ≤ 2 — the straggler bound a per-key
+    * window partition is subject to). Unknown sizes, thin samples, and
+    * hot keys all fall back false: the skew-robust segmented carry stays
+    * the default in every unproven direction. Cost: one column-pruned
+    * scan and a map-combining (key → count) aggregate over ~0.1% of
+    * rows — paid only above the row gate, where choosing right is worth
+    * a 2-3× wall multiple. The verdict is logged with the measured
+    * numbers so the strategy choice is auditable. */
+  private[graft] def measuredUniformKeys(df: DataFrame, keyCol: String,
+      tsCol: String, estRows: Long, sampleTarget: Long = 1000000L,
+      minSampleOverride: Long = -1L, what: String = "asof"): Boolean = {
+    if (estRows == Long.MaxValue) return false // no stats — don't gamble
+    val spark = df.sparkSession
+    val p = math.max(1,
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    val mod = math.max(1L, estRows / math.max(1L, sampleTarget))
+    val minSample =
+      if (minSampleOverride > 0) minSampleOverride
+      else math.max(65536L, 100L * p)
+    val row = df
+      .filter(pmod(xxhash64(col(keyCol), col(tsCol)), lit(mod)) === 0)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+      .agg(coalesce(max(col("__c")), lit(0L)).as("mx"),
+        coalesce(sum(col("__c")), lit(0L)).as("n")).head()
+    val (mx, n) = (row.getLong(0), row.getLong(1))
+    val uniform = n >= minSample && mx * p <= 2L * n
+    skewLog.info(s"$what auto skew measure: sample=$n hottest=$mx " +
+      s"shufflePartitions=$p verdict=${if (uniform) "windowed" else "segmented"}")
+    uniform
+  }
+
   /** floor(t / width) in EXACT arithmetic, shared by every granule
     * bucketing (range join, as-of carry, batch sessionize). Subtracting
     * the non-negative pmod makes the numerator an exact multiple, so the
@@ -236,8 +280,22 @@ object Joins {
     *      strictly-preceding granules, per key. This window IS per-key,
     *      but over the granule-level relation — bounded at one row per
     *      key × granule regardless of how many events the key holds;
-    *   5. join the carry-in back on (key, granule) — a tiny relation,
-    *      AQE broadcasts it — and `coalesce(local, carryIn)`.
+    *   5. join the carry-in back on (key, granule) and
+    *      `coalesce(local, carryIn)` — AQE broadcasts the carry when it
+    *      is small.
+    *
+    * Regime note (measured, tools/ProfileAsofStages at 1.28B events):
+    * the boundary relation is granule-BOUNDED per key, so on SKEWED
+    * corpora — the regime this decomposition exists for — it is small.
+    * On provably-UNIFORM keys it approaches one row per input row
+    * (506M of 508M at the probe) and its aggregate re-exchanges the
+    * union (107 s of the segmented form's 284.6 s vs 103.5 s for the
+    * one-window carry, outputs fingerprint-identical) — which is why
+    * the auto strategy MEASURES key skew and keeps the one-window carry
+    * there. A sessionize-style per-row carry does not exist for as-of:
+    * session partials collapse (gap-bounded per granule) before the
+    * per-key pass, while every as-of left row is an output row — a
+    * per-key pass over per-row carries IS the one-window strategy.
     *
     * `granule` is a width in the time column's EMBEDDED units (see
     * [[Joins.timeEmbedding]]: integers in their own units, timestamps as
@@ -249,12 +307,21 @@ object Joins {
     * rows on one key — sorts in a single sub-second task, and the
     * segmentation overhead (a min/max pre-pass job, a granule-level
     * exchange, a broadcast join back) is the larger cost, so the plan
-    * keeps the one-window carry; above the gate the width is
-    * auto-derived from one column-pruned min/max pass over both sides,
-    * targeting ~4096 segments across the observed span (an eager job at
+    * keeps the one-window carry; above the gate a MEASURED key-skew
+    * tier decides (the sessionize auto playbook):
+    * [[Joins.measuredUniformKeys]] hash-samples the union and a
+    * provably-uniform key distribution keeps the cheaper one-window
+    * carry, while any measured hot key, thin sample, or missing stats
+    * segments, with the width auto-derived from parquet footer min/max
+    * or one column-pruned min/max pass over both sides, targeting
+    * ~4096 segments across the observed span (an eager job at
     * plan-build time — pass an explicit granule near the typical query
-    * horizon to skip it). At cluster scale the stats estimate is always
-    * far above the gate, so the 100-TB plan is the segmented one. Time
+    * horizon to skip it). `strategy` overrides the whole derivation in
+    * either direction: "segmented" always segments (auto width when no
+    * granule is given), "window" pins the one-window carry (for callers
+    * who know their key distribution). At cluster scale the stats
+    * estimate is always far above the gate, so the unproven-key 100-TB
+    * plan is the segmented one. Time
     * types with no integral order embedding (strings, wide decimals)
     * fall back to the single-window carry, which is correct but funnels
     * each key into one task — as-of semantics are inherently temporal,
@@ -270,9 +337,14 @@ object Joins {
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
                timeCol: String, payloadCols: Seq[String],
-               granule: Option[Long] = None): DataFrame = {
+               granule: Option[Long] = None,
+               strategy: String = "auto"): DataFrame = {
     require(payloadCols.nonEmpty, "asOfJoin needs at least one payload column")
     granule.foreach(w => require(w > 0, "asOfJoin granule must be positive"))
+    require(Set("auto", "window", "segmented")(strategy),
+      s"asOfJoin strategy must be auto, window or segmented: $strategy")
+    require(strategy != "window" || granule.isEmpty,
+      "asOfJoin: an explicit granule contradicts strategy=window")
     val leftRow = struct(left.columns.map(left(_)): _*)
     val payload = struct(payloadCols.map(right(_)): _*)
     val leftRowType = left.select(leftRow).schema.head.dataType
@@ -300,19 +372,35 @@ object Joins {
     val leftCols: Seq[Column] = left.columns.toSeq.map(c => col(s"__row.$c").as(c))
     val payloadOut: Seq[Column] = payloadCols.map(c => col(s"__carried.$c").as(c))
 
-    // explicit granule → segment; otherwise segment only past the row
+    // explicit granule or strategy=segmented → segment; strategy=window
+    // → one-window carry; otherwise (auto) segment only past the row
     // gate (rowBytes=64 deliberately overestimates rows from the byte
-    // stats, erring toward segmentation — the safe direction). The
-    // auto width derives from parquet FOOTER min/max when both sides'
-    // time columns trace to plain parquet leaf scans (metadata-only, no
-    // job); the eager min/max pre-pass is the fallback.
+    // stats, erring toward segmentation — the safe direction), and above
+    // the gate a MEASURED key-skew tier runs first (the sessionize
+    // playbook, r17): a content-deterministic hash sample bounds the
+    // hottest key's row share over the union, and a provably-uniform
+    // key distribution takes the one-window carry — it skips the
+    // boundary aggregate, the carry-in window, and the join back
+    // entirely, for one exchange total. Any measured hot key, thin
+    // sample, or missing stats keeps the skew-robust segmented default
+    // (the conservative direction in every unproven case); every path's
+    // output is pinned row-identical, so the tiers trade only wall
+    // time, never results. The auto width derives from parquet FOOTER
+    // min/max when both sides' time columns trace to plain parquet leaf
+    // scans (metadata-only, no job); the eager min/max pre-pass is the
+    // fallback.
     val effectiveGranule: Option[Long] = toLong match {
       case None => None
+      case Some(_) if strategy == "window" => None
+      case Some(fn) if strategy == "segmented" =>
+        granule.orElse(Some(autoGranuleFor(left, right, timeCol, u, fn)))
       case Some(fn) => granule.orElse {
-        if (Similarity.approxRows(u, rowBytes = 64L, unknownAs = Long.MaxValue) >=
-            Joins.SegmentedCarryMinRows)
-          Some(autoGranuleFor(left, right, timeCol, u, fn))
-        else None
+        val est = Similarity.approxRows(u, rowBytes = 64L,
+          unknownAs = Long.MaxValue)
+        if (est < Joins.SegmentedCarryMinRows) None
+        else if (Joins.measuredUniformKeys(u, "__k", "__t", est,
+            what = "asof")) None
+        else Some(autoGranuleFor(left, right, timeCol, u, fn))
       }
     }
 

@@ -197,6 +197,37 @@ object Sampling {
     * (≪ corpus); the left join broadcasts when it is small and AQE picks
     * the shuffled form past the threshold — either way the corpus side
     * is touched once, map-side. */
+  /** [[splitByClass]] composed with [[splitLeakFreeExact]]'s collapse —
+    * the split form for the WEIGHTED (collapse-first) near-dup
+    * pipelines, where the pair relation holds only exact-class
+    * REPRESENTATIVES: each document first collapses to its exact class's
+    * min-id representative by content fingerprint, the representative
+    * looks up its near-dup component in `clusters`
+    * (weighted pairs → [[graft.ops.Dedup.duplicateClusters]]), and every
+    * member hashes on coalesce(cluster(rep), rep). So the FULL family —
+    * exact copies AND near-dup links — lands in one split, while a
+    * document that is neither duplicated nor paired keeps exactly its
+    * plain [[splitByHash]] label (rep = own id, no cluster row). Plan:
+    * the one fingerprint exchange plus the broadcastable cluster join —
+    * the same cost class as the weighted collapse it rides behind. */
+  def splitByClassExact(df: DataFrame, idCol: String, textCol: String,
+                        clusters: DataFrame,
+                        splits: Seq[(String, Double)]): DataFrame = {
+    requireIntegralId(df, idCol, "splitByClassExact")
+    requireIntegralId(clusters, "cluster", "splitByClassExact (cluster labels)")
+    requireIntegralId(clusters, "id", "splitByClassExact (clusters id)",
+      "it equi-joins against the representative id, which must compare exactly")
+    val fp = graft.ops.TextOps.fingerprintMd5(Dedup.exactCol(textCol))
+    val rep = min(Dedup.exactCol(idCol)).over(Window.partitionBy(fp))
+    val cls = clusters.select(col("id").as("__cls_id"),
+      col("cluster").as("__cls"))
+    df.withColumn("__rep", rep)
+      .join(cls, col("__rep") === col("__cls_id"), "left")
+      .withColumn("split",
+        splitCase(orderHash(coalesce(col("__cls"), col("__rep"))), splits))
+      .drop("__cls_id", "__cls", "__rep")
+  }
+
   def splitByClass(df: DataFrame, idCol: String, clusters: DataFrame,
                    splits: Seq[(String, Double)]): DataFrame = {
     requireIntegralId(df, idCol, "splitByClass")

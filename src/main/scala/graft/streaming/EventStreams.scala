@@ -101,6 +101,16 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"))
+    scoreWindowCounts(counts, windowLength, trailing, zThreshold)
+  }
+
+  /** The spine-fill + trailing-z scoring stage of [[rateAnomaly]],
+    * factored over the (window_start, event_type, n_events) counts
+    * relation so the streaming twin can run the IDENTICAL arithmetic
+    * over its accumulated finalized-window counts — one scorer, two
+    * feeds, stream ≡ batch by construction. */
+  private def scoreWindowCounts(counts: DataFrame, windowLength: String,
+                                trailing: Int, zThreshold: Double): DataFrame = {
     val span = counts.agg(min(col("window_start")).as("__lo"),
       max(col("window_start")).as("__hi"))
     val types = counts.select(col("event_type")).distinct()
@@ -167,6 +177,83 @@ object EventStreams {
       .select(col("window_start"), col("event_type"), col("n_events"),
         col("trail_mean"), col("z"), col("anomaly"))
       .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** STREAMING twin of [[rateAnomaly]] — the monitoring op a pipeline
+    * most wants continuous, packaged like
+    * [[graft.ops.Dedup.dropNearDuplicatesAgainstIndexStream]] so the
+    * production loop needs no hand-rolled glue: the tumbling per-type
+    * counts run as a watermarked streaming aggregation (append mode —
+    * a window's count emits exactly once, when the watermark proves it
+    * final), and `foreachBatch` accumulates those finalized counts and
+    * runs the IDENTICAL [[scoreWindowCounts]] scorer over them, handing
+    * `sink` only the newly-scoreable rows (window_start past the
+    * previous epoch's horizon) with the epoch id. Because append mode
+    * emits a window only once every window at-or-before it is final
+    * (finality is global-watermark monotone), scoring the accumulated
+    * relation and slicing by the horizon reproduces the batch output
+    * row for row — including the empty-window SPINE rows for types
+    * silent in a finalized window (asserted on a shared fixture in
+    * StreamingSpec). The tail caveat every append-mode op shares: the
+    * last windows emit only once the watermark passes them.
+    *
+    * State posture: the accumulated counts relation is the readout's
+    * own size — (finalized windows × active types), never event-sized —
+    * held as a `localCheckpoint`ed DataFrame (materialized, lineage
+    * truncated each epoch so the union chain cannot deepen), with the
+    * superseded checkpoint unpersisted. Epoch replays (at-least-once
+    * foreachBatch) re-union their batch; the horizon slice keeps the
+    * sink's rows monotone regardless.
+    *
+    * Returns the un-started `DataStreamWriter`; the caller picks
+    * trigger/checkpoint and calls `.start()`. */
+  def rateAnomalyStream(events: DataFrame, windowLength: String = "1 minute",
+      trailing: Int = 5, zThreshold: Double = 3.0,
+      watermark: String = "2 minutes")(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(trailing >= 2, "trailing must be >= 2 (sample variance)")
+    require(zThreshold > 0 && !zThreshold.isNaN && !zThreshold.isInfinite,
+      "zThreshold must be a positive finite number")
+    require(windowLength.matches("\\d+ (second|minute|hour|day)s?"),
+      s"windowLength must look like '5 minutes', got '$windowLength'")
+    val counts = events
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+    // driver-held across epochs: the accumulated finalized counts and
+    // the scored horizon (max window already handed to the sink's feed)
+    var state: Option[DataFrame] = None
+    var horizon: Option[java.sql.Timestamp] = None
+    counts.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .foreachBatch { (b: DataFrame, epoch: Long) =>
+        val merged = state match {
+          case None    => b.localCheckpoint()
+          case Some(s) => s.union(b).localCheckpoint()
+        }
+        val newMax = merged.agg(max(col("window_start"))).head() match {
+          case r if r.isNullAt(0) => None
+          case r                  => Some(r.getTimestamp(0))
+        }
+        // nothing finalized yet (the first epochs, before the watermark
+        // passes any window): the scorer has no span to fill — the sink
+        // simply isn't called this epoch
+        if (newMax.isDefined && newMax != horizon) {
+          val scored = scoreWindowCounts(merged, windowLength, trailing,
+            zThreshold)
+          val fresh = horizon match {
+            case Some(h) => scored.filter(col("window_start") > lit(h))
+            case None    => scored
+          }
+          sink(fresh, epoch)
+        }
+        state.foreach(_.unpersist())
+        state = Some(merged)
+        horizon = newMax.orElse(horizon)
+      }
   }
 
   /** Gap-based sessionization with explicit state: a user's events belong
@@ -460,46 +547,16 @@ object EventStreams {
       .drop("__sid")
   }
 
-  private lazy val sessLog = org.slf4j.LoggerFactory.getLogger("graft.sessionize")
-
   /** MEASURED session-key skew verdict — [[sessionizeBatch]]'s auto tier
-    * between the footer layout gate and the segmented default. Samples
-    * ~1M events content-deterministically (xxhash64 of (user_id, ts) mod
-    * a stats-sized divisor — same rows on any partitioning, replay-
-    * stable) and measures the hottest user_id's share of events. Returns
-    * true — take the one-exchange windowed strategy — only when the
-    * sample is large enough to trust (max(65536, 100·shufflePartitions)
-    * rows, so a hot key at the decision boundary is sampled ~100+ times)
-    * AND the hottest key keeps its single reduce partition within ~2× an
-    * average partition's event load (share · shufflePartitions ≤ 2 — the
-    * straggler bound the windowed form's per-user funnel is subject to).
-    * Unknown sizes, thin samples, and hot keys all fall back false: the
-    * segmented carry stays the default in every unproven direction.
-    * Cost: one column-pruned scan and a map-combining (user → count)
-    * aggregate over ~0.1% of rows — paid only above the row gate, where
-    * choosing right is worth a 2-3× wall multiple. The verdict is logged
-    * with the measured numbers so the strategy choice is auditable. */
+    * between the footer layout gate and the segmented default. The
+    * machinery (content-deterministic hash sample, hottest-key share vs
+    * partition count, conservative fallbacks) is the shared
+    * [[graft.ops.Joins.measuredUniformKeys]], which the as-of join's
+    * auto tier also uses; this delegate pins the session key columns. */
   private[graft] def measuredUniformKeys(ev: DataFrame, estRows: Long,
-      sampleTarget: Long = 1000000L, minSampleOverride: Long = -1L): Boolean = {
-    if (estRows == Long.MaxValue) return false // no stats — don't gamble
-    val spark = ev.sparkSession
-    val p = math.max(1,
-      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
-    val mod = math.max(1L, estRows / math.max(1L, sampleTarget))
-    val minSample =
-      if (minSampleOverride > 0) minSampleOverride
-      else math.max(65536L, 100L * p)
-    val row = ev
-      .filter(pmod(xxhash64(col("user_id"), col("ts")), lit(mod)) === 0)
-      .groupBy(col("user_id")).agg(count(lit(1)).as("__c"))
-      .agg(coalesce(max(col("__c")), lit(0L)).as("mx"),
-        coalesce(sum(col("__c")), lit(0L)).as("n")).head()
-    val (mx, n) = (row.getLong(0), row.getLong(1))
-    val uniform = n >= minSample && mx * p <= 2L * n
-    sessLog.info(s"sessionize auto skew measure: sample=$n hottest=$mx " +
-      s"shufflePartitions=$p verdict=${if (uniform) "windowed" else "segmented"}")
-    uniform
-  }
+      sampleTarget: Long = 1000000L, minSampleOverride: Long = -1L): Boolean =
+    graft.ops.Joins.measuredUniformKeys(ev, "user_id", "ts", estRows,
+      sampleTarget, minSampleOverride, what = "sessionize")
 
   /** TRUE when the parquet layout behind `df`'s `ts` column is PROVABLY
     * time-clustered: at least 8 row groups of footer evidence whose
@@ -1052,18 +1109,24 @@ object EventStreams {
     * negative-epoch-safe floor the long-nanos branch lesson demands.
     * Rows with a null user or null ts drop out (no cohort to belong to).
     *
-    * Shape at scale: the activity branch collapses to DISTINCT
-    * (user, period) map-side before its one exchange — a user's
-    * thousandth click of the day costs one row per mapper, not a
-    * shuffled row. The cohort side is written as min over that
-    * collapsed relation, and the optimizer rightly COLLAPSES
-    * min-over-distinct into a direct per-user min over the raw log
-    * (min is dedup-insensitive), so each branch is one map-combining
-    * aggregation with a user-bounded exchange; the cohort relation is
-    * user-count-sized and broadcast back (AQE), and the
-    * (cohort, offset) cells partial-combine as count(*) — never a
-    * COUNT(DISTINCT user) re-shuffle, because activity is already
-    * distinct. No exchange anywhere carries raw event rows. */
+    * Shape at scale — ONE user-keyed aggregation in bounded state: a
+    * user's whole retention contribution when `maxOffset` ≤ 62 is
+    * (min period, bitmask of offsets 0..maxOffset from it), which
+    * [[graft.functions.RetentionMaskExpr]] folds associatively in two
+    * fixed-width buffer slots — HashAggregate with full map-side
+    * partial combine and whole-stage codegen, so the operator's single
+    * exchange carries one 16-byte state row per (mapper, user) and
+    * NOTHING downstream is corpus-sized: the mask explodes to at most
+    * maxOffset+1 (cohort, offset) rows per user, and the cell counts
+    * partial-combine. The previous shape (DISTINCT (user, period) +
+    * min-over-distinct + user join) shuffled the full pair relation —
+    * 513M pairs at 1.28B events, measured 152-163 s
+    * (tools/ProfileRetentionStages) against ~40 s for this form — and
+    * scanned the log twice. maxOffset > 62 (beyond one mask word)
+    * falls back to that pair shape, window-based: distinct, then
+    * cohort = min over a user-partitioned window on the already-small
+    * pair relation (bounded per-user partitions: a user holds at most
+    * span/periodSeconds distinct periods), then the cell aggregate. */
   def retention(events: DataFrame, periodSeconds: Long, maxOffset: Int,
                 userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
     require(periodSeconds > 0, "periodSeconds must be positive")
@@ -1071,14 +1134,35 @@ object EventStreams {
     val epoch = unix_seconds(col(tsCol).cast("timestamp"))
     val adj = epoch - pmod(epoch, lit(periodSeconds))
     val period = (adj / lit(periodSeconds)).cast("long")
-    val activity = events
-      .select(col(userCol).as("user"), period.as("period")).distinct()
-    val cohorts = activity.groupBy("user").agg(min("period").as("cohort"))
-    activity.join(cohorts, "user")
-      .withColumn("offset", col("period") - col("cohort"))
-      .filter(col("offset") <= maxOffset)
-      .groupBy("cohort", "offset")
-      .agg(count(lit(1)).as("n_users"))
+    // null user / null ts rows have no cohort to belong to: the pair
+    // shape drops them through its null-rejecting equi-join; the mask
+    // shape must drop them explicitly (a user-partitioned aggregate
+    // would otherwise cohort the null user)
+    val base = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("user"), period.as("period"))
+    if (maxOffset <= 62) {
+      base
+        .groupBy("user")
+        .agg(graft.functions.RetentionMaskExpr
+          .column(col("period"), maxOffset).as("__rm"))
+        .select(col("__rm.cohort").as("cohort"),
+          explode(expr(
+            s"filter(sequence(0L, ${maxOffset}L), " +
+              "d -> (shiftright(__rm.mask, cast(d AS int)) & 1) = 1)"))
+            .as("offset"))
+        .groupBy("cohort", "offset")
+        .agg(count(lit(1)).as("n_users"))
+    } else {
+      import org.apache.spark.sql.expressions.Window
+      base.distinct()
+        .withColumn("cohort",
+          min(col("period")).over(Window.partitionBy(col("user"))))
+        .withColumn("offset", col("period") - col("cohort"))
+        .filter(col("offset") <= maxOffset)
+        .groupBy("cohort", "offset")
+        .agg(count(lit(1)).as("n_users"))
+    }
   }
 
   /** Semi-structured property extraction + per-type rollup: parse the

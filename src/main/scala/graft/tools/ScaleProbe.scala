@@ -346,6 +346,115 @@ object ScaleProbe {
         } else println(s"[probe] PASS budget_prefix: ${st.getLong(2)} docs, " +
           s"$tot of $budget tokens, exact prefix + maximality verified")
       }
+
+      // ---------- search/LM family (VERDICT r17 item 3: the family's
+      // first beyond-sf10 evidence). Exact-replication facts: per-doc tf
+      // and dl are pure text functions (unchanged per replica); df and N
+      // both scale xR; unigram/bigram probabilities are COUNT RATIOS, so
+      // cnt_s/tot_s = (R·cnt_b)/(R·tot_b) is the identical exact
+      // rational and IEEE's correctly-rounded division returns the
+      // bit-identical double — per-doc NLL profiles must scale as exact
+      // multisets. BM25's idf, by contrast, is NOT exactly R-invariant
+      // ((N−df+0.5)/(df+0.5) — the +0.5 shifts), so the bm25 probes pin
+      // the in-corpus exactness that IS guaranteed: stats xR, one score
+      // per replica class, complete xR class blocks in the top-k. ----
+      val baseMaxId = bDocs.agg(max(col("doc_id"))).head().getLong(0)
+      val idOffset = baseMaxId + 1
+
+      // x38 feed stats: per-query-term document frequency, N, Σdl — the
+      // exact integers bm25's score derives from — all exactly xR
+      guarded("search_df_stats") {
+        val terms = Seq("hash", "join", "filter")
+        def stats(df: DataFrame) = {
+          val aggs = count(lit(1)).as("n") +: sum(size(col("__t"))).as("sumdl") +:
+            terms.map(t => sum(array_contains(col("__t"), t).cast("long"))
+              .as(s"df_$t"))
+          df.select(graft.ops.TextOps.tokens(col("text")).as("__t"))
+            .agg(aggs.head, aggs.tail: _*)
+        }
+        val b = stats(bDocs).head()
+        val s = timed("search_df_stats")(stats(sDocs).head())
+        val bad = (0 until b.length).filter(i =>
+          s.getLong(i) != b.getLong(i) * rDocs)
+        if (bad.nonEmpty) {
+          failures += 1
+          println(s"[probe] FAIL search_df_stats: fields $bad violate xR " +
+            s"(base=$b scaled=$s)")
+        } else println(s"[probe] PASS search_df_stats: N, sumdl, " +
+          s"df(${terms.mkString(",")}) all exactly x$rDocs")
+      }
+
+      // x38 ranking at 5M docs: the scaled top-(k·R) must decompose into
+      // complete xR replica blocks of score-pure classes (one distinct
+      // 4dp score per base class; every class strictly above the
+      // boundary score complete; deterministic (score desc, id)
+      // tie-break fills exactly k·R rows)
+      guarded("search_bm25_topk") {
+        val k = 20
+        val sTop = timed("search_bm25_topk")(
+          graft.ops.Search.bm25(sDocs, "doc_id", "text", "hash join filter",
+            k * rDocs.toInt).persist())
+        val total = sTop.count()
+        val classes = sTop
+          .withColumn("__base", pmod(col("doc_id"), lit(idOffset)))
+          .groupBy("__base")
+          .agg(countDistinct(col("score")).as("nsc"), count(lit(1)).as("n"),
+            max(col("score")).as("sc"))
+          .persist()
+        val impure = classes.filter(col("nsc") =!= 1).count()
+        val minSc = sTop.agg(min(col("score"))).head().getDouble(0)
+        val incomplete = classes
+          .filter(col("sc") > minSc && col("n") =!= rDocs).count()
+        classes.unpersist(); sTop.unpersist()
+        if (total != k * rDocs || impure != 0 || incomplete != 0) {
+          failures += 1
+          println(s"[probe] FAIL search_bm25_topk: rows=$total " +
+            s"(want ${k * rDocs}), $impure impure classes, " +
+            s"$incomplete incomplete above-boundary classes")
+        } else println(s"[probe] PASS search_bm25_topk: ${k * rDocs} rows, " +
+          s"every class score-pure, above-boundary classes complete x$rDocs")
+      }
+
+      // x46: per-doc unigram NLL profile multiset exactly xR (bit-equal
+      // doubles — the count-ratio argument above)
+      guarded("search_unigram_nll") {
+        def agg(df: DataFrame) = graft.ops.Search
+          .unigramNll(df, "doc_id", "text")
+          .groupBy("n_tokens", "nll").agg(count(lit(1)).as("n"))
+        val a = agg(bDocs).withColumnRenamed("n", "n_b")
+        val s = agg(sDocs).withColumnRenamed("n", "n_s").persist()
+        timed("search_unigram_nll")(s.count())
+        val bad = a.join(s, Seq("n_tokens", "nll"), "full_outer")
+          .filter(col("n_b").isNull || col("n_s").isNull ||
+            col("n_s") =!= col("n_b") * rDocs).count()
+        if (bad != 0) {
+          failures += 1
+          println(s"[probe] FAIL search_unigram_nll: $bad profiles violate xR")
+        } else println(s"[probe] PASS search_unigram_nll: " +
+          s"${a.count()} profiles, bit-identical doubles, exactly x$rDocs")
+        s.unpersist()
+      }
+
+      // x53: per-doc bigram surprisal — same exact-ratio argument for
+      // c(prev,cur)/c(prev); the sf10 replay's DuckDB-OOM ceiling does
+      // not bind the invariant harness
+      guarded("search_bigram_nll") {
+        def agg(df: DataFrame) = graft.ops.Search
+          .bigramNll(df, "doc_id", "text")
+          .groupBy("n_bigrams", "nll").agg(count(lit(1)).as("n"))
+        val a = agg(bDocs).withColumnRenamed("n", "n_b")
+        val s = agg(sDocs).withColumnRenamed("n", "n_s").persist()
+        timed("search_bigram_nll")(s.count())
+        val bad = a.join(s, Seq("n_bigrams", "nll"), "full_outer")
+          .filter(col("n_b").isNull || col("n_s").isNull ||
+            col("n_s") =!= col("n_b") * rDocs).count()
+        if (bad != 0) {
+          failures += 1
+          println(s"[probe] FAIL search_bigram_nll: $bad profiles violate xR")
+        } else println(s"[probe] PASS search_bigram_nll: " +
+          s"${a.count()} profiles, bit-identical doubles, exactly x$rDocs")
+        s.unpersist()
+      }
     }
 
     // ---------- embeddings family (replicas are disjoint vec_id

@@ -681,6 +681,52 @@ class OpsSpec extends AnyFunSuite {
     )
   }
 
+  test("retention mask form equals the pair-relation reference on random fixtures") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    // the DISTINCT (user, period) + min-over-pairs + join reference —
+    // the pre-mask shape, kept here as the semantic oracle
+    def pairForm(ev: DataFrame, periodSeconds: Long, maxOffset: Int) = {
+      val epoch = unix_seconds(col("ts").cast("timestamp"))
+      val period = ((epoch - pmod(epoch, lit(periodSeconds))) /
+        lit(periodSeconds)).cast("long")
+      val activity = ev.select(col("user_id").as("user"),
+        period.as("period")).distinct()
+      val cohorts = activity.groupBy("user").agg(min("period").as("cohort"))
+      activity.join(cohorts, "user")
+        .withColumn("offset", col("period") - col("cohort"))
+        .filter(col("offset") <= maxOffset)
+        .groupBy("cohort", "offset").agg(count(lit(1)).as("n_users"))
+    }
+    def cells(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rnd = new scala.util.Random(20260816L)
+    (1 to 12).foreach { round =>
+      val period = 1L + rnd.nextInt(5)
+      val maxOff = rnd.nextInt(63) // 0..62, incl. the mask-word boundary
+      val nUsers = 1 + rnd.nextInt(6)
+      // epoch seconds can be PRE-1970 (negative) — the floor arithmetic
+      // and the mask shifts must agree with the reference there too
+      val rows = (1 to 50 + rnd.nextInt(100)).map { i =>
+        (i.toLong,
+          new java.sql.Timestamp((rnd.nextInt(400) - 120) * 1000L),
+          rnd.nextInt(nUsers).toLong)
+      }
+      val ev = rows.toDF("event_id", "ts", "user_id")
+        .repartition(5) // fold under real partial/merge boundaries
+      val got = cells(graft.streaming.EventStreams.retention(ev, period, maxOff))
+      val want = cells(pairForm(ev, period, maxOff))
+      assert(got == want, s"round $round period=$period maxOff=$maxOff")
+    }
+    // maxOffset past the mask word: the fallback pair shape must engage
+    // and agree too
+    val ev = (1 to 60).map(i => (i.toLong,
+      new java.sql.Timestamp(i * 90000L * 1000L), (i % 3).toLong))
+      .toDF("event_id", "ts", "user_id")
+    assert(cells(graft.streaming.EventStreams.retention(ev, 86400L, 80)) ==
+      cells(pairForm(ev, 86400L, 80)))
+  }
+
   test("mixtureEpochsByHash: ⌊w⌋ full copies + hash-fraction epoch, consistent with mixtureByHash") {
     import spark.implicits._
     val df = (0L until 400L).map(i => (i, if (i % 2 == 0) "a" else "b"))

@@ -331,25 +331,77 @@ class SkewSpec extends AnyFunSuite {
       estRows = 400, sampleTarget = Long.MaxValue, minSampleOverride = 1))
   }
 
-  test("asOfJoin: auto path segments once the row estimate clears the gate") {
+  test("asOfJoin: above the gate the MEASURED skew tier picks the strategy") {
     // spark.range advertises 8 bytes/row, so 40M rows estimate ~2.4M rows
     // at the gate's 64-byte divisor — past SegmentedCarryMinRows. Only
-    // the plan is inspected (plus autoGranule's min/max pre-pass job);
-    // the carry itself never executes.
+    // the plan is inspected (plus the skew-measure sample job and, on
+    // the segmented side, autoGranule's min/max pre-pass); the carry
+    // itself never executes.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LW}
+    def bareKeyWindows(got: org.apache.spark.sql.DataFrame): Seq[LW] =
+      got.queryExecution.optimizedPlan.collect { case w: LW => w }
+        .filter(_.partitionSpec.flatMap(_.references.map(_.name)).toSet.size <= 1)
+    // uniform keys (all distinct): the measured tier must pick the
+    // one-window carry — a bare-key window with NO aggregate below it
     val big = spark.range(40L * 1000 * 1000)
       .select(col("id").as("k"), (col("id") * 7).as("t"), col("id").as("pay"))
-    val got = Joins.asOfJoin(big.select("k", "t"),
+    val uniformPlan = Joins.asOfJoin(big.select("k", "t"),
       big.select(col("k"), col("t"), col("pay")), "k", "t", Seq("pay"))
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LW}
-    val windows = got.queryExecution.optimizedPlan.collect { case w: LW => w }
-    assert(windows.nonEmpty)
-    windows.foreach { w =>
-      val keys = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
-      if (keys.size <= 1)
-        assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
-          s"past the gate, a bare-key window (keys=$keys) must sit above " +
-            "the bounded boundary aggregate")
+    val uw = bareKeyWindows(uniformPlan)
+    assert(uw.nonEmpty)
+    uw.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.isEmpty,
+        "measured-uniform keys above the gate must take the one-window carry")
     }
+    // 80%-hot key: the measure must keep the segmented carry — every
+    // bare-key window sits above the boundary aggregate
+    val hot = spark.range(40L * 1000 * 1000)
+      .select(when(col("id") % 10 < 8, 0L).otherwise(col("id")).as("k"),
+        (col("id") * 7).as("t"), col("id").as("pay"))
+    val hotPlan = Joins.asOfJoin(hot.select("k", "t"),
+      hot.select(col("k"), col("t"), col("pay")), "k", "t", Seq("pay"))
+    val hw = bareKeyWindows(hotPlan)
+    assert(hw.nonEmpty)
+    hw.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+        "a measured hot key must keep the segmented carry")
+    }
+    // explicit strategy pins either direction regardless of the measure
+    val forcedSeg = Joins.asOfJoin(big.select("k", "t"),
+      big.select(col("k"), col("t"), col("pay")), "k", "t", Seq("pay"),
+      strategy = "segmented")
+    assert(bareKeyWindows(forcedSeg).forall(
+      _.child.collectFirst { case a: Aggregate => a }.nonEmpty))
+    val forcedWin = Joins.asOfJoin(hot.select("k", "t"),
+      hot.select(col("k"), col("t"), col("pay")), "k", "t", Seq("pay"),
+      strategy = "window")
+    assert(bareKeyWindows(forcedWin).forall(
+      _.child.collectFirst { case a: Aggregate => a }.isEmpty))
+    // a window strategy with an explicit granule is a contract error
+    intercept[IllegalArgumentException] {
+      Joins.asOfJoin(big.select("k", "t"),
+        big.select(col("k"), col("t"), col("pay")), "k", "t", Seq("pay"),
+        granule = Some(100L), strategy = "window")
+    }
+  }
+
+  test("asOfJoin: strategy choice never changes the result (hot fixture)") {
+    import spark.implicits._
+    // 80%-hot key fixture small enough to execute all three ways
+    val lRows = (1 to 300).map(i =>
+      (if (i % 10 < 8) 0L else i.toLong, (i * 3 % 97).toLong, i.toLong))
+    val rRows = (1 to 200).map(i =>
+      (if (i % 10 < 8) 0L else i.toLong, (i * 7 % 97).toLong, i.toDouble))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val left = lRows.toDF("k", "t", "lid")
+    val right = rRows.toDF("k", "t", "v")
+    def run(strategy: String, granule: Option[Long] = None) =
+      Joins.asOfJoin(left, right, "k", "t", Seq("v"), granule, strategy)
+        .collect().map(r => (r.getLong(2), Option(r.get(3)))).toMap
+    val win = run("window")
+    assert(run("segmented") == win)
+    assert(run("auto") == win)
+    assert(run("auto", granule = Some(13L)) == win)
   }
 
   test("single-pass restructures hold: explode counts are pinned in the optimized plans") {

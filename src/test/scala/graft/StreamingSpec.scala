@@ -633,4 +633,66 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed == batch)
     } finally query.stop()
   }
+
+  test("rateAnomalyStream equals the batch scorer, incl. the empty-window spine") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // clicks every minute w0..w3 (flat 2,2,2 then a jump to 8 — the
+    // zero-variance flatJump anomaly); views only in w0 and w3, so the
+    // SPINE must supply view zeros at w1/w2 — the silent-window case the
+    // streaming twin exists to keep watching. Pushers are ordinary
+    // clicks far ahead: each advances the watermark (2 min delay), and
+    // the second finalizes the first pusher's own window, exercising the
+    // multi-epoch horizon slice (its epoch emits only the w4.. rows).
+    val fixture = Seq(
+      Event(1, ts(0, 10), 1, "click", 0.0), Event(2, ts(0, 40), 2, "click", 0.0),
+      Event(3, ts(1, 10), 1, "click", 0.0), Event(4, ts(1, 40), 2, "click", 0.0),
+      Event(5, ts(2, 10), 1, "click", 0.0), Event(6, ts(2, 40), 2, "click", 0.0),
+      Event(7, ts(3, 0), 1, "click", 0.0), Event(8, ts(3, 10), 2, "click", 0.0),
+      Event(9, ts(3, 20), 3, "click", 0.0), Event(10, ts(3, 30), 4, "click", 0.0),
+      Event(11, ts(3, 40), 5, "click", 0.0), Event(12, ts(3, 45), 6, "click", 0.0),
+      Event(13, ts(3, 50), 7, "click", 0.0), Event(14, ts(3, 55), 8, "click", 0.0),
+      Event(20, ts(0, 20), 1, "view", 0.0),
+      Event(21, ts(3, 20), 1, "view", 0.0))
+    val pusherA = Event(900, ts(6, 10), 99, "click", 0.0)
+    val pusherB = Event(901, ts(9, 30), 99, "click", 0.0)
+    val emitted = scala.collection.mutable.ListBuffer[
+      (java.sql.Timestamp, String, Long, Option[Double], Option[Double], Boolean)]()
+    def drain(df: org.apache.spark.sql.DataFrame, epoch: Long): Unit =
+      emitted ++= df.collect().map(r => (r.getTimestamp(0), r.getString(1),
+        r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]), r.getBoolean(5)))
+    val input = MemoryStream[Event]
+    val query = EventStreams.rateAnomalyStream(input.toDF(),
+        windowLength = "1 minute", trailing = 2, zThreshold = 1.5,
+        watermark = "2 minutes")(drain).start()
+    try {
+      input.addData(fixture: _*)
+      query.processAllAvailable()
+      input.addData(pusherA); query.processAllAvailable()
+      input.addData(pusherB); query.processAllAvailable()
+    } finally query.stop()
+    val streamed = emitted.toSeq.sortBy(r => (r._1.getTime, r._2))
+    assert(streamed.nonEmpty)
+    val hi = streamed.map(_._1.getTime).max
+    // batch twin over the identical input, restricted to the windows the
+    // stream could finalize (append mode's tail caveat)
+    val batch = EventStreams.rateAnomaly((fixture :+ pusherA :+ pusherB).toDF(),
+        windowLength = "1 minute", trailing = 2, zThreshold = 1.5)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1),
+        r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]), r.getBoolean(5)))
+      .toSeq.filter(_._1.getTime <= hi).sortBy(r => (r._1.getTime, r._2))
+    assert(streamed == batch)
+    // the spine rows the stream must have invented: silent view windows
+    // (w1 has only one trailing window → null stats; w2 has both)
+    assert(streamed.contains((ts(1, 0), "view", 0L, None, None, false)))
+    assert(streamed.contains((ts(2, 0), "view", 0L, Some(0.5), Some(-0.7071), false)))
+    // the flat-jump anomaly on clicks at w3 (trailing variance 0, count moved)
+    val w3click = streamed.find(r => r._2 == "click" && r._1 == ts(3, 0)).get
+    assert(w3click._3 == 8L && w3click._6, s"flat-jump anomaly expected: $w3click")
+    // multi-epoch horizon: pusher A's own window (w6) arrived in a LATER
+    // epoch than w0..w3 and still scored exactly once
+    assert(streamed.count(r => r._1 == ts(6, 0) && r._2 == "click") == 1)
+  }
 }

@@ -1762,6 +1762,69 @@ class XopSpec extends AnyFunSuite {
     assert(bySplit(1L) == plain(1L)) // class rep 1 keeps its own label
   }
 
+  test("weighted near-dup pipeline end-to-end: collapse → pairs → clusters → leak-free split") {
+    import spark.implicits._
+    // the duplication-proof pipeline in one xop flow (VERDICT r17 item
+    // 7): ids 1,2 are EXACT copies (identical text and vector — the
+    // collapse key either way), 3 is a near-dup of the class (cos ≈
+    // 0.999 to the rep), 4 is orthogonal. The weighted pair relation
+    // must hold ONE representative pair with the class sizes; clusters
+    // label the reps; the split must keep the WHOLE family (exact
+    // members via 'text', near links via 'clusters') in one split while
+    // the singleton keeps its plain per-id label.
+    val d = Seq(
+      (1L, "alpha body", Seq(1.0, 0.0, 0.0)),
+      (2L, "alpha body", Seq(1.0, 0.0, 0.0)),
+      (3L, "alpha body tweaked", Seq(0.999, 0.0447, 0.0)),
+      (4L, "different thing", Seq(0.0, 1.0, 0.0)))
+      .toDF("id", "text", "vec")
+    // stage 1: weighted embedding-cosine pairs (collapse-first)
+    val pairs = QueryEngine.run(d,
+      """{"xop": {"name": "dedup_embcos",
+                  "args": {"id": "id", "column": "vec", "threshold": 0.99,
+                           "weighted": true}}}""", _ => None).df
+    val pRows = pairs.select("id_a", "id_b", "mult_a", "mult_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(pRows == Seq((1L, 3L, 2L, 1L)),
+      s"expected the one rep pair with class sizes, got ${pRows.toList}")
+    // stage 2: components over the rep pairs
+    val clusters = QueryEngine.run(pairs,
+      """{"xop": {"name": "dedup_clusters"}}""", _ => None).df
+    assert(clusters.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 1L), (3L, 1L)))
+    // stage 3: the split rides BOTH leakage args — members collapse to
+    // their rep ('text'), reps follow their component ('clusters')
+    val out = QueryEngine.run(d,
+      """{"xop": {"name": "split",
+                  "args": {"id": "id", "text": "text", "clusters": "cl",
+                           "splits": [["train", 0.5], ["test", 0.5]]}},
+          "select": ["id", "split"], "order_by": ["id"]}""",
+      n => if (n == "cl") Some(clusters) else None).df
+    val got = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(2L) == got(1L) && got(3L) == got(1L),
+      s"the whole family must share one split: $got")
+    val plain = QueryEngine.run(d,
+      """{"xop": {"name": "split",
+                  "args": {"id": "id",
+                           "splits": [["train", 0.5], ["test", 0.5]]}}}""",
+      _ => None).df.select("id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(4L) == plain(4L), "the singleton keeps its plain label")
+    assert(got(1L) == plain(1L), "the family rep keeps its own plain label")
+    // clusters-only form (no text): reps follow the component, the
+    // uncollapsed exact member hashes its own id — the form x95c uses
+    // when the pair relation already holds every member
+    val clOnly = QueryEngine.run(d,
+      """{"xop": {"name": "split",
+                  "args": {"id": "id", "clusters": "cl",
+                           "splits": [["train", 0.5], ["test", 0.5]]}}}""",
+      n => if (n == "cl") Some(clusters) else None).df
+      .select("id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(clOnly(3L) == clOnly(1L))
+    assert(clOnly(4L) == plain(4L))
+  }
+
   test("hash-sampler xops 400 on a non-integral id (not a runtime 500)") {
     import spark.implicits._
     val d = Seq(("a", "t", 1.0)).toDF("sid", "text", "w")
