@@ -1011,6 +1011,23 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // the one-window carry FORCED (strategy="window" — what the
+    // measured-skew auto tier selects on provably-uniform keys, r18)
+    // under the SAME DuckDB ASOF oracle as x31: the strategy tiers must
+    // trade only wall time, never results, and this row pins that
+    // against the external engine at every replay scale
+    "x31c_asof_window" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("click_value"))
+      graft.ops.Joins.asOfJoin(errors, clicks, "user_id", "ts",
+          Seq("click_value"), strategy = "window")
+        .select("event_id", "user_id", "value", "click_value")
+        .orderBy("event_id")
+    }),
+
     // hot-key as-of stress (the AAPL problem): ~80% of all events
     // collapse onto ONE user, then the same as-of join under an EXPLICIT
     // one-hour granule — the bench witness for the segmented-carry
@@ -1391,6 +1408,15 @@ object SparkEntry {
       graft.streaming.EventStreams.retention(
         graft.streaming.EventStreams.eventsFrame(s, dir),
         periodSeconds = 86400L, maxOffset = 7)
+        .orderBy("cohort", "offset")),
+
+    // retention past the mask word (maxOffset 70 > 62): the pair-shape
+    // fallback (distinct + window cohort, r18 form) under its own
+    // DuckDB oracle, so BOTH retention shapes stay externally pinned
+    "x69b_retention_wide" -> ((s, dir) =>
+      graft.streaming.EventStreams.retention(
+        graft.streaming.EventStreams.eventsFrame(s, dir),
+        periodSeconds = 86400L, maxOffset = 70)
         .orderBy("cohort", "offset")),
 
     // gap sessionization, batch form (same semantics as the streaming
@@ -2677,6 +2703,17 @@ object SparkEntry {
                          GROUP BY 1, 2) c
            ON e.user_id = c.user_id AND e.ts >= c.ts
          ORDER BY e.event_id""",
+    // the forced one-window strategy shares x31's oracle verbatim (the
+    // x15b pattern): strategy choice must never change results
+    "x31c_asof_window" ->
+      """SELECT e.event_id, e.user_id, e.value, c.click_value
+         FROM (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'error') e
+         ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS click_value
+                         FROM events WHERE event_type = 'click'
+                         GROUP BY 1, 2) c
+           ON e.user_id = c.user_id AND e.ts >= c.ts
+         ORDER BY e.event_id""",
     "x31b_asof_hot" ->
       """WITH ev AS (
            SELECT event_id,
@@ -3779,6 +3816,18 @@ object SparkEntry {
          SELECT cohort, period - cohort AS "offset", count(*) AS n_users
          FROM a JOIN c USING (user_id)
          WHERE period - cohort <= 7
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // maxOffset 70 exceeds the mask word: exercises the pair-shape
+    // fallback under the same oracle arithmetic
+    "x69b_retention_wide" ->
+      """WITH a AS (
+           SELECT DISTINCT user_id,
+                  epoch(date_trunc('second', ts::TIMESTAMP))::BIGINT // 86400 AS period
+           FROM events),
+         c AS (SELECT user_id, min(period) AS cohort FROM a GROUP BY 1)
+         SELECT cohort, period - cohort AS "offset", count(*) AS n_users
+         FROM a JOIN c USING (user_id)
+         WHERE period - cohort <= 70
          GROUP BY 1, 2 ORDER BY 1, 2""",
     "x15_events_sessions" ->
       // truncate ts to whole seconds the same way the Spark side does

@@ -418,7 +418,8 @@ class PropertySpec extends AnyFunSuite {
       "horizon", "steps", "period_seconds", "max_offset", "epochs",
       "capacity", "verify_index", "old", "old_id", "old_column",
       "removed", "removed_id", "max_fpp_factor", "min_docs",
-      "targets", "budget_tokens", "max_weight", "thresholds", "family", "zap")
+      "targets", "budget_tokens", "max_weight", "thresholds", "family",
+      "clusters", "zap")
     val valGen: Gen[String] = Gen.oneOf(
       Gen.oneOf("id", "src", "text", "zz", "ds", "pairs", "drop", "flag")
         .map(s => s""""$s""""),
