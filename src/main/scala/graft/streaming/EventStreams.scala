@@ -202,8 +202,10 @@ object EventStreams {
     * held as a `localCheckpoint`ed DataFrame (materialized, lineage
     * truncated each epoch so the union chain cannot deepen), with the
     * superseded checkpoint unpersisted. Epoch replays (at-least-once
-    * foreachBatch) re-union their batch; the horizon slice keeps the
-    * sink's rows monotone regardless.
+    * foreachBatch) re-deliver rows the state already holds — the merge
+    * dedups on the (window, type) key (replayed counts are identical,
+    * so either copy is exact), and the horizon slice keeps the sink's
+    * rows monotone.
     *
     * Returns the un-started `DataStreamWriter`; the caller picks
     * trigger/checkpoint and calls `.start()`. */
@@ -230,10 +232,17 @@ object EventStreams {
     counts.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
       .foreachBatch { (b: DataFrame, epoch: Long) =>
-        val merged = state match {
-          case None    => b.localCheckpoint()
-          case Some(s) => s.union(b).localCheckpoint()
-        }
+        // dropDuplicates on the window key: under foreachBatch's
+        // at-least-once contract a replayed epoch re-delivers rows the
+        // state already holds, and a duplicated (window, type) count row
+        // would join the spine twice and double into every later
+        // trailing sum — the counts are identical across replays, so
+        // keeping either copy is exact. A no-op on the failure-free path
+        // (append mode emits each window once).
+        val merged = (state match {
+          case None    => b
+          case Some(s) => s.union(b)
+        }).dropDuplicates("window_start", "event_type").localCheckpoint()
         val newMax = merged.agg(max(col("window_start"))).head() match {
           case r if r.isNullAt(0) => None
           case r                  => Some(r.getTimestamp(0))
@@ -1163,6 +1172,89 @@ object EventStreams {
         .groupBy("cohort", "offset")
         .agg(count(lit(1)).as("n_users"))
     }
+  }
+
+  /** STREAMING twin of [[retention]] — the cohort triangle as a
+    * continuously-refreshed readout (the [[rateAnomalyStream]]
+    * packaging): per-(period-window, user) activity runs as a
+    * watermarked streaming aggregation (append mode — a (user, period)
+    * pair emits exactly once, when the watermark proves its period
+    * final), and `foreachBatch` folds the finalized pairs into
+    * per-user (cohort, offset-bitmask) state with the SAME
+    * [[graft.functions.RetentionMaskExpr]] the batch operator uses,
+    * handing `sink` the FULL refreshed triangle each epoch with new
+    * finalized activity (complete-output semantics — retention cells
+    * are cumulative by definition, so earlier cells grow as later
+    * periods finalize; the batch operator over the finalized prefix
+    * returns the identical cells, asserted in StreamingSpec).
+    *
+    * Exactness under the append contract: windows finalize in
+    * window-end order, so a user's periods arrive NONDECREASING across
+    * epochs — the cohort is settled by the user's first finalized
+    * period, and a period dropped as beyond-`maxOffset` can never come
+    * back into range (no later arrival can lower the cohort). Epoch
+    * replays (at-least-once foreachBatch) are absorbed by construction:
+    * re-delivered pairs re-OR already-set mask bits — the fold is
+    * idempotent on duplicates, no dedup step needed.
+    *
+    * State posture: one (user, cohort, mask) row per user ever active —
+    * the same 16-byte bounded state as the batch aggregate, held as a
+    * `localCheckpoint`ed DataFrame re-folded with each epoch's pairs
+    * (prior state re-enters the fold as its exploded (user, period)
+    * pairs, exact because the mask IS the per-user retention
+    * information). `maxOffset` ≤ 62 (one mask word) is required — the
+    * batch fallback shape needs the full pair history, which a stream
+    * cannot retain bounded. */
+  def retentionStream(events: DataFrame, periodSeconds: Long, maxOffset: Int,
+      watermark: String = "10 minutes")(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(periodSeconds > 0, "periodSeconds must be positive")
+    require(maxOffset >= 0 && maxOffset <= 62,
+      "retentionStream supports maxOffset in [0, 62] (one mask word)")
+    val pairs = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), s"$periodSeconds seconds"), col("user_id"))
+      .agg(count(lit(1)).as("__n"))
+      // the tumbling window start is an exact multiple of the period
+      // (epoch-aligned), so this division is the batch form's
+      // floor(epoch / period) exactly, negative epochs included
+      .select(col("user_id").as("user"),
+        (unix_timestamp(col("window.start")) / periodSeconds)
+          .cast("long").as("period"))
+    val maskOffsets = expr(
+      s"filter(sequence(0L, ${maxOffset}L), " +
+        "d -> (shiftright(mask, cast(d AS int)) & 1) = 1)")
+    var state: Option[DataFrame] = None
+    pairs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .foreachBatch { (b: DataFrame, epoch: Long) =>
+        if (!b.isEmpty) {
+          val fresh = b.select(col("user"), col("period"))
+          val all = state match {
+            case None => fresh
+            case Some(s) => s
+              .select(col("user"), explode(maskOffsets).as("__d"),
+                col("cohort"))
+              .select(col("user"), (col("cohort") + col("__d")).as("period"))
+              .unionByName(fresh)
+          }
+          val merged = all.groupBy("user")
+            .agg(graft.functions.RetentionMaskExpr
+              .column(col("period"), maxOffset).as("__rm"))
+            .select(col("user"), col("__rm.cohort").as("cohort"),
+              col("__rm.mask").as("mask"))
+            .localCheckpoint()
+          val cells = merged
+            .select(col("cohort"), explode(maskOffsets).as("offset"))
+            .groupBy("cohort", "offset")
+            .agg(count(lit(1)).as("n_users"))
+            .orderBy("cohort", "offset")
+          sink(cells, epoch)
+          state.foreach(_.unpersist())
+          state = Some(merged)
+        }
+      }
   }
 
   /** Semi-structured property extraction + per-type rollup: parse the

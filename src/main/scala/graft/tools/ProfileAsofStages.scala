@@ -25,11 +25,17 @@ import org.apache.spark.sql.functions._
   * no ANSI overflow), so the strategy tiers provably trade only wall
   * time at this rung.
   *
-  * Usage: runMain graft.tools.ProfileAsofStages <dir> [passes] */
+  * Usage: runMain graft.tools.ProfileAsofStages <dir> [passes]
+  *        [stage,stage,...]  — subset from {sides, skewcheck, stages,
+  * segmented, window, auto}; the strategies' shuffle files accumulate
+  * for the JVM's lifetime (the ScaleProbe caveat), so on a disk-tight
+  * box run each strategy in its own JVM. */
 object ProfileAsofStages {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/repo/testdata-sf1")
     val passes = args.lift(1).map(_.toInt).getOrElse(1)
+    val only = args.lift(2).map(_.split(",").toSet)
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -68,11 +74,11 @@ object ProfileAsofStages {
       out
     }
 
-    timed("sides")(errors.count() + clicks.count())
+    if (wanted("sides")) timed("sides")(errors.count() + clicks.count())
 
     // the measured-skew tier's verdict on the real union, printed
     // explicitly (INFO logs are suppressed at WARN level here)
-    {
+    if (wanted("skewcheck")) {
       val l = errors.select(col("user_id").as("__k"), col("ts").as("__t"))
       val r = clicks.select(col("user_id").as("__k"), col("ts").as("__t"))
       val u = l.unionByName(r)
@@ -87,7 +93,7 @@ object ProfileAsofStages {
 
     // hand-unrolled stages of the segmented carry (mirrors
     // Joins.asOfJoin's segmented branch; micros embedding, auto width)
-    {
+    if (wanted("stages")) {
       import org.apache.spark.sql.expressions.Window
       val width = {
         val mm = ev.agg(min(col("ts").cast("long")), max(col("ts").cast("long"))).head()
@@ -134,13 +140,12 @@ object ProfileAsofStages {
          else ""))
       out
     }
-    val seg = run("segmented")
-    val win = run("window")
-    require(seg == win,
-      s"strategy outputs differ: segmented=$seg window=$win")
-    val auto = run("auto")
-    require(auto == seg, s"auto output differs: auto=$auto segmented=$seg")
-    println("[asof] all three strategies fingerprint-identical")
+    val results = Seq("segmented", "window", "auto").filter(wanted)
+      .map(st => st -> run(st)).toMap
+    require(results.values.toSet.size <= 1,
+      s"strategy outputs differ: $results")
+    if (results.size > 1)
+      println(s"[asof] ${results.keys.mkString("+")} fingerprint-identical")
     spark.stop()
   }
 }

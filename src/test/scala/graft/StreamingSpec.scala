@@ -634,6 +634,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("retentionStream refreshes the exact batch triangle as periods finalize") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // minute-sized periods: user 1 active in periods 0, 1 and 3; user 2
+    // cohorts in period 1; user 3 active only in period 0. Pusher A
+    // (user 99, period 6) finalizes the fixture's periods; pusher B
+    // (period 9) finalizes pusher A's own pair — the last triangle must
+    // then equal the batch operator over fixture + pusher A exactly.
+    val fixture = Seq(
+      Event(1, ts(0, 10), 1, "click", 0.0), Event(2, ts(0, 40), 1, "view", 0.0),
+      Event(3, ts(1, 10), 1, "click", 0.0),
+      Event(4, ts(3, 20), 1, "click", 0.0),
+      Event(5, ts(1, 30), 2, "click", 0.0),
+      Event(6, ts(0, 50), 3, "view", 0.0))
+    val pusherA = Event(900, ts(6, 10), 99, "click", 0.0)
+    val pusherB = Event(901, ts(9, 30), 99, "click", 0.0)
+    val triangles = scala.collection.mutable.ListBuffer[
+      (Long, Seq[(Long, Long, Long)])]()
+    def drain(df: org.apache.spark.sql.DataFrame, epoch: Long): Unit =
+      triangles += epoch -> df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val input = MemoryStream[Event]
+    val query = EventStreams.retentionStream(input.toDF(),
+        periodSeconds = 60L, maxOffset = 7, watermark = "2 minutes")(drain)
+      .start()
+    try {
+      input.addData(fixture: _*)
+      query.processAllAvailable()
+      input.addData(pusherA); query.processAllAvailable()
+      input.addData(pusherB); query.processAllAvailable()
+    } finally query.stop()
+    assert(triangles.nonEmpty)
+    def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(t => (t._1, t._2))
+    val streamedLast = triangles.last._2.sortBy(t => (t._1, t._2))
+    val batch = cells(EventStreams.retention(
+      (fixture :+ pusherA).toDF(), periodSeconds = 60L, maxOffset = 7))
+    assert(streamedLast == batch,
+      s"streamed $streamedLast != batch $batch")
+    // the refresh property: an EARLIER triangle (before pusher A's pair
+    // finalized) is the batch operator over the fixture alone
+    val earlier = triangles.init.lastOption.map(_._2.sortBy(t => (t._1, t._2)))
+    val batchFixture = cells(EventStreams.retention(
+      fixture.toDF(), periodSeconds = 60L, maxOffset = 7))
+    earlier.foreach(tr => assert(tr == batchFixture,
+      s"pre-pusher triangle $tr != batch-over-fixture $batchFixture"))
+    // duplicate-delivery idempotence: re-folding the SAME pairs changes
+    // nothing (the mask OR absorbs replays by construction) — pinned by
+    // the final triangle equaling the batch run despite every period
+    // having been re-merged from state across three epochs
+  }
+
   test("rateAnomalyStream equals the batch scorer, incl. the empty-window spine") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
