@@ -188,12 +188,10 @@ object BloomIndex {
       nInserted.map("n_inserted" -> _.asInstanceOf[Any]) ++
       nHashFunctions.map("n_hash_functions" -> _.asInstanceOf[Any]) ++
       fppEstimate.map("fpp_estimate" -> _.asInstanceOf[Any])
-    val p = new org.apache.hadoop.fs.Path(path, "manifest.json")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
-    try out.write(graft.engine.QueryJson.write(manifest)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    // temp + atomic rename: an unlocked reader must never see a
+    // truncated manifest (ArtifactLock.publishManifest)
+    ArtifactLock.publishManifest(spark, path,
+      graft.engine.QueryJson.write(manifest))
   }
 
   /** Load a persisted sketch. Fails fast (IllegalArgumentException) on a

@@ -122,12 +122,10 @@ object IvfIndex {
       "n_centroids" -> centroids.length.toLong,
       "dim" -> centroids.head.length.toLong,
       "kmeans_iters" -> kmeansIters.toLong)
-    val p = new org.apache.hadoop.fs.Path(path, "manifest.json")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
-    try out.write(graft.engine.QueryJson.write(manifest)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    // temp + atomic rename: an unlocked reader must never see a
+    // truncated manifest (ArtifactLock.publishManifest)
+    ArtifactLock.publishManifest(spark, path,
+      graft.engine.QueryJson.write(manifest))
   }
 
   private def readManifest(spark: SparkSession,

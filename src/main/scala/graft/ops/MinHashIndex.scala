@@ -183,13 +183,8 @@ object MinHashIndex {
   private def shardExprOf(art: Artifact): Option[org.apache.spark.sql.Column] =
     art.shardSpan.map(shardOf).orElse(art.nShards.map(hashShardOf))
 
-  private def writeManifest(spark: SparkSession, path: String, json: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path, "manifest.json")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
-    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  private def writeManifest(spark: SparkSession, path: String, json: String): Unit =
+    ArtifactLock.publishManifest(spark, path, json) // temp + atomic rename
 
   /** Load a persisted signature index. Runs no Spark job — the signature
     * relation is returned lazy; schema and manifest coherence are

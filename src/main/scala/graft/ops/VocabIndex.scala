@@ -64,7 +64,8 @@ object VocabIndex {
                             contentFingerprint: Option[String] = None,
                             summary: Option[DataFrame] = None,
                             theta: Option[Long] = None,
-                            slabs: Option[Seq[SlabMeta]] = None)
+                            slabs: Option[Seq[SlabMeta]] = None,
+                            dataGen: Long = 0L)
 
   /** One ingest slab's registry entry: the raw per-slab summary lives
     * at `<path>/slabs/<id>/` (tokenSummaryAgg's (token, n, nhi, rho)
@@ -119,12 +120,77 @@ object VocabIndex {
   private def obsLong(m: Map[String, Any], key: String): Long =
     Observed.long(m, key)
 
+  /** Generation-suffixed data-relation directory name: generation 0 is
+    * the bare legacy name (pre-generation artifacts load unchanged),
+    * generation N > 0 is `<base>-N`. Every mutation writes the NEXT
+    * generation's dirs and repoints the (atomically published) manifest
+    * — an unlocked reader that resolved the old manifest keeps reading
+    * the old generation's files, which stay on disk until the
+    * generation after next prunes them. The previous in-place
+    * delete+rename swap gave racing readers missing dirs and vanished
+    * footers (hammered in ArtifactRaceSpec). */
+  private def genDir(base: String, gen: Long): String =
+    if (gen <= 0L) base else s"$base-$gen"
+
+  /** The existing artifact's data generation, when `path` already holds
+    * one: None for a fresh path; an unreadable/legacy manifest reads as
+    * generation 0 (so a rebuild over it writes generation 1 and never
+    * truncates dirs a reader may hold open). */
+  private def currentDataGen(spark: SparkSession, path: String): Option[Long] = {
+    val mPath = new org.apache.hadoop.fs.Path(path, "manifest.json")
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(mPath)) None
+    else try {
+      val in = fs.open(mPath)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      graft.engine.QueryJson.parse(text) match {
+        case m: scala.collection.Map[String @unchecked, Any @unchecked] =>
+          Some(m.get("data_gen") match {
+            case Some(l: Long) if l >= 0 => l
+            case _ => 0L
+          })
+        case _ => Some(0L)
+      }
+    } catch { case _: Exception => Some(0L) }
+  }
+
+  private val GenDirName = "^(vocabulary|summary)(?:-([0-9]+))?$".r
+
+  /** Best-effort cleanup AFTER a new generation's manifest published:
+    * delete vocabulary/summary generations older than `newGen - 1`
+    * (the PREVIOUS generation stays alive for readers that resolved the
+    * old manifest just before the publish) plus any legacy `.next`
+    * staging leftovers. Crash between publish and prune just leaves
+    * extra dirs for the next mutation's prune. */
+  private def pruneDataGenerations(spark: SparkSession, path: String,
+                                   newGen: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    try {
+      fs.listStatus(root).foreach { st =>
+        st.getPath.getName match {
+          case GenDirName(_, g) =>
+            val gen = Option(g).map(_.toLong).getOrElse(0L)
+            if (gen < newGen - 1) fs.delete(st.getPath, true)
+          case _ => ()
+        }
+      }
+      Seq("summary.next", "vocabulary.next").foreach(n =>
+        fs.delete(new org.apache.hadoop.fs.Path(path, n), false))
+    } catch { case _: Exception => () } // cleanup is best-effort
+  }
+
   def buildAndSave(corpus: DataFrame, textCol: String, k: Int,
                    path: String, capacity: Option[Int] = None): Artifact =
       ArtifactLock.withWriteLock(path) {
     require(k > 0, "k must be positive")
     capacity.foreach(c => require(c > 0, "capacity must be positive"))
     val spark = corpus.sparkSession
+    // a rebuild over an existing artifact writes the NEXT generation's
+    // data dirs (never truncating what a racing reader resolved)
+    val newGen: Long = currentDataGen(spark, path).map(_ + 1L).getOrElse(0L)
     val inObs = org.apache.spark.sql.Observation()
     val obsExprs = corpusObs(textCol)
     val observedCorpus = corpus.observe(inObs, obsExprs.head, obsExprs.tail: _*)
@@ -152,7 +218,8 @@ object VocabIndex {
           .select(col("token"), col("n").as("lo"),
             (col("nhi") + lit(bigTheta) - col("rho")).as("hi"))
         val (theta, nSummary, nVocab) =
-          writeSummaryAndVocab(spark, path, norm, math.max(c, k), k, bigTheta)
+          writeSummaryAndVocab(spark, path, norm, math.max(c, k), k, bigTheta,
+            newGen)
         // the staged raw summary BECOMES slab 0 (a filesystem move, no
         // job): the per-ingest state [[removeSlab]] re-merges from
         val fs = stagePath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -176,7 +243,8 @@ object VocabIndex {
           .orderBy(col("n").desc, col("token"))
         top.withColumn("rank", row_number().over(w))
           .observe(vObs, count(lit(1)).as("n"))
-          .write.mode(SaveMode.Overwrite).parquet(s"$path/vocabulary")
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$path/${genDir("vocabulary", newGen)}")
         (Seq.empty, obsLong(vObs.get, "n"))
     }
     val inM = inObs.get
@@ -188,8 +256,10 @@ object VocabIndex {
       "text_col" -> textCol,
       "n_docs" -> nDocs,
       "n_tokens" -> nTokens,
-      "fingerprint" -> fp) ++ extras
+      "fingerprint" -> fp,
+      "data_gen" -> newGen) ++ extras
     writeManifest(spark, path, graft.engine.QueryJson.write(manifest))
+    pruneDataGenerations(spark, path, newGen)
     load(spark, path)
   }
 
@@ -299,9 +369,10 @@ object VocabIndex {
       .select(coalesce(col("__t1"), col("__t2")).as("token"),
         (coalesce(col("__lo1"), lit(0L)) + coalesce(col("__lo2"), lit(0L))).as("lo"),
         (coalesce(col("__hi1"), lit(theta1)) + coalesce(col("__hi2"), lit(theta2))).as("hi"))
+    val newGen = art.dataGen + 1L
     val (thetaStored, nSummary, nTokens) =
       writeSummaryAndVocab(spark, path, merged, math.max(cap, art.k), art.k,
-        baseTheta = theta1 + theta2)
+        baseTheta = theta1 + theta2, newGen = newGen)
     // slab-registry artifacts keep the delta's raw summary as a new
     // slab (a filesystem move of the already-written stage, no job) so
     // [[removeSlab]] can later subtract this ingest; legacy artifacts
@@ -327,11 +398,13 @@ object VocabIndex {
       "fingerprint" -> (BigInt(oldFp) + fpDelta).toString,
       "capacity" -> cap.toLong,
       "theta" -> thetaStored,
-      "summary_rows" -> nSummary) ++
+      "summary_rows" -> nSummary,
+      "data_gen" -> newGen) ++
       newSlabs.map(sl => "slabs" -> sl.map(slabEntry).toList) ++
       newSlabs.filter(_ => maxSlabs > 0)
         .map(_ => "auto_compact_keep" -> maxSlabs.toLong)
     writeManifest(spark, path, graft.engine.QueryJson.write(manifest))
+    pruneDataGenerations(spark, path, newGen)
     // the self-maintenance trigger: fold history beyond the newest
     // maxSlabs ingests into one epoch slab (registry stays <= maxSlabs+1)
     if (maxSlabs > 0 && newSlabs.exists(_.length > maxSlabs))
@@ -401,8 +474,9 @@ object VocabIndex {
           .agg(sum(col("__lo")).as("lo"),
             (sum(col("__hi")) + lit(totTheta) - sum(col("__th"))).as("hi"))
     }
+    val newGen = art.dataGen + 1L
     val (theta, nSummary, nTokens) = writeSummaryAndVocab(spark, path, norm,
-      math.max(cap, art.k), art.k, baseTheta = totTheta)
+      math.max(cap, art.k), art.k, baseTheta = totTheta, newGen = newGen)
     val manifest = mutable.LinkedHashMap[String, Any](
       "version" -> FormatVersion,
       "kind" -> "vocabulary",
@@ -414,8 +488,10 @@ object VocabIndex {
       "capacity" -> cap.toLong,
       "theta" -> theta,
       "summary_rows" -> nSummary,
+      "data_gen" -> newGen,
       "slabs" -> survivors.map(slabEntry).toList)
     writeManifest(spark, path, graft.engine.QueryJson.write(manifest))
+    pruneDataGenerations(spark, path, newGen)
     // delete the victim dir only once the manifest stops referencing it:
     // a crash between the two leaves an orphaned dir, never a registry
     // entry that dangles into missing parquet
@@ -540,16 +616,18 @@ object VocabIndex {
     * over the whole summary; the evicted-hi fold is a broadcast
     * anti-join against the capacity-sized kept set. Only the KEPT
     * relations (≤ sumCap rows — the artifact's own size) ever flow
-    * through a single task. Writes land in fresh `*.next` dirs
-    * swapped in at the end, so `norm` may lazily read the artifact's
-    * own CURRENT relations (the update path does). */
+    * through a single task. Writes land directly in the NEXT
+    * generation's dirs ([[genDir]] with `newGen`) — fresh paths, so
+    * `norm` may lazily read the artifact's own CURRENT relations (the
+    * update path does) and an unlocked reader of the current
+    * generation never sees a file vanish; the caller repoints the
+    * manifest (atomic publish) and prunes older generations after. */
   private def writeSummaryAndVocab(spark: SparkSession, path: String,
                                    norm: DataFrame, sumCap: Int, k: Int,
-                                   baseTheta: Long): (Long, Long, Long) = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val sNext = new org.apache.hadoop.fs.Path(path, "summary.next")
-    val vNext = new org.apache.hadoop.fs.Path(path, "vocabulary.next")
+                                   baseTheta: Long,
+                                   newGen: Long): (Long, Long, Long) = {
+    val sNext = new org.apache.hadoop.fs.Path(path, genDir("summary", newGen))
+    val vNext = new org.apache.hadoop.fs.Path(path, genDir("vocabulary", newGen))
     // row counts ride the two writes as observed metrics — the
     // manifest's summary_rows/n_tokens used to cost two post-swap
     // parquet counts (the x78 job trim)
@@ -582,24 +660,13 @@ object VocabIndex {
       .withColumn("rank", row_number().over(vocabW))
       .observe(vObs, count(lit(1)).as("n"))
       .write.mode(SaveMode.Overwrite).parquet(vNext.toString)
-    def swap(next: org.apache.hadoop.fs.Path, cur: String): Unit = {
-      val c = new org.apache.hadoop.fs.Path(path, cur)
-      fs.delete(c, true)
-      if (!fs.rename(next, c))
-        throw new IllegalStateException(s"could not move $next into place at $c")
-    }
-    swap(sNext, "summary")
-    swap(vNext, "vocabulary")
+    // no swap: the new generation dirs ARE the publication target —
+    // the caller's atomic manifest repoint makes them live
     (theta, nKept, obsLong(vObs.get, "n"))
   }
 
-  private def writeManifest(spark: SparkSession, path: String, json: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path, "manifest.json")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
-    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  private def writeManifest(spark: SparkSession, path: String, json: String): Unit =
+    ArtifactLock.publishManifest(spark, path, json) // temp + atomic rename
 
   /** Load a persisted vocabulary. Runs no Spark job — the relation is
     * returned lazy; schema and manifest coherence are checked, every
@@ -641,8 +708,14 @@ object VocabIndex {
       case other => throw new IllegalArgumentException(
         s"vocabulary at $path is corrupt: bad capacity $other")
     }
+    val dataGen: Long = manifest.get("data_gen") match {
+      case None => 0L
+      case Some(l: Long) if l >= 0 => l
+      case other => throw new IllegalArgumentException(
+        s"vocabulary at $path is corrupt: bad data_gen $other")
+    }
     val vocab =
-      try spark.read.parquet(s"$path/vocabulary")
+      try spark.read.parquet(s"$path/${genDir("vocabulary", dataGen)}")
       catch { case e: org.apache.spark.sql.AnalysisException =>
         throw new IllegalArgumentException(
           s"vocabulary at $path is corrupt: unreadable relation: ${e.getMessage}") }
@@ -663,12 +736,13 @@ object VocabIndex {
     }
     val summary = theta.map { _ =>
       // a theta-recording manifest promises the mergeable summary
-      if (!fs.exists(new org.apache.hadoop.fs.Path(path, "summary")))
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path,
+          genDir("summary", dataGen))))
         throw new IllegalArgumentException(
           s"vocabulary at $path is corrupt: manifest records theta but " +
             "the summary relation is missing")
       val s =
-        try spark.read.parquet(s"$path/summary")
+        try spark.read.parquet(s"$path/${genDir("summary", dataGen)}")
         catch { case e: org.apache.spark.sql.AnalysisException =>
           throw new IllegalArgumentException(
             s"vocabulary at $path is corrupt: unreadable summary: ${e.getMessage}") }
@@ -709,7 +783,7 @@ object VocabIndex {
       manifest.get("n_docs").collect { case l: Long => l },
       manifest.get("n_tokens").collect { case l: Long => l },
       manifest.get("fingerprint").collect { case s: String => s },
-      summary, theta, slabs)
+      summary, theta, slabs, dataGen)
   }
 
   /** The token set for a requested vocabulary size: `rank <= size` over

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.VocabIndex
+
+/** The UNLOCKED read side of artifact maintenance (the round-17 ADVICE
+  * candidate): [[graft.ops.ArtifactLock]] serializes writers per path
+  * but deliberately does not lock loads — so a reader racing an update
+  * or a slab compaction must always see a COMPLETE manifest, old or
+  * new, never a truncated one. The previous create-overwrite truncated
+  * manifest.json in place (a real torn-read window on every
+  * maintenance write); publishes now go through
+  * [[graft.ops.ArtifactLock.publishManifest]] (hidden temp + atomic
+  * rename-with-OVERWRITE). This spec hammers that window: a reader
+  * thread loads the artifact in a tight loop while the main thread
+  * drives updates and multi-dir slab compactions. */
+class ArtifactRaceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("unlocked loads never see a torn manifest across updates + compactions") {
+    val path = java.nio.file.Files.createTempDirectory("vocab_race")
+      .toString + "/idx"
+    val base = Seq((1L, "alpha beta gamma alpha"), (2L, "beta gamma delta"))
+      .toDF("doc_id", "text")
+    VocabIndex.buildAndSave(base, "text", k = 8, path = path,
+      capacity = Some(4096))
+
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val loads = new java.util.concurrent.atomic.AtomicLong(0L)
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop) {
+        try {
+          val a = VocabIndex.load(spark, path)
+          // torn manifests fail the load's own validation; a successful
+          // load must also be INTERNALLY consistent (the constants every
+          // legal manifest version of this artifact carries)
+          assert(a.k == 8 && a.capacity.contains(4096))
+          a.slabs.foreach { reg =>
+            assert(reg.nonEmpty && reg.map(_.id).distinct.size == reg.size)
+          }
+          loads.incrementAndGet()
+        } catch {
+          case t: Throwable => errors.add(t); stop = true
+        }
+      }
+    }, "artifact-race-reader")
+    reader.start()
+    try {
+      (1 to 10).foreach { i =>
+        val batch = Seq((100L + i, s"tok$i alpha beta word$i extra$i"))
+          .toDF("doc_id", "text")
+        // maxSlabs=0 disables auto-compaction so the explicit
+        // compactSlabs below exercises the multi-dir swap deliberately
+        VocabIndex.update(spark, path, batch, "text", maxSlabs = 0)
+        if (i % 3 == 0)
+          VocabIndex.compactSlabs(spark, path, keepLast = 1)
+      }
+    } finally {
+      stop = true
+      reader.join(30000)
+    }
+    assert(errors.isEmpty,
+      s"reader saw a torn/invalid artifact: ${Option(errors.peek())}")
+    assert(loads.get() > 0, "the reader never completed a load")
+  }
+}
