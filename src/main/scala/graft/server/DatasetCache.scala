@@ -34,6 +34,17 @@ final class CacheItem(val df: DataFrame, val size: Long, val creationTime: Long)
     }
   }
 
+  /** Drop one memo entry — the artifact-churn heal. "Stale hit is
+    * impossible" above holds for DATASET mutations (they replace the
+    * item); a memoized read of a PERSISTED INDEX, though, captures a
+    * file listing that a later index_update/compaction swaps away — the
+    * one dependency item replacement cannot see. The server's
+    * missing-input-file retry invalidates the stale plan so the rebuilt
+    * one is memoized in its place and the next identical request plans
+    * fresh instead of re-tripping the retry forever. */
+  private[graft] def invalidateMemo(key: String): Unit =
+    planMemo.synchronized { planMemo.remove(key); () }
+
   /** Test hook: the memo's current keys (insertion/access order). */
   private[graft] def memoizedKeys: Seq[String] = planMemo.synchronized {
     val it = planMemo.keySet().iterator()

@@ -349,6 +349,33 @@ final class GraftServer(spark: SparkSession, port: Int,
   private def errorJson(msg: String): String =
     s"""{"error": ${graft.engine.QueryJson.write(msg)}}"""
 
+  /** TRUE iff a query failure bottoms out in a MISSING INPUT FILE — the
+    * signature of an artifact maintenance swap (a MinHash shard
+    * delete+rename, an IVF/Bloom relation rewrite) racing a read whose
+    * plan captured the pre-swap file listing. Those reads are correct
+    * against the post-swap artifact; the server retries them once or
+    * twice against a freshly-built plan (see the query attempt loop).
+    * Checked down the cause chain (driver-side FNF) and in Spark's task
+    * failure messages (executor-side FNF surfaces re-stringified). */
+  private def isMissingInputFile(e: Throwable): Boolean = {
+    var cur: Throwable = e
+    var depth = 0
+    while (cur != null && depth < 20) {
+      cur match {
+        case _: java.io.FileNotFoundException => return true
+        case s: org.apache.spark.SparkException
+            if Option(s.getMessage).exists(m =>
+              m.contains("FILE_NOT_EXIST") ||
+                m.contains("FileNotFoundException") ||
+                m.contains("does not exist")) => return true
+        case _ => ()
+      }
+      cur = if (cur.getCause eq cur) null else cur.getCause
+      depth += 1
+    }
+    false
+  }
+
   private def query(exchange: HttpExchange, key: String, qJson: String): Unit = {
     val t0 = clock()
     val accept = acceptType(exchange)
@@ -402,37 +429,71 @@ final class GraftServer(spark: SparkSession, port: Int,
         // memoized report. Read queries keep the memo — force is
         // rejected on them at clause level.
         val forced = XopEngine.forcesExecution(q)
-        val result =
-          if (crossDataset || forced) QueryEngine.run(withStandIns, q, resolver)
-          else item.memoizedPlan(memoKey)(QueryEngine.run(withStandIns, q, resolver))
-        // Response-size guard (OFF by default — full dumps are the
-        // reference's contract and the api suite asserts them): the dump
-        // path collects the whole result to the driver, which is fine at
-        // cache scale but lets one bare `{}` against a huge table OOM the
-        // server. With --max-result-rows=N set, the collect is bounded at
-        // N+1 rows (the limit caps driver memory, not just the response)
-        // and an overflowing result is a 413, naming the knob. The limit
-        // wraps the memoized plan, so enabling the guard trades the
-        // memo's materialized-stage reuse for the bound — a posture
-        // switch for big-table deployments, not the default.
-        val bounded =
-          if (maxResultRows > 0) result.df.limit(
-            math.min(maxResultRows + 1, Int.MaxValue.toLong).toInt)
-          else result.df
-        // The byte guard aborts INSIDE the serializer (per appended row),
-        // so a 1M-row × wide-strings result that would pass a row guard
-        // never finishes building its response string on the driver.
-        val (text, rowCount) =
-          try {
-            if (accept == "text/csv") Serialize.toCsvCounted(bounded, maxResultBytes)
-            else if (accept == "application/x-ndjson")
-              Serialize.toJsonLinesCounted(bounded, maxResultBytes)
-            else Serialize.toJsonCounted(bounded, maxResultBytes)
-          } catch {
-            case _: Serialize.ByteBudgetExceeded =>
-              throw new HttpFail(413, errorJson(
-                s"result exceeds max-result-bytes=$maxResultBytes; " +
-                  "add offset/limit to page the result"))
+        // One attempt = plan + bounded collect + serialize. Factored so a
+        // MISSING-INPUT-FILE failure — an artifact maintenance swap
+        // (e.g. a MinHash shard rewrite) racing this read's captured
+        // file listing — can retry against a FRESHLY-BUILT plan: the
+        // stale memo entry is invalidated first, so the retry re-plans
+        // with new file listings AND memoizes the healed plan (the next
+        // identical request goes straight through). Bounded at two
+        // retries with a short backoff: swap windows are per-shard
+        // renames, milliseconds in practice. Every other failure
+        // propagates unchanged on the first attempt.
+        def attempt(): (String, Long, Long) = {
+          val result =
+            if (crossDataset || forced)
+              QueryEngine.run(withStandIns, q, resolver)
+            else item.memoizedPlan(memoKey)(QueryEngine.run(withStandIns, q, resolver))
+          // Response-size guard (OFF by default — full dumps are the
+          // reference's contract and the api suite asserts them): the dump
+          // path collects the whole result to the driver, which is fine at
+          // cache scale but lets one bare `{}` against a huge table OOM the
+          // server. With --max-result-rows=N set, the collect is bounded at
+          // N+1 rows (the limit caps driver memory, not just the response)
+          // and an overflowing result is a 413, naming the knob. The limit
+          // wraps the memoized plan, so enabling the guard trades the
+          // memo's materialized-stage reuse for the bound — a posture
+          // switch for big-table deployments, not the default.
+          val bounded =
+            if (maxResultRows > 0) result.df.limit(
+              math.min(maxResultRows + 1, Int.MaxValue.toLong).toInt)
+            else result.df
+          // The byte guard aborts INSIDE the serializer (per appended row),
+          // so a 1M-row × wide-strings result that would pass a row guard
+          // never finishes building its response string on the driver.
+          val (text, rowCount) =
+            try {
+              if (accept == "text/csv") Serialize.toCsvCounted(bounded, maxResultBytes)
+              else if (accept == "application/x-ndjson")
+                Serialize.toJsonLinesCounted(bounded, maxResultBytes)
+              else Serialize.toJsonCounted(bounded, maxResultBytes)
+            } catch {
+              case _: Serialize.ByteBudgetExceeded =>
+                throw new HttpFail(413, errorJson(
+                  s"result exceeds max-result-bytes=$maxResultBytes; " +
+                    "add offset/limit to page the result"))
+            }
+          // Without offset/limit the serialized row count IS the unsliced
+          // length — the separate count job only runs for sliced queries.
+          val unsliced =
+            if (q.offset.isEmpty && q.limit.isEmpty) rowCount
+            else result.unslicedLength
+          (text, rowCount, unsliced)
+        }
+        // READ-ONLY retries: a maintenance clause that failed mid-write
+        // must surface, never silently re-apply (a second vocab_update
+        // would double its delta)
+        val retryable = !forced && !XopEngine.hasMaintenance(q)
+        val (text, rowCount, unsliced) =
+          try attempt()
+          catch { case e: Throwable if retryable && isMissingInputFile(e) =>
+            item.invalidateMemo(memoKey) // the rebuilt plan re-memoizes
+            try attempt()
+            catch { case e2: Throwable if isMissingInputFile(e2) =>
+              Thread.sleep(50)
+              item.invalidateMemo(memoKey)
+              attempt()
+            }
           }
         if (maxResultRows > 0 && rowCount > maxResultRows)
           throw new HttpFail(413, errorJson(
@@ -446,11 +507,6 @@ final class GraftServer(spark: SparkSession, port: Int,
           throw new HttpFail(413, errorJson(
             s"result exceeds max-result-bytes=$maxResultBytes; " +
               "add offset/limit to page the result"))
-        // Without offset/limit the serialized row count IS the unsliced
-        // length — the separate count job only runs for sliced queries.
-        val unsliced =
-          if (q.offset.isEmpty && q.limit.isEmpty) rowCount
-          else result.unslicedLength
         val headers = Map(
           "Content-Type" -> s"$accept; charset=utf-8",
           "X-QCache-unsliced-length" -> unsliced.toString)

@@ -782,4 +782,69 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def queryAt(s: GraftServer, key: String) =
     send(req(s"/dataset/$key?q=" +
       java.net.URLEncoder.encode("{}", UTF_8), s).GET().build())
+
+  test("index-served reads survive maintenance churn: retry + memo heal, no 5xx") {
+    import spark.implicits._
+    // a persisted MinHash index being UPDATED while identical HTTP reads
+    // stream against it: a shard swap mid-read surfaces as a
+    // missing-input-file task failure, which the server must absorb by
+    // invalidating the stale memoized plan and retrying fresh — the
+    // client never sees a 5xx, and the post-churn answer matches a
+    // fresh computation over the final index state
+    val root = java.nio.file.Files.createTempDirectory("api_churn").toString
+    def corpusAt(v: Int) = Seq(
+      (1L, s"the quick brown fox jumps over the lazy dog v$v"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, s"colorless green ideas sleep furiously at night v$v"))
+      .toDF("doc_id", "text")
+    graft.ops.MinHashIndex.buildAndSave(corpusAt(0), "doc_id", "text",
+      path = s"$root/ri")
+    spark.conf.set("spark.graft.index.root", root)
+    try {
+      assert(storeCsv("churnprobe",
+        "pid,ptext\n101,the quick brown fox jumps over the lazy dog v0\n" +
+          "102,nothing here resembles anything stored\n").statusCode() == 201)
+      val qJson = """{"xop": {"name": "minhash_against",
+                              "args": {"id": "pid", "column": "ptext",
+                                       "index": "ri", "threshold": 0.4}},
+                      "order_by": ["batch_id", "corpus_id"]}"""
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val updaterErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val updater = new Thread(() => {
+        var v = 1
+        while (!stop.get()) {
+          try graft.ops.MinHashIndex.update(spark, s"$root/ri",
+            corpusAt(v), "doc_id", "text")
+          catch { case t: Throwable => updaterErr.set(t); stop.set(true) }
+          v += 1
+        }
+      }, "api-churn-updater")
+      updater.start()
+      val responses = try (1 to 40).map { _ =>
+        val r = query("churnprobe", qJson); (r.statusCode(), r.body())
+      } finally { stop.set(true); updater.join(30000) }
+      assert(updaterErr.get() == null, s"updater failed: ${updaterErr.get()}")
+      assert(responses.forall(_._1 == 200),
+        s"non-200 under churn: ${responses.find(_._1 != 200)}")
+      // settled state: the memoized (possibly healed) plan's answer must
+      // equal a fresh engine run over the final index
+      val settled = query("churnprobe", qJson)
+      assert(settled.statusCode() == 200)
+      val art = graft.ops.MinHashIndex.load(spark, s"$root/ri")
+      val fresh = graft.ops.Dedup.minhashPairsAgainstIndex(
+        Seq((101L, "the quick brown fox jumps over the lazy dog v0"),
+          (102L, "nothing here resembles anything stored")).toDF("pid", "ptext"),
+        "pid", "ptext", art, threshold = 0.4)
+        .orderBy("batch_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val served = graft.engine.QueryJson.parse(settled.body()) match {
+        case l: List[_] => l.map {
+          case m: scala.collection.Map[String @unchecked, Any @unchecked] =>
+            (m("batch_id").asInstanceOf[Long], m("corpus_id").asInstanceOf[Long])
+        }
+        case other => fail(s"unexpected body shape: $other")
+      }
+      assert(served == fresh, s"served $served != fresh $fresh")
+    } finally spark.conf.unset("spark.graft.index.root")
+  }
 }
