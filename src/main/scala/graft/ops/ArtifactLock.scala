@@ -69,6 +69,66 @@ object ArtifactLock {
   private val locks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Generation-suffixed data-relation directory name: generation 0 is
+    * the bare legacy name (pre-generation artifacts load unchanged),
+    * generation N > 0 is `<base>-N`. Mutations write the NEXT
+    * generation's dirs and repoint the (atomically published) manifest
+    * (`data_gen`) — an unlocked reader that resolved the old manifest
+    * keeps reading the old generation's files, which stay on disk until
+    * the generation after next prunes them. In-place Overwrite/swap
+    * gave racing readers missing dirs and vanished footers
+    * (ArtifactRaceSpec). */
+  private[graft] def genDirName(base: String, gen: Long): String =
+    if (gen <= 0L) base else s"$base-$gen"
+
+  /** The existing artifact's data generation, when `path` already holds
+    * one: None for a fresh path; an unreadable/legacy manifest reads as
+    * generation 0 (so a rebuild over it writes generation 1 and never
+    * truncates dirs a reader may hold open). */
+  private[graft] def currentDataGen(spark: org.apache.spark.sql.SparkSession,
+                                    path: String): Option[Long] = {
+    val mPath = new org.apache.hadoop.fs.Path(path, "manifest.json")
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(mPath)) None
+    else try {
+      val in = fs.open(mPath)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      graft.engine.QueryJson.parse(text) match {
+        case m: scala.collection.Map[String @unchecked, Any @unchecked] =>
+          Some(m.get("data_gen") match {
+            case Some(l: Long) if l >= 0 => l
+            case _ => 0L
+          })
+        case _ => Some(0L)
+      }
+    } catch { case _: Exception => Some(0L) }
+  }
+
+  /** Best-effort cleanup AFTER a new generation's manifest published:
+    * delete the named bases' generations older than `newGen - 1` (the
+    * PREVIOUS generation stays alive for readers that resolved the old
+    * manifest just before the publish). Crash between publish and prune
+    * just leaves extra dirs for the next mutation's prune. */
+  private[graft] def pruneGenerations(spark: org.apache.spark.sql.SparkSession,
+                                      path: String, bases: Seq[String],
+                                      newGen: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val pat = ("^(" + bases.mkString("|") + ")(?:-([0-9]+))?$").r
+    try {
+      fs.listStatus(root).foreach { st =>
+        st.getPath.getName match {
+          case pat(_, g) =>
+            val gen = Option(g).map(_.toLong).getOrElse(0L)
+            if (gen < newGen - 1) fs.delete(st.getPath, true)
+          case _ => ()
+        }
+      }
+    } catch { case _: Exception => () } // cleanup is best-effort
+  }
+
   /** Normalize a path string to its lock key: Hadoop Path normalization
     * (collapses `//`, strips trailing `/`) so the spellings one caller
     * plausibly varies map to one monitor. */

@@ -169,14 +169,20 @@ object BloomIndex {
       ArtifactLock.withWriteLock(path) {
     require(bytes.nonEmpty, "bloom bytes must be non-empty")
     import spark.implicits._
+    // generationed sketch relation (the vocab pattern): write the NEXT
+    // generation's dir, repoint the manifest atomically, prune older —
+    // an in-place Overwrite raced unlocked readers with missing files
+    val newGen: Long =
+      ArtifactLock.currentDataGen(spark, path).map(_ + 1L).getOrElse(0L)
     Seq(Tuple1(bytes)).toDF("bloom")
       .coalesce(1)
       .write.mode(SaveMode.Overwrite)
-      .parquet(s"$path/bloom")
+      .parquet(s"$path/${ArtifactLock.genDirName("bloom", newGen)}")
     val manifest = mutable.LinkedHashMap[String, Any](
       "version" -> FormatVersion,
       "kind" -> "bloom_exclusion",
       "fpp" -> fpp,
+      "data_gen" -> newGen,
       "n_bytes" -> bytes.length.toLong) ++
       nIds.map("n_ids" -> _.asInstanceOf[Any]) ++
       idCol.map("id_col" -> _.asInstanceOf[Any]) ++
@@ -192,6 +198,7 @@ object BloomIndex {
     // truncated manifest (ArtifactLock.publishManifest)
     ArtifactLock.publishManifest(spark, path,
       graft.engine.QueryJson.write(manifest))
+    ArtifactLock.pruneGenerations(spark, path, Seq("bloom"), newGen)
   }
 
   /** Load a persisted sketch. Fails fast (IllegalArgumentException) on a
@@ -229,8 +236,13 @@ object BloomIndex {
     if (!manifest.get("version").contains(FormatVersion.toLong))
       throw new IllegalArgumentException(
         s"unsupported bloom index version ${manifest.get("version")} at $path")
+    val dataGen: Long = manifest.get("data_gen") match {
+      case Some(l: Long) if l >= 0 => l
+      case _ => 0L
+    }
     val rows =
-      try spark.read.parquet(s"$path/bloom").collect()
+      try spark.read.parquet(
+        s"$path/${ArtifactLock.genDirName("bloom", dataGen)}").collect()
       catch { case e: org.apache.spark.sql.AnalysisException =>
         throw new IllegalArgumentException(
           s"bloom index at $path is corrupt: unreadable sketch: ${e.getMessage}") }

@@ -109,15 +109,21 @@ object IvfIndex {
       "centroids must share one dimensionality")
     import spark.implicits._
     // nCells×dim doubles — driver-scale data; one file keeps the artifact
-    // a single-read object for any later loader
+    // a single-read object for any later loader. Generationed (the
+    // vocab pattern): write the NEXT generation's dir, repoint the
+    // manifest atomically, prune older — an in-place Overwrite (the
+    // refine path rewrites this relation) raced unlocked readers
+    val newGen: Long =
+      ArtifactLock.currentDataGen(spark, path).map(_ + 1L).getOrElse(0L)
     centroids.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cell", "centroid")
       .coalesce(1)
       .write.mode(SaveMode.Overwrite)
-      .parquet(s"$path/centroids")
+      .parquet(s"$path/${ArtifactLock.genDirName("centroids", newGen)}")
     val manifest = mutable.LinkedHashMap[String, Any](
       "version" -> FormatVersion,
       "kind" -> "ivf_coarse_quantizer",
+      "data_gen" -> newGen,
       "n_cells" -> nCells.toLong,
       "n_centroids" -> centroids.length.toLong,
       "dim" -> centroids.head.length.toLong,
@@ -126,6 +132,7 @@ object IvfIndex {
     // truncated manifest (ArtifactLock.publishManifest)
     ArtifactLock.publishManifest(spark, path,
       graft.engine.QueryJson.write(manifest))
+    ArtifactLock.pruneGenerations(spark, path, Seq("centroids"), newGen)
   }
 
   private def readManifest(spark: SparkSession,
@@ -156,7 +163,12 @@ object IvfIndex {
     * half-index. */
   def load(spark: SparkSession, path: String): Seq[Seq[Double]] = {
     val manifest = readManifest(spark, path)
-    val centroids = spark.read.parquet(s"$path/centroids")
+    val dataGen: Long = manifest.get("data_gen") match {
+      case Some(l: Long) if l >= 0 => l
+      case _ => 0L
+    }
+    val centroids = spark.read.parquet(
+        s"$path/${ArtifactLock.genDirName("centroids", dataGen)}")
       .orderBy("cell")
       .collect()
       .map(r => r.getAs[scala.collection.Seq[Double]]("centroid").toSeq)

@@ -130,56 +130,26 @@ object VocabIndex {
     * delete+rename swap gave racing readers missing dirs and vanished
     * footers (hammered in ArtifactRaceSpec). */
   private def genDir(base: String, gen: Long): String =
-    if (gen <= 0L) base else s"$base-$gen"
+    ArtifactLock.genDirName(base, gen)
 
   /** The existing artifact's data generation, when `path` already holds
     * one: None for a fresh path; an unreadable/legacy manifest reads as
     * generation 0 (so a rebuild over it writes generation 1 and never
     * truncates dirs a reader may hold open). */
-  private def currentDataGen(spark: SparkSession, path: String): Option[Long] = {
-    val mPath = new org.apache.hadoop.fs.Path(path, "manifest.json")
-    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(mPath)) None
-    else try {
-      val in = fs.open(mPath)
-      val text =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      graft.engine.QueryJson.parse(text) match {
-        case m: scala.collection.Map[String @unchecked, Any @unchecked] =>
-          Some(m.get("data_gen") match {
-            case Some(l: Long) if l >= 0 => l
-            case _ => 0L
-          })
-        case _ => Some(0L)
-      }
-    } catch { case _: Exception => Some(0L) }
-  }
+  private def currentDataGen(spark: SparkSession, path: String): Option[Long] =
+    ArtifactLock.currentDataGen(spark, path)
 
-  private val GenDirName = "^(vocabulary|summary)(?:-([0-9]+))?$".r
-
-  /** Best-effort cleanup AFTER a new generation's manifest published:
-    * delete vocabulary/summary generations older than `newGen - 1`
-    * (the PREVIOUS generation stays alive for readers that resolved the
-    * old manifest just before the publish) plus any legacy `.next`
-    * staging leftovers. Crash between publish and prune just leaves
-    * extra dirs for the next mutation's prune. */
   private def pruneDataGenerations(spark: SparkSession, path: String,
                                    newGen: Long): Unit = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    ArtifactLock.pruneGenerations(spark, path,
+      Seq("vocabulary", "summary"), newGen)
+    // legacy staging leftovers from the pre-generation swap form
     try {
-      fs.listStatus(root).foreach { st =>
-        st.getPath.getName match {
-          case GenDirName(_, g) =>
-            val gen = Option(g).map(_.toLong).getOrElse(0L)
-            if (gen < newGen - 1) fs.delete(st.getPath, true)
-          case _ => ()
-        }
-      }
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
       Seq("summary.next", "vocabulary.next").foreach(n =>
-        fs.delete(new org.apache.hadoop.fs.Path(path, n), false))
-    } catch { case _: Exception => () } // cleanup is best-effort
+        fs.delete(new org.apache.hadoop.fs.Path(path, n), true))
+    } catch { case _: Exception => () }
   }
 
   def buildAndSave(corpus: DataFrame, textCol: String, k: Int,

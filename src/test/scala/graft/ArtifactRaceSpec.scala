@@ -66,4 +66,39 @@ class ArtifactRaceSpec extends AnyFunSuite {
       s"reader saw a torn/invalid artifact: ${Option(errors.peek())}")
     assert(loads.get() > 0, "the reader never completed a load")
   }
+
+  test("bloom loads never see a torn sketch across repeated saves") {
+    import graft.ops.BloomIndex
+    val path = java.nio.file.Files.createTempDirectory("bloom_race")
+      .toString + "/idx"
+    val exclude = (1L to 50L).map(Tuple1(_)).toDF("xid")
+    BloomIndex.buildAndSave(exclude, "xid", fpp = 0.01, path)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val loads = new java.util.concurrent.atomic.AtomicLong(0L)
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop) {
+        try {
+          // loadWithMeta's own n_bytes-vs-manifest check IS the torn
+          // detector: a stale sketch against a fresh manifest (or any
+          // partial read) fails it
+          BloomIndex.loadWithMeta(spark, path)
+          loads.incrementAndGet()
+        } catch { case t: Throwable => errors.add(t); stop = true }
+      }
+    }, "bloom-race-reader")
+    reader.start()
+    try {
+      // alternate two differently-sized exclusion lists so every save
+      // writes a sketch whose BYTE LENGTH differs from its predecessor
+      (1 to 8).foreach { i =>
+        val n = if (i % 2 == 0) 50L else 5000L
+        BloomIndex.buildAndSave((1L to n).map(Tuple1(_)).toDF("xid"),
+          "xid", fpp = 0.01, path)
+      }
+    } finally { stop = true; reader.join(30000) }
+    assert(errors.isEmpty,
+      s"reader saw a torn bloom artifact: ${Option(errors.peek())}")
+    assert(loads.get() > 0)
+  }
 }
