@@ -101,4 +101,38 @@ class ArtifactRaceSpec extends AnyFunSuite {
       s"reader saw a torn bloom artifact: ${Option(errors.peek())}")
     assert(loads.get() > 0)
   }
+
+  test("ivf quantizer loads never torn across repeated saves") {
+    import graft.ops.IvfIndex
+    val path = java.nio.file.Files.createTempDirectory("ivf_race")
+      .toString + "/idx"
+    def cents(n: Int): Seq[Seq[Double]] =
+      (0 until n).map(i => Seq(i.toDouble, 1.0, -i.toDouble))
+    IvfIndex.save(spark, path, cents(4), nCells = 4, kmeansIters = 3)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val loads = new java.util.concurrent.atomic.AtomicLong(0L)
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop) {
+        try {
+          // load's own n_centroids-vs-rows check is the torn detector:
+          // a stale relation against a fresh manifest (the saves below
+          // alternate centroid COUNTS) fails it
+          val c = IvfIndex.load(spark, path)
+          assert(c.nonEmpty && c.forall(_.length == 3))
+          loads.incrementAndGet()
+        } catch { case t: Throwable => errors.add(t); stop = true }
+      }
+    }, "ivf-race-reader")
+    reader.start()
+    try {
+      (1 to 8).foreach { i =>
+        val n = if (i % 2 == 0) 4 else 16
+        IvfIndex.save(spark, path, cents(n), nCells = n, kmeansIters = 3)
+      }
+    } finally { stop = true; reader.join(30000) }
+    assert(errors.isEmpty,
+      s"reader saw a torn ivf artifact: ${Option(errors.peek())}")
+    assert(loads.get() > 0)
+  }
 }
