@@ -48,21 +48,29 @@ object ArtifactLock {
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val scheme = Option(fs.getUri.getScheme).getOrElse("file")
-    if (scheme == "file" || scheme == "local") {
-      // POSIX rename: the only rename that is truly atomic-with-replace
-      // on a local filesystem. Hadoop's local FileContext rename with
-      // OVERWRITE deletes the destination FIRST (a missing-manifest
-      // window the ArtifactRaceSpec hammer actually caught under load).
-      val dir = java.nio.file.Paths.get(
-        new org.apache.hadoop.fs.Path(path).toUri.getPath)
-      java.nio.file.Files.move(dir.resolve(tmp.getName), dir.resolve(p.getName),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    } else {
-      // HDFS-class filesystems implement rename-with-OVERWRITE
-      // atomically at the namenode
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
-      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    try {
+      if (scheme == "file" || scheme == "local") {
+        // POSIX rename: the only rename that is truly atomic-with-replace
+        // on a local filesystem. Hadoop's local FileContext rename with
+        // OVERWRITE deletes the destination FIRST (a missing-manifest
+        // window the ArtifactRaceSpec hammer actually caught under load).
+        val dir = java.nio.file.Paths.get(
+          new org.apache.hadoop.fs.Path(path).toUri.getPath)
+        java.nio.file.Files.move(dir.resolve(tmp.getName), dir.resolve(p.getName),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } else {
+        // HDFS-class filesystems implement rename-with-OVERWRITE
+        // atomically at the namenode
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+        fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      }
+    } catch { case e: Throwable =>
+      // a failed rename must not leak the hidden temp (nothing else ever
+      // cleans a live-JVM failure; crash leftovers are swept by
+      // pruneGenerations). The publish itself still failed — rethrow.
+      try fs.delete(tmp, false) catch { case _: Exception => () }
+      throw e
     }
   }
 
@@ -106,27 +114,111 @@ object ArtifactLock {
     } catch { case _: Exception => Some(0L) }
   }
 
+  /** How many PRIOR generations a prune keeps alive for unlocked
+    * readers. One was not enough: a load is manifest-read → parquet-read
+    * (plus the scan's captured file listing), so a reader that resolved
+    * generation N keeps touching N's files for a visible span — and two
+    * back-to-back saves inside that span would delete N under it
+    * (exactly the ArtifactRaceSpec IVF failure round 18's final suite
+    * run produced). K=2 means a reader must lag THREE whole saves to
+    * lose its directory, and [[retryingLoad]] heals even that. These
+    * relations are artifact-sized (a sketch row, nCells centroids, a
+    * vocab), so the extra kept generation is bytes, not data-scale. */
+  private[graft] val KeepGenerations = 2L
+
   /** Best-effort cleanup AFTER a new generation's manifest published:
-    * delete the named bases' generations older than `newGen - 1` (the
-    * PREVIOUS generation stays alive for readers that resolved the old
-    * manifest just before the publish). Crash between publish and prune
-    * just leaves extra dirs for the next mutation's prune. */
+    * delete the named bases' generations older than `newGen -
+    * KeepGenerations` (the previous TWO generations stay alive for
+    * readers that resolved an older manifest around the publish). Crash
+    * between publish and prune just leaves extra dirs for the next
+    * mutation's prune. Also sweeps orphaned `.manifest.json.*.tmp`
+    * files a crashed publish left behind (only ones old enough that no
+    * in-flight publish from another JVM can still own them). */
   private[graft] def pruneGenerations(spark: org.apache.spark.sql.SparkSession,
                                       path: String, bases: Seq[String],
                                       newGen: Long): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val pat = ("^(" + bases.mkString("|") + ")(?:-([0-9]+))?$").r
+    val tmpPat = "^\\.manifest\\.json\\..*\\.tmp$".r
+    val staleTmpMs = 60000L
     try {
+      val now = System.currentTimeMillis()
       fs.listStatus(root).foreach { st =>
         st.getPath.getName match {
           case pat(_, g) =>
             val gen = Option(g).map(_.toLong).getOrElse(0L)
-            if (gen < newGen - 1) fs.delete(st.getPath, true)
+            if (gen < newGen - KeepGenerations) fs.delete(st.getPath, true)
+          case n if tmpPat.findFirstIn(n).isDefined &&
+              now - st.getModificationTime > staleTmpMs =>
+            fs.delete(st.getPath, false)
           case _ => ()
         }
       }
-    } catch { case _: Exception => () } // cleanup is best-effort
+    } catch { case e: Exception =>
+      // cleanup is best-effort (the new generation is already live) —
+      // but a silently-swallowed auth/permission error repeating on
+      // every save deserves a trace
+      log.warn(s"generation prune at $path failed (kept going): $e")
+    }
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** TRUE iff a failure bottoms out in a MISSING INPUT FILE — the
+    * signature of artifact maintenance racing a read: a generation
+    * prune or shard swap deleting files after the read resolved its
+    * manifest or captured its scan's file listing. Matched tightly on
+    * file-read signatures (driver-side FileNotFoundException anywhere
+    * in the cause chain; Spark's FAILED_READ_FILE.FILE_NOT_EXIST error
+    * class or a re-stringified executor-side FileNotFoundException in a
+    * SparkException; Catalyst's PATH_NOT_FOUND at planning time) — NOT
+    * on a bare "does not exist" substring, which would misclassify
+    * genuine missing-dataset errors as retryable churn. */
+  def isMissingInputFile(e: Throwable): Boolean = {
+    var cur: Throwable = e
+    var depth = 0
+    while (cur != null && depth < 20) {
+      cur match {
+        case _: java.io.FileNotFoundException => return true
+        case a: org.apache.spark.sql.AnalysisException
+            if a.getCondition == "PATH_NOT_FOUND" => return true
+        case s: org.apache.spark.SparkException
+            if Option(s.getMessage).exists(m =>
+              m.contains("FILE_NOT_EXIST") ||
+                m.contains("FileNotFoundException")) => return true
+        case _ => ()
+      }
+      cur = if (cur.getCause eq cur) null else cur.getCause
+      depth += 1
+    }
+    false
+  }
+
+  /** Bounded retry for artifact LOADS racing maintenance: runs `f` (a
+    * whole load — it must re-resolve the manifest from scratch so the
+    * retry sees the freshly-published generation and a fresh file
+    * listing) and retries up to twice, with a short backoff, when the
+    * failure classifies as a missing input file ([[isMissingInputFile]],
+    * checked down the cause chain — the loads attach causes when they
+    * wrap read failures into their IllegalArgumentException contract).
+    * This is the library-level twin of the HTTP server's re-plan retry
+    * (GraftServer's query attempt loop): generation prunes and shard
+    * swaps are milliseconds wide, so two re-resolutions close the
+    * window a lagging reader can still hit even with
+    * [[KeepGenerations]] prior generations kept. Every other failure
+    * propagates unchanged on the first attempt. `f` must be a pure
+    * read. */
+  def retryingLoad[T](f: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return f
+      catch { case e: Throwable if attempt < 2 && isMissingInputFile(e) =>
+        attempt += 1
+        Thread.sleep(25L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Normalize a path string to its lock key: Hadoop Path normalization

@@ -210,8 +210,13 @@ object BloomIndex {
     * mode — missing, foreign, corrupt, unparsable manifest, missing
     * sketch parquet — surfaces as IllegalArgumentException (the
     * documented fail-fast contract; raw parse/read exceptions are
-    * wrapped so direct-API consumers can catch one type). */
-  def loadWithMeta(spark: SparkSession, path: String): Artifact = {
+    * wrapped so direct-API consumers can catch one type). A load racing
+    * concurrent saves is retried bounded ([[ArtifactLock.retryingLoad]]
+    * — re-resolves the manifest on a pruned-generation read failure). */
+  def loadWithMeta(spark: SparkSession, path: String): Artifact =
+    ArtifactLock.retryingLoad(loadWithMetaOnce(spark, path))
+
+  private def loadWithMetaOnce(spark: SparkSession, path: String): Artifact = {
     val mPath = new org.apache.hadoop.fs.Path(path, "manifest.json")
     val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(mPath))
@@ -244,8 +249,10 @@ object BloomIndex {
       try spark.read.parquet(
         s"$path/${ArtifactLock.genDirName("bloom", dataGen)}").collect()
       catch { case e: org.apache.spark.sql.AnalysisException =>
+        // cause attached: retryingLoad's classifier walks the chain to
+        // tell a maintenance race (PATH_NOT_FOUND) from real corruption
         throw new IllegalArgumentException(
-          s"bloom index at $path is corrupt: unreadable sketch: ${e.getMessage}") }
+          s"bloom index at $path is corrupt: unreadable sketch: ${e.getMessage}", e) }
     if (rows.length != 1)
       throw new IllegalArgumentException(
         s"bloom index at $path is corrupt: expected one sketch row, got ${rows.length}")

@@ -160,8 +160,15 @@ object IvfIndex {
 
   /** Load a persisted quantizer. Fails fast (IllegalArgumentException)
     * on a missing/foreign/corrupt artifact rather than returning a
-    * half-index. */
-  def load(spark: SparkSession, path: String): Seq[Seq[Double]] = {
+    * half-index. A load racing concurrent saves is retried bounded
+    * ([[ArtifactLock.retryingLoad]]): manifest-read → parquet-read is
+    * not atomic, so a reader lagging several saves can still find its
+    * resolved generation pruned — the retry re-resolves the manifest
+    * (fresh generation, fresh file listing) and reads again. */
+  def load(spark: SparkSession, path: String): Seq[Seq[Double]] =
+    ArtifactLock.retryingLoad(loadOnce(spark, path))
+
+  private def loadOnce(spark: SparkSession, path: String): Seq[Seq[Double]] = {
     val manifest = readManifest(spark, path)
     val dataGen: Long = manifest.get("data_gen") match {
       case Some(l: Long) if l >= 0 => l

@@ -189,8 +189,34 @@ object MinHashIndex {
   /** Load a persisted signature index. Runs no Spark job — the signature
     * relation is returned lazy; schema and manifest coherence are
     * checked, every failure mode surfacing as IllegalArgumentException
-    * (the artifacts' shared fail-fast contract). */
-  def load(spark: SparkSession, path: String): Artifact = {
+    * (the artifacts' shared fail-fast contract). Load-time races with a
+    * concurrent [[update]] are retried bounded
+    * ([[ArtifactLock.retryingLoad]]); because the relation is LAZY and
+    * this layout swaps shard files in place (no generations — the
+    * relation is corpus-sized, so keeping prior generations would
+    * double the artifact's footprint), an ACTION racing an update can
+    * still capture a pre-swap file listing — wrap the whole
+    * plan-and-act in [[probeRetrying]] for that (the HTTP server's
+    * query loop is the same retry one layer up). */
+  def load(spark: SparkSession, path: String): Artifact =
+    ArtifactLock.retryingLoad(loadOnce(spark, path))
+
+  /** Bounded re-plan retry for library-level PROBES of this index: runs
+    * `use` against a freshly-loaded artifact and, when the action fails
+    * because an [[update]]'s shard swap raced the plan's captured file
+    * listing (a missing input file — [[ArtifactLock.isMissingInputFile]]),
+    * re-loads and re-runs, up to twice. The reload is what heals: a
+    * fresh `load` resolves a fresh file listing. `use` must be a pure
+    * read (it may run multiple times); put the ACTION (collect/count/
+    * write) inside it, not just the plan, or the retry guards nothing.
+    * This is the library twin of the HTTP server's re-plan retry for
+    * direct consumers of [[Dedup.minhashPairsAgainstIndex]] /
+    * [[Dedup.minhashPairsFromIndex]]. */
+  def probeRetrying[T](spark: SparkSession, path: String)
+                      (use: Artifact => T): T =
+    ArtifactLock.retryingLoad(use(loadOnce(spark, path)))
+
+  private def loadOnce(spark: SparkSession, path: String): Artifact = {
     val mPath = new org.apache.hadoop.fs.Path(path, "manifest.json")
     val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(mPath))
@@ -233,8 +259,10 @@ object MinHashIndex {
     val sigs =
       (try spark.read.parquet(s"$path/signatures")
       catch { case e: org.apache.spark.sql.AnalysisException =>
+        // cause attached: retryingLoad's classifier walks the chain to
+        // tell a maintenance race (PATH_NOT_FOUND) from real corruption
         throw new IllegalArgumentException(
-          s"minhash index at $path is corrupt: unreadable signatures: ${e.getMessage}") })
+          s"minhash index at $path is corrupt: unreadable signatures: ${e.getMessage}", e) })
         .drop("sig_shard")
     import org.apache.spark.sql.types._
     val sigField = sigs.schema.fields.find(_.name == "sig")

@@ -641,8 +641,16 @@ object VocabIndex {
   /** Load a persisted vocabulary. Runs no Spark job — the relation is
     * returned lazy; schema and manifest coherence are checked, every
     * failure mode surfacing as IllegalArgumentException (the artifacts'
-    * shared fail-fast contract). */
-  def load(spark: SparkSession, path: String): Artifact = {
+    * shared fail-fast contract). A load racing concurrent maintenance is
+    * retried bounded ([[ArtifactLock.retryingLoad]] — re-resolves the
+    * manifest on a pruned-generation read failure); the relation handed
+    * back stays lazy, so an action racing a LATER save is the consumer's
+    * (or the HTTP server's re-plan retry's) window, bounded by the
+    * [[ArtifactLock.KeepGenerations]] generations every prune keeps. */
+  def load(spark: SparkSession, path: String): Artifact =
+    ArtifactLock.retryingLoad(loadOnce(spark, path))
+
+  private def loadOnce(spark: SparkSession, path: String): Artifact = {
     val mPath = new org.apache.hadoop.fs.Path(path, "manifest.json")
     val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(mPath))
@@ -687,8 +695,10 @@ object VocabIndex {
     val vocab =
       try spark.read.parquet(s"$path/${genDir("vocabulary", dataGen)}")
       catch { case e: org.apache.spark.sql.AnalysisException =>
+        // cause attached: retryingLoad's classifier walks the chain to
+        // tell a maintenance race (PATH_NOT_FOUND) from real corruption
         throw new IllegalArgumentException(
-          s"vocabulary at $path is corrupt: unreadable relation: ${e.getMessage}") }
+          s"vocabulary at $path is corrupt: unreadable relation: ${e.getMessage}", e) }
     import org.apache.spark.sql.types._
     def colType(n: String): Option[DataType] =
       vocab.schema.fields.find(_.name == n).map(_.dataType)
@@ -715,7 +725,7 @@ object VocabIndex {
         try spark.read.parquet(s"$path/${genDir("summary", dataGen)}")
         catch { case e: org.apache.spark.sql.AnalysisException =>
           throw new IllegalArgumentException(
-            s"vocabulary at $path is corrupt: unreadable summary: ${e.getMessage}") }
+            s"vocabulary at $path is corrupt: unreadable summary: ${e.getMessage}", e) }
       def sType(n: String): Option[DataType] =
         s.schema.fields.find(_.name == n).map(_.dataType)
       if (!sType("token").contains(StringType) ||

@@ -351,30 +351,16 @@ final class GraftServer(spark: SparkSession, port: Int,
 
   /** TRUE iff a query failure bottoms out in a MISSING INPUT FILE — the
     * signature of an artifact maintenance swap (a MinHash shard
-    * delete+rename, an IVF/Bloom relation rewrite) racing a read whose
-    * plan captured the pre-swap file listing. Those reads are correct
-    * against the post-swap artifact; the server retries them once or
-    * twice against a freshly-built plan (see the query attempt loop).
-    * Checked down the cause chain (driver-side FNF) and in Spark's task
-    * failure messages (executor-side FNF surfaces re-stringified). */
-  private def isMissingInputFile(e: Throwable): Boolean = {
-    var cur: Throwable = e
-    var depth = 0
-    while (cur != null && depth < 20) {
-      cur match {
-        case _: java.io.FileNotFoundException => return true
-        case s: org.apache.spark.SparkException
-            if Option(s.getMessage).exists(m =>
-              m.contains("FILE_NOT_EXIST") ||
-                m.contains("FileNotFoundException") ||
-                m.contains("does not exist")) => return true
-        case _ => ()
-      }
-      cur = if (cur.getCause eq cur) null else cur.getCause
-      depth += 1
-    }
-    false
-  }
+    * delete+rename, an IVF/Bloom/Vocab generation prune) racing a read
+    * whose plan captured the pre-swap file listing. Those reads are
+    * correct against the post-swap artifact; the server retries them
+    * once or twice against a freshly-built plan (see the query attempt
+    * loop). Delegates to the shared tightened classifier
+    * ([[graft.ops.ArtifactLock.isMissingInputFile]]) — file-read
+    * signatures only, so a genuinely-missing dataset path is NOT
+    * misclassified as retryable churn. */
+  private def isMissingInputFile(e: Throwable): Boolean =
+    graft.ops.ArtifactLock.isMissingInputFile(e)
 
   private def query(exchange: HttpExchange, key: String, qJson: String): Unit = {
     val t0 = clock()

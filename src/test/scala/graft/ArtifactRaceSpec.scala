@@ -135,4 +135,79 @@ class ArtifactRaceSpec extends AnyFunSuite {
       s"reader saw a torn ivf artifact: ${Option(errors.peek())}")
     assert(loads.get() > 0)
   }
+
+  /** Run `save(i)` `n` times back-to-back while TWO reader threads loop
+    * `loadCheck` — the SAVE-STORM shape that actually produced round
+    * 18's intermittent IVF failure: with only one prior generation
+    * kept, a reader that resolved manifest generation g and then lagged
+    * two rapid saves found g's data dir pruned mid-read. K=2 kept
+    * generations plus the bounded manifest-re-resolving load retry
+    * ([[graft.ops.ArtifactLock.retryingLoad]]) must absorb the storm. */
+  private def storm(n: Int)(save: Int => Unit)(loadCheck: () => Unit): Unit = {
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val loads = new java.util.concurrent.atomic.AtomicLong(0L)
+    @volatile var stop = false
+    val readers = (1 to 2).map { r =>
+      val t = new Thread(() => {
+        while (!stop) {
+          try { loadCheck(); loads.incrementAndGet() }
+          catch { case t: Throwable => errors.add(t); stop = true }
+        }
+      }, s"storm-reader-$r")
+      t.start(); t
+    }
+    try (1 to n).foreach(save)
+    finally { stop = true; readers.foreach(_.join(30000)) }
+    assert(errors.isEmpty,
+      s"a reader failed under the save storm: ${Option(errors.peek())}")
+    assert(loads.get() > 0, "no reader completed a load")
+  }
+
+  test("save-storm: ivf loads survive 25 back-to-back saves") {
+    import graft.ops.IvfIndex
+    val path = java.nio.file.Files.createTempDirectory("ivf_storm")
+      .toString + "/idx"
+    def cents(n: Int): Seq[Seq[Double]] =
+      (0 until n).map(i => Seq(i.toDouble, 1.0, -i.toDouble))
+    IvfIndex.save(spark, path, cents(4), nCells = 4, kmeansIters = 1)
+    storm(25) { i =>
+      val n = 2 + (i % 5)
+      IvfIndex.save(spark, path, cents(n), nCells = n, kmeansIters = 1)
+    } { () =>
+      val c = IvfIndex.load(spark, path)
+      assert(c.nonEmpty && c.forall(_.length == 3))
+    }
+  }
+
+  test("save-storm: bloom loads survive 25 back-to-back saves") {
+    import graft.ops.BloomIndex
+    val path = java.nio.file.Files.createTempDirectory("bloom_storm")
+      .toString + "/idx"
+    BloomIndex.buildAndSave((1L to 50L).map(Tuple1(_)).toDF("xid"),
+      "xid", fpp = 0.01, path)
+    storm(25) { i =>
+      // vary the exclusion-list size so every save's sketch byte length
+      // differs — loadWithMeta's n_bytes check is the torn detector
+      val n = if (i % 2 == 0) 50L else 5000L
+      BloomIndex.buildAndSave((1L to n).map(Tuple1(_)).toDF("xid"),
+        "xid", fpp = 0.01, path)
+    } { () => BloomIndex.loadWithMeta(spark, path) }
+  }
+
+  test("save-storm: vocab loads survive 25 back-to-back updates") {
+    val path = java.nio.file.Files.createTempDirectory("vocab_storm")
+      .toString + "/idx"
+    VocabIndex.buildAndSave(
+      Seq((1L, "alpha beta gamma alpha"), (2L, "beta gamma delta"))
+        .toDF("doc_id", "text"),
+      "text", k = 8, path = path, capacity = Some(4096))
+    storm(25) { i =>
+      VocabIndex.update(spark, path,
+        Seq((100L + i, s"tok$i alpha storm$i")).toDF("doc_id", "text"),
+        "text", maxSlabs = 2)
+    } { () =>
+      val a = VocabIndex.load(spark, path)
+      assert(a.k == 8 && a.capacity.contains(4096))
+    }
+  }
 }
