@@ -1797,22 +1797,37 @@ object XopEngine {
         // representative pairs); both together protect the full family
         // (members collapse to their representative, representatives
         // follow their component)
-        (args.get("text"), args.get("clusters")) match {
-          case (Some(_), Some(_)) =>
-            val cl = dataset("clusters")
-            for (c <- Seq("id", "cluster") if !ExprCompiler.hasColumn(cl, c))
+        // the clusters relation's columns must be statically INTEGRAL,
+        // same contract as the corpus id (Sampling's own guard is an
+        // IllegalArgumentException — a 500 over HTTP — so the xop layer
+        // pre-checks and 400s like every other statically-typed arg)
+        def integralClusters(): DataFrame = {
+          val cl = dataset("clusters")
+          for (c <- Seq("id", "cluster")) {
+            if (!ExprCompiler.hasColumn(cl, c))
               Errors.malformed(
                 s"xop '$name': clusters dataset must have (id, cluster)", c)
+            cl.schema(c).dataType match {
+              case org.apache.spark.sql.types.ByteType |
+                   org.apache.spark.sql.types.ShortType |
+                   org.apache.spark.sql.types.IntegerType |
+                   org.apache.spark.sql.types.LongType => ()
+              case dt => Errors.malformed(
+                s"xop '$name': clusters column '$c' must be an integral " +
+                  "id column (it equi-joins and hashes as int64)",
+                dt.simpleString)
+            }
+          }
+          cl
+        }
+        (args.get("text"), args.get("clusters")) match {
+          case (Some(_), Some(_)) =>
             Sampling.splitByClassExact(df, splitId,
-              column(df, args, "text", name), cl, splits)
+              column(df, args, "text", name), integralClusters(), splits)
           case (Some(_), None) => Sampling.splitLeakFreeExact(df, splitId,
             column(df, args, "text", name), splits)
           case (None, Some(_)) =>
-            val cl = dataset("clusters")
-            for (c <- Seq("id", "cluster") if !ExprCompiler.hasColumn(cl, c))
-              Errors.malformed(
-                s"xop '$name': clusters dataset must have (id, cluster)", c)
-            Sampling.splitByClass(df, splitId, cl, splits)
+            Sampling.splitByClass(df, splitId, integralClusters(), splits)
           case (None, None) => Sampling.splitByHash(df, splitId, splits)
         }
 

@@ -12,11 +12,21 @@ package graft.ops
   * the cycles compose; concurrent maintenance on DIFFERENT artifacts
   * stays parallel (per-path monitors, no global lock).
   *
-  * Scope and non-goals: this is WITHIN-JVM serialization — the single
-  * writer the artifact formats already assume (their crash posture is
-  * manifest-last ordering, not multi-writer reconciliation). Multiple
-  * driver JVMs maintaining one artifact path need external coordination,
-  * exactly as any manifest-pointer table format does. Keying is by the
+  * Scope: serialization is two-layer. WITHIN a JVM, per-path monitors
+  * (cheap, reentrant — a mutating op may compose others, e.g. update →
+  * auto-compact). ACROSS processes, a lease FILE next to the manifest
+  * (`<path>/.maintenance.lease`, created exclusively — the one create
+  * POSIX and HDFS both make atomic): a second driver JVM maintaining
+  * the same artifact path blocks until the holder releases, so its
+  * read-modify-write cycle starts from the first writer's published
+  * manifest and no delta is lost. A crashed holder's lease goes STALE
+  * after `graft.artifact.lease.stale.ms` (default 10 min — longer than
+  * any artifact-sized maintenance job) and is taken over; takeover
+  * contenders race the same exclusive create, so exactly one wins.
+  * Waiters give up with an error naming the holder after
+  * `graft.artifact.lease.timeout.ms` (default 10 min). The lease is
+  * acquired once per outermost [[withWriteLock]] (reentrant entries
+  * share it). Keying is by the
   * normalized path STRING (the server resolves each artifact name to one
   * canonical root, so filesystem aliasing of the same directory through
   * different spellings is not a supported layout). READS are not locked:
@@ -227,9 +237,116 @@ object ArtifactLock {
   private def keyOf(path: String): String =
     new org.apache.hadoop.fs.Path(path).toString
 
-  /** Run `f` holding this artifact path's writer monitor. Reentrant by
-    * JVM monitor semantics, so a mutating op may compose others (e.g.
+  /** Run `f` holding this artifact path's writer monitor AND the
+    * cross-process maintenance lease. Reentrant: the monitor by JVM
+    * semantics, the lease by an explicit depth count (acquired on the
+    * outermost entry only), so a mutating op may compose others (e.g.
     * update → auto-compact) without self-deadlock. */
-  def withWriteLock[T](path: String)(f: => T): T =
-    locks.computeIfAbsent(keyOf(path), _ => new Object).synchronized(f)
+  def withWriteLock[T](path: String)(f: => T): T = {
+    val key = keyOf(path)
+    locks.computeIfAbsent(key, _ => new Object).synchronized {
+      // depth mutations run with the monitor held, so plain get/put
+      val depth = leaseDepth.getOrDefault(key, 0)
+      if (depth == 0) acquireLease(path)
+      leaseDepth.put(key, depth + 1)
+      try f
+      finally {
+        val d = leaseDepth.get(key) - 1
+        if (d == 0) { leaseDepth.remove(key); releaseLease(path) }
+        else leaseDepth.put(key, d)
+      }
+    }
+  }
+
+  private val leaseDepth =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private def leaseStaleMs: Long =
+    java.lang.Long.getLong("graft.artifact.lease.stale.ms", 600000L)
+  private def leaseTimeoutMs: Long =
+    java.lang.Long.getLong("graft.artifact.lease.timeout.ms", 600000L)
+
+  private[graft] def leasePathOf(path: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(path, ".maintenance.lease")
+
+  /** Acquire the cross-process maintenance lease: create
+    * `<path>/.maintenance.lease` EXCLUSIVELY (java.nio CREATE_NEW on
+    * local filesystems — atomic O_EXCL; Hadoop create(overwrite=false)
+    * elsewhere — atomic at the HDFS namenode), recording holder
+    * (`pid@host`) and epoch millis. If the file exists, poll: a lease
+    * whose mtime is older than the stale threshold is presumed crashed
+    * and deleted (both takeover contenders may delete — a no-op for
+    * the loser — and the exclusive CREATE retry decides the winner);
+    * otherwise wait until the deadline, then fail naming the holder.
+    * The default Hadoop Configuration resolves file:// and any
+    * classpath-configured cluster filesystem — same resolution the
+    * artifact paths themselves get. */
+  private def acquireLease(path: String): Unit = {
+    val lease = leasePathOf(path)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = lease.getFileSystem(conf)
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    val holder = s"${ProcessHandle.current.pid}@" +
+      java.net.InetAddress.getLocalHost.getHostName
+    val deadline = System.currentTimeMillis() + leaseTimeoutMs
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path))
+    while (true) {
+      val body = s"$holder ${System.currentTimeMillis()}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val created =
+        try {
+          if (scheme == "file" || scheme == "local") {
+            val p = java.nio.file.Paths.get(
+              new org.apache.hadoop.fs.Path(path).toUri.getPath)
+              .resolve(lease.getName)
+            java.nio.file.Files.write(p, body,
+              java.nio.file.StandardOpenOption.CREATE_NEW,
+              java.nio.file.StandardOpenOption.WRITE)
+            true
+          } else {
+            val out = fs.create(lease, false)
+            try out.write(body) finally out.close()
+            true
+          }
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        }
+      if (created) return
+      try {
+        val st = fs.getFileStatus(lease)
+        if (System.currentTimeMillis() - st.getModificationTime > leaseStaleMs) {
+          log.warn(s"taking over stale maintenance lease at $lease " +
+            s"(untouched for > $leaseStaleMs ms)")
+          fs.delete(lease, false)
+        }
+      } catch { case _: java.io.FileNotFoundException => () // just released
+      }
+      if (System.currentTimeMillis() > deadline) {
+        val holderInfo =
+          try {
+            val in = fs.open(lease)
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          } catch { case _: Exception => "unknown" }
+        throw new IllegalStateException(
+          s"timed out after $leaseTimeoutMs ms waiting for the artifact " +
+            s"maintenance lease at $lease (holder: $holderInfo) — another " +
+            "driver is maintaining this artifact, or a crashed holder's " +
+            "lease has not yet gone stale " +
+            "(graft.artifact.lease.stale.ms)")
+      }
+      Thread.sleep(50)
+    }
+  }
+
+  private def releaseLease(path: String): Unit =
+    try {
+      val lease = leasePathOf(path)
+      lease.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        .delete(lease, false)
+    } catch { case e: Exception =>
+      // the stale-takeover path recovers an unreleased lease; still loud
+      log.warn(s"failed to release maintenance lease under $path: $e")
+    }
 }

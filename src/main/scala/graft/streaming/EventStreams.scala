@@ -226,12 +226,32 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"))
     // driver-held across epochs: the accumulated finalized counts and
-    // the scored horizon (max window already handed to the sink's feed)
+    // the scored horizon (max window already handed to the sink's feed).
+    // RESTART-FROM-CHECKPOINT IS UNSUPPORTED and fails fast (below):
+    // the watermark aggregation's state store survives a restart
+    // (finalized windows are never re-emitted) while these vars reset,
+    // so post-restart epochs would score against an empty history and
+    // silently diverge from the batch twin. Resume by reprocessing the
+    // source under a FRESH checkpoint, or persist the sink's output and
+    // its horizon externally. Intra-run epoch REPLAYS (at-least-once
+    // foreachBatch) are fully absorbed — see the merge's dedup.
     var state: Option[DataFrame] = None
     var horizon: Option[java.sql.Timestamp] = None
+    var observedFirstEpoch = false
     counts.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
       .foreachBatch { (b: DataFrame, epoch: Long) =>
+        if (!observedFirstEpoch) {
+          // first batch of a FRESH query is epoch 0 (possibly replayed);
+          // a first-observed epoch > 0 means this process attached to an
+          // existing checkpoint with its accumulator history gone
+          if (epoch > 0 && state.isEmpty) throw new IllegalStateException(
+            s"rateAnomalyStream cannot resume from an existing checkpoint " +
+              s"(first observed epoch $epoch with empty accumulator): " +
+              "finalized windows before the restart are unrecoverable — " +
+              "reprocess the source under a fresh checkpoint")
+          observedFirstEpoch = true
+        }
         // dropDuplicates on the window key: under foreachBatch's
         // at-least-once contract a replayed epoch re-delivers rows the
         // state already holds, and a duplicated (window, type) count row
@@ -1225,10 +1245,23 @@ object EventStreams {
     val maskOffsets = expr(
       s"filter(sequence(0L, ${maxOffset}L), " +
         "d -> (shiftright(mask, cast(d AS int)) & 1) = 1)")
+    // RESTART-FROM-CHECKPOINT IS UNSUPPORTED (same contract and reason
+    // as rateAnomalyStream: the streaming agg's state survives a restart
+    // but this accumulator resets, so the resumed run would re-derive
+    // cohorts from post-restart pairs only). Fails fast below.
     var state: Option[DataFrame] = None
+    var observedFirstEpoch = false
     pairs.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
       .foreachBatch { (b: DataFrame, epoch: Long) =>
+        if (!observedFirstEpoch) {
+          if (epoch > 0 && state.isEmpty) throw new IllegalStateException(
+            s"retentionStream cannot resume from an existing checkpoint " +
+              s"(first observed epoch $epoch with empty accumulator): " +
+              "pairs finalized before the restart are unrecoverable — " +
+              "reprocess the source under a fresh checkpoint")
+          observedFirstEpoch = true
+        }
         if (!b.isEmpty) {
           val fresh = b.select(col("user"), col("period"))
           val all = state match {

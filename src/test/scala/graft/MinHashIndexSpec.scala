@@ -406,4 +406,52 @@ class MinHashIndexSpec extends AnyFunSuite {
       MinHashIndex.verifyContent(spark, bare, corpus, "doc_id", "text") }
     assert(e4.getMessage.contains("no content fingerprint"))
   }
+
+  test("probeRetrying serves library-level probes through update churn") {
+    // the sharded layout swaps shard files IN PLACE (no generations —
+    // the relation is corpus-sized), so a direct library consumer whose
+    // plan captured a pre-swap file listing races every update. The
+    // HTTP server absorbs that with its re-plan retry; probeRetrying is
+    // the same retry for library callers — this churn test is an update
+    // thread against a repeated plan-and-act probe, zero failures.
+    val path = tmpDir() + "/idx"
+    MinHashIndex.buildAndSave(corpus, "doc_id", "text", path = path)
+    // churn-invariant expectation, pinned before the updater starts:
+    // only row 5 drifts below, and it never matches the batch
+    val expected = Dedup.minhashPairsAgainstIndex(batch, "doc_id", "text",
+      MinHashIndex.load(spark, path)).count()
+    assert(expected >= 3L)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    @volatile var stop = false
+    val updater = new Thread(() => {
+      var i = 0
+      while (!stop) {
+        i += 1
+        // one drifted row per update: exactly one shard re-staged+swapped
+        val v = corpus.withColumn("text",
+          when(col("doc_id") === 5L, concat(col("text"), lit(s" rev$i")))
+            .otherwise(col("text")))
+        try MinHashIndex.update(spark, path, v, "doc_id", "text")
+        catch { case t: Throwable => errors.add(t); stop = true }
+      }
+    }, "minhash-churn-updater")
+    updater.start()
+    val probes = new java.util.concurrent.atomic.AtomicLong(0L)
+    try {
+      (1 to 40).foreach { _ =>
+        // plan AND action inside the retry — the count() is where a
+        // captured pre-swap listing actually fails
+        val n = MinHashIndex.probeRetrying(spark, path) { art =>
+          Dedup.minhashPairsAgainstIndex(batch, "doc_id", "text", art).count()
+        }
+        // the updated row 5 never matches the batch, so the pair count
+        // is stable across every corpus revision
+        assert(n == expected, s"expected $expected cross-side pairs, got $n")
+        probes.incrementAndGet()
+      }
+    } finally { stop = true; updater.join(60000) }
+    assert(errors.isEmpty,
+      s"update thread failed during churn: ${Option(errors.peek())}")
+    assert(probes.get() == 40L)
+  }
 }

@@ -748,4 +748,128 @@ class StreamingSpec extends AnyFunSuite {
     // epoch than w0..w3 and still scored exactly once
     assert(streamed.count(r => r._1 == ts(6, 0) && r._2 == "click") == 1)
   }
+
+  test("retentionStream: cohorts settle at first arrival across an adversarial epoch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 1's periods 0, 2, 5 finalize in THREE separate epochs (each
+    // pusher advances the watermark just far enough); user 2 cohorts in
+    // period 1. The property under test: once a user's FIRST period
+    // finalizes, their cohort is settled — every later triangle keeps
+    // them in that cohort (later periods fold in as offsets; no
+    // cohort-2 or cohort-5 rows ever appear for user 1). This is the
+    // exactness argument's load-bearing Spark behavior (append-mode
+    // windows finalize in window-end order): if a future Spark version
+    // finalized out of order, the mid-stream cohort sets below would
+    // churn and this test would fail.
+    val triangles = scala.collection.mutable.ListBuffer[Seq[(Long, Long, Long)]]()
+    def drain(df: org.apache.spark.sql.DataFrame, epoch: Long): Unit =
+      triangles += df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val input = MemoryStream[Event]
+    val query = EventStreams.retentionStream(input.toDF(),
+        periodSeconds = 60L, maxOffset = 7, watermark = "2 minutes")(drain)
+      .start()
+    // cohorts are ABSOLUTE periods (floor(epoch/60)); p0 is the
+    // fixture's minute-0 period. The fixture's cohorts are exactly p0
+    // (user 1) and p0+1 (user 2); pusher user 99 cohorts at p0+4 with
+    // its own offsets — sliced away so the asserted sets stay the
+    // fixture's own cells
+    val p0 = ts(0, 0).getTime / 60000L
+    def fixtureCells(t: Seq[(Long, Long, Long)]) =
+      t.filter(c => c._1 == p0 || c._1 == p0 + 1)
+        .map(c => (c._1 - p0, c._2, c._3)).toSet
+    try {
+      input.addData(Event(1, ts(0, 10), 1, "click", 0.0),
+        Event(2, ts(1, 20), 2, "view", 0.0),
+        Event(900, ts(4, 10), 99, "click", 0.0)) // watermark → min 2
+      query.processAllAvailable()
+      assert(fixtureCells(triangles.last) ==
+        Set((0L, 0L, 1L), (1L, 0L, 1L)),
+        s"after epoch A: ${triangles.last}")
+      // user 1's period 2 arrives in a LATER epoch than their cohort
+      input.addData(Event(3, ts(2, 30), 1, "click", 0.0),
+        Event(901, ts(6, 10), 99, "click", 0.0)) // watermark → min 4
+      query.processAllAvailable()
+      assert(fixtureCells(triangles.last) ==
+        Set((0L, 0L, 1L), (0L, 2L, 1L), (1L, 0L, 1L)),
+        s"after epoch B: ${triangles.last}")
+      // and period 5 in a third epoch — cohort STILL 0, offset 5 folds in
+      input.addData(Event(4, ts(5, 30), 1, "click", 0.0),
+        Event(902, ts(8, 10), 99, "click", 0.0)) // watermark → min 6
+      query.processAllAvailable()
+      assert(fixtureCells(triangles.last) ==
+        Set((0L, 0L, 1L), (0L, 2L, 1L), (0L, 5L, 1L), (1L, 0L, 1L)),
+        s"after epoch C: ${triangles.last}")
+    } finally query.stop()
+    // and the settled triangles agree with the batch operator
+    val batch = EventStreams.retention(Seq(
+        Event(1, ts(0, 10), 1, "click", 0.0),
+        Event(2, ts(1, 20), 2, "view", 0.0),
+        Event(3, ts(2, 30), 1, "click", 0.0),
+        Event(4, ts(5, 30), 1, "click", 0.0)).toDF(),
+      periodSeconds = 60L, maxOffset = 7)
+      .collect().map(r => (r.getLong(0) - p0, r.getLong(1), r.getLong(2))).toSet
+    assert(fixtureCells(triangles.last.toSeq) == batch)
+  }
+
+  test("streaming twins fail fast on restart from an existing checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the driver-held accumulator dies with the process while the
+    // watermark aggregation's state store survives in the checkpoint —
+    // a resumed run would silently score/refold against an empty
+    // history, so attaching a fresh sink to a progressed checkpoint
+    // must throw, not diverge
+    val cp = java.nio.file.Files.createTempDirectory("rate_restart").toString
+    val input = MemoryStream[Event]
+    val sink1 = (df: org.apache.spark.sql.DataFrame, e: Long) => { df.count(); () }
+    val q1 = EventStreams.rateAnomalyStream(input.toDF(),
+        windowLength = "1 minute", trailing = 2, watermark = "2 minutes")(sink1)
+      .option("checkpointLocation", cp)
+      .start()
+    try {
+      input.addData(Event(1, ts(0, 10), 1, "click", 0.0),
+        Event(900, ts(6, 10), 99, "click", 0.0))
+      q1.processAllAvailable()
+      input.addData(Event(901, ts(9, 10), 99, "click", 0.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // "restart": a NEW writer (fresh accumulator vars) on the SAME
+    // checkpoint — its first observed epoch is > 0
+    val q2 = EventStreams.rateAnomalyStream(input.toDF(),
+        windowLength = "1 minute", trailing = 2, watermark = "2 minutes")(sink1)
+      .option("checkpointLocation", cp)
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      input.addData(Event(902, ts(12, 10), 99, "click", 0.0))
+      q2.processAllAvailable()
+    }
+    try assert(e.getMessage.contains("cannot resume from an existing checkpoint"),
+      e.getMessage)
+    finally q2.stop()
+
+    val cpR = java.nio.file.Files.createTempDirectory("ret_restart").toString
+    val input2 = MemoryStream[Event]
+    val r1 = EventStreams.retentionStream(input2.toDF(),
+        periodSeconds = 60L, maxOffset = 7, watermark = "2 minutes")(sink1)
+      .option("checkpointLocation", cpR)
+      .start()
+    try {
+      input2.addData(Event(1, ts(0, 10), 1, "click", 0.0),
+        Event(900, ts(6, 10), 99, "click", 0.0))
+      r1.processAllAvailable()
+    } finally r1.stop()
+    val r2 = EventStreams.retentionStream(input2.toDF(),
+        periodSeconds = 60L, maxOffset = 7, watermark = "2 minutes")(sink1)
+      .option("checkpointLocation", cpR)
+      .start()
+    val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      input2.addData(Event(901, ts(9, 10), 99, "click", 0.0))
+      r2.processAllAvailable()
+    }
+    try assert(e2.getMessage.contains("cannot resume from an existing checkpoint"),
+      e2.getMessage)
+    finally r2.stop()
+  }
 }

@@ -1846,6 +1846,34 @@ class XopSpec extends AnyFunSuite {
                              "budget": 10}}}""")
   }
 
+  test("split 400s on a non-integral clusters relation (both forms)") {
+    import spark.implicits._
+    val d = Seq((1L, "alpha", 1.0), (2L, "beta", 2.0)).toDF("id", "text", "w")
+    val badClusters = Seq(("1", "1")).toDF("id", "cluster") // string-typed
+    def bad(q: String): Unit = {
+      val e = intercept[MalformedQueryException](QueryEngine.run(d, q,
+        n => if (n == "cl") Some(badClusters) else None))
+      assert(e.getMessage.contains("must be an integral"), e.getMessage)
+    }
+    // clusters-only and text+clusters forms both pre-validate: a string
+    // clusters id would otherwise surface as Sampling's
+    // IllegalArgumentException — a 500 over HTTP instead of a 400
+    bad("""{"xop": {"name": "split",
+                    "args": {"id": "id", "clusters": "cl",
+                             "splits": [["train", 1.0]]}}}""")
+    bad("""{"xop": {"name": "split",
+                    "args": {"id": "id", "text": "text", "clusters": "cl",
+                             "splits": [["train", 1.0]]}}}""")
+    // missing column still reports the shape error, not a type error
+    val noCluster = Seq((1L, 9L)).toDF("id", "notcluster")
+    val e = intercept[MalformedQueryException](QueryEngine.run(d,
+      """{"xop": {"name": "split",
+                  "args": {"id": "id", "clusters": "cl",
+                           "splits": [["train", 1.0]]}}}""",
+      n => if (n == "cl") Some(noCluster) else None))
+    assert(e.getMessage.contains("(id, cluster)"), e.getMessage)
+  }
+
   test("exclude_ids removes rows on a stored exclusion list") {
     val out = QueryEngine.run(docs,
       """{"xop": {"name": "exclude_ids",
