@@ -214,6 +214,91 @@ object ScaleProbe {
         s.unpersist()
       }
 
+      // ---------- multimodal family (x12/x12b/x12c): every stage is a
+      // PER-ROW PURE function of the payload bytes (byte-probe features,
+      // header-field parses, stride-chunk slices), and replicas carry
+      // byte-identical payloads under disjoint asset ids — so feature/
+      // chunk multisets must scale EXACTLY xR and header round-trips
+      // must hold row-for-row at corpus scale, no float tolerance ----------
+
+      // x12: the batch-decode feature multiset is exactly xR — features
+      // are (length + strided byte probes) of the payload, identical
+      // across replicas, so each distinct (media_type, features) group's
+      // count scales linearly and no new group may appear
+      guarded("mm_features") {
+        def agg(df: DataFrame) = graft.ops.Multimodal.decodeFeatures(spark,
+            graft.ops.Multimodal.assetsFromText(df, "doc_id", "text"))
+          .groupBy("media_type", "features").agg(count(lit(1)).as("n"))
+        val a = agg(bDocs).withColumnRenamed("n", "n_b")
+        val s = agg(sDocs).withColumnRenamed("n", "n_s").persist()
+        timed("mm_features")(s.count())
+        val bad = a.join(s,
+            a("media_type") === s("media_type") && a("features") <=> s("features"),
+            "full_outer")
+          .filter(col("n_b").isNull || col("n_s").isNull ||
+            col("n_s") =!= col("n_b") * rDocs).count()
+        if (bad != 0) {
+          failures += 1
+          println(s"[probe] FAIL mm_features: $bad feature groups violate " +
+            s"n_s == $rDocs*n_b")
+        } else println(s"[probe] PASS mm_features: ${a.count()} distinct " +
+          s"feature vectors, multiset exactly x$rDocs")
+        s.unpersist()
+      }
+
+      // x12b: header decode round-trips EVERY row at scale — each doc
+      // becomes a byte-exact minimal PNG (signature + IHDR) whose
+      // width/height derive from its OWN asset id (ids differ per
+      // replica, so this is 5M distinct parses, not xR of one), and
+      // sniffHeader must hand back exactly the encoded fields
+      guarded("mm_meta") {
+        def pngAssets(df: DataFrame) = df.select(
+          col("doc_id").cast("long").as("asset_id"),
+          lit("image").as("media_type"),
+          unhex(concat(lit("89504E470D0A1A0A0000000D49484452"),
+            lpad(hex((col("doc_id") % 1024 + 1).cast("int")), 8, "0"),
+            lpad(hex((col("doc_id") % 768 + 1).cast("int")), 8, "0")))
+            .as("payload"))
+        val decoded = graft.ops.Multimodal.decodeMeta(pngAssets(sDocs))
+          .persist()
+        val total = timed("mm_meta")(decoded.count())
+        val bad = decoded.filter(col("format") =!= "png" ||
+          col("width") =!= (col("asset_id") % 1024 + 1).cast("int") ||
+          col("height") =!= (col("asset_id") % 768 + 1).cast("int") ||
+          col("payload_bytes") =!= 24L).count()
+        val expectTotal = bDocs.count() * rDocs
+        if (bad != 0 || total != expectTotal) {
+          failures += 1
+          println(s"[probe] FAIL mm_meta: $bad of $total header decodes " +
+            s"violate the round-trip (expected $expectTotal rows)")
+        } else println(s"[probe] PASS mm_meta: $total header decodes " +
+          "round-trip width/height/format exactly")
+        decoded.unpersist()
+      }
+
+      // x12c: frame-sample chunking is pure slicing over the payload —
+      // the (chunk_index, chunk_bytes) multiset scales exactly xR (the
+      // per-asset chunk sequence is identical across replicas)
+      guarded("mm_chunks") {
+        def agg(df: DataFrame) = graft.ops.Multimodal.sampleChunks(
+            graft.ops.Multimodal.assetsFromText(df, "doc_id", "text"),
+            chunkSize = 64, stride = 4)
+          .groupBy("chunk_index", "chunk_bytes").agg(count(lit(1)).as("n"))
+        val a = agg(bDocs).withColumnRenamed("n", "n_b")
+        val s = agg(sDocs).withColumnRenamed("n", "n_s").persist()
+        timed("mm_chunks")(s.count())
+        val bad = a.join(s, Seq("chunk_index", "chunk_bytes"), "full_outer")
+          .filter(col("n_b").isNull || col("n_s").isNull ||
+            col("n_s") =!= col("n_b") * rDocs).count()
+        if (bad != 0) {
+          failures += 1
+          println(s"[probe] FAIL mm_chunks: $bad chunk groups violate " +
+            s"n_s == $rDocs*n_b")
+        } else println(s"[probe] PASS mm_chunks: ${a.count()} distinct " +
+          s"(index, bytes) chunk groups, multiset exactly x$rDocs")
+        s.unpersist()
+      }
+
       // x29: the corpus profile over the NON-KEY columns (doc_id offsets
       // per replica, everything else repeats verbatim): counts and null
       // counts scale exactly xR, distinct/min/max are IDENTICAL
