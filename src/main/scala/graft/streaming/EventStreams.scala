@@ -197,15 +197,20 @@ object EventStreams {
     * StreamingSpec). The tail caveat every append-mode op shares: the
     * last windows emit only once the watermark passes them.
     *
-    * State posture: the accumulated counts relation is the readout's
-    * own size — (finalized windows × active types), never event-sized —
-    * held as a `localCheckpoint`ed DataFrame (materialized, lineage
-    * truncated each epoch so the union chain cannot deepen), with the
-    * superseded checkpoint unpersisted. Epoch replays (at-least-once
-    * foreachBatch) re-deliver rows the state already holds — the merge
-    * dedups on the (window, type) key (replayed counts are identical,
-    * so either copy is exact), and the horizon slice keeps the sink's
-    * rows monotone.
+    * State posture: BOUNDED (round 19 — previously the accumulated
+    * counts relation grew one row per finalized (window, type)
+    * forever): a future emission's trailing frame reaches back at most
+    * `trailing` windows, so the state prunes to the last trailing+2
+    * windows per type — (active types × (trailing+2)) rows, held as a
+    * `localCheckpoint`ed DataFrame (materialized, lineage truncated
+    * each epoch), with the superseded checkpoint unpersisted. Silent
+    * types and the spine's span floor survive the prune via TRUE
+    * zero-count boundary anchors (see the prune comment in the body),
+    * keeping the pruned scorer's fresh rows identical to the batch
+    * twin's. Epoch replays (at-least-once foreachBatch) re-deliver rows
+    * the state already holds — the merge dedups on the (window, type)
+    * key (replayed counts are identical, so either copy is exact), and
+    * the horizon slice keeps the sink's rows monotone.
     *
     * Returns the un-started `DataStreamWriter`; the caller picks
     * trigger/checkpoint and calls `.start()`. */
@@ -263,9 +268,10 @@ object EventStreams {
           case None    => b
           case Some(s) => s.union(b)
         }).dropDuplicates("window_start", "event_type").localCheckpoint()
-        val newMax = merged.agg(max(col("window_start"))).head() match {
-          case r if r.isNullAt(0) => None
-          case r                  => Some(r.getTimestamp(0))
+        val (newMin, newMax) = merged.agg(min(col("window_start")),
+            max(col("window_start"))).head() match {
+          case r if r.isNullAt(1) => (None, None)
+          case r => (Some(r.getTimestamp(0)), Some(r.getTimestamp(1)))
         }
         // nothing finalized yet (the first epochs, before the watermark
         // passes any window): the scorer has no span to fill — the sink
@@ -279,8 +285,45 @@ object EventStreams {
           }
           sink(fresh, epoch)
         }
+        // BOUNDED STATE (round 19 — the accumulated relation previously
+        // grew one row per finalized (window, type) forever): every
+        // future emission's trailing frame reaches back at most
+        // `trailing` windows behind the horizon, so counts older than
+        // horizon − (trailing+1) windows can never influence a future
+        // score — prune them. Two exactness anchors keep the pruned
+        // scorer's output identical to the batch twin's tail: (1) every
+        // type ever seen keeps at least one row (a TRUE zero-count row
+        // at the prune boundary — its window finalized silent for that
+        // type, or its real row would still be kept; prune bounds move
+        // monotonically forward, so no real row can have been dropped
+        // earlier), preserving the silent-type SPINE rows the batch
+        // twin emits forever; (2) the boundary row also floors the
+        // span's global min at the bound, so fresh rows' frames always
+        // see their full `trailing` filled windows exactly as the
+        // batch's complete spine provides. Pruning only engages once
+        // history actually extends past the bound — a young stream
+        // (true history shorter than the frame) keeps its true min, so
+        // partial-history null-z rows still match the batch twin.
+        val stepSecs = windowLength.split(" ")(0).toLong *
+          Map("second" -> 1L, "minute" -> 60L, "hour" -> 3600L,
+            "day" -> 86400L)(windowLength.split(" ")(1).stripSuffix("s"))
+        val stored = (newMin, newMax) match {
+          case (Some(mn), Some(mx))
+              if mn.getTime < mx.getTime - (trailing + 1) * stepSecs * 1000 =>
+            val bound = new java.sql.Timestamp(
+              mx.getTime - (trailing + 1) * stepSecs * 1000)
+            val kept = merged.filter(col("window_start") >= lit(bound))
+            val anchors = merged.select(col("event_type")).distinct()
+              .join(kept.filter(col("window_start") === lit(bound))
+                .select(col("event_type")), Seq("event_type"), "left_anti")
+              .select(lit(bound).as("window_start"), col("event_type"),
+                lit(0L).as("n_events"))
+            kept.unionByName(anchors).localCheckpoint()
+          case _ => merged
+        }
+        if (!(stored eq merged)) merged.unpersist()
         state.foreach(_.unpersist())
-        state = Some(merged)
+        state = Some(stored)
         horizon = newMax.orElse(horizon)
       }
   }
@@ -1219,12 +1262,27 @@ object EventStreams {
     *
     * State posture: one (user, cohort, mask) row per user ever active —
     * the same 16-byte bounded state as the batch aggregate, held as a
-    * `localCheckpoint`ed DataFrame re-folded with each epoch's pairs
-    * (prior state re-enters the fold as its exploded (user, period)
-    * pairs, exact because the mask IS the per-user retention
-    * information). `maxOffset` ≤ 62 (one mask word) is required — the
-    * batch fallback shape needs the full pair history, which a stream
-    * cannot retain bounded. */
+    * `localCheckpoint`ed DataFrame. The per-epoch fold is INCREMENTAL
+    * (round 19 — the first form re-folded every user every epoch): the
+    * state splits into the batch's AFFECTED users (semi-join) and the
+    * untouched rest (anti-join) — AQE picks the join form, so a
+    * steady-state small batch BROADCASTS its user set and the state is
+    * never shuffled (two map-only filter passes) while a catch-up batch
+    * that touches most users degrades to the shuffle join, the regime
+    * where the full refold was the right cost anyway. Only the affected
+    * slice re-enters the fold (as its exploded (user, period) pairs,
+    * exact because the mask IS the per-user retention information);
+    * the triangle is maintained as a readout-sized (cohort, offset,
+    * n_users) relation updated by the affected users' old-minus/new-plus
+    * cell DELTA — the full-state explode and full-state cell
+    * re-aggregation are gone, so per-epoch aggregation work scales with
+    * the batch, not the user population (the state checkpoint itself
+    * still rewrites user-count-shaped bytes per epoch — the
+    * DataFrame-held-state floor; Spark disallows chaining
+    * flatMapGroupsWithState behind a streaming aggregation, which is
+    * what a state-store-backed form would need). `maxOffset` ≤ 62 (one
+    * mask word) is required — the batch fallback shape needs the full
+    * pair history, which a stream cannot retain bounded. */
   def retentionStream(events: DataFrame, periodSeconds: Long, maxOffset: Int,
       watermark: String = "10 minutes")(sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
@@ -1249,7 +1307,8 @@ object EventStreams {
     // as rateAnomalyStream: the streaming agg's state survives a restart
     // but this accumulator resets, so the resumed run would re-derive
     // cohorts from post-restart pairs only). Fails fast below.
-    var state: Option[DataFrame] = None
+    var state: Option[DataFrame] = None  // (user, cohort, mask)
+    var cells: Option[DataFrame] = None  // (cohort, offset, n_users)
     var observedFirstEpoch = false
     pairs.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
@@ -1264,29 +1323,80 @@ object EventStreams {
         }
         if (!b.isEmpty) {
           val fresh = b.select(col("user"), col("period"))
-          val all = state match {
+          val freshUsers = fresh.select("user").distinct()
+          // only the batch's users re-fold: split the state into the
+          // affected slice and the untouched rest (AQE broadcasts the
+          // epoch's user set in the steady state — two map-only passes,
+          // the state itself never shuffles; a catch-up batch touching
+          // most users degrades to the shuffle join, the regime where a
+          // full refold was the honest cost anyway)
+          // the affected slice materializes once (it is batch-sized and
+          // feeds BOTH the refold and the delta's minus side — without
+          // the checkpoint each use re-scans the full state)
+          val (affectedOld, untouched) = state match {
+            case None => (None, None)
+            case Some(s) =>
+              (Some(s.join(freshUsers, Seq("user"), "left_semi")
+                .localCheckpoint()),
+                Some(s.join(freshUsers, Seq("user"), "left_anti")))
+          }
+          val refoldIn = affectedOld match {
             case None => fresh
-            case Some(s) => s
+            case Some(a) => a
               .select(col("user"), explode(maskOffsets).as("__d"),
                 col("cohort"))
               .select(col("user"), (col("cohort") + col("__d")).as("period"))
               .unionByName(fresh)
           }
-          val merged = all.groupBy("user")
+          // batch-affected-sized: re-deliveries re-OR already-set bits
+          // (idempotent), a brand-new user folds from its fresh pairs
+          val refolded = refoldIn.groupBy("user")
             .agg(graft.functions.RetentionMaskExpr
               .column(col("period"), maxOffset).as("__rm"))
             .select(col("user"), col("__rm.cohort").as("cohort"),
               col("__rm.mask").as("mask"))
             .localCheckpoint()
-          val cells = merged
+          val newState = untouched match {
+            case None => refolded
+            case Some(u) => u.unionByName(refolded).localCheckpoint()
+          }
+          // the triangle updates by the affected users' cell DELTA
+          // (old bits out, new bits in — a settled cohort only ever
+          // gains bits, but the ± form is order-independent like the
+          // fold itself), so the cell aggregation is batch-sized and
+          // the running triangle stays readout-sized
+          val plus = refolded
             .select(col("cohort"), explode(maskOffsets).as("offset"))
             .groupBy("cohort", "offset")
-            .agg(count(lit(1)).as("n_users"))
-            .orderBy("cohort", "offset")
-          sink(cells, epoch)
+            .agg(count(lit(1)).as("__d"))
+          val delta = (affectedOld match {
+            case None => plus
+            case Some(a) => a
+              .select(col("cohort"), explode(maskOffsets).as("offset"))
+              .groupBy("cohort", "offset")
+              .agg((count(lit(1)) * lit(-1L)).as("__d"))
+              .unionByName(plus)
+          }).groupBy("cohort", "offset").agg(sum(col("__d")).as("__d"))
+          val newCells = (cells match {
+            case None => delta.select(col("cohort"), col("offset"),
+              col("__d").as("n_users"))
+            case Some(c) => c.join(delta, Seq("cohort", "offset"), "full_outer")
+              .select(col("cohort"), col("offset"),
+                (coalesce(col("n_users"), lit(0L)) +
+                  coalesce(col("__d"), lit(0L))).as("n_users"))
+          }).filter(col("n_users") > 0).localCheckpoint()
+          sink(newCells.orderBy("cohort", "offset"), epoch)
           state.foreach(_.unpersist())
-          state = Some(merged)
+          state = Some(newState)
+          cells.foreach(_.unpersist())
+          cells = Some(newCells)
+          // per-epoch intermediates: superseded once newState/newCells
+          // are materialized (newState holds refolded's ROWS, not its
+          // blocks, when the union checkpointed separately)
+          affectedOld.foreach(_.unpersist())
+          if (untouched.isDefined) { refolded.unpersist(); () }
         }
+        ()
       }
   }
 

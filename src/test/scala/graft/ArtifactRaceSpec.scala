@@ -194,6 +194,38 @@ class ArtifactRaceSpec extends AnyFunSuite {
     } { () => BloomIndex.loadWithMeta(spark, path) }
   }
 
+  test("retryingLoad: bounded attempts, tight classifier, exhaustion surfaces") {
+    import graft.ops.ArtifactLock
+    // exhaustion: a persistently-missing input is retried exactly twice
+    // (3 attempts), then the LAST failure escapes unchanged
+    var calls = 0
+    val e = intercept[java.io.FileNotFoundException] {
+      ArtifactLock.retryingLoad[Unit] {
+        calls += 1
+        throw new java.io.FileNotFoundException(s"gone (attempt $calls)")
+      }
+    }
+    assert(calls == 3 && e.getMessage.contains("attempt 3"))
+    // the classifier walks wrapped causes (the loads' one-exception
+    // contract attaches them) ...
+    assert(ArtifactLock.isMissingInputFile(new IllegalArgumentException(
+      "corrupt: unreadable", new java.io.FileNotFoundException("x"))))
+    assert(ArtifactLock.isMissingInputFile(new org.apache.spark.SparkException(
+      "Job aborted: [FAILED_READ_FILE.FILE_NOT_EXIST] task failure")))
+    // ... but a bare "does not exist" (a genuinely missing dataset, the
+    // old over-broad match) is NOT retryable churn
+    assert(!ArtifactLock.isMissingInputFile(new org.apache.spark.SparkException(
+      "Table or view does not exist: foo")))
+    assert(!ArtifactLock.isMissingInputFile(
+      new IllegalArgumentException("no bloom index at /x (missing manifest.json)")))
+    // and a non-missing-input failure is never retried
+    var once = 0
+    intercept[IllegalStateException] {
+      ArtifactLock.retryingLoad[Unit] { once += 1; throw new IllegalStateException("boom") }
+    }
+    assert(once == 1)
+  }
+
   test("save-storm: vocab loads survive 25 back-to-back updates") {
     val path = java.nio.file.Files.createTempDirectory("vocab_storm")
       .toString + "/idx"

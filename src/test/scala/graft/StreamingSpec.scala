@@ -709,6 +709,11 @@ class StreamingSpec extends AnyFunSuite {
       Event(21, ts(3, 20), 1, "view", 0.0))
     val pusherA = Event(900, ts(6, 10), 99, "click", 0.0)
     val pusherB = Event(901, ts(9, 30), 99, "click", 0.0)
+    // pusher C's epoch scores AFTER the bounded-state prune first
+    // engages (pusher B's epoch prunes w0..w2 away, trailing=2): its
+    // fresh rows — including the silent-type view spine at w7/w8 —
+    // must still equal the batch twin computed over the FULL history
+    val pusherC = Event(902, ts(12, 30), 99, "click", 0.0)
     val emitted = scala.collection.mutable.ListBuffer[
       (java.sql.Timestamp, String, Long, Option[Double], Option[Double], Boolean)]()
     def drain(df: org.apache.spark.sql.DataFrame, epoch: Long): Unit =
@@ -724,13 +729,14 @@ class StreamingSpec extends AnyFunSuite {
       query.processAllAvailable()
       input.addData(pusherA); query.processAllAvailable()
       input.addData(pusherB); query.processAllAvailable()
+      input.addData(pusherC); query.processAllAvailable()
     } finally query.stop()
     val streamed = emitted.toSeq.sortBy(r => (r._1.getTime, r._2))
     assert(streamed.nonEmpty)
     val hi = streamed.map(_._1.getTime).max
     // batch twin over the identical input, restricted to the windows the
     // stream could finalize (append mode's tail caveat)
-    val batch = EventStreams.rateAnomaly((fixture :+ pusherA :+ pusherB).toDF(),
+    val batch = EventStreams.rateAnomaly((fixture :+ pusherA :+ pusherB :+ pusherC).toDF(),
         windowLength = "1 minute", trailing = 2, zThreshold = 1.5)
       .collect().map(r => (r.getTimestamp(0), r.getString(1),
         r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
@@ -747,6 +753,14 @@ class StreamingSpec extends AnyFunSuite {
     // multi-epoch horizon: pusher A's own window (w6) arrived in a LATER
     // epoch than w0..w3 and still scored exactly once
     assert(streamed.count(r => r._1 == ts(6, 0) && r._2 == "click") == 1)
+    // post-prune exactness: pusher C's epoch ran against the PRUNED
+    // state (w0..w2 dropped after pusher B's epoch) and its rows —
+    // silent-type view spine at w7/w8 included — are in the
+    // batch-equality above; pin their presence explicitly
+    assert(streamed.contains((ts(7, 0), "view", 0L, Some(0.0), None, false)) ||
+      streamed.exists(r => r._1 == ts(7, 0) && r._2 == "view" && r._3 == 0L),
+      s"view spine row at w7 missing after prune: ${streamed.filter(_._1 == ts(7, 0))}")
+    assert(streamed.count(r => r._1 == ts(9, 0) && r._2 == "click") == 1)
   }
 
   test("retentionStream: cohorts settle at first arrival across an adversarial epoch split") {
