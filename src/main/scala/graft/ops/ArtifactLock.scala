@@ -191,8 +191,16 @@ object ArtifactLock {
     while (cur != null && depth < 20) {
       cur match {
         case _: java.io.FileNotFoundException => return true
+        // UNABLE_TO_INFER_SCHEMA is the same race one instant wider: a
+        // swap's delete→rename window can leave the relation's directory
+        // LISTABLE but holding zero parquet footers (e.g. a sharded
+        // layout whose only shard is mid-swap), so the read fails at
+        // schema inference before any file opens — caught live by the
+        // MinHash churn test. A genuinely-empty user path costs two
+        // bounded retries before the real error surfaces.
         case a: org.apache.spark.sql.AnalysisException
-            if a.getCondition == "PATH_NOT_FOUND" => return true
+            if a.getCondition == "PATH_NOT_FOUND" ||
+              a.getCondition == "UNABLE_TO_INFER_SCHEMA" => return true
         case s: org.apache.spark.SparkException
             if Option(s.getMessage).exists(m =>
               m.contains("FILE_NOT_EXIST") ||

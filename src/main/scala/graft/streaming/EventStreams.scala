@@ -212,11 +212,24 @@ object EventStreams {
     * key (replayed counts are identical, so either copy is exact), and
     * the horizon slice keeps the sink's rows monotone.
     *
+    * Restart-from-checkpoint: supported WHEN `stateDir` is given — the
+    * accumulator (counts + horizon) persists there after every epoch
+    * ([[StreamState]]: generationed parquet + atomically-published
+    * manifest), and a fresh process attaching to the same checkpoint
+    * reloads it on its first batch; the crash window on either side of
+    * the persist is absorbed by the same (window, type) dedup that
+    * handles intra-run replays. Without `stateDir` a restart FAILS FAST
+    * (the watermark aggregation's state store would survive while this
+    * accumulator reset, silently diverging from the batch twin). The
+    * checkpoint and state dir are a PAIR — recreating one without the
+    * other fails fast on the epoch cross-check.
+    *
     * Returns the un-started `DataStreamWriter`; the caller picks
     * trigger/checkpoint and calls `.start()`. */
   def rateAnomalyStream(events: DataFrame, windowLength: String = "1 minute",
       trailing: Int = 5, zThreshold: Double = 3.0,
-      watermark: String = "2 minutes")(sink: (DataFrame, Long) => Unit)
+      watermark: String = "2 minutes",
+      stateDir: Option[String] = None)(sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(trailing >= 2, "trailing must be >= 2 (sample variance)")
     require(zThreshold > 0 && !zThreshold.isNaN && !zThreshold.isInfinite,
@@ -232,14 +245,15 @@ object EventStreams {
         col("n_events"))
     // driver-held across epochs: the accumulated finalized counts and
     // the scored horizon (max window already handed to the sink's feed).
-    // RESTART-FROM-CHECKPOINT IS UNSUPPORTED and fails fast (below):
-    // the watermark aggregation's state store survives a restart
-    // (finalized windows are never re-emitted) while these vars reset,
-    // so post-restart epochs would score against an empty history and
-    // silently diverge from the batch twin. Resume by reprocessing the
-    // source under a FRESH checkpoint, or persist the sink's output and
-    // its horizon externally. Intra-run epoch REPLAYS (at-least-once
+    // With `stateDir` these persist after every epoch and reload on the
+    // first post-restart batch (StreamState — see the docstring's crash
+    // analysis); WITHOUT it a restart fails fast below: the watermark
+    // aggregation's state store survives a restart (finalized windows
+    // are never re-emitted) while these vars reset, so post-restart
+    // epochs would score against an empty history and silently diverge
+    // from the batch twin. Intra-run epoch REPLAYS (at-least-once
     // foreachBatch) are fully absorbed — see the merge's dedup.
+    val stateKind = "rate_anomaly_stream_state"
     var state: Option[DataFrame] = None
     var horizon: Option[java.sql.Timestamp] = None
     var observedFirstEpoch = false
@@ -249,12 +263,24 @@ object EventStreams {
         if (!observedFirstEpoch) {
           // first batch of a FRESH query is epoch 0 (possibly replayed);
           // a first-observed epoch > 0 means this process attached to an
-          // existing checkpoint with its accumulator history gone
+          // existing checkpoint — legal only with a persisted accumulator
+          if (state.isEmpty) stateDir.foreach { d =>
+            StreamState.load(b.sparkSession, d, stateKind, Seq("counts"))
+              .foreach { snap =>
+                StreamState.checkEpoch(snap.epoch, epoch, d)
+                state = Some(snap.relations("counts").localCheckpoint())
+                horizon = snap.meta.get("horizon_ms") match {
+                  case Some(l: Long) => Some(new java.sql.Timestamp(l))
+                  case _ => None
+                }
+              }
+          }
           if (epoch > 0 && state.isEmpty) throw new IllegalStateException(
             s"rateAnomalyStream cannot resume from an existing checkpoint " +
               s"(first observed epoch $epoch with empty accumulator): " +
               "finalized windows before the restart are unrecoverable — " +
-              "reprocess the source under a fresh checkpoint")
+              "reprocess the source under a fresh checkpoint, or run with " +
+              "stateDir to persist the accumulator across restarts")
           observedFirstEpoch = true
         }
         // dropDuplicates on the window key: under foreachBatch's
@@ -325,6 +351,15 @@ object EventStreams {
         state.foreach(_.unpersist())
         state = Some(stored)
         horizon = newMax.orElse(horizon)
+        // persist AFTER the sink ran: a crash on either side of this
+        // write replays the epoch exactly (see the docstring). The
+        // relation is readout-sized (types × (trailing+2) rows), so one
+        // file per snapshot keeps the reload a single-read object.
+        stateDir.foreach { d =>
+          StreamState.persist(b.sparkSession, d, stateKind, epoch,
+            Seq("counts" -> stored.coalesce(1)),
+            horizon.toSeq.map(h => "horizon_ms" -> (h.getTime: Any)))
+        }
       }
   }
 
@@ -1282,9 +1317,23 @@ object EventStreams {
     * flatMapGroupsWithState behind a streaming aggregation, which is
     * what a state-store-backed form would need). `maxOffset` ≤ 62 (one
     * mask word) is required — the batch fallback shape needs the full
-    * pair history, which a stream cannot retain bounded. */
+    * pair history, which a stream cannot retain bounded.
+    *
+    * Restart-from-checkpoint: supported WHEN `stateDir` is given — the
+    * (user, cohort, mask) state and the running triangle persist there
+    * after every folding epoch ([[StreamState]]); empty epochs bump
+    * only the manifest's epoch so the resume cross-check still proves
+    * no folded epoch is missing. The crash window on either side of
+    * the persist is absorbed by the fold's idempotence (re-delivered
+    * pairs re-OR already-set bits, so the delta is zero). Without
+    * `stateDir` a restart FAILS FAST (same contract and reason as
+    * [[rateAnomalyStream]]). The one unpersistable edge: a stream that
+    * has only ever seen empty batches has no snapshot to bump — a
+    * restart in that window fails fast too (nothing was folded, so
+    * reprocessing under a fresh checkpoint loses nothing). */
   def retentionStream(events: DataFrame, periodSeconds: Long, maxOffset: Int,
-      watermark: String = "10 minutes")(sink: (DataFrame, Long) => Unit)
+      watermark: String = "10 minutes",
+      stateDir: Option[String] = None)(sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(periodSeconds > 0, "periodSeconds must be positive")
     require(maxOffset >= 0 && maxOffset <= 62,
@@ -1303,10 +1352,12 @@ object EventStreams {
     val maskOffsets = expr(
       s"filter(sequence(0L, ${maxOffset}L), " +
         "d -> (shiftright(mask, cast(d AS int)) & 1) = 1)")
-    // RESTART-FROM-CHECKPOINT IS UNSUPPORTED (same contract and reason
-    // as rateAnomalyStream: the streaming agg's state survives a restart
-    // but this accumulator resets, so the resumed run would re-derive
-    // cohorts from post-restart pairs only). Fails fast below.
+    // restart contract: with `stateDir` the accumulator reloads on the
+    // first post-restart batch; without it, fails fast below (same
+    // reason as rateAnomalyStream: the streaming agg's state survives a
+    // restart but this accumulator resets, so the resumed run would
+    // re-derive cohorts from post-restart pairs only).
+    val stateKind = "retention_stream_state"
     var state: Option[DataFrame] = None  // (user, cohort, mask)
     var cells: Option[DataFrame] = None  // (cohort, offset, n_users)
     var observedFirstEpoch = false
@@ -1314,11 +1365,20 @@ object EventStreams {
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
       .foreachBatch { (b: DataFrame, epoch: Long) =>
         if (!observedFirstEpoch) {
+          if (state.isEmpty) stateDir.foreach { d =>
+            StreamState.load(b.sparkSession, d, stateKind,
+                Seq("users", "cells")).foreach { snap =>
+              StreamState.checkEpoch(snap.epoch, epoch, d)
+              state = Some(snap.relations("users").localCheckpoint())
+              cells = Some(snap.relations("cells").localCheckpoint())
+            }
+          }
           if (epoch > 0 && state.isEmpty) throw new IllegalStateException(
             s"retentionStream cannot resume from an existing checkpoint " +
               s"(first observed epoch $epoch with empty accumulator): " +
               "pairs finalized before the restart are unrecoverable — " +
-              "reprocess the source under a fresh checkpoint")
+              "reprocess the source under a fresh checkpoint, or run with " +
+              "stateDir to persist the accumulator across restarts")
           observedFirstEpoch = true
         }
         if (!b.isEmpty) {
@@ -1395,6 +1455,21 @@ object EventStreams {
           // blocks, when the union checkpointed separately)
           affectedOld.foreach(_.unpersist())
           if (untouched.isDefined) { refolded.unpersist(); () }
+          // persist AFTER the sink ran (crash replays re-OR to a zero
+          // delta — see the docstring). The users relation is
+          // state-sized, the same bytes the localCheckpoint above
+          // already rewrote this epoch; the triangle is readout-sized.
+          stateDir.foreach { d =>
+            StreamState.persist(b.sparkSession, d, stateKind, epoch,
+              Seq("users" -> newState, "cells" -> newCells.coalesce(1)))
+          }
+        } else stateDir.foreach { d =>
+          // an empty epoch folds nothing: advance only the snapshot's
+          // epoch so a later resume's cross-check still holds. Before
+          // the FIRST fold there is no snapshot to bump — documented
+          // fail-fast edge on resume.
+          if (state.isDefined) StreamState.bumpEpoch(
+            b.sparkSession, d, stateKind, epoch)
         }
         ()
       }

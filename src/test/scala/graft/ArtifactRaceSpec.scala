@@ -212,6 +212,18 @@ class ArtifactRaceSpec extends AnyFunSuite {
       "corrupt: unreadable", new java.io.FileNotFoundException("x"))))
     assert(ArtifactLock.isMissingInputFile(new org.apache.spark.SparkException(
       "Job aborted: [FAILED_READ_FILE.FILE_NOT_EXIST] task failure")))
+    // a swap's delete→rename window can leave the relation directory
+    // listable but FOOTERLESS — the read then dies at schema inference
+    // (UNABLE_TO_INFER_SCHEMA), one instant before FILE_NOT_EXIST could
+    // fire; the real exception, produced the real way
+    val emptyDir = java.nio.file.Files.createTempDirectory("footerless")
+    val inferE = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.read.parquet(emptyDir.toString).collect()
+    }
+    assert(inferE.getCondition == "UNABLE_TO_INFER_SCHEMA", inferE.getCondition)
+    assert(ArtifactLock.isMissingInputFile(inferE))
+    assert(ArtifactLock.isMissingInputFile(
+      new IllegalArgumentException("corrupt: unreadable signatures", inferE)))
     // ... but a bare "does not exist" (a genuinely missing dataset, the
     // old over-broad match) is NOT retryable churn
     assert(!ArtifactLock.isMissingInputFile(new org.apache.spark.SparkException(

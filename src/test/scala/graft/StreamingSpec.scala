@@ -886,4 +886,122 @@ class StreamingSpec extends AnyFunSuite {
       e2.getMessage)
     finally r2.stop()
   }
+
+  test("rateAnomalyStream resumes exactly from a persisted accumulator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the stream≡batch fixture, split across a PROCESS RESTART: run 1
+    // finalizes w0..w3 (+ the view spine), run 2 attaches a brand-new
+    // writer (fresh accumulator vars) to the same checkpoint + state
+    // dir and must keep scoring against the FULL history — including
+    // the bounded-state prune engaging post-restart (pusher B's epoch
+    // prunes w0..w2 off the RESTORED state, pusher C scores after it).
+    val fixture = Seq(
+      Event(1, ts(0, 10), 1, "click", 0.0), Event(2, ts(0, 40), 2, "click", 0.0),
+      Event(3, ts(1, 10), 1, "click", 0.0), Event(4, ts(1, 40), 2, "click", 0.0),
+      Event(5, ts(2, 10), 1, "click", 0.0), Event(6, ts(2, 40), 2, "click", 0.0),
+      Event(7, ts(3, 0), 1, "click", 0.0), Event(8, ts(3, 10), 2, "click", 0.0),
+      Event(9, ts(3, 20), 3, "click", 0.0), Event(10, ts(3, 30), 4, "click", 0.0),
+      Event(11, ts(3, 40), 5, "click", 0.0), Event(12, ts(3, 45), 6, "click", 0.0),
+      Event(13, ts(3, 50), 7, "click", 0.0), Event(14, ts(3, 55), 8, "click", 0.0),
+      Event(20, ts(0, 20), 1, "view", 0.0),
+      Event(21, ts(3, 20), 1, "view", 0.0))
+    val pusherA = Event(900, ts(6, 10), 99, "click", 0.0)
+    val pusherB = Event(901, ts(9, 30), 99, "click", 0.0)
+    val pusherC = Event(902, ts(12, 30), 99, "click", 0.0)
+    val cp = java.nio.file.Files.createTempDirectory("rate_resume_cp").toString
+    val sd = java.nio.file.Files.createTempDirectory("rate_resume_state").toString
+    val emitted = scala.collection.mutable.ListBuffer[
+      (Timestamp, String, Long, Option[Double], Option[Double], Boolean)]()
+    def drain(df: org.apache.spark.sql.DataFrame, epoch: Long): Unit =
+      emitted ++= df.collect().map(r => (r.getTimestamp(0), r.getString(1),
+        r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]), r.getBoolean(5)))
+    def writer(input: MemoryStream[Event]) =
+      EventStreams.rateAnomalyStream(input.toDF(), windowLength = "1 minute",
+          trailing = 2, zThreshold = 1.5, watermark = "2 minutes",
+          stateDir = Some(sd))(drain)
+        .option("checkpointLocation", cp)
+    val input = MemoryStream[Event]
+    val q1 = writer(input).start()
+    try {
+      input.addData(fixture: _*); q1.processAllAvailable()
+      input.addData(pusherA); q1.processAllAvailable()
+    } finally q1.stop()
+    val beforeRestart = emitted.size
+    assert(beforeRestart > 0, "run 1 finalized nothing — fixture broken")
+    val q2 = writer(input).start()
+    try {
+      input.addData(pusherB); q2.processAllAvailable()
+      input.addData(pusherC); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(emitted.size > beforeRestart, "run 2 emitted nothing after resume")
+    val streamed = emitted.toSeq.sortBy(r => (r._1.getTime, r._2))
+    val hi = streamed.map(_._1.getTime).max
+    val batch = EventStreams.rateAnomaly(
+        (fixture :+ pusherA :+ pusherB :+ pusherC).toDF(),
+        windowLength = "1 minute", trailing = 2, zThreshold = 1.5)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1),
+        r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]), r.getBoolean(5)))
+      .toSeq.filter(_._1.getTime <= hi).sortBy(r => (r._1.getTime, r._2))
+    assert(streamed == batch,
+      s"resumed stream diverged from batch:\n$streamed\nvs\n$batch")
+    // the post-restart epochs really scored against restored history:
+    // pusher A's window (w6, finalized in run 2) has trailing stats that
+    // need w4/w5 spine rows derived from run-1 state, and no duplicates
+    assert(streamed.count(r => r._1 == ts(6, 0) && r._2 == "click") == 1)
+    assert(streamed.count(r => r._1 == ts(9, 0) && r._2 == "click") == 1)
+  }
+
+  test("retentionStream resumes exactly from a persisted accumulator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // run 1 folds the fixture cohorts; an empty-output epoch (an event
+    // inside pusher A's still-open period) exercises the manifest-only
+    // epoch bump; run 2 attaches fresh vars to the same checkpoint +
+    // state dir — the resume's epoch cross-check passes BECAUSE of the
+    // bump, and the final triangle equals the batch operator over
+    // everything that finalized.
+    val fixture = Seq(
+      Event(1, ts(0, 10), 1, "click", 0.0), Event(2, ts(0, 40), 1, "view", 0.0),
+      Event(3, ts(1, 10), 1, "click", 0.0),
+      Event(4, ts(3, 20), 1, "click", 0.0),
+      Event(5, ts(1, 30), 2, "click", 0.0),
+      Event(6, ts(0, 50), 3, "view", 0.0))
+    val pusherA = Event(900, ts(6, 10), 99, "click", 0.0)
+    val quiet = Event(950, ts(6, 20), 99, "click", 0.0) // same period, no finalize
+    val pusherB = Event(901, ts(9, 30), 99, "click", 0.0)
+    val cp = java.nio.file.Files.createTempDirectory("ret_resume_cp").toString
+    val sd = java.nio.file.Files.createTempDirectory("ret_resume_state").toString
+    val triangles = scala.collection.mutable.ListBuffer[Seq[(Long, Long, Long)]]()
+    def drain(df: org.apache.spark.sql.DataFrame, epoch: Long): Unit =
+      triangles += df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    def writer(input: MemoryStream[Event]) =
+      EventStreams.retentionStream(input.toDF(), periodSeconds = 60L,
+          maxOffset = 7, watermark = "2 minutes", stateDir = Some(sd))(drain)
+        .option("checkpointLocation", cp)
+    val input = MemoryStream[Event]
+    val q1 = writer(input).start()
+    try {
+      input.addData(fixture: _*); q1.processAllAvailable()
+      input.addData(pusherA); q1.processAllAvailable()
+      input.addData(quiet); q1.processAllAvailable()
+    } finally q1.stop()
+    assert(triangles.nonEmpty, "run 1 finalized nothing — fixture broken")
+    val q2 = writer(input).start()
+    try {
+      input.addData(pusherB); q2.processAllAvailable()
+    } finally q2.stop()
+    val streamedLast = triangles.last.sortBy(t => (t._1, t._2))
+    // pusher B finalizes pusher A's and quiet's shared period 6 pair —
+    // the batch twin covers fixture + both period-6 users' events
+    val batch = EventStreams.retention(
+        (fixture :+ pusherA :+ quiet).toDF(), periodSeconds = 60L, maxOffset = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(streamedLast == batch,
+      s"resumed triangle $streamedLast != batch $batch")
+  }
 }
