@@ -113,7 +113,7 @@ object ProfileRetentionStream {
     // round-19 shape: affected-only refold + cell delta over a
     // maintained triangle (seeded from the state once, untimed)
     val cells0 = cellsOf(state).localCheckpoint()
-    val incOut = timed("incremental") {
+    def incEpoch(persistTo: Option[String]): (Long, Long) = {
       val freshUsers = fresh.select("user").distinct()
       val affected = state.join(freshUsers, Seq("user"), "left_semi")
         .localCheckpoint()
@@ -136,15 +136,31 @@ object ProfileRetentionStream {
           (coalesce(col("n_users"), lit(0L)) +
             coalesce(col("__d"), lit(0L))).as("n_users"))
         .filter(col("n_users") > 0).localCheckpoint()
+      persistTo.foreach { d =>
+        graft.streaming.StreamState.persist(spark, d,
+          "retention_stream_state", 0L,
+          Seq("users" -> newState, "cells" -> newCells.coalesce(1)))
+      }
       val fp = fingerprint(newCells)
       affected.unpersist(); refolded.unpersist()
       newState.unpersist(); newCells.unpersist()
       fp
     }
+    val incOut = timed("incremental")(incEpoch(None))
 
-    println(s"[prs] cells identical: ${fullOut == incOut} " +
-      s"(full=$fullOut incremental=$incOut)")
-    if (fullOut != incOut) sys.exit(1)
+    // restart durability priced at the same state size: the identical
+    // incremental epoch PLUS the StreamState persist (generationed
+    // state-sized parquet write + atomic manifest publish + prune) that
+    // makes restart-from-checkpoint exact. Each pass writes a fresh
+    // generation, exactly as the live stream would per epoch.
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("prs_statedir").toString
+    val perOut = timed("inc+persist")(incEpoch(Some(stateDir)))
+
+    println(s"[prs] cells identical: " +
+      s"${fullOut == incOut && incOut == perOut} " +
+      s"(full=$fullOut incremental=$incOut inc+persist=$perOut)")
+    if (fullOut != incOut || incOut != perOut) sys.exit(1)
     spark.stop()
   }
 }

@@ -847,4 +847,53 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(served == fresh, s"served $served != fresh $fresh")
     } finally spark.conf.unset("spark.graft.index.root")
   }
+
+  test("a genuinely deleted artifact surfaces as a prompt 400, not a retry loop") {
+    import spark.implicits._
+    // the missing-input classifier's other half: churn retries absorb a
+    // mid-swap race, but an artifact that is GONE (manifest and all)
+    // must fail the query with the loader's own 400 after the bounded
+    // attempts — never a 5xx, never an unbounded retry
+    val root = java.nio.file.Files.createTempDirectory("api_gone").toString
+    graft.ops.MinHashIndex.buildAndSave(
+      Seq((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "pack my box with five dozen liquor jugs"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", path = s"$root/gone")
+    spark.conf.set("spark.graft.index.root", root)
+    try {
+      assert(storeCsv("goneprobe",
+        "pid,ptext\n101,the quick brown fox jumps over the lazy dog\n")
+        .statusCode() == 201)
+      val qJson = """{"xop": {"name": "minhash_against",
+                              "args": {"id": "pid", "column": "ptext",
+                                       "index": "gone", "threshold": 0.4}}}"""
+      assert(query("goneprobe", qJson).statusCode() == 200) // memoized once
+      // delete the whole artifact, then re-query: the healed (re-planned)
+      // attempt hits the loader's missing-manifest contract
+      def rmRec(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.list(p)
+          try s.forEach(c => rmRec(c)) finally s.close()
+        }
+        java.nio.file.Files.delete(p)
+      }
+      rmRec(java.nio.file.Paths.get(root, "gone"))
+      // the memoized first plan may legitimately keep serving from the
+      // cached relation (store-once-query-many); a DIFFERENT query has
+      // to plan fresh against the now-missing artifact
+      val qJson2 = """{"xop": {"name": "minhash_against",
+                               "args": {"id": "pid", "column": "ptext",
+                                        "index": "gone", "threshold": 0.4}},
+                       "order_by": ["batch_id"]}"""
+      val t0 = System.nanoTime()
+      val r = query("goneprobe", qJson2)
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      assert(r.statusCode() == 400, s"expected 400, got ${r.statusCode()}: ${r.body()}")
+      assert(r.body().contains("no minhash index"), r.body())
+      // bounded: two in-loop retries (one 50 ms sleep) plus the fresh
+      // plan's work — nowhere near an unbounded loop's timeout scale
+      assert(elapsedMs < 30000, s"error took ${elapsedMs} ms to surface")
+    } finally spark.conf.unset("spark.graft.index.root")
+  }
 }

@@ -1004,4 +1004,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedLast == batch,
       s"resumed triangle $streamedLast != batch $batch")
   }
+
+  test("resume fails fast when checkpoint and state dir are not a pair") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // a state dir persisted by some OTHER run (its epoch is far ahead
+    // of what this checkpoint replays) must not look like a clean
+    // resume — scoring against the wrong accumulator would silently
+    // diverge, so the epoch cross-check throws instead
+    val cp = java.nio.file.Files.createTempDirectory("pair_cp").toString
+    val sd = java.nio.file.Files.createTempDirectory("pair_state").toString
+    val sink = (df: org.apache.spark.sql.DataFrame, e: Long) => { df.count(); () }
+    val input = MemoryStream[Event]
+    val q1 = EventStreams.rateAnomalyStream(input.toDF(),
+        windowLength = "1 minute", trailing = 2, watermark = "2 minutes",
+        stateDir = Some(sd))(sink)
+      .option("checkpointLocation", cp).start()
+    try {
+      input.addData(Event(1, ts(0, 10), 1, "click", 0.0),
+        Event(900, ts(6, 10), 99, "click", 0.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // forge the "other run": jump the snapshot's epoch far ahead
+    graft.streaming.StreamState.bumpEpoch(spark, sd,
+      "rate_anomaly_stream_state", 99L)
+    val q2 = EventStreams.rateAnomalyStream(input.toDF(),
+        windowLength = "1 minute", trailing = 2, watermark = "2 minutes",
+        stateDir = Some(sd))(sink)
+      .option("checkpointLocation", cp).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      input.addData(Event(901, ts(9, 30), 99, "click", 0.0))
+      q2.processAllAvailable()
+    }
+    try assert(e.getMessage.contains("not from the same run"), e.getMessage)
+    finally q2.stop()
+  }
 }
