@@ -1039,4 +1039,131 @@ class StreamingSpec extends AnyFunSuite {
     try assert(e.getMessage.contains("not from the same run"), e.getMessage)
     finally q2.stop()
   }
+
+  test("epoch-partitioned sink: replays overwrite in place, both readers exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamSinks
+    // rate twin → disjoint-slices reader: the union of epoch dirs must
+    // equal everything the sink was handed, and a simulated replay
+    // (re-invoking the sink with an epoch's own settled rows) must
+    // leave the directory content IDENTICAL, not doubled
+    val outDir = java.nio.file.Files.createTempDirectory("sink_rate").toString
+    val handed = scala.collection.mutable.ListBuffer[(Timestamp, String, Long)]()
+    val epochs = scala.collection.mutable.ListBuffer[Long]()
+    val disk = StreamSinks.epochPartitionedParquet(outDir)
+    val sink = (df: org.apache.spark.sql.DataFrame, e: Long) => {
+      val rows = df.localCheckpoint() // sink consumes df twice
+      handed ++= rows.collect().map(r =>
+        (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      epochs += e
+      disk(rows, e)
+      rows.unpersist(); ()
+    }
+    val input = MemoryStream[Event]
+    val q = EventStreams.rateAnomalyStream(input.toDF(),
+        windowLength = "1 minute", trailing = 2, watermark = "2 minutes")(sink)
+      .start()
+    try {
+      input.addData(Event(1, ts(0, 10), 1, "click", 0.0),
+        Event(2, ts(1, 20), 2, "click", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(900, ts(6, 10), 99, "click", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(901, ts(9, 30), 99, "click", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(handed.nonEmpty && epochs.nonEmpty)
+    def allRows() = StreamSinks.readAllEpochs(spark, outDir)
+      .select("window_start", "event_type", "n_events").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq
+      .sortBy(t => (t._1.getTime, t._2, t._3))
+    val settled = allRows()
+    assert(settled == handed.toSeq.sortBy(t => (t._1.getTime, t._2, t._3)),
+      s"disk ${settled.size} rows != handed ${handed.size}")
+    // replay: the twins recompute an epoch's rows deterministically, so
+    // re-handing the settled rows to the sink is the real replay shape
+    // (materialized first — the real path recomputes from the
+    // accumulator and never reads its own output dir mid-overwrite)
+    val e = epochs.last
+    val replayRows = spark.read.parquet(s"$outDir/epoch=$e").localCheckpoint()
+    disk(replayRows, e)
+    replayRows.unpersist()
+    assert(allRows() == settled, "replayed epoch changed the settled content")
+
+    // retention twin → snapshot reader: the latest epoch dir holds the
+    // final triangle exactly
+    val triDir = java.nio.file.Files.createTempDirectory("sink_tri").toString
+    val triangles = scala.collection.mutable.ListBuffer[Seq[(Long, Long, Long)]]()
+    val triDisk = StreamSinks.epochPartitionedParquet(triDir)
+    val triSink = (df: org.apache.spark.sql.DataFrame, e: Long) => {
+      val rows = df.localCheckpoint()
+      triangles += rows.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      triDisk(rows, e)
+      rows.unpersist(); ()
+    }
+    val input2 = MemoryStream[Event]
+    val q2 = EventStreams.retentionStream(input2.toDF(), periodSeconds = 60L,
+        maxOffset = 7, watermark = "2 minutes")(triSink)
+      .start()
+    try {
+      input2.addData(Event(1, ts(0, 10), 1, "click", 0.0),
+        Event(2, ts(1, 20), 1, "click", 0.0))
+      q2.processAllAvailable()
+      input2.addData(Event(900, ts(6, 10), 99, "click", 0.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(triangles.nonEmpty)
+    val latest = StreamSinks.readLatestEpoch(spark, triDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(t => (t._1, t._2))
+    assert(latest == triangles.last.sortBy(t => (t._1, t._2)),
+      s"latest-epoch dir $latest != final triangle ${triangles.last}")
+  }
+
+  test("state-store ops are restart-native: an open session survives a restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the twins need StreamState because their accumulators are
+    // driver-held; sessionize/funnel/dedupStream keep state in the
+    // STATE STORE, which the checkpoint recovers by itself — pin that
+    // claim: a session left OPEN by run 1 must absorb run 2's in-gap
+    // event and close with counts spanning both processes
+    val cp = java.nio.file.Files.createTempDirectory("sess_restart").toString
+    // the memory sink cannot recover from a checkpoint; foreachBatch can
+    val closed = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Timestamp, Timestamp, Long, Double)]()
+    def writer(input: MemoryStream[Event]) =
+      EventStreams.sessionize(input.toDS(), gapSeconds = 60)
+        .writeStream
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[EventStreams.Session], _: Long) =>
+            b.collect().foreach(s => closed.add((s.user_id, s.session_start,
+              s.session_end, s.n_events, s.total_value)))
+        }
+        .option("checkpointLocation", cp)
+        .outputMode(OutputMode.Append)
+    val input = MemoryStream[Event]
+    val q1 = writer(input).start()
+    try {
+      input.addData(Event(1, ts(0, 0), 1, "click", 1.0),
+        Event(2, ts(0, 30), 1, "view", 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = writer(input).start()
+    try {
+      input.addData(Event(3, ts(0, 50), 1, "click", 3.0)) // in-gap: same session
+      q2.processAllAvailable()
+      input.addData(Event(9, ts(30, 0), 2, "click", 0.5)) // pusher closes it
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val s = closed.toArray(Array.empty[(Long, Timestamp, Timestamp, Long, Double)])
+      .filter(_._1 == 1L)
+    assert(s.length == 1, s"expected one closed session, got ${s.toSeq}")
+    assert(s.head._4 == 3L, s"session lost pre-restart events: ${s.head}")
+    assert(s.head._2 == ts(0, 0))
+    assert(s.head._3 == ts(0, 50))
+    assert(s.head._5 == 6.0)
+  }
 }
