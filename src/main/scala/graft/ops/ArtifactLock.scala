@@ -146,11 +146,14 @@ object ArtifactLock {
     * in-flight publish from another JVM can still own them). */
   private[graft] def pruneGenerations(spark: org.apache.spark.sql.SparkSession,
                                       path: String, bases: Seq[String],
-                                      newGen: Long): Unit = {
+                                      newGen: Long,
+                                      keep: Long = KeepGenerations): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val pat = ("^(" + bases.mkString("|") + ")(?:-([0-9]+))?$").r
-    val tmpPat = "^\\.manifest\\.json\\..*\\.tmp$".r
+    // crash leftovers next to the manifest: orphaned publish temps and
+    // takeover claims a crashed contender never deleted
+    val tmpPat = "^(\\.manifest\\.json\\..*\\.tmp|\\.maintenance\\.lease\\.takeover\\..*)$".r
     val staleTmpMs = 60000L
     try {
       val now = System.currentTimeMillis()
@@ -158,7 +161,7 @@ object ArtifactLock {
         st.getPath.getName match {
           case pat(_, g) =>
             val gen = Option(g).map(_.toLong).getOrElse(0L)
-            if (gen < newGen - KeepGenerations) fs.delete(st.getPath, true)
+            if (gen < newGen - keep) fs.delete(st.getPath, true)
           case n if tmpPat.findFirstIn(n).isDefined &&
               now - st.getModificationTime > staleTmpMs =>
             fs.delete(st.getPath, false)
@@ -255,12 +258,12 @@ object ArtifactLock {
     locks.computeIfAbsent(key, _ => new Object).synchronized {
       // depth mutations run with the monitor held, so plain get/put
       val depth = leaseDepth.getOrDefault(key, 0)
-      if (depth == 0) acquireLease(path)
+      if (depth == 0) acquireLease(path, key)
       leaseDepth.put(key, depth + 1)
       try f
       finally {
         val d = leaseDepth.get(key) - 1
-        if (d == 0) { leaseDepth.remove(key); releaseLease(path) }
+        if (d == 0) { leaseDepth.remove(key); releaseLease(path, key) }
         else leaseDepth.put(key, d)
       }
     }
@@ -268,6 +271,20 @@ object ArtifactLock {
 
   private val leaseDepth =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private final case class HeldLease(
+      token: String, beat: java.util.concurrent.ScheduledFuture[_])
+  private val heldLeases =
+    new java.util.concurrent.ConcurrentHashMap[String, HeldLease]()
+
+  /** One daemon thread touches every held lease's mtime at a third of
+    * the stale threshold, so a long maintenance job (larger than the
+    * threshold — real at 100 TB) is never classified crashed and never
+    * loses mutual exclusion mid-write. */
+  private lazy val leaseBeater =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-lease-heartbeat"); t.setDaemon(true); t
+    })
 
   private def leaseStaleMs: Long =
     java.lang.Long.getLong("graft.artifact.lease.stale.ms", 600000L)
@@ -277,37 +294,75 @@ object ArtifactLock {
   private[graft] def leasePathOf(path: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(path, ".maintenance.lease")
 
+  /** The session's Hadoop configuration when a SparkSession is live —
+    * lease files must resolve through the SAME filesystem every other
+    * artifact operation uses (spark.hadoop.* credentials, fs.defaultFS);
+    * a bare `new Configuration()` can resolve the identical path string
+    * to a DIFFERENT filesystem (e.g. local instead of HDFS), silently
+    * voiding cross-process exclusion. */
+  private def leaseHadoopConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def localLeaseNio(lease: org.apache.hadoop.fs.Path)
+      : java.nio.file.Path =
+    java.nio.file.Paths.get(lease.getParent.toUri.getPath)
+      .resolve(lease.getName)
+
   /** Acquire the cross-process maintenance lease: create
     * `<path>/.maintenance.lease` EXCLUSIVELY (java.nio CREATE_NEW on
     * local filesystems — atomic O_EXCL; Hadoop create(overwrite=false)
-    * elsewhere — atomic at the HDFS namenode), recording holder
-    * (`pid@host`) and epoch millis. If the file exists, poll: a lease
-    * whose mtime is older than the stale threshold is presumed crashed
-    * and deleted (both takeover contenders may delete — a no-op for
-    * the loser — and the exclusive CREATE retry decides the winner);
-    * otherwise wait until the deadline, then fail naming the holder.
-    * The default Hadoop Configuration resolves file:// and any
-    * classpath-configured cluster filesystem — same resolution the
-    * artifact paths themselves get. */
-  private def acquireLease(path: String): Unit = {
+    * elsewhere — atomic at the HDFS namenode), recording
+    * `pid@host <uuid> <epochMillis>`; a heartbeat then touches the
+    * file's mtime while held. A lease is presumed CRASHED when its
+    * mtime is older than the stale threshold, or — the fast path for a
+    * supervisor restarting a crashed driver on the same host — when
+    * its recorded pid is provably dead locally. Takeover is FENCED: a
+    * contender claims the dead lease by renaming it to a unique
+    * sibling (exactly one rename wins; the loser's source is gone), so
+    * no contender can ever delete a LIVE successor lease, then
+    * immediately re-races the exclusive create — the deadline check
+    * runs only before sleeping, never between a successful claim and
+    * the create retry. Waiting gives up naming the holder after the
+    * timeout. */
+  private def acquireLease(path: String, key: String): Unit = {
     val lease = leasePathOf(path)
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf = leaseHadoopConf()
     val fs = lease.getFileSystem(conf)
     val scheme = Option(fs.getUri.getScheme).getOrElse("file")
-    val holder = s"${ProcessHandle.current.pid}@" +
-      java.net.InetAddress.getLocalHost.getHostName
+    val local = scheme == "file" || scheme == "local"
+    val hostname = java.net.InetAddress.getLocalHost.getHostName
+    val token = s"${ProcessHandle.current.pid}@$hostname " +
+      java.util.UUID.randomUUID().toString.take(8)
     val deadline = System.currentTimeMillis() + leaseTimeoutMs
     fs.mkdirs(new org.apache.hadoop.fs.Path(path))
+
+    def readLease(): Option[String] =
+      try {
+        val in = fs.open(lease)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      } catch { case _: Exception => None }
+
+    // pid provably dead on THIS host ⇒ crashed, no need to wait out the
+    // stale threshold (the restart-from-checkpoint supervisor case)
+    def holderDeadLocally(content: String): Boolean =
+      content.split(" ").headOption.map(_.split("@")) match {
+        case Some(Array(pid, host)) if host == hostname =>
+          pid.toLongOption.exists(p =>
+            ProcessHandle.of(p).map[Boolean](_ => false).orElse(true))
+        case _ => false
+      }
+
     while (true) {
-      val body = s"$holder ${System.currentTimeMillis()}"
+      val body = s"$token ${System.currentTimeMillis()}"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val created =
         try {
-          if (scheme == "file" || scheme == "local") {
-            val p = java.nio.file.Paths.get(
-              new org.apache.hadoop.fs.Path(path).toUri.getPath)
-              .resolve(lease.getName)
-            java.nio.file.Files.write(p, body,
+          if (local) {
+            java.nio.file.Files.write(localLeaseNio(lease), body,
               java.nio.file.StandardOpenOption.CREATE_NEW,
               java.nio.file.StandardOpenOption.WRITE)
             true
@@ -320,41 +375,90 @@ object ArtifactLock {
           case _: java.nio.file.FileAlreadyExistsException => false
           case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
         }
-      if (created) return
-      try {
-        val st = fs.getFileStatus(lease)
-        if (System.currentTimeMillis() - st.getModificationTime > leaseStaleMs) {
-          log.warn(s"taking over stale maintenance lease at $lease " +
-            s"(untouched for > $leaseStaleMs ms)")
-          fs.delete(lease, false)
-        }
-      } catch { case _: java.io.FileNotFoundException => () // just released
-      }
-      if (System.currentTimeMillis() > deadline) {
-        val holderInfo =
+      if (created) {
+        val period = math.max(1000L, leaseStaleMs / 3)
+        val beat = leaseBeater.scheduleAtFixedRate(() => {
           try {
-            val in = fs.open(lease)
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-          } catch { case _: Exception => "unknown" }
+            val now = System.currentTimeMillis()
+            if (local) java.nio.file.Files.setLastModifiedTime(
+              localLeaseNio(lease),
+              java.nio.file.attribute.FileTime.fromMillis(now))
+            else fs.setTimes(lease, now, -1)
+          } catch { case e: Exception =>
+            log.warn(s"maintenance-lease heartbeat at $lease failed: $e")
+          }
+        }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+        heldLeases.put(key, HeldLease(token, beat))
+        return
+      }
+      val crashed =
+        try {
+          val st = fs.getFileStatus(lease)
+          System.currentTimeMillis() - st.getModificationTime > leaseStaleMs ||
+            readLease().exists(holderDeadLocally)
+        } catch { case _: java.io.FileNotFoundException => false } // released
+      if (crashed) {
+        // fenced takeover: exactly one contender wins the rename; the
+        // losers' source is gone and they re-enter the create race —
+        // nobody can delete the winner's LIVE successor lease
+        val claim = new org.apache.hadoop.fs.Path(lease.getParent,
+          s".maintenance.lease.takeover.${java.util.UUID.randomUUID().toString.take(8)}")
+        val claimed =
+          try {
+            if (local) {
+              java.nio.file.Files.move(localLeaseNio(lease), localLeaseNio(claim))
+              true
+            } else fs.rename(lease, claim)
+          } catch { case _: Exception => false }
+        if (claimed) {
+          log.warn(s"took over crashed maintenance lease at $lease")
+          try fs.delete(claim, false) catch { case _: Exception => () }
+          // re-race the create immediately: a successful claim must not
+          // be able to fall through to the timeout below
+        }
+      } else if (System.currentTimeMillis() > deadline) {
         throw new IllegalStateException(
           s"timed out after $leaseTimeoutMs ms waiting for the artifact " +
-            s"maintenance lease at $lease (holder: $holderInfo) — another " +
+            s"maintenance lease at $lease " +
+            s"(holder: ${readLease().getOrElse("unknown")}) — another " +
             "driver is maintaining this artifact, or a crashed holder's " +
             "lease has not yet gone stale " +
             "(graft.artifact.lease.stale.ms)")
-      }
-      Thread.sleep(50)
+      } else Thread.sleep(50)
     }
   }
 
-  private def releaseLease(path: String): Unit =
+  /** Release only OUR lease: the content is re-read and must carry this
+    * acquisition's token — if a (heartbeat-failed, stale-classified)
+    * lease was taken over mid-job, deleting blindly would remove the
+    * SUCCESSOR's live lease and let a third writer in. The read→delete
+    * pair is not atomic, but the residual window requires the lease to
+    * have been stolen in the same instant, which the heartbeat exists
+    * to prevent; the takeover path recovers an unreleased file. */
+  private def releaseLease(path: String, key: String): Unit = {
+    val held = Option(heldLeases.remove(key))
+    held.foreach(_.beat.cancel(false))
     try {
       val lease = leasePathOf(path)
-      lease.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        .delete(lease, false)
+      val fs = lease.getFileSystem(leaseHadoopConf())
+      val content =
+        try {
+          val in = fs.open(lease)
+          try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+          finally in.close()
+        } catch { case _: Exception => None }
+      (held, content) match {
+        case (Some(h), Some(c)) if c.startsWith(h.token) =>
+          fs.delete(lease, false); ()
+        case (Some(h), Some(c)) =>
+          log.warn(s"maintenance lease at $lease is no longer ours " +
+            s"(holder: $c) — leaving it; our job may have overrun the " +
+            "stale threshold despite the heartbeat")
+        case _ => ()
+      }
     } catch { case e: Exception =>
       // the stale-takeover path recovers an unreleased lease; still loud
       log.warn(s"failed to release maintenance lease under $path: $e")
     }
+  }
 }

@@ -254,9 +254,13 @@ object EventStreams {
     // from the batch twin. Intra-run epoch REPLAYS (at-least-once
     // foreachBatch) are fully absorbed — see the merge's dedup.
     val stateKind = "rate_anomaly_stream_state"
+    val stepSecs = windowLength.split(" ")(0).toLong *
+      Map("second" -> 1L, "minute" -> 60L, "hour" -> 3600L,
+        "day" -> 86400L)(windowLength.split(" ")(1).stripSuffix("s"))
     var state: Option[DataFrame] = None
     var horizon: Option[java.sql.Timestamp] = None
     var observedFirstEpoch = false
+    var snapshotExists = false
     counts.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
       .foreachBatch { (b: DataFrame, epoch: Long) =>
@@ -273,6 +277,7 @@ object EventStreams {
                   case Some(l: Long) => Some(new java.sql.Timestamp(l))
                   case _ => None
                 }
+                snapshotExists = true
               }
           }
           if (epoch > 0 && state.isEmpty) throw new IllegalStateException(
@@ -330,9 +335,6 @@ object EventStreams {
         // history actually extends past the bound — a young stream
         // (true history shorter than the frame) keeps its true min, so
         // partial-history null-z rows still match the batch twin.
-        val stepSecs = windowLength.split(" ")(0).toLong *
-          Map("second" -> 1L, "minute" -> 60L, "hour" -> 3600L,
-            "day" -> 86400L)(windowLength.split(" ")(1).stripSuffix("s"))
         val stored = (newMin, newMax) match {
           case (Some(mn), Some(mx))
               if mn.getTime < mx.getTime - (trailing + 1) * stepSecs * 1000 =>
@@ -354,11 +356,18 @@ object EventStreams {
         // persist AFTER the sink ran: a crash on either side of this
         // write replays the epoch exactly (see the docstring). The
         // relation is readout-sized (types × (trailing+2) rows), so one
-        // file per snapshot keeps the reload a single-read object.
+        // file per snapshot keeps the reload a single-read object. An
+        // EMPTY batch changes neither counts nor horizon — once a
+        // snapshot exists, those epochs bump only the manifest's epoch
+        // (a sparse stream with a short trigger would otherwise pay a
+        // parquet write + prune per empty tick).
         stateDir.foreach { d =>
-          StreamState.persist(b.sparkSession, d, stateKind, epoch,
-            Seq("counts" -> stored.coalesce(1)),
-            horizon.toSeq.map(h => "horizon_ms" -> (h.getTime: Any)))
+          if (!b.isEmpty || !snapshotExists) {
+            StreamState.persist(b.sparkSession, d, stateKind, epoch,
+              Seq("counts" -> stored.coalesce(1)),
+              horizon.toSeq.map(h => "horizon_ms" -> (h.getTime: Any)))
+            snapshotExists = true
+          } else StreamState.bumpEpoch(b.sparkSession, d, stateKind, epoch)
         }
       }
   }

@@ -76,7 +76,13 @@ private[graft] object StreamState {
       extraMeta.foreach { case (k, v) => manifest(k) = v }
       ArtifactLock.publishManifest(spark, dir,
         graft.engine.QueryJson.write(manifest))
-      ArtifactLock.pruneGenerations(spark, dir, relations.map(_._1), newGen)
+      // keep=1: unlike the shared index artifacts (unlocked lagging
+      // readers), this dir's ONLY reader is the stream itself, loading
+      // under the lock at restart — one prior generation covers the
+      // torn window without retaining a third state-sized copy (the
+      // users relation is user-count-shaped at every epoch)
+      ArtifactLock.pruneGenerations(spark, dir, relations.map(_._1), newGen,
+        keep = 1L)
     }
 
   /** Advance ONLY the manifest's epoch, leaving the relations (and

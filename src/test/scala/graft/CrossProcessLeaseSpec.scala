@@ -113,4 +113,45 @@ class CrossProcessLeaseSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(leaseFile),
       "lease not released after the takeover's maintenance finished")
   }
+
+  test("heartbeat keeps a long-held lease live; a dead local pid is fast-tracked") {
+    val root = java.nio.file.Files.createTempDirectory("lease_beat")
+    val path = root.toString + "/vocab"
+    VocabIndex.buildAndSave(Seq((1L, "alpha beta")).toDF("doc_id", "text"),
+      "text", k = 4, path = path, capacity = Some(1024))
+    val leaseFile = java.nio.file.Paths.get(path, ".maintenance.lease")
+
+    // a maintenance job LONGER than the stale threshold must never be
+    // classified crashed: the heartbeat (threshold/3, floor 1 s)
+    // refreshes the lease's mtime while held
+    System.setProperty("graft.artifact.lease.stale.ms", "3000")
+    try {
+      ArtifactLock.withWriteLock(path) {
+        val m0 = java.nio.file.Files.getLastModifiedTime(leaseFile).toMillis
+        Thread.sleep(4500) // > staleMs; ≥ 4 heartbeat periods
+        val m1 = java.nio.file.Files.getLastModifiedTime(leaseFile).toMillis
+        assert(m1 > m0, s"heartbeat never touched the lease ($m0 -> $m1)")
+        assert(System.currentTimeMillis() - m1 < 3000,
+          "lease mtime is stale mid-job despite the heartbeat")
+      }
+    } finally System.clearProperty("graft.artifact.lease.stale.ms")
+    assert(!java.nio.file.Files.exists(leaseFile))
+
+    // a crashed SAME-HOST holder is taken over immediately (pid provably
+    // dead), without waiting out the 10-minute default stale threshold —
+    // the supervisor-restarts-the-driver case
+    val dead = new ProcessBuilder("true").start()
+    dead.waitFor()
+    val deadPid = dead.pid()
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    java.nio.file.Files.write(leaseFile,
+      s"$deadPid@$host feedcafe ${System.currentTimeMillis()}".getBytes("UTF-8"))
+    val t0 = System.currentTimeMillis()
+    VocabIndex.update(spark, path,
+      Seq((12L, "epsilon")).toDF("doc_id", "text"), "text", maxSlabs = 0)
+    val waited = System.currentTimeMillis() - t0
+    assert(waited < 60000, s"dead-pid lease not fast-tracked (waited $waited ms)")
+    assert(VocabIndex.load(spark, path).nDocs.contains(2L))
+    assert(!java.nio.file.Files.exists(leaseFile))
+  }
 }
