@@ -311,22 +311,41 @@ object ArtifactLock {
     java.nio.file.Paths.get(lease.getParent.toUri.getPath)
       .resolve(lease.getName)
 
+  /** Reads the lease's current content, None when missing/unreadable
+    * (shared by the acquire poll, the takeover verify, and the
+    * token-checked release). */
+  private def readLeaseContent(fs: org.apache.hadoop.fs.FileSystem,
+                               lease: org.apache.hadoop.fs.Path)
+      : Option[String] =
+    try {
+      val in = fs.open(lease)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    } catch { case _: Exception => None }
+
   /** Acquire the cross-process maintenance lease: create
     * `<path>/.maintenance.lease` EXCLUSIVELY (java.nio CREATE_NEW on
     * local filesystems — atomic O_EXCL; Hadoop create(overwrite=false)
     * elsewhere — atomic at the HDFS namenode), recording
     * `pid@host <uuid> <epochMillis>`; a heartbeat then touches the
-    * file's mtime while held. A lease is presumed CRASHED when its
-    * mtime is older than the stale threshold, or — the fast path for a
-    * supervisor restarting a crashed driver on the same host — when
-    * its recorded pid is provably dead locally. Takeover is FENCED: a
-    * contender claims the dead lease by renaming it to a unique
-    * sibling (exactly one rename wins; the loser's source is gone), so
-    * no contender can ever delete a LIVE successor lease, then
-    * immediately re-races the exclusive create — the deadline check
-    * runs only before sleeping, never between a successful claim and
-    * the create retry. Waiting gives up naming the holder after the
-    * timeout. */
+    * file's mtime while held (falling back to rewriting the same
+    * content where the filesystem lacks setTimes). A lease is presumed
+    * CRASHED when its mtime is older than the stale threshold, or —
+    * the fast path for a supervisor restarting a crashed driver on the
+    * same host — when its recorded pid is provably dead locally AND
+    * the mtime shows two missed heartbeats (the grace guards against a
+    * live holder whose pid is merely invisible to this process: PID
+    * namespaces, duplicated hostnames — a live one would have touched
+    * the file). Takeover is FENCED twice: the contender claims the
+    * dead lease by renaming it to a unique sibling (exactly one rename
+    * wins; the loser's source is gone), then VERIFIES the claimed
+    * bytes equal the content it classified as crashed — a rename that
+    * raced a successor and grabbed a LIVE lease instead is renamed
+    * straight back. A verified claim re-races the exclusive create
+    * immediately; every other iteration checks the wait deadline and
+    * sleeps (a persistently failing rename — e.g. a read-only
+    * principal — still honors the timeout instead of spinning).
+    * Waiting gives up naming the holder after the timeout. */
   private def acquireLease(path: String, key: String): Unit = {
     val lease = leasePathOf(path)
     val conf = leaseHadoopConf()
@@ -339,15 +358,14 @@ object ArtifactLock {
     val deadline = System.currentTimeMillis() + leaseTimeoutMs
     fs.mkdirs(new org.apache.hadoop.fs.Path(path))
 
-    def readLease(): Option[String] =
-      try {
-        val in = fs.open(lease)
-        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
-        finally in.close()
-      } catch { case _: Exception => None }
-
-    // pid provably dead on THIS host ⇒ crashed, no need to wait out the
-    // stale threshold (the restart-from-checkpoint supervisor case)
+    val beatPeriod = math.max(1000L, leaseStaleMs / 3)
+    // pid provably dead on THIS host AND two missed heartbeats ⇒
+    // crashed without waiting out the full stale threshold (the
+    // restart-from-checkpoint supervisor case). The mtime grace is the
+    // safety half: a LIVE holder whose pid is merely invisible here
+    // (container PID namespaces, duplicated hostnames) keeps touching
+    // the file, so it can never look dead.
+    val deadPidGraceMs = 2 * beatPeriod + 5000L
     def holderDeadLocally(content: String): Boolean =
       content.split(" ").headOption.map(_.split("@")) match {
         case Some(Array(pid, host)) if host == hostname =>
@@ -376,53 +394,104 @@ object ArtifactLock {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
         }
       if (created) {
-        val period = math.max(1000L, leaseStaleMs / 3)
+        var triedSetTimes = false
         val beat = leaseBeater.scheduleAtFixedRate(() => {
           try {
             val now = System.currentTimeMillis()
             if (local) java.nio.file.Files.setLastModifiedTime(
               localLeaseNio(lease),
               java.nio.file.attribute.FileTime.fromMillis(now))
-            else fs.setTimes(lease, now, -1)
+            else try {
+              fs.setTimes(lease, now, -1)
+              triedSetTimes = true
+            } catch { case _: UnsupportedOperationException =>
+              // object stores without setTimes: rewriting the same
+              // token with fresh millis refreshes the mtime instead; a
+              // contender reading mid-rewrite sees unparseable bytes,
+              // which classify as nothing (never as dead)
+              if (!triedSetTimes) log.warn(
+                s"$lease: filesystem lacks setTimes — heartbeating by rewrite")
+              triedSetTimes = true
+              val out = fs.create(lease, true)
+              try out.write(s"$token $now".getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+              finally out.close()
+            }
           } catch { case e: Exception =>
             log.warn(s"maintenance-lease heartbeat at $lease failed: $e")
           }
-        }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+        }, beatPeriod, beatPeriod, java.util.concurrent.TimeUnit.MILLISECONDS)
         heldLeases.put(key, HeldLease(token, beat))
         return
       }
-      val crashed =
+      // one getFileStatus per poll; content is read only when the age
+      // already makes the holder suspect (a waiter behind a live lease
+      // must not hammer opens at 20/s for up to the whole timeout)
+      val observed: Option[(Long, Option[String])] =
         try {
           val st = fs.getFileStatus(lease)
-          System.currentTimeMillis() - st.getModificationTime > leaseStaleMs ||
-            readLease().exists(holderDeadLocally)
-        } catch { case _: java.io.FileNotFoundException => false } // released
-      if (crashed) {
-        // fenced takeover: exactly one contender wins the rename; the
-        // losers' source is gone and they re-enter the create race —
-        // nobody can delete the winner's LIVE successor lease
+          val age = System.currentTimeMillis() - st.getModificationTime
+          val content =
+            if (age > math.min(leaseStaleMs, deadPidGraceMs))
+              readLeaseContent(fs, lease)
+            else None
+          Some((age, content))
+        } catch { case _: java.io.FileNotFoundException => None } // released
+      val crashed = observed.exists { case (age, content) =>
+        age > leaseStaleMs ||
+          (age > deadPidGraceMs && content.exists(holderDeadLocally))
+      }
+      val claimVerified = crashed && {
+        // fenced takeover, twice over: (1) exactly one contender wins
+        // the rename — the losers' source is gone, so nobody can delete
+        // a LIVE successor; (2) the claimed bytes must equal the content
+        // classified as crashed — a rename that raced a successor and
+        // grabbed a fresh live lease is renamed straight back
+        val expected = observed.get._2.orElse(readLeaseContent(fs, lease))
         val claim = new org.apache.hadoop.fs.Path(lease.getParent,
           s".maintenance.lease.takeover.${java.util.UUID.randomUUID().toString.take(8)}")
-        val claimed =
+        val renamed =
           try {
             if (local) {
               java.nio.file.Files.move(localLeaseNio(lease), localLeaseNio(claim))
               true
             } else fs.rename(lease, claim)
           } catch { case _: Exception => false }
-        if (claimed) {
-          log.warn(s"took over crashed maintenance lease at $lease")
-          try fs.delete(claim, false) catch { case _: Exception => () }
-          // re-race the create immediately: a successful claim must not
-          // be able to fall through to the timeout below
+        renamed && {
+          val got = readLeaseContent(fs, claim)
+          if (got.isDefined && got == expected) {
+            log.warn(s"took over crashed maintenance lease at $lease " +
+              s"(holder was: ${expected.getOrElse("unknown")})")
+            try fs.delete(claim, false) catch { case _: Exception => () }
+            true
+          } else {
+            // raced a successor: give the live lease its name back
+            val restored =
+              try {
+                if (local) {
+                  java.nio.file.Files.move(localLeaseNio(claim), localLeaseNio(lease))
+                  true
+                } else fs.rename(claim, lease)
+              } catch { case _: Exception => false }
+            if (!restored) log.error(
+              s"takeover at $lease raced a successor and could not " +
+                s"restore it (claimed: $got) — that holder has lost its " +
+                "lease file; its release will warn and its job may lose " +
+                "exclusion")
+            false
+          }
         }
+      }
+      if (claimVerified) {
+        // re-race the create immediately: a verified claim must not be
+        // able to fall through to the timeout below
       } else if (System.currentTimeMillis() > deadline) {
         throw new IllegalStateException(
           s"timed out after $leaseTimeoutMs ms waiting for the artifact " +
             s"maintenance lease at $lease " +
-            s"(holder: ${readLease().getOrElse("unknown")}) — another " +
-            "driver is maintaining this artifact, or a crashed holder's " +
-            "lease has not yet gone stale " +
+            s"(holder: ${readLeaseContent(fs, lease).getOrElse("unknown")}) — " +
+            "another driver is maintaining this artifact, or a crashed " +
+            "holder's lease has not yet gone stale " +
             "(graft.artifact.lease.stale.ms)")
       } else Thread.sleep(50)
     }
@@ -441,13 +510,7 @@ object ArtifactLock {
     try {
       val lease = leasePathOf(path)
       val fs = lease.getFileSystem(leaseHadoopConf())
-      val content =
-        try {
-          val in = fs.open(lease)
-          try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
-          finally in.close()
-        } catch { case _: Exception => None }
-      (held, content) match {
+      (held, readLeaseContent(fs, lease)) match {
         case (Some(h), Some(c)) if c.startsWith(h.token) =>
           fs.delete(lease, false); ()
         case (Some(h), Some(c)) =>

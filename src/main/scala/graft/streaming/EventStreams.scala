@@ -272,7 +272,7 @@ object EventStreams {
             StreamState.load(b.sparkSession, d, stateKind, Seq("counts"))
               .foreach { snap =>
                 StreamState.checkEpoch(snap.epoch, epoch, d)
-                state = Some(snap.relations("counts").localCheckpoint())
+                state = Some(snap.relations("counts")) // materialized by load
                 horizon = snap.meta.get("horizon_ms") match {
                   case Some(l: Long) => Some(new java.sql.Timestamp(l))
                   case _ => None
@@ -1378,8 +1378,8 @@ object EventStreams {
             StreamState.load(b.sparkSession, d, stateKind,
                 Seq("users", "cells")).foreach { snap =>
               StreamState.checkEpoch(snap.epoch, epoch, d)
-              state = Some(snap.relations("users").localCheckpoint())
-              cells = Some(snap.relations("cells").localCheckpoint())
+              state = Some(snap.relations("users")) // materialized by load
+              cells = Some(snap.relations("cells"))
             }
           }
           if (epoch > 0 && state.isEmpty) throw new IllegalStateException(

@@ -76,11 +76,14 @@ private[graft] object StreamState {
       extraMeta.foreach { case (k, v) => manifest(k) = v }
       ArtifactLock.publishManifest(spark, dir,
         graft.engine.QueryJson.write(manifest))
-      // keep=1: unlike the shared index artifacts (unlocked lagging
-      // readers), this dir's ONLY reader is the stream itself, loading
-      // under the lock at restart — one prior generation covers the
-      // torn window without retaining a third state-sized copy (the
-      // users relation is user-count-shaped at every epoch)
+      // keep=1: unlike the shared index artifacts (unlocked readers
+      // that can lag several saves while holding a captured file
+      // listing), this dir's only intended reader is the stream itself
+      // at restart, and [[load]] MATERIALIZES the relations inside its
+      // retryingLoad attempt — a torn read re-resolves the manifest
+      // whole. One prior generation covers that window without
+      // retaining a third state-sized copy (the users relation is
+      // user-count-shaped at every epoch).
       ArtifactLock.pruneGenerations(spark, dir, relations.map(_._1), newGen,
         keep = 1L)
     }
@@ -120,7 +123,11 @@ private[graft] object StreamState {
     * fresh pairing — the caller decides whether that is legal for its
     * first observed epoch). A foreign or newer-format manifest fails
     * fast: scoring against the WRONG stream's state must not look like
-    * a clean resume. */
+    * a clean resume. The relations come back MATERIALIZED
+    * (localCheckpoint runs inside the retry attempt), so a read racing
+    * a concurrent persist's prune is absorbed by re-resolving the
+    * manifest — nothing downstream keeps a lazy plan over generation
+    * files that [[persist]]'s keep=1 prune may delete. */
   def load(spark: SparkSession, dir: String, kind: String,
            bases: Seq[String]): Option[Snapshot] =
     ArtifactLock.retryingLoad(loadOnce(spark, dir, kind, bases))
@@ -156,7 +163,11 @@ private[graft] object StreamState {
       case _ => 0L
     }
     val rels = bases.map { b =>
+      // eager materialization INSIDE the retry attempt: the returned
+      // frames must not be lazy plans over files a concurrent prune
+      // can delete after this call returns
       b -> spark.read.parquet(s"$dir/${ArtifactLock.genDirName(b, gen)}")
+        .localCheckpoint()
     }.toMap
     Some(Snapshot(epoch, rels, manifest))
   }

@@ -137,15 +137,23 @@ class CrossProcessLeaseSpec extends AnyFunSuite {
     } finally System.clearProperty("graft.artifact.lease.stale.ms")
     assert(!java.nio.file.Files.exists(leaseFile))
 
-    // a crashed SAME-HOST holder is taken over immediately (pid provably
-    // dead), without waiting out the 10-minute default stale threshold —
-    // the supervisor-restarts-the-driver case
+    // a crashed SAME-HOST holder is taken over once its pid is provably
+    // dead AND the mtime shows two missed heartbeats — well before the
+    // 10-minute stale threshold (the supervisor-restarts-the-driver
+    // case). The planted mtime sits BETWEEN the grace (~405 s at the
+    // default threshold) and staleness (600 s), so only the dead-pid
+    // path can explain an immediate takeover; the grace also means a
+    // live holder invisible to this PID namespace could never be
+    // stolen (its heartbeat keeps the mtime fresh).
     val dead = new ProcessBuilder("true").start()
     dead.waitFor()
     val deadPid = dead.pid()
     val host = java.net.InetAddress.getLocalHost.getHostName
     java.nio.file.Files.write(leaseFile,
       s"$deadPid@$host feedcafe ${System.currentTimeMillis()}".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(leaseFile,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 450000)) // grace < 450 s < stale
     val t0 = System.currentTimeMillis()
     VocabIndex.update(spark, path,
       Seq((12L, "epsilon")).toDF("doc_id", "text"), "text", maxSlabs = 0)
@@ -153,5 +161,27 @@ class CrossProcessLeaseSpec extends AnyFunSuite {
     assert(waited < 60000, s"dead-pid lease not fast-tracked (waited $waited ms)")
     assert(VocabIndex.load(spark, path).nDocs.contains(2L))
     assert(!java.nio.file.Files.exists(leaseFile))
+
+    // negative control: a LIVE same-host pid with the same old mtime is
+    // NOT fast-tracked — the contender keeps waiting (and would only
+    // take over at true staleness)
+    java.nio.file.Files.write(leaseFile,
+      (s"${ProcessHandle.current.pid}@$host cafef00d " +
+        s"${System.currentTimeMillis()}").getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(leaseFile,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 450000))
+    val releaser2 = new Thread(() => {
+      Thread.sleep(1500)
+      java.nio.file.Files.deleteIfExists(leaseFile)
+    })
+    val t1 = System.currentTimeMillis()
+    releaser2.start()
+    VocabIndex.update(spark, path,
+      Seq((13L, "zeta")).toDF("doc_id", "text"), "text", maxSlabs = 0)
+    releaser2.join()
+    assert(System.currentTimeMillis() - t1 >= 1400,
+      "live same-host pid was stolen by the dead-pid fast path")
+    assert(VocabIndex.load(spark, path).nDocs.contains(3L))
   }
 }
