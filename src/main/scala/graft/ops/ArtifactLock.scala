@@ -26,7 +26,14 @@ package graft.ops
   * Waiters give up with an error naming the holder after
   * `graft.artifact.lease.timeout.ms` (default 10 min). The lease is
   * acquired once per outermost [[withWriteLock]] (reentrant entries
-  * share it). Keying is by the
+  * share it). The exclusion guarantee requires a filesystem with an
+  * ATOMIC exclusive create and an atomic rename — local POSIX and
+  * HDFS-class stores. On an object store whose create/rename are
+  * emulated (e.g. plain S3 without conditional writes), the lease
+  * degrades to advisory best-effort: racing maintainers can both
+  * believe they created or claimed it, so deployments on such stores
+  * need an external coordination layer for concurrent maintenance.
+  * Keying is by the
   * normalized path STRING (the server resolves each artifact name to one
   * canonical root, so filesystem aliasing of the same directory through
   * different spellings is not a supported layout). READS are not locked:
@@ -272,8 +279,17 @@ object ArtifactLock {
   private val leaseDepth =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
-  private final case class HeldLease(
-      token: String, beat: java.util.concurrent.ScheduledFuture[_])
+  /** A held lease's heartbeat handle. The monitor serializes the beat
+    * body against release: cancel(false) does not stop an in-flight
+    * beat, and on a rewrite-heartbeat filesystem a beat landing after
+    * the release's delete would RESURRECT the lease as a fresh-looking
+    * orphan every later writer waits out. The beat re-checks `released`
+    * inside the monitor; release flips it inside the same monitor
+    * before deleting. */
+  private final class HeldLease(val token: String) {
+    @volatile var beat: java.util.concurrent.ScheduledFuture[_] = null
+    var released = false // guarded by this's monitor
+  }
   private val heldLeases =
     new java.util.concurrent.ConcurrentHashMap[String, HeldLease]()
 
@@ -394,34 +410,39 @@ object ArtifactLock {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
         }
       if (created) {
-        var triedSetTimes = false
-        val beat = leaseBeater.scheduleAtFixedRate(() => {
-          try {
-            val now = System.currentTimeMillis()
-            if (local) java.nio.file.Files.setLastModifiedTime(
-              localLeaseNio(lease),
-              java.nio.file.attribute.FileTime.fromMillis(now))
-            else try {
-              fs.setTimes(lease, now, -1)
-              triedSetTimes = true
-            } catch { case _: UnsupportedOperationException =>
-              // object stores without setTimes: rewriting the same
-              // token with fresh millis refreshes the mtime instead; a
-              // contender reading mid-rewrite sees unparseable bytes,
-              // which classify as nothing (never as dead)
-              if (!triedSetTimes) log.warn(
-                s"$lease: filesystem lacks setTimes — heartbeating by rewrite")
-              triedSetTimes = true
-              val out = fs.create(lease, true)
-              try out.write(s"$token $now".getBytes(
-                java.nio.charset.StandardCharsets.UTF_8))
-              finally out.close()
+        val held = new HeldLease(token)
+        var warnedNoSetTimes = false
+        held.beat = leaseBeater.scheduleAtFixedRate(() => {
+          // the monitor + released flag keep a rewrite-beat from
+          // resurrecting a lease releaseLease just deleted
+          held.synchronized { if (!held.released) {
+            try {
+              val now = System.currentTimeMillis()
+              if (local) java.nio.file.Files.setLastModifiedTime(
+                localLeaseNio(lease),
+                java.nio.file.attribute.FileTime.fromMillis(now))
+              else try fs.setTimes(lease, now, -1)
+              catch { case _: UnsupportedOperationException =>
+                // object stores without setTimes: rewriting the same
+                // token with fresh millis refreshes the mtime instead; a
+                // contender reading mid-rewrite sees unparseable bytes,
+                // which classify as nothing (never as dead)
+                if (!warnedNoSetTimes) {
+                  log.warn(s"$lease: filesystem lacks setTimes — " +
+                    "heartbeating by rewrite")
+                  warnedNoSetTimes = true
+                }
+                val out = fs.create(lease, true)
+                try out.write(s"$token $now".getBytes(
+                  java.nio.charset.StandardCharsets.UTF_8))
+                finally out.close()
+              }
+            } catch { case e: Exception =>
+              log.warn(s"maintenance-lease heartbeat at $lease failed: $e")
             }
-          } catch { case e: Exception =>
-            log.warn(s"maintenance-lease heartbeat at $lease failed: $e")
-          }
+          } }
         }, beatPeriod, beatPeriod, java.util.concurrent.TimeUnit.MILLISECONDS)
-        heldLeases.put(key, HeldLease(token, beat))
+        heldLeases.put(key, held)
         return
       }
       // one getFileStatus per poll; content is read only when the age
@@ -437,6 +458,14 @@ object ArtifactLock {
             else None
           Some((age, content))
         } catch { case _: java.io.FileNotFoundException => None } // released
+      def moveLease(src: org.apache.hadoop.fs.Path,
+                    dst: org.apache.hadoop.fs.Path): Boolean =
+        try {
+          if (local) {
+            java.nio.file.Files.move(localLeaseNio(src), localLeaseNio(dst))
+            true
+          } else fs.rename(src, dst)
+        } catch { case _: Exception => false }
       val crashed = observed.exists { case (age, content) =>
         age > leaseStaleMs ||
           (age > deadPidGraceMs && content.exists(holderDeadLocally))
@@ -444,40 +473,39 @@ object ArtifactLock {
       val claimVerified = crashed && {
         // fenced takeover, twice over: (1) exactly one contender wins
         // the rename — the losers' source is gone, so nobody can delete
-        // a LIVE successor; (2) the claimed bytes must equal the content
-        // classified as crashed — a rename that raced a successor and
-        // grabbed a fresh live lease is renamed straight back
-        val expected = observed.get._2.orElse(readLeaseContent(fs, lease))
+        // a LIVE successor; (2) the crashed VERDICT is re-derived on
+        // the claimed file itself (rename preserves mtime, and the
+        // claim is exclusively ours — its stat and bytes cannot change
+        // under us), so a rename that raced a full takeover and grabbed
+        // the successor's fresh live lease fails the verdict and is
+        // renamed straight back. Deciding on the claim rather than on
+        // pre-rename reads closes the classify→rename gap entirely: it
+        // no longer matters what happened to the lease name between
+        // our stat and our rename.
         val claim = new org.apache.hadoop.fs.Path(lease.getParent,
           s".maintenance.lease.takeover.${java.util.UUID.randomUUID().toString.take(8)}")
-        val renamed =
-          try {
-            if (local) {
-              java.nio.file.Files.move(localLeaseNio(lease), localLeaseNio(claim))
-              true
-            } else fs.rename(lease, claim)
-          } catch { case _: Exception => false }
-        renamed && {
-          val got = readLeaseContent(fs, claim)
-          if (got.isDefined && got == expected) {
+        moveLease(lease, claim) && {
+          val verdict =
+            try {
+              val st = fs.getFileStatus(claim)
+              val age = System.currentTimeMillis() - st.getModificationTime
+              // an unreadable-but-mtime-stale claim is still crashed
+              // (a crashed create can leave a truncated lease; content
+              // is only needed for the dead-pid branch)
+              age > leaseStaleMs || (age > deadPidGraceMs &&
+                readLeaseContent(fs, claim).exists(holderDeadLocally))
+            } catch { case _: Exception => false }
+          if (verdict) {
             log.warn(s"took over crashed maintenance lease at $lease " +
-              s"(holder was: ${expected.getOrElse("unknown")})")
+              s"(holder was: ${readLeaseContent(fs, claim).getOrElse("unknown")})")
             try fs.delete(claim, false) catch { case _: Exception => () }
             true
           } else {
             // raced a successor: give the live lease its name back
-            val restored =
-              try {
-                if (local) {
-                  java.nio.file.Files.move(localLeaseNio(claim), localLeaseNio(lease))
-                  true
-                } else fs.rename(claim, lease)
-              } catch { case _: Exception => false }
-            if (!restored) log.error(
+            if (!moveLease(claim, lease)) log.error(
               s"takeover at $lease raced a successor and could not " +
-                s"restore it (claimed: $got) — that holder has lost its " +
-                "lease file; its release will warn and its job may lose " +
-                "exclusion")
+                "restore it — that holder has lost its lease file; its " +
+                "release will warn and its job may lose exclusion")
             false
           }
         }
@@ -507,21 +535,27 @@ object ArtifactLock {
   private def releaseLease(path: String, key: String): Unit = {
     val held = Option(heldLeases.remove(key))
     held.foreach(_.beat.cancel(false))
-    try {
-      val lease = leasePathOf(path)
-      val fs = lease.getFileSystem(leaseHadoopConf())
-      (held, readLeaseContent(fs, lease)) match {
-        case (Some(h), Some(c)) if c.startsWith(h.token) =>
-          fs.delete(lease, false); ()
-        case (Some(h), Some(c)) =>
-          log.warn(s"maintenance lease at $lease is no longer ours " +
-            s"(holder: $c) — leaving it; our job may have overrun the " +
-            "stale threshold despite the heartbeat")
-        case _ => ()
+    // the delete runs under the HeldLease monitor with `released` set:
+    // cancel(false) does not stop an in-flight beat, and a rewrite-beat
+    // landing after this delete would resurrect the lease as an orphan
+    held.foreach(h => h.synchronized {
+      h.released = true
+      try {
+        val lease = leasePathOf(path)
+        val fs = lease.getFileSystem(leaseHadoopConf())
+        readLeaseContent(fs, lease) match {
+          case Some(c) if c.startsWith(h.token) =>
+            fs.delete(lease, false); ()
+          case Some(c) =>
+            log.warn(s"maintenance lease at $lease is no longer ours " +
+              s"(holder: $c) — leaving it; our job may have overrun the " +
+              "stale threshold despite the heartbeat")
+          case None => ()
+        }
+      } catch { case e: Exception =>
+        // the stale-takeover path recovers an unreleased lease; still loud
+        log.warn(s"failed to release maintenance lease under $path: $e")
       }
-    } catch { case e: Exception =>
-      // the stale-takeover path recovers an unreleased lease; still loud
-      log.warn(s"failed to release maintenance lease under $path: $e")
-    }
+    })
   }
 }

@@ -48,8 +48,8 @@ private[graft] object StreamState {
   private val FormatVersion = 1L
 
   /** A reloaded accumulator: the epoch it was persisted AFTER, its
-    * relations (parquet-backed — callers re-materialize on first use),
-    * and the writer's extra metadata (e.g. the sink horizon). */
+    * relations (already MATERIALIZED by [[load]] — do not re-checkpoint
+    * them), and the writer's extra metadata (e.g. the sink horizon). */
   case class Snapshot(epoch: Long, relations: Map[String, DataFrame],
                       meta: scala.collection.Map[String, Any])
 

@@ -95,9 +95,12 @@ class CrossProcessLeaseSpec extends AnyFunSuite {
     releaser.start()
     VocabIndex.update(spark, path,
       Seq((10L, "gamma")).toDF("doc_id", "text"), "text", maxSlabs = 0)
+    // measured BEFORE the join: joining first would floor the elapsed
+    // time at the releaser's own sleep and make the assert vacuous
+    val blockedMs = System.currentTimeMillis() - t0
     releaser.join()
-    assert(System.currentTimeMillis() - t0 >= 1400,
-      "update did not wait for the live foreign lease")
+    assert(blockedMs >= 1400,
+      s"update did not wait for the live foreign lease (${blockedMs} ms)")
     assert(VocabIndex.load(spark, path).nDocs.contains(2L))
 
     // plant a STALE foreign lease (mtime pushed past the threshold):
@@ -179,9 +182,12 @@ class CrossProcessLeaseSpec extends AnyFunSuite {
     releaser2.start()
     VocabIndex.update(spark, path,
       Seq((13L, "zeta")).toDF("doc_id", "text"), "text", maxSlabs = 0)
+    // measured BEFORE the join (see above): a stolen live lease would
+    // return in milliseconds and the join would mask it
+    val blockedMs2 = System.currentTimeMillis() - t1
     releaser2.join()
-    assert(System.currentTimeMillis() - t1 >= 1400,
-      "live same-host pid was stolen by the dead-pid fast path")
+    assert(blockedMs2 >= 1400,
+      s"live same-host pid was stolen by the dead-pid fast path (${blockedMs2} ms)")
     assert(VocabIndex.load(spark, path).nDocs.contains(3L))
   }
 }
