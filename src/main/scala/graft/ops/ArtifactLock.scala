@@ -466,43 +466,73 @@ object ArtifactLock {
             true
           } else fs.rename(src, dst)
         } catch { case _: Exception => false }
-      val crashed = observed.exists { case (age, content) =>
+      def isCrashed(age: Long, content: Option[String]): Boolean =
         age > leaseStaleMs ||
           (age > deadPidGraceMs && content.exists(holderDeadLocally))
+      val crashed = observed.exists { case (age, content) =>
+        isCrashed(age, content)
       }
+      // mtime survives rename on POSIX locals and HDFS-class stores —
+      // there the post-rename verdict below is authoritative. A store
+      // whose rename is copy+delete gives the claim a FRESH mtime; the
+      // verdict falls back to content equality with the bytes read at
+      // classification (best-effort, like everything else on such
+      // stores — see the class doc), because otherwise a genuinely
+      // crashed lease could never pass the verdict and would block
+      // maintenance until manually deleted.
+      val renamePreservesMtime =
+        local || scheme == "hdfs" || scheme == "viewfs" || scheme == "webhdfs"
       val claimVerified = crashed && {
         // fenced takeover, twice over: (1) exactly one contender wins
         // the rename — the losers' source is gone, so nobody can delete
         // a LIVE successor; (2) the crashed VERDICT is re-derived on
-        // the claimed file itself (rename preserves mtime, and the
-        // claim is exclusively ours — its stat and bytes cannot change
-        // under us), so a rename that raced a full takeover and grabbed
-        // the successor's fresh live lease fails the verdict and is
-        // renamed straight back. Deciding on the claim rather than on
-        // pre-rename reads closes the classify→rename gap entirely: it
-        // no longer matters what happened to the lease name between
-        // our stat and our rename.
+        // the claimed file itself (the claim is exclusively ours — its
+        // stat and bytes cannot change under us), so a rename that
+        // raced a full takeover and grabbed the successor's fresh live
+        // lease fails the verdict and is renamed straight back. An
+        // immediate PRE-RENAME re-stat shrinks the window in which a
+        // live successor can be grabbed at all (a grabbed-then-restored
+        // live lease briefly has no name, which a third contender's
+        // create could win — unavoidable without compare-and-rename,
+        // so: re-check, restore with retries, and log loudly).
+        val preOk =
+          try {
+            val st = fs.getFileStatus(lease)
+            isCrashed(System.currentTimeMillis() - st.getModificationTime,
+              observed.get._2)
+          } catch { case _: Exception => false }
         val claim = new org.apache.hadoop.fs.Path(lease.getParent,
           s".maintenance.lease.takeover.${java.util.UUID.randomUUID().toString.take(8)}")
-        moveLease(lease, claim) && {
+        preOk && moveLease(lease, claim) && {
+          val claimContent = readLeaseContent(fs, claim)
           val verdict =
-            try {
-              val st = fs.getFileStatus(claim)
-              val age = System.currentTimeMillis() - st.getModificationTime
-              // an unreadable-but-mtime-stale claim is still crashed
-              // (a crashed create can leave a truncated lease; content
-              // is only needed for the dead-pid branch)
-              age > leaseStaleMs || (age > deadPidGraceMs &&
-                readLeaseContent(fs, claim).exists(holderDeadLocally))
-            } catch { case _: Exception => false }
+            if (renamePreservesMtime)
+              try {
+                val st = fs.getFileStatus(claim)
+                // an unreadable-but-mtime-stale claim is still crashed
+                // (a crashed create can leave a truncated lease; content
+                // is only needed for the dead-pid branch)
+                isCrashed(System.currentTimeMillis() - st.getModificationTime,
+                  claimContent)
+              } catch { case _: Exception => false }
+            else claimContent.isDefined && claimContent == observed.get._2
           if (verdict) {
             log.warn(s"took over crashed maintenance lease at $lease " +
-              s"(holder was: ${readLeaseContent(fs, claim).getOrElse("unknown")})")
+              s"(holder was: ${claimContent.getOrElse("unknown")})")
             try fs.delete(claim, false) catch { case _: Exception => () }
             true
           } else {
-            // raced a successor: give the live lease its name back
-            if (!moveLease(claim, lease)) log.error(
+            // raced a successor: give the live lease its name back; a
+            // third contender may have created in the gap (restore then
+            // fails) — retry briefly, then log the loss loudly
+            var restored = false
+            var tries = 0
+            while (!restored && tries < 3) {
+              restored = moveLease(claim, lease)
+              tries += 1
+              if (!restored) Thread.sleep(50)
+            }
+            if (!restored) log.error(
               s"takeover at $lease raced a successor and could not " +
                 "restore it — that holder has lost its lease file; its " +
                 "release will warn and its job may lose exclusion")

@@ -87,20 +87,24 @@ class CrossProcessLeaseSpec extends AnyFunSuite {
     // plant a LIVE foreign lease (fresh mtime): an update must WAIT, not
     // proceed — release it after a beat and assert the update then lands
     java.nio.file.Files.write(leaseFile, "9999@elsewhere 0".getBytes("UTF-8"))
-    val t0 = System.currentTimeMillis()
+    @volatile var deletedAt = 0L
     val releaser = new Thread(() => {
       Thread.sleep(1500)
       java.nio.file.Files.deleteIfExists(leaseFile)
+      deletedAt = System.currentTimeMillis()
     })
     releaser.start()
     VocabIndex.update(spark, path,
       Seq((10L, "gamma")).toDF("doc_id", "text"), "text", maxSlabs = 0)
-    // measured BEFORE the join: joining first would floor the elapsed
-    // time at the releaser's own sleep and make the assert vacuous
-    val blockedMs = System.currentTimeMillis() - t0
+    // captured the instant the update returns: a broken wait would let
+    // the update COMPLETE before the releaser's delete (elapsed-time
+    // asserts are vacuous — a slow Spark job alone can exceed the
+    // releaser's sleep)
+    val updateDoneAt = System.currentTimeMillis()
     releaser.join()
-    assert(blockedMs >= 1400,
-      s"update did not wait for the live foreign lease (${blockedMs} ms)")
+    assert(deletedAt > 0 && updateDoneAt >= deletedAt,
+      s"update completed ${deletedAt - updateDoneAt} ms BEFORE the live " +
+        "foreign lease was released — the wait is broken")
     assert(VocabIndex.load(spark, path).nDocs.contains(2L))
 
     // plant a STALE foreign lease (mtime pushed past the threshold):
@@ -174,20 +178,22 @@ class CrossProcessLeaseSpec extends AnyFunSuite {
     java.nio.file.Files.setLastModifiedTime(leaseFile,
       java.nio.file.attribute.FileTime.fromMillis(
         System.currentTimeMillis() - 450000))
+    @volatile var deletedAt2 = 0L
     val releaser2 = new Thread(() => {
       Thread.sleep(1500)
       java.nio.file.Files.deleteIfExists(leaseFile)
+      deletedAt2 = System.currentTimeMillis()
     })
-    val t1 = System.currentTimeMillis()
     releaser2.start()
     VocabIndex.update(spark, path,
       Seq((13L, "zeta")).toDF("doc_id", "text"), "text", maxSlabs = 0)
-    // measured BEFORE the join (see above): a stolen live lease would
-    // return in milliseconds and the join would mask it
-    val blockedMs2 = System.currentTimeMillis() - t1
+    // finished-after-release, not elapsed-time (see above): a stolen
+    // live lease would let the update complete before the delete
+    val updateDoneAt2 = System.currentTimeMillis()
     releaser2.join()
-    assert(blockedMs2 >= 1400,
-      s"live same-host pid was stolen by the dead-pid fast path (${blockedMs2} ms)")
+    assert(deletedAt2 > 0 && updateDoneAt2 >= deletedAt2,
+      s"update completed ${deletedAt2 - updateDoneAt2} ms BEFORE the live " +
+        "same-host lease was released — the dead-pid fast path stole it")
     assert(VocabIndex.load(spark, path).nDocs.contains(3L))
   }
 }
