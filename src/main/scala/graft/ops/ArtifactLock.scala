@@ -289,6 +289,10 @@ object ArtifactLock {
   private final class HeldLease(val token: String) {
     @volatile var beat: java.util.concurrent.ScheduledFuture[_] = null
     var released = false // guarded by this's monitor
+    // set by a rewrite-heartbeat that found a foreign token (a fenced
+    // takeover happened while our beats were paused); release must then
+    // not touch the successor's lease at all
+    var lost = false // guarded by this's monitor
   }
   private val heldLeases =
     new java.util.concurrent.ConcurrentHashMap[String, HeldLease]()
@@ -320,7 +324,12 @@ object ArtifactLock {
     org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .map(_.sessionState.newHadoopConf())
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
+      .getOrElse(throw new IllegalStateException(
+        "no live SparkSession while resolving the maintenance-lease " +
+          "filesystem — a bare Configuration could resolve the same path " +
+          "string to a DIFFERENT filesystem (local instead of HDFS), " +
+          "silently voiding cross-process exclusion; create the session " +
+          "before taking artifact write locks"))
 
   private def localLeaseNio(lease: org.apache.hadoop.fs.Path)
       : java.nio.file.Path =
@@ -432,10 +441,31 @@ object ArtifactLock {
                     "heartbeating by rewrite")
                   warnedNoSetTimes = true
                 }
-                val out = fs.create(lease, true)
-                try out.write(s"$token $now".getBytes(
-                  java.nio.charset.StandardCharsets.UTF_8))
-                finally out.close()
+                // mirror releaseLease's token check: if our beats paused
+                // past the stale threshold and a contender completed a
+                // fenced takeover, the lease now carries the SUCCESSOR's
+                // token — blindly recreating it would hand our token-
+                // checked release a file it recognizes, whose delete
+                // would let a THIRD writer acquire. Rewrite only while
+                // the lease is still ours; on loss (foreign token or
+                // vanished file) stop beating and record the loss so
+                // release skips the delete.
+                readLeaseContent(fs, lease) match {
+                  case Some(c) if c.startsWith(token + " ") =>
+                    val out = fs.create(lease, true)
+                    try out.write(s"$token $now".getBytes(
+                      java.nio.charset.StandardCharsets.UTF_8))
+                    finally out.close()
+                  case other =>
+                    held.lost = true
+                    log.warn(s"maintenance lease at $lease was lost " +
+                      s"mid-job (now: ${other.getOrElse("<missing>")}) — " +
+                      "a contender classified this holder stale and took " +
+                      "over; stopping the heartbeat. Mutual exclusion for " +
+                      "the remainder of this job is NOT guaranteed.")
+                    val b = held.beat
+                    if (b != null) b.cancel(false)
+                }
               }
             } catch { case e: Exception =>
               log.warn(s"maintenance-lease heartbeat at $lease failed: $e")
@@ -570,7 +600,10 @@ object ArtifactLock {
     // landing after this delete would resurrect the lease as an orphan
     held.foreach(h => h.synchronized {
       h.released = true
-      try {
+      if (h.lost)
+        log.warn(s"maintenance lease under $path was lost to a fenced " +
+          "takeover mid-job — leaving the successor's lease untouched")
+      else try {
         val lease = leasePathOf(path)
         val fs = lease.getFileSystem(leaseHadoopConf())
         readLeaseContent(fs, lease) match {

@@ -36,7 +36,11 @@ import graft.ops.ArtifactLock
   * A snapshot whose epoch is ahead of `epoch` or more than one behind
   * means the checkpoint and the state dir are not a pair (one was
   * recreated without the other) — the stream fails fast rather than
-  * diverge, see [[checkEpoch]].
+  * diverge, see [[checkEpoch]]. The pairing is additionally by
+  * IDENTITY: the manifest stamps the writing query's stable id (from
+  * the checkpoint's metadata, stable across restarts), and [[load]]
+  * fails fast on mismatch — closing the epoch check's blind window
+  * (a leftover snapshot at epoch 0/1 next to a brand-new checkpoint).
   *
   * One streaming query OWNS its state dir (persist runs on the single
   * foreachBatch thread); [[persist]] still takes the artifact write
@@ -46,6 +50,18 @@ import graft.ops.ArtifactLock
 private[graft] object StreamState {
 
   private val FormatVersion = 1L
+
+  /** The owning StreamingQuery's STABLE id, read from the thread-local
+    * property Spark stamps on the stream-execution thread (foreachBatch
+    * bodies run there). This id is persisted in the checkpoint's
+    * metadata file and survives restarts (unlike `runId`), so stamping
+    * it into the state manifest pairs the two dirs by IDENTITY: a
+    * leftover state dir next to a brand-new checkpoint fails fast at
+    * load even in the epoch-cross-check's blind window (leftover epoch
+    * 0/1 vs a fresh query's first epoch 0). None outside a streaming
+    * thread (direct harness calls) — the epoch check still applies. */
+  private def currentQueryId(spark: SparkSession): Option[String] =
+    Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
 
   /** A reloaded accumulator: the epoch it was persisted AFTER, its
     * relations (already MATERIALIZED by [[load]] — do not re-checkpoint
@@ -73,6 +89,7 @@ private[graft] object StreamState {
         "kind" -> kind,
         "data_gen" -> newGen,
         "epoch" -> epoch)
+      currentQueryId(spark).foreach(id => manifest("query_id") = id)
       extraMeta.foreach { case (k, v) => manifest(k) = v }
       ArtifactLock.publishManifest(spark, dir,
         graft.engine.QueryJson.write(manifest))
@@ -153,6 +170,19 @@ private[graft] object StreamState {
     if (!manifest.get("version").contains(FormatVersion))
       throw new IllegalStateException(
         s"unsupported stream-state version ${manifest.get("version")} at $dir")
+    // identity pairing: the snapshot carries its writer's stable query
+    // id; a resuming query reuses the id from its checkpoint metadata,
+    // so any mismatch means the state dir and the checkpoint are from
+    // DIFFERENT runs — fail fast even where the epoch cross-check is
+    // blind (a leftover snapshot at epoch 0/1 vs a fresh checkpoint)
+    (manifest.get("query_id"), currentQueryId(spark)) match {
+      case (Some(persisted: String), Some(current)) if persisted != current =>
+        throw new IllegalStateException(
+          s"stream state at $dir was persisted by query $persisted but " +
+            s"this checkpoint's query id is $current — the checkpoint and " +
+            "state dir are not from the same run; recreate them together")
+      case _ => ()
+    }
     val epoch = manifest.get("epoch") match {
       case Some(l: Long) => l
       case other => throw new IllegalStateException(

@@ -1166,4 +1166,195 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.head._3 == ts(0, 50))
     assert(s.head._5 == 6.0)
   }
+
+  test("funnelStream survives a writer restart: stream ≡ batch across the checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the funnel's per-entity state lives in the STATE STORE — resume
+    // correctness is Spark's checkpoint recovery, pinned here the same
+    // way the retention/rate twins pin theirs: stop the writer with
+    // user 1 mid-funnel (depth 2) and user 2 partial, finish both in a
+    // SECOND process attached to the same checkpoint, and require the
+    // union of emitted rows to equal the batch twin over everything
+    val steps = Seq("signup", "click", "purchase")
+    val cp = java.nio.file.Files.createTempDirectory("funnel_restart").toString
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Option[Long], Option[Long], Option[Long], Int)]()
+    def writer(input: MemoryStream[Event]) =
+      EventStreams.funnelStream(input.toDS(), steps,
+          timeoutSeconds = 300, watermark = "2 minutes")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => emitted.add((r.getLong(0),
+            Option(r.getTimestamp(1)).map(_.getTime),
+            Option(r.getTimestamp(2)).map(_.getTime),
+            Option(r.getTimestamp(3)).map(_.getTime),
+            r.getInt(4))))
+        }
+        .option("checkpointLocation", cp)
+        .outputMode(OutputMode.Append)
+    val batch1 = Seq(
+      Event(1, ts(0, 0), 1, "signup", 0.0),
+      Event(2, ts(1, 0), 1, "click", 0.0),
+      Event(3, ts(0, 30), 2, "signup", 0.0))
+    val batch2 = Seq(Event(4, ts(2, 0), 1, "purchase", 0.0))
+    val pushers = Seq(Event(900, ts(10, 0), 99, "noop", 0.0),
+      Event(901, ts(20, 0), 99, "noop", 0.0))
+    val input = MemoryStream[Event]
+    val q1 = writer(input).start()
+    try { input.addData(batch1: _*); q1.processAllAvailable() }
+    finally q1.stop()
+    assert(emitted.isEmpty, "nothing completes or flushes before the restart")
+    val q2 = writer(input).start()
+    try {
+      // user 1's purchase can only complete if the recovered state
+      // still holds its signup+click matches from before the restart
+      input.addData(batch2: _*); q2.processAllAvailable()
+      pushers.foreach { p => input.addData(p); q2.processAllAvailable() }
+    } finally q2.stop()
+    val streamed = emitted.toArray(
+        Array.empty[(Long, Option[Long], Option[Long], Option[Long], Int)])
+      .toSeq.sortBy(_._1)
+    val batch = EventStreams.funnel(
+        (batch1 ++ batch2 ++ pushers).toDF(), "user_id", steps)
+      .collect().map(r => (r.getLong(0),
+        Option(r.getTimestamp(1)).map(_.getTime),
+        Option(r.getTimestamp(2)).map(_.getTime),
+        Option(r.getTimestamp(3)).map(_.getTime),
+        r.getInt(4))).toSeq.sortBy(_._1)
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    assert(streamed.map(_._1) == Seq(1L, 2L))
+    assert(streamed.head._5 == 3 && streamed(1)._5 == 1)
+  }
+
+  test("dedupStream survives a writer restart: duplicates straddling the checkpoint collapse") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // dropDuplicatesWithinWatermark keeps seen ids in the state store;
+    // a duplicate arriving AFTER the restart must still be recognized
+    val cp = java.nio.file.Files.createTempDirectory("dedup_restart").toString
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def writer(input: MemoryStream[Event]) =
+      EventStreams.dedupStream(input.toDF(), "event_id", "10 minutes")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("event_id").collect().foreach(r => emitted.add(r.getLong(0)))
+        }
+        .option("checkpointLocation", cp)
+        .outputMode(OutputMode.Append)
+    val input = MemoryStream[Event]
+    val q1 = writer(input).start()
+    try {
+      input.addData(Event(1, ts(0, 0), 1, "click", 1.0),
+        Event(2, ts(0, 10), 2, "view", 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = writer(input).start()
+    try {
+      input.addData(Event(1, ts(0, 20), 1, "click", 1.0), // dup across restart
+        Event(3, ts(1, 0), 3, "click", 3.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val ids = { import scala.jdk.CollectionConverters._
+      emitted.asScala.toSeq }
+    assert(ids.count(_ == 1L) == 1,
+      s"id 1 must survive the restart as a known duplicate, got $ids")
+    assert(ids.sorted == Seq(1L, 2L, 3L))
+  }
+
+  test("StreamSinks readers skip a torn epoch (_SUCCESS gate)") {
+    import spark.implicits._
+    import graft.streaming.StreamSinks
+    // a writer crash mid-job leaves a partial epoch=N (files but no
+    // _SUCCESS, possibly a _temporary subtree) next to a settled
+    // epoch=N−1; until the restarted stream rewrites N whole, BOTH
+    // readers must treat N as invisible — the snapshot reader must not
+    // serve a partial triangle, the slices reader must not union it
+    val dir = java.nio.file.Files.createTempDirectory("torn_epoch").toString
+    val sink = StreamSinks.epochPartitionedParquet(dir)
+    sink(Seq((1L, 10L)).toDF("k", "v"), 0L)
+    sink(Seq((1L, 11L), (2L, 20L)).toDF("k", "v"), 1L)
+    // forge the crash: a complete write whose _SUCCESS is then removed
+    // (the committer drops the marker LAST, so any crash before job
+    // commit looks exactly like this), plus a leftover _temporary dir
+    sink(Seq((9L, 99L)).toDF("k", "v"), 2L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.delete(
+      new org.apache.hadoop.fs.Path(s"$dir/epoch=2/_SUCCESS"), false))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/epoch=2/_temporary/0"))
+    val latest = StreamSinks.readLatestEpoch(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(latest == Seq((1L, 11L), (2L, 20L)),
+      s"latest must be the settled epoch 1, got $latest")
+    val all = StreamSinks.readAllEpochs(spark, dir)
+      .selectExpr("cast(epoch as long) epoch", "k", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(all.map(_._1).toSet == Set(0L, 1L),
+      s"torn epoch 2 must be excluded, got epochs ${all.map(_._1).distinct}")
+    // repair: the restarted stream's replay rewrites epoch 2 whole —
+    // it then becomes visible to both readers
+    sink(Seq((9L, 99L)).toDF("k", "v"), 2L)
+    assert(StreamSinks.readLatestEpoch(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((9L, 99L)))
+    assert(StreamSinks.readAllEpochs(spark, dir)
+      .selectExpr("cast(epoch as long) epoch").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(0L, 1L, 2L))
+  }
+
+  test("a stale state dir with a FRESH checkpoint fails fast on query identity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the epoch cross-check is blind when the leftover snapshot's epoch
+    // is 0 or 1 (a fresh query's first epoch 0 passes it) — the
+    // manifest's stamped query id closes that window: a brand-new
+    // checkpoint means a brand-new stable query id, which cannot match
+    // the id persisted by the previous run
+    val sd = java.nio.file.Files.createTempDirectory("ident_state").toString
+    val cp1 = java.nio.file.Files.createTempDirectory("ident_cp1").toString
+    val cp2 = java.nio.file.Files.createTempDirectory("ident_cp2").toString
+    val sink = (df: org.apache.spark.sql.DataFrame, e: Long) => { df.count(); () }
+    def writer(input: MemoryStream[Event], cp: String) =
+      EventStreams.rateAnomalyStream(input.toDF(), windowLength = "1 minute",
+          trailing = 2, watermark = "2 minutes", stateDir = Some(sd))(sink)
+        .option("checkpointLocation", cp)
+    val input1 = MemoryStream[Event]
+    val q1 = writer(input1, cp1).start()
+    try {
+      input1.addData(Event(1, ts(0, 10), 1, "click", 0.0))
+      q1.processAllAvailable() // persists the snapshot at epoch 0
+    } finally q1.stop()
+    val input2 = MemoryStream[Event]
+    val q2 = writer(input2, cp2).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      input2.addData(Event(2, ts(0, 20), 2, "click", 0.0))
+      q2.processAllAvailable() // first epoch 0 — epoch check alone passes
+    }
+    try assert(e.getMessage.contains("not from the same run"), e.getMessage)
+    finally q2.stop()
+  }
+
+  test("stream-state manifest round-trips unmodeled meta through bumpEpoch") {
+    import spark.implicits._
+    import graft.streaming.StreamState
+    // bumpEpoch rewrites the manifest by echoing every key it read —
+    // pin that a key the writer added via extraMeta (which bumpEpoch
+    // does not model) survives the round trip, so an operator can hang
+    // auxiliary state (e.g. the sink horizon) off the manifest safely
+    val sd = java.nio.file.Files.createTempDirectory("meta_rt").toString
+    StreamState.persist(spark, sd, "meta_rt_kind", epoch = 3L,
+      Seq("counts" -> Seq((1L, 2L)).toDF("a", "b")),
+      Seq("horizon_ms" -> 12345L, "custom_note" -> "kept"))
+    StreamState.bumpEpoch(spark, sd, "meta_rt_kind", epoch = 4L)
+    val snap = StreamState.load(spark, sd, "meta_rt_kind", Seq("counts"))
+      .getOrElse(fail("snapshot missing after bump"))
+    assert(snap.epoch == 4L)
+    assert(snap.meta.get("horizon_ms").contains(12345L),
+      s"horizon lost in bump round-trip: ${snap.meta}")
+    assert(snap.meta.get("custom_note").contains("kept"),
+      s"unmodeled key lost in bump round-trip: ${snap.meta}")
+    assert(snap.relations("counts").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
 }
