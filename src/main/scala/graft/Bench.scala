@@ -38,6 +38,66 @@ object Bench {
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
 
+  /** Fixed-work single-thread CPU calibration: wall-time (ms) of a
+    * deterministic 64-bit mix loop over a constant buffer. The work is
+    * identical on every host and every run, so this number IS the
+    * host's effective single-core speed at bench time — round-over-round
+    * bench deltas divide by it instead of being argued from load
+    * averages (three same-code closing runs spanned 34.6-43.6 s across
+    * rounds 18-19 on "idle" boxes; the per-query ratios were uniform,
+    * i.e. pure host drift, but nothing recorded made that provable).
+    * One untimed quarter-size pass settles the JIT first; the timed
+    * loop then runs 192M mixes (~200 ms on 2020s server cores). The mix
+    * is an xorshift-multiply (splitmix64 shape) — ALU-bound,
+    * branch-free, memory-free — so it tracks the integer pipeline
+    * throughput Spark's codegen loops run at, insensitive to cache or
+    * disk state. The fold into `sink` defeats dead-code elimination. */
+  private def calibrateCpuMs(): Double = {
+    def mixLoop(iters: Long): Long = {
+      var x = 0x9e3779b97f4a7c15L
+      var i = 0L
+      var acc = 0L
+      while (i < iters) {
+        x += 0x9e3779b97f4a7c15L
+        var z = x
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        acc ^= z ^ (z >>> 31)
+        i += 1
+      }
+      acc
+    }
+    var sink = mixLoop(48_000_000L) // untimed JIT settle
+    val t0 = System.nanoTime()
+    sink ^= mixLoop(192_000_000L)
+    val ms = (System.nanoTime() - t0) / 1e6
+    if (sink == 42L) println(s"// $sink") // keep the work observable
+    ms
+  }
+
+  /** Fixed-work Spark calibration: wall-time (ms) of one canonical tiny
+    * job — a shuffleless whole-stage-codegen aggregation over
+    * `range(64M)` split across the session's cores. Captures the parts
+    * the CPU loop can't: task scheduling, codegen pipeline throughput,
+    * and multi-core contention on THIS box at bench time. One untimed
+    * run compiles the plan; the timed number is the min of three (a
+    * scheduling hiccup must not mislabel the host slow — observed
+    * spread of single runs is ~1.6× where the CPU loop's is 0.1%, so
+    * calib_cpu_ms is the primary normalizer and this the scheduler
+    * sanity check). */
+  private def calibrateSparkMs(spark: SparkSession): Double = {
+    def job(): Unit = spark.range(0, 64L * 1024 * 1024, 1,
+        spark.sparkContext.defaultParallelism)
+      .selectExpr("sum(cast(hash(id) as bigint))").collect()
+    job() // untimed: plan + codegen compile
+    val times = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      job()
+      (System.nanoTime() - t0) / 1e6
+    }
+    times.min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -61,6 +121,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val jvmsAtStart = competingJvms()
+    // calibration runs BEFORE warmups: the numbers must reflect the box,
+    // not the suite's cache/JIT state, and must exist even if a query
+    // later hangs the run
+    val calibCpuMs = calibrateCpuMs()
+    val calibSparkMs = calibrateSparkMs(spark)
 
     graft.sources.TableRegistry.warmup(spark, sfDir, Seq("region", "nation",
       "customer", "supplier", "part", "orders", "lineitem", "events",
@@ -113,7 +178,9 @@ object Bench {
     // run taints it (the server JVM is long-lived, but a bench launched
     // while one was shutting down still raced it through the warmups)
     val env = s""""env":{"competing_jvms":${math.max(jvmsAtStart, competingJvms())},""" +
-      s""""load1":${fmt("%.2f")(load1())}}"""
+      s""""load1":${fmt("%.2f")(load1())},""" +
+      s""""calib_cpu_ms":${fmt("%.1f")(calibCpuMs)},""" +
+      s""""calib_spark_ms":${fmt("%.1f")(calibSparkMs)}}"""
     def render(key: String => String, f: Double => String): String = {
       val qs = results.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + key(k) + "\":" + f(v) }
