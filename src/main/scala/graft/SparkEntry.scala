@@ -867,6 +867,44 @@ object SparkEntry {
         "doc_id", "text", n = 8).orderBy("id")
     }),
 
+    // x21 served from a PERSISTED eval-gram artifact (DecontIndex): the
+    // suite's gram derivation is paid at build, the query probes the
+    // sketch map-side and rescues false positives through the exact
+    // gram join. Shares x21's oracle verbatim — the artifact path must
+    // be indistinguishable from the inline derivation
+    "x96_decontam_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = anchorTmpPath("graft_dc_anchor", dir)
+      val art = graft.ops.DecontIndex.buildAndSave(
+        docs.filter(col("source") === "src7"), "text", path, n = 8)
+      graft.ops.Decontaminate.contaminatedWith(
+        docs.filter(col("source") =!= "src7"), "doc_id", "text", art)
+        .orderBy("id")
+    }),
+
+    // x96's artifact brought to the current suite INCREMENTALLY (the
+    // x72 trick applied to decontamination): build over a synthetic
+    // previous suite version (every fifth eval doc missing, a handful
+    // of foreign docs wrongly present), then DecontIndex.update adds
+    // the missing docs and removes the foreign ones — only the delta
+    // documents re-derive grams; ref counts keep shared grams exact.
+    // Shares x21's oracle verbatim: updated ≡ built-from-scratch
+    "x97_decontam_index_update" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val eval = docs.filter(col("source") === "src7")
+      val missing = eval.filter(col("doc_id") % 5 === 1)
+      val foreign = docs.filter(
+        col("source") === "src6" && col("doc_id") % 11 === 3)
+      val v1 = eval.filter(col("doc_id") % 5 =!= 1).unionByName(foreign)
+      val path = anchorTmpPath("graft_dc_upd", dir)
+      graft.ops.DecontIndex.buildAndSave(v1, "text", path, n = 8)
+      val art = graft.ops.DecontIndex.update(s, path, "text",
+        added = Some(missing), removed = Some(foreign))
+      graft.ops.Decontaminate.contaminatedWith(
+        docs.filter(col("source") =!= "src7"), "doc_id", "text", art)
+        .orderBy("id")
+    }),
+
     // repetition quality rules (Gopher-style): duplicate-word fraction
     // map-only; top-bigram fraction via explode → count → max/sum
     "x22_text_repetition" -> ((s, dir) =>
@@ -3333,6 +3371,43 @@ object SparkEntry {
                      ELSE 'de' END AS lang_pred
          FROM s ORDER BY doc_id""",
     "x21_decontam" ->
+      """WITH tok AS (
+           SELECT doc_id, source,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+           FROM documents),
+         grams AS (
+           SELECT doc_id, source,
+                  unnest(list_distinct([list_aggregate(tk[i+1:i+8], 'string_agg', ' ')
+                                        for i in range(len(tk) - 7)])) AS gram
+           FROM tok WHERE len(tk) >= 8),
+         ev AS (SELECT DISTINCT gram FROM grams WHERE source = 'src7')
+         SELECT g.doc_id AS id, count(*)::BIGINT AS n_shared_grams
+         FROM grams g JOIN ev USING (gram)
+         WHERE g.source <> 'src7'
+         GROUP BY 1 ORDER BY 1""",
+    "x96_decontam_index" ->
+      // shares x21's oracle verbatim BY DESIGN: serving the eval grams
+      // from the persisted artifact (sketch pre-filter + exact rescue
+      // join) must be indistinguishable from the inline derivation
+      """WITH tok AS (
+           SELECT doc_id, source,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+           FROM documents),
+         grams AS (
+           SELECT doc_id, source,
+                  unnest(list_distinct([list_aggregate(tk[i+1:i+8], 'string_agg', ' ')
+                                        for i in range(len(tk) - 7)])) AS gram
+           FROM tok WHERE len(tk) >= 8),
+         ev AS (SELECT DISTINCT gram FROM grams WHERE source = 'src7')
+         SELECT g.doc_id AS id, count(*)::BIGINT AS n_shared_grams
+         FROM grams g JOIN ev USING (gram)
+         WHERE g.source <> 'src7'
+         GROUP BY 1 ORDER BY 1""",
+    "x97_decontam_index_update" ->
+      // shares x21's oracle verbatim BY DESIGN: an artifact brought to
+      // the current eval suite by the incremental update (delta-doc
+      // gram derivation + ref-count merge) must serve the exact same
+      // gram set as one built from scratch on it
       """WITH tok AS (
            SELECT doc_id, source,
                   string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk

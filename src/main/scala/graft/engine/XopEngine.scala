@@ -242,6 +242,18 @@ object XopEngine {
         Errors.malformed(s"xop '$op': unreadable index artifact: ${e.getMessage}")
     }
 
+  /** Load a persisted decontamination gram index named by an `index`
+    * arg — same root resolution and failure taxonomy as [[loadIndex]]. */
+  private def loadDecont(df: DataFrame, raw: Any,
+                         op: String): graft.ops.DecontIndex.Artifact =
+    try graft.ops.DecontIndex.load(df.sparkSession, indexPath(df, raw, op))
+    catch {
+      case e: IllegalArgumentException =>
+        Errors.malformed(s"xop '$op': ${e.getMessage}")
+      case e: org.apache.spark.sql.AnalysisException =>
+        Errors.malformed(s"xop '$op': unreadable index artifact: ${e.getMessage}")
+    }
+
   /** Load a persisted vocabulary named by an `index` arg — same root
     * resolution and failure taxonomy as [[loadIndex]]. */
   private def loadVocab(df: DataFrame, raw: Any,
@@ -1331,26 +1343,75 @@ object XopEngine {
       // ---- two-dataset operators (resolver-named second relation) ----
 
       // benchmark decontamination vs a stored eval set: flag overlapping
-      // docs ('flag') or emit the clean training set ('drop', default)
+      // docs ('flag') or emit the clean training set ('drop', default).
+      // With 'index', a persisted DecontIndex serves the eval side (the
+      // per-run gram derivation over the eval corpus is skipped; sketch
+      // pre-filter + exact rescue join keep the result exact) — 'eval'
+      // is then not consulted and must be omitted; 'verify_index'
+      // recomputes the gram fingerprint against 'eval' for the strong
+      // staleness guarantee (one eval-corpus pass, so opt-in)
       case "decontaminate" =>
-        knownArgs("id", "column", "eval", "eval_column", "n", "action")
+        knownArgs("id", "column", "eval", "eval_column", "n", "action",
+          "index", "verify_index")
         val id = column(df, args, "id", name)
         val textCol = column(df, args, "column", name)
-        val evalDf0 = dataset("eval")
-        val evalCol = args.get("eval_column")
-          .map(_ => reqStr(args, "eval_column", name)).getOrElse(textCol)
-        if (!ExprCompiler.hasColumn(evalDf0, evalCol))
-          Errors.malformed(s"xop '$name': eval dataset has no column", evalCol)
-        val evalDf = evalDf0.withColumnRenamed(evalCol, textCol)
-        val n = intArg(args, "n", 8, name).toInt
-        args.get("action") match {
-          case Some("flag") => Decontaminate.contaminated(df, evalDf, id, textCol, n)
-          case Some("scrub") =>
-            Decontaminate.scrubContaminated(df, evalDf, id, textCol, n)
-          case None | Some("drop") => Decontaminate.decontaminate(df, evalDf, id, textCol, n)
-          case Some(other) =>
-            Errors.malformed(
-              s"xop '$name': action must be 'flag', 'drop' or 'scrub'", other)
+        args.get("index") match {
+          case Some(raw) =>
+            if (args.contains("n"))
+              Errors.malformed(
+                s"xop '$name': the index fixes 'n' — drop the argument")
+            val art = loadDecont(df, raw, name)
+            if (boolArg(args, "verify_index", default = false, name)) {
+              val evalDf0 = dataset("eval")
+              val evalCol = args.get("eval_column")
+                .map(_ => reqStr(args, "eval_column", name)).getOrElse(textCol)
+              if (!ExprCompiler.hasColumn(evalDf0, evalCol))
+                Errors.malformed(
+                  s"xop '$name': eval dataset has no column", evalCol)
+              try graft.ops.DecontIndex.verifyContent(art,
+                "decontamination index",
+                evalDf0.withColumnRenamed(evalCol, textCol), textCol)
+              catch { case e: IllegalArgumentException =>
+                Errors.malformed(s"xop '$name': ${e.getMessage}") }
+            } else if (args.contains("eval"))
+              Errors.malformed(
+                s"xop '$name': 'eval' with 'index' is ambiguous — the " +
+                  "index IS the eval side; drop 'eval', or add " +
+                  "'verify_index' to check the index against it")
+            args.get("action") match {
+              case Some("flag") =>
+                Decontaminate.contaminatedWith(df, id, textCol, art)
+              case None | Some("drop") =>
+                Decontaminate.decontaminateWith(df, id, textCol, art)
+              case Some("scrub") => Errors.malformed(
+                s"xop '$name': action 'scrub' is not index-served — the " +
+                  "positional rewrite needs the eval relation; drop 'index'")
+              case Some(other) =>
+                Errors.malformed(
+                  s"xop '$name': action must be 'flag', 'drop' or 'scrub'",
+                  other)
+            }
+          case None =>
+            if (args.contains("verify_index"))
+              Errors.malformed(
+                s"xop '$name': 'verify_index' requires 'index' " +
+                  "(the inline eval side is fresh by construction)")
+            val evalDf0 = dataset("eval")
+            val evalCol = args.get("eval_column")
+              .map(_ => reqStr(args, "eval_column", name)).getOrElse(textCol)
+            if (!ExprCompiler.hasColumn(evalDf0, evalCol))
+              Errors.malformed(s"xop '$name': eval dataset has no column", evalCol)
+            val evalDf = evalDf0.withColumnRenamed(evalCol, textCol)
+            val n = intArg(args, "n", 8, name).toInt
+            args.get("action") match {
+              case Some("flag") => Decontaminate.contaminated(df, evalDf, id, textCol, n)
+              case Some("scrub") =>
+                Decontaminate.scrubContaminated(df, evalDf, id, textCol, n)
+              case None | Some("drop") => Decontaminate.decontaminate(df, evalDf, id, textCol, n)
+              case Some(other) =>
+                Errors.malformed(
+                  s"xop '$name': action must be 'flag', 'drop' or 'scrub'", other)
+            }
         }
 
       // char-entropy quality signal appended as `entropy` (codegen kernel)

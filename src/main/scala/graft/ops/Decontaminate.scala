@@ -88,6 +88,44 @@ object Decontaminate {
         .select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** [[contaminated]] served from a persisted [[DecontIndex]] — the
+    * eval suite's gram derivation (normalize, tokenize, explode,
+    * distinct) is NOT re-paid: the artifact's sketch probes the train
+    * grams map-side inside codegen (no false negatives, so no true
+    * match is lost), and only probe-positive grams — true matches plus
+    * fpp of the rest — reach the exact (hash, gram) join against the
+    * artifact's gram relation, which rescues the false positives.
+    * Result is therefore EXACTLY [[contaminated]] over the suite the
+    * artifact was built/updated from. The gram relation is
+    * suite-sized, so AQE broadcasts the join side the same way the
+    * inline operator's distinct aggregate gets broadcast — at 100 TB
+    * the train grams never shuffle, and the sketch pre-filter shrinks
+    * the join probe mass to contamination density. */
+  def contaminatedWith(train: DataFrame, idCol: String, textCol: String,
+                       art: DecontIndex.Artifact): DataFrame = {
+    val probe = org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.BloomContainsExpr(
+        org.apache.spark.sql.GraftSqlShims.expression(col("__gh")),
+        art.bloomBytes))
+    Dedup.spread(train, col(idCol))
+      .select(col(idCol).as("id"), explode(
+        wordNgrams(col(textCol), art.n, distinct = true)).as("gram"))
+      .withColumn("__gh", xxhash64(col("gram")))
+      .filter(coalesce(probe, lit(false)))
+      .join(art.grams.select(col("gh").as("__gh"), col("gram")),
+        Seq("__gh", "gram"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  /** [[decontaminate]] through a persisted [[DecontIndex]]. */
+  def decontaminateWith(train: DataFrame, idCol: String, textCol: String,
+                        art: DecontIndex.Artifact): DataFrame =
+    train.join(
+      contaminatedWith(train, idCol, textCol, art)
+        .select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Span-level decontamination — the surgical variant of
     * [[decontaminate]]: instead of DROPPING a contaminated training
     * document, excise exactly the tokens covered by some word `n`-gram

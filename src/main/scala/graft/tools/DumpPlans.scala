@@ -26,6 +26,7 @@ object DumpPlans {
       ("x16_sample_stratified", "stratified sample — Partial WindowGroupLimit before the exchange"),
       ("x19_text_vocab", "vocabulary — partial count agg + TakeOrdered, no global sort"),
       ("x21_decontam", "decontamination — kernel n-grams; distinct eval-gram side becomes the broadcast build side under AQE"),
+      ("x96_decontam_index", "index-served decontamination — the eval gram derivation is a parquet SCAN of the artifact (no per-run explode/distinct over the eval corpus); train grams probe the sketch MAP-SIDE inside codegen before the exchange, so only contamination-density rows reach the exact rescue join (AQE broadcasts the suite-sized gram relation)"),
       ("x24_emb_quantize", "int8 quantization — map-only, zero exchanges"),
       ("x25_emb_outliers", "label outliers — partial avg before the (labels x dim) exchange, centroid broadcast back, per-label WindowGroupLimit"),
       ("x28_bloom_exclude", "bloom exclusion — map-only sketch probe over the corpus; only probe-positive rows reach the verifying anti-join"),

@@ -825,6 +825,65 @@ class XopSpec extends AnyFunSuite {
     assert(removed(2L) == 0L && removed(4L) == 0L)
   }
 
+  test("decontaminate serves the eval side from a persisted index") {
+    val root = java.nio.file.Files.createTempDirectory("xop_dc").toString
+    graft.ops.DecontIndex.buildAndSave(evalSet, "text", s"$root/dc", n = 8)
+    spark.conf.set("spark.graft.index.root", root)
+    try {
+      // index-served flag/drop must equal the inline eval-relation path
+      val flagged = QueryEngine.run(docs,
+        """{"xop": {"name": "decontaminate",
+                    "args": {"id": "id", "column": "text", "index": "dc",
+                             "action": "flag"}},
+            "order_by": ["id"]}""", resolver).df
+      assert(ids(flagged) == Seq(1L, 3L))
+      val dropped = QueryEngine.run(docs,
+        """{"xop": {"name": "decontaminate",
+                    "args": {"id": "id", "column": "text", "index": "dc"}},
+            "order_by": ["id"]}""", resolver).df
+      assert(ids(dropped) == Seq(2L, 4L, 5L, 6L))
+      // verify_index recomputes the fingerprint against the named eval
+      // relation: green on the suite the index was built from
+      assert(ids(QueryEngine.run(docs,
+        """{"xop": {"name": "decontaminate",
+                    "args": {"id": "id", "column": "text", "index": "dc",
+                             "eval": "evalset", "eval_column": "text",
+                             "verify_index": true, "action": "flag"}},
+            "order_by": ["id"]}""", resolver).df) == Seq(1L, 3L))
+      // ...and a 400 when the suite drifted from the artifact
+      val stale = intercept[MalformedQueryException] { QueryEngine.run(docs,
+        """{"xop": {"name": "decontaminate",
+                    "args": {"id": "id", "column": "text", "index": "dc",
+                             "eval": "xdocs", "eval_column": "text",
+                             "verify_index": true}}}""",
+        n => if (n == "xdocs") Some(docs) else resolver(n)) }
+      assert(stale.getMessage.contains("stale"))
+      // arg taxonomy: the index fixes n; eval alongside index (without
+      // verify) is ambiguous; scrub is not index-served; verify_index
+      // without index is meaningless
+      assert(intercept[MalformedQueryException] { QueryEngine.run(docs,
+        """{"xop": {"name": "decontaminate",
+                    "args": {"id": "id", "column": "text", "index": "dc",
+                             "n": 4}}}""", resolver) }
+        .getMessage.contains("fixes 'n'"))
+      assert(intercept[MalformedQueryException] { QueryEngine.run(docs,
+        """{"xop": {"name": "decontaminate",
+                    "args": {"id": "id", "column": "text", "index": "dc",
+                             "eval": "evalset"}}}""", resolver) }
+        .getMessage.contains("ambiguous"))
+      assert(intercept[MalformedQueryException] { QueryEngine.run(docs,
+        """{"xop": {"name": "decontaminate",
+                    "args": {"id": "id", "column": "text", "index": "dc",
+                             "action": "scrub"}}}""", resolver) }
+        .getMessage.contains("not index-served"))
+      assert(intercept[MalformedQueryException] { QueryEngine.run(docs,
+        """{"xop": {"name": "decontaminate",
+                    "args": {"id": "id", "column": "text", "eval": "evalset",
+                             "verify_index": true}}}""", resolver) }
+        .getMessage.contains("requires 'index'"))
+    } finally spark.conf.unset("spark.graft.index.root")
+  }
+
   test("char_entropy xop appends the entropy signal") {
     val out = run(
       """{"xop": {"name": "char_entropy", "args": {"column": "text"}},
