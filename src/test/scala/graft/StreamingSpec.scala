@@ -1165,6 +1165,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.head._2 == ts(0, 0))
     assert(s.head._3 == ts(0, 50))
     assert(s.head._5 == 6.0)
+    // stream ≡ batch across the restart: the closed session must equal
+    // the batch twin's row for the restart-spanning user exactly (user
+    // 2's own session stays OPEN in the stream — batch emits it, append
+    // mode cannot; the comparison is per-closed-entity by contract)
+    val batchRow = EventStreams.sessionizeBatch(Seq(
+        Event(1, ts(0, 0), 1, "click", 1.0),
+        Event(2, ts(0, 30), 1, "view", 2.0),
+        Event(3, ts(0, 50), 1, "click", 3.0),
+        Event(9, ts(30, 0), 2, "click", 0.5)).toDF(), gapSeconds = 60)
+      .filter(org.apache.spark.sql.functions.col("user_id") === 1L)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("session_start"), r.getAs[Timestamp]("session_end"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSeq
+    assert(batchRow == Seq(s.head),
+      s"restart-spanning session diverges from batch: $batchRow vs ${s.head}")
   }
 
   test("funnelStream survives a writer restart: stream ≡ batch across the checkpoint") {
