@@ -92,23 +92,41 @@ object DecontIndex {
 
   /** Write `grams` as the next generation, rebuild the sketch from it,
     * publish the manifest, prune old generations. Caller holds the
-    * write lock. */
+    * write lock.
+    *
+    * `abortIf` runs between the grams write and any publication: when
+    * it throws, the just-written (never-referenced) generation dir is
+    * removed and the artifact is observably unchanged — [[update]]'s
+    * negative-ref-count guard rides the write this way instead of
+    * paying a second full computation of the merged relation. */
   private def saveGrams(spark: SparkSession, path: String, grams: DataFrame,
-                        n: Int, fpp: Double): Unit = {
+                        n: Int, fpp: Double,
+                        abortIf: () => Unit = () => ()): Unit = {
     val newGen: Long =
       ArtifactLock.currentDataGen(spark, path).map(_ + 1L).getOrElse(0L)
-    grams.write.mode(SaveMode.Overwrite)
-      .parquet(s"$path/${ArtifactLock.genDirName("grams", newGen)}")
-    // re-read the written relation: the sketch, count and fingerprint
-    // aggregate over suite-sized parquet instead of re-deriving grams
-    val written = spark.read.parquet(
-      s"$path/${ArtifactLock.genDirName("grams", newGen)}")
-    val agg = written.agg(
-      count(lit(1)).as("n_grams"),
-      sum(col("gh").cast("decimal(38,0)")).as("fp")).head()
-    val nGrams = agg.getLong(0)
-    val fingerprint = Option(agg.getDecimal(1))
-      .map(d => BigDecimal(d).toBigInt.toString).getOrElse("0")
+    val gramsDir = s"$path/${ArtifactLock.genDirName("grams", newGen)}"
+    // the gram count and content fingerprint ride the write as observed
+    // metrics (the shared artifact-build discipline) — they used to
+    // cost a second aggregation over the written parquet
+    val obs = org.apache.spark.sql.Observation()
+    grams.observe(obs,
+        count(lit(1)).as("n_grams"),
+        sum(col("gh").cast("decimal(38,0)")).as("fp"))
+      .write.mode(SaveMode.Overwrite).parquet(gramsDir)
+    try abortIf()
+    catch { case e: Throwable =>
+      try new org.apache.hadoop.fs.Path(gramsDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+        .delete(new org.apache.hadoop.fs.Path(gramsDir), true)
+      catch { case _: Exception => () }
+      throw e
+    }
+    val m = obs.get
+    val nGrams = Observed.long(m, "n_grams")
+    val fingerprint = Observed.decimalSum(m, "fp").toString
+    // the sketch aggregates over the just-written suite-sized parquet
+    // instead of re-deriving grams
+    val written = spark.read.parquet(gramsDir)
     val bytes = Dedup.buildBloomSized(written, "gh",
       math.max(nGrams, 1L), fpp)
     import spark.implicits._
@@ -277,15 +295,24 @@ object DecontIndex {
       .groupBy("gram")
       .agg(sum(col("__d")).as("n_refs"))
       .select(col("gram"), xxhash64(col("gram")).as("gh"), col("n_refs"))
-    // one suite-sized pass: a negative count proves the delta is not
-    // this suite's history — fail BEFORE any write
-    val negatives = merged.filter(col("n_refs") < 0).limit(1).count()
-    if (negatives > 0)
-      throw new IllegalArgumentException(
-        s"decontamination index at $path: the removal delta drops grams " +
-          "the artifact never ingested (ref count below zero) — the delta " +
-          "does not describe this suite; rebuild instead")
-    saveGrams(spark, path, merged.filter(col("n_refs") > 0), art.n, art.fpp)
+    // the negative-ref-count guard rides the grams write as an observed
+    // metric (a negative count proves the delta is not this suite's
+    // history): the merged relation is computed ONCE instead of once
+    // for a standalone check and again for the write. A tripped guard
+    // throws before anything is published and removes the staged,
+    // never-referenced generation dir — the artifact is unchanged.
+    val negObs = org.apache.spark.sql.Observation()
+    val guarded = merged
+      .observe(negObs, coalesce(sum(when(col("n_refs") < 0, lit(1L))),
+        lit(0L)).as("neg"))
+      .filter(col("n_refs") > 0)
+    saveGrams(spark, path, guarded, art.n, art.fpp, abortIf = () => {
+      if (Observed.long(negObs.get, "neg") > 0)
+        throw new IllegalArgumentException(
+          s"decontamination index at $path: the removal delta drops grams " +
+            "the artifact never ingested (ref count below zero) — the delta " +
+            "does not describe this suite; rebuild instead")
+    })
     load(spark, path)
   }
 }

@@ -20,7 +20,11 @@ import scala.collection.mutable
   * serves every smaller vocabulary size by a `rank <= v` filter.
   *
   * Layout mirrors the other artifacts:
-  *   - `<path>/vocabulary/` — the (token, n, rank) parquet;
+  *   - `<path>/vocabulary/` — exact (no-capacity) builds only: the
+  *     (token, n, rank) parquet. Capacity-built artifacts stopped
+  *     storing it (round 20): their vocabulary is a pure function of
+  *     the summary — its top-k rows — and is derived lazily at load,
+  *     byte-identical, saving one write job per mutation;
   *   - `<path>/summary/` — capacity-built artifacts only: the
   *     mergeable Space-Saving summary `(token, lo, hi)` that
   *     [[update]] merges an appended batch into (bounded at
@@ -188,7 +192,7 @@ object VocabIndex {
           .select(col("token"), col("n").as("lo"),
             (col("nhi") + lit(bigTheta) - col("rho")).as("hi"))
         val (theta, nSummary, nVocab) =
-          writeSummaryAndVocab(spark, path, norm, math.max(c, k), k, bigTheta,
+          writeSummary(spark, path, norm, math.max(c, k), k, bigTheta,
             newGen)
         // the staged raw summary BECOMES slab 0 (a filesystem move, no
         // job): the per-ingest state [[removeSlab]] re-merges from
@@ -207,7 +211,9 @@ object VocabIndex {
         val top = TextOps.topTokens(observedCorpus, textCol, k)
         // rank over exactly k rows (post-limit): one task, never
         // corpus-wide; the row count rides the write as an observed
-        // metric instead of a post-hoc parquet count
+        // metric instead of a post-hoc parquet count. Only the EXACT
+        // path stores a vocabulary relation — capacity artifacts derive
+        // it from the summary at load (see [[writeSummary]]).
         val vObs = org.apache.spark.sql.Observation()
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("n").desc, col("token"))
@@ -341,7 +347,7 @@ object VocabIndex {
         (coalesce(col("__hi1"), lit(theta1)) + coalesce(col("__hi2"), lit(theta2))).as("hi"))
     val newGen = art.dataGen + 1L
     val (thetaStored, nSummary, nTokens) =
-      writeSummaryAndVocab(spark, path, merged, math.max(cap, art.k), art.k,
+      writeSummary(spark, path, merged, math.max(cap, art.k), art.k,
         baseTheta = theta1 + theta2, newGen = newGen)
     // slab-registry artifacts keep the delta's raw summary as a new
     // slab (a filesystem move of the already-written stage, no job) so
@@ -445,7 +451,7 @@ object VocabIndex {
             (sum(col("__hi")) + lit(totTheta) - sum(col("__th"))).as("hi"))
     }
     val newGen = art.dataGen + 1L
-    val (theta, nSummary, nTokens) = writeSummaryAndVocab(spark, path, norm,
+    val (theta, nSummary, nTokens) = writeSummary(spark, path, norm,
       math.max(cap, art.k), art.k, baseTheta = totTheta, newGen = newGen)
     val manifest = mutable.LinkedHashMap[String, Any](
       "version" -> FormatVersion,
@@ -523,7 +529,14 @@ object VocabIndex {
         (sum(col("__hi")) + lit(thetaSum) - sum(col("__th"))).as("hi"))
     // shared truncation rule, against the artifact's own capacity: keep
     // the top rows by certified lo, fold every evicted hi into the
-    // epoch's theta (certification survives compaction)
+    // epoch's theta (certification survives compaction). The truncation
+    // is written ONCE, directly in the raw slab shape with rho =
+    // Σ victim θ (the no-eviction epoch theta, known upfront), and
+    // promoted to the epoch dir by a rename — the ample-capacity common
+    // case pays one write job instead of write + readback + rewrite
+    // (the round-20 action trim). Only an actual eviction (pre/post
+    // truncation counts differ, both observed on the write itself) pays
+    // the anti-join and a bounded rewrite with the corrected theta.
     val sumCap = math.max(cap, art.k)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -533,22 +546,36 @@ object VocabIndex {
     merged.observe(normObs, count(lit(1)).as("n"))
       .orderBy(col("lo").desc, col("token")).limit(sumCap)
       .observe(keptObs, count(lit(1)).as("n"))
+      .select(col("token"), col("lo").as("n"), col("hi").as("nhi"),
+        lit(thetaSum).as("rho"))
       .write.mode(SaveMode.Overwrite).parquet(mergeTmp.toString)
-    val truncated = spark.read.parquet(mergeTmp.toString)
-    val evictedMax =
-      if (Observed.long(normObs.get, "n") == Observed.long(keptObs.get, "n")) 0L
-      else merged
-        .join(broadcast(truncated.select(col("token").as("__kt"))),
-          col("token") === col("__kt"), "left_anti")
-        .agg(coalesce(max(col("hi")), lit(0L))).head().getLong(0)
-    val thetaEpoch = math.max(thetaSum, evictedMax)
+    val evicted =
+      Observed.long(normObs.get, "n") != Observed.long(keptObs.get, "n")
+    val thetaEpoch =
+      if (!evicted) thetaSum
+      else {
+        val keptTokens = spark.read.parquet(mergeTmp.toString)
+          .select(col("token").as("__kt"))
+        val evictedMax = merged
+          .join(broadcast(keptTokens), col("token") === col("__kt"), "left_anti")
+          .agg(coalesce(max(col("hi")), lit(0L))).head().getLong(0)
+        math.max(thetaSum, evictedMax)
+      }
     val epochId = ordered.map(_.id).max + 1
     val epochDir = new org.apache.hadoop.fs.Path(path, s"slabs/$epochId")
     fs.delete(epochDir, true)
-    truncated.select(col("token"), col("lo").as("n"), col("hi").as("nhi"),
-        lit(thetaEpoch).as("rho"))
-      .write.mode(SaveMode.Overwrite).parquet(epochDir.toString)
-    fs.delete(mergeTmp, true)
+    if (thetaEpoch == thetaSum) {
+      // the staged truncation already carries the right rho: promote it
+      if (!fs.rename(mergeTmp, epochDir))
+        throw new IllegalStateException(
+          s"could not move $mergeTmp to $epochDir")
+    } else {
+      spark.read.parquet(mergeTmp.toString)
+        .select(col("token"), col("n"), col("nhi"),
+          lit(thetaEpoch).as("rho"))
+        .write.mode(SaveMode.Overwrite).parquet(epochDir.toString)
+      fs.delete(mergeTmp, true)
+    }
     val epoch = SlabMeta(epochId, thetaEpoch,
       victims.map(_.nDocs).sum,
       victims.map(s => BigInt(s.fingerprint)).sum.toString,
@@ -576,8 +603,17 @@ object VocabIndex {
   /** Truncate a normalized `(token, lo, hi)` summary to `sumCap` rows
     * (lo desc, token asc — the sketch's own ranking), folding every
     * evicted row's `hi` into the stored untracked bound, write
-    * `summary/` and the derived top-`k` `vocabulary/`, and return
-    * (theta, summaryRows, vocabRows).
+    * `summary/`, and return (theta, summaryRows, vocabRows).
+    *
+    * The top-`k` vocabulary is NOT materialized for capacity
+    * artifacts: it is a pure function of the stored summary (its top
+    * k rows by (lo desc, token), rank = position), so [[loadOnce]]
+    * derives it lazily — byte-identical rows, one fewer write job per
+    * mutation (the round-20 action trim: each artifact-sized write
+    * action costs ~300 ms of fixed planning/commit overhead at any
+    * scale, and the vocabulary write carried no information the
+    * summary does not). `vocabRows` is therefore min(k, summaryRows)
+    * by construction.
     *
     * `norm` is bounded at ≤ partitions×capacity rows — small per
     * partition, but NOT driver-small at fleet scale, so the
@@ -592,23 +628,20 @@ object VocabIndex {
     * update path does) and an unlocked reader of the current
     * generation never sees a file vanish; the caller repoints the
     * manifest (atomic publish) and prunes older generations after. */
-  private def writeSummaryAndVocab(spark: SparkSession, path: String,
-                                   norm: DataFrame, sumCap: Int, k: Int,
-                                   baseTheta: Long,
-                                   newGen: Long): (Long, Long, Long) = {
+  private def writeSummary(spark: SparkSession, path: String,
+                           norm: DataFrame, sumCap: Int, k: Int,
+                           baseTheta: Long,
+                           newGen: Long): (Long, Long, Long) = {
     val sNext = new org.apache.hadoop.fs.Path(path, genDir("summary", newGen))
-    val vNext = new org.apache.hadoop.fs.Path(path, genDir("vocabulary", newGen))
-    // row counts ride the two writes as observed metrics — the
-    // manifest's summary_rows/n_tokens used to cost two post-swap
-    // parquet counts (the x78 job trim)
+    // row counts ride the write as observed metrics — the manifest's
+    // summary_rows/n_tokens used to cost two post-swap parquet counts
+    // (the x78 job trim)
     val normObs = org.apache.spark.sql.Observation()
     val sObs = org.apache.spark.sql.Observation()
-    val vObs = org.apache.spark.sql.Observation()
     norm.observe(normObs, count(lit(1)).as("n"))
       .orderBy(col("lo").desc, col("token")).limit(sumCap)
       .observe(sObs, count(lit(1)).as("n"))
       .write.mode(SaveMode.Overwrite).parquet(sNext.toString)
-    val kept = spark.read.parquet(sNext.toString)
     val nNorm = Observed.long(normObs.get, "n")
     val nKept = Observed.long(sObs.get, "n")
     // the evicted-hi fold only costs a job when something was actually
@@ -618,21 +651,24 @@ object VocabIndex {
     val evictedMax =
       if (nNorm == nKept) 0L
       else norm
-        .join(broadcast(kept.select(col("token").as("__kt"))),
+        .join(broadcast(spark.read.parquet(sNext.toString)
+          .select(col("token").as("__kt"))),
           col("token") === col("__kt"), "left_anti")
         .agg(coalesce(max(col("hi")), lit(0L))).head().getLong(0)
     val theta = math.max(baseTheta, evictedMax)
-    // rank over ≤ k rows (post-limit): one task, artifact-sized
-    val vocabW = org.apache.spark.sql.expressions.Window
+    (theta, nKept, math.min(k.toLong, nKept))
+  }
+
+  /** The lazy top-`k` vocabulary relation of a stored summary — what
+    * [[writeSummary]] stopped materializing: top k by (lo desc, token),
+    * rank = position. The TakeOrdered is distributed; the rank window
+    * runs over ≤ k rows in one task. */
+  private def deriveVocab(summary: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("n").desc, col("token"))
-    kept.select(col("token"), col("lo").as("n"))
+    summary.select(col("token"), col("lo").as("n"))
       .orderBy(col("n").desc, col("token")).limit(k)
-      .withColumn("rank", row_number().over(vocabW))
-      .observe(vObs, count(lit(1)).as("n"))
-      .write.mode(SaveMode.Overwrite).parquet(vNext.toString)
-    // no swap: the new generation dirs ARE the publication target —
-    // the caller's atomic manifest repoint makes them live
-    (theta, nKept, obsLong(vObs.get, "n"))
+      .withColumn("rank", row_number().over(w))
   }
 
   private def writeManifest(spark: SparkSession, path: String, json: String): Unit =
@@ -692,22 +728,7 @@ object VocabIndex {
       case other => throw new IllegalArgumentException(
         s"vocabulary at $path is corrupt: bad data_gen $other")
     }
-    val vocab =
-      try spark.read.parquet(s"$path/${genDir("vocabulary", dataGen)}")
-      catch { case e: org.apache.spark.sql.AnalysisException =>
-        // cause attached: retryingLoad's classifier walks the chain to
-        // tell a maintenance race (PATH_NOT_FOUND) from real corruption
-        throw new IllegalArgumentException(
-          s"vocabulary at $path is corrupt: unreadable relation: ${e.getMessage}", e) }
     import org.apache.spark.sql.types._
-    def colType(n: String): Option[DataType] =
-      vocab.schema.fields.find(_.name == n).map(_.dataType)
-    if (!colType("token").contains(StringType) ||
-        !colType("n").contains(LongType) ||
-        !colType("rank").contains(IntegerType))
-      throw new IllegalArgumentException(
-        s"vocabulary at $path is corrupt: relation must be " +
-          s"(token STRING, n BIGINT, rank INT), got ${vocab.schema.catalogString}")
     val theta = manifest.get("theta") match {
       case None => None
       case Some(l: Long) if l >= 0 => Some(l)
@@ -734,6 +755,31 @@ object VocabIndex {
           s"vocabulary at $path is corrupt: summary must be " +
             s"(token STRING, lo BIGINT, hi BIGINT), got ${s.schema.catalogString}")
       s
+    }
+    // capacity artifacts derive the vocabulary lazily from the summary
+    // (its top-k rows — see [[writeSummary]]); schema is then by
+    // construction. Exact artifacts read the stored relation. Artifacts
+    // written before the round-20 trim carry BOTH; the derived form is
+    // byte-identical, so deriving is always right when a summary exists.
+    val vocab = summary match {
+      case Some(s) => deriveVocab(s, k)
+      case None =>
+        val v =
+          try spark.read.parquet(s"$path/${genDir("vocabulary", dataGen)}")
+          catch { case e: org.apache.spark.sql.AnalysisException =>
+            // cause attached: retryingLoad's classifier walks the chain to
+            // tell a maintenance race (PATH_NOT_FOUND) from real corruption
+            throw new IllegalArgumentException(
+              s"vocabulary at $path is corrupt: unreadable relation: ${e.getMessage}", e) }
+        def colType(n: String): Option[DataType] =
+          v.schema.fields.find(_.name == n).map(_.dataType)
+        if (!colType("token").contains(StringType) ||
+            !colType("n").contains(LongType) ||
+            !colType("rank").contains(IntegerType))
+          throw new IllegalArgumentException(
+            s"vocabulary at $path is corrupt: relation must be " +
+              s"(token STRING, n BIGINT, rank INT), got ${v.schema.catalogString}")
+        v
     }
     val slabs: Option[Seq[SlabMeta]] = manifest.get("slabs") match {
       case None => None
