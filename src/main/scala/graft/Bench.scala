@@ -112,6 +112,28 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE partition-coalescing policy, MEASURED this round (A/B at
+      // sf0.1, calibration-stamped): parallelism-first (the default,
+      // kept) beat size-based coalescing 35.0 s vs 41.7 s on the full
+      // suite — with the size-based run on the FASTER box state
+      // (calib_cpu 230 vs 368 ms). Size-based coalescing collapsed the
+      // CPU-heavy post-shuffle stages (signature kernels, verify joins)
+      // to one task, serializing work 32 cores could split; the
+      // per-task overhead it saves is smaller than the parallelism it
+      // costs at this scale. At fleet scale the guide's 100 MB-1 GB
+      // partition sizing comes from advisoryPartitionSizeInBytes
+      // (deployment conf), not from flipping this policy. Env knob kept
+      // so the A/B stays reproducible.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
+      // One rename per committed file instead of two sequential rename
+      // passes (FileOutputCommitter v2): the artifact-maintenance rows
+      // commit dozens of tiny parquet writes per invocation, and the
+      // v1 job-commit pass is a serial driver-side loop. Safe here:
+      // single-writer artifacts under a write lock, and every reader is
+      // gated on the atomically-published manifest (or _SUCCESS for the
+      // epoch sinks), never on directory listing of an in-flight write.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       // The default 100-entry codegen cache can't hold one full pass over
       // all bench queries (~300+ codegen units), so every pass silently
       // re-janino-compiles everything — the source of seconds-level
