@@ -101,7 +101,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
@@ -126,21 +126,11 @@ object Bench {
       // so the A/B stays reproducible.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
-      // One rename per committed file instead of two sequential rename
-      // passes (FileOutputCommitter v2): the artifact-maintenance rows
-      // commit dozens of tiny parquet writes per invocation, and the
-      // v1 job-commit pass is a serial driver-side loop. Safe here:
-      // single-writer artifacts under a write lock, and every reader is
-      // gated on the atomically-published manifest (or _SUCCESS for the
-      // epoch sinks), never on directory listing of an in-flight write.
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-      // The default 100-entry codegen cache can't hold one full pass over
-      // all bench queries (~300+ codegen units), so every pass silently
-      // re-janino-compiles everything — the source of seconds-level
-      // run-to-run noise on whichever query raced the compiler. Sized so
-      // the whole suite stays resident.
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .getOrCreate()
+    // committer v2 + codegen cache sizing moved to the shared library
+    // tuning (graft.engine.SessionTuning) so Bench, Verify and the HTTP
+    // server run the same write path — a conf that lived only here
+    // measured the bench harness, not the library (round-20 verdict).
+    val spark = graft.engine.SessionTuning.tuned(builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val jvmsAtStart = competingJvms()
     // calibration runs BEFORE warmups: the numbers must reflect the box,
@@ -177,6 +167,27 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val passes = Seq(timedPass(), timedPass(), timedPass())
+    // SECOND calibration pass AFTER the timed runs: a box that was (or
+    // went) contended during the timed window is otherwise invisible —
+    // the round-20 driver run read 75 s with a healthy-looking load
+    // average, and only the (single, pre-warmup) calibration stamp
+    // proved the host could not deliver its cores. Bracketing the timed
+    // window with two fixed-work probes makes that evidence positive in
+    // both directions.
+    val calibSparkMsPost = calibrateSparkMs(spark)
+    // Healthy-box reference for the fixed-work Spark calibration job at
+    // this core count: the round-20 healthy runs stamped 282-318 ms on
+    // local[32] (BENCH_NOTES/OPTIMIZATION_r20); the contended driver run
+    // stamped 395.7. A run whose calibration exceeds the reference by
+    // >25% at either edge, or whose pre/post stamps drift >25% against
+    // each other, is flagged host_suspect — the stamp that proves a bad
+    // box now also SAYS so instead of waiting to be read.
+    val healthyCalibSparkMs = 300.0
+    val hostSuspect = {
+      val hi = math.max(calibSparkMs, calibSparkMsPost)
+      val lo = math.min(calibSparkMs, calibSparkMsPost)
+      hi > healthyCalibSparkMs * 1.25 || (lo > 0 && hi / lo > 1.25)
+    }
     val results = passes.head.keys.map { k =>
       k -> passes.map(_(k)).min
     }.toMap
@@ -202,7 +213,9 @@ object Bench {
     val env = s""""env":{"competing_jvms":${math.max(jvmsAtStart, competingJvms())},""" +
       s""""load1":${fmt("%.2f")(load1())},""" +
       s""""calib_cpu_ms":${fmt("%.1f")(calibCpuMs)},""" +
-      s""""calib_spark_ms":${fmt("%.1f")(calibSparkMs)}}"""
+      s""""calib_spark_ms":${fmt("%.1f")(calibSparkMs)},""" +
+      s""""calib_spark_ms_post":${fmt("%.1f")(calibSparkMsPost)},""" +
+      s""""host_suspect":$hostSuspect}"""
     def render(key: String => String, f: Double => String): String = {
       val qs = results.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + key(k) + "\":" + f(v) }

@@ -86,13 +86,21 @@ object DecontIndex {
     val spark = eval.sparkSession
     ArtifactLock.withWriteLock(path) {
       saveGrams(spark, path, gramCounts(eval, textCol, n), n, fpp)
-      load(spark, path)
     }
   }
 
   /** Write `grams` as the next generation, rebuild the sketch from it,
-    * publish the manifest, prune old generations. Caller holds the
-    * write lock.
+    * publish the manifest, prune old generations, and return the
+    * resulting Artifact CONSTRUCTED FROM THE WRITE ITSELF: the sketch
+    * bytes are in hand, count/fingerprint rode the write as observed
+    * metrics, and the gram relation is the same pinned-generation read
+    * the sketch was built from — so the save does not pay a trailing
+    * `load` (manifest re-read + sketch readback collect) just to hand
+    * back state it already holds. The write path still round-trips the
+    * big relation (the sketch aggregates over the just-written grams
+    * parquet), and the fresh-reader fail-fast contract stays covered by
+    * every real load ([[load]]'s one sketch-readback collect — e.g.
+    * [[update]] starts with one). Caller holds the write lock.
     *
     * `abortIf` runs between the grams write and any publication: when
     * it throws, the just-written (never-referenced) generation dir is
@@ -101,7 +109,7 @@ object DecontIndex {
     * paying a second full computation of the merged relation. */
   private def saveGrams(spark: SparkSession, path: String, grams: DataFrame,
                         n: Int, fpp: Double,
-                        abortIf: () => Unit = () => ()): Unit = {
+                        abortIf: () => Unit = () => ()): Artifact = {
     val newGen: Long =
       ArtifactLock.currentDataGen(spark, path).map(_ + 1L).getOrElse(0L)
     val gramsDir = s"$path/${ArtifactLock.genDirName("grams", newGen)}"
@@ -146,6 +154,7 @@ object DecontIndex {
     ArtifactLock.publishManifest(spark, path,
       graft.engine.QueryJson.write(manifest))
     ArtifactLock.pruneGenerations(spark, path, Seq("grams", "bloom"), newGen)
+    Artifact(written, bytes, n, fpp, nGrams, Some(fingerprint), newGen)
   }
 
   /** Load a persisted artifact. Fails fast (IllegalArgumentException)
@@ -301,6 +310,14 @@ object DecontIndex {
     // for a standalone check and again for the write. A tripped guard
     // throws before anything is published and removes the staged,
     // never-referenced generation dir — the artifact is unchanged.
+    // CONTRACT the guard depends on: the observe sits BELOW the
+    // n_refs > 0 filter, and the optimizer must not push that filter
+    // under the CollectMetrics node (true in Spark 4.1.2 —
+    // PushPredicateThroughNonJoin has no CollectMetrics case), or
+    // negative rows would be dropped before they are counted and a bad
+    // delta would publish. DecontIndexSpec's fail-fast test pins this:
+    // its negative rows are exactly the filtered rows, so a pushed-down
+    // filter would flip the test from throw to silent success.
     val negObs = org.apache.spark.sql.Observation()
     val guarded = merged
       .observe(negObs, coalesce(sum(when(col("n_refs") < 0, lit(1L))),
@@ -313,7 +330,6 @@ object DecontIndex {
             "the artifact never ingested (ref count below zero) — the delta " +
             "does not describe this suite; rebuild instead")
     })
-    load(spark, path)
   }
 }
 

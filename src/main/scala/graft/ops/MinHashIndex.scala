@@ -418,19 +418,45 @@ object MinHashIndex {
       .filter(!(col("__fpc") <=> col("__fpo")))
       .persist()
     try {
-      val stats = delta.agg(
-        sum(col("__fpc").cast("decimal(38,0)")).as("add_sum"),
-        sum(col("__fpo").cast("decimal(38,0)")).as("remove_sum"),
-        count(when(col("__fpo").isNull, lit(1))).as("n_added"),
-        count(when(col("__fpc").isNull, lit(1))).as("n_removed"),
-        count(lit(1)).as("n_affected")).head()
-      if (stats.getLong(4) == 0L) return art
-      val addSum = Option(stats.getDecimal(0))
-        .map(BigDecimal(_).toBigInt).getOrElse(BigInt(0))
-      val removeSum = Option(stats.getDecimal(1))
-        .map(BigDecimal(_).toBigInt).getOrElse(BigInt(0))
+      // the drift stats AND the affected-shard set ride ONE action over
+      // the delta (they were two — a global agg plus a distinct-collect
+      // over the same persisted relation, each paying the full fixed
+      // per-action cost): per-shard partial aggregates, collected
+      // bounded, folded exactly on the driver. The 10001-row limit can
+      // only truncate in the >10000-shard fallback case, which re-runs
+      // one global agg — the same pathological path that already pays a
+      // whole-relation rewrite.
+      val shardOpt = shardExprOf(art)
+      val perShard = delta
+        .groupBy(shardOpt.getOrElse(lit(0L)).as("__shard"))
+        .agg(
+          sum(col("__fpc").cast("decimal(38,0)")).as("add_sum"),
+          sum(col("__fpo").cast("decimal(38,0)")).as("remove_sum"),
+          count(when(col("__fpo").isNull, lit(1))).as("n_added"),
+          count(when(col("__fpc").isNull, lit(1))).as("n_removed"))
+        .limit(10001).collect()
+      if (perShard.isEmpty) return art
+      val truncated = perShard.length > 10000
+      def decSum(i: Int): BigInt = perShard.iterator.map(r =>
+        Option(r.getDecimal(i)).map(BigDecimal(_).toBigInt)
+          .getOrElse(BigInt(0))).sum
+      val (addSum, removeSum, nAdded, nRemoved) =
+        if (!truncated)
+          (decSum(1), decSum(2),
+            perShard.iterator.map(_.getLong(3)).sum,
+            perShard.iterator.map(_.getLong(4)).sum)
+        else {
+          val g = delta.agg(
+            sum(col("__fpc").cast("decimal(38,0)")).as("add_sum"),
+            sum(col("__fpo").cast("decimal(38,0)")).as("remove_sum"),
+            count(when(col("__fpo").isNull, lit(1))).as("n_added"),
+            count(when(col("__fpc").isNull, lit(1))).as("n_removed")).head()
+          (Option(g.getDecimal(0)).map(BigDecimal(_).toBigInt).getOrElse(BigInt(0)),
+            Option(g.getDecimal(1)).map(BigDecimal(_).toBigInt).getOrElse(BigInt(0)),
+            g.getLong(2), g.getLong(3))
+        }
       val newFp = (BigInt(oldFp) - removeSum + addSum).toString
-      val newN = oldN + stats.getLong(2) - stats.getLong(3)
+      val newN = oldN + nAdded - nRemoved
       // departing ids (removed or changed) leave; arriving ids (added or
       // changed) are re-signatured from the current corpus. Both id sets
       // are drift-sized, so AQE broadcasts them against the big sides.
@@ -470,14 +496,14 @@ object MinHashIndex {
       // byte-untouched (pinned by checksum in MinHashIndexSpec for both
       // layouts). Falls back to the whole-relation staged rewrite for
       // flat legacy layouts and for drifts so scattered (>10000 shards)
-      // that the drift effectively IS the corpus.
-      val affectedShards = shardExprOf(art).map { shard =>
-        delta.select(shard.as("__shard"))
-          .distinct().limit(10001).collect().map(_.getLong(0)).toSet
-      }
+      // that the drift effectively IS the corpus. The shard set comes
+      // free from the per-shard stats rows collected above.
+      val affectedShards: Option[Set[Long]] =
+        if (truncated) None
+        else shardOpt.map(_ => perShard.iterator.map(_.getLong(0)).toSet)
       affectedShards match {
-        case Some(affected) if affected.size <= 10000 =>
-          val shard = shardExprOf(art).get
+        case Some(affected) =>
+          val shard = shardOpt.get
           val live = spark.read.parquet(s"$path/signatures")
           val keep = live
             .filter(col("sig_shard").isin(affected.toSeq: _*))

@@ -69,7 +69,8 @@ object VocabIndex {
                             summary: Option[DataFrame] = None,
                             theta: Option[Long] = None,
                             slabs: Option[Seq[SlabMeta]] = None,
-                            dataGen: Long = 0L)
+                            dataGen: Long = 0L,
+                            summaryRows: Option[Long] = None)
 
   /** One ingest slab's registry entry: the raw per-slab summary lives
     * at `<path>/slabs/<id>/` (tokenSummaryAgg's (token, n, nhi, rho)
@@ -541,6 +542,11 @@ object VocabIndex {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val mergeTmp = new org.apache.hadoop.fs.Path(path, "slabs/.compact.tmp")
+    // a crash between the staged truncation write and the epoch
+    // promotion leaves .compact.tmp behind (it is not a manifest-adjacent
+    // temp file, so pruneGenerations' stale-tmp sweep never touches it);
+    // reclaim it best-effort on the next compaction attempt
+    try fs.delete(mergeTmp, true) catch { case _: Exception => () }
     val normObs = org.apache.spark.sql.Observation()
     val keptObs = org.apache.spark.sql.Observation()
     merged.observe(normObs, count(lit(1)).as("n"))
@@ -768,9 +774,16 @@ object VocabIndex {
           try spark.read.parquet(s"$path/${genDir("vocabulary", dataGen)}")
           catch { case e: org.apache.spark.sql.AnalysisException =>
             // cause attached: retryingLoad's classifier walks the chain to
-            // tell a maintenance race (PATH_NOT_FOUND) from real corruption
+            // tell a maintenance race (PATH_NOT_FOUND) from real corruption.
+            // Note for readers of FOREIGN artifacts: capacity-built
+            // artifacts (manifest records `theta`) store only the summary
+            // and never reach this branch — a missing vocabulary/ here
+            // with a theta-less manifest is real corruption, not the
+            // round-20 layout change.
             throw new IllegalArgumentException(
-              s"vocabulary at $path is corrupt: unreadable relation: ${e.getMessage}", e) }
+              s"vocabulary at $path is corrupt: unreadable relation " +
+                "(note: capacity-built artifacts store a summary instead " +
+                s"of vocabulary/): ${e.getMessage}", e) }
         def colType(n: String): Option[DataType] =
           v.schema.fields.find(_.name == n).map(_.dataType)
         if (!colType("token").contains(StringType) ||
@@ -809,7 +822,8 @@ object VocabIndex {
       manifest.get("n_docs").collect { case l: Long => l },
       manifest.get("n_tokens").collect { case l: Long => l },
       manifest.get("fingerprint").collect { case s: String => s },
-      summary, theta, slabs, dataGen)
+      summary, theta, slabs, dataGen,
+      manifest.get("summary_rows").collect { case l: Long => l })
   }
 
   /** The token set for a requested vocabulary size: `rank <= size` over
@@ -842,6 +856,19 @@ object VocabIndex {
       if (actual != recorded)
         throw new IllegalArgumentException(
           s"$what is corrupt: manifest claims $recorded tokens, parquet holds $actual")
+    }
+    // capacity artifacts derive the vocabulary from the summary, which
+    // makes the count/rank check above true BY CONSTRUCTION (count ==
+    // maxRank == min(k, summary rows)) — the real data plane is the
+    // summary, so its row count is checked against the manifest too (a
+    // smuggled summary row changes vocabulary CONTENTS without changing
+    // its count)
+    for (s <- art.summary; recorded <- art.summaryRows) {
+      val actualSummary = s.count()
+      if (actualSummary != recorded)
+        throw new IllegalArgumentException(
+          s"$what is corrupt: manifest claims $recorded summary rows, " +
+            s"parquet holds $actualSummary")
     }
   }
 

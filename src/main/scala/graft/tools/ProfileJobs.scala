@@ -8,7 +8,9 @@ import scala.collection.mutable
 /** Per-job breakdown of one bench query (guide §1: measure first).
   *
   * Runs the named SparkEntry queries with the Bench session settings,
-  * one untimed warmup pass then a timed pass, and prints every Spark
+  * two untimed warmup passes (Bench's methodology — the first pays
+  * codegen compilation, the second lets the C2 queue drain) then a
+  * timed pass, and prints every Spark
   * job the timed execution launched — duration, stage/task counts, and
   * the callsite — so a multi-job operator composition (the artifact
   * maintenance rows) shows WHERE its wall-clock goes: which jobs are

@@ -382,6 +382,23 @@ class VocabIndexSpec extends AnyFunSuite {
       corpus.orderBy(col("doc_id").desc).repartition(3), "text")
   }
 
+  test("capacity artifacts: a smuggled summary row trips verifyCount") {
+    // the derived vocabulary has count == maxRank == min(k, summary rows)
+    // BY CONSTRUCTION, so the count/rank tripwire alone can no longer see
+    // a tampered data plane — verifyCount must check the summary's own
+    // row count against the manifest (a smuggled high-count summary row
+    // changes vocabulary CONTENTS without changing its count)
+    val path = tmpDir() + "/sumstale"
+    val art = VocabIndex.buildAndSave(corpus, "text", k = 4, path = path,
+      capacity = Some(4096))
+    VocabIndex.verifyCount(art, "vocab") // clean artifact passes
+    Seq(("smuggled", 999L, 999L)).toDF("token", "lo", "hi")
+      .write.mode("append").parquet(s"$path/summary")
+    val e = intercept[IllegalArgumentException] {
+      VocabIndex.verifyCount(VocabIndex.load(spark, path), "vocab") }
+    assert(e.getMessage.contains("summary rows"), e.getMessage)
+  }
+
   test("concurrent updates on one artifact path serialize: no delta is lost") {
     // the server runs requests on a thread pool, so two maintenance calls
     // can race on the same artifact's manifest read-modify-write cycle —
