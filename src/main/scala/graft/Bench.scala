@@ -183,11 +183,19 @@ object Bench {
     // each other, is flagged host_suspect — the stamp that proves a bad
     // box now also SAYS so instead of waiting to be read.
     val healthyCalibSparkMs = 300.0
-    val hostSuspect = {
-      val hi = math.max(calibSparkMs, calibSparkMsPost)
-      val lo = math.min(calibSparkMs, calibSparkMsPost)
-      hi > healthyCalibSparkMs * 1.25 || (lo > 0 && hi / lo > 1.25)
-    }
+    // Two suspicion signals, shaped by what each stamp can actually
+    // prove (first measured round 21: a healthy fast box read pre=205,
+    // post=94 — the PRE stamp runs on a cold JVM where background JIT
+    // steals cycles, so post < pre is ordinary warm-up, not noise):
+    //  - the MIN of the two stamps is the box's demonstrated capability;
+    //    if even that exceeds the healthy reference by >25%, the box
+    //    never delivered its cores (round-20's contended run: pre 395.7
+    //    with no faster post to excuse it).
+    //  - post >> pre is degradation DURING the timed window — the one
+    //    direction warm-up cannot explain.
+    val hostSuspect =
+      math.min(calibSparkMs, calibSparkMsPost) > healthyCalibSparkMs * 1.25 ||
+        calibSparkMsPost > calibSparkMs * 1.25
     val results = passes.head.keys.map { k =>
       k -> passes.map(_(k)).min
     }.toMap

@@ -91,6 +91,62 @@ object ArtifactLock {
     }
   }
 
+  /** Publish driver-held `bytes` as `<dir>/<name>` WITHOUT a Spark job:
+    * write a hidden sibling temp, rename into place. The artifact
+    * writers used to round-trip such payloads (sketch bytes, centroid
+    * lists) through a 1-row/1-file parquet WRITE ACTION, paying the
+    * full fixed per-action cost (~300 ms of planning + stage scheduling
+    * + commit at ANY size — ProfileWriteOverhead, round 20) to move
+    * bytes the driver already held; the paired load paid a collect
+    * action to get them back. The payloads are driver-scale by
+    * construction (a serialized BloomFilter, nCells×dim doubles), so a
+    * plain filesystem write is the honest cost. Readers are safe the
+    * same way parquet was: the file is complete and renamed into place
+    * BEFORE the manifest points at its generation dir, and loads of a
+    * pruned generation heal through [[retryingLoad]]. */
+  private[graft] def writeBytesFile(spark: org.apache.spark.sql.SparkSession,
+                                    dir: String, name: String,
+                                    bytes: Array[Byte]): Unit = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(d)
+    val tmp = new org.apache.hadoop.fs.Path(d,
+      s".$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(d, name)
+    // generation dirs are fresh per mutation, but a hand-managed path
+    // may reuse one — clear any stale target so the rename cannot fail
+    // into a half-published state
+    try fs.delete(dst, false) catch { case _: Exception => () }
+    if (!fs.rename(tmp, dst)) {
+      try fs.delete(tmp, false) catch { case _: Exception => () }
+      throw new IllegalStateException(s"could not publish $dst")
+    }
+  }
+
+  /** Read `<file>` fully into driver memory (None when absent). The
+    * read side of [[writeBytesFile]] — no Spark job. A prune racing the
+    * exists/open window surfaces as FileNotFoundException, which
+    * [[retryingLoad]]'s classifier already treats as a maintenance race
+    * and heals with a fresh manifest resolve. */
+  private[graft] def readBytesFile(spark: org.apache.spark.sql.SparkSession,
+                                   file: String): Option[Array[Byte]] = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](1 << 16)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        Some(bos.toByteArray)
+      } finally in.close()
+    }
+  }
+
   private val locks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import scala.collection.mutable
@@ -13,10 +13,14 @@ import scala.collection.mutable
   * a "never re-train on these" ledger), re-paid by every session that
   * excludes against it. This artifact persists the built sketch:
   *
-  *   - `<path>/bloom/` — a one-row parquet relation `(bloom BINARY)`
-  *     holding the serialized `BloomFilter` (Spark's own writeTo format;
-  *     bit-array OR-merge makes the build order-independent, so the
-  *     bytes are deterministic for a given list + parameters).
+  *   - `<path>/bloom[-g]/sketch.bin` — the serialized `BloomFilter`
+  *     bytes as a raw file (Spark's own writeTo format; bit-array
+  *     OR-merge makes the build order-independent, so the bytes are
+  *     deterministic for a given list + parameters). Written and read
+  *     via the filesystem API — the bytes are driver-held on both
+  *     sides, so no Spark action is spent moving them (round-21 trim);
+  *     artifacts from before the trim stored a one-row parquet relation
+  *     `(bloom BINARY)` in the same dir, which loads unchanged.
   *   - `<path>/manifest.json` — format version + build parameters
   *     (n_items estimate, fpp, byte length as an integrity check), the
   *     id column's NAME and TYPE (a sketch probed through a different
@@ -168,16 +172,18 @@ object BloomIndex {
            nHashFunctions: Option[Long] = None): Unit =
       ArtifactLock.withWriteLock(path) {
     require(bytes.nonEmpty, "bloom bytes must be non-empty")
-    import spark.implicits._
-    // generationed sketch relation (the vocab pattern): write the NEXT
+    // generationed sketch dir (the vocab pattern): write the NEXT
     // generation's dir, repoint the manifest atomically, prune older —
-    // an in-place Overwrite raced unlocked readers with missing files
+    // an in-place Overwrite raced unlocked readers with missing files.
+    // The sketch bytes are DRIVER-HELD, so they go down as a raw file
+    // ([[ArtifactLock.writeBytesFile]]) instead of the former 1-row
+    // parquet write ACTION — one fewer ~300 ms fixed-cost Spark job per
+    // save at any scale (round-21 trim; loads read pre-trim parquet
+    // sketches unchanged).
     val newGen: Long =
       ArtifactLock.currentDataGen(spark, path).map(_ + 1L).getOrElse(0L)
-    Seq(Tuple1(bytes)).toDF("bloom")
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite)
-      .parquet(s"$path/${ArtifactLock.genDirName("bloom", newGen)}")
+    ArtifactLock.writeBytesFile(spark,
+      s"$path/${ArtifactLock.genDirName("bloom", newGen)}", "sketch.bin", bytes)
     val manifest = mutable.LinkedHashMap[String, Any](
       "version" -> FormatVersion,
       "kind" -> "bloom_exclusion",
@@ -245,18 +251,24 @@ object BloomIndex {
       case Some(l: Long) if l >= 0 => l
       case _ => 0L
     }
-    val rows =
-      try spark.read.parquet(
-        s"$path/${ArtifactLock.genDirName("bloom", dataGen)}").collect()
-      catch { case e: org.apache.spark.sql.AnalysisException =>
-        // cause attached: retryingLoad's classifier walks the chain to
-        // tell a maintenance race (PATH_NOT_FOUND) from real corruption
-        throw new IllegalArgumentException(
-          s"bloom index at $path is corrupt: unreadable sketch: ${e.getMessage}", e) }
-    if (rows.length != 1)
-      throw new IllegalArgumentException(
-        s"bloom index at $path is corrupt: expected one sketch row, got ${rows.length}")
-    val bytes = rows.head.getAs[Array[Byte]]("bloom")
+    val genDir = s"$path/${ArtifactLock.genDirName("bloom", dataGen)}"
+    // raw sketch file first (current writers — a plain driver read, no
+    // Spark job); artifacts written before the round-21 trim fall back
+    // to the 1-row parquet collect
+    val bytes = ArtifactLock.readBytesFile(spark, s"$genDir/sketch.bin")
+      .getOrElse {
+        val rows =
+          try spark.read.parquet(genDir).collect()
+          catch { case e: org.apache.spark.sql.AnalysisException =>
+            // cause attached: retryingLoad's classifier walks the chain to
+            // tell a maintenance race (PATH_NOT_FOUND) from real corruption
+            throw new IllegalArgumentException(
+              s"bloom index at $path is corrupt: unreadable sketch: ${e.getMessage}", e) }
+        if (rows.length != 1)
+          throw new IllegalArgumentException(
+            s"bloom index at $path is corrupt: expected one sketch row, got ${rows.length}")
+        rows.head.getAs[Array[Byte]]("bloom")
+      }
     if (bytes == null || !manifest.get("n_bytes").contains(bytes.length.toLong))
       throw new IllegalArgumentException(
         s"bloom index at $path is corrupt: byte length disagrees with manifest")
@@ -384,7 +396,31 @@ object BloomIndex {
     }
     checkSide(added, addedIdCol, "added")
     removed.foreach { case (df, c) => checkSide(df, c, "removed") }
-    val (addFp, nAdd, nAddNull) = fingerprintAndCount(added, addedIdCol)
+    // the added side's fingerprint/counts ride the added-side sketch
+    // build as observed metrics (the buildAndSave discipline): one scan
+    // of the delta instead of a fingerprint aggregation PLUS a sketch
+    // aggregation (round-21 trim). The sketch is built unconditionally
+    // — an empty or all-null delta builds an empty filter that is
+    // simply never merged, at the same one-action cost the standalone
+    // fingerprint pass used to spend.
+    val addObs = org.apache.spark.sql.Observation()
+    val observedAdded = added.observe(addObs,
+      sum(when(col(addedIdCol).isNotNull, xxhash64(col(addedIdCol)))
+        .otherwise(lit(0L)).cast("decimal(38,0)")).as("fp"),
+      count(lit(1)).as("n"),
+      count(when(col(addedIdCol).isNull, lit(1))).as("n_null"))
+    // an added side with zero non-null ids makes Spark's bloom aggregate
+    // return a null buffer, which stat.bloomFilter NPEs decoding (the
+    // aggregation JOB itself completed — the observed metrics are
+    // posted). That is exactly the case whose sketch is never merged
+    // (nAdd - nAddNull == 0 below), so an absent sketch is the honest
+    // result; the removal-only update in the spec pins this path.
+    val addedSketch: Option[Array[Byte]] =
+      try Some(Dedup.buildBloomSized(observedAdded, addedIdCol, nItemsBuilt, fpp))
+      catch { case _: NullPointerException => None }
+    val mAdd = addObs.get
+    val (addFp, nAdd, nAddNull) = (Observed.decimalSum(mAdd, "fp").toString,
+      Observed.long(mAdd, "n"), Observed.long(mAdd, "n_null"))
     val (remFp, nRem, _) = removed.map { case (df, c) =>
       fingerprintAndCount(df, c) }.getOrElse(("0", 0L, 0L))
     if (nAdd == 0L && nRem == 0L) return art
@@ -412,8 +448,9 @@ object BloomIndex {
           f"the built fpp=$fpp%.2g — rebuild the artifact at the new scale")
     if (nAdd - nAddNull > 0L)
       base.mergeInPlace(org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(
-          Dedup.buildBloomSized(added, addedIdCol, nItemsBuilt, fpp))))
+        new java.io.ByteArrayInputStream(addedSketch.getOrElse(
+          throw new IllegalStateException(
+            s"$what: added-side sketch missing for ${nAdd - nAddNull} ids")))))
     val bos = new java.io.ByteArrayOutputStream()
     base.writeTo(bos)
     save(spark, path, bos.toByteArray, fpp = fpp,

@@ -137,11 +137,12 @@ object DecontIndex {
     val written = spark.read.parquet(gramsDir)
     val bytes = Dedup.buildBloomSized(written, "gh",
       math.max(nGrams, 1L), fpp)
-    import spark.implicits._
-    Seq(Tuple1(bytes)).toDF("bloom")
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite)
-      .parquet(s"$path/${ArtifactLock.genDirName("bloom", newGen)}")
+    // the sketch bytes are driver-held: a raw-file publish
+    // ([[ArtifactLock.writeBytesFile]]) replaces the former 1-row
+    // parquet write ACTION — one fewer fixed-cost Spark job per save
+    // (round-21 trim; pre-trim parquet sketches still load)
+    ArtifactLock.writeBytesFile(spark,
+      s"$path/${ArtifactLock.genDirName("bloom", newGen)}", "sketch.bin", bytes)
     val manifest = mutable.LinkedHashMap[String, Any](
       "version" -> FormatVersion,
       "kind" -> "decont_ngram",
@@ -222,20 +223,25 @@ object DecontIndex {
       case other => throw new IllegalArgumentException(
         s"decontamination index at $path records no gram count (got $other)")
     }
-    val rows =
-      try spark.read.parquet(
-        s"$path/${ArtifactLock.genDirName("bloom", dataGen)}").collect()
-      catch { case e: org.apache.spark.sql.AnalysisException =>
-        // cause attached: retryingLoad's classifier walks the chain to
-        // tell a maintenance race (PATH_NOT_FOUND) from real corruption
-        throw new IllegalArgumentException(
-          s"decontamination index at $path is corrupt: unreadable " +
-            s"sketch: ${e.getMessage}", e) }
-    if (rows.length != 1)
-      throw new IllegalArgumentException(
-        s"decontamination index at $path is corrupt: expected one sketch " +
-          s"row, got ${rows.length}")
-    val bytes = rows.head.getAs[Array[Byte]]("bloom")
+    val bloomGenDir = s"$path/${ArtifactLock.genDirName("bloom", dataGen)}"
+    // raw sketch file first (current writers — no Spark job); pre-trim
+    // artifacts fall back to the 1-row parquet collect
+    val bytes = ArtifactLock.readBytesFile(spark, s"$bloomGenDir/sketch.bin")
+      .getOrElse {
+        val rows =
+          try spark.read.parquet(bloomGenDir).collect()
+          catch { case e: org.apache.spark.sql.AnalysisException =>
+            // cause attached: retryingLoad's classifier walks the chain to
+            // tell a maintenance race (PATH_NOT_FOUND) from real corruption
+            throw new IllegalArgumentException(
+              s"decontamination index at $path is corrupt: unreadable " +
+                s"sketch: ${e.getMessage}", e) }
+        if (rows.length != 1)
+          throw new IllegalArgumentException(
+            s"decontamination index at $path is corrupt: expected one sketch " +
+              s"row, got ${rows.length}")
+        rows.head.getAs[Array[Byte]]("bloom")
+      }
     if (bytes == null || !manifest.get("n_bytes").contains(bytes.length.toLong))
       throw new IllegalArgumentException(
         s"decontamination index at $path is corrupt: sketch byte length " +

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import scala.collection.mutable
 
@@ -14,10 +14,15 @@ import scala.collection.mutable
   * a first-class on-disk object, the way any production ANN deployment
   * treats it:
   *
-  *   - `<path>/centroids/` — a one-file parquet relation
-  *     `(cell INT, centroid ARRAY<DOUBLE>)`. Parquet doubles are exact
-  *     IEEE754 round-trips, so a loaded quantizer reproduces assignments
-  *     BIT-FOR-BIT (pinned in OpsSpec).
+  *   - `<path>/centroids[-g]/centroids.bin` — the centroid list as a
+  *     raw binary file (count, dim, raw IEEE754 bits): exact double
+  *     round-trips, so a loaded quantizer reproduces assignments
+  *     BIT-FOR-BIT (pinned in OpsSpec). Written and read via the
+  *     filesystem API — the list is driver-held on both sides, so no
+  *     Spark action is spent moving it (round-21 trim); artifacts from
+  *     before the trim stored a one-file parquet relation
+  *     `(cell INT, centroid ARRAY<DOUBLE>)` in the same dir, which
+  *     loads unchanged.
   *   - `<path>/manifest.json` — format version + build parameters
   *     (n_cells requested, n_centroids actually built, dim,
   *     kmeans_iters), written via the Hadoop FileSystem API so the path
@@ -107,19 +112,20 @@ object IvfIndex {
     require(centroids.nonEmpty, "centroids must be non-empty")
     require(centroids.map(_.length).distinct.size == 1,
       "centroids must share one dimensionality")
-    import spark.implicits._
-    // nCells×dim doubles — driver-scale data; one file keeps the artifact
-    // a single-read object for any later loader. Generationed (the
-    // vocab pattern): write the NEXT generation's dir, repoint the
+    // nCells×dim doubles — DRIVER-HELD data, published as a raw binary
+    // file (count, dim, then raw IEEE754 bits — bit-exact round-trip,
+    // same exactness guarantee the parquet doubles gave) instead of the
+    // former one-file parquet write ACTION: one fewer ~300 ms
+    // fixed-cost Spark job per save at any scale (round-21 trim;
+    // pre-trim parquet centroid relations still load). Generationed
+    // (the vocab pattern): write the NEXT generation's dir, repoint the
     // manifest atomically, prune older — an in-place Overwrite (the
     // refine path rewrites this relation) raced unlocked readers
     val newGen: Long =
       ArtifactLock.currentDataGen(spark, path).map(_ + 1L).getOrElse(0L)
-    centroids.zipWithIndex.map { case (c, i) => (i, c) }
-      .toDF("cell", "centroid")
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite)
-      .parquet(s"$path/${ArtifactLock.genDirName("centroids", newGen)}")
+    ArtifactLock.writeBytesFile(spark,
+      s"$path/${ArtifactLock.genDirName("centroids", newGen)}",
+      "centroids.bin", encodeCentroids(centroids))
     val manifest = mutable.LinkedHashMap[String, Any](
       "version" -> FormatVersion,
       "kind" -> "ivf_coarse_quantizer",
@@ -168,18 +174,50 @@ object IvfIndex {
   def load(spark: SparkSession, path: String): Seq[Seq[Double]] =
     ArtifactLock.retryingLoad(loadOnce(spark, path))
 
+  /** Raw on-disk centroid encoding: int32 count, int32 dim, then
+    * count×dim float64 raw bits (DataOutputStream big-endian) —
+    * bit-exact IEEE754 round-trip, decoded by [[decodeCentroids]]. */
+  private def encodeCentroids(cs: Seq[Seq[Double]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(8 + cs.length * cs.head.length * 8)
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(cs.length)
+    out.writeInt(cs.head.length)
+    cs.foreach(_.foreach(out.writeDouble))
+    out.flush()
+    bos.toByteArray
+  }
+
+  private def decodeCentroids(path: String, bytes: Array[Byte]): Seq[Seq[Double]] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      val n = in.readInt(); val dim = in.readInt()
+      if (n <= 0 || dim <= 0 || bytes.length != 8L + n.toLong * dim * 8)
+        throw new IllegalArgumentException(
+          s"IVF index at $path is corrupt: centroid file length " +
+            s"${bytes.length} disagrees with header ($n × $dim)")
+      Seq.tabulate(n)(_ => Seq.fill(dim)(in.readDouble()))
+    } catch { case _: java.io.EOFException =>
+      throw new IllegalArgumentException(
+        s"IVF index at $path is corrupt: truncated centroid file")
+    }
+  }
+
   private def loadOnce(spark: SparkSession, path: String): Seq[Seq[Double]] = {
     val manifest = readManifest(spark, path)
     val dataGen: Long = manifest.get("data_gen") match {
       case Some(l: Long) if l >= 0 => l
       case _ => 0L
     }
-    val centroids = spark.read.parquet(
-        s"$path/${ArtifactLock.genDirName("centroids", dataGen)}")
-      .orderBy("cell")
-      .collect()
-      .map(r => r.getAs[scala.collection.Seq[Double]]("centroid").toSeq)
-      .toSeq
+    val genDir = s"$path/${ArtifactLock.genDirName("centroids", dataGen)}"
+    // raw centroid file first (current writers — a plain driver read, no
+    // Spark job); pre-trim artifacts fall back to the parquet collect
+    val centroids = ArtifactLock.readBytesFile(spark, s"$genDir/centroids.bin")
+      .map(decodeCentroids(path, _))
+      .getOrElse(spark.read.parquet(genDir)
+        .orderBy("cell")
+        .collect()
+        .map(r => r.getAs[scala.collection.Seq[Double]]("centroid").toSeq)
+        .toSeq)
     val expected = manifest.get("n_centroids")
     if (!expected.contains(centroids.length.toLong))
       throw new IllegalArgumentException(

@@ -43,6 +43,24 @@ class DecontIndexSpec extends AnyFunSuite {
     Decontaminate.contaminated(train, evalDf, "doc_id", "text", n = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
 
+  test("pre-raw-format artifacts (parquet sketch) still load and probe") {
+    // the round-21 trim stores the sketch as bloom[-g]/sketch.bin; an
+    // artifact written before it (1-row parquet sketch) must keep
+    // loading — rewrite a fresh artifact's sketch into the legacy
+    // layout and load through it
+    val path = tmp("dc_legacy")
+    val art = DecontIndex.buildAndSave(eval, "text", path, n = 4)
+    val genDir = new org.apache.hadoop.fs.Path(path,
+      graft.ops.ArtifactLock.genDirName("bloom", art.dataGen))
+    val fs = genDir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(genDir, true)
+    Seq(Tuple1(art.bloomBytes)).toDF("bloom").coalesce(1)
+      .write.parquet(genDir.toString)
+    val legacy = DecontIndex.load(spark, path)
+    assert(java.util.Arrays.equals(legacy.bloomBytes, art.bloomBytes))
+    assert(probe(legacy) == inline(eval))
+  }
+
   test("index-served contamination equals the inline operator exactly") {
     val path = tmp("dc_basic")
     val art = DecontIndex.buildAndSave(eval, "text", path, n = 4)

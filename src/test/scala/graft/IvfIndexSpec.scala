@@ -190,6 +190,46 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(inline == (1L to 500L).filterNot(i => (i - 1) % 7 == 0).toSeq)
   }
 
+  test("pre-raw-format artifacts (parquet sketch/centroids) still load") {
+    import graft.ops.BloomIndex
+    // the round-21 trim stores driver-held payloads as raw files
+    // (sketch.bin / centroids.bin) instead of 1-row/1-file parquet
+    // relations; artifacts written BEFORE the trim must keep loading —
+    // hand-write both legacy layouts and load them
+    val root = tmpDir()
+    // legacy bloom: 1-row (bloom BINARY) parquet + manifest
+    val exclude = (1L to 100L by 3).map(Tuple1(_)).toDF("xid")
+    val path = s"$root/legacy_bloom"
+    val built = {
+      val bf = exclude.stat.bloomFilter("xid", 34L, 0.01)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos); bos.toByteArray
+    }
+    Seq(Tuple1(built)).toDF("bloom").coalesce(1)
+      .write.parquet(s"$path/bloom")
+    val mp = new org.apache.hadoop.fs.Path(path, "manifest.json")
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(mp, true)
+    try out.write(
+      s"""{"version":1,"kind":"bloom_exclusion","fpp":0.01,"n_bytes":${built.length}}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+    assert(java.util.Arrays.equals(BloomIndex.load(spark, path), built))
+    // legacy ivf: (cell, centroid) parquet + manifest
+    val cents = Seq(Seq(1.0, 0.25), Seq(-0.5, 0.125), Seq(0.0625, 2.0))
+    val ipath = s"$root/legacy_ivf"
+    cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+      .coalesce(1).write.parquet(s"$ipath/centroids")
+    val imp = new org.apache.hadoop.fs.Path(ipath, "manifest.json")
+    val iout = fs.create(imp, true)
+    try iout.write(
+      """{"version":1,"kind":"ivf_coarse_quantizer","n_cells":3,
+         |"n_centroids":3,"dim":2,"kmeans_iters":0}""".stripMargin
+        .getBytes("UTF-8"))
+    finally iout.close()
+    assert(IvfIndex.load(spark, ipath) == cents) // exact doubles both layouts
+  }
+
   test("BloomIndex.load fails fast on missing, foreign, and corrupt artifacts") {
     import graft.ops.BloomIndex
     val root = tmpDir()
