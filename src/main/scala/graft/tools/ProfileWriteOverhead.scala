@@ -80,6 +80,17 @@ object ProfileWriteOverhead {
     bench("readBack") { i =>
       spark.read.parquet(s"$base/plain").count()
     }
+    // decompose the action floor: a trivial 1-row action with no file
+    // system involvement isolates the bare plan+schedule+collect cost...
+    bench("trivial") { i =>
+      spark.range(1).count()
+    }
+    // ...and a pre-resolved reader (one read.parquet, counted N times)
+    // isolates the per-action listing/footer/schema share of readBack
+    val resolved = spark.read.parquet(s"$base/plain")
+    bench("countResolved") { i =>
+      resolved.count()
+    }
     // fresh path each rep — does Overwrite-to-same-path amortize listing?
     bench("freshPath") { i =>
       df().write.mode(SaveMode.Overwrite).parquet(s"$base/fresh_$i")
